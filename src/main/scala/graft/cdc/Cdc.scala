@@ -1,0 +1,159 @@
+package graft.cdc
+
+import graft.Tables
+import graft.model.Envelope
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The CDC dataflow of the reference, re-expressed as composable
+  * `DataFrame => DataFrame` stages over the driver's `events` table
+  * (the WAL stand-in — TESTDATA.md).
+  *
+  * Reference hot path: `internal/replication/replicationchannel/
+  * replicationhandler.go:115-215` (WAL receive) →
+  * `replicationresolver.go:259-313` (route + chunk resolve) →
+  * `eventemitter.go:367-405` (envelope emit). Here, each stage is a
+  * declarative transformation so Catalyst fuses the whole pipeline into
+  * one whole-stage-codegen'd scan→project→filter plan with the chunk
+  * catalog broadcast (J1: `replicationresolver.go:733-759`).
+  *
+  * At 100 TB scale: the WAL stream is partitioned by (table, key); every
+  * stage below is narrow (no shuffle) except the explicit chunk-catalog
+  * broadcast join, which stays a broadcast because the catalog is
+  * bounded by DDL volume (thousands of chunks, not data volume).
+  */
+object Cdc {
+
+  /** Deterministic event_type → op mapping for the WAL stand-in.
+    * Op codes per `spi/schema/eventschema.go:36-44`.
+    */
+  val opExpr: Column => Column = et =>
+    when(et === "signup", Envelope.Op.Create)
+      .when(et === "purchase", Envelope.Op.Update)
+      .when(et === "error", Envelope.Op.Delete)
+      .when(et === "view", Envelope.Op.Read)
+      .otherwise(Envelope.Op.Message) // click
+
+  /** Shape the raw `events` parquet into WAL-like rows:
+    * (lsn, xid, op, schema, table, chunk_day, ts_ms, key + payload cols).
+    *
+    * lsn ≙ event_id (monotone), xid groups 10 consecutive events into a
+    * "transaction" (reference buffers by xid: `transactiontracker.go:
+    * 128-189`), chunk_day derives the owning chunk the way TimescaleDB
+    * places rows into 24h chunks (FIXTURES.md §1: chunk interval 24h).
+    */
+  /** Days from epoch to 2024-01-01 (start of the events series). */
+  private val EpochDay20240101 = 19723L
+  private val NanosPerDay      = 86400000000000L
+
+  def walEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("lsn", col("event_id"))
+      .withColumn("xid", expr("event_id div 10"))
+      .withColumn("op", opExpr(col("event_type")))
+      .withColumn("schema_name", lit("public"))
+      .withColumn("table_name", lit("events"))
+      // ts is Long nanos (Tables.events); integer div keeps exactness —
+      // double division at 1e18 ns magnitude would lose ULPs.
+      .withColumn("chunk_day",
+        (expr(s"ts div $NanosPerDay") - EpochDay20240101).cast(IntegerType))
+      .withColumn("ts_ms", expr("ts div 1000000"))
+
+  /** Chunk catalog (dimension table): one row per 24h chunk, shaped like
+    * `_timescaledb_catalog.chunk` (`internal/sidechannel/queries.go:122-128`,
+    * FIXTURES.md §4). Derived deterministically from the data so the
+    * DuckDB oracle can derive the identical catalog.
+    */
+  def chunkCatalog(spark: SparkSession, dir: String): DataFrame =
+    walEvents(spark, dir)
+      .select(col("chunk_day"))
+      .distinct()
+      .select(
+        col("chunk_day").as("chunk_day"),
+        concat(lit("_hyper_1_"), col("chunk_day"), lit("_chunk")).as("chunk_name"),
+        lit(1).as("hypertable_id"),
+        lit("_timescaledb_internal").as("chunk_schema"))
+
+  /** Hypertable catalog — `internal/sidechannel/queries.go:106-120` shape. */
+  def hypertableCatalog(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((1, "public", "events", "_timescaledb_internal", "_hyper_1_"))
+      .toDF("hypertable_id", "ht_schema", "ht_table", "associated_schema", "associated_table_prefix")
+  }
+
+  /** J1 — chunk→hypertable resolution, the reference's raison d'être
+    * (`replicationresolver.go:733-759`; caches `containers/relationcache.go`).
+    *
+    * Spark-first: a broadcast hash join of the event stream against the
+    * chunk catalog then the hypertable catalog. The catalog is always
+    * driver-memory-sized (chunk count scales with DDL, not rows), so at
+    * 1000 executors this stays a zero-shuffle map-side join.
+    */
+  def resolveHypertable(events: DataFrame, chunks: DataFrame, hypertables: DataFrame): DataFrame =
+    events
+      .join(broadcast(chunks), Seq("chunk_day"))
+      .join(broadcast(hypertables), Seq("hypertable_id"))
+
+  /** P3 — event-type gates: config booleans suppress ops
+    * (`replicationresolver.go:105-146`, applied at `:279-302` etc.).
+    * A plain `isin` filter ⇒ Catalyst pushes it below the joins and into
+    * the parquet scan where possible.
+    */
+  def opGate(enabled: Seq[String])(df: DataFrame): DataFrame =
+    df.filter(col("op").isin(enabled: _*))
+
+  /** P6 — LSN skip predicate (`replicationhandler.go:196-205`): drop WAL
+    * entries below the restart LSN. With a proper source offset this is
+    * free; expressed here as the equivalent filter.
+    */
+  def lsnSkip(restartLsn: Long)(df: DataFrame): DataFrame =
+    df.filter(col("lsn") >= restartLsn)
+
+  /** P2 — key projection: restrict row to key-index columns
+    * (`spi/stream/stream.go:75-98`). Key of the stand-in hypertable is
+    * (event_id) — the PK; dimension column ts is the snapshot index tail
+    * (`spi/systemcatalog/column.go:37-57`).
+    */
+  def keyProjection(df: DataFrame): DataFrame =
+    df.select(col("table_name"), col("event_id"), col("ts_ms"))
+
+  /** T7 — tombstones (`replicationresolver.go:438-448`): each delete op
+    * optionally emits a second event with after=null for Kafka
+    * compaction. Expressed as a flatMap-free union-style explode: a
+    * 2-element array for deletes, 1 for everything else.
+    */
+  def withTombstones(df: DataFrame): DataFrame =
+    df.withColumn("is_tombstone",
+        explode(when(col("op") === Envelope.Op.Delete, array(lit(false), lit(true)))
+          .otherwise(array(lit(false)))))
+
+  /** S5/S6 — snapshot keyset pagination + high-watermark probe
+    * (`internal/sidechannel/sidechannel.go:408-523`, SQL shape
+    * `queries.go:194-198`): `WHERE key > low AND key <= high ORDER BY key
+    * LIMIT n`. Keyset (no OFFSET) keeps page starts O(1) at any scale.
+    */
+  def snapshotBatch(df: DataFrame, keyCol: String, low: Long, high: Long, limit: Int): DataFrame =
+    df.filter(col(keyCol) > low && col(keyCol) <= high)
+      .orderBy(col(keyCol))
+      .limit(limit)
+
+  def highWatermark(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.orderBy(keyCols.map(col(_).desc): _*).limit(1)
+
+  /** The full normalize stage: WAL rows → resolved + enveloped events.
+    * Mirrors hot-path stages 5-7 of SURVEY §3.1.
+    */
+  def envelopePipeline(spark: SparkSession, dir: String,
+                       enabledOps: Seq[String] = Envelope.Op.all): DataFrame = {
+    val wal = walEvents(spark, dir)
+    val resolved = resolveHypertable(wal, chunkCatalog(spark, dir), hypertableCatalog(spark))
+    opGate(enabledOps)(resolved)
+      .select(
+        col("lsn"), col("xid"), col("op"), col("ts_ms"),
+        col("ht_schema").as("schema_name"), col("ht_table").as("table_name"),
+        col("chunk_name"),
+        Envelope.topicName("graft", col("ht_schema"), col("ht_table")).as("topic"),
+        col("event_id"), col("user_id"), col("value"), col("props"))
+  }
+}
