@@ -1,9 +1,13 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.cdc.Cdc
+import graft.catalog.TableFilter
 import graft.model.Envelope
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.types.PgConverters
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,9 +16,14 @@ import graft.model.Envelope
   * Column names are aliased identically on both sides — the driver sorts
   * columns by name before hashing.
   *
-  * Numeric discipline for oracle parity: double columns are cast to
-  * DECIMAL at the leaves and aggregated in decimal arithmetic, which is
-  * exact and engine-independent (double-sum association order is not).
+  * Numeric discipline for oracle parity:
+  *   - double aggregations: cast to DECIMAL at the leaves, aggregate in
+  *     decimal (exact, engine-independent; double-sum association order
+  *     is not);
+  *   - dot products / folds: sequential left folds via
+  *     `aggregate(zip_with(...))` ≙ DuckDB `list_reduce` — bit-identical;
+  *   - timestamps: never emitted raw; always converted to epoch
+  *     millis/micros BIGINT or a formatted string.
   */
 object SparkEntry {
 
@@ -25,22 +34,108 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Cdc.envelopePipeline(spark, "/root/testdata/sf0.001")
 
+  private def decimal2(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Shared CASE expression for op mapping in oracles. */
+  private val opCaseSql =
+    """CASE event_type WHEN 'signup' THEN 'c' WHEN 'purchase' THEN 'u'
+      |    WHEN 'error' THEN 'd' WHEN 'view' THEN 'r' ELSE 'm' END""".stripMargin
+
+  /** DuckDB sequential-fold dot product over two list columns (parity
+    * with Similarity.dot's aggregate/zip_with left fold). */
+  private def duckDot(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+       |  (acc, v) -> acc + v)""".stripMargin
+  private def duckNorm(a: String): String =
+    s"""sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |  (acc, v) -> acc + v))""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- analytics: aggregation (Catalyst hash-agg, partial+final) ----
+    // ================= analytics (Catalyst built-ins) =================
     "q1_pricing_summary" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
-          sum(col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          sum(decimal2(col("l_quantity"))).as("sum_qty"),
+          sum(decimal2(col("l_extendedprice"))).as("sum_base_price"),
+          sum(decimal2(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,2)") - decimal2(col("l_discount"))))
             .as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
-    // ---- CDC: envelope projection (P1/P2 + §1.4 envelope, flattened) ----
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val ord  = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      val li   = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          PgConverters.timestampToMillis(col("o_orderdate")).as("order_ms"))
+        .agg(sum(decimal2(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - decimal2(col("l_discount")))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q5_local_supplier" -> ((s, dir) => {
+      val reg  = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val nat  = Tables.nation(s, dir)
+      val cust = Tables.customer(s, dir)
+      val sup  = Tables.supplier(s, dir)
+      val ord  = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+                col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      val li   = Tables.lineitem(s, dir)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+                              col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(decimal2(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - decimal2(col("l_discount")))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    "q_window_rank" -> ((s, dir) => {
+      val w1 = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val w2 = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w1).as("rn"), rank().over(w2).as("rnk"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    "q_topk_orders" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), decimal2(col("o_totalprice")).as("total"))
+        .orderBy(col("total").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    "q_except_customers" -> ((s, dir) => {
+      Tables.customer(s, dir).select(col("c_custkey"))
+        .except(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_intersect_users" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "purchase").select(col("user_id"))
+        .intersect(ev.filter(col("event_type") === "error").select(col("user_id")))
+        .orderBy(col("user_id"))
+    }),
+
+    // ================= CDC operator suite (SURVEY §2) =================
     "cdc_envelope" -> ((s, dir) => {
       Cdc.walEvents(s, dir)
         .select(
@@ -51,7 +146,6 @@ object SparkEntry {
         .orderBy(col("lsn"))
     }),
 
-    // ---- CDC: op gates (P3) ----
     "cdc_op_gates" -> ((s, dir) => {
       Cdc.opGate(Seq(Envelope.Op.Create, Envelope.Op.Update, Envelope.Op.Delete))(
         Cdc.walEvents(s, dir))
@@ -59,7 +153,6 @@ object SparkEntry {
         .orderBy(col("lsn"))
     }),
 
-    // ---- CDC: chunk→hypertable resolution (J1, broadcast join) ----
     "cdc_chunk_resolution" -> ((s, dir) => {
       val resolved = Cdc.resolveHypertable(
         Cdc.walEvents(s, dir), Cdc.chunkCatalog(s, dir), Cdc.hypertableCatalog(s))
@@ -68,18 +161,154 @@ object SparkEntry {
         .orderBy(col("chunk_name"))
     }),
 
-    // ---- CDC: high-watermark probe (S6/O2) ----
     "cdc_high_watermark" -> ((s, dir) => {
       Cdc.highWatermark(Cdc.walEvents(s, dir), Seq("event_id"))
         .select(col("event_id"), col("ts_ms"))
     }),
 
-    // ---- dedup: exact (hash-groupBy) ----
-    "dedup_exact" -> ((s, dir) => {
+    "cdc_tombstones" -> ((s, dir) => {
+      Cdc.withTombstones(Cdc.walEvents(s, dir))
+        .select(col("lsn"), col("op"), col("is_tombstone"))
+        .orderBy(col("lsn"), col("is_tombstone"))
+    }),
+
+    "cdc_txn_boundaries" -> ((s, dir) => {
+      Cdc.txnBoundaries(Cdc.walEvents(s, dir)).orderBy(col("xid"))
+    }),
+
+    "cdc_snapshot_batch" -> ((s, dir) => {
+      Cdc.snapshotBatch(Cdc.walEvents(s, dir), "event_id", 100, 600, 200)
+        .select(col("lsn"), col("op"), col("ts_ms"))
+    }),
+
+    "cdc_snapshot_fence" -> ((s, dir) => {
+      Cdc.snapshotWithFence(Cdc.walEvents(s, dir), 500)
+        .select(col("lsn"), col("op"), col("snapshot"))
+        .orderBy(col("lsn"), col("snapshot"))
+    }),
+
+    "cdc_decomp_suppress" -> ((s, dir) => {
+      Cdc.decompressionSuppress(Cdc.walEvents(s, dir))
+        .select(col("lsn"), col("xid"), col("op"))
+        .orderBy(col("lsn"))
+    }),
+
+    "cdc_publication_antijoin" -> ((s, dir) => {
+      val known = Cdc.chunkCatalog(s, dir)
+      val published = known.filter(col("chunk_day") < 10).select(col("chunk_name"))
+      Cdc.publicationAntiJoin(known, published)
+        .select(col("chunk_name"))
+        .orderBy(col("chunk_name"))
+    }),
+
+    "cdc_table_filter" -> ((s, dir) => {
+      val tf = TableFilter(Seq("public.events_1?"), Seq("public.events_13"))
+      Tables.events(s, dir)
+        .select(concat(lit("public.events_"), col("user_id")).as("tbl")).distinct()
+        .filter(tf.includeRegexes.map(col("tbl").rlike).reduce(_ || _) &&
+                !tf.excludeRegexes.map(col("tbl").rlike).reduce(_ || _))
+        .orderBy(col("tbl"))
+    }),
+
+    "cdc_distinct_ops" -> ((s, dir) => {
+      Cdc.distinctTables(Cdc.walEvents(s, dir), Seq("chunk_day", "op"))
+        .select(col("chunk_day"), col("op"))
+        .orderBy(col("chunk_day"), col("op"))
+    }),
+
+    // ============ type conversion layer (SURVEY §1.2) ============
+    "conv_timestamp_millis" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          PgConverters.timestampToMillis(col("l_shipdate")).as("ship_ms"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "conv_timestamptz_text" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"), PgConverters.timestamptzNanosToText("ts").as("ts_text"))
+        .orderBy(col("event_id"))
+    }),
+
+    "conv_time_text" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          PgConverters.timeToText(timestamp_micros(expr("ts div 1000"))).as("time_text"))
+        .orderBy(col("event_id"))
+    }),
+
+    "conv_date_days" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), PgConverters.dateToDays(col("o_orderdate")).as("order_days"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "conv_interval_micros" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          PgConverters.intervalToMicros(col("user_id"), expr("event_id % 30"),
+            expr("(ts % 1000000000) div 1000")).as("interval_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    "conv_numeric_double" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          PgConverters.numericToDouble(col("l_extendedprice")).as("num_val"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "conv_bytea_hex" -> ((s, dir) => {
       Tables.documents(s, dir)
-        .groupBy(md5(col("text")).as("text_hash"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-        .orderBy(col("text_hash"))
+        .select(col("doc_id"),
+          PgConverters.byteaToHex(substring(col("text"), 1, 16).cast("binary")).as("hex16"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "conv_json_extract" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"), PgConverters.jsonGet(col("props"), "$.k").as("k_val"))
+        .orderBy(col("event_id"))
+    }),
+
+    "conv_bits_string" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          PgConverters.bitsToString(expr("user_id % 256"), 8).as("bits"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ============ training-data pipeline: text analysis ============
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityFeatures(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+
+    "text_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint("text").as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ============ training-data pipeline: dedup ============
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exact(Tables.documents(s, dir)).orderBy(col("text_hash"))
+    }),
+
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, threshold10 = 4)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "dedup_neardup_embedding" -> ((s, dir) => {
+      Dedup.embeddingNearDups(Tables.embeddings(s, dir), 0.45)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ============ training-data pipeline: similarity search ============
+    "ann_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.cosineTopK(emb.filter(col("vec_id") < 10), emb, 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
     })
   )
 
@@ -94,23 +323,66 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, epoch_ms(o_orderdate) AS order_ms,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, order_ms
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rn, rnk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |    rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_topk_orders" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total
+        |FROM orders ORDER BY total DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_except_customers" ->
+      """SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_intersect_users" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin,
+
     "cdc_envelope" ->
-      """SELECT event_id AS lsn, event_id // 10 AS xid,
-        |  CASE event_type WHEN 'signup' THEN 'c' WHEN 'purchase' THEN 'u'
-        |    WHEN 'error' THEN 'd' WHEN 'view' THEN 'r' ELSE 'm' END AS op,
-        |  epoch_ns(ts) // 1000000 AS ts_ms,
-        |  'public' AS schema_name, 'events' AS table_name,
-        |  'graft.public.events' AS topic,
-        |  event_id, user_id
-        |FROM events ORDER BY lsn""".stripMargin,
+      s"""SELECT event_id AS lsn, event_id // 10 AS xid,
+         |  $opCaseSql AS op,
+         |  epoch_ns(ts) // 1000000 AS ts_ms,
+         |  'public' AS schema_name, 'events' AS table_name,
+         |  'graft.public.events' AS topic,
+         |  event_id, user_id
+         |FROM events ORDER BY lsn""".stripMargin,
 
     "cdc_op_gates" ->
-      """SELECT event_id AS lsn,
-        |  CASE event_type WHEN 'signup' THEN 'c' WHEN 'purchase' THEN 'u'
-        |    WHEN 'error' THEN 'd' WHEN 'view' THEN 'r' ELSE 'm' END AS op
-        |FROM events
-        |WHERE event_type IN ('signup','purchase','error')
-        |ORDER BY lsn""".stripMargin,
+      s"""SELECT event_id AS lsn, $opCaseSql AS op
+         |FROM events
+         |WHERE event_type IN ('signup','purchase','error')
+         |ORDER BY lsn""".stripMargin,
 
     "cdc_chunk_resolution" ->
       """SELECT concat('_hyper_1_', CAST(chunk_day AS VARCHAR), '_chunk') AS chunk_name,
@@ -118,15 +390,155 @@ object SparkEntry {
         |  COUNT(*) AS n_events, MIN(lsn) AS min_lsn, MAX(lsn) AS max_lsn
         |FROM (SELECT event_id AS lsn,
         |        epoch_ns(ts) // 86400000000000 - 19723 AS chunk_day
-        |      FROM events)
+        |      FROM events) t
         |GROUP BY chunk_name, ht_table
         |ORDER BY chunk_name""".stripMargin,
 
     "cdc_high_watermark" ->
       "SELECT event_id, epoch_ns(ts) // 1000000 AS ts_ms FROM events ORDER BY event_id DESC LIMIT 1",
 
+    "cdc_tombstones" ->
+      s"""SELECT event_id AS lsn, $opCaseSql AS op, false AS is_tombstone FROM events
+         |UNION ALL
+         |SELECT event_id, 'd', true FROM events WHERE event_type = 'error'
+         |ORDER BY lsn, is_tombstone""".stripMargin,
+
+    "cdc_txn_boundaries" ->
+      """SELECT event_id // 10 AS xid, MIN(event_id) AS begin_lsn,
+        |  MAX(event_id) AS commit_lsn, COUNT(*) AS n_events,
+        |  MAX(epoch_ns(ts) // 1000000) AS commit_ts_ms
+        |FROM events GROUP BY xid ORDER BY xid""".stripMargin,
+
+    "cdc_snapshot_batch" ->
+      s"""SELECT event_id AS lsn, $opCaseSql AS op, epoch_ns(ts) // 1000000 AS ts_ms
+         |FROM events WHERE event_id > 100 AND event_id <= 600
+         |ORDER BY event_id LIMIT 200""".stripMargin,
+
+    "cdc_snapshot_fence" ->
+      s"""SELECT event_id AS lsn, 'r' AS op, true AS snapshot
+         |FROM events WHERE event_id <= 500
+         |UNION ALL
+         |SELECT event_id, $opCaseSql, false FROM events WHERE event_id > 500
+         |ORDER BY lsn, snapshot""".stripMargin,
+
+    "cdc_decomp_suppress" ->
+      s"""SELECT lsn, xid, op FROM (
+         |  SELECT event_id AS lsn, event_id // 10 AS xid, $opCaseSql AS op,
+         |    MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY event_id // 10) AS decomp_txn
+         |  FROM events) t
+         |WHERE NOT (decomp_txn = 1 AND op = 'c')
+         |ORDER BY lsn""".stripMargin,
+
+    "cdc_publication_antijoin" ->
+      """SELECT chunk_name FROM (
+        |  SELECT DISTINCT
+        |    concat('_hyper_1_', CAST(epoch_ns(ts) // 86400000000000 - 19723 AS VARCHAR), '_chunk') AS chunk_name,
+        |    epoch_ns(ts) // 86400000000000 - 19723 AS chunk_day
+        |  FROM events) t
+        |WHERE chunk_day >= 10 ORDER BY chunk_name""".stripMargin,
+
+    "cdc_table_filter" ->
+      """SELECT tbl FROM (SELECT DISTINCT 'public.events_' || CAST(user_id AS VARCHAR) AS tbl FROM events) t
+        |WHERE regexp_matches(tbl, '^public\.events_1.$')
+        |  AND NOT regexp_matches(tbl, '^public\.events_13$')
+        |ORDER BY tbl""".stripMargin,
+
+    "cdc_distinct_ops" ->
+      s"""SELECT DISTINCT epoch_ns(ts) // 86400000000000 - 19723 AS chunk_day, $opCaseSql AS op
+         |FROM events ORDER BY chunk_day, op""".stripMargin,
+
+    "conv_timestamp_millis" ->
+      """SELECT l_orderkey, l_linenumber, epoch_ms(l_shipdate) AS ship_ms
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "conv_timestamptz_text" ->
+      """SELECT event_id,
+        |  strftime(make_timestamp((epoch_ns(ts) // 1000000000) * 1000000), '%Y-%m-%dT%H:%M:%S')
+        |  || CASE WHEN epoch_ns(ts) % 1000000000 > 0
+        |     THEN '.' || regexp_replace(lpad(CAST((epoch_ns(ts) % 1000000000) // 1000 * 1000 AS VARCHAR), 9, '0'), '0+$', '')
+        |     ELSE '' END || 'Z' AS ts_text
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "conv_time_text" ->
+      """SELECT event_id, strftime(make_timestamp(epoch_ns(ts) // 1000), '%H:%M:%S.%f') AS time_text
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "conv_date_days" ->
+      """SELECT o_orderkey, datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS order_days
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "conv_interval_micros" ->
+      """SELECT event_id,
+        |  user_id * 2629800000000 + (event_id % 30) * 86400000000
+        |    + (epoch_ns(ts) % 1000000000) // 1000 AS interval_us
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "conv_numeric_double" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS num_val
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "conv_bytea_hex" ->
+      """SELECT doc_id, lower(hex(encode(substr(text, 1, 16)))) AS hex16
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "conv_json_extract" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "conv_bits_string" ->
+      """SELECT event_id, lpad(bin(user_id % 256), 8, '0') AS bits
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |  len(list_filter(string_split(text, ' '), x -> x IN ('the','a'))) AS n_stop,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |  list_transform(string_split(text, ' '), t -> CAST(length(t) * 31 + ascii(substr(t, 1, 1)) AS BIGINT))),
+        |  (acc, v) -> (acc * 131 + v) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-        |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin
+        |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
+        |           x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS shingle
+        |       FROM tok WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b, shared, sa.n AS n_a, sb.n AS n_b
+        |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE shared * 10 >= 4 * (sa.n + sb.n - shared)
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_neardup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS norm FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${duckDot("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cosine
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE cosine >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+
+    "ann_cosine_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS norm FROM embeddings),
+         |q AS (SELECT * FROM e WHERE vec_id < 10),
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${duckDot("q.embedding", "c.embedding")} / (q.norm * c.norm) AS cosine
+         |  FROM q JOIN e c ON q.vec_id <> c.vec_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rnk, cosine FROM ranked WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin
   )
 }

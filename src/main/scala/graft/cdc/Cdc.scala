@@ -141,6 +141,65 @@ object Cdc {
   def highWatermark(df: DataFrame, keyCols: Seq[String]): DataFrame =
     df.orderBy(keyCols.map(col(_).desc): _*).limit(1)
 
+  /** T2 — transaction window boundaries (`transactiontracker.go:128-189`,
+    * queue+drain `:441-524`): events buffered per xid until COMMIT. In
+    * micro-batch Spark the faithful relaxation (SURVEY §7.4) is a
+    * per-xid aggregation producing BEGIN/COMMIT fencing metadata. A
+    * map-side-combinable groupBy — one shuffle on xid, partial aggs
+    * pushed to the mappers by Catalyst.
+    */
+  def txnBoundaries(wal: DataFrame): DataFrame =
+    wal.groupBy(col("xid"))
+      .agg(
+        min(col("lsn")).as("begin_lsn"),
+        max(col("lsn")).as("commit_lsn"),
+        count(lit(1)).as("n_events"),
+        max(col("ts_ms")).as("commit_ts_ms"))
+
+  /** T4 — snapshot/stream interleave with an LSN fence
+    * (`replicationresolver.go:180-223,702-731`): while a snapshot is in
+    * flight, live events replay only if `lsn >= fence`. The queue-free
+    * Spark shape: snapshot phase emits op="r" rows up to the fence;
+    * the live stream is filtered to `lsn > fence`. Duplicates below the
+    * fence are dropped exactly as the reference's replay guard does.
+    */
+  def snapshotWithFence(wal: DataFrame, fenceLsn: Long): DataFrame = {
+    val snapshot = wal.filter(col("lsn") <= fenceLsn)
+      .withColumn("op", lit(Envelope.Op.Read))
+      .withColumn("snapshot", lit(true))
+    val live = wal.filter(col("lsn") > fenceLsn)
+      .withColumn("snapshot", lit(false))
+    snapshot.unionByName(live)
+  }
+
+  /** P7 — decompression INSERT suppression
+    * (`transactiontracker.go:208-218`, markers `:376-415`): inside a
+    * transaction performing decompression, re-inserted rows are
+    * discarded (they were already streamed). Marker stand-in: a delete
+    * op inside the xid marks it as a decompression txn. Expressed as a
+    * windowed existence flag — no state store needed in batch; the
+    * streaming path uses flatMapGroupsWithState (graft.streaming).
+    */
+  def decompressionSuppress(wal: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("xid"))
+    wal.withColumn("decomp_txn",
+        max(when(col("op") === Envelope.Op.Delete, 1).otherwise(0)).over(w))
+      .filter(!(col("decomp_txn") === 1 && col("op") === Envelope.Op.Create))
+      .drop("decomp_txn")
+  }
+
+  /** J4 — published-tables anti-join (`replicator.go:390-427`): known
+    * chunks MINUS already-published → chunks still to attach to the
+    * publication. left_anti keeps it a broadcast at catalog scale.
+    */
+  def publicationAntiJoin(known: DataFrame, published: DataFrame): DataFrame =
+    known.join(broadcast(published), Seq("chunk_name"), "left_anti")
+
+  /** U2 — distinct-by canonical name (`replicationresolver.go:514`,
+    * `lo.UniqBy` over truncated tables). */
+  def distinctTables(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.dropDuplicates(cols)
+
   /** The full normalize stage: WAL rows → resolved + enveloped events.
     * Mirrors hot-path stages 5-7 of SURVEY §3.1.
     */

@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline over
+  * `documents`. Scale stance (100 TB): everything here avoids the O(n²)
+  * cross join — candidates come from equi-joins on shingles / LSH band
+  * buckets / SimHash bands, which shuffle on the bucket key and stay
+  * linear in the number of true collisions.
+  */
+object Dedup {
+
+  /** Exact dedup: content-hash groupBy, keep lowest id. One shuffle on
+    * the hash; map-side partial agg makes the reduce side tiny.
+    */
+  def exact(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word n-gram shingles, distinct per doc: (doc_id, shingle) pairs.
+    * 1-based `slice`/`element_at` keeps parity with list semantics in
+    * SQL oracles.
+    */
+  def shingles(df: DataFrame, n: Int = 3, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    df.select(col(idCol), split(col(textCol), " ").as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col(idCol),
+        explode(array_distinct(expr(
+          s"transform(sequence(1, size(t) - ${n - 1}), i -> concat_ws(' ', ${(0 until n).map(k => s"element_at(t, i + $k)").mkString(", ")}))"
+        ))).as("shingle"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via shingle equi-join (not a
+    * cross join): |A∩B| from the join, |A|,|B| from per-doc counts,
+    * threshold as an integer inequality `shared*10 >= t10*(|A|+|B|-shared)`
+    * to keep the predicate float-free for oracle parity.
+    */
+  def jaccardPairs(df: DataFrame, n: Int = 3, threshold10: Int = 4): DataFrame = {
+    val sh = shingles(df, n).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .filter(col("shared") * 10 >= (col("n_a") + col("n_b") - col("shared")) * threshold10)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"))
+  }
+
+  /** MinHash signatures: k hash functions h_i(s) = (a_i*x + b_i) mod p
+    * over murmur3-hashed shingles (Spark's `hash`), min per doc.
+    * Computed as k aggregations over the exploded shingle set — one
+    * shuffle on doc_id; signature width is a constant multiplier, not a
+    * data blow-up.
+    *
+    * Mirrors the standard MinHash+LSH construction (Broder '97); the
+    * reference has no dedup operators — this is part of the added
+    * training-data-pipeline surface.
+    */
+  private val P = 2147483647L // 2^31-1, Mersenne prime
+  private def hashFamily(k: Int): Seq[(Long, Long)] = {
+    // deterministic LCG-derived coefficients; no RNG state at plan time
+    (1 to k).map { i =>
+      val a = (6364136223846793005L * i + 1442695040888963407L) & 0x7fffffffL
+      val b = (2862933555777941757L * i + 3037000493L) & 0x7fffffffL
+      (if (a == 0) 1L else a, b)
+    }
+  }
+
+  def minhashSignatures(df: DataFrame, n: Int = 3, k: Int = 16): DataFrame = {
+    val sh = shingles(df, n)
+      .withColumn("h", pmod(hash(col("shingle")).cast("long"), lit(P)))
+    val aggs = hashFamily(k).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(P))).as(s"mh_$i")
+    }
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash-LSH candidate pairs: band the signature (bands of `rows`
+    * values), bucket-join on (band index, band hash). Only docs sharing
+    * a band collide — the 100 TB path, no pairwise comparison.
+    */
+  def minhashLshPairs(df: DataFrame, n: Int = 3, k: Int = 16, rows: Int = 4): DataFrame = {
+    val sig = minhashSignatures(df, n, k)
+    val nBands = k / rows
+    val banded = (0 until nBands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh_$i"))
+      sig.select(col("doc_id"), lit(b).as("band"), xxhash64(cols: _*).as("band_hash"))
+    }.reduce(_ unionByName _)
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** SimHash (Charikar '02): 64-bit signature from per-token xxhash64
+    * bit votes; near-dups = small Hamming distance. Banded into 4×16-bit
+    * keys for candidate generation (Hamming ≤3 ⇒ at least one band
+    * equal, pigeonhole).
+    */
+  def simhash(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tok = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"s_$b")
+    }
+    val sums = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"s_$b") > 0, expr(s"CAST(1 AS BIGINT) << $b")).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    sums.select(col(idCol), sig.as("simhash"))
+  }
+
+  def simhashPairs(df: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(df)
+    val banded = (0 until 4).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band"),
+        expr(s"(simhash >> ${b * 16}) & 65535").as("band_bits"), col("simhash"))
+    }.reduce(_ unionByName _)
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_bits") === col("b.band_bits") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup: cosine over candidate pairs. The full pairwise
+    * form is the correctness oracle (bounded inputs); the scale path is
+    * Similarity.lshCosinePairs.
+    */
+  def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      Similarity.l2Norm("embedding").as("norm"))
+    withNorm.as("a").join(withNorm.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        (Similarity.dot("a.embedding", "b.embedding") /
+          (col("a.norm") * col("b.norm"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an `Array[Float]` embedding column.
+  *
+  * Numeric discipline: dot products are a *sequential left fold* in
+  * double precision (`aggregate(zip_with(...))`) — deterministic IEEE
+  * result, bit-identical to an oracle that folds the same way (DuckDB
+  * `list_reduce`), unlike SUM-over-unnest whose order is engine-defined.
+  *
+  * Scale stance: brute-force top-k is the small-query-set baseline
+  * (k queries × corpus is a broadcast map-side compute, no shuffle);
+  * `lshCosinePairs` is the 100 TB path — sign-random-projection buckets
+  * turn all-pairs into an equi-join.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array columns (codegen'd
+    * HigherOrderFunctions, no UDF). */
+  def dot(a: String, b: String): Column =
+    expr(s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+            |CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+
+  def l2Norm(a: String): Column =
+    sqrt(expr(s"""aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                 |CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors. Query side is small ⇒ broadcast it; the corpus scan
+    * stays embarrassingly parallel and the only shuffle is the per-query
+    * top-k (tiny after the window filter).
+    */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      l2Norm("embedding").as("qnorm"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+      l2Norm("embedding").as("cnorm"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot("qe", "ce") / (col("qnorm") * col("cnorm"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Sign-random-projection LSH (Charikar '02): bucket = sign bits of
+    * dot(v, plane_j) for `nPlanes` deterministic pseudo-random planes.
+    * Same-bucket vectors are cosine candidates; all-pairs becomes an
+    * equi-join on the bucket key. Planes are seeded constants (xorshift)
+    * so plans are reproducible across runs/executors.
+    */
+  def lshBucketKey(embCol: String, dim: Int, nPlanes: Int = 8, seed: Long = 42L): Column = {
+    var s = seed
+    def next(): Double = { // xorshift64*, mapped to [-1, 1)
+      s ^= s >>> 12; s ^= s << 25; s ^= s >>> 27
+      ((s * 2685821657736338717L) >>> 11).toDouble / 4.611686018427387904e18 - 1.0
+    }
+    val planes = Array.fill(nPlanes, dim)(next())
+    val bits = (0 until nPlanes).map { j =>
+      val coef = planes(j).map(v => f"CAST($v%.17g AS DOUBLE)").mkString("array(", ", ", ")")
+      when(expr(
+        s"""aggregate(zip_with($embCol, $coef, (x, y) -> CAST(x AS DOUBLE) * y),
+           |CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin) > 0,
+        expr(s"CAST(1 AS BIGINT) << $j")).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Near-dup pairs via LSH buckets + exact cosine re-check on
+    * candidates only. */
+  def lshCosinePairs(emb: DataFrame, dim: Int, threshold: Double,
+                     nPlanes: Int = 8): DataFrame = {
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+        l2Norm("embedding").as("norm"),
+        lshBucketKey("embedding", dim, nPlanes).as("bucket"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        (dot("a.embedding", "b.embedding") / (col("a.norm") * col("b.norm"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline over the
+  * `documents` table. All pure `functions._`/lambda-expression columns —
+  * codegen-friendly, no UDFs, shuffle-free (narrow per-row transforms),
+  * so they scale linearly with input splits at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token estimate: word pieces + standalone punctuation.
+    * A regex-segmentation count, the standard cheap proxy for LLM token
+    * budgeting when no tokenizer is available.
+    */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Stopword hits (fixed tiny stopword list for determinism). */
+  def stopwordCount(textCol: String): Column =
+    expr(s"size(filter(split($textCol, ' '), x -> x IN ('the','a')))")
+
+  /** Quality features: length, token count, stopword ratio inputs.
+    * Ratios are left as integer numerator/denominator pairs so oracle
+    * comparison avoids float division ambiguity.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(
+      col("doc_id"),
+      length(col(textCol)).as("n_chars"),
+      tokenCount(col(textCol)).as("n_tokens"),
+      stopwordCount(textCol).as("n_stop"),
+      tokenCountBpe(col(textCol)).as("n_bpe_tokens"))
+
+  /** Document fingerprint: a left-fold polynomial rolling hash over
+    * tokens, mod a prime — deterministic and oracle-replicable (DuckDB
+    * list_reduce folds the same way). Per-token value uses only
+    * length+first-char so both engines agree without sharing a hash fn.
+    */
+  def fingerprint(textCol: String): Column =
+    expr(
+      s"""aggregate(
+         |  transform(split($textCol, ' '),
+         |            t -> CAST(length(t) * 31 + ascii(substr(t, 1, 1)) AS BIGINT)),
+         |  CAST(0 AS BIGINT),
+         |  (acc, v) -> (acc * 131 + v) % 1000000007)""".stripMargin)
+
+  /** Language-ID by stopword/character-profile voting — the classic
+    * n-gram-free heuristic: score each candidate language by hits of its
+    * marker tokens, pick argmax (ties break lexicographically).
+    * Deterministic; the synthetic corpus carries a `lang` ground-truth
+    * column for accuracy eval in tests.
+    */
+  private val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "los", "y"),
+    "fr" -> Seq("le", "la", "les", "et"),
+    "zh" -> Seq("的", "是", "了", "在"))
+
+  def langId(textCol: String): Column = {
+    val scores = markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      (lang, expr(s"size(filter(split($textCol, ' '), x -> x IN ($inList)))"))
+    }
+    // argmax with lexicographic tie-break, 'und' (undetermined) when all 0:
+    // fold over (lang, score) keeping max score, first lang wins ties
+    scores.tail.foldLeft(
+      struct(scores.head._2.as("score"), lit(scores.head._1).as("lang"))) {
+      case (acc, (lang, sc)) =>
+        when(sc > acc.getField("score"), struct(sc.as("score"), lit(lang).as("lang")))
+          .otherwise(acc)
+    } match {
+      case s => when(s.getField("score") > 0, s.getField("lang")).otherwise(lit("und"))
+    }
+  }
+}

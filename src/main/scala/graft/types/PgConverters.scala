@@ -1,0 +1,95 @@
+package graft.types
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** PG→event type conversion layer (SURVEY §1.2) as pure `Column`
+  * functions — the Spark analog of the reference's converter table
+  * (`internal/typemanager/coretypes.go:29-430`,
+  * `internal/typemanager/builtin_converters.go`).
+  *
+  * All are built from `org.apache.spark.sql.functions` so they stay
+  * inside whole-stage codegen; none is a Scala UDF. Semantics replicate
+  * the reference byte-for-byte (lossy where the reference is lossy) so
+  * envelope values hash-match an independent implementation.
+  */
+object PgConverters {
+
+  /** `timestamp` → INT64 epoch-millis —
+    * `builtin_converters.go:251-259` (timestamp2int64). */
+  def timestampToMillis(c: Column): Column =
+    // parquet NTZ timestamps arrive as TIMESTAMP_NTZ; with session tz
+    // pinned to UTC the cast is instant-preserving and unix_millis applies
+    unix_millis(c.cast(TimestampType))
+
+  /** `date` → INT32 days-since-epoch —
+    * `builtin_converters.go:185-196` (date2int32). */
+  def dateToDays(c: Column): Column =
+    datediff(to_date(c), lit("1970-01-01")).cast(IntegerType)
+
+  /** `timestamptz` → RFC3339Nano UTC string —
+    * `builtin_converters.go:208-223` (timestamp2text). Go's RFC3339Nano
+    * trims trailing fractional zeros and omits the point when the
+    * fraction is zero. Input is Long nanos-since-epoch (Tables.events).
+    */
+  def timestamptzNanosToText(nanosCol: String): Column = {
+    // Integer `div`, not `/`: double division at 1e18 magnitude is inexact.
+    // Fraction truncated to microseconds: PG timestamptz carries micro
+    // precision, and engines reading TIMESTAMP(NANOS) parquet (DuckDB,
+    // Spark without nanosAsLong) truncate to micros too.
+    val sec  = expr(s"$nanosCol div 1000000000")
+    val frac = expr(s"($nanosCol % 1000000000) div 1000 * 1000")
+    val datePart = date_format(timestamp_seconds(sec), "yyyy-MM-dd'T'HH:mm:ss")
+    val fracStr  = regexp_replace(lpad(frac.cast(StringType), 9, "0"), "0+$", "")
+    concat(datePart,
+      when(frac > 0, concat(lit("."), fracStr)).otherwise(lit("")),
+      lit("Z"))
+  }
+
+  /** `time` → STRING `HH:MM:SS.ffffff` —
+    * `builtin_converters.go:225-249` (time2text). */
+  def timeToText(c: Column): Column = date_format(c, "HH:mm:ss.SSSSSS")
+
+  /** `interval` → INT64 micros with the reference's average-month
+    * rounding: 1 month = 365.25/12 days = 30.4375 d —
+    * `builtin_converters.go:350-360` + constants at `:48-49`. */
+  val MicrosPerMonth = 2629800000000L // 30.4375 * 86_400_000_000
+  val MicrosPerDay   = 86400000000L
+  def intervalToMicros(months: Column, days: Column, micros: Column): Column =
+    months.cast(LongType) * MicrosPerMonth +
+      days.cast(LongType) * MicrosPerDay + micros.cast(LongType)
+
+  /** `numeric` → FLOAT64 (lossy by design) —
+    * `builtin_converters.go:362-374` (numeric2float64). */
+  def numericToDouble(c: Column, precision: Int = 18, scale: Int = 2): Column =
+    c.cast(DecimalType(precision, scale)).cast(DoubleType)
+
+  /** `bytea` → lowercase hex STRING —
+    * `builtin_converters.go:376-384` (bytes2hexstring). */
+  def byteaToHex(c: Column): Column = lower(hex(c))
+
+  /** `bit`/`varbit` → STRING of 0/1 — `builtin_converters.go:261-284`.
+    * Input modeled as a long + bit length. */
+  def bitsToString(value: Column, bits: Int): Column =
+    lpad(bin(value), bits, "0")
+
+  /** `json`/`jsonb` → STRING — `builtin_converters.go:286-298`; field
+    * extraction for filter pushdown on json payloads. */
+  def jsonGet(c: Column, path: String): Column = get_json_object(c, path)
+
+  /** `uuid`, `ltree`, `inet`, `macaddr`, enum, xml → STRING passthrough —
+    * `builtin_converters.go:300-348,386-397`. */
+  def textPassthrough(c: Column): Column = c.cast(StringType)
+
+  /** `oid`/`xid`/`cid` (uint32) → INT64 —
+    * `builtin_converters.go:320-328` (uint322int64). */
+  def uint32ToLong(c: Column): Column =
+    when(c < 0, c.cast(LongType) + 4294967296L).otherwise(c.cast(LongType))
+
+  /** PostGIS geometry/geography → STRUCT {wkb: base64, srid: int} —
+    * `builtin_converters.go:102-143` (postgis2struct), schema
+    * `spi/schema/schemabuilder.go:185-195`. */
+  def postgisToStruct(wkb: Column, srid: Column): Column =
+    struct(base64(wkb).as("wkb"), srid.cast(IntegerType).as("srid"))
+}
