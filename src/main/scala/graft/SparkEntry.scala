@@ -309,6 +309,37 @@ object SparkEntry {
       Similarity.cosineTopK(emb.filter(col("vec_id") < 10), emb, 5)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // ---- non-SQL-expressible ops (no oracle → driver rows-only check;
+    //      correctness covered by ScalaTest invariants instead) ----
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLshPairs(Tables.documents(s, dir)).orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simhash(Tables.documents(s, dir)).orderBy(col("doc_id"))
+    }),
+
+    "ann_lsh_cosine" -> ((s, dir) => {
+      Similarity.lshCosinePairs(Tables.embeddings(s, dir), dim = 64, threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "text_langid" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.langId("text").as("pred_lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "multimodal_features" -> ((s, dir) => {
+      ops.Multimodal.decodeFeatures(ops.Multimodal.attachMedia(Tables.documents(s, dir)))
+        .orderBy(col("source_id"))
+    }),
+
+    "multimodal_frames" -> ((s, dir) => {
+      ops.Multimodal.sampleFrames(ops.Multimodal.attachMedia(Tables.documents(s, dir)))
+        .orderBy(col("source_id"), col("frame_no"))
     })
   )
 

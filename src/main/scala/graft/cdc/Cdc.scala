@@ -48,7 +48,14 @@ object Cdc {
   private val NanosPerDay      = 86400000000000L
 
   def walEvents(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    shapeWal(Tables.events(spark, dir))
+
+  /** The shaping stage alone — shared by the batch reader above and the
+    * streaming source (graft.streaming.StreamPipeline). Input schema =
+    * the events table with `ts` as Long nanos.
+    */
+  def shapeWal(events: DataFrame): DataFrame =
+    events
       .withColumn("lsn", col("event_id"))
       .withColumn("xid", expr("event_id div 10"))
       .withColumn("op", opExpr(col("event_type")))

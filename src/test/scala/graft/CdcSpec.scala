@@ -1,0 +1,85 @@
+package graft
+
+import graft.cdc.Cdc
+import graft.model.Envelope
+import org.apache.spark.sql.functions._
+
+/** Behavioral parity with the reference E2E matrix (FIXTURES.md §5,
+  * `/root/reference/tests/streamer_test.go`). */
+class CdcSpec extends SparkSpec {
+
+  lazy val wal = Cdc.walEvents(spark, sf001).cache()
+
+  test("envelope op codes cover exactly the reference set") {
+    val ops = wal.select("op").distinct().collect().map(_.getString(0)).toSet
+    assert(ops.subsetOf(Envelope.Op.all.toSet))
+    assert(ops.contains(Envelope.Op.Create) && ops.contains(Envelope.Op.Delete))
+  }
+
+  test("event count and lsn ordering preserved (streamer_test.go:83-90 analog)") {
+    assert(wal.count() === 1000)
+    val lsns = wal.orderBy("lsn").select("lsn").collect().map(_.getLong(0))
+    assert(lsns.zip(lsns.tail).forall { case (a, b) => a < b }, "lsn strictly increasing")
+  }
+
+  test("chunk resolution attributes every event to the parent hypertable (J1)") {
+    val resolved = Cdc.resolveHypertable(wal, Cdc.chunkCatalog(spark, sf001),
+      Cdc.hypertableCatalog(spark))
+    assert(resolved.count() === 1000, "no event lost or duplicated by catalog join")
+    assert(resolved.select("ht_table").distinct().collect().map(_.getString(0)).toSeq === Seq("events"))
+  }
+
+  test("tombstones: deletes emit exactly one extra event with flag set (T7)") {
+    val t = Cdc.withTombstones(wal)
+    val deletes = wal.filter(col("op") === "d").count()
+    assert(t.count() === 1000 + deletes)
+    assert(t.filter(col("is_tombstone")).count() === deletes)
+  }
+
+  test("op gates suppress disabled ops entirely (P3)") {
+    val gated = Cdc.opGate(Seq("c"))(wal)
+    assert(gated.select("op").distinct().collect().map(_.getString(0)).toSeq === Seq("c"))
+  }
+
+  test("lsn skip drops everything below restart point (P6/T1)") {
+    val resumed = Cdc.lsnSkip(500L)(wal)
+    assert(resumed.agg(min("lsn")).head.getLong(0) === 500L)
+    assert(resumed.count() === 500)
+  }
+
+  test("snapshot fence: no event lost, none duplicated across fence (T4)") {
+    val fenced = Cdc.snapshotWithFence(wal, 500)
+    assert(fenced.count() === 1000)
+    assert(fenced.filter(col("snapshot")).agg(max("lsn")).head.getLong(0) === 500L)
+    assert(fenced.filter(!col("snapshot")).agg(min("lsn")).head.getLong(0) === 501L)
+    // snapshot rows are all op="r" like the reference's read events
+    assert(fenced.filter(col("snapshot")).select("op").distinct().count() === 1)
+  }
+
+  test("decompression suppression drops inserts only inside marked txns (P7)") {
+    val out = Cdc.decompressionSuppress(wal)
+    val markedXids = wal.filter(col("op") === "d").select("xid").distinct()
+    val suppressed = wal.join(markedXids, "xid").filter(col("op") === "c").count()
+    assert(out.count() === 1000 - suppressed)
+    // inserts in unmarked txns survive
+    val unmarkedInserts = wal.join(markedXids, Seq("xid"), "left_anti")
+      .filter(col("op") === "c").count()
+    assert(out.filter(col("op") === "c").count() === unmarkedInserts)
+  }
+
+  test("keyset snapshot batch respects bounds, order, limit (S5)") {
+    val batch = Cdc.snapshotBatch(wal, "event_id", 100, 600, 200)
+      .select("event_id").collect().map(_.getLong(0))
+    assert(batch.length === 200)
+    assert(batch.head === 101 && batch.last === 300)
+    assert(batch.sameElements(batch.sorted))
+  }
+
+  test("transaction boundaries: contiguous, no gaps (T2)") {
+    val txns = Cdc.txnBoundaries(wal).orderBy("xid").collect()
+    assert(txns.length === 100)
+    txns.foreach { r =>
+      assert(r.getAs[Long]("commit_lsn") - r.getAs[Long]("begin_lsn") + 1 === r.getAs[Long]("n_events"))
+    }
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for the non-SQL-expressible dedup/similarity ops
+  * (MinHash-LSH, SimHash, sign-projection LSH). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sf001).cache()
+
+  test("identical docs get identical minhash signatures") {
+    val doubled = docs.limit(5)
+      .unionByName(docs.limit(5).withColumn("doc_id", col("doc_id") + 10000))
+    val sigs = Dedup.minhashSignatures(doubled)
+    val cols = sigs.columns.filter(_.startsWith("mh_"))
+    val byContent = sigs.withColumn("orig", pmod(col("doc_id"), lit(10000)))
+      .groupBy("orig")
+      .agg(countDistinct(concat_ws(",", cols.map(col): _*)).as("variants"))
+    assert(byContent.filter(col("variants") =!= 1).count() === 0,
+      "same content must hash to the same signature")
+  }
+
+  test("minhash-LSH finds planted exact duplicates") {
+    val doubled = docs.limit(20)
+      .unionByName(docs.limit(20).withColumn("doc_id", col("doc_id") + 10000))
+    val pairs = Dedup.minhashLshPairs(doubled).collect()
+    val planted = (0 until 20).map(i => (i.toLong, i + 10000L)).toSet
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.subsetOf(found), s"LSH must recover all identical pairs; missing ${planted -- found}")
+  }
+
+  test("minhash-LSH candidates correlate with true Jaccard (recall on near-dups)") {
+    val truth = Dedup.jaccardPairs(docs, n = 3, threshold10 = 8) // J >= 0.8
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (truth.nonEmpty) {
+      val recall = truth.count(lsh.contains).toDouble / truth.size
+      assert(recall >= 0.8, s"recall $recall too low: ${truth.size} true pairs, ${lsh.size} candidates")
+    }
+  }
+
+  test("simhash of identical docs is identical; hamming 0") {
+    val doubled = docs.limit(5)
+      .unionByName(docs.limit(5).withColumn("doc_id", col("doc_id") + 10000))
+    val pairs = Dedup.simhashPairs(doubled, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 5).map(i => (i.toLong, i + 10000L)).toSet
+    assert(planted.subsetOf(pairs))
+  }
+
+  test("LSH cosine pairs is a subset-with-high-recall of brute force") {
+    val emb = Tables.embeddings(spark, sf001)
+    val brute = Dedup.embeddingNearDups(emb, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshCosinePairs(emb, dim = 64, threshold = 0.45, nPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every LSH pair must satisfy the exact threshold (re-check step)
+    assert(lsh.subsetOf(brute), "LSH must re-verify candidates exactly")
+    if (brute.nonEmpty) {
+      val recall = brute.count(lsh.contains).toDouble / brute.size
+      // 4 planes ⇒ P(same bucket) = (1 - θ/π)^4; for cosine .45 ≈ 0.33 rad-ish
+      assert(recall > 0.2, s"recall $recall unexpectedly low (brute=${brute.size}, lsh=${lsh.size})")
+    }
+  }
+
+  test("cosine top-k ranks are 1..k and neighbors are distinct") {
+    val emb = Tables.embeddings(spark, sf001)
+    val topk = Similarity.cosineTopK(emb.filter(col("vec_id") < 5), emb, 3).collect()
+    assert(topk.length === 15)
+    val byQ = topk.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(2)).sorted.sameElements(Array(1, 2, 3)))
+      val cosines = rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b }, "descending cosine")
+    }
+  }
+}

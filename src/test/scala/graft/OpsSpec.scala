@@ -1,0 +1,93 @@
+package graft
+
+import graft.filter.EventFilter
+import graft.ops.{Multimodal, TextAnalysis}
+import graft.types.PgConverters
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("event filter translates Expr dialect and filters (P5)") {
+    val wal = graft.cdc.Cdc.walEvents(spark, sf001)
+    val f = EventFilter("""op == "c" && user_id > 5""")
+    val out = f.apply(wal.withColumn("table_name", lit("events")))
+    assert(out.count() > 0)
+    assert(out.filter(col("op") =!= "c" || col("user_id") <= 5).count() === 0)
+  }
+
+  test("event filter: out-of-scope tables pass with default=true (eventfilter.go:118-131)") {
+    val wal = graft.cdc.Cdc.walEvents(spark, sf001)
+    val scoped = EventFilter("""op == "c"""",
+      graft.catalog.TableFilter(Seq("other.*"), Nil), defaultValue = true)
+    assert(scoped.apply(wal).count() === 1000, "filter scoped to other tables is a no-op")
+  }
+
+  test("event filter rejects unsupported constructs loudly") {
+    intercept[IllegalArgumentException] {
+      EventFilter.translate("""value matches "^a.*"""")
+    }
+  }
+
+  test("langId is deterministic and in the candidate set") {
+    val out = Tables.documents(spark, sf001)
+      .select(TextAnalysis.langId("text").as("l")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(out.subsetOf(Set("en", "de", "es", "fr", "zh", "und")))
+  }
+
+  test("interval conversion uses the reference's avg-month constant") {
+    // builtin_converters.go:48-49: 1 month = 30.4375 days
+    val df = Seq((1, 0, 0L)).toDF("m", "d", "us")
+    val v = df.select(PgConverters.intervalToMicros(col("m"), col("d"), col("us")).as("v"))
+      .head.getLong(0)
+    assert(v === 2629800000000L)
+  }
+
+  test("uint32 conversion maps negative int32 to the unsigned value") {
+    val df = Seq(-1, 0, Int.MaxValue).toDF("x")
+    val out = df.select(PgConverters.uint32ToLong(col("x")).as("v"))
+      .collect().map(_.getLong(0)).toSet
+    assert(out === Set(4294967295L, 0L, Int.MaxValue.toLong))
+  }
+
+  test("bits conversion pads to declared width") {
+    val df = Seq(5).toDF("x")
+    assert(df.select(PgConverters.bitsToString(col("x"), 8)).head.getString(0) === "00000101")
+  }
+
+  test("multimodal decode: batch plumbing produces one feature row per doc") {
+    val docs = Tables.documents(spark, sf001)
+    val feats = Multimodal.decodeFeatures(Multimodal.attachMedia(docs))
+    assert(feats.count() === docs.count())
+    val r = feats.filter(col("source_id") === 0).head
+    assert(r.getAs[Int]("byte_len") > 0)
+    assert(r.getAs[String]("mime") === "image/fake")
+  }
+
+  test("multimodal frame sampling keeps every stride-th frame") {
+    val docs = Tables.documents(spark, sf001).limit(3)
+    val frames = Multimodal.sampleFrames(Multimodal.attachMedia(docs), frameBytes = 64, stride = 4)
+      .collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.getAs[Int]("frame_no") % 4 === 0))
+  }
+
+  test("sink retry backs off and eventually succeeds") {
+    var calls = 0
+    val flaky = new graft.sinks.Sink {
+      def name = "flaky"
+      def emit(b: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+        calls += 1; if (calls < 3) throw new RuntimeException("transient")
+      }
+    }
+    graft.sinks.Sinks.withRetry(flaky, maxRetries = 8, baseDelayMs = 1)
+      .emit(Tables.documents(spark, sf001).limit(1), 0L)
+    assert(calls === 3)
+  }
+
+  test("topic sanitization replaces illegal chars (sanitization.go:24-52)") {
+    val df = Seq("a b/c:d").toDF("t")
+    assert(df.select(graft.model.Envelope.sanitizeTopic(col("t"))).head.getString(0) === "a_b_c_d")
+  }
+}
