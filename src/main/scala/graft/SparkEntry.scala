@@ -311,6 +311,26 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    "cdc_compression_events" -> ((s, dir) => {
+      Cdc.compressionEvents(Cdc.walEvents(s, dir)).orderBy(col("chunk_name"))
+    }),
+
+    "cdc_logical_messages" -> ((s, dir) => {
+      Cdc.logicalMessages(Cdc.walEvents(s, dir)).orderBy(col("lsn"))
+    }),
+
+    "cdc_stats_counters" -> ((s, dir) => {
+      Cdc.statsCounters(Cdc.walEvents(s, dir)).orderBy(col("op"))
+    }),
+
+    "cdc_watermarks" -> ((s, dir) => {
+      Cdc.watermarks(Cdc.walEvents(s, dir))
+    }),
+
+    "cdc_catalog_columns" -> ((s, dir) => {
+      Cdc.catalogColumns(s, dir).orderBy(col("ordinal"))
+    }),
+
     // ---- non-SQL-expressible ops (no oracle → driver rows-only check;
     //      correctness covered by ScalaTest invariants instead) ----
     "dedup_minhash_lsh" -> ((s, dir) => {
@@ -478,6 +498,44 @@ object SparkEntry {
     "cdc_distinct_ops" ->
       s"""SELECT DISTINCT epoch_ns(ts) // 86400000000000 - 19723 AS chunk_day, $opCaseSql AS op
          |FROM events ORDER BY chunk_day, op""".stripMargin,
+
+    "cdc_compression_events" ->
+      """SELECT MAX(event_id) AS lsn, '$' AS op, 'c' AS tsdb_op,
+        |  concat('_hyper_1_', CAST(chunk_day AS VARCHAR), '_chunk') AS chunk_name,
+        |  'public' AS key_schema, 'events' AS key_table,
+        |  MAX(epoch_ns(ts) // 1000000) AS ts_ms
+        |FROM (SELECT event_id, ts, epoch_ns(ts) // 86400000000000 - 19723 AS chunk_day FROM events) t
+        |GROUP BY chunk_day ORDER BY chunk_name""".stripMargin,
+
+    "cdc_logical_messages" ->
+      """SELECT event_id AS lsn, 'm' AS op, 'graft' AS prefix,
+        |  base64(encode(props)) AS content
+        |FROM events WHERE event_type = 'click' ORDER BY lsn""".stripMargin,
+
+    "cdc_stats_counters" ->
+      s"""SELECT op, n_events, largest_txn FROM
+         |  (SELECT $opCaseSql AS op, COUNT(*) AS n_events FROM events GROUP BY op) a
+         |CROSS JOIN
+         |  (SELECT MAX(c) AS largest_txn FROM
+         |    (SELECT COUNT(*) AS c FROM events GROUP BY event_id // 10) t) b
+         |ORDER BY op""".stripMargin,
+
+    "cdc_watermarks" ->
+      """SELECT 'events' AS table_name,
+        |  MIN(event_id) AS low_lsn, MAX(event_id) AS high_lsn,
+        |  MIN(event_id) AS low_key, MAX(event_id) AS high_key
+        |FROM events""".stripMargin,
+
+    "cdc_catalog_columns" ->
+      """SELECT * FROM (VALUES
+        |  ('event_id','bigint',true,true,1,false,NULL,1),
+        |  ('ts','bigint',true,false,NULL,true,'time',2),
+        |  ('user_id','bigint',true,false,NULL,false,NULL,3),
+        |  ('event_type','string',true,false,NULL,false,NULL,4),
+        |  ('value','double',true,false,NULL,false,NULL,5),
+        |  ('props','string',true,false,NULL,false,NULL,6))
+        |  AS t(column_name, data_type, nullable, is_primary_key, key_seq, is_dimension, dim_type, ordinal)
+        |ORDER BY ordinal""".stripMargin,
 
     "conv_timestamp_millis" ->
       """SELECT l_orderkey, l_linenumber, epoch_ms(l_shipdate) AS ship_ms

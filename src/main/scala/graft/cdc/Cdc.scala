@@ -110,6 +110,24 @@ object Cdc {
   def opGate(enabled: Seq[String])(df: DataFrame): DataFrame =
     df.filter(col("op").isin(enabled: _*))
 
+  /** Pushdown-friendly gate: the op column is derived (CASE over
+    * event_type), which Catalyst cannot invert — a gate on `op` stays a
+    * post-scan filter. Gating on the *source* column instead reaches the
+    * parquet scan as `event_type IN (...)` (PushedFilters → row-group
+    * stats skipping), which matters when most ops are disabled at 100 TB.
+    * Mirrors the reference's early discard (`transactiontracker.go:
+    * 196-206` — drop before decode, not after).
+    */
+  private val opToEventTypes: Map[String, Seq[String]] = Map(
+    Envelope.Op.Create -> Seq("signup"), Envelope.Op.Update -> Seq("purchase"),
+    Envelope.Op.Delete -> Seq("error"), Envelope.Op.Read -> Seq("view"),
+    Envelope.Op.Message -> Seq("click"))
+
+  def opGateAtSource(enabled: Seq[String])(events: DataFrame): DataFrame = {
+    val types = enabled.flatMap(opToEventTypes.getOrElse(_, Nil))
+    if (types.isEmpty) events else events.filter(col("event_type").isin(types: _*))
+  }
+
   /** P6 — LSN skip predicate (`replicationhandler.go:196-205`): drop WAL
     * entries below the restart LSN. With a proper source offset this is
     * free; expressed here as the equivalent filter.
@@ -207,12 +225,77 @@ object Cdc {
   def distinctTables(df: DataFrame, cols: Seq[String]): DataFrame =
     df.dropDuplicates(cols)
 
+  /** T3 — compression/decompression events: synthetic op="$" rows with
+    * `tsdb_op` (`transactiontracker.go:249-273` infers them from chunk
+    * status transitions; 2.12+ markers `:32-35`). Stand-in rule: each
+    * chunk emits one compression event at its last LSN — the shape
+    * (per-chunk `$` event, `{schema,table}` key, tsdb_op) is the
+    * reference's (`eventschema.go:46-51,180-197`).
+    */
+  def compressionEvents(wal: DataFrame): DataFrame =
+    wal.groupBy(col("chunk_day"))
+      .agg(max(col("lsn")).as("lsn"), max(col("ts_ms")).as("ts_ms"))
+      .select(
+        col("lsn"), lit(Envelope.Op.Timescale).as("op"),
+        lit(Envelope.TsdbOp.Compression).as("tsdb_op"),
+        concat(lit("_hyper_1_"), col("chunk_day"), lit("_chunk")).as("chunk_name"),
+        lit("public").as("key_schema"), lit("events").as("key_table"),
+        col("ts_ms"))
+
+  /** T10 — logical messages (`pg_logical_emit_message`,
+    * `spi/pgtypes/logicalreplicationmessage.go`, emit
+    * `eventemitter.go:278-288`): op="m" rows with `{prefix, content:
+    * base64}` payload and `{prefix}` key.
+    */
+  def logicalMessages(wal: DataFrame, prefix: String = "graft"): DataFrame =
+    wal.filter(col("op") === Envelope.Op.Message)
+      .select(col("lsn"), col("op"), lit(prefix).as("prefix"),
+        base64(col("props").cast("binary")).as("content"))
+
+  /** A1 — stats counters (`internal/stats/stats.go:35-100`,
+    * `replicationhandler.go:39-64`): per-op totals + largest transaction,
+    * the Prometheus surface as a relational aggregate. The streaming path
+    * exposes the same via `df.observe()`.
+    */
+  def statsCounters(wal: DataFrame): DataFrame = {
+    val perOp = wal.groupBy(col("op")).agg(count(lit(1)).as("n_events"))
+    val largest = wal.groupBy(col("xid")).agg(count(lit(1)).as("txn_size"))
+      .agg(max(col("txn_size")).as("largest_txn"))
+    perOp.crossJoin(largest)
+  }
+
+  /** A3 — watermark min/max maintenance (`spi/watermark/watermarks.go:
+    * 294-340`): per-table running keyset bounds. */
+  def watermarks(wal: DataFrame): DataFrame =
+    wal.groupBy(col("table_name"))
+      .agg(min(col("lsn")).as("low_lsn"), max(col("lsn")).as("high_lsn"),
+        min(col("event_id")).as("low_key"), max(col("event_id")).as("high_key"))
+
+  /** S7 — catalog column discovery: the result shape of the reference's
+    * column-schema query (`internal/sidechannel/queries.go:130-178`,
+    * FIXTURES.md §4) derived from the live parquet schema — name, type,
+    * nullability, PK/keySeq (event_id), dimension flag (ts, the time
+    * dimension).
+    */
+  def catalogColumns(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fields = Tables.events(spark, dir).schema.fields.toSeq.zipWithIndex.map {
+      case (f, i) =>
+        (f.name, f.dataType.simpleString, f.nullable,
+          f.name == "event_id", if (f.name == "event_id") Some(1) else None,
+          f.name == "ts", if (f.name == "ts") Some("time") else None, i + 1)
+    }
+    fields.toDF("column_name", "data_type", "nullable", "is_primary_key",
+      "key_seq", "is_dimension", "dim_type", "ordinal")
+  }
+
   /** The full normalize stage: WAL rows → resolved + enveloped events.
     * Mirrors hot-path stages 5-7 of SURVEY §3.1.
     */
   def envelopePipeline(spark: SparkSession, dir: String,
                        enabledOps: Seq[String] = Envelope.Op.all): DataFrame = {
-    val wal = walEvents(spark, dir)
+    // gate at the source column so the predicate reaches the parquet scan
+    val wal = shapeWal(opGateAtSource(enabledOps)(Tables.events(spark, dir)))
     val resolved = resolveHypertable(wal, chunkCatalog(spark, dir), hypertableCatalog(spark))
     opGate(enabledOps)(resolved)
       .select(
