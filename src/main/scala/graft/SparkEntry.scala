@@ -331,6 +331,34 @@ object SparkEntry {
       Cdc.catalogColumns(s, dir).orderBy(col("ordinal"))
     }),
 
+    "cdc_event_filter" -> ((s, dir) => {
+      // P5: Expr dialect `op == "c" && user_id > 5` → Catalyst predicate
+      graft.filter.EventFilter("""op == "c" && user_id > 5""")
+        .apply(Cdc.walEvents(s, dir))
+        .select(col("lsn"), col("op"), col("user_id"))
+        .orderBy(col("lsn"))
+    }),
+
+    "events_sessionize" -> ((s, dir) => {
+      Cdc.sessionize(Cdc.walEvents(s, dir))
+        .orderBy(col("user_id"), col("sess_no"))
+    }),
+
+    "q_asof_join" -> ((s, dir) => {
+      Cdc.asofLastOrder(Cdc.walEvents(s, dir), Tables.orders(s, dir))
+        .orderBy(col("event_id"))
+    }),
+
+    "dedup_prune" -> ((s, dir) => {
+      // end-to-end dedup: drop every doc that appears as the right side
+      // of a near-dup pair (keep-lowest-id policy)
+      val pairs = Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, threshold10 = 4)
+      Tables.documents(s, dir)
+        .join(pairs.select(col("doc_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- non-SQL-expressible ops (no oracle → driver rows-only check;
     //      correctness covered by ScalaTest invariants instead) ----
     "dedup_minhash_lsh" -> ((s, dir) => {
@@ -360,6 +388,19 @@ object SparkEntry {
     "multimodal_frames" -> ((s, dir) => {
       ops.Multimodal.sampleFrames(ops.Multimodal.attachMedia(Tables.documents(s, dir)))
         .orderBy(col("source_id"), col("frame_no"))
+    }),
+
+    "cdc_envelope_json" -> ((s, dir) => {
+      Cdc.envelopeJson(s, dir).orderBy(col("lsn"))
+    }),
+
+    "cdc_snapshot_partitions" -> ((s, dir) => {
+      // FNV-64a table→partition assignment (snapshotter.go:88 parity)
+      Tables.events(s, dir)
+        .select(concat(lit("public.events_"), col("user_id")).as("tbl")).distinct()
+        .select(col("tbl"),
+          graft.functions.FnvHash64.snapshotPartition(col("tbl"), 5).as("partition"))
+        .orderBy(col("tbl"))
     })
   )
 
@@ -536,6 +577,52 @@ object SparkEntry {
         |  ('props','string',true,false,NULL,false,NULL,6))
         |  AS t(column_name, data_type, nullable, is_primary_key, key_seq, is_dimension, dim_type, ordinal)
         |ORDER BY ordinal""".stripMargin,
+
+    "cdc_event_filter" ->
+      s"""SELECT event_id AS lsn, $opCaseSql AS op, user_id
+         |FROM events
+         |WHERE $opCaseSql = 'c' AND user_id > 5
+         |ORDER BY lsn""".stripMargin,
+
+    "events_sessionize" ->
+      s"""SELECT user_id, sess_no, COUNT(*) AS n_events,
+         |  MIN(ts_ms) AS sess_start_ms, MAX(ts_ms) AS sess_end_ms
+         |FROM (
+         |  SELECT user_id, ts_ms,
+         |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, lsn
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+         |  FROM (
+         |    SELECT user_id, event_id AS lsn, epoch_ns(ts) // 1000000 AS ts_ms,
+         |      CASE WHEN lag(epoch_ns(ts) // 1000000, 1) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000000, event_id) IS NULL
+         |             OR epoch_ns(ts) // 1000000 - lag(epoch_ns(ts) // 1000000, 1) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000000, event_id) > 3600000
+         |           THEN 1 ELSE 0 END AS new_sess
+         |    FROM events) a) b
+         |GROUP BY user_id, sess_no
+         |ORDER BY user_id, sess_no""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT e.event_id, e.user_id, MAX(epoch_ms(o.o_orderdate)) AS last_order_ms
+        |FROM (SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ts_ms FROM events) e
+        |LEFT JOIN orders o
+        |  ON o.o_custkey = e.user_id AND epoch_ms(o.o_orderdate) <= e.ts_ms
+        |GROUP BY e.event_id, e.user_id
+        |ORDER BY e.event_id""".stripMargin,
+
+    "dedup_prune" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
+        |           x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS shingle
+        |       FROM tok WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY a.doc_id, b.doc_id),
+        |dups AS (SELECT DISTINCT doc_b FROM pairs
+        |         JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |         WHERE shared * 10 >= 4 * (sa.n + sb.n - shared))
+        |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_b FROM dups)
+        |ORDER BY doc_id""".stripMargin,
 
     "conv_timestamp_millis" ->
       """SELECT l_orderkey, l_linenumber, epoch_ms(l_shipdate) AS ship_ms

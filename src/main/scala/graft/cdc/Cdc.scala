@@ -289,6 +289,67 @@ object Cdc {
       "key_seq", "is_dimension", "dim_type", "ordinal")
   }
 
+  /** Sessionization over the event stream — gap-based sessions (1h), the
+    * classic training-pipeline windowing op. Expressed with lag+cumsum so
+    * the SQL oracle states the identical computation; the streaming path
+    * uses `session_window` (same semantics, state-store backed).
+    * One shuffle on user_id; the running sum is computed within the
+    * partition (no extra exchange).
+    */
+  def sessionize(wal: DataFrame, gapMs: Long = 3600000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("lsn"))
+    wal
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > gapMs, 1).otherwise(0))
+      .withColumn("sess_no",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_ms")).as("sess_start_ms"), max(col("ts_ms")).as("sess_end_ms"))
+  }
+
+  /** As-of lookup: for each event, the most recent order of the same key
+    * at or before the event time — the temporal-join shape the reference
+    * family of CDC consumers needs for dimension alignment. Bounded
+    * non-equi join + max aggregation; at scale, a range-join with
+    * partitioned time buckets (the equi part, o_custkey=user_id, already
+    * bounds the blow-up).
+    */
+  def asofLastOrder(wal: DataFrame, orders: DataFrame): DataFrame = {
+    val o = orders.select(col("o_custkey"),
+      graft.types.PgConverters.timestampToMillis(col("o_orderdate")).as("order_ms"))
+    wal.select(col("event_id"), col("user_id"), col("ts_ms"))
+      .join(o, col("o_custkey") === col("user_id") && col("order_ms") <= col("ts_ms"), "left")
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(max(col("order_ms")).as("last_order_ms"))
+  }
+
+  /** The reference's actual output artifact: the full Debezium
+    * `{schema?, payload}` JSON per event (`spi/schema/eventschema.go:
+    * 199-226`; before/after presence rules `eventschema.go:100-117`):
+    * after on r/c/u, null on delete; before on u/d. Built entirely with
+    * `struct`/`to_json` — one codegen'd projection, no serializer layer.
+    */
+  def envelopeJson(spark: SparkSession, dir: String, dbName: String = "graft"): DataFrame = {
+    val wal = walEvents(spark, dir)
+    val rowStruct = struct(col("event_id"), col("user_id"), col("value"), col("props"))
+    val source = Envelope.sourceBlock(dbName, col("schema_name"), col("table_name"),
+      col("ts_ms"), lit(false), col("xid"),
+      concat(lit("0/"), upper(hex(col("lsn")))))
+    val payload = Envelope.payload(
+      col("op"),
+      before = when(col("op").isin(Envelope.Op.Update, Envelope.Op.Delete), rowStruct),
+      after  = when(col("op").isin(Envelope.Op.Read, Envelope.Op.Create, Envelope.Op.Update), rowStruct),
+      source = source,
+      tsMs   = col("ts_ms"))
+    wal.select(
+      col("lsn"),
+      to_json(struct(payload.as("payload"))).as("envelope"),
+      to_json(struct(col("event_id"))).as("key"))
+  }
+
   /** The full normalize stage: WAL rows → resolved + enveloped events.
     * Mirrors hot-path stages 5-7 of SURVEY §3.1.
     */

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** FNV-64a hash — the exact function the reference uses to assign tables
+  * to snapshot partitions (`internal/systemcatalog/snapshotting/
+  * snapshotter.go:88,140-158`: FNV-64a of the canonical table name mod
+  * partition count). Implemented as a codegen'd Catalyst expression so
+  * partition assignment stays inside whole-stage codegen.
+  *
+  * offset basis 14695981039346656037, prime 1099511628211 (public FNV
+  * constants); Java longs wrap exactly like Go's uint64 multiply.
+  */
+case class FnvHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"fnv_hash64 requires string, got $t")
+    }
+
+  override protected def nullSafeEval(a: Any): Any =
+    FnvHash64.hash(a.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.FnvHash64.hash($a.getBytes());")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object FnvHash64 {
+  final val OffsetBasis = -3750763034362895579L // 14695981039346656037 as signed
+  final val Prime       = 1099511628211L
+
+  def hash(bytes: Array[Byte]): Long = {
+    var h = OffsetBasis
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= Prime; i += 1 }
+    h
+  }
+
+  def fnv_hash64(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      FnvHash64(org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+
+  /** Snapshot partition assignment: FNV-64a(name) mod n, non-negative —
+    * `snapshotter.go:140-158`. */
+  def snapshotPartition(name: Column, n: Int): Column =
+    org.apache.spark.sql.functions.pmod(fnv_hash64(name), org.apache.spark.sql.functions.lit(n.toLong))
+}

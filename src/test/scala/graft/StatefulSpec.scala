@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.FnvHash64
+import graft.streaming.TxnAssembler
+import org.apache.spark.sql.functions._
+
+class StatefulSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("FNV-64a matches published test vectors (snapshotter.go:88 parity)") {
+    // public FNV-1a 64-bit vectors
+    assert(FnvHash64.hash("".getBytes("UTF-8")) === 0xcbf29ce484222325L)
+    assert(FnvHash64.hash("a".getBytes("UTF-8")) === 0xaf63dc4c8601ec8cL)
+    assert(FnvHash64.hash("foobar".getBytes("UTF-8")) === 0x85944171f73967e8L)
+    // expression path equals scala path
+    val viaExpr = Seq("public.events").toDF("t")
+      .select(FnvHash64.fnv_hash64(col("t"))).head.getLong(0)
+    assert(viaExpr === FnvHash64.hash("public.events".getBytes("UTF-8")))
+  }
+
+  test("snapshot partition assignment is stable and in range") {
+    val parts = Seq("a.t1", "a.t2", "b.t3").toDF("t")
+      .select(FnvHash64.snapshotPartition(col("t"), 5).as("p"))
+      .collect().map(_.getLong(0))
+    assert(parts.forall(p => p >= 0 && p < 5))
+  }
+
+  test("stateful txn assembly equals batch txn boundaries (T2)") {
+    val streamed = TxnAssembler.txnStream(spark, sf001)
+    val q = streamed.writeStream.format("memory").queryName("txns")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT xid, begin_lsn, commit_lsn, n_events, commit_ts_ms FROM txns ORDER BY xid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val want = graft.cdc.Cdc.txnBoundaries(graft.cdc.Cdc.walEvents(spark, sf001))
+      .orderBy("xid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length === want.length)
+    assert(got.sameElements(want))
+  }
+
+  test("envelope json carries before/after per op semantics") {
+    val env = graft.cdc.Cdc.envelopeJson(spark, sf001)
+    val rows = env.orderBy("lsn").limit(50).collect()
+    rows.foreach { r =>
+      val js = r.getString(1)
+      assert(js.contains("\"payload\""))
+      assert(js.contains("\"source\""))
+    }
+    // delete ops: no after block; create ops: after present
+    val wal = graft.cdc.Cdc.walEvents(spark, sf001).select("lsn", "op").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val (lsn, js) = (r.getLong(0), r.getString(1))
+      wal(lsn) match {
+        case "d" => assert(!js.contains("\"after\":{"), s"delete must have no after: $js")
+        case "c" => assert(js.contains("\"after\":{"), s"create must carry after: $js")
+        case _ =>
+      }
+    }
+  }
+}
