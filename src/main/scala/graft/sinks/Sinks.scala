@@ -73,6 +73,39 @@ final case class ParquetSink(outDir: String) extends Sink {
     batch.write.mode("append").parquet(outDir)
 }
 
+/** Kafka sink — S9 (`internal/eventing/sink/kafka/kafka.go:40-125`).
+  * Spark-first: the native `format("kafka")` streaming sink (exactly-once
+  * per topic-partition with checkpointing + idempotent producer), not a
+  * per-event client. Key/value columns must be the envelope JSON
+  * (`Cdc.envelopeJson` provides both); topic from the naming strategy.
+  * Config assembly mirrors the reference's SASL/TLS/idempotence knobs.
+  */
+final case class KafkaSinkConfig(
+    bootstrapServers: String,
+    idempotent: Boolean = false,
+    saslMechanism: Option[String] = None,
+    saslJaas: Option[String] = None,
+    tls: Boolean = false) {
+  def options: Map[String, String] = {
+    val base = Map("kafka.bootstrap.servers" -> bootstrapServers)
+    val idem = if (idempotent) Map("kafka.enable.idempotence" -> "true") else Map.empty
+    val sasl = saslMechanism.map("kafka.sasl.mechanism" -> _).toMap ++
+      saslJaas.map("kafka.sasl.jaas.config" -> _).toMap
+    val sec = if (tls) Map("kafka.security.protocol" ->
+      (if (saslMechanism.isDefined) "SASL_SSL" else "SSL"))
+    else if (saslMechanism.isDefined) Map("kafka.security.protocol" -> "SASL_PLAINTEXT")
+    else Map.empty[String, String]
+    base ++ idem ++ sasl ++ sec
+  }
+
+  /** Attach to a streaming envelope DataFrame carrying (topic, key,
+    * envelope) columns. Caller starts the query with its checkpoint. */
+  def writer(df: DataFrame): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val out = df.selectExpr("topic", "CAST(key AS STRING) AS key", "CAST(envelope AS STRING) AS value")
+    options.foldLeft(out.writeStream.format("kafka")) { case (w, (k, v)) => w.option(k, v) }
+  }
+}
+
 /** In-memory collector for tests — the EventCollectorSink analog
   * (`testsupport/sinks.go`). */
 final class CollectorSink extends Sink {
