@@ -16,18 +16,27 @@ import graft.functions.{FloatVecDot, FloatVecNorm2, FnvHash64}
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("vec_dot"),
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
-      (children: Seq[Expression]) => FloatVecDot(children(0), children(1))))
-    ext.injectFunction((
-      FunctionIdentifier("vec_norm2"),
+      (children: Seq[Expression]) => FloatVecDot(children(0), children(1))),
+    (FunctionIdentifier("vec_norm2"),
       new ExpressionInfo(classOf[FloatVecNorm2].getName, "vec_norm2"),
-      (children: Seq[Expression]) => FloatVecNorm2(children.head)))
-    ext.injectFunction((
-      FunctionIdentifier("fnv_hash64"),
+      (children: Seq[Expression]) => FloatVecNorm2(children.head)),
+    (FunctionIdentifier("fnv_hash64"),
       new ExpressionInfo(classOf[FnvHash64].getName, "fnv_hash64"),
       (children: Seq[Expression]) => FnvHash64(children.head)))
-  }
+
+  /** Attach to an already-built session (the extensions path only
+    * applies at session construction). */
+  def registerTo(spark: org.apache.spark.sql.SparkSession): Unit =
+    registrations.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(id.funcName, builder, "scala_udf")
+    }
 }

@@ -278,6 +278,24 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "conv_range_string" -> ((s, dir) => {
+      // int8range [event_id, event_id+10)
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          PgConverters.rangeToString(col("event_id"), col("event_id") + 10).as("range_text"))
+        .orderBy(col("event_id"))
+    }),
+
+    "conv_point_string" -> ((s, dir) => {
+      // point from (user_id, chunk-local second); integer-valued to keep
+      // numeric text rendering engine-independent
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          PgConverters.pointToText(col("user_id"), expr("(ts % 1000000000) div 1000000"))
+            .as("point_text"))
+        .orderBy(col("event_id"))
+    }),
+
     // ============ training-data pipeline: text analysis ============
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityFeatures(Tables.documents(s, dir)).orderBy(col("doc_id"))),
@@ -680,6 +698,16 @@ object SparkEntry {
 
     "conv_bits_string" ->
       """SELECT event_id, lpad(bin(user_id % 256), 8, '0') AS bits
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "conv_range_string" ->
+      """SELECT event_id,
+        |  concat('[', CAST(event_id AS VARCHAR), ',', CAST(event_id + 10 AS VARCHAR), ')') AS range_text
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "conv_point_string" ->
+      """SELECT event_id,
+        |  concat('(', CAST(user_id AS VARCHAR), ',', CAST((epoch_ns(ts) % 1000000000) // 1000000 AS VARCHAR), ')') AS point_text
         |FROM events ORDER BY event_id""".stripMargin,
 
     "text_quality" ->

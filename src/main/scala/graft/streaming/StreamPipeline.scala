@@ -70,7 +70,16 @@ object StreamPipeline {
     */
   def run(spark: SparkSession, dir: String, checkpointDir: String,
           sink: Sink, queryName: String = "graft-cdc"): StreamingQuery =
-    envelopeStream(spark, dir).writeStream
+    envelopeStream(spark, dir)
+      // A1 — the reference's Prometheus counters
+      // (`internal/stats/stats.go:35-100`) as observed metrics: per-batch
+      // totals and per-op counts, surfaced in StreamingQueryProgress
+      .observe("graft_stats",
+        count(lit(1)).as("n_events"),
+        sum(when(col("op") === "c", 1).otherwise(0)).as("n_inserts"),
+        sum(when(col("op") === "u", 1).otherwise(0)).as("n_updates"),
+        sum(when(col("op") === "d", 1).otherwise(0)).as("n_deletes"))
+      .writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((batch: DataFrame, id: Long) => sink.emit(batch, id))

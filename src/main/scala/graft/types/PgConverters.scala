@@ -87,6 +87,31 @@ object PgConverters {
   def uint32ToLong(c: Column): Column =
     when(c < 0, c.cast(LongType) + 4294967296L).otherwise(c.cast(LongType))
 
+  /** Range types → STRING `[lo,hi)` — `builtin_converters.go:574-661`
+    * (range2string + per-kind transformers; canonical PG discrete-range
+    * form is inclusive-lo/exclusive-hi). */
+  def rangeToString(lo: Column, hi: Column): Column =
+    concat(lit("["), lo.cast(StringType), lit(","), hi.cast(StringType), lit(")"))
+
+  /** Geometric text forms — `builtin_converters.go:417-572`: PG point
+    * `(x,y)`, box `(x1,y1),(x2,y2)`. */
+  def pointToText(x: Column, y: Column): Column =
+    concat(lit("("), x.cast(StringType), lit(","), y.cast(StringType), lit(")"))
+  def boxToText(x1: Column, y1: Column, x2: Column, y2: Column): Column =
+    concat(pointToText(x1, y1), lit(","), pointToText(x2, y2))
+
+  /** hstore → MAP(string,string) — `builtin_converters.go:399-415`,
+    * schema `schemabuilder.go:181-183`. */
+  def hstoreToMap(jsonText: Column): Column =
+    from_json(jsonText, MapType(StringType, StringType, valueContainsNull = true))
+
+  /** Array variants — the reference registers an `arrayConverter` per
+    * element type (`builtin_converters.go:56-100`); here any scalar
+    * converter lifts over arrays with `transform` (codegen'd HOF).
+    */
+  def arrayOf(conv: Column => Column)(arr: Column): Column =
+    transform(arr, conv)
+
   /** PostGIS geometry/geography → STRUCT {wkb: base64, srid: int} —
     * `builtin_converters.go:102-143` (postgis2struct), schema
     * `spi/schema/schemabuilder.go:185-195`. */

@@ -15,6 +15,10 @@ class StreamingSpec extends SparkSpec {
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
     val q = StreamPipeline.run(spark, sf001, ckpt, sink)
     q.awaitTermination(120000)
+    // A1: observed metrics surface the reference's stats counters
+    val obs = q.lastProgress.observedMetrics.get("graft_stats")
+    assert(obs.getAs[Long]("n_events") === 1000L)
+    assert(obs.getAs[Long]("n_inserts") > 0L)
     val streamed = sink.rows.map(_.getAs[Long]("lsn")).sorted
     val batch = graft.cdc.Cdc.envelopePipeline(spark, sf001)
       .select("lsn").collect().map(_.getLong(0)).sorted
