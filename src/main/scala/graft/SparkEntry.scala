@@ -122,6 +122,24 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "q_semi_join" -> ((s, dir) => {
+      // customers with at least one 1996 order (left_semi ≙ EXISTS)
+      val ord96 = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+                col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      Tables.customer(s, dir)
+        .join(ord96, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_rollup_revenue" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(decimal2(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
     "q_except_customers" -> ((s, dir) => {
       Tables.customer(s, dir).select(col("c_custkey"))
         .except(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")))
@@ -477,6 +495,18 @@ object SparkEntry {
     "q_topk_orders" ->
       """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total
         |FROM orders ORDER BY total DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_rollup_revenue" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "q_except_customers" ->
       """SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders

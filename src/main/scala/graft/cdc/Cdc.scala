@@ -345,6 +345,19 @@ object Cdc {
           concat(lit("_timescaledb_internal._hyper_1_"), col("chunk_day"), lit("_chunk")),
           partitions).as("snapshot_partition"))
 
+  /** Partitioned envelope write — the at-rest layout for the 100 TB
+    * case: partition by (table, chunk_day) so downstream readers get
+    * partition pruning on both the table and the time dimension, exactly
+    * the pruning axis TimescaleDB chunks give the reference. Sized
+    * output files via a pre-write repartition on the same keys (avoids
+    * the many-small-files failure mode of per-task fan-out writes).
+    */
+  def writeEnvelopePartitioned(env: DataFrame, outDir: String): Unit =
+    env.repartition(col("table_name"), col("chunk_day"))
+      .write.mode("overwrite")
+      .partitionBy("table_name", "chunk_day")
+      .parquet(outDir)
+
   /** The reference's actual output artifact: the full Debezium
     * `{schema?, payload}` JSON per event (`spi/schema/eventschema.go:
     * 199-226`; before/after presence rules `eventschema.go:100-117`):
@@ -381,7 +394,7 @@ object Cdc {
       .select(
         col("lsn"), col("xid"), col("op"), col("ts_ms"),
         col("ht_schema").as("schema_name"), col("ht_table").as("table_name"),
-        col("chunk_name"),
+        col("chunk_name"), col("chunk_day"),
         Envelope.topicName("graft", col("ht_schema"), col("ht_table")).as("topic"),
         col("event_id"), col("user_id"), col("value"), col("props"))
   }

@@ -75,6 +75,20 @@ class CdcSpec extends SparkSpec {
     assert(batch.sameElements(batch.sorted))
   }
 
+  test("partitioned envelope write prunes on table and chunk day") {
+    val out = java.nio.file.Files.createTempDirectory("graft-envout").toString
+    Cdc.writeEnvelopePartitioned(Cdc.envelopePipeline(spark, sf001), out)
+    val dirs = new java.io.File(s"$out/table_name=events").list()
+    assert(dirs != null && dirs.count(_.startsWith("chunk_day=")) > 1,
+      "one partition directory per chunk day")
+    // partition-pruned read touches a single chunk dir
+    val pruned = spark.read.parquet(out)
+      .filter(col("table_name") === "events" && col("chunk_day") === 0)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() > 0)
+    assert(scan.contains("PartitionFilters"), "pruning expressed at scan")
+  }
+
   test("transaction boundaries: contiguous, no gaps (T2)") {
     val txns = Cdc.txnBoundaries(wal).orderBy("xid").collect()
     assert(txns.length === 100)
