@@ -64,6 +64,31 @@ object StreamPipeline {
         col("event_id"), col("user_id"), col("value"), col("props"))
   }
 
+  /** Event-time windowed aggregation with a watermark — the continuous-
+    * aggregate analog (SURVEY §2.4 A2): hourly per-op counts over the
+    * WAL stream. The watermark bounds state exactly like the reference
+    * bounds its transaction window; late events beyond 10 minutes are
+    * dropped (documented relaxation). `ts_ms` (epoch millis) lifts to a
+    * real event-time column for watermarking.
+    */
+  def windowedStats(spark: SparkSession, dir: String): DataFrame =
+    walStream(spark, dir)
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "1 hour"), col("op"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Streaming deduplication on the event key with watermark-bounded
+    * state — exactly-once delivery downstream of an at-least-once source
+    * (the reference's SQS dedup-id pattern, `README.md:444-447`, as a
+    * state-store op).
+    */
+  def dedupedStream(spark: SparkSession, dir: String): DataFrame =
+    walStream(spark, dir)
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicates("lsn")
+
   /** Run the pipeline into a pluggable sink with checkpointed recovery
     * (T1). `processAllAvailable` + `stop` gives the synchronous batch
     * drain used by tests; production callers use `awaitTermination`.

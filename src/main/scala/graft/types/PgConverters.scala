@@ -112,6 +112,20 @@ object PgConverters {
   def arrayOf(conv: Column => Column)(arr: Column): Column =
     transform(arr, conv)
 
+  /** Enum → STRING with the allowed-values list carried as column
+    * metadata — `builtin_converters.go:145-153` (enum2string) +
+    * `schemabuilder.go:133-141` (`schema.Enum` allowed params). */
+  def enumToString(c: Column, allowed: Seq[String]): Column = {
+    val md = new MetadataBuilder().putStringArray("allowed", allowed.toArray).build()
+    c.cast(StringType).as("enum", md)
+  }
+
+  /** Composite (user-defined record) → nested STRUCT with per-attribute
+    * fields — `typemanager.go:419-430`; attribute order from the catalog
+    * (`queries.go:202-210`). */
+  def compositeToStruct(fields: (String, Column)*): Column =
+    struct(fields.map { case (n, c) => c.as(n) }: _*)
+
   /** PostGIS geometry/geography → STRUCT {wkb: base64, srid: int} —
     * `builtin_converters.go:102-143` (postgis2struct), schema
     * `spi/schema/schemabuilder.go:185-195`. */

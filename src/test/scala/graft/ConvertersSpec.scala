@@ -104,6 +104,17 @@ class ConvertersSpec extends SparkSpec {
       .select(textPassthrough(col("b"))).head.getString(0) === "42")
   }
 
+  test("enum carries allowed values as metadata; composite nests struct") {
+    val df = Seq(("red", 1, "x")).toDF("e", "a", "b")
+    val out = df.select(enumToString(col("e"), Seq("red", "green", "blue")))
+    assert(out.schema.head.metadata.getStringArray("allowed").toSeq ===
+      Seq("red", "green", "blue"))
+    assert(out.head.getString(0) === "red")
+    val comp = df.select(compositeToStruct("a" -> col("a"), "b" -> col("b")).as("c"))
+    assert(comp.schema("c").dataType.isInstanceOf[StructType])
+    assert(comp.select("c.a").head.getInt(0) === 1)
+  }
+
   test("postgis struct shape {wkb: base64, srid}") {
     val df = Seq((Array[Byte](1, 2, 3), 4326)).toDF("wkb", "srid")
     val r = df.select(postgisToStruct(col("wkb"), col("srid")).as("g")).select("g.*").head

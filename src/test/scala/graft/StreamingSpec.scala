@@ -26,6 +26,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("windowed aggregation with watermark matches batch hourly counts (A2)") {
+    val q = StreamPipeline.windowedStats(spark, sf001)
+      .writeStream.format("memory").queryName("winstats")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamedTotal = spark.sql("SELECT sum(n) FROM winstats").head.getLong(0)
+    assert(streamedTotal === 1000L, "windowed counts cover every event")
+    // spot-check one window against the batch computation
+    val batch = graft.cdc.Cdc.walEvents(spark, sf001)
+      .groupBy(org.apache.spark.sql.functions.window(
+        org.apache.spark.sql.functions.timestamp_millis(
+          org.apache.spark.sql.functions.col("ts_ms")), "1 hour"),
+        org.apache.spark.sql.functions.col("op"))
+      .count().count()
+    assert(spark.sql("SELECT count(*) FROM winstats").head.getLong(0) === batch)
+  }
+
+  test("streaming dedup drops replayed keys within the watermark (SQS dedup-id analog)") {
+    val q = StreamPipeline.dedupedStream(spark, sf001)
+      .writeStream.format("memory").queryName("dedupstream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.sql("SELECT count(*), count(DISTINCT lsn) FROM dedupstream").head ===
+      org.apache.spark.sql.Row(1000L, 1000L))
+  }
+
   test("restart with same checkpoint emits nothing new (T1 recovery, no dupes)") {
     val sink = new CollectorSink
     val ckpt = Files.createTempDirectory("graft-ckpt2").toString
