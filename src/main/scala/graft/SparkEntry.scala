@@ -140,6 +140,27 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
+    "q_min_cost_supplier" -> ((s, dir) => {
+      // scalar-subquery shape: per nation, the supplier(s) with minimal
+      // account balance (correlated min via join-back)
+      val sup = Tables.supplier(s, dir)
+      val mins = sup.groupBy(col("s_nationkey").as("nk"))
+        .agg(min(col("s_acctbal")).as("min_bal"))
+      sup.join(broadcast(mins),
+          col("s_nationkey") === col("nk") && col("s_acctbal") === col("min_bal"))
+        .select(col("s_nationkey"), col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_nationkey"), col("s_suppkey"))
+    }),
+
+    "q_quantiles" -> ((s, dir) => {
+      // exact interpolated quantiles (continuous definition, both engines)
+      Tables.orders(s, dir)
+        .agg(
+          count_distinct(col("o_custkey")).as("n_customers"),
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"))
+    }),
+
     "q_except_customers" -> ((s, dir) => {
       Tables.customer(s, dir).select(col("c_custkey"))
         .except(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")))
@@ -413,6 +434,13 @@ object SparkEntry {
       Dedup.simhash(Tables.documents(s, dir)).orderBy(col("doc_id"))
     }),
 
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, 5, nLists = 16, nProbe = 4)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     "ann_lsh_cosine" -> ((s, dir) => {
       Similarity.lshCosinePairs(Tables.embeddings(s, dir), dim = 64, threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))
@@ -507,6 +535,18 @@ object SparkEntry {
         |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, COUNT(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_min_cost_supplier" ->
+      """SELECT s_nationkey, s_suppkey, s_name FROM supplier s
+        |WHERE s_acctbal = (SELECT MIN(s2.s_acctbal) FROM supplier s2
+        |                   WHERE s2.s_nationkey = s.s_nationkey)
+        |ORDER BY s_nationkey, s_suppkey""".stripMargin,
+
+    "q_quantiles" ->
+      """SELECT COUNT(DISTINCT o_custkey) AS n_customers,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.9) AS p90
+        |FROM orders""".stripMargin,
 
     "q_except_customers" ->
       """SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders

@@ -69,6 +69,55 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  /** IVF (inverted-file) ANN — the second scale path besides LSH:
+    * a coarse quantizer of `k` deterministic centroids (seeded sample of
+    * the corpus — stand-in for a k-means fit, which would be an offline
+    * job at 100 TB); every vector is assigned to its nearest centroid
+    * (the inverted lists); a query probes only the `nProbe` nearest
+    * lists. All-pairs becomes an equi-join on centroid id; list sizes
+    * are corpus/k on average, so probe cost is nProbe/k of brute force.
+    */
+  def ivfAssign(corpus: DataFrame, k: Int): (DataFrame, DataFrame) = {
+    // deterministic coarse centroids: every (n/k)-th vector by id
+    val centroids = corpus.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        (graft.functions.VecFunctions.vec_dot(col("embedding"), col("centroid")) /
+          (l2Norm("embedding") * l2Norm("centroid"))).as("sim"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("centroid_id"))
+    val lists = assigned.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    (centroids, lists)
+  }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val (centroids, lists) = ivfAssign(corpus, nLists)
+    // probe assignment: nProbe nearest centroids per query
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      l2Norm("embedding").as("qnorm"))
+    val probed = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qe"), col("qnorm"), col("centroid_id"),
+        (graft.functions.VecFunctions.vec_dot(col("qe"), col("centroid")) /
+          (col("qnorm") * l2Norm("centroid"))).as("csim"))
+    val wp = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("centroid_id"))
+    val probes = probed.withColumn("rk", row_number().over(wp))
+      .filter(col("rk") <= nProbe)
+      .select(col("query_id"), col("qe"), col("qnorm"), col("centroid_id"))
+    // search only the probed inverted lists (equi-join on centroid)
+    val scored = probes.join(lists, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot("qe", "embedding") / (col("qnorm") * l2Norm("embedding"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** Near-dup pairs via LSH buckets + exact cosine re-check on
     * candidates only. */
   def lshCosinePairs(emb: DataFrame, dim: Int, threshold: Double,

@@ -66,6 +66,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("IVF top-k recall vs brute force is high at nProbe=4/16") {
+    val emb = Tables.embeddings(spark, sf001)
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.cosineTopK(queries, emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(queries, emb, 5, nLists = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    assert(recall >= 0.4, s"IVF recall $recall (brute=${brute.size}, ivf=${ivf.size})")
+    // every IVF hit must carry the exact cosine (re-check discipline)
+    assert(ivf.subsetOf(
+      Similarity.cosineTopK(queries, emb, emb.count().toInt).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet))
+  }
+
+  test("salted join equals plain join (skew mitigation correctness)") {
+    val ev = graft.cdc.Cdc.walEvents(spark, sf001).select("lsn", "user_id", "event_id")
+    val dim = Tables.events(spark, sf001)
+      .select(col("user_id")).distinct().withColumn("tag", col("user_id") * 2)
+    val plain = ev.join(dim, "user_id").select("lsn", "tag")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = graft.ops.Skew.saltedJoin(ev, dim, "user_id", salt = 8, saltSource = "event_id")
+      .select("lsn", "tag").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted === plain)
+  }
+
   test("cosine top-k ranks are 1..k and neighbors are distinct") {
     val emb = Tables.embeddings(spark, sf001)
     val topk = Similarity.cosineTopK(emb.filter(col("vec_id") < 5), emb, 3).collect()
