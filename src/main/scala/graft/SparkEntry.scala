@@ -115,6 +115,41 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("rn"))
     }),
 
+    "q_window_running" -> ((s, dir) => {
+      // frame spec: per-customer running revenue + lead/lag deltas
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(decimal2(col("o_totalprice")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("running_total"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "q_string_funcs" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          length(trim(col("p_name"))).as("nlen"),
+          substring(col("p_brand"), 1, 5).as("brand5"),
+          regexp_replace(col("p_type"), "[aeiou]", "_").as("devoweled"),
+          levenshtein(col("p_brand"), col("p_type")).as("dist"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "q_date_funcs" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          PgConverters.timestampToMillis(date_trunc("month", col("o_orderdate")))
+            .as("month_start_ms"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q_topk_orders" -> ((s, dir) => {
       Tables.orders(s, dir)
         .select(col("o_orderkey"), decimal2(col("o_totalprice")).as("total"))
@@ -519,6 +554,30 @@ object SparkEntry {
         |    rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk
         |  FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total,
+        |  lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_order,
+        |  lead(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_order
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS uname, length(trim(p_name)) AS nlen,
+        |  substr(p_brand, 1, 5) AS brand5,
+        |  regexp_replace(p_type, '[aeiou]', '_', 'g') AS devoweled,
+        |  levenshtein(p_brand, p_type) AS dist
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
+        |  CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS m,
+        |  CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS d,
+        |  epoch_ms(date_trunc('month', o_orderdate)) AS month_start_ms
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_topk_orders" ->
       """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total
