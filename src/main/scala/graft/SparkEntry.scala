@@ -431,6 +431,31 @@ object SparkEntry {
         .orderBy(col("registered_at_lsn"))
     }),
 
+    "cdc_sqs_dedup_id" -> ((s, dir) => {
+      // S13: SQS FIFO dedup-id = hash(LSN, txId, content) — README.md:444-447
+      Cdc.walEvents(s, dir)
+        .select(col("lsn"),
+          sha2(concat_ws("|", col("lsn"), col("xid"), col("props")), 256).as("dedup_id"))
+        .orderBy(col("lsn"))
+    }),
+
+    "q_array_agg" -> ((s, dir) => {
+      // deterministic array agg: per-user sorted event types
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(col("event_type"))).as("types"),
+          count(lit(1)).as("n"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q_explode_tokens" -> ((s, dir) => {
+      // posexplode ≙ unnest WITH ORDINALITY (1-based to match SQL)
+      Tables.documents(s, dir).limit(50)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     "cdc_event_filter" -> ((s, dir) => {
       // P5: Expr dialect `op == "c" && user_id > 5` → Catalyst predicate
       graft.filter.EventFilter("""op == "c" && user_id > 5""")
@@ -739,6 +764,22 @@ object SparkEntry {
         |  'events' AS parent_hypertable
         |FROM (SELECT event_id, epoch_ns(ts) // 86400000000000 - 19723 AS chunk_day FROM events) t
         |GROUP BY chunk_day ORDER BY registered_at_lsn""".stripMargin,
+
+    "cdc_sqs_dedup_id" ->
+      """SELECT event_id AS lsn,
+        |  sha256(concat_ws('|', CAST(event_id AS VARCHAR), CAST(event_id // 10 AS VARCHAR), props)) AS dedup_id
+        |FROM events ORDER BY lsn""".stripMargin,
+
+    "q_array_agg" ->
+      """SELECT user_id, list_sort(list(event_type)) AS types, COUNT(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_explode_tokens" ->
+      """SELECT doc_id, pos, t[pos] AS tok FROM
+        |  (SELECT doc_id, string_split(text, ' ') AS t
+        |   FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 50)) d,
+        |  LATERAL unnest(generate_series(1, len(t))) AS u(pos)
+        |ORDER BY doc_id, pos""".stripMargin,
 
     "cdc_event_filter" ->
       s"""SELECT event_id AS lsn, $opCaseSql AS op, user_id

@@ -53,6 +53,34 @@ class StreamingSpec extends SparkSpec {
       org.apache.spark.sql.Row(1000L, 1000L))
   }
 
+  test("stream-stream interval join within watermark bounds") {
+    import org.apache.spark.sql.functions._
+    val a = StreamPipeline.walStream(spark, sf001)
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_time", "1 hour")
+      .select(col("user_id").as("a_user"), col("lsn").as("a_lsn"),
+        col("event_time").as("a_time"))
+    val b = StreamPipeline.walStream(spark, sf001)
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_time", "1 hour")
+      .select(col("user_id").as("b_user"), col("lsn").as("b_lsn"),
+        col("event_time").as("b_time"))
+    val joined = a.join(b,
+      expr("""a_user = b_user AND b_lsn > a_lsn AND
+             |b_time BETWEEN a_time AND a_time + interval 10 minutes""".stripMargin))
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT count(*) FROM ssjoin").head.getLong(0)
+    // batch reference computation
+    val wal = graft.cdc.Cdc.walEvents(spark, sf001)
+      .select(col("user_id"), col("lsn"), col("ts_ms"))
+    val batch = wal.as("x").join(wal.as("y"),
+      col("x.user_id") === col("y.user_id") && col("y.lsn") > col("x.lsn") &&
+        col("y.ts_ms").between(col("x.ts_ms"), col("x.ts_ms") + 600000L)).count()
+    assert(streamed === batch, s"stream-stream join rows $streamed vs batch $batch")
+  }
+
   test("restart with same checkpoint emits nothing new (T1 recovery, no dupes)") {
     val sink = new CollectorSink
     val ckpt = Files.createTempDirectory("graft-ckpt2").toString
