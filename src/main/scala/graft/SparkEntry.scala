@@ -390,6 +390,11 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    "dedup_clusters" -> ((s, dir) => {
+      Dedup.clusters(Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, threshold10 = 4))
+        .orderBy(col("doc_id"))
+    }),
+
     "dedup_neardup_embedding" -> ((s, dir) => {
       Dedup.embeddingNearDups(Tables.embeddings(s, dir), 0.45)
         .orderBy(col("id_a"), col("id_b"))
@@ -911,6 +916,24 @@ object SparkEntry {
         |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE shared * 10 >= 4 * (sa.n + sb.n - shared)
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_clusters" ->
+      """WITH RECURSIVE
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
+        |        x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS shingle FROM tok WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY a.doc_id, b.doc_id),
+        |near AS (SELECT doc_a, doc_b FROM pairs
+        |         JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |         WHERE shared * 10 >= 4 * (sa.n + sb.n - shared)),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM near UNION SELECT doc_b, doc_a FROM near),
+        |cc AS (SELECT a AS doc, a AS label FROM edges
+        |       UNION
+        |       SELECT e.a, cc.label FROM cc JOIN edges e ON cc.doc = e.b)
+        |SELECT doc AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY doc ORDER BY doc_id""".stripMargin,
 
     "dedup_neardup_embedding" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS norm FROM embeddings)

@@ -132,6 +132,38 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected-component clustering of the near-dup pair graph by
+    * iterative min-label propagation — the correct dedup grouping (a
+    * keep-lowest policy over components, not just pair right-sides).
+    *
+    * Each iteration is one join + min-aggregate (both shuffle on doc id
+    * and scale linearly); iteration count = component diameter, which is
+    * tiny for near-dup clusters. The driver loop materializes per round
+    * (standard Spark iterative-graph shape; large-star/small-star is the
+    * same idea with better skew bounds at web scale).
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .distinct().cache()
+    var labels = edges.select(col("a").as("doc")).distinct()
+      .withColumn("label", col("doc")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val prop = edges.join(labels, edges("b") === labels("doc"))
+        .select(edges("a").as("doc"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy(col("doc")).agg(min(col("label")).as("label")).cache()
+      changed = next.as("n").join(labels.as("o"), "doc")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding near-dup: cosine over candidate pairs. The full pairwise
     * form is the correctness oracle (bounded inputs); the scale path is
     * Similarity.lshCosinePairs.

@@ -92,6 +92,15 @@ class DedupSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("clusters assign one component per connected pair chain") {
+    import spark.implicits._
+    // path graph 1-2-3, separate pair 10-11 → components {1,2,3}, {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("cosine top-k ranks are 1..k and neighbors are distinct") {
     val emb = Tables.embeddings(spark, sf001)
     val topk = Similarity.cosineTopK(emb.filter(col("vec_id") < 5), emb, 3).collect()
