@@ -1,0 +1,67 @@
+package graft
+
+import graft.catalog.TableFilter
+import graft.functions.FnvHash64
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based coverage (the reference has none — SURVEY §5): laws
+  * that must hold for arbitrary inputs, not just the fixture matrix.
+  * Raw ScalaCheck generators with fixed seeds (deterministic runs).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def samples[T](g: Gen[T], n: Int = 100): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val ident: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+
+  test("table filter: a literal pattern matches exactly itself") {
+    samples(Gen.zip(ident, ident)).foreach { case (s, t) =>
+      val f = TableFilter(Seq(s"$s.$t"), Nil)
+      assert(f.matches(s"$s.$t"))
+      assert(!f.matches(s"$s.${t}x"))
+      assert(!f.matches(s"x$s.$t"))
+    }
+  }
+
+  test("table filter: excludes always win regardless of includes") {
+    samples(Gen.zip(ident, ident)).foreach { case (s, t) =>
+      assert(!TableFilter(Seq("*.*", s"$s.$t"), Seq(s"$s.$t")).matches(s"$s.$t"))
+    }
+  }
+
+  test("table filter: star pattern accepts any table in schema") {
+    samples(Gen.zip(ident, ident)).foreach { case (s, t) =>
+      assert(TableFilter(Seq(s"$s.*"), Nil).matches(s"$s.$t"))
+    }
+  }
+
+  test("fnv64a: incremental property h(a++b) folds from h(a)") {
+    val bytes = Gen.listOf(Gen.choose(0, 255))
+    samples(Gen.zip(bytes, bytes)).foreach { case (a, b) =>
+      val ab = (a ++ b).map(_.toByte).toArray
+      var h = FnvHash64.hash(a.map(_.toByte).toArray)
+      b.foreach { x => h ^= (x & 0xffL); h *= FnvHash64.Prime }
+      assert(h === FnvHash64.hash(ab))
+    }
+  }
+
+  test("fnv64a: snapshot partition stable and in range") {
+    samples(ident).foreach { name =>
+      val h1 = FnvHash64.hash(name.getBytes("UTF-8"))
+      assert(h1 === FnvHash64.hash(name.getBytes("UTF-8")))
+      val p = math.floorMod(h1, 5L)
+      assert(p >= 0 && p < 5)
+    }
+  }
+
+  test("expr filter translation: AND/OR/equality rewrite is stable") {
+    samples(Gen.choose(0, 1000)).foreach { n =>
+      val out = graft.filter.EventFilter.translate(s"""op == "c" && user_id > $n""")
+      assert(out.contains("= 'c'") && out.contains(" AND ") && out.contains(s"> $n"))
+    }
+  }
+}
