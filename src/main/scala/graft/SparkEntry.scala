@@ -34,7 +34,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Cdc.envelopePipeline(spark, "/root/testdata/sf0.001")
 
-  private def decimal2(c: Column): Column = c.cast("decimal(18,2)")
+  /** Representation-stable money: round to integer cents in pure IEEE-754
+    * double arithmetic (multiply + add + floor are correctly rounded and
+    * bit-identical in Spark and DuckDB), then aggregate as BIGINT — integer
+    * sums are associative, so shuffle/aggregation order can't change the
+    * result. Avoids the double→decimal cast boundary (Spark shortest-string
+    * vs DuckDB binary value, e.g. 1.005 → 1.01 vs 1.00) that hash-broke
+    * q1/rollup/window_running in round 1. Oracle twin: `centsSql`. */
+  private def cents(c: Column): Column = floor(c * lit(100.0) + lit(0.5))
+  private def centsSql(e: String): String = s"CAST(FLOOR(($e) * 100.0 + 0.5) AS BIGINT)"
 
   /** Shared CASE expression for op mapping in oracles. */
   private val opCaseSql =
@@ -58,10 +66,9 @@ object SparkEntry {
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(decimal2(col("l_quantity"))).as("sum_qty"),
-          sum(decimal2(col("l_extendedprice"))).as("sum_base_price"),
-          sum(decimal2(col("l_extendedprice")) *
-            (lit(1).cast("decimal(18,2)") - decimal2(col("l_discount"))))
+          sum(cents(col("l_quantity"))).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_price"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
             .as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -77,8 +84,8 @@ object SparkEntry {
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"),
           PgConverters.timestampToMillis(col("o_orderdate")).as("order_ms"))
-        .agg(sum(decimal2(col("l_extendedprice")) *
-          (lit(1).cast("decimal(18,2)") - decimal2(col("l_discount")))).as("revenue"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
@@ -99,8 +106,8 @@ object SparkEntry {
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(sum(decimal2(col("l_extendedprice")) *
-          (lit(1).cast("decimal(18,2)") - decimal2(col("l_discount")))).as("revenue"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
@@ -120,7 +127,7 @@ object SparkEntry {
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
       Tables.orders(s, dir)
         .select(col("o_custkey"), col("o_orderkey"),
-          sum(decimal2(col("o_totalprice")))
+          sum(cents(col("o_totalprice")))
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .as("running_total"),
           lag(col("o_orderkey"), 1).over(w).as("prev_order"),
@@ -152,7 +159,7 @@ object SparkEntry {
 
     "q_topk_orders" -> ((s, dir) => {
       Tables.orders(s, dir)
-        .select(col("o_orderkey"), decimal2(col("o_totalprice")).as("total"))
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("total"))
         .orderBy(col("total").desc, col("o_orderkey"))
         .limit(20)
     }),
@@ -171,7 +178,7 @@ object SparkEntry {
     "q_rollup_revenue" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(decimal2(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
+        .agg(sum(cents(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
@@ -446,16 +453,20 @@ object SparkEntry {
 
     "q_array_agg" -> ((s, dir) => {
       // deterministic array agg: per-user sorted event types
+      // array column joined to a string — the driver's comparator can't
+      // hash list cells (round-1 oracle error), values are unchanged
       Tables.events(s, dir)
         .groupBy(col("user_id"))
-        .agg(sort_array(collect_list(col("event_type"))).as("types"),
+        .agg(array_join(sort_array(collect_list(col("event_type"))), ",").as("types"),
           count(lit(1)).as("n"))
         .orderBy(col("user_id"))
     }),
 
     "q_explode_tokens" -> ((s, dir) => {
-      // posexplode ≙ unnest WITH ORDINALITY (1-based to match SQL)
-      Tables.documents(s, dir).limit(50)
+      // posexplode ≙ unnest WITH ORDINALITY (1-based to match SQL);
+      // orderBy before limit so the 50-doc selection is deterministic
+      // regardless of parquet split order (ADVICE r1)
+      Tables.documents(s, dir).orderBy(col("doc_id")).limit(50)
         .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
         .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
         .orderBy(col("doc_id"), col("pos"))
@@ -544,17 +555,17 @@ object SparkEntry {
   /** DuckDB-runnable oracle SQL, column-aliased identically to `queries`. */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
-        |  COUNT(*) AS count_order
-        |FROM lineitem GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty,
+         |  CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_base_price,
+         |  CAST(SUM(${centsSql("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT) AS sum_disc_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q3_shipping_priority" ->
-      """SELECT l_orderkey, epoch_ms(o_orderdate) AS order_ms,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+      s"""SELECT l_orderkey, epoch_ms(o_orderdate) AS order_ms,
+        |  CAST(SUM(${centsSql("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
@@ -564,8 +575,8 @@ object SparkEntry {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
     "q5_local_supplier" ->
-      """SELECT n_name,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+      s"""SELECT n_name,
+        |  CAST(SUM(${centsSql("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT) AS revenue
         |FROM lineitem
         |  JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
@@ -586,10 +597,10 @@ object SparkEntry {
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
 
     "q_window_running" ->
-      """SELECT o_custkey, o_orderkey,
-        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+      s"""SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(${centsSql("o_totalprice")}) OVER
         |    (PARTITION BY o_custkey ORDER BY o_orderkey
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total,
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_total,
         |  lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_order,
         |  lead(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_order
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
@@ -610,8 +621,8 @@ object SparkEntry {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_topk_orders" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total
-        |FROM orders ORDER BY total DESC, o_orderkey LIMIT 20""".stripMargin,
+      s"""SELECT o_orderkey, ${centsSql("o_totalprice")} AS total
+         |FROM orders ORDER BY total DESC, o_orderkey LIMIT 20""".stripMargin,
 
     "q_semi_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer
@@ -620,10 +631,10 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
 
     "q_rollup_revenue" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, COUNT(*) AS n
-        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty, COUNT(*) AS n
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "q_min_cost_supplier" ->
       """SELECT s_nationkey, s_suppkey, s_name FROM supplier s
@@ -776,7 +787,7 @@ object SparkEntry {
         |FROM events ORDER BY lsn""".stripMargin,
 
     "q_array_agg" ->
-      """SELECT user_id, list_sort(list(event_type)) AS types, COUNT(*) AS n
+      """SELECT user_id, array_to_string(list_sort(list(event_type)), ',') AS types, COUNT(*) AS n
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_explode_tokens" ->
@@ -793,7 +804,7 @@ object SparkEntry {
          |ORDER BY lsn""".stripMargin,
 
     "events_sessionize" ->
-      s"""SELECT user_id, sess_no, COUNT(*) AS n_events,
+      s"""SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no, COUNT(*) AS n_events,
          |  MIN(ts_ms) AS sess_start_ms, MAX(ts_ms) AS sess_end_ms
          |FROM (
          |  SELECT user_id, ts_ms,
