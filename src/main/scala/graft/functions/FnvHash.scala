@@ -53,8 +53,18 @@ object FnvHash64 {
     org.apache.spark.sql.graft.ColumnBridge.column(
       FnvHash64(org.apache.spark.sql.graft.ColumnBridge.expression(c)))
 
-  /** Snapshot partition assignment: FNV-64a(name) mod n, non-negative —
-    * `snapshotter.go:140-158`. */
+  /** Unsigned 64-bit remainder, matching Go's `uint64 % uint64`. Signed
+    * pmod differs from it whenever the hash's top bit is set and n is not
+    * a power of two, so it would mis-assign ~half of all table names. The
+    * identity ((h >>> 1) % n * 2 + (h & 1)) % n stays in built-in codegen
+    * expressions (no UDF). */
+  def remainderUnsigned(h: Column, n: Long): Column = {
+    import org.apache.spark.sql.functions._
+    (shiftrightunsigned(h, 1) % n * 2 + h.bitwiseAND(1L)) % n
+  }
+
+  /** Snapshot partition assignment: FNV-64a(name) unsigned-mod n —
+    * `snapshotter.go:140-158` (`hasher.Sum64() % uint64(n)`). */
   def snapshotPartition(name: Column, n: Int): Column =
-    org.apache.spark.sql.functions.pmod(fnv_hash64(name), org.apache.spark.sql.functions.lit(n.toLong))
+    remainderUnsigned(fnv_hash64(name), n.toLong)
 }

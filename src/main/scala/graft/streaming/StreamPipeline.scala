@@ -87,7 +87,10 @@ object StreamPipeline {
     walStream(spark, dir)
       .withColumn("event_time", timestamp_millis(col("ts_ms")))
       .withWatermark("event_time", "1 hour")
-      .dropDuplicates("lsn")
+      // dropDuplicatesWithinWatermark — plain dropDuplicates("lsn") never
+      // evicts state (the watermark only purges when the event-time column
+      // is part of the key), so a long-running stream grows unboundedly
+      .dropDuplicatesWithinWatermark("lsn")
 
   /** Run the pipeline into a pluggable sink with checkpointed recovery
     * (T1). `processAllAvailable` + `stop` gives the synchronous batch

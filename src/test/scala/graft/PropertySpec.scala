@@ -15,8 +15,9 @@ class PropertySpec extends AnyFunSuite {
   private def samples[T](g: Gen[T], n: Int = 100): Seq[T] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
 
+  // ≤30 chars: the filter enforces the reference's 63-char identifier cap
   private val ident: Gen[String] =
-    Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(30).mkString)
 
   test("table filter: a literal pattern matches exactly itself") {
     samples(Gen.zip(ident, ident)).foreach { case (s, t) =>
@@ -53,7 +54,7 @@ class PropertySpec extends AnyFunSuite {
     samples(ident).foreach { name =>
       val h1 = FnvHash64.hash(name.getBytes("UTF-8"))
       assert(h1 === FnvHash64.hash(name.getBytes("UTF-8")))
-      val p = math.floorMod(h1, 5L)
+      val p = java.lang.Long.remainderUnsigned(h1, 5L)
       assert(p >= 0 && p < 5)
     }
   }

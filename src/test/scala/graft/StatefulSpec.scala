@@ -18,11 +18,20 @@ class StatefulSpec extends SparkSpec {
     assert(viaExpr === FnvHash64.hash("public.events".getBytes("UTF-8")))
   }
 
-  test("snapshot partition assignment is stable and in range") {
-    val parts = Seq("a.t1", "a.t2", "b.t3").toDF("t")
-      .select(FnvHash64.snapshotPartition(col("t"), 5).as("p"))
-      .collect().map(_.getLong(0))
-    assert(parts.forall(p => p >= 0 && p < 5))
+  test("snapshot partition assignment is unsigned-mod (Go uint64 % parity)") {
+    // names chosen so several FNV hashes have the top bit set — where
+    // signed pmod and uint64 % disagree for n=5
+    val names = (1 to 64).map(i => s"public.events_$i")
+    val parts = names.toDF("t")
+      .select(col("t"), FnvHash64.snapshotPartition(col("t"), 5).as("p"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    names.foreach { n =>
+      val want = java.lang.Long.remainderUnsigned(
+        FnvHash64.hash(n.getBytes("UTF-8")), 5L)
+      assert(parts(n) === want, s"for $n")
+    }
+    assert(names.exists(n => FnvHash64.hash(n.getBytes("UTF-8")) < 0),
+      "test vector set must include negative (top-bit-set) hashes")
   }
 
   test("stateful txn assembly equals batch txn boundaries (T2)") {

@@ -37,10 +37,23 @@ class TableFilterSpec extends AnyFunSuite {
     assert(!q.matches("public.metrics"))
   }
 
-  test("quoted wildcards are literal characters") {
-    val q = TableFilter(Seq("public.\"m*\""), Nil)
+  test("quoted unescaped wildcards are still wildcards (tablefilter.go:227-269)") {
+    val q = TableFilter(Seq("public.\"M*\""), Nil)
+    assert(q.matches("public.Metrics")) // '*' active inside quotes
+    assert(!q.matches("public.metrics")) // but case-sensitive
+  }
+
+  test("backslash-escaped wildcards in quoted parts are literal") {
+    val q = TableFilter(Seq("public.\"m\\*\""), Nil)
     assert(q.matches("public.m*"))
     assert(!q.matches("public.metrics"))
+  }
+
+  test("illegal characters in unquoted parts are rejected") {
+    intercept[IllegalArgumentException] { TableFilter(Seq("public.a-b"), Nil).matches("x.y") }
+    intercept[IllegalArgumentException] { TableFilter(Seq("public.1abc"), Nil).matches("x.y") }
+    // quoted admits anything, matched literally
+    assert(TableFilter(Seq("public.\"a-b\""), Nil).matches("public.a-b"))
   }
 
   test("excludes win over includes") {
@@ -55,10 +68,24 @@ class TableFilterSpec extends AnyFunSuite {
     assert(!f.matches("public.secret"))
   }
 
-  test("regex metacharacters in names are escaped") {
-    val f = TableFilter(Seq("public.a.b"), Nil) // '.' inside part is literal
-    // the part split happens on the first dot: schema=public, table=a.b
+  test("regex metacharacters in quoted names match literally") {
+    val f = TableFilter(Seq("public.\"a.b\""), Nil)
     assert(f.matches("public.a.b"))
     assert(!f.matches("public.aXb"))
+  }
+
+  test("continuous aggregates match by view schema/name (tablefilter.go:139-160)") {
+    val f = TableFilter(Seq("public.cagg_*"), Nil)
+    // cagg's materialization hypertable lives in an internal schema, but
+    // the filter must see its view identity
+    assert(f.matchesEntity("_timescaledb_internal", "_materialized_hypertable_4",
+      isContinuousAggregate = true,
+      viewSchema = Some("public"), viewName = Some("cagg_hourly")))
+    // unknown view identity → never matches
+    assert(!f.matchesEntity("_timescaledb_internal", "_materialized_hypertable_4",
+      isContinuousAggregate = true, viewSchema = None, viewName = None))
+    // plain hypertable matches by its own name
+    assert(!f.matchesEntity("_timescaledb_internal", "_materialized_hypertable_4"))
+    assert(f.matchesEntity("public", "cagg_raw"))
   }
 }
