@@ -480,6 +480,33 @@ object SparkEntry {
         .orderBy(col("lsn"))
     }),
 
+    "cdc_filter_paths" -> ((s, dir) => {
+      // envelope field paths + `in` list (eventfilter.go env mapping)
+      graft.filter.EventFilter("""value.op == "u" || value.after.user_id in [1, 2, 3]""")
+        .apply(Cdc.walEvents(s, dir))
+        .select(col("lsn"), col("op"), col("user_id"))
+        .orderBy(col("lsn"))
+    }),
+
+    "cdc_filter_strfns" -> ((s, dir) => {
+      // matches/contains/startsWith + literal-preserving lexer: the
+      // quoted prefix contains '{' and an escaped quote
+      graft.filter.EventFilter(
+        """props contains "7" && !(props startsWith "{\"k\": 1") && props matches "[0-9][0-9]"""")
+        .apply(Cdc.walEvents(s, dir))
+        .select(col("lsn"), col("props"))
+        .orderBy(col("lsn"))
+    }),
+
+    "cdc_filter_ternary" -> ((s, dir) => {
+      // ternary + nil-coalescing
+      graft.filter.EventFilter(
+        """(user_id > 50 ? op == "c" : op != "c") && (props ?? "") endsWith "9}"""")
+        .apply(Cdc.walEvents(s, dir))
+        .select(col("lsn"), col("op"), col("user_id"))
+        .orderBy(col("lsn"))
+    }),
+
     "events_sessionize" -> ((s, dir) => {
       Cdc.sessionize(Cdc.walEvents(s, dir))
         .orderBy(col("user_id"), col("sess_no"))
@@ -801,6 +828,26 @@ object SparkEntry {
       s"""SELECT event_id AS lsn, $opCaseSql AS op, user_id
          |FROM events
          |WHERE $opCaseSql = 'c' AND user_id > 5
+         |ORDER BY lsn""".stripMargin,
+
+    "cdc_filter_paths" ->
+      s"""SELECT event_id AS lsn, $opCaseSql AS op, user_id
+         |FROM events
+         |WHERE $opCaseSql = 'u' OR user_id IN (1, 2, 3)
+         |ORDER BY lsn""".stripMargin,
+
+    "cdc_filter_strfns" ->
+      """SELECT event_id AS lsn, props
+        |FROM events
+        |WHERE contains(props, '7') AND NOT starts_with(props, '{"k": 1')
+        |  AND regexp_matches(props, '[0-9][0-9]')
+        |ORDER BY lsn""".stripMargin,
+
+    "cdc_filter_ternary" ->
+      s"""SELECT event_id AS lsn, $opCaseSql AS op, user_id
+         |FROM events
+         |WHERE (CASE WHEN user_id > 50 THEN $opCaseSql = 'c' ELSE $opCaseSql <> 'c' END)
+         |  AND ends_with(coalesce(props, ''), '9}')
          |ORDER BY lsn""".stripMargin,
 
     "events_sessionize" ->

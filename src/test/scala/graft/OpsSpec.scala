@@ -24,8 +24,40 @@ class OpsSpec extends SparkSpec {
   }
 
   test("event filter rejects unsupported constructs loudly") {
+    // schema introspection has no columnar representation
     intercept[IllegalArgumentException] {
-      EventFilter.translate("""value matches "^a.*"""")
+      EventFilter.translate("""valueSchema.fields != nil""")
+    }
+    // malformed expressions fail at parse, not at Spark analysis
+    intercept[IllegalArgumentException] { EventFilter.translate("""op == """) }
+    intercept[IllegalArgumentException] { EventFilter.translate("""op @@ "c"""") }
+    intercept[IllegalArgumentException] { EventFilter.translate("""op == "unterminated""") }
+  }
+
+  test("event filter string operators and literal preservation") {
+    // operator tokens inside string literals survive byte-for-byte —
+    // the round-1 replaceAll corrupted 'a==b' to 'a=b'
+    assert(EventFilter.translate("""op == "a==b"""") === "`op` = 'a==b'")
+    assert(EventFilter.translate("""op == "x && y"""") === "`op` = 'x && y'")
+    assert(EventFilter.translate("""op == "it's"""") === "`op` = 'it''s'")
+    assert(EventFilter.translate("""props matches "^a.*"""") === "rlike(`props`, '^a.*')")
+    assert(EventFilter.translate("""props contains "x"""") === "contains(`props`, 'x')")
+    assert(EventFilter.translate("""value.after.user_id in [1, 2]""") === "`user_id` IN (1, 2)")
+    assert(EventFilter.translate("""user_id not in [1]""") === "`user_id` NOT IN (1)")
+    assert(EventFilter.translate("""a > 1 ? b == 2 : c != 3""")
+      === "IF(`a` > 1, `b` = 2, `c` <> 3)")
+    assert(EventFilter.translate("""(props ?? "") endsWith "}"""")
+      === "endswith((coalesce(`props`, '')), '}')")
+  }
+
+  test("event filter evaluates ternary/string ops on data") {
+    val wal = graft.cdc.Cdc.walEvents(spark, sf001)
+    val f = EventFilter("""(user_id > 50 ? op == "c" : op != "c") && props contains "k"""")
+    val out = f.apply(wal).select("user_id", "op").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (uid, op) = (r.getLong(0), r.getString(1))
+      assert(if (uid > 50) op == "c" else op != "c")
     }
   }
 

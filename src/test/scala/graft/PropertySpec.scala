@@ -65,4 +65,18 @@ class PropertySpec extends AnyFunSuite {
       assert(out.contains("= 'c'") && out.contains(" AND ") && out.contains(s"> $n"))
     }
   }
+
+  test("expr filter translation: string literals survive byte-for-byte") {
+    // arbitrary literals, including every operator token the round-1
+    // replaceAll translator corrupted (==, &&, ||, !, quotes, backslash)
+    val litChar = Gen.oneOf(Gen.alphaNumChar,
+      Gen.oneOf('=', '&', '|', '!', '<', '>', '?', ':', '\'', '"', '\\', ' ', '.', '['))
+    val lit = Gen.listOf(litChar).map(_.mkString)
+    samples(lit).foreach { s =>
+      val exprLit = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      val sqlLit  = "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+      assert(graft.filter.EventFilter.translate(s"op == $exprLit")
+        === s"`op` = $sqlLit", s"for literal <$s>")
+    }
+  }
 }
