@@ -377,6 +377,198 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "conv_uuid_string" -> ((s, dir) => {
+      // uuid canonical 8-4-4-4-12 text (builtin_converters.go:300-318);
+      // hex source synthesized deterministically via md5
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          PgConverters.uuidFromHex32(md5(col("event_id").cast("string"))).as("uuid_text"))
+        .orderBy(col("event_id"))
+    }),
+
+    "conv_inet_string" -> ((s, dir) => {
+      // inet/cidr v4 + v6 text passthrough (README type table)
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          PgConverters.textPassthrough(concat(lit("10."), pmod(col("user_id"), lit(256)),
+            lit("."), pmod(col("event_id"), lit(256)), lit(".1/24"))).as("cidr4"),
+          PgConverters.textPassthrough(concat(lit("fe80::"),
+            lower(hex(pmod(col("user_id"), lit(65536)))))).as("inet6"))
+        .orderBy(col("event_id"))
+    }),
+
+    "conv_macaddr_string" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          PgConverters.macaddrToText(col("event_id") * 65536 + col("user_id")).as("mac"),
+          PgConverters.macaddr8ToText(col("event_id") * 4294967296L + col("user_id")).as("mac8"))
+        .orderBy(col("event_id"))
+    }),
+
+    "conv_enum_string" -> ((s, dir) => {
+      // enum2string with the allowed-values list as column metadata
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          PgConverters.enumToString(col("event_type"),
+            Seq("signup", "purchase", "error", "view", "click")).as("enum_val"))
+        .orderBy(col("event_id"))
+    }),
+
+    "conv_composite_json" -> ((s, dir) => {
+      // composite → STRUCT (typemanager.go:419-430); JSON-rendered so the
+      // driver comparator can hash it
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          to_json(PgConverters.compositeToStruct(
+            "user_id" -> col("user_id"), "kind" -> col("event_type"))).as("comp_json"))
+        .orderBy(col("event_id"))
+    }),
+
+    "conv_hstore_text" -> ((s, dir) => {
+      // hstore → MAP(string,string); keys/values re-emitted as strings
+      val hsJson = concat(lit("{\"a\":\""), col("user_id"),
+        lit("\",\"b\":\""), pmod(col("event_id"), lit(10)), lit("\"}"))
+      val m = PgConverters.hstoreToMap(hsJson)
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          array_join(map_keys(m), ",").as("hs_keys"),
+          array_join(map_values(m), ",").as("hs_vals"))
+        .orderBy(col("event_id"))
+    }),
+
+    "conv_uint32_long" -> ((s, dir) => {
+      // oid/xid/cid: top-bit-set uint32s must not surface negative
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          PgConverters.uint32ToLong(
+            expr("CAST((event_id * 2654435761) % 4294967296 - 2147483648 AS INT)")).as("uval"))
+        .orderBy(col("event_id"))
+    }),
+
+    "conv_scalar_widths" -> ((s, dir) => {
+      // int2 / float4 / boolean width mappings
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          pmod(col("user_id"), lit(32768)).cast("smallint").as("i16"),
+          col("value").cast("float").cast("double").as("f4d"),
+          (pmod(col("event_id"), lit(2)) === 0).as("is_even"))
+        .orderBy(col("event_id"))
+    }),
+
+    "conv_tsrange_string" -> ((s, dir) => {
+      // tsrange canonical [lo,hi) over RFC3339 text bounds
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          PgConverters.rangeToString(
+            PgConverters.timestamptzNanosToText("ts"),
+            PgConverters.timestamptzNanosToText("(ts + 3600000000000)")).as("tsrange_text"))
+        .orderBy(col("event_id"))
+    }),
+
+    "conv_daterange_string" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          PgConverters.rangeToString(
+            date_format(col("o_orderdate"), "yyyy-MM-dd"),
+            date_format(date_add(to_date(col("o_orderdate")), 30), "yyyy-MM-dd"))
+            .as("daterange_text"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "conv_geo_shapes" -> ((s, dir) => {
+      // box, line, lseg, circle, polygon text forms (integer coords keep
+      // numeric rendering engine-independent)
+      val u = col("user_id"); val m = pmod(col("event_id"), lit(100))
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          PgConverters.boxToText(u, m, u + 10, m + 10).as("box_text"),
+          PgConverters.lineToText(u, pmod(col("event_id"), lit(7)) + 1, lit(3)).as("line_text"),
+          PgConverters.lsegToText(u, m, u + 5, m + 5).as("lseg_text"),
+          PgConverters.circleToText(u, m, lit(7)).as("circle_text"),
+          PgConverters.polygonToText((u, m), (u + 1, m), (u, m + 1)).as("poly_text"))
+        .orderBy(col("event_id"))
+    }),
+
+    "conv_ltree_xml_char" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          PgConverters.textPassthrough(concat(lit("root.u"), col("user_id"),
+            lit(".e"), pmod(col("event_id"), lit(10)))).as("ltree_path"),
+          PgConverters.textPassthrough(concat(lit("<e id=\""), col("event_id"),
+            lit("\"/>"))).as("xml_text"),
+          substring(col("event_type"), 1, 1).as("qchar"),
+          PgConverters.bpcharPad(col("event_type"), 12).as("bp12"))
+        .orderBy(col("event_id"))
+    }),
+
+    "conv_timetz_text" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          PgConverters.timetzToText(timestamp_micros(expr("ts div 1000"))).as("timetz_text"))
+        .orderBy(col("event_id"))
+    }),
+
+    "conv_interval_negative" -> ((s, dir) => {
+      // negative month/day components — Go int64 micros arithmetic is
+      // sign-agnostic (builtin_converters.go:350-360)
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          PgConverters.intervalToMicros(col("user_id") - 100,
+            expr("event_id % 30 - 15"),
+            expr("(ts % 1000000000) div 1000")).as("interval_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    "conv_numeric_edges" -> ((s, dir) => {
+      // numeric magnitudes: tiny / huge / repeating-fraction doubles;
+      // single IEEE ops (correctly rounded) keep engines bit-identical
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          (col("event_id") / 1000.0).as("small_val"),
+          (col("event_id") * 1000000000000.0).as("big_val"),
+          (-(col("event_id") / 7.0)).as("frac_val"))
+        .orderBy(col("event_id"))
+    }),
+
+    "conv_array_long" -> ((s, dir) => {
+      // arrayOf lifts the uint32 converter over elements (incl. negatives)
+      val arr = array(
+        pmod(col("user_id"), lit(100)).cast("int") - 50,
+        pmod(col("event_id"), lit(97)).cast("int") - 48)
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          array_join(transform(PgConverters.arrayOf(PgConverters.uint32ToLong)(arr),
+            _.cast("string")), ",").as("arr_vals"))
+        .orderBy(col("event_id"))
+    }),
+
+    "conv_array_date_days" -> ((s, dir) => {
+      val arr = array(to_date(col("o_orderdate")), date_add(to_date(col("o_orderdate")), 10))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          array_join(transform(PgConverters.arrayOf(PgConverters.dateToDays)(arr),
+            _.cast("string")), ",").as("days_arr"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "conv_array_ts_millis" -> ((s, dir) => {
+      val arr = array(col("l_shipdate"), expr("l_shipdate + INTERVAL 1 DAY"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          array_join(transform(PgConverters.arrayOf(PgConverters.timestampToMillis)(arr),
+            _.cast("string")), ",").as("ms_arr"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "conv_array_bits" -> ((s, dir) => {
+      val arr = array(pmod(col("user_id"), lit(256)), pmod(col("event_id"), lit(256)))
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          array_join(PgConverters.arrayOf(c => PgConverters.bitsToString(c, 8))(arr), ",")
+            .as("bits_arr"))
+        .orderBy(col("event_id"))
+    }),
+
     // ============ training-data pipeline: text analysis ============
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityFeatures(Tables.documents(s, dir)).orderBy(col("doc_id"))),
@@ -578,6 +770,16 @@ object SparkEntry {
         .orderBy(col("tbl"))
     })
   )
+
+  /** DuckDB twin of `PgConverters.timestamptzNanosToText` for a nanos
+    * expression (used by conv_timestamptz_text and conv_tsrange_string). */
+  private def duckTsText(n: String): String =
+    // single line: this splices into outer stripMargin strings, where a
+    // line-leading '||' would lose a pipe to margin stripping
+    s"strftime(make_timestamp((($n) // 1000000000) * 1000000), '%Y-%m-%dT%H:%M:%S') || " +
+    s"CASE WHEN ($n) % 1000000000 > 0 THEN '.' || " +
+    s"regexp_replace(lpad(CAST((($n) % 1000000000) // 1000 * 1000 AS VARCHAR), 9, '0'), '0+$$', '') " +
+    s"ELSE '' END || 'Z'"
 
   /** DuckDB-runnable oracle SQL, column-aliased identically to `queries`. */
   def oracleSql: Map[String, String] = Map(
@@ -941,6 +1143,134 @@ object SparkEntry {
     "conv_point_string" ->
       """SELECT event_id,
         |  concat('(', CAST(user_id AS VARCHAR), ',', CAST((epoch_ns(ts) % 1000000000) // 1000000 AS VARCHAR), ')') AS point_text
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "conv_uuid_string" ->
+      """SELECT event_id, concat_ws('-',
+        |  substr(md5(CAST(event_id AS VARCHAR)), 1, 8),
+        |  substr(md5(CAST(event_id AS VARCHAR)), 9, 4),
+        |  substr(md5(CAST(event_id AS VARCHAR)), 13, 4),
+        |  substr(md5(CAST(event_id AS VARCHAR)), 17, 4),
+        |  substr(md5(CAST(event_id AS VARCHAR)), 21, 12)) AS uuid_text
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "conv_inet_string" ->
+      """SELECT event_id,
+        |  concat('10.', CAST(user_id % 256 AS VARCHAR), '.', CAST(event_id % 256 AS VARCHAR), '.1/24') AS cidr4,
+        |  concat('fe80::', lower(hex(user_id % 65536))) AS inet6
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "conv_macaddr_string" ->
+      """SELECT event_id,
+        |  printf('%02x:%02x:%02x:%02x:%02x:%02x',
+        |    ((event_id * 65536 + user_id) >> 40) & 255, ((event_id * 65536 + user_id) >> 32) & 255,
+        |    ((event_id * 65536 + user_id) >> 24) & 255, ((event_id * 65536 + user_id) >> 16) & 255,
+        |    ((event_id * 65536 + user_id) >> 8) & 255, (event_id * 65536 + user_id) & 255) AS mac,
+        |  printf('%02x:%02x:%02x:%02x:%02x:%02x:%02x:%02x',
+        |    ((event_id * 4294967296 + user_id) >> 56) & 255, ((event_id * 4294967296 + user_id) >> 48) & 255,
+        |    ((event_id * 4294967296 + user_id) >> 40) & 255, ((event_id * 4294967296 + user_id) >> 32) & 255,
+        |    ((event_id * 4294967296 + user_id) >> 24) & 255, ((event_id * 4294967296 + user_id) >> 16) & 255,
+        |    ((event_id * 4294967296 + user_id) >> 8) & 255, (event_id * 4294967296 + user_id) & 255) AS mac8
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "conv_enum_string" ->
+      """SELECT event_id, event_type AS enum_val FROM events ORDER BY event_id""".stripMargin,
+
+    "conv_composite_json" ->
+      """SELECT event_id,
+        |  CAST(to_json(struct_pack(user_id := user_id, kind := event_type)) AS VARCHAR) AS comp_json
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "conv_hstore_text" ->
+      """SELECT event_id, 'a,b' AS hs_keys,
+        |  concat(CAST(user_id AS VARCHAR), ',', CAST(event_id % 10 AS VARCHAR)) AS hs_vals
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "conv_uint32_long" ->
+      """SELECT event_id,
+        |  CASE WHEN (event_id * 2654435761) % 4294967296 - 2147483648 < 0
+        |       THEN (event_id * 2654435761) % 4294967296 - 2147483648 + 4294967296
+        |       ELSE (event_id * 2654435761) % 4294967296 - 2147483648 END AS uval
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "conv_scalar_widths" ->
+      """SELECT event_id, CAST(user_id % 32768 AS SMALLINT) AS i16,
+        |  CAST(CAST(value AS REAL) AS DOUBLE) AS f4d,
+        |  event_id % 2 = 0 AS is_even
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "conv_tsrange_string" ->
+      s"""SELECT event_id,
+         |  concat('[', ${duckTsText("epoch_ns(ts)")}, ',', ${duckTsText("epoch_ns(ts) + 3600000000000")}, ')') AS tsrange_text
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    "conv_daterange_string" ->
+      """SELECT o_orderkey,
+        |  concat('[', strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d'), ',',
+        |         strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d'), ')') AS daterange_text
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "conv_geo_shapes" ->
+      """SELECT event_id,
+        |  concat('(', CAST(user_id AS VARCHAR), ',', CAST(event_id % 100 AS VARCHAR), '),(',
+        |         CAST(user_id + 10 AS VARCHAR), ',', CAST(event_id % 100 + 10 AS VARCHAR), ')') AS box_text,
+        |  concat('{', CAST(user_id AS VARCHAR), ',', CAST(event_id % 7 + 1 AS VARCHAR), ',3}') AS line_text,
+        |  concat('[(', CAST(user_id AS VARCHAR), ',', CAST(event_id % 100 AS VARCHAR), '),(',
+        |         CAST(user_id + 5 AS VARCHAR), ',', CAST(event_id % 100 + 5 AS VARCHAR), ')]') AS lseg_text,
+        |  concat('<(', CAST(user_id AS VARCHAR), ',', CAST(event_id % 100 AS VARCHAR), '),7>') AS circle_text,
+        |  concat('((', CAST(user_id AS VARCHAR), ',', CAST(event_id % 100 AS VARCHAR), '),(',
+        |         CAST(user_id + 1 AS VARCHAR), ',', CAST(event_id % 100 AS VARCHAR), '),(',
+        |         CAST(user_id AS VARCHAR), ',', CAST(event_id % 100 + 1 AS VARCHAR), '))') AS poly_text
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "conv_ltree_xml_char" ->
+      """SELECT event_id,
+        |  concat('root.u', CAST(user_id AS VARCHAR), '.e', CAST(event_id % 10 AS VARCHAR)) AS ltree_path,
+        |  concat('<e id="', CAST(event_id AS VARCHAR), '"/>') AS xml_text,
+        |  substr(event_type, 1, 1) AS qchar,
+        |  rpad(event_type, 12, ' ') AS bp12
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "conv_timetz_text" ->
+      """SELECT event_id,
+        |  strftime(make_timestamp(epoch_ns(ts) // 1000), '%H:%M:%S.%f') || '+00' AS timetz_text
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "conv_interval_negative" ->
+      """SELECT event_id,
+        |  (user_id - 100) * 2629800000000 + (event_id % 30 - 15) * 86400000000
+        |    + (epoch_ns(ts) % 1000000000) // 1000 AS interval_us
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "conv_numeric_edges" ->
+      """SELECT event_id,
+        |  event_id / 1000.0 AS small_val,
+        |  event_id * 1000000000000.0 AS big_val,
+        |  -(event_id / 7.0) AS frac_val
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "conv_array_long" ->
+      """SELECT event_id,
+        |  array_to_string(list_transform(
+        |    [CAST(user_id % 100 AS INTEGER) - 50, CAST(event_id % 97 AS INTEGER) - 48],
+        |    x -> CASE WHEN x < 0 THEN CAST(x AS BIGINT) + 4294967296 ELSE CAST(x AS BIGINT) END), ',') AS arr_vals
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "conv_array_date_days" ->
+      """SELECT o_orderkey,
+        |  array_to_string([
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)),
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE) + 10)], ',') AS days_arr
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "conv_array_ts_millis" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  array_to_string([epoch_ms(l_shipdate), epoch_ms(l_shipdate + INTERVAL 1 DAY)], ',') AS ms_arr
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "conv_array_bits" ->
+      """SELECT event_id,
+        |  array_to_string([lpad(bin(user_id % 256), 8, '0'), lpad(bin(event_id % 256), 8, '0')], ',') AS bits_arr
         |FROM events ORDER BY event_id""".stripMargin,
 
     "text_quality" ->

@@ -100,6 +100,64 @@ object PgConverters {
   def boxToText(x1: Column, y1: Column, x2: Column, y2: Column): Column =
     concat(pointToText(x1, y1), lit(","), pointToText(x2, y2))
 
+  /** `line` → STRING `{A,B,C}` (PG linear-equation form) —
+    * geometry text forms, `builtin_converters.go:417-572`. */
+  def lineToText(a: Column, b: Column, c: Column): Column =
+    concat(lit("{"), a.cast(StringType), lit(","), b.cast(StringType),
+      lit(","), c.cast(StringType), lit("}"))
+
+  /** `lseg` → STRING `[(x1,y1),(x2,y2)]`. */
+  def lsegToText(x1: Column, y1: Column, x2: Column, y2: Column): Column =
+    concat(lit("["), pointToText(x1, y1), lit(","), pointToText(x2, y2), lit("]"))
+
+  /** `path` → STRING: closed `((x,y),...)`, open `[(x,y),...]`. */
+  def pathToText(closed: Boolean, points: (Column, Column)*): Column = {
+    val body = points.map { case (x, y) => pointToText(x, y) }
+      .reduce((a, b) => concat(a, lit(","), b))
+    if (closed) concat(lit("("), body, lit(")"))
+    else concat(lit("["), body, lit("]"))
+  }
+
+  /** `polygon` → STRING `((x1,y1),...,(xn,yn))`. */
+  def polygonToText(points: (Column, Column)*): Column =
+    pathToText(closed = true, points: _*)
+
+  /** `circle` → STRING `<(x,y),r>`. */
+  def circleToText(x: Column, y: Column, r: Column): Column =
+    concat(lit("<"), pointToText(x, y), lit(","), r.cast(StringType), lit(">"))
+
+  /** `macaddr` → STRING `aa:bb:cc:dd:ee:ff` from the low 48 bits of a
+    * long; `macaddr8` (EUI-64) takes the low 64. pgx hands the reference
+    * the text form — here the formatter IS the converter, kept in codegen
+    * via format_string. */
+  def macaddrToText(v: Column): Column =
+    format_string("%02x:%02x:%02x:%02x:%02x:%02x",
+      shiftright(v, 40).bitwiseAND(255), shiftright(v, 32).bitwiseAND(255),
+      shiftright(v, 24).bitwiseAND(255), shiftright(v, 16).bitwiseAND(255),
+      shiftright(v, 8).bitwiseAND(255), v.bitwiseAND(255))
+  def macaddr8ToText(v: Column): Column =
+    format_string("%02x:%02x:%02x:%02x:%02x:%02x:%02x:%02x",
+      shiftrightunsigned(v, 56).bitwiseAND(255), shiftright(v, 48).bitwiseAND(255),
+      shiftright(v, 40).bitwiseAND(255), shiftright(v, 32).bitwiseAND(255),
+      shiftright(v, 24).bitwiseAND(255), shiftright(v, 16).bitwiseAND(255),
+      shiftright(v, 8).bitwiseAND(255), v.bitwiseAND(255))
+
+  /** `uuid` → STRING 8-4-4-4-12 from 32 hex chars —
+    * `builtin_converters.go:300-318` renders the canonical text form. */
+  def uuidFromHex32(hex32: Column): Column =
+    concat_ws("-",
+      substring(hex32, 1, 8), substring(hex32, 9, 4), substring(hex32, 13, 4),
+      substring(hex32, 17, 4), substring(hex32, 21, 12))
+
+  /** `timetz` → STRING `HH:MM:SS.ffffff+00` (UTC-normalized, the
+    * reference emits the session-UTC text form). */
+  def timetzToText(c: Column): Column =
+    concat(date_format(c, "HH:mm:ss.SSSSSS"), lit("+00"))
+
+  /** `char(n)` blank-padding: PG bpchar semantics — stored values are
+    * space-padded to the declared width; passthrough must preserve it. */
+  def bpcharPad(c: Column, n: Int): Column = rpad(c.cast(StringType), n, " ")
+
   /** hstore → MAP(string,string) — `builtin_converters.go:399-415`,
     * schema `schemabuilder.go:181-183`. */
   def hstoreToMap(jsonText: Column): Column =
