@@ -672,6 +672,11 @@ object SparkEntry {
         .orderBy(col("lsn"))
     }),
 
+    "cdc_envelope_schema" -> ((s, dir) => {
+      // full Debezium {payload, schema} artifact with per-kind key blocks
+      Cdc.envelopeWithSchema(s, dir).orderBy(col("lsn"))
+    }),
+
     "cdc_filter_paths" -> ((s, dir) => {
       // envelope field paths + `in` list (eventfilter.go env mapping)
       graft.filter.EventFilter("""value.op == "u" || value.after.user_id in [1, 2, 3]""")
@@ -1031,6 +1036,45 @@ object SparkEntry {
          |FROM events
          |WHERE $opCaseSql = 'c' AND user_id > 5
          |ORDER BY lsn""".stripMargin,
+
+    "cdc_envelope_schema" -> {
+      // the schema literals come from the SAME generator as the Spark
+      // side (Cdc.events*SchemaJson) — contain only double quotes, safe
+      // to splice into single-quoted SQL literals
+      val env = graft.cdc.Cdc.eventsEnvelopeSchemaJson
+      val pkKey = graft.cdc.Cdc.eventsPkKeySchemaJson
+      val msgKey = graft.model.DebeziumSchema.messageKeySchemaJson
+      s"""WITH w AS (
+         |  SELECT event_id, user_id, value, props, event_id AS lsn,
+         |    event_id // 10 AS xid, epoch_ns(ts) // 1000000 AS ts_ms,
+         |    $opCaseSql AS op
+         |  FROM events),
+         |j AS (
+         |  SELECT lsn, op, ts_ms, event_id,
+         |    '{"event_id":' || CAST(event_id AS VARCHAR) || ',"props":' || props
+         |      || ',"user_id":' || CAST(user_id AS VARCHAR)
+         |      || ',"value_cents":' || CAST(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS VARCHAR) || '}' AS rowj,
+         |    '{"connector":"spark-graft","db":"graft","lsn":"0/' || upper(hex(lsn))
+         |      || '","name":"graft","schema":"public","snapshot":false,"table":"events","ts_ms":'
+         |      || CAST(ts_ms AS VARCHAR) || ',"txId":' || CAST(event_id // 10 AS VARCHAR)
+         |      || ',"version":"0.1.0"}' AS srcj,
+         |    '{"content":"' || to_base64(encode(props)) || '","prefix":"graft-msg"}' AS msgj
+         |  FROM w),
+         |t AS (
+         |  SELECT *, ',"op":"' || op || '","source":' || srcj || ',"ts_ms":' || CAST(ts_ms AS VARCHAR) || '}' AS tailj
+         |  FROM j)
+         |SELECT lsn,
+         |  '{"payload":' || CASE
+         |     WHEN op IN ('r','c') THEN '{"after":' || rowj || tailj
+         |     WHEN op = 'u' THEN '{"after":' || rowj || ',"before":' || rowj || tailj
+         |     WHEN op = 'd' THEN '{"before":' || rowj || tailj
+         |     ELSE '{"message":' || msgj || tailj END
+         |    || ',"schema":$env}' AS envelope,
+         |  '{"payload":' || CASE WHEN op = 'm' THEN '{"prefix":"graft-msg"}'
+         |     ELSE '{"event_id":' || CAST(event_id AS VARCHAR) || '}' END
+         |    || ',"schema":' || CASE WHEN op = 'm' THEN '$msgKey' ELSE '$pkKey' END || '}' AS key_json
+         |FROM t ORDER BY lsn""".stripMargin
+    },
 
     "cdc_filter_paths" ->
       s"""SELECT event_id AS lsn, $opCaseSql AS op, user_id

@@ -376,10 +376,93 @@ object Cdc {
       after  = when(col("op").isin(Envelope.Op.Read, Envelope.Op.Create, Envelope.Op.Update), rowStruct),
       source = source,
       tsMs   = col("ts_ms"))
+    // full self-describing artifact: payload JSON (codegen to_json) +
+    // the plan-time-constant schema descriptor (DebeziumSchema §1.3)
+    val rowSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType), StructField("props", StringType,
+        nullable = true, new MetadataBuilder()
+          .putString("debezium.name", graft.model.DebeziumSchema.JsonSchemaName).build())))
+    val schemaJson = graft.model.DebeziumSchema
+      .envelopeSchemaJson(rowSchema, "graft.public.events")
+    val keySchemaJson = graft.model.DebeziumSchema
+      .keySchemaJson("graft.public.events", Seq("event_id" -> LongType))
     wal.select(
       col("lsn"),
-      to_json(struct(payload.as("payload"))).as("envelope"),
-      to_json(struct(col("event_id"))).as("key"))
+      concat(lit("{\"payload\":"), to_json(struct(payload.as("payload"))),
+        lit(",\"schema\":"), lit(schemaJson), lit("}")).as("envelope"),
+      concat(lit("{\"payload\":"), to_json(struct(col("event_id"))),
+        lit(",\"schema\":"), lit(keySchemaJson), lit("}")).as("key"))
+  }
+
+  /** Oracle-parity variant of the full `{payload, schema}` envelope: the
+    * JSON is assembled with string concatenation (still one codegen
+    * projection) so an independent engine can build the byte-identical
+    * text. Key blocks follow the per-event-kind rules
+    * (`eventschema.go:180-197`): op='m' → `{prefix}` with the message key
+    * schema, otherwise the PK key. Object keys are in Go-map-marshal
+    * (sorted) order throughout.
+    */
+  /** Plan-time schema constants for the events table envelope — shared
+    * between the Spark query and the oracle SQL generator so both sides
+    * embed the byte-identical descriptor. */
+  val EventsTopic = "graft.public.events"
+  lazy val eventsRowSchemaJson: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("props", StringType,
+      nullable = true, new MetadataBuilder()
+        .putString("debezium.name", graft.model.DebeziumSchema.JsonSchemaName).build()),
+    StructField("user_id", LongType), StructField("value_cents", LongType)))
+  lazy val eventsEnvelopeSchemaJson: String =
+    graft.model.DebeziumSchema.envelopeSchemaJson(eventsRowSchemaJson, EventsTopic)
+  lazy val eventsPkKeySchemaJson: String =
+    graft.model.DebeziumSchema.keySchemaJson(EventsTopic, Seq("event_id" -> LongType))
+
+  def envelopeWithSchema(spark: SparkSession, dir: String,
+                         dbName: String = "graft"): DataFrame = {
+    val wal = walEvents(spark, dir)
+    val schemaJson = eventsEnvelopeSchemaJson
+
+    // row image: alphabetical keys; props embeds raw (it IS json); money
+    // as integer cents (representation-stable across engines)
+    val rowJson = concat(
+      lit("{\"event_id\":"), col("event_id"),
+      lit(",\"props\":"), col("props"),
+      lit(",\"user_id\":"), col("user_id"),
+      lit(",\"value_cents\":"), floor(col("value") * 100.0 + 0.5).cast(LongType),
+      lit("}"))
+    val srcJson = concat(
+      lit(s"""{"connector":"${Envelope.ConnectorName}","db":"$dbName","lsn":"0/"""),
+      upper(hex(col("lsn"))),
+      lit(s"""","name":"$dbName","schema":"public","snapshot":false,"table":"events","ts_ms":"""),
+      col("ts_ms"), lit(",\"txId\":"), col("xid"),
+      lit(s""","version":"${Envelope.Version}"}"""))
+    val msgJson = concat(
+      lit("{\"content\":\""), base64(col("props").cast(BinaryType)),
+      lit("\",\"prefix\":\"graft-msg\"}"))
+    def tail = concat(lit(",\"op\":\""), col("op"), lit("\",\"source\":"),
+      srcJson, lit(",\"ts_ms\":"), col("ts_ms"), lit("}"))
+    val payload =
+      when(col("op").isin(Envelope.Op.Read, Envelope.Op.Create),
+        concat(lit("{\"after\":"), rowJson, tail))
+      .when(col("op") === Envelope.Op.Update,
+        concat(lit("{\"after\":"), rowJson, lit(",\"before\":"), rowJson, tail))
+      .when(col("op") === Envelope.Op.Delete,
+        concat(lit("{\"before\":"), rowJson, tail))
+      .otherwise( // op='m' — logical message block (eventschema.go:325-341)
+        concat(lit("{\"message\":"), msgJson, tail))
+    val keyPayload =
+      when(col("op") === Envelope.Op.Message, lit("{\"prefix\":\"graft-msg\"}"))
+        .otherwise(concat(lit("{\"event_id\":"), col("event_id"), lit("}")))
+    val keySchema =
+      when(col("op") === Envelope.Op.Message,
+        lit(graft.model.DebeziumSchema.messageKeySchemaJson))
+      .otherwise(lit(eventsPkKeySchemaJson))
+    wal.select(
+      col("lsn"),
+      concat(lit("{\"payload\":"), payload, lit(",\"schema\":"), lit(schemaJson),
+        lit("}")).as("envelope"),
+      concat(lit("{\"payload\":"), keyPayload, lit(",\"schema\":"), keySchema,
+        lit("}")).as("key_json"))
   }
 
   /** The full normalize stage: WAL rows → resolved + enveloped events.
