@@ -27,11 +27,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *   .load()
   * }}}
   *
-  * This implementation materializes the WAL stand-in (events parquet,
-  * lsn = event_id) at stream construction — correct for the harness's
-  * bounded testdata; a production pgoutput source keeps the same
-  * offset/partition contract but holds a replication socket in each
-  * `PartitionReader` instead.
+  * Scale design: the driver holds ONLY the LSN cursor — it reads the
+  * parquet footer for the record count, never row data. Each
+  * `InputPartition` carries an `(lo, hi)` LSN range and its reader scans
+  * that range itself (parquet-hadoop with an lsn range filter pushed to
+  * row groups), exactly how a production pgoutput source would hold a
+  * per-reader replication-socket cursor. Driver heap stays O(1) in the
+  * WAL size.
   */
 class WalDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = WalDataSource.schema
@@ -74,21 +76,16 @@ case class LsnOffset(lsn: Long) extends Offset {
   override def json(): String = s"""{"lsn":$lsn}"""
 }
 
-case class WalRow(lsn: Long, xid: Long, op: String, tsMs: Long,
-                  eventId: Long, userId: Long, value: Double, props: String)
-
 class WalMicroBatchStream(path: String, batchSize: Int)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
-  // WAL stand-in materialized once per stream (bounded testdata); a
-  // production source replaces this with a replication-slot cursor.
-  private lazy val rows: Array[WalRow] = {
-    val spark = SparkSession.active
-    graft.cdc.Cdc.walEvents(spark, path)
-      .selectExpr("lsn", "xid", "op", "ts_ms", "event_id", "user_id", "value", "props")
-      .orderBy("lsn")
-      .collect()
-      .map(r => WalRow(r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
-        r.getLong(4), r.getLong(5), r.getDouble(6), r.getString(7)))
+  // Driver-side state is the record count alone, read from the parquet
+  // FOOTER (metadata only — no row data crosses the driver).
+  private lazy val maxLsn: Long = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val file = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(s"$path/events.parquet"), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(file)
+    try reader.getRecordCount finally reader.close()
   }
 
   override def initialOffset(): Offset = LsnOffset(0L)
@@ -100,9 +97,9 @@ class WalMicroBatchStream(path: String, batchSize: Int)
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchSize)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val lo = start.asInstanceOf[LsnOffset].lsn
-    LsnOffset(math.min(lo + batchSize, rows.length.toLong))
+    LsnOffset(math.min(lo + batchSize, maxLsn))
   }
-  override def reportLatestOffset(): Offset = LsnOffset(rows.length.toLong)
+  override def reportLatestOffset(): Offset = LsnOffset(maxLsn)
   override def prepareForTriggerAvailableNow(): Unit = ()
   override def deserializeOffset(json: String): Offset =
     LsnOffset("""\d+""".r.findFirstIn(json).map(_.toLong).getOrElse(0L))
@@ -112,30 +109,76 @@ class WalMicroBatchStream(path: String, batchSize: Int)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[LsnOffset].lsn
     val hi = end.asInstanceOf[LsnOffset].lsn
-    // serve the window in batchSize slices — per-slice partitions keep
+    // partitions carry (lo, hi) LSN ranges only — per-range readers keep
     // per-key order within a partition (T6 relaxation)
     (lo until hi by batchSize).map { s =>
-      WalInputPartition(rows.slice(s.toInt, math.min(s + batchSize, hi).toInt))
-        .asInstanceOf[InputPartition]
+      WalRangePartition(path, s, math.min(s + batchSize, hi)): InputPartition
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-        val rs = partition.asInstanceOf[WalInputPartition].rows
-        new PartitionReader[InternalRow] {
-          private var i = -1
-          override def next(): Boolean = { i += 1; i < rs.length }
-          override def get(): InternalRow = {
-            val r = rs(i)
-            InternalRow(r.lsn, r.xid, UTF8String.fromString(r.op), r.tsMs,
-              r.eventId, r.userId, r.value, UTF8String.fromString(r.props))
-          }
-          override def close(): Unit = ()
-        }
+        val p = partition.asInstanceOf[WalRangePartition]
+        new WalRangeReader(p.path, p.lo, p.hi)
       }
     }
 }
 
-case class WalInputPartition(rows: Array[WalRow]) extends InputPartition
+/** An LSN half-open range `[lo, hi)` — the only thing shipped to
+  * executors; the reader re-opens the WAL (file) itself. */
+case class WalRangePartition(path: String, lo: Long, hi: Long) extends InputPartition
+
+/** Executor-side range scan: parquet-hadoop reader with the lsn range
+  * pushed as a row-group + record filter, decoding straight to the WAL
+  * shape (op mapping, ts_ms, xid — the `Cdc.shapeWal` contract). */
+class WalRangeReader(path: String, lo: Long, hi: Long)
+    extends PartitionReader[InternalRow] {
+  import org.apache.parquet.filter2.compat.FilterCompat
+  import org.apache.parquet.filter2.predicate.FilterApi
+  import org.apache.parquet.hadoop.ParquetReader
+  import org.apache.parquet.hadoop.example.GroupReadSupport
+  import org.apache.parquet.example.data.Group
+
+  private val reader: ParquetReader[Group] = {
+    val pred = FilterApi.and(
+      FilterApi.gtEq(FilterApi.longColumn("event_id"), java.lang.Long.valueOf(lo)),
+      FilterApi.lt(FilterApi.longColumn("event_id"), java.lang.Long.valueOf(hi)))
+    ParquetReader.builder(new GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(s"$path/events.parquet"))
+      .withConf(new org.apache.hadoop.conf.Configuration())
+      .withFilter(FilterCompat.get(pred))
+      .build()
+  }
+
+  private var current: Group = _
+  override def next(): Boolean = { current = reader.read(); current != null }
+
+  override def get(): InternalRow = {
+    val g = current
+    def has(field: String): Boolean = g.getFieldRepetitionCount(field) > 0
+    val eventId = g.getLong("event_id", 0)
+    val tsNanos = g.getLong("ts", 0)
+    val eventType = g.getBinary("event_type", 0).toStringUsingUTF8
+    // op mapping — the same event_type→op rule as Cdc.opExpr
+    val op = eventType match {
+      case "signup"   => "c"
+      case "purchase" => "u"
+      case "error"    => "d"
+      case "view"     => "r"
+      case _          => "m"
+    }
+    InternalRow(
+      eventId,                        // lsn
+      eventId / 10,                   // xid
+      UTF8String.fromString(op),
+      tsNanos / 1000000L,             // ts_ms
+      eventId,
+      g.getLong("user_id", 0),
+      if (has("value")) g.getDouble("value", 0) else null.asInstanceOf[Any],
+      if (has("props")) UTF8String.fromString(g.getBinary("props", 0).toStringUsingUTF8)
+      else null)
+  }
+
+  override def close(): Unit = reader.close()
+}

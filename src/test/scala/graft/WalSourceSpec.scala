@@ -39,4 +39,39 @@ class WalSourceSpec extends SparkSpec {
     run()
     assert(sink.rows.size === 1000, "no re-emission after restart")
   }
+
+  test("range readers decode identically to the batch WAL path") {
+    val q = readWal.writeStream.format("memory").queryName("wal_decode")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql(
+      "SELECT lsn, xid, op, ts_ms, event_id, user_id, value, props FROM wal_decode ORDER BY lsn")
+      .collect()
+    val batch = graft.cdc.Cdc.walEvents(spark, sf001)
+      .selectExpr("lsn", "xid", "op", "ts_ms", "event_id", "user_id", "value", "props")
+      .orderBy("lsn").collect()
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+  }
+
+  test("restart recovery at sf0.1 with a heap-bounded driver (100k events)") {
+    val ckpt = java.nio.file.Files.createTempDirectory("wal-src-ckpt-sf01").toString
+    val sink = new graft.sinks.CollectorSink
+    def run(): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.WalDataSource")
+        .option("path", "/root/testdata/sf0.1")
+        .option("batchSize", "20000")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => sink.emit(b, id))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+    }
+    run()
+    assert(sink.rows.size === 100000)
+    run()
+    assert(sink.rows.size === 100000, "no re-emission after restart")
+  }
 }
