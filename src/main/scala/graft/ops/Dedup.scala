@@ -38,8 +38,20 @@ object Dedup {
     * threshold as an integer inequality `shared*10 >= t10*(|A|+|B|-shared)`
     * to keep the predicate float-free for oracle parity.
     */
-  def jaccardPairs(df: DataFrame, n: Int = 3, threshold10: Int = 4): DataFrame = {
-    val sh = shingles(df, n).cache()
+  def jaccardPairs(df: DataFrame, n: Int = 3, threshold10: Int = 4,
+                   dfCap: Int = Int.MaxValue): DataFrame = {
+    // df-cap: a shingle appearing in f docs contributes f² join rows, so
+    // one viral boilerplate shingle at 100 TB is a quadratic hot key AQE
+    // can only partially split. Dropping shingles with document frequency
+    // above the cap bounds the worst key at dfCap² (standard stop-shingle
+    // practice; both intersections and sizes use the capped universe, so
+    // Jaccard stays internally consistent). Window over shingle reuses
+    // the same shuffle the self-join needs.
+    val raw = shingles(df, n)
+    val sh = (if (dfCap == Int.MaxValue) raw
+              else raw.withColumn("df",
+                  count(lit(1)).over(Window.partitionBy(col("shingle"))))
+                .filter(col("df") <= dfCap).drop("df")).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -88,10 +100,13 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, n: Int = 3, k: Int = 16, rows: Int = 4): DataFrame = {
     val sig = minhashSignatures(df, n, k)
     val nBands = k / rows
-    val banded = (0 until nBands).map { b =>
-      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh_$i"))
-      sig.select(col("doc_id"), lit(b).as("band"), xxhash64(cols: _*).as("band_hash"))
-    }.reduce(_ unionByName _)
+    // posexplode over an array of band hashes: ONE pass over the
+    // signatures instead of an nBands-way union re-scanning them
+    val bandHashes = (0 until nBands).map { b =>
+      xxhash64((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*)
+    }
+    val banded = sig.select(col("doc_id"),
+      posexplode(array(bandHashes: _*)).as(Seq("band", "band_hash")))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -119,10 +134,9 @@ object Dedup {
 
   def simhashPairs(df: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sig = simhash(df)
-    val banded = (0 until 4).map { b =>
-      sig.select(col("doc_id"), lit(b).as("band"),
-        expr(s"(simhash >> ${b * 16}) & 65535").as("band_bits"), col("simhash"))
-    }.reduce(_ unionByName _)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        expr(s"(simhash >> ${b * 16}) & 65535")): _*)).as(Seq("band", "band_bits")))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_bits") === col("b.band_bits") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -143,22 +157,30 @@ object Dedup {
     * same idea with better skew bounds at web scale).
     */
   def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (eager) both materializes for reuse AND truncates
+    // lineage so round N's plan doesn't replay rounds 1..N-1
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
-      .distinct().cache()
+      .distinct().localCheckpoint(true)
     var labels = edges.select(col("a").as("doc")).distinct()
-      .withColumn("label", col("doc")).cache()
-    var changed = 1L
+      .withColumn("label", col("doc")).localCheckpoint(true)
+    // convergence = stable order-independent checksum of the assignment:
+    // one cheap scan over the just-materialized labels instead of the
+    // old join + count per round (which doubled per-round cost)
+    def checksum(df: DataFrame): Long =
+      df.agg(expr("bit_xor(xxhash64(doc, label))")).head.getLong(0)
+    var prev = checksum(labels)
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    var converged = false
+    while (!converged && iter < maxIter) {
       val prop = edges.join(labels, edges("b") === labels("doc"))
         .select(edges("a").as("doc"), col("label"))
-      val next = labels.unionByName(prop)
-        .groupBy(col("doc")).agg(min(col("label")).as("label")).cache()
-      changed = next.as("n").join(labels.as("o"), "doc")
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels.unpersist()
-      labels = next
+      labels = labels.unionByName(prop)
+        .groupBy(col("doc")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      val sum = checksum(labels)
+      converged = sum == prev // min-propagation is monotone: stable ⇒ done
+      prev = sum
       iter += 1
     }
     labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))

@@ -101,6 +101,17 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("shingle df-cap is a no-op below the cap and prunes hot shingles above it") {
+    // at sf0.001 no shingle is near df=50, so capped ≡ uncapped
+    val uncapped = Dedup.jaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.jaccardPairs(docs, dfCap = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === uncapped)
+    // a cap of 1 removes every shared shingle → no candidate pairs at all
+    assert(Dedup.jaccardPairs(docs, dfCap = 1).count() === 0L)
+  }
+
   test("cosine top-k ranks are 1..k and neighbors are distinct") {
     val emb = Tables.embeddings(spark, sf001)
     val topk = Similarity.cosineTopK(emb.filter(col("vec_id") < 5), emb, 3).collect()
