@@ -672,6 +672,18 @@ object SparkEntry {
         .orderBy(col("lsn"))
     }),
 
+    "cdc_truncate" -> ((s, dir) => {
+      // T-op fan-out with distinct-by-canonical-name (OnTruncateEvent)
+      Cdc.truncateEvents(Cdc.walEvents(s, dir),
+          Cdc.chunkCatalog(s, dir), Cdc.hypertableCatalog(s))
+        .orderBy(col("xid"))
+    }),
+
+    "cdc_message_txn_flag" -> ((s, dir) => {
+      Cdc.logicalMessagesTxn(Cdc.walEvents(s, dir))
+        .orderBy(col("lsn"))
+    }),
+
     "cdc_envelope_schema" -> ((s, dir) => {
       // full Debezium {payload, schema} artifact with per-kind key blocks
       Cdc.envelopeWithSchema(s, dir).orderBy(col("lsn"))
@@ -1035,6 +1047,26 @@ object SparkEntry {
       s"""SELECT event_id AS lsn, $opCaseSql AS op, user_id
          |FROM events
          |WHERE $opCaseSql = 'c' AND user_id > 5
+         |ORDER BY lsn""".stripMargin,
+
+    "cdc_truncate" ->
+      s"""SELECT MIN(event_id) AS lsn, event_id // 10 AS xid, 't' AS op,
+         |  'public' AS schema_name, 'events' AS table_name,
+         |  MIN(epoch_ns(ts) // 1000000) AS ts_ms,
+         |  CAST(NULL AS VARCHAR) AS before, CAST(NULL AS VARCHAR) AS after
+         |FROM events
+         |WHERE $opCaseSql = 'd'
+         |GROUP BY xid, schema_name, table_name
+         |ORDER BY xid""".stripMargin,
+
+    "cdc_message_txn_flag" ->
+      s"""SELECT event_id AS lsn,
+         |  event_id % 2 = 0 AS transactional,
+         |  CASE WHEN event_id % 2 = 0 THEN event_id // 10 END AS tx_id,
+         |  CASE WHEN event_id % 2 = 0 THEN epoch_ns(ts) // 1000000 END AS msg_ts_ms,
+         |  'graft' AS prefix, to_base64(encode(props)) AS content
+         |FROM events
+         |WHERE $opCaseSql = 'm'
          |ORDER BY lsn""".stripMargin,
 
     "cdc_envelope_schema" -> {

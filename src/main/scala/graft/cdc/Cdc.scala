@@ -252,6 +252,54 @@ object Cdc {
       .select(col("lsn"), col("op"), lit(prefix).as("prefix"),
         base64(col("props").cast("binary")).as("content"))
 
+  /** Truncate-event flow (op `t`) — `logicalreplicationresolver/
+    * replicationresolver.go:453-519` (OnTruncateEvent): a truncate
+    * message names a set of relations; each resolves chunk→hypertable,
+    * catalog tables are skipped, and the result is de-duplicated by
+    * canonical table name before one truncate event per table is
+    * emitted with NO before/after images.
+    *
+    * Model: delete-op WAL entries act as the truncate markers; one
+    * message per transaction (xid). The distinct-by-canonical-name
+    * fan-out is the groupBy; resolution is the same broadcast joins as
+    * the hot path (zero shuffle on the event side beyond the final
+    * per-xid aggregate).
+    */
+  def truncateEvents(wal: DataFrame, chunks: DataFrame,
+                     hypertables: DataFrame): DataFrame =
+    wal.filter(col("op") === Envelope.Op.Delete)
+      .join(broadcast(chunks), Seq("chunk_day"))
+      .join(broadcast(hypertables), Seq("hypertable_id"))
+      // UniqBy canonical name within the message (= xid here)
+      .groupBy(col("xid"), col("ht_schema"), col("ht_table"))
+      .agg(min(col("lsn")).as("lsn"), min(col("ts_ms")).as("ts_ms"))
+      .select(col("lsn"), col("xid"), lit(Envelope.Op.Truncate).as("op"),
+        col("ht_schema").as("schema_name"), col("ht_table").as("table_name"),
+        col("ts_ms"),
+        // eventschema.go TruncateEvent: no row images
+        lit(null).cast(StringType).as("before"),
+        lit(null).cast(StringType).as("after"))
+
+  /** Transactional vs non-transactional logical messages —
+    * `spi/pgtypes/logicalreplicationmessage.go:35-37` +
+    * `eventemitter.go:408-421`: a transactional message carries the
+    * transaction's id and is stamped with the server WAL time; a
+    * non-transactional one has no txId and the reference stamps it with
+    * the emitter's wall clock (not reproducible — surfaced as NULL here;
+    * the production sink substitutes its own receive time).
+    * Transactionality modeled as even-LSN (deterministic for the oracle).
+    */
+  def logicalMessagesTxn(wal: DataFrame, prefix: String = "graft"): DataFrame = {
+    val transactional = pmod(col("lsn"), lit(2)) === 0
+    wal.filter(col("op") === Envelope.Op.Message)
+      .select(col("lsn"),
+        transactional.as("transactional"),
+        when(transactional, col("xid")).as("tx_id"),
+        when(transactional, col("ts_ms")).as("msg_ts_ms"),
+        lit(prefix).as("prefix"),
+        base64(col("props").cast("binary")).as("content"))
+  }
+
   /** A1 — stats counters (`internal/stats/stats.go:35-100`,
     * `replicationhandler.go:39-64`): per-op totals + largest transaction,
     * the Prometheus surface as a relational aggregate. The streaming path

@@ -34,6 +34,42 @@ class StatefulSpec extends SparkSpec {
       "test vector set must include negative (top-bit-set) hashes")
   }
 
+  test("truncate events: one per (xid, table), no row images (op t)") {
+    val wal = graft.cdc.Cdc.walEvents(spark, sf001)
+    val t = graft.cdc.Cdc.truncateEvents(wal,
+      graft.cdc.Cdc.chunkCatalog(spark, sf001), graft.cdc.Cdc.hypertableCatalog(spark))
+    val rows = t.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("op") == "t"))
+    assert(rows.forall(r => r.isNullAt(r.fieldIndex("before")) &&
+      r.isNullAt(r.fieldIndex("after"))))
+    // distinct-by-canonical-name within a message
+    val keys = rows.map(r => (r.getAs[Long]("xid"),
+      r.getAs[String]("schema_name"), r.getAs[String]("table_name")))
+    assert(keys.distinct.length === keys.length)
+  }
+
+  test("replica identity validation (replicator.go:250-311)") {
+    import graft.catalog.ReplicaIdentity._
+    // the events table: PK on event_id, DEFAULT identity → valid
+    assert(check(Seq(TableIdentity("public.events", Default, hasPrimaryKey = true))).isEmpty)
+    // FULL always valid, caggs skipped
+    assert(check(Seq(
+      TableIdentity("public.nopk", Full, hasPrimaryKey = false),
+      TableIdentity("public.cagg", Default, hasPrimaryKey = false,
+        isContinuousAggregate = true))).isEmpty)
+    // failing configs abort startup with the reference's wording
+    val issues = check(Seq(
+      TableIdentity("public.nopk", Default, hasPrimaryKey = false),
+      TableIdentity("public.noidx", Index, hasPrimaryKey = true, hasReplicaIndex = false)))
+    assert(issues.length === 2)
+    assert(issues.head.contains("no valid primary key"))
+    assert(issues(1).contains("no valid index"))
+    intercept[IllegalStateException] {
+      validate(Seq(TableIdentity("public.nopk", Default, hasPrimaryKey = false)))
+    }
+  }
+
   test("stateful txn assembly equals batch txn boundaries (T2)") {
     val streamed = TxnAssembler.txnStream(spark, sf001)
     val q = streamed.writeStream.format("memory").queryName("txns")
