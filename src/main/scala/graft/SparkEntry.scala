@@ -203,6 +203,22 @@ object SparkEntry {
           expr("percentile(o_totalprice, 0.9)").as("p90"))
     }),
 
+    "q_quantiles_approx" -> ((s, dir) => {
+      // the documented 100 TB path for q_quantiles: quantile-sketch agg
+      // (bounded state, mergeable) instead of exact percentile's
+      // hold-all-values state; no SQL oracle (sketch ≠ bit-exact) —
+      // OpsSpec bounds its error against the exact result.
+      // count_distinct stays in its OWN aggregation: a distinct agg
+      // mixed with a TypedImperativeAggregate forces sort-based agg with
+      // per-row sketch (de)serialization (~10× slower); two single-row
+      // aggs + cross join keep both hash-aggregated.
+      val o = Tables.orders(s, dir)
+      val sketch = o.agg(
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(o_totalprice, 0.9, 10000)").as("p90"))
+      o.agg(count_distinct(col("o_custkey")).as("n_customers")).crossJoin(sketch)
+    }),
+
     "q_except_customers" -> ((s, dir) => {
       Tables.customer(s, dir).select(col("c_custkey"))
         .except(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")))

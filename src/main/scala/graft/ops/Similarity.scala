@@ -78,7 +78,10 @@ object Similarity {
     * are corpus/k on average, so probe cost is nProbe/k of brute force.
     */
   def ivfAssign(corpus: DataFrame, k: Int): (DataFrame, DataFrame) = {
-    // deterministic coarse centroids: every (n/k)-th vector by id
+    // deterministic coarse centroids: lowest-id k vectors. orderBy+limit
+    // compiles to TakeOrderedAndProject (per-partition top-k heap merged
+    // on the driver, O(n) scan) — NOT a global sort shuffle; k items is
+    // all that ever crosses the wire.
     val centroids = corpus.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
     val assigned = corpus.crossJoin(broadcast(centroids))

@@ -61,6 +61,20 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("approx percentile tracks exact within 1% (quantile scale path)") {
+    val exact = Tables.orders(spark, sf001)
+      .agg(expr("percentile(o_totalprice, 0.5)"), expr("percentile(o_totalprice, 0.9)"))
+      .head
+    val approx = Tables.orders(spark, sf001)
+      .agg(expr("approx_percentile(o_totalprice, 0.5, 10000)"),
+        expr("approx_percentile(o_totalprice, 0.9, 10000)"))
+      .head
+    for (i <- 0 to 1) {
+      val (e, a) = (exact.getDouble(i), approx.getDouble(i))
+      assert(math.abs(e - a) / e < 0.01, s"quantile $i: exact=$e approx=$a")
+    }
+  }
+
   test("langId is deterministic and in the candidate set") {
     val out = Tables.documents(spark, sf001)
       .select(TextAnalysis.langId("text").as("l")).distinct()
