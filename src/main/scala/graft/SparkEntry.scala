@@ -576,6 +576,26 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    "conv_array_mixed" -> ((s, dir) => {
+      // boolean[], uuid[], text[], interval[], composite[] element lifts
+      val u = col("user_id"); val e = col("event_id")
+      val uuidOf = (c: Column) => PgConverters.uuidFromHex32(md5(c.cast("string")))
+      Tables.events(s, dir)
+        .select(e.as("event_id"),
+          array_join(transform(array(pmod(e, lit(2)) === 0, pmod(u, lit(3)) === 0),
+            _.cast("string")), ",").as("bool_arr"),
+          array_join(array(uuidOf(e), uuidOf(u)), ",").as("uuid_arr"),
+          array_join(array(col("event_type"), upper(col("event_type"))), ",").as("txt_arr"),
+          array_join(transform(array(
+            PgConverters.intervalToMicros(u, pmod(e, lit(30)), lit(0L)),
+            PgConverters.intervalToMicros(u - 100, pmod(e, lit(30)) - 15, lit(0L))),
+            _.cast("string")), ",").as("interval_arr"),
+          to_json(array(
+            PgConverters.compositeToStruct("a" -> u),
+            PgConverters.compositeToStruct("a" -> pmod(e, lit(10))))).as("comp_arr"))
+        .orderBy(col("event_id"))
+    }),
+
     "conv_array_bits" -> ((s, dir) => {
       val arr = array(pmod(col("user_id"), lit(256)), pmod(col("event_id"), lit(256)))
       Tables.events(s, dir)
@@ -1359,6 +1379,24 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber,
         |  array_to_string([epoch_ms(l_shipdate), epoch_ms(l_shipdate + INTERVAL 1 DAY)], ',') AS ms_arr
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "conv_array_mixed" ->
+      """SELECT event_id,
+        |  array_to_string(list_transform([event_id % 2 = 0, user_id % 3 = 0],
+        |    x -> CAST(x AS VARCHAR)), ',') AS bool_arr,
+        |  array_to_string([
+        |    concat_ws('-', substr(md5(CAST(event_id AS VARCHAR)), 1, 8), substr(md5(CAST(event_id AS VARCHAR)), 9, 4),
+        |      substr(md5(CAST(event_id AS VARCHAR)), 13, 4), substr(md5(CAST(event_id AS VARCHAR)), 17, 4),
+        |      substr(md5(CAST(event_id AS VARCHAR)), 21, 12)),
+        |    concat_ws('-', substr(md5(CAST(user_id AS VARCHAR)), 1, 8), substr(md5(CAST(user_id AS VARCHAR)), 9, 4),
+        |      substr(md5(CAST(user_id AS VARCHAR)), 13, 4), substr(md5(CAST(user_id AS VARCHAR)), 17, 4),
+        |      substr(md5(CAST(user_id AS VARCHAR)), 21, 12))], ',') AS uuid_arr,
+        |  array_to_string([event_type, upper(event_type)], ',') AS txt_arr,
+        |  array_to_string([
+        |    user_id * 2629800000000 + (event_id % 30) * 86400000000,
+        |    (user_id - 100) * 2629800000000 + (event_id % 30 - 15) * 86400000000], ',') AS interval_arr,
+        |  CAST(to_json([struct_pack(a := user_id), struct_pack(a := event_id % 10)]) AS VARCHAR) AS comp_arr
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "conv_array_bits" ->
       """SELECT event_id,

@@ -197,6 +197,23 @@ object Cdc {
     snapshot.unionByName(live)
   }
 
+  /** T8 — the reference's snapshot modes (`spi/config/config.go`
+    * SnapshotMode: always/initial/initial_only/never) expressed over the
+    * fence: `always`/`initial` = full snapshot then stream;
+    * `initial_only` = snapshot and STOP (no live phase); `never` = live
+    * only (fence 0). Catalyst prunes the dead branch at plan time — a
+    * `never` plan never scans snapshot rows at all.
+    */
+  def withSnapshotMode(wal: DataFrame, mode: String, fenceLsn: Long): DataFrame =
+    mode match {
+      case "always" | "initial" => snapshotWithFence(wal, fenceLsn)
+      case "initial_only" =>
+        snapshotWithFence(wal, fenceLsn).filter(col("snapshot"))
+      case "never" => snapshotWithFence(wal, -1L) // below any LSN: live only
+      case other => throw new IllegalArgumentException(
+        s"unknown snapshot mode '$other' (always|initial|initial_only|never)")
+    }
+
   /** P7 — decompression INSERT suppression
     * (`transactiontracker.go:208-218`, markers `:376-415`): inside a
     * transaction performing decompression, re-inserted rows are

@@ -177,7 +177,14 @@ object EventFilter {
     }
 
     def notExpr(): String =
-      if (eatOp("!")) s"(NOT ${notExpr()})" else comparison()
+      if (eatOp("!")) s"(NOT ${notExpr()})"
+      else peek match {
+        // expr-lang's keyword form `not x`; binary `l not in [..]` is
+        // consumed in comparison() after an operand, so `not` at operand
+        // position is always the unary form
+        case Some(TIdent("not")) => next(); s"(NOT ${notExpr()})"
+        case _ => comparison()
+      }
 
     def comparison(): String = {
       val l = additive()

@@ -92,6 +92,22 @@ object StreamPipeline {
       // is part of the key), so a long-running stream grows unboundedly
       .dropDuplicatesWithinWatermark("lsn")
 
+  /** Gap-based streaming sessionization with `session_window` — the
+    * state-store-backed twin of the batch `Cdc.sessionize` (same 1h gap
+    * semantics: a session closes when the next event is ≥ gap later).
+    * Append mode emits a session once the watermark passes its close.
+    */
+  def sessionizedStream(spark: SparkSession, dir: String,
+                        gap: String = "1 hour"): DataFrame =
+    walStream(spark, dir)
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_ms")).as("sess_start_ms"), max(col("ts_ms")).as("sess_end_ms"))
+      .select(col("user_id"), col("n_events"),
+        col("sess_start_ms"), col("sess_end_ms"))
+
   /** Run the pipeline into a pluggable sink with checkpointed recovery
     * (T1). `processAllAvailable` + `stop` gives the synchronous batch
     * drain used by tests; production callers use `awaitTermination`.

@@ -56,6 +56,15 @@ class CdcSpec extends SparkSpec {
     assert(fenced.filter(col("snapshot")).select("op").distinct().count() === 1)
   }
 
+  test("snapshot modes map to fence semantics (T8, config.go SnapshotMode)") {
+    assert(Cdc.withSnapshotMode(wal, "initial", 500).count() === 1000)
+    val io = Cdc.withSnapshotMode(wal, "initial_only", 500)
+    assert(io.count() === 501 && io.filter(!col("snapshot")).count() === 0) // lsn 0..500
+    val nv = Cdc.withSnapshotMode(wal, "never", 500)
+    assert(nv.count() === 1000 && nv.filter(col("snapshot")).count() === 0)
+    intercept[IllegalArgumentException] { Cdc.withSnapshotMode(wal, "bogus", 0) }
+  }
+
   test("decompression suppression drops inserts only inside marked txns (P7)") {
     val out = Cdc.decompressionSuppress(wal)
     val markedXids = wal.filter(col("op") === "d").select("xid").distinct()

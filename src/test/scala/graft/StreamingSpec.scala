@@ -44,6 +44,21 @@ class StreamingSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM winstats").head.getLong(0) === batch)
   }
 
+  test("session_window streaming sessions agree with batch sessionize") {
+    val q = StreamPipeline.sessionizedStream(spark, sf001)
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql(
+      "SELECT user_id, n_events, sess_start_ms, sess_end_ms FROM sess_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.cdc.Cdc.sessionize(graft.cdc.Cdc.walEvents(spark, sf001))
+      .select("user_id", "n_events", "sess_start_ms", "sess_end_ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed === batch, "gap sessions identical between state-store and lag+cumsum paths")
+  }
+
   test("streaming dedup drops replayed keys within the watermark (SQS dedup-id analog)") {
     val q = StreamPipeline.dedupedStream(spark, sf001)
       .writeStream.format("memory").queryName("dedupstream")
