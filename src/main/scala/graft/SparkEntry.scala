@@ -725,6 +725,12 @@ object SparkEntry {
       Cdc.envelopeWithSchema(s, dir).orderBy(col("lsn"))
     }),
 
+    "cdc_multitable" -> ((s, dir) => {
+      // events CDC + orders/lineitem snapshots, per-table schemas,
+      // composite key on lineitem — one unioned stream
+      Cdc.multiTableEnvelopes(s, dir).orderBy(col("topic"), col("lsn"))
+    }),
+
     "cdc_filter_paths" -> ((s, dir) => {
       // envelope field paths + `in` list (eventfilter.go env mapping)
       graft.filter.EventFilter("""value.op == "u" || value.after.user_id in [1, 2, 3]""")
@@ -823,6 +829,47 @@ object SparkEntry {
         .orderBy(col("tbl"))
     })
   )
+
+  /** DuckDB twin of the events `{payload, schema}` envelope (no final
+    * ORDER BY — reused standalone and inside the multi-table union).
+    * Schema literals come from the SAME generator as the Spark side
+    * (`Cdc.events*SchemaJson`) — only double quotes, safe inside
+    * single-quoted SQL literals. */
+  private lazy val eventsEnvelopeOracle: String = {
+    val env = graft.cdc.Cdc.eventsEnvelopeSchemaJson
+    val pkKey = graft.cdc.Cdc.eventsPkKeySchemaJson
+    val msgKey = graft.model.DebeziumSchema.messageKeySchemaJson
+    s"""WITH w AS (
+       |  SELECT event_id, user_id, value, props, event_id AS lsn,
+       |    event_id // 10 AS xid, epoch_ns(ts) // 1000000 AS ts_ms,
+       |    $opCaseSql AS op
+       |  FROM events),
+       |j AS (
+       |  SELECT lsn, op, ts_ms, event_id,
+       |    '{"event_id":' || CAST(event_id AS VARCHAR) || ',"props":' || props
+       |      || ',"user_id":' || CAST(user_id AS VARCHAR)
+       |      || ',"value_cents":' || CAST(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS VARCHAR) || '}' AS rowj,
+       |    '{"connector":"spark-graft","db":"graft","lsn":"0/' || upper(hex(lsn))
+       |      || '","name":"graft","schema":"public","snapshot":false,"table":"events","ts_ms":'
+       |      || CAST(ts_ms AS VARCHAR) || ',"txId":' || CAST(event_id // 10 AS VARCHAR)
+       |      || ',"version":"0.1.0"}' AS srcj,
+       |    '{"content":"' || to_base64(encode(props)) || '","prefix":"graft-msg"}' AS msgj
+       |  FROM w),
+       |t AS (
+       |  SELECT *, ',"op":"' || op || '","source":' || srcj || ',"ts_ms":' || CAST(ts_ms AS VARCHAR) || '}' AS tailj
+       |  FROM j)
+       |SELECT lsn,
+       |  '{"payload":' || CASE
+       |     WHEN op IN ('r','c') THEN '{"after":' || rowj || tailj
+       |     WHEN op = 'u' THEN '{"after":' || rowj || ',"before":' || rowj || tailj
+       |     WHEN op = 'd' THEN '{"before":' || rowj || tailj
+       |     ELSE '{"message":' || msgj || tailj END
+       |    || ',"schema":$env}' AS envelope,
+       |  '{"payload":' || CASE WHEN op = 'm' THEN '{"prefix":"graft-msg"}'
+       |     ELSE '{"event_id":' || CAST(event_id AS VARCHAR) || '}' END
+       |    || ',"schema":' || CASE WHEN op = 'm' THEN '$msgKey' ELSE '$pkKey' END || '}' AS key_json
+       |FROM t""".stripMargin
+  }
 
   /** DuckDB twin of `PgConverters.timestamptzNanosToText` for a nanos
     * expression (used by conv_timestamptz_text and conv_tsrange_string). */
@@ -1105,43 +1152,42 @@ object SparkEntry {
          |WHERE $opCaseSql = 'm'
          |ORDER BY lsn""".stripMargin,
 
-    "cdc_envelope_schema" -> {
-      // the schema literals come from the SAME generator as the Spark
-      // side (Cdc.events*SchemaJson) — contain only double quotes, safe
-      // to splice into single-quoted SQL literals
-      val env = graft.cdc.Cdc.eventsEnvelopeSchemaJson
-      val pkKey = graft.cdc.Cdc.eventsPkKeySchemaJson
-      val msgKey = graft.model.DebeziumSchema.messageKeySchemaJson
-      s"""WITH w AS (
-         |  SELECT event_id, user_id, value, props, event_id AS lsn,
-         |    event_id // 10 AS xid, epoch_ns(ts) // 1000000 AS ts_ms,
-         |    $opCaseSql AS op
-         |  FROM events),
-         |j AS (
-         |  SELECT lsn, op, ts_ms, event_id,
-         |    '{"event_id":' || CAST(event_id AS VARCHAR) || ',"props":' || props
-         |      || ',"user_id":' || CAST(user_id AS VARCHAR)
-         |      || ',"value_cents":' || CAST(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS VARCHAR) || '}' AS rowj,
-         |    '{"connector":"spark-graft","db":"graft","lsn":"0/' || upper(hex(lsn))
-         |      || '","name":"graft","schema":"public","snapshot":false,"table":"events","ts_ms":'
-         |      || CAST(ts_ms AS VARCHAR) || ',"txId":' || CAST(event_id // 10 AS VARCHAR)
-         |      || ',"version":"0.1.0"}' AS srcj,
-         |    '{"content":"' || to_base64(encode(props)) || '","prefix":"graft-msg"}' AS msgj
-         |  FROM w),
-         |t AS (
-         |  SELECT *, ',"op":"' || op || '","source":' || srcj || ',"ts_ms":' || CAST(ts_ms AS VARCHAR) || '}' AS tailj
-         |  FROM j)
-         |SELECT lsn,
-         |  '{"payload":' || CASE
-         |     WHEN op IN ('r','c') THEN '{"after":' || rowj || tailj
-         |     WHEN op = 'u' THEN '{"after":' || rowj || ',"before":' || rowj || tailj
-         |     WHEN op = 'd' THEN '{"before":' || rowj || tailj
-         |     ELSE '{"message":' || msgj || tailj END
-         |    || ',"schema":$env}' AS envelope,
-         |  '{"payload":' || CASE WHEN op = 'm' THEN '{"prefix":"graft-msg"}'
-         |     ELSE '{"event_id":' || CAST(event_id AS VARCHAR) || '}' END
-         |    || ',"schema":' || CASE WHEN op = 'm' THEN '$msgKey' ELSE '$pkKey' END || '}' AS key_json
-         |FROM t ORDER BY lsn""".stripMargin
+    "cdc_envelope_schema" -> (SparkEntry.eventsEnvelopeOracle + "\nORDER BY lsn"),
+
+    "cdc_multitable" -> {
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val dz = graft.model.DebeziumSchema
+      def snapOracle(table: String, lsn: String, tsMs: String, rowJson: String,
+                     keyPayload: String, rowSchema: StructType,
+                     pk: Seq[(String, org.apache.spark.sql.types.DataType)]): String = {
+        val topic = s"graft.public.$table"
+        val env = dz.envelopeSchemaJson(rowSchema, topic)
+        val key = dz.keySchemaJson(topic, pk)
+        s"""SELECT '$topic' AS topic, $lsn AS lsn,
+           |  '{"payload":{"after":' || $rowJson || ',"op":"r","source":{"connector":"spark-graft","db":"graft","lsn":"0/' || upper(hex($lsn)) || '","name":"graft","schema":"public","snapshot":true,"table":"$table","ts_ms":' || $tsMs || ',"txId":null,"version":"0.1.0"},"ts_ms":' || $tsMs || '},"schema":$env}' AS envelope,
+           |  '{"payload":' || $keyPayload || ',"schema":$key}' AS key_json
+           |FROM $table""".stripMargin
+      }
+      val orders = snapOracle("orders", "o_orderkey", "epoch_ms(o_orderdate)",
+        """'{"o_custkey":' || o_custkey || ',"o_orderkey":' || o_orderkey || ',"total_cents":' || CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) || '}'""",
+        """'{"o_orderkey":' || o_orderkey || '}'""",
+        StructType(Seq(StructField("o_custkey", LongType),
+          StructField("o_orderkey", LongType), StructField("total_cents", LongType))),
+        Seq("o_orderkey" -> LongType))
+      val lineitem = snapOracle("lineitem", "l_orderkey * 10 + l_linenumber",
+        "epoch_ms(l_shipdate)",
+        """'{"l_linenumber":' || l_linenumber || ',"l_orderkey":' || l_orderkey || ',"qty_cents":' || CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT) || '}'""",
+        """'{"l_linenumber":' || l_linenumber || ',"l_orderkey":' || l_orderkey || '}'""",
+        StructType(Seq(StructField("l_linenumber", LongType),
+          StructField("l_orderkey", LongType), StructField("qty_cents", LongType))),
+        Seq("l_orderkey" -> LongType, "l_linenumber" -> LongType))
+      // plain join, NOT stripMargin: the spliced sub-queries contain
+      // line-leading '||' that margin stripping would corrupt
+      Seq("SELECT * FROM (",
+        "SELECT 'graft.public.events' AS topic, lsn, envelope, key_json",
+        s"FROM (${SparkEntry.eventsEnvelopeOracle})",
+        "UNION ALL", orders, "UNION ALL", lineitem,
+        ") ORDER BY topic, lsn").mkString("\n")
     },
 
     "cdc_filter_paths" ->

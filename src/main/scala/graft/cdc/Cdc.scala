@@ -2,6 +2,7 @@ package graft.cdc
 
 import graft.Tables
 import graft.model.Envelope
+import graft.types.PgConverters
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -528,6 +529,82 @@ object Cdc {
         lit("}")).as("envelope"),
       concat(lit("{\"payload\":"), keyPayload, lit(",\"schema\":"), keySchema,
         lit("}")).as("key_json"))
+  }
+
+  /** One table's snapshot-read envelope stream (op='r', snapshot=true,
+    * txId null) with its own Debezium schema and key schema — the
+    * building block of the multi-table pipeline. All JSON is string-
+    * assembled (sorted keys) for cross-engine byte parity. */
+  def snapshotEnvelope(df: DataFrame, dbName: String, schemaName: String,
+                       tableName: String, lsn: Column, tsMs: Column,
+                       rowJson: Column, keyPayloadJson: Column,
+                       rowSchema: StructType,
+                       pk: Seq[(String, DataType)]): DataFrame = {
+    val topic = s"$dbName.$schemaName.$tableName"
+    val schemaJson = graft.model.DebeziumSchema.envelopeSchemaJson(rowSchema, topic)
+    val keySchemaJson = graft.model.DebeziumSchema.keySchemaJson(topic, pk)
+    val srcJson = concat(
+      lit(s"""{"connector":"${Envelope.ConnectorName}","db":"$dbName","lsn":"0/"""),
+      upper(hex(lsn)),
+      lit(s"""","name":"$dbName","schema":"$schemaName","snapshot":true,"table":"$tableName","ts_ms":"""),
+      tsMs, lit(s""","txId":null,"version":"${Envelope.Version}"}"""))
+    val payload = concat(lit("{\"after\":"), rowJson,
+      lit(",\"op\":\"r\",\"source\":"), srcJson, lit(",\"ts_ms\":"), tsMs, lit("}"))
+    df.select(
+      lit(topic).as("topic"),
+      lsn.as("lsn"),
+      concat(lit("{\"payload\":"), payload, lit(",\"schema\":"), lit(schemaJson),
+        lit("}")).as("envelope"),
+      concat(lit("{\"payload\":"), keyPayloadJson, lit(",\"schema\":"),
+        lit(keySchemaJson), lit("}")).as("key_json"))
+  }
+
+  /** Multi-table pipeline: the reference streams every published table
+    * concurrently, each with its own relation schema
+    * (`systemcatalog.go` relation registry). Spark shape: per-table
+    * envelope DataFrames (each with its plan-time schema constant)
+    * unioned into one stream — schemas differ per row only in the
+    * constant column, so the union stays a single narrow scan per
+    * table with zero shuffle before the final sort. Includes a
+    * composite-key table (lineitem) exercising multi-column key
+    * schemas.
+    */
+  def multiTableEnvelopes(spark: SparkSession, dir: String,
+                          dbName: String = "graft"): DataFrame = {
+    val ev = envelopeWithSchema(spark, dir, dbName)
+      .select(lit(s"$dbName.public.events").as("topic"), col("lsn"),
+        col("envelope"), col("key_json"))
+
+    val o = Tables.orders(spark, dir)
+    val orders = snapshotEnvelope(o, dbName, "public", "orders",
+      lsn = col("o_orderkey"),
+      tsMs = PgConverters.timestampToMillis(col("o_orderdate")),
+      rowJson = concat(lit("{\"o_custkey\":"), col("o_custkey"),
+        lit(",\"o_orderkey\":"), col("o_orderkey"),
+        lit(",\"total_cents\":"), floor(col("o_totalprice") * 100.0 + 0.5).cast(LongType),
+        lit("}")),
+      keyPayloadJson = concat(lit("{\"o_orderkey\":"), col("o_orderkey"), lit("}")),
+      rowSchema = StructType(Seq(
+        StructField("o_custkey", LongType), StructField("o_orderkey", LongType),
+        StructField("total_cents", LongType))),
+      pk = Seq("o_orderkey" -> LongType))
+
+    val li = Tables.lineitem(spark, dir)
+    val lineitem = snapshotEnvelope(li, dbName, "public", "lineitem",
+      lsn = col("l_orderkey") * 10 + col("l_linenumber"),
+      tsMs = PgConverters.timestampToMillis(col("l_shipdate")),
+      rowJson = concat(lit("{\"l_linenumber\":"), col("l_linenumber"),
+        lit(",\"l_orderkey\":"), col("l_orderkey"),
+        lit(",\"qty_cents\":"), floor(col("l_quantity") * 100.0 + 0.5).cast(LongType),
+        lit("}")),
+      keyPayloadJson = concat(lit("{\"l_linenumber\":"), col("l_linenumber"),
+        lit(",\"l_orderkey\":"), col("l_orderkey"), lit("}")),
+      rowSchema = StructType(Seq(
+        StructField("l_linenumber", LongType), StructField("l_orderkey", LongType),
+        StructField("qty_cents", LongType))),
+      pk = Seq("l_orderkey" -> LongType, "l_linenumber" -> LongType))
+
+    ev.unionByName(orders).unionByName(lineitem)
   }
 
   /** The full normalize stage: WAL rows → resolved + enveloped events.
