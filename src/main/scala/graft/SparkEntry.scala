@@ -393,6 +393,22 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "conv_numrange_path" -> ((s, dir) => {
+      // numrange text with decimal bounds rendered from integer cents
+      // (engine-independent: no float-to-string), plus the open `path`
+      // form [(x,y),...] completing the geometry family
+      def dec2(cents: Column): Column = concat(
+        (cents / 100).cast("long"), lit("."), lpad(pmod(cents, lit(100)).cast("string"), 2, "0"))
+      val loC = col("user_id") * 100 + 50
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          PgConverters.rangeToString(dec2(loC), dec2(loC + 125)).as("numrange_text"),
+          PgConverters.pathToText(closed = false,
+            (col("user_id"), pmod(col("event_id"), lit(100))),
+            (col("user_id") + 2, pmod(col("event_id"), lit(100)) + 3)).as("path_text"))
+        .orderBy(col("event_id"))
+    }),
+
     "conv_uuid_string" -> ((s, dir) => {
       // uuid canonical 8-4-4-4-12 text (builtin_converters.go:300-318);
       // hex source synthesized deterministically via md5
@@ -645,6 +661,11 @@ object SparkEntry {
 
     "cdc_compression_events" -> ((s, dir) => {
       Cdc.compressionEvents(Cdc.walEvents(s, dir)).orderBy(col("chunk_name"))
+    }),
+
+    "cdc_compression_envelope" -> ((s, dir) => {
+      // op='$' full envelope with the com.timescale.Event key schema
+      Cdc.compressionEnvelopes(Cdc.walEvents(s, dir)).orderBy(col("lsn"))
     }),
 
     "cdc_logical_messages" -> ((s, dir) => {
@@ -1073,6 +1094,20 @@ object SparkEntry {
         |FROM (SELECT event_id, ts, epoch_ns(ts) // 86400000000000 - 19723 AS chunk_day FROM events) t
         |GROUP BY chunk_day ORDER BY chunk_name""".stripMargin,
 
+    "cdc_compression_envelope" -> {
+      val env = graft.cdc.Cdc.eventsEnvelopeSchemaJson
+      val tsKey = graft.model.DebeziumSchema.timescaleKeySchemaJson
+      s"""SELECT lsn, chunk_name,
+         |  '{"payload":{"op":"$$","source":{"connector":"spark-graft","db":"graft","lsn":"0/' || upper(hex(lsn)) || '","name":"graft","schema":"public","snapshot":false,"table":"events","ts_ms":' || ts_ms || ',"txId":null,"version":"0.1.0"},"ts_ms":' || ts_ms || ',"tsdb_op":"c"},"schema":$env}' AS envelope,
+         |  '{"payload":{"schema":"public","table":"events"},"schema":$tsKey}' AS key_json
+         |FROM (SELECT MAX(event_id) AS lsn,
+         |        concat('_hyper_1_', CAST(chunk_day AS VARCHAR), '_chunk') AS chunk_name,
+         |        MAX(epoch_ns(ts) // 1000000) AS ts_ms
+         |      FROM (SELECT event_id, ts, epoch_ns(ts) // 86400000000000 - 19723 AS chunk_day FROM events) t
+         |      GROUP BY chunk_day)
+         |ORDER BY lsn""".stripMargin
+    },
+
     "cdc_logical_messages" ->
       """SELECT event_id AS lsn, 'm' AS op, 'graft' AS prefix,
         |  base64(encode(props)) AS content
@@ -1301,6 +1336,15 @@ object SparkEntry {
     "conv_point_string" ->
       """SELECT event_id,
         |  concat('(', CAST(user_id AS VARCHAR), ',', CAST((epoch_ns(ts) % 1000000000) // 1000000 AS VARCHAR), ')') AS point_text
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "conv_numrange_path" ->
+      """SELECT event_id,
+        |  concat('[',
+        |    CAST((user_id * 100 + 50) // 100 AS VARCHAR), '.', lpad(CAST((user_id * 100 + 50) % 100 AS VARCHAR), 2, '0'), ',',
+        |    CAST((user_id * 100 + 175) // 100 AS VARCHAR), '.', lpad(CAST((user_id * 100 + 175) % 100 AS VARCHAR), 2, '0'), ')') AS numrange_text,
+        |  concat('[(', CAST(user_id AS VARCHAR), ',', CAST(event_id % 100 AS VARCHAR), '),(',
+        |         CAST(user_id + 2 AS VARCHAR), ',', CAST(event_id % 100 + 3 AS VARCHAR), ')]') AS path_text
         |FROM events ORDER BY event_id""".stripMargin,
 
     "conv_uuid_string" ->

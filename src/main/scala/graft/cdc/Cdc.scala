@@ -260,6 +260,30 @@ object Cdc {
         lit("public").as("key_schema"), lit("events").as("key_table"),
         col("ts_ms"))
 
+  /** Full `{payload, schema}` envelope for op='$' compression events —
+    * `eventschema.go:150-177` (CompressionEvent/DecompressionEvent:
+    * {op:"$", tsdb_op, source, ts_ms}, no row images) keyed by the
+    * timescale `{schema, table}` key with `com.timescale.Event` schema
+    * (`eventschema.go:188-197,254-264`). */
+  def compressionEnvelopes(wal: DataFrame, dbName: String = "graft"): DataFrame = {
+    val ev = compressionEvents(wal)
+    val srcJson = concat(
+      lit(s"""{"connector":"${Envelope.ConnectorName}","db":"$dbName","lsn":"0/"""),
+      upper(hex(col("lsn"))),
+      lit(s"""","name":"$dbName","schema":"public","snapshot":false,"table":"events","ts_ms":"""),
+      col("ts_ms"), lit(s""","txId":null,"version":"${Envelope.Version}"}"""))
+    val payload = concat(
+      lit("{\"op\":\"$\",\"source\":"), srcJson,
+      lit(",\"ts_ms\":"), col("ts_ms"),
+      lit(",\"tsdb_op\":\""), col("tsdb_op"), lit("\"}"))
+    ev.select(
+      col("lsn"), col("chunk_name"),
+      concat(lit("{\"payload\":"), payload, lit(",\"schema\":"),
+        lit(eventsEnvelopeSchemaJson), lit("}")).as("envelope"),
+      concat(lit("{\"payload\":{\"schema\":\"public\",\"table\":\"events\"},\"schema\":"),
+        lit(graft.model.DebeziumSchema.timescaleKeySchemaJson), lit("}")).as("key_json"))
+  }
+
   /** T10 — logical messages (`pg_logical_emit_message`,
     * `spi/pgtypes/logicalreplicationmessage.go`, emit
     * `eventemitter.go:278-288`): op="m" rows with `{prefix, content:
