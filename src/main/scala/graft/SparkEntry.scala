@@ -869,7 +869,7 @@ object SparkEntry {
        |  SELECT lsn, op, ts_ms, event_id,
        |    '{"event_id":' || CAST(event_id AS VARCHAR) || ',"props":' || props
        |      || ',"user_id":' || CAST(user_id AS VARCHAR)
-       |      || ',"value_cents":' || CAST(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS VARCHAR) || '}' AS rowj,
+       |      || ',"value_cents":' || ${centsSql("value")} || '}' AS rowj,
        |    '{"connector":"spark-graft","db":"graft","lsn":"0/' || upper(hex(lsn))
        |      || '","name":"graft","schema":"public","snapshot":false,"table":"events","ts_ms":'
        |      || CAST(ts_ms AS VARCHAR) || ',"txId":' || CAST(event_id // 10 AS VARCHAR)
@@ -896,9 +896,11 @@ object SparkEntry {
     * expression (used by conv_timestamptz_text and conv_tsrange_string). */
   private def duckTsText(n: String): String =
     // single line: this splices into outer stripMargin strings, where a
-    // line-leading '||' would lose a pipe to margin stripping
+    // line-leading '||' would lose a pipe to margin stripping.
+    // Fraction gate is on the µs-TRUNCATED remainder (like the Spark
+    // twin): a sub-µs-only fraction must render no dot at all.
     s"strftime(make_timestamp((($n) // 1000000000) * 1000000), '%Y-%m-%dT%H:%M:%S') || " +
-    s"CASE WHEN ($n) % 1000000000 > 0 THEN '.' || " +
+    s"CASE WHEN (($n) % 1000000000) // 1000 > 0 THEN '.' || " +
     s"regexp_replace(lpad(CAST((($n) % 1000000000) // 1000 * 1000 AS VARCHAR), 9, '0'), '0+$$', '') " +
     s"ELSE '' END || 'Z'"
 
@@ -1204,14 +1206,14 @@ object SparkEntry {
            |FROM $table""".stripMargin
       }
       val orders = snapOracle("orders", "o_orderkey", "epoch_ms(o_orderdate)",
-        """'{"o_custkey":' || o_custkey || ',"o_orderkey":' || o_orderkey || ',"total_cents":' || CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) || '}'""",
+        s"""'{"o_custkey":' || o_custkey || ',"o_orderkey":' || o_orderkey || ',"total_cents":' || ${centsSql("o_totalprice")} || '}'""",
         """'{"o_orderkey":' || o_orderkey || '}'""",
         StructType(Seq(StructField("o_custkey", LongType),
           StructField("o_orderkey", LongType), StructField("total_cents", LongType))),
         Seq("o_orderkey" -> LongType))
       val lineitem = snapOracle("lineitem", "l_orderkey * 10 + l_linenumber",
         "epoch_ms(l_shipdate)",
-        """'{"l_linenumber":' || l_linenumber || ',"l_orderkey":' || l_orderkey || ',"qty_cents":' || CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT) || '}'""",
+        s"""'{"l_linenumber":' || l_linenumber || ',"l_orderkey":' || l_orderkey || ',"qty_cents":' || ${centsSql("l_quantity")} || '}'""",
         """'{"l_linenumber":' || l_linenumber || ',"l_orderkey":' || l_orderkey || '}'""",
         StructType(Seq(StructField("l_linenumber", LongType),
           StructField("l_orderkey", LongType), StructField("qty_cents", LongType))),
@@ -1290,12 +1292,8 @@ object SparkEntry {
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "conv_timestamptz_text" ->
-      """SELECT event_id,
-        |  strftime(make_timestamp((epoch_ns(ts) // 1000000000) * 1000000), '%Y-%m-%dT%H:%M:%S')
-        |  || CASE WHEN epoch_ns(ts) % 1000000000 > 0
-        |     THEN '.' || regexp_replace(lpad(CAST((epoch_ns(ts) % 1000000000) // 1000 * 1000 AS VARCHAR), 9, '0'), '0+$', '')
-        |     ELSE '' END || 'Z' AS ts_text
-        |FROM events ORDER BY event_id""".stripMargin,
+      s"""SELECT event_id, ${duckTsText("epoch_ns(ts)")} AS ts_text
+         |FROM events ORDER BY event_id""".stripMargin,
 
     "conv_time_text" ->
       """SELECT event_id, strftime(make_timestamp(epoch_ns(ts) // 1000), '%H:%M:%S.%f') AS time_text

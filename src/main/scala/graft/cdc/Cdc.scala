@@ -30,11 +30,11 @@ object Cdc {
     * Op codes per `spi/schema/eventschema.go:36-44`.
     */
   val opExpr: Column => Column = et =>
-    when(et === "signup", Envelope.Op.Create)
-      .when(et === "purchase", Envelope.Op.Update)
-      .when(et === "error", Envelope.Op.Delete)
-      .when(et === "view", Envelope.Op.Read)
-      .otherwise(Envelope.Op.Message) // click
+    Envelope.eventTypeToOp.filterNot(_._2 == Envelope.Op.Message)
+      .foldLeft(null.asInstanceOf[Column]) { case (acc, (t, op)) =>
+        if (acc == null) when(et === t, op) else acc.when(et === t, op)
+      }
+      .otherwise(Envelope.Op.Message) // click + anything unmapped
 
   /** Shape the raw `events` parquet into WAL-like rows:
     * (lsn, xid, op, schema, table, chunk_day, ts_ms, key + payload cols).
@@ -119,10 +119,8 @@ object Cdc {
     * Mirrors the reference's early discard (`transactiontracker.go:
     * 196-206` — drop before decode, not after).
     */
-  private val opToEventTypes: Map[String, Seq[String]] = Map(
-    Envelope.Op.Create -> Seq("signup"), Envelope.Op.Update -> Seq("purchase"),
-    Envelope.Op.Delete -> Seq("error"), Envelope.Op.Read -> Seq("view"),
-    Envelope.Op.Message -> Seq("click"))
+  private val opToEventTypes: Map[String, Seq[String]] =
+    Envelope.eventTypeToOp.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
 
   def opGateAtSource(enabled: Seq[String])(events: DataFrame): DataFrame = {
     val types = enabled.flatMap(opToEventTypes.getOrElse(_, Nil))

@@ -146,22 +146,20 @@ object EventFilter {
     def eatOp(sym: String): Boolean =
       if (peekOp(sym)) { next(); true } else false
 
-    // precedence (loosest first): ?: | ?? | || | && | ! | comparison |
-    // additive | multiplicative | unary | primary
+    // precedence (loosest first), expr-lang order: ?: | || | && |
+    // comparison | additive | multiplicative | ?? | unary(!,not,-) |
+    // primary. NOTE `??` and unary `!` bind TIGHT in expr-lang
+    // (`props ?? "{}" contains "k"` coalesces first; `!a == b` negates
+    // `a` first) — matching that here keeps unparenthesized reference
+    // filters meaning the same thing.
     def ternary(): String = {
-      val c = nullCoalesce()
+      val c = orExpr()
       if (eatOp("?")) {
-        val a = nullCoalesce()
+        val a = orExpr()
         expectOp(":")
         val b = ternary()
         s"IF($c, $a, $b)"
       } else c
-    }
-
-    def nullCoalesce(): String = {
-      var l = orExpr()
-      while (eatOp("??")) l = s"coalesce($l, ${orExpr()})"
-      l
     }
 
     def orExpr(): String = {
@@ -171,20 +169,10 @@ object EventFilter {
     }
 
     def andExpr(): String = {
-      var l = notExpr()
-      while (eatOp("&&")) l = s"($l AND ${notExpr()})"
+      var l = comparison()
+      while (eatOp("&&")) l = s"($l AND ${comparison()})"
       l
     }
-
-    def notExpr(): String =
-      if (eatOp("!")) s"(NOT ${notExpr()})"
-      else peek match {
-        // expr-lang's keyword form `not x`; binary `l not in [..]` is
-        // consumed in comparison() after an operand, so `not` at operand
-        // position is always the unary form
-        case Some(TIdent("not")) => next(); s"(NOT ${notExpr()})"
-        case _ => comparison()
-      }
 
     def comparison(): String = {
       val l = additive()
@@ -230,16 +218,30 @@ object EventFilter {
     }
 
     def multiplicative(): String = {
-      var l = unary()
+      var l = nullCoalesce()
       while (peekOp("*") || peekOp("/") || peekOp("%")) {
         val op = next().asInstanceOf[TOp].sym
-        l = s"($l $op ${unary()})"
+        l = s"($l $op ${nullCoalesce()})"
       }
       l
     }
 
+    def nullCoalesce(): String = {
+      var l = unary()
+      while (eatOp("??")) l = s"coalesce($l, ${unary()})"
+      l
+    }
+
     def unary(): String =
-      if (eatOp("-")) s"(- ${unary()})" else primary()
+      if (eatOp("-")) s"(- ${unary()})"
+      else if (eatOp("!")) s"(NOT ${unary()})"
+      else peek match {
+        // keyword form `not x`; binary `l not in [..]` is consumed in
+        // comparison() after an operand, so `not` at operand position is
+        // always unary
+        case Some(TIdent("not")) => next(); s"(NOT ${unary()})"
+        case _ => primary()
+      }
 
     def primary(): String = next() match {
       case TStr(v)  => sqlString(v)

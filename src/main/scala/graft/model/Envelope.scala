@@ -31,6 +31,16 @@ object Envelope {
     val all: Seq[String] = Seq(Read, Create, Update, Delete, Truncate, Message, Timescale)
   }
 
+  /** event_type → op for the WAL stand-in — the ONE source of truth
+    * shared by the batch shaping (`Cdc.opExpr`), the source-column gate
+    * inversion (`Cdc.opGateAtSource`), and the streaming range reader
+    * (`WalRangeReader`); anything not mapped is a logical message. */
+  val eventTypeToOp: Map[String, String] = Map(
+    "signup" -> Op.Create, "purchase" -> Op.Update,
+    "error" -> Op.Delete, "view" -> Op.Read, "click" -> Op.Message)
+  def opFor(eventType: String): String =
+    eventTypeToOp.getOrElse(eventType, Op.Message)
+
   /** tsdb_op values — `spi/schema/eventschema.go:46-51`. */
   object TsdbOp {
     val Compression   = "c"

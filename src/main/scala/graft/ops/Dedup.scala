@@ -168,7 +168,10 @@ object Dedup {
     // one cheap scan over the just-materialized labels instead of the
     // old join + count per round (which doubled per-round cost)
     def checksum(df: DataFrame): Long =
-      df.agg(expr("bit_xor(xxhash64(doc, label))")).head.getLong(0)
+      // coalesce: bit_xor over ZERO rows is NULL — an empty pair graph
+      // (clean corpus) must yield zero clusters, not a crash
+      df.agg(coalesce(expr("bit_xor(xxhash64(doc, label))"), lit(0L)))
+        .head.getLong(0)
     var prev = checksum(labels)
     var iter = 0
     var converged = false

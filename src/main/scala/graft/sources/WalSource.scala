@@ -78,14 +78,31 @@ case class LsnOffset(lsn: Long) extends Offset {
 
 class WalMicroBatchStream(path: String, batchSize: Int)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
-  // Driver-side state is the record count alone, read from the parquet
-  // FOOTER (metadata only — no row data crosses the driver).
+  // Driver-side state is the LSN high-watermark alone, read from the
+  // parquet FOOTER column statistics (metadata only — no row data
+  // crosses the driver). Using max(event_id)+1 rather than the record
+  // count avoids silently dropping events if ids are ever non-dense or
+  // non-zero-based; record count is only a fallback when stats are
+  // absent.
   private lazy val maxLsn: Long = {
     val conf = new org.apache.hadoop.conf.Configuration()
     val file = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(s"$path/events.parquet"), conf)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(file)
-    try reader.getRecordCount finally reader.close()
+    try {
+      import scala.jdk.CollectionConverters._
+      val maxes = for {
+        block <- reader.getFooter.getBlocks.asScala
+        col   <- block.getColumns.asScala
+        if col.getPath.toDotString == "event_id"
+        stats = col.getStatistics
+        if stats != null && stats.hasNonNullValue
+      } yield stats.genericGetMax match {
+        case l: java.lang.Long => l.longValue()
+        case other             => other.toString.toLong
+      }
+      if (maxes.nonEmpty) maxes.max + 1 else reader.getRecordCount
+    } finally reader.close()
   }
 
   override def initialOffset(): Offset = LsnOffset(0L)
@@ -160,14 +177,8 @@ class WalRangeReader(path: String, lo: Long, hi: Long)
     val eventId = g.getLong("event_id", 0)
     val tsNanos = g.getLong("ts", 0)
     val eventType = g.getBinary("event_type", 0).toStringUsingUTF8
-    // op mapping — the same event_type→op rule as Cdc.opExpr
-    val op = eventType match {
-      case "signup"   => "c"
-      case "purchase" => "u"
-      case "error"    => "d"
-      case "view"     => "r"
-      case _          => "m"
-    }
+    // the shared event_type→op rule (one source of truth with Cdc)
+    val op = graft.model.Envelope.opFor(eventType)
     InternalRow(
       eventId,                        // lsn
       eventId / 10,                   // xid

@@ -101,6 +101,12 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("clusters of an empty pair graph is empty, not a crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.clusters(empty).count() === 0L)
+  }
+
   test("shingle df-cap is a no-op below the cap and prunes hot shingles above it") {
     // at sf0.001 no shingle is near df=50, so capped ≡ uncapped
     val uncapped = Dedup.jaccardPairs(docs).collect()

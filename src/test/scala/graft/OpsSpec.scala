@@ -45,6 +45,11 @@ class OpsSpec extends SparkSpec {
     assert(EventFilter.translate("""value.after.user_id in [1, 2]""") === "`user_id` IN (1, 2)")
     assert(EventFilter.translate("""user_id not in [1]""") === "`user_id` NOT IN (1)")
     assert(EventFilter.translate("""not (a == 1)""") === "(NOT (`a` = 1))")
+    // expr-lang tight-binding precedence: ?? and unary ! bind before
+    // comparison operators (eventfilter.go dialect)
+    assert(EventFilter.translate("""props ?? "{}" contains "k"""")
+      === "contains(coalesce(`props`, '{}'), 'k')")
+    assert(EventFilter.translate("""!a == b""") === "(NOT `a`) = `b`")
     assert(EventFilter.translate("""a > 1 ? b == 2 : c != 3""")
       === "IF(`a` > 1, `b` = 2, `c` <> 3)")
     assert(EventFilter.translate("""(props ?? "") endsWith "}"""")
