@@ -118,6 +118,32 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.jaccardPairs(docs, dfCap = 1).count() === 0L)
   }
 
+  test("bucketed co-located join plans with zero Exchange (100 TB fact-join path)") {
+    val s = spark
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_bucket LOCATION '/tmp/graft-warehouse'")
+    val ev = graft.cdc.Cdc.walEvents(s, sf001).select("lsn", "user_id", "value")
+    val sess = graft.cdc.Cdc.sessionize(graft.cdc.Cdc.walEvents(s, sf001))
+    graft.ops.Bucketing.writeBucketed(ev, "graft_bucket.events_b", "user_id", 8)
+    graft.ops.Bucketing.writeBucketed(sess, "graft_bucket.sessions_b", "user_id", 8)
+    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // disable broadcast+AQE so the plan shows the raw join strategy
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      val joined = graft.ops.Bucketing.coLocatedJoin(
+        s, "graft_bucket.events_b", "graft_bucket.sessions_b", "user_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      assert(plan.contains("SortMergeJoin"))
+      assert(joined.count() > 0)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("cosine top-k ranks are 1..k and neighbors are distinct") {
     val emb = Tables.embeddings(spark, sf001)
     val topk = Similarity.cosineTopK(emb.filter(col("vec_id") < 5), emb, 3).collect()
