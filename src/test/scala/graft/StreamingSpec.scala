@@ -96,6 +96,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch, s"stream-stream join rows $streamed vs batch $batch")
   }
 
+  test("stats listener accumulates the reference's metric names (A1)") {
+    val listener = new graft.streaming.StatsListener
+    spark.streams.addListener(listener)
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("stats-ckpt").toString
+      val sink = new graft.sinks.CollectorSink
+      val q = StreamPipeline.run(spark, sf001, ckpt, sink, "stats-test")
+      q.awaitTermination(120000)
+      // listener delivery is async — poll briefly for the final totals
+      val deadline = System.nanoTime + 30e9.toLong
+      while (listener.counters.getOrElse("total", 0L) < 1000L &&
+             System.nanoTime < deadline) Thread.sleep(100)
+      assert(listener.counters("total") === 1000L)
+      val wal = graft.cdc.Cdc.walEvents(spark, sf001)
+      def opCount(op: String) =
+        wal.filter(org.apache.spark.sql.functions.col("op") === op).count()
+      assert(listener.counters("insert") === opCount("c"))
+      assert(listener.counters("updates") === opCount("u"))
+      assert(listener.counters("deletes") === opCount("d"))
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("restart with same checkpoint emits nothing new (T1 recovery, no dupes)") {
     val sink = new CollectorSink
     val ckpt = Files.createTempDirectory("graft-ckpt2").toString
