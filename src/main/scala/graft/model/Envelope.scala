@@ -102,6 +102,10 @@ object Envelope {
   def topicName(prefix: String, schemaName: Column, tableName: Column): Column =
     concat_ws(".", lit(prefix), schemaName, tableName)
 
+  /** Logical-message topic: `<prefix>.message` —
+    * `internal/eventing/namingstrategy/debezium.go:55-60`. */
+  def messageTopicName(prefix: String): String = s"$prefix.message"
+
   /** Topic sanitization parity — `internal/eventing/namingstrategy/sanitization.go:24-52`:
     * any char outside [a-zA-Z0-9._-] is replaced by '_'.
     */

@@ -120,7 +120,12 @@ class DedupSpec extends SparkSpec {
 
   test("bucketed co-located join plans with zero Exchange (100 TB fact-join path)") {
     val s = spark
-    s.sql("CREATE DATABASE IF NOT EXISTS graft_bucket LOCATION '/tmp/graft-warehouse'")
+    // fresh location per run: the in-memory catalog forgets tables
+    // between JVMs but their files would survive in a fixed directory
+    val wh = java.nio.file.Files.createTempDirectory("graft-warehouse").toString
+    s.sql(s"CREATE DATABASE IF NOT EXISTS graft_bucket LOCATION '$wh'")
+    s.sql("DROP TABLE IF EXISTS graft_bucket.events_b")
+    s.sql("DROP TABLE IF EXISTS graft_bucket.sessions_b")
     val ev = graft.cdc.Cdc.walEvents(s, sf001).select("lsn", "user_id", "value")
     val sess = graft.cdc.Cdc.sessionize(graft.cdc.Cdc.walEvents(s, sf001))
     graft.ops.Bucketing.writeBucketed(ev, "graft_bucket.events_b", "user_id", 8)

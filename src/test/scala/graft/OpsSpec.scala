@@ -142,4 +142,11 @@ class OpsSpec extends SparkSpec {
     val df = Seq("a b/c:d").toDF("t")
     assert(df.select(graft.model.Envelope.sanitizeTopic(col("t"))).head.getString(0) === "a_b_c_d")
   }
+
+  test("naming strategy: event and message topic names (debezium.go:20-60)") {
+    val df = Seq(("public", "events")).toDF("s", "t")
+    assert(df.select(graft.model.Envelope.topicName("graft", col("s"), col("t")))
+      .head.getString(0) === "graft.public.events")
+    assert(graft.model.Envelope.messageTopicName("graft") === "graft.message")
+  }
 }
