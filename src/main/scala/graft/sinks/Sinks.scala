@@ -106,6 +106,32 @@ final case class KafkaSinkConfig(
   }
 }
 
+/** At-least-once queue-shaped sink over the filesystem — the testable
+  * stand-in for the reference's HTTP/SQS/Kinesis emitters (no brokers
+  * in this environment; the delivery CONTRACT is what's under test):
+  *
+  *   - each micro-batch lands as `batch=<id>/` in one distributed
+  *     overwrite write — executors write, nothing funnels through the
+  *     driver;
+  *   - redelivery of a batch id (checkpoint replay after a crash
+  *     between sink success and offset commit) OVERWRITES the same
+  *     directory with identical content, so at-least-once delivery
+  *     from the source becomes exactly-once in the queue — the same
+  *     batch-id-keyed idempotence the reference gets from SQS
+  *     deduplication ids (`README.md:444-447`);
+  *   - transient failures (first `failFirst` attempts throw) are
+  *     retried by `Sinks.withRetry`, mirroring ack-after-sink.
+  */
+final class FileQueueSink(dir: String, failFirst: Int = 0) extends Sink {
+  def name = "file-queue"
+  private val attempts = new java.util.concurrent.atomic.AtomicInteger()
+  def emit(batch: DataFrame, batchId: Long): Unit = {
+    if (attempts.incrementAndGet() <= failFirst)
+      throw new RuntimeException(s"injected transient failure #${attempts.get}")
+    batch.write.mode("overwrite").json(s"$dir/batch=$batchId")
+  }
+}
+
 /** In-memory collector for tests — the EventCollectorSink analog
   * (`testsupport/sinks.go`). */
 final class CollectorSink extends Sink {

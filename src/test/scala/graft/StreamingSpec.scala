@@ -118,6 +118,25 @@ class StreamingSpec extends SparkSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("file-queue sink: transient failures retried, batch-id idempotence, exactly-once") {
+    val dir = java.nio.file.Files.createTempDirectory("fq-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("fq-ckpt").toString
+    // first two emit attempts throw — withRetry must absorb them
+    val sink = graft.sinks.Sinks.withRetry(new graft.sinks.FileQueueSink(dir, failFirst = 2))
+    val q = StreamPipeline.run(spark, sf001, ckpt, sink, "fq-test")
+    q.awaitTermination(120000)
+    val delivered = spark.read.json(s"$dir/batch=*")
+    assert(delivered.count() === 1000L)
+    assert(delivered.select("lsn").distinct().count() === 1000L, "no duplicate delivery")
+    // redelivery of the same batches (fresh checkpoint, same dir) must
+    // leave the queue unchanged — batch-id-keyed overwrite idempotence
+    val ckpt2 = java.nio.file.Files.createTempDirectory("fq-ckpt2").toString
+    val q2 = StreamPipeline.run(spark, sf001, ckpt2,
+      new graft.sinks.FileQueueSink(dir), "fq-test-replay")
+    q2.awaitTermination(120000)
+    assert(spark.read.json(s"$dir/batch=*").count() === 1000L, "replay is idempotent")
+  }
+
   test("restart with same checkpoint emits nothing new (T1 recovery, no dupes)") {
     val sink = new CollectorSink
     val ckpt = Files.createTempDirectory("graft-ckpt2").toString
