@@ -612,6 +612,31 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "conv_array_more" -> ((s, dir) => {
+      // point[], macaddr[], timestamptz-text[], float8[] (cents-text,
+      // engine-stable), ltree[] — remaining array lifts of the matrix
+      val u = col("user_id"); val e = col("event_id")
+      val m = pmod(e, lit(100))
+      def dec2(cents: Column): Column = concat(
+        (cents / 100).cast("long"), lit("."), lpad(pmod(cents, lit(100)).cast("string"), 2, "0"))
+      Tables.events(s, dir)
+        .select(e.as("event_id"),
+          array_join(array(
+            PgConverters.pointToText(u, m),
+            PgConverters.pointToText(u + 1, m + 1)), ";").as("point_arr"),
+          array_join(array(
+            PgConverters.macaddrToText(e * 65536 + u),
+            PgConverters.macaddrToText(u * 65536 + e)), ",").as("mac_arr"),
+          array_join(array(
+            PgConverters.timestamptzNanosToText("ts"),
+            PgConverters.timestamptzNanosToText("(ts + 60000000000)")), ",").as("tstz_arr"),
+          array_join(array(dec2(u * 100 + 25), dec2(e * 100 + 75)), ",").as("f8_arr"),
+          array_join(array(
+            concat(lit("root.u"), u), concat(lit("root.e"), pmod(e, lit(10)))), ",")
+            .as("ltree_arr"))
+        .orderBy(col("event_id"))
+    }),
+
     "conv_array_bits" -> ((s, dir) => {
       val arr = array(pmod(col("user_id"), lit(256)), pmod(col("event_id"), lit(256)))
       Tables.events(s, dir)
@@ -1485,6 +1510,26 @@ object SparkEntry {
         |    (user_id - 100) * 2629800000000 + (event_id % 30 - 15) * 86400000000], ',') AS interval_arr,
         |  CAST(to_json([struct_pack(a := user_id), struct_pack(a := event_id % 10)]) AS VARCHAR) AS comp_arr
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "conv_array_more" ->
+      s"""SELECT event_id,
+         |  concat('(', CAST(user_id AS VARCHAR), ',', CAST(event_id % 100 AS VARCHAR), ');(',
+         |         CAST(user_id + 1 AS VARCHAR), ',', CAST(event_id % 100 + 1 AS VARCHAR), ')') AS point_arr,
+         |  printf('%02x:%02x:%02x:%02x:%02x:%02x',
+         |    ((event_id * 65536 + user_id) >> 40) & 255, ((event_id * 65536 + user_id) >> 32) & 255,
+         |    ((event_id * 65536 + user_id) >> 24) & 255, ((event_id * 65536 + user_id) >> 16) & 255,
+         |    ((event_id * 65536 + user_id) >> 8) & 255, (event_id * 65536 + user_id) & 255)
+         |  || ',' ||
+         |  printf('%02x:%02x:%02x:%02x:%02x:%02x',
+         |    ((user_id * 65536 + event_id) >> 40) & 255, ((user_id * 65536 + event_id) >> 32) & 255,
+         |    ((user_id * 65536 + event_id) >> 24) & 255, ((user_id * 65536 + event_id) >> 16) & 255,
+         |    ((user_id * 65536 + event_id) >> 8) & 255, (user_id * 65536 + event_id) & 255) AS mac_arr,
+         |  ${duckTsText("epoch_ns(ts)")} || ',' || ${duckTsText("epoch_ns(ts) + 60000000000")} AS tstz_arr,
+         |  CAST((user_id * 100 + 25) // 100 AS VARCHAR) || '.' || lpad(CAST((user_id * 100 + 25) % 100 AS VARCHAR), 2, '0')
+         |  || ',' ||
+         |  CAST((event_id * 100 + 75) // 100 AS VARCHAR) || '.' || lpad(CAST((event_id * 100 + 75) % 100 AS VARCHAR), 2, '0') AS f8_arr,
+         |  concat('root.u', CAST(user_id AS VARCHAR), ',root.e', CAST(event_id % 10 AS VARCHAR)) AS ltree_arr
+         |FROM events ORDER BY event_id""".stripMargin,
 
     "conv_array_bits" ->
       """SELECT event_id,
