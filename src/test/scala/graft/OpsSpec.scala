@@ -143,6 +143,21 @@ class OpsSpec extends SparkSpec {
     assert(df.select(graft.model.Envelope.sanitizeTopic(col("t"))).head.getString(0) === "a_b_c_d")
   }
 
+  test("kafka sink config assembles security/idempotence options (kafka.go:40-125)") {
+    import graft.sinks.KafkaSinkConfig
+    val plain = KafkaSinkConfig("b:9092")
+    assert(plain.options === Map("kafka.bootstrap.servers" -> "b:9092"))
+    val saslSsl = KafkaSinkConfig("b:9092", idempotent = true,
+      saslMechanism = Some("SCRAM-SHA-256"), saslJaas = Some("jaas"), tls = true)
+    assert(saslSsl.options("kafka.security.protocol") === "SASL_SSL")
+    assert(saslSsl.options("kafka.enable.idempotence") === "true")
+    assert(saslSsl.options("kafka.sasl.mechanism") === "SCRAM-SHA-256")
+    val saslPlain = KafkaSinkConfig("b:9092", saslMechanism = Some("PLAIN"))
+    assert(saslPlain.options("kafka.security.protocol") === "SASL_PLAINTEXT")
+    val sslOnly = KafkaSinkConfig("b:9092", tls = true)
+    assert(sslOnly.options("kafka.security.protocol") === "SSL")
+  }
+
   test("naming strategy: event and message topic names (debezium.go:20-60)") {
     val df = Seq(("public", "events")).toDF("s", "t")
     assert(df.select(graft.model.Envelope.topicName("graft", col("s"), col("t")))
