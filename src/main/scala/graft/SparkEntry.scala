@@ -1536,6 +1536,37 @@ object SparkEntry {
         |  array_to_string([lpad(bin(user_id % 256), 8, '0'), lpad(bin(event_id % 256), 8, '0')], ',') AS bits_arr
         |FROM events ORDER BY event_id""".stripMargin,
 
+    // Upgraded from rows-only: the marker-voting argmax is expressible
+    // in DuckDB (regexp_extract_all + list_position first-max, matching
+    // Spark's array_position lexicographic tie-break; \b is ASCII-class
+    // in both Java regex and RE2)
+    "text_langid" ->
+      """SELECT doc_id,
+        |  CASE WHEN greatest(de, en, es, fr, zh) = 0 THEN 'und'
+        |       ELSE ['de','en','es','fr','zh'][list_position([de, en, es, fr, zh], greatest(de, en, es, fr, zh))]
+        |  END AS pred_lang
+        |FROM (SELECT doc_id,
+        |  len(regexp_extract_all(text, '\b(der|die|das|und)\b')) AS de,
+        |  len(regexp_extract_all(text, '\b(the|a|of|and)\b')) AS en,
+        |  len(regexp_extract_all(text, '\b(el|la|los|y)\b')) AS es,
+        |  len(regexp_extract_all(text, '\b(le|la|les|et)\b')) AS fr,
+        |  len(regexp_extract_all(text, '\b(的|是|了|在)\b')) AS zh
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
+    // Upgraded from rows-only: FNV-64a as a HUGEINT byte fold (names are
+    // ASCII so ascii(char) = byte), unsigned modulo for free since the
+    // accumulator stays in [0, 2^64)
+    "cdc_snapshot_partitions" ->
+      """SELECT tbl, CAST(list_reduce(
+        |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |      list_transform(range(1, length(tbl) + 1),
+        |        i -> ascii(substr(tbl, CAST(i AS INTEGER), 1)))),
+        |    (acc, b) -> (xor(acc, CAST(b AS HUGEINT)) * 1099511628211) % 18446744073709551616
+        |  ) % 5 AS BIGINT) AS partition
+        |FROM (SELECT DISTINCT 'public.events_' || CAST(user_id AS VARCHAR) AS tbl FROM events) t
+        |ORDER BY tbl""".stripMargin,
+
     "text_quality" ->
       """SELECT doc_id, length(text) AS n_chars,
         |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
