@@ -44,6 +44,11 @@ object SparkEntry {
   private def cents(c: Column): Column = floor(c * lit(100.0) + lit(0.5))
   private def centsSql(e: String): String = s"CAST(FLOOR(($e) * 100.0 + 0.5) AS BIGINT)"
 
+  /** Integer cents → decimal text `x.yy` — rendering decimals as text
+    * without a float-to-string crossing engines (numrange/float8 text). */
+  private def decimalCentsText(c: Column): Column = concat(
+    (c / 100).cast("long"), lit("."), lpad(pmod(c, lit(100)).cast("string"), 2, "0"))
+
   /** Shared CASE expression for op mapping in oracles. */
   private val opCaseSql =
     """CASE event_type WHEN 'signup' THEN 'c' WHEN 'purchase' THEN 'u'
@@ -397,12 +402,10 @@ object SparkEntry {
       // numrange text with decimal bounds rendered from integer cents
       // (engine-independent: no float-to-string), plus the open `path`
       // form [(x,y),...] completing the geometry family
-      def dec2(cents: Column): Column = concat(
-        (cents / 100).cast("long"), lit("."), lpad(pmod(cents, lit(100)).cast("string"), 2, "0"))
       val loC = col("user_id") * 100 + 50
       Tables.events(s, dir)
         .select(col("event_id"),
-          PgConverters.rangeToString(dec2(loC), dec2(loC + 125)).as("numrange_text"),
+          PgConverters.rangeToString(decimalCentsText(loC), decimalCentsText(loC + 125)).as("numrange_text"),
           PgConverters.pathToText(closed = false,
             (col("user_id"), pmod(col("event_id"), lit(100))),
             (col("user_id") + 2, pmod(col("event_id"), lit(100)) + 3)).as("path_text"))
@@ -617,8 +620,6 @@ object SparkEntry {
       // engine-stable), ltree[] — remaining array lifts of the matrix
       val u = col("user_id"); val e = col("event_id")
       val m = pmod(e, lit(100))
-      def dec2(cents: Column): Column = concat(
-        (cents / 100).cast("long"), lit("."), lpad(pmod(cents, lit(100)).cast("string"), 2, "0"))
       Tables.events(s, dir)
         .select(e.as("event_id"),
           array_join(array(
@@ -630,7 +631,7 @@ object SparkEntry {
           array_join(array(
             PgConverters.timestamptzNanosToText("ts"),
             PgConverters.timestamptzNanosToText("(ts + 60000000000)")), ",").as("tstz_arr"),
-          array_join(array(dec2(u * 100 + 25), dec2(e * 100 + 75)), ",").as("f8_arr"),
+          array_join(array(decimalCentsText(u * 100 + 25), decimalCentsText(e * 100 + 75)), ",").as("f8_arr"),
           array_join(array(
             concat(lit("root.u"), u), concat(lit("root.e"), pmod(e, lit(10)))), ",")
             .as("ltree_arr"))

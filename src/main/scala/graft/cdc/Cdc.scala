@@ -258,6 +258,21 @@ object Cdc {
         lit("public").as("key_schema"), lit("events").as("key_table"),
         col("ts_ms"))
 
+  /** The Debezium source-block JSON (sorted keys), string-assembled for
+    * cross-engine byte parity — the one builder behind the compression,
+    * CDC, and snapshot envelopes. `txId = None` renders the JSON null of
+    * a transaction-less event (snapshot reads, timescale events). */
+  private def sourceJson(dbName: String, schemaName: String, tableName: String,
+                         lsn: Column, tsMs: Column, snapshot: Boolean,
+                         txId: Option[Column]): Column =
+    concat(
+      lit(s"""{"connector":"${Envelope.ConnectorName}","db":"$dbName","lsn":"0/"""),
+      upper(hex(lsn)),
+      lit(s"""","name":"$dbName","schema":"$schemaName","snapshot":$snapshot,"table":"$tableName","ts_ms":"""),
+      tsMs,
+      lit(",\"txId\":"), txId.map(_.cast(StringType)).getOrElse(lit("null")),
+      lit(s""","version":"${Envelope.Version}"}"""))
+
   /** Full `{payload, schema}` envelope for op='$' compression events —
     * `eventschema.go:150-177` (CompressionEvent/DecompressionEvent:
     * {op:"$", tsdb_op, source, ts_ms}, no row images) keyed by the
@@ -265,11 +280,8 @@ object Cdc {
     * (`eventschema.go:188-197,254-264`). */
   def compressionEnvelopes(wal: DataFrame, dbName: String = "graft"): DataFrame = {
     val ev = compressionEvents(wal)
-    val srcJson = concat(
-      lit(s"""{"connector":"${Envelope.ConnectorName}","db":"$dbName","lsn":"0/"""),
-      upper(hex(col("lsn"))),
-      lit(s"""","name":"$dbName","schema":"public","snapshot":false,"table":"events","ts_ms":"""),
-      col("ts_ms"), lit(s""","txId":null,"version":"${Envelope.Version}"}"""))
+    val srcJson = sourceJson(dbName, "public", "events",
+      col("lsn"), col("ts_ms"), snapshot = false, txId = None)
     val payload = concat(
       lit("{\"op\":\"$\",\"source\":"), srcJson,
       lit(",\"ts_ms\":"), col("ts_ms"),
@@ -518,12 +530,8 @@ object Cdc {
       lit(",\"user_id\":"), col("user_id"),
       lit(",\"value_cents\":"), floor(col("value") * 100.0 + 0.5).cast(LongType),
       lit("}"))
-    val srcJson = concat(
-      lit(s"""{"connector":"${Envelope.ConnectorName}","db":"$dbName","lsn":"0/"""),
-      upper(hex(col("lsn"))),
-      lit(s"""","name":"$dbName","schema":"public","snapshot":false,"table":"events","ts_ms":"""),
-      col("ts_ms"), lit(",\"txId\":"), col("xid"),
-      lit(s""","version":"${Envelope.Version}"}"""))
+    val srcJson = sourceJson(dbName, "public", "events",
+      col("lsn"), col("ts_ms"), snapshot = false, txId = Some(col("xid")))
     val msgJson = concat(
       lit("{\"content\":\""), base64(col("props").cast(BinaryType)),
       lit("\",\"prefix\":\"graft-msg\"}"))
@@ -565,11 +573,8 @@ object Cdc {
     val topic = s"$dbName.$schemaName.$tableName"
     val schemaJson = graft.model.DebeziumSchema.envelopeSchemaJson(rowSchema, topic)
     val keySchemaJson = graft.model.DebeziumSchema.keySchemaJson(topic, pk)
-    val srcJson = concat(
-      lit(s"""{"connector":"${Envelope.ConnectorName}","db":"$dbName","lsn":"0/"""),
-      upper(hex(lsn)),
-      lit(s"""","name":"$dbName","schema":"$schemaName","snapshot":true,"table":"$tableName","ts_ms":"""),
-      tsMs, lit(s""","txId":null,"version":"${Envelope.Version}"}"""))
+    val srcJson = sourceJson(dbName, schemaName, tableName,
+      lsn, tsMs, snapshot = true, txId = None)
     val payload = concat(lit("{\"after\":"), rowJson,
       lit(",\"op\":\"r\",\"source\":"), srcJson, lit(",\"ts_ms\":"), tsMs, lit("}"))
     df.select(

@@ -146,12 +146,13 @@ object EventFilter {
     def eatOp(sym: String): Boolean =
       if (peekOp(sym)) { next(); true } else false
 
-    // precedence (loosest first), expr-lang order: ?: | || | && |
-    // comparison | additive | multiplicative | ?? | unary(!,not,-) |
-    // primary. NOTE `??` and unary `!` bind TIGHT in expr-lang
-    // (`props ?? "{}" contains "k"` coalesces first; `!a == b` negates
-    // `a` first) — matching that here keeps unparenthesized reference
-    // filters meaning the same thing.
+    // precedence ladder (loosest first), matching expr-lang's operator
+    // powers: ?: | ||(10) | &&(15) | comparison(20) | additive(30) |
+    // unary not/!(50) | multiplicative(60) | unary -(90) | ??(500) |
+    // primary. Consequences worth noting: `!a == b` negates a first
+    // (50>20); `not a * b` negates the product (60>50); `!x ?? y`
+    // coalesces first (500>50) — all as the reference dialect evaluates
+    // them, so unparenthesized filters keep their meaning.
     def ternary(): String = {
       val c = orExpr()
       if (eatOp("?")) {
@@ -209,39 +210,43 @@ object EventFilter {
     }
 
     def additive(): String = {
-      var l = multiplicative()
+      var l = notUnary()
       while (peekOp("+") || peekOp("-")) {
         val op = next().asInstanceOf[TOp].sym
-        l = s"($l $op ${multiplicative()})"
+        l = s"($l $op ${notUnary()})"
       }
       l
     }
 
-    def multiplicative(): String = {
-      var l = nullCoalesce()
-      while (peekOp("*") || peekOp("/") || peekOp("%")) {
-        val op = next().asInstanceOf[TOp].sym
-        l = s"($l $op ${nullCoalesce()})"
-      }
-      l
-    }
-
-    def nullCoalesce(): String = {
-      var l = unary()
-      while (eatOp("??")) l = s"coalesce($l, ${unary()})"
-      l
-    }
-
-    def unary(): String =
-      if (eatOp("-")) s"(- ${unary()})"
-      else if (eatOp("!")) s"(NOT ${unary()})"
+    def notUnary(): String =
+      if (eatOp("!")) s"(NOT ${notUnary()})"
       else peek match {
         // keyword form `not x`; binary `l not in [..]` is consumed in
         // comparison() after an operand, so `not` at operand position is
-        // always unary
-        case Some(TIdent("not")) => next(); s"(NOT ${unary()})"
-        case _ => primary()
+        // always unary. Power 50: absorbs * / % (60) and ?? (500) but
+        // not + - (30) or comparisons (20).
+        case Some(TIdent("not")) => next(); s"(NOT ${notUnary()})"
+        case _ => multiplicative()
       }
+
+    def multiplicative(): String = {
+      var l = negUnary()
+      while (peekOp("*") || peekOp("/") || peekOp("%")) {
+        val op = next().asInstanceOf[TOp].sym
+        l = s"($l $op ${negUnary()})"
+      }
+      l
+    }
+
+    def negUnary(): String =
+      if (eatOp("-")) s"(- ${negUnary()})" else nullCoalesce()
+
+    def nullCoalesce(): String = {
+      // expr-lang power 500 — the tightest binary, inside even unary -
+      var l = primary()
+      while (eatOp("??")) l = s"coalesce($l, ${primary()})"
+      l
+    }
 
     def primary(): String = next() match {
       case TStr(v)  => sqlString(v)

@@ -35,7 +35,10 @@ class StatsListener extends StreamingQueryListener {
       add("insert", long("n_inserts"))
       add("updates", long("n_updates"))
       add("deletes", long("n_deletes"))
-      add("emitted.count", e.progress.sink.numOutputRows.max(0L))
+      // from the observed batch, NOT progress.sink.numOutputRows — the
+      // foreachBatch sink reports -1 (no sink metrics), which would pin
+      // the reference's emitted.count series at zero
+      add("emitted.count", long("n_events"))
     }
   }
 }

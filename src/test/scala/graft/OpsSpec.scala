@@ -50,6 +50,11 @@ class OpsSpec extends SparkSpec {
     assert(EventFilter.translate("""props ?? "{}" contains "k"""")
       === "contains(coalesce(`props`, '{}'), 'k')")
     assert(EventFilter.translate("""!a == b""") === "(NOT `a`) = `b`")
+    // full ladder: ! absorbs * (60>50 power) and ?? (500) but not + (30)
+    assert(EventFilter.translate("""!a ?? b""") === "(NOT coalesce(`a`, `b`))")
+    assert(EventFilter.translate("""not a * b""") === "(NOT (`a` * `b`))")
+    assert(EventFilter.translate("""!a + b""") === "((NOT `a`) + `b`)")
+    assert(EventFilter.translate("""-a ?? b""") === "(- coalesce(`a`, `b`))")
     assert(EventFilter.translate("""a > 1 ? b == 2 : c != 3""")
       === "IF(`a` > 1, `b` = 2, `c` <> 3)")
     assert(EventFilter.translate("""(props ?? "") endsWith "}"""")

@@ -115,6 +115,7 @@ class StreamingSpec extends SparkSpec {
       assert(listener.counters("insert") === opCount("c"))
       assert(listener.counters("updates") === opCount("u"))
       assert(listener.counters("deletes") === opCount("d"))
+      assert(listener.counters("emitted.count") === 1000L)
     } finally spark.streams.removeListener(listener)
   }
 
