@@ -40,6 +40,45 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("debezium descriptor: valid JSON with matching shape for arbitrary nested types") {
+    import org.apache.spark.sql.types._
+    val scalar = Gen.oneOf[DataType](ByteType, ShortType, IntegerType, LongType,
+      FloatType, DoubleType, BooleanType, StringType, BinaryType, DateType)
+    def dtGen(depth: Int): Gen[DataType] =
+      if (depth <= 0) scalar
+      else Gen.frequency(
+        4 -> scalar,
+        1 -> Gen.zip(dtGen(depth - 1), Gen.oneOf(true, false))
+          .map { case (e, n) => ArrayType(e, n) },
+        1 -> Gen.zip(dtGen(depth - 1), Gen.oneOf(true, false))
+          .map { case (v, n) => MapType(StringType, v, n) },
+        1 -> Gen.listOfN(3, Gen.zip(ident, dtGen(depth - 1), Gen.oneOf(true, false)))
+          .map(fs => StructType(fs.zipWithIndex.map { case ((n, t, nl), i) =>
+            StructField(s"${n}_$i", t, nl) })))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def check(dt: DataType, node: com.fasterxml.jackson.databind.JsonNode): Unit = {
+      assert(node.get("type").asText() === graft.model.DebeziumSchema.typeName(dt))
+      dt match {
+        case st: StructType =>
+          val fields = node.get("fields")
+          assert(fields.size() === st.length)
+          st.fields.zipWithIndex.foreach { case (f, i) =>
+            assert(fields.get(i).get("field").asText() === f.name)
+            assert(fields.get(i).has("optional") === f.nullable)
+            check(f.dataType, fields.get(i))
+          }
+        case ArrayType(et, _) => check(et, node.get("valueSchema"))
+        case MapType(kt, vt, _) =>
+          check(kt, node.get("keySchema")); check(vt, node.get("valueSchema"))
+        case _ => ()
+      }
+    }
+    samples(dtGen(3), n = 60).foreach { dt =>
+      val json = graft.model.DebeziumSchema.descriptor(dt)
+      check(dt, mapper.readTree(json)) // readTree throws on invalid JSON
+    }
+  }
+
   test("fnv64a: incremental property h(a++b) folds from h(a)") {
     val bytes = Gen.listOf(Gen.choose(0, 255))
     samples(Gen.zip(bytes, bytes)).foreach { case (a, b) =>
