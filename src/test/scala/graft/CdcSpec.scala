@@ -56,6 +56,22 @@ class CdcSpec extends SparkSpec {
     assert(fenced.filter(col("snapshot")).select("op").distinct().count() === 1)
   }
 
+  test("op gate at source reaches the parquet scan as PushedFilters (P3)") {
+    val gated = Cdc.opGateAtSource(Seq("c", "u"))(Tables.events(spark, sf001))
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(event_type"),
+      s"event_type gate must push to the scan:\n$plan")
+  }
+
+  test("narrow projections prune the parquet read schema") {
+    val df = Tables.lineitem(spark, sf01).select("l_orderkey", "l_quantity")
+    val plan = df.queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_comment"),
+      s"2-column projection must not read the full row:\n$readSchema")
+  }
+
   test("snapshot modes map to fence semantics (T8, config.go SnapshotMode)") {
     assert(Cdc.withSnapshotMode(wal, "initial", 500).count() === 1000)
     val io = Cdc.withSnapshotMode(wal, "initial_only", 500)
