@@ -85,6 +85,47 @@ class StatefulSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
+  test("txn window bounds: overflow at maxSize evicts state (transactiontracker.go:458-482)") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    def st(prev: Option[TxnAssembler.TxnState], timedOut: Boolean = false) =
+      TestGroupState.create[TxnAssembler.TxnState](
+        Optional.ofNullable(prev.orNull), GroupStateTimeout.ProcessingTimeTimeout,
+        1000L, Optional.empty[Long](), timedOut)
+    val step = TxnAssembler.assemble(10L, 60000L, withTimeout = true) _
+    // under the bound: state kept, timeout armed
+    val s1 = st(None)
+    val out1 = step(7L, (1 to 4).iterator.map(i =>
+      TxnAssembler.WalEv(100L + i, 7L, "c", 1000L + i)), s1).toSeq
+    assert(out1.map(_.n_events) === Seq(4L))
+    assert(s1.exists && s1.get.n === 4L)
+    // crossing maxSize: summary still emitted, state REMOVED (stream-through)
+    val s2 = st(Some(s1.get))
+    val out2 = step(7L, (5 to 12).iterator.map(i =>
+      TxnAssembler.WalEv(100L + i, 7L, "c", 1000L + i)), s2).toSeq
+    assert(out2.map(_.n_events) === Seq(12L))
+    assert(!s2.exists, "overflowed window must be evicted")
+    // events after overflow start a fresh window
+    val s3 = st(None)
+    val out3 = step(7L, Iterator(TxnAssembler.WalEv(200L, 7L, "c", 2000L)), s3).toSeq
+    assert(out3.map(_.n_events) === Seq(1L))
+    assert(s3.exists && s3.get.n === 1L)
+  }
+
+  test("txn window bounds: processing-time timeout evicts idle state") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val step = TxnAssembler.assemble(10000L, 60000L, withTimeout = true) _
+    val s = TestGroupState.create[TxnAssembler.TxnState](
+      Optional.of(TxnAssembler.TxnState(1L, 9L, 3L, 100L)),
+      GroupStateTimeout.ProcessingTimeTimeout, 1000L,
+      Optional.empty[Long](), true)
+    val out = step(42L, Iterator.empty, s).toSeq
+    assert(out.isEmpty, "timeout flush emits nothing new (summaries stream per batch)")
+    assert(!s.exists, "timed-out window must be evicted")
+    assert(s.isRemoved)
+  }
+
   test("envelope json carries before/after per op semantics") {
     val env = graft.cdc.Cdc.envelopeJson(spark, sf001)
     val rows = env.orderBy("lsn").limit(50).collect()
