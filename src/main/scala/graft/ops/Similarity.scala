@@ -77,6 +77,16 @@ object Similarity {
     * lists. All-pairs becomes an equi-join on centroid id; list sizes
     * are corpus/k on average, so probe cost is nProbe/k of brute force.
     */
+  /** All `k` centroids folded into ONE row holding an
+    * `array<struct{centroid_id, centroid, cnorm}>` — the broadcastable
+    * quantizer. `coalesce(1)` (narrow) feeds the global `collect_list`
+    * from a single partition, so no Exchange appears anywhere in the
+    * centroid sub-plan either.
+    */
+  private def centroidArray(centroids: DataFrame): DataFrame =
+    centroids.coalesce(1).agg(collect_list(struct(
+      col("centroid_id"), col("centroid"), l2Norm("centroid").as("cnorm"))).as("cents"))
+
   def ivfAssign(corpus: DataFrame, k: Int): (DataFrame, DataFrame) = {
     // deterministic coarse centroids: lowest-id k vectors. orderBy+limit
     // compiles to TakeOrderedAndProject (per-partition top-k heap merged
@@ -84,33 +94,43 @@ object Similarity {
     // all that ever crosses the wire.
     val centroids = corpus.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
-    val assigned = corpus.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("centroid_id"),
-        (graft.functions.VecFunctions.vec_dot(col("embedding"), col("centroid")) /
-          (l2Norm("embedding") * l2Norm("centroid"))).as("sim"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("centroid_id"))
-    val lists = assigned.withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    // Assignment is a per-row argmax over the broadcast centroid array:
+    // a BroadcastNestedLoopJoin against ONE row, then a fold — the corpus
+    // never shuffles (the old form shuffled corpus×k rows through a
+    // window just to take rank 1). `array_max` over struct{sim, -id}
+    // picks highest sim, then lowest centroid_id on ties — identical to
+    // the former ORDER BY sim DESC, centroid_id.
+    val assigned = corpus.crossJoin(broadcast(centroidArray(centroids)))
+      .withColumn("best", array_max(transform(col("cents"), c =>
+        struct(
+          (graft.functions.VecFunctions.vec_dot(col("embedding"), c.getField("centroid")) /
+            (l2Norm("embedding") * c.getField("cnorm"))).as("sim"),
+          (-c.getField("centroid_id")).as("negid")))))
+    val lists = assigned
+      .select(col("vec_id"), col("embedding"), (-col("best.negid")).as("centroid_id"))
     (centroids, lists)
   }
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nLists: Int = 16, nProbe: Int = 4): DataFrame = {
     val (centroids, lists) = ivfAssign(corpus, nLists)
-    // probe assignment: nProbe nearest centroids per query
+    // probe assignment: nProbe nearest centroids per query — same
+    // broadcast-array shape as the assign step: sort struct{-sim, id}
+    // ascending (= sim desc, id asc), take nProbe, explode. No window,
+    // no shuffle of the query side.
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
       l2Norm("embedding").as("qnorm"))
-    val probed = q.crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("qe"), col("qnorm"), col("centroid_id"),
-        (graft.functions.VecFunctions.vec_dot(col("qe"), col("centroid")) /
-          (col("qnorm") * l2Norm("centroid"))).as("csim"))
-    val wp = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("centroid_id"))
-    val probes = probed.withColumn("rk", row_number().over(wp))
-      .filter(col("rk") <= nProbe)
-      .select(col("query_id"), col("qe"), col("qnorm"), col("centroid_id"))
-    // search only the probed inverted lists (equi-join on centroid)
-    val scored = probes.join(lists, Seq("centroid_id"))
+    val probes = q.crossJoin(broadcast(centroidArray(centroids)))
+      .withColumn("pr", explode(slice(array_sort(transform(col("cents"), c =>
+        struct(
+          (-(graft.functions.VecFunctions.vec_dot(col("qe"), c.getField("centroid")) /
+            (col("qnorm") * c.getField("cnorm")))).as("negsim"),
+          c.getField("centroid_id").as("centroid_id")))), 1, nProbe)))
+      .select(col("query_id"), col("qe"), col("qnorm"),
+        col("pr.centroid_id").as("centroid_id"))
+    // search only the probed inverted lists; probe side is tiny
+    // (queries × nProbe) ⇒ broadcast it so the lists never shuffle
+    val scored = lists.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot("qe", "embedding") / (col("qnorm") * l2Norm("embedding"))).as("cosine"))

@@ -81,6 +81,32 @@ class DedupSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1))).toSet))
   }
 
+  test("IVF assign: broadcast-array argmax equals windowed argmax, zero shuffle Exchange") {
+    val emb = Tables.embeddings(spark, sf001)
+    val (centroids, lists) = Similarity.ivfAssign(emb, 16)
+    // plan: the corpus is never shuffled — no ShuffleExchange anywhere
+    // (broadcast exchanges are expected and fine)
+    val plan = lists.queryExecution.executedPlan.toString
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+      s"IVF assign must not shuffle the corpus:\n$plan")
+    // equivalence vs the straightforward windowed argmax formulation
+    val windowed = {
+      import org.apache.spark.sql.expressions.Window
+      val scored = emb.crossJoin(broadcast(
+          centroids.select(col("centroid_id"), col("centroid"))))
+        .select(col("vec_id"), col("centroid_id"),
+          (graft.functions.VecFunctions.vec_dot(col("embedding"), col("centroid")) /
+            (Similarity.l2Norm("embedding") * Similarity.l2Norm("centroid"))).as("sim"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("centroid_id"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select("vec_id", "centroid_id")
+    }
+    val got = lists.select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = windowed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
   test("salted join equals plain join (skew mitigation correctness)") {
     val ev = graft.cdc.Cdc.walEvents(spark, sf001).select("lsn", "user_id", "event_id")
     val dim = Tables.events(spark, sf001)
