@@ -524,6 +524,31 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "conv_postgis" -> ((s, dir) => {
+      // PostGIS geometry/geography → STRUCT {wkb: base64, srid}
+      // (builtin_converters.go:102-143, schemabuilder.go:185-195).
+      // WKB coordinates use the exact-mantissa trick: double(2^52 + v)
+      // has IEEE-754 bits 0x4330000000000000 + v, so big-endian WKB hex
+      // is pure integer arithmetic replicable in any engine. The 5-point
+      // linestring is 89 WKB bytes — past the MIME encoder's 57-byte
+      // line break, proving base64Std parity for long content.
+      val mant = lit(4841369599423283200L)
+      def coordHex(v: Column) = hex(mant + v)
+      val x = pmod(col("user_id"), lit(1000))
+      val y = pmod(col("event_id"), lit(100))
+      val pointWkb = unhex(concat(lit("0000000001"), coordHex(x), coordHex(y)))
+      val pts = (0 until 5).flatMap(i => Seq(coordHex(x + i), coordHex(y + i)))
+      val lineWkb = unhex(concat((lit("000000000200000005") +: pts): _*))
+      val geom = PgConverters.postgisToStruct(pointWkb, lit(4326))
+      val geog = PgConverters.postgisToStruct(lineWkb, lit(3857))
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          to_json(geom).as("geom_point"),
+          to_json(geog).as("geog_line"),
+          to_json(array(geom, geog)).as("geom_arr"))
+        .orderBy(col("event_id"))
+    }),
+
     "conv_ltree_xml_char" -> ((s, dir) => {
       Tables.events(s, dir)
         .select(col("event_id"),
@@ -644,6 +669,90 @@ object SparkEntry {
         .select(col("event_id"),
           array_join(PgConverters.arrayOf(c => PgConverters.bitsToString(c, 8))(arr), ",")
             .as("bits_arr"))
+        .orderBy(col("event_id"))
+    }),
+
+    "conv_array_scalar_sweep" -> ((s, dir) => {
+      // remaining scalar-family array lifts of the README §1.2 matrix:
+      // name[], bytea[], int2[], int4[], json[]/jsonb[], cidr[], float4[],
+      // macaddr8[], inet6[], "char"[], oid/xid/cid[], enum[], xml[],
+      // varbit[], char(x)[] — every element converter already
+      // oracle-proven scalar-side; the lift is arrayOf/array_join
+      val u = col("user_id"); val e = col("event_id")
+      def uintOf(name: String) = PgConverters.uint32ToLong(
+        expr(s"CAST(($name * 2654435761) % 4294967296 - 2147483648 AS INT)"))
+      Tables.events(s, dir)
+        .select(e.as("event_id"),
+          array_join(array(concat(lit("t_"), u), concat(lit("idx_"), pmod(e, lit(10)))), ",").as("name_arr"),
+          array_join(array(lower(hex(col("event_type").cast("binary"))),
+            lower(hex(concat(col("event_type"), lit("!")).cast("binary")))), ",").as("bytea_arr"),
+          array_join(transform(array(pmod(u, lit(32768)), pmod(e, lit(32768))),
+            _.cast("smallint").cast("string")), ",").as("i16_arr"),
+          array_join(transform(array(pmod(u, lit(1000000)), pmod(e, lit(1000000))),
+            _.cast("int").cast("string")), ",").as("i32_arr"),
+          array_join(array(concat(lit("{\"k\":"), u, lit("}")),
+            concat(lit("{\"k\":"), pmod(e, lit(10)), lit("}"))), ";").as("json_arr"),
+          array_join(array(
+            concat(lit("10."), pmod(u, lit(256)), lit("."), pmod(e, lit(256)), lit(".0/24")),
+            concat(lit("192.168."), pmod(e, lit(256)), lit(".0/16"))), ",").as("cidr_arr"),
+          array_join(transform(array(pmod(u, lit(8388608)), pmod(e, lit(8388608))),
+            c => c.cast("float").cast("long").cast("string")), ",").as("f4_arr"),
+          array_join(array(PgConverters.macaddr8ToText(u), PgConverters.macaddr8ToText(e)), ",").as("mac8_arr"),
+          array_join(array(concat(lit("fe80::"), lower(hex(pmod(u, lit(65536))))),
+            concat(lit("fe80::"), lower(hex(pmod(e, lit(65536)))))), ",").as("inet6_arr"),
+          array_join(array(substring(col("event_type"), 1, 1),
+            substring(col("event_type"), 2, 1)), ",").as("qchar_arr"),
+          array_join(transform(array(uintOf("event_id"), uintOf("user_id")), _.cast("string")), ",").as("oid_arr"),
+          array_join(array(col("event_type"), lit("view")), ",").as("enum_arr"),
+          array_join(array(concat(lit("<e id=\""), e, lit("\"/>")),
+            concat(lit("<u id=\""), u, lit("\"/>"))), ";").as("xml_arr"),
+          array_join(array(PgConverters.bitsToString(pmod(u, lit(256)), 8),
+            PgConverters.bitsToString(pmod(e, lit(32)), 5)), ",").as("varbit_arr"),
+          array_join(array(PgConverters.bpcharPad(col("event_type"), 10),
+            PgConverters.bpcharPad(lit("x"), 3)), "|").as("bp_arr"))
+        .orderBy(col("event_id"))
+    }),
+
+    "conv_array_temporal_geo_sweep" -> ((s, dir) => {
+      // remaining temporal/range/geometry array lifts: time[], timetz[],
+      // int4range[]/int8range[], numrange[], tsrange[]/tstzrange[],
+      // daterange[], lseg[], box[], polygon[], line[], circle[], path[]
+      val u = col("user_id"); val e = col("event_id")
+      val m = pmod(e, lit(100))
+      val t0 = timestamp_micros(expr("ts div 1000"))
+      val t1 = timestamp_micros(expr("ts div 1000 + 60000000"))
+      def day(shift: Int) = date_format(
+        timestamp_micros(expr(s"ts div 1000 + ${shift.toLong * 86400000000L}")), "yyyy-MM-dd")
+      Tables.events(s, dir)
+        .select(e.as("event_id"),
+          array_join(array(PgConverters.timeToText(t0), PgConverters.timeToText(t1)), ",").as("time_arr"),
+          array_join(array(PgConverters.timetzToText(t0), PgConverters.timetzToText(t1)), ",").as("timetz_arr"),
+          array_join(array(PgConverters.rangeToString(u, u + 5),
+            PgConverters.rangeToString(e, e + 10)), ";").as("intrange_arr"),
+          array_join(array(
+            PgConverters.rangeToString(decimalCentsText(u * 100 + 50), decimalCentsText(u * 100 + 175)),
+            PgConverters.rangeToString(decimalCentsText(m * 100 + 25), decimalCentsText(m * 100 + 99))), ";")
+            .as("numrange_arr"),
+          array_join(array(
+            PgConverters.rangeToString(PgConverters.timestamptzNanosToText("ts"),
+              PgConverters.timestamptzNanosToText("(ts + 3600000000000)")),
+            PgConverters.rangeToString(PgConverters.timestamptzNanosToText("(ts + 7200000000000)"),
+              PgConverters.timestamptzNanosToText("(ts + 10800000000000)"))), ";").as("tstzrange_arr"),
+          array_join(array(PgConverters.rangeToString(day(0), day(30)),
+            PgConverters.rangeToString(day(1), day(8))), ";").as("daterange_arr"),
+          array_join(array(PgConverters.lsegToText(u, m, u + 5, m + 5),
+            PgConverters.lsegToText(u + 1, m, u + 6, m + 9)), ";").as("lseg_arr"),
+          array_join(array(PgConverters.boxToText(u, m, u + 10, m + 10),
+            PgConverters.boxToText(u, m, u + 2, m + 3)), ";").as("box_arr"),
+          array_join(array(PgConverters.polygonToText((u, m), (u + 1, m), (u, m + 1)),
+            PgConverters.polygonToText((u, m), (u + 2, m), (u, m + 2))), ";").as("poly_arr"),
+          array_join(array(PgConverters.lineToText(u, m + 1, lit(3)),
+            PgConverters.lineToText(u + 1, m + 2, lit(7))), ";").as("line_arr"),
+          array_join(array(PgConverters.circleToText(u, m, lit(7)),
+            PgConverters.circleToText(u + 1, m + 1, lit(2))), ";").as("circle_arr"),
+          array_join(array(
+            PgConverters.pathToText(closed = false, (u, m), (u + 2, m + 3)),
+            PgConverters.pathToText(closed = false, (u + 1, m), (u + 3, m + 4))), ";").as("path_arr"))
         .orderBy(col("event_id"))
     }),
 
@@ -929,6 +1038,19 @@ object SparkEntry {
     s"CASE WHEN (($n) % 1000000000) // 1000 > 0 THEN '.' || " +
     s"regexp_replace(lpad(CAST((($n) % 1000000000) // 1000 * 1000 AS VARCHAR), 9, '0'), '0+$$', '') " +
     s"ELSE '' END || 'Z'"
+
+  /** DuckDB twin of `decimalCentsText` (single-line: safe to splice into
+    * stripMargin oracles). */
+  private def duckCentsText(e: String): String =
+    s"(CAST(($e) // 100 AS VARCHAR) || '.' || lpad(CAST(($e) % 100 AS VARCHAR), 2, '0'))"
+
+  /** DuckDB twin of `conv_uint32_long`'s synthesized-uint32 expression. */
+  private def duckUint(e: String): String =
+    s"(CASE WHEN (($e) * 2654435761) % 4294967296 - 2147483648 < 0 THEN (($e) * 2654435761) % 4294967296 - 2147483648 + 4294967296 ELSE (($e) * 2654435761) % 4294967296 - 2147483648 END)"
+
+  /** DuckDB twin of `PgConverters.macaddr8ToText` for a long expression. */
+  private def duckMac8(e: String): String =
+    s"printf('%02x:%02x:%02x:%02x:%02x:%02x:%02x:%02x', (($e) >> 56) & 255, (($e) >> 48) & 255, (($e) >> 40) & 255, (($e) >> 32) & 255, (($e) >> 24) & 255, (($e) >> 16) & 255, (($e) >> 8) & 255, ($e) & 255)"
 
   /** DuckDB-runnable oracle SQL, column-aliased identically to `queries`. */
   def oracleSql: Map[String, String] = Map(
@@ -1448,6 +1570,89 @@ object SparkEntry {
         |         CAST(user_id + 1 AS VARCHAR), ',', CAST(event_id % 100 AS VARCHAR), '),(',
         |         CAST(user_id AS VARCHAR), ',', CAST(event_id % 100 + 1 AS VARCHAR), '))') AS poly_text
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "conv_postgis" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id % 1000 AS x, event_id % 100 AS y FROM events
+        |), w AS (
+        |  SELECT event_id,
+        |    '0000000001' ||
+        |      hex(4841369599423283200 + x) || hex(4841369599423283200 + y) AS ph,
+        |    '000000000200000005' ||
+        |      hex(4841369599423283200 + x) || hex(4841369599423283200 + y) ||
+        |      hex(4841369599423283200 + x + 1) || hex(4841369599423283200 + y + 1) ||
+        |      hex(4841369599423283200 + x + 2) || hex(4841369599423283200 + y + 2) ||
+        |      hex(4841369599423283200 + x + 3) || hex(4841369599423283200 + y + 3) ||
+        |      hex(4841369599423283200 + x + 4) || hex(4841369599423283200 + y + 4) AS lh
+        |  FROM b
+        |)
+        |SELECT event_id,
+        |  CAST(to_json(struct_pack(wkb := to_base64(unhex(ph)), srid := 4326)) AS VARCHAR) AS geom_point,
+        |  CAST(to_json(struct_pack(wkb := to_base64(unhex(lh)), srid := 3857)) AS VARCHAR) AS geog_line,
+        |  CAST(to_json([struct_pack(wkb := to_base64(unhex(ph)), srid := 4326),
+        |                struct_pack(wkb := to_base64(unhex(lh)), srid := 3857)]) AS VARCHAR) AS geom_arr
+        |FROM w ORDER BY event_id""".stripMargin,
+
+    "conv_array_scalar_sweep" ->
+      s"""SELECT event_id,
+         |  concat('t_', CAST(user_id AS VARCHAR), ',idx_', CAST(event_id % 10 AS VARCHAR)) AS name_arr,
+         |  concat(lower(hex(encode(event_type))), ',', lower(hex(encode(event_type || '!')))) AS bytea_arr,
+         |  concat(CAST(user_id % 32768 AS VARCHAR), ',', CAST(event_id % 32768 AS VARCHAR)) AS i16_arr,
+         |  concat(CAST(user_id % 1000000 AS VARCHAR), ',', CAST(event_id % 1000000 AS VARCHAR)) AS i32_arr,
+         |  concat('{"k":', CAST(user_id AS VARCHAR), '};{"k":', CAST(event_id % 10 AS VARCHAR), '}') AS json_arr,
+         |  concat('10.', CAST(user_id % 256 AS VARCHAR), '.', CAST(event_id % 256 AS VARCHAR), '.0/24,',
+         |         '192.168.', CAST(event_id % 256 AS VARCHAR), '.0/16') AS cidr_arr,
+         |  concat(CAST(CAST(CAST(user_id % 8388608 AS REAL) AS BIGINT) AS VARCHAR), ',',
+         |         CAST(CAST(CAST(event_id % 8388608 AS REAL) AS BIGINT) AS VARCHAR)) AS f4_arr,
+         |  concat(${duckMac8("user_id")}, ',', ${duckMac8("event_id")}) AS mac8_arr,
+         |  concat('fe80::', lower(hex(user_id % 65536)), ',fe80::', lower(hex(event_id % 65536))) AS inet6_arr,
+         |  concat(substr(event_type, 1, 1), ',', substr(event_type, 2, 1)) AS qchar_arr,
+         |  concat(CAST(${duckUint("event_id")} AS VARCHAR), ',', CAST(${duckUint("user_id")} AS VARCHAR)) AS oid_arr,
+         |  concat(event_type, ',view') AS enum_arr,
+         |  concat('<e id="', CAST(event_id AS VARCHAR), '"/>;<u id="', CAST(user_id AS VARCHAR), '"/>') AS xml_arr,
+         |  concat(lpad(bin(user_id % 256), 8, '0'), ',', lpad(bin(event_id % 32), 5, '0')) AS varbit_arr,
+         |  concat(rpad(event_type, 10, ' '), '|x  ') AS bp_arr
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    "conv_array_temporal_geo_sweep" ->
+      s"""SELECT event_id,
+         |  concat(strftime(make_timestamp(epoch_ns(ts) // 1000), '%H:%M:%S.%f'), ',',
+         |         strftime(make_timestamp(epoch_ns(ts) // 1000 + 60000000), '%H:%M:%S.%f')) AS time_arr,
+         |  concat(strftime(make_timestamp(epoch_ns(ts) // 1000), '%H:%M:%S.%f'), '+00,',
+         |         strftime(make_timestamp(epoch_ns(ts) // 1000 + 60000000), '%H:%M:%S.%f'), '+00') AS timetz_arr,
+         |  concat('[', CAST(user_id AS VARCHAR), ',', CAST(user_id + 5 AS VARCHAR), ');[',
+         |         CAST(event_id AS VARCHAR), ',', CAST(event_id + 10 AS VARCHAR), ')') AS intrange_arr,
+         |  concat('[', ${duckCentsText("user_id * 100 + 50")}, ',', ${duckCentsText("user_id * 100 + 175")}, ');[',
+         |         ${duckCentsText("event_id % 100 * 100 + 25")}, ',', ${duckCentsText("event_id % 100 * 100 + 99")}, ')') AS numrange_arr,
+         |  concat('[', ${duckTsText("epoch_ns(ts)")}, ',', ${duckTsText("epoch_ns(ts) + 3600000000000")}, ');[',
+         |         ${duckTsText("epoch_ns(ts) + 7200000000000")}, ',', ${duckTsText("epoch_ns(ts) + 10800000000000")}, ')') AS tstzrange_arr,
+         |  concat('[', strftime(make_timestamp(epoch_ns(ts) // 1000), '%Y-%m-%d'), ',',
+         |         strftime(make_timestamp(epoch_ns(ts) // 1000 + 2592000000000), '%Y-%m-%d'), ');[',
+         |         strftime(make_timestamp(epoch_ns(ts) // 1000 + 86400000000), '%Y-%m-%d'), ',',
+         |         strftime(make_timestamp(epoch_ns(ts) // 1000 + 691200000000), '%Y-%m-%d'), ')') AS daterange_arr,
+         |  concat('[(', CAST(user_id AS VARCHAR), ',', CAST(event_id % 100 AS VARCHAR), '),(',
+         |         CAST(user_id + 5 AS VARCHAR), ',', CAST(event_id % 100 + 5 AS VARCHAR), ')];[(',
+         |         CAST(user_id + 1 AS VARCHAR), ',', CAST(event_id % 100 AS VARCHAR), '),(',
+         |         CAST(user_id + 6 AS VARCHAR), ',', CAST(event_id % 100 + 9 AS VARCHAR), ')]') AS lseg_arr,
+         |  concat('(', CAST(user_id AS VARCHAR), ',', CAST(event_id % 100 AS VARCHAR), '),(',
+         |         CAST(user_id + 10 AS VARCHAR), ',', CAST(event_id % 100 + 10 AS VARCHAR), ');(',
+         |         CAST(user_id AS VARCHAR), ',', CAST(event_id % 100 AS VARCHAR), '),(',
+         |         CAST(user_id + 2 AS VARCHAR), ',', CAST(event_id % 100 + 3 AS VARCHAR), ')') AS box_arr,
+         |  concat('((', CAST(user_id AS VARCHAR), ',', CAST(event_id % 100 AS VARCHAR), '),(',
+         |         CAST(user_id + 1 AS VARCHAR), ',', CAST(event_id % 100 AS VARCHAR), '),(',
+         |         CAST(user_id AS VARCHAR), ',', CAST(event_id % 100 + 1 AS VARCHAR), '));((',
+         |         CAST(user_id AS VARCHAR), ',', CAST(event_id % 100 AS VARCHAR), '),(',
+         |         CAST(user_id + 2 AS VARCHAR), ',', CAST(event_id % 100 AS VARCHAR), '),(',
+         |         CAST(user_id AS VARCHAR), ',', CAST(event_id % 100 + 2 AS VARCHAR), '))') AS poly_arr,
+         |  concat('{', CAST(user_id AS VARCHAR), ',', CAST(event_id % 100 + 1 AS VARCHAR), ',3};{',
+         |         CAST(user_id + 1 AS VARCHAR), ',', CAST(event_id % 100 + 2 AS VARCHAR), ',7}') AS line_arr,
+         |  concat('<(', CAST(user_id AS VARCHAR), ',', CAST(event_id % 100 AS VARCHAR), '),7>;<(',
+         |         CAST(user_id + 1 AS VARCHAR), ',', CAST(event_id % 100 + 1 AS VARCHAR), '),2>') AS circle_arr,
+         |  concat('[(', CAST(user_id AS VARCHAR), ',', CAST(event_id % 100 AS VARCHAR), '),(',
+         |         CAST(user_id + 2 AS VARCHAR), ',', CAST(event_id % 100 + 3 AS VARCHAR), ')];[(',
+         |         CAST(user_id + 1 AS VARCHAR), ',', CAST(event_id % 100 AS VARCHAR), '),(',
+         |         CAST(user_id + 3 AS VARCHAR), ',', CAST(event_id % 100 + 4 AS VARCHAR), ')]') AS path_arr
+         |FROM events ORDER BY event_id""".stripMargin,
 
     "conv_ltree_xml_char" ->
       """SELECT event_id,

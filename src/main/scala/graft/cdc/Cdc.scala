@@ -302,7 +302,7 @@ object Cdc {
   def logicalMessages(wal: DataFrame, prefix: String = "graft"): DataFrame =
     wal.filter(col("op") === Envelope.Op.Message)
       .select(col("lsn"), col("op"), lit(prefix).as("prefix"),
-        base64(col("props").cast("binary")).as("content"))
+        PgConverters.base64Std(col("props").cast("binary")).as("content"))
 
   /** Truncate-event flow (op `t`) — `logicalreplicationresolver/
     * replicationresolver.go:453-519` (OnTruncateEvent): a truncate
@@ -349,7 +349,7 @@ object Cdc {
         when(transactional, col("xid")).as("tx_id"),
         when(transactional, col("ts_ms")).as("msg_ts_ms"),
         lit(prefix).as("prefix"),
-        base64(col("props").cast("binary")).as("content"))
+        PgConverters.base64Std(col("props").cast("binary")).as("content"))
   }
 
   /** A1 — stats counters (`internal/stats/stats.go:35-100`,
@@ -533,7 +533,7 @@ object Cdc {
     val srcJson = sourceJson(dbName, "public", "events",
       col("lsn"), col("ts_ms"), snapshot = false, txId = Some(col("xid")))
     val msgJson = concat(
-      lit("{\"content\":\""), base64(col("props").cast(BinaryType)),
+      lit("{\"content\":\""), PgConverters.base64Std(col("props").cast(BinaryType)),
       lit("\",\"prefix\":\"graft-msg\"}"))
     def tail = concat(lit(",\"op\":\""), col("op"), lit("\",\"source\":"),
       srcJson, lit(",\"ts_ms\":"), col("ts_ms"), lit("}"))

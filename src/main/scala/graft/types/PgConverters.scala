@@ -184,9 +184,16 @@ object PgConverters {
   def compositeToStruct(fields: (String, Column)*): Column =
     struct(fields.map { case (n, c) => c.as(n) }: _*)
 
+  /** Unchunked base64: the reference uses Go's `base64.StdEncoding`
+    * (`builtin_converters.go:117`), which never inserts line breaks;
+    * Spark's `base64()` is the MIME encoder (CRLF every 76 output chars,
+    * i.e. every 57 input bytes), so strip the breaks to keep byte parity
+    * for arbitrary content lengths. */
+  def base64Std(c: Column): Column = replace(base64(c), lit("\r\n"), lit(""))
+
   /** PostGIS geometry/geography → STRUCT {wkb: base64, srid: int} —
     * `builtin_converters.go:102-143` (postgis2struct), schema
     * `spi/schema/schemabuilder.go:185-195`. */
   def postgisToStruct(wkb: Column, srid: Column): Column =
-    struct(base64(wkb).as("wkb"), srid.cast(IntegerType).as("srid"))
+    struct(base64Std(wkb).as("wkb"), srid.cast(IntegerType).as("srid"))
 }
