@@ -905,6 +905,17 @@ object SparkEntry {
         .orderBy(col("lsn"))
     }),
 
+    "cdc_filter_builtins" -> ((s, dir) => {
+      // expr-lang built-in functions (len/min/indexOf/upper/hasPrefix/
+      // trimPrefix) compiled to Catalyst twins — eventfilter.go:73-83
+      // compiles the full Expr stdlib
+      graft.filter.EventFilter(
+        """len(props) % 2 == 0 && min(user_id, 500) < 500 && indexOf(props, "k") == 2 && (upper(event_type) in ["PURCHASE", "VIEW", "ERROR"] || hasPrefix(trimPrefix(event_type, "sign"), "up"))""")
+        .apply(Cdc.walEvents(s, dir))
+        .select(col("lsn"), col("user_id"), col("event_type"))
+        .orderBy(col("lsn"))
+    }),
+
     "cdc_filter_ternary" -> ((s, dir) => {
       // ternary + nil-coalescing
       graft.filter.EventFilter(
@@ -1386,6 +1397,17 @@ object SparkEntry {
         |FROM events
         |WHERE contains(props, '7') AND NOT starts_with(props, '{"k": 1')
         |  AND regexp_matches(props, '[0-9][0-9]')
+        |ORDER BY lsn""".stripMargin,
+
+    "cdc_filter_builtins" ->
+      """SELECT event_id AS lsn, user_id, event_type
+        |FROM events
+        |WHERE length(props) % 2 = 0 AND least(user_id, 500) < 500
+        |  AND strpos(props, 'k') - 1 = 2
+        |  AND (upper(event_type) IN ('PURCHASE', 'VIEW', 'ERROR')
+        |       OR starts_with(CASE WHEN starts_with(event_type, 'sign')
+        |                           THEN substring(event_type, length('sign') + 1)
+        |                           ELSE event_type END, 'up'))
         |ORDER BY lsn""".stripMargin,
 
     "cdc_filter_ternary" ->

@@ -22,7 +22,13 @@ import org.apache.spark.sql.functions.expr
   * `==`/`!=`/`<`/`<=`/`>`/`>=`, `&&`/`||`/`!`, parentheses, string/number/
   * boolean/nil literals, dotted field paths, `in [..]` / `not in [..]`,
   * `matches`/`contains`/`startsWith`/`endsWith`, ternary `?:`, nil-
-  * coalescing `??`, and numeric `+ - * / %`. Envelope field paths are
+  * coalescing `??`, numeric `+ - * / %`, array literals, and the stdlib
+  * builtins with exact Catalyst twins: `len upper lower trim trimPrefix
+  * trimSuffix hasPrefix hasSuffix replace repeat indexOf abs ceil floor
+  * round int float string min max`. Literal `matches` patterns are
+  * checked against a non-RE2 reject-list (backreferences, lookarounds,
+  * atomic groups, possessive quantifiers) since expr-lang compiles Go
+  * RE2 while `rlike` is java.util.regex. Envelope field paths are
   * mapped to columns: `value.after.x`/`value.before.x`/`value.x`/`key.x`
   * address the payload (the flat envelope columns here);
   * `keySchema.*`/`valueSchema.*` — schema introspection — is rejected.
@@ -103,7 +109,13 @@ object EventFilter {
                s.charAt(i) == 'e' || s.charAt(i) == 'E' ||
                ((s.charAt(i) == '+' || s.charAt(i) == '-') && i > start &&
                 (s.charAt(i - 1) == 'e' || s.charAt(i - 1) == 'E')))) i += 1
-        out += TNum(s.substring(start, i))
+        val numText = s.substring(start, i)
+        // fail-loudly-at-parse contract: a malformed literal like '1.2.3'
+        // or '1e' must not be spliced into SQL for Spark analysis to trip
+        // over later
+        if (!numText.matches("""(\d+(\.\d+)?|\.\d+)([eE][+-]?\d+)?"""))
+          fail(s"malformed numeric literal '$numText'")
+        out += TNum(numText)
       } else if (c.isLetter || c == '_') {
         val start = i
         while (i < s.length && (s.charAt(i).isLetterOrDigit ||
@@ -183,7 +195,18 @@ object EventFilter {
           val r = additive()
           val sql = sym match { case "==" => "="; case "!=" => "<>"; case s => s }
           s"$l $sql $r"
-        case Some(TIdent("matches"))    => next(); s"rlike($l, ${additive()})"
+        case Some(TIdent("matches")) =>
+          next()
+          val before = toks
+          val r = additive()
+          // literal pattern (exactly one TStr consumed): reject non-RE2
+          // syntax — expr-lang compiles Go RE2, Spark rlike is Java regex;
+          // constructs RE2 lacks would silently diverge
+          before match {
+            case TStr(pat) :: rest if rest eq toks => checkRe2(pat, cond)
+            case _                                 => ()
+          }
+          s"rlike($l, $r)"
         case Some(TIdent("contains"))   => next(); s"contains($l, ${additive()})"
         case Some(TIdent("startsWith")) => next(); s"startswith($l, ${additive()})"
         case Some(TIdent("endsWith"))   => next(); s"endswith($l, ${additive()})"
@@ -252,11 +275,101 @@ object EventFilter {
       case TStr(v)  => sqlString(v)
       case TNum(t)  => t
       case TOp("(") => val e = ternary(); expectOp(")"); s"($e)"
+      case TOp("[") =>
+        // array literal as a value (expr-lang array syntax); `in [..]`
+        // keeps its dedicated IN-list form in comparison()
+        val items = scala.collection.mutable.ListBuffer.empty[String]
+        if (!peekOp("]")) {
+          items += ternary()
+          while (eatOp(",")) items += ternary()
+        }
+        expectOp("]")
+        items.mkString("array(", ", ", ")")
       case TIdent("true")  => "true"
       case TIdent("false") => "false"
       case TIdent("nil")   => "NULL"
+      case TIdent(name) if peekOp("(") => call(name)
       case TIdent(path)    => mapPath(path)
       case other => fail(s"unexpected token $other")
+    }
+
+    /** expr-lang built-in functions (the stdlib subset with exact Spark
+      * SQL twins — `eventfilter.go:73-83` compiles the full language;
+      * anything outside this list still fails loudly). */
+    def call(name: String): String = {
+      expectOp("(")
+      val args = scala.collection.mutable.ListBuffer.empty[String]
+      if (!peekOp(")")) {
+        args += ternary()
+        while (eatOp(",")) args += ternary()
+      }
+      expectOp(")")
+      def arity(n: Int): Unit = if (args.length != n)
+        fail(s"$name expects $n argument(s), got ${args.length}")
+      name match {
+        case "len"   => arity(1); s"length(${args(0)})"
+        case "upper" => arity(1); s"upper(${args(0)})"
+        case "lower" => arity(1); s"lower(${args(0)})"
+        case "trim" =>
+          if (args.length == 1) s"trim(${args(0)})"
+          else { arity(2); s"trim(BOTH ${args(1)} FROM ${args(0)})" }
+        case "trimPrefix" =>
+          arity(2)
+          s"IF(startswith(${args(0)}, ${args(1)}), substring(${args(0)}, length(${args(1)}) + 1), ${args(0)})"
+        case "trimSuffix" =>
+          arity(2)
+          s"IF(endswith(${args(0)}, ${args(1)}), left(${args(0)}, length(${args(0)}) - length(${args(1)})), ${args(0)})"
+        case "hasPrefix" => arity(2); s"startswith(${args(0)}, ${args(1)})"
+        case "hasSuffix" => arity(2); s"endswith(${args(0)}, ${args(1)})"
+        case "replace"   => arity(3); s"replace(${args(0)}, ${args(1)}, ${args(2)})"
+        case "repeat"    => arity(2); s"repeat(${args(0)}, ${args(1)})"
+        // expr-lang indexOf: 0-based, -1 when absent; instr is 1-based, 0
+        case "indexOf" => arity(2); s"(instr(${args(0)}, ${args(1)}) - 1)"
+        case "abs"   => arity(1); s"abs(${args(0)})"
+        case "ceil"  => arity(1); s"ceiling(${args(0)})"
+        case "floor" => arity(1); s"floor(${args(0)})"
+        case "round" => arity(1); s"round(${args(0)})"
+        case "int"    => arity(1); s"CAST(${args(0)} AS BIGINT)"
+        case "float"  => arity(1); s"CAST(${args(0)} AS DOUBLE)"
+        case "string" => arity(1); s"CAST(${args(0)} AS STRING)"
+        case "min" =>
+          if (args.length < 2) fail("min expects at least 2 arguments")
+          s"least(${args.mkString(", ")})"
+        case "max" =>
+          if (args.length < 2) fail("max expects at least 2 arguments")
+          s"greatest(${args.mkString(", ")})"
+        case other =>
+          fail(s"unsupported function '$other' (expr-lang builtin outside the columnar subset)")
+      }
+    }
+  }
+
+  /** Reject regex constructs Go RE2 does not support (backreferences,
+    * lookarounds, atomic groups, possessive quantifiers): expr-lang's
+    * `matches` compiles RE2 while Spark's `rlike` is java.util.regex, so
+    * these would change meaning silently instead of failing as the
+    * reference would. Only literal patterns are checkable. */
+  private def checkRe2(pattern: String, cond: String): Unit = {
+    def bad(what: String): Nothing = throw new IllegalArgumentException(
+      s"non-RE2 regex construct ($what) in matches pattern '$pattern' in filter condition: $cond")
+    var i = 0
+    while (i < pattern.length) {
+      pattern.charAt(i) match {
+        case '\\' if i + 1 < pattern.length =>
+          if (pattern.charAt(i + 1).isDigit && pattern.charAt(i + 1) != '0')
+            bad("backreference")
+          i += 2 // escaped char: skip both (keeps \+ from looking possessive)
+        case '(' if pattern.startsWith("(?=", i) || pattern.startsWith("(?!", i) =>
+          bad("lookahead")
+        case '(' if pattern.startsWith("(?<=", i) || pattern.startsWith("(?<!", i) =>
+          bad("lookbehind")
+        case '(' if pattern.startsWith("(?>", i) =>
+          bad("atomic group")
+        case '*' | '+' | '?' | '}' if i + 1 < pattern.length &&
+            pattern.charAt(i + 1) == '+' =>
+          bad("possessive quantifier")
+        case _ => i += 1
+      }
     }
   }
 

@@ -61,6 +61,51 @@ class OpsSpec extends SparkSpec {
       === "endswith((coalesce(`props`, '')), '}')")
   }
 
+  test("event filter builtin functions translate to Catalyst twins") {
+    assert(EventFilter.translate("""len(props) > 10""") === "length(`props`) > 10")
+    assert(EventFilter.translate("""upper(op) == "C"""") === "upper(`op`) = 'C'")
+    assert(EventFilter.translate("""min(a, 5) < max(b, 2, 3)""")
+      === "least(`a`, 5) < greatest(`b`, 2, 3)")
+    assert(EventFilter.translate("""indexOf(props, "k") == 2""")
+      === "(instr(`props`, 'k') - 1) = 2")
+    assert(EventFilter.translate("""hasPrefix(op, "c")""") === "startswith(`op`, 'c')")
+    assert(EventFilter.translate("""trim(op, "x") == trim(s)""")
+      === "trim(BOTH 'x' FROM `op`) = trim(`s`)")
+    assert(EventFilter.translate("""trimPrefix(op, "ab") == "c""""
+      ) === "IF(startswith(`op`, 'ab'), substring(`op`, length('ab') + 1), `op`) = 'c'")
+    assert(EventFilter.translate("""abs(v) + ceil(w) * floor(x) >= round(y)""")
+      === "(abs(`v`) + (ceiling(`w`) * floor(`x`))) >= round(`y`)")
+    assert(EventFilter.translate("""int(v) == 2 && float(w) > 1.5 && string(x) != """""
+      ) === "((CAST(`v` AS BIGINT) = 2 AND CAST(`w` AS DOUBLE) > 1.5) AND CAST(`x` AS STRING) <> '')")
+    assert(EventFilter.translate("""replace(op, "a", "b") == repeat("x", 2)""")
+      === "replace(`op`, 'a', 'b') = repeat('x', 2)")
+    // array literal as a value
+    assert(EventFilter.translate("""len(["a", "b"]) == 2""") === "length(array('a', 'b')) = 2")
+    // nested calls inside other productions
+    assert(EventFilter.translate("""upper(op ?? "x") in ["A", "B"]""")
+      === "upper(coalesce(`op`, 'x')) IN ('A', 'B')")
+    // unknown functions stay fail-loud
+    intercept[IllegalArgumentException] { EventFilter.translate("""now() > 1""") }
+    intercept[IllegalArgumentException] { EventFilter.translate("""len(a, b) > 1""") }
+  }
+
+  test("event filter rejects non-RE2 regex in literal matches patterns") {
+    // Go RE2 (expr-lang) lacks these; Java rlike would silently accept
+    intercept[IllegalArgumentException] { EventFilter.translate("""p matches "(a)\\1"""") }
+    intercept[IllegalArgumentException] { EventFilter.translate("""p matches "(?=x)a"""") }
+    intercept[IllegalArgumentException] { EventFilter.translate("""p matches "(?<=x)a"""") }
+    intercept[IllegalArgumentException] { EventFilter.translate("""p matches "(?>ab)c"""") }
+    intercept[IllegalArgumentException] { EventFilter.translate("""p matches "a*+b"""") }
+    // RE2-legal forms pass: escaped plus then quantifier, named groups,
+    // non-capturing groups, \0 (not a backreference)
+    assert(EventFilter.translate("""p matches "a\\+?b"""") === """rlike(`p`, 'a\\+?b')""")
+    assert(EventFilter.translate("""p matches "(?:ab)c"""") === "rlike(`p`, '(?:ab)c')")
+    // malformed numeric literals fail at parse time (ADVICE)
+    intercept[IllegalArgumentException] { EventFilter.translate("""v == 1.2.3""") }
+    intercept[IllegalArgumentException] { EventFilter.translate("""v == 1e""") }
+    assert(EventFilter.translate("""v == 1.5e3""") === "`v` = 1.5e3")
+  }
+
   test("event filter evaluates ternary/string ops on data") {
     val wal = graft.cdc.Cdc.walEvents(spark, sf001)
     val f = EventFilter("""(user_id > 50 ? op == "c" : op != "c") && props contains "k"""")
