@@ -82,9 +82,12 @@ class WalMicroBatchStream(path: String, batchSize: Int)
   // parquet FOOTER column statistics (metadata only — no row data
   // crosses the driver). Using max(event_id)+1 rather than the record
   // count avoids silently dropping events if ids are ever non-dense or
-  // non-zero-based; record count is only a fallback when stats are
-  // absent.
-  private lazy val maxLsn: Long = {
+  // non-zero-based; absent statistics FAIL LOUDLY rather than guess.
+  // Re-read per latestOffset() call (cheap: one footer) so a continuous
+  // stream observes WAL growth — the tail-capable behavior of the
+  // reference's replication socket; AvailableNow snapshots it once so
+  // that run has a stable endpoint.
+  private def readMaxLsn(): Long = {
     val conf = new org.apache.hadoop.conf.Configuration()
     val file = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(s"$path/events.parquet"), conf)
@@ -101,9 +104,16 @@ class WalMicroBatchStream(path: String, batchSize: Int)
         case l: java.lang.Long => l.longValue()
         case other             => other.toString.toLong
       }
-      if (maxes.nonEmpty) maxes.max + 1 else reader.getRecordCount
+      if (maxes.nonEmpty) maxes.max + 1
+      else throw new IllegalStateException(
+        s"$path/events.parquet carries no event_id column statistics; " +
+        "refusing to infer the WAL high-watermark from the record count " +
+        "(it silently drops events for non-dense or non-zero-based ids)")
     } finally reader.close()
   }
+
+  @volatile private var availableNowCap: Option[Long] = None
+  private def highWatermark: Long = availableNowCap.getOrElse(readMaxLsn())
 
   override def initialOffset(): Offset = LsnOffset(0L)
   override def latestOffset(): Offset =
@@ -114,10 +124,12 @@ class WalMicroBatchStream(path: String, batchSize: Int)
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchSize)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val lo = start.asInstanceOf[LsnOffset].lsn
-    LsnOffset(math.min(lo + batchSize, maxLsn))
+    LsnOffset(math.min(lo + batchSize, highWatermark))
   }
-  override def reportLatestOffset(): Offset = LsnOffset(maxLsn)
-  override def prepareForTriggerAvailableNow(): Unit = ()
+  override def reportLatestOffset(): Offset = LsnOffset(highWatermark)
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowCap = Some(readMaxLsn())
+  }
   override def deserializeOffset(json: String): Offset =
     LsnOffset("""\d+""".r.findFirstIn(json).map(_.toLong).getOrElse(0L))
   override def commit(end: Offset): Unit = () // checkpoint log is the store

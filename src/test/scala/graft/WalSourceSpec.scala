@@ -54,6 +54,50 @@ class WalSourceSpec extends SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
   }
 
+  test("continuous stream tails WAL growth without restart") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("wal-tail").toString
+    def writeWal(n: Long): Unit = {
+      // deterministic generator: an append-only WAL — a second write with
+      // larger n is a superset of the first
+      val df = spark.range(0, n).select(
+        col("id").as("event_id"), (col("id") * 1000000000L).as("ts"),
+        lit("view").as("event_type"), (col("id") % 50).as("user_id"),
+        (col("id") * lit(1.0)).as("value"),
+        concat(lit("{\"k\": "), pmod(col("id"), lit(10)), lit("}")).as("props"))
+      val tmp = java.nio.file.Files.createTempDirectory("wal-tail-stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(dir, "events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    def countRows(): Long =
+      spark.sql("SELECT count(*) FROM wal_tail").head.getLong(0)
+    def awaitCount(want: Long): Unit = {
+      val deadline = System.nanoTime() + 120e9.toLong
+      while (countRows() < want && System.nanoTime() < deadline) Thread.sleep(200)
+      assert(countRows() === want)
+    }
+    writeWal(300)
+    val q = spark.readStream.format("graft.sources.WalDataSource")
+      .option("path", dir).option("batchSize", "100").load()
+      .writeStream.format("memory").queryName("wal_tail")
+      .trigger(Trigger.ProcessingTime(200)).start()
+    try {
+      awaitCount(300)
+      // WAL grows mid-stream: latestOffset re-reads the footer and the
+      // stream advances past the old high-watermark without a restart
+      writeWal(500)
+      awaitCount(500)
+      val lsns = spark.sql("SELECT lsn FROM wal_tail").collect().map(_.getLong(0))
+      assert(lsns.distinct.length === 500, "tail delivery stays exactly-once")
+      assert(lsns.min === 0L && lsns.max === 499L)
+    } finally q.stop()
+  }
+
   test("restart recovery at sf0.1 with a heap-bounded driver (100k events)") {
     val ckpt = java.nio.file.Files.createTempDirectory("wal-src-ckpt-sf01").toString
     val sink = new graft.sinks.CollectorSink
