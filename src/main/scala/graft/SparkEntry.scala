@@ -974,7 +974,8 @@ object SparkEntry {
     }),
 
     "multimodal_features" -> ((s, dir) => {
-      ops.Multimodal.decodeFeatures(ops.Multimodal.attachMedia(Tables.documents(s, dir)))
+      // real javax.imageio PNG decode: width/height are true pixel dims
+      ops.Multimodal.decodeFeatures(ops.Multimodal.attachImages(Tables.documents(s, dir)))
         .orderBy(col("source_id"))
     }),
 

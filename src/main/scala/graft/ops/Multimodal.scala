@@ -1,6 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -9,10 +11,11 @@ import org.apache.spark.sql.types._
   * travels as opaque `binary` columns with typed metadata; decode /
   * feature-extraction runs batched per partition.
   *
-  * The actual image/audio decode is STUBBED (no codec libs in this
-  * environment) behind `FakeDecoder` — a deterministic stand-in with the
-  * same signature a real decoder would have. The Spark-side plumbing —
-  * schema, partition-batched execution, row shape — is real and tested.
+  * Image decode is REAL: `javax.imageio` (JDK built-in, zero extra
+  * dependencies) decodes PNG/JPEG/BMP/GIF payloads to true pixel
+  * dimensions. Non-image payloads (audio/video stand-ins with no JDK
+  * codec) fall back to deterministic byte-level metadata, clearly
+  * dispatched on the mime type.
   *
   * Scale notes: `mapPartitions` keeps per-record decode off the driver
   * and amortizes decoder init per partition (the reason real pipelines
@@ -35,28 +38,76 @@ object Multimodal {
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false)))
 
-  /** Attach a deterministic fake media column to documents (text bytes
-    * standing in for an image payload). */
+  /** Attach a deterministic opaque media column to documents (text bytes
+    * standing in for an undecodable payload — exercises the non-image
+    * fallback path). */
   def attachMedia(docs: DataFrame): DataFrame =
     docs.select(
       struct(
         col("text").cast(BinaryType).as("bytes"),
-        lit("image/fake").as("mime"),
+        lit("application/octet-stream").as("mime"),
         col("doc_id").as("source_id")).as("media"))
 
-  /** STUB decoder: where a real implementation would call an image
-    * library on `bytes`, this derives deterministic pseudo-features
-    * (length, additive checksum, fake dimensions). Signature and batch
-    * shape match a real decoder drop-in.
-    */
-  object FakeDecoder {
-    def decode(bytes: Array[Byte], mime: String, sourceId: Long): Row = {
-      // ??? <- real decode goes here; deterministic fake below
+  /** Attach real PNG payloads: a deterministic synthetic image per doc,
+    * generated executor-side (partition-batched — the encoder is the
+    * same `javax.imageio` machinery the decode path exercises). */
+  def attachImages(docs: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(StructField("media", mediaSchema))))
+    docs.select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(Row(ImageCodec.syntheticPng(id), "image/png", id))
+        }
+      }(enc)
+  }
+
+  /** JDK-built-in image codec: deterministic synthesis (for fixtures)
+    * and real decode. */
+  object ImageCodec {
+    /** Deterministic image dimensions for a source id — the golden
+      * values tests assert against. */
+    def dims(id: Long): (Int, Int) =
+      (8 + (id % 32).toInt, 8 + ((id / 3) % 24).toInt)
+
+    /** A real PNG: per-pixel colors from a splitmix-style hash of
+      * (id, x, y), so bytes are stable across runs and executors. */
+    def syntheticPng(id: Long): Array[Byte] = {
+      val (w, h) = dims(id)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var z = id * 0x9e3779b97f4a7c15L + x * 0xbf58476d1ce4e5b9L + y * 0x94d049bb133111ebL
+          z ^= z >>> 30; z *= 0xbf58476d1ce4e5b9L; z ^= z >>> 27
+          img.setRGB(x, y, (z & 0xffffff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    private def checksum(bytes: Array[Byte]): Long = {
       var sum = 0L
       var i = 0
       while (i < bytes.length) { sum = (sum * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
-      Row(sourceId, mime, bytes.length, sum,
-        256 + (sum % 256).toInt, 256 + ((sum / 256) % 256).toInt)
+      sum
+    }
+
+    /** Feature row per payload. Image mimes decode for real; anything
+      * else yields byte-level metadata with sentinel dimensions (-1). */
+    def decode(bytes: Array[Byte], mime: String, sourceId: Long): Row = mime match {
+      case "image/png" | "image/jpeg" | "image/bmp" | "image/gif" =>
+        val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+        require(img != null, s"undecodable $mime payload for source $sourceId")
+        Row(sourceId, mime, bytes.length, checksum(bytes), img.getWidth, img.getHeight)
+      case _ =>
+        Row(sourceId, mime, bytes.length, checksum(bytes), -1, -1)
     }
   }
 
@@ -65,9 +116,9 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(featureSchema)
     media.select(col("media.bytes"), col("media.mime"), col("media.source_id"))
       .mapPartitions { rows =>
-        // decoder init would happen once per partition here
+        // decoder init (ImageIO scanner registry) amortizes per partition
         rows.map { r =>
-          FakeDecoder.decode(r.getAs[Array[Byte]](0), r.getString(1), r.getLong(2))
+          ImageCodec.decode(r.getAs[Array[Byte]](0), r.getString(1), r.getLong(2))
         }
       }(enc)
   }
