@@ -1005,6 +1005,7 @@ object SparkEntry {
     * single-quoted SQL literals. */
   private lazy val eventsEnvelopeOracle: String = {
     val env = graft.cdc.Cdc.eventsEnvelopeSchemaJson
+    val msgEnv = graft.cdc.Cdc.messageEnvelopeSchemaJson
     val pkKey = graft.cdc.Cdc.eventsPkKeySchemaJson
     val msgKey = graft.model.DebeziumSchema.messageKeySchemaJson
     s"""WITH w AS (
@@ -1017,7 +1018,7 @@ object SparkEntry {
        |    '{"event_id":' || CAST(event_id AS VARCHAR) || ',"props":' || props
        |      || ',"user_id":' || CAST(user_id AS VARCHAR)
        |      || ',"value_cents":' || ${centsSql("value")} || '}' AS rowj,
-       |    '{"connector":"spark-graft","db":"graft","lsn":"0/' || upper(hex(lsn))
+       |    '{"connector":"spark-graft","db":"graft","lsn":"' || hex(lsn >> 32) || '/' || hex(lsn & 4294967295)
        |      || '","name":"graft","schema":"public","snapshot":false,"table":"events","ts_ms":'
        |      || CAST(ts_ms AS VARCHAR) || ',"txId":' || CAST(event_id // 10 AS VARCHAR)
        |      || ',"version":"0.1.0"}' AS srcj,
@@ -1032,7 +1033,7 @@ object SparkEntry {
        |     WHEN op = 'u' THEN '{"after":' || rowj || ',"before":' || rowj || tailj
        |     WHEN op = 'd' THEN '{"before":' || rowj || tailj
        |     ELSE '{"message":' || msgj || tailj END
-       |    || ',"schema":$env}' AS envelope,
+       |    || ',"schema":' || CASE WHEN op = 'm' THEN '$msgEnv' ELSE '$env' END || '}' AS envelope,
        |  '{"payload":' || CASE WHEN op = 'm' THEN '{"prefix":"graft-msg"}'
        |     ELSE '{"event_id":' || CAST(event_id AS VARCHAR) || '}' END
        |    || ',"schema":' || CASE WHEN op = 'm' THEN '$msgKey' ELSE '$pkKey' END || '}' AS key_json
@@ -1260,7 +1261,7 @@ object SparkEntry {
       val env = graft.cdc.Cdc.eventsEnvelopeSchemaJson
       val tsKey = graft.model.DebeziumSchema.timescaleKeySchemaJson
       s"""SELECT lsn, chunk_name,
-         |  '{"payload":{"op":"$$","source":{"connector":"spark-graft","db":"graft","lsn":"0/' || upper(hex(lsn)) || '","name":"graft","schema":"public","snapshot":false,"table":"events","ts_ms":' || ts_ms || ',"txId":null,"version":"0.1.0"},"ts_ms":' || ts_ms || ',"tsdb_op":"c"},"schema":$env}' AS envelope,
+         |  '{"payload":{"op":"$$","source":{"connector":"spark-graft","db":"graft","lsn":"' || hex(lsn >> 32) || '/' || hex(lsn & 4294967295) || '","name":"graft","schema":"public","snapshot":false,"table":"events","ts_ms":' || ts_ms || ',"txId":null,"version":"0.1.0"},"ts_ms":' || ts_ms || ',"tsdb_op":"c"},"schema":$env}' AS envelope,
          |  '{"payload":{"schema":"public","table":"events"},"schema":$tsKey}' AS key_json
          |FROM (SELECT MAX(event_id) AS lsn,
          |        concat('_hyper_1_', CAST(chunk_day AS VARCHAR), '_chunk') AS chunk_name,
@@ -1361,7 +1362,7 @@ object SparkEntry {
         val env = dz.envelopeSchemaJson(rowSchema, topic)
         val key = dz.keySchemaJson(topic, pk)
         s"""SELECT '$topic' AS topic, $lsn AS lsn,
-           |  '{"payload":{"after":' || $rowJson || ',"op":"r","source":{"connector":"spark-graft","db":"graft","lsn":"0/' || upper(hex($lsn)) || '","name":"graft","schema":"public","snapshot":true,"table":"$table","ts_ms":' || $tsMs || ',"txId":null,"version":"0.1.0"},"ts_ms":' || $tsMs || '},"schema":$env}' AS envelope,
+           |  '{"payload":{"after":' || $rowJson || ',"op":"r","source":{"connector":"spark-graft","db":"graft","lsn":"' || hex(($lsn) >> 32) || '/' || hex(($lsn) & 4294967295) || '","name":"graft","schema":"public","snapshot":true,"table":"$table","ts_ms":' || $tsMs || ',"txId":null,"version":"0.1.0"},"ts_ms":' || $tsMs || '},"schema":$env}' AS envelope,
            |  '{"payload":' || $keyPayload || ',"schema":$key}' AS key_json
            |FROM $table""".stripMargin
       }

@@ -258,6 +258,13 @@ object Cdc {
         lit("public").as("key_schema"), lit("events").as("key_table"),
         col("ts_ms"))
 
+  /** pglogrepl `LSN.String()` parity: `%X/%X` of the high and low 32
+    * bits — at realistic WAL positions the high word is nonzero, so
+    * `0/hex(lsn)` would diverge from the reference's text form. */
+  def lsnText(lsn: Column): Column =
+    concat(hex(shiftrightunsigned(lsn, 32)), lit("/"),
+      hex(lsn.bitwiseAND(0xFFFFFFFFL)))
+
   /** The Debezium source-block JSON (sorted keys), string-assembled for
     * cross-engine byte parity — the one builder behind the compression,
     * CDC, and snapshot envelopes. `txId = None` renders the JSON null of
@@ -266,8 +273,8 @@ object Cdc {
                          lsn: Column, tsMs: Column, snapshot: Boolean,
                          txId: Option[Column]): Column =
     concat(
-      lit(s"""{"connector":"${Envelope.ConnectorName}","db":"$dbName","lsn":"0/"""),
-      upper(hex(lsn)),
+      lit(s"""{"connector":"${Envelope.ConnectorName}","db":"$dbName","lsn":""""),
+      lsnText(lsn),
       lit(s"""","name":"$dbName","schema":"$schemaName","snapshot":$snapshot,"table":"$tableName","ts_ms":"""),
       tsMs,
       lit(",\"txId\":"), txId.map(_.cast(StringType)).getOrElse(lit("null")),
@@ -469,7 +476,7 @@ object Cdc {
     val rowStruct = struct(col("event_id"), col("user_id"), col("value"), col("props"))
     val source = Envelope.sourceBlock(dbName, col("schema_name"), col("table_name"),
       col("ts_ms"), lit(false), col("xid"),
-      concat(lit("0/"), upper(hex(col("lsn")))))
+      lsnText(col("lsn")))
     val payload = Envelope.payload(
       col("op"),
       before = when(col("op").isin(Envelope.Op.Update, Envelope.Op.Delete), rowStruct),
@@ -516,6 +523,9 @@ object Cdc {
     graft.model.DebeziumSchema.envelopeSchemaJson(eventsRowSchemaJson, EventsTopic)
   lazy val eventsPkKeySchemaJson: String =
     graft.model.DebeziumSchema.keySchemaJson(EventsTopic, Seq("event_id" -> LongType))
+  lazy val messageEnvelopeSchemaJson: String =
+    graft.model.DebeziumSchema.messageEnvelopeSchemaJson(
+      Envelope.messageTopicName("graft"))
 
   def envelopeWithSchema(spark: SparkSession, dir: String,
                          dbName: String = "graft"): DataFrame = {
@@ -553,9 +563,14 @@ object Cdc {
       when(col("op") === Envelope.Op.Message,
         lit(graft.model.DebeziumSchema.messageKeySchemaJson))
       .otherwise(lit(eventsPkKeySchemaJson))
+    // op='m' rows carry the reference's MessageValueSchema-based envelope
+    // (eventschema.go:287-306), not the table envelope
+    val valueSchema =
+      when(col("op") === Envelope.Op.Message, lit(messageEnvelopeSchemaJson))
+        .otherwise(lit(schemaJson))
     wal.select(
       col("lsn"),
-      concat(lit("{\"payload\":"), payload, lit(",\"schema\":"), lit(schemaJson),
+      concat(lit("{\"payload\":"), payload, lit(",\"schema\":"), valueSchema,
         lit("}")).as("envelope"),
       concat(lit("{\"payload\":"), keyPayload, lit(",\"schema\":"), keySchema,
         lit("}")).as("key_json"))

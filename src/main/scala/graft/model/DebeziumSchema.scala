@@ -158,11 +158,56 @@ object DebeziumSchema {
       "name" -> jstr(s"$schemaTopicName.Envelope"),
       "fields" -> Seq(
         rowDesc("before"), rowDesc("after"), sourceSchemaJson,
+        // builder-built Fields (String()/Int64(), eventschema.go:281-283):
+        // Build omits the optional key when false — for ALL THREE of
+        // op/tsdb_op/ts_ms, unlike simpleSchemaElement literals
         simple("op", "string", optional = false),
-        simple("tsdb_op", "string", optional = true),
-        simple("ts_ms", "int64", optional = true)
+        simple("tsdb_op", "string", optional = false),
+        simple("ts_ms", "int64", optional = false)
       ).mkString("[", ",", "]"))
   }
+
+  /** Literal-struct element — eventschema.go:363-372: `optional` is
+    * ALWAYS present (true or false), unlike builder-built fields. */
+  private def simpleElement(field: String, tpe: String, optional: Boolean): String =
+    jobj("type" -> jstr(tpe), "optional" -> optional.toString, "field" -> jstr(field))
+
+  /** op='m' message block — eventschema.go:352-361. */
+  def messageBlockSchemaJson: String =
+    jobj(
+      "version" -> "1",
+      "name" -> jstr(MessageBlockSchemaName),
+      "fields" -> Seq(
+        simpleElement("prefix", "string", optional = false),
+        simpleElement("content", "string", optional = true)).mkString("[", ",", "]"))
+
+  /** op='m' value schema — eventschema.go:325-340 (version:1, message
+    * block nested under the `message` key, no before/after). */
+  def messageValueSchemaJson: String =
+    jobj(
+      "version" -> "1",
+      "name" -> jstr(MessageValueSchemaName),
+      "fields" -> Seq(
+        simpleElement("op", "string", optional = false),
+        simpleElement("ts_ms", "int64", optional = true),
+        sourceSchemaJson,
+        jobj("field" -> jstr("message"), "optional" -> "false",
+          "message" -> messageBlockSchemaJson)).mkString("[", ",", "]"))
+
+  /** op='m' envelope schema — eventschema.go:287-306
+    * (EnvelopeMessageSchema: a literal struct, so `optional`:false IS
+    * present at the top level and on the simple elements). */
+  def messageEnvelopeSchemaJson(messageTopicName: String): String =
+    jobj(
+      "type" -> jstr("struct"),
+      "name" -> jstr(s"$messageTopicName.Envelope"),
+      "optional" -> "false",
+      "fields" -> Seq(
+        messageValueSchemaJson,
+        sourceSchemaJson,
+        simpleElement("op", "string", optional = false),
+        simpleElement("tsdb_op", "string", optional = true),
+        simpleElement("ts_ms", "int64", optional = true)).mkString("[", ",", "]"))
 
   /** PK key schema — eventschema.go:228-252 (literal struct: `optional`
     * always present; elements are `keySchemaElement`s). */

@@ -47,11 +47,16 @@ object Dedup {
     // practice; both intersections and sizes use the capped universe, so
     // Jaccard stays internally consistent). Window over shingle reuses
     // the same shuffle the self-join needs.
+    // NOT cached: at 100 TB the exploded shingle set dwarfs the corpus —
+    // pinning it in the block manager is the wrong trade (and a leak in a
+    // long-lived session). The self-join's two sides are identical
+    // subplans, so Spark reuses one shuffle (ReusedExchange); only the
+    // narrow explode recomputes for the per-doc size aggregate.
     val raw = shingles(df, n)
-    val sh = (if (dfCap == Int.MaxValue) raw
-              else raw.withColumn("df",
-                  count(lit(1)).over(Window.partitionBy(col("shingle"))))
-                .filter(col("df") <= dfCap).drop("df")).cache()
+    val sh = if (dfCap == Int.MaxValue) raw
+             else raw.withColumn("df",
+                 count(lit(1)).over(Window.partitionBy(col("shingle"))))
+               .filter(col("df") <= dfCap).drop("df")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

@@ -98,12 +98,16 @@ final case class KafkaSinkConfig(
     base ++ idem ++ sasl ++ sec
   }
 
+  /** The exact frame the Kafka sink serializes: (topic, key, value) —
+    * the wire contract of `format("kafka")`. Split out so the shape is
+    * assertable without a broker. */
+  def wirePlan(df: DataFrame): DataFrame =
+    df.selectExpr("topic", "CAST(key AS STRING) AS key", "CAST(envelope AS STRING) AS value")
+
   /** Attach to a streaming envelope DataFrame carrying (topic, key,
     * envelope) columns. Caller starts the query with its checkpoint. */
-  def writer(df: DataFrame): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val out = df.selectExpr("topic", "CAST(key AS STRING) AS key", "CAST(envelope AS STRING) AS value")
-    options.foldLeft(out.writeStream.format("kafka")) { case (w, (k, v)) => w.option(k, v) }
-  }
+  def writer(df: DataFrame): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    options.foldLeft(wirePlan(df).writeStream.format("kafka")) { case (w, (k, v)) => w.option(k, v) }
 }
 
 /** At-least-once queue-shaped sink over the filesystem — the testable

@@ -23,6 +23,36 @@ class DebeziumSchemaSpec extends SparkSpec {
     assert(fieldNames(env) === Seq("before", "after", "source", "op", "tsdb_op", "ts_ms"))
     // builder semantics: required → "optional" omitted entirely
     assert(!env.has("optional"))
+    // builder-built op/tsdb_op/ts_ms (String()/Int64()): Build omits the
+    // optional key when false — for all three, unlike literal elements
+    env.get("fields").elements().asScala
+      .filter(f => Set("op", "tsdb_op", "ts_ms").contains(f.get("field").asText()))
+      .foreach(f => assert(!f.has("optional"), f.toString))
+  }
+
+  test("op='m' envelope uses MessageValueSchema, not the table envelope (eventschema.go:287-340)") {
+    val env = parse(graft.cdc.Cdc.messageEnvelopeSchemaJson)
+    assert(env.get("type").asText() === "struct")
+    assert(env.get("name").asText() === "graft.message.Envelope")
+    // literal struct: optional:false present at top level
+    assert(env.get("optional").asBoolean() === false)
+    val fields = env.get("fields").elements().asScala.toSeq
+    // MessageValueSchema first: version 1, message block, no before/after
+    val mv = fields.head
+    assert(mv.get("version").asInt() === 1)
+    assert(mv.get("name").asText() === DebeziumSchema.MessageValueSchemaName)
+    val mvFields = mv.get("fields").elements().asScala.toSeq
+    assert(!mvFields.exists(f => f.has("field") &&
+      Set("before", "after").contains(f.get("field").asText())))
+    val msgBlock = mvFields.find(f => f.has("field") &&
+      f.get("field").asText() == "message").get
+    assert(msgBlock.get("message").get("name").asText() === DebeziumSchema.MessageBlockSchemaName)
+    assert(msgBlock.get("message").get("version").asInt() === 1)
+    // simpleSchemaElement literals: optional ALWAYS present
+    val tsdb = fields.find(f => f.has("field") && f.get("field").asText() == "tsdb_op").get
+    assert(tsdb.get("optional").asBoolean() === true)
+    val op = fields.find(f => f.has("field") && f.get("field").asText() == "op").get
+    assert(op.get("optional").asBoolean() === false)
   }
 
   test("before/after carry the row schema as {topic}.Value with column indices") {
@@ -106,7 +136,11 @@ class DebeziumSchemaSpec extends SparkSpec {
           payload.get("message").has("prefix") && payload.get("message").has("content"))
       }
       assert(payload.get("source").get("lsn").asText().startsWith("0/"))
-      assert(env.get("schema").get("name").asText() === "graft.public.events.Envelope")
+      // op='m' rows carry the MessageValueSchema-based envelope
+      // (eventschema.go:287-306); all others the table envelope
+      val wantSchema =
+        if (op == "m") "graft.message.Envelope" else "graft.public.events.Envelope"
+      assert(env.get("schema").get("name").asText() === wantSchema)
       val key = parse(r.getString(2))
       if (op == "m") assert(key.get("payload").has("prefix"))
       else assert(key.get("payload").has("event_id"))

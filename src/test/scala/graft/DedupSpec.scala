@@ -133,6 +133,32 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.clusters(empty).count() === 0L)
   }
 
+  test("jaccardPairs leaves no lingering cached storage and reuses the self-join exchange") {
+    docs.count() // materialize the spec's own fixture cache first
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = Dedup.jaccardPairs(docs)
+    assert(pairs.count() >= 0)
+    // no NEW persistent storage may outlive the query (the ContextCleaner
+    // may concurrently release older test RDDs, so compare sets, not size)
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.isEmpty,
+      s"jaccardPairs registered lingering cached RDDs: $added")
+    // the two sides of the shingle self-join share one shuffle — visible
+    // once tiny-data broadcasts are off (the 100 TB join shape)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = Dedup.jaccardPairs(docs).queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"),
+        s"self-join sides must reuse the shingle exchange:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("shingle df-cap is a no-op below the cap and prunes hot shingles above it") {
     // at sf0.001 no shingle is near df=50, so capped ≡ uncapped
     val uncapped = Dedup.jaccardPairs(docs).collect()

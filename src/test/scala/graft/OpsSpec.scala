@@ -231,6 +231,35 @@ class OpsSpec extends SparkSpec {
     assert(sslOnly.options("kafka.security.protocol") === "SSL")
   }
 
+  test("kafka writer emits the (topic, key, value) wire frame from real envelopes") {
+    import graft.sinks.KafkaSinkConfig
+    val cfg = KafkaSinkConfig("b:9092", idempotent = true)
+    // real envelope stream: topic from the naming strategy, key/envelope
+    // JSON from the CDC builder — the exact frame the reference's Kafka
+    // sink serializes (kafka.go:100-125)
+    val env = graft.cdc.Cdc.envelopeJson(spark, sf001)
+      .withColumn("topic",
+        graft.model.Envelope.topicName("graft", lit("public"), lit("events")))
+      .withColumn("key", to_json(struct(col("lsn"))))
+    val wire = cfg.wirePlan(env)
+    assert(wire.schema.fieldNames.toSeq === Seq("topic", "key", "value"))
+    assert(wire.schema.fields.forall(_.dataType ===
+      org.apache.spark.sql.types.StringType))
+    val r = wire.orderBy(expr("get_json_object(key, '$.lsn')").cast("long")).head
+    assert(r.getString(0) === "graft.public.events")
+    assert(r.getString(1).contains("\"lsn\""))
+    assert(r.getString(2).contains("\"payload\""))
+    // writer assembly on a real STREAMING frame attaches every option to
+    // the kafka format without needing a broker (start() is the only
+    // broker-bound step)
+    val stream = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+      .select(lit("graft.public.events").as("topic"),
+        to_json(struct(col("value").as("lsn"))).as("key"),
+        lit("{}").as("envelope"))
+    val w = cfg.writer(stream)
+    assert(w != null)
+  }
+
   test("naming strategy: event and message topic names (debezium.go:20-60)") {
     val df = Seq(("public", "events")).toDF("s", "t")
     assert(df.select(graft.model.Envelope.topicName("graft", col("s"), col("t")))
