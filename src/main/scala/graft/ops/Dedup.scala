@@ -194,6 +194,68 @@ object Dedup {
     labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): converges in O(log n) rounds on ANY graph — including
+    * long paths and other adversarial diameters where plain min-label
+    * propagation needs diameter-many rounds. Each half-round is one
+    * groupBy + join on node id (linear shuffles, no skew beyond the
+    * star centers, which the algorithm itself flattens).
+    *
+    *   large-star(u): connect every strictly-larger neighbor v > u to
+    *     m = min(Γ(u) ∪ {u});
+    *   small-star(u): connect every strictly-smaller neighbor (and u)
+    *     to m = min(Γ⁻(u) ∪ {u}).
+    *
+    * At fixpoint every component is a star centered at its minimum, so
+    * labels read off as min(neighbor, self) — identical output contract
+    * to [[clusters]] (the diameter-bounded near-dup default).
+    */
+  def clustersStar(pairs: DataFrame, maxIter: Int = 30): DataFrame =
+    clustersStarWithRounds(pairs, maxIter)._1
+
+  private[graft] def clustersStarWithRounds(pairs: DataFrame,
+                                            maxIter: Int = 30): (DataFrame, Int) = {
+    var edges = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("u"),
+        greatest(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    def bidir(e: DataFrame) =
+      e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    def checksum(e: DataFrame): Long =
+      e.agg(coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head.getLong(0)
+    var prev = checksum(edges)
+    var rounds = 0
+    var converged = prev == 0L && edges.isEmpty
+    while (!converged && rounds < maxIter) {
+      // large-star: (m, v) for v > u, m = min(Γ(u) ∪ {u})
+      val nbr = bidir(edges)
+      val lmins = nbr.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val afterLarge = nbr.join(lmins, "u").filter(col("v") > col("u"))
+        .select(col("m").as("u"), col("v"))
+        .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+      // small-star over strictly-smaller neighborhoods: (m, v) for
+      // v ∈ Γ⁻(u) \ {m}, plus (m, u)
+      val snbr = bidir(afterLarge).filter(col("v") < col("u"))
+      val smins = snbr.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = snbr.join(smins, "u")
+        .select(col("m").as("u"), col("v"))
+        .filter(col("u") =!= col("v"))
+        .unionByName(smins.select(col("m").as("u"), col("u").as("v")))
+      edges = small
+        .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+        .distinct().localCheckpoint(true)
+      val sum = checksum(edges)
+      converged = sum == prev // star fixpoint ⇒ edge set stable
+      prev = sum
+      rounds += 1
+    }
+    val labels = bidir(edges).groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u").as("doc_id"), least(col("mn"), col("u")).as("cluster_id"))
+    (labels, rounds)
+  }
+
   /** Embedding near-dup: cosine over candidate pairs. The full pairwise
     * form is the correctness oracle (bounded inputs); the scale path is
     * Similarity.lshCosinePairs.

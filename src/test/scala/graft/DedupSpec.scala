@@ -127,6 +127,32 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("large-star/small-star: path graph converges in <= log rounds with correct labels") {
+    import spark.implicits._
+    // 64-node path 1-2-...-64: diameter 63 — min-label propagation needs
+    // ~63 rounds; the star alternation must stay logarithmic
+    val path = (1L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.clustersStarWithRounds(path)
+    assert(rounds <= 10, s"star alternation took $rounds rounds on a 64-path")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (1L to 64L).map(_ -> 1L).toMap)
+  }
+
+  test("large-star/small-star equals min-label propagation on real jaccard pairs") {
+    val pairs = Dedup.jaccardPairs(docs, n = 3, threshold10 = 4)
+    val viaProp = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStar = Dedup.clustersStar(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar === viaProp)
+  }
+
+  test("large-star/small-star: empty graph yields empty labels, not a crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.clustersStar(empty).count() === 0L)
+  }
+
   test("clusters of an empty pair graph is empty, not a crash") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
