@@ -303,6 +303,28 @@ object SparkEntry {
         .orderBy(col("chunk_name"))
     }),
 
+    "cdc_publication_lifecycle" -> ((s, dir) => {
+      // replicator.go:352-427 startup partition: which chunks and which
+      // vanilla tables still need ALTER PUBLICATION ADD TABLE, given a
+      // pre-existing published set spanning internal + public schemas
+      import s.implicits._
+      val chunkKnown = Cdc.chunkCatalog(s, dir)
+        .select(col("chunk_schema").as("schema_name"), col("chunk_name").as("table_name"))
+      val vanillaKnown = Seq(("public", "events"), ("public", "users"), ("public", "cagg_view"))
+        .toDF("schema_name", "table_name")
+      val published = Seq(
+        ("_timescaledb_internal", "_hyper_1_3_chunk"),
+        ("_timescaledb_internal", "_hyper_1_5_chunk"),
+        ("public", "events"),
+        ("_timescaledb_catalog", "hypertable")).toDF("schema_name", "table_name")
+      graft.catalog.PublicationManager.chunksToAttach(chunkKnown, published)
+        .withColumn("kind", lit("chunk"))
+        .unionByName(graft.catalog.PublicationManager
+          .vanillaTablesToAttach(vanillaKnown, published).withColumn("kind", lit("vanilla")))
+        .select(col("kind"), col("schema_name"), col("table_name"))
+        .orderBy(col("kind"), col("schema_name"), col("table_name"))
+    }),
+
     "cdc_table_filter" -> ((s, dir) => {
       val tf = TableFilter(Seq("public.events_1?"), Seq("public.events_13"))
       Tables.events(s, dir)
@@ -1238,6 +1260,32 @@ object SparkEntry {
         |    epoch_ns(ts) // 86400000000000 - 19723 AS chunk_day
         |  FROM events) t
         |WHERE chunk_day >= 10 ORDER BY chunk_name""".stripMargin,
+
+    "cdc_publication_lifecycle" ->
+      """WITH chunks AS (
+        |  SELECT DISTINCT '_timescaledb_internal' AS schema_name,
+        |    concat('_hyper_1_', CAST(epoch_ns(ts) // 86400000000000 - 19723 AS VARCHAR), '_chunk') AS table_name
+        |  FROM events
+        |), vanilla AS (
+        |  SELECT * FROM (VALUES ('public', 'events'), ('public', 'users'),
+        |                        ('public', 'cagg_view')) t(schema_name, table_name)
+        |), pub AS (
+        |  SELECT * FROM (VALUES ('_timescaledb_internal', '_hyper_1_3_chunk'),
+        |                        ('_timescaledb_internal', '_hyper_1_5_chunk'),
+        |                        ('public', 'events'),
+        |                        ('_timescaledb_catalog', 'hypertable')) t(schema_name, table_name)
+        |)
+        |SELECT * FROM (
+        |  SELECT 'chunk' AS kind, c.schema_name, c.table_name FROM chunks c
+        |  WHERE NOT EXISTS (SELECT 1 FROM pub p
+        |    WHERE p.schema_name = '_timescaledb_internal'
+        |      AND p.schema_name = c.schema_name AND p.table_name = c.table_name)
+        |  UNION ALL
+        |  SELECT 'vanilla' AS kind, v.schema_name, v.table_name FROM vanilla v
+        |  WHERE NOT EXISTS (SELECT 1 FROM pub p
+        |    WHERE p.schema_name NOT IN ('_timescaledb_internal', '_timescaledb_catalog')
+        |      AND p.schema_name = v.schema_name AND p.table_name = v.table_name)
+        |) ORDER BY kind, schema_name, table_name""".stripMargin,
 
     "cdc_table_filter" ->
       """SELECT tbl FROM (SELECT DISTINCT 'public.events_' || CAST(user_id AS VARCHAR) AS tbl FROM events) t

@@ -85,6 +85,45 @@ class StatefulSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
+  test("publication lifecycle: create/adopt/attach/detach/auto-drop (publicationmanager.go:35-110)") {
+    import graft.catalog.PublicationManager
+    // fresh publication: created on ensure
+    val pm = new PublicationManager("graft_pub")
+    assert(!pm.existsPublication)
+    pm.ensurePublication()
+    assert(pm.existsPublication)
+    assert(!pm.createPublication(), "create on an existing publication reports not-new")
+    // attach is idempotent and keyed by canonical name
+    assert(pm.attachTables(Seq("public.events", "public.users", "public.events"))
+      === Seq("public.events", "public.users"))
+    assert(pm.attachTables(Seq("public.events")) === Seq.empty)
+    assert(pm.existsTableInPublication("public.users"))
+    assert(pm.readPublishedTables === Seq("public.events", "public.users"))
+    // detach is idempotent; unknown tables are ignored
+    assert(pm.detachTables(Seq("public.users", "public.missing")) === Seq("public.users"))
+    assert(pm.readPublishedTables === Seq("public.events"))
+    // auto-drop on close; operations after close fail loudly
+    pm.close()
+    intercept[IllegalStateException] { pm.readPublishedTables }
+
+    // pre-existing publication: adopted as-is, never recreated
+    val adopted = new PublicationManager("existing_pub", publicationCreate = false,
+      preExisting = Some(Set("public.events")))
+    adopted.ensurePublication()
+    assert(adopted.readPublishedTables === Seq("public.events"))
+    // missing + create disabled aborts startup (reference wording)
+    val noCreate = new PublicationManager("missing_pub", publicationCreate = false)
+    intercept[IllegalStateException] { noCreate.ensurePublication() }
+    // DROP IF EXISTS semantics: dropping a missing publication is fine
+    val dropper = new PublicationManager("droppable", publicationAutoDrop = false)
+    dropper.dropPublication()
+    dropper.createPublication()
+    dropper.dropPublication()
+    assert(!dropper.existsPublication)
+    // attach on a dropped publication fails like ALTER on a missing one
+    intercept[IllegalStateException] { dropper.attachTables(Seq("public.t")) }
+  }
+
   test("txn window bounds: overflow at maxSize evicts state (transactiontracker.go:458-482)") {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     import org.apache.spark.api.java.Optional
