@@ -1071,7 +1071,7 @@ object SparkEntry {
     // twin): a sub-µs-only fraction must render no dot at all.
     s"strftime(make_timestamp((($n) // 1000000000) * 1000000), '%Y-%m-%dT%H:%M:%S') || " +
     s"CASE WHEN (($n) % 1000000000) // 1000 > 0 THEN '.' || " +
-    s"regexp_replace(lpad(CAST((($n) % 1000000000) // 1000 * 1000 AS VARCHAR), 9, '0'), '0+$$', '') " +
+    s"rtrim(lpad(CAST((($n) % 1000000000) // 1000 * 1000 AS VARCHAR), 9, '0'), '0') " +
     s"ELSE '' END || 'Z'"
 
   /** DuckDB twin of `decimalCentsText` (single-line: safe to splice into

@@ -41,7 +41,9 @@ object PgConverters {
     val sec  = expr(s"$nanosCol div 1000000000")
     val frac = expr(s"($nanosCol % 1000000000) div 1000 * 1000")
     val datePart = date_format(timestamp_seconds(sec), "yyyy-MM-dd'T'HH:mm:ss")
-    val fracStr  = regexp_replace(lpad(frac.cast(StringType), 9, "0"), "0+$", "")
+    // rtrim-by-charset == strip trailing zeros (cheaper than a regexp in
+    // the per-row hot path; DuckDB twin uses the same rtrim)
+    val fracStr  = rtrim(lpad(frac.cast(StringType), 9, "0"), "0")
     concat(datePart,
       when(frac > 0, concat(lit("."), fracStr)).otherwise(lit("")),
       lit("Z"))
