@@ -303,6 +303,16 @@ object SparkEntry {
         .orderBy(col("chunk_name"))
     }),
 
+    "cdc_scroll_snapshot" -> ((s, dir) => {
+      // SCROLL-cursor chunk snapshot: per-chunk FETCH FORWARD batches,
+      // resumed from batch 1 (sidechannel.go:838-905)
+      Cdc.snapshotScrollCursor(Cdc.walEvents(s, dir).select("lsn", "chunk_day", "event_id"),
+          chunkCol = "chunk_day", orderCol = "event_id",
+          fetchSize = 100, resumeFromBatch = 1L)
+        .select(col("chunk_day"), col("batch_no"), col("event_id"))
+        .orderBy(col("chunk_day"), col("batch_no"), col("event_id"))
+    }),
+
     "cdc_publication_lifecycle" -> ((s, dir) => {
       // replicator.go:352-427 startup partition: which chunks and which
       // vanilla tables still need ALTER PUBLICATION ADD TABLE, given a
@@ -1260,6 +1270,15 @@ object SparkEntry {
         |    epoch_ns(ts) // 86400000000000 - 19723 AS chunk_day
         |  FROM events) t
         |WHERE chunk_day >= 10 ORDER BY chunk_name""".stripMargin,
+
+    "cdc_scroll_snapshot" ->
+      """SELECT chunk_day, batch_no, event_id FROM (
+        |  SELECT epoch_ns(ts) // 86400000000000 - 19723 AS chunk_day, event_id,
+        |    CAST((row_number() OVER (PARTITION BY epoch_ns(ts) // 86400000000000 - 19723
+        |                             ORDER BY event_id) - 1) // 100 AS BIGINT) AS batch_no
+        |  FROM events) t
+        |WHERE batch_no >= 1
+        |ORDER BY chunk_day, batch_no, event_id""".stripMargin,
 
     "cdc_publication_lifecycle" ->
       """WITH chunks AS (

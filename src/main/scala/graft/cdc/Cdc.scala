@@ -165,6 +165,25 @@ object Cdc {
   def highWatermark(df: DataFrame, keyCols: Seq[String]): DataFrame =
     df.orderBy(keyCols.map(col(_).desc): _*).limit(1)
 
+  /** S5-adjacent — the SCROLL-cursor chunk-snapshot form
+    * (`internal/sidechannel/sidechannel.go:838-905`: DECLARE SCROLL
+    * CURSOR per chunk + FETCH FORWARD fetchSize, resumable at a batch
+    * boundary). The Spark shape: one cursor per chunk = a window
+    * PARTITIONED by chunk (parallel across chunks, sequential within —
+    * exactly the reference's concurrency), batch number = zero-based
+    * fetch index. Keyset pagination ([[snapshotBatch]]) remains the
+    * index-assisted scale path; this form exists for tables snapshotted
+    * without a usable key, like the reference's cursor mode.
+    */
+  def snapshotScrollCursor(df: DataFrame, chunkCol: String, orderCol: String,
+                           fetchSize: Int, resumeFromBatch: Long = 0L): DataFrame =
+    df.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(chunkCol)).orderBy(col(orderCol))))
+      .withColumn("batch_no", expr(s"CAST((rn - 1) div $fetchSize AS BIGINT)"))
+      .drop("rn")
+      .filter(col("batch_no") >= resumeFromBatch)
+
   /** T2 — transaction window boundaries (`transactiontracker.go:128-189`,
     * queue+drain `:441-524`): events buffered per xid until COMMIT. In
     * micro-batch Spark the faithful relaxation (SURVEY §7.4) is a
