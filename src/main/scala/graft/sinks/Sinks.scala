@@ -110,6 +110,35 @@ final case class KafkaSinkConfig(
     options.foldLeft(wirePlan(df).writeStream.format("kafka")) { case (w, (k, v)) => w.option(k, v) }
 }
 
+/** HTTP sink option assembly — S14
+  * (`internal/eventing/sink/http/http.go:50-100`): authentication
+  * none/basic/header, TLS skip-verify/client-auth. The header map is the
+  * wire contract a POST emitter attaches per request; an unknown
+  * authentication type fails loudly with the reference's wording. No
+  * HTTP endpoint exists in this environment — the assembled headers and
+  * the [[Sink]] delivery contract (`FileQueueSink` + retry) are the
+  * testable surface.
+  */
+final case class HttpSinkConfig(
+    url: String,
+    authenticationType: String = "none",
+    basicUsername: String = "",
+    basicPassword: String = "",
+    headerName: String = "",
+    headerValue: String = "",
+    tlsSkipVerify: Boolean = false) {
+  def headers: Map[String, String] = authenticationType match {
+    case "none" => Map.empty
+    case "basic" =>
+      val token = java.util.Base64.getEncoder.encodeToString(
+        s"$basicUsername:$basicPassword".getBytes("UTF-8"))
+      Map("Authorization" -> s"Basic $token")
+    case "header" => Map(headerName -> headerValue)
+    case other =>
+      throw new IllegalArgumentException(s"http AuthenticationType '$other' doesn't exist")
+  }
+}
+
 /** At-least-once queue-shaped sink over the filesystem — the testable
   * stand-in for the reference's HTTP/SQS/Kinesis emitters (no brokers
   * in this environment; the delivery CONTRACT is what's under test):

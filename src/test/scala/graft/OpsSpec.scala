@@ -260,6 +260,21 @@ class OpsSpec extends SparkSpec {
     assert(w != null)
   }
 
+  test("http sink config assembles auth headers (http.go:50-100)") {
+    import graft.sinks.HttpSinkConfig
+    assert(HttpSinkConfig("http://h/ep").headers === Map.empty)
+    // RFC 7617 basic token for user:pass
+    assert(HttpSinkConfig("http://h/ep", "basic", basicUsername = "user",
+      basicPassword = "pass").headers
+      === Map("Authorization" -> "Basic dXNlcjpwYXNz"))
+    assert(HttpSinkConfig("http://h/ep", "header", headerName = "X-Api-Key",
+      headerValue = "k1").headers === Map("X-Api-Key" -> "k1"))
+    val e = intercept[IllegalArgumentException] {
+      HttpSinkConfig("http://h/ep", "oauth2").headers
+    }
+    assert(e.getMessage.contains("doesn't exist"))
+  }
+
   test("naming strategy: event and message topic names (debezium.go:20-60)") {
     val df = Seq(("public", "events")).toDF("s", "t")
     assert(df.select(graft.model.Envelope.topicName("graft", col("s"), col("t")))
