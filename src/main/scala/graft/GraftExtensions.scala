@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{FloatVecDot, FloatVecNorm2, FnvHash64}
+import graft.functions.{FloatVecDot, FloatVecNorm2, FnvHash64, PolyLen}
 
 /** SparkSessionExtensions hook — registers the engine's custom Catalyst
   * expressions as SQL functions so `spark.sql("SELECT vec_dot(a, b) …")`
@@ -30,7 +30,10 @@ object GraftExtensions {
       (children: Seq[Expression]) => FloatVecNorm2(children.head)),
     (FunctionIdentifier("fnv_hash64"),
       new ExpressionInfo(classOf[FnvHash64].getName, "fnv_hash64"),
-      (children: Seq[Expression]) => FnvHash64(children.head)))
+      (children: Seq[Expression]) => FnvHash64(children.head)),
+    (FunctionIdentifier("graft_len"),
+      new ExpressionInfo(classOf[PolyLen].getName, "graft_len"),
+      (children: Seq[Expression]) => PolyLen(children.head)))
 
   /** Attach to an already-built session (the extensions path only
     * applies at session construction). */

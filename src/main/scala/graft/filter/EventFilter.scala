@@ -50,6 +50,9 @@ final case class EventFilter(
     */
   def apply(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
+    // len() translates to the polymorphic graft_len expression —
+    // idempotent registration into this session's function registry
+    graft.GraftExtensions.registerTo(df.sparkSession)
     val inScope = (tables.includeRegexes.map(col("table_name").rlike) match {
       case Nil => Seq(lit(true))
       case rs  => rs
@@ -307,7 +310,10 @@ object EventFilter {
       def arity(n: Int): Unit = if (args.length != n)
         fail(s"$name expects $n argument(s), got ${args.length}")
       name match {
-        case "len"   => arity(1); s"length(${args(0)})"
+        // graft_len = custom PolyLen expression: expr-lang len is
+        // type-dispatched (string/bytes/array/map); Spark's length is
+        // string-only and size is array-only
+        case "len"   => arity(1); s"graft_len(${args(0)})"
         case "upper" => arity(1); s"upper(${args(0)})"
         case "lower" => arity(1); s"lower(${args(0)})"
         case "trim" =>

@@ -62,7 +62,7 @@ class OpsSpec extends SparkSpec {
   }
 
   test("event filter builtin functions translate to Catalyst twins") {
-    assert(EventFilter.translate("""len(props) > 10""") === "length(`props`) > 10")
+    assert(EventFilter.translate("""len(props) > 10""") === "graft_len(`props`) > 10")
     assert(EventFilter.translate("""upper(op) == "C"""") === "upper(`op`) = 'C'")
     assert(EventFilter.translate("""min(a, 5) < max(b, 2, 3)""")
       === "least(`a`, 5) < greatest(`b`, 2, 3)")
@@ -80,7 +80,7 @@ class OpsSpec extends SparkSpec {
     assert(EventFilter.translate("""replace(op, "a", "b") == repeat("x", 2)""")
       === "replace(`op`, 'a', 'b') = repeat('x', 2)")
     // array literal as a value
-    assert(EventFilter.translate("""len(["a", "b"]) == 2""") === "length(array('a', 'b')) = 2")
+    assert(EventFilter.translate("""len(["a", "b"]) == 2""") === "graft_len(array('a', 'b')) = 2")
     // nested calls inside other productions
     assert(EventFilter.translate("""upper(op ?? "x") in ["A", "B"]""")
       === "upper(coalesce(`op`, 'x')) IN ('A', 'B')")
@@ -104,6 +104,21 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { EventFilter.translate("""v == 1.2.3""") }
     intercept[IllegalArgumentException] { EventFilter.translate("""v == 1e""") }
     assert(EventFilter.translate("""v == 1.5e3""") === "`v` = 1.5e3")
+  }
+
+  test("len() is polymorphic on data: strings AND arrays (expr-lang dispatch)") {
+    val df = Seq(("abc", Seq(1L, 2L)), ("abcdef", Seq(3L)))
+      .toDF("s", "arr").withColumn("table_name", lit("t"))
+    val byStr = EventFilter("""len(s) == 3""").apply(df)
+    assert(byStr.select("s").collect().map(_.getString(0)).toSeq === Seq("abc"))
+    val byArr = EventFilter("""len(arr) == 2""").apply(df)
+    assert(byArr.select("s").collect().map(_.getString(0)).toSeq === Seq("abc"))
+    // unsupported input types fail at analysis with the expression's message
+    val err = intercept[Exception] {
+      EventFilter("""len(n) > 0""").apply(
+        Seq(1L).toDF("n").withColumn("table_name", lit("t"))).collect()
+    }
+    assert(err.getMessage.contains("len requires"))
   }
 
   test("event filter evaluates ternary/string ops on data") {
