@@ -26,7 +26,8 @@ object Bench {
     // median of 3 runs per query: at small SF the suite is dominated by
     // per-plan codegen compilation and JIT/GC scheduling — single-shot
     // timings vary >5× run-to-run and manufacture phantom regressions
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()

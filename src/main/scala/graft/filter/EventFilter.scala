@@ -359,19 +359,24 @@ object EventFilter {
     def bad(what: String): Nothing = throw new IllegalArgumentException(
       s"non-RE2 regex construct ($what) in matches pattern '$pattern' in filter condition: $cond")
     var i = 0
+    var inClass = false // inside [...] metacharacters are literals
     while (i < pattern.length) {
       pattern.charAt(i) match {
         case '\\' if i + 1 < pattern.length =>
-          if (pattern.charAt(i + 1).isDigit && pattern.charAt(i + 1) != '0')
+          if (!inClass && pattern.charAt(i + 1).isDigit && pattern.charAt(i + 1) != '0')
             bad("backreference")
           i += 2 // escaped char: skip both (keeps \+ from looking possessive)
-        case '(' if pattern.startsWith("(?=", i) || pattern.startsWith("(?!", i) =>
+        case '[' if !inClass => inClass = true; i += 1
+        case ']' if inClass  => inClass = false; i += 1
+        case '(' if !inClass &&
+            (pattern.startsWith("(?=", i) || pattern.startsWith("(?!", i)) =>
           bad("lookahead")
-        case '(' if pattern.startsWith("(?<=", i) || pattern.startsWith("(?<!", i) =>
+        case '(' if !inClass &&
+            (pattern.startsWith("(?<=", i) || pattern.startsWith("(?<!", i)) =>
           bad("lookbehind")
-        case '(' if pattern.startsWith("(?>", i) =>
+        case '(' if !inClass && pattern.startsWith("(?>", i) =>
           bad("atomic group")
-        case '*' | '+' | '?' | '}' if i + 1 < pattern.length &&
+        case '*' | '+' | '?' | '}' if !inClass && i + 1 < pattern.length &&
             pattern.charAt(i + 1) == '+' =>
           bad("possessive quantifier")
         case _ => i += 1

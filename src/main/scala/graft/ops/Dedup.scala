@@ -251,8 +251,15 @@ object Dedup {
       prev = sum
       rounds += 1
     }
-    val labels = bidir(edges).groupBy(col("u")).agg(min(col("v")).as("mn"))
+    val connected = bidir(edges).groupBy(col("u")).agg(min(col("v")).as("mn"))
       .select(col("u").as("doc_id"), least(col("mn"), col("u")).as("cluster_id"))
+    // nodes appearing only in self-pairs (doc_a == doc_b) have no edges
+    // after the u =!= v filter but must still label as their own
+    // singleton — the output contract shared with [[clusters]]
+    val nodes = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val labels = nodes.join(connected, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
     (labels, rounds)
   }
 

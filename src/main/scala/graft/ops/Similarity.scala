@@ -128,9 +128,12 @@ object Similarity {
           c.getField("centroid_id").as("centroid_id")))), 1, nProbe)))
       .select(col("query_id"), col("qe"), col("qnorm"),
         col("pr.centroid_id").as("centroid_id"))
-    // search only the probed inverted lists; probe side is tiny
-    // (queries × nProbe) ⇒ broadcast it so the lists never shuffle
-    val scored = lists.join(broadcast(probes), Seq("centroid_id"))
+    // search only the probed inverted lists. NOT force-broadcast: the
+    // probe side is queries × nProbe rows each carrying a full embedding
+    // — tiny for ANN serving (few queries), but a forced broadcast would
+    // OOM the driver when queries ≈ corpus (all-pairs usage). AQE picks
+    // broadcast automatically whenever the probe side is actually small.
+    val scored = lists.join(probes, Seq("centroid_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot("qe", "embedding") / (col("qnorm") * l2Norm("embedding"))).as("cosine"))

@@ -26,37 +26,50 @@ object TxnAssembler {
   val DefaultTimeoutMs: Long = 60000L
 
   case class WalEv(lsn: Long, xid: Long, op: String, ts_ms: Long)
-  case class TxnState(beginLsn: Long, commitLsn: Long, n: Long, commitTsMs: Long)
+  case class TxnState(beginLsn: Long, commitLsn: Long, n: Long, commitTsMs: Long,
+                      deadlineMs: Long)
   case class TxnSummary(xid: Long, begin_lsn: Long, commit_lsn: Long,
                         n_events: Long, commit_ts_ms: Long)
 
   /** State-merge step, parameterized by the transaction-window bounds.
     * `withTimeout=false` is used only under `GroupStateTimeout.NoTimeout`
     * (where `setTimeoutDuration` would throw).
+    *
+    * The time bound is a FIXED deadline from window open (reference:
+    * `deadline: time.Now().Add(tt.timeout)` set once at transaction
+    * start, checked per push — `transactiontracker.go:430-470`), not a
+    * sliding idle timeout: a transaction trickling events slower than
+    * the timeout still drains when its window expires.
     */
   def assemble(maxSize: Long, timeoutMs: Long, withTimeout: Boolean)(
       xid: Long, events: Iterator[WalEv],
       state: GroupState[TxnState]): Iterator[TxnSummary] = {
     if (!events.hasNext) {
-      // Timeout callback: the 60 s deadline passed with no new events for
+      // Timeout callback: the deadline passed with no new events for
       // this xid — evict its window (reference: timedOut → drain).
       if (state.hasTimedOut) state.remove()
       Iterator.empty
     } else {
       val evs = events.toSeq
-      val prev = state.getOption.getOrElse(TxnState(Long.MaxValue, Long.MinValue, 0L, 0L))
+      val nowMs =
+        if (withTimeout) state.getCurrentProcessingTimeMs() else 0L
+      val prev = state.getOption.getOrElse(
+        TxnState(Long.MaxValue, Long.MinValue, 0L, 0L, nowMs + timeoutMs))
       val merged = TxnState(
         math.min(prev.beginLsn, evs.map(_.lsn).min),
         math.max(prev.commitLsn, evs.map(_.lsn).max),
         prev.n + evs.size,
-        math.max(prev.commitTsMs, evs.map(_.ts_ms).max))
-      if (merged.n >= maxSize) {
-        // Overflow: stream through and drop the buffered window
-        // (reference: queueLength == maxSize → overflowed → drain).
+        math.max(prev.commitTsMs, evs.map(_.ts_ms).max),
+        prev.deadlineMs)
+      if (merged.n >= maxSize || (withTimeout && nowMs >= merged.deadlineMs)) {
+        // Overflow or expired window: stream through and drop the buffer
+        // (reference: queueLength == maxSize → overflowed; deadline
+        // passed → timedOut; either → drain).
         state.remove()
       } else {
         state.update(merged)
-        if (withTimeout) state.setTimeoutDuration(timeoutMs)
+        // arm the callback for the REMAINING window, not a fresh period
+        if (withTimeout) state.setTimeoutDuration(math.max(merged.deadlineMs - nowMs, 1L))
       }
       Iterator(TxnSummary(xid, merged.beginLsn, merged.commitLsn, merged.n, merged.commitTsMs))
     }

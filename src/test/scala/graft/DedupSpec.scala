@@ -84,11 +84,14 @@ class DedupSpec extends SparkSpec {
   test("IVF assign: broadcast-array argmax equals windowed argmax, zero shuffle Exchange") {
     val emb = Tables.embeddings(spark, sf001)
     val (centroids, lists) = Similarity.ivfAssign(emb, 16)
-    // plan: the corpus is never shuffled — no ShuffleExchange anywhere
-    // (broadcast exchanges are expected and fine)
+    // plan: the corpus is never shuffled — no shuffle Exchange of ANY
+    // partitioning (hash/range/single); broadcast and reused exchanges
+    // are expected and fine. ShuffleExchangeExec prints as 'Exchange …'.
     val plan = lists.queryExecution.executedPlan.toString
-    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
-      s"IVF assign must not shuffle the corpus:\n$plan")
+    val shuffles = plan.linesIterator.filter(l => l.contains("Exchange") &&
+      !l.contains("BroadcastExchange") && !l.contains("ReusedExchange")).toSeq
+    assert(shuffles.isEmpty,
+      s"IVF assign must not shuffle the corpus, found: $shuffles\n$plan")
     // equivalence vs the straightforward windowed argmax formulation
     val windowed = {
       import org.apache.spark.sql.expressions.Window
@@ -145,6 +148,17 @@ class DedupSpec extends SparkSpec {
     val viaStar = Dedup.clustersStar(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaStar === viaProp)
+  }
+
+  test("large-star/small-star: self-pair-only nodes keep their singleton label") {
+    import spark.implicits._
+    val pairs = Seq((7L, 7L), (1L, 2L)).toDF("doc_a", "doc_b")
+    val star = Dedup.clustersStar(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+    assert(star === prop, "output contract must match clusters()")
   }
 
   test("large-star/small-star: empty graph yields empty labels, not a crash") {

@@ -100,6 +100,9 @@ class OpsSpec extends SparkSpec {
     // non-capturing groups, \0 (not a backreference)
     assert(EventFilter.translate("""p matches "a\\+?b"""") === """rlike(`p`, 'a\\+?b')""")
     assert(EventFilter.translate("""p matches "(?:ab)c"""") === "rlike(`p`, '(?:ab)c')")
+    // inside a character class, quantifier chars are literals — RE2-legal
+    assert(EventFilter.translate("""p matches "[*+]"""") === "rlike(`p`, '[*+]')")
+    assert(EventFilter.translate("""p matches "[a?+](?:x)"""") === "rlike(`p`, '[a?+](?:x)')")
     // malformed numeric literals fail at parse time (ADVICE)
     intercept[IllegalArgumentException] { EventFilter.translate("""v == 1.2.3""") }
     intercept[IllegalArgumentException] { EventFilter.translate("""v == 1e""") }

@@ -156,13 +156,40 @@ class StatefulSpec extends SparkSpec {
     import org.apache.spark.api.java.Optional
     val step = TxnAssembler.assemble(10000L, 60000L, withTimeout = true) _
     val s = TestGroupState.create[TxnAssembler.TxnState](
-      Optional.of(TxnAssembler.TxnState(1L, 9L, 3L, 100L)),
+      Optional.of(TxnAssembler.TxnState(1L, 9L, 3L, 100L, 61000L)),
       GroupStateTimeout.ProcessingTimeTimeout, 1000L,
       Optional.empty[Long](), true)
     val out = step(42L, Iterator.empty, s).toSeq
     assert(out.isEmpty, "timeout flush emits nothing new (summaries stream per batch)")
     assert(!s.exists, "timed-out window must be evicted")
     assert(s.isRemoved)
+  }
+
+  test("txn window deadline is fixed from window open, not a sliding idle timeout") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val step = TxnAssembler.assemble(10000L, 60000L, withTimeout = true) _
+    def st(prev: Option[TxnAssembler.TxnState], nowMs: Long) =
+      TestGroupState.create[TxnAssembler.TxnState](
+        Optional.ofNullable(prev.orNull), GroupStateTimeout.ProcessingTimeTimeout,
+        nowMs, Optional.empty[Long](), false)
+    // window opens at t=1000 → deadline 61000 recorded in state
+    val s1 = st(None, 1000L)
+    step(9L, Iterator(TxnAssembler.WalEv(1L, 9L, "c", 10L)), s1).toSeq
+    assert(s1.get.deadlineMs === 61000L)
+    // trickling events keep arriving BEFORE the deadline: state persists,
+    // the armed timeout shrinks to the REMAINING window (not re-armed full)
+    val s2 = st(Some(s1.get), 50000L)
+    step(9L, Iterator(TxnAssembler.WalEv(2L, 9L, "c", 20L)), s2).toSeq
+    assert(s2.exists && s2.get.deadlineMs === 61000L)
+    assert(s2.getTimeoutTimestampMs.get() === 61000L,
+      "timeout must be armed at the fixed deadline, not now + full period")
+    // an event arriving past the deadline streams through and evicts —
+    // reference: deadline.Before(now) => timedOut => drain
+    val s3 = st(Some(s2.get), 61500L)
+    val out = step(9L, Iterator(TxnAssembler.WalEv(3L, 9L, "c", 30L)), s3).toSeq
+    assert(out.map(_.n_events) === Seq(3L), "expired window still streams the summary")
+    assert(!s3.exists, "expired window must be evicted")
   }
 
   test("envelope json carries before/after per op semantics") {
