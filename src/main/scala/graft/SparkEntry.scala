@@ -741,7 +741,16 @@ object SparkEntry {
           array_join(array(PgConverters.bitsToString(pmod(u, lit(256)), 8),
             PgConverters.bitsToString(pmod(e, lit(32)), 5)), ",").as("varbit_arr"),
           array_join(array(PgConverters.bpcharPad(col("event_type"), 10),
-            PgConverters.bpcharPad(lit("x"), 3)), "|").as("bp_arr"))
+            PgConverters.bpcharPad(lit("x"), 3)), "|").as("bp_arr"),
+          {
+            // hstore[]: ARRAY of MAP — each element round-trips through
+            // the real map converter (from_json → MAP → to_json); the
+            // compact source text is the engine-neutral rendering
+            val h1 = concat(lit("{\"a\":\""), u, lit("\",\"b\":\""), pmod(e, lit(10)), lit("\"}"))
+            val h2 = concat(lit("{\"c\":\""), col("event_type"), lit("\"}"))
+            array_join(transform(array(h1, h2),
+              j => to_json(PgConverters.hstoreToMap(j))), ";").as("hstore_arr")
+          })
         .orderBy(col("event_id"))
     }),
 
@@ -1702,7 +1711,9 @@ object SparkEntry {
          |  concat(event_type, ',view') AS enum_arr,
          |  concat('<e id="', CAST(event_id AS VARCHAR), '"/>;<u id="', CAST(user_id AS VARCHAR), '"/>') AS xml_arr,
          |  concat(lpad(bin(user_id % 256), 8, '0'), ',', lpad(bin(event_id % 32), 5, '0')) AS varbit_arr,
-         |  concat(rpad(event_type, 10, ' '), '|x  ') AS bp_arr
+         |  concat(rpad(event_type, 10, ' '), '|x  ') AS bp_arr,
+         |  concat('{"a":"', CAST(user_id AS VARCHAR), '","b":"', CAST(event_id % 10 AS VARCHAR), '"};',
+         |         '{"c":"', event_type, '"}') AS hstore_arr
          |FROM events ORDER BY event_id""".stripMargin,
 
     "conv_array_temporal_geo_sweep" ->
