@@ -139,6 +139,93 @@ final case class HttpSinkConfig(
   }
 }
 
+/** NATS sink option assembly — S10
+  * (`internal/eventing/sink/nats/nats.go:44-64`): address + one of
+  * userinfo / credentials / jwt authorization; unknown types fail
+  * loudly. The assembled option map is the connect contract a JetStream
+  * emitter would use. */
+final case class NatsSinkConfig(
+    address: String = "nats://localhost:4222",
+    authorization: String = "userinfo",
+    username: String = "",
+    password: String = "",
+    credentialsCertificate: String = "",
+    credentialsSeeds: Seq[String] = Nil,
+    jwt: String = "",
+    jwtSeed: String = "") {
+  def options: Map[String, String] = {
+    val auth = authorization match {
+      case "userinfo" => Map("user" -> username, "password" -> password)
+      case "credentials" => Map("credentials.certificate" -> credentialsCertificate,
+        "credentials.seeds" -> credentialsSeeds.mkString(","))
+      case "jwt" => Map("jwt" -> jwt, "jwt.seed" -> jwtSeed)
+      case other =>
+        throw new IllegalArgumentException(s"nats AuthorizationType '$other' doesn't exist")
+    }
+    Map("address" -> address, "authorization" -> authorization) ++ auth
+  }
+}
+
+/** Redis sink option assembly — S11
+  * (`internal/eventing/sink/redis/redis.go:45-80`): network/address/
+  * auth/db plus the client's retry-backoff knobs (the reference reuses
+  * go-redis's retrier rather than `Sinks.withRetry`). */
+final case class RedisSinkConfig(
+    network: String = "tcp",
+    address: String = "localhost:6379",
+    password: String = "",
+    database: Int = 0,
+    retriesMax: Int = 0,
+    retryBackoffMinMs: Long = 8,
+    retryBackoffMaxMs: Long = 512,
+    tls: Boolean = false) {
+  def options: Map[String, String] = Map(
+    "network" -> network, "addr" -> address, "password" -> password,
+    "db" -> database.toString, "maxRetries" -> retriesMax.toString,
+    "minRetryBackoffMs" -> retryBackoffMinMs.toString,
+    "maxRetryBackoffMs" -> retryBackoffMaxMs.toString,
+    "tls" -> tls.toString)
+}
+
+/** Kinesis sink option assembly — S12
+  * (`internal/eventing/sink/awskinesis/awskinesis.go:49-62,143`): the
+  * stream name is mandatory; the partition key per record is the TOPIC
+  * NAME (per-topic ordering, same contract as the reference). */
+final case class KinesisSinkConfig(
+    streamName: Option[String],
+    region: Option[String] = None,
+    endpoint: String = "",
+    streamCreate: Boolean = true,
+    shardCount: Option[Long] = None) {
+  def options: Map[String, String] = {
+    val name = streamName.getOrElse(
+      throw new IllegalArgumentException("kinesis stream name is not provided"))
+    Map("streamName" -> name, "streamCreate" -> streamCreate.toString) ++
+      region.map("region" -> _) ++ shardCount.map("shardCount" -> _.toString) ++
+      (if (endpoint.nonEmpty) Map("endpoint" -> endpoint) else Map.empty)
+  }
+  /** awskinesis.go:143: PartitionKey = topic name. */
+  def partitionKey(topicName: String): String = topicName
+}
+
+/** SQS sink option assembly — S13
+  * (`internal/eventing/sink/awssqs/awssqs.go:50-56,115-121`): FIFO
+  * group id = topic name; the deduplication id derives from the
+  * envelope (lsn + txId), the same content-keyed idempotence the
+  * `cdc_sqs_dedup_id` query replicates column-side. */
+final case class SqsSinkConfig(
+    queueUrl: Option[String],
+    region: Option[String] = None,
+    endpoint: String = "") {
+  def options: Map[String, String] = {
+    val url = queueUrl.getOrElse(
+      throw new IllegalArgumentException("sqs queue url is not provided"))
+    Map("queueUrl" -> url) ++ region.map("region" -> _) ++
+      (if (endpoint.nonEmpty) Map("endpoint" -> endpoint) else Map.empty)
+  }
+  def messageGroupId(topicName: String): String = topicName
+}
+
 /** At-least-once queue-shaped sink over the filesystem — the testable
   * stand-in for the reference's HTTP/SQS/Kinesis emitters (no brokers
   * in this environment; the delivery CONTRACT is what's under test):

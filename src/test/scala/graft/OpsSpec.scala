@@ -293,6 +293,38 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("doesn't exist"))
   }
 
+  test("nats/redis/kinesis/sqs sink configs assemble reference option shapes") {
+    import graft.sinks._
+    // NATS: the three authorization forms + fail-loud unknown
+    assert(NatsSinkConfig(username = "u", password = "p").options
+      === Map("address" -> "nats://localhost:4222", "authorization" -> "userinfo",
+        "user" -> "u", "password" -> "p"))
+    assert(NatsSinkConfig(authorization = "jwt", jwt = "j", jwtSeed = "s")
+      .options("jwt") === "j")
+    assert(NatsSinkConfig(authorization = "credentials",
+      credentialsCertificate = "cert", credentialsSeeds = Seq("s1", "s2"))
+      .options("credentials.seeds") === "s1,s2")
+    intercept[IllegalArgumentException] {
+      NatsSinkConfig(authorization = "oauth").options
+    }
+    // Redis: defaults mirror redis.go:45-80
+    val redis = RedisSinkConfig().options
+    assert(redis("addr") === "localhost:6379" && redis("network") === "tcp"
+      && redis("minRetryBackoffMs") === "8" && redis("maxRetryBackoffMs") === "512")
+    // Kinesis: mandatory stream name; partition key = topic name
+    val kin = KinesisSinkConfig(Some("graft-stream"), region = Some("eu-west-1"),
+      shardCount = Some(4))
+    assert(kin.options("streamName") === "graft-stream")
+    assert(kin.options("shardCount") === "4")
+    assert(kin.partitionKey("graft.public.events") === "graft.public.events")
+    intercept[IllegalArgumentException] { KinesisSinkConfig(None).options }
+    // SQS: mandatory queue url; FIFO group id = topic name
+    val sqs = SqsSinkConfig(Some("https://sqs/q.fifo"))
+    assert(sqs.options("queueUrl") === "https://sqs/q.fifo")
+    assert(sqs.messageGroupId("graft.public.events") === "graft.public.events")
+    intercept[IllegalArgumentException] { SqsSinkConfig(None).options }
+  }
+
   test("naming strategy: event and message topic names (debezium.go:20-60)") {
     val df = Seq(("public", "events")).toDF("s", "t")
     assert(df.select(graft.model.Envelope.topicName("graft", col("s"), col("t")))
