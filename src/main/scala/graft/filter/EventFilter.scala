@@ -302,9 +302,22 @@ object EventFilter {
     def call(name: String): String = {
       expectOp("(")
       val args = scala.collection.mutable.ListBuffer.empty[String]
+      // raw value of an argument that was exactly one string literal —
+      // needed where the Spark twin takes a regex but expr-lang a
+      // literal (split), mirroring the matches RE2 pre-check
+      val litArgs = scala.collection.mutable.ListBuffer.empty[Option[String]]
+      def parseArg(): Unit = {
+        val before = toks
+        val sql = ternary()
+        args += sql
+        litArgs += (before match {
+          case TStr(v) :: rest if rest eq toks => Some(v)
+          case _                               => None
+        })
+      }
       if (!peekOp(")")) {
-        args += ternary()
-        while (eatOp(",")) args += ternary()
+        parseArg()
+        while (eatOp(",")) parseArg()
       }
       expectOp(")")
       def arity(n: Int): Unit = if (args.length != n)
@@ -328,6 +341,13 @@ object EventFilter {
         case "hasPrefix" => arity(2); s"startswith(${args(0)}, ${args(1)})"
         case "hasSuffix" => arity(2); s"endswith(${args(0)}, ${args(1)})"
         case "replace"   => arity(3); s"replace(${args(0)}, ${args(1)}, ${args(2)})"
+        // expr-lang split is LITERAL; Spark's split takes a Java regex —
+        // only literal separators translate (regex-quoted), else fail
+        case "split" =>
+          arity(2)
+          val sep = litArgs(1).getOrElse(
+            fail("split separator must be a string literal in the columnar subset"))
+          s"split(${args(0)}, ${sqlString(java.util.regex.Pattern.quote(sep))})"
         case "repeat"    => arity(2); s"repeat(${args(0)}, ${args(1)})"
         // expr-lang indexOf: 0-based, -1 when absent; instr is 1-based, 0
         case "indexOf" => arity(2); s"(instr(${args(0)}, ${args(1)}) - 1)"

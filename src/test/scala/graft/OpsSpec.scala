@@ -84,6 +84,12 @@ class OpsSpec extends SparkSpec {
     // nested calls inside other productions
     assert(EventFilter.translate("""upper(op ?? "x") in ["A", "B"]""")
       === "upper(coalesce(`op`, 'x')) IN ('A', 'B')")
+    // split: literal separator regex-quoted for Spark's regex split
+    assert(EventFilter.translate("""len(split(s, ".")) == 3""")
+      === """graft_len(split(`s`, '\\Q.\\E')) = 3""")
+    intercept[IllegalArgumentException] {
+      EventFilter.translate("""split(s, sep) in ["a"]""") // non-literal separator
+    }
     // unknown functions stay fail-loud
     intercept[IllegalArgumentException] { EventFilter.translate("""now() > 1""") }
     intercept[IllegalArgumentException] { EventFilter.translate("""len(a, b) > 1""") }
@@ -122,6 +128,13 @@ class OpsSpec extends SparkSpec {
         Seq(1L).toDF("n").withColumn("table_name", lit("t"))).collect()
     }
     assert(err.getMessage.contains("len requires"))
+    // word-count filter: split + polymorphic len compose; the dot
+    // separator splits literally, not as regex-any-char
+    val docs2 = Seq("a b c", "a b", "a.b.c").toDF("s").withColumn("table_name", lit("t"))
+    assert(EventFilter("""len(split(s, " ")) == 3""").apply(docs2)
+      .select("s").collect().map(_.getString(0)).toSeq === Seq("a b c"))
+    assert(EventFilter("""len(split(s, ".")) == 3""").apply(docs2)
+      .select("s").collect().map(_.getString(0)).toSeq === Seq("a.b.c"))
   }
 
   test("event filter evaluates ternary/string ops on data") {
