@@ -23,9 +23,12 @@ import org.apache.spark.sql.functions.expr
   * boolean/nil literals, dotted field paths, `in [..]` / `not in [..]`,
   * `matches`/`contains`/`startsWith`/`endsWith`, ternary `?:`, nil-
   * coalescing `??`, numeric `+ - * / %`, array literals, and the stdlib
-  * builtins with exact Catalyst twins: `len upper lower trim trimPrefix
-  * trimSuffix hasPrefix hasSuffix replace repeat indexOf abs ceil floor
-  * round int float string min max`. Literal `matches` patterns are
+  * builtins with exact Catalyst twins: `len` (polymorphic
+  * string/binary/array/map via the custom PolyLen expression), `upper
+  * lower trim trimPrefix trimSuffix hasPrefix hasSuffix replace split
+  * repeat indexOf abs ceil floor round int float string min max`
+  * (`split` requires a literal separator — regex-quoted for Spark's
+  * regex-based split). Literal `matches` patterns are
   * checked against a non-RE2 reject-list (backreferences, lookarounds,
   * atomic groups, possessive quantifiers) since expr-lang compiles Go
   * RE2 while `rlike` is java.util.regex. Envelope field paths are

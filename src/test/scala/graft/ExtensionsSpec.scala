@@ -16,4 +16,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getDouble(1) === 25.0)
     assert(r.getLong(2) === 0xaf63dc4c8601ec8cL)
   }
+
+  test("graft_len dispatches on type; codegen and interpreted paths agree") {
+    GraftExtensions.registerTo(spark)
+    val r = spark.sql(
+      """SELECT graft_len('héllo') AS s,             -- numChars, not bytes
+        |       graft_len(CAST('ab' AS BINARY)) AS b,
+        |       graft_len(array(1, 2, 3)) AS a,
+        |       graft_len(map('k', 1)) AS m,
+        |       -- inside a higher-order lambda the expression runs
+        |       -- INTERPRETED (nullSafeEval), not codegen
+        |       transform(array('x', 'yy'), v -> graft_len(v)) AS hof
+        |""".stripMargin).head
+    assert(r.getInt(0) === 5, "unicode chars, not utf-8 bytes")
+    assert(r.getInt(1) === 2)
+    assert(r.getInt(2) === 3)
+    assert(r.getInt(3) === 1)
+    assert(r.getSeq[Int](4) === Seq(1, 2))
+    // analysis-time rejection of unsupported types
+    val e = intercept[Exception] { spark.sql("SELECT graft_len(42)").collect() }
+    assert(e.getMessage.contains("len requires"))
+  }
 }
