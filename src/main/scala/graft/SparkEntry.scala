@@ -1003,6 +1003,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    "ann_ivf_kmeans_topk" -> ((s, dir) => {
+      // IVF with a FITTED coarse quantizer: 2 distributed Lloyd rounds
+      // (deterministic init; assignment = the shuffle-free broadcast
+      // argmax) instead of the seed centroids
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, 5, nLists = 16,
+          nProbe = 4, kmeansIters = 2)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     "ann_lsh_cosine" -> ((s, dir) => {
       Similarity.lshCosinePairs(Tables.embeddings(s, dir), dim = 64, threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))

@@ -87,6 +87,46 @@ object Similarity {
     centroids.coalesce(1).agg(collect_list(struct(
       col("centroid_id"), col("centroid"), l2Norm("centroid").as("cnorm"))).as("cents"))
 
+  /** A few distributed Lloyd iterations for the IVF coarse quantizer:
+    * deterministic init (lowest-id k vectors), assignment via the same
+    * shuffle-free broadcast-array argmax as [[ivfAssign]], update = one
+    * element-wise mean aggregation (posexplode → per-(centroid,dim) avg
+    * → re-assemble; two shuffles per round over k×dim tiny rows after
+    * partial aggs). Clusters that go empty keep their previous centroid
+    * (the standard k-means fallback). At 100 TB this runs as an offline
+    * job over a sample; the operator shape is the same.
+    */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int = 3): DataFrame = {
+    var centroids = corpus.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val lists = ivfAssignWith(corpus, centroids)
+      val means = lists
+        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("centroid_id"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m").cast("float")).as("mean"))
+      centroids = centroids.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("mean"), col("centroid")).as("centroid"))
+        .localCheckpoint(true)
+    }
+    centroids
+  }
+
+  /** Shuffle-free nearest-centroid assignment against a given quantizer
+    * (the argmax core of [[ivfAssign]]). */
+  def ivfAssignWith(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(centroidArray(centroids)))
+      .withColumn("best", array_max(transform(col("cents"), c =>
+        struct(
+          (graft.functions.VecFunctions.vec_dot(col("embedding"), c.getField("centroid")) /
+            (l2Norm("embedding") * c.getField("cnorm"))).as("sim"),
+          (-c.getField("centroid_id")).as("negid")))))
+      .select(col("vec_id"), col("embedding"), (-col("best.negid")).as("centroid_id"))
+
   def ivfAssign(corpus: DataFrame, k: Int): (DataFrame, DataFrame) = {
     // deterministic coarse centroids: lowest-id k vectors. orderBy+limit
     // compiles to TakeOrderedAndProject (per-partition top-k heap merged
@@ -100,20 +140,18 @@ object Similarity {
     // window just to take rank 1). `array_max` over struct{sim, -id}
     // picks highest sim, then lowest centroid_id on ties — identical to
     // the former ORDER BY sim DESC, centroid_id.
-    val assigned = corpus.crossJoin(broadcast(centroidArray(centroids)))
-      .withColumn("best", array_max(transform(col("cents"), c =>
-        struct(
-          (graft.functions.VecFunctions.vec_dot(col("embedding"), c.getField("centroid")) /
-            (l2Norm("embedding") * c.getField("cnorm"))).as("sim"),
-          (-c.getField("centroid_id")).as("negid")))))
-    val lists = assigned
-      .select(col("vec_id"), col("embedding"), (-col("best.negid")).as("centroid_id"))
-    (centroids, lists)
+    (centroids, ivfAssignWith(corpus, centroids))
   }
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nLists: Int = 16, nProbe: Int = 4): DataFrame = {
-    val (centroids, lists) = ivfAssign(corpus, nLists)
+              nLists: Int = 16, nProbe: Int = 4,
+              kmeansIters: Int = 0): DataFrame = {
+    val (centroids, lists) =
+      if (kmeansIters <= 0) ivfAssign(corpus, nLists)
+      else {
+        val fitted = kmeansCentroids(corpus, nLists, kmeansIters)
+        (fitted, ivfAssignWith(corpus, fitted))
+      }
     // probe assignment: nProbe nearest centroids per query — same
     // broadcast-array shape as the assign step: sort struct{-sim, id}
     // ascending (= sim desc, id asc), take nProbe, explode. No window,

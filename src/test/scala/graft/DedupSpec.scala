@@ -81,6 +81,24 @@ class DedupSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1))).toSet))
   }
 
+  test("k-means quantizer: deterministic Lloyd rounds, empty clusters keep centroids, recall holds") {
+    val emb = Tables.embeddings(spark, sf001)
+    val c1 = Similarity.kmeansCentroids(emb, 16, iters = 2).orderBy("centroid_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val c2 = Similarity.kmeansCentroids(emb, 16, iters = 2).orderBy("centroid_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    assert(c1.length === 16)
+    assert(c1.toSeq === c2.toSeq, "deterministic across runs (no RNG at plan time)")
+    // fitted quantizer must not lose recall vs the seed quantizer
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.cosineTopK(queries, emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fitted = Similarity.ivfTopK(queries, emb, 5, nLists = 16, nProbe = 4, kmeansIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(fitted.contains).toDouble / brute.size
+    assert(recall >= 0.4, s"k-means IVF recall $recall")
+  }
+
   test("IVF assign: broadcast-array argmax equals windowed argmax, zero shuffle Exchange") {
     val emb = Tables.embeddings(spark, sf001)
     val (centroids, lists) = Similarity.ivfAssign(emb, 16)
