@@ -797,6 +797,26 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "pipeline_clean_corpus" -> ((s, dir) => {
+      // end-to-end corpus cleaning in ONE Catalyst plan: quality gate →
+      // language filter → exact-dedup keep-lowest — the composition a
+      // training-data pipeline actually runs; every stage is one of the
+      // oracle-proven operators above. One shuffle total (the dedup
+      // groupBy); the quality/langid stages are narrow codegen columns.
+      val docs = Tables.documents(s, dir)
+      val scored = docs.select(col("doc_id"), col("text"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.langId("text").as("lang"))
+      val kept = scored.filter(col("n_tokens") >= 5 &&
+        col("lang").isin("en", "de", "es", "fr"))
+      // identical text ⇒ identical lang/n_tokens, so min() is exact
+      kept.groupBy(md5(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("doc_id"), min(col("lang")).as("lang"),
+          min(col("n_tokens")).as("n_tokens"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ============ training-data pipeline: text analysis ============
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityFeatures(Tables.documents(s, dir)).orderBy(col("doc_id"))),
@@ -1892,6 +1912,29 @@ object SparkEntry {
         |  len(list_filter(string_split(text, ' '), x -> x IN ('the','a'))) AS n_stop,
         |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pipeline_clean_corpus" ->
+      """WITH votes AS (
+        |  SELECT doc_id, text,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |    len(regexp_extract_all(text, '\b(der|die|das|und)\b')) AS de,
+        |    len(regexp_extract_all(text, '\b(the|a|of|and)\b')) AS en,
+        |    len(regexp_extract_all(text, '\b(el|la|los|y)\b')) AS es,
+        |    len(regexp_extract_all(text, '\b(le|la|les|et)\b')) AS fr,
+        |    len(regexp_extract_all(text, '\b(的|是|了|在)\b')) AS zh
+        |  FROM documents
+        |), scored AS (
+        |  SELECT doc_id, text, n_tokens,
+        |    CASE WHEN greatest(de, en, es, fr, zh) = 0 THEN 'und'
+        |         ELSE ['de','en','es','fr','zh'][list_position([de, en, es, fr, zh], greatest(de, en, es, fr, zh))]
+        |    END AS lang
+        |  FROM votes
+        |), kept AS (
+        |  SELECT * FROM scored WHERE n_tokens >= 5 AND lang IN ('en','de','es','fr')
+        |)
+        |SELECT min(doc_id) AS doc_id, min(lang) AS lang, min(n_tokens) AS n_tokens
+        |FROM kept GROUP BY md5(text)
+        |ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
