@@ -827,6 +827,74 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionMetrics(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+
+    "text_pii_redact" -> ((s, dir) => {
+      // The synthetic corpus carries no PII, so seed deterministic
+      // PII-shaped content from doc_id (both engines derive the same
+      // input) — the redaction pass then has real work to do.
+      val seeded = Tables.documents(s, dir).select(col("doc_id"),
+        concat_ws(" ",
+          substring(col("text"), 1, 40),
+          concat(lit("contact user"), col("doc_id").cast("string"), lit("@example.com")),
+          concat(lit("host 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")),
+          concat(lit("tel 21-555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            lit("-1234"))).as("raw"))
+      val counted = TextAnalysis.piiCounts(col("raw"))
+        .foldLeft(seeded.withColumn("redacted", TextAnalysis.piiRedact(col("raw")))) {
+          case (d, (name, c)) => d.withColumn(name, c)
+        }
+      counted.select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
+        col("redacted")).orderBy(col("doc_id"))
+    }),
+
+    "text_contamination" -> ((s, dir) => {
+      // Benchmark stand-in: two sources play the eval suite; the rest is
+      // the corpus. 5-gram collision counts per corpus doc.
+      val docs = Tables.documents(s, dir)
+      val bench  = docs.filter(col("source").isin("src0", "src1"))
+      val corpus = docs.filter(!col("source").isin("src0", "src1"))
+      TextAnalysis.contamination(corpus, bench, n = 5).orderBy(col("doc_id"))
+    }),
+
+    "emb_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, dir)).orderBy(col("vec_id"))),
+
+    "sample_stratified" -> ((s, dir) => {
+      // Data mixing: per-source sampling rates applied via a
+      // content-stable FNV-64a keep-hash — deterministic across retries
+      // and partitionings (no RNG, no seed plumbing), the property a
+      // reproducible 100 TB training run needs. Narrow projection + one
+      // groupBy(source); the hash kernel is codegen'd.
+      val docs = Tables.documents(s, dir)
+      val keyed = docs.select(col("source"),
+        graft.functions.FnvHash64.snapshotPartition(
+          concat(lit("doc_"), col("doc_id").cast("string")), 100).as("bucket"),
+        when(length(col("source")) === 4, lit(70)).otherwise(lit(30)).as("rate"))
+      keyed.groupBy(col("source")).agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("bucket") < col("rate"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    }),
+
+    "pack_shards" -> ((s, dir) => {
+      // Sequence packing: docs accumulate in doc_id order into fixed
+      // token-budget training shards. Partitioned by source so the
+      // window never globally sorts the corpus — each source packs in
+      // parallel (the 100 TB-safe form of greedy packing).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .withColumn("shard", expr("start_tok div 512"))
+        .groupBy(col("source"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"))
+        .orderBy(col("source"), col("shard"))
+    }),
+
     // ============ training-data pipeline: dedup ============
     "dedup_exact" -> ((s, dir) => {
       Dedup.exact(Tables.documents(s, dir)).orderBy(col("text_hash"))
@@ -984,6 +1052,20 @@ object SparkEntry {
         .apply(Cdc.walEvents(s, dir))
         .select(col("lsn"), col("op"), col("user_id"))
         .orderBy(col("lsn"))
+    }),
+
+    "cdc_filter_closures" -> ((s, dir) => {
+      // expr-lang array closures (# placeholder, brace shorthand, nested
+      // map-inside-count) compiled to Catalyst higher-order functions —
+      // the predicate stays one narrow codegen projection
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("table_name", lit("public.documents"))
+      graft.filter.EventFilter(
+        """any(value.toks, {hasPrefix(#, "b")}) && count(map(value.toks, {len(#)}), {# >= 7}) > 3 && none(value.toks, {# == "zzz"}) && !all(value.toks, {len(#) < 7})""")
+        .apply(docs)
+        .select(col("doc_id"), size(col("toks")).as("n_toks"))
+        .orderBy(col("doc_id"))
     }),
 
     "events_sessionize" -> ((s, dir) => {
@@ -1526,6 +1608,15 @@ object SparkEntry {
          |  AND ends_with(coalesce(props, ''), '9}')
          |ORDER BY lsn""".stripMargin,
 
+    "cdc_filter_closures" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |SELECT doc_id, len(t) AS n_toks FROM tok
+        |WHERE len(list_filter(t, x -> starts_with(x, 'b'))) > 0
+        |  AND len(list_filter(list_transform(t, x -> length(x)), y -> y >= 7)) > 3
+        |  AND len(list_filter(t, x -> x = 'zzz')) = 0
+        |  AND NOT (len(list_filter(t, x -> length(x) < 7)) = len(t))
+        |ORDER BY doc_id""".stripMargin,
+
     "events_sessionize" ->
       s"""SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no, COUNT(*) AS n_events,
          |  MIN(ts_ms) AS sess_start_ms, MAX(ts_ms) AS sess_end_ms
@@ -1941,6 +2032,93 @@ object SparkEntry {
         |  list_transform(string_split(text, ' '), t -> CAST(length(t) * 31 + ascii(substr(t, 1, 1)) AS BIGINT))),
         |  (acc, v) -> (acc * 131 + v) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |word AS (SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct_tokens FROM tok),
+        |g2 AS (SELECT doc_id, unnest(list_transform(list_zip(t[1:len(t)-1], t[2:len(t)]),
+        |         x -> x[1] || ' ' || x[2])) AS gram FROM tok WHERE len(t) >= 2),
+        |c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |t2 AS (SELECT doc_id, max(c) AS top2_count, CAST(sum(c) AS BIGINT) AS n_2grams FROM c2 GROUP BY 1),
+        |g3 AS (SELECT doc_id, unnest(list_transform(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
+        |         x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS gram FROM tok WHERE len(t) >= 3),
+        |c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2),
+        |t3 AS (SELECT doc_id, max(c) AS top3_count, CAST(sum(c) AS BIGINT) AS n_3grams FROM c3 GROUP BY 1)
+        |SELECT w.doc_id, n_tokens, n_distinct_tokens,
+        |       coalesce(top2_count, 0) AS top2_count, coalesce(n_2grams, 0) AS n_2grams,
+        |       coalesce(top3_count, 0) AS top3_count, coalesce(n_3grams, 0) AS n_3grams
+        |FROM word w LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_pii_redact" ->
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ||
+        |    ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ||
+        |    ' tel 21-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-1234' AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(raw, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ip,
+        |  CAST(len(regexp_extract_all(raw, '\b[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS INT) AS n_phone,
+        |  regexp_replace(regexp_replace(regexp_replace(raw,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |      '\b[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM seeded ORDER BY doc_id""".stripMargin,
+
+    "text_contamination" ->
+      """WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, source, unnest(list_transform(
+        |        list_zip(t[1:len(t)-4], t[2:len(t)-3], t[3:len(t)-2], t[4:len(t)-1], t[5:len(t)]),
+        |        x -> x[1] || ' ' || x[2] || ' ' || x[3] || ' ' || x[4] || ' ' || x[5])) AS gram
+        |     FROM tok WHERE len(t) >= 5),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE source IN ('src0', 'src1')),
+        |corpus AS (SELECT DISTINCT doc_id, gram FROM g WHERE source NOT IN ('src0', 'src1')),
+        |perdoc AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY 1),
+        |hits AS (SELECT doc_id, count(*) AS n_contaminated
+        |         FROM corpus JOIN bench USING (gram) GROUP BY 1)
+        |SELECT p.doc_id, n_grams, coalesce(n_contaminated, 0) AS n_contaminated
+        |FROM perdoc p LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "emb_quantize" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS absmax
+        |FROM embeddings)
+        |SELECT vec_id, absmax / 127.0 AS scale,
+        |  CASE WHEN absmax = 0
+        |    THEN array_to_string(list_transform(embedding, v -> 0), ',')
+        |    ELSE array_to_string(list_transform(embedding,
+        |           v -> CAST(floor(CAST(v AS DOUBLE) * 127.0 / absmax + 0.5) AS INT)), ',')
+        |  END AS q_csv
+        |FROM m ORDER BY vec_id""".stripMargin,
+
+    "sample_stratified" ->
+      """WITH keyed AS (
+        |  SELECT source,
+        |    CAST(list_reduce(
+        |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |        list_transform(range(1, length(k) + 1),
+        |          i -> ascii(substr(k, CAST(i AS INTEGER), 1)))),
+        |      (acc, b) -> (xor(acc, CAST(b AS HUGEINT)) * 1099511628211) % 18446744073709551616
+        |    ) % 100 AS BIGINT) AS bucket,
+        |    CASE WHEN length(source) = 4 THEN 70 ELSE 30 END AS rate
+        |  FROM (SELECT source, 'doc_' || CAST(doc_id AS VARCHAR) AS k FROM documents) t)
+        |SELECT source, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM keyed GROUP BY source ORDER BY source""".stripMargin,
+
+    "pack_shards" ->
+      """WITH t AS (SELECT source, doc_id,
+        |             len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_tok
+        |      FROM t)
+        |SELECT source, CAST(start_tok // 512 AS BIGINT) AS shard,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY source, shard""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

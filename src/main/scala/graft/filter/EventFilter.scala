@@ -28,7 +28,11 @@ import org.apache.spark.sql.functions.expr
   * lower trim trimPrefix trimSuffix hasPrefix hasSuffix replace split
   * repeat indexOf abs ceil floor round int float string min max`
   * (`split` requires a literal separator — regex-quoted for Spark's
-  * regex-based split). Literal `matches` patterns are
+  * regex-based split), plus the array-closure builtins
+  * `filter map all any none one count` with `#`/`#.field` placeholders
+  * and the `{...}` brace shorthand, translated to Catalyst higher-order
+  * functions (`filter`/`transform`/`forall`/`exists`/`size∘filter`).
+  * Literal `matches` patterns are
   * checked against a non-RE2 reject-list (backreferences, lookarounds,
   * atomic groups, possessive quantifiers) since expr-lang compiles Go
   * RE2 while `rlike` is java.util.regex. Envelope field paths are
@@ -127,6 +131,13 @@ object EventFilter {
         while (i < s.length && (s.charAt(i).isLetterOrDigit ||
                s.charAt(i) == '_' || s.charAt(i) == '.')) i += 1
         out += TIdent(s.substring(start, i))
+      } else if (c == '#') {
+        // closure placeholder, optionally with member access: # or #.a.b
+        val start = i
+        i += 1
+        while (i < s.length && (s.charAt(i).isLetterOrDigit ||
+               s.charAt(i) == '_' || s.charAt(i) == '.')) i += 1
+        out += TIdent(s.substring(start, i))
       } else {
         val two = if (i + 1 < s.length) s.substring(i, i + 2) else ""
         two match {
@@ -135,7 +146,7 @@ object EventFilter {
           case _ =>
             c match {
               case '<' | '>' | '!' | '(' | ')' | '[' | ']' | ',' | '?' | ':' |
-                   '+' | '-' | '*' | '/' | '%' =>
+                   '+' | '-' | '*' | '/' | '%' | '{' | '}' | '.' =>
                 out += TOp(c.toString); i += 1
               case _ => fail(s"unexpected character '$c'")
             }
@@ -150,6 +161,17 @@ object EventFilter {
   private final class Parser(cond: String, var toks: List[Tok]) {
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"$msg in filter condition: $cond")
+
+    // stack of active closure lambda variables; `#` binds the innermost
+    private var lambdaVars: List[String] = Nil
+    private var lambdaSeq = 0
+
+    private def placeholderPath(p: String): String = {
+      val v = lambdaVars.headOption.getOrElse(
+        fail(s"placeholder '$p' outside a closure"))
+      if (p == "#") v
+      else (v +: p.stripPrefix("#.").split('.').toSeq.map(s => s"`$s`")).mkString(".")
+    }
 
     def peek: Option[Tok] = toks.headOption
     def next(): Tok = toks match {
@@ -295,8 +317,43 @@ object EventFilter {
       case TIdent("false") => "false"
       case TIdent("nil")   => "NULL"
       case TIdent(name) if peekOp("(") => call(name)
+      case TIdent(p) if p.startsWith("#") => placeholderPath(p)
+      case TOp(".") =>
+        // expr-lang brace-closure member shorthand: {.field op ...}
+        next() match {
+          case TIdent(path) => placeholderPath("#." + path)
+          case other        => fail(s"expected field name after '.', got $other")
+        }
       case TIdent(path)    => mapPath(path)
       case other => fail(s"unexpected token $other")
+    }
+
+    /** expr-lang array-closure builtins → Catalyst higher-order
+      * functions. The closure body may use `#` (the item), `#.field`, or
+      * the brace shorthand `{.field ...}`; nested closures bind `#` to
+      * the innermost, matching expr-lang. Lambdas compile into the same
+      * codegen'd plan as hand-written `exists`/`forall`/`filter` columns
+      * — the filter stays a single narrow projection at any scale. */
+    def closureCall(name: String): String = {
+      val arr = ternary()
+      expectOp(",")
+      val v = s"x${lambdaSeq}_"
+      lambdaSeq += 1
+      lambdaVars = v :: lambdaVars
+      val braced = eatOp("{")
+      val body = ternary()
+      if (braced) expectOp("}")
+      lambdaVars = lambdaVars.tail
+      expectOp(")")
+      name match {
+        case "filter" => s"filter($arr, $v -> $body)"
+        case "map"    => s"transform($arr, $v -> $body)"
+        case "all"    => s"forall($arr, $v -> $body)"
+        case "any"    => s"exists($arr, $v -> $body)"
+        case "none"   => s"(NOT exists($arr, $v -> $body))"
+        case "one"    => s"(size(filter($arr, $v -> $body)) = 1)"
+        case "count"  => s"size(filter($arr, $v -> $body))"
+      }
     }
 
     /** expr-lang built-in functions (the stdlib subset with exact Spark
@@ -304,6 +361,8 @@ object EventFilter {
       * anything outside this list still fails loudly). */
     def call(name: String): String = {
       expectOp("(")
+      if (Set("filter", "map", "all", "any", "none", "one", "count")(name))
+        return closureCall(name)
       val args = scala.collection.mutable.ListBuffer.empty[String]
       // raw value of an argument that was exactly one string literal —
       // needed where the Spark twin takes a regex but expr-lang a

@@ -195,4 +195,34 @@ object Similarity {
         (dot("a.embedding", "b.embedding") / (col("a.norm") * col("b.norm"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * 4× storage/bandwidth compression a vector store applies before
+    * indexing 100 TB of embeddings. Per-vector absmax scaling:
+    * `q[i] = floor(v[i] * 127 / absmax + 0.5)` computed entirely in
+    * double precision (float→double casts are exact, IEEE division and
+    * floor are engine-independent), so the result is bit-reproducible on
+    * any engine. Zero vectors quantize to zeros with scale 0. Narrow
+    * per-row transform — shuffle-free, codegen'd.
+    *
+    * Output: `scale` (double, absmax/127 — dequantize multiplier) and
+    * `q_csv` (the int8 codes joined with ',' for a representation-stable
+    * cross-engine hash).
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val absmax = expr(
+      "aggregate(embedding, CAST(0 AS DOUBLE), (m, v) -> greatest(m, abs(CAST(v AS DOUBLE))))")
+    emb
+      .select(col("vec_id"), col("embedding"), absmax.as("absmax"))
+      .select(
+        col("vec_id"),
+        (col("absmax") / 127.0d).as("scale"),
+        when(col("absmax") === 0d,
+          array_join(transform(col("embedding"), _ => lit("0")), ","))
+          .otherwise(array_join(
+            transform(col("embedding"), v =>
+              floor(v.cast("double") * 127.0d / col("absmax") + 0.5d)
+                .cast("int").cast("string")),
+            ",")).as("q_csv"))
+  }
 }

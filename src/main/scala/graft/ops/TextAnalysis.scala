@@ -63,6 +63,99 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et"),
     "zh" -> Seq("的", "是", "了", "在"))
 
+  /** Word n-grams of a token array as an array column: zip n shifted
+    * slices. Empty (not error) when the doc has fewer than n tokens.
+    */
+  def ngrams(tokens: Column, n: Int): Column = {
+    require(n >= 2 && n <= 5, s"ngrams: n=$n out of supported range")
+    val m = greatest(size(tokens) - (n - 1), lit(0))
+    val parts = (1 to n).map(i => slice(tokens, lit(i), m))
+    parts.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+  }
+
+  /** Gopher-style repetition metrics (Rae et al. 2021, appendix A1.1 —
+    * public heuristic): duplicate-token fraction and most-frequent-n-gram
+    * share, the standard signals for filtering degenerate/repetitive
+    * documents from a training corpus. Emitted as integer
+    * numerator/denominator pairs (ratio-free) for oracle parity.
+    *
+    * Scale shape: the per-doc token stats are narrow codegen columns; the
+    * top-gram stats shuffle on (doc_id, gram) then doc_id — bounded keys,
+    * partial aggregation map-side, no skew risk (grams are near-unique).
+    */
+  def repetitionMetrics(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = df.select(col("doc_id"), split(col(textCol), " ").as("t"))
+    val words = toks.select(
+      col("doc_id"),
+      size(col("t")).as("n_tokens"),
+      size(array_distinct(col("t"))).as("n_distinct_tokens"))
+    def topGram(n: Int): DataFrame =
+      toks.select(col("doc_id"), explode(ngrams(col("t"), n)).as("gram"))
+        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as(s"top${n}_count"), sum(col("c")).as(s"n_${n}grams"))
+    words
+      .join(topGram(2), Seq("doc_id"), "left")
+      .join(topGram(3), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        coalesce(col("top2_count"), lit(0L)).as("top2_count"),
+        coalesce(col("n_2grams"), lit(0L)).as("n_2grams"),
+        coalesce(col("top3_count"), lit(0L)).as("top3_count"),
+        coalesce(col("n_3grams"), lit(0L)).as("n_3grams"))
+  }
+
+  /** PII patterns in the Java∩RE2 regex subset (no backreferences or
+    * lookaround) so Spark and any RE2-based engine agree match-for-match.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\b[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** Redact emails, IPv4 addresses and phone-shaped numbers — the
+    * standard pre-training scrub pass. Narrow per-row regex transforms,
+    * fully codegen, shuffle-free; order is fixed (email → ip → phone) so
+    * the output is deterministic.
+    */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-pattern hit counts, for corpus-level PII rate reporting. */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_email" -> regexp_count(text, lit(EmailRe)),
+    "n_ip"    -> regexp_count(text, lit(Ipv4Re)),
+    "n_phone" -> regexp_count(text, lit(PhoneRe)))
+
+  /** Benchmark-contamination check: per corpus document, how many of its
+    * distinct word n-grams appear anywhere in the benchmark set — the
+    * decontamination primitive every training pipeline runs before
+    * training (n-gram collision against eval suites).
+    *
+    * Scale shape: the benchmark side (eval suites) is tiny relative to a
+    * 100 TB corpus, so its distinct-gram set is broadcast — the corpus
+    * side never shuffles for the join; the only exchanges are the per-doc
+    * distinct/count aggregations keyed on doc_id.
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, n: Int,
+                    textCol: String = "text"): DataFrame = {
+    val corpusGrams = corpus
+      .select(col("doc_id"), explode(ngrams(split(col(textCol), " "), n)).as("gram"))
+      .distinct()
+    val benchGrams = benchmark
+      .select(explode(ngrams(split(col(textCol), " "), n)).as("gram"))
+      .distinct()
+    val perDoc = corpusGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val hits = corpusGrams
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    perDoc.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+  }
+
   def langId(textCol: String): Column = {
     // regexp_count over a word-boundary alternation: native codegen'd
     // regex, one pass per language — ~5× faster than interpreted

@@ -148,6 +148,102 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("event filter closures translate to Catalyst higher-order functions") {
+    assert(EventFilter.translate("""any(value.toks, {hasPrefix(#, "b")})""")
+      === """exists(`toks`, x0_ -> startswith(x0_, 'b'))""")
+    assert(EventFilter.translate("""all(xs, # > 3)""")
+      === """forall(`xs`, x0_ -> x0_ > 3)""")
+    assert(EventFilter.translate("""none(xs, {# == "z"})""")
+      === """(NOT exists(`xs`, x0_ -> x0_ = 'z'))""")
+    assert(EventFilter.translate("""one(xs, {.size > 2})""")
+      === """(size(filter(`xs`, x0_ -> x0_.`size` > 2)) = 1)""")
+    assert(EventFilter.translate("""count(map(xs, {len(#)}), {# >= 7}) > 5""")
+      === """size(filter(transform(`xs`, x0_ -> graft_len(x0_)), x1_ -> x1_ >= 7)) > 5""")
+    // placeholder outside a closure fails loudly
+    intercept[IllegalArgumentException](EventFilter.translate("""# > 3"""))
+  }
+
+  test("event filter closures evaluate on array data") {
+    val docs = Seq(
+      (1L, Seq("alpha", "bravo", "charlie")),
+      (2L, Seq("x", "y")),
+      (3L, Seq("bat", "zzz"))).toDF("doc_id", "toks")
+      .withColumn("table_name", lit("t"))
+    val keep = EventFilter("""any(toks, {hasPrefix(#, "b")}) && none(toks, {# == "zzz"})""")
+      .apply(docs).select("doc_id").as[Long].collect().sorted
+    assert(keep.toSeq === Seq(1L))
+    val counted = EventFilter("""count(map(toks, {len(#)}), {# >= 5}) == 3""")
+      .apply(docs).select("doc_id").as[Long].collect()
+    assert(counted.toSeq === Seq(1L))
+  }
+
+  test("repetition metrics match hand computation (Gopher filters)") {
+    val docs = Seq(
+      (1L, "a b a b a"),   // 5 tokens, 2 distinct; 2-grams: "a b"×2,"b a"×2; 3-grams: "a b a"×2,"b a b"×1
+      (2L, "q"),            // single token: no 2/3-grams
+      (3L, "x y z")).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(docs).orderBy("doc_id").collect()
+    val r1 = m(0)
+    assert((r1.getInt(1), r1.getInt(2)) === ((5, 2)))
+    assert((r1.getLong(3), r1.getLong(4)) === ((2L, 4L)))   // top2, n2
+    assert((r1.getLong(5), r1.getLong(6)) === ((2L, 3L)))   // top3, n3
+    val r2 = m(1)
+    assert((r2.getLong(3), r2.getLong(4), r2.getLong(5), r2.getLong(6)) === ((0L, 0L, 0L, 0L)))
+    val r3 = m(2)
+    assert((r3.getLong(3), r3.getLong(4)) === ((1L, 2L)))   // all 2-grams unique
+  }
+
+  test("PII redaction masks emails, IPs and phones; counts match") {
+    val df = Seq(
+      "mail bob.smith+x@corp.example.org now",
+      "from 192.168.0.1 to 10.0.0.255 end",
+      "call 21-555-042-1234 thanks",
+      "clean text only").toDF("text")
+    val out = df.select(TextAnalysis.piiRedact(col("text")).as("r")).as[String].collect()
+    assert(out(0) === "mail <EMAIL> now")
+    assert(out(1) === "from <IP> to <IP> end")
+    assert(out(2) === "call <PHONE> thanks")
+    assert(out(3) === "clean text only")
+    val counts = TextAnalysis.piiCounts(col("text"))
+      .foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+      .agg(sum("n_email"), sum("n_ip"), sum("n_phone")).head
+    assert((counts.getLong(0), counts.getLong(1), counts.getLong(2)) === ((1L, 2L, 1L)))
+  }
+
+  test("contamination counts benchmark n-gram collisions per doc") {
+    val bench  = Seq((100L, "one two three four five six")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "zero one two three four five end"), // shares "one two three four five"
+      (2L, "totally different words here indeed ok")).toDF("doc_id", "text")
+    val out = TextAnalysis.contamination(corpus, bench, n = 5)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) === 3L && out(0).getLong(2) === 1L)
+    assert(out(1).getLong(1) === 2L && out(1).getLong(2) === 0L)
+  }
+
+  test("int8 quantization round-trips within half a scale step") {
+    val emb = Tables.embeddings(spark, sf001).limit(50)
+    val q = graft.ops.Similarity.quantizeInt8(emb)
+      .join(emb, "vec_id")
+      .select(col("vec_id"), col("scale"), col("q_csv"), col("embedding"))
+      .collect()
+    q.foreach { r =>
+      val scale = r.getDouble(1)
+      val codes = r.getString(2).split(',').map(_.toInt)
+      val orig  = r.getSeq[Float](3)
+      assert(codes.length === orig.length)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      codes.zip(orig).foreach { case (c, v) =>
+        assert(math.abs(c * scale - v) <= scale / 2 + 1e-12,
+          s"vec ${r.getLong(0)}: code $c scale $scale orig $v")
+      }
+    }
+    // zero vector edge: scale 0, all-zero codes
+    val z = graft.ops.Similarity.quantizeInt8(
+      Seq((99L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding")).head
+    assert(z.getDouble(1) === 0d && z.getString(2) === "0,0,0")
+  }
+
   test("approx percentile tracks exact within 1% (quantile scale path)") {
     val exact = Tables.orders(spark, sf001)
       .agg(expr("percentile(o_totalprice, 0.5)"), expr("percentile(o_totalprice, 0.9)"))
