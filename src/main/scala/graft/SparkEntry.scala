@@ -861,6 +861,10 @@ object SparkEntry {
     "emb_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables.embeddings(s, dir)).orderBy(col("vec_id"))),
 
+    "chunk_documents" -> ((s, dir) =>
+      TextAnalysis.chunk(Tables.documents(s, dir), width = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_no"))),
+
     "sample_stratified" -> ((s, dir) => {
       // Data mixing: per-source sampling rates applied via a
       // content-stable FNV-64a keep-hash — deterministic across retries
@@ -2092,6 +2096,16 @@ object SparkEntry {
         |           v -> CAST(floor(CAST(v AS DOUBLE) * 127.0 / absmax + 0.5) AS INT)), ',')
         |  END AS q_csv
         |FROM m ORDER BY vec_id""".stripMargin,
+
+    "chunk_documents" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |st AS (SELECT doc_id, t,
+        |         unnest(generate_series(1, greatest(len(t) - 8, 1), 24)) AS start
+        |       FROM tok)
+        |SELECT doc_id, CAST((start - 1) // 24 AS BIGINT) AS chunk_no,
+        |  len(t[start:start+31]) AS n_chunk_tokens,
+        |  array_to_string(t[start:start+31], ' ') AS chunk_text
+        |FROM st ORDER BY doc_id, chunk_no""".stripMargin,
 
     "sample_stratified" ->
       """WITH keyed AS (

@@ -156,6 +156,27 @@ object TextAnalysis {
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
   }
 
+  /** Context-window chunking: split each document into fixed-size token
+    * windows with overlap — the step that turns raw documents into
+    * training sequences. One narrow projection (sequence → explode →
+    * slice), shuffle-free, so it scales with input splits; chunk_no is
+    * derived from the start offset, not a window function.
+    */
+  def chunk(df: DataFrame, width: Int, overlap: Int,
+            textCol: String = "text"): DataFrame = {
+    require(width > overlap && overlap >= 0, s"chunk: width=$width overlap=$overlap")
+    val stride = width - overlap
+    df.select(col("doc_id"), split(col(textCol), " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), greatest(size(col("t")) - overlap, lit(1)),
+          lit(stride))).as("start"))
+      .select(
+        col("doc_id"),
+        expr(s"CAST((start - 1) div $stride AS BIGINT)").as("chunk_no"),
+        size(slice(col("t"), col("start"), lit(width))).as("n_chunk_tokens"),
+        array_join(slice(col("t"), col("start"), lit(width)), " ").as("chunk_text"))
+  }
+
   def langId(textCol: String): Column = {
     // regexp_count over a word-boundary alternation: native codegen'd
     // regex, one pass per language — ~5× faster than interpreted

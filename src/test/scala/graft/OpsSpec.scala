@@ -221,6 +221,21 @@ class OpsSpec extends SparkSpec {
     assert(out(1).getLong(1) === 2L && out(1).getLong(2) === 0L)
   }
 
+  test("chunking covers every token with the configured overlap") {
+    val docs = Seq((1L, (1 to 75).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val ch = TextAnalysis.chunk(docs, width = 32, overlap = 8).orderBy("chunk_no").collect()
+    assert(ch.length === 3) // starts 1, 25, 49
+    assert(ch.map(_.getLong(1)).toSeq === Seq(0L, 1L, 2L))
+    assert(ch.map(_.getInt(2)).toSeq === Seq(32, 32, 27))
+    val t0 = ch(0).getString(3).split(' ')
+    val t1 = ch(1).getString(3).split(' ')
+    val t2 = ch(2).getString(3).split(' ')
+    // consecutive chunks share exactly `overlap` tokens
+    assert(t0.takeRight(8).toSeq === t1.take(8).toSeq)
+    // stitched back together the chunks reproduce the document
+    assert((t0 ++ t1.drop(8) ++ t2.drop(8)).toSeq === (1 to 75).map(i => s"w$i"))
+  }
+
   test("int8 quantization round-trips within half a scale step") {
     val emb = Tables.embeddings(spark, sf001).limit(50)
     val q = graft.ops.Similarity.quantizeInt8(emb)
