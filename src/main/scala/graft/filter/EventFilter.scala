@@ -170,7 +170,14 @@ object EventFilter {
       val v = lambdaVars.headOption.getOrElse(
         fail(s"placeholder '$p' outside a closure"))
       if (p == "#") v
-      else (v +: p.stripPrefix("#.").split('.').toSeq.map(s => s"`$s`")).mkString(".")
+      else {
+        // fail-loudly-at-parse: '#x' (no dot) and '#.'/'#.a..b' (empty
+        // segments) are not valid placeholder member paths
+        if (!p.startsWith("#.")) fail(s"malformed placeholder '$p'")
+        val segs = p.substring(2).split('.')
+        if (segs.isEmpty || segs.exists(_.isEmpty)) fail(s"malformed placeholder '$p'")
+        (v +: segs.toSeq.map(s => s"`$s`")).mkString(".")
+      }
     }
 
     def peek: Option[Tok] = toks.headOption

@@ -89,14 +89,23 @@ object TextAnalysis {
       col("doc_id"),
       size(col("t")).as("n_tokens"),
       size(array_distinct(col("t"))).as("n_distinct_tokens"))
-    def topGram(n: Int): DataFrame =
-      toks.select(col("doc_id"), explode(ngrams(col("t"), n)).as("gram"))
-        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(max(col("c")).as(s"top${n}_count"), sum(col("c")).as(s"n_${n}grams"))
+    // both gram orders in ONE pass: tag each gram with its n, aggregate
+    // once on (doc_id, n, gram), then fold the two orders side-by-side
+    // with conditional aggregates — one corpus scan, not one per order
+    val grams = toks.select(col("doc_id"),
+      explode(concat(
+        transform(ngrams(col("t"), 2), g => struct(lit(2).as("n"), g.as("gram"))),
+        transform(ngrams(col("t"), 3), g => struct(lit(3).as("n"), g.as("gram"))))).as("ng"))
+      .select(col("doc_id"), col("ng.n").as("n"), col("ng.gram").as("gram"))
+      .groupBy(col("doc_id"), col("n"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("n") === 2, col("c"))).as("top2_count"),
+        sum(when(col("n") === 2, col("c"))).as("n_2grams"),
+        max(when(col("n") === 3, col("c"))).as("top3_count"),
+        sum(when(col("n") === 3, col("c"))).as("n_3grams"))
     words
-      .join(topGram(2), Seq("doc_id"), "left")
-      .join(topGram(3), Seq("doc_id"), "left")
+      .join(grams, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
         coalesce(col("top2_count"), lit(0L)).as("top2_count"),
         coalesce(col("n_2grams"), lit(0L)).as("n_2grams"),
@@ -106,6 +115,9 @@ object TextAnalysis {
 
   /** PII patterns in the Java∩RE2 regex subset (no backreferences or
     * lookaround) so Spark and any RE2-based engine agree match-for-match.
+    * Recall-over-precision by design (a scrub pass): octets up to 999
+    * match, and a 5-octet run like `1.2.3.4.5` redacts its first four
+    * octets (RE2 has no lookbehind to anchor the left edge).
     */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
@@ -141,9 +153,13 @@ object TextAnalysis {
     */
   def contamination(corpus: DataFrame, benchmark: DataFrame, n: Int,
                     textCol: String = "text"): DataFrame = {
+    // within-doc gram dedup happens row-side (array_distinct BEFORE the
+    // explode) — the per-doc distinct needs no shuffle; only the tiny
+    // benchmark side pays a cross-doc distinct. Docs shorter than n
+    // tokens have no grams and are (by contract) absent from the output.
     val corpusGrams = corpus
-      .select(col("doc_id"), explode(ngrams(split(col(textCol), " "), n)).as("gram"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(array_distinct(ngrams(split(col(textCol), " "), n))).as("gram"))
     val benchGrams = benchmark
       .select(explode(ngrams(split(col(textCol), " "), n)).as("gram"))
       .distinct()

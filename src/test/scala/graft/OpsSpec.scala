@@ -161,6 +161,10 @@ class OpsSpec extends SparkSpec {
       === """size(filter(transform(`xs`, x0_ -> graft_len(x0_)), x1_ -> x1_ >= 7)) > 5""")
     // placeholder outside a closure fails loudly
     intercept[IllegalArgumentException](EventFilter.translate("""# > 3"""))
+    // malformed placeholders fail at parse, not at Spark analysis
+    intercept[IllegalArgumentException](EventFilter.translate("""any(xs, {#x > 0})"""))
+    intercept[IllegalArgumentException](EventFilter.translate("""any(xs, {#. > 0})"""))
+    intercept[IllegalArgumentException](EventFilter.translate("""any(xs, {#.a..b > 0})"""))
   }
 
   test("event filter closures evaluate on array data") {
@@ -257,6 +261,25 @@ class OpsSpec extends SparkSpec {
     val z = graft.ops.Similarity.quantizeInt8(
       Seq((99L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding")).head
     assert(z.getDouble(1) === 0d && z.getString(2) === "0,0,0")
+  }
+
+  test("plan shapes: contamination broadcasts the benchmark; chunk/quantize/redact are shuffle-free") {
+    val docs = Tables.documents(spark, sf001)
+    val contam = TextAnalysis.contamination(
+      docs.filter(col("source") === "src0"), docs.filter(col("source") === "src1"), n = 5)
+    val cPlan = contam.queryExecution.executedPlan.toString
+    assert(cPlan.contains("BroadcastHashJoin"),
+      s"benchmark gram set should broadcast-join, got:\n$cPlan")
+    // narrow per-row ops: zero shuffle Exchange anywhere in the plan
+    for ((name, df) <- Seq(
+        "chunk" -> TextAnalysis.chunk(docs, 32, 8),
+        "quantize" -> graft.ops.Similarity.quantizeInt8(Tables.embeddings(spark, sf001)),
+        "redact" -> docs.select(TextAnalysis.piiRedact(col("text"))))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val shuffles = plan.linesIterator.filter(l => l.contains("Exchange") &&
+        !l.contains("BroadcastExchange") && !l.contains("ReusedExchange")).toSeq
+      assert(shuffles.isEmpty, s"$name should be shuffle-free, found: $shuffles")
+    }
   }
 
   test("approx percentile tracks exact within 1% (quantile scale path)") {
