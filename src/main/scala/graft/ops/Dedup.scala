@@ -20,17 +20,17 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Word n-gram shingles, distinct per doc: (doc_id, shingle) pairs.
-    * 1-based `slice`/`element_at` keeps parity with list semantics in
-    * SQL oracles.
+    * Gram generation is the codegen `NGramsJoin` kernel (identical
+    * output to the interpreted `transform(sequence…)` formulation the
+    * SQL oracles use — space-joined, order-preserving).
     */
   def shingles(df: DataFrame, n: Int = 3, textCol: String = "text",
                idCol: String = "doc_id"): DataFrame = {
     df.select(col(idCol), split(col(textCol), " ").as("t"))
       .filter(size(col("t")) >= n)
       .select(col(idCol),
-        explode(array_distinct(expr(
-          s"transform(sequence(1, size(t) - ${n - 1}), i -> concat_ws(' ', ${(0 until n).map(k => s"element_at(t, i + $k)").mkString(", ")}))"
-        ))).as("shingle"))
+        explode(array_distinct(
+          graft.functions.TextFunctions.ngrams_join(col("t"), n))).as("shingle"))
   }
 
   /** Exact n-gram Jaccard near-dup pairs via shingle equi-join (not a

@@ -63,14 +63,13 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et"),
     "zh" -> Seq("的", "是", "了", "在"))
 
-  /** Word n-grams of a token array as an array column: zip n shifted
-    * slices. Empty (not error) when the doc has fewer than n tokens.
+  /** Word n-grams of a token array as an array column — the codegen
+    * `NGramsJoin` kernel (space-joined, order-preserving, empty when the
+    * doc has fewer than n tokens).
     */
   def ngrams(tokens: Column, n: Int): Column = {
     require(n >= 2 && n <= 5, s"ngrams: n=$n out of supported range")
-    val m = greatest(size(tokens) - (n - 1), lit(0))
-    val parts = (1 to n).map(i => slice(tokens, lit(i), m))
-    parts.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+    graft.functions.TextFunctions.ngrams_join(tokens, n)
   }
 
   /** Gopher-style repetition metrics (Rae et al. 2021, appendix A1.1 —

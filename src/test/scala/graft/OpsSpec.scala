@@ -225,6 +225,24 @@ class OpsSpec extends SparkSpec {
     assert(out(1).getLong(1) === 2L && out(1).getLong(2) === 0L)
   }
 
+  test("ngrams_join kernel equals the interpreted HOF formulation (codegen + eval)") {
+    val docs = Tables.documents(spark, sf001).limit(100)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    for (n <- Seq(2, 3, 5)) {
+      val hof = expr(
+        s"transform(sequence(1, size(t) - ${n - 1}), i -> concat_ws(' ', ${(0 until n).map(k => s"element_at(t, i + $k)").mkString(", ")}))")
+      val diff = docs.filter(size(col("t")) >= n).select(col("doc_id"),
+        graft.functions.TextFunctions.ngrams_join(col("t"), n).as("kernel"), hof.as("ref"))
+        .filter(col("kernel") =!= col("ref"))
+      assert(diff.count() === 0, s"n=$n kernel/HOF divergence")
+    }
+    // interpreted path (eval without codegen) on edge inputs
+    val edge = Seq(Seq("a"), Seq("a", "b"), Seq.empty[String]).toDF("t")
+    val rows = edge.select(graft.functions.TextFunctions.ngrams_join(col("t"), 2).as("g"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(rows.toList === List(Nil, List("a b"), Nil))
+  }
+
   test("chunking covers every token with the configured overlap") {
     val docs = Seq((1L, (1 to 75).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
     val ch = TextAnalysis.chunk(docs, width = 32, overlap = 8).orderBy("chunk_no").collect()
