@@ -68,6 +68,30 @@ class StreamingSpec extends SparkSpec {
       org.apache.spark.sql.Row(1000L, 1000L))
   }
 
+  test("corpus-clean ops compose unchanged in a structured stream") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextAnalysis
+    // the same narrow codegen columns the batch pipeline_clean_corpus
+    // uses, applied to a file stream — no op rewrite for streaming
+    val sch = Tables.documents(spark, sf001).schema
+    val stream = spark.readStream.schema(sch)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf001)
+    val cleaned = stream.select(col("doc_id"),
+      TextAnalysis.langId("text").as("lang"),
+      TextAnalysis.piiRedact(concat(col("text"), lit(" mail a@b.co"))).as("red"))
+    val q = cleaned.writeStream.format("memory").queryName("cleanstream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.sql("SELECT count(*) FROM cleanstream WHERE red LIKE '%<EMAIL>%'")
+      .head.getLong(0) === 500L)
+    val streamed = spark.sql("SELECT lang, count(*) AS c FROM cleanstream GROUP BY lang")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = Tables.documents(spark, sf001)
+      .groupBy(TextAnalysis.langId("text").as("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+  }
+
   test("stream-stream interval join within watermark bounds") {
     import org.apache.spark.sql.functions._
     val a = StreamPipeline.walStream(spark, sf001)
