@@ -865,6 +865,14 @@ object SparkEntry {
       TextAnalysis.chunk(Tables.documents(s, dir), width = 32, overlap = 8)
         .orderBy(col("doc_id"), col("chunk_no"))),
 
+    "tokenize_ids" -> ((s, dir) => {
+      // corpus → model-ready id sequences: top-100 frequency vocab,
+      // OOV → -1, broadcast vocab join, position-restored sequences
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.tokenizeToIds(docs, TextAnalysis.buildVocab(docs, topK = 100))
+        .orderBy(col("doc_id"))
+    }),
+
     "sample_stratified" -> ((s, dir) => {
       // Data mixing: per-source sampling rates applied via a
       // content-stable FNV-64a keep-hash — deterministic across retries
@@ -2106,6 +2114,19 @@ object SparkEntry {
         |  len(t[start:start+31]) AS n_chunk_tokens,
         |  array_to_string(t[start:start+31], ' ') AS chunk_text
         |FROM st ORDER BY doc_id, chunk_no""".stripMargin,
+
+    "tokenize_ids" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, t FROM tok),
+        |tokens AS (SELECT doc_id, pos, t[pos] AS tok FROM pos),
+        |freq AS (SELECT tok AS token, count(*) AS cnt FROM tokens GROUP BY 1),
+        |vocab AS (SELECT token, id FROM (
+        |  SELECT token, row_number() OVER (ORDER BY cnt DESC, token) - 1 AS id FROM freq)
+        |  WHERE id < 100)
+        |SELECT doc_id,
+        |  array_to_string(list(CAST(coalesce(v.id, -1) AS VARCHAR) ORDER BY pos), ',') AS ids_csv
+        |FROM tokens LEFT JOIN vocab v ON tok = v.token
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "sample_stratified" ->
       """WITH keyed AS (

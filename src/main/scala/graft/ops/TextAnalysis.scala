@@ -192,6 +192,42 @@ object TextAnalysis {
         array_join(slice(col("t"), col("start"), lit(width)), " ").as("chunk_text"))
   }
 
+  /** Frequency-ranked vocabulary over the corpus: the topK most frequent
+    * tokens get ids 0..topK-1 (rank by count desc, then token, so the
+    * assignment is total-order deterministic). The global rank window is
+    * over the aggregated token-frequency table — vocabulary-sized, not
+    * corpus-sized, so the single-partition window is fine at any corpus
+    * scale.
+    */
+  def buildVocab(df: DataFrame, topK: Int, textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token"))
+    df.select(explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .select(col("token"), (row_number().over(w) - 1).as("id"))
+      .filter(col("id") < topK)
+      .drop("cnt")
+  }
+
+  /** Tokenize documents to id sequences against a vocabulary —
+    * out-of-vocab tokens map to -1 (UNK). The step that turns cleaned
+    * text into model-ready training sequences. The vocab is broadcast
+    * (vocabularies are ~100k rows; the corpus never shuffles for the
+    * join); order is restored via a position-sorted collect, keyed only
+    * on doc_id.
+    */
+  def tokenizeToIds(df: DataFrame, vocab: DataFrame,
+                    textCol: String = "text"): DataFrame =
+    df.select(col("doc_id"), posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .join(broadcast(vocab), col("tok") === vocab("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("pos"),
+            coalesce(col("id"), lit(-1)).as("id")))),
+          s => s.getField("id").cast("string")),
+        ",").as("ids_csv"))
+
   def langId(textCol: String): Column = {
     // regexp_count over a word-boundary alternation: native codegen'd
     // regex, one pass per language — ~5× faster than interpreted

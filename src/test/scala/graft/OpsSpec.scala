@@ -258,6 +258,16 @@ class OpsSpec extends SparkSpec {
     assert((t0 ++ t1.drop(8) ++ t2.drop(8)).toSeq === (1 to 75).map(i => s"w$i"))
   }
 
+  test("vocab tokenization maps tokens by frequency rank with -1 UNK") {
+    val docs = Seq((1L, "b a b c"), (2L, "b a rare")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.buildVocab(docs, topK = 2) // b(3)→0, a(2)→1
+    assert(vocab.orderBy("id").as[(String, Int)].collect().toSeq
+      === Seq(("b", 0), ("a", 1)))
+    val ids = TextAnalysis.tokenizeToIds(docs, vocab).orderBy("doc_id")
+      .as[(Long, String)].collect()
+    assert(ids.toSeq === Seq((1L, "0,1,0,-1"), (2L, "0,1,-1")))
+  }
+
   test("int8 quantization round-trips within half a scale step") {
     val emb = Tables.embeddings(spark, sf001).limit(50)
     val q = graft.ops.Similarity.quantizeInt8(emb)
