@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{FloatVecDot, FloatVecNorm2, FnvHash64, PolyLen}
+import graft.functions.{FloatVecDot, FloatVecNorm2, FnvHash64, NGramsJoin, PolyLen}
 
 /** SparkSessionExtensions hook — registers the engine's custom Catalyst
   * expressions as SQL functions so `spark.sql("SELECT vec_dot(a, b) …")`
@@ -33,7 +33,17 @@ object GraftExtensions {
       (children: Seq[Expression]) => FnvHash64(children.head)),
     (FunctionIdentifier("graft_len"),
       new ExpressionInfo(classOf[PolyLen].getName, "graft_len"),
-      (children: Seq[Expression]) => PolyLen(children.head)))
+      (children: Seq[Expression]) => PolyLen(children.head)),
+    (FunctionIdentifier("ngrams_join"),
+      new ExpressionInfo(classOf[NGramsJoin].getName, "ngrams_join"),
+      (children: Seq[Expression]) => {
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"ngrams_join(tokens, n): n must be an integer literal, got $other")
+        }
+        NGramsJoin(children(0), n)
+      }))
 
   /** Attach to an already-built session (the extensions path only
     * applies at session construction). */

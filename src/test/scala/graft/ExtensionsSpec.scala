@@ -17,6 +17,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getLong(2) === 0xaf63dc4c8601ec8cL)
   }
 
+  test("ngrams_join is SQL-callable with a literal n; non-literal n rejected") {
+    GraftExtensions.registerTo(spark)
+    val r = spark.sql("SELECT ngrams_join(array('a', 'b', 'c'), 2) AS g").head
+    assert(r.getSeq[String](0).toList === List("a b", "b c"))
+    val err = intercept[Exception](
+      spark.sql("SELECT ngrams_join(array('a'), CAST(rand() * 2 AS INT))").head)
+    assert(err.getMessage.contains("integer literal"))
+  }
+
   test("graft_len dispatches on type; codegen and interpreted paths agree") {
     GraftExtensions.registerTo(spark)
     val r = spark.sql(
