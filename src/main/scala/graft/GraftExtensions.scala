@@ -37,6 +37,8 @@ object GraftExtensions {
     (FunctionIdentifier("ngrams_join"),
       new ExpressionInfo(classOf[NGramsJoin].getName, "ngrams_join"),
       (children: Seq[Expression]) => {
+        if (children.length != 2) throw new IllegalArgumentException(
+          s"ngrams_join(tokens, n) expects 2 arguments, got ${children.length}")
         val n = children(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
           case other => throw new IllegalArgumentException(

@@ -41,9 +41,10 @@ case class NGramsJoin(child: Expression, n: Int) extends UnaryExpression {
     val arr = a.asInstanceOf[ArrayData]
     val total = math.max(arr.numElements() - (n - 1), 0)
     val out = new Array[AnyRef](total)
+    // concatWs copies bytes, so one scratch buffer serves every gram
+    val parts = new Array[UTF8String](n)
     var i = 0
     while (i < total) {
-      val parts = new Array[UTF8String](n)
       var k = 0
       while (k < n) { parts(k) = arr.getUTF8String(i + k); k += 1 }
       out(i) = UTF8String.concatWs(sep, parts: _*)
@@ -64,8 +65,8 @@ case class NGramsJoin(child: Expression, n: Int) extends UnaryExpression {
          |int $total = $a.numElements() - ${n - 1};
          |if ($total < 0) $total = 0;
          |UTF8String[] $grams = new UTF8String[$total];
+         |UTF8String[] $parts = new UTF8String[$n];
          |for (int $i = 0; $i < $total; $i++) {
-         |  UTF8String[] $parts = new UTF8String[$n];
          |  for (int $k = 0; $k < $n; $k++) {
          |    $parts[$k] = $a.getUTF8String($i + $k);
          |  }

@@ -194,19 +194,18 @@ object TextAnalysis {
 
   /** Frequency-ranked vocabulary over the corpus: the topK most frequent
     * tokens get ids 0..topK-1 (rank by count desc, then token, so the
-    * assignment is total-order deterministic). The global rank window is
-    * over the aggregated token-frequency table — vocabulary-sized, not
-    * corpus-sized, so the single-partition window is fine at any corpus
-    * scale.
+    * assignment is total-order deterministic). The distinct-token
+    * frequency table is unbounded at corpus scale, so the top-K cut runs
+    * distributed first (`orderBy.limit` → TakeOrderedAndProject); only
+    * the topK survivors see the single-partition rank window.
     */
   def buildVocab(df: DataFrame, topK: Int, textCol: String = "text"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc, col("token"))
     df.select(explode(split(col(textCol), " ")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(topK)
       .select(col("token"), (row_number().over(w) - 1).as("id"))
-      .filter(col("id") < topK)
-      .drop("cnt")
   }
 
   /** Tokenize documents to id sequences against a vocabulary —

@@ -81,7 +81,7 @@ class StreamingSpec extends SparkSpec {
       TextAnalysis.piiRedact(concat(col("text"), lit(" mail a@b.co"))).as("red"))
     val q = cleaned.writeStream.format("memory").queryName("cleanstream")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish within the timeout")
     assert(spark.sql("SELECT count(*) FROM cleanstream WHERE red LIKE '%<EMAIL>%'")
       .head.getLong(0) === 500L)
     val streamed = spark.sql("SELECT lang, count(*) AS c FROM cleanstream GROUP BY lang")
