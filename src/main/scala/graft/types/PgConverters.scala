@@ -167,7 +167,11 @@ object PgConverters {
 
   /** Array variants — the reference registers an `arrayConverter` per
     * element type (`builtin_converters.go:56-100`); here any scalar
-    * converter lifts over arrays with `transform` (codegen'd HOF).
+    * converter lifts over arrays with `transform`. The lambda evaluates
+    * interpreted (higher-order functions are CodegenFallback), which is
+    * the right trade here: conversion arrays are element-width-bounded
+    * (not corpus-scale like shingles), so a per-type codegen kernel
+    * would buy little for a lot of surface.
     */
   def arrayOf(conv: Column => Column)(arr: Column): Column =
     transform(arr, conv)

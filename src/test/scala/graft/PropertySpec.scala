@@ -118,4 +118,23 @@ class PropertySpec extends AnyFunSuite {
         === s"`op` = $sqlLit", s"for literal <$s>")
     }
   }
+
+  test("ngrams_join eval: sliding-window law for arbitrary token lists") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val tok: Gen[String] = Gen.nonEmptyListOf(
+      Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('é', '中', '-', '_'))).map(_.take(8).mkString)
+    val toks: Gen[List[String]] = Gen.listOf(tok).map(_.take(20))
+    samples(Gen.zip(toks, Gen.choose(1, 5))).foreach { case (ts, n) =>
+      val out = graft.functions.NGramsJoin(
+        Literal.create(ts, ArrayType(StringType)), n)
+        .eval(null).asInstanceOf[ArrayData]
+        .toObjectArray(StringType).map(_.asInstanceOf[UTF8String].toString).toList
+      val expected =
+        if (ts.length >= n) ts.sliding(n).map(_.mkString(" ")).toList else Nil
+      assert(out === expected, s"tokens=$ts n=$n")
+    }
+  }
 }
