@@ -65,6 +65,21 @@ object SparkEntry {
        |  list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
        |  (acc, v) -> acc + v))""".stripMargin
 
+  /** DuckDB twin of `Similarity.lshBucketKey`: per-plane sign bits from
+    * the SAME generated hyperplanes (rendered as exact-double literals —
+    * `(double)f` round-trips through shortest-string), summed to the
+    * bucket id. */
+  private def duckLshBucket(embCol: String, dim: Int, nPlanes: Int): String = {
+    val planes = graft.ops.Similarity.lshPlanes(dim, nPlanes)
+    (0 until nPlanes).map { j =>
+      val lst = planes(j).map(f => f.toDouble.toString).mkString("[", ", ", "]")
+      val dot = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(list_zip($embCol, $lst), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), " +
+        s"(acc, v) -> acc + v)"
+      s"(CASE WHEN $dot > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ================= analytics (Catalyst built-ins) =================
     "q1_pricing_summary" -> ((s, dir) => {
@@ -2159,6 +2174,66 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
 
+    // MinHash-LSH twin: FNV-64a per shingle (HUGEINT fold, two's-
+    // complement → signed → pmod P), the same LCG-derived affine family
+    // (exact HUGEINT arithmetic & 0x7fffffff reproduces Scala's wrapped
+    // i64 low bits — truncation to 64 bits never changes low-31 bits),
+    // per-band min-tuple keys, bucket self-join
+    "dedup_minhash_lsh" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
+        |           x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS shingle
+        |       FROM tok WHERE len(t) >= 3),
+        |hv AS (SELECT doc_id,
+        |         list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |           list_transform(range(1, length(shingle) + 1),
+        |             i -> ascii(substr(shingle, CAST(i AS INTEGER), 1)))),
+        |           (acc, c) -> (xor(acc, CAST(c AS HUGEINT)) * 1099511628211) % 18446744073709551616) AS hu
+        |       FROM sh),
+        |hb AS (SELECT doc_id,
+        |         CAST((((CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+        |                      THEN hu - CAST(18446744073709551616 AS HUGEINT) ELSE hu END)
+        |                % 2147483647 + 2147483647) % 2147483647) AS BIGINT) AS h
+        |       FROM hv),
+        |perm AS (SELECT i,
+        |           CAST(CASE WHEN ((6364136223846793005 * CAST(i AS HUGEINT) + 1442695040888963407) & 2147483647) = 0
+        |                     THEN 1
+        |                     ELSE ((6364136223846793005 * CAST(i AS HUGEINT) + 1442695040888963407) & 2147483647) END AS BIGINT) AS a,
+        |           CAST(((2862933555777941757 * CAST(i AS HUGEINT) + 3037000493) & 2147483647) AS BIGINT) AS b
+        |         FROM (SELECT unnest(range(1, 17)) AS i)),
+        |mh AS (SELECT doc_id, p.i AS i, min((h * p.a + p.b) % 2147483647) AS mh
+        |       FROM hb CROSS JOIN perm p GROUP BY doc_id, p.i),
+        |bd AS (SELECT doc_id, (i - 1) // 4 AS band,
+        |              array_to_string(list(CAST(mh AS VARCHAR) ORDER BY i), ',') AS bkey
+        |       FROM mh GROUP BY doc_id, (i - 1) // 4)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bd a JOIN bd b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // full 64-bit SimHash twin: FNV-64a per token as a HUGEINT fold
+    // (ascii-per-char = utf-8 bytes on this corpus), term-frequency bit
+    // votes, signature rebuilt from HUGEINT powers then two's-complement
+    // converted to the signed BIGINT Spark emits
+    "dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |h AS (SELECT doc_id,
+        |        list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |          list_transform(range(1, length(tok) + 1),
+        |            i -> ascii(substr(tok, CAST(i AS INTEGER), 1)))),
+        |          (acc, b) -> (xor(acc, CAST(b AS HUGEINT)) * 1099511628211) % 18446744073709551616) AS hv
+        |      FROM tok),
+        |bits AS (SELECT doc_id, b, sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |         FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
+        |         GROUP BY doc_id, b),
+        |sig AS (SELECT doc_id,
+        |          sum(CASE WHEN s > 0 THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END) AS v
+        |        FROM bits GROUP BY doc_id)
+        |SELECT doc_id, CAST(CASE WHEN v >= CAST(9223372036854775808 AS HUGEINT)
+        |                         THEN v - CAST(18446744073709551616 AS HUGEINT)
+        |                         ELSE v END AS BIGINT) AS simhash
+        |FROM sig ORDER BY doc_id""".stripMargin,
+
     "dedup_ngram_jaccard" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id,
@@ -2198,6 +2273,49 @@ object SparkEntry {
          |  ${duckDot("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cosine
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE cosine >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+
+    // SRP-LSH twin: bucket = sign bits against the shared generated
+    // hyperplanes, bucket equi-join, exact-cosine recheck — all double
+    // math is the proven sequential-fold parity pattern
+    "ann_lsh_cosine" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS norm,
+         |  ${duckLshBucket("embedding", 64, 8)} AS bucket FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${duckDot("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cosine
+         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+
+    // IVF twin: deterministic coarse centroids (lowest-id 16 vectors),
+    // argmax assignment with (sim desc, centroid_id) tie-break, top-4
+    // probe lists per query, exact-cosine rerank inside probed lists —
+    // every double is the sequential-fold parity pattern
+    "ann_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS norm FROM embeddings),
+         |c AS (SELECT vec_id AS centroid_id, embedding AS centroid, norm AS cnorm
+         |      FROM e ORDER BY vec_id LIMIT 16),
+         |asg AS (SELECT vec_id, centroid_id FROM (
+         |    SELECT e.vec_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckDot("e.embedding", "c.centroid")} / (e.norm * c.cnorm) DESC,
+         |                 c.centroid_id) AS rn
+         |    FROM e CROSS JOIN c) t WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, norm AS qnorm FROM e WHERE vec_id < 10),
+         |pr AS (SELECT query_id, centroid_id FROM (
+         |    SELECT q.query_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${duckDot("q.qe", "c.centroid")} / (q.qnorm * c.cnorm) DESC,
+         |                 c.centroid_id) AS rn
+         |    FROM q CROSS JOIN c) t WHERE rn <= 4),
+         |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |             ${duckDot("q.qe", "e.embedding")} / (q.qnorm * e.norm) AS cosine
+         |           FROM pr JOIN asg ON pr.centroid_id = asg.centroid_id
+         |                JOIN e ON e.vec_id = asg.vec_id
+         |                JOIN q ON q.query_id = pr.query_id
+         |           WHERE q.query_id <> e.vec_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cosine DESC, neighbor_id) AS rnk FROM scored)
+         |SELECT query_id, neighbor_id, rnk, cosine FROM ranked
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     "ann_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS norm FROM embeddings),

@@ -90,8 +90,11 @@ object Dedup {
   }
 
   def minhashSignatures(df: DataFrame, n: Int = 3, k: Int = 16): DataFrame = {
+    // FNV-64a base hash (codegen kernel): engine-neutral bits, so the
+    // whole signature pipeline is oracle-verifiable (a Spark-internal
+    // murmur here would make the result rows-only checkable)
     val sh = shingles(df, n)
-      .withColumn("h", pmod(hash(col("shingle")).cast("long"), lit(P)))
+      .withColumn("h", pmod(graft.functions.FnvHash64.fnv_hash64(col("shingle")), lit(P)))
     val aggs = hashFamily(k).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(P))).as(s"mh_$i")
     }
@@ -105,10 +108,12 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, n: Int = 3, k: Int = 16, rows: Int = 4): DataFrame = {
     val sig = minhashSignatures(df, n, k)
     val nBands = k / rows
-    // posexplode over an array of band hashes: ONE pass over the
-    // signatures instead of an nBands-way union re-scanning them
+    // posexplode over an array of band keys: ONE pass over the
+    // signatures instead of an nBands-way union re-scanning them. The
+    // key is the joined min tuple itself (not a Spark-internal hash of
+    // it) — equality semantics are identical and any engine can derive it
     val bandHashes = (0 until nBands).map { b =>
-      xxhash64((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*)
+      concat_ws(",", (b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*)
     }
     val banded = sig.select(col("doc_id"),
       posexplode(array(bandHashes: _*)).as(Seq("band", "band_hash")))
@@ -125,8 +130,11 @@ object Dedup {
     * equal, pigeonhole).
     */
   def simhash(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // per-token hash is FNV-64a (the codegen kernel) rather than a
+    // Spark-internal hash: same bits are derivable in any engine, so the
+    // full 64-bit signature is oracle-verifiable end-to-end
     val tok = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", graft.functions.FnvHash64.fnv_hash64(col("tok")))
     val bitSums = (0 until 64).map { b =>
       sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"s_$b")
     }

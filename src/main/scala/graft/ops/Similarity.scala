@@ -55,13 +55,20 @@ object Similarity {
     * equi-join on the bucket key. Planes are seeded constants (xorshift)
     * so plans are reproducible across runs/executors.
     */
-  def lshBucketKey(embCol: String, dim: Int, nPlanes: Int = 8, seed: Long = 42L): Column = {
+  /** Deterministic sign-random-projection hyperplanes (xorshift64*,
+    * plan-time constants). Public so the oracle SQL can embed the SAME
+    * values — one generator, two engines. */
+  def lshPlanes(dim: Int, nPlanes: Int = 8, seed: Long = 42L): Array[Array[Float]] = {
     var s = seed
     def next(): Float = { // xorshift64*, mapped to [-1, 1)
       s ^= s >>> 12; s ^= s << 25; s ^= s >>> 27
       (((s * 2685821657736338717L) >>> 11).toDouble / 4.611686018427387904e18 - 1.0).toFloat
     }
-    val planes = Array.fill(nPlanes)(Array.fill(dim)(next()))
+    Array.fill(nPlanes)(Array.fill(dim)(next()))
+  }
+
+  def lshBucketKey(embCol: String, dim: Int, nPlanes: Int = 8, seed: Long = 42L): Column = {
+    val planes = lshPlanes(dim, nPlanes, seed)
     val bits = (0 until nPlanes).map { j =>
       when(graft.functions.VecFunctions.vec_dot(col(embCol), typedLit(planes(j))) > 0,
         expr(s"CAST(1 AS BIGINT) << $j")).otherwise(lit(0L))
