@@ -69,8 +69,9 @@ object SparkEntry {
     * the SAME generated hyperplanes (rendered as exact-double literals —
     * `(double)f` round-trips through shortest-string), summed to the
     * bucket id. */
-  private def duckLshBucket(embCol: String, dim: Int, nPlanes: Int): String = {
-    val planes = graft.ops.Similarity.lshPlanes(dim, nPlanes)
+  private def duckLshBucket(embCol: String, dim: Int, nPlanes: Int,
+                            seed: Long = 42L): String = {
+    val planes = graft.ops.Similarity.lshPlanes(dim, nPlanes, seed)
     (0 until nPlanes).map { j =>
       val lst = planes(j).map(f => f.toDouble.toString).mkString("[", ", ", "]")
       val dot = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
@@ -1115,8 +1116,10 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // ---- non-SQL-expressible ops (no oracle → driver rows-only check;
-    //      correctness covered by ScalaTest invariants instead) ----
+    // ---- sketch/LSH ops. MinHash, SimHash, SRP-LSH and plain IVF have
+    //      full oracle twins (FNV-64a / shared-generator hyperplanes);
+    //      only the kmeans IVF variant stays rows-only (float-mean
+    //      association order is engine-defined) ----
     "dedup_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLshPairs(Tables.documents(s, dir)).orderBy(col("doc_a"), col("doc_b"))
     }),
@@ -2274,15 +2277,21 @@ object SparkEntry {
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE cosine >= 0.45 ORDER BY id_a, id_b""".stripMargin,
 
-    // SRP-LSH twin: bucket = sign bits against the shared generated
-    // hyperplanes, bucket equi-join, exact-cosine recheck — all double
-    // math is the proven sequential-fold parity pattern
+    // multi-table SRP-LSH twin: per-table sign-bit buckets against the
+    // shared generated hyperplanes (seeds 42..47), candidate union via
+    // (table, bucket) equi-join, exact-cosine recheck — all double math
+    // is the proven sequential-fold parity pattern
     "ann_lsh_cosine" ->
-      s"""WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS norm,
-         |  ${duckLshBucket("embedding", 64, 8)} AS bucket FROM embeddings)
-         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |  ${duckDot("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cosine
-         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      s"""WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS norm FROM embeddings),
+         |k AS (${(0 until 6).map(t =>
+                  s"SELECT vec_id, $t AS tbl, ${duckLshBucket("embedding", 64, 8, 42L + t)} AS bucket FROM e")
+                  .mkString("\n|      UNION ALL ")}),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |         FROM k a JOIN k b ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |                          AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b,
+         |  ${duckDot("ea.embedding", "eb.embedding")} / (ea.norm * eb.norm) AS cosine
+         |FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
          |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin,
 
     // IVF twin: deterministic coarse centroids (lowest-id 16 vectors),

@@ -70,7 +70,8 @@ object Dedup {
   }
 
   /** MinHash signatures: k hash functions h_i(s) = (a_i*x + b_i) mod p
-    * over murmur3-hashed shingles (Spark's `hash`), min per doc.
+    * over FNV-64a-hashed shingles (the codegen kernel; engine-neutral
+    * bits, so signatures are oracle-verifiable), min per doc.
     * Computed as k aggregations over the exploded shingle set — one
     * shuffle on doc_id; signature width is a constant multiplier, not a
     * data blow-up.
@@ -124,8 +125,9 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash (Charikar '02): 64-bit signature from per-token xxhash64
-    * bit votes; near-dups = small Hamming distance. Banded into 4×16-bit
+  /** SimHash (Charikar '02): 64-bit signature from per-token FNV-64a
+    * bit votes (engine-neutral bits — the full signature hash-matches
+    * the DuckDB twin); near-dups = small Hamming distance. Banded into 4×16-bit
     * keys for candidate generation (Hamming ≤3 ⇒ at least one band
     * equal, pigeonhole).
     */

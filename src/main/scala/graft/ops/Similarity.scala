@@ -49,24 +49,23 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
-  /** Sign-random-projection LSH (Charikar '02): bucket = sign bits of
-    * dot(v, plane_j) for `nPlanes` deterministic pseudo-random planes.
-    * Same-bucket vectors are cosine candidates; all-pairs becomes an
-    * equi-join on the bucket key. Planes are seeded constants (xorshift)
-    * so plans are reproducible across runs/executors.
-    */
   /** Deterministic sign-random-projection hyperplanes (xorshift64*,
     * plan-time constants). Public so the oracle SQL can embed the SAME
     * values — one generator, two engines. */
   def lshPlanes(dim: Int, nPlanes: Int = 8, seed: Long = 42L): Array[Array[Float]] = {
     var s = seed
-    def next(): Float = { // xorshift64*, mapped to [-1, 1)
+    def next(): Float = { // xorshift64*: top 53 bits / 2^52 ∈ [0,2) → [-1,1)
       s ^= s >>> 12; s ^= s << 25; s ^= s >>> 27
-      (((s * 2685821657736338717L) >>> 11).toDouble / 4.611686018427387904e18 - 1.0).toFloat
+      (((s * 2685821657736338717L) >>> 11).toDouble / 4.503599627370496e15 - 1.0).toFloat
     }
     Array.fill(nPlanes)(Array.fill(dim)(next()))
   }
 
+  /** Sign-random-projection LSH (Charikar '02): bucket = sign bits of
+    * dot(v, plane_j) for `nPlanes` deterministic pseudo-random planes.
+    * Same-bucket vectors are cosine candidates; all-pairs becomes an
+    * equi-join on the bucket key.
+    */
   def lshBucketKey(embCol: String, dim: Int, nPlanes: Int = 8, seed: Long = 42L): Column = {
     val planes = lshPlanes(dim, nPlanes, seed)
     val bits = (0 until nPlanes).map { j =>
@@ -189,17 +188,32 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
-  /** Near-dup pairs via LSH buckets + exact cosine re-check on
-    * candidates only. */
+  /** Near-dup pairs via multi-table SRP-LSH + exact cosine re-check on
+    * candidates only. A single nPlanes-bit table recalls a cos-θ pair
+    * with probability (1 − θ/π)^nPlanes — far too low alone — so the
+    * standard construction unions candidates from nTables independent
+    * tables (seeds 42, 43, …): recall 1 − (1 − p)^L while every
+    * candidate is still found by an equi-join on (table, bucket), never
+    * an all-pairs scan. Exact cosine on the deduped candidate set keeps
+    * precision at 1.
+    */
   def lshCosinePairs(emb: DataFrame, dim: Int, threshold: Double,
-                     nPlanes: Int = 8): DataFrame = {
-    val bucketed = emb.select(col("vec_id"), col("embedding"),
-        l2Norm("embedding").as("norm"),
-        lshBucketKey("embedding", dim, nPlanes).as("bucket"))
-    bucketed.as("a").join(bucketed.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        (dot("a.embedding", "b.embedding") / (col("a.norm") * col("b.norm"))).as("cosine"))
+                     nPlanes: Int = 8, nTables: Int = 6): DataFrame = {
+    val keys = array((0 until nTables).map(t =>
+      lshBucketKey("embedding", dim, nPlanes, seed = 42L + t)): _*)
+    val keyed = emb.select(col("vec_id"),
+      posexplode(keys).as(Seq("tbl", "bucket")))
+    val cand = keyed.as("a").join(keyed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val e = emb.select(col("vec_id"), col("embedding"), l2Norm("embedding").as("norm"))
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("norm").as("na")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("norm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (dot("ea", "eb") / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
