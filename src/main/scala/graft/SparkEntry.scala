@@ -813,6 +813,33 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "pipeline_gopher_filter" -> ((s, dir) => {
+      // the full Gopher rule set composed in one plan: length band,
+      // duplicate-token fraction, top-2-gram share, stopword presence —
+      // integer inequalities throughout (ratio-free, oracle-stable)
+      val docs = Tables.documents(s, dir)
+      val stop = docs.select(col("doc_id"), TextAnalysis.stopwordCount("text").as("n_stop"))
+      TextAnalysis.repetitionMetrics(docs).join(stop, Seq("doc_id"))
+        .filter(col("n_tokens").between(20, 1000) &&
+          col("n_distinct_tokens") * 2 >= col("n_tokens") &&
+          col("top2_count") * 20 <= col("n_2grams") &&
+          col("n_stop") >= 1)
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+          col("top2_count"), col("n_2grams"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "dedup_incremental" -> ((s, dir) => {
+      // continuous-ingest dedup: short-named sources (src0..src9) play
+      // the historical corpus, long-named (src10..src19) the new batch
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalPrune(
+        batch   = docs.filter(length(col("source")) === 5),
+        history = docs.filter(length(col("source")) === 4))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     "pipeline_clean_corpus" -> ((s, dir) => {
       // end-to-end corpus cleaning in ONE Catalyst plan: quality gate →
       // language filter → exact-dedup keep-lowest — the composition a
@@ -2033,6 +2060,41 @@ object SparkEntry {
         |  len(list_filter(string_split(text, ' '), x -> x IN ('the','a'))) AS n_stop,
         |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pipeline_gopher_filter" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |word AS (SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct_tokens FROM tok),
+        |g2 AS (SELECT doc_id, unnest(list_transform(list_zip(t[1:len(t)-1], t[2:len(t)]),
+        |         x -> x[1] || ' ' || x[2])) AS gram FROM tok WHERE len(t) >= 2),
+        |c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |t2 AS (SELECT doc_id, max(c) AS tc, CAST(sum(c) AS BIGINT) AS ng FROM c2 GROUP BY 1),
+        |stop AS (SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS n_stop
+        |         FROM documents)
+        |SELECT w.doc_id, n_tokens, n_distinct_tokens,
+        |       coalesce(tc, 0) AS top2_count, coalesce(ng, 0) AS n_2grams
+        |FROM word w LEFT JOIN t2 USING (doc_id) JOIN stop USING (doc_id)
+        |WHERE n_tokens BETWEEN 20 AND 1000 AND n_distinct_tokens * 2 >= n_tokens
+        |  AND coalesce(tc, 0) * 20 <= coalesce(ng, 0) AND n_stop >= 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source,
+        |         unnest(list_transform(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
+        |           x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS shingle
+        |       FROM tok WHERE len(t) >= 3),
+        |b AS (SELECT doc_id, shingle FROM sh WHERE length(source) = 5),
+        |h AS (SELECT doc_id, shingle FROM sh WHERE length(source) = 4),
+        |nb AS (SELECT doc_id, count(*) AS n FROM b GROUP BY 1),
+        |nh AS (SELECT doc_id, count(*) AS n FROM h GROUP BY 1),
+        |dropped AS (SELECT DISTINCT p.doc_id FROM (
+        |    SELECT b.doc_id, h.doc_id AS hist_id, count(*) AS shared
+        |    FROM b JOIN h ON b.shingle = h.shingle GROUP BY 1, 2) p
+        |  JOIN nb ON p.doc_id = nb.doc_id JOIN nh ON p.hist_id = nh.doc_id
+        |  WHERE p.shared * 10 >= 4 * (nb.n + nh.n - p.shared))
+        |SELECT d.doc_id, d.source FROM documents d
+        |WHERE length(d.source) = 5 AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "pipeline_clean_corpus" ->
       """WITH votes AS (

@@ -125,6 +125,31 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental near-dup prune: drop new-batch documents that are
+    * n-gram-Jaccard near-dups of ANY document already in the historical
+    * corpus — the operational form of dedup in a continuously-ingesting
+    * pipeline (the batch is compared against history, never against
+    * itself, and history is never rescanned for pairs). Shingle
+    * equi-join batch×history (bounded keys, no cross join), integer
+    * Jaccard threshold, left-anti on the hit set. Batch docs shorter
+    * than n tokens have no shingles and are kept.
+    */
+  def incrementalPrune(batch: DataFrame, history: DataFrame, n: Int = 3,
+                       threshold10: Int = 4): DataFrame = {
+    val shB = shingles(batch, n)
+    val shH = shingles(history, n)
+    val sizesB = shB.groupBy(col("doc_id")).agg(count(lit(1)).as("n_b"))
+    val sizesH = shH.groupBy(col("doc_id")).agg(count(lit(1)).as("n_h"))
+    val hits = shB.as("b").join(shH.as("h"), col("b.shingle") === col("h.shingle"))
+      .groupBy(col("b.doc_id").as("doc_id"), col("h.doc_id").as("hist_id"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizesB, "doc_id")
+      .join(sizesH.withColumnRenamed("doc_id", "hist_id"), "hist_id")
+      .filter(col("shared") * 10 >= (col("n_b") + col("n_h") - col("shared")) * threshold10)
+      .select(col("doc_id")).distinct()
+    batch.join(hits, Seq("doc_id"), "left_anti")
+  }
+
   /** SimHash (Charikar '02): 64-bit signature from per-token FNV-64a
     * bit votes (engine-neutral bits — the full signature hash-matches
     * the DuckDB twin); near-dups = small Hamming distance. Banded into 4×16-bit

@@ -258,6 +258,18 @@ class OpsSpec extends SparkSpec {
     assert((t0 ++ t1.drop(8) ++ t2.drop(8)).toSeq === (1 to 75).map(i => s"w$i"))
   }
 
+  test("incremental prune drops batch docs near-dup of history, keeps batch-internal dups") {
+    val history = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon eta"),  // near-dup of history doc 1
+      (11L, "one two three four five six"),          // novel
+      (12L, "one two three four five six")           // dup of 11 — batch-internal, KEPT
+    ).toDF("doc_id", "text")
+    val kept = graft.ops.Dedup.incrementalPrune(batch, history)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(11L, 12L))
+  }
+
   test("vocab tokenization maps tokens by frequency rank with -1 UNK") {
     val docs = Seq((1L, "b a b c"), (2L, "b a rare")).toDF("doc_id", "text")
     val vocab = TextAnalysis.buildVocab(docs, topK = 2) // b(3)→0, a(2)→1
