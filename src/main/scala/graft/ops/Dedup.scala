@@ -57,16 +57,26 @@ object Dedup {
              else raw.withColumn("df",
                  count(lit(1)).over(Window.partitionBy(col("shingle"))))
                .filter(col("df") <= dfCap).drop("df")
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+    thresholdedPairs(sh, sh, threshold10, col("a.doc_id") < col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"))
+  }
+
+  /** Shared Jaccard mechanics over two (doc_id, shingle) sets: per-doc
+    * sizes, shared-shingle counts from the equi-join, and the float-free
+    * integer threshold `shared*10 >= t10*(|A|+|B|-shared)`. The self-join
+    * (jaccardPairs) and bipartite (incrementalPrune) forms differ only in
+    * the extra join predicate.
+    */
+  private def thresholdedPairs(shA: DataFrame, shB: DataFrame,
+                               threshold10: Int, extra: Column): DataFrame = {
+    val sizesA = shA.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
+    val sizesB = shB.groupBy(col("doc_id")).agg(count(lit(1)).as("n_b"))
+    shA.as("a").join(shB.as("b"), col("a.shingle") === col("b.shingle") && extra)
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .join(sizesA.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .join(sizesB.withColumnRenamed("doc_id", "doc_b"), "doc_b")
       .filter(col("shared") * 10 >= (col("n_a") + col("n_b") - col("shared")) * threshold10)
-      .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"))
   }
 
   /** MinHash signatures: k hash functions h_i(s) = (a_i*x + b_i) mod p
@@ -135,18 +145,25 @@ object Dedup {
     * than n tokens have no shingles and are kept.
     */
   def incrementalPrune(batch: DataFrame, history: DataFrame, n: Int = 3,
-                       threshold10: Int = 4): DataFrame = {
-    val shB = shingles(batch, n)
-    val shH = shingles(history, n)
-    val sizesB = shB.groupBy(col("doc_id")).agg(count(lit(1)).as("n_b"))
-    val sizesH = shH.groupBy(col("doc_id")).agg(count(lit(1)).as("n_h"))
-    val hits = shB.as("b").join(shH.as("h"), col("b.shingle") === col("h.shingle"))
-      .groupBy(col("b.doc_id").as("doc_id"), col("h.doc_id").as("hist_id"))
-      .agg(count(lit(1)).as("shared"))
-      .join(sizesB, "doc_id")
-      .join(sizesH.withColumnRenamed("doc_id", "hist_id"), "hist_id")
-      .filter(col("shared") * 10 >= (col("n_b") + col("n_h") - col("shared")) * threshold10)
-      .select(col("doc_id")).distinct()
+                       threshold10: Int = 4, dfCap: Int = Int.MaxValue): DataFrame = {
+    val shB0 = shingles(batch, n)
+    val shH0 = shingles(history, n)
+    // df-cap over the COMBINED universe: one viral boilerplate shingle in
+    // f_b batch × f_h history docs is an f_b·f_h hot join key — the same
+    // quadratic blowup jaccardPairs caps. The hot set (only shingles
+    // above the cap) is tiny, so it prunes both sides via broadcast
+    // anti-joins — no extra shuffle of either shingle set.
+    val (shB, shH) =
+      if (dfCap == Int.MaxValue) (shB0, shH0)
+      else {
+        val hot = shB0.select(col("shingle")).unionAll(shH0.select(col("shingle")))
+          .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > dfCap).select(col("shingle"))
+        (shB0.join(broadcast(hot), Seq("shingle"), "left_anti"),
+         shH0.join(broadcast(hot), Seq("shingle"), "left_anti"))
+      }
+    val hits = thresholdedPairs(shB, shH, threshold10, lit(true))
+      .select(col("doc_a").as("doc_id")).distinct()
     batch.join(hits, Seq("doc_id"), "left_anti")
   }
 

@@ -268,6 +268,11 @@ class OpsSpec extends SparkSpec {
     val kept = graft.ops.Dedup.incrementalPrune(batch, history)
       .select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq === Seq(11L, 12L))
+    // df-cap: with every shingle above the cap pruned as boilerplate,
+    // no candidate pairs survive and the whole batch is kept
+    val keptCapped = graft.ops.Dedup.incrementalPrune(batch, history, dfCap = 0)
+      .select("doc_id").as[Long].collect().sorted
+    assert(keptCapped.toSeq === Seq(10L, 11L, 12L))
   }
 
   test("vocab tokenization maps tokens by frequency rank with -1 UNK") {
