@@ -92,6 +92,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stream-static anti-join: incremental exact dedup against a static history") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the streaming form of incremental dedup: arriving docs are
+    // anti-joined against the (static, broadcastable) historical hash
+    // set — Spark supports stream-static joins natively, no foreachBatch
+    val docs = Tables.documents(spark, sf001)
+    val history = docs.filter(length(col("source")) === 4)
+      .select(md5(col("text")).as("text_hash")).distinct()
+    val sch = docs.schema
+    val stream = spark.readStream.schema(sch)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf001)
+      .filter(length(col("source")) === 5)
+      .withColumn("text_hash", md5(col("text")))
+      .join(history, Seq("text_hash"), "left_anti")
+    val q = stream.writeStream.format("memory").queryName("incdedup")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish within the timeout")
+    val streamed = spark.table("incdedup").select("doc_id")
+      .as[Long].collect().sorted
+    val batch = docs.filter(length(col("source")) === 5)
+      .join(history.withColumnRenamed("text_hash", "h"),
+        md5(col("text")) === col("h"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream-stream interval join within watermark bounds") {
     import org.apache.spark.sql.functions._
     val a = StreamPipeline.walStream(spark, sf001)
