@@ -315,6 +315,10 @@ class OpsSpec extends SparkSpec {
     val cPlan = contam.queryExecution.executedPlan.toString
     assert(cPlan.contains("BroadcastHashJoin"),
       s"benchmark gram set should broadcast-join, got:\n$cPlan")
+    val tokPlan = TextAnalysis.tokenizeToIds(docs, TextAnalysis.buildVocab(docs, 100))
+      .queryExecution.executedPlan.toString
+    assert(tokPlan.contains("BroadcastHashJoin"),
+      s"vocab should broadcast-join, got:\n$tokPlan")
     // narrow per-row ops: zero shuffle Exchange anywhere in the plan
     for ((name, df) <- Seq(
         "chunk" -> TextAnalysis.chunk(docs, 32, 8),
