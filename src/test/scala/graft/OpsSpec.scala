@@ -412,6 +412,39 @@ class OpsSpec extends SparkSpec {
     assert(frames.forall(_.getAs[Int]("frame_no") % 4 === 0))
   }
 
+  test("http sink posts real bytes: per-event bodies, auth header, retry past 5xx") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import scala.jdk.CollectionConverters._
+    val received   = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val failsLeft  = new java.util.concurrent.atomic.AtomicInteger(2)
+    val headerSeen = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/ingest", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      headerSeen.set(ex.getRequestHeaders.getFirst("X-Api-Key"))
+      if (failsLeft.getAndDecrement() > 0) ex.sendResponseHeaders(500, -1)
+      else { received.add(body); ex.sendResponseHeaders(200, -1) }
+      ex.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val sink = graft.sinks.Sinks.withRetry(
+        graft.sinks.HttpSink(graft.sinks.HttpSinkConfig(
+          s"http://127.0.0.1:$port/ingest",
+          authenticationType = "header",
+          headerName = "X-Api-Key", headerValue = "sekrit")))
+      val df = Tables.documents(spark, sf001).limit(20)
+        .select(col("doc_id"), substring(col("text"), 1, 30).as("snippet"))
+      sink.emit(df, 7L)
+      // at-least-once: the two injected 500s force a batch retry; the
+      // receiver's set-dedupe collapses redelivery to exactly the rows
+      val expected = df.toJSON.collect().toSet
+      assert(received.asScala.toSet === expected)
+      assert(headerSeen.get() === "sekrit")
+    } finally server.stop(0)
+  }
+
   test("sink retry backs off and eventually succeeds") {
     var calls = 0
     val flaky = new graft.sinks.Sink {
