@@ -219,6 +219,115 @@ final case class RedisSinkConfig(
     "tls" -> tls.toString)
 }
 
+/** Minimal RESP2 client for the reference's Redis emit
+  * (`redis.go:111-131`: `XADD <topic> * key <key> envelope <envelope>`
+  * per event) — real bytes over a raw TCP socket from the executors, no
+  * client library. Expects a batch with string columns
+  * (topic, key, envelope). Error replies (`-ERR …`) throw, so
+  * `Sinks.withRetry` supplies the reference's backoff; XADD is
+  * at-least-once and consumers dedupe on content.
+  */
+final case class RedisSink(config: RedisSinkConfig) extends Sink {
+  def name = "redis"
+  def emit(batch: DataFrame, batchId: Long): Unit = {
+    val address  = config.address
+    val password = config.password
+    val database = config.database
+    batch.select("topic", "key", "envelope").foreachPartition { (rows: Iterator[Row]) =>
+      val Array(host, portS) = address.split(":", 2)
+      val sock = new java.net.Socket(host, portS.toInt)
+      try {
+        val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+        val in  = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(sock.getInputStream))
+        def crlfLine(): String = {
+          val sb = new StringBuilder
+          var c = in.read()
+          while (c != -1 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = in.read() }
+          sb.toString
+        }
+        def writeCmd(args: String*): Unit = {
+          out.write(s"*${args.length}\r\n".getBytes("UTF-8"))
+          args.foreach { a =>
+            val b = a.getBytes("UTF-8")
+            out.write(s"$$${b.length}\r\n".getBytes("UTF-8"))
+            out.write(b)
+            out.write("\r\n".getBytes("UTF-8"))
+          }
+          out.flush()
+        }
+        def readReply(): Unit = {
+          val line = crlfLine()
+          if (line.isEmpty) throw new RuntimeException("redis: connection closed")
+          line.charAt(0) match {
+            case '-' => throw new RuntimeException(s"redis: $line")
+            case '$' =>
+              val n = line.substring(1).toInt
+              if (n >= 0) { val buf = new Array[Byte](n + 2); in.readFully(buf) }
+            case _ => () // +OK, :N
+          }
+        }
+        if (password.nonEmpty) { writeCmd("AUTH", password); readReply() }
+        if (database != 0)     { writeCmd("SELECT", database.toString); readReply() }
+        rows.foreach { r =>
+          writeCmd("XADD", r.getAs[String]("topic"), "*",
+            "key", r.getAs[String]("key"), "envelope", r.getAs[String]("envelope"))
+          readReply()
+        }
+      } finally sock.close()
+    }
+  }
+}
+
+/** Minimal core-NATS client for the reference's publish
+  * (`nats.go:133-156`: per-event message on the topic subject) — the
+  * text wire protocol (INFO/CONNECT/PUB/PING) over a raw socket from
+  * the executors. A trailing PING/PONG round-trip is the flush barrier:
+  * the server has processed every PUB before the partition completes.
+  * Expects a batch with string columns (topic, envelope).
+  */
+final case class NatsSink(config: NatsSinkConfig) extends Sink {
+  def name = "nats"
+  def emit(batch: DataFrame, batchId: Long): Unit = {
+    val address  = config.address.stripPrefix("nats://")
+    val username = config.username
+    val password = config.password
+    batch.select("topic", "envelope").foreachPartition { (rows: Iterator[Row]) =>
+      val Array(host, portS) = address.split(":", 2)
+      val sock = new java.net.Socket(host, portS.toInt)
+      try {
+        val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+        val in  = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(sock.getInputStream))
+        def crlfLine(): String = {
+          val sb = new StringBuilder
+          var c = in.read()
+          while (c != -1 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = in.read() }
+          sb.toString
+        }
+        def send(s: String): Unit = out.write(s.getBytes("UTF-8"))
+        def jsonStr(s: String): String =
+          "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        val info = crlfLine()
+        if (!info.startsWith("INFO")) throw new RuntimeException(s"nats: expected INFO, got $info")
+        send(s"""CONNECT {"verbose":false,"pedantic":false,"user":${jsonStr(username)},"pass":${jsonStr(password)},"name":"graft"}""" + "\r\n")
+        send("PING\r\n"); out.flush()
+        val pong = crlfLine()
+        if (pong != "PONG") throw new RuntimeException(s"nats: expected PONG, got $pong")
+        rows.foreach { r =>
+          val payload = r.getAs[String]("envelope").getBytes("UTF-8")
+          send(s"PUB ${r.getAs[String]("topic")} ${payload.length}\r\n")
+          out.write(payload)
+          send("\r\n")
+        }
+        send("PING\r\n"); out.flush()
+        val flushAck = crlfLine()
+        if (flushAck != "PONG") throw new RuntimeException(s"nats: flush failed: $flushAck")
+      } finally sock.close()
+    }
+  }
+}
+
 /** Kinesis sink option assembly — S12
   * (`internal/eventing/sink/awskinesis/awskinesis.go:49-62,143`): the
   * stream name is mandatory; the partition key per record is the TOPIC

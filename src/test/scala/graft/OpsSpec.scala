@@ -445,6 +445,117 @@ class OpsSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("redis sink speaks RESP: AUTH, per-event XADD frames, -ERR triggers retry") {
+    import scala.jdk.CollectionConverters._
+    val received  = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val authSeen  = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val failsLeft = new java.util.concurrent.atomic.AtomicInteger(1)
+    val server = new java.net.ServerSocket(0, 50, java.net.InetAddress.getByName("127.0.0.1"))
+    @volatile var running = true
+    val acceptor = new Thread(() => {
+      while (running) {
+        try {
+          val s = server.accept()
+          new Thread(() => {
+            val in  = new java.io.DataInputStream(new java.io.BufferedInputStream(s.getInputStream))
+            val out = new java.io.BufferedOutputStream(s.getOutputStream)
+            def line(): String = {
+              val sb = new StringBuilder; var c = in.read()
+              while (c != -1 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = in.read() }
+              sb.toString
+            }
+            try {
+              var l = line()
+              while (l.nonEmpty) {
+                val n = l.substring(1).toInt // *N
+                val args = (0 until n).map { _ =>
+                  val len = line().substring(1).toInt // $len
+                  val buf = new Array[Byte](len + 2); in.readFully(buf)
+                  new String(buf, 0, len, "UTF-8")
+                }
+                args.head match {
+                  case "AUTH" => authSeen.set(args(1)); out.write("+OK\r\n".getBytes)
+                  case "XADD" if failsLeft.getAndDecrement() > 0 =>
+                    out.write("-ERR injected\r\n".getBytes)
+                  case "XADD" =>
+                    received.add(s"${args(1)}|${args(4)}|${args(6)}")
+                    out.write("$3\r\n1-1\r\n".getBytes)
+                  case _ => out.write("+OK\r\n".getBytes)
+                }
+                out.flush()
+                l = line()
+              }
+            } catch { case _: Exception => () } finally s.close()
+          }).start()
+        } catch { case _: Exception => () }
+      }
+    })
+    acceptor.start()
+    try {
+      import spark.implicits._
+      val df = (1 to 10).map(i => (s"t$i", s"k$i", s"e$i"))
+        .toDF("topic", "key", "envelope").repartition(3)
+      val sink = graft.sinks.Sinks.withRetry(graft.sinks.RedisSink(
+        graft.sinks.RedisSinkConfig(address = s"127.0.0.1:${server.getLocalPort}",
+          password = "hunter2")))
+      sink.emit(df, 3L)
+      assert(authSeen.get() === "hunter2")
+      assert(received.asScala.toSet ===
+        (1 to 10).map(i => s"t$i|k$i|e$i").toSet)
+    } finally { running = false; server.close() }
+  }
+
+  test("nats sink speaks the core protocol: CONNECT auth, PUB frames, PING flush") {
+    import scala.jdk.CollectionConverters._
+    val received    = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val connectSeen = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val server = new java.net.ServerSocket(0, 50, java.net.InetAddress.getByName("127.0.0.1"))
+    @volatile var running = true
+    val acceptor = new Thread(() => {
+      while (running) {
+        try {
+          val s = server.accept()
+          new Thread(() => {
+            val in  = new java.io.DataInputStream(new java.io.BufferedInputStream(s.getInputStream))
+            val out = new java.io.BufferedOutputStream(s.getOutputStream)
+            def line(): String = {
+              val sb = new StringBuilder; var c = in.read()
+              while (c != -1 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = in.read() }
+              sb.toString
+            }
+            try {
+              out.write("INFO {\"server_id\":\"fake\"}\r\n".getBytes); out.flush()
+              var l = line()
+              while (l.nonEmpty) {
+                if (l.startsWith("CONNECT")) connectSeen.set(l)
+                else if (l == "PING") { out.write("PONG\r\n".getBytes); out.flush() }
+                else if (l.startsWith("PUB")) {
+                  val parts = l.split(" ") // PUB subject nbytes
+                  val buf = new Array[Byte](parts(2).toInt + 2); in.readFully(buf)
+                  received.add(parts(1) + "|" + new String(buf, 0, parts(2).toInt, "UTF-8"))
+                }
+                l = line()
+              }
+            } catch { case _: Exception => () } finally s.close()
+          }).start()
+        } catch { case _: Exception => () }
+      }
+    })
+    acceptor.start()
+    try {
+      import spark.implicits._
+      val df = (1 to 8).map(i => (s"subj$i", s"env$i")).toDF("topic", "envelope")
+        .repartition(2)
+      val sink = graft.sinks.NatsSink(graft.sinks.NatsSinkConfig(
+        address = s"nats://127.0.0.1:${server.getLocalPort}",
+        username = "alice", password = "s3cret"))
+      sink.emit(df, 9L)
+      assert(connectSeen.get().contains("\"user\":\"alice\"") &&
+        connectSeen.get().contains("\"pass\":\"s3cret\""))
+      assert(received.asScala.toSet === (1 to 8).map(i => s"subj$i|env$i").toSet)
+    } finally { running = false; server.close() }
+  }
+
   test("sink retry backs off and eventually succeeds") {
     var calls = 0
     val flaky = new graft.sinks.Sink {
