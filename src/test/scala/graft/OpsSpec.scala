@@ -556,6 +556,117 @@ class OpsSpec extends SparkSpec {
     } finally { running = false; server.close() }
   }
 
+  /** Server-side SigV4 check: recompute the Authorization header from the
+    * received request using the known secret; true iff it matches. */
+  private def sigV4Matches(ex: com.sun.net.httpserver.HttpExchange, body: Array[Byte],
+      region: String, service: String, secret: String): Boolean = {
+    val auth = ex.getRequestHeaders.getFirst("Authorization")
+    if (auth == null) return false
+    val cred = "Credential=([^,]+)".r.findFirstMatchIn(auth).map(_.group(1))
+    val signed = "SignedHeaders=([^,]+)".r.findFirstMatchIn(auth).map(_.group(1))
+    if (cred.isEmpty || signed.isEmpty) return false
+    val akid = cred.get.split("/")(0)
+    val headerSeq = signed.get.split(";").toSeq
+      .map(h => h -> ex.getRequestHeaders.getFirst(h))
+    val amzDate = ex.getRequestHeaders.getFirst("x-amz-date")
+    val expected = graft.sinks.AwsSigV4.authorization(
+      "POST", "/", "", headerSeq, body, amzDate, region, service, akid, secret)
+    expected == auth
+  }
+
+  test("kinesis sink: SigV4-signed PutRecords batches; 500 and FailedRecordCount trigger retry") {
+    import scala.jdk.CollectionConverters._
+    val received   = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val sigBad     = new java.util.concurrent.atomic.AtomicInteger(0)
+    val http500    = new java.util.concurrent.atomic.AtomicInteger(1)
+    val failedRecs = new java.util.concurrent.atomic.AtomicInteger(1)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { ex =>
+      val body = ex.getRequestBody.readAllBytes()
+      if (!sigV4Matches(ex, body, "eu-west-1", "kinesis", "topsecret")) sigBad.incrementAndGet()
+      val resp =
+        if (http500.getAndDecrement() > 0) { ex.sendResponseHeaders(500, 0); "" }
+        else if (failedRecs.getAndDecrement() > 0) {
+          ex.sendResponseHeaders(200, 0); """{"FailedRecordCount":1,"Records":[]}"""
+        } else {
+          """\{"Data":"([^"]+)","PartitionKey":"([^"]*)"\}""".r
+            .findAllMatchIn(new String(body, "UTF-8")).foreach { m =>
+              val env = new String(java.util.Base64.getDecoder.decode(m.group(1)), "UTF-8")
+              received.add(s"${m.group(2)}|$env")
+            }
+          ex.sendResponseHeaders(200, 0); """{"FailedRecordCount":0,"Records":[]}"""
+        }
+      ex.getResponseBody.write(resp.getBytes("UTF-8")); ex.close()
+    })
+    server.start()
+    try {
+      import spark.implicits._
+      val df = (1 to 12).map(i => (s"topic$i", s"""{"event":$i}""".toString))
+        .toDF("topic", "envelope").repartition(3)
+      val sink = graft.sinks.Sinks.withRetry(graft.sinks.KinesisSink(
+        graft.sinks.KinesisSinkConfig(
+          streamName = Some("graft-stream"), region = Some("eu-west-1"),
+          endpoint = s"http://127.0.0.1:${server.getAddress.getPort}",
+          accessKeyId = "AKIDEXAMPLE", secretAccessKey = "topsecret",
+          sessionToken = "sess-token-123")))
+      sink.emit(df, 5L)
+      assert(sigBad.get() === 0)
+      assert(received.asScala.toSet ===
+        (1 to 12).map(i => s"topic$i|{\"event\":$i}").toSet)
+    } finally server.stop(0)
+  }
+
+  test("sqs sink: SigV4-signed SendMessageBatch with group and dedup ids; error entry triggers retry") {
+    import scala.jdk.CollectionConverters._
+    val received = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val sigBad   = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errLeft  = new java.util.concurrent.atomic.AtomicInteger(1)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { ex =>
+      val body = ex.getRequestBody.readAllBytes()
+      if (!sigV4Matches(ex, body, "us-east-1", "sqs", "sqs-secret")) sigBad.incrementAndGet()
+      val resp =
+        if (errLeft.getAndDecrement() > 0)
+          "<SendMessageBatchResponse><BatchResultErrorEntry><Id>msg0</Id></BatchResultErrorEntry></SendMessageBatchResponse>"
+        else {
+          val params = new String(body, "UTF-8").split("&").map { kv =>
+            val Array(k, v) = kv.split("=", 2)
+            java.net.URLDecoder.decode(k, "UTF-8") -> java.net.URLDecoder.decode(v, "UTF-8")
+          }.toMap
+          assert(params("Action") == "SendMessageBatch" &&
+            params("QueueUrl") == "https://sqs.example/q.fifo")
+          var i = 1
+          while (params.contains(s"SendMessageBatchRequestEntry.$i.Id")) {
+            val p = s"SendMessageBatchRequestEntry.$i"
+            received.add(s"${params(s"$p.MessageGroupId")}|${params(s"$p.MessageBody")}|" +
+              params(s"$p.MessageDeduplicationId"))
+            i += 1
+          }
+          "<SendMessageBatchResponse><SendMessageBatchResult/></SendMessageBatchResponse>"
+        }
+      ex.sendResponseHeaders(200, 0)
+      ex.getResponseBody.write(resp.getBytes("UTF-8")); ex.close()
+    })
+    server.start()
+    try {
+      import spark.implicits._
+      // bodies with &, =, spaces and unicode prove the form-encoding round-trip
+      val df = (1 to 25).map(i => (s"t${i % 3}", s"""{"n":$i,"s":"a&b = ç"}""", s"dedup-$i"))
+        .toDF("topic", "envelope", "dedup_id").repartition(2)
+      val sink = graft.sinks.Sinks.withRetry(graft.sinks.SqsSink(
+        graft.sinks.SqsSinkConfig(
+          queueUrl = Some("https://sqs.example/q.fifo"),
+          endpoint = s"http://127.0.0.1:${server.getAddress.getPort}",
+          accessKeyId = "AKIDSQS", secretAccessKey = "sqs-secret")))
+      sink.emit(df, 6L)
+      assert(sigBad.get() === 0)
+      assert(received.asScala.toSet ===
+        (1 to 25).map(i => s"t${i % 3}|{\"n\":$i,\"s\":\"a&b = ç\"}|dedup-$i").toSet)
+    } finally server.stop(0)
+  }
+
   test("sink retry backs off and eventually succeeds") {
     var calls = 0
     val flaky = new graft.sinks.Sink {
