@@ -667,6 +667,106 @@ class OpsSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("kafka wire sink: Produce v3 + RecordBatch v2 parsed and CRC32C-verified by a fake broker; error code triggers retry") {
+    import scala.jdk.CollectionConverters._
+    val received  = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val crcBad    = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errLeft   = new java.util.concurrent.atomic.AtomicInteger(1)
+    val server = new java.net.ServerSocket(0, 50, java.net.InetAddress.getByName("127.0.0.1"))
+    @volatile var running = true
+
+    def readVarlong(in: java.io.DataInputStream): Long = {
+      var z = 0L; var shift = 0; var b = 0
+      do { b = in.read(); z |= (b & 0x7fL) << shift; shift += 7 } while ((b & 0x80) != 0)
+      (z >>> 1) ^ -(z & 1)
+    }
+
+    val acceptor = new Thread(() => {
+      while (running) {
+        try {
+          val s = server.accept()
+          new Thread(() => {
+            val in  = new java.io.DataInputStream(new java.io.BufferedInputStream(s.getInputStream))
+            val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(s.getOutputStream))
+            def str(): String = { val n = in.readShort(); val b = new Array[Byte](n); in.readFully(b); new String(b, "UTF-8") }
+            try {
+              while (true) {
+                val size = in.readInt()
+                val req  = new Array[Byte](size); in.readFully(req)
+                val r = new java.io.DataInputStream(new java.io.ByteArrayInputStream(req))
+                def rstr(): String = { val n = r.readShort(); val b = new Array[Byte](n); r.readFully(b); new String(b, "UTF-8") }
+                assert(r.readShort() == 0 && r.readShort() == 3)   // Produce v3
+                val corr = r.readInt()
+                rstr()                                             // clientId
+                assert(r.readShort() == -1)                        // transactional_id null
+                assert(r.readShort() == -1)                        // acks=all
+                r.readInt()                                        // timeout
+                val nTopics = r.readInt()
+                val topicNames = (0 until nTopics).map { _ =>
+                  val topic = rstr()
+                  assert(r.readInt() == 1 && r.readInt() == 0)     // one entry, partition 0
+                  val setSize = r.readInt()
+                  val batch = new Array[Byte](setSize); r.readFully(batch)
+                  val b = new java.io.DataInputStream(new java.io.ByteArrayInputStream(batch))
+                  b.readLong()                                     // baseOffset
+                  assert(b.readInt() == setSize - 12)              // batchLength
+                  b.readInt()                                      // partitionLeaderEpoch
+                  assert(b.read() == 2)                            // magic v2
+                  val crc = b.readInt()
+                  val tail = new Array[Byte](setSize - 21); b.readFully(tail)
+                  val c = new java.util.zip.CRC32C(); c.update(tail)
+                  if (c.getValue.toInt != crc) crcBad.incrementAndGet()
+                  val t = new java.io.DataInputStream(new java.io.ByteArrayInputStream(tail))
+                  t.readShort()                                    // attributes
+                  val lastOffsetDelta = t.readInt()
+                  t.readLong(); t.readLong(); t.readLong(); t.readShort(); t.readInt()
+                  val n = t.readInt()
+                  assert(lastOffsetDelta == n - 1)
+                  (0 until n).foreach { _ =>
+                    readVarlong(t)                                 // record length
+                    t.read()                                       // attributes
+                    readVarlong(t); readVarlong(t)                 // tsDelta, offsetDelta
+                    val kl = readVarlong(t).toInt
+                    val k = new Array[Byte](kl); t.readFully(k)
+                    val vl = readVarlong(t).toInt
+                    val v = new Array[Byte](vl); t.readFully(v)
+                    assert(readVarlong(t) == 0)                    // headers
+                    received.add(s"$topic|${new String(k, "UTF-8")}|${new String(v, "UTF-8")}")
+                  }
+                  topic
+                }
+                val resp = new java.io.ByteArrayOutputStream()
+                val d = new java.io.DataOutputStream(resp)
+                d.writeInt(corr)
+                d.writeInt(topicNames.length)
+                val err = if (errLeft.getAndDecrement() > 0) 7 else 0  // REQUEST_TIMED_OUT once
+                topicNames.foreach { t =>
+                  val tb = t.getBytes("UTF-8"); d.writeShort(tb.length); d.write(tb)
+                  d.writeInt(1); d.writeInt(0); d.writeShort(err)
+                  d.writeLong(0L); d.writeLong(-1L)
+                }
+                d.writeInt(0)                                      // throttle_time_ms
+                out.writeInt(resp.size()); resp.writeTo(out); out.flush()
+              }
+            } catch { case _: Exception => () } finally s.close()
+          }).start()
+        } catch { case _: Exception => () }
+      }
+    })
+    acceptor.start()
+    try {
+      import spark.implicits._
+      val df = (1 to 30).map(i => (s"topic${i % 2}", s"key$i", s"""{"ev":$i}"""))
+        .toDF("topic", "key", "envelope").repartition(3)
+      val sink = graft.sinks.Sinks.withRetry(graft.sinks.KafkaWireSink(
+        bootstrap = s"127.0.0.1:${server.getLocalPort}"))
+      sink.emit(df, 7L)
+      assert(crcBad.get() === 0)
+      assert(received.asScala.toSet ===
+        (1 to 30).map(i => s"topic${i % 2}|key$i|{\"ev\":$i}").toSet)
+    } finally { running = false; server.close() }
+  }
+
   test("sink retry backs off and eventually succeeds") {
     var calls = 0
     val flaky = new graft.sinks.Sink {
