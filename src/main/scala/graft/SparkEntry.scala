@@ -904,6 +904,23 @@ object SparkEntry {
     "emb_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables.embeddings(s, dir)).orderBy(col("vec_id"))),
 
+    "embed_project" -> ((s, dir) =>
+      // JL random projection 64→8 dims; shuffle-free per-row map
+      Similarity.randomProject(Tables.embeddings(s, dir)).orderBy(col("vec_id"))),
+
+    "embed_centroids" -> ((s, dir) =>
+      // per-label centroids as exact integer micro-sums + count
+      Similarity.centroidSumsByLabel(Tables.embeddings(s, dir))
+        .orderBy(col("label"), col("pos"))),
+
+    "text_classifier" -> ((s, dir) =>
+      // hashed-feature linear scorer; keep-flag at score > 0
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.classifierScoreMilli("text").as("score_milli"))
+        .withColumn("kept", col("score_milli") > 0)
+        .orderBy(col("doc_id"))),
+
     "chunk_documents" -> ((s, dir) =>
       TextAnalysis.chunk(Tables.documents(s, dir), width = 32, overlap = 8)
         .orderBy(col("doc_id"), col("chunk_no"))),
@@ -2184,6 +2201,45 @@ object SparkEntry {
         |           v -> CAST(floor(CAST(v AS DOUBLE) * 127.0 / absmax + 0.5) AS INT)), ',')
         |  END AS q_csv
         |FROM m ORDER BY vec_id""".stripMargin,
+
+    // JL projection twin: the SAME generated planes rendered as
+    // exact-double literals, the same sequential-fold dot product
+    "embed_project" -> {
+      val planes = graft.ops.Similarity.lshPlanes(64, 8, 7L)
+      val cols = (0 until 8).map { j =>
+        val lst = planes(j).map(f => f.toDouble.toString).mkString("[", ", ", "]")
+        s"${duckDot("embedding", lst)} AS p$j"
+      }.mkString(",\n")
+      s"SELECT vec_id,\n$cols\nFROM embeddings ORDER BY vec_id"
+    },
+
+    // centroid twin: floor(c*1e6+0.5) micros summed as BIGINT — integer
+    // sums are association-order-free, unlike float means
+    "embed_centroids" ->
+      """SELECT label, pos - 1 AS pos,
+        |  CAST(sum(CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS comp_micros_sum,
+        |  count(*) AS n
+        |FROM (SELECT label, embedding,
+        |        unnest(generate_series(1, len(embedding))) AS pos
+        |      FROM embeddings) t
+        |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
+
+    // classifier twin: FNV-64a per token (HUGEINT fold), bucket = % 1024
+    // (2^64 ≡ 0 mod 1024 so unsigned ≡ signed pmod), Knuth spread to
+    // milli-weights, BIGINT sum
+    "text_classifier" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |w AS (SELECT doc_id,
+        |  CAST(((list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |      list_transform(range(1, length(t) + 1),
+        |        i -> ascii(substr(t, CAST(i AS INTEGER), 1)))),
+        |      (acc, c) -> (xor(acc, CAST(c AS HUGEINT)) * 1099511628211) % 18446744073709551616)
+        |    % 1024) * 2654435761 % 2001 - 1000) AS BIGINT) AS w
+        |  FROM tok)
+        |SELECT doc_id, CAST(sum(w) AS BIGINT) AS score_milli,
+        |  CAST(sum(w) AS BIGINT) > 0 AS kept
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "chunk_documents" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -246,4 +246,39 @@ object Similarity {
                 .cast("int").cast("string")),
             ",")).as("q_csv"))
   }
+
+  /** Dense Johnson–Lindenstrauss random projection: `p_j = dot(v,
+    * plane_j)` for `outDim` deterministic pseudo-random planes (same
+    * xorshift generator as the LSH family — one generator, two engines,
+    * so the oracle embeds identical plane literals). The 100 TB shape:
+    * planes are plan-time constants, the projection is a narrow per-row
+    * codegen'd map with zero shuffle; downstream coarse clustering /
+    * ANN then works in `outDim` dimensions instead of `dim`.
+    */
+  def randomProject(emb: DataFrame, dim: Int = 64, outDim: Int = 8,
+      seed: Long = 7L): DataFrame = {
+    val planes = lshPlanes(dim, outDim, seed)
+    emb.select(col("vec_id") +: (0 until outDim).map { j =>
+      graft.functions.VecFunctions.vec_dot(col("embedding"), typedLit(planes(j)))
+        .as(s"p$j")
+    }: _*)
+  }
+
+  /** Per-label centroid of an embedding column, as exact integer
+    * micro-sums: component micros = `floor(c*1e6 + 0.5)` (pure IEEE ops,
+    * representation-stable across engines), summed as BIGINT per
+    * (label, pos) with a count — `mean_j = comp_micros_sum / (n*1e6)`
+    * downstream. Float means are NOT cross-engine stable (association
+    * order); integer sums are, which is why the contract is sums+count.
+    * One partial-aggregated shuffle on (label, pos) — map-side combine
+    * keeps the exchange at |labels|×dim rows at any corpus size.
+    */
+  def centroidSumsByLabel(emb: DataFrame): DataFrame =
+    emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "comp")))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        sum(floor(col("comp").cast("double") * 1000000.0d + 0.5d).cast("long"))
+          .as("comp_micros_sum"),
+        count(lit(1)).as("n"))
 }

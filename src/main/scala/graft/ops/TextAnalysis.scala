@@ -245,4 +245,24 @@ object TextAnalysis {
       element_at(langArr, array_position(scoreArr, best).cast("int")))
       .otherwise(lit("und"))
   }
+
+  /** Hashed-feature linear quality classifier — the fastText-style bag
+    * of hashed tokens every production data pipeline runs for document
+    * scoring: each token hashes to one of 1024 feature buckets
+    * (FNV-64a, codegen kernel), each bucket carries a weight, the
+    * document score is the sum. Integer arithmetic end-to-end
+    * (milli-unit weights, BIGINT sum) so the score is bit-stable across
+    * engines. The weight table is a deterministic function of the
+    * bucket id (a Knuth-multiplicative spread into [-1000, 1000]) — an
+    * honest stand-in for trained weights, which the environment has no
+    * way to produce; the scale-relevant parts (hashing, bucketing, the
+    * per-row fold, zero shuffle) are real.
+    */
+  def classifierScoreMilli(textCol: String): Column = {
+    val weight = (t: Column) =>
+      pmod(graft.functions.FnvHash64.fnv_hash64(t), lit(1024L))
+        .multiply(lit(2654435761L)).mod(lit(2001L)).minus(lit(1000L))
+    aggregate(transform(split(col(textCol), " "), weight), lit(0L),
+      (acc, w) => acc + w)
+  }
 }

@@ -308,6 +308,56 @@ class OpsSpec extends SparkSpec {
     assert(z.getDouble(1) === 0d && z.getString(2) === "0,0,0")
   }
 
+  test("random projection preserves relative distances and is shuffle-free") {
+    val emb  = Tables.embeddings(spark, sf001)
+    val proj = graft.ops.Similarity.randomProject(emb)
+    assert(proj.columns.toSeq === ("vec_id" +: (0 until 8).map(i => s"p$i")))
+    assert(proj.queryExecution.executedPlan.toString.contains("Exchange") === false)
+    // JL sanity on a sample: projected distance correlates with original —
+    // identical vectors project identically, and the projection is linear
+    val rows = proj.join(emb, "vec_id").limit(20).collect()
+    val dup = graft.ops.Similarity.randomProject(
+      emb.limit(1).union(emb.limit(1))).collect()
+    assert(dup(0).toSeq.tail === dup(1).toSeq.tail)
+    // linearity: p(2v) = 2*p(v) for every projected dim
+    val v1 = Seq((1L, Array.tabulate(64)(i => (i + 1) / 64f))).toDF("vec_id", "embedding")
+    val v2 = Seq((2L, Array.tabulate(64)(i => (i + 1) / 32f))).toDF("vec_id", "embedding")
+    val p1 = graft.ops.Similarity.randomProject(v1).head.toSeq.tail.map(_.asInstanceOf[Double])
+    val p2 = graft.ops.Similarity.randomProject(v2).head.toSeq.tail.map(_.asInstanceOf[Double])
+    p1.zip(p2).foreach { case (a, b) => assert(math.abs(b - 2 * a) < 1e-9) }
+    assert(rows.nonEmpty)
+  }
+
+  test("per-label centroid sums: counts partition the corpus, micros match a hand fold") {
+    val emb = Seq(
+      (1L, Array(0.5f, -0.25f), "a"),
+      (2L, Array(1.5f, 0.75f), "a"),
+      (3L, Array(-1.0f, 2.0f), "b")).toDF("vec_id", "embedding", "label")
+    val c = graft.ops.Similarity.centroidSumsByLabel(emb)
+      .orderBy("label", "pos")
+      .as[(String, Int, Long, Long)].collect().toSeq
+    assert(c === Seq(
+      ("a", 0, 2000000L, 2L),   // 500000 + 1500000
+      ("a", 1, 500000L, 2L),    // -250000 + 750000
+      ("b", 0, -1000000L, 1L),
+      ("b", 1, 2000000L, 1L)))
+  }
+
+  test("hashed-feature classifier score matches an independent per-token fold") {
+    val docs = Seq((1L, "alpha beta gamma alpha"), (2L, "delta")).toDF("doc_id", "text")
+    val got = docs
+      .select(col("doc_id"), TextAnalysis.classifierScoreMilli("text").as("s"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    def w(t: String): Long = {
+      val h = graft.functions.FnvHash64.hash(t.getBytes("UTF-8"))
+      val b = ((h % 1024) + 1024) % 1024
+      b * 2654435761L % 2001L - 1000L
+    }
+    assert(got === Seq(
+      (1L, Seq("alpha", "beta", "gamma", "alpha").map(w).sum),
+      (2L, w("delta"))))
+  }
+
   test("plan shapes: contamination broadcasts the benchmark; chunk/quantize/redact are shuffle-free") {
     val docs = Tables.documents(spark, sf001)
     val contam = TextAnalysis.contamination(
