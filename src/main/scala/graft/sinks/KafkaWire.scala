@@ -33,8 +33,9 @@ final case class KafkaWireSink(
     val timeout = timeoutMs
     val chunkSz = maxBatchRecords
     batch.select("topic", "key", "envelope").foreachPartition { (rows: Iterator[Row]) =>
-      val Array(host, portS) = address.split(":", 2)
-      val sock = new java.net.Socket(host, portS.toInt)
+      if (rows.hasNext) {                  // empty partition: don't even dial
+      val (host, port) = Sinks.hostPort(address, 9092)
+      val sock = new java.net.Socket(host, port)
       try {
         val out = new java.io.DataOutputStream(
           new java.io.BufferedOutputStream(sock.getOutputStream))
@@ -55,6 +56,7 @@ final case class KafkaWireSink(
           KafkaWire.checkProduceResponse(resp, correlation)
         }
       } finally sock.close()
+      }
     }
   }
 }
@@ -89,8 +91,11 @@ object KafkaWire {
     body.write(0)                       // attributes
     writeVarlong(body, 0L)              // timestampDelta
     writeVarint(body, offsetDelta)
-    val k = key.getBytes("UTF-8")
-    writeVarint(body, k.length); body.write(k)
+    if (key == null) writeVarint(body, -1)  // protocol null key
+    else {
+      val k = key.getBytes("UTF-8")
+      writeVarint(body, k.length); body.write(k)
+    }
     val v = value.getBytes("UTF-8")
     writeVarint(body, v.length); body.write(v)
     writeVarint(body, 0)                // headers

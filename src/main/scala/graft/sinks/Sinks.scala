@@ -32,6 +32,37 @@ object Sinks {
     registry.getOrElse(name,
       throw new IllegalArgumentException(s"unknown sink: $name (have: ${registry.keys.mkString(",")})"))()
 
+  /** Read one CRLF-terminated line byte-wise (shared by the raw-socket
+    * protocol clients; no readahead past the terminator). */
+  private[sinks] def crlfLine(in: java.io.DataInputStream): String = {
+    val sb = new StringBuilder
+    var c = in.read()
+    while (c != -1 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = in.read() }
+    sb.toString
+  }
+
+  /** First `host:port` of a (possibly comma-separated) address list.
+    * Raw-socket clients dial one endpoint; a missing port gets the
+    * protocol default. */
+  private[sinks] def hostPort(address: String, defaultPort: Int): (String, Int) =
+    address.split(",")(0).trim.split(":", 2) match {
+      case Array(h, p) => (h, p.toInt)
+      case Array(h)    => (h, defaultPort)
+    }
+
+  /** JSON string escaping for hand-built request bodies: quote,
+    * backslash, and all control chars below 0x20 (\u-escaped). */
+  private[sinks] def jsonEscape(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '"'            => sb.append("\\\"")
+      case '\\'           => sb.append("\\\\")
+      case c if c < 0x20  => sb.append(f"\\u${c.toInt}%04x")
+      case c              => sb.append(c)
+    }
+    sb.toString
+  }
+
   /** Exponential-backoff retry wrapper (×8, like `eventemitter.go:107`). */
   def withRetry(sink: Sink, maxRetries: Int = 8, baseDelayMs: Long = 10): Sink =
     new Sink {
@@ -234,18 +265,14 @@ final case class RedisSink(config: RedisSinkConfig) extends Sink {
     val password = config.password
     val database = config.database
     batch.select("topic", "key", "envelope").foreachPartition { (rows: Iterator[Row]) =>
-      val Array(host, portS) = address.split(":", 2)
-      val sock = new java.net.Socket(host, portS.toInt)
+      if (rows.hasNext) {                  // empty partition: don't even dial
+      val (host, port) = Sinks.hostPort(address, 6379)
+      val sock = new java.net.Socket(host, port)
       try {
         val out = new java.io.BufferedOutputStream(sock.getOutputStream)
         val in  = new java.io.DataInputStream(
           new java.io.BufferedInputStream(sock.getInputStream))
-        def crlfLine(): String = {
-          val sb = new StringBuilder
-          var c = in.read()
-          while (c != -1 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = in.read() }
-          sb.toString
-        }
+        def crlfLine(): String = Sinks.crlfLine(in)
         def writeCmd(args: String*): Unit = {
           out.write(s"*${args.length}\r\n".getBytes("UTF-8"))
           args.foreach { a =>
@@ -275,6 +302,7 @@ final case class RedisSink(config: RedisSinkConfig) extends Sink {
           readReply()
         }
       } finally sock.close()
+      }
     }
   }
 }
@@ -284,30 +312,31 @@ final case class RedisSink(config: RedisSinkConfig) extends Sink {
   * text wire protocol (INFO/CONNECT/PUB/PING) over a raw socket from
   * the executors. A trailing PING/PONG round-trip is the flush barrier:
   * the server has processed every PUB before the partition completes.
-  * Expects a batch with string columns (topic, envelope).
+  * Only userinfo authorization is wire-implemented; credentials/jwt
+  * configs fail loudly at emit (the reference supports them via the
+  * nats.go client library, `nats.go:44-64`) rather than silently
+  * connecting unauthenticated. Expects string columns (topic, envelope).
   */
 final case class NatsSink(config: NatsSinkConfig) extends Sink {
   def name = "nats"
   def emit(batch: DataFrame, batchId: Long): Unit = {
+    if (config.authorization != "userinfo")
+      throw new IllegalArgumentException(
+        s"nats wire client implements userinfo authorization only, got '${config.authorization}'")
     val address  = config.address.stripPrefix("nats://")
     val username = config.username
     val password = config.password
     batch.select("topic", "envelope").foreachPartition { (rows: Iterator[Row]) =>
-      val Array(host, portS) = address.split(":", 2)
-      val sock = new java.net.Socket(host, portS.toInt)
+      if (rows.hasNext) {                  // empty partition: don't even dial
+      val (host, port) = Sinks.hostPort(address, 4222)
+      val sock = new java.net.Socket(host, port)
       try {
         val out = new java.io.BufferedOutputStream(sock.getOutputStream)
         val in  = new java.io.DataInputStream(
           new java.io.BufferedInputStream(sock.getInputStream))
-        def crlfLine(): String = {
-          val sb = new StringBuilder
-          var c = in.read()
-          while (c != -1 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = in.read() }
-          sb.toString
-        }
+        def crlfLine(): String = Sinks.crlfLine(in)
         def send(s: String): Unit = out.write(s.getBytes("UTF-8"))
-        def jsonStr(s: String): String =
-          "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        def jsonStr(s: String): String = "\"" + Sinks.jsonEscape(s) + "\""
         val info = crlfLine()
         if (!info.startsWith("INFO")) throw new RuntimeException(s"nats: expected INFO, got $info")
         send(s"""CONNECT {"verbose":false,"pedantic":false,"user":${jsonStr(username)},"pass":${jsonStr(password)},"name":"graft"}""" + "\r\n")
@@ -324,6 +353,7 @@ final case class NatsSink(config: NatsSinkConfig) extends Sink {
         val flushAck = crlfLine()
         if (flushAck != "PONG") throw new RuntimeException(s"nats: flush failed: $flushAck")
       } finally sock.close()
+      }
     }
   }
 }
@@ -387,6 +417,30 @@ object AwsSigV4 {
   /** Host header value the JDK HttpClient will send for a URI. */
   def hostHeader(uri: java.net.URI): String =
     if (uri.getPort == -1) uri.getHost else s"${uri.getHost}:${uri.getPort}"
+
+  /** Sign and POST one request to `uri` — the shared emit path of the
+    * Kinesis/SQS sinks (one signing implementation, not two copies).
+    * Signs content-type/host/x-amz-date plus `extraHeaders` and the
+    * session token when present. */
+  def signedPost(client: java.net.http.HttpClient, uri: java.net.URI,
+      region: String, service: String,
+      accessKeyId: String, secretAccessKey: String, sessionToken: String,
+      contentType: String, extraHeaders: Seq[(String, String)],
+      body: Array[Byte]): java.net.http.HttpResponse[String] = {
+    val amzDate = amzDateNow()
+    val headers = Seq(
+      "content-type" -> contentType,
+      "host"         -> hostHeader(uri),
+      "x-amz-date"   -> amzDate) ++ extraHeaders ++
+      (if (sessionToken.nonEmpty) Seq("x-amz-security-token" -> sessionToken) else Nil)
+    val auth = authorization("POST", "/", "", headers, body, amzDate,
+      region, service, accessKeyId, secretAccessKey)
+    val b = java.net.http.HttpRequest.newBuilder(uri)
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
+      .header("Authorization", auth)
+    headers.filterNot(_._1 == "host").foreach { case (k, v) => b.header(k, v) }
+    client.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+  }
 }
 
 /** Kinesis sink option assembly — S12
@@ -462,27 +516,15 @@ final case class KinesisSink(config: KinesisSinkConfig) extends Sink {
         val records = chunk.map { r =>
           val data = java.util.Base64.getEncoder.encodeToString(
             r.getAs[String]("envelope").getBytes("UTF-8"))
-          val key = r.getAs[String]("topic")
-            .replace("\\", "\\\\").replace("\"", "\\\"")
+          val key = Sinks.jsonEscape(r.getAs[String]("topic"))
           s"""{"Data":"$data","PartitionKey":"$key"}"""
         }.mkString(",")
-        val body = s"""{"StreamName":"$streamName","Records":[$records]}"""
-          .getBytes("UTF-8")
-        val amzDate = AwsSigV4.amzDateNow()
-        val headers = Seq(
-          "content-type" -> "application/x-amz-json-1.1",
-          "host"         -> AwsSigV4.hostHeader(uri),
-          "x-amz-date"   -> amzDate,
-          "x-amz-target" -> "Kinesis_20131202.PutRecords") ++
-          (if (token.nonEmpty) Seq("x-amz-security-token" -> token) else Nil)
-        val auth = AwsSigV4.authorization("POST", "/", "", headers, body, amzDate,
-          region, "kinesis", akid, secret)
-        val b = java.net.http.HttpRequest.newBuilder(uri)
-          .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
-          .header("Authorization", auth)
-        headers.filterNot(_._1 == "host").foreach { case (k, v) => b.header(k, v) }
-        val resp = client.send(b.build(),
-          java.net.http.HttpResponse.BodyHandlers.ofString())
+        val body =
+          s"""{"StreamName":"${Sinks.jsonEscape(streamName)}","Records":[$records]}"""
+            .getBytes("UTF-8")
+        val resp = AwsSigV4.signedPost(client, uri, region, "kinesis",
+          akid, secret, token, "application/x-amz-json-1.1",
+          Seq("x-amz-target" -> "Kinesis_20131202.PutRecords"), body)
         if (resp.statusCode() / 100 != 2)
           throw new RuntimeException(
             s"kinesis sink: PutRecords -> ${resp.statusCode()}: ${resp.body()}")
@@ -519,14 +561,17 @@ final case class SqsSink(config: SqsSinkConfig) extends Sink {
       val uri    = java.net.URI.create(endpoint)
       val client = java.net.http.HttpClient.newHttpClient()
       rows.grouped(10).foreach { chunk =>
+        // No per-entry DelaySeconds: FIFO queues (the Group/Dedup-id
+        // contract implies FIFO) reject per-message delay — the
+        // reference's explicit DelaySeconds(0) (`awssqs.go:122`) is an
+        // SDK-default artifact this client deliberately omits.
         val entries = chunk.zipWithIndex.flatMap { case (r, i) =>
           val p = s"SendMessageBatchRequestEntry.${i + 1}"
           Seq(
             s"$p.Id" -> s"msg$i",
             s"$p.MessageBody"            -> r.getAs[String]("envelope"),
             s"$p.MessageGroupId"         -> r.getAs[String]("topic"),
-            s"$p.MessageDeduplicationId" -> r.getAs[String]("dedup_id"),
-            s"$p.DelaySeconds"           -> "0")
+            s"$p.MessageDeduplicationId" -> r.getAs[String]("dedup_id"))
         }
         val params = Seq(
           "Action" -> "SendMessageBatch", "Version" -> "2012-11-05",
@@ -534,20 +579,9 @@ final case class SqsSink(config: SqsSinkConfig) extends Sink {
         val body = params
           .map { case (k, v) => s"${AwsSigV4.uriEncode(k)}=${AwsSigV4.uriEncode(v)}" }
           .mkString("&").getBytes("UTF-8")
-        val amzDate = AwsSigV4.amzDateNow()
-        val headers = Seq(
-          "content-type" -> "application/x-www-form-urlencoded; charset=utf-8",
-          "host"         -> AwsSigV4.hostHeader(uri),
-          "x-amz-date"   -> amzDate) ++
-          (if (token.nonEmpty) Seq("x-amz-security-token" -> token) else Nil)
-        val auth = AwsSigV4.authorization("POST", "/", "", headers, body, amzDate,
-          region, "sqs", akid, secret)
-        val b = java.net.http.HttpRequest.newBuilder(uri)
-          .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
-          .header("Authorization", auth)
-        headers.filterNot(_._1 == "host").foreach { case (k, v) => b.header(k, v) }
-        val resp = client.send(b.build(),
-          java.net.http.HttpResponse.BodyHandlers.ofString())
+        val resp = AwsSigV4.signedPost(client, uri, region, "sqs",
+          akid, secret, token,
+          "application/x-www-form-urlencoded; charset=utf-8", Nil, body)
         if (resp.statusCode() / 100 != 2)
           throw new RuntimeException(
             s"sqs sink: SendMessageBatch -> ${resp.statusCode()}: ${resp.body()}")

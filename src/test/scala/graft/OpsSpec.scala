@@ -313,9 +313,7 @@ class OpsSpec extends SparkSpec {
     val proj = graft.ops.Similarity.randomProject(emb)
     assert(proj.columns.toSeq === ("vec_id" +: (0 until 8).map(i => s"p$i")))
     assert(proj.queryExecution.executedPlan.toString.contains("Exchange") === false)
-    // JL sanity on a sample: projected distance correlates with original —
-    // identical vectors project identically, and the projection is linear
-    val rows = proj.join(emb, "vec_id").limit(20).collect()
+    // identical vectors project identically
     val dup = graft.ops.Similarity.randomProject(
       emb.limit(1).union(emb.limit(1))).collect()
     assert(dup(0).toSeq.tail === dup(1).toSeq.tail)
@@ -325,7 +323,32 @@ class OpsSpec extends SparkSpec {
     val p1 = graft.ops.Similarity.randomProject(v1).head.toSeq.tail.map(_.asInstanceOf[Double])
     val p2 = graft.ops.Similarity.randomProject(v2).head.toSeq.tail.map(_.asInstanceOf[Double])
     p1.zip(p2).foreach { case (a, b) => assert(math.abs(b - 2 * a) < 1e-9) }
-    assert(rows.nonEmpty)
+    // JL property: pairwise distances in the projected image correlate
+    // with the original 64-dim distances, and more projection dims
+    // preserve distances better (the near-isotropic synthetic embeddings
+    // are the hard case — distances concentrate, so r is modest at k=8)
+    def distCorr(outDim: Int): Double = {
+      val p = graft.ops.Similarity.randomProject(emb, 64, outDim)
+        .join(emb, "vec_id").limit(30).collect()
+      val pairs = for {
+        i <- p.indices; j <- p.indices if i < j
+        a = p(i); b = p(j)
+        dOrig = math.sqrt(a.getSeq[Float](outDim + 1).zip(b.getSeq[Float](outDim + 1))
+          .map { case (x, y) => (x - y) * (x - y) }.sum)
+        dProj = math.sqrt((1 to outDim).map(c => {
+          val d = a.getDouble(c) - b.getDouble(c); d * d
+        }).sum)
+      } yield (dOrig.toDouble, dProj)
+      val (xs, ys) = pairs.unzip
+      val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
+      xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+        math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum *
+          ys.map(y => (y - my) * (y - my)).sum)
+    }
+    val (r8, r32) = (distCorr(8), distCorr(32))
+    assert(r8 > 0, s"k=8 distance correlation not positive: $r8")
+    assert(r32 > r8 && r32 > 0.4,
+      s"k=32 should preserve distances better: r8=$r8 r32=$r32")
   }
 
   test("per-label centroid sums: counts partition the corpus, micros match a hand fold") {
@@ -555,10 +578,11 @@ class OpsSpec extends SparkSpec {
     } finally { running = false; server.close() }
   }
 
-  test("nats sink speaks the core protocol: CONNECT auth, PUB frames, PING flush") {
+  test("nats sink speaks the core protocol: CONNECT auth, PUB frames, PING flush, -ERR triggers retry") {
     import scala.jdk.CollectionConverters._
     val received    = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val connectSeen = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val errLeft     = new java.util.concurrent.atomic.AtomicInteger(1)
     val server = new java.net.ServerSocket(0, 50, java.net.InetAddress.getByName("127.0.0.1"))
     @volatile var running = true
     val acceptor = new Thread(() => {
@@ -578,6 +602,9 @@ class OpsSpec extends SparkSpec {
               var l = line()
               while (l.nonEmpty) {
                 if (l.startsWith("CONNECT")) connectSeen.set(l)
+                else if (l == "PING" && errLeft.getAndDecrement() > 0) {
+                  out.write("-ERR 'injected'\r\n".getBytes); out.flush()
+                }
                 else if (l == "PING") { out.write("PONG\r\n".getBytes); out.flush() }
                 else if (l.startsWith("PUB")) {
                   val parts = l.split(" ") // PUB subject nbytes
@@ -596,10 +623,15 @@ class OpsSpec extends SparkSpec {
       import spark.implicits._
       val df = (1 to 8).map(i => (s"subj$i", s"env$i")).toDF("topic", "envelope")
         .repartition(2)
-      val sink = graft.sinks.NatsSink(graft.sinks.NatsSinkConfig(
+      val sink = graft.sinks.Sinks.withRetry(graft.sinks.NatsSink(graft.sinks.NatsSinkConfig(
         address = s"nats://127.0.0.1:${server.getLocalPort}",
-        username = "alice", password = "s3cret"))
+        username = "alice", password = "s3cret")))
       sink.emit(df, 9L)
+      // unsupported auth modes fail loudly instead of connecting blank
+      assertThrows[IllegalArgumentException] {
+        graft.sinks.NatsSink(graft.sinks.NatsSinkConfig(
+          address = "nats://127.0.0.1:1", authorization = "jwt")).emit(df, 10L)
+      }
       assert(connectSeen.get().contains("\"user\":\"alice\"") &&
         connectSeen.get().contains("\"pass\":\"s3cret\""))
       assert(received.asScala.toSet === (1 to 8).map(i => s"subj$i|env$i").toSet)
@@ -777,11 +809,13 @@ class OpsSpec extends SparkSpec {
                     t.read()                                       // attributes
                     readVarlong(t); readVarlong(t)                 // tsDelta, offsetDelta
                     val kl = readVarlong(t).toInt
-                    val k = new Array[Byte](kl); t.readFully(k)
+                    val key = if (kl < 0) "<null>" else {
+                      val k = new Array[Byte](kl); t.readFully(k); new String(k, "UTF-8")
+                    }
                     val vl = readVarlong(t).toInt
                     val v = new Array[Byte](vl); t.readFully(v)
                     assert(readVarlong(t) == 0)                    // headers
-                    received.add(s"$topic|${new String(k, "UTF-8")}|${new String(v, "UTF-8")}")
+                    received.add(s"$topic|$key|${new String(v, "UTF-8")}")
                   }
                   topic
                 }
@@ -806,14 +840,17 @@ class OpsSpec extends SparkSpec {
     acceptor.start()
     try {
       import spark.implicits._
-      val df = (1 to 30).map(i => (s"topic${i % 2}", s"key$i", s"""{"ev":$i}"""))
+      val df = ((1 to 30).map(i => (s"topic${i % 2}", s"key$i", s"""{"ev":$i}""")) :+
+        (("topic0", null.asInstanceOf[String], """{"ev":0}""")))
         .toDF("topic", "key", "envelope").repartition(3)
+      // comma-separated bootstrap list: dial the first entry
       val sink = graft.sinks.Sinks.withRetry(graft.sinks.KafkaWireSink(
-        bootstrap = s"127.0.0.1:${server.getLocalPort}"))
+        bootstrap = s"127.0.0.1:${server.getLocalPort},unreachable.example:9092"))
       sink.emit(df, 7L)
       assert(crcBad.get() === 0)
       assert(received.asScala.toSet ===
-        (1 to 30).map(i => s"topic${i % 2}|key$i|{\"ev\":$i}").toSet)
+        ((1 to 30).map(i => s"topic${i % 2}|key$i|{\"ev\":$i}").toSet
+          + "topic0|<null>|{\"ev\":0}"))
     } finally { running = false; server.close() }
   }
 
