@@ -2227,7 +2227,9 @@ object SparkEntry {
 
     // classifier twin: FNV-64a per token (HUGEINT fold), bucket = % 1024
     // (2^64 ≡ 0 mod 1024 so unsigned ≡ signed pmod), Knuth spread to
-    // milli-weights, BIGINT sum
+    // milli-weights, BIGINT sum. ascii(char)=byte holds for ASCII text
+    // only (the corpus is ASCII — same documented assumption as
+    // cdc_snapshot_partitions); Spark hashes UTF-8 bytes either way.
     "text_classifier" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
         |w AS (SELECT doc_id,
