@@ -950,6 +950,12 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "mix_curriculum" -> ((s, dir) =>
+      // data-dependent mixture rates toward a token budget; broadcast-
+      // only joins, two narrow scans
+      TextAnalysis.mixCurriculum(Tables.documents(s, dir))
+        .orderBy(col("source"))),
+
     "pack_shards" -> ((s, dir) => {
       // Sequence packing: docs accumulate in doc_id order into fixed
       // token-budget training shards. Partitioned by source so the
@@ -2265,6 +2271,32 @@ object SparkEntry {
         |  array_to_string(list(CAST(coalesce(v.id, -1) AS VARCHAR) ORDER BY pos), ',') AS ids_csv
         |FROM tokens LEFT JOIN vocab v ON tok = v.token
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // mixture twin: same FNV ppm hash, same integer-division order
+    // (t_total*pct//100*w//W*1e6//t_s), HUGEINT fold % 1e6 = unsigned mod
+    "mix_curriculum" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(list_reduce(
+        |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |        list_transform(range(1, length(k) + 1),
+        |          i -> ascii(substr(k, CAST(i AS INTEGER), 1)))),
+        |      (acc, b) -> (xor(acc, CAST(b AS HUGEINT)) * 1099511628211) % 18446744073709551616
+        |    ) % 1000000 AS BIGINT) AS ppm
+        |  FROM (SELECT source, doc_id, text, 'doc_' || CAST(doc_id AS VARCHAR) AS k FROM documents) t),
+        |s AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t_s, count(*) AS n_src,
+        |        CASE WHEN length(source) = 4 THEN 3 ELSE 1 END AS w_s
+        |      FROM toks GROUP BY 1),
+        |g AS (SELECT CAST(sum(t_s) AS BIGINT) AS t_total, CAST(sum(w_s) AS BIGINT) AS w_total FROM s),
+        |r AS (SELECT source,
+        |        least(1000000, t_total * 60 // 100 * w_s // w_total * 1000000 // t_s) AS threshold_ppm
+        |      FROM s CROSS JOIN g)
+        |SELECT t.source, r.threshold_ppm, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN ppm < threshold_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN ppm < threshold_ppm THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+        |FROM toks t JOIN r ON t.source = r.source
+        |GROUP BY 1, 2 ORDER BY t.source""".stripMargin,
 
     "sample_stratified" ->
       """WITH keyed AS (

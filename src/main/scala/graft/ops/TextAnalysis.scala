@@ -258,6 +258,50 @@ object TextAnalysis {
     * way to produce; the scale-relevant parts (hashing, bucketing, the
     * per-row fold, zero shuffle) are real.
     */
+  /** Curriculum mixture sampling: given per-source target weights and a
+    * global token budget (a percentage of the corpus), compute each
+    * source's keep rate and apply it with the content-stable FNV
+    * keep-hash — the data-mixing step of a training run ("40% web, 30%
+    * code, …" at a fixed token count). Rates are DATA-DEPENDENT (unlike
+    * `sample_stratified`'s fixed rates): allotted_s = budget·w_s/W,
+    * threshold_ppm = min(1e6, allotted_s·1e6/T_s). Integer division
+    * end-to-end, in overflow-safe order (divide by W before scaling by
+    * 1e6), so the result is engine-exact at any corpus size.
+    *
+    * Scale shape: two narrow corpus scans (one for per-source token
+    * totals — a tiny partial-agg'd groupBy — one for the filtered
+    * count), rates broadcast back; no corpus-sized shuffle. Weights
+    * here are a deterministic function of the source name (stand-in
+    * for a user-supplied mixture spec).
+    */
+  def mixCurriculum(df: DataFrame, budgetPct: Int = 60,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val wS = when(length(col("source")) === 4, lit(3L)).otherwise(lit(1L))
+    val toks = df.select(
+      col("source"), col("doc_id"),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      graft.functions.FnvHash64.snapshotPartition(
+        concat(lit("doc_"), col("doc_id").cast("string")), 1000000).as("ppm"))
+    val bySource = toks.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("t_s"), count(lit(1)).as("n_total"))
+      .withColumn("w_s", wS)
+    val totals = bySource.agg(
+      sum(col("t_s")).as("t_total"), sum(col("w_s")).as("w_total"))
+    val rates = bySource.crossJoin(broadcast(totals))
+      .withColumn("threshold_ppm",
+        least(lit(1000000L),
+          expr(s"t_total * $budgetPct div 100 * w_s div w_total * 1000000 div t_s")))
+      .select(col("source"), col("threshold_ppm"))
+    toks.join(broadcast(rates), "source")
+      .groupBy(col("source"), col("threshold_ppm"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("ppm") < col("threshold_ppm"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("ppm") < col("threshold_ppm"), col("n_tokens")).otherwise(0L))
+          .as("kept_tokens"))
+  }
+
   def classifierScoreMilli(textCol: String): Column = {
     val weight = (t: Column) =>
       pmod(graft.functions.FnvHash64.fnv_hash64(t), lit(1024L))

@@ -366,6 +366,28 @@ class OpsSpec extends SparkSpec {
       ("b", 1, 2000000L, 1L)))
   }
 
+  test("curriculum mixture: weighted sources get higher keep thresholds, budget roughly hit") {
+    val m = graft.ops.TextAnalysis.mixCurriculum(Tables.documents(spark, sf001))
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("threshold_ppm"),
+        r.getAs[Long]("n_total"), r.getAs[Long]("n_kept"), r.getAs[Long]("kept_tokens")))
+    assert(m.length === 20)
+    m.foreach { case (_, thr, total, kept, _) =>
+      assert(thr >= 0 && thr <= 1000000 && kept <= total)
+    }
+    // weight-3 sources (len-4 names) must out-sample weight-1 sources
+    val thr3 = m.filter(_._1.length == 4).map(_._2).min
+    val thr1 = m.filter(_._1.length == 5).map(_._2).max
+    assert(thr3 > thr1, s"weighted threshold $thr3 should exceed unweighted $thr1")
+    // the kept token mass lands near the 60% budget (hash-sampling
+    // noise; under-run only — thresholds never over-allot)
+    val totalToks = Tables.documents(spark, sf001)
+      .select(graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .agg(sum(col("n"))).head.getLong(0)
+    val keptToks = m.map(_._5).sum
+    assert(math.abs(keptToks.toDouble / totalToks - 0.6) < 0.15,
+      s"kept $keptToks of $totalToks")
+  }
+
   test("hashed-feature classifier score matches an independent per-token fold") {
     val docs = Seq((1L, "alpha beta gamma alpha"), (2L, "delta")).toDF("doc_id", "text")
     val got = docs
