@@ -92,6 +92,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming quality filter delivers kept docs through the real HTTP sink") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    import graft.ops.TextAnalysis
+    // end-to-end: file stream → hashed-feature classifier gate →
+    // foreachBatch → real executor-side HTTP POSTs, one per kept doc
+    val received = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { ex =>
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      "\"doc_id\":(\\d+)".r.findFirstMatchIn(body).foreach(m => received.add(m.group(1).toLong))
+      ex.sendResponseHeaders(200, 0); ex.getResponseBody.close()
+    })
+    server.start()
+    try {
+      val sch = Tables.documents(spark, sf001).schema
+      val stream = spark.readStream.schema(sch)
+        .option("pathGlobFilter", "documents.parquet").parquet(sf001)
+      val kept = stream
+        .select(col("doc_id"), TextAnalysis.classifierScoreMilli("text").as("s"))
+        .filter(col("s") > 0)
+      val sink = graft.sinks.Sinks.withRetry(graft.sinks.HttpSink(
+        graft.sinks.HttpSinkConfig(s"http://127.0.0.1:${server.getAddress.getPort}/")))
+      val q = kept.writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => sink.emit(b, id))
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("http-ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "stream did not finish within the timeout")
+      val expected = Tables.documents(spark, sf001)
+        .select(col("doc_id"), TextAnalysis.classifierScoreMilli("text").as("s"))
+        .filter(col("s") > 0).collect().map(_.getLong(0)).toSet
+      assert(expected.nonEmpty && expected.size < 500)
+      assert(received.asScala.toSet === expected)
+    } finally server.stop(0)
+  }
+
   test("stream-static anti-join: incremental exact dedup against a static history") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
