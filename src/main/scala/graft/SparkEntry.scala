@@ -956,6 +956,11 @@ object SparkEntry {
       TextAnalysis.mixCurriculum(Tables.documents(s, dir))
         .orderBy(col("source"))),
 
+    "text_tfidf_topk" -> ((s, dir) =>
+      // integer-exact per-doc keyword extraction
+      TextAnalysis.tfidfTopK(Tables.documents(s, dir))
+        .orderBy(col("doc_id"), col("rank"))),
+
     "pack_shards" -> ((s, dir) => {
       // Sequence packing: docs accumulate in doc_id order into fixed
       // token-budget training shards. Partitioned by source so the
@@ -2271,6 +2276,25 @@ object SparkEntry {
         |  array_to_string(list(CAST(coalesce(v.id, -1) AS VARCHAR) ORDER BY pos), ',') AS ids_csv
         |FROM tokens LEFT JOIN vocab v ON tok = v.token
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // tf-idf twin: tf·1e6//df integer ranking, lexicographic tie-break
+    "text_tfidf_topk" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
+        |  GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    CAST(tf.tf * 1000000 // dfreq.df AS BIGINT) AS score_milli
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY score_milli DESC, term ASC) AS rank
+        |  FROM scored)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+        |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score_milli
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     // mixture twin: same FNV ppm hash, same integer-division order
     // (t_total*pct//100*w//W*1e6//t_s), HUGEINT fold % 1e6 = unsigned mod

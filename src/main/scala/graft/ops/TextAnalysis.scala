@@ -302,6 +302,34 @@ object TextAnalysis {
           .as("kept_tokens"))
   }
 
+  /** Per-document TF-IDF top-k keyword extraction. Ranking is
+    * integer-exact: within a document, tf·idf ordering equals ordering
+    * by `tf·1e6 div df` (N is constant per corpus), so no float log and
+    * no cross-engine drift; ties break lexicographically.
+    *
+    * Scale shape: one shuffle to aggregate (doc, term) counts (partial
+    * agg does the heavy lifting map-side), one term-keyed shuffle for
+    * document frequencies joined back on term — the same bounded-key
+    * equi-join posture as the dedup family. The per-doc top-k window
+    * partitions by doc_id, never globally sorts.
+    */
+  def tfidfTopK(df: DataFrame, k: Int = 3, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df
+      .select(col("doc_id"), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_milli").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("score_milli", expr("tf * 1000000 div df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"), col("term"),
+        col("tf"), col("df"), col("score_milli"))
+  }
+
   def classifierScoreMilli(textCol: String): Column = {
     val weight = (t: Column) =>
       pmod(graft.functions.FnvHash64.fnv_hash64(t), lit(1024L))

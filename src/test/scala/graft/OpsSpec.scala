@@ -388,6 +388,18 @@ class OpsSpec extends SparkSpec {
       s"kept $keptToks of $totalToks")
   }
 
+  test("tf-idf top-k matches a hand-computed ranking with lexicographic ties") {
+    val docs = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.tfidfTopK(docs, k = 2)
+      .orderBy("doc_id", "rank")
+      .as[(Long, Long, String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, "x", 2L, 1L, 2000000L),   // tf=2, df=1
+      (1L, 2L, "y", 1L, 2L, 500000L),
+      (2L, 1L, "z", 1L, 1L, 1000000L),
+      (2L, 2L, "y", 1L, 2L, 500000L)))
+  }
+
   test("hashed-feature classifier score matches an independent per-token fold") {
     val docs = Seq((1L, "alpha beta gamma alpha"), (2L, "delta")).toDF("doc_id", "text")
     val got = docs
