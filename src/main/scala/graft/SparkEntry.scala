@@ -934,15 +934,14 @@ object SparkEntry {
     }),
 
     "sample_stratified" -> ((s, dir) => {
-      // Data mixing: per-source sampling rates applied via a
-      // content-stable FNV-64a keep-hash — deterministic across retries
+      // Data mixing: per-source sampling rates applied via the shared
+      // doc-id-keyed FNV-64a keep-hash — deterministic across retries
       // and partitionings (no RNG, no seed plumbing), the property a
       // reproducible 100 TB training run needs. Narrow projection + one
       // groupBy(source); the hash kernel is codegen'd.
       val docs = Tables.documents(s, dir)
       val keyed = docs.select(col("source"),
-        graft.functions.FnvHash64.snapshotPartition(
-          concat(lit("doc_"), col("doc_id").cast("string")), 100).as("bucket"),
+        graft.functions.FnvHash64.keepHash(col("doc_id"), 100).as("bucket"),
         when(length(col("source")) === 4, lit(70)).otherwise(lit(30)).as("rate"))
       keyed.groupBy(col("source")).agg(
         count(lit(1)).as("n_total"),
@@ -2309,12 +2308,14 @@ object SparkEntry {
         |      (acc, b) -> (xor(acc, CAST(b AS HUGEINT)) * 1099511628211) % 18446744073709551616
         |    ) % 1000000 AS BIGINT) AS ppm
         |  FROM (SELECT source, doc_id, text, 'doc_' || CAST(doc_id AS VARCHAR) AS k FROM documents) t),
-        |s AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t_s, count(*) AS n_src,
+        |s AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t_s,
         |        CASE WHEN length(source) = 4 THEN 3 ELSE 1 END AS w_s
         |      FROM toks GROUP BY 1),
         |g AS (SELECT CAST(sum(t_s) AS BIGINT) AS t_total, CAST(sum(w_s) AS BIGINT) AS w_total FROM s),
         |r AS (SELECT source,
-        |        least(1000000, t_total * 60 // 100 * w_s // w_total * 1000000 // t_s) AS threshold_ppm
+        |        CASE WHEN t_total * 60 // 100 * w_s // w_total >= t_s THEN 1000000
+        |             ELSE t_total * 60 // 100 * w_s // w_total * 1000000 // t_s
+        |        END AS threshold_ppm
         |      FROM s CROSS JOIN g)
         |SELECT t.source, r.threshold_ppm, count(*) AS n_total,
         |  CAST(sum(CASE WHEN ppm < threshold_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,

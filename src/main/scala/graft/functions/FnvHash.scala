@@ -67,4 +67,16 @@ object FnvHash64 {
     * `snapshotter.go:140-158` (`hasher.Sum64() % uint64(n)`). */
   def snapshotPartition(name: Column, n: Int): Column =
     remainderUnsigned(fnv_hash64(name), n.toLong)
+
+  /** The sampling keep-hash: FNV-64a("doc_<id>") unsigned-mod n — ONE
+    * key recipe shared by every sampling op (and rendered identically
+    * in their oracle twins), deterministic across retries and
+    * partitionings. Keyed on doc_id, not content: re-ingested
+    * duplicates sample identically only if they keep their id. */
+  def keepHash(docId: Column, n: Int): Column =
+    snapshotPartition(org.apache.spark.sql.functions.concat(
+      org.apache.spark.sql.functions.lit("doc_"), docId.cast("string")), n)
+
+  /** keepHash in parts-per-million, for fractional keep rates. */
+  def keepHashPpm(docId: Column): Column = keepHash(docId, 1000000)
 }

@@ -260,13 +260,15 @@ object TextAnalysis {
     */
   /** Curriculum mixture sampling: given per-source target weights and a
     * global token budget (a percentage of the corpus), compute each
-    * source's keep rate and apply it with the content-stable FNV
+    * source's keep rate and apply it with the shared doc-id-keyed FNV
     * keep-hash — the data-mixing step of a training run ("40% web, 30%
     * code, …" at a fixed token count). Rates are DATA-DEPENDENT (unlike
     * `sample_stratified`'s fixed rates): allotted_s = budget·w_s/W,
     * threshold_ppm = min(1e6, allotted_s·1e6/T_s). Integer division
-    * end-to-end, in overflow-safe order (divide by W before scaling by
-    * 1e6), so the result is engine-exact at any corpus size.
+    * end-to-end; the saturated branch (allotted ≥ T_s → keep all) is
+    * taken BEFORE the ·1e6 scaling, so the math stays inside signed
+    * 64 bits for any per-source token count up to ~9.2e12 — engine-
+    * exact far past the 100 TB design point.
     *
     * Scale shape: two narrow corpus scans (one for per-source token
     * totals — a tiny partial-agg'd groupBy — one for the filtered
@@ -281,17 +283,17 @@ object TextAnalysis {
     val toks = df.select(
       col("source"), col("doc_id"),
       tokenCount(col(textCol)).cast("long").as("n_tokens"),
-      graft.functions.FnvHash64.snapshotPartition(
-        concat(lit("doc_"), col("doc_id").cast("string")), 1000000).as("ppm"))
+      graft.functions.FnvHash64.keepHashPpm(col("doc_id")).as("ppm"))
     val bySource = toks.groupBy(col("source"))
-      .agg(sum(col("n_tokens")).as("t_s"), count(lit(1)).as("n_total"))
+      .agg(sum(col("n_tokens")).as("t_s"))
       .withColumn("w_s", wS)
     val totals = bySource.agg(
       sum(col("t_s")).as("t_total"), sum(col("w_s")).as("w_total"))
     val rates = bySource.crossJoin(broadcast(totals))
+      .withColumn("a_s", expr(s"t_total * $budgetPct div 100 * w_s div w_total"))
       .withColumn("threshold_ppm",
-        least(lit(1000000L),
-          expr(s"t_total * $budgetPct div 100 * w_s div w_total * 1000000 div t_s")))
+        when(col("a_s") >= col("t_s"), lit(1000000L))
+          .otherwise(expr("a_s * 1000000 div t_s")))
       .select(col("source"), col("threshold_ppm"))
     toks.join(broadcast(rates), "source")
       .groupBy(col("source"), col("threshold_ppm"))
@@ -302,10 +304,13 @@ object TextAnalysis {
           .as("kept_tokens"))
   }
 
-  /** Per-document TF-IDF top-k keyword extraction. Ranking is
-    * integer-exact: within a document, tf·idf ordering equals ordering
-    * by `tf·1e6 div df` (N is constant per corpus), so no float log and
-    * no cross-engine drift; ties break lexicographically.
+  /** Per-document top-k distinctive terms by the LINEAR-idf variant of
+    * tf-idf: score ∝ tf·(N/df), i.e. `tf·1e6 div df` (N constant per
+    * corpus drops out of the ranking). Deliberately NOT the classic
+    * `tf·log(N/df)`: the log-free form stays integer-exact across
+    * engines (no float-log ULP drift near rank boundaries) at the cost
+    * of weighting rare terms more aggressively than log idf — a
+    * documented trade, not an equivalence. Ties break lexicographically.
     *
     * Scale shape: one shuffle to aggregate (doc, term) counts (partial
     * agg does the heavy lifting map-side), one term-keyed shuffle for
