@@ -436,6 +436,15 @@ class OpsSpec extends SparkSpec {
         !l.contains("BroadcastExchange") && !l.contains("ReusedExchange")).toSeq
       assert(shuffles.isEmpty, s"$name should be shuffle-free, found: $shuffles")
     }
+    // curriculum mixture: the corpus-sized side must never sort-merge or
+    // shuffle-hash join — rates and totals ride broadcasts; the only
+    // exchanges are the tiny per-source aggregations
+    val mixPlan = TextAnalysis.mixCurriculum(docs)
+      .queryExecution.executedPlan.toString
+    assert(mixPlan.contains("BroadcastHashJoin") || mixPlan.contains("BroadcastNestedLoopJoin"),
+      s"mixture rates should broadcast, got:\n$mixPlan")
+    assert(!mixPlan.contains("SortMergeJoin") && !mixPlan.contains("ShuffledHashJoin"),
+      s"mixture must not shuffle-join the corpus, got:\n$mixPlan")
   }
 
   test("approx percentile tracks exact within 1% (quantile scale path)") {
