@@ -63,6 +63,63 @@ object Sinks {
     sb.toString
   }
 
+  /** Config-driven sink dispatch — the analog of the reference's
+    * `NewSink(config.SinkType, *config.Config)`
+    * (`sinkregistry.go:52-66`) with the reference's exact property keys
+    * (`spi/config/constants.go:67-126`, TOML `sink.type` ∈ stdout/
+    * nats/kafka/redis/kinesis/sqs/http). Mandatory-key validation
+    * lives in the per-sink configs (reference error wording). */
+  def fromConfig(props: Map[String, String]): Sink = {
+    def p(key: String, default: String = ""): String = props.getOrElse(key, default)
+    def opt(key: String): Option[String] = props.get(key)
+    p("sink.type", "stdout") match {
+      case "stdout" => ConsoleSink
+      case "kafka"  => KafkaWireSink(bootstrap = p("sink.kafka.brokers", "localhost:9092"))
+      case "nats" => NatsSink(NatsSinkConfig(
+        address = p("sink.nats.address", "nats://localhost:4222"),
+        authorization = p("sink.nats.authorization", "userinfo"),
+        username = p("sink.nats.userinfo.username"),
+        password = p("sink.nats.userinfo.password"),
+        credentialsCertificate = p("sink.nats.credentials.certificate"),
+        credentialsSeeds = p("sink.nats.credentials.seeds")
+          .split(",").toSeq.filter(_.nonEmpty),
+        jwt = p("sink.nats.jwt.jwt"), jwtSeed = p("sink.nats.jwt.seed")))
+      case "redis" => RedisSink(RedisSinkConfig(
+        network = p("sink.redis.network", "tcp"),
+        address = p("sink.redis.address", "localhost:6379"),
+        password = p("sink.redis.password"),
+        database = p("sink.redis.database", "0").toInt,
+        retriesMax = p("sink.redis.retries.maxattempts", "0").toInt,
+        tls = p("sink.redis.tls.skipverify", "false").toBoolean))
+      case "kinesis" => KinesisSink(KinesisSinkConfig(
+        streamName = opt("sink.kinesis.stream.name"),
+        region = opt("sink.kinesis.aws.region"),
+        endpoint = p("sink.kinesis.aws.endpoint"),
+        streamCreate = p("sink.kinesis.stream.create", "true").toBoolean,
+        shardCount = opt("sink.kinesis.stream.shardcount").map(_.toLong),
+        accessKeyId = p("sink.kinesis.aws.accesskeyid"),
+        secretAccessKey = p("sink.kinesis.aws.secretaccesskey"),
+        sessionToken = p("sink.kinesis.aws.sessiontoken")))
+      case "sqs" => SqsSink(SqsSinkConfig(
+        queueUrl = opt("sink.sqs.queue.url"),
+        region = opt("sink.sqs.aws.region"),
+        endpoint = p("sink.sqs.aws.endpoint"),
+        accessKeyId = p("sink.sqs.aws.accesskeyid"),
+        secretAccessKey = p("sink.sqs.aws.secretaccesskey"),
+        sessionToken = p("sink.sqs.aws.sessiontoken")))
+      case "http" => HttpSink(HttpSinkConfig(
+        url = p("sink.http.url"),
+        authenticationType = p("sink.http.authentication.type", "none"),
+        basicUsername = p("sink.http.authentication.basic.username"),
+        basicPassword = p("sink.http.authentication.basic.password"),
+        headerName = p("sink.http.authentication.header.name"),
+        headerValue = p("sink.http.authentication.header.value"),
+        tlsSkipVerify = p("sink.http.tls.skipverify", "false").toBoolean))
+      case other => throw new IllegalArgumentException(
+        s"unknown sink type: $other (have: stdout,nats,kafka,redis,kinesis,sqs,http)")
+    }
+  }
+
   /** Exponential-backoff retry wrapper (×8, like `eventemitter.go:107`). */
   def withRetry(sink: Sink, maxRetries: Int = 8, baseDelayMs: Long = 10): Sink =
     new Sink {

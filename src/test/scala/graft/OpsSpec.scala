@@ -897,6 +897,43 @@ class OpsSpec extends SparkSpec {
     } finally { running = false; server.close() }
   }
 
+  test("config-driven sink dispatch builds every backend from reference property keys") {
+    import graft.sinks._
+    assert(Sinks.fromConfig(Map.empty) === ConsoleSink)   // stdout default
+    assert(Sinks.fromConfig(Map("sink.type" -> "kafka",
+      "sink.kafka.brokers" -> "b1:9092,b2:9092"))
+      === KafkaWireSink(bootstrap = "b1:9092,b2:9092"))
+    val nats = Sinks.fromConfig(Map("sink.type" -> "nats",
+      "sink.nats.address" -> "nats://n:4222",
+      "sink.nats.userinfo.username" -> "u", "sink.nats.userinfo.password" -> "pw"))
+      .asInstanceOf[NatsSink]
+    assert(nats.config.username === "u" && nats.config.address === "nats://n:4222")
+    val redis = Sinks.fromConfig(Map("sink.type" -> "redis",
+      "sink.redis.address" -> "r:6379", "sink.redis.database" -> "3"))
+      .asInstanceOf[RedisSink]
+    assert(redis.config.database === 3)
+    val kin = Sinks.fromConfig(Map("sink.type" -> "kinesis",
+      "sink.kinesis.stream.name" -> "s", "sink.kinesis.aws.region" -> "eu-west-1",
+      "sink.kinesis.aws.accesskeyid" -> "AK", "sink.kinesis.aws.secretaccesskey" -> "SK"))
+      .asInstanceOf[KinesisSink]
+    assert(kin.config.streamName === Some("s") && kin.config.region === Some("eu-west-1"))
+    val sqs = Sinks.fromConfig(Map("sink.type" -> "sqs",
+      "sink.sqs.queue.url" -> "https://q.fifo")).asInstanceOf[SqsSink]
+    assert(sqs.config.queueUrl === Some("https://q.fifo"))
+    val http = Sinks.fromConfig(Map("sink.type" -> "http",
+      "sink.http.url" -> "https://e", "sink.http.authentication.type" -> "basic",
+      "sink.http.authentication.basic.username" -> "u")).asInstanceOf[HttpSink]
+    assert(http.config.authenticationType === "basic")
+    // mandatory-key validation defers to the sink configs (reference wording)
+    assertThrows[IllegalArgumentException] {
+      Sinks.fromConfig(Map("sink.type" -> "kinesis")).asInstanceOf[KinesisSink]
+        .config.options
+    }
+    assertThrows[IllegalArgumentException] {
+      Sinks.fromConfig(Map("sink.type" -> "pulsar"))
+    }
+  }
+
   test("sink retry backs off and eventually succeeds") {
     var calls = 0
     val flaky = new graft.sinks.Sink {
