@@ -908,6 +908,11 @@ object SparkEntry {
       // JL random projection 64→8 dims; shuffle-free per-row map
       Similarity.randomProject(Tables.embeddings(s, dir)).orderBy(col("vec_id"))),
 
+    "ann_pq_codes" -> ((s, dir) =>
+      // product-quantization encode; zero corpus shuffle
+      Similarity.pqCodes(Tables.embeddings(s, dir))
+        .orderBy(col("vec_id"), col("subspace"))),
+
     "embed_centroids" -> ((s, dir) =>
       // per-label centroids as exact integer micro-sums + count
       Similarity.centroidSumsByLabel(Tables.embeddings(s, dir))
@@ -2211,6 +2216,23 @@ object SparkEntry {
         |           v -> CAST(floor(CAST(v AS DOUBLE) * 127.0 / absmax + 0.5) AS INT)), ',')
         |  END AS q_csv
         |FROM m ORDER BY vec_id""".stripMargin,
+
+    // PQ twin: same sliced-codebook quantizer, same 2·a·c − ‖c‖² argmin
+    // (sequential-fold doubles), row_number tie-break by code id
+    "ann_pq_codes" ->
+      s"""WITH sm AS (SELECT unnest(range(0, 8)) AS sm),
+         |cb AS (SELECT vec_id AS cid, embedding FROM embeddings ORDER BY vec_id LIMIT 16),
+         |cbsub AS (SELECT cid, sm, embedding[sm*8+1 : sm*8+8] AS csub FROM cb CROSS JOIN sm),
+         |corp AS (SELECT vec_id, sm, embedding[sm*8+1 : sm*8+8] AS subvec
+         |         FROM embeddings CROSS JOIN sm),
+         |scored AS (SELECT c.vec_id, c.sm, b.cid,
+         |    2 * ${duckDot("c.subvec", "b.csub")} - ${duckDot("b.csub", "b.csub")} AS score
+         |  FROM corp c JOIN cbsub b ON c.sm = b.sm),
+         |best AS (SELECT vec_id, sm, cid,
+         |    row_number() OVER (PARTITION BY vec_id, sm ORDER BY score DESC, cid ASC) AS rn
+         |  FROM scored)
+         |SELECT vec_id, CAST(sm AS BIGINT) AS subspace, CAST(cid AS BIGINT) AS code
+         |FROM best WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin,
 
     // JL projection twin: the SAME generated planes rendered as
     // exact-double literals, the same sequential-fold dot product

@@ -247,6 +247,41 @@ object Similarity {
             ",")).as("q_csv"))
   }
 
+  /** Product-quantization encode: split each vector into `m` subvectors,
+    * assign each to its nearest codebook entry (squared-L2 argmin via
+    * `argmax(2·a·c − ‖c‖²)` — ‖a‖² is constant per subvector and drops
+    * out), emitting one `(vec_id, subspace, code)` row per subvector —
+    * the 8×-compressed representation IVF-PQ search builds on.
+    * Codebooks are the sliced lowest-`k` vectors (the same deterministic
+    * stand-in for an offline k-means fit as [[ivfAssign]], documented).
+    *
+    * Scale shape: the corpus side is a narrow explode (×m rows, no
+    * shuffle) broadcast-joined to the per-subspace candidate arrays,
+    * then a per-row fold — zero corpus shuffle end-to-end, same
+    * plan posture as [[ivfAssignWith]]. Ties break toward the lowest
+    * code id, and every double is the sequential-fold parity form.
+    */
+  def pqCodes(emb: DataFrame, m: Int = 8, k: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"pq: dim=$dim not divisible by m=$m")
+    val sub = dim / m
+    def slices(e: Column) = array((0 until m).map(i => slice(e, i * sub + 1, sub)): _*)
+    val cb = emb.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("embedding"))
+      .select(col("cid"), posexplode(slices(col("embedding"))).as(Seq("sm", "csub")))
+      .groupBy(col("sm"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("csub")))).as("cands"))
+    emb
+      .select(col("vec_id"), posexplode(slices(col("embedding"))).as(Seq("sm", "subvec")))
+      .join(broadcast(cb), "sm")
+      .withColumn("best", array_max(transform(col("cands"), c =>
+        struct(
+          (graft.functions.VecFunctions.vec_dot(col("subvec"), c.getField("csub")) * 2.0d
+            - graft.functions.VecFunctions.vec_norm2(c.getField("csub"))).as("score"),
+          (-c.getField("cid")).as("negid")))))
+      .select(col("vec_id"), col("sm").cast("long").as("subspace"),
+        (-col("best.negid")).cast("long").as("code"))
+  }
+
   /** Dense Johnson–Lindenstrauss random projection: `p_j = dot(v,
     * plane_j)` for `outDim` deterministic pseudo-random planes (same
     * xorshift generator as the LSH family — one generator, two engines,

@@ -351,6 +351,23 @@ class OpsSpec extends SparkSpec {
       s"k=32 should preserve distances better: r8=$r8 r32=$r32")
   }
 
+  test("pq codes: 8 codes per vector in range, codebook vectors self-encode, corpus never shuffle-joins") {
+    val emb = Tables.embeddings(spark, sf001)
+    val pq = graft.ops.Similarity.pqCodes(emb)
+    val plan = pq.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"pq assignment must ride the broadcast, got:\n$plan")
+    val rows = pq.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = emb.count()
+    assert(rows.length === n * 8)
+    assert(rows.forall { case (_, sm, code) => sm >= 0 && sm < 8 && code >= 0 && code < 16 })
+    // a codebook vector's own subvector is at distance 0, so its code is
+    // itself — or a lower-id centroid with an identical subvector
+    rows.filter(_._1 < 16).foreach { case (vid, sm, code) =>
+      assert(code <= vid, s"vec $vid subspace $sm encoded to higher id $code")
+    }
+  }
+
   test("per-label centroid sums: counts partition the corpus, micros match a hand fold") {
     val emb = Seq(
       (1L, Array(0.5f, -0.25f), "a"),
