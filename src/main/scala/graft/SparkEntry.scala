@@ -913,6 +913,13 @@ object SparkEntry {
       Similarity.pqCodes(Tables.embeddings(s, dir))
         .orderBy(col("vec_id"), col("subspace"))),
 
+    "ann_pq_adc_topk" -> ((s, dir) => {
+      // ADC search over PQ codes: 8 bytes touched per corpus vector
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqAdcTopK(emb.filter(col("vec_id") < 10), emb, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "embed_centroids" -> ((s, dir) =>
       // per-label centroids as exact integer micro-sums + count
       Similarity.centroidSumsByLabel(Tables.embeddings(s, dir))
@@ -2233,6 +2240,38 @@ object SparkEntry {
          |  FROM scored)
          |SELECT vec_id, CAST(sm AS BIGINT) AS subspace, CAST(cid AS BIGINT) AS code
          |FROM best WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin,
+
+    // ADC twin: the pq-codes CTEs + per-query distance table, score sum
+    // as an sm-ordered sequential fold (NOT an unordered SUM of doubles)
+    "ann_pq_adc_topk" ->
+      s"""WITH sm AS (SELECT unnest(range(0, 8)) AS sm),
+         |cb AS (SELECT vec_id AS cid, embedding FROM embeddings ORDER BY vec_id LIMIT 16),
+         |cbsub AS (SELECT cid, sm, embedding[sm*8+1 : sm*8+8] AS csub FROM cb CROSS JOIN sm),
+         |corp AS (SELECT vec_id, sm, embedding[sm*8+1 : sm*8+8] AS subvec
+         |         FROM embeddings CROSS JOIN sm),
+         |cscored AS (SELECT c.vec_id, c.sm, b.cid,
+         |    2 * ${duckDot("c.subvec", "b.csub")} - ${duckDot("b.csub", "b.csub")} AS score
+         |  FROM corp c JOIN cbsub b ON c.sm = b.sm),
+         |codes AS (SELECT vec_id, sm, cid AS code FROM (
+         |    SELECT vec_id, sm, cid,
+         |      row_number() OVER (PARTITION BY vec_id, sm ORDER BY score DESC, cid ASC) AS rn
+         |    FROM cscored) t WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, sm, embedding[sm*8+1 : sm*8+8] AS qsub
+         |      FROM embeddings CROSS JOIN sm WHERE vec_id < 10),
+         |dt AS (SELECT query_id, b.sm, b.cid,
+         |    2 * ${duckDot("q.qsub", "b.csub")} - ${duckDot("b.csub", "b.csub")} AS score
+         |  FROM q JOIN cbsub b ON q.sm = b.sm),
+         |joined AS (SELECT dt.query_id, c.vec_id, c.sm, dt.score
+         |  FROM codes c JOIN dt ON c.sm = dt.sm AND c.code = dt.cid
+         |  WHERE dt.query_id <> c.vec_id),
+         |summed AS (SELECT query_id, vec_id AS neighbor_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(score ORDER BY sm)),
+         |      (a, x) -> a + x) AS adc_score
+         |  FROM joined GROUP BY 1, 2),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_score DESC, neighbor_id ASC) AS rank FROM summed)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc_score
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // JL projection twin: the SAME generated planes rendered as
     // exact-double literals, the same sequential-fold dot product

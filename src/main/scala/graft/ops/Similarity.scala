@@ -282,6 +282,52 @@ object Similarity {
         (-col("best.negid")).cast("long").as("code"))
   }
 
+  /** PQ asymmetric-distance search (ADC): per query, a tiny m×k
+    * distance table (query subvector vs every codebook entry), then
+    * each corpus vector scores as the sum of table entries its codes
+    * select — the vector itself is never touched, only its m codes.
+    * Score per subspace is `2·q·c − ‖c‖²` (‖q‖² drops out of ranking),
+    * summed in subspace order via a sequential fold (engine-exact, not
+    * an association-order-defined SUM).
+    *
+    * Scale shape: the distance table is queries×m×k rows — broadcast;
+    * the codes side (from [[pqCodes]], zero corpus shuffle) joins it
+    * map-side; the only exchange is the (query, vector) score
+    * aggregation and the per-query top-k, both partial-agg'd. This is
+    * the standard IVF-PQ memory story: search touches 8 bytes per
+    * vector, not 256.
+    */
+  def pqAdcTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      m: Int = 8, kCodes: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"pq: dim=$dim not divisible by m=$m")
+    val sub = dim / m
+    def slices(e: Column) = array((0 until m).map(i => slice(e, i * sub + 1, sub)): _*)
+    val cbSub = corpus.orderBy(col("vec_id")).limit(kCodes)
+      .select(col("vec_id").as("cid"), col("embedding"))
+      .select(col("cid"), posexplode(slices(col("embedding"))).as(Seq("dsm", "csub")))
+    val qSub = queries.select(col("vec_id").as("query_id"),
+      posexplode(slices(col("embedding"))).as(Seq("qsm", "qsub")))
+    val dtable = qSub.join(cbSub, col("qsm") === col("dsm"))
+      .select(col("query_id"), col("dsm"), col("cid"),
+        (graft.functions.VecFunctions.vec_dot(col("qsub"), col("csub")) * 2.0d
+          - graft.functions.VecFunctions.vec_norm2(col("csub"))).as("score"))
+    val codes = pqCodes(corpus, m, kCodes, dim)
+    val scored = codes
+      .join(broadcast(dtable),
+        col("subspace") === col("dsm") && col("code") === col("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("subspace"), col("score")))),
+        lit(0.0d), (acc, s) => acc + s.getField("score")).as("adc_score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("adc_score"))
+  }
+
   /** Dense Johnson–Lindenstrauss random projection: `p_j = dot(v,
     * plane_j)` for `outDim` deterministic pseudo-random planes (same
     * xorshift generator as the LSH family — one generator, two engines,

@@ -368,6 +368,33 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("pq adc search: valid rank sequences and nontrivial recall against exact inner-product top-k") {
+    val emb = Tables.embeddings(spark, sf001)
+    val queries = emb.filter(col("vec_id") < 10)
+    val adc = graft.ops.Similarity.pqAdcTopK(queries, emb, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byQuery = adc.groupBy(_._1)
+    assert(byQuery.size === 10)
+    byQuery.values.foreach(rs => assert(rs.map(_._2).sorted.toSeq === (1L to 10L)))
+    // exact inner-product top-10 per query (the metric ADC approximates)
+    val exact = emb.as("c").crossJoin(broadcast(queries.select(
+        col("vec_id").as("qid"), col("embedding").as("qe"))))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        graft.functions.VecFunctions.vec_dot(col("embedding"), col("qe")).as("ip"))
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("ip").desc, col("vec_id"))))
+      .filter(col("rk") <= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = byQuery.map { case (q, rs) =>
+      rs.map(_._3).count(exact(q).contains).toDouble / 10
+    }.sum / byQuery.size
+    // a 16-code×8-subspace quantizer is coarse; recall must still beat
+    // random (10/500 = 2%) by an order of magnitude
+    assert(recall >= 0.2, s"ADC mean recall vs exact IP top-10: $recall")
+  }
+
   test("per-label centroid sums: counts partition the corpus, micros match a hand fold") {
     val emb = Seq(
       (1L, Array(0.5f, -0.25f), "a"),
