@@ -261,17 +261,25 @@ object Similarity {
     * plan posture as [[ivfAssignWith]]. Ties break toward the lowest
     * code id, and every double is the sequential-fold parity form.
     */
+  /** Subvector slices of an embedding column: m windows of dim/m. */
+  private def pqSlices(e: Column, m: Int, dim: Int): Column =
+    array((0 until m).map(i => slice(e, i * (dim / m) + 1, dim / m)): _*)
+
+  /** The sliced-codebook rows `(cid, sm, csub)` — ONE quantizer
+    * definition shared by encode and search (drift here would silently
+    * wrong every ADC ranking). Codebook = lowest-k vectors. */
+  private def pqCodebook(corpus: DataFrame, m: Int, k: Int, dim: Int): DataFrame =
+    corpus.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("embedding"))
+      .select(col("cid"), posexplode(pqSlices(col("embedding"), m, dim)).as(Seq("sm", "csub")))
+
   def pqCodes(emb: DataFrame, m: Int = 8, k: Int = 16, dim: Int = 64): DataFrame = {
     require(dim % m == 0, s"pq: dim=$dim not divisible by m=$m")
-    val sub = dim / m
-    def slices(e: Column) = array((0 until m).map(i => slice(e, i * sub + 1, sub)): _*)
-    val cb = emb.orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id").as("cid"), col("embedding"))
-      .select(col("cid"), posexplode(slices(col("embedding"))).as(Seq("sm", "csub")))
+    val cb = pqCodebook(emb, m, k, dim)
       .groupBy(col("sm"))
       .agg(array_sort(collect_list(struct(col("cid"), col("csub")))).as("cands"))
     emb
-      .select(col("vec_id"), posexplode(slices(col("embedding"))).as(Seq("sm", "subvec")))
+      .select(col("vec_id"), posexplode(pqSlices(col("embedding"), m, dim)).as(Seq("sm", "subvec")))
       .join(broadcast(cb), "sm")
       .withColumn("best", array_max(transform(col("cands"), c =>
         struct(
@@ -300,20 +308,20 @@ object Similarity {
   def pqAdcTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       m: Int = 8, kCodes: Int = 16, dim: Int = 64): DataFrame = {
     require(dim % m == 0, s"pq: dim=$dim not divisible by m=$m")
-    val sub = dim / m
-    def slices(e: Column) = array((0 until m).map(i => slice(e, i * sub + 1, sub)): _*)
-    val cbSub = corpus.orderBy(col("vec_id")).limit(kCodes)
-      .select(col("vec_id").as("cid"), col("embedding"))
-      .select(col("cid"), posexplode(slices(col("embedding"))).as(Seq("dsm", "csub")))
+    val cbSub = pqCodebook(corpus, m, kCodes, dim)
+      .withColumnRenamed("sm", "dsm")
     val qSub = queries.select(col("vec_id").as("query_id"),
-      posexplode(slices(col("embedding"))).as(Seq("qsm", "qsub")))
+      posexplode(pqSlices(col("embedding"), m, dim)).as(Seq("qsm", "qsub")))
     val dtable = qSub.join(cbSub, col("qsm") === col("dsm"))
       .select(col("query_id"), col("dsm"), col("cid"),
         (graft.functions.VecFunctions.vec_dot(col("qsub"), col("csub")) * 2.0d
           - graft.functions.VecFunctions.vec_norm2(col("csub"))).as("score"))
     val codes = pqCodes(corpus, m, kCodes, dim)
+    // no broadcast hint: for ANN serving the table is tiny and AQE
+    // broadcasts it; when queries ≈ corpus a forced broadcast would OOM
+    // the driver (same stance as ivfTopK)
     val scored = codes
-      .join(broadcast(dtable),
+      .join(dtable,
         col("subspace") === col("dsm") && col("code") === col("cid"))
       .filter(col("query_id") =!= col("vec_id"))
       .groupBy(col("query_id"), col("vec_id"))

@@ -74,7 +74,18 @@ object Sinks {
     def opt(key: String): Option[String] = props.get(key)
     p("sink.type", "stdout") match {
       case "stdout" => ConsoleSink
-      case "kafka"  => KafkaWireSink(bootstrap = p("sink.kafka.brokers", "localhost:9092"))
+      case "kafka" =>
+        // the wire client speaks PLAINTEXT; a config asking for SASL/TLS
+        // must fail loudly, not connect insecurely with keys dropped
+        // (the native format("kafka") path via KafkaSinkConfig carries
+        // the full security option assembly on clusters that have the
+        // connector jar)
+        if (p("sink.kafka.sasl.enabled", "false").toBoolean ||
+            p("sink.kafka.tls.enabled", "false").toBoolean)
+          throw new IllegalArgumentException(
+            "kafka wire client implements PLAINTEXT only; " +
+              "sink.kafka.sasl/tls configs need the native format(\"kafka\") path")
+        KafkaWireSink(bootstrap = p("sink.kafka.brokers", "localhost:9092"))
       case "nats" => NatsSink(NatsSinkConfig(
         address = p("sink.nats.address", "nats://localhost:4222"),
         authorization = p("sink.nats.authorization", "userinfo"),
@@ -90,7 +101,9 @@ object Sinks {
         password = p("sink.redis.password"),
         database = p("sink.redis.database", "0").toInt,
         retriesMax = p("sink.redis.retries.maxattempts", "0").toInt,
-        tls = p("sink.redis.tls.skipverify", "false").toBoolean))
+        retryBackoffMinMs = p("sink.redis.retries.backoff.min", "8").toLong,
+        retryBackoffMaxMs = p("sink.redis.retries.backoff.max", "512").toLong,
+        tlsSkipVerify = p("sink.redis.tls.skipverify", "false").toBoolean))
       case "kinesis" => KinesisSink(KinesisSinkConfig(
         streamName = opt("sink.kinesis.stream.name"),
         region = opt("sink.kinesis.aws.region"),
@@ -115,8 +128,10 @@ object Sinks {
         headerName = p("sink.http.authentication.header.name"),
         headerValue = p("sink.http.authentication.header.value"),
         tlsSkipVerify = p("sink.http.tls.skipverify", "false").toBoolean))
-      case other => throw new IllegalArgumentException(
-        s"unknown sink type: $other (have: stdout,nats,kafka,redis,kinesis,sqs,http)")
+      // ONE dispatch surface: anything not built-in falls through to the
+      // pluggable registry (the reference's RegisterSink extension path),
+      // whose own error lists the registered names
+      case other => create(other)
     }
   }
 
@@ -215,6 +230,8 @@ final case class HttpSinkConfig(
     headerName: String = "",
     headerValue: String = "",
     tlsSkipVerify: Boolean = false) {
+  // fail at construction, not on an executor 8 retries deep
+  require(url.nonEmpty, "http sink url is not provided")
   def headers: Map[String, String] = authenticationType match {
     case "none" => Map.empty
     case "basic" =>
@@ -298,13 +315,14 @@ final case class RedisSinkConfig(
     retriesMax: Int = 0,
     retryBackoffMinMs: Long = 8,
     retryBackoffMaxMs: Long = 512,
-    tls: Boolean = false) {
+    tls: Boolean = false,
+    tlsSkipVerify: Boolean = false) {
   def options: Map[String, String] = Map(
     "network" -> network, "addr" -> address, "password" -> password,
     "db" -> database.toString, "maxRetries" -> retriesMax.toString,
     "minRetryBackoffMs" -> retryBackoffMinMs.toString,
     "maxRetryBackoffMs" -> retryBackoffMaxMs.toString,
-    "tls" -> tls.toString)
+    "tls" -> tls.toString, "tlsSkipVerify" -> tlsSkipVerify.toString)
 }
 
 /** Minimal RESP2 client for the reference's Redis emit

@@ -953,9 +953,24 @@ class OpsSpec extends SparkSpec {
       .asInstanceOf[NatsSink]
     assert(nats.config.username === "u" && nats.config.address === "nats://n:4222")
     val redis = Sinks.fromConfig(Map("sink.type" -> "redis",
-      "sink.redis.address" -> "r:6379", "sink.redis.database" -> "3"))
+      "sink.redis.address" -> "r:6379", "sink.redis.database" -> "3",
+      "sink.redis.retries.backoff.min" -> "16",
+      "sink.redis.tls.skipverify" -> "true"))
       .asInstanceOf[RedisSink]
-    assert(redis.config.database === 3)
+    assert(redis.config.database === 3 && redis.config.retryBackoffMinMs === 16L)
+    // skipverify maps to skipverify, NOT to TLS-enable
+    assert(redis.config.tlsSkipVerify && !redis.config.tls)
+    // the wire client cannot honor SASL/TLS — asking for it fails loudly
+    assertThrows[IllegalArgumentException] {
+      Sinks.fromConfig(Map("sink.type" -> "kafka", "sink.kafka.sasl.enabled" -> "true"))
+    }
+    // missing mandatory http url fails at construction, not on an executor
+    assertThrows[IllegalArgumentException] {
+      Sinks.fromConfig(Map("sink.type" -> "http"))
+    }
+    // unknown types fall through to the pluggable registry
+    Sinks.register("custom-test", () => NullSink)
+    assert(Sinks.fromConfig(Map("sink.type" -> "custom-test")) === NullSink)
     val kin = Sinks.fromConfig(Map("sink.type" -> "kinesis",
       "sink.kinesis.stream.name" -> "s", "sink.kinesis.aws.region" -> "eu-west-1",
       "sink.kinesis.aws.accesskeyid" -> "AK", "sink.kinesis.aws.secretaccesskey" -> "SK"))
