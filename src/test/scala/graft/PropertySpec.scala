@@ -137,4 +137,57 @@ class PropertySpec extends AnyFunSuite {
       assert(out === expected, s"tokens=$ts n=$n")
     }
   }
+
+  test("kafka zigzag varlong round-trips every value (the record-batch integer encoding)") {
+    def decode(bytes: Array[Byte]): (Long, Int) = {
+      var z = 0L; var shift = 0; var i = 0; var b = 0
+      do { b = bytes(i) & 0xff; z |= (b & 0x7fL) << shift; shift += 7; i += 1 }
+      while ((b & 0x80) != 0)
+      ((z >>> 1) ^ -(z & 1), i)
+    }
+    val edge = Seq(0L, 1L, -1L, 63L, 64L, -64L, -65L, Int.MaxValue.toLong,
+      Int.MinValue.toLong, Long.MaxValue, Long.MinValue)
+    val rand = samples(Gen.long, 200)
+    (edge ++ rand).foreach { v =>
+      val out = new java.io.ByteArrayOutputStream()
+      graft.sinks.KafkaWire.writeVarlong(out, v)
+      val (back, used) = decode(out.toByteArray)
+      assert(back === v && used === out.size(), s"varlong $v")
+    }
+  }
+
+  test("sigv4 signature is deterministic and sensitive to every signed input") {
+    import graft.sinks.AwsSigV4
+    val base = () => AwsSigV4.authorization("POST", "/", "",
+      Seq("host" -> "h:1", "x-amz-date" -> "20260812T000000Z"),
+      "body".getBytes("UTF-8"), "20260812T000000Z", "us-east-1", "sqs", "AK", "SK")
+    assert(base() === base())   // deterministic
+    val variants = Seq(
+      AwsSigV4.authorization("PUT", "/", "",
+        Seq("host" -> "h:1", "x-amz-date" -> "20260812T000000Z"),
+        "body".getBytes("UTF-8"), "20260812T000000Z", "us-east-1", "sqs", "AK", "SK"),
+      AwsSigV4.authorization("POST", "/", "",
+        Seq("host" -> "h:2", "x-amz-date" -> "20260812T000000Z"),
+        "body".getBytes("UTF-8"), "20260812T000000Z", "us-east-1", "sqs", "AK", "SK"),
+      AwsSigV4.authorization("POST", "/", "",
+        Seq("host" -> "h:1", "x-amz-date" -> "20260812T000000Z"),
+        "bodY".getBytes("UTF-8"), "20260812T000000Z", "us-east-1", "sqs", "AK", "SK"),
+      AwsSigV4.authorization("POST", "/", "",
+        Seq("host" -> "h:1", "x-amz-date" -> "20260812T000000Z"),
+        "body".getBytes("UTF-8"), "20260812T000000Z", "eu-west-1", "sqs", "AK", "SK"),
+      AwsSigV4.authorization("POST", "/", "",
+        Seq("host" -> "h:1", "x-amz-date" -> "20260812T000000Z"),
+        "body".getBytes("UTF-8"), "20260812T000000Z", "us-east-1", "kinesis", "AK", "SK"),
+      AwsSigV4.authorization("POST", "/", "",
+        Seq("host" -> "h:1", "x-amz-date" -> "20260812T000000Z"),
+        "body".getBytes("UTF-8"), "20260812T000000Z", "us-east-1", "sqs", "AK", "SK2"))
+    val sigs = (base() +: variants).map(_.split("Signature=")(1))
+    assert(sigs.distinct.length === sigs.length,
+      "every signed input must perturb the signature")
+    // header ORDER must not matter (canonicalization sorts)
+    val reordered = AwsSigV4.authorization("POST", "/", "",
+      Seq("x-amz-date" -> "20260812T000000Z", "host" -> "h:1"),
+      "body".getBytes("UTF-8"), "20260812T000000Z", "us-east-1", "sqs", "AK", "SK")
+    assert(reordered === base())
+  }
 }
