@@ -273,12 +273,21 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("embedding"))
       .select(col("cid"), posexplode(pqSlices(col("embedding"), m, dim)).as(Seq("sm", "csub")))
 
-  def pqCodes(emb: DataFrame, m: Int = 8, k: Int = 16, dim: Int = 64): DataFrame = {
+  def pqCodes(emb: DataFrame, m: Int = 8, k: Int = 16, dim: Int = 64): DataFrame =
+    pqEncodeWith(emb, emb, m, k, dim)
+
+  /** PQ-encode `vectors` against a codebook built from a separate
+    * static `codebookSource` — the continuous-ingest form: the encode
+    * side may be a STREAMING DataFrame (the codebook side cannot be,
+    * it orders and limits), and the join/fold body is identical to the
+    * batch path. */
+  def pqEncodeWith(vectors: DataFrame, codebookSource: DataFrame,
+      m: Int = 8, k: Int = 16, dim: Int = 64): DataFrame = {
     require(dim % m == 0, s"pq: dim=$dim not divisible by m=$m")
-    val cb = pqCodebook(emb, m, k, dim)
+    val cb = pqCodebook(codebookSource, m, k, dim)
       .groupBy(col("sm"))
       .agg(array_sort(collect_list(struct(col("cid"), col("csub")))).as("cands"))
-    emb
+    vectors
       .select(col("vec_id"), posexplode(pqSlices(col("embedding"), m, dim)).as(Seq("sm", "subvec")))
       .join(broadcast(cb), "sm")
       .withColumn("best", array_max(transform(col("cands"), c =>

@@ -395,6 +395,26 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.2, s"ADC mean recall vs exact IP top-10: $recall")
   }
 
+  test("compaction merges a fragmented write into target-sized files without losing rows") {
+    val frag = java.nio.file.Files.createTempDirectory("frag").toString
+    val compacted = java.nio.file.Files.createTempDirectory("compacted").toString
+    Tables.documents(spark, sf001).repartition(32).write.mode("overwrite").parquet(frag)
+    def parquetFiles(d: String) =
+      new java.io.File(d).listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles(frag) === 32)
+    val total = graft.ops.Compaction.dataBytes(spark, frag)
+    assert(total > 0)
+    // target half the data per file → 2 output files
+    val out = graft.ops.Compaction.compact(spark, frag, compacted,
+      targetBytes = (total + 1) / 2)
+    assert(parquetFiles(compacted) === 2)
+    assert(out.count() === 500)
+    // row set survives byte-identically (order-free content checksum)
+    def checksum(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("bit_xor(xxhash64(doc_id, text, source)) AS c").head.getLong(0)
+    assert(checksum(out) === checksum(Tables.documents(spark, sf001)))
+  }
+
   test("per-label centroid sums: counts partition the corpus, micros match a hand fold") {
     val emb = Seq(
       (1L, Array(0.5f, -0.25f), "a"),

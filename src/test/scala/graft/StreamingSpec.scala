@@ -130,6 +130,26 @@ class StreamingSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("streaming vectors encode against a static PQ codebook, equal to the batch codes") {
+    import org.apache.spark.sql.functions._
+    // continuous-ingest vector indexing: new embeddings stream in and
+    // get PQ-encoded against the batch-built (static) quantizer — the
+    // same op body, no streaming rewrite
+    val emb = Tables.embeddings(spark, sf001)
+    val sch = emb.schema
+    val stream = spark.readStream.schema(sch)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(sf001)
+    val codes = graft.ops.Similarity.pqEncodeWith(stream.drop("label"), emb)
+    val q = codes.writeStream.format("memory").queryName("pqstream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish within the timeout")
+    val streamed = spark.sql("SELECT * FROM pqstream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.ops.Similarity.pqCodes(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+
   test("stream-static anti-join: incremental exact dedup against a static history") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
