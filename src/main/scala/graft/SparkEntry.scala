@@ -972,6 +972,11 @@ object SparkEntry {
       TextAnalysis.tfidfTopK(Tables.documents(s, dir))
         .orderBy(col("doc_id"), col("rank"))),
 
+    "dedup_substring_spans" -> ((s, dir) =>
+      // Lee-et-al exact-substring dedup: first occurrence survives
+      Dedup.substringSpans(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
     "pack_shards" -> ((s, dir) => {
       // Sequence packing: docs accumulate in doc_id order into fixed
       // token-budget training shards. Partitioned by source so the
@@ -2336,6 +2341,33 @@ object SparkEntry {
         |  array_to_string(list(CAST(coalesce(v.id, -1) AS VARCHAR) ORDER BY pos), ',') AS ids_csv
         |FROM tokens LEFT JOIN vocab v ON tok = v.token
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // substring-span twin: same windows, keeper = rn 1 over
+    // (doc_id, start) ≡ Spark's min(struct), reassembly by position
+    "dedup_substring_spans" ->
+      """WITH tok0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tok AS (SELECT doc_id, pos - 1 AS pos, t[pos] AS tok
+        |        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS pos FROM tok0) z),
+        |win AS (SELECT doc_id, start - 1 AS start, array_to_string(t[start:start+9], ' ') AS gram
+        |        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 9)) AS start
+        |              FROM tok0 WHERE len(t) >= 10) z),
+        |marked AS (SELECT doc_id, start FROM (
+        |    SELECT doc_id, start, count(*) OVER (PARTITION BY gram) AS c,
+        |      row_number() OVER (PARTITION BY gram ORDER BY doc_id, start) AS rn
+        |    FROM win) x WHERE c > 1 AND rn > 1),
+        |covered AS (SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT doc_id, unnest(generate_series(start, start + 9)) AS pos FROM marked) y),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok
+        |         FROM tok t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+        |         WHERE c.pos IS NULL),
+        |reb AS (SELECT doc_id, count(*) AS n_kept,
+        |          array_to_string(list(tok ORDER BY pos), ' ') AS cleaned
+        |        FROM kept GROUP BY 1)
+        |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(r.cleaned, '') AS cleaned
+        |FROM documents d LEFT JOIN reb r ON d.doc_id = r.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // tf-idf twin: tf·1e6//df integer ranking, lexicographic tie-break
     "text_tfidf_topk" ->

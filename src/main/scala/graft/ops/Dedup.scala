@@ -19,6 +19,53 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact-substring span dedup (the Lee et al. 2021 "Deduplicating
+    * Training Data Makes Language Models Better" form, published
+    * method): any `n`-token window occurring more than once in the
+    * corpus is a duplicated span; every occurrence except the FIRST
+    * (lowest (doc_id, start)) gets its tokens removed, and each
+    * document is reassembled from its surviving tokens — so one copy of
+    * every repeated passage survives, document boundaries preserved.
+    *
+    * Scale shape: window grouping and the occurrence join are
+    * bounded-key equi-joins on the gram (the same posture as the
+    * shingle family — a df-cap can drop ultra-hot grams first), the
+    * coverage set is a (doc, pos) distinct, and reassembly is one
+    * groupBy(doc). No all-pairs anywhere. The suffix-array construction
+    * the paper uses is a single-machine algorithm; the windowed
+    * formulation is the shuffle-bounded distributed equivalent for
+    * fixed n.
+    */
+  def substringSpans(df: DataFrame, n: Int = 10, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("t"))
+    val tok = toks.select(col(idCol), posexplode(col("t")).as(Seq("pos", "tok")))
+    // descending-sequence guard: size < n would make sequence(0, <0) count down
+    val wins = toks.select(col(idCol), posexplode(expr(
+      s"""CASE WHEN size(t) < $n THEN array()
+         |ELSE transform(sequence(0, size(t) - $n),
+         |               i -> array_join(slice(t, i + 1, $n), ' ')) END""".stripMargin))
+      .as(Seq("start", "gram")))
+    val dup = wins.groupBy(col("gram"))
+      .agg(count(lit(1)).as("c"), min(struct(col(idCol), col("start"))).as("keep"))
+      .filter(col("c") > 1)
+    val marked = wins.join(dup, "gram")
+      .filter(!(col(idCol) === col(s"keep.$idCol") && col("start") === col("keep.start")))
+    val covered = marked
+      .select(col(idCol), explode(sequence(col("start"), col("start") + lit(n - 1))).as("pos"))
+      .distinct()
+    val rebuilt = tok.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("cleaned"))
+    df.select(col(idCol), size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** Word n-gram shingles, distinct per doc: (doc_id, shingle) pairs.
     * Gram generation is the codegen `NGramsJoin` kernel (identical
     * output to the interpreted `transform(sequence…)` formulation the

@@ -415,6 +415,23 @@ class OpsSpec extends SparkSpec {
     assert(checksum(out) === checksum(Tables.documents(spark, sf001)))
   }
 
+  test("substring-span dedup removes repeated windows keeping the first occurrence") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k"),     // shares its first 10-token window with doc 2
+      (2L, "a b c d e f g h i j z"),
+      (3L, "p q r s t u v w x y")).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.substringSpans(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 11L, 11L, "a b c d e f g h i j k"),  // keeper: untouched
+      (2L, 11L, 1L, "z"),                        // duplicated span removed
+      (3L, 10L, 10L, "p q r s t u v w x y")))   // unique window untouched
+    // short docs (< n tokens) pass through whole
+    val short = graft.ops.Dedup.substringSpans(
+      Seq((9L, "x y")).toDF("doc_id", "text")).head
+    assert(short.getLong(2) === 2L && short.getString(3) === "x y")
+  }
+
   test("per-label centroid sums: counts partition the corpus, micros match a hand fold") {
     val emb = Seq(
       (1L, Array(0.5f, -0.25f), "a"),
