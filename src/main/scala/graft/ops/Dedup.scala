@@ -46,11 +46,15 @@ object Dedup {
          |ELSE transform(sequence(0, size(t) - $n),
          |               i -> array_join(slice(t, i + 1, $n), ' ')) END""".stripMargin))
       .as(Seq("start", "gram")))
-    val dup = wins.groupBy(col("gram"))
-      .agg(count(lit(1)).as("c"), min(struct(col(idCol), col("start"))).as("keep"))
-      .filter(col("c") > 1)
-    val marked = wins.join(dup, "gram")
-      .filter(!(col(idCol) === col(s"keep.$idCol") && col("start") === col("keep.start")))
+    // ONE shuffle on gram: count + first-occurrence rank in the same
+    // window partition (a groupBy + join-back would scan and shuffle
+    // the window set twice for the same answer)
+    val wGram = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+    val wOrd  = wGram.orderBy(col(idCol), col("start"))
+    val marked = wins
+      .withColumn("c", count(lit(1)).over(wGram))
+      .withColumn("rn", row_number().over(wOrd))
+      .filter(col("c") > 1 && col("rn") > 1)
     val covered = marked
       .select(col(idCol), explode(sequence(col("start"), col("start") + lit(n - 1))).as("pos"))
       .distinct()
