@@ -40,12 +40,11 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     val toks = df.select(col(idCol), split(col(textCol), " ").as("t"))
     val tok = toks.select(col(idCol), posexplode(col("t")).as(Seq("pos", "tok")))
-    // descending-sequence guard: size < n would make sequence(0, <0) count down
-    val wins = toks.select(col(idCol), posexplode(expr(
-      s"""CASE WHEN size(t) < $n THEN array()
-         |ELSE transform(sequence(0, size(t) - $n),
-         |               i -> array_join(slice(t, i + 1, $n), ' ')) END""".stripMargin))
-      .as(Seq("start", "gram")))
+    // codegen NGramsJoin kernel (empty for short docs, so no
+    // descending-sequence hazard); posexplode index = 0-based window start
+    val wins = toks.select(col(idCol),
+      posexplode(graft.functions.TextFunctions.ngrams_join(col("t"), n))
+        .as(Seq("start", "gram")))
     // ONE shuffle on gram: count + first-occurrence rank in the same
     // window partition (a groupBy + join-back would scan and shuffle
     // the window set twice for the same answer)
