@@ -2352,9 +2352,9 @@ object SparkEntry {
         |        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 9)) AS start
         |              FROM tok0 WHERE len(t) >= 10) z),
         |marked AS (SELECT doc_id, start FROM (
-        |    SELECT doc_id, start, count(*) OVER (PARTITION BY gram) AS c,
+        |    SELECT doc_id, start,
         |      row_number() OVER (PARTITION BY gram ORDER BY doc_id, start) AS rn
-        |    FROM win) x WHERE c > 1 AND rn > 1),
+        |    FROM win) x WHERE rn > 1),
         |covered AS (SELECT DISTINCT doc_id, pos FROM (
         |    SELECT doc_id, unnest(generate_series(start, start + 9)) AS pos FROM marked) y),
         |kept AS (SELECT t.doc_id, t.pos, t.tok

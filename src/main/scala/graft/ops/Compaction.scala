@@ -17,15 +17,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Compaction {
 
-  /** Total bytes of data files under `dir` (recursive, metadata-only). */
+  /** Total bytes of data files under `dir` (recursive, metadata-only).
+    * `_`/`.`-prefixed names are skipped as FILES and as DIRECTORIES —
+    * a streaming sink's `_spark_metadata/` log (whose inner files have
+    * plain names) must not inflate the sizing. */
   def dataBytes(spark: SparkSession, dir: String): Long = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hidden(p: org.apache.hadoop.fs.Path): Boolean =
+      p.getName.startsWith("_") || p.getName.startsWith(".")
     def walk(p: org.apache.hadoop.fs.Path): Long =
       fs.listStatus(p).map { st =>
-        if (st.isDirectory) walk(st.getPath)
-        else if (st.getPath.getName.startsWith("_") ||
-                 st.getPath.getName.startsWith(".")) 0L
+        if (hidden(st.getPath)) 0L
+        else if (st.isDirectory) walk(st.getPath)
         else st.getLen
       }.sum
     walk(path)
@@ -36,16 +40,18 @@ object Compaction {
     math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
 
   /** Rewrite `inDir` (parquet) into `outDir` with files near
-    * `targetBytes`. Narrow coalesce when shrinking the file count —
-    * the common compaction direction — else a repartition. */
+    * `targetBytes`. Repartition (one shuffle) by default: a coalesce
+    * would push the partition merge BELOW the scan, serializing the
+    * read+decode of thousands of small files into `target` tasks —
+    * the classic compaction trap; the shuffle keeps the read at full
+    * parallelism and only the write runs at `target`. Pass
+    * `shuffle = false` only when the input partition count is already
+    * small enough that a narrow merge can't starve the scan. */
   def compact(spark: SparkSession, inDir: String, outDir: String,
-      targetBytes: Long = 128L << 20): DataFrame = {
+      targetBytes: Long = 128L << 20, shuffle: Boolean = true): DataFrame = {
     val df = spark.read.parquet(inDir)
-    val current = df.rdd.getNumPartitions
-    val target  = targetPartitions(dataBytes(spark, inDir), targetBytes)
-    val sized =
-      if (target <= current) df.coalesce(target)
-      else df.repartition(target)
+    val target = targetPartitions(dataBytes(spark, inDir), targetBytes)
+    val sized = if (shuffle) df.repartition(target) else df.coalesce(target)
     sized.write.mode("overwrite").parquet(outDir)
     spark.read.parquet(outDir)
   }

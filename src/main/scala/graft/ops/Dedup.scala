@@ -24,20 +24,27 @@ object Dedup {
     * method): any `n`-token window occurring more than once in the
     * corpus is a duplicated span; every occurrence except the FIRST
     * (lowest (doc_id, start)) gets its tokens removed, and each
-    * document is reassembled from its surviving tokens — so one copy of
-    * every repeated passage survives, document boundaries preserved.
+    * document is reassembled from its surviving tokens. The guarantee
+    * is per WINDOW — the first occurrence of each window keeps its
+    * tokens. When distinct duplicated windows overlap, a retained
+    * passage can still be eroded by a removal that covers part of it
+    * (greedy span removal has this artifact in the paper's form too);
+    * what is guaranteed is that a token is only ever removed because
+    * some window containing it appeared earlier elsewhere.
     *
-    * Scale shape: window grouping and the occurrence join are
-    * bounded-key equi-joins on the gram (the same posture as the
-    * shingle family — a df-cap can drop ultra-hot grams first), the
+    * Scale shape: duplicate detection is one gram-partitioned window
+    * pass (bounded keys, same posture as the shingle family), the
     * coverage set is a (doc, pos) distinct, and reassembly is one
     * groupBy(doc). No all-pairs anywhere. The suffix-array construction
     * the paper uses is a single-machine algorithm; the windowed
     * formulation is the shuffle-bounded distributed equivalent for
-    * fixed n.
+    * fixed n. `dfCap > 0` exempts ultra-hot grams (boilerplate
+    * occurring more than dfCap times) from removal — they would
+    * otherwise serialize one window partition into a single task at
+    * web scale; exempted grams keep all copies (conservative).
     */
   def substringSpans(df: DataFrame, n: Int = 10, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", dfCap: Int = 0): DataFrame = {
     val toks = df.select(col(idCol), split(col(textCol), " ").as("t"))
     val tok = toks.select(col(idCol), posexplode(col("t")).as(Seq("pos", "tok")))
     // codegen NGramsJoin kernel (empty for short docs, so no
@@ -45,15 +52,18 @@ object Dedup {
     val wins = toks.select(col(idCol),
       posexplode(graft.functions.TextFunctions.ngrams_join(col("t"), n))
         .as(Seq("start", "gram")))
-    // ONE shuffle on gram: count + first-occurrence rank in the same
-    // window partition (a groupBy + join-back would scan and shuffle
-    // the window set twice for the same answer)
+    // ONE shuffle on gram: first-occurrence rank in the window
+    // partition (a groupBy + join-back would scan and shuffle the
+    // window set twice for the same answer). rn > 1 alone implies the
+    // gram is duplicated — no separate count pass needed.
     val wGram = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
     val wOrd  = wGram.orderBy(col(idCol), col("start"))
-    val marked = wins
-      .withColumn("c", count(lit(1)).over(wGram))
-      .withColumn("rn", row_number().over(wOrd))
-      .filter(col("c") > 1 && col("rn") > 1)
+    val ranked = wins.withColumn("rn", row_number().over(wOrd))
+    val marked =
+      if (dfCap > 0)
+        ranked.withColumn("c", count(lit(1)).over(wGram))
+          .filter(col("rn") > 1 && col("c") <= dfCap)
+      else ranked.filter(col("rn") > 1)
     val covered = marked
       .select(col(idCol), explode(sequence(col("start"), col("start") + lit(n - 1))).as("pos"))
       .distinct()

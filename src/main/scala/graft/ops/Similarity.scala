@@ -284,9 +284,13 @@ object Similarity {
   def pqEncodeWith(vectors: DataFrame, codebookSource: DataFrame,
       m: Int = 8, k: Int = 16, dim: Int = 64): DataFrame = {
     require(dim % m == 0, s"pq: dim=$dim not divisible by m=$m")
+    // localCheckpoint materializes the m-row codebook ONCE — without it
+    // a streaming join re-scans the whole static corpus to rebuild the
+    // identical broadcast side on every trigger
     val cb = pqCodebook(codebookSource, m, k, dim)
       .groupBy(col("sm"))
       .agg(array_sort(collect_list(struct(col("cid"), col("csub")))).as("cands"))
+      .localCheckpoint(true)
     vectors
       .select(col("vec_id"), posexplode(pqSlices(col("embedding"), m, dim)).as(Seq("sm", "subvec")))
       .join(broadcast(cb), "sm")
