@@ -430,6 +430,14 @@ class OpsSpec extends SparkSpec {
     val short = graft.ops.Dedup.substringSpans(
       Seq((9L, "x y")).toDF("doc_id", "text")).head
     assert(short.getLong(2) === 2L && short.getString(3) === "x y")
+    // dfCap exempts hot grams: cap 1 < occurrence count 2 → nothing removed
+    val capped = graft.ops.Dedup.substringSpans(docs, dfCap = 1).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(capped.forall { case (_, total, kept, _) => kept === total })
+    // a cap above every gram's frequency behaves like no cap
+    val wide = graft.ops.Dedup.substringSpans(docs, dfCap = 100).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(wide === got)
   }
 
   test("per-label centroid sums: counts partition the corpus, micros match a hand fold") {
