@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single-query debug runner: `runMain graft.RunQuery <name> <sfDir>
+  * [explain]` — shows a sample, the row count, and (with `explain`) the
+  * formatted physical plan. The fast inner loop for plan audits that
+  * `Verify` (all queries) and `Bench` (timings) are too heavy for.
+  */
+object RunQuery {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: RunQuery <queryName> <sfDir> [explain]")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.queries(args(0))(spark, args(1))
+    df.show(5, truncate = false)
+    if (args.length > 2 && args(2) == "explain") df.explain("formatted")
+    println("ROWS=" + df.count())
+    spark.stop()
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.cdc.Cdc
 import graft.catalog.TableFilter
 import graft.model.Envelope
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Sampling, Similarity, TextAnalysis}
 import graft.types.PgConverters
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1250,6 +1250,50 @@ object SparkEntry {
         .select(col("tbl"),
           graft.functions.FnvHash64.snapshotPartition(col("tbl"), 5).as("partition"))
         .orderBy(col("tbl"))
+    }),
+
+    "dedup_semantic" -> ((s, dir) => {
+      // SemDeDup: cluster-scoped cosine pairs (within-cluster equi-join,
+      // never all-pairs) with each side's centroid similarity
+      Dedup.semanticDupPairs(Tables.embeddings(s, dir), nClusters = 16, threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "dedup_semantic_prune" -> ((s, dir) => {
+      // keep the LOWER-centroid-sim side of every dup relation (the
+      // paper's diversity-keeping policy, parallel relaxation)
+      Dedup.semanticPrune(Tables.embeddings(s, dir), nClusters = 16, threshold = 0.4)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
+    "dedup_bloom_prune" -> ((s, dir) => {
+      // bloom-prefiltered incremental exact dedup: history = short-named
+      // sources, batch = long-named (the dedup_incremental split)
+      val docs = Tables.documents(s, dir)
+      Dedup.bloomPrune(
+        batch   = docs.filter(length(col("source")) === 5),
+        history = docs.filter(length(col("source")) === 4))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "sample_cap_per_source" -> ((s, dir) => {
+      // RefinedWeb-style per-domain frequency cap: best 20 docs per
+      // source by (n_chars desc, doc_id)
+      Sampling.capPerGroup(Tables.documents(s, dir), "source", 20,
+          Seq(col("n_chars").desc, col("doc_id")))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "sample_top_quantile" -> ((s, dir) => {
+      // quantile gate: top 25% of each source by length rank,
+      // integer-exact (rank*100 <= 25*count)
+      Sampling.topPercentPerGroup(Tables.documents(s, dir), "source", 25,
+          Seq(col("n_chars").desc, col("doc_id")))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2605,6 +2649,77 @@ object SparkEntry {
          |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
          |  FROM scored)
          |SELECT query_id, neighbor_id, rnk, cosine FROM ranked WHERE rnk <= 5
-         |ORDER BY query_id, rnk""".stripMargin
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    // SemDeDup twin: the IVF-assign CTE shape (argmax = row_number over
+    // cosine DESC, centroid_id ASC — proven equal to Spark's
+    // array_max(struct(sim, -id))) keeping the winning cosine itself,
+    // then within-cluster pairs only
+    "dedup_semantic" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS norm FROM embeddings),
+         |c AS (SELECT vec_id AS centroid_id, embedding AS centroid, norm AS cnorm
+         |      FROM e ORDER BY vec_id LIMIT 16),
+         |asg AS (SELECT vec_id, centroid_id, sim AS centroid_sim FROM (
+         |    SELECT e.vec_id, c.centroid_id,
+         |      ${duckDot("e.embedding", "c.centroid")} / (e.norm * c.cnorm) AS sim,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckDot("e.embedding", "c.centroid")} / (e.norm * c.cnorm) DESC,
+         |                 c.centroid_id) AS rn
+         |    FROM e CROSS JOIN c) t WHERE rn = 1)
+         |SELECT a.centroid_id AS cluster_id, a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${duckDot("ea.embedding", "eb.embedding")} / (ea.norm * eb.norm) AS cosine,
+         |  a.centroid_sim AS centroid_sim_a, b.centroid_sim AS centroid_sim_b
+         |FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+         |WHERE ${duckDot("ea.embedding", "eb.embedding")} / (ea.norm * eb.norm) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // prune twin: pairs always have id_a < id_b, so a drops only when
+    // strictly beaten on centroid_sim; b drops on loss OR tie
+    "dedup_semantic_prune" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS norm FROM embeddings),
+         |c AS (SELECT vec_id AS centroid_id, embedding AS centroid, norm AS cnorm
+         |      FROM e ORDER BY vec_id LIMIT 16),
+         |asg AS (SELECT vec_id, centroid_id, sim AS centroid_sim FROM (
+         |    SELECT e.vec_id, c.centroid_id,
+         |      ${duckDot("e.embedding", "c.centroid")} / (e.norm * c.cnorm) AS sim,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckDot("e.embedding", "c.centroid")} / (e.norm * c.cnorm) DESC,
+         |                 c.centroid_id) AS rn
+         |    FROM e CROSS JOIN c) t WHERE rn = 1),
+         |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    a.centroid_sim AS sa, b.centroid_sim AS sb
+         |  FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+         |    JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+         |  WHERE ${duckDot("ea.embedding", "eb.embedding")} / (ea.norm * eb.norm) >= 0.4),
+         |dropped AS (SELECT id_a AS vec_id FROM pairs WHERE sb < sa
+         |  UNION SELECT id_b FROM pairs WHERE sa < sb OR sa = sb)
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+         |ORDER BY vec_id""".stripMargin,
+
+    // bloom-prune twin: the bloom is a prefilter only — observable
+    // semantics are exactly "batch minus docs whose content exists in
+    // history"
+    "dedup_bloom_prune" ->
+      """SELECT d.doc_id, d.source FROM documents d
+        |WHERE length(d.source) = 5
+        |  AND d.text NOT IN (SELECT text FROM documents WHERE length(source) = 4)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "sample_cap_per_source" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
+
+    "sample_top_quantile" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents) t
+        |WHERE rk * 100 <= n * 25 ORDER BY doc_id""".stripMargin
   )
 }

@@ -375,6 +375,112 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
+    * pairs via CLUSTER-SCOPED cosine comparison — embeddings are first
+    * assigned to a coarse quantizer (the shuffle-free broadcast-argmax
+    * shape shared with IVF; centroids are the same documented
+    * deterministic k-means stand-in), and pairwise cosine is computed
+    * only WITHIN a cluster. That is the paper's whole scaling argument:
+    * all-pairs over n vectors is O(n²), but within k balanced clusters
+    * it is O(n²/k) — and in Spark terms the pair generation becomes an
+    * equi-join on `centroid_id` (bounded keys, same posture as the
+    * shingle/LSH families), never a cross join. A cluster holding f
+    * vectors contributes f² candidate rows, so k trades recall
+    * (cross-cluster dups are missed — the paper accepts this) against
+    * the hot-key bound, exactly like `jaccardPairs`' dfCap.
+    *
+    * Output: one row per same-cluster pair with cosine ≥ `threshold`,
+    * plus each side's similarity to the shared centroid (the paper's
+    * ranking signal — see [[semanticPrune]]).
+    */
+  def semanticDupPairs(emb: DataFrame, nClusters: Int = 16,
+                       threshold: Double = 0.99): DataFrame = {
+    val centroids = emb.orderBy(col("vec_id")).limit(nClusters)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    val assigned = Similarity.ivfAssignWithSim(emb, centroids)
+      .withColumn("norm", Similarity.l2Norm("embedding"))
+    assigned.as("a").join(assigned.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.centroid_id").as("cluster_id"),
+        col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        (Similarity.dot("a.embedding", "b.embedding") /
+          (col("a.norm") * col("b.norm"))).as("cosine"),
+        col("a.centroid_sim").as("centroid_sim_a"),
+        col("b.centroid_sim").as("centroid_sim_b"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** SemDeDup pruning: within each semantic-dup relation KEEP the
+    * example with the LOWER similarity to its cluster centroid — the
+    * paper keeps low-centroid-similarity representatives because they
+    * are the more diverse ones (§3: "we keep the examples with the
+    * lowest cosine similarity to the cluster centroid"). The paper's
+    * per-cluster greedy sweep is sequential; this is the standard
+    * parallel relaxation (the same one `dedup_prune` applies to exact
+    * dups): drop v iff some dup-neighbor u beats it — centroid_sim_u <
+    * centroid_sim_v, ties toward the lower vec_id. One aggregation over
+    * the pair set, one anti-join; nothing rescans the corpus.
+    */
+  def semanticPrune(emb: DataFrame, nClusters: Int = 16,
+                    threshold: Double = 0.99): DataFrame = {
+    val pairs = semanticDupPairs(emb, nClusters, threshold)
+    val dropA = pairs.filter(col("centroid_sim_b") < col("centroid_sim_a") ||
+        (col("centroid_sim_b") === col("centroid_sim_a") && col("id_b") < col("id_a")))
+      .select(col("id_a").as("vec_id"))
+    val dropB = pairs.filter(col("centroid_sim_a") < col("centroid_sim_b") ||
+        (col("centroid_sim_a") === col("centroid_sim_b") && col("id_a") < col("id_b")))
+      .select(col("id_b").as("vec_id"))
+    emb.join(dropA.unionByName(dropB).distinct(), Seq("vec_id"), "left_anti")
+  }
+
+  /** Bloom-prefiltered incremental exact dedup: drop new-batch documents
+    * whose content already exists in the historical corpus, WITHOUT
+    * shuffling either side against the other. A Bloom filter over the
+    * history's content hashes (built with `bloom_filter_agg` — partial
+    * sketches merged treewise, one compact binary on the driver) is
+    * broadcast as a plan-time literal; the batch probes it with the
+    * codegen `BloomFilterMightContain` kernel. Bloom "no" answers are
+    * definitive (no false negatives), so only the tiny bloom-positive
+    * slice — true dups plus ~fpp of the batch — reaches the confirming
+    * anti-join against the history hash set. Exactness never depends on
+    * fpp; fpp only sizes the confirm join.
+    *
+    * 100 TB sizing: ~9.6 bits/key at 1 % fpp → 120 MB per 10⁸ history
+    * docs, 1.2 GB per 10⁹ — the broadcast form holds to ~10⁹ keys;
+    * beyond that raise fpp (0.1 → ~0.6 GB per 10⁹; the confirm join
+    * still restores exactness) or shard the bloom by hash range.
+    * Equality is 64-bit content-hash equality (same posture as
+    * [[exact]]'s md5 keys — a 2⁻⁶⁴ collision deletes a unique doc).
+    */
+  def bloomPrune(batch: DataFrame, history: DataFrame,
+                 textCol: String = "text", idCol: String = "doc_id",
+                 fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    val hHist = history.select(xxhash64(col(textCol)).as("h"))
+    // n for sizing only (a metadata-cheap count job); the filter stays
+    // correct if the estimate is off — only fpp degrades
+    val n = math.max(hHist.count(), 1L)
+    val numBits = math.max(64L, math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // bloom_filter_agg exists only in the internal registry (Spark wires
+    // it up for runtime join filters), so build the aggregate node
+    // directly — partial sketches merge exactly like any other agg
+    val bytes = hHist.agg(ColumnBridge.column(
+        new BloomFilterAggregate(ColumnBridge.expression(col("h")),
+          Literal(n), Literal(numBits)).toAggregateExpression()))
+      .head.getAs[Array[Byte]](0)
+    val withH = batch.withColumn("__h", xxhash64(col(textCol)))
+    def might(c: Column): Column = ColumnBridge.column(
+      BloomFilterMightContain(Literal.create(bytes, BinaryType), ColumnBridge.expression(c)))
+    val definitelyNew = withH.filter(!might(col("__h")))
+    val suspected = withH.filter(might(col("__h")))
+      .join(hHist.distinct().withColumnRenamed("h", "__h"), Seq("__h"), "left_anti")
+    definitelyNew.unionByName(suspected).drop("__h")
+  }
+
   /** Embedding near-dup: cosine over candidate pairs. The full pairwise
     * form is the correctness oracle (bounded inputs); the scale path is
     * Similarity.lshCosinePairs.

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-shaping sampling operators: the per-domain caps and
+  * quantile gates every web-scale training-data pipeline applies
+  * between dedup and mixing (RefinedWeb per-domain caps, C4/CCNet
+  * quality-bucket selection). The stratified keep-hash sampler and the
+  * data-dependent curriculum mixer live in SparkEntry/TextAnalysis;
+  * these are their rank-based complements — data-dependent within a
+  * group rather than rate-based.
+  *
+  * Scale stance: each operator is ONE shuffle on the group key with a
+  * window rank — no global sort, no driver-side state. A group holding
+  * a dominant share of the corpus (one mega-domain) serializes its
+  * window partition; the standard two-phase remedy (pre-aggregate a
+  * per-group count, then rank within salted sub-groups and re-rank the
+  * boundary) applies, but the single-window form is the right default
+  * because group cardinality in practice (domains, sources, langs) is
+  * millions of small groups, not one giant one.
+  */
+object Sampling {
+
+  /** Per-group frequency cap: keep at most `n` rows per group, best
+    * ranked first (RefinedWeb §3.2 caps documents per registered
+    * domain; C4 caps per-host). `order` decides which survive — pass
+    * deterministic total orders (end with the id column) so reruns and
+    * engines agree.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, n: Int,
+                  order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(order: _*)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
+  /** Per-group top-percent quantile gate: keep the best `pct` percent
+    * of each group by rank (quality-score gating à la CCNet's
+    * perplexity buckets, kept integer-exact for cross-engine parity:
+    * `rank*100 <= pct*group_count` instead of a float percentile).
+    * Both the rank and the count ride the SAME window partition — one
+    * shuffle, two window functions, no join-back. Every group keeps at
+    * least its top-1 row only when pct*count >= 100; tiny groups can
+    * drop entirely (matching the integer inequality, documented).
+    */
+  def topPercentPerGroup(df: DataFrame, groupCol: String, pct: Int,
+                         order: Seq[Column]): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct=$pct out of [0,100]")
+    val w = Window.partitionBy(col(groupCol))
+    df.withColumn("__rk", row_number().over(w.orderBy(order: _*)))
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__rk") * 100 <= col("__n") * pct)
+      .drop("__rk", "__n")
+  }
+}

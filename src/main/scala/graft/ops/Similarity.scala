@@ -125,13 +125,22 @@ object Similarity {
   /** Shuffle-free nearest-centroid assignment against a given quantizer
     * (the argmax core of [[ivfAssign]]). */
   def ivfAssignWith(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    ivfAssignWithSim(corpus, centroids).drop("centroid_sim")
+
+  /** [[ivfAssignWith]] plus the winning cosine itself (`centroid_sim`) —
+    * consumers like SemDeDup rank within a cluster by distance to the
+    * centroid, and recomputing the argmax's own value downstream would
+    * mean a second broadcast pass. Same zero-Exchange plan shape.
+    */
+  def ivfAssignWithSim(corpus: DataFrame, centroids: DataFrame): DataFrame =
     corpus.crossJoin(broadcast(centroidArray(centroids)))
       .withColumn("best", array_max(transform(col("cents"), c =>
         struct(
           (graft.functions.VecFunctions.vec_dot(col("embedding"), c.getField("centroid")) /
             (l2Norm("embedding") * c.getField("cnorm"))).as("sim"),
           (-c.getField("centroid_id")).as("negid")))))
-      .select(col("vec_id"), col("embedding"), (-col("best.negid")).as("centroid_id"))
+      .select(col("vec_id"), col("embedding"), (-col("best.negid")).as("centroid_id"),
+        col("best.sim").as("centroid_sim"))
 
   def ivfAssign(corpus: DataFrame, k: Int): (DataFrame, DataFrame) = {
     // deterministic coarse centroids: lowest-id k vectors. orderBy+limit

@@ -270,4 +270,81 @@ class DedupSpec extends SparkSpec {
       assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b }, "descending cosine")
     }
   }
+
+  test("bloomPrune equals the plain anti-join and is exact at any fpp") {
+    val docs = Tables.documents(spark, sf001)
+    val history = docs.filter(col("doc_id") < 300)
+    // batch: 10 docs whose text duplicates history + the genuinely new rest
+    val dups = history.limit(10).withColumn("doc_id", col("doc_id") + 100000)
+    val batch = docs.filter(col("doc_id") >= 300).unionByName(dups)
+    val expected = batch.as("b").join(history.as("h"),
+        col("b.text") === col("h.text"), "left_anti")
+      .select(col("b.doc_id")).collect().map(_.getLong(0)).toSet
+    for (fpp <- Seq(0.01, 0.5)) { // exactness must not depend on fpp
+      val got = Dedup.bloomPrune(batch, history, fpp = fpp)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(got === expected, s"fpp=$fpp")
+    }
+  }
+
+  test("bloomPrune drops every planted content dup and keeps schema") {
+    val docs = Tables.documents(spark, sf001)
+    val history = docs.filter(col("doc_id") < 100)
+    val dups = history.withColumn("doc_id", col("doc_id") + 100000)
+    val kept = Dedup.bloomPrune(dups, history)
+    assert(kept.count() === 0, "every batch doc duplicates history")
+    assert(kept.columns.sameElements(docs.columns), "schema passes through")
+  }
+
+  test("semanticDupPairs stays within clusters and finds planted duplicate vectors") {
+    val emb = Tables.embeddings(spark, sf001)
+    val doubled = emb.limit(20)
+      .unionByName(emb.limit(20).withColumn("vec_id", col("vec_id") + 10000))
+    val pairs = Dedup.semanticDupPairs(doubled, nClusters = 8, threshold = 0.999)
+    val rows = pairs.collect()
+    // identical vectors always share a cluster (argmax is deterministic on
+    // identical input) and have cosine 1 ≥ any threshold
+    val planted = (0 until 20).map(i => (i.toLong, i + 10000L)).toSet
+    val found = rows.map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(planted.subsetOf(found), s"missing ${planted -- found}")
+    // every pair's sides really were assigned to the reported cluster
+    val assigned = Similarity.ivfAssignWithSim(doubled,
+        doubled.orderBy(col("vec_id")).limit(8)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid")))
+      .select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(assigned(r.getLong(1)) === r.getLong(0))
+      assert(assigned(r.getLong(2)) === r.getLong(0))
+    }
+  }
+
+  test("semanticPrune keeps exactly one side of each planted identical pair") {
+    val emb = Tables.embeddings(spark, sf001)
+    val doubled = emb.limit(20)
+      .unionByName(emb.limit(20).withColumn("vec_id", col("vec_id") + 10000))
+    val kept = Dedup.semanticPrune(doubled, nClusters = 8, threshold = 0.999)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    (0 until 20).foreach { i =>
+      val (lo, hi) = (i.toLong, i + 10000L)
+      // identical vectors tie on centroid_sim → the higher id drops
+      assert(kept.contains(lo) && !kept.contains(hi),
+        s"tie policy must keep $lo and drop $hi")
+    }
+  }
+
+  test("semanticPrune drop set matches a direct recomputation from the pairs") {
+    val emb = Tables.embeddings(spark, sf001)
+    val pairs = Dedup.semanticDupPairs(emb, nClusters = 8, threshold = 0.4).collect()
+    val expectedDrops = pairs.flatMap { r =>
+      val (a, b, sa, sb) = (r.getLong(1), r.getLong(2), r.getDouble(4), r.getDouble(5))
+      if (sb < sa) Some(a)                   // a beaten strictly
+      else if (sa < sb) Some(b)              // b beaten strictly
+      else Some(b)                           // tie: higher id drops (a < b)
+    }.toSet
+    val all = emb.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val kept = Dedup.semanticPrune(emb, nClusters = 8, threshold = 0.4)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(kept === (all -- expectedDrops))
+  }
 }
