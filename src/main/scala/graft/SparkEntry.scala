@@ -1294,6 +1294,19 @@ object SparkEntry {
           Seq(col("n_chars").desc, col("doc_id")))
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    "text_bm25_topk" -> ((s, dir) => {
+      // integer fixed-point BM25 retrieval for a fixed query term set
+      TextAnalysis.bm25TopK(Tables.documents(s, dir),
+          Seq("hash", "join", "vector"), k = 15)
+        .orderBy(col("score_milli").desc, col("doc_id"))
+    }),
+
+    "dedup_norm_exact" -> ((s, dir) => {
+      // normalize-then-hash exact dedup (C4/RefinedWeb form)
+      Dedup.normalizedExact(Tables.documents(s, dir))
+        .orderBy(col("norm_hash"))
     })
   )
 
@@ -2720,6 +2733,38 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk,
         |    count(*) OVER (PARTITION BY source) AS n
         |  FROM documents) t
-        |WHERE rk * 100 <= n * 25 ORDER BY doc_id""".stripMargin
+        |WHERE rk * 100 <= n * 25 ORDER BY doc_id""".stripMargin,
+
+    // BM25 twin: the same integer fixed-point pipeline (k1=1200, b=750
+    // milli; linear idf in ppm), N/avgdl recomputed from the same corpus,
+    // `//` = Spark's `div` on BIGINT
+    "text_bm25_topk" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+        |g AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM lens),
+        |av AS (SELECT greatest(tot * 1000 // greatest(n, 1), 1) AS avgdl_milli, n FROM g),
+        |tf AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, term, count(*) AS tf
+        |       FROM (SELECT doc_id, t, unnest(t) AS term FROM toks) z
+        |       WHERE term IN ('hash', 'join', 'vector')
+        |       GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (SELECT tf.doc_id,
+        |    (av.n * 1000000 // dfreq.df) * tf.tf * (1200 + 1000) //
+        |      (tf.tf * 1000 + 1200 * (1000 - 750 + 750 * tf.dl * 1000 // av.avgdl_milli) // 1000)
+        |      AS contrib
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN av),
+        |agg AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_milli,
+        |          count(*) AS n_terms_hit
+        |        FROM scored GROUP BY 1)
+        |SELECT doc_id, score_milli, n_terms_hit FROM agg
+        |ORDER BY score_milli DESC, doc_id LIMIT 15""".stripMargin,
+
+    // normalized-dedup twin: identical ASCII normalization ('g' = all
+    // occurrences, matching Spark's replace-all default)
+    "dedup_norm_exact" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY norm_hash""".stripMargin
   )
 }

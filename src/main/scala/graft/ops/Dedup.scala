@@ -19,6 +19,25 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Canonical text normalization for dedup keys: lowercase, map
+    * non-alphanumerics to spaces (ASCII classes — engine-neutral regex),
+    * collapse runs, trim. The C4/RefinedWeb exact-dedup form hashes THIS,
+    * not the raw text, so case/punctuation/spacing variants collapse.
+    * Narrow codegen'd per-row transform; non-ASCII letters are mapped to
+    * spaces too (documented: the conservative choice for a hash key —
+    * it merges more, never less, than a Unicode-aware fold).
+    */
+  def normalizedText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Exact dedup over the NORMALIZED text — same one-shuffle groupBy
+    * shape as [[exact]], different key.
+    */
+  def normalizedExact(df: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame =
+    df.groupBy(md5(normalizedText(col(textCol))).as("norm_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** Exact-substring span dedup (the Lee et al. 2021 "Deduplicating
     * Training Data Makes Language Models Better" form, published
     * method): any `n`-token window occurring more than once in the

@@ -65,6 +65,12 @@ object Multimodal {
   /** JDK-built-in image codec: deterministic synthesis (for fixtures)
     * and real decode. */
   object ImageCodec {
+    // ImageIO's default stream cache is a TEMP FILE per encode/decode —
+    // at 5 000 images that is 10 000 file creates/deletes of pure
+    // overhead (and at 100 TB, an iops storm on executor-local disks).
+    // Payloads here are small in-memory buffers; cache in memory.
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** Deterministic image dimensions for a source id — the golden
       * values tests assert against. */
     def dims(id: Long): (Int, Int) =

@@ -335,6 +335,61 @@ object TextAnalysis {
         col("tf"), col("df"), col("score_milli"))
   }
 
+  /** BM25-shaped keyword retrieval over the corpus: rank documents for a
+    * fixed term set by `idf · tf-saturation · length-normalization` —
+    * the retrieval primitive data curation uses (find docs matching an
+    * eval query for decontamination, surface topical subsets for
+    * mixing). All arithmetic is integer fixed-point so rankings are
+    * engine-exact (the same no-float-ULP-near-boundaries stance as
+    * [[tfidfTopK]]):
+    *
+    *   idf_ppm     = N·10⁶ div df                 (linear idf — documented
+    *                                               trade vs log idf)
+    *   norm_milli  = 1000 − b + b·dl·1000 div avgdl_milli
+    *   denom_milli = tf·1000 + k1·norm_milli div 1000
+    *   contrib     = idf_ppm · tf · (k1+1000) div denom_milli
+    *   score_milli = Σ contrib                     (integer sum, order-free)
+    *
+    * with k1/b as milli-scaled constants (defaults 1.2/0.75). Overflow
+    * bound: N·10⁶·tf·(k1+1000) must fit in i64 — holds to N ≈ 4·10⁹ docs
+    * with tf ≤ 1000; beyond that, downscale idf to per-mille.
+    *
+    * Scale shape: the term filter prunes the exploded token stream to
+    * query-term hits BEFORE any shuffle (predicate on a narrow explode);
+    * per-(doc,term) counts partial-agg map-side; document frequencies are
+    * a tiny per-term aggregate broadcast back; the global stats (N,
+    * avgdl) are one two-long aggregate folded into the plan as literals.
+    * Final top-k is orderBy+limit = TakeOrderedAndProject (per-partition
+    * heaps, k rows to the driver, never a global sort).
+    */
+  def bm25TopK(df: DataFrame, queryTerms: Seq[String], k: Int = 10,
+               k1Milli: Long = 1200L, bMilli: Long = 750L,
+               textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25: empty query")
+    val toks = df.select(col("doc_id"), split(col(textCol), " ").as("t"))
+    val lens = toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")).head
+    val (nDocs, totTokens) = (stats.getLong(0), stats.getLong(1))
+    val avgdlMilli = math.max(totTokens * 1000L / math.max(nDocs, 1L), 1L)
+    val tf = toks
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        explode(col("t")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("contrib", expr(
+        s"""(${nDocs}L * 1000000 div df) * tf * ($k1Milli + 1000) div
+           |  (tf * 1000 + $k1Milli * (1000 - $bMilli + $bMilli * dl * 1000 div ${avgdlMilli}L) div 1000)
+           |""".stripMargin.replace("\n", " ")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("score_milli"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score_milli").desc, col("doc_id"))
+      .limit(k)
+  }
+
   def classifierScoreMilli(textCol: String): Column = {
     val weight = (t: Column) =>
       pmod(graft.functions.FnvHash64.fnv_hash64(t), lit(1024L))

@@ -333,6 +333,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("normalizedExact merges case/punct/spacing variants that exact keeps apart") {
+    val base = docs.limit(10)
+    val variants = base.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat(upper(col("text")), lit("  !!")).as("text"),
+      col("lang"), col("source"), col("n_chars"))
+    val both = base.unionByName(variants)
+    // raw exact: every variant is its own hash → 20 groups, no copies
+    assert(Dedup.exact(both).filter(col("n_copies") > 1).count() === 0)
+    // normalized: each (orig, variant) pair collapses into one group
+    val norm = Dedup.normalizedExact(both)
+    assert(norm.count() === 10)
+    assert(norm.filter(col("n_copies") === 2).count() === 10)
+    // keep-lowest policy: the original (lower) id survives
+    assert(norm.filter(col("keep_id") >= 100000).count() === 0)
+  }
+
   test("semanticPrune drop set matches a direct recomputation from the pairs") {
     val emb = Tables.embeddings(spark, sf001)
     val pairs = Dedup.semanticDupPairs(emb, nClusters = 8, threshold = 0.4).collect()

@@ -489,6 +489,31 @@ class OpsSpec extends SparkSpec {
       (2L, 2L, "y", 1L, 2L, 500000L)))
   }
 
+  test("bm25TopK matches a direct integer recomputation over the corpus") {
+    val docs = Tables.documents(spark, sf001)
+    val terms = Seq("hash", "join")
+    val rows = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val n = rows.length.toLong
+    val dls = rows.map { case (id, t) => id -> t.length.toLong }.toMap
+    val av = math.max(dls.values.sum * 1000L / n, 1L)
+    val tf = for {
+      (id, t) <- rows.toSeq; term <- terms
+      c = t.count(_ == term).toLong if c > 0
+    } yield (id, term, c)
+    val dfreq = tf.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val scores = tf.groupBy(_._1).map { case (id, hits) =>
+      id -> hits.map { case (_, term, c) =>
+        (n * 1000000L / dfreq(term)) * c * 2200L /
+          (c * 1000L + 1200L * (1000L - 750L + 750L * dls(id) * 1000L / av) / 1000L)
+      }.sum
+    }
+    val expected = scores.toSeq.sortBy { case (id, s) => (-s, id) }.take(10)
+    val got = TextAnalysis.bm25TopK(docs, terms, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expected)
+  }
+
   test("hashed-feature classifier score matches an independent per-token fold") {
     val docs = Seq((1L, "alpha beta gamma alpha"), (2L, "delta")).toDF("doc_id", "text")
     val got = docs
