@@ -471,6 +471,12 @@ object Dedup {
     * still restores exactness) or shard the bloom by hash range.
     * Equality is 64-bit content-hash equality (same posture as
     * [[exact]]'s md5 keys — a 2⁻⁶⁴ collision deletes a unique doc).
+    *
+    * `batch` may be a STREAMING DataFrame: the eager actions here touch
+    * only the static history, and the batch-side plan is filter +
+    * stream-static left-anti + union — all streaming-legal, so the
+    * continuous-ingest form is this same code path (StreamingSpec
+    * proves stream ≡ batch).
     */
   def bloomPrune(batch: DataFrame, history: DataFrame,
                  textCol: String = "text", idCol: String = "doc_id",

@@ -178,6 +178,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("bloomPrune runs unchanged on a STREAMING batch side, equal to the batch result") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the op's only eager actions touch the static history (bloom build);
+    // the batch side is filter + stream-static left-anti + union — all
+    // streaming-legal, so continuous-ingest dedup is the same code path
+    val docs = Tables.documents(spark, sf001)
+    val history = docs.filter(length(col("source")) === 4)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf001)
+      .filter(length(col("source")) === 5)
+    val pruned = graft.ops.Dedup.bloomPrune(stream, history)
+    val q = pruned.writeStream.format("memory").queryName("bloomdedup")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish within the timeout")
+    val streamed = spark.table("bloomdedup").select("doc_id")
+      .as[Long].collect().sorted
+    val batch = graft.ops.Dedup.bloomPrune(
+        docs.filter(length(col("source")) === 5), history)
+      .select("doc_id").as[Long].collect().sorted
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream-stream interval join within watermark bounds") {
     import org.apache.spark.sql.functions._
     val a = StreamPipeline.walStream(spark, sf001)
