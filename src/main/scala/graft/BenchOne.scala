@@ -6,7 +6,10 @@ import org.apache.spark.sql.SparkSession
   * uses — the perf inner loop (`runMain graft.BenchOne <name> <sfDir> [n]`). */
 object BenchOne {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: BenchOne <queryName> <sfDir> [iters]")
     val name = args(0); val sfDir = args(1)
+    require(SparkEntry.queries.contains(name),
+      s"unknown query '$name'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
     val iters = if (args.length > 2) args(2).toInt else 3
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -443,12 +443,13 @@ object Dedup {
     */
   def semanticPrune(emb: DataFrame, nClusters: Int = 16,
                     threshold: Double = 0.99): DataFrame = {
+    // pairs guarantee id_a < id_b, so the tie-break (lower id wins)
+    // reduces to: a drops only on a STRICT centroid-sim loss, b drops on
+    // loss OR tie — the same two live branches the SQL oracle spells out
     val pairs = semanticDupPairs(emb, nClusters, threshold)
-    val dropA = pairs.filter(col("centroid_sim_b") < col("centroid_sim_a") ||
-        (col("centroid_sim_b") === col("centroid_sim_a") && col("id_b") < col("id_a")))
+    val dropA = pairs.filter(col("centroid_sim_b") < col("centroid_sim_a"))
       .select(col("id_a").as("vec_id"))
-    val dropB = pairs.filter(col("centroid_sim_a") < col("centroid_sim_b") ||
-        (col("centroid_sim_a") === col("centroid_sim_b") && col("id_a") < col("id_b")))
+    val dropB = pairs.filter(col("centroid_sim_a") <= col("centroid_sim_b"))
       .select(col("id_b").as("vec_id"))
     emb.join(dropA.unionByName(dropB).distinct(), Seq("vec_id"), "left_anti")
   }
@@ -478,30 +479,62 @@ object Dedup {
     * continuous-ingest form is this same code path (StreamingSpec
     * proves stream ≡ batch).
     */
+  /** Duplicate-detection contract: LEFT-ANTI equality on non-null
+    * content — a NULL-text batch row is never anyone's duplicate and
+    * always survives (SQL `NOT IN` would instead nuke every row when
+    * history contains a NULL; the anti-join semantics are the ones a
+    * pipeline wants). `expectedItems > 0` skips the sizing count — the
+    * count is otherwise one full scan of the history (NOT metadata-only:
+    * any filter on the history forces a data read), so a caller that
+    * knows the corpus size should say so.
+    */
   def bloomPrune(batch: DataFrame, history: DataFrame,
                  textCol: String = "text", idCol: String = "doc_id",
-                 fpp: Double = 0.01): DataFrame = {
+                 fpp: Double = 0.01, expectedItems: Long = 0L): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.ColumnBridge
     import org.apache.spark.sql.types.BinaryType
-    val hHist = history.select(xxhash64(col(textCol)).as("h"))
-    // n for sizing only (a metadata-cheap count job); the filter stays
-    // correct if the estimate is off — only fpp degrades
-    val n = math.max(hHist.count(), 1L)
+    val hHist = history.filter(col(textCol).isNotNull)
+      .select(xxhash64(col(textCol)).as("h"))
+    val n = math.max(if (expectedItems > 0) expectedItems else hHist.count(), 1L)
     val numBits = math.max(64L, math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
     // bloom_filter_agg exists only in the internal registry (Spark wires
     // it up for runtime join filters), so build the aggregate node
-    // directly — partial sketches merge exactly like any other agg
-    val bytes = hHist.agg(ColumnBridge.column(
-        new BloomFilterAggregate(ColumnBridge.expression(col("h")),
-          Literal(n), Literal(numBits)).toAggregateExpression()))
-      .head.getAs[Array[Byte]](0)
-    val withH = batch.withColumn("__h", xxhash64(col(textCol)))
+    // directly — partial sketches merge exactly like any other agg.
+    // BloomFilterAggregate CLAMPS its arguments against the runtime-
+    // filter confs (maxNumItems 4e6 / maxNumBits 2^26 by default) — a
+    // silent clamp would degrade fpp toward 1 on a large history and
+    // quietly turn the prefilter into a no-op, so raise the caps to the
+    // requested size for the duration of the (eager) build.
+    val sess = history.sparkSession
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (prevItems, prevBits) = (sess.conf.get(itemsKey), sess.conf.get(bitsKey))
+    val bytes =
+      try {
+        sess.conf.set(itemsKey, math.max(n, prevItems.toLong))
+        sess.conf.set(bitsKey, math.max(numBits, prevBits.toLong))
+        hHist.agg(ColumnBridge.column(
+            new BloomFilterAggregate(ColumnBridge.expression(col("h")),
+              Literal(n), Literal(numBits)).toAggregateExpression()))
+          .head.getAs[Array[Byte]](0)
+      } finally {
+        sess.conf.set(itemsKey, prevItems); sess.conf.set(bitsKey, prevBits)
+      }
+    // EMPTY history → the aggregate evaluates to NULL (zero-item filter),
+    // and a null bloom literal would nullify BOTH branch predicates and
+    // silently swallow the whole batch — nothing to dedup against, so
+    // the batch passes through unchanged.
+    if (bytes == null) return batch
+    val withH = batch.withColumn("__h",
+      when(col(textCol).isNull, lit(null)).otherwise(xxhash64(col(textCol))))
     def might(c: Column): Column = ColumnBridge.column(
       BloomFilterMightContain(Literal.create(bytes, BinaryType), ColumnBridge.expression(c)))
-    val definitelyNew = withH.filter(!might(col("__h")))
-    val suspected = withH.filter(might(col("__h")))
+    // NULL text: __h is null, both might() branches are null — route
+    // nulls explicitly into the survivor branch
+    val definitelyNew = withH.filter(col("__h").isNull || !might(col("__h")))
+    val suspected = withH.filter(col("__h").isNotNull && might(col("__h")))
       .join(hHist.distinct().withColumnRenamed("h", "__h"), Seq("__h"), "left_anti")
     definitelyNew.unionByName(suspected).drop("__h")
   }

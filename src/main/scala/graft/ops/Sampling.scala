@@ -52,7 +52,9 @@ object Sampling {
     val w = Window.partitionBy(col(groupCol))
     df.withColumn("__rk", row_number().over(w.orderBy(order: _*)))
       .withColumn("__n", count(lit(1)).over(w))
-      .filter(col("__rk") * 100 <= col("__n") * pct)
+      // rk is IntegerType — widen before scaling or a >21.4M-row group
+      // (exactly the mega-domain case) overflows i32 at rk*100
+      .filter(col("__rk").cast("long") * 100 <= col("__n") * pct)
       .drop("__rk", "__n")
   }
 }

@@ -351,8 +351,11 @@ object TextAnalysis {
     *   score_milli = Σ contrib                     (integer sum, order-free)
     *
     * with k1/b as milli-scaled constants (defaults 1.2/0.75). Overflow
-    * bound: N·10⁶·tf·(k1+1000) must fit in i64 — holds to N ≈ 4·10⁹ docs
-    * with tf ≤ 1000; beyond that, downscale idf to per-mille.
+    * bound: the worst single contribution is `N·idfScale·tf·(k1+1000)`
+    * (df=1), which must fit in i64 — with the default ppm idf and
+    * tf ≤ 1000 that caps N at ≈ 4·10⁶ docs. For larger corpora pass a
+    * smaller `idfScale` (per-mille 10³ lifts the cap to N ≈ 4·10⁹; the
+    * score loses idf resolution, not correctness).
     *
     * Scale shape: the term filter prunes the exploded token stream to
     * query-term hits BEFORE any shuffle (predicate on a narrow explode);
@@ -364,12 +367,15 @@ object TextAnalysis {
     */
   def bm25TopK(df: DataFrame, queryTerms: Seq[String], k: Int = 10,
                k1Milli: Long = 1200L, bMilli: Long = 750L,
-               textCol: String = "text"): DataFrame = {
+               textCol: String = "text", idfScale: Long = 1000000L): DataFrame = {
     require(queryTerms.nonEmpty, "bm25: empty query")
     val toks = df.select(col("doc_id"), split(col(textCol), " ").as("t"))
     val lens = toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
     val stats = lens.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")).head
-    val (nDocs, totTokens) = (stats.getLong(0), stats.getLong(1))
+    // sum over ZERO rows is SQL NULL — an empty corpus must yield an
+    // empty result, not an NPE at plan-build time
+    val nDocs = stats.getLong(0)
+    val totTokens = if (stats.isNullAt(1)) 0L else stats.getLong(1)
     val avgdlMilli = math.max(totTokens * 1000L / math.max(nDocs, 1L), 1L)
     val tf = toks
       .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
@@ -380,7 +386,7 @@ object TextAnalysis {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), "term")
       .withColumn("contrib", expr(
-        s"""(${nDocs}L * 1000000 div df) * tf * ($k1Milli + 1000) div
+        s"""(${nDocs}L * $idfScale div df) * tf * ($k1Milli + 1000) div
            |  (tf * 1000 + $k1Milli * (1000 - $bMilli + $bMilli * dl * 1000 div ${avgdlMilli}L) div 1000)
            |""".stripMargin.replace("\n", " ")))
       .groupBy(col("doc_id"))

@@ -287,6 +287,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("bloomPrune: empty history passes the batch through; NULL text never matches") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf001)
+    // empty history — the zero-item bloom evaluates to NULL; the op must
+    // pass everything through, not swallow the batch
+    val emptyHist = docs.filter(lit(false))
+    val through = Dedup.bloomPrune(docs.limit(50), emptyHist)
+    assert(through.count() === 50)
+    // NULL-text rows: never a duplicate of anything (anti-join equality
+    // semantics, not SQL NOT IN) — survives even when history also has a
+    // NULL-text row
+    val schema = docs.schema
+    def withNullText(base: org.apache.spark.sql.DataFrame, id: Long) =
+      base.limit(1).select(lit(id).as("doc_id"),
+        lit(null).cast("string").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val history = docs.filter(col("doc_id") < 100).unionByName(withNullText(docs, 900000))
+    val batch = docs.filter(col("doc_id") >= 100 && col("doc_id") < 120)
+      .unionByName(withNullText(docs, 900001))
+    val kept = Dedup.bloomPrune(batch, history).select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept.contains(900001L), "null-text batch row must survive")
+    assert(kept.size === 21)
+  }
+
   test("bloomPrune drops every planted content dup and keeps schema") {
     val docs = Tables.documents(spark, sf001)
     val history = docs.filter(col("doc_id") < 100)
@@ -331,6 +356,56 @@ class DedupSpec extends SparkSpec {
       assert(kept.contains(lo) && !kept.contains(hi),
         s"tie policy must keep $lo and drop $hi")
     }
+  }
+
+  test("plan shapes: semantic assign broadcasts (no cartesian), bloom prefilter is scan-level, bm25 broadcasts df") {
+    val emb = Tables.embeddings(spark, sf001)
+    // SemDeDup assignment rides the one-row broadcast centroid array —
+    // a BroadcastNestedLoopJoin against ONE row, never CartesianProduct
+    val pairsPlan = Dedup.semanticDupPairs(emb, 8, 0.9)
+      .queryExecution.executedPlan.toString
+    assert(pairsPlan.contains("BroadcastNestedLoopJoin"))
+    assert(!pairsPlan.contains("CartesianProduct"),
+      s"semantic pair generation must never go all-pairs:\n$pairsPlan")
+    val docs = Tables.documents(spark, sf001)
+    // bloom probe compiles to the codegen might_contain kernel in a
+    // narrow Filter (no join for the definitely-new branch)
+    val bloomPlan = Dedup.bloomPrune(
+        docs.filter(col("doc_id") >= 300), docs.filter(col("doc_id") < 300))
+      .queryExecution.executedPlan.toString
+    assert(bloomPlan.contains("might_contain"),
+      s"bloom prefilter must appear as a filter kernel:\n$bloomPlan")
+    assert(!bloomPlan.contains("CartesianProduct"))
+    // BM25's document-frequency side joins back via broadcast
+    val bm25Plan = graft.ops.TextAnalysis.bm25TopK(docs, Seq("hash"), 5)
+      .queryExecution.executedPlan.toString
+    assert(bm25Plan.contains("BroadcastHashJoin"),
+      s"df join-back must broadcast:\n$bm25Plan")
+    assert(bm25Plan.contains("TakeOrderedAndProject"),
+      s"global top-k must be a heap take, not a sort:\n$bm25Plan")
+  }
+
+  test("normalizedText: idempotent, and matches a reference fold on ASCII") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val asciiPrintable = (' ' to '~').mkString
+    val strs = (0 until 200).map { _ =>
+      (0 until rnd.nextInt(40)).map(_ => asciiPrintable(rnd.nextInt(asciiPrintable.length))).mkString
+    } :+ "" :+ "  A..B!!  c  " :+ "ÜBER çafé 中文"   // non-ASCII → spaces
+    def ref(s: String): String =
+      s.toLowerCase.map(c => if (('a' to 'z').contains(c) || c.isDigit && c < 128 || c == ' ') c else ' ')
+        .replaceAll(" +", " ").trim
+    val out = strs.toDF("text")
+      .select(col("text"), Dedup.normalizedText(col("text")).as("norm"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    out.foreach { case (in, got) =>
+      assert(got === ref(in), s"input ${in.map(_.toInt)}")
+    }
+    // idempotence: normalizing a normalized string is the identity
+    val again = out.map(_._2).toSeq.toDF("text")
+      .select(col("text"), Dedup.normalizedText(col("text")).as("norm"))
+      .collect()
+    again.foreach(r => assert(r.getString(1) === r.getString(0)))
   }
 
   test("normalizedExact merges case/punct/spacing variants that exact keeps apart") {

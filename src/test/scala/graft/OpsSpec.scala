@@ -489,6 +489,11 @@ class OpsSpec extends SparkSpec {
       (2L, 2L, "y", 1L, 2L, 500000L)))
   }
 
+  test("bm25TopK on an empty corpus returns empty (no NPE at plan build)") {
+    val docs = Tables.documents(spark, sf001).filter(lit(false))
+    assert(TextAnalysis.bm25TopK(docs, Seq("hash"), 5).count() === 0)
+  }
+
   test("bm25TopK matches a direct integer recomputation over the corpus") {
     val docs = Tables.documents(spark, sf001)
     val terms = Seq("hash", "join")
