@@ -1307,6 +1307,19 @@ object SparkEntry {
       // normalize-then-hash exact dedup (C4/RefinedWeb form)
       Dedup.normalizedExact(Tables.documents(s, dir))
         .orderBy(col("norm_hash"))
+    }),
+
+    "cdc_config_pipeline" -> ((s, dir) => {
+      // the reference's TOML property surface assembled end-to-end:
+      // gates (read off) + hypertable includes + a scoped Expr filter +
+      // topic prefix — one declarative plan from config alone
+      graft.streaming.ConfigPipeline.fromProperties(s, dir, Map(
+        "timescaledb.events.read" -> "false",
+        "timescaledb.hypertables.includes" -> "public.*",
+        "sink.filters.keep_high.condition" -> "user_id > 3",
+        "topic.prefix" -> "cfg"))
+        .select(col("lsn"), col("op"), col("topic"), col("event_id"), col("user_id"))
+        .orderBy(col("lsn"))
     })
   )
 
@@ -2765,6 +2778,16 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
         |         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-        |FROM documents GROUP BY 1 ORDER BY norm_hash""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY norm_hash""".stripMargin,
+
+    // config-pipeline twin: read gate off → c/u/d survive (m/$ are off
+    // by reference default), includes match, filter condition applied,
+    // configured topic prefix
+    "cdc_config_pipeline" ->
+      s"""SELECT event_id AS lsn, $opCaseSql AS op,
+         |  'cfg.public.events' AS topic, event_id, user_id
+         |FROM events
+         |WHERE $opCaseSql IN ('c', 'u', 'd') AND user_id > 3
+         |ORDER BY lsn""".stripMargin
   )
 }

@@ -1,0 +1,181 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.catalog.TableFilter
+import graft.cdc.Cdc
+import graft.filter.EventFilter
+import graft.model.Envelope
+import graft.sinks.Sinks
+
+/** The reference's top-level config surface → one assembled pipeline:
+  * what `replicator.go` builds from a parsed TOML/YAML config
+  * (`spi/config/config.go`, README "Configuration"), re-expressed as a
+  * declarative Catalyst plan. A user of the reference switches by
+  * handing the SAME property keys to [[fromProperties]] (batch) or
+  * [[start]] (streaming into the config-dispatched sink):
+  *
+  *   - `timescaledb.hypertables.includes`/`.excludes` — wildcard table
+  *     selection (comma-separated patterns), applied as an `rlike`
+  *     predicate from the SAME compiled regexes the catalog-side
+  *     `TableFilter` uses — pushable into the scan.
+  *   - `timescaledb.events.*` + `postgresql.events.message` — per-kind
+  *     gates (read/insert/update/delete/truncate default TRUE;
+  *     compression/decompression/message default FALSE, reference
+  *     defaults per README).
+  *   - `sink.filters.<name>.{condition,default,tables.includes,
+  *     tables.excludes}` — Expr-dialect event filters, ALL AND-ed,
+  *     per-filter table scoping with `default` fallback
+  *     (`eventfilter.go:95-152`).
+  *   - `sink.tombstone` — delete tombstone fan-out.
+  *   - `topic.prefix` / `topic.namingstrategy.type` (only `debezium`).
+  *   - `postgresql.snapshot.initial` / `postgresql.transaction.window.*`
+  *     — validated here; the snapshot fence and the bounded streaming
+  *     transaction window are the T4/T2 operators ([[Cdc.withSnapshotMode]],
+  *     [[TxnAssembler]]).
+  *   - `statestorage.type` = `file` → `statestorage.file.path` becomes
+  *     the Structured Streaming checkpoint location (the X4 mapping).
+  *
+  * Unknown enum values fail loudly with the reference's vocabulary; the
+  * plan itself stays a stream-static broadcast join + narrow filters, so
+  * the config layer adds ZERO execution cost at any scale.
+  */
+object ConfigPipeline {
+
+  final case class TxnWindow(enabled: Boolean, timeoutSeconds: Int, maxSize: Int)
+
+  private def bool(props: Map[String, String], key: String, default: Boolean): Boolean =
+    props.get(key) match {
+      case None => default
+      case Some(v) if v == "true" || v == "false" => v.toBoolean
+      case Some(v) => throw new IllegalArgumentException(s"$key: illegal boolean '$v'")
+    }
+
+  private def list(props: Map[String, String], key: String): Seq[String] =
+    props.get(key).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
+  /** Per-kind op gate set from the `timescaledb.events.*` keys
+    * (reference defaults: CRUD+truncate on, compression/decompression
+    * off) plus `postgresql.events.message` (off; the deprecated
+    * `timescaledb.events.message` is honored as a fallback). */
+  def enabledOps(props: Map[String, String]): Seq[String] = {
+    val b = Seq(
+      Envelope.Op.Read     -> bool(props, "timescaledb.events.read", default = true),
+      Envelope.Op.Create   -> bool(props, "timescaledb.events.insert", default = true),
+      Envelope.Op.Update   -> bool(props, "timescaledb.events.update", default = true),
+      Envelope.Op.Delete   -> bool(props, "timescaledb.events.delete", default = true),
+      Envelope.Op.Truncate -> bool(props, "timescaledb.events.truncate", default = true),
+      Envelope.Op.Message  -> bool(props, "postgresql.events.message",
+        default = bool(props, "timescaledb.events.message", default = false)),
+      Envelope.Op.Timescale ->
+        (bool(props, "timescaledb.events.compression", default = false) ||
+         bool(props, "timescaledb.events.decompression", default = false)))
+    b.collect { case (op, true) => op }
+  }
+
+  def hypertableFilter(props: Map[String, String]): TableFilter =
+    TableFilter(list(props, "timescaledb.hypertables.includes"),
+      list(props, "timescaledb.hypertables.excludes"))
+
+  /** The table filter as a Catalyst predicate over canonical
+    * `schema.table` — same compiled regexes as the catalog-side
+    * matcher, excludes win, empty includes = include-all. */
+  def tablePredicate(tf: TableFilter, canonical: Column): Column = {
+    val inc =
+      if (tf.includeRegexes.isEmpty) lit(true)
+      else tf.includeRegexes.map(canonical.rlike).reduce(_ || _)
+    val exc =
+      if (tf.excludeRegexes.isEmpty) lit(false)
+      else tf.excludeRegexes.map(canonical.rlike).reduce(_ || _)
+    inc && !exc
+  }
+
+  /** `sink.filters.<name>.*` groups → EventFilters, name-sorted for a
+    * deterministic AND order (the reference iterates a map — AND is
+    * commutative so order only affects short-circuit work). */
+  def eventFilters(props: Map[String, String]): Seq[EventFilter] = {
+    val Pat = """sink\.filters\.([^.]+)\.(.+)""".r
+    val groups = props.keys.collect { case Pat(name, _) => name }.toSeq.distinct.sorted
+    groups.map { name =>
+      val base = s"sink.filters.$name"
+      val condition = props.getOrElse(s"$base.condition",
+        throw new IllegalArgumentException(s"$base.condition is mandatory"))
+      EventFilter(condition,
+        TableFilter(list(props, s"$base.tables.includes"),
+          list(props, s"$base.tables.excludes")),
+        defaultValue = bool(props, s"$base.default", default = true))
+    }
+  }
+
+  def txnWindow(props: Map[String, String]): TxnWindow = {
+    val tw = TxnWindow(
+      bool(props, "postgresql.transaction.window.enabled", default = true),
+      props.getOrElse("postgresql.transaction.window.timeout", "60").toInt,
+      props.getOrElse("postgresql.transaction.window.maxsize", "10000").toInt)
+    require(tw.timeoutSeconds > 0 && tw.maxSize > 0,
+      s"transaction window bounds must be positive: $tw")
+    tw
+  }
+
+  def snapshotMode(props: Map[String, String]): String = {
+    val mode = props.getOrElse("postgresql.snapshot.initial", "never")
+    require(Seq("always", "never", "initial_only").contains(mode),
+      s"postgresql.snapshot.initial: illegal value '$mode'")
+    mode
+  }
+
+  def topicPrefix(props: Map[String, String]): String = {
+    val strategy = props.getOrElse("topic.namingstrategy.type", "debezium")
+    require(strategy == "debezium",
+      s"topic.namingstrategy.type: only 'debezium' is supported, got '$strategy'")
+    props.getOrElse("topic.prefix", "timescaledb")
+  }
+
+  /** Shared post-envelope transform chain: table selection → event
+    * filters → topic naming → optional tombstones. One code path for
+    * the batch and streaming forms (the envelope input differs). */
+  private def shape(envelope: DataFrame, props: Map[String, String]): DataFrame = {
+    val prefix = topicPrefix(props)
+    val selected = envelope.filter(tablePredicate(hypertableFilter(props),
+      concat_ws(".", col("schema_name"), col("table_name"))))
+    val filtered = eventFilters(props).foldLeft(selected)((df, f) => f.apply(df))
+    val named = filtered.withColumn("topic",
+      Envelope.topicName(prefix, col("schema_name"), col("table_name")))
+    if (bool(props, "sink.tombstone", default = false)) Cdc.withTombstones(named)
+    else named
+  }
+
+  /** Batch assembly (snapshot-mode aware) — the testable form. */
+  def fromProperties(spark: SparkSession, dir: String,
+                     props: Map[String, String]): DataFrame = {
+    snapshotMode(props); txnWindow(props) // validate the full surface up front
+    shape(Cdc.envelopePipeline(spark, dir, enabledOps(props)), props)
+  }
+
+  /** Streaming assembly into the config-dispatched sink. Checkpoint
+    * location = `statestorage.file.path` when `statestorage.type=file`
+    * (the reference's file state storage), else the caller's default. */
+  def start(spark: SparkSession, dir: String, props: Map[String, String],
+            defaultCheckpointDir: String): StreamingQuery = {
+    snapshotMode(props); txnWindow(props)
+    val ckpt = props.getOrElse("statestorage.type", "none") match {
+      case "file" =>
+        val p = props.getOrElse("statestorage.file.path", "")
+        require(p.nonEmpty, "statestorage.file.path is mandatory for statestorage.type=file")
+        p
+      case "none" => defaultCheckpointDir
+      case other => throw new IllegalArgumentException(
+        s"statestorage.type: illegal value '$other'")
+    }
+    val sink = Sinks.fromConfig(props)
+    shape(StreamPipeline.envelopeStream(spark, dir, enabledOps(props)), props)
+      .writeStream
+      .queryName(props.getOrElse("topic.prefix", "timescaledb"))
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((batch: DataFrame, id: Long) => sink.emit(batch, id))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import graft.streaming.ConfigPipeline
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The reference's TOML/property surface assembled end-to-end
+  * (`replicator.go` + `spi/config/config.go` semantics). */
+class ConfigPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("enabledOps reference defaults: CRUD+truncate on, message/compression off") {
+    assert(ConfigPipeline.enabledOps(Map.empty).sorted === Seq("c", "d", "r", "t", "u"))
+    assert(ConfigPipeline.enabledOps(Map(
+      "timescaledb.events.compression" -> "true")).contains("$"))
+    assert(ConfigPipeline.enabledOps(Map(
+      "postgresql.events.message" -> "true")).contains("m"))
+    // deprecated key honored as fallback, new key wins
+    assert(ConfigPipeline.enabledOps(Map(
+      "timescaledb.events.message" -> "true")).contains("m"))
+    assert(!ConfigPipeline.enabledOps(Map(
+      "timescaledb.events.message" -> "true",
+      "postgresql.events.message" -> "false")).contains("m"))
+  }
+
+  test("illegal config values fail loudly with the offending key") {
+    def bad(props: Map[String, String]): String =
+      intercept[IllegalArgumentException] {
+        ConfigPipeline.fromProperties(spark, sf001, props)
+      }.getMessage
+    assert(bad(Map("timescaledb.events.read" -> "yes")).contains("timescaledb.events.read"))
+    assert(bad(Map("postgresql.snapshot.initial" -> "sometimes")).contains("snapshot"))
+    assert(bad(Map("topic.namingstrategy.type" -> "kebab")).contains("namingstrategy"))
+    assert(bad(Map("sink.filters.f1.default" -> "true")).contains("condition"))
+    assert(bad(Map("postgresql.transaction.window.maxsize" -> "0")).contains("window"))
+  }
+
+  test("excludes win over includes at the pipeline level") {
+    val none = ConfigPipeline.fromProperties(spark, sf001, Map(
+      "timescaledb.hypertables.includes" -> "public.*",
+      "timescaledb.hypertables.excludes" -> "public.events"))
+    assert(none.count() === 0)
+    val all = ConfigPipeline.fromProperties(spark, sf001, Map(
+      "timescaledb.hypertables.includes" -> "public.events"))
+    assert(all.count() > 0)
+  }
+
+  test("scoped filters only gate their tables; out-of-scope uses the default") {
+    // filter scoped to a table that does NOT exist in the stream → its
+    // default (true) passes everything; default=false drops everything
+    val passDefault = ConfigPipeline.fromProperties(spark, sf001, Map(
+      "sink.filters.f1.condition" -> "user_id > 1000000",
+      "sink.filters.f1.tables.includes" -> "other.table"))
+    val base = ConfigPipeline.fromProperties(spark, sf001, Map.empty)
+    assert(passDefault.count() === base.count())
+    val dropDefault = ConfigPipeline.fromProperties(spark, sf001, Map(
+      "sink.filters.f1.condition" -> "user_id > 1000000",
+      "sink.filters.f1.tables.includes" -> "other.table",
+      "sink.filters.f1.default" -> "false"))
+    assert(dropDefault.count() === 0)
+  }
+
+  test("multiple filters AND together; tombstone config fans out deletes") {
+    val anded = ConfigPipeline.fromProperties(spark, sf001, Map(
+      "sink.filters.a.condition" -> "user_id > 3",
+      "sink.filters.b.condition" -> """op == "c""""))
+    assert(anded.filter(col("op") =!= "c" || col("user_id") <= 3).count() === 0)
+    assert(anded.count() > 0)
+    val plain = ConfigPipeline.fromProperties(spark, sf001, Map.empty)
+    val tomb = ConfigPipeline.fromProperties(spark, sf001, Map(
+      "sink.tombstone" -> "true"))
+    val nDeletes = plain.filter(col("op") === "d").count()
+    assert(tomb.count() === plain.count() + nDeletes,
+      "one tombstone row per delete")
+  }
+
+  test("topic prefix is applied from config") {
+    val df = ConfigPipeline.fromProperties(spark, sf001, Map(
+      "topic.prefix" -> "myprefix"))
+    assert(df.select(col("topic")).distinct().as[String].collect()
+      .forall(_.startsWith("myprefix.")))
+  }
+
+  test("streaming start() from config delivers the batch result through the sink") {
+    val dir = Files.createTempDirectory("graft-cfg-sink").toString
+    val ckpt = Files.createTempDirectory("graft-cfg-ckpt").toString
+    val sink = new graft.sinks.CollectorSink
+    graft.sinks.Sinks.register("collector-test", () => sink)
+    val props = Map(
+      "sink.type" -> "collector-test",
+      "timescaledb.events.read" -> "false",
+      "sink.filters.f1.condition" -> "user_id > 3",
+      "statestorage.type" -> "file",
+      "statestorage.file.path" -> s"$dir/ckpt")
+    val q = ConfigPipeline.start(spark, sf001, props, ckpt)
+    assert(q.awaitTermination(120000), "stream did not finish")
+    val streamed = sink.rows.map(_.getAs[Long]("lsn")).sorted
+    val batch = ConfigPipeline.fromProperties(spark, sf001, props - "statestorage.type")
+      .select("lsn").as[Long].collect().sorted
+    assert(streamed.length === batch.length)
+    assert(streamed.sameElements(batch))
+  }
+}
