@@ -46,6 +46,40 @@ object ConfigPipeline {
 
   final case class TxnWindow(enabled: Boolean, timeoutSeconds: Int, maxSize: Int)
 
+  /** The reference's environment-variable form (README "Configuration"):
+    * `postgresql.connection` ⇄ `POSTGRESQL_CONNECTION` — dots become
+    * underscores, everything uppercased, and a LITERAL underscore in a
+    * property name is doubled (`test.some_value` ⇄ `TEST_SOME__VALUE`).
+    */
+  def toEnvKey(property: String): String =
+    property.replace("_", "__").replace(".", "_").toUpperCase
+
+  /** Inverse mapping: `__` → literal `_`, remaining `_` → `.`,
+    * lowercased, scanning left-to-right preferring the doubled pair.
+    * Round-trips with [[toEnvKey]] for every reference property name
+    * (property-tested). The scheme itself is ambiguous when a segment
+    * STARTS with an underscore (`a._b` and `a_.b` both encode to
+    * `A___B`) — no reference key has that shape, and the greedy decode
+    * picks the `a_.b` (trailing-underscore) reading. */
+  def fromEnvKey(env: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    val s = env.toLowerCase
+    while (i < s.length) {
+      if (s.charAt(i) == '_') {
+        if (i + 1 < s.length && s.charAt(i + 1) == '_') { sb.append('_'); i += 2 }
+        else { sb.append('.'); i += 1 }
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Merge an env-style map over file properties — env wins, matching
+    * the reference's precedence. */
+  def withEnvOverrides(props: Map[String, String],
+                       env: Map[String, String]): Map[String, String] =
+    props ++ env.map { case (k, v) => fromEnvKey(k) -> v }
+
   private def bool(props: Map[String, String], key: String, default: Boolean): Boolean =
     props.get(key) match {
       case None => default

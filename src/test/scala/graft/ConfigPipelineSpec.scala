@@ -23,6 +23,29 @@ class ConfigPipelineSpec extends SparkSpec {
       "postgresql.events.message" -> "false")).contains("m"))
   }
 
+  test("env-var key mapping round-trips and merges with env precedence") {
+    // README examples verbatim
+    assert(ConfigPipeline.toEnvKey("postgresql.connection") === "POSTGRESQL_CONNECTION")
+    assert(ConfigPipeline.toEnvKey("test.some_value") === "TEST_SOME__VALUE")
+    assert(ConfigPipeline.fromEnvKey("TEST_SOME__VALUE") === "test.some_value")
+    // round-trip law over legal property names (segments never START
+    // with '_' — the one shape the reference's own encoding makes
+    // ambiguous: a._b and a_.b collide on A___B)
+    val rnd = new scala.util.Random(11)
+    val seg = () => "abcdefghijklmnopqrstuvwxyz".charAt(rnd.nextInt(26)) +:
+      (0 until rnd.nextInt(6))
+        .map(_ => "abcdefghijklmnopqrstuvwxyz0123456789_".charAt(rnd.nextInt(37))).mkString
+    (0 until 300).foreach { _ =>
+      val prop = (0 until 1 + rnd.nextInt(4)).map(_ => seg()).mkString(".")
+      assert(ConfigPipeline.fromEnvKey(ConfigPipeline.toEnvKey(prop)) === prop, prop)
+    }
+    val merged = ConfigPipeline.withEnvOverrides(
+      Map("topic.prefix" -> "fromfile", "sink.type" -> "stdout"),
+      Map("TOPIC_PREFIX" -> "fromenv"))
+    assert(merged("topic.prefix") === "fromenv")
+    assert(merged("sink.type") === "stdout")
+  }
+
   test("illegal config values fail loudly with the offending key") {
     def bad(props: Map[String, String]): String =
       intercept[IllegalArgumentException] {
