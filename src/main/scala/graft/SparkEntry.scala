@@ -1234,6 +1234,22 @@ object SparkEntry {
         .orderBy(col("source_id"))
     }),
 
+    "multimodal_audio" -> ((s, dir) => {
+      // real javax.sound.sampled WAV decode: sample rate / channels /
+      // frame length parsed from the container
+      ops.Multimodal.audioFeatures(ops.Multimodal.attachAudio(Tables.documents(s, dir)))
+        .orderBy(col("source_id"))
+    }),
+
+    "multimodal_resize" -> ((s, dir) => {
+      // decode → bilinear box-fit resize → re-encode; emitted dims are
+      // the true resized pixel dims (bytes dropped for the dump)
+      ops.Multimodal.resizeImages(
+          ops.Multimodal.attachImages(Tables.documents(s, dir)), 16, 16)
+        .select(col("source_id"), col("mime"), col("width"), col("height"))
+        .orderBy(col("source_id"))
+    }),
+
     "multimodal_frames" -> ((s, dir) => {
       ops.Multimodal.sampleFrames(ops.Multimodal.attachMedia(Tables.documents(s, dir)))
         .orderBy(col("source_id"), col("frame_no"))

@@ -129,6 +129,131 @@ object Multimodal {
       }(enc)
   }
 
+  /** JDK-built-in audio codec (`javax.sound.sampled` — WAV/AIFF ship
+    * with the JDK): deterministic PCM synthesis for fixtures and REAL
+    * header+frame decode. The audio twin of [[ImageCodec]]. */
+  object AudioCodec {
+    /** Golden values per source id: 8 kHz mono 16-bit PCM,
+      * 100 + id % 400 frames. */
+    def frames(id: Long): Int = 100 + (id % 400).toInt
+    val SampleRate = 8000f
+
+    /** A real RIFF/WAV byte payload: xorshifted deterministic samples. */
+    def syntheticWav(id: Long): Array[Byte] = {
+      val n = frames(id)
+      val samples = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        var z = id * 0x9e3779b97f4a7c15L + i * 0xbf58476d1ce4e5b9L
+        z ^= z >>> 30; z *= 0xbf58476d1ce4e5b9L; z ^= z >>> 27
+        samples(2 * i) = (z & 0xff).toByte
+        samples(2 * i + 1) = ((z >>> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(SampleRate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(samples), fmt, n.toLong)
+      val bos = new ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Real decode: container header + frame count from the JDK parser. */
+    def decode(bytes: Array[Byte], sourceId: Long): Row = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      val f = ais.getFormat
+      Row(sourceId, "audio/wav", bytes.length,
+        f.getSampleRate.toInt, f.getChannels, ais.getFrameLength)
+    }
+  }
+
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("source_id", LongType, nullable = false),
+    StructField("mime", StringType, nullable = false),
+    StructField("byte_len", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false)))
+
+  /** Attach real WAV payloads (deterministic synthesis, executor-side). */
+  def attachAudio(docs: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(StructField("media", mediaSchema))))
+    docs.select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(Row(AudioCodec.syntheticWav(id), "audio/wav", id))
+        }
+      }(enc)
+  }
+
+  /** Partition-batched REAL audio feature extraction: sample rate,
+    * channel count, and frame length parsed from the container by the
+    * JDK (`javax.sound.sampled`) — the audio modality is decode-real
+    * like images, not a byte-metadata stub. Non-audio mimes get
+    * sentinel values. */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioFeatureSchema)
+    media.select(col("media.bytes"), col("media.mime"), col("media.source_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (bytes, mime, id) = (r.getAs[Array[Byte]](0), r.getString(1), r.getLong(2))
+          if (mime == "audio/wav" || mime == "audio/aiff")
+            AudioCodec.decode(bytes, id)
+          else Row(id, mime, bytes.length, -1, -1, -1L)
+        }
+      }(enc)
+  }
+
+  /** Partition-batched image RESIZE: decode → `Graphics2D` bilinear
+    * scale to a bounding box (aspect preserved, never upscaled) →
+    * re-encode PNG. The standard vision-model preprocessing step, JDK
+    * machinery only; non-image mimes pass through untouched (bytes and
+    * sentinel -1 dims). Same scale posture as [[decodeFeatures]]: the
+    * work is per-row CPU on the executors, zero shuffle, memory-cached
+    * streams.
+    */
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("source_id", LongType, nullable = false),
+    StructField("mime", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("bytes", BinaryType, nullable = true)))
+
+  def resizeImages(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    require(maxW > 0 && maxH > 0, s"resize box must be positive: ${maxW}x$maxH")
+    val enc = RowEncoder.encoderFor(resizedSchema)
+    media.select(col("media.bytes"), col("media.mime"), col("media.source_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (bytes, mime, id) = (r.getAs[Array[Byte]](0), r.getString(1), r.getLong(2))
+          mime match {
+            case "image/png" | "image/jpeg" | "image/bmp" | "image/gif" =>
+              val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+              require(img != null, s"undecodable $mime payload for source $id")
+              // fit inside the box, preserve aspect, never upscale
+              val scale = math.min(1.0,
+                math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight))
+              val (w, h) = (math.max(1, (img.getWidth * scale).toInt),
+                math.max(1, (img.getHeight * scale).toInt))
+              val out = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, w, h, null)
+              g.dispose()
+              val bos = new ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              Row(id, "image/png", w, h, bos.toByteArray)
+            case other => Row(id, other, -1, -1, bytes)
+          }
+        }
+      }(enc)
+  }
+
   /** Frame sampling for "video" payloads: split the byte stream into
     * fixed-size frames, keep every `stride`-th — pure columnar ops, no
     * UDF, demonstrating explode-based fan-out that scales with input

@@ -639,6 +639,64 @@ class OpsSpec extends SparkSpec {
     assert((img.getWidth, img.getHeight) === Multimodal.ImageCodec.dims(7L))
   }
 
+  test("multimodal resize: box-fit dims are exact, bytes re-decode to them, non-images pass through") {
+    val docs = Tables.documents(spark, sf001)
+    val resized = Multimodal.resizeImages(Multimodal.attachImages(docs), 16, 16)
+      .orderBy("source_id").limit(10).collect()
+    resized.foreach { r =>
+      val id = r.getAs[Long]("source_id")
+      val (w0, h0) = Multimodal.ImageCodec.dims(id)
+      val scale = math.min(1.0, math.min(16.0 / w0, 16.0 / h0))
+      val (ew, eh) = (math.max(1, (w0 * scale).toInt), math.max(1, (h0 * scale).toInt))
+      assert(r.getAs[Int]("width") === ew && r.getAs[Int]("height") === eh,
+        s"box-fit dims for doc $id (orig ${w0}x$h0)")
+      assert(r.getAs[Int]("width") <= 16 && r.getAs[Int]("height") <= 16)
+      // the emitted bytes are a REAL png of exactly the reported dims
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bytes")))
+      assert((img.getWidth, img.getHeight) === (ew, eh))
+    }
+    // a tiny image is never upscaled: 8x8 source stays 8x8 in a 16x16 box
+    val small = resized.find { r =>
+      val (w0, h0) = Multimodal.ImageCodec.dims(r.getAs[Long]("source_id"))
+      w0 <= 16 && h0 <= 16
+    }
+    small.foreach { r =>
+      val (w0, h0) = Multimodal.ImageCodec.dims(r.getAs[Long]("source_id"))
+      assert((r.getAs[Int]("width"), r.getAs[Int]("height")) === (w0, h0))
+    }
+    // non-image mime: untouched bytes, sentinel dims
+    val passthru = Multimodal.resizeImages(Multimodal.attachMedia(docs.limit(3)), 16, 16)
+      .collect()
+    passthru.foreach { r =>
+      assert(r.getAs[Int]("width") === -1 && r.getAs[Int]("height") === -1)
+      assert(r.getAs[String]("mime") === "application/octet-stream")
+    }
+  }
+
+  test("multimodal audio: javax.sound.sampled decodes real WAV header and frames (golden)") {
+    val docs = Tables.documents(spark, sf001)
+    val feats = Multimodal.audioFeatures(Multimodal.attachAudio(docs))
+      .orderBy("source_id").limit(10).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { r =>
+      val id = r.getAs[Long]("source_id")
+      assert(r.getAs[Int]("sample_rate") === 8000)
+      assert(r.getAs[Int]("channels") === 1)
+      assert(r.getAs[Long]("n_frames") === Multimodal.AudioCodec.frames(id).toLong,
+        s"frame count for doc $id")
+      // RIFF header + 2 bytes per frame actually present
+      assert(r.getAs[Int]("byte_len") > Multimodal.AudioCodec.frames(id) * 2)
+    }
+    // independent JDK decode of the synthesized bytes agrees
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(Multimodal.AudioCodec.syntheticWav(5L)))
+    assert(ais.getFrameLength === Multimodal.AudioCodec.frames(5L).toLong)
+    // non-audio payloads report sentinels
+    val sentinel = Multimodal.audioFeatures(Multimodal.attachMedia(docs.limit(2))).collect()
+    sentinel.foreach(r => assert(r.getAs[Int]("sample_rate") === -1))
+  }
+
   test("multimodal frame sampling keeps every stride-th frame") {
     val docs = Tables.documents(spark, sf001).limit(3)
     val frames = Multimodal.sampleFrames(Multimodal.attachMedia(docs), frameBytes = 64, stride = 4)
