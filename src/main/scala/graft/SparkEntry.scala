@@ -1234,6 +1234,14 @@ object SparkEntry {
         .orderBy(col("source_id"))
     }),
 
+    "multimodal_video" -> ((s, dir) => {
+      // real demux + per-keyframe ImageIO decode over the labeled
+      // frame-container fixture (no mp4 codec in the JDK)
+      ops.Multimodal.videoKeyFrames(
+          ops.Multimodal.attachVideo(Tables.documents(s, dir)), stride = 2)
+        .orderBy(col("source_id"), col("frame_no"))
+    }),
+
     "multimodal_audio" -> ((s, dir) => {
       // real javax.sound.sampled WAV decode: sample rate / channels /
       // frame length parsed from the container

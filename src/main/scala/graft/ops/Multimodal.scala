@@ -254,6 +254,86 @@ object Multimodal {
       }(enc)
   }
 
+  /** Length-prefixed frame container for the video modality: `GVID` +
+    * frame count + per-frame `[len][png bytes]`. The JDK ships no mp4
+    * demuxer, so the CONTAINER is a fixture format (clearly labeled);
+    * the demultiplex and the per-frame `ImageIO` decode are real — the
+    * same partition-batched shape an mp4 pipeline would run with a
+    * codec library on the classpath. */
+  object VideoCodec {
+    val Magic = 0x47564944 // "GVID"
+    def frameCount(id: Long): Int = 4 + (id % 6).toInt
+
+    def syntheticVideo(id: Long): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      val n = frameCount(id)
+      out.writeInt(Magic); out.writeInt(n)
+      var f = 0
+      while (f < n) {
+        val png = ImageCodec.syntheticPng(id * 131 + f)
+        out.writeInt(png.length); out.write(png)
+        f += 1
+      }
+      out.flush()
+      bos.toByteArray
+    }
+
+    /** Demux: the container's frames, in order. */
+    def demux(bytes: Array[Byte]): Seq[Array[Byte]] = {
+      val in = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
+      require(in.readInt() == Magic, "not a GVID container")
+      val n = in.readInt()
+      (0 until n).map { _ =>
+        val len = in.readInt()
+        val frame = new Array[Byte](len)
+        in.readFully(frame)
+        frame
+      }
+    }
+  }
+
+  def attachVideo(docs: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(StructField("media", mediaSchema))))
+    docs.select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(Row(VideoCodec.syntheticVideo(id), "video/x-graft-frames", id))
+        }
+      }(enc)
+  }
+
+  val keyFrameSchema: StructType = StructType(Seq(
+    StructField("source_id", LongType, nullable = false),
+    StructField("frame_no", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("frame_bytes", IntegerType, nullable = false)))
+
+  /** Key-frame extraction: demux the container, keep every `stride`-th
+    * frame, REAL-decode each kept frame's pixel dimensions. Skipped
+    * frames are never decoded (the whole point of key-frame sampling at
+    * scale — decode cost follows the sample rate, not the footage).
+    * One flatMap per partition, zero shuffle. */
+  def videoKeyFrames(media: DataFrame, stride: Int = 2): DataFrame = {
+    require(stride > 0, s"stride must be positive: $stride")
+    val enc = RowEncoder.encoderFor(keyFrameSchema)
+    media.select(col("media.bytes"), col("media.mime"), col("media.source_id"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val (bytes, mime, id) = (r.getAs[Array[Byte]](0), r.getString(1), r.getLong(2))
+          if (mime != "video/x-graft-frames") Iterator.empty
+          else VideoCodec.demux(bytes).zipWithIndex.iterator.collect {
+            case (frame, f) if f % stride == 0 =>
+              val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(frame))
+              require(img != null, s"undecodable frame $f of source $id")
+              Row(id, f, img.getWidth, img.getHeight, frame.length)
+          }
+        }
+      }(enc)
+  }
+
   /** Frame sampling for "video" payloads: split the byte stream into
     * fixed-size frames, keep every `stride`-th — pure columnar ops, no
     * UDF, demonstrating explode-based fan-out that scales with input

@@ -697,6 +697,31 @@ class OpsSpec extends SparkSpec {
     sentinel.foreach(r => assert(r.getAs[Int]("sample_rate") === -1))
   }
 
+  test("multimodal video: demux + per-keyframe decode, stride honored, dims golden") {
+    val docs = Tables.documents(spark, sf001)
+    val frames = Multimodal.videoKeyFrames(Multimodal.attachVideo(docs.limit(8)), stride = 2)
+      .collect()
+    assert(frames.nonEmpty)
+    val byId = frames.groupBy(_.getAs[Long]("source_id"))
+    byId.foreach { case (id, rows) =>
+      val n = Multimodal.VideoCodec.frameCount(id)
+      // kept frames are exactly 0, 2, 4, ...
+      assert(rows.map(_.getAs[Int]("frame_no")).sorted.toSeq ===
+        (0 until n by 2).toSeq, s"stride for source $id")
+      rows.foreach { r =>
+        val f = r.getAs[Int]("frame_no")
+        val (w, h) = Multimodal.ImageCodec.dims(id * 131 + f)
+        assert((r.getAs[Int]("width"), r.getAs[Int]("height")) === (w, h),
+          s"decoded dims for source $id frame $f")
+      }
+    }
+    // demux round-trips the container exactly
+    val fs = Multimodal.VideoCodec.demux(Multimodal.VideoCodec.syntheticVideo(3L))
+    assert(fs.length === Multimodal.VideoCodec.frameCount(3L))
+    // non-video payloads produce no frames
+    assert(Multimodal.videoKeyFrames(Multimodal.attachMedia(docs.limit(2))).count() === 0)
+  }
+
   test("multimodal frame sampling keeps every stride-th frame") {
     val docs = Tables.documents(spark, sf001).limit(3)
     val frames = Multimodal.sampleFrames(Multimodal.attachMedia(docs), frameBytes = 64, stride = 4)
