@@ -1291,6 +1291,18 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    "dedup_semantic_incremental" -> ((s, dir) => {
+      // continuous-ingest SemDeDup: batch (high ids) pruned against the
+      // frozen history (low ids), binned by the HISTORY's quantizer
+      val emb = Tables.embeddings(s, dir)
+      Dedup.semanticPruneIncremental(
+          batch = emb.filter(col("vec_id") >= 350),
+          history = emb.filter(col("vec_id") < 350),
+          nClusters = 16, threshold = 0.4)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
     "dedup_bloom_prune" -> ((s, dir) => {
       // bloom-prefiltered incremental exact dedup: history = short-named
       // sources, batch = long-named (the dedup_incremental split)
@@ -2746,6 +2758,35 @@ object SparkEntry {
          |  UNION SELECT id_b FROM pairs WHERE sa < sb OR sa = sb)
          |SELECT vec_id, label FROM embeddings
          |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+         |ORDER BY vec_id""".stripMargin,
+
+    // incremental-SemDeDup twin: history-derived centroids, both sides
+    // argmax-assigned (rn=1 over cosine DESC, centroid_id), batch×
+    // history cosine within cluster only, anti-join on the hit set
+    "dedup_semantic_incremental" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS norm FROM embeddings),
+         |h0 AS (SELECT * FROM e WHERE vec_id < 350),
+         |b0 AS (SELECT * FROM e WHERE vec_id >= 350),
+         |c AS (SELECT vec_id AS centroid_id, embedding AS centroid, norm AS cnorm
+         |      FROM h0 ORDER BY vec_id LIMIT 16),
+         |ha AS (SELECT vec_id, centroid_id FROM (
+         |    SELECT h0.vec_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY h0.vec_id
+         |        ORDER BY ${duckDot("h0.embedding", "c.centroid")} / (h0.norm * c.cnorm) DESC,
+         |                 c.centroid_id) AS rn
+         |    FROM h0 CROSS JOIN c) t WHERE rn = 1),
+         |ba AS (SELECT vec_id, centroid_id FROM (
+         |    SELECT b0.vec_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY b0.vec_id
+         |        ORDER BY ${duckDot("b0.embedding", "c.centroid")} / (b0.norm * c.cnorm) DESC,
+         |                 c.centroid_id) AS rn
+         |    FROM b0 CROSS JOIN c) t WHERE rn = 1),
+         |hits AS (SELECT DISTINCT ba.vec_id
+         |  FROM ba JOIN ha ON ba.centroid_id = ha.centroid_id AND ba.vec_id <> ha.vec_id
+         |    JOIN e be ON be.vec_id = ba.vec_id JOIN e he ON he.vec_id = ha.vec_id
+         |  WHERE ${duckDot("be.embedding", "he.embedding")} / (be.norm * he.norm) >= 0.4)
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id >= 350 AND vec_id NOT IN (SELECT vec_id FROM hits)
          |ORDER BY vec_id""".stripMargin,
 
     // bloom-prune twin: the bloom is a prefilter only — observable

@@ -479,6 +479,51 @@ object Dedup {
     * continuous-ingest form is this same code path (StreamingSpec
     * proves stream ≡ batch).
     */
+  /** Continuous-ingest SemDeDup: drop BATCH vectors that are
+    * semantically too close to any HISTORY vector — the incremental
+    * form of [[semanticDupPairs]] (the same relationship
+    * [[incrementalPrune]] has to [[jaccardPairs]]). Both sides are
+    * assigned to the HISTORY's coarse quantizer (the batch must be
+    * binned by the same centroids or same-cluster comparison is
+    * meaningless), then batch×history cosine is computed only within a
+    * cluster — an equi-join on `centroid_id`, never batch×history
+    * all-pairs. The batch is never compared against itself.
+    *
+    * The batch side may be STREAMING: centroids come from the static
+    * history (eagerly bounded: lowest-id k, the documented k-means
+    * stand-in), and the membership test is a broadcast LEFT join to
+    * per-centroid history member arrays plus an `exists` projection —
+    * no anti-join anywhere (a "does any member qualify" anti-join
+    * derived from the stream would put the stream on the right side,
+    * which Structured Streaming rejects). Per-cluster member arrays are
+    * corpus/k vectors each — bounded by growing k with the corpus, the
+    * same stance as [[semanticDupPairs]].
+    */
+  def semanticPruneIncremental(batch: DataFrame, history: DataFrame,
+                               nClusters: Int = 16,
+                               threshold: Double = 0.99): DataFrame = {
+    val centroids = history.orderBy(col("vec_id")).limit(nClusters)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      .localCheckpoint(true) // materialize once: a streaming join must not
+                             // re-derive the quantizer every trigger
+    val members = Similarity.ivfAssignWith(history, centroids)
+      .withColumn("hnorm", Similarity.l2Norm("embedding"))
+      .groupBy(col("centroid_id"))
+      .agg(collect_list(struct(col("vec_id").as("hist_id"),
+        col("embedding").as("he"), col("hnorm"))).as("members"))
+      .localCheckpoint(true)
+    val b = Similarity.ivfAssignKeepAll(batch, centroids)
+      .withColumn("bnorm", Similarity.l2Norm("embedding"))
+    // LEFT join: a batch row binned to a cluster no history vector
+    // landed in has nothing to collide with and must SURVIVE
+    b.join(broadcast(members), Seq("centroid_id"), "left")
+      .filter(col("members").isNull || !exists(col("members"), m =>
+        m.getField("hist_id") =!= col("vec_id") &&
+          (graft.functions.VecFunctions.vec_dot(col("embedding"), m.getField("he")) /
+            (col("bnorm") * m.getField("hnorm"))) >= threshold))
+      .select(batch.columns.map(col).toSeq: _*)
+  }
+
   /** Duplicate-detection contract: LEFT-ANTI equality on non-null
     * content — a NULL-text batch row is never anyone's duplicate and
     * always survives (SQL `NOT IN` would instead nuke every row when

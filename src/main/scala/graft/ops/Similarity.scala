@@ -133,14 +133,23 @@ object Similarity {
     * mean a second broadcast pass. Same zero-Exchange plan shape.
     */
   def ivfAssignWithSim(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    ivfAssignKeepAll(corpus, centroids)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"), col("centroid_sim"))
+
+  /** Assignment that PRESERVES every input column (plus `centroid_id` /
+    * `centroid_sim`) — the form streaming consumers need, since a
+    * narrowing projection would force a join-back against the stream.
+    * Same zero-Exchange broadcast-argmax plan. */
+  def ivfAssignKeepAll(corpus: DataFrame, centroids: DataFrame): DataFrame =
     corpus.crossJoin(broadcast(centroidArray(centroids)))
       .withColumn("best", array_max(transform(col("cents"), c =>
         struct(
           (graft.functions.VecFunctions.vec_dot(col("embedding"), c.getField("centroid")) /
             (l2Norm("embedding") * c.getField("cnorm"))).as("sim"),
           (-c.getField("centroid_id")).as("negid")))))
-      .select(col("vec_id"), col("embedding"), (-col("best.negid")).as("centroid_id"),
-        col("best.sim").as("centroid_sim"))
+      .withColumn("centroid_id", -col("best.negid"))
+      .withColumn("centroid_sim", col("best.sim"))
+      .drop("cents", "best")
 
   def ivfAssign(corpus: DataFrame, k: Int): (DataFrame, DataFrame) = {
     // deterministic coarse centroids: lowest-id k vectors. orderBy+limit

@@ -425,6 +425,28 @@ class DedupSpec extends SparkSpec {
     assert(norm.filter(col("keep_id") >= 100000).count() === 0)
   }
 
+  test("semanticPruneIncremental drops history near-dups, never batch-internal ones") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf001)
+    val history = emb.filter(col("vec_id") < 100)
+    // batch: copies of history vectors (must drop) + twin batch-only
+    // vectors that duplicate EACH OTHER but nothing in history (must
+    // both survive — the batch is never self-compared)
+    val histCopies = history.limit(5).withColumn("vec_id", col("vec_id") + 10000)
+    val batchTwinA = emb.filter(col("vec_id") === 400)
+      .withColumn("vec_id", lit(20000L))
+    val batchTwinB = emb.filter(col("vec_id") === 400)
+      .withColumn("vec_id", lit(20001L))
+    val batch = histCopies.unionByName(batchTwinA).unionByName(batchTwinB)
+    val kept = Dedup.semanticPruneIncremental(batch, history,
+        nClusters = 8, threshold = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    (0 until 5).foreach(i => assert(!kept.contains(i + 10000L),
+      s"history copy ${i + 10000} must drop"))
+    assert(kept.contains(20000L) && kept.contains(20001L),
+      "batch-internal twins survive: batch never self-compares")
+  }
+
   test("semanticPrune drop set matches a direct recomputation from the pairs") {
     val emb = Tables.embeddings(spark, sf001)
     val pairs = Dedup.semanticDupPairs(emb, nClusters = 8, threshold = 0.4).collect()

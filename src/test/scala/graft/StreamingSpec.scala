@@ -202,6 +202,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("semanticPruneIncremental runs on a STREAMING batch side, equal to batch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf001)
+    val history = emb.filter(col("vec_id") < 350)
+    val stream = spark.readStream.schema(emb.schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(sf001)
+      .filter(col("vec_id") >= 350)
+    val pruned = graft.ops.Dedup.semanticPruneIncremental(stream, history,
+      nClusters = 8, threshold = 0.4)
+    val q = pruned.writeStream.format("memory").queryName("semdedup")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish within the timeout")
+    val streamed = spark.table("semdedup").select("vec_id").as[Long].collect().sorted
+    val batch = graft.ops.Dedup.semanticPruneIncremental(
+        emb.filter(col("vec_id") >= 350), history, nClusters = 8, threshold = 0.4)
+      .select("vec_id").as[Long].collect().sorted
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream-stream interval join within watermark bounds") {
     import org.apache.spark.sql.functions._
     val a = StreamPipeline.walStream(spark, sf001)
