@@ -1345,6 +1345,33 @@ object SparkEntry {
         .orderBy(col("norm_hash"))
     }),
 
+    "text_script_profile" -> ((s, dir) => {
+      // Unicode-script routing: the pre-model script detector
+      TextAnalysis.scriptProfile(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))
+    }),
+
+    "corpus_profile" -> ((s, dir) => {
+      // ONE-plan corpus report: per-source doc/token totals, exact-dup
+      // rate, and language mix — the summary a curation run prints
+      // before and after each pipeline stage. One shuffle on source
+      // (the dup-rate subaggregate shares it via partial aggs).
+      val docs = Tables.documents(s, dir)
+      val enriched = docs.select(col("source"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        md5(col("text")).as("h"))
+      enriched
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          countDistinct(col("h")).as("n_distinct"),
+          countDistinct(col("lang")).as("n_langs"),
+          max(col("n_tokens")).as("max_doc_tokens"))
+        .withColumn("n_exact_dups", col("n_docs") - col("n_distinct"))
+        .orderBy(col("source"))
+    }),
+
     "cdc_config_pipeline" -> ((s, dir) => {
       // the reference's TOML property surface assembled end-to-end:
       // gates (read off) + hypertable includes + a scoped Expr filter +
@@ -2844,6 +2871,34 @@ object SparkEntry {
         |         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY norm_hash""".stripMargin,
+
+    // script-profile twin: identical literal-character classes (the one
+    // form Java regex and RE2 share), list_position argmax = first-wins
+    "text_script_profile" -> {
+      val classes = graft.ops.TextAnalysis.scriptRanges
+      val cnt = classes.map { case (n, cls) =>
+        s"CAST(len(regexp_extract_all(text, '$cls')) AS BIGINT) AS n_$n"
+      }.mkString(",\n|    ")
+      val names = classes.map { case (n, _) => s"'$n'" }.mkString("[", ", ", "]")
+      val cols = classes.map { case (n, _) => s"n_$n" }.mkString("[", ", ", "]")
+      val great = classes.map { case (n, _) => s"n_$n" }.mkString("greatest(", ", ", ")")
+      s"""WITH c AS (SELECT doc_id,
+         |    $cnt,
+         |    CAST(length(text) AS BIGINT) AS n_chars_total
+         |  FROM documents)
+         |SELECT *, CASE WHEN $great = 0 THEN 'none'
+         |  ELSE $names[list_position($cols, $great)] END AS dominant_script
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+
+    "corpus_profile" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+        |  count(DISTINCT md5(text)) AS n_distinct,
+        |  count(DISTINCT lang) AS n_langs,
+        |  CAST(max(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS max_doc_tokens,
+        |  count(*) - count(DISTINCT md5(text)) AS n_exact_dups
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // config-pipeline twin: read gate off → c/u/d survive (m/$ are off
     // by reference default), includes match, filter condition applied,

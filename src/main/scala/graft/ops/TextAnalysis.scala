@@ -396,6 +396,46 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Unicode-script profile: per-document counts of Latin / CJK /
+    * Cyrillic / Arabic / digit characters via explicit codepoint-range
+    * classes (engine-neutral: the same ranges compile in any regex
+    * dialect, no `\p{Script=...}` dependency). Real language-ID
+    * pipelines run script detection BEFORE any model — most of the web
+    * is routable on script alone, and the marker-voting [[langId]] only
+    * makes sense within Latin script. Narrow codegen'd regexp_count
+    * columns, shuffle-free.
+    */
+  // single-backslash \uXXXX: Scala resolves the escape at COMPILE time,
+  // so the pattern string holds literal characters — the one class-range
+  // form Java regex and RE2 (DuckDB) read identically. A double-escaped
+  // "\\uXXXX" would reach RE2 as an unsupported escape.
+  private[graft] val scriptRanges: Seq[(String, String)] = Seq(
+    "latin"    -> "[A-Za-zÀ-ɏ]",
+    "cjk"      -> "[一-鿿぀-ヿ가-힯]",
+    "cyrillic" -> "[Ѐ-ӿ]",
+    "arabic"   -> "[؀-ۿ]",
+    "digit"    -> "[0-9]")
+
+  def scriptProfile(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val counts = scriptRanges.map { case (name, cls) =>
+      regexp_count(col(textCol), lit(cls)).cast("long").as(s"n_$name")
+    }
+    val total = length(col(textCol)).cast("long").as("n_chars_total")
+    // dominant script = integer argmax over struct(count, -index): max
+    // count wins, ties break toward the earlier name (same pattern as
+    // the IVF assignment argmax) — all-zero counts → 'none'
+    val names = scriptRanges.map(_._1)
+    val entries = array(names.zipWithIndex.map { case (name, i) =>
+      struct(col(s"n_$name").as("c"), lit(-i).as("negidx"))
+    }: _*)
+    val bestC = array_max(entries).getField("c")
+    val bestIdx = -array_max(entries).getField("negidx")
+    val best = when(bestC === 0, lit("none"))
+      .otherwise(element_at(typedLit(names), (bestIdx + 1).cast("int")))
+    df.select((col("doc_id") +: counts :+ total): _*)
+      .withColumn("dominant_script", best)
+  }
+
   def classifierScoreMilli(textCol: String): Column = {
     val weight = (t: Column) =>
       pmod(graft.functions.FnvHash64.fnv_hash64(t), lit(1024L))

@@ -489,6 +489,32 @@ class OpsSpec extends SparkSpec {
       (2L, 2L, "y", 1L, 2L, 500000L)))
   }
 
+  test("scriptProfile counts scripts and routes the dominant one (hand fixture)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello world"),                 // latin
+      (2L, "这是中文文本 with two latin"),   // mixed: cjk 6 < latin? "withtwolatin" = 12 → latin
+      (3L, "你好世界你好世界你好"),           // cjk
+      (4L, "Привет мир"),                  // cyrillic
+      (5L, "12345 67890"),                 // digits only
+      (6L, "!!! ???")                      // none
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.scriptProfile(docs)
+      .select("doc_id", "dominant_script").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "latin")
+    assert(got(2L) === "latin") // 12 latin chars beat 6 cjk
+    assert(got(3L) === "cjk")
+    assert(got(4L) === "cyrillic")
+    assert(got(5L) === "digit")
+    assert(got(6L) === "none")
+    // counts are exact
+    val r3 = graft.ops.TextAnalysis.scriptProfile(docs.filter(col("doc_id") === 3))
+      .head
+    assert(r3.getAs[Long]("n_cjk") === 10L)
+    assert(r3.getAs[Long]("n_latin") === 0L)
+  }
+
   test("bm25TopK on an empty corpus returns empty (no NPE at plan build)") {
     val docs = Tables.documents(spark, sf001).filter(lit(false))
     assert(TextAnalysis.bm25TopK(docs, Seq("hash"), 5).count() === 0)
