@@ -1345,6 +1345,35 @@ object SparkEntry {
         .orderBy(col("norm_hash"))
     }),
 
+    "dedup_winnow_fp" -> ((s, dir) => {
+      // winnowing fingerprint sets (MOSS): window-min of FNV k-gram hashes
+      Dedup.winnowingFingerprints(Tables.documents(s, dir), k = 5, w = 4)
+        .orderBy(col("doc_id"), col("fp"))
+    }),
+
+    "dedup_winnow_pairs" -> ((s, dir) => {
+      Dedup.winnowingPairs(Tables.documents(s, dir), k = 5, w = 4, minShared = 2)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "corpus_diff" -> ((s, dir) => {
+      // version audit: synthetic v2 = drop ids < 20, modify 20..39,
+      // add 10 new ids — classify every id across versions
+      val docs = Tables.documents(s, dir)
+      val after = docs.filter(col("doc_id") >= 20)
+        .withColumn("text", when(col("doc_id") < 40,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") < 10)
+          .withColumn("doc_id", col("doc_id") + 100000))
+      TextAnalysis.corpusDiff(docs, after)
+        .orderBy(col("doc_id"))
+    }),
+
+    "corpus_top_ngrams" -> ((s, dir) => {
+      // corpus-level heavy hitters = boilerplate shortlist
+      TextAnalysis.topNgrams(Tables.documents(s, dir), n = 3, k = 20)
+    }),
+
     "text_script_profile" -> ((s, dir) => {
       // Unicode-script routing: the pre-model script detector
       TextAnalysis.scriptProfile(Tables.documents(s, dir))
@@ -2871,6 +2900,84 @@ object SparkEntry {
         |         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY norm_hash""".stripMargin,
+
+    // winnowing twin: FNV HUGEINT fold → signed BIGINT BEFORE the window
+    // min (Spark's min is over the signed value), full windows only
+    "dedup_winnow_fp" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, start - 1 AS pos,
+        |        array_to_string(t[start:start+4], ' ') AS gram
+        |      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS start
+        |            FROM tok WHERE len(t) >= 5) z),
+        |h AS (SELECT doc_id, pos,
+        |        CAST(CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+        |                  THEN hu - CAST(18446744073709551616 AS HUGEINT) ELSE hu END AS BIGINT) AS h
+        |      FROM (SELECT doc_id, pos,
+        |              list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |                list_transform(range(1, length(gram) + 1),
+        |                  i -> ascii(substr(gram, CAST(i AS INTEGER), 1)))),
+        |                (acc, c) -> (xor(acc, CAST(c AS HUGEINT)) * 1099511628211) % 18446744073709551616) AS hu
+        |            FROM g) y),
+        |win AS (SELECT doc_id,
+        |          min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |          count(*) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS n_in_win
+        |        FROM h)
+        |SELECT DISTINCT doc_id, fp FROM win WHERE n_in_win = 4
+        |ORDER BY doc_id, fp""".stripMargin,
+
+    "dedup_winnow_pairs" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, start - 1 AS pos,
+        |        array_to_string(t[start:start+4], ' ') AS gram
+        |      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS start
+        |            FROM tok WHERE len(t) >= 5) z),
+        |h AS (SELECT doc_id, pos,
+        |        CAST(CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+        |                  THEN hu - CAST(18446744073709551616 AS HUGEINT) ELSE hu END AS BIGINT) AS h
+        |      FROM (SELECT doc_id, pos,
+        |              list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |                list_transform(range(1, length(gram) + 1),
+        |                  i -> ascii(substr(gram, CAST(i AS INTEGER), 1)))),
+        |                (acc, c) -> (xor(acc, CAST(c AS HUGEINT)) * 1099511628211) % 18446744073709551616) AS hu
+        |            FROM g) y),
+        |fp AS (SELECT DISTINCT doc_id, fp FROM (
+        |        SELECT doc_id,
+        |          min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |          count(*) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS n_in_win
+        |        FROM h) w WHERE n_in_win = 4)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "corpus_diff" ->
+      """WITH after AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id < 40 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id >= 20
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 10),
+        |b AS (SELECT doc_id, md5(text) AS hb FROM documents),
+        |a AS (SELECT doc_id, md5(text) AS ha FROM after)
+        |SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+        |  CASE WHEN b.doc_id IS NULL THEN 'added'
+        |       WHEN a.doc_id IS NULL THEN 'removed'
+        |       WHEN hb = ha THEN 'unchanged'
+        |       ELSE 'modified' END AS change
+        |FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "corpus_top_ngrams" ->
+      """SELECT gram, count(*) AS n_occurrences
+        |FROM (SELECT unnest(list_transform(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
+        |        x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS gram
+        |      FROM (SELECT string_split(text, ' ') AS t FROM documents) z
+        |      WHERE len(t) >= 3)
+        |GROUP BY gram ORDER BY n_occurrences DESC, gram LIMIT 20""".stripMargin,
 
     // script-profile twin: identical literal-character classes (the one
     // form Java regex and RE2 share), list_position argmax = first-wins

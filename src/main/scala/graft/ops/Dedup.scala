@@ -394,6 +394,55 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003 —
+    * the MOSS algorithm): hash every token `k`-gram, slide a window of
+    * `w` consecutive hashes, keep the MINIMUM of each full window; the
+    * distinct kept hashes are the document's fingerprint set. The
+    * published guarantee: any match of length ≥ k + w − 1 tokens shares
+    * at least one fingerprint, while only ~2/(w+1) of positions are
+    * kept — a tunable density/recall trade the flat shingle family
+    * doesn't offer. Hashes are FNV-64a (the codegen kernel), so the
+    * whole set is oracle-verifiable.
+    *
+    * Scale shape: one (doc, pos) window pass — the min and the
+    * full-window count ride the SAME window partition (one shuffle on
+    * doc id), then a distinct. Candidate pairs are then an equi-join on
+    * the fingerprint hash: [[thresholdedPairs]] posture, never
+    * all-pairs.
+    */
+  def winnowingFingerprints(df: DataFrame, k: Int = 5, w: Int = 4,
+                            textCol: String = "text",
+                            idCol: String = "doc_id"): DataFrame = {
+    require(k > 0 && w > 0, s"winnowing: k=$k w=$w must be positive")
+    val grams = df
+      .select(col(idCol), split(col(textCol), " ").as("t"))
+      .select(col(idCol),
+        posexplode(graft.functions.TextFunctions.ngrams_join(col("t"), k))
+          .as(Seq("pos", "gram")))
+      .withColumn("h", graft.functions.FnvHash64.fnv_hash64(col("gram")))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("fp", min(col("h")).over(win))
+      .withColumn("n_in_win", count(lit(1)).over(win))
+      .filter(col("n_in_win") === w) // full windows only
+      .select(col(idCol), col("fp"))
+      .distinct()
+  }
+
+  /** Near-dup candidate pairs from shared winnowing fingerprints with a
+    * shared-count floor — the join-side consumer of
+    * [[winnowingFingerprints]]. */
+  def winnowingPairs(df: DataFrame, k: Int = 5, w: Int = 4,
+                     minShared: Int = 2): DataFrame = {
+    val fp = winnowingFingerprints(df, k, w)
+    fp.as("a").join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
     * pairs via CLUSTER-SCOPED cosine comparison — embeddings are first
     * assigned to a coarse quantizer (the shuffle-free broadcast-argmax

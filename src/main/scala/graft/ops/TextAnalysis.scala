@@ -335,6 +335,42 @@ object TextAnalysis {
         col("tf"), col("df"), col("score_milli"))
   }
 
+  /** Corpus version diff: classify every doc id across two corpus
+    * versions as added / removed / modified / unchanged by content
+    * hash — the audit step between pipeline runs ("what did this stage
+    * change"). Full outer join on the id (one shuffle, both sides
+    * pre-hashed so only (id, hash) pairs move, never text).
+    */
+  def corpusDiff(before: DataFrame, after: DataFrame,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val b = before.select(col(idCol), md5(col(textCol)).as("h_before"))
+    val a = after.select(col(idCol), md5(col(textCol)).as("h_after"))
+    b.join(a, Seq(idCol), "full_outer")
+      .withColumn("change",
+        when(col("h_before").isNull, lit("added"))
+          .when(col("h_after").isNull, lit("removed"))
+          .when(col("h_before") === col("h_after"), lit("unchanged"))
+          .otherwise(lit("modified")))
+      .select(col(idCol), col("change"))
+  }
+
+  /** Corpus-wide most-frequent n-grams — the boilerplate detector
+    * (navigation chrome, cookie banners, license headers surface as
+    * corpus-level heavy hitters; C4 strips lines this way). Exact
+    * counts: one (gram) shuffle with map-side partial aggs, then a
+    * TakeOrderedAndProject top-k — no global sort. At 100 TB the same
+    * shape runs on a sampled fraction first (heavy hitters survive
+    * sampling by definition); the exact pass is for the shortlist.
+    */
+  def topNgrams(df: DataFrame, n: Int, k: Int,
+                textCol: String = "text"): DataFrame =
+    df.select(explode(graft.functions.TextFunctions.ngrams_join(
+        split(col(textCol), " "), n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("gram"))
+      .limit(k)
+
   /** BM25-shaped keyword retrieval over the corpus: rank documents for a
     * fixed term set by `idf · tf-saturation · length-normalization` —
     * the retrieval primitive data curation uses (find docs matching an

@@ -385,6 +385,34 @@ class DedupSpec extends SparkSpec {
       s"global top-k must be a heap take, not a sort:\n$bm25Plan")
   }
 
+  test("winnowing: a shared passage of length k+w-1 guarantees a shared fingerprint") {
+    import spark.implicits._
+    // k=5, w=4 → guarantee threshold k+w-1 = 8 shared tokens
+    val passage = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"one two three $passage four five six seven"),
+      (2L, s"red green blue $passage yellow purple orange pink"),
+      (3L, "totally unrelated words with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val fp = Dedup.winnowingFingerprints(docs, k = 5, w = 4)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((fp(1L) & fp(2L)).nonEmpty,
+      "8-token shared passage must share at least one fingerprint (SIGMOD'03 guarantee)")
+    assert((fp(1L) & fp(3L)).isEmpty && (fp(2L) & fp(3L)).isEmpty,
+      "no shared k-grams → no shared fingerprints")
+    // winnowing SELECTS: far fewer fingerprints than windows on real docs
+    val real = Tables.documents(spark, sf001)
+    val nWindows = real.selectExpr("size(split(text, ' ')) - 5 - 4 + 2 AS n")
+      .filter(col("n") > 0).agg(sum(col("n"))).head.getLong(0)
+    val nFps = Dedup.winnowingFingerprints(real, 5, 4).count()
+    assert(nFps < nWindows * 7 / 10,
+      s"density: $nFps fingerprints over $nWindows windows should be well under 1")
+    // pairs consumer finds the planted pair
+    val pairs = Dedup.winnowingPairs(docs, k = 5, w = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+  }
+
   test("normalizedText: idempotent, and matches a reference fold on ASCII") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
