@@ -60,11 +60,21 @@ final case class EventFilter(
     // len() translates to the polymorphic graft_len expression —
     // idempotent registration into this session's function registry
     graft.GraftExtensions.registerTo(df.sparkSession)
-    val inScope = (tables.includeRegexes.map(col("table_name").rlike) match {
+    // Scoping matches the CANONICAL `schema.table` name — the identity
+    // TableFilter patterns compile against (`^schema\.table$`). A frame
+    // carrying only `table_name` (pre-resolution WAL shapes) matches on
+    // the bare name; rlike against an anchored schema-qualified pattern
+    // would otherwise NEVER match and silently reduce every scoped
+    // filter to its default.
+    val nameCol =
+      if (df.columns.contains("schema_name"))
+        concat_ws(".", col("schema_name"), col("table_name"))
+      else col("table_name")
+    val inScope = (tables.includeRegexes.map(nameCol.rlike) match {
       case Nil => Seq(lit(true))
       case rs  => rs
     }).reduce(_ || _) &&
-      !(tables.excludeRegexes.map(col("table_name").rlike) match {
+      !(tables.excludeRegexes.map(nameCol.rlike) match {
         case Nil => Seq(lit(false))
         case rs  => rs
       }).reduce(_ || _)

@@ -503,31 +503,6 @@ object Dedup {
     emb.join(dropA.unionByName(dropB).distinct(), Seq("vec_id"), "left_anti")
   }
 
-  /** Bloom-prefiltered incremental exact dedup: drop new-batch documents
-    * whose content already exists in the historical corpus, WITHOUT
-    * shuffling either side against the other. A Bloom filter over the
-    * history's content hashes (built with `bloom_filter_agg` — partial
-    * sketches merged treewise, one compact binary on the driver) is
-    * broadcast as a plan-time literal; the batch probes it with the
-    * codegen `BloomFilterMightContain` kernel. Bloom "no" answers are
-    * definitive (no false negatives), so only the tiny bloom-positive
-    * slice — true dups plus ~fpp of the batch — reaches the confirming
-    * anti-join against the history hash set. Exactness never depends on
-    * fpp; fpp only sizes the confirm join.
-    *
-    * 100 TB sizing: ~9.6 bits/key at 1 % fpp → 120 MB per 10⁸ history
-    * docs, 1.2 GB per 10⁹ — the broadcast form holds to ~10⁹ keys;
-    * beyond that raise fpp (0.1 → ~0.6 GB per 10⁹; the confirm join
-    * still restores exactness) or shard the bloom by hash range.
-    * Equality is 64-bit content-hash equality (same posture as
-    * [[exact]]'s md5 keys — a 2⁻⁶⁴ collision deletes a unique doc).
-    *
-    * `batch` may be a STREAMING DataFrame: the eager actions here touch
-    * only the static history, and the batch-side plan is filter +
-    * stream-static left-anti + union — all streaming-legal, so the
-    * continuous-ingest form is this same code path (StreamingSpec
-    * proves stream ≡ batch).
-    */
   /** Continuous-ingest SemDeDup: drop BATCH vectors that are
     * semantically too close to any HISTORY vector — the incremental
     * form of [[semanticDupPairs]] (the same relationship
@@ -573,7 +548,32 @@ object Dedup {
       .select(batch.columns.map(col).toSeq: _*)
   }
 
-  /** Duplicate-detection contract: LEFT-ANTI equality on non-null
+  /** Bloom-prefiltered incremental exact dedup: drop new-batch documents
+    * whose content already exists in the historical corpus, WITHOUT
+    * shuffling either side against the other. A Bloom filter over the
+    * history's content hashes (built with `bloom_filter_agg` — partial
+    * sketches merged treewise, one compact binary on the driver) is
+    * broadcast as a plan-time literal; the batch probes it with the
+    * codegen `BloomFilterMightContain` kernel. Bloom "no" answers are
+    * definitive (no false negatives), so only the tiny bloom-positive
+    * slice — true dups plus ~fpp of the batch — reaches the confirming
+    * anti-join against the history hash set. Exactness never depends on
+    * fpp; fpp only sizes the confirm join.
+    *
+    * 100 TB sizing: ~9.6 bits/key at 1 % fpp → 120 MB per 10⁸ history
+    * docs, 1.2 GB per 10⁹ — the broadcast form holds to ~10⁹ keys;
+    * beyond that raise fpp (0.1 → ~0.6 GB per 10⁹; the confirm join
+    * still restores exactness) or shard the bloom by hash range.
+    * Equality is 64-bit content-hash equality (same posture as
+    * [[exact]]'s md5 keys — a 2⁻⁶⁴ collision deletes a unique doc).
+    *
+    * `batch` may be a STREAMING DataFrame: the eager actions here touch
+    * only the static history, and the batch-side plan is filter +
+    * stream-static left-anti + union — all streaming-legal, so the
+    * continuous-ingest form is this same code path (StreamingSpec
+    * proves stream ≡ batch).
+    *
+    * Duplicate-detection contract: LEFT-ANTI equality on non-null
     * content — a NULL-text batch row is never anyone's duplicate and
     * always survives (SQL `NOT IN` would instead nuke every row when
     * history contains a NULL; the anti-join semantics are the ones a

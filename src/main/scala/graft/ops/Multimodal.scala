@@ -159,12 +159,14 @@ object Multimodal {
       bos.toByteArray
     }
 
-    /** Real decode: container header + frame count from the JDK parser. */
-    def decode(bytes: Array[Byte], sourceId: Long): Row = {
+    /** Real decode: container header + frame count from the JDK parser.
+      * Echoes the INPUT mime — decode accepts WAV and AIFF, and
+      * relabeling an AIFF row as wav would lie to mime-keyed consumers. */
+    def decode(bytes: Array[Byte], mime: String, sourceId: Long): Row = {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new ByteArrayInputStream(bytes))
       val f = ais.getFormat
-      Row(sourceId, "audio/wav", bytes.length,
+      Row(sourceId, mime, bytes.length,
         f.getSampleRate.toInt, f.getChannels, ais.getFrameLength)
     }
   }
@@ -201,7 +203,7 @@ object Multimodal {
         rows.map { r =>
           val (bytes, mime, id) = (r.getAs[Array[Byte]](0), r.getString(1), r.getLong(2))
           if (mime == "audio/wav" || mime == "audio/aiff")
-            AudioCodec.decode(bytes, id)
+            AudioCodec.decode(bytes, mime, id)
           else Row(id, mime, bytes.length, -1, -1, -1L)
         }
       }(enc)

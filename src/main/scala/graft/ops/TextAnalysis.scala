@@ -343,13 +343,18 @@ object TextAnalysis {
     */
   def corpusDiff(before: DataFrame, after: DataFrame,
                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val b = before.select(col(idCol), md5(col(textCol)).as("h_before"))
-    val a = after.select(col(idCol), md5(col(textCol)).as("h_after"))
+    // presence travels as its own marker — md5(NULL) is NULL, so hash
+    // nullity can NOT distinguish "absent row" from "present with NULL
+    // text" (a NULL-text doc in both versions is unchanged, not added)
+    val b = before.select(col(idCol), md5(col(textCol)).as("h_before"),
+      lit(true).as("in_before"))
+    val a = after.select(col(idCol), md5(col(textCol)).as("h_after"),
+      lit(true).as("in_after"))
     b.join(a, Seq(idCol), "full_outer")
       .withColumn("change",
-        when(col("h_before").isNull, lit("added"))
-          .when(col("h_after").isNull, lit("removed"))
-          .when(col("h_before") === col("h_after"), lit("unchanged"))
+        when(col("in_before").isNull, lit("added"))
+          .when(col("in_after").isNull, lit("removed"))
+          .when(col("h_before") <=> col("h_after"), lit("unchanged"))
           .otherwise(lit("modified")))
       .select(col(idCol), col("change"))
   }
@@ -446,7 +451,9 @@ object TextAnalysis {
   // form Java regex and RE2 (DuckDB) read identically. A double-escaped
   // "\\uXXXX" would reach RE2 as an unsupported escape.
   private[graft] val scriptRanges: Seq[(String, String)] = Seq(
-    "latin"    -> "[A-Za-zÀ-ɏ]",
+    // À-Ö / Ø-ö / ø-ɏ: skips × (U+00D7) and ÷ (U+00F7) — math symbols,
+    // not Latin letters; counting them would let '3 × 4' route as latin
+    "latin"    -> "[A-Za-zÀ-ÖØ-öø-ɏ]",
     "cjk"      -> "[一-鿿぀-ヿ가-힯]",
     "cyrillic" -> "[Ѐ-ӿ]",
     "arabic"   -> "[؀-ۿ]",

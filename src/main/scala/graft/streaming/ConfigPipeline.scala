@@ -143,14 +143,37 @@ object ConfigPipeline {
     }
   }
 
+  private def int(props: Map[String, String], key: String, default: Int): Int =
+    props.get(key) match {
+      case None => default
+      case Some(v) => v.toIntOption.getOrElse(
+        throw new IllegalArgumentException(s"$key: illegal integer '$v'"))
+    }
+
+  /** Parsed transaction-window bounds — the values a consumer hands to
+    * [[TxnAssembler.txnStream]] (see [[txnSummaries]]). */
   def txnWindow(props: Map[String, String]): TxnWindow = {
     val tw = TxnWindow(
       bool(props, "postgresql.transaction.window.enabled", default = true),
-      props.getOrElse("postgresql.transaction.window.timeout", "60").toInt,
-      props.getOrElse("postgresql.transaction.window.maxsize", "10000").toInt)
+      int(props, "postgresql.transaction.window.timeout", 60),
+      int(props, "postgresql.transaction.window.maxsize", 10000))
     require(tw.timeoutSeconds > 0 && tw.maxSize > 0,
       s"transaction window bounds must be positive: $tw")
     tw
+  }
+
+  /** The config-applied transaction window: per-transaction summaries
+    * over the WAL stream with the CONFIGURED 10 000-entry / 60 s-style
+    * bounds (window disabled → effectively unbounded merge, modeled as
+    * Long.MaxValue size with the maximum timeout the state store
+    * accepts). */
+  def txnSummaries(spark: SparkSession, dir: String,
+                   props: Map[String, String]): org.apache.spark.sql.Dataset[TxnAssembler.TxnSummary] = {
+    val tw = txnWindow(props)
+    if (tw.enabled)
+      TxnAssembler.txnStream(spark, dir, tw.maxSize.toLong, tw.timeoutSeconds * 1000L)
+    else
+      TxnAssembler.txnStream(spark, dir, Long.MaxValue, Long.MaxValue / 4)
   }
 
   def snapshotMode(props: Map[String, String]): String = {
@@ -181,11 +204,26 @@ object ConfigPipeline {
     else named
   }
 
+  /** Gate set with the snapshot mode APPLIED: in this engine's model,
+    * snapshot reads ARE the op='r' rows (T8 — `Cdc.withSnapshotMode`
+    * fence semantics), so `never` drops reads, `initial_only` keeps
+    * ONLY reads, and `always` (which the reference declares not yet
+    * implemented) runs snapshot + stream — implemented here and
+    * documented as surface the reference intends but lacks. */
+  def effectiveOps(props: Map[String, String]): Seq[String] = {
+    val base = enabledOps(props)
+    snapshotMode(props) match {
+      case "never"        => base.filterNot(_ == Envelope.Op.Read)
+      case "initial_only" => base.filter(_ == Envelope.Op.Read)
+      case "always"       => base
+    }
+  }
+
   /** Batch assembly (snapshot-mode aware) — the testable form. */
   def fromProperties(spark: SparkSession, dir: String,
                      props: Map[String, String]): DataFrame = {
-    snapshotMode(props); txnWindow(props) // validate the full surface up front
-    shape(Cdc.envelopePipeline(spark, dir, enabledOps(props)), props)
+    txnWindow(props) // validate the full surface up front
+    shape(Cdc.envelopePipeline(spark, dir, effectiveOps(props)), props)
   }
 
   /** Streaming assembly into the config-dispatched sink. Checkpoint
@@ -193,7 +231,7 @@ object ConfigPipeline {
     * (the reference's file state storage), else the caller's default. */
   def start(spark: SparkSession, dir: String, props: Map[String, String],
             defaultCheckpointDir: String): StreamingQuery = {
-    snapshotMode(props); txnWindow(props)
+    txnWindow(props)
     val ckpt = props.getOrElse("statestorage.type", "none") match {
       case "file" =>
         val p = props.getOrElse("statestorage.file.path", "")
@@ -204,9 +242,9 @@ object ConfigPipeline {
         s"statestorage.type: illegal value '$other'")
     }
     val sink = Sinks.fromConfig(props)
-    shape(StreamPipeline.envelopeStream(spark, dir, enabledOps(props)), props)
+    shape(StreamPipeline.envelopeStream(spark, dir, effectiveOps(props)), props)
       .writeStream
-      .queryName(props.getOrElse("topic.prefix", "timescaledb"))
+      .queryName(topicPrefix(props))
       .option("checkpointLocation", ckpt)
       .foreachBatch((batch: DataFrame, id: Long) => sink.emit(batch, id))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

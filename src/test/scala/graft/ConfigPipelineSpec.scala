@@ -56,6 +56,34 @@ class ConfigPipelineSpec extends SparkSpec {
     assert(bad(Map("topic.namingstrategy.type" -> "kebab")).contains("namingstrategy"))
     assert(bad(Map("sink.filters.f1.default" -> "true")).contains("condition"))
     assert(bad(Map("postgresql.transaction.window.maxsize" -> "0")).contains("window"))
+    assert(bad(Map("postgresql.transaction.window.timeout" -> "sixty"))
+      .contains("postgresql.transaction.window.timeout"))
+  }
+
+  test("snapshot mode is APPLIED: never drops reads, initial_only keeps only reads") {
+    val never = ConfigPipeline.fromProperties(spark, sf001, Map.empty)
+    assert(never.filter(col("op") === "r").count() === 0,
+      "default snapshot mode 'never' must not produce snapshot reads")
+    val snapOnly = ConfigPipeline.fromProperties(spark, sf001, Map(
+      "postgresql.snapshot.initial" -> "initial_only"))
+    assert(snapOnly.count() > 0)
+    assert(snapOnly.filter(col("op") =!= "r").count() === 0,
+      "initial_only is the snapshot alone")
+    val always = ConfigPipeline.fromProperties(spark, sf001, Map(
+      "postgresql.snapshot.initial" -> "always"))
+    assert(always.filter(col("op") === "r").count() > 0)
+    assert(always.filter(col("op") === "c").count() > 0)
+  }
+
+  test("scoped filter MATCHES its schema.table target (canonical-name scoping)") {
+    // condition that drops everything, scoped to the actual table —
+    // before the canonical-name fix this silently passed everything
+    val scoped = ConfigPipeline.fromProperties(spark, sf001, Map(
+      "postgresql.snapshot.initial" -> "always",
+      "sink.filters.f1.condition" -> "user_id > 1000000",
+      "sink.filters.f1.tables.includes" -> "public.events"))
+    assert(scoped.count() === 0,
+      "a filter scoped to public.events must apply to the events envelope")
   }
 
   test("excludes win over includes at the pipeline level") {
