@@ -1401,6 +1401,17 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "cdc_config_snapshot_only" -> ((s, dir) => {
+      // postgresql.snapshot.initial=initial_only → the snapshot alone
+      // (op='r'), scoped filter applied via the canonical table name
+      graft.streaming.ConfigPipeline.fromProperties(s, dir, Map(
+        "postgresql.snapshot.initial" -> "initial_only",
+        "sink.filters.keep_even.condition" -> "event_id % 2 == 0",
+        "sink.filters.keep_even.tables.includes" -> "public.events"))
+        .select(col("lsn"), col("op"), col("topic"), col("event_id"), col("user_id"))
+        .orderBy(col("lsn"))
+    }),
+
     "cdc_config_pipeline" -> ((s, dir) => {
       // the reference's TOML property surface assembled end-to-end:
       // gates (read off) + hypertable includes + a scoped Expr filter +
@@ -3006,6 +3017,15 @@ object SparkEntry {
         |  CAST(max(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS max_doc_tokens,
         |  count(*) - count(DISTINCT md5(text)) AS n_exact_dups
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // snapshot-only twin: initial_only keeps only op='r' rows; the
+    // scoped filter condition applies (canonical name matches)
+    "cdc_config_snapshot_only" ->
+      s"""SELECT event_id AS lsn, $opCaseSql AS op,
+         |  'timescaledb.public.events' AS topic, event_id, user_id
+         |FROM events
+         |WHERE $opCaseSql = 'r' AND event_id % 2 = 0
+         |ORDER BY lsn""".stripMargin,
 
     // config-pipeline twin: read gate off → c/u/d survive (m/$ are off
     // by reference default), includes match, filter condition applied,
