@@ -1372,6 +1372,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "sample_dsir_topk" -> ((s, dir) => {
+      // DSIR-shaped selection: rank the general corpus by hashed-bigram
+      // similarity to the src0 target domain, keep the top 100
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.dsirScores(
+          raw = docs.filter(col("source") =!= "src0"),
+          target = docs.filter(col("source") === "src0"))
+        .orderBy(col("dsir_score_ppm").desc, col("doc_id"))
+        .limit(100)
+    }),
+
     "corpus_top_ngrams" -> ((s, dir) => {
       // corpus-level heavy hitters = boilerplate shortlist
       TextAnalysis.topNgrams(Tables.documents(s, dir), n = 3, k = 20)
@@ -2984,6 +2995,31 @@ object SparkEntry {
         |       ELSE 'modified' END AS change
         |FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // DSIR twin: FNV HUGEINT fold % 4096 (2^64 ≡ 0 mod 4096, so the
+    // unsigned mod equals Spark's signed pmod), integer ppm weights
+    "sample_dsir_topk" ->
+      """WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, source,
+        |        unnest(list_transform(list_zip(t[1:len(t)-1], t[2:len(t)]),
+        |          x -> x[1] || ' ' || x[2])) AS gram
+        |      FROM tok WHERE len(t) >= 2),
+        |b AS (SELECT doc_id, source,
+        |        CAST(list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |          list_transform(range(1, length(gram) + 1),
+        |            i -> ascii(substr(gram, CAST(i AS INTEGER), 1)))),
+        |          (acc, c) -> (xor(acc, CAST(c AS HUGEINT)) * 1099511628211) % 18446744073709551616)
+        |          % 4096 AS BIGINT) AS bucket
+        |      FROM g),
+        |tc AS (SELECT bucket, count(*) AS t_count FROM b WHERE source = 'src0' GROUP BY 1),
+        |rc AS (SELECT bucket, count(*) AS r_count FROM b WHERE source <> 'src0' GROUP BY 1),
+        |w AS (SELECT rc.bucket, coalesce(tc.t_count, 0) * 1000000 // rc.r_count AS w_ppm
+        |      FROM rc LEFT JOIN tc ON rc.bucket = tc.bucket),
+        |tf AS (SELECT doc_id, bucket, count(*) AS tf FROM b WHERE source <> 'src0' GROUP BY 1, 2)
+        |SELECT tf.doc_id, CAST(sum(tf.tf * w.w_ppm) // sum(tf.tf) AS BIGINT) AS dsir_score_ppm
+        |FROM tf JOIN w ON tf.bucket = w.bucket
+        |GROUP BY tf.doc_id
+        |ORDER BY dsir_score_ppm DESC, tf.doc_id LIMIT 100""".stripMargin,
 
     "corpus_top_ngrams" ->
       """SELECT gram, count(*) AS n_occurrences

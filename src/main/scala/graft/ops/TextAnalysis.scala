@@ -335,6 +335,49 @@ object TextAnalysis {
         col("tf"), col("df"), col("score_milli"))
   }
 
+  /** DSIR-shaped data selection (Xie et al. 2023, arXiv:2302.03169
+    * "Data Selection for Language Models via Importance Resampling"):
+    * rank RAW-corpus documents by how much their hashed n-gram feature
+    * profile looks like a TARGET domain. The paper weights by
+    * Π p_target(f)/p_raw(f) in log space; logs are float-transcendental
+    * (engine-ULP-unstable near rank boundaries), so this computes the
+    * integer-exact LINEAR surrogate — per-feature likelihood-ratio
+    * weight `w(f) = target_count(f)·10⁶ div raw_count(f)` averaged over
+    * the document's feature occurrences (`Σ tf·w div Σ tf` — the mean
+    * keeps ranking LENGTH-NORMALIZED: an unnormalized sum lets any long
+    * off-domain doc out-mass a short on-domain one). A documented
+    * surrogate (same stance as [[tfidfTopK]]'s linear idf): monotone in
+    * each feature's target/raw ratio, not the paper's product form.
+    *
+    * Features are the paper's hashed n-grams: token bigrams FNV-hashed
+    * into `nBuckets`. Scale shape: both count tables are ≤nBuckets rows
+    * after partial-agg'd shuffles and broadcast back; the per-doc score
+    * is one bounded-key join + one doc-keyed aggregation. Overflow
+    * bound: target_count·10⁶·tf must fit in i64 per feature (target
+    * corpora are small by construction — that is the method's point).
+    */
+  def dsirScores(raw: DataFrame, target: DataFrame, nBuckets: Int = 4096,
+                 textCol: String = "text"): DataFrame = {
+    def buckets(df: DataFrame, keep: Seq[Column]): DataFrame =
+      df.select(keep :+ explode(graft.functions.TextFunctions.ngrams_join(
+          split(col(textCol), " "), 2)).as("gram"): _*)
+        .withColumn("bucket",
+          pmod(graft.functions.FnvHash64.fnv_hash64(col("gram")), lit(nBuckets.toLong)))
+        .drop("gram")
+    val targetCounts = buckets(target, Nil)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("t_count"))
+    val rawCounts = buckets(raw, Nil)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("r_count"))
+    val weights = rawCounts.join(targetCounts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        expr("coalesce(t_count, 0L) * 1000000 div r_count").as("w_ppm"))
+    buckets(raw, Seq(col("doc_id")))
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("tf"))
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(expr("sum(tf * w_ppm) div sum(tf)").as("dsir_score_ppm"))
+  }
+
   /** Corpus version diff: classify every doc id across two corpus
     * versions as added / removed / modified / unchanged by content
     * hash — the audit step between pipeline runs ("what did this stage

@@ -515,6 +515,21 @@ class OpsSpec extends SparkSpec {
     assert(r3.getAs[Long]("n_latin") === 0L)
   }
 
+  test("dsirScores ranks planted target-domain copies above the corpus median") {
+    val docs = Tables.documents(spark, sf001)
+    val target = docs.filter(col("source") === "src0")
+    val planted = target.limit(3).withColumn("doc_id", col("doc_id") + 500000)
+    val raw = docs.filter(col("source") =!= "src0").unionByName(planted)
+    val scores = graft.ops.TextAnalysis.dsirScores(raw, target)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sorted = scores.values.toSeq.sorted
+    val median = sorted(sorted.size / 2)
+    planted.select(col("doc_id")).collect().map(_.getLong(0)).foreach { id =>
+      assert(scores(id) > median,
+        s"an exact target copy ($id) must out-score the raw median")
+    }
+  }
+
   test("bm25TopK on an empty corpus returns empty (no NPE at plan build)") {
     val docs = Tables.documents(spark, sf001).filter(lit(false))
     assert(TextAnalysis.bm25TopK(docs, Seq("hash"), 5).count() === 0)
