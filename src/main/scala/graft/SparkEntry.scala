@@ -1372,6 +1372,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "pipeline_quality_buckets" -> ((s, dir) => {
+      // CCNet-style quality bucketing composed from two proven ops in
+      // ONE plan: per-doc classifier score → keep the better half of
+      // each source (quantile gate, integer-exact)
+      val scored = Tables.documents(s, dir).select(
+        col("doc_id"), col("source"),
+        TextAnalysis.classifierScoreMilli("text").as("score_milli"))
+      Sampling.topPercentPerGroup(scored, "source", 50,
+          Seq(col("score_milli").desc, col("doc_id")))
+        .orderBy(col("doc_id"))
+    }),
+
     "sample_dsir_topk" -> ((s, dir) => {
       // DSIR-shaped selection: rank the general corpus by hashed-bigram
       // similarity to the src0 target domain, keep the top 100
@@ -2995,6 +3007,26 @@ object SparkEntry {
         |       ELSE 'modified' END AS change
         |FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // quality-bucket twin: the text_classifier HUGEINT fold per token,
+    // then the integer quantile gate rank*100 <= n*50
+    "pipeline_quality_buckets" ->
+      """WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t FROM documents),
+        |w AS (SELECT doc_id, source,
+        |  CAST(((list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |      list_transform(range(1, length(t) + 1),
+        |        i -> ascii(substr(t, CAST(i AS INTEGER), 1)))),
+        |      (acc, c) -> (xor(acc, CAST(c AS HUGEINT)) * 1099511628211) % 18446744073709551616)
+        |    % 1024) * 2654435761 % 2001 - 1000) AS BIGINT) AS w
+        |  FROM tok),
+        |scored AS (SELECT doc_id, source, CAST(sum(w) AS BIGINT) AS score_milli
+        |           FROM w GROUP BY 1, 2),
+        |ranked AS (SELECT *,
+        |    row_number() OVER (PARTITION BY source ORDER BY score_milli DESC, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM scored)
+        |SELECT doc_id, source, score_milli FROM ranked
+        |WHERE rk * 100 <= n * 50 ORDER BY doc_id""".stripMargin,
 
     // DSIR twin: FNV HUGEINT fold % 4096 (2^64 ≡ 0 mod 4096, so the
     // unsigned mod equals Spark's signed pmod), integer ppm weights
