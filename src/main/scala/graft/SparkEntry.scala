@@ -1348,6 +1348,13 @@ object SparkEntry {
         .orderBy(col("norm_hash"))
     }),
 
+    "dedup_containment" -> ((s, dir) => {
+      // containment near-dups: a doc 80%-contained in another is a dup
+      // even when symmetric Jaccard dilutes below any threshold
+      Dedup.containmentPairs(Tables.documents(s, dir), n = 3, threshold10 = 8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "dedup_winnow_fp" -> ((s, dir) => {
       // winnowing fingerprint sets (MOSS): window-min of FNV k-gram hashes
       Dedup.winnowingFingerprints(Tables.documents(s, dir), k = 5, w = 4)
@@ -2937,6 +2944,22 @@ object SparkEntry {
         |         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY norm_hash""".stripMargin,
+
+    "dedup_containment" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
+        |           x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS shingle
+        |       FROM tok WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b, shared, sa.n AS n_a, sb.n AS n_b,
+        |  CASE WHEN sa.n <= sb.n THEN doc_a ELSE doc_b END AS contained
+        |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE shared * 10 >= least(sa.n, sb.n) * 8
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // winnowing twin: FNV HUGEINT fold → signed BIGINT BEFORE the window
     // min (Spark's min is over the signed value), full windows only

@@ -140,6 +140,36 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"))
   }
 
+  /** Containment near-dup pairs (Broder '97's second resemblance
+    * measure): `c(A,B) = |A∩B| / |A|` — catches a document EMBEDDED in
+    * a larger one, which symmetric Jaccard dilutes below threshold
+    * (|A∩B|/|A∪B| → small when |B| ≫ |A|). Emitted when either side is
+    * contained: `shared·10 ≥ t10·min(|A|,|B|)` as the float-free
+    * integer form; `contained` names the swallowed side. Same shingle
+    * equi-join posture and dfCap rationale as [[jaccardPairs]].
+    */
+  def containmentPairs(df: DataFrame, n: Int = 3, threshold10: Int = 8,
+                       dfCap: Int = Int.MaxValue): DataFrame = {
+    val raw = shingles(df, n)
+    val sh = if (dfCap == Int.MaxValue) raw
+             else raw.withColumn("df",
+                 count(lit(1)).over(Window.partitionBy(col("shingle"))))
+               .filter(col("df") <= dfCap).drop("df")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .filter(col("shared") * 10 >= least(col("n_a"), col("n_b")) * threshold10)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"),
+        when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b"))
+          .as("contained"))
+  }
+
   /** Shared Jaccard mechanics over two (doc_id, shingle) sets: per-doc
     * sizes, shared-shingle counts from the equi-join, and the float-free
     * integer threshold `shared*10 >= t10*(|A|+|B|-shared)`. The self-join

@@ -385,6 +385,25 @@ class DedupSpec extends SparkSpec {
       s"global top-k must be a heap take, not a sort:\n$bm25Plan")
   }
 
+  test("containment catches an embedded doc that symmetric Jaccard misses") {
+    import spark.implicits._
+    val small = "alpha beta gamma delta epsilon zeta"
+    val filler = (1 to 60).map(i => s"w$i").mkString(" ")
+    val pair = Seq(
+      (1L, small),                       // fully contained in 2
+      (2L, s"$filler $small"),           // much larger host
+      (3L, "entirely different tokens here okay")
+    ).toDF("doc_id", "text")
+    // symmetric Jaccard at 0.4: shared=4 shingles, |A|=4, |B|=62 →
+    // 4*10 < 4*(4+62-4) — missed
+    assert(Dedup.jaccardPairs(pair, n = 3, threshold10 = 4).count() === 0)
+    // containment at 0.8: shared*10 >= 8*min(4,62) — caught, small side named
+    val got = Dedup.containmentPairs(pair, n = 3, threshold10 = 8).collect()
+    assert(got.length === 1)
+    assert((got(0).getLong(0), got(0).getLong(1)) === (1L, 2L))
+    assert(got(0).getAs[Long]("contained") === 1L)
+  }
+
   test("winnowing: a shared passage of length k+w-1 guarantees a shared fingerprint") {
     import spark.implicits._
     // k=5, w=4 → guarantee threshold k+w-1 = 8 shared tokens
