@@ -117,25 +117,32 @@ object Dedup {
     * threshold as an integer inequality `shared*10 >= t10*(|A|+|B|-shared)`
     * to keep the predicate float-free for oracle parity.
     */
+  /** Shingle set with the document-frequency cap applied — the shared
+    * front end of every shingle-pair family. df-cap: a shingle appearing
+    * in f docs contributes f² join rows, so one viral boilerplate
+    * shingle at 100 TB is a quadratic hot key AQE can only partially
+    * split. Dropping shingles with document frequency above the cap
+    * bounds the worst key at dfCap² (standard stop-shingle practice;
+    * both intersections and sizes use the capped universe, so the
+    * ratios stay internally consistent). Window over shingle reuses the
+    * same shuffle the downstream self-join needs.
+    * NOT cached: at 100 TB the exploded shingle set dwarfs the corpus —
+    * pinning it in the block manager is the wrong trade (and a leak in a
+    * long-lived session). A self-join's two sides are identical
+    * subplans, so Spark reuses one shuffle (ReusedExchange); only the
+    * narrow explode recomputes for the per-doc size aggregate.
+    */
+  private def cappedShingles(df: DataFrame, n: Int, dfCap: Int): DataFrame = {
+    val raw = shingles(df, n)
+    if (dfCap == Int.MaxValue) raw
+    else raw.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= dfCap).drop("df")
+  }
+
   def jaccardPairs(df: DataFrame, n: Int = 3, threshold10: Int = 4,
                    dfCap: Int = Int.MaxValue): DataFrame = {
-    // df-cap: a shingle appearing in f docs contributes f² join rows, so
-    // one viral boilerplate shingle at 100 TB is a quadratic hot key AQE
-    // can only partially split. Dropping shingles with document frequency
-    // above the cap bounds the worst key at dfCap² (standard stop-shingle
-    // practice; both intersections and sizes use the capped universe, so
-    // Jaccard stays internally consistent). Window over shingle reuses
-    // the same shuffle the self-join needs.
-    // NOT cached: at 100 TB the exploded shingle set dwarfs the corpus —
-    // pinning it in the block manager is the wrong trade (and a leak in a
-    // long-lived session). The self-join's two sides are identical
-    // subplans, so Spark reuses one shuffle (ReusedExchange); only the
-    // narrow explode recomputes for the per-doc size aggregate.
-    val raw = shingles(df, n)
-    val sh = if (dfCap == Int.MaxValue) raw
-             else raw.withColumn("df",
-                 count(lit(1)).over(Window.partitionBy(col("shingle"))))
-               .filter(col("df") <= dfCap).drop("df")
+    val sh = cappedShingles(df, n, dfCap)
     thresholdedPairs(sh, sh, threshold10, col("a.doc_id") < col("b.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"))
   }
@@ -150,20 +157,8 @@ object Dedup {
     */
   def containmentPairs(df: DataFrame, n: Int = 3, threshold10: Int = 8,
                        dfCap: Int = Int.MaxValue): DataFrame = {
-    val raw = shingles(df, n)
-    val sh = if (dfCap == Int.MaxValue) raw
-             else raw.withColumn("df",
-                 count(lit(1)).over(Window.partitionBy(col("shingle"))))
-               .filter(col("df") <= dfCap).drop("df")
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+    val sh = cappedShingles(df, n, dfCap)
+    pairCounts(sh, sh, col("a.doc_id") < col("b.doc_id"))
       .filter(col("shared") * 10 >= least(col("n_a"), col("n_b")) * threshold10)
       .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"),
         when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b"))
@@ -176,8 +171,10 @@ object Dedup {
     * (jaccardPairs) and bipartite (incrementalPrune) forms differ only in
     * the extra join predicate.
     */
-  private def thresholdedPairs(shA: DataFrame, shB: DataFrame,
-                               threshold10: Int, extra: Column): DataFrame = {
+  /** Sizes + shingle equi-join + shared counts, predicate-free — the
+    * mechanics every pair family (Jaccard, containment, bipartite)
+    * filters differently. */
+  private def pairCounts(shA: DataFrame, shB: DataFrame, extra: Column): DataFrame = {
     val sizesA = shA.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
     val sizesB = shB.groupBy(col("doc_id")).agg(count(lit(1)).as("n_b"))
     shA.as("a").join(shB.as("b"), col("a.shingle") === col("b.shingle") && extra)
@@ -185,8 +182,12 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
       .join(sizesA.withColumnRenamed("doc_id", "doc_a"), "doc_a")
       .join(sizesB.withColumnRenamed("doc_id", "doc_b"), "doc_b")
-      .filter(col("shared") * 10 >= (col("n_a") + col("n_b") - col("shared")) * threshold10)
   }
+
+  private def thresholdedPairs(shA: DataFrame, shB: DataFrame,
+                               threshold10: Int, extra: Column): DataFrame =
+    pairCounts(shA, shB, extra)
+      .filter(col("shared") * 10 >= (col("n_a") + col("n_b") - col("shared")) * threshold10)
 
   /** MinHash signatures: k hash functions h_i(s) = (a_i*x + b_i) mod p
     * over FNV-64a-hashed shingles (the codegen kernel; engine-neutral

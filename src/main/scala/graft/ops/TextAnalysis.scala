@@ -353,8 +353,13 @@ object TextAnalysis {
     * into `nBuckets`. Scale shape: both count tables are ≤nBuckets rows
     * after partial-agg'd shuffles and broadcast back; the per-doc score
     * is one bounded-key join + one doc-keyed aggregation. Overflow
-    * bound: target_count·10⁶·tf must fit in i64 per feature (target
-    * corpora are small by construction — that is the method's point).
+    * bound: the PER-DOCUMENT numerator `Σ_buckets tf·w_ppm`
+    * (≤ doc_tokens · max w_ppm ≤ doc_tokens · target_total · 10⁶) must
+    * fit in i64 — w_ppm ≤ target_count·10⁶ only when a feature is raw-
+    * unique, and the sum is what Spark would silently wrap. Target
+    * corpora are small by construction (that is the method's point);
+    * with a 10⁴-token target and 10⁴-token docs the numerator stays
+    * below 10¹⁴.
     */
   def dsirScores(raw: DataFrame, target: DataFrame, nBuckets: Int = 4096,
                  textCol: String = "text"): DataFrame = {
@@ -366,14 +371,17 @@ object TextAnalysis {
         .drop("gram")
     val targetCounts = buckets(target, Nil)
       .groupBy(col("bucket")).agg(count(lit(1)).as("t_count"))
-    val rawCounts = buckets(raw, Nil)
-      .groupBy(col("bucket")).agg(count(lit(1)).as("r_count"))
+    // ONE tokenize+hash pass over the big raw side: corpus-level bucket
+    // counts derive from the per-doc tf aggregate (identical subplan →
+    // Spark reuses the exchange; a separate buckets(raw) scan would
+    // re-run the expensive split+ngram+FNV work)
+    val tf = buckets(raw, Seq(col("doc_id")))
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("tf"))
+    val rawCounts = tf.groupBy(col("bucket")).agg(sum(col("tf")).as("r_count"))
     val weights = rawCounts.join(targetCounts, Seq("bucket"), "left")
       .select(col("bucket"),
         expr("coalesce(t_count, 0L) * 1000000 div r_count").as("w_ppm"))
-    buckets(raw, Seq(col("doc_id")))
-      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("tf"))
-      .join(broadcast(weights), Seq("bucket"))
+    tf.join(broadcast(weights), Seq("bucket"))
       .groupBy(col("doc_id"))
       .agg(expr("sum(tf * w_ppm) div sum(tf)").as("dsir_score_ppm"))
   }

@@ -394,8 +394,8 @@ class DedupSpec extends SparkSpec {
       (2L, s"$filler $small"),           // much larger host
       (3L, "entirely different tokens here okay")
     ).toDF("doc_id", "text")
-    // symmetric Jaccard at 0.4: shared=4 shingles, |A|=4, |B|=62 →
-    // 4*10 < 4*(4+62-4) — missed
+    // symmetric Jaccard at 0.4: shared=4 shingles, |A|=4, |B|=64
+    // (66 tokens → 64 trigrams) → 4*10 < 4*(4+64-4)=256 — missed
     assert(Dedup.jaccardPairs(pair, n = 3, threshold10 = 4).count() === 0)
     // containment at 0.8: shared*10 >= 8*min(4,62) — caught, small side named
     val got = Dedup.containmentPairs(pair, n = 3, threshold10 = 8).collect()

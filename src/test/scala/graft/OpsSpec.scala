@@ -518,7 +518,10 @@ class OpsSpec extends SparkSpec {
   test("dsirScores ranks planted target-domain copies above the corpus median") {
     val docs = Tables.documents(spark, sf001)
     val target = docs.filter(col("source") === "src0")
-    val planted = target.limit(3).withColumn("doc_id", col("doc_id") + 500000)
+    // orderBy pins WHICH 3 rows are planted — limit without sort is not
+    // stable across separate actions
+    val planted = target.orderBy(col("doc_id")).limit(3)
+      .withColumn("doc_id", col("doc_id") + 500000)
     val raw = docs.filter(col("source") =!= "src0").unionByName(planted)
     val scores = graft.ops.TextAnalysis.dsirScores(raw, target)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
