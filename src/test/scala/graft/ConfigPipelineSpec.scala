@@ -132,6 +132,24 @@ class ConfigPipelineSpec extends SparkSpec {
       .forall(_.startsWith("myprefix.")))
   }
 
+  test("start() restarted on the same checkpoint emits nothing new (T1 through config)") {
+    val dir = Files.createTempDirectory("graft-cfg-restart").toString
+    val sink = new graft.sinks.CollectorSink
+    graft.sinks.Sinks.register("collector-restart", () => sink)
+    val props = Map(
+      "sink.type" -> "collector-restart",
+      "statestorage.type" -> "file",
+      "statestorage.file.path" -> s"$dir/ckpt")
+    val q1 = ConfigPipeline.start(spark, sf001, props, dir)
+    assert(q1.awaitTermination(120000))
+    val n1 = sink.rows.size
+    assert(n1 > 0)
+    val q2 = ConfigPipeline.start(spark, sf001, props, dir)
+    assert(q2.awaitTermination(120000))
+    assert(sink.rows.size === n1,
+      "checkpointed resume must re-deliver nothing (same statestorage path)")
+  }
+
   test("streaming start() from config delivers the batch result through the sink") {
     val dir = Files.createTempDirectory("graft-cfg-sink").toString
     val ckpt = Files.createTempDirectory("graft-cfg-ckpt").toString

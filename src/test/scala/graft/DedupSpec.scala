@@ -385,6 +385,27 @@ class DedupSpec extends SparkSpec {
       s"global top-k must be a heap take, not a sort:\n$bm25Plan")
   }
 
+  test("edge inputs: short docs and empty frames never crash the new dedup ops") {
+    import spark.implicits._
+    val shorties = Seq((1L, "a b"), (2L, ""), (3L, "one two three four")).toDF("doc_id", "text")
+    // every doc shorter than k yields no k-grams → no fingerprints, no pairs
+    assert(Dedup.winnowingFingerprints(shorties, k = 5, w = 4).count() === 0)
+    assert(Dedup.winnowingPairs(shorties, k = 5, w = 4).count() === 0)
+    assert(Dedup.containmentPairs(shorties, n = 3).count() === 0,
+      "no shared shingles among distinct short docs")
+    val empty = shorties.filter(lit(false))
+    assert(Dedup.winnowingFingerprints(empty).count() === 0)
+    assert(Dedup.containmentPairs(empty).count() === 0)
+    assert(Dedup.normalizedExact(empty).count() === 0)
+    assert(graft.ops.TextAnalysis.topNgrams(empty, 3, 5).count() === 0)
+    assert(graft.ops.TextAnalysis.corpusDiff(empty, empty).count() === 0)
+    assert(graft.ops.TextAnalysis.scriptProfile(empty).count() === 0)
+    // DSIR with an empty target: every weight is 0, scores are 0 — defined
+    val docs = Tables.documents(spark, sf001).limit(20)
+    val z = graft.ops.TextAnalysis.dsirScores(docs, empty).collect()
+    assert(z.nonEmpty && z.forall(_.getLong(1) === 0L))
+  }
+
   test("containment catches an embedded doc that symmetric Jaccard misses") {
     import spark.implicits._
     val small = "alpha beta gamma delta epsilon zeta"
