@@ -1355,6 +1355,22 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    "dedup_winnow_prune" -> ((s, dir) => {
+      Dedup.winnowingPrune(Tables.documents(s, dir), k = 5, w = 4, minShared = 2)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "dedup_cluster_report" -> ((s, dir) => {
+      // the dedup run's headline output: cluster-size histogram (how
+      // many dup groups of each size) over the near-dup graph
+      val pairs = Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, threshold10 = 4)
+      Dedup.clusters(pairs)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("sz"))
+    }),
+
     "dedup_winnow_fp" -> ((s, dir) => {
       // winnowing fingerprint sets (MOSS): window-min of FNV k-gram hashes
       Dedup.winnowingFingerprints(Tables.documents(s, dir), k = 5, w = 4)
@@ -2944,6 +2960,57 @@ object SparkEntry {
         |         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY norm_hash""".stripMargin,
+
+    // winnow-prune twin: the pairs CTE + right-side anti-join
+    "dedup_winnow_prune" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, start - 1 AS pos,
+        |        array_to_string(t[start:start+4], ' ') AS gram
+        |      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS start
+        |            FROM tok WHERE len(t) >= 5) z),
+        |h AS (SELECT doc_id, pos,
+        |        CAST(CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+        |                  THEN hu - CAST(18446744073709551616 AS HUGEINT) ELSE hu END AS BIGINT) AS h
+        |      FROM (SELECT doc_id, pos,
+        |              list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |                list_transform(range(1, length(gram) + 1),
+        |                  i -> ascii(substr(gram, CAST(i AS INTEGER), 1)))),
+        |                (acc, c) -> (xor(acc, CAST(c AS HUGEINT)) * 1099511628211) % 18446744073709551616) AS hu
+        |            FROM g) y),
+        |fp AS (SELECT DISTINCT doc_id, fp FROM (
+        |        SELECT doc_id,
+        |          min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |          count(*) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS n_in_win
+        |        FROM h) w WHERE n_in_win = 4),
+        |drops AS (SELECT DISTINCT b.doc_id
+        |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2)
+        |SELECT doc_id, source FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+        |ORDER BY doc_id""".stripMargin,
+
+    // cluster-report twin: the recursive-CTE clustering + two aggregates
+    "dedup_cluster_report" ->
+      """WITH RECURSIVE
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
+        |        x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS shingle FROM tok WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY a.doc_id, b.doc_id),
+        |near AS (SELECT doc_a, doc_b FROM pairs
+        |         JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |         WHERE shared * 10 >= 4 * (sa.n + sb.n - shared)),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM near UNION SELECT doc_b, doc_a FROM near),
+        |cc AS (SELECT a AS doc, a AS label FROM edges
+        |       UNION
+        |       SELECT e.a, cc.label FROM cc JOIN edges e ON cc.doc = e.b),
+        |lab AS (SELECT doc, MIN(label) AS cluster_id FROM cc GROUP BY doc),
+        |cs AS (SELECT cluster_id, count(*) AS sz FROM lab GROUP BY 1)
+        |SELECT sz, count(*) AS n_clusters FROM cs GROUP BY sz ORDER BY sz""".stripMargin,
 
     "dedup_containment" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

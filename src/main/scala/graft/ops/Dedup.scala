@@ -474,6 +474,17 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Keep-lowest prune over the winnowing pair graph — completes the
+    * winnowing family the way `dedup_prune` completes the Jaccard one:
+    * drop every doc appearing as the right side of a qualifying pair.
+    */
+  def winnowingPrune(df: DataFrame, k: Int = 5, w: Int = 4,
+                     minShared: Int = 2): DataFrame = {
+    val drops = winnowingPairs(df, k, w, minShared)
+      .select(col("doc_b").as("doc_id")).distinct()
+    df.join(drops, Seq("doc_id"), "left_anti")
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
     * pairs via CLUSTER-SCOPED cosine comparison — embeddings are first
     * assigned to a coarse quantizer (the shuffle-free broadcast-argmax
