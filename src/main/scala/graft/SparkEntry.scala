@@ -1206,6 +1206,14 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    "ann_ivf_pq_topk" -> ((s, dir) => {
+      // true IVF-PQ: coarse quantizer routes, product quantizer scores
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, 10,
+          nLists = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "ann_ivf_kmeans_topk" -> ((s, dir) => {
       // IVF with a FITTED coarse quantizer: 2 distributed Lloyd rounds
       // (deterministic init; assignment = the shuffle-free broadcast
@@ -2828,6 +2836,58 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, neighbor_id, rnk, cosine FROM ranked WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin,
+
+    // IVF-PQ twin: the ann_ivf_topk assign/probe CTEs route, the
+    // ann_pq_adc_topk codes/dtable/ordered-fold CTEs score, joined on
+    // the probed lists only
+    "ann_ivf_pq_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS norm FROM embeddings),
+         |c AS (SELECT vec_id AS centroid_id, embedding AS centroid, norm AS cnorm
+         |      FROM e ORDER BY vec_id LIMIT 16),
+         |asg AS (SELECT vec_id, centroid_id FROM (
+         |    SELECT e.vec_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckDot("e.embedding", "c.centroid")} / (e.norm * c.cnorm) DESC,
+         |                 c.centroid_id) AS rn
+         |    FROM e CROSS JOIN c) t WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, norm AS qnorm FROM e WHERE vec_id < 10),
+         |pr AS (SELECT query_id, centroid_id FROM (
+         |    SELECT q.query_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${duckDot("q.qe", "c.centroid")} / (q.qnorm * c.cnorm) DESC,
+         |                 c.centroid_id) AS rn
+         |    FROM q CROSS JOIN c) t WHERE rn <= 4),
+         |sm AS (SELECT unnest(range(0, 8)) AS sm),
+         |cb AS (SELECT vec_id AS cid, embedding FROM embeddings ORDER BY vec_id LIMIT 16),
+         |cbsub AS (SELECT cid, sm, embedding[sm*8+1 : sm*8+8] AS csub FROM cb CROSS JOIN sm),
+         |corp AS (SELECT vec_id, sm, embedding[sm*8+1 : sm*8+8] AS subvec
+         |         FROM embeddings CROSS JOIN sm),
+         |cscored AS (SELECT c2.vec_id, c2.sm, b.cid,
+         |    2 * ${duckDot("c2.subvec", "b.csub")} - ${duckDot("b.csub", "b.csub")} AS score
+         |  FROM corp c2 JOIN cbsub b ON c2.sm = b.sm),
+         |codes AS (SELECT vec_id, sm, cid AS code FROM (
+         |    SELECT vec_id, sm, cid,
+         |      row_number() OVER (PARTITION BY vec_id, sm ORDER BY score DESC, cid ASC) AS rn
+         |    FROM cscored) t WHERE rn = 1),
+         |qsub AS (SELECT vec_id AS query_id, sm, embedding[sm*8+1 : sm*8+8] AS qsub
+         |         FROM embeddings CROSS JOIN sm WHERE vec_id < 10),
+         |dt AS (SELECT query_id, b.sm, b.cid,
+         |    2 * ${duckDot("qs.qsub", "b.csub")} - ${duckDot("b.csub", "b.csub")} AS score
+         |  FROM qsub qs JOIN cbsub b ON qs.sm = b.sm),
+         |cand AS (SELECT pr.query_id, asg.vec_id
+         |  FROM pr JOIN asg ON pr.centroid_id = asg.centroid_id
+         |  WHERE pr.query_id <> asg.vec_id),
+         |joined AS (SELECT cand.query_id, cd.vec_id, cd.sm, dt.score
+         |  FROM cand JOIN codes cd ON cd.vec_id = cand.vec_id
+         |    JOIN dt ON dt.query_id = cand.query_id AND dt.sm = cd.sm AND dt.cid = cd.code),
+         |summed AS (SELECT query_id, vec_id AS neighbor_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(score ORDER BY sm)),
+         |      (a, x) -> a + x) AS adc_score
+         |  FROM joined GROUP BY 1, 2),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_score DESC, neighbor_id ASC) AS rank FROM summed)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc_score
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // SemDeDup twin: the IVF-assign CTE shape (argmax = row_number over
     // cosine DESC, centroid_id ASC — proven equal to Spark's

@@ -367,6 +367,64 @@ object Similarity {
         col("adc_score"))
   }
 
+  /** IVF-PQ search — the composition the big-vector-search systems run
+    * as their default (coarse quantizer routes, product quantizer
+    * scores): a query probes its `nProbe` nearest inverted lists, and
+    * candidates inside those lists are ranked by the PQ asymmetric
+    * distance over their 8-byte codes — the full vector is touched by
+    * NEITHER stage. Cost per query ≈ (nProbe/nLists) · corpus · m code
+    * lookups against a broadcast m×k distance table.
+    *
+    * Both stages are the proven components ([[ivfAssign]] broadcast
+    * argmax routing, [[pqCodes]]/ADC fold scoring) — same deterministic
+    * integer/sequential-fold discipline, so the composed ranking is
+    * oracle-verifiable end-to-end.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                nLists: Int = 16, nProbe: Int = 4,
+                m: Int = 8, kCodes: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"pq: dim=$dim not divisible by m=$m")
+    val (centroids, lists) = ivfAssign(corpus, nLists)
+    // codes carry their list id via a narrow vec_id join (both sides
+    // derive from the same corpus scan; no embeddings move)
+    val codes = pqCodes(corpus, m, kCodes, dim)
+      .join(lists.select(col("vec_id"), col("centroid_id")), "vec_id")
+    // routing: nProbe nearest lists per query — the ivfTopK probe shape
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      l2Norm("embedding").as("qnorm"))
+    val probes = q.crossJoin(broadcast(centroidArray(centroids)))
+      .withColumn("pr", explode(slice(array_sort(transform(col("cents"), c =>
+        struct(
+          (-(graft.functions.VecFunctions.vec_dot(col("qe"), c.getField("centroid")) /
+            (col("qnorm") * c.getField("cnorm")))).as("negsim"),
+          c.getField("centroid_id").as("centroid_id")))), 1, nProbe)))
+      .select(col("query_id").as("p_query"), col("pr.centroid_id").as("centroid_id"))
+    // scoring: the pqAdcTopK distance table, broadcast
+    val dtable = queries
+      .select(col("vec_id").as("d_query"),
+        posexplode(pqSlices(col("embedding"), m, dim)).as(Seq("sm", "qsub")))
+      .join(pqCodebook(corpus, m, kCodes, dim), "sm")
+      .select(col("d_query"), col("sm"), col("cid"),
+        (graft.functions.VecFunctions.vec_dot(col("qsub"), col("csub")) * 2.0d
+          - graft.functions.VecFunctions.vec_norm2(col("csub"))).as("score"))
+    val scored = codes
+      .join(probes, Seq("centroid_id"))
+      .join(broadcast(dtable),
+        col("subspace") === col("sm") && col("code") === col("cid") &&
+          col("p_query") === col("d_query"))
+      .filter(col("p_query") =!= col("vec_id"))
+      .groupBy(col("p_query").as("query_id"), col("vec_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("subspace"), col("score")))),
+        lit(0.0d), (acc, s) => acc + s.getField("score")).as("adc_score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("adc_score"))
+  }
+
   /** Dense Johnson–Lindenstrauss random projection: `p_j = dot(v,
     * plane_j)` for `outDim` deterministic pseudo-random planes (same
     * xorshift generator as the LSH family — one generator, two engines,

@@ -385,6 +385,32 @@ class DedupSpec extends SparkSpec {
       s"global top-k must be a heap take, not a sort:\n$bm25Plan")
   }
 
+  test("IVF-PQ: neighbors come from probed lists with full-ADC-identical scores") {
+    val emb = Tables.embeddings(spark, sf001)
+    val q = emb.filter(col("vec_id") < 5)
+    val ivfpq = Similarity.ivfPqTopK(q, emb, 10, nLists = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(ivfpq.nonEmpty)
+    // full ADC over the whole corpus: every IVF-PQ hit must carry the
+    // IDENTICAL asymmetric-distance score (routing prunes candidates,
+    // never changes a surviving candidate's score)
+    val fullAdc = Similarity.pqAdcTopK(q, emb, 500)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    ivfpq.foreach { case (key, s) =>
+      assert(fullAdc.contains(key), s"pair $key missing from full ADC")
+      assert(fullAdc(key) === s, s"score drift for $key")
+    }
+    // neighbors really are restricted to the probed lists: exact IVF
+    // with k ≥ corpus returns EVERY candidate in the probed lists, so
+    // IVF-PQ's pairs must be a subset of that candidate set
+    val ivfCandidates = Similarity.ivfTopK(q, emb, 500, nLists = 16, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    ivfpq.keys.foreach { key =>
+      assert(ivfCandidates.contains(key), s"$key scored outside the probed lists")
+    }
+  }
+
   test("edge inputs: short docs and empty frames never crash the new dedup ops") {
     import spark.implicits._
     val shorties = Seq((1L, "a b"), (2L, ""), (3L, "one two three four")).toDF("doc_id", "text")
