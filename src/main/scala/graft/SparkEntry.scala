@@ -65,6 +65,77 @@ object SparkEntry {
        |  list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
        |  (acc, v) -> acc + v))""".stripMargin
 
+  /** The exact fixed-point mean used by every fitted-quantizer twin:
+    * integer micros summed as BIGINT (order-free), ONE double division,
+    * cast to REAL — bit-identical to Similarity.kmeansCentroids. */
+  private def duckExactMean(v: String): String =
+    s"CAST(CAST(sum(CAST(floor(CAST($v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)" +
+      s" / (CAST(count(*) AS DOUBLE) * 1000000.0) AS REAL)"
+
+  /** Unrolled exact-mean Lloyd rounds — the oracle twin of
+    * `Similarity.kmeansCentroids` (fitted quantizers are only hash-
+    * verifiable because the Spark means are integer-exact, not float
+    * `avg`). Emits CTEs `{p}0 … {p}{iters}`, each
+    * (centroid_id, centroid, cnorm); callers reference `{p}{iters}`.
+    * `src` must be a CTE with (vec_id, embedding, norm). */
+  private def duckKmeans(src: String, k: Int, dim: Int, iters: Int,
+                         p: String = "km"): String = {
+    val init = s"${p}0 AS (SELECT vec_id AS centroid_id, embedding AS centroid, " +
+      s"norm AS cnorm FROM $src ORDER BY vec_id LIMIT $k)"
+    val rounds = (1 to iters).map { i =>
+      val prev = s"$p${i - 1}"; val cur = s"$p$i"
+      s"""${cur}_asg AS (SELECT vec_id, centroid_id FROM (
+SELECT s.vec_id, c.centroid_id,
+  row_number() OVER (PARTITION BY s.vec_id
+    ORDER BY ${duckDot("s.embedding", "c.centroid")} / (s.norm * c.cnorm) DESC,
+             c.centroid_id) AS rn
+FROM $src s CROSS JOIN $prev c) t WHERE rn = 1),
+${cur}_m AS (SELECT a.centroid_id, px.pos, ${duckExactMean(s"s.embedding[px.pos]")} AS mn
+FROM ${cur}_asg a JOIN $src s ON s.vec_id = a.vec_id
+  CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS pos) px
+GROUP BY a.centroid_id, px.pos),
+$cur AS (SELECT p0.centroid_id,
+  COALESCE(mm.marr, p0.centroid) AS centroid,
+  ${duckNorm("COALESCE(mm.marr, p0.centroid)")} AS cnorm
+FROM $prev p0 LEFT JOIN (SELECT centroid_id, list(mn ORDER BY pos) AS marr
+  FROM ${cur}_m GROUP BY centroid_id) mm USING (centroid_id))"""
+    }
+    (init +: rounds).mkString(",\n")
+  }
+
+  /** Per-subspace unrolled PQ codebook fit — the oracle twin of
+    * `Similarity.pqCodebookFitted` (independent exact-mean Lloyd rounds
+    * in every subspace, squared-L2 argmin as `2·a·c − ‖c‖²` argmax).
+    * Emits `{p}sm`, `{p}corp` (vec_id, sm, subvec) and codebooks
+    * `{p}0 … {p}{iters}` (cid, sm, csub). */
+  private def duckPqKmeans(k: Int, m: Int, sub: Int, iters: Int,
+                           p: String = "pq"): String = {
+    val header =
+      s"""${p}sm AS (SELECT unnest(range(0, $m)) AS sm),
+${p}corp AS (SELECT vec_id, sm, embedding[sm*$sub+1 : sm*$sub+$sub] AS subvec
+FROM embeddings CROSS JOIN ${p}sm),
+${p}0 AS (SELECT cid, sm, embedding[sm*$sub+1 : sm*$sub+$sub] AS csub
+FROM (SELECT vec_id AS cid, embedding FROM embeddings ORDER BY vec_id LIMIT $k) cb0
+CROSS JOIN ${p}sm)"""
+    val rounds = (1 to iters).map { i =>
+      val prev = s"$p${i - 1}"; val cur = s"$p$i"
+      s"""${cur}_asg AS (SELECT vec_id, sm, cid FROM (
+SELECT c2.vec_id, c2.sm, b.cid,
+  row_number() OVER (PARTITION BY c2.vec_id, c2.sm
+    ORDER BY 2 * ${duckDot("c2.subvec", "b.csub")} - ${duckDot("b.csub", "b.csub")} DESC,
+             b.cid ASC) AS rn
+FROM ${p}corp c2 JOIN $prev b ON c2.sm = b.sm) t WHERE rn = 1),
+${cur}_m AS (SELECT a.sm, a.cid, px.pos, ${duckExactMean(s"c2.subvec[px.pos]")} AS mn
+FROM ${cur}_asg a JOIN ${p}corp c2 ON c2.vec_id = a.vec_id AND c2.sm = a.sm
+  CROSS JOIN (SELECT unnest(range(1, ${sub + 1})) AS pos) px
+GROUP BY a.sm, a.cid, px.pos),
+$cur AS (SELECT p0.cid, p0.sm, COALESCE(mm.marr, p0.csub) AS csub
+FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
+  FROM ${cur}_m GROUP BY sm, cid) mm ON mm.sm = p0.sm AND mm.cid = p0.cid)"""
+    }
+    (header +: rounds).mkString(",\n")
+  }
+
   /** DuckDB twin of `Similarity.lshBucketKey`: per-plane sign bits from
     * the SAME generated hyperplanes (rendered as exact-double literals —
     * `(double)f` round-trips through shortest-string), summed to the
@@ -1200,8 +1271,19 @@ object SparkEntry {
     }),
 
     "ann_ivf_topk" -> ((s, dir) => {
+      // DEFAULT path: fitted exact-mean quantizer (2 Lloyd rounds) +
+      // balance guard; hash-verified against the unrolled-kmeans twin
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, 5, nLists = 16, nProbe = 4)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    "ann_ivf_seed_topk" -> ((s, dir) => {
+      // seeded lowest-id quantizer baseline (kmeansIters = 0)
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, 5, nLists = 16,
+          nProbe = 4, kmeansIters = 0)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))
     }),
@@ -1215,12 +1297,11 @@ object SparkEntry {
     }),
 
     "ann_ivf_kmeans_topk" -> ((s, dir) => {
-      // IVF with a FITTED coarse quantizer: 2 distributed Lloyd rounds
-      // (deterministic init; assignment = the shuffle-free broadcast
-      // argmax) instead of the seed centroids
+      // deeper fit: 3 distributed Lloyd rounds. Exact fixed-point means
+      // made this hash-verifiable (was rows-only when means were float)
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, 5, nLists = 16,
-          nProbe = 4, kmeansIters = 2)
+          nProbe = 4, kmeansIters = 3)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))
     }),
@@ -2461,41 +2542,36 @@ object SparkEntry {
 
     // PQ twin: same sliced-codebook quantizer, same 2·a·c − ‖c‖² argmin
     // (sequential-fold doubles), row_number tie-break by code id
+    // PQ twins now fit the codebook: 2 unrolled per-subspace exact-mean
+    // Lloyd rounds (duckPqKmeans) replacing the sliced-seed CTE — the
+    // Spark default is the FITTED codebook
     "ann_pq_codes" ->
-      s"""WITH sm AS (SELECT unnest(range(0, 8)) AS sm),
-         |cb AS (SELECT vec_id AS cid, embedding FROM embeddings ORDER BY vec_id LIMIT 16),
-         |cbsub AS (SELECT cid, sm, embedding[sm*8+1 : sm*8+8] AS csub FROM cb CROSS JOIN sm),
-         |corp AS (SELECT vec_id, sm, embedding[sm*8+1 : sm*8+8] AS subvec
-         |         FROM embeddings CROSS JOIN sm),
+      s"""WITH ${duckPqKmeans(16, 8, 8, 2, "pq")},
          |scored AS (SELECT c.vec_id, c.sm, b.cid,
          |    2 * ${duckDot("c.subvec", "b.csub")} - ${duckDot("b.csub", "b.csub")} AS score
-         |  FROM corp c JOIN cbsub b ON c.sm = b.sm),
+         |  FROM pqcorp c JOIN pq2 b ON c.sm = b.sm),
          |best AS (SELECT vec_id, sm, cid,
          |    row_number() OVER (PARTITION BY vec_id, sm ORDER BY score DESC, cid ASC) AS rn
          |  FROM scored)
          |SELECT vec_id, CAST(sm AS BIGINT) AS subspace, CAST(cid AS BIGINT) AS code
          |FROM best WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin,
 
-    // ADC twin: the pq-codes CTEs + per-query distance table, score sum
-    // as an sm-ordered sequential fold (NOT an unordered SUM of doubles)
+    // ADC twin: the fitted pq-codebook CTEs + per-query distance table,
+    // score sum as an sm-ordered sequential fold (NOT an unordered SUM)
     "ann_pq_adc_topk" ->
-      s"""WITH sm AS (SELECT unnest(range(0, 8)) AS sm),
-         |cb AS (SELECT vec_id AS cid, embedding FROM embeddings ORDER BY vec_id LIMIT 16),
-         |cbsub AS (SELECT cid, sm, embedding[sm*8+1 : sm*8+8] AS csub FROM cb CROSS JOIN sm),
-         |corp AS (SELECT vec_id, sm, embedding[sm*8+1 : sm*8+8] AS subvec
-         |         FROM embeddings CROSS JOIN sm),
+      s"""WITH ${duckPqKmeans(16, 8, 8, 2, "pq")},
          |cscored AS (SELECT c.vec_id, c.sm, b.cid,
          |    2 * ${duckDot("c.subvec", "b.csub")} - ${duckDot("b.csub", "b.csub")} AS score
-         |  FROM corp c JOIN cbsub b ON c.sm = b.sm),
+         |  FROM pqcorp c JOIN pq2 b ON c.sm = b.sm),
          |codes AS (SELECT vec_id, sm, cid AS code FROM (
          |    SELECT vec_id, sm, cid,
          |      row_number() OVER (PARTITION BY vec_id, sm ORDER BY score DESC, cid ASC) AS rn
          |    FROM cscored) t WHERE rn = 1),
-         |q AS (SELECT vec_id AS query_id, sm, embedding[sm*8+1 : sm*8+8] AS qsub
-         |      FROM embeddings CROSS JOIN sm WHERE vec_id < 10),
+         |q AS (SELECT vec_id AS query_id, sm, subvec AS qsub
+         |      FROM pqcorp WHERE vec_id < 10),
          |dt AS (SELECT query_id, b.sm, b.cid,
          |    2 * ${duckDot("q.qsub", "b.csub")} - ${duckDot("b.csub", "b.csub")} AS score
-         |  FROM q JOIN cbsub b ON q.sm = b.sm),
+         |  FROM q JOIN pq2 b ON q.sm = b.sm),
          |joined AS (SELECT dt.query_id, c.vec_id, c.sm, dt.score
          |  FROM codes c JOIN dt ON c.sm = dt.sm AND c.code = dt.cid
          |  WHERE dt.query_id <> c.vec_id),
@@ -2798,7 +2874,39 @@ object SparkEntry {
     // argmax assignment with (sim desc, centroid_id) tie-break, top-4
     // probe lists per query, exact-cosine rerank inside probed lists —
     // every double is the sequential-fold parity pattern
+    // fitted-default IVF twin: 2 unrolled exact-mean Lloyd rounds
+    // (duckKmeans), then the proven assign/probe/score CTE shapes
+    // against the FITTED centroids km2
     "ann_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS norm FROM embeddings),
+         |${duckKmeans("e", 16, 64, 2, "km")},
+         |asg AS (SELECT vec_id, centroid_id FROM (
+         |    SELECT e.vec_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckDot("e.embedding", "c.centroid")} / (e.norm * c.cnorm) DESC,
+         |                 c.centroid_id) AS rn
+         |    FROM e CROSS JOIN km2 c) t WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, norm AS qnorm FROM e WHERE vec_id < 10),
+         |pr AS (SELECT query_id, centroid_id FROM (
+         |    SELECT q.query_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${duckDot("q.qe", "c.centroid")} / (q.qnorm * c.cnorm) DESC,
+         |                 c.centroid_id) AS rn
+         |    FROM q CROSS JOIN km2 c) t WHERE rn <= 4),
+         |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |             ${duckDot("q.qe", "e.embedding")} / (q.qnorm * e.norm) AS cosine
+         |           FROM pr JOIN asg ON pr.centroid_id = asg.centroid_id
+         |                JOIN e ON e.vec_id = asg.vec_id
+         |                JOIN q ON q.query_id = pr.query_id
+         |           WHERE q.query_id <> e.vec_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cosine DESC, neighbor_id) AS rnk FROM scored)
+         |SELECT query_id, neighbor_id, rnk, cosine FROM ranked
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // the seeded (kmeansIters = 0) baseline keeps the SQL-trivial
+    // lowest-id quantizer oracle
+    "ann_ivf_seed_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS norm FROM embeddings),
          |c AS (SELECT vec_id AS centroid_id, embedding AS centroid, norm AS cnorm
          |      FROM e ORDER BY vec_id LIMIT 16),
@@ -2826,6 +2934,35 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, rnk, cosine FROM ranked
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
+    // deeper fit (3 Lloyd rounds) — previously rows-only (float means);
+    // exact fixed-point means make it hash-verifiable
+    "ann_ivf_kmeans_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS norm FROM embeddings),
+         |${duckKmeans("e", 16, 64, 3, "km")},
+         |asg AS (SELECT vec_id, centroid_id FROM (
+         |    SELECT e.vec_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckDot("e.embedding", "c.centroid")} / (e.norm * c.cnorm) DESC,
+         |                 c.centroid_id) AS rn
+         |    FROM e CROSS JOIN km3 c) t WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, norm AS qnorm FROM e WHERE vec_id < 10),
+         |pr AS (SELECT query_id, centroid_id FROM (
+         |    SELECT q.query_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${duckDot("q.qe", "c.centroid")} / (q.qnorm * c.cnorm) DESC,
+         |                 c.centroid_id) AS rn
+         |    FROM q CROSS JOIN km3 c) t WHERE rn <= 4),
+         |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |             ${duckDot("q.qe", "e.embedding")} / (q.qnorm * e.norm) AS cosine
+         |           FROM pr JOIN asg ON pr.centroid_id = asg.centroid_id
+         |                JOIN e ON e.vec_id = asg.vec_id
+         |                JOIN q ON q.query_id = pr.query_id
+         |           WHERE q.query_id <> e.vec_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cosine DESC, neighbor_id) AS rnk FROM scored)
+         |SELECT query_id, neighbor_id, rnk, cosine FROM ranked
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
     "ann_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS norm FROM embeddings),
          |q AS (SELECT * FROM e WHERE vec_id < 10),
@@ -2837,43 +2974,38 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, rnk, cosine FROM ranked WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin,
 
-    // IVF-PQ twin: the ann_ivf_topk assign/probe CTEs route, the
-    // ann_pq_adc_topk codes/dtable/ordered-fold CTEs score, joined on
-    // the probed lists only
+    // IVF-PQ twin: the fitted ann_ivf_topk assign/probe CTEs route, the
+    // fitted ann_pq_adc_topk codes/dtable/ordered-fold CTEs score,
+    // joined on the probed lists only
     "ann_ivf_pq_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS norm FROM embeddings),
-         |c AS (SELECT vec_id AS centroid_id, embedding AS centroid, norm AS cnorm
-         |      FROM e ORDER BY vec_id LIMIT 16),
+         |${duckKmeans("e", 16, 64, 2, "km")},
          |asg AS (SELECT vec_id, centroid_id FROM (
          |    SELECT e.vec_id, c.centroid_id,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${duckDot("e.embedding", "c.centroid")} / (e.norm * c.cnorm) DESC,
          |                 c.centroid_id) AS rn
-         |    FROM e CROSS JOIN c) t WHERE rn = 1),
+         |    FROM e CROSS JOIN km2 c) t WHERE rn = 1),
          |q AS (SELECT vec_id AS query_id, embedding AS qe, norm AS qnorm FROM e WHERE vec_id < 10),
          |pr AS (SELECT query_id, centroid_id FROM (
          |    SELECT q.query_id, c.centroid_id,
          |      row_number() OVER (PARTITION BY q.query_id
          |        ORDER BY ${duckDot("q.qe", "c.centroid")} / (q.qnorm * c.cnorm) DESC,
          |                 c.centroid_id) AS rn
-         |    FROM q CROSS JOIN c) t WHERE rn <= 4),
-         |sm AS (SELECT unnest(range(0, 8)) AS sm),
-         |cb AS (SELECT vec_id AS cid, embedding FROM embeddings ORDER BY vec_id LIMIT 16),
-         |cbsub AS (SELECT cid, sm, embedding[sm*8+1 : sm*8+8] AS csub FROM cb CROSS JOIN sm),
-         |corp AS (SELECT vec_id, sm, embedding[sm*8+1 : sm*8+8] AS subvec
-         |         FROM embeddings CROSS JOIN sm),
+         |    FROM q CROSS JOIN km2 c) t WHERE rn <= 4),
+         |${duckPqKmeans(16, 8, 8, 2, "pq")},
          |cscored AS (SELECT c2.vec_id, c2.sm, b.cid,
          |    2 * ${duckDot("c2.subvec", "b.csub")} - ${duckDot("b.csub", "b.csub")} AS score
-         |  FROM corp c2 JOIN cbsub b ON c2.sm = b.sm),
+         |  FROM pqcorp c2 JOIN pq2 b ON c2.sm = b.sm),
          |codes AS (SELECT vec_id, sm, cid AS code FROM (
          |    SELECT vec_id, sm, cid,
          |      row_number() OVER (PARTITION BY vec_id, sm ORDER BY score DESC, cid ASC) AS rn
          |    FROM cscored) t WHERE rn = 1),
-         |qsub AS (SELECT vec_id AS query_id, sm, embedding[sm*8+1 : sm*8+8] AS qsub
-         |         FROM embeddings CROSS JOIN sm WHERE vec_id < 10),
+         |qsub AS (SELECT vec_id AS query_id, sm, subvec AS qsub
+         |         FROM pqcorp WHERE vec_id < 10),
          |dt AS (SELECT query_id, b.sm, b.cid,
          |    2 * ${duckDot("qs.qsub", "b.csub")} - ${duckDot("b.csub", "b.csub")} AS score
-         |  FROM qsub qs JOIN cbsub b ON qs.sm = b.sm),
+         |  FROM qsub qs JOIN pq2 b ON qs.sm = b.sm),
          |cand AS (SELECT pr.query_id, asg.vec_id
          |  FROM pr JOIN asg ON pr.centroid_id = asg.centroid_id
          |  WHERE pr.query_id <> asg.vec_id),
@@ -2895,15 +3027,14 @@ object SparkEntry {
     // then within-cluster pairs only
     "dedup_semantic" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS norm FROM embeddings),
-         |c AS (SELECT vec_id AS centroid_id, embedding AS centroid, norm AS cnorm
-         |      FROM e ORDER BY vec_id LIMIT 16),
+         |${duckKmeans("e", 16, 64, 2, "km")},
          |asg AS (SELECT vec_id, centroid_id, sim AS centroid_sim FROM (
          |    SELECT e.vec_id, c.centroid_id,
          |      ${duckDot("e.embedding", "c.centroid")} / (e.norm * c.cnorm) AS sim,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${duckDot("e.embedding", "c.centroid")} / (e.norm * c.cnorm) DESC,
          |                 c.centroid_id) AS rn
-         |    FROM e CROSS JOIN c) t WHERE rn = 1)
+         |    FROM e CROSS JOIN km2 c) t WHERE rn = 1)
          |SELECT a.centroid_id AS cluster_id, a.vec_id AS id_a, b.vec_id AS id_b,
          |  ${duckDot("ea.embedding", "eb.embedding")} / (ea.norm * eb.norm) AS cosine,
          |  a.centroid_sim AS centroid_sim_a, b.centroid_sim AS centroid_sim_b
@@ -2916,15 +3047,14 @@ object SparkEntry {
     // strictly beaten on centroid_sim; b drops on loss OR tie
     "dedup_semantic_prune" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS norm FROM embeddings),
-         |c AS (SELECT vec_id AS centroid_id, embedding AS centroid, norm AS cnorm
-         |      FROM e ORDER BY vec_id LIMIT 16),
+         |${duckKmeans("e", 16, 64, 2, "km")},
          |asg AS (SELECT vec_id, centroid_id, sim AS centroid_sim FROM (
          |    SELECT e.vec_id, c.centroid_id,
          |      ${duckDot("e.embedding", "c.centroid")} / (e.norm * c.cnorm) AS sim,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${duckDot("e.embedding", "c.centroid")} / (e.norm * c.cnorm) DESC,
          |                 c.centroid_id) AS rn
-         |    FROM e CROSS JOIN c) t WHERE rn = 1),
+         |    FROM e CROSS JOIN km2 c) t WHERE rn = 1),
          |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |    a.centroid_sim AS sa, b.centroid_sim AS sb
          |  FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
@@ -2943,20 +3073,19 @@ object SparkEntry {
       s"""WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS norm FROM embeddings),
          |h0 AS (SELECT * FROM e WHERE vec_id < 350),
          |b0 AS (SELECT * FROM e WHERE vec_id >= 350),
-         |c AS (SELECT vec_id AS centroid_id, embedding AS centroid, norm AS cnorm
-         |      FROM h0 ORDER BY vec_id LIMIT 16),
+         |${duckKmeans("h0", 16, 64, 2, "km")},
          |ha AS (SELECT vec_id, centroid_id FROM (
          |    SELECT h0.vec_id, c.centroid_id,
          |      row_number() OVER (PARTITION BY h0.vec_id
          |        ORDER BY ${duckDot("h0.embedding", "c.centroid")} / (h0.norm * c.cnorm) DESC,
          |                 c.centroid_id) AS rn
-         |    FROM h0 CROSS JOIN c) t WHERE rn = 1),
+         |    FROM h0 CROSS JOIN km2 c) t WHERE rn = 1),
          |ba AS (SELECT vec_id, centroid_id FROM (
          |    SELECT b0.vec_id, c.centroid_id,
          |      row_number() OVER (PARTITION BY b0.vec_id
          |        ORDER BY ${duckDot("b0.embedding", "c.centroid")} / (b0.norm * c.cnorm) DESC,
          |                 c.centroid_id) AS rn
-         |    FROM b0 CROSS JOIN c) t WHERE rn = 1),
+         |    FROM b0 CROSS JOIN km2 c) t WHERE rn = 1),
          |hits AS (SELECT DISTINCT ba.vec_id
          |  FROM ba JOIN ha ON ba.centroid_id = ha.centroid_id AND ba.vec_id <> ha.vec_id
          |    JOIN e be ON be.vec_id = ba.vec_id JOIN e he ON he.vec_id = ha.vec_id

@@ -503,15 +503,60 @@ object Dedup {
     * plus each side's similarity to the shared centroid (the paper's
     * ranking signal — see [[semanticPrune]]).
     */
+  /** The SemDeDup quantizer: FITTED exact-mean kmeans by default (the
+    * paper clusters with k-means; seed centroids skew cluster sizes on
+    * real data and every within-cluster f² pair join inherits it),
+    * lowest-id seed at `kmeansIters <= 0` for the SQL-trivial baseline. */
+  private def semanticQuantizer(source: DataFrame, nClusters: Int,
+                                kmeansIters: Int): DataFrame =
+    if (kmeansIters <= 0)
+      source.orderBy(col("vec_id")).limit(nClusters)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    else Similarity.kmeansCentroids(source, nClusters, kmeansIters)
+
   def semanticDupPairs(emb: DataFrame, nClusters: Int = 16,
-                       threshold: Double = 0.99): DataFrame = {
-    val centroids = emb.orderBy(col("vec_id")).limit(nClusters)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+                       threshold: Double = 0.99, kmeansIters: Int = 2,
+                       balanceFactor: Double = 4.0): DataFrame = {
+    val centroids = semanticQuantizer(emb, nClusters, kmeansIters)
     val assigned = Similarity.ivfAssignWithSim(emb, centroids)
       .withColumn("norm", Similarity.l2Norm("embedding"))
-    assigned.as("a").join(assigned.as("b"),
-        col("a.centroid_id") === col("b.centroid_id") &&
-          col("a.vec_id") < col("b.vec_id"))
+    // CLUSTER BALANCE GUARD: a cluster of f vectors contributes f² pair
+    // rows through ONE join key — at 100 TB a single skewed cluster
+    // serializes into one task. Oversized clusters (> balanceFactor×n/k
+    // members, exact sizes from one narrow count pass — the documented-
+    // eager bloom-sizing stance) are 2-D BLOCK-DECOMPOSED: members hash
+    // into S = ceil(f/cap) blocks, and the join key becomes the ORDERED
+    // block pair (own block, partner block): the lower-id side carries
+    // (blk, j) for every partner block j, the higher-id side (i, blk)
+    // for every i — a pair with blocks (p, q) meets at EXACTLY the key
+    // (p, q), whichever side hashed higher (strict a<b fixes the roles,
+    // so no diagonal echo). Output is IDENTICAL to the plain join
+    // (oracles unaffected) while the hottest key shrinks from f² to
+    // (f/S)². Replication is S copies per row, hot clusters only;
+    // balanced data takes the plain join untouched.
+    val salts = Similarity.listSaltCounts(
+      assigned.select(col("centroid_id")), nClusters, balanceFactor)
+    val (aSide, bSide, joinKey) =
+      if (salts.isEmpty)
+        (assigned, assigned,
+          col("a.centroid_id") === col("b.centroid_id") &&
+            col("a.vec_id") < col("b.vec_id"))
+      else {
+        val nBlk = coalesce(element_at(typedLit(salts), col("centroid_id")), lit(1))
+          .cast("long")
+        val blk = pmod(xxhash64(col("vec_id")), nBlk)
+        val left = assigned
+          .withColumn("__bi", blk)
+          .withColumn("__bj", explode(sequence(lit(0L), nBlk - lit(1L))))
+        val right = assigned
+          .withColumn("__bi", explode(sequence(lit(0L), nBlk - lit(1L))))
+          .withColumn("__bj", blk)
+        (left, right,
+          col("a.centroid_id") === col("b.centroid_id") &&
+            col("a.__bi") === col("b.__bi") && col("a.__bj") === col("b.__bj") &&
+            col("a.vec_id") < col("b.vec_id"))
+      }
+    aSide.as("a").join(bSide.as("b"), joinKey)
       .select(col("a.centroid_id").as("cluster_id"),
         col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         (Similarity.dot("a.embedding", "b.embedding") /
@@ -533,11 +578,11 @@ object Dedup {
     * the pair set, one anti-join; nothing rescans the corpus.
     */
   def semanticPrune(emb: DataFrame, nClusters: Int = 16,
-                    threshold: Double = 0.99): DataFrame = {
+                    threshold: Double = 0.99, kmeansIters: Int = 2): DataFrame = {
     // pairs guarantee id_a < id_b, so the tie-break (lower id wins)
     // reduces to: a drops only on a STRICT centroid-sim loss, b drops on
     // loss OR tie — the same two live branches the SQL oracle spells out
-    val pairs = semanticDupPairs(emb, nClusters, threshold)
+    val pairs = semanticDupPairs(emb, nClusters, threshold, kmeansIters)
     val dropA = pairs.filter(col("centroid_sim_b") < col("centroid_sim_a"))
       .select(col("id_a").as("vec_id"))
     val dropB = pairs.filter(col("centroid_sim_a") <= col("centroid_sim_b"))
@@ -565,29 +610,75 @@ object Dedup {
     * corpus/k vectors each — bounded by growing k with the corpus, the
     * same stance as [[semanticDupPairs]].
     */
+  /** Broadcast budget: the per-cluster member arrays hold the ENTIRE
+    * history (÷k per cluster), so the broadcast grows linearly with
+    * history size. Past `maxBroadcastBytes` the broadcast path would
+    * OOM executors at 10⁹-vector history — a streaming caller fails
+    * LOUDLY (grow nClusters, shrink history, or raise the cap), and a
+    * batch caller falls back to a shuffled within-cluster equi-join
+    * (identical output, proven by DedupSpec; both sides shuffle on
+    * centroid_id instead of pinning history in every executor).
+    *
+    * History size is measured exactly (one narrow count/sum pass over
+    * the history — eager, the documented bloom-sizing stance; it only
+    * touches the STATIC side, so the streaming form stays legal).
+    *
+    * Durability note: the quantizer/member tables are pinned with
+    * `localCheckpoint(true)`, which lives on executor storage — an
+    * executor loss in a long-lived streaming query fails the query
+    * rather than recomputing. Fine for AvailableNow/batch triggers; a
+    * long-running stream should persist the fitted quantizer to a table
+    * and pass a pre-assigned history instead.
+    */
   def semanticPruneIncremental(batch: DataFrame, history: DataFrame,
                                nClusters: Int = 16,
-                               threshold: Double = 0.99): DataFrame = {
-    val centroids = history.orderBy(col("vec_id")).limit(nClusters)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+                               threshold: Double = 0.99,
+                               kmeansIters: Int = 2,
+                               maxBroadcastBytes: Long = 512L << 20): DataFrame = {
+    val centroids = semanticQuantizer(history, nClusters, kmeansIters)
       .localCheckpoint(true) // materialize once: a streaming join must not
                              // re-derive the quantizer every trigger
-    val members = Similarity.ivfAssignWith(history, centroids)
+    val assignedH = Similarity.ivfAssignWith(history, centroids)
       .withColumn("hnorm", Similarity.l2Norm("embedding"))
-      .groupBy(col("centroid_id"))
-      .agg(collect_list(struct(col("vec_id").as("hist_id"),
-        col("embedding").as("he"), col("hnorm"))).as("members"))
-      .localCheckpoint(true)
-    val b = Similarity.ivfAssignKeepAll(batch, centroids)
-      .withColumn("bnorm", Similarity.l2Norm("embedding"))
-    // LEFT join: a batch row binned to a cluster no history vector
-    // landed in has nothing to collide with and must SURVIVE
-    b.join(broadcast(members), Seq("centroid_id"), "left")
-      .filter(col("members").isNull || !exists(col("members"), m =>
-        m.getField("hist_id") =!= col("vec_id") &&
-          (graft.functions.VecFunctions.vec_dot(col("embedding"), m.getField("he")) /
-            (col("bnorm") * m.getField("hnorm"))) >= threshold))
-      .select(batch.columns.map(col).toSeq: _*)
+    // ~bytes of the broadcast member arrays: 4 B per float component +
+    // ~24 B per member row (id + norm + struct overhead)
+    val stats = history
+      .agg(count(lit(1)).as("n"), sum(size(col("embedding"))).as("comps")).head
+    val estBytes = stats.getLong(0) * 24L +
+      (if (stats.isNullAt(1)) 0L else stats.getLong(1) * 4L)
+    if (estBytes > maxBroadcastBytes) {
+      require(!batch.isStreaming,
+        s"semanticPruneIncremental: history member broadcast ~$estBytes B exceeds " +
+          s"maxBroadcastBytes=$maxBroadcastBytes and the shuffled fallback cannot " +
+          s"run with a streaming batch side (stream-on-right anti-join). Grow " +
+          s"nClusters with the corpus, prune history, or raise the cap.")
+      val ba = Similarity.ivfAssignKeepAll(batch, centroids)
+        .withColumn("bnorm", Similarity.l2Norm("embedding"))
+      val hits = ba.join(assignedH
+          .select(col("centroid_id"), col("vec_id").as("hist_id"),
+            col("embedding").as("he"), col("hnorm")), Seq("centroid_id"))
+        .filter(col("hist_id") =!= col("vec_id") &&
+          (graft.functions.VecFunctions.vec_dot(col("embedding"), col("he")) /
+            (col("bnorm") * col("hnorm"))) >= threshold)
+        .select(col("vec_id")).distinct()
+      batch.join(hits, Seq("vec_id"), "left_anti")
+    } else {
+      val members = assignedH
+        .groupBy(col("centroid_id"))
+        .agg(collect_list(struct(col("vec_id").as("hist_id"),
+          col("embedding").as("he"), col("hnorm"))).as("members"))
+        .localCheckpoint(true)
+      val b = Similarity.ivfAssignKeepAll(batch, centroids)
+        .withColumn("bnorm", Similarity.l2Norm("embedding"))
+      // LEFT join: a batch row binned to a cluster no history vector
+      // landed in has nothing to collide with and must SURVIVE
+      b.join(broadcast(members), Seq("centroid_id"), "left")
+        .filter(col("members").isNull || !exists(col("members"), m =>
+          m.getField("hist_id") =!= col("vec_id") &&
+            (graft.functions.VecFunctions.vec_dot(col("embedding"), m.getField("he")) /
+              (col("bnorm") * m.getField("hnorm"))) >= threshold))
+        .select(batch.columns.map(col).toSeq: _*)
+    }
   }
 
   /** Bloom-prefiltered incremental exact dedup: drop new-batch documents

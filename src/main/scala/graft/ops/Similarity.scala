@@ -96,11 +96,21 @@ object Similarity {
   /** A few distributed Lloyd iterations for the IVF coarse quantizer:
     * deterministic init (lowest-id k vectors), assignment via the same
     * shuffle-free broadcast-array argmax as [[ivfAssign]], update = one
-    * element-wise mean aggregation (posexplode → per-(centroid,dim) avg
-    * → re-assemble; two shuffles per round over k×dim tiny rows after
-    * partial aggs). Clusters that go empty keep their previous centroid
-    * (the standard k-means fallback). At 100 TB this runs as an offline
-    * job over a sample; the operator shape is the same.
+    * element-wise mean aggregation (posexplode → per-(centroid,dim)
+    * EXACT fixed-point mean → re-assemble; two shuffles per round over
+    * k×dim tiny rows after partial aggs). Clusters that go empty keep
+    * their previous centroid (the standard k-means fallback). At 100 TB
+    * this runs as an offline job over a sample; the operator shape is
+    * the same.
+    *
+    * Means are EXACT: components quantized to integer micros
+    * (`floor(v·10⁶ + 0.5)` — pure IEEE ops), summed as BIGINT (order-
+    * independent), divided once in double, cast to float. A float/double
+    * `avg` would make the fitted centroids depend on partition count and
+    * reduction order — i.e. a DIFFERENT quantizer per cluster layout —
+    * whereas this form is bit-reproducible on any engine and any
+    * partitioning, which is what lets every fitted-default query keep a
+    * DuckDB hash oracle.
     */
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int = 3): DataFrame = {
     var centroids = corpus.orderBy(col("vec_id")).limit(k)
@@ -110,10 +120,15 @@ object Similarity {
       val lists = ivfAssignWith(corpus, centroids)
       val means = lists
         .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("centroid_id"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(
+          sum(floor(col("v").cast("double") * 1000000.0d + 0.5d).cast("long")).as("ms"),
+          count(lit(1)).as("n"))
         .groupBy(col("centroid_id"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m").cast("float")).as("mean"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+            (col("ms").cast("double") / (col("n").cast("double") * 1000000.0d))
+              .cast("float").as("m")))),
+          s => s.getField("m")).as("mean"))
       centroids = centroids.join(means, Seq("centroid_id"), "left")
         .select(col("centroid_id"),
           coalesce(col("mean"), col("centroid")).as("centroid"))
@@ -167,15 +182,80 @@ object Similarity {
     (centroids, ivfAssignWith(corpus, centroids))
   }
 
+  /** Per-list member counts above the balance cap, as `centroid_id →
+    * number of sub-lists to split into`. Exact sizes from one narrow
+    * count pass (k rows back to the driver — the same documented-eager
+    * stance as bloomPrune's sizing count; the pass it protects against
+    * is the quadratic/hot-key JOIN, which dwarfs one partial-agg scan).
+    * Empty map = every list is within `balanceFactor × n/k` and the
+    * caller should join unsalted (zero overhead on balanced data).
+    */
+  private[graft] def listSaltCounts(assigned: DataFrame, nLists: Int,
+      balanceFactor: Double): Map[Long, Int] = {
+    if (balanceFactor <= 0) return Map.empty
+    val sizes = assigned.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n")).collect()
+    val total = sizes.iterator.map(_.getAs[Number]("n").longValue).sum
+    val cap = math.max(1L, (balanceFactor * total / math.max(nLists, 1)).toLong)
+    val hot = sizes.iterator
+      .filter(_.getAs[Number]("n").longValue > cap)
+      .map { r =>
+        val n = r.getAs[Number]("n").longValue
+        r.getAs[Number]("centroid_id").longValue ->
+          math.ceil(n.toDouble / cap).toInt
+      }.toMap
+    if (hot.nonEmpty) {
+      val worst = sizes.iterator.map(_.getAs[Number]("n").longValue).max
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ivf balance guard: ${hot.size}/${sizes.length} inverted lists exceed " +
+          s"cap=$cap (worst=$worst); salt-splitting hot lists " +
+          s"(quantizer skew — consider more kmeans iterations or higher nLists)")
+    }
+    hot
+  }
+
+  /** Probe join with the inverted-list BALANCE GUARD: lists above
+    * `balanceFactor × n/k` members are split into hash sub-lists
+    * (`salt = hash(vec_id) mod nSalt`) and probes explode every sub-list
+    * of a probed centroid — the candidate set, and therefore every
+    * downstream ranking, is IDENTICAL to the unsalted join (oracles
+    * unaffected); only the physical join-key cardinality changes, so
+    * the largest task is bounded by the cap instead of the hottest list
+    * (the skewed-quantizer failure mode at 100 TB). Balanced data takes
+    * the plain-join path untouched.
+    */
+  private def joinProbedLists(lists: DataFrame, probes: DataFrame,
+      nLists: Int, balanceFactor: Double): DataFrame = {
+    val salts = listSaltCounts(lists, nLists, balanceFactor)
+    if (salts.isEmpty) lists.join(probes, Seq("centroid_id"))
+    else {
+      val nSalt = coalesce(element_at(typedLit(salts), col("centroid_id")), lit(1))
+        .cast("long")
+      val l = lists.withColumn("__salt", pmod(xxhash64(col("vec_id")), nSalt))
+      val p = probes.withColumn("__salt",
+        explode(sequence(lit(0L), nSalt - lit(1L))))
+      l.join(p, Seq("centroid_id", "__salt")).drop("__salt")
+    }
+  }
+
+  /** The IVF coarse quantizer + assignment for a given fit depth:
+    * `kmeansIters <= 0` → the seeded lowest-id quantizer (the SQL-
+    * trivial baseline), else the FITTED exact-mean kmeans — the default
+    * everywhere, because on real (non-uniform) data seed centroids
+    * produce skewed inverted lists and every within-list join or probe
+    * inherits that skew. */
+  private def quantize(corpus: DataFrame, nLists: Int,
+      kmeansIters: Int): (DataFrame, DataFrame) =
+    if (kmeansIters <= 0) ivfAssign(corpus, nLists)
+    else {
+      val fitted = kmeansCentroids(corpus, nLists, kmeansIters)
+      (fitted, ivfAssignWith(corpus, fitted))
+    }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nLists: Int = 16, nProbe: Int = 4,
-              kmeansIters: Int = 0): DataFrame = {
-    val (centroids, lists) =
-      if (kmeansIters <= 0) ivfAssign(corpus, nLists)
-      else {
-        val fitted = kmeansCentroids(corpus, nLists, kmeansIters)
-        (fitted, ivfAssignWith(corpus, fitted))
-      }
+              kmeansIters: Int = 2, balanceFactor: Double = 4.0): DataFrame = {
+    val (centroids, lists) = quantize(corpus, nLists, kmeansIters)
     // probe assignment: nProbe nearest centroids per query — same
     // broadcast-array shape as the assign step: sort struct{-sim, id}
     // ascending (= sim desc, id asc), take nProbe, explode. No window,
@@ -195,7 +275,7 @@ object Similarity {
     // — tiny for ANN serving (few queries), but a forced broadcast would
     // OOM the driver when queries ≈ corpus (all-pairs usage). AQE picks
     // broadcast automatically whenever the probe side is actually small.
-    val scored = lists.join(probes, Seq("centroid_id"))
+    val scored = joinProbedLists(lists, probes, nLists, balanceFactor)
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot("qe", "embedding") / (col("qnorm") * l2Norm("embedding"))).as("cosine"))
@@ -283,16 +363,71 @@ object Similarity {
   private def pqSlices(e: Column, m: Int, dim: Int): Column =
     array((0 until m).map(i => slice(e, i * (dim / m) + 1, dim / m)): _*)
 
-  /** The sliced-codebook rows `(cid, sm, csub)` — ONE quantizer
-    * definition shared by encode and search (drift here would silently
-    * wrong every ADC ranking). Codebook = lowest-k vectors. */
-  private def pqCodebook(corpus: DataFrame, m: Int, k: Int, dim: Int): DataFrame =
+  /** The sliced-codebook SEED rows `(cid, sm, csub)`: subvector slices
+    * of the lowest-k vectors — both the iteration-0 codebook of the
+    * fitted path and the `pqIters = 0` SQL-trivial baseline. */
+  private def pqCodebookSeed(corpus: DataFrame, m: Int, k: Int, dim: Int): DataFrame =
     corpus.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("embedding"))
       .select(col("cid"), posexplode(pqSlices(col("embedding"), m, dim)).as(Seq("sm", "csub")))
 
-  def pqCodes(emb: DataFrame, m: Int = 8, k: Int = 16, dim: Int = 64): DataFrame =
-    pqEncodeWith(emb, emb, m, k, dim)
+  /** FITTED per-subspace PQ codebook: independent exact-mean Lloyd
+    * rounds in every subspace — the proper PQ training loop (Jégou et
+    * al. 2011 run k-means per subquantizer), replacing the sliced-seed
+    * stand-in as the default. All m fits ride ONE DataFrame job per
+    * round: assignment is the same broadcast per-subspace argmax as
+    * [[pqEncodeWith]] (zero corpus shuffle), the update aggregates
+    * m×k×(dim/m) tiny fixed-point rows. Means use the identical
+    * integer-micro discipline as [[kmeansCentroids]], so the fitted
+    * codebook is bit-reproducible on any engine/partitioning and every
+    * PQ query keeps its DuckDB hash oracle. Empty codes keep their
+    * previous entry (standard fallback).
+    */
+  def pqCodebookFitted(corpus: DataFrame, m: Int, k: Int, dim: Int,
+      iters: Int = 2): DataFrame = {
+    var cb = pqCodebookSeed(corpus, m, k, dim)
+    val sub = corpus.select(col("vec_id"),
+      posexplode(pqSlices(col("embedding"), m, dim)).as(Seq("sm", "subvec")))
+    for (_ <- 1 to iters) {
+      val cands = cb.groupBy(col("sm"))
+        .agg(array_sort(collect_list(struct(col("cid"), col("csub")))).as("cands"))
+        .localCheckpoint(true)
+      val assigned = sub.join(broadcast(cands), "sm")
+        .withColumn("best", array_max(transform(col("cands"), c =>
+          struct(
+            (graft.functions.VecFunctions.vec_dot(col("subvec"), c.getField("csub")) * 2.0d
+              - graft.functions.VecFunctions.vec_norm2(c.getField("csub"))).as("score"),
+            (-c.getField("cid")).as("negid")))))
+        .select(col("sm"), (-col("best.negid")).as("cid"), col("subvec"))
+      val means = assigned
+        .select(col("sm"), col("cid"), posexplode(col("subvec")).as(Seq("pos", "v")))
+        .groupBy(col("sm"), col("cid"), col("pos"))
+        .agg(
+          sum(floor(col("v").cast("double") * 1000000.0d + 0.5d).cast("long")).as("ms"),
+          count(lit(1)).as("n"))
+        .groupBy(col("sm"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+            (col("ms").cast("double") / (col("n").cast("double") * 1000000.0d))
+              .cast("float").as("mn")))),
+          s => s.getField("mn")).as("mean"))
+      cb = cb.join(means, Seq("sm", "cid"), "left")
+        .select(col("cid"), col("sm"), coalesce(col("mean"), col("csub")).as("csub"))
+        .localCheckpoint(true)
+    }
+    cb
+  }
+
+  /** The ONE quantizer definition shared by encode and search (drift
+    * here would silently wrong every ADC ranking): fitted per-subspace
+    * kmeans by default, sliced seed at `iters <= 0`. */
+  private def pqCodebook(corpus: DataFrame, m: Int, k: Int, dim: Int,
+      iters: Int): DataFrame =
+    if (iters <= 0) pqCodebookSeed(corpus, m, k, dim)
+    else pqCodebookFitted(corpus, m, k, dim, iters)
+
+  def pqCodes(emb: DataFrame, m: Int = 8, k: Int = 16, dim: Int = 64,
+      pqIters: Int = 2): DataFrame =
+    pqEncodeWith(emb, emb, m, k, dim, pqIters)
 
   /** PQ-encode `vectors` against a codebook built from a separate
     * static `codebookSource` — the continuous-ingest form: the encode
@@ -300,12 +435,19 @@ object Similarity {
     * it orders and limits), and the join/fold body is identical to the
     * batch path. */
   def pqEncodeWith(vectors: DataFrame, codebookSource: DataFrame,
-      m: Int = 8, k: Int = 16, dim: Int = 64): DataFrame = {
+      m: Int = 8, k: Int = 16, dim: Int = 64, pqIters: Int = 2): DataFrame =
+    pqEncodeWithCb(vectors, pqCodebook(codebookSource, m, k, dim, pqIters), m, dim)
+
+  /** Encode against an already-built `(cid, sm, csub)` codebook — the
+    * shared body, so IVF-PQ can fit ONE codebook and feed both the
+    * encode and the distance-table sides. */
+  def pqEncodeWithCb(vectors: DataFrame, codebook: DataFrame,
+      m: Int = 8, dim: Int = 64): DataFrame = {
     require(dim % m == 0, s"pq: dim=$dim not divisible by m=$m")
     // localCheckpoint materializes the m-row codebook ONCE — without it
     // a streaming join re-scans the whole static corpus to rebuild the
     // identical broadcast side on every trigger
-    val cb = pqCodebook(codebookSource, m, k, dim)
+    val cb = codebook
       .groupBy(col("sm"))
       .agg(array_sort(collect_list(struct(col("cid"), col("csub")))).as("cands"))
       .localCheckpoint(true)
@@ -337,17 +479,20 @@ object Similarity {
     * vector, not 256.
     */
   def pqAdcTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      m: Int = 8, kCodes: Int = 16, dim: Int = 64): DataFrame = {
+      m: Int = 8, kCodes: Int = 16, dim: Int = 64, pqIters: Int = 2): DataFrame = {
     require(dim % m == 0, s"pq: dim=$dim not divisible by m=$m")
-    val cbSub = pqCodebook(corpus, m, kCodes, dim)
-      .withColumnRenamed("sm", "dsm")
+    // ONE fitted codebook feeds both the distance table and the encode —
+    // fitting twice would be wasted Lloyd rounds (results identical:
+    // the fit is deterministic, but the work is not free)
+    val cbDf = pqCodebook(corpus, m, kCodes, dim, pqIters)
+    val cbSub = cbDf.withColumnRenamed("sm", "dsm")
     val qSub = queries.select(col("vec_id").as("query_id"),
       posexplode(pqSlices(col("embedding"), m, dim)).as(Seq("qsm", "qsub")))
     val dtable = qSub.join(cbSub, col("qsm") === col("dsm"))
       .select(col("query_id"), col("dsm"), col("cid"),
         (graft.functions.VecFunctions.vec_dot(col("qsub"), col("csub")) * 2.0d
           - graft.functions.VecFunctions.vec_norm2(col("csub"))).as("score"))
-    val codes = pqCodes(corpus, m, kCodes, dim)
+    val codes = pqEncodeWithCb(corpus, cbDf, m, dim)
     // no broadcast hint: for ANN serving the table is tiny and AQE
     // broadcasts it; when queries ≈ corpus a forced broadcast would OOM
     // the driver (same stance as ivfTopK)
@@ -382,12 +527,15 @@ object Similarity {
     */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                 nLists: Int = 16, nProbe: Int = 4,
-                m: Int = 8, kCodes: Int = 16, dim: Int = 64): DataFrame = {
+                m: Int = 8, kCodes: Int = 16, dim: Int = 64,
+                kmeansIters: Int = 2, pqIters: Int = 2,
+                balanceFactor: Double = 4.0): DataFrame = {
     require(dim % m == 0, s"pq: dim=$dim not divisible by m=$m")
-    val (centroids, lists) = ivfAssign(corpus, nLists)
+    val (centroids, lists) = quantize(corpus, nLists, kmeansIters)
+    val cbDf = pqCodebook(corpus, m, kCodes, dim, pqIters)
     // codes carry their list id via a narrow vec_id join (both sides
     // derive from the same corpus scan; no embeddings move)
-    val codes = pqCodes(corpus, m, kCodes, dim)
+    val codes = pqEncodeWithCb(corpus, cbDf, m, dim)
       .join(lists.select(col("vec_id"), col("centroid_id")), "vec_id")
     // routing: nProbe nearest lists per query — the ivfTopK probe shape
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
@@ -399,16 +547,16 @@ object Similarity {
             (col("qnorm") * c.getField("cnorm")))).as("negsim"),
           c.getField("centroid_id").as("centroid_id")))), 1, nProbe)))
       .select(col("query_id").as("p_query"), col("pr.centroid_id").as("centroid_id"))
-    // scoring: the pqAdcTopK distance table, broadcast
+    // scoring: the pqAdcTopK distance table, broadcast — built from the
+    // SAME fitted codebook as the codes (cbDf)
     val dtable = queries
       .select(col("vec_id").as("d_query"),
         posexplode(pqSlices(col("embedding"), m, dim)).as(Seq("sm", "qsub")))
-      .join(pqCodebook(corpus, m, kCodes, dim), "sm")
+      .join(cbDf, "sm")
       .select(col("d_query"), col("sm"), col("cid"),
         (graft.functions.VecFunctions.vec_dot(col("qsub"), col("csub")) * 2.0d
           - graft.functions.VecFunctions.vec_norm2(col("csub"))).as("score"))
-    val scored = codes
-      .join(probes, Seq("centroid_id"))
+    val scored = joinProbedLists(codes, probes, nLists, balanceFactor)
       .join(broadcast(dtable),
         col("subspace") === col("sm") && col("code") === col("cid") &&
           col("p_query") === col("d_query"))

@@ -555,4 +555,93 @@ class DedupSpec extends SparkSpec {
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
     assert(kept === (all -- expectedDrops))
   }
+
+  test("exact-mean kmeans is bit-identical across partitionings (the cluster-layout determinism contract)") {
+    val emb = Tables.embeddings(spark, sf001)
+    def fit(parts: Int): Map[Long, Seq[Float]] =
+      Similarity.kmeansCentroids(emb.repartition(parts), 8, iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val c1 = fit(1)
+    val c32 = fit(32)
+    assert(c1.keySet === c32.keySet)
+    c1.foreach { case (id, v) =>
+      assert(v === c32(id), s"centroid $id drifted with partition count — " +
+        "float-avg association order leaked into the quantizer")
+    }
+  }
+
+  /** Adversarial skew fixture: 300 jittered copies of vector 0 — the
+    * seeded quantizer routes the whole blob to one inverted list. */
+  private def skewedEmb = {
+    val emb = Tables.embeddings(spark, sf001)
+    val blob = emb.filter(col("vec_id") === 0)
+      .crossJoin(spark.range(1000, 1300))
+      .select(col("id").as("vec_id"),
+        transform(col("embedding"),
+          v => (v + (pmod(col("id"), lit(7)).cast("float") / lit(1000.0f)))
+            .cast("float")).as("embedding"),
+        col("label"))
+    emb.unionByName(blob)
+  }
+
+  test("balance guard: hot seeded list is flagged and salt-split, probe results identical, task keys bounded") {
+    val sk = skewedEmb
+    val seedCent = sk.orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    val assigned = Similarity.ivfAssignWith(sk, seedCent)
+    // n=800, k=8, factor 2 → cap 200; the ~301-member blob list trips it
+    val salts = Similarity.listSaltCounts(assigned, 8, 2.0)
+    assert(salts.nonEmpty, "the blob inverted list must be flagged as hot")
+    // exact per-(list, salt) sizes after the split stay within cap
+    val cap = math.max(1L, (2.0 * assigned.count() / 8).toLong)
+    val nSalt = coalesce(element_at(typedLit(salts), col("centroid_id")), lit(1)).cast("long")
+    val worstAfter = assigned
+      .withColumn("salt", pmod(xxhash64(col("vec_id")), nSalt))
+      .groupBy(col("centroid_id"), col("salt")).count()
+      .agg(max(col("count"))).head.getLong(0)
+    assert(worstAfter <= cap + cap / 2, // hash spread, not exact quota
+      s"salted groups must be near-cap: worst=$worstAfter cap=$cap")
+    // guarded probe search ≡ unguarded (identical candidate set)
+    val queries = sk.filter(col("vec_id") < 10)
+    val guarded = Similarity.ivfTopK(queries, sk, 5, nLists = 8, nProbe = 2,
+        kmeansIters = 0, balanceFactor = 0.5).collect().map(_.toSeq).toSet
+    val plain = Similarity.ivfTopK(queries, sk, 5, nLists = 8, nProbe = 2,
+        kmeansIters = 0, balanceFactor = 0).collect().map(_.toSeq).toSet
+    assert(guarded === plain, "salt split must not change the ranking")
+  }
+
+  test("semanticDupPairs 2-D block decomposition equals the plain within-cluster join") {
+    val emb = Tables.embeddings(spark, sf001)
+    // balanceFactor small enough that EVERY cluster decomposes
+    val decomposed = Dedup.semanticDupPairs(emb, nClusters = 8, threshold = 0.4,
+        balanceFactor = 0.05).collect().map(_.toSeq).toSet
+    val plain = Dedup.semanticDupPairs(emb, nClusters = 8, threshold = 0.4,
+        balanceFactor = 0).collect().map(_.toSeq).toSet
+    assert(decomposed === plain,
+      "block decomposition must emit every pair exactly once")
+  }
+
+  test("semanticPruneIncremental: shuffled fallback equals broadcast path; streaming past cap fails loudly") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf001)
+    val history = emb.filter(col("vec_id") < 100)
+    val batch = emb.filter(col("vec_id") >= 400)
+    val viaBroadcast = Dedup.semanticPruneIncremental(batch, history,
+        nClusters = 8, threshold = 0.4)
+      .select("vec_id").as[Long].collect().toSet
+    val viaFallback = Dedup.semanticPruneIncremental(batch, history,
+        nClusters = 8, threshold = 0.4, maxBroadcastBytes = 1L)
+      .select("vec_id").as[Long].collect().toSet
+    assert(viaFallback === viaBroadcast,
+      "past the broadcast cap the shuffled within-cluster join must keep the same survivors")
+    val streamBatch = spark.readStream.format("rate").load()
+      .select(col("value").as("vec_id"),
+        array(lit(0.1f), lit(0.2f)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.semanticPruneIncremental(streamBatch, history,
+        nClusters = 8, threshold = 0.4, maxBroadcastBytes = 1L)
+    }
+    assert(e.getMessage.contains("maxBroadcastBytes"),
+      "a streaming batch past the cap must fail loudly, not silently shuffle")
+  }
 }

@@ -353,7 +353,7 @@ class OpsSpec extends SparkSpec {
 
   test("pq codes: 8 codes per vector in range, codebook vectors self-encode, corpus never shuffle-joins") {
     val emb = Tables.embeddings(spark, sf001)
-    val pq = graft.ops.Similarity.pqCodes(emb)
+    val pq = graft.ops.Similarity.pqCodes(emb) // fitted default (2 Lloyd rounds)
     val plan = pq.queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"pq assignment must ride the broadcast, got:\n$plan")
@@ -361,9 +361,12 @@ class OpsSpec extends SparkSpec {
     val n = emb.count()
     assert(rows.length === n * 8)
     assert(rows.forall { case (_, sm, code) => sm >= 0 && sm < 8 && code >= 0 && code < 16 })
-    // a codebook vector's own subvector is at distance 0, so its code is
-    // itself — or a lower-id centroid with an identical subvector
-    rows.filter(_._1 < 16).foreach { case (vid, sm, code) =>
+    // the SEED codebook's vectors self-encode (own subvector at distance
+    // 0 → own id, or a lower-id centroid with an identical subvector);
+    // fitted centroids are means, so the invariant is seed-only
+    val seed = graft.ops.Similarity.pqCodes(emb, pqIters = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    seed.filter(_._1 < 16).foreach { case (vid, sm, code) =>
       assert(code <= vid, s"vec $vid subspace $sm encoded to higher id $code")
     }
   }
