@@ -2054,11 +2054,14 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |ORDER BY e.event_id""".stripMargin,
 
     "dedup_prune" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id,
         |         unnest(list_transform(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
         |           x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS shingle
         |       FROM tok WHERE len(t) >= 3),
+        |sh AS (SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS dfc FROM sh0) zc
+        |  WHERE dfc <= ${Dedup.DefaultDfCap}),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -2433,13 +2436,17 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |ORDER BY doc_id""".stripMargin,
 
     "dedup_incremental" ->
-      """WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      s"""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id, source,
         |         unnest(list_transform(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
         |           x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS shingle
         |       FROM tok WHERE len(t) >= 3),
-        |b AS (SELECT doc_id, shingle FROM sh WHERE length(source) = 5),
-        |h AS (SELECT doc_id, shingle FROM sh WHERE length(source) = 4),
+        |b0 AS (SELECT doc_id, shingle FROM sh WHERE length(source) = 5),
+        |h0 AS (SELECT doc_id, shingle FROM sh WHERE length(source) = 4),
+        |hot AS (SELECT shingle FROM (SELECT shingle FROM b0 UNION ALL SELECT shingle FROM h0) u
+        |        GROUP BY shingle HAVING count(*) > ${Dedup.DefaultDfCap}),
+        |b AS (SELECT * FROM b0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        |h AS (SELECT * FROM h0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
         |nb AS (SELECT doc_id, count(*) AS n FROM b GROUP BY 1),
         |nh AS (SELECT doc_id, count(*) AS n FROM h GROUP BY 1),
         |dropped AS (SELECT DISTINCT p.doc_id FROM (
@@ -2651,7 +2658,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     // substring-span twin: same windows, keeper = rn 1 over
     // (doc_id, start) ≡ Spark's min(struct), reassembly by position
     "dedup_substring_spans" ->
-      """WITH tok0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      s"""WITH tok0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |tok AS (SELECT doc_id, pos - 1 AS pos, t[pos] AS tok
         |        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS pos FROM tok0) z),
         |win AS (SELECT doc_id, start - 1 AS start, array_to_string(t[start:start+9], ' ') AS gram
@@ -2659,8 +2666,9 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |              FROM tok0 WHERE len(t) >= 10) z),
         |marked AS (SELECT doc_id, start FROM (
         |    SELECT doc_id, start,
-        |      row_number() OVER (PARTITION BY gram ORDER BY doc_id, start) AS rn
-        |    FROM win) x WHERE rn > 1),
+        |      row_number() OVER (PARTITION BY gram ORDER BY doc_id, start) AS rn,
+        |      count(*) OVER (PARTITION BY gram) AS cnt
+        |    FROM win) x WHERE rn > 1 AND cnt <= ${Dedup.DefaultDfCap}),
         |covered AS (SELECT DISTINCT doc_id, pos FROM (
         |    SELECT doc_id, unnest(generate_series(start, start + 9)) AS pos FROM marked) y),
         |kept AS (SELECT t.doc_id, t.pos, t.tok
@@ -2814,25 +2822,31 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |FROM sig ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
-        |         unnest(list_transform(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
-        |           x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS shingle
-        |       FROM tok WHERE len(t) >= 3),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |          GROUP BY a.doc_id, b.doc_id)
-        |SELECT doc_a, doc_b, shared, sa.n AS n_a, sb.n AS n_b
-        |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-        |WHERE shared * 10 >= 4 * (sa.n + sb.n - shared)
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh0 AS (SELECT DISTINCT doc_id,
+         |         unnest(list_transform(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
+         |           x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS shingle
+         |       FROM tok WHERE len(t) >= 3),
+         |sh AS (SELECT doc_id, shingle FROM (
+         |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS dfc FROM sh0) zc
+         |  WHERE dfc <= ${Dedup.DefaultDfCap}),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, shared, sa.n AS n_a, sb.n AS n_b
+         |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE shared * 10 >= 4 * (sa.n + sb.n - shared)
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_clusters" ->
-      """WITH RECURSIVE
+      s"""WITH RECURSIVE
         |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
+        |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
         |        x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS shingle FROM tok WHERE len(t) >= 3),
+        |sh AS (SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS dfc FROM sh0) zc
+        |  WHERE dfc <= ${Dedup.DefaultDfCap}),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -3182,10 +3196,13 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
 
     // cluster-report twin: the recursive-CTE clustering + two aggregates
     "dedup_cluster_report" ->
-      """WITH RECURSIVE
+      s"""WITH RECURSIVE
         |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
+        |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
         |        x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS shingle FROM tok WHERE len(t) >= 3),
+        |sh AS (SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS dfc FROM sh0) zc
+        |  WHERE dfc <= ${Dedup.DefaultDfCap}),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -3202,11 +3219,14 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |SELECT sz, count(*) AS n_clusters FROM cs GROUP BY sz ORDER BY sz""".stripMargin,
 
     "dedup_containment" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id,
         |         unnest(list_transform(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
         |           x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS shingle
         |       FROM tok WHERE len(t) >= 3),
+        |sh AS (SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS dfc FROM sh0) zc
+        |  WHERE dfc <= ${Dedup.DefaultDfCap}),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

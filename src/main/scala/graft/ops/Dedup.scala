@@ -12,6 +12,21 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default document-frequency cap for the shingle-pair family. A
+    * shingle in f documents contributes f² join rows through one key,
+    * so the bound a single task can absorb is a property of the
+    * EXECUTOR, not the corpus: 2000² = 4M rows per hottest key at any
+    * corpus size. Shingles above the cap are boilerplate by definition
+    * (stop-shingle practice); exempting them trades a sliver of recall
+    * on pathological docs for never serializing one partition at
+    * 100 TB. Pass `Unbounded` to opt out EXPLICITLY — the unprotected
+    * configuration should never be the one a user runs by accident.
+    */
+  val DefaultDfCap = 2000
+
+  /** Explicit opt-out for the df-cap defaults. */
+  val Unbounded: Int = Int.MaxValue
+
   /** Exact dedup: content-hash groupBy, keep lowest id. One shuffle on
     * the hash; map-side partial agg makes the reduce side tiny.
     */
@@ -63,7 +78,7 @@ object Dedup {
     * web scale; exempted grams keep all copies (conservative).
     */
   def substringSpans(df: DataFrame, n: Int = 10, textCol: String = "text",
-      idCol: String = "doc_id", dfCap: Int = 0): DataFrame = {
+      idCol: String = "doc_id", dfCap: Int = DefaultDfCap): DataFrame = {
     val toks = df.select(col(idCol), split(col(textCol), " ").as("t"))
     val tok = toks.select(col(idCol), posexplode(col("t")).as(Seq("pos", "tok")))
     // codegen NGramsJoin kernel (empty for short docs, so no
@@ -79,7 +94,7 @@ object Dedup {
     val wOrd  = wGram.orderBy(col(idCol), col("start"))
     val ranked = wins.withColumn("rn", row_number().over(wOrd))
     val marked =
-      if (dfCap > 0)
+      if (dfCap > 0 && dfCap != Unbounded)
         ranked.withColumn("c", count(lit(1)).over(wGram))
           .filter(col("rn") > 1 && col("c") <= dfCap)
       else ranked.filter(col("rn") > 1)
@@ -134,14 +149,14 @@ object Dedup {
     */
   private def cappedShingles(df: DataFrame, n: Int, dfCap: Int): DataFrame = {
     val raw = shingles(df, n)
-    if (dfCap == Int.MaxValue) raw
+    if (dfCap == Unbounded || dfCap <= 0) raw
     else raw.withColumn("df",
         count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .filter(col("df") <= dfCap).drop("df")
   }
 
   def jaccardPairs(df: DataFrame, n: Int = 3, threshold10: Int = 4,
-                   dfCap: Int = Int.MaxValue): DataFrame = {
+                   dfCap: Int = DefaultDfCap): DataFrame = {
     val sh = cappedShingles(df, n, dfCap)
     thresholdedPairs(sh, sh, threshold10, col("a.doc_id") < col("b.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"))
@@ -156,7 +171,7 @@ object Dedup {
     * equi-join posture and dfCap rationale as [[jaccardPairs]].
     */
   def containmentPairs(df: DataFrame, n: Int = 3, threshold10: Int = 8,
-                       dfCap: Int = Int.MaxValue): DataFrame = {
+                       dfCap: Int = DefaultDfCap): DataFrame = {
     val sh = cappedShingles(df, n, dfCap)
     pairCounts(sh, sh, col("a.doc_id") < col("b.doc_id"))
       .filter(col("shared") * 10 >= least(col("n_a"), col("n_b")) * threshold10)
@@ -255,7 +270,7 @@ object Dedup {
     * than n tokens have no shingles and are kept.
     */
   def incrementalPrune(batch: DataFrame, history: DataFrame, n: Int = 3,
-                       threshold10: Int = 4, dfCap: Int = Int.MaxValue): DataFrame = {
+                       threshold10: Int = 4, dfCap: Int = DefaultDfCap): DataFrame = {
     val shB0 = shingles(batch, n)
     val shH0 = shingles(history, n)
     // df-cap over the COMBINED universe: one viral boilerplate shingle in
@@ -264,7 +279,7 @@ object Dedup {
     // above the cap) is tiny, so it prunes both sides via broadcast
     // anti-joins — no extra shuffle of either shingle set.
     val (shB, shH) =
-      if (dfCap == Int.MaxValue) (shB0, shH0)
+      if (dfCap == Unbounded || dfCap <= 0) (shB0, shH0)
       else {
         val hot = shB0.select(col("shingle")).unionAll(shH0.select(col("shingle")))
           .groupBy(col("shingle")).agg(count(lit(1)).as("df"))

@@ -556,6 +556,24 @@ class DedupSpec extends SparkSpec {
     assert(kept === (all -- expectedDrops))
   }
 
+  test("default df-cap: a planted viral shingle is dropped as boilerplate, true dups still pair") {
+    import spark.implicits._
+    // 2100 docs share one boilerplate 3-gram (df > DefaultDfCap=2000):
+    // uncapped, that single join key fans out to ~2.2M rows in ONE task;
+    // the DEFAULT now excises it while unique-content dups still pair
+    val viral = (0 until 2100).map(i => (5000L + i, s"spam spam spam u$i"))
+      .toDF("doc_id", "text")
+    val twins = Seq((9000L, "alpha beta gamma delta"),
+                    (9001L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val all = viral.unionByName(twins)
+    assert(Dedup.shingles(all, 3).filter(col("shingle") === "spam spam spam")
+      .count() === 2100L, "fixture: the viral shingle must exceed the cap")
+    val pairs = Dedup.jaccardPairs(all, n = 3, threshold10 = 4)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((9000L, 9001L)),
+      "default cap: only the unique-content twins pair; no viral-gram blowup")
+  }
+
   test("exact-mean kmeans is bit-identical across partitionings (the cluster-layout determinism contract)") {
     val emb = Tables.embeddings(spark, sf001)
     def fit(parts: Int): Map[Long, Seq[Float]] =

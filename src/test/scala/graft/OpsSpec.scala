@@ -269,8 +269,9 @@ class OpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq === Seq(11L, 12L))
     // df-cap: with every shingle above the cap pruned as boilerplate,
-    // no candidate pairs survive and the whole batch is kept
-    val keptCapped = graft.ops.Dedup.incrementalPrune(batch, history, dfCap = 0)
+    // no candidate pairs survive and the whole batch is kept (dfCap = 1:
+    // the near-dup's shared shingles have df 2; <= 0 now means UNBOUNDED)
+    val keptCapped = graft.ops.Dedup.incrementalPrune(batch, history, dfCap = 1)
       .select("doc_id").as[Long].collect().sorted
     assert(keptCapped.toSeq === Seq(10L, 11L, 12L))
   }
