@@ -338,7 +338,25 @@ object Dedup {
     * (standard Spark iterative-graph shape; large-star/small-star is the
     * same idea with better skew bounds at web scale).
     */
-  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  /** ADAPTIVE strategy (the default entry point): min-label propagation
+    * — one join + min-aggregate per round, optimal for the tiny
+    * diameters of real near-dup clusters — with an automatic
+    * large-star/small-star fallback once `probeRounds` rounds have not
+    * converged. Round count IS the diameter probe: near-dup graphs
+    * finish in 2–4 rounds, so a graph still moving after `probeRounds`
+    * is adversarial (long paths/chains from e.g. templated boilerplate)
+    * and [[clustersStar]] finishes it in O(log n) rounds total instead
+    * of O(diameter). Both strategies share the output contract, so the
+    * switch never changes the answer — only the round bound.
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 20,
+               probeRounds: Int = 5): DataFrame =
+    clustersAdaptiveWithInfo(pairs, maxIter, probeRounds)._1
+
+  /** (labels, fellBackToStar, roundsUsed) — instrumented form for specs
+    * and capacity planning. */
+  private[graft] def clustersAdaptiveWithInfo(pairs: DataFrame, maxIter: Int = 20,
+      probeRounds: Int = 5): (DataFrame, Boolean, Int) = {
     // localCheckpoint (eager) both materializes for reuse AND truncates
     // lineage so round N's plan doesn't replay rounds 1..N-1
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
@@ -357,7 +375,8 @@ object Dedup {
     var prev = checksum(labels)
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIter) {
+    val probeBound = math.min(math.max(probeRounds, 1), maxIter)
+    while (!converged && iter < probeBound) {
       val prop = edges.join(labels, edges("b") === labels("doc"))
         .select(edges("a").as("doc"), col("label"))
       labels = labels.unionByName(prop)
@@ -368,7 +387,16 @@ object Dedup {
       prev = sum
       iter += 1
     }
-    labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
+    if (converged)
+      (labels.select(col("doc").as("doc_id"), col("label").as("cluster_id")),
+        false, iter)
+    else {
+      // still moving after the probe: adversarial diameter — restart on
+      // the star algorithm (probe work is a bounded constant, and star
+      // rounds are logarithmic from ANY starting edge set)
+      val (starLabels, starRounds) = clustersStarWithRounds(pairs, maxIter)
+      (starLabels, true, iter + starRounds)
+    }
   }
 
   /** Connected components via alternating LARGE-STAR / SMALL-STAR

@@ -556,6 +556,26 @@ class DedupSpec extends SparkSpec {
     assert(kept === (all -- expectedDrops))
   }
 
+  test("adaptive clusters: long path graph falls back to star and finishes in <= log rounds end-to-end") {
+    import spark.implicits._
+    val n = 200
+    val path = (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
+    val (labels, usedStar, rounds) = Dedup.clustersAdaptiveWithInfo(path)
+    assert(usedStar, "a diameter-199 path must trip the probe and fall back to star")
+    val bound = 5 + 2 * (math.ceil(math.log(n.toDouble) / math.log(2)).toInt + 2)
+    assert(rounds <= bound, s"adaptive total rounds $rounds must stay within $bound")
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === n)
+    assert(got.forall(_._2 === 0L), "one path component, min label 0")
+    // a real near-dup graph converges inside the probe — no fallback
+    val real = Dedup.jaccardPairs(docs, n = 3, threshold10 = 4)
+    val (realLabels, realStar, _) = Dedup.clustersAdaptiveWithInfo(real)
+    assert(!realStar, "tiny-diameter graphs stay on min-label propagation")
+    val expect = Dedup.clustersStar(real).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(realLabels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === expect)
+  }
+
   test("default df-cap: a planted viral shingle is dropped as boilerplate, true dups still pair") {
     import spark.implicits._
     // 2100 docs share one boilerplate 3-gram (df > DefaultDfCap=2000):
