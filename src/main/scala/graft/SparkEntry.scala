@@ -1406,6 +1406,18 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("doc_id"))
     }),
 
+    "dedup_bloom_sharded" -> ((s, dir) => {
+      // the beyond-10^9-keys form: 4 hash-range bloom shards built in
+      // one grouped pass; each batch row probes exactly one filter
+      val docs = Tables.documents(s, dir)
+      Dedup.bloomPrune(
+        batch   = docs.filter(length(col("source")) === 5),
+        history = docs.filter(length(col("source")) === 4),
+        shards  = 4)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     "sample_cap_per_source" -> ((s, dir) => {
       // RefinedWeb-style per-domain frequency cap: best 20 docs per
       // source by (n_chars desc, doc_id)
@@ -3112,6 +3124,14 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     // semantics are exactly "batch minus docs whose content exists in
     // history"
     "dedup_bloom_prune" ->
+      """SELECT d.doc_id, d.source FROM documents d
+        |WHERE length(d.source) = 5
+        |  AND d.text NOT IN (SELECT text FROM documents WHERE length(source) = 4)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // sharding is pure execution strategy — observable semantics are
+    // identical to the single-bloom form, so the twin is the same SQL
+    "dedup_bloom_sharded" ->
       """SELECT d.doc_id, d.source FROM documents d
         |WHERE length(d.source) = 5
         |  AND d.text NOT IN (SELECT text FROM documents WHERE length(source) = 4)

@@ -739,7 +739,10 @@ object Dedup {
     * 100 TB sizing: ~9.6 bits/key at 1 % fpp → 120 MB per 10⁸ history
     * docs, 1.2 GB per 10⁹ — the broadcast form holds to ~10⁹ keys;
     * beyond that raise fpp (0.1 → ~0.6 GB per 10⁹; the confirm join
-    * still restores exactness) or shard the bloom by hash range.
+    * still restores exactness) or set `shards > 1`: N independent
+    * hash-range filters built in one grouped pass, each row probing
+    * exactly one (fpp is per-key invariant under sharding — a key is
+    * tested against the one filter holding its range).
     * Equality is 64-bit content-hash equality (same posture as
     * [[exact]]'s md5 keys — a 2⁻⁶⁴ collision deletes a unique doc).
     *
@@ -760,51 +763,84 @@ object Dedup {
     */
   def bloomPrune(batch: DataFrame, history: DataFrame,
                  textCol: String = "text", idCol: String = "doc_id",
-                 fpp: Double = 0.01, expectedItems: Long = 0L): DataFrame = {
+                 fpp: Double = 0.01, expectedItems: Long = 0L,
+                 shards: Int = 1): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.ColumnBridge
     import org.apache.spark.sql.types.BinaryType
+    require(shards >= 1, s"bloomPrune: shards=$shards must be >= 1")
     val hHist = history.filter(col(textCol).isNotNull)
       .select(xxhash64(col(textCol)).as("h"))
-    val n = math.max(if (expectedItems > 0) expectedItems else hHist.count(), 1L)
-    val numBits = math.max(64L, math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    // bloom_filter_agg exists only in the internal registry (Spark wires
-    // it up for runtime join filters), so build the aggregate node
-    // directly — partial sketches merge exactly like any other agg.
-    // BloomFilterAggregate CLAMPS its arguments against the runtime-
-    // filter confs (maxNumItems 4e6 / maxNumBits 2^26 by default) — a
-    // silent clamp would degrade fpp toward 1 on a large history and
-    // quietly turn the prefilter into a no-op, so raise the caps to the
-    // requested size for the duration of the (eager) build.
-    val sess = history.sparkSession
-    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val (prevItems, prevBits) = (sess.conf.get(itemsKey), sess.conf.get(bitsKey))
-    val bytes =
-      try {
-        sess.conf.set(itemsKey, math.max(n, prevItems.toLong))
-        sess.conf.set(bitsKey, math.max(numBits, prevBits.toLong))
-        hHist.agg(ColumnBridge.column(
+    // EMPTY history → nothing to dedup against: pass the batch through
+    // (the sketch builder NPEs on zero rows, and a degenerate filter
+    // must never swallow the batch). The sizing count doubles as the
+    // emptiness probe; a caller-supplied size still gets a cheap
+    // limit-1 existence check.
+    val counted = if (expectedItems > 0) -1L else hHist.count()
+    if (counted == 0L || (expectedItems > 0 && hHist.isEmpty)) return batch
+    val n = math.max(if (expectedItems > 0) expectedItems else counted, 1L)
+    // one predicate per shard, each guarded by its hash-range test and
+    // carrying its own constant bloom literal (BloomFilterMightContain
+    // deserializes a foldable bloom ONCE; a per-row array lookup would
+    // re-deserialize per row). Conjunction short-circuits in codegen, so
+    // each row probes exactly one filter.
+    def mightAny(c: Column, filters: Seq[(Long, Array[Byte])]): Column =
+      filters.map { case (s, bytes) =>
+        (if (shards == 1) lit(true) else pmod(c, lit(shards.toLong)) === lit(s)) &&
+          ColumnBridge.column(BloomFilterMightContain(
+            Literal.create(bytes, BinaryType), ColumnBridge.expression(c)))
+      }.reduceOption(_ || _).getOrElse(lit(false))
+    val filters: Seq[(Long, Array[Byte])] =
+      if (shards == 1) {
+        // the public sketch API builds the filter directly (distributed
+        // treewise merge) — no session conf is read OR mutated, so
+        // concurrent queries can never race on shared clamp settings
+        val bf = hHist.stat.bloomFilter("h", n, fpp)
+        val out = new java.io.ByteArrayOutputStream()
+        bf.writeTo(out)
+        Seq(0L -> out.toByteArray)
+      } else {
+        // HASH-RANGE SHARDING — the beyond-10⁹-keys path: N independent
+        // filters keyed by pmod(h, N), ALL built in one pass (groupBy
+        // shard + partial-agg'd bloom aggregate; the internal node is
+        // the only grouped bloom builder). Each shard holds ~n/N keys,
+        // so per-shard sizing must fit inside the runtime-filter clamps
+        // — enforced loudly instead of mutating session confs (the old
+        // form raced concurrent queries on the shared clamp settings).
+        val perShard = math.max(n / shards + 3 * math.max(1L,
+          (math.sqrt(n.toDouble / shards)).toLong), 1L) // mean + 3σ slack
+        val perBits = math.max(64L,
+          math.ceil(-perShard * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+        val sess = history.sparkSession
+        val maxItems = sess.conf
+          .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
+        val maxBits = sess.conf
+          .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
+        require(perShard <= maxItems && perBits <= maxBits,
+          s"bloomPrune: per-shard sketch ($perShard items / $perBits bits at " +
+            s"fpp=$fpp) exceeds the runtime bloom clamps ($maxItems items / " +
+            s"$maxBits bits) — raise `shards`, raise `fpp`, or raise the " +
+            "spark.sql.optimizer.runtime.bloomFilter.* limits up front")
+        hHist.groupBy(pmod(col("h"), lit(shards.toLong)).as("shard"))
+          .agg(ColumnBridge.column(
             new BloomFilterAggregate(ColumnBridge.expression(col("h")),
-              Literal(n), Literal(numBits)).toAggregateExpression()))
-          .head.getAs[Array[Byte]](0)
-      } finally {
-        sess.conf.set(itemsKey, prevItems); sess.conf.set(bitsKey, prevBits)
+              Literal(perShard), Literal(perBits)).toAggregateExpression()).as("bf"))
+          .collect().toSeq
+          .filter(!_.isNullAt(1))
+          .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
       }
-    // EMPTY history → the aggregate evaluates to NULL (zero-item filter),
-    // and a null bloom literal would nullify BOTH branch predicates and
-    // silently swallow the whole batch — nothing to dedup against, so
-    // the batch passes through unchanged.
-    if (bytes == null) return batch
+    // EMPTY history → no usable filter; nothing to dedup against, so the
+    // batch passes through unchanged (a null/empty bloom must never
+    // swallow the batch).
+    if (filters.isEmpty || filters.forall(_._2 == null)) return batch
+    val live = filters.filter(_._2 != null)
     val withH = batch.withColumn("__h",
       when(col(textCol).isNull, lit(null)).otherwise(xxhash64(col(textCol))))
-    def might(c: Column): Column = ColumnBridge.column(
-      BloomFilterMightContain(Literal.create(bytes, BinaryType), ColumnBridge.expression(c)))
     // NULL text: __h is null, both might() branches are null — route
     // nulls explicitly into the survivor branch
-    val definitelyNew = withH.filter(col("__h").isNull || !might(col("__h")))
-    val suspected = withH.filter(col("__h").isNotNull && might(col("__h")))
+    val definitelyNew = withH.filter(col("__h").isNull || !mightAny(col("__h"), live))
+    val suspected = withH.filter(col("__h").isNotNull && mightAny(col("__h"), live))
       .join(hHist.distinct().withColumnRenamed("h", "__h"), Seq("__h"), "left_anti")
     definitelyNew.unionByName(suspected).drop("__h")
   }

@@ -280,11 +280,23 @@ class DedupSpec extends SparkSpec {
     val expected = batch.as("b").join(history.as("h"),
         col("b.text") === col("h.text"), "left_anti")
       .select(col("b.doc_id")).collect().map(_.getLong(0)).toSet
-    for (fpp <- Seq(0.01, 0.5)) { // exactness must not depend on fpp
-      val got = Dedup.bloomPrune(batch, history, fpp = fpp)
+    for (fpp <- Seq(0.01, 0.5); shards <- Seq(1, 4)) {
+      // exactness must not depend on fpp OR the shard count: hash-range
+      // sharding routes each key to exactly one filter, and the confirm
+      // join restores exactness whatever the filters answer
+      val got = Dedup.bloomPrune(batch, history, fpp = fpp, shards = shards)
         .select(col("doc_id")).collect().map(_.getLong(0)).toSet
-      assert(got === expected, s"fpp=$fpp")
+      assert(got === expected, s"fpp=$fpp shards=$shards")
     }
+    // sharded and single-bloom forms are identical operators
+    val one = Dedup.bloomPrune(batch, history).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val eight = Dedup.bloomPrune(batch, history, shards = 8).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(one === eight)
+    // empty history stays a pass-through on the sharded path too
+    val none = Dedup.bloomPrune(batch, history.filter(lit(false)), shards = 4)
+    assert(none.count() === batch.count())
   }
 
   test("bloomPrune: empty history passes the batch through; NULL text never matches") {
