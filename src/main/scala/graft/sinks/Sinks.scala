@@ -94,7 +94,9 @@ object Sinks {
         credentialsCertificate = p("sink.nats.credentials.certificate"),
         credentialsSeeds = p("sink.nats.credentials.seeds")
           .split(",").toSeq.filter(_.nonEmpty),
-        jwt = p("sink.nats.jwt.jwt"), jwtSeed = p("sink.nats.jwt.seed")))
+        jwt = p("sink.nats.jwt.jwt"), jwtSeed = p("sink.nats.jwt.seed"),
+        jetStream = p("sink.nats.jetstream", "true").toBoolean,
+        timeoutSeconds = p("sink.nats.timeout", "5").toInt))
       case "redis" => RedisSink(RedisSinkConfig(
         network = p("sink.redis.network", "tcp"),
         address = p("sink.redis.address", "localhost:6379"),
@@ -289,7 +291,13 @@ final case class NatsSinkConfig(
     credentialsCertificate: String = "",
     credentialsSeeds: Seq[String] = Nil,
     jwt: String = "",
-    jwtSeed: String = "") {
+    jwtSeed: String = "",
+    // the reference publishes through JetStream with per-message publish
+    // acks (nats.go:150-156) — that is the default; `jetStream = false`
+    // keeps the fire-and-forget core-NATS PUB + PING-flush form
+    jetStream: Boolean = true,
+    // ack timeout, c.Sink.Nats.Timeout parity (nats.go:113-116)
+    timeoutSeconds: Int = 5) {
   def options: Map[String, String] = {
     val auth = authorization match {
       case "userinfo" => Map("user" -> username, "password" -> password)
@@ -382,15 +390,29 @@ final case class RedisSink(config: RedisSinkConfig) extends Sink {
   }
 }
 
-/** Minimal core-NATS client for the reference's publish
-  * (`nats.go:133-156`: per-event message on the topic subject) — the
-  * text wire protocol (INFO/CONNECT/PUB/PING) over a raw socket from
-  * the executors. A trailing PING/PONG round-trip is the flush barrier:
-  * the server has processed every PUB before the partition completes.
+/** Minimal NATS client for the reference's publish (`nats.go:133-156`)
+  * — the text wire protocol over a raw socket from the executors.
+  *
+  * JETSTREAM mode (default, reference parity): each event is an HPUB on
+  * the topic subject with the envelope key as a `key:` header
+  * (nats.go:147-149) and a reply-to inbox the client has SUBscribed;
+  * the partition then BLOCKS on the server's PubAck for that message
+  * (`{"stream":…,"seq":…}` delivered as a MSG on the inbox) — the
+  * at-least-once-with-broker-ack contract of `jetStreamContext
+  * .PublishMsg`. An ack containing `"error"` throws; NO ack within
+  * `timeoutSeconds` throws via socket timeout — either way
+  * `Sinks.withRetry` redelivers the batch (JetStream consumers dedupe
+  * downstream, exactly the reference's at-least-once posture).
+  *
+  * CORE mode (`jetStream = false`): fire-and-forget PUB frames with a
+  * trailing PING/PONG flush barrier — the server has processed every
+  * PUB before the partition completes, but there is no broker ack.
+  *
   * Only userinfo authorization is wire-implemented; credentials/jwt
   * configs fail loudly at emit (the reference supports them via the
   * nats.go client library, `nats.go:44-64`) rather than silently
-  * connecting unauthenticated. Expects string columns (topic, envelope).
+  * connecting unauthenticated. Expects string columns (topic, envelope)
+  * plus optionally `key` for the header.
   */
 final case class NatsSink(config: NatsSinkConfig) extends Sink {
   def name = "nats"
@@ -401,11 +423,16 @@ final case class NatsSink(config: NatsSinkConfig) extends Sink {
     val address  = config.address.stripPrefix("nats://")
     val username = config.username
     val password = config.password
-    batch.select("topic", "envelope").foreachPartition { (rows: Iterator[Row]) =>
+    val js = config.jetStream
+    val timeoutMs = math.max(config.timeoutSeconds, 1) * 1000
+    val hasKey = batch.columns.contains("key")
+    val cols = if (hasKey) Seq("topic", "envelope", "key") else Seq("topic", "envelope")
+    batch.select(cols.head, cols.tail: _*).foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {                  // empty partition: don't even dial
       val (host, port) = Sinks.hostPort(address, 4222)
       val sock = new java.net.Socket(host, port)
       try {
+        sock.setSoTimeout(timeoutMs)       // a lost ack must throw, not hang
         val out = new java.io.BufferedOutputStream(sock.getOutputStream)
         val in  = new java.io.DataInputStream(
           new java.io.BufferedInputStream(sock.getInputStream))
@@ -414,19 +441,55 @@ final case class NatsSink(config: NatsSinkConfig) extends Sink {
         def jsonStr(s: String): String = "\"" + Sinks.jsonEscape(s) + "\""
         val info = crlfLine()
         if (!info.startsWith("INFO")) throw new RuntimeException(s"nats: expected INFO, got $info")
-        send(s"""CONNECT {"verbose":false,"pedantic":false,"user":${jsonStr(username)},"pass":${jsonStr(password)},"name":"graft"}""" + "\r\n")
+        send(s"""CONNECT {"verbose":false,"pedantic":false,"headers":$js,"user":${jsonStr(username)},"pass":${jsonStr(password)},"name":"graft"}""" + "\r\n")
         send("PING\r\n"); out.flush()
         val pong = crlfLine()
         if (pong != "PONG") throw new RuntimeException(s"nats: expected PONG, got $pong")
+        val inbox = "_INBOX.graft." + java.util.UUID.randomUUID().toString.replace("-", "")
+        if (js) { send(s"SUB $inbox 1\r\n"); out.flush() }
+        /** Block until the PubAck MSG for the in-flight publish; answer
+          * interleaved server PINGs. */
+        def awaitAck(): Unit = {
+          var acked = false
+          while (!acked) {
+            val l = crlfLine()
+            if (l.isEmpty) throw new RuntimeException("nats: connection closed awaiting ack")
+            else if (l == "PING") { send("PONG\r\n"); out.flush() }
+            else if (l.startsWith("-ERR")) throw new RuntimeException(s"nats: $l")
+            else if (l.startsWith("MSG ") || l.startsWith("HMSG ")) {
+              val n = l.split(" ").last.toInt // total payload bytes
+              val buf = new Array[Byte](n + 2)
+              in.readFully(buf)
+              val ack = new String(buf, 0, n, "UTF-8")
+              if (ack.contains("\"error\""))
+                throw new RuntimeException(s"nats: jetstream publish rejected: $ack")
+              acked = true
+            } // PONG and other frames: keep scanning
+            else if (l != "PONG") throw new RuntimeException(s"nats: unexpected frame: $l")
+          }
+        }
         rows.foreach { r =>
           val payload = r.getAs[String]("envelope").getBytes("UTF-8")
-          send(s"PUB ${r.getAs[String]("topic")} ${payload.length}\r\n")
-          out.write(payload)
-          send("\r\n")
+          val topic = r.getAs[String]("topic")
+          if (js) {
+            val key = if (hasKey) Option(r.getAs[String]("key")).getOrElse("") else ""
+            val hdr = ("NATS/1.0\r\n" +
+              (if (key.nonEmpty) s"key: ${key.replaceAll("[\r\n]", " ")}\r\n" else "") +
+              "\r\n").getBytes("UTF-8")
+            send(s"HPUB $topic $inbox ${hdr.length} ${hdr.length + payload.length}\r\n")
+            out.write(hdr); out.write(payload); send("\r\n"); out.flush()
+            awaitAck()                     // sync publish, reference parity
+          } else {
+            send(s"PUB $topic ${payload.length}\r\n")
+            out.write(payload)
+            send("\r\n")
+          }
         }
-        send("PING\r\n"); out.flush()
-        val flushAck = crlfLine()
-        if (flushAck != "PONG") throw new RuntimeException(s"nats: flush failed: $flushAck")
+        if (!js) {
+          send("PING\r\n"); out.flush()
+          val flushAck = crlfLine()
+          if (flushAck != "PONG") throw new RuntimeException(s"nats: flush failed: $flushAck")
+        }
       } finally sock.close()
       }
     }

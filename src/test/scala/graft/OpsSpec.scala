@@ -918,7 +918,7 @@ class OpsSpec extends SparkSpec {
         .repartition(2)
       val sink = graft.sinks.Sinks.withRetry(graft.sinks.NatsSink(graft.sinks.NatsSinkConfig(
         address = s"nats://127.0.0.1:${server.getLocalPort}",
-        username = "alice", password = "s3cret")))
+        username = "alice", password = "s3cret", jetStream = false)))
       sink.emit(df, 9L)
       // unsupported auth modes fail loudly instead of connecting blank
       assertThrows[IllegalArgumentException] {
@@ -928,6 +928,124 @@ class OpsSpec extends SparkSpec {
       assert(connectSeen.get().contains("\"user\":\"alice\"") &&
         connectSeen.get().contains("\"pass\":\"s3cret\""))
       assert(received.asScala.toSet === (1 to 8).map(i => s"subj$i|env$i").toSet)
+    } finally { running = false; server.close() }
+  }
+
+  test("nats jetstream: HPUB with key header + inbox, per-message PubAck, no-ack redelivers, error ack throws") {
+    import scala.jdk.CollectionConverters._
+    val acked     = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val seenCount = new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.atomic.AtomicInteger]()
+    val keysSeen  = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    // first publish of subject "drop1" is swallowed once (no ack → client
+    // times out → withRetry redelivers the batch)
+    val dropLeft  = new java.util.concurrent.atomic.AtomicInteger(1)
+    val server = new java.net.ServerSocket(0, 50, java.net.InetAddress.getByName("127.0.0.1"))
+    @volatile var running = true
+    val acceptor = new Thread(() => {
+      while (running) {
+        try {
+          val s = server.accept()
+          new Thread(() => {
+            val in  = new java.io.DataInputStream(new java.io.BufferedInputStream(s.getInputStream))
+            val out = new java.io.BufferedOutputStream(s.getOutputStream)
+            var inbox = ""
+            var seq = 0L
+            def line(): String = {
+              val sb = new StringBuilder; var c = in.read()
+              while (c != -1 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = in.read() }
+              sb.toString
+            }
+            try {
+              out.write("INFO {\"server_id\":\"fake\",\"headers\":true}\r\n".getBytes); out.flush()
+              var l = line()
+              while (l.nonEmpty) {
+                if (l == "PING") { out.write("PONG\r\n".getBytes); out.flush() }
+                else if (l.startsWith("SUB ")) inbox = l.split(" ")(1)
+                else if (l.startsWith("HPUB ")) {
+                  // HPUB <subj> <reply> <hdrLen> <totLen>
+                  val parts = l.split(" ")
+                  val (subj, reply) = (parts(1), parts(2))
+                  val (hdrLen, totLen) = (parts(3).toInt, parts(4).toInt)
+                  val buf = new Array[Byte](totLen + 2); in.readFully(buf)
+                  val hdrs = new String(buf, 0, hdrLen, "UTF-8")
+                  hdrs.split("\r\n").filter(_.startsWith("key: "))
+                    .foreach(h => keysSeen.add(h.drop(5)))
+                  val payload = new String(buf, hdrLen, totLen - hdrLen, "UTF-8")
+                  seenCount.computeIfAbsent(subj + "|" + payload,
+                    _ => new java.util.concurrent.atomic.AtomicInteger(0)).incrementAndGet()
+                  assert(reply === inbox, "publish must carry the subscribed inbox")
+                  if (subj == "drop1" && dropLeft.getAndDecrement() > 0) {
+                    // swallow: no ack — the client must time out and retry
+                  } else {
+                    seq += 1
+                    val ack = s"""{"stream":"graft","seq":$seq}"""
+                    out.write(s"MSG $inbox 1 ${ack.length}\r\n$ack\r\n".getBytes)
+                    out.flush()
+                    acked.add(subj + "|" + payload)
+                  }
+                }
+                l = line()
+              }
+            } catch { case _: Exception => () } finally s.close()
+          }).start()
+        } catch { case _: Exception => () }
+      }
+    })
+    acceptor.start()
+    try {
+      import spark.implicits._
+      val df = Seq(("drop1", "k1", "e1"), ("ok2", "k2", "e2"), ("ok3", "k3", "e3"))
+        .toDF("topic", "key", "envelope").coalesce(1)
+      val sink = graft.sinks.Sinks.withRetry(graft.sinks.NatsSink(graft.sinks.NatsSinkConfig(
+        address = s"nats://127.0.0.1:${server.getLocalPort}",
+        username = "u", password = "p", timeoutSeconds = 1)))
+      sink.emit(df, 1L)
+      assert(acked.asScala.toSet === Set("drop1|e1", "ok2|e2", "ok3|e3"),
+        "every message ends up broker-acked")
+      assert(seenCount.get("drop1|e1").get() >= 2,
+        "the unacked publish must be REDELIVERED, not silently lost")
+      assert(keysSeen.asScala.toSet === Set("k1", "k2", "k3"),
+        "the envelope key rides as a JetStream message header (nats.go:147-149)")
+      // an explicit error PubAck must throw (fail loud, no silent loss)
+      val errDf = Seq(("errsubj", "k", "e")).toDF("topic", "key", "envelope").coalesce(1)
+      val errServer = new java.net.ServerSocket(0, 5, java.net.InetAddress.getByName("127.0.0.1"))
+      val errThread = new Thread(() => {
+        try {
+          val s = errServer.accept()
+          val in = new java.io.DataInputStream(new java.io.BufferedInputStream(s.getInputStream))
+          val out = new java.io.BufferedOutputStream(s.getOutputStream)
+          var inbox = ""
+          def line(): String = {
+            val sb = new StringBuilder; var c = in.read()
+            while (c != -1 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = in.read() }
+            sb.toString
+          }
+          out.write("INFO {}\r\n".getBytes); out.flush()
+          var l = line()
+          while (l.nonEmpty) {
+            if (l == "PING") { out.write("PONG\r\n".getBytes); out.flush() }
+            else if (l.startsWith("SUB ")) inbox = l.split(" ")(1)
+            else if (l.startsWith("HPUB ")) {
+              val totLen = l.split(" ")(4).toInt
+              val buf = new Array[Byte](totLen + 2); in.readFully(buf)
+              val ack = """{"error":{"code":503,"description":"no stream"}}"""
+              out.write(s"MSG $inbox 1 ${ack.length}\r\n$ack\r\n".getBytes); out.flush()
+            }
+            l = line()
+          }
+          s.close()
+        } catch { case _: Exception => () }
+      })
+      errThread.start()
+      val err = intercept[Exception] {
+        graft.sinks.NatsSink(graft.sinks.NatsSinkConfig(
+          address = s"nats://127.0.0.1:${errServer.getLocalPort}",
+          username = "u", password = "p", timeoutSeconds = 1)).emit(errDf, 2L)
+      }
+      assert(err.getMessage != null && err.getMessage.contains("rejected"),
+        s"error PubAck must surface, got: ${err.getMessage}")
+      errServer.close()
     } finally { running = false; server.close() }
   }
 
