@@ -24,7 +24,13 @@ final case class KafkaWireSink(
     bootstrap: String,
     clientId: String = "graft",
     timeoutMs: Int = 30000,
-    maxBatchRecords: Int = 500) extends Sink {
+    maxBatchRecords: Int = 500,
+    // SASL PLAIN (`kafka.go:53-66`, sarama SASLTypePlaintext): when a
+    // username is set, every connection runs SaslHandshake(v1) +
+    // SaslAuthenticate(v0) before its first Produce. Other mechanisms
+    // (SCRAM, GSSAPI) and TLS stay native-path-only.
+    saslUsername: String = "",
+    saslPassword: String = "") extends Sink {
   def name = "kafka-wire"
 
   def emit(batch: DataFrame, batchId: Long): Unit = {
@@ -32,6 +38,7 @@ final case class KafkaWireSink(
     val client  = clientId
     val timeout = timeoutMs
     val chunkSz = maxBatchRecords
+    val (user, pass) = (saslUsername, saslPassword)
     batch.select("topic", "key", "envelope").foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {                  // empty partition: don't even dial
       val (host, port) = Sinks.hostPort(address, 9092)
@@ -42,6 +49,22 @@ final case class KafkaWireSink(
         val in  = new java.io.DataInputStream(
           new java.io.BufferedInputStream(sock.getInputStream))
         var correlation = 0
+        def roundTrip(req: Array[Byte]): Array[Byte] = {
+          out.writeInt(req.length); out.write(req); out.flush()
+          val respLen = in.readInt()
+          val resp = new Array[Byte](respLen)
+          in.readFully(resp)
+          resp
+        }
+        if (user.nonEmpty) {
+          correlation += 1
+          KafkaWire.checkSaslHandshakeResponse(
+            roundTrip(KafkaWire.saslHandshakeRequest(client, correlation)), correlation)
+          correlation += 1
+          KafkaWire.checkSaslAuthenticateResponse(
+            roundTrip(KafkaWire.saslAuthenticateRequest(client, correlation, user, pass)),
+            correlation)
+        }
         rows.grouped(chunkSz).foreach { chunk =>
           val byTopic = chunk.groupBy(_.getAs[String]("topic")).toSeq.sortBy(_._1)
           correlation += 1
@@ -49,11 +72,7 @@ final case class KafkaWireSink(
             byTopic.map { case (t, rs) =>
               t -> rs.map(r => (r.getAs[String]("key"), r.getAs[String]("envelope")))
             })
-          out.writeInt(req.length); out.write(req); out.flush()
-          val respLen = in.readInt()
-          val resp    = new Array[Byte](respLen)
-          in.readFully(resp)
-          KafkaWire.checkProduceResponse(resp, correlation)
+          KafkaWire.checkProduceResponse(roundTrip(req), correlation)
         }
       } finally sock.close()
       }
@@ -151,6 +170,59 @@ object KafkaWire {
       out.write(batch)
     }
     out.toByteArray
+  }
+
+  /** SaslHandshake v1 (api key 17): announce the PLAIN mechanism; the
+    * broker refuses Produce on a SASL listener until this + the
+    * authenticate round-trip succeed. */
+  def saslHandshakeRequest(clientId: String, correlationId: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    writeShort(out, 17)                     // api key: SaslHandshake
+    writeShort(out, 1)                      // version (v1 → auth via SaslAuthenticate)
+    writeInt(out, correlationId)
+    writeString(out, clientId)
+    writeString(out, "PLAIN")
+    out.toByteArray
+  }
+
+  def checkSaslHandshakeResponse(resp: Array[Byte], expectedCorrelation: Int): Unit = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(resp))
+    val corr = in.readInt()
+    if (corr != expectedCorrelation)
+      throw new RuntimeException(s"kafka: sasl handshake correlation $corr != $expectedCorrelation")
+    val err = in.readShort()
+    if (err != 0)
+      throw new RuntimeException(s"kafka: sasl handshake error code $err (mechanism rejected)")
+  }
+
+  /** SaslAuthenticate v0 (api key 36) with the RFC 4616 PLAIN token
+    * `\0user\0password` as auth_bytes. */
+  def saslAuthenticateRequest(clientId: String, correlationId: Int,
+      username: String, password: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    writeShort(out, 36)                     // api key: SaslAuthenticate
+    writeShort(out, 0)                      // version
+    writeInt(out, correlationId)
+    writeString(out, clientId)
+    val token = ("\u0000" + username + "\u0000" + password).getBytes("UTF-8")
+    writeInt(out, token.length)             // auth_bytes: BYTES
+    out.write(token)
+    out.toByteArray
+  }
+
+  def checkSaslAuthenticateResponse(resp: Array[Byte], expectedCorrelation: Int): Unit = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(resp))
+    val corr = in.readInt()
+    if (corr != expectedCorrelation)
+      throw new RuntimeException(s"kafka: sasl auth correlation $corr != $expectedCorrelation")
+    val err = in.readShort()
+    if (err != 0) {
+      val msgLen = in.readShort()
+      val msg =
+        if (msgLen > 0) { val b = new Array[Byte](msgLen); in.readFully(b); new String(b, "UTF-8") }
+        else "authentication failed"
+      throw new RuntimeException(s"kafka: sasl authenticate error $err: $msg")
+    }
   }
 
   /** Parse a Produce v3 response; throw on correlation mismatch or any

@@ -80,12 +80,20 @@ object Sinks {
         // (the native format("kafka") path via KafkaSinkConfig carries
         // the full security option assembly on clusters that have the
         // connector jar)
-        if (p("sink.kafka.sasl.enabled", "false").toBoolean ||
-            p("sink.kafka.tls.enabled", "false").toBoolean)
+        if (p("sink.kafka.tls.enabled", "false").toBoolean)
           throw new IllegalArgumentException(
-            "kafka wire client implements PLAINTEXT only; " +
-              "sink.kafka.sasl/tls configs need the native format(\"kafka\") path")
-        KafkaWireSink(bootstrap = p("sink.kafka.brokers", "localhost:9092"))
+            "kafka wire client has no TLS; " +
+              "sink.kafka.tls configs need the native format(\"kafka\") path")
+        val saslOn = p("sink.kafka.sasl.enabled", "false").toBoolean
+        val mechanism = p("sink.kafka.sasl.mechanism", "PLAIN").toUpperCase
+        if (saslOn && mechanism != "PLAIN")
+          throw new IllegalArgumentException(
+            s"kafka wire client implements SASL PLAIN only, got '$mechanism'; " +
+              "other mechanisms need the native format(\"kafka\") path")
+        KafkaWireSink(
+          bootstrap = p("sink.kafka.brokers", "localhost:9092"),
+          saslUsername = if (saslOn) p("sink.kafka.sasl.user") else "",
+          saslPassword = if (saslOn) p("sink.kafka.sasl.password") else "")
       case "nats" => NatsSink(NatsSinkConfig(
         address = p("sink.nats.address", "nats://localhost:4222"),
         authorization = p("sink.nats.authorization", "userinfo"),

@@ -1265,6 +1265,103 @@ class OpsSpec extends SparkSpec {
     } finally { running = false; server.close() }
   }
 
+  test("kafka wire sink: SASL PLAIN handshake + authenticate gate Produce; bad credentials throw") {
+    import scala.jdk.CollectionConverters._
+    val produced      = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val tokenSeen     = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val produceNoAuth = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = new java.net.ServerSocket(0, 50, java.net.InetAddress.getByName("127.0.0.1"))
+    @volatile var running = true
+    val acceptor = new Thread(() => {
+      while (running) {
+        try {
+          val s = server.accept()
+          new Thread(() => {
+            val in  = new java.io.DataInputStream(new java.io.BufferedInputStream(s.getInputStream))
+            val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(s.getOutputStream))
+            var handshaken = false
+            var authed = false
+            try {
+              while (true) {
+                val size = in.readInt()
+                val req = new Array[Byte](size); in.readFully(req)
+                val r = new java.io.DataInputStream(new java.io.ByteArrayInputStream(req))
+                val apiKey = r.readShort()
+                val version = r.readShort()
+                val corr = r.readInt()
+                val cidLen = r.readShort(); r.skipBytes(cidLen)
+                val resp = new java.io.ByteArrayOutputStream()
+                val d = new java.io.DataOutputStream(resp)
+                apiKey match {
+                  case 17 => // SaslHandshake v1: mechanism string
+                    val mLen = r.readShort(); val mb = new Array[Byte](mLen); r.readFully(mb)
+                    val mech = new String(mb, "UTF-8")
+                    handshaken = mech == "PLAIN" && version == 1
+                    d.writeInt(corr)
+                    d.writeShort(if (handshaken) 0 else 33)  // UNSUPPORTED_SASL_MECHANISM
+                    d.writeInt(1); val pb = "PLAIN".getBytes; d.writeShort(pb.length); d.write(pb)
+                  case 36 => // SaslAuthenticate v0: auth_bytes
+                    val n = r.readInt(); val tb = new Array[Byte](n); r.readFully(tb)
+                    val token = new String(tb, "UTF-8")
+                    tokenSeen.set(token)
+                    authed = handshaken && token == "\u0000sylvie\u0000sw0rdfish"
+                    d.writeInt(corr)
+                    if (authed) { d.writeShort(0); d.writeShort(-1); d.writeInt(0) }
+                    else {
+                      d.writeShort(58)                       // SASL_AUTHENTICATION_FAILED
+                      val m = "bad creds".getBytes; d.writeShort(m.length); d.write(m)
+                      d.writeInt(0)
+                    }
+                  case 0 => // Produce v3 — only legal AFTER authentication
+                    if (!authed) produceNoAuth.incrementAndGet()
+                    r.readShort(); r.readShort(); r.readInt() // txn id, acks, timeout
+                    val nTopics = r.readInt()
+                    val names = (0 until nTopics).map { _ =>
+                      val tn = r.readShort(); val tb = new Array[Byte](tn); r.readFully(tb)
+                      r.readInt(); r.readInt()
+                      val setSize = r.readInt(); r.skipBytes(setSize)
+                      produced.add(new String(tb, "UTF-8"))
+                      new String(tb, "UTF-8")
+                    }
+                    d.writeInt(corr); d.writeInt(names.length)
+                    names.foreach { t =>
+                      val tb = t.getBytes; d.writeShort(tb.length); d.write(tb)
+                      d.writeInt(1); d.writeInt(0); d.writeShort(0)
+                      d.writeLong(0L); d.writeLong(-1L)
+                    }
+                    d.writeInt(0)
+                }
+                out.writeInt(resp.size()); out.write(resp.toByteArray); out.flush()
+              }
+            } catch { case _: Exception => () } finally s.close()
+          }).start()
+        } catch { case _: Exception => () }
+      }
+    })
+    acceptor.start()
+    try {
+      import spark.implicits._
+      val df = Seq(("t1", "k", "e")).toDF("topic", "key", "envelope").coalesce(1)
+      graft.sinks.KafkaWireSink(
+        bootstrap = s"127.0.0.1:${server.getLocalPort}",
+        saslUsername = "sylvie", saslPassword = "sw0rdfish").emit(df, 1L)
+      assert(produced.asScala.toSet === Set("t1"))
+      assert(produceNoAuth.get() === 0,
+        "Produce must never be sent before the SASL handshake completes")
+      assert(tokenSeen.get() === "\u0000sylvie\u0000sw0rdfish",
+        "RFC 4616 PLAIN token: NUL-separated authzid/user/password")
+      val err = intercept[Exception] {     // executor failure surfaces wrapped
+        graft.sinks.KafkaWireSink(
+          bootstrap = s"127.0.0.1:${server.getLocalPort}",
+          saslUsername = "sylvie", saslPassword = "wrong").emit(df, 2L)
+      }
+      val msgs = Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("sasl authenticate error 58"),
+        s"bad credentials must fail loudly, got: $msgs")
+    } finally { running = false; server.close() }
+  }
+
   test("config-driven sink dispatch builds every backend from reference property keys") {
     import graft.sinks._
     assert(Sinks.fromConfig(Map.empty) === ConsoleSink)   // stdout default
@@ -1284,9 +1381,20 @@ class OpsSpec extends SparkSpec {
     assert(redis.config.database === 3 && redis.config.retryBackoffMinMs === 16L)
     // skipverify maps to skipverify, NOT to TLS-enable
     assert(redis.config.tlsSkipVerify && !redis.config.tls)
-    // the wire client cannot honor SASL/TLS — asking for it fails loudly
+    // SASL PLAIN maps onto the wire client's handshake credentials
+    assert(Sinks.fromConfig(Map("sink.type" -> "kafka",
+      "sink.kafka.sasl.enabled" -> "true", "sink.kafka.sasl.user" -> "ku",
+      "sink.kafka.sasl.password" -> "kp"))
+      === KafkaWireSink(bootstrap = "localhost:9092",
+        saslUsername = "ku", saslPassword = "kp"))
+    // non-PLAIN mechanisms and TLS still fail loudly to the native path
     assertThrows[IllegalArgumentException] {
-      Sinks.fromConfig(Map("sink.type" -> "kafka", "sink.kafka.sasl.enabled" -> "true"))
+      Sinks.fromConfig(Map("sink.type" -> "kafka",
+        "sink.kafka.sasl.enabled" -> "true",
+        "sink.kafka.sasl.mechanism" -> "SCRAM-SHA-256"))
+    }
+    assertThrows[IllegalArgumentException] {
+      Sinks.fromConfig(Map("sink.type" -> "kafka", "sink.kafka.tls.enabled" -> "true"))
     }
     // missing mandatory http url fails at construction, not on an executor
     assertThrows[IllegalArgumentException] {
