@@ -242,7 +242,14 @@ object ConfigPipeline {
         s"statestorage.type: illegal value '$other'")
     }
     val sink = Sinks.fromConfig(props)
-    shape(StreamPipeline.envelopeStream(spark, dir, effectiveOps(props)), props)
+    // Prometheus scrape surface, reference parity: stats.enabled default
+    // true, stats.port default 8081 (stats.go:35-100); one listener +
+    // server per JVM however many pipelines start
+    val statsOn = bool(props, "stats.enabled", default = true)
+    if (statsOn)
+      StatsEndpoint.ensure(spark, props.getOrElse("stats.port", "8081").toInt)
+    val shaped = shape(StreamPipeline.envelopeStream(spark, dir, effectiveOps(props)), props)
+    (if (statsOn) StreamPipeline.withStats(shaped) else shaped)
       .writeStream
       .queryName(topicPrefix(props))
       .option("checkpointLocation", ckpt)

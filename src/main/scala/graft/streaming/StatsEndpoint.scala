@@ -1,0 +1,83 @@
+package graft.streaming
+
+/** Prometheus-parity scrape surface — the reference serves its stats
+  * engine over HTTP `/metrics` (`internal/stats/stats.go:35-100`,
+  * default port 8081, `stats.enabled` default true). Same surface here
+  * over the JDK's built-in HttpServer: the [[StatsListener]] counters
+  * rendered in the Prometheus text exposition format under the
+  * REFERENCE's series names (engine prefix + reporter prefix + struct
+  * path, e.g. `streamer_replicationchannel_calls_total` from
+  * `replicationhandler.go:41-47`), so a dashboard scraping the
+  * reference scrapes this engine unchanged.
+  */
+object StatsEndpoint {
+
+  /** listener-key → (reference Prometheus series name, TYPE). */
+  private val series: Seq[(String, String, String)] = Seq(
+    ("total", "streamer_replicationchannel_calls_total", "counter"),
+    ("insert", "streamer_replicationchannel_calls_insert", "counter"),
+    ("updates", "streamer_replicationchannel_calls_updates", "counter"),
+    ("deletes", "streamer_replicationchannel_calls_deletes", "counter"),
+    ("truncates", "streamer_replicationchannel_calls_truncates", "counter"),
+    ("messages", "streamer_replicationchannel_calls_messages", "counter"),
+    ("emitted.count", "streamer_eventemitter_emitted_count", "counter"))
+
+  /** Prometheus text exposition (v0.0.4) of the counter map. Counters
+    * the reference doesn't name surface under `graft_` so nothing
+    * silently disappears from the scrape. */
+  def render(counters: scala.collection.Map[String, Long]): String = {
+    val sb = new StringBuilder
+    series.foreach { case (key, name, typ) =>
+      sb.append("# TYPE ").append(name).append(' ').append(typ).append('\n')
+      sb.append(name).append(' ').append(counters.getOrElse(key, 0L)).append('\n')
+    }
+    val known = series.map(_._1).toSet
+    counters.toSeq.filterNot(t => known(t._1)).sortBy(_._1).foreach { case (k, v) =>
+      val safe = "graft_" + k.replaceAll("[^a-zA-Z0-9_]", "_")
+      sb.append("# TYPE ").append(safe).append(" counter\n")
+      sb.append(safe).append(' ').append(v).append('\n')
+    }
+    sb.toString
+  }
+
+  private val servers =
+    scala.collection.concurrent.TrieMap[Int, com.sun.net.httpserver.HttpServer]()
+  private val listeners = scala.collection.concurrent.TrieMap[
+    org.apache.spark.sql.SparkSession, StatsListener]()
+
+  /** Idempotent per-JVM wiring (the reference runs ONE stats service per
+    * process, stats.go:35): one StatsListener per session, one scrape
+    * server per port, shared by every config pipeline that enables
+    * stats. */
+  def ensure(spark: org.apache.spark.sql.SparkSession, port: Int): StatsListener =
+    synchronized {
+      val l = listeners.getOrElseUpdate(spark, {
+        val x = new StatsListener
+        spark.streams.addListener(x)
+        x
+      })
+      servers.getOrElseUpdate(port, start(l, port))
+      l
+    }
+
+  /** Start the scrape server on `port` (0 = ephemeral, for tests).
+    * Driver-side only — one tiny daemon thread pool inside the JDK
+    * server; call `stop(0)` to shut down. */
+  def start(listener: StatsListener,
+            port: Int = 8081): com.sun.net.httpserver.HttpServer = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(port), 0)
+    server.createContext("/metrics", new com.sun.net.httpserver.HttpHandler {
+      def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+        val body = render(listener.counters).getBytes("UTF-8")
+        ex.getResponseHeaders.add("Content-Type",
+          "text/plain; version=0.0.4; charset=utf-8")
+        ex.sendResponseHeaders(200, body.length.toLong)
+        val os = ex.getResponseBody
+        try os.write(body) finally os.close()
+      }
+    })
+    server.start()
+    server
+  }
+}

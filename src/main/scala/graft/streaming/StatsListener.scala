@@ -27,14 +27,18 @@ class StatsListener extends StreamingQueryListener {
     val om = e.progress.observedMetrics
     if (om.containsKey("graft_stats")) {
       val row = om.get("graft_stats")
-      def long(name: String): Long = {
-        val i = row.schema.fieldIndex(name)
-        if (row.isNullAt(i)) 0L else row.getLong(i)
-      }
+      def long(name: String): Long =
+        if (!row.schema.fieldNames.contains(name)) 0L
+        else {
+          val i = row.schema.fieldIndex(name)
+          if (row.isNullAt(i)) 0L else row.getLong(i)
+        }
       add("total", long("n_events"))
       add("insert", long("n_inserts"))
       add("updates", long("n_updates"))
       add("deletes", long("n_deletes"))
+      add("truncates", long("n_truncates"))
+      add("messages", long("n_messages"))
       // from the observed batch, NOT progress.sink.numOutputRows — the
       // foreachBatch sink reports -1 (no sink metrics), which would pin
       // the reference's emitted.count series at zero

@@ -112,17 +112,22 @@ object StreamPipeline {
     * (T1). `processAllAvailable` + `stop` gives the synchronous batch
     * drain used by tests; production callers use `awaitTermination`.
     */
+  /** A1 — the reference's Prometheus counters
+    * (`internal/stats/stats.go:35-100`) as observed metrics: per-batch
+    * totals and per-op counts, surfaced in StreamingQueryProgress and
+    * folded by [[StatsListener]] / scraped by [[StatsEndpoint]]. */
+  def withStats(df: DataFrame): DataFrame =
+    df.observe("graft_stats",
+      count(lit(1)).as("n_events"),
+      sum(when(col("op") === "c", 1).otherwise(0)).as("n_inserts"),
+      sum(when(col("op") === "u", 1).otherwise(0)).as("n_updates"),
+      sum(when(col("op") === "d", 1).otherwise(0)).as("n_deletes"),
+      sum(when(col("op") === "t", 1).otherwise(0)).as("n_truncates"),
+      sum(when(col("op") === "m", 1).otherwise(0)).as("n_messages"))
+
   def run(spark: SparkSession, dir: String, checkpointDir: String,
           sink: Sink, queryName: String = "graft-cdc"): StreamingQuery =
-    envelopeStream(spark, dir)
-      // A1 — the reference's Prometheus counters
-      // (`internal/stats/stats.go:35-100`) as observed metrics: per-batch
-      // totals and per-op counts, surfaced in StreamingQueryProgress
-      .observe("graft_stats",
-        count(lit(1)).as("n_events"),
-        sum(when(col("op") === "c", 1).otherwise(0)).as("n_inserts"),
-        sum(when(col("op") === "u", 1).otherwise(0)).as("n_updates"),
-        sum(when(col("op") === "d", 1).otherwise(0)).as("n_deletes"))
+    withStats(envelopeStream(spark, dir))
       .writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)

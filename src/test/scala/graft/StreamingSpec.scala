@@ -271,6 +271,23 @@ class StreamingSpec extends SparkSpec {
       assert(listener.counters("updates") === opCount("u"))
       assert(listener.counters("deletes") === opCount("d"))
       assert(listener.counters("emitted.count") === 1000L)
+      // Prometheus scrape surface: the reference's /metrics endpoint
+      // (stats.go:35-100) with its series names, values live from the
+      // listener
+      val server = graft.streaming.StatsEndpoint.start(listener, port = 0)
+      try {
+        val url = new java.net.URI(
+          s"http://127.0.0.1:${server.getAddress.getPort}/metrics").toURL
+        val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        assert(conn.getHeaderField("Content-Type").startsWith("text/plain"))
+        assert(body.contains("# TYPE streamer_replicationchannel_calls_total counter"))
+        assert(body.contains(s"streamer_replicationchannel_calls_total 1000"))
+        assert(body.contains(s"streamer_replicationchannel_calls_insert ${opCount("c")}"))
+        assert(body.contains(s"streamer_replicationchannel_calls_updates ${opCount("u")}"))
+        assert(body.contains(s"streamer_replicationchannel_calls_deletes ${opCount("d")}"))
+        assert(body.contains("streamer_eventemitter_emitted_count 1000"))
+      } finally server.stop(0)
     } finally spark.streams.removeListener(listener)
   }
 
