@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{FloatVecDot, FloatVecNorm2, FnvHash64, NGramsJoin, PolyLen}
+import graft.functions.{FloatVecDot, FloatVecNorm2, FnvHash64, NGramsJoin,
+  PolyAt, PolyIn, PolyLen, PolySlice}
 
 /** SparkSessionExtensions hook — registers the engine's custom Catalyst
   * expressions as SQL functions so `spark.sql("SELECT vec_dot(a, b) …")`
@@ -34,6 +35,15 @@ object GraftExtensions {
     (FunctionIdentifier("graft_len"),
       new ExpressionInfo(classOf[PolyLen].getName, "graft_len"),
       (children: Seq[Expression]) => PolyLen(children.head)),
+    (FunctionIdentifier("graft_slice"),
+      new ExpressionInfo(classOf[PolySlice].getName, "graft_slice"),
+      (children: Seq[Expression]) => PolySlice(children(0), children(1), children(2))),
+    (FunctionIdentifier("graft_at"),
+      new ExpressionInfo(classOf[PolyAt].getName, "graft_at"),
+      (children: Seq[Expression]) => PolyAt(children(0), children(1))),
+    (FunctionIdentifier("graft_in"),
+      new ExpressionInfo(classOf[PolyIn].getName, "graft_in"),
+      (children: Seq[Expression]) => PolyIn(children(0), children(1))),
     (FunctionIdentifier("ngrams_join"),
       new ExpressionInfo(classOf[NGramsJoin].getName, "ngrams_join"),
       (children: Seq[Expression]) => {

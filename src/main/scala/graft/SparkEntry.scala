@@ -1224,6 +1224,18 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("lsn"))
     }),
 
+    "cdc_filter_wave2" -> ((s, dir) => {
+      // wave-2 dialect surface: postfix slicing (0-based end-exclusive),
+      // map-literal KEY membership, and type() — all compiled to
+      // Catalyst builtins through the polymorphic PolyAt/PolySlice/
+      // PolyIn expressions (dispatch at analysis, codegen at run time)
+      graft.filter.EventFilter(
+        """event_type[0:3] in {sig: 1, pur: 2, vie: 3} && len(props[2:6]) == 4 && type(user_id) == "int"""")
+        .apply(Cdc.walEvents(s, dir))
+        .select(col("lsn"), col("event_type"), col("user_id"))
+        .orderBy(col("lsn"))
+    }),
+
     "cdc_filter_closures" -> ((s, dir) => {
       // expr-lang array closures (# placeholder, brace shorthand, nested
       // map-inside-count) compiled to Catalyst higher-order functions —
@@ -2031,6 +2043,16 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
          |WHERE (CASE WHEN user_id > 50 THEN $opCaseSql = 'c' ELSE $opCaseSql <> 'c' END)
          |  AND ends_with(coalesce(props, ''), '9}')
          |ORDER BY lsn""".stripMargin,
+
+    // wave-2 twin: slice = 1-based substring of the same width; map
+    // membership = key-set IN; type(user_id)=='int' = non-null bigint
+    "cdc_filter_wave2" ->
+      """SELECT event_id AS lsn, event_type, user_id
+        |FROM events
+        |WHERE substring(event_type, 1, 3) IN ('sig', 'pur', 'vie')
+        |  AND length(substring(props, 3, 4)) = 4
+        |  AND user_id IS NOT NULL
+        |ORDER BY lsn""".stripMargin,
 
     "cdc_filter_closures" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)

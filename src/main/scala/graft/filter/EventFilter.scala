@@ -31,7 +31,16 @@ import org.apache.spark.sql.functions.expr
   * regex-based split), plus the array-closure builtins
   * `filter map all any none one count` with `#`/`#.field` placeholders
   * and the `{...}` brace shorthand, translated to Catalyst higher-order
-  * functions (`filter`/`transform`/`forall`/`exists`/`size∘filter`).
+  * functions (`filter`/`transform`/`forall`/`exists`/`size∘filter`);
+  * postfix indexing/slicing `x[i]` / `x[a:b]` / `x[:b]` / `x[a:]`
+  * (0-based end-exclusive over strings/arrays, key lookup over maps,
+  * via the polymorphic PolyAt/PolySlice expressions — negative from-end
+  * indices are outside the subset and fail at parse); map literals
+  * `{a: 1, "b": 2}` and `in` over maps (KEY membership) / array values
+  * (graft_in); `now()` (a PLAN-TIME constant — one value per query, the
+  * deterministic deviation a distributed filter needs), `duration()`
+  * over Go literals → interval constants, `date()`, and `type()` with
+  * expr-lang's type names.
   * Literal `matches` patterns are
   * checked against a non-RE2 reject-list (backreferences, lookarounds,
   * atomic groups, possessive quantifiers) since expr-lang compiles Go
@@ -255,15 +264,26 @@ object EventFilter {
         case Some(TIdent("contains"))   => next(); s"contains($l, ${additive()})"
         case Some(TIdent("startsWith")) => next(); s"startswith($l, ${additive()})"
         case Some(TIdent("endsWith"))   => next(); s"endswith($l, ${additive()})"
-        case Some(TIdent("in"))         => next(); s"$l IN ${listLiteral()}"
+        case Some(TIdent("in"))         => next(); inRhs(l, negate = false)
         case Some(TIdent("not")) =>
           next()
           next() match {
-            case TIdent("in") => s"$l NOT IN ${listLiteral()}"
+            case TIdent("in") => inRhs(l, negate = true)
             case other        => fail(s"expected 'in' after 'not', got $other")
           }
         case _ => l
       }
+    }
+
+    /** `l in <rhs>`: a `[..]` literal keeps the SQL IN-list form; any
+      * other operand (map literal, array-valued path, slice…) becomes
+      * the polymorphic graft_in — array membership, or KEY membership
+      * for maps, as the dialect defines `in` over each type. */
+    def inRhs(l: String, negate: Boolean): String = {
+      val base =
+        if (peekOp("[")) s"$l IN ${listLiteral()}"
+        else s"graft_in($l, ${additive()})"
+      if (negate) s"(NOT $base)" else base
     }
 
     def listLiteral(): String = {
@@ -311,9 +331,36 @@ object EventFilter {
 
     def nullCoalesce(): String = {
       // expr-lang power 500 — the tightest binary, inside even unary -
-      var l = primary()
-      while (eatOp("??")) l = s"coalesce($l, ${primary()})"
+      var l = postfix(primary())
+      while (eatOp("??")) l = s"coalesce($l, ${postfix(primary())})"
       l
+    }
+
+    /** Postfix index/slice chain: `x[i]`, `x[a:b]`, `x[:b]`, `x[a:]`,
+      * `x[:]` — 0-based, end-exclusive, over strings/arrays (index also
+      * over maps), via the polymorphic graft_at/graft_slice expressions
+      * (type dispatch at analysis, builtin codegen at run time).
+      * Negative (from-end) indices are outside the columnar subset and
+      * literal ones fail at parse. */
+    def postfix(e0: String): String = {
+      def noNeg(idx: String): String =
+        if (idx.startsWith("(- ")) fail(
+          s"negative (from-end) index '$idx' outside the columnar subset")
+        else idx
+      var e = e0
+      while (eatOp("[")) {
+        def sliceTo(a: String): String = {
+          val b = if (peekOp("]")) s"graft_len($e)" else noNeg(ternary())
+          s"graft_slice($e, $a, $b)"
+        }
+        if (eatOp(":")) { e = sliceTo("0"); expectOp("]") }
+        else {
+          val a = noNeg(ternary())
+          if (eatOp(":")) { e = sliceTo(a); expectOp("]") }
+          else { expectOp("]"); e = s"graft_at($e, $a)" }
+        }
+      }
+      e
     }
 
     def primary(): String = next() match {
@@ -330,6 +377,24 @@ object EventFilter {
         }
         expectOp("]")
         items.mkString("array(", ", ", ")")
+      case TOp("{") =>
+        // map literal {a: 1, "b": 2} (the closure brace shorthand eats
+        // its '{' inside closureCall, so '{' at operand position is
+        // always a map)
+        val items = scala.collection.mutable.ListBuffer.empty[String]
+        def entry(): Unit = {
+          val key = next() match {
+            case TIdent(k) if !k.contains(".") && !k.startsWith("#") => k
+            case TStr(k) => k
+            case other   => fail(s"expected map key, got $other")
+          }
+          expectOp(":")
+          items += sqlString(key)
+          items += ternary()
+        }
+        if (!peekOp("}")) { entry(); while (eatOp(",")) entry() }
+        expectOp("}")
+        items.mkString("map(", ", ", ")")
       case TIdent("true")  => "true"
       case TIdent("false") => "false"
       case TIdent("nil")   => "NULL"
@@ -443,6 +508,39 @@ object EventFilter {
         case "max" =>
           if (args.length < 2) fail("max expects at least 2 arguments")
           s"greatest(${args.mkString(", ")})"
+        // DETERMINISM STANCE: expr-lang's now() reads the wall clock per
+        // evaluation; current_timestamp() is a PLAN-TIME constant (one
+        // value per query) — the only defensible semantics for a
+        // distributed columnar filter, documented as a deviation. The
+        // same batch therefore filters identically on every executor
+        // and every retry.
+        case "now" => arity(0); "current_timestamp()"
+        // Go duration literal ("1h45m", "300ms", "1.5s") → a day-time
+        // interval constant; timestamp arithmetic/comparisons against it
+        // are Catalyst builtins. Literal-only: a runtime-composed
+        // duration string is not a columnar constant.
+        case "duration" =>
+          arity(1)
+          val lit = litArgs(0).getOrElse(
+            fail("duration argument must be a string literal in the columnar subset"))
+          val micros = parseGoDuration(lit).getOrElse(
+            fail(s"malformed duration literal '$lit'"))
+          s"make_dt_interval(0, 0, 0, ${micros / 1000000.0d})"
+        case "date" => arity(1); s"CAST(${args(0)} AS TIMESTAMP)"
+        // expr-lang type names over Spark's typeof(): int/float/string/
+        // bool/array/map/nil (structs read as map — the dialect views
+        // envelope structs as maps)
+        case "type" =>
+          arity(1)
+          val a = args(0)
+          s"(CASE WHEN $a IS NULL THEN 'nil' " +
+            s"WHEN typeof($a) IN ('tinyint', 'smallint', 'int', 'bigint') THEN 'int' " +
+            s"WHEN typeof($a) IN ('float', 'double') OR typeof($a) LIKE 'decimal%' THEN 'float' " +
+            s"WHEN typeof($a) = 'string' THEN 'string' " +
+            s"WHEN typeof($a) = 'boolean' THEN 'bool' " +
+            s"WHEN typeof($a) LIKE 'array%' THEN 'array' " +
+            s"WHEN typeof($a) LIKE 'map%' OR typeof($a) LIKE 'struct%' THEN 'map' " +
+            s"ELSE typeof($a) END)"
         case other =>
           fail(s"unsupported function '$other' (expr-lang builtin outside the columnar subset)")
       }
@@ -502,6 +600,29 @@ object EventFilter {
                 // fails loudly if the envelope carries no before image)
     // quote each component so reserved words survive as column names
     stripped.split('.').map(p => s"`$p`").mkString(".")
+  }
+
+  /** Go duration literal → total microseconds: a sequence of
+    * `<number><unit>` terms with units ns/us/µs/ms/s/m/h (the format
+    * `time.ParseDuration` accepts, which is what expr-lang's duration()
+    * parses). Sub-microsecond precision truncates. */
+  private[graft] def parseGoDuration(s: String): Option[Long] = {
+    val body = s.stripPrefix("+")
+    if (body.isEmpty) return None
+    val microsPerUnit = Map(
+      "ns" -> 0.001, "us" -> 1.0, "µs" -> 1.0, "ms" -> 1000.0,
+      "s" -> 1000000.0, "m" -> 60000000.0, "h" -> 3600000000.0)
+    val term = java.util.regex.Pattern
+      .compile("""\G(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)""")
+      .matcher(body)
+    var micros = 0.0d
+    var idx = 0
+    while (idx < body.length) {
+      if (!term.find(idx) || term.start != idx) return None
+      micros += term.group(1).toDouble * microsPerUnit(term.group(2))
+      idx = term.end
+    }
+    Some(micros.toLong)
   }
 
   /** SQL string literal: single quotes doubled; backslashes doubled (the

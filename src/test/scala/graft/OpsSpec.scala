@@ -43,7 +43,7 @@ class OpsSpec extends SparkSpec {
     assert(EventFilter.translate("""props matches "^a.*"""") === "rlike(`props`, '^a.*')")
     assert(EventFilter.translate("""props contains "x"""") === "contains(`props`, 'x')")
     assert(EventFilter.translate("""value.after.user_id in [1, 2]""") === "`user_id` IN (1, 2)")
-    assert(EventFilter.translate("""user_id not in [1]""") === "`user_id` NOT IN (1)")
+    assert(EventFilter.translate("""user_id not in [1]""") === "(NOT `user_id` IN (1))")
     assert(EventFilter.translate("""not (a == 1)""") === "(NOT (`a` = 1))")
     // expr-lang tight-binding precedence: ?? and unary ! bind before
     // comparison operators (eventfilter.go dialect)
@@ -90,8 +90,9 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       EventFilter.translate("""split(s, sep) in ["a"]""") // non-literal separator
     }
-    // unknown functions stay fail-loud
-    intercept[IllegalArgumentException] { EventFilter.translate("""now() > 1""") }
+    // unknown functions stay fail-loud (now() graduated to the subset
+    // in wave 2 — bitSize is still outside it)
+    intercept[IllegalArgumentException] { EventFilter.translate("""bitSize(a) > 1""") }
     intercept[IllegalArgumentException] { EventFilter.translate("""len(a, b) > 1""") }
   }
 
@@ -165,6 +166,46 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](EventFilter.translate("""any(xs, {#x > 0})"""))
     intercept[IllegalArgumentException](EventFilter.translate("""any(xs, {#. > 0})"""))
     intercept[IllegalArgumentException](EventFilter.translate("""any(xs, {#.a..b > 0})"""))
+  }
+
+  test("event filter wave 2: slices, indexing, map literals, in-over-collections, now/duration/date/type") {
+    // translation shapes
+    assert(EventFilter.translate("""value.name[1:3]""") === "graft_slice(`name`, 1, 3)")
+    assert(EventFilter.translate("""name[:2]""") === "graft_slice(`name`, 0, 2)")
+    assert(EventFilter.translate("""name[2:]""")
+      === "graft_slice(`name`, 2, graft_len(`name`))")
+    assert(EventFilter.translate("""tags[0]""") === "graft_at(`tags`, 0)")
+    assert(EventFilter.translate("""op in {c: 1, "u": 2}""")
+      === "graft_in(`op`, map('c', 1, 'u', 2))")
+    assert(EventFilter.translate(""""x" in tags""") === "graft_in('x', `tags`)")
+    assert(EventFilter.translate("""op not in {c: 1}""")
+      === "(NOT graft_in(`op`, map('c', 1)))")
+    assert(EventFilter.translate("""now()""") === "current_timestamp()")
+    assert(EventFilter.translate("""duration("1h30m")""")
+      === "make_dt_interval(0, 0, 0, 5400.0)")
+    assert(EventFilter.translate("""duration("250ms")""")
+      === "make_dt_interval(0, 0, 0, 0.25)")
+    // fail-loud: from-end indices, malformed durations, non-literal durations
+    intercept[IllegalArgumentException](EventFilter.translate("""name[-1]"""))
+    intercept[IllegalArgumentException](EventFilter.translate("""duration("1x")"""))
+    intercept[IllegalArgumentException](EventFilter.translate("""duration(name)"""))
+    // evaluation on data
+    graft.GraftExtensions.registerTo(spark)
+    val df = Seq(("hello", Seq("a", "b", "c"), 5L)).toDF("name", "tags", "n")
+    def ev(cond: String) = df.select(expr(EventFilter.translate(cond))).head
+    assert(ev("""name[1:3]""").getString(0) === "el")
+    assert(ev("""name[0]""").getString(0) === "h")
+    assert(ev("""tags[1]""").getString(0) === "b")
+    assert(ev("""tags[1:]""").getSeq[String](0) === Seq("b", "c"))
+    assert(ev("""name in {hello: 1, other: 2}""").getBoolean(0))
+    assert(ev(""""b" in tags""").getBoolean(0))
+    assert(!ev(""""q" in tags""").getBoolean(0))
+    assert(ev("""type(n)""").getString(0) === "int")
+    assert(ev("""type(name)""").getString(0) === "string")
+    assert(ev("""type(tags)""").getString(0) === "array")
+    assert(ev("""type(name[5:9])""").getString(0) === "string") // empty slice, not nil
+    assert(ev("""duration("2h") > duration("90m")""").getBoolean(0))
+    assert(ev("""now() > date("2020-01-01")""").getBoolean(0))
   }
 
   test("event filter closures evaluate on array data") {

@@ -119,6 +119,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("expr filter wave 2: Go-duration parsing law and slice translation shape") {
+    val unitGen = Gen.oneOf(("ns", 0.001), ("us", 1.0), ("ms", 1000.0),
+      ("s", 1e6), ("m", 6e7), ("h", 3.6e9))
+    val termsGen = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 999), unitGen)).map(_.take(4))
+    samples(termsGen).foreach { terms =>
+      val text = terms.map { case (n, (u, _)) => s"$n$u" }.mkString
+      val expected = terms.foldLeft(0.0d) { case (acc, (n, (_, m))) => acc + n * m }.toLong
+      assert(graft.filter.EventFilter.parseGoDuration(text) === Some(expected),
+        s"for duration <$text>")
+    }
+    // malformed forms reject, never mis-parse
+    Seq("", "12", "h", "1h2", "1d", "--3s").foreach { bad =>
+      assert(graft.filter.EventFilter.parseGoDuration(bad).isEmpty, s"<$bad>")
+    }
+    samples(Gen.zip(Gen.choose(0, 50), Gen.choose(0, 50))).foreach { case (a, b) =>
+      assert(graft.filter.EventFilter.translate(s"name[$a:$b]")
+        === s"graft_slice(`name`, $a, $b)")
+    }
+  }
+
   test("ngrams_join eval: sliding-window law for arbitrary token lists") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData
