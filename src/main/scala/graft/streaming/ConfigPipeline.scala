@@ -90,22 +90,38 @@ object ConfigPipeline {
   private def list(props: Map[String, String], key: String): Seq[String] =
     props.get(key).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
 
-  /** Per-kind op gate set from the `timescaledb.events.*` keys
-    * (reference defaults: CRUD+truncate on, compression/decompression
-    * off) plus `postgresql.events.message` (off; the deprecated
-    * `timescaledb.events.message` is honored as a fallback). */
+  /** Per-kind op gate set from BOTH gate namespaces: an op passes only
+    * when its `timescaledb.events.*` AND its `postgresql.events.*` key
+    * allow it (the reference gates pg-side decoding and hypertable-side
+    * emission independently — `replicationresolver.go`; both default
+    * true for CRUD+truncate, so an unset config behaves identically),
+    * plus `postgresql.events.message` (off; the deprecated
+    * `timescaledb.events.message` is honored as a fallback).
+    *
+    * op='$' gates on `timescaledb.events.compression` ONLY: this
+    * engine's stand-in chunk-transition rule synthesizes COMPRESSION
+    * events (`tsdb_op="c"`), never decompression ones, so the
+    * decompression key has no '$' rows to enable — it is accepted for
+    * config compatibility and documented as inert (the decompression-
+    * side behavior here is the INSERT suppression operator, P7). The
+    * old OR-merge made `decompression=true` alone emit compression
+    * events — wrong kind, now fixed. */
   def enabledOps(props: Map[String, String]): Seq[String] = {
+    def dual(kind: String): Boolean =
+      bool(props, s"timescaledb.events.$kind", default = true) &&
+        bool(props, s"postgresql.events.$kind", default = true)
     val b = Seq(
-      Envelope.Op.Read     -> bool(props, "timescaledb.events.read", default = true),
-      Envelope.Op.Create   -> bool(props, "timescaledb.events.insert", default = true),
-      Envelope.Op.Update   -> bool(props, "timescaledb.events.update", default = true),
-      Envelope.Op.Delete   -> bool(props, "timescaledb.events.delete", default = true),
-      Envelope.Op.Truncate -> bool(props, "timescaledb.events.truncate", default = true),
+      Envelope.Op.Read     -> dual("read"),
+      Envelope.Op.Create   -> dual("insert"),
+      Envelope.Op.Update   -> dual("update"),
+      Envelope.Op.Delete   -> dual("delete"),
+      Envelope.Op.Truncate -> dual("truncate"),
       Envelope.Op.Message  -> bool(props, "postgresql.events.message",
         default = bool(props, "timescaledb.events.message", default = false)),
       Envelope.Op.Timescale ->
-        (bool(props, "timescaledb.events.compression", default = false) ||
-         bool(props, "timescaledb.events.decompression", default = false)))
+        bool(props, "timescaledb.events.compression", default = false))
+    // validate the inert key's value shape even though it gates nothing
+    bool(props, "timescaledb.events.decompression", default = false)
     b.collect { case (op, true) => op }
   }
 
@@ -183,6 +199,12 @@ object ConfigPipeline {
     mode
   }
 
+  /** DOCUMENTED DEVIATION: the reference generates a RANDOM 20-char
+    * prefix when `topic.prefix` is unset (`internal/streamer.go:81-82`);
+    * a random default is untestable and breaks checkpoint resume across
+    * restarts (topics would rename), so the deterministic `timescaledb`
+    * default stands in — set the key explicitly for reference-identical
+    * behavior. */
   def topicPrefix(props: Map[String, String]): String = {
     val strategy = props.getOrElse("topic.namingstrategy.type", "debezium")
     require(strategy == "debezium",

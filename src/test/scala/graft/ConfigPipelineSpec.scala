@@ -21,6 +21,26 @@ class ConfigPipelineSpec extends SparkSpec {
     assert(!ConfigPipeline.enabledOps(Map(
       "timescaledb.events.message" -> "true",
       "postgresql.events.message" -> "false")).contains("m"))
+    // postgresql.events.* CRUD keys are honored: either namespace can
+    // veto an op (reference gates pg-side and hypertable-side
+    // independently; previously these keys were silently ignored)
+    assert(!ConfigPipeline.enabledOps(Map(
+      "postgresql.events.insert" -> "false")).contains("c"))
+    assert(!ConfigPipeline.enabledOps(Map(
+      "postgresql.events.truncate" -> "false")).contains("t"))
+    assert(ConfigPipeline.enabledOps(Map(
+      "postgresql.events.insert" -> "false")).sorted === Seq("d", "r", "t", "u"))
+    intercept[IllegalArgumentException] {
+      ConfigPipeline.enabledOps(Map("postgresql.events.delete" -> "maybe"))
+    }
+    // '$' gates on the COMPRESSION key only: the stand-in rule
+    // synthesizes compression events, so the decompression key alone
+    // must not enable them (the old OR-merge bug)
+    assert(!ConfigPipeline.enabledOps(Map(
+      "timescaledb.events.decompression" -> "true")).contains("$"))
+    intercept[IllegalArgumentException] { // inert key still validates
+      ConfigPipeline.enabledOps(Map("timescaledb.events.decompression" -> "x"))
+    }
   }
 
   test("env-var key mapping round-trips and merges with env precedence") {
