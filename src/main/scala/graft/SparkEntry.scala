@@ -1448,6 +1448,23 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("doc_id"))
     }),
 
+    "text_lm_quality" -> ((s, dir) => {
+      // CCNet-style LM quality score: add-one-smoothed bigram likelihood
+      // (integer-exact surrogate) of the long-source slice under a model
+      // fit on the short-source "clean reference" slice
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.lmLikelihoodMilli(
+          docs.filter(length(col("source")) === 5),
+          reference = docs.filter(length(col("source")) === 4))
+        .orderBy(col("doc_id"))
+    }),
+
+    "dedup_chunk_exact" -> ((s, dir) =>
+      // chunk-level exact dedup (the Dolma paragraph-dedup granularity):
+      // duplicated 20-token chunks removed corpus-wide, first stays
+      Dedup.chunkDedup(Tables.documents(s, dir), chunkTokens = 20)
+        .orderBy(col("doc_id"))),
+
     "text_bm25_topk" -> ((s, dir) => {
       // integer fixed-point BM25 retrieval for a fixed query term set
       TextAnalysis.bm25TopK(Tables.documents(s, dir),
@@ -3151,6 +3168,58 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |  AND d.text NOT IN (SELECT text FROM documents WHERE length(source) = 4)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // LM-quality twin: the same add-one-smoothed integer bigram
+    // likelihood — exact integer terms, order-free sums
+    "text_lm_quality" ->
+      """WITH ref AS (SELECT string_split(text, ' ') AS t FROM documents WHERE length(source) = 4),
+        |cb AS (SELECT bigram, count(*) AS cb FROM (
+        |    SELECT unnest(list_transform(list_zip(t[1:len(t)-1], t[2:len(t)]),
+        |      x -> x[1] || ' ' || x[2])) AS bigram FROM ref WHERE len(t) >= 2) z
+        |  GROUP BY bigram),
+        |cu AS (SELECT w1, count(*) AS cu FROM (
+        |    SELECT unnest(t) AS w1 FROM ref) z GROUP BY w1),
+        |v AS (SELECT count(*) AS v FROM cu),
+        |db AS (SELECT doc_id,
+        |    unnest(list_transform(list_zip(t[1:len(t)-1], t[2:len(t)]),
+        |      x -> x[1] || ' ' || x[2])) AS bigram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |        WHERE length(source) = 5) z WHERE len(t) >= 2),
+        |sc AS (SELECT d.doc_id,
+        |    (1000000 * (coalesce(cb.cb, 0) + 1)) // (coalesce(cu.cu, 0) + v.v) AS term
+        |  FROM db d
+        |  LEFT JOIN cb ON cb.bigram = d.bigram
+        |  LEFT JOIN cu ON cu.w1 = string_split(d.bigram, ' ')[1]
+        |  CROSS JOIN v),
+        |agg AS (SELECT doc_id, sum(term) AS ms, count(*) AS nb FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(agg.ms // agg.nb, 0) AS BIGINT) AS score_micro,
+        |  CAST(coalesce(agg.nb, 0) AS BIGINT) AS n_bigrams
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |WHERE length(d.source) = 5
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // chunk-dedup twin: 20-token windows, corpus-wide first occurrence
+    // by (doc_id, chunk_idx) survives, in-order reassembly
+    "dedup_chunk_exact" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ch AS (SELECT doc_id, i AS chunk_idx,
+        |         array_to_string(t[i*20+1 : i*20+20], ' ') AS chunk
+        |       FROM (SELECT doc_id, t, unnest(range(0, (len(t) - 1) // 20 + 1)) AS i
+        |             FROM tok) z),
+        |kept AS (SELECT doc_id, chunk_idx, chunk FROM (
+        |    SELECT doc_id, chunk_idx, chunk,
+        |      row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+        |    FROM ch) x WHERE rn = 1),
+        |reb AS (SELECT doc_id, count(*) AS n_kept_chunks,
+        |          array_to_string(list(chunk ORDER BY chunk_idx), ' ') AS cleaned
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST((len(string_split(d.text, ' ')) - 1) // 20 + 1 AS BIGINT) AS n_chunks,
+        |  CAST(coalesce(r.n_kept_chunks, 0) AS BIGINT) AS n_kept_chunks,
+        |  coalesce(r.cleaned, '') AS cleaned
+        |FROM documents d LEFT JOIN reb r ON d.doc_id = r.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     // sharding is pure execution strategy — observable semantics are
     // identical to the single-bloom form, so the twin is the same SQL
     "dedup_bloom_sharded" ->
@@ -3222,13 +3291,16 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |                  i -> ascii(substr(gram, CAST(i AS INTEGER), 1)))),
         |                (acc, c) -> (xor(acc, CAST(c AS HUGEINT)) * 1099511628211) % 18446744073709551616) AS hu
         |            FROM g) y),
-        |fp AS (SELECT DISTINCT doc_id, fp FROM (
+        |fp0 AS (SELECT DISTINCT doc_id, fp FROM (
         |        SELECT doc_id,
         |          min(h) OVER (PARTITION BY doc_id ORDER BY pos
         |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
         |          count(*) OVER (PARTITION BY doc_id ORDER BY pos
         |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS n_in_win
         |        FROM h) w WHERE n_in_win = 4),
+        |fp AS (SELECT doc_id, fp FROM (
+        |        SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS dfc FROM fp0) zc
+        |      WHERE dfc <= 2000),
         |drops AS (SELECT DISTINCT b.doc_id
         |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2)
@@ -3320,13 +3392,16 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |                  i -> ascii(substr(gram, CAST(i AS INTEGER), 1)))),
         |                (acc, c) -> (xor(acc, CAST(c AS HUGEINT)) * 1099511628211) % 18446744073709551616) AS hu
         |            FROM g) y),
-        |fp AS (SELECT DISTINCT doc_id, fp FROM (
+        |fp0 AS (SELECT DISTINCT doc_id, fp FROM (
         |        SELECT doc_id,
         |          min(h) OVER (PARTITION BY doc_id ORDER BY pos
         |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
         |          count(*) OVER (PARTITION BY doc_id ORDER BY pos
         |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS n_in_win
-        |        FROM h) w WHERE n_in_win = 4)
+        |        FROM h) w WHERE n_in_win = 4),
+        |fp AS (SELECT doc_id, fp FROM (
+        |        SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS dfc FROM fp0) zc
+        |      WHERE dfc <= 2000)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
         |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2

@@ -113,6 +113,43 @@ object Dedup {
         coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 
+  /** Chunk-level exact dedup — the Dolma/RefinedWeb PARAGRAPH-dedup
+    * granularity, with fixed `chunkTokens`-token windows standing in
+    * for paragraph boundaries (this corpus has no newline structure;
+    * real text would split on "\n\n" first — the dedup mechanics are
+    * boundary-agnostic). Each document becomes its sequence of
+    * non-overlapping chunks (last partial chunk kept); a chunk whose
+    * text already occurred earlier in the corpus — lower (doc_id,
+    * chunk_idx) — is removed; survivors reassemble in order. Exactly
+    * the [[exact]] hash-groupBy posture applied inside documents: one
+    * window pass over (chunk-hash) for first-occurrence ranking, one
+    * groupBy(doc) reassembly; no pairwise anything.
+    */
+  def chunkDedup(df: DataFrame, chunkTokens: Int = 20, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    require(chunkTokens > 0, s"chunkDedup: chunkTokens=$chunkTokens must be positive")
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("t"))
+    val chunks = toks.select(col(idCol),
+      posexplode(transform(
+        expr(s"sequence(0, (size(t) - 1) div $chunkTokens)"),
+        i => array_join(slice(col("t"), i * chunkTokens + 1, lit(chunkTokens)), " ")))
+        .as(Seq("chunk_idx", "chunk")))
+    val w = Window.partitionBy(col("chunk")).orderBy(col(idCol), col("chunk_idx"))
+    val kept = chunks.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val rebuilt = kept
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept_chunks"),
+        array_join(transform(array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          s => s.getField("chunk")), " ").as("cleaned"))
+    df.select(col(idCol),
+        expr(s"CAST(((size(split(`$textCol`, ' ')) - 1) div $chunkTokens) + 1 AS BIGINT)")
+          .as("n_chunks"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"),
+        coalesce(col("n_kept_chunks"), lit(0L)).as("n_kept_chunks"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** Word n-gram shingles, distinct per doc: (doc_id, shingle) pairs.
     * Gram generation is the codegen `NGramsJoin` kernel (identical
     * output to the interpreted `transform(sequence…)` formulation the
@@ -508,8 +545,16 @@ object Dedup {
     * shared-count floor — the join-side consumer of
     * [[winnowingFingerprints]]. */
   def winnowingPairs(df: DataFrame, k: Int = 5, w: Int = 4,
-                     minShared: Int = 2): DataFrame = {
-    val fp = winnowingFingerprints(df, k, w)
+                     minShared: Int = 2, dfCap: Int = DefaultDfCap): DataFrame = {
+    // same df-cap default as the shingle family: a fingerprint shared by
+    // f docs fans out to f² join rows through one key, so boilerplate
+    // fingerprints above the cap are excised (Dedup.Unbounded opts out)
+    val fp0 = winnowingFingerprints(df, k, w)
+    val fp =
+      if (dfCap == Unbounded || dfCap <= 0) fp0
+      else fp0.withColumn("dfc",
+          count(lit(1)).over(Window.partitionBy(col("fp"))))
+        .filter(col("dfc") <= dfCap).drop("dfc")
     fp.as("a").join(fp.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

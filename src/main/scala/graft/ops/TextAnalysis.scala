@@ -457,6 +457,58 @@ object TextAnalysis {
     * Final top-k is orderBy+limit = TakeOrderedAndProject (per-partition
     * heaps, k rows to the driver, never a global sort).
     */
+  /** CCNet-style LM quality scoring (Wenzek et al. 2020 score web text
+    * with a KenLM trained on clean reference text and bucket by
+    * perplexity): an add-one-smoothed BIGRAM likelihood of each document
+    * under a model fit on `reference`, as the engine's integer-exact
+    * surrogate — each bigram contributes
+    * `floor(10⁶·(c(w₁w₂)+1)/(c(w₁)+V))` (an exact integer from exact
+    * integers: order-free BIGINT sums, no logs), and the per-doc score
+    * is the micro-probability mean over its bigrams. Monotone in the
+    * smoothed likelihood per bigram, so thresholds/buckets rank the
+    * same direction as perplexity would; the log-product form is
+    * documented as the float trade this engine refuses (libm `ln` is
+    * not bit-portable, sums of it are not oracle-exact).
+    *
+    * Scale shape: the model is two count tables from one reference
+    * scan (bigram + unigram, partial-agg'd); scoring is two equi-joins
+    * on the bigram/prefix keys — no broadcast of the corpus, and the
+    * model tables shuffle once each. `V` (reference vocab size) is one
+    * tiny eager agg, the documented bm25-stats stance. Out-of-model
+    * bigrams smooth to `floor(10⁶/(c(w₁)+V))` ≥ 0, never null. Docs
+    * with < 2 tokens have no bigrams and score 0 with n_bigrams 0.
+    */
+  def lmLikelihoodMilli(docs: DataFrame, reference: DataFrame,
+                        textCol: String = "text"): DataFrame = {
+    val refToks = reference.select(split(col(textCol), " ").as("t"))
+    val refBi = refToks
+      .select(explode(graft.functions.TextFunctions.ngrams_join(col("t"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
+    val refUni = refToks
+      .select(explode(col("t")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val vocab = refUni.count() // V: one tiny eager agg (bm25-stats stance)
+    require(vocab > 0, "lmLikelihoodMilli: empty reference corpus fits no model")
+    val docBi = docs
+      .select(col("doc_id"), split(col(textCol), " ").as("t"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.ngrams_join(col("t"), 2)).as("bigram"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+    val scored = docBi
+      .join(refBi, Seq("bigram"), "left")
+      .join(refUni, Seq("w1"), "left")
+      .select(col("doc_id"),
+        expr(s"(1000000L * (coalesce(cb, 0L) + 1L)) div (coalesce(cu, 0L) + ${vocab}L)")
+          .as("term_micro"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_micro")).as("micro_sum"), count(lit(1)).as("n_bigrams"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(expr("micro_sum div n_bigrams"), lit(0L)).as("score_micro"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+  }
+
   def bm25TopK(df: DataFrame, queryTerms: Seq[String], k: Int = 10,
                k1Milli: Long = 1200L, bMilli: Long = 750L,
                textCol: String = "text", idfScale: Long = 1000000L): DataFrame = {

@@ -317,6 +317,43 @@ class OpsSpec extends SparkSpec {
     assert(keptCapped.toSeq === Seq(10L, 11L, 12L))
   }
 
+  test("chunk dedup removes repeated chunks corpus-wide, keeps unique docs byte-identical") {
+    import spark.implicits._
+    val boiler = (1 to 20).map(i => s"b$i").mkString(" ")  // one full chunk
+    val docs = Seq(
+      (1L, boiler + " " + (1 to 20).map(i => s"u$i").mkString(" ")), // first: keeps both chunks
+      (2L, boiler + " " + (1 to 20).map(i => s"w$i").mkString(" ")), // boiler chunk drops
+      (3L, (1 to 30).map(i => s"z$i").mkString(" "))                  // unique: untouched
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.chunkDedup(docs, chunkTokens = 20)
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[String]("cleaned") === docs.head().getString(1))
+    assert(got(1).getAs[Long]("n_kept_chunks") === 1L &&
+      got(1).getAs[String]("cleaned") === (1 to 20).map(i => s"w$i").mkString(" "))
+    assert(got(2).getAs[String]("cleaned") === (1 to 30).map(i => s"z$i").mkString(" "))
+    assert(got(2).getAs[Long]("n_chunks") === 2L) // 30 tokens → 20 + 10
+  }
+
+  test("LM likelihood scores in-domain text above gibberish; short docs score zero") {
+    import spark.implicits._
+    val reference = Seq.tabulate(50)(i => (i.toLong, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (100L, "the quick brown fox jumps"),   // in-domain bigrams
+      (101L, "zzz qqq xxx vvv kkk"),          // all unseen
+      (102L, "one")                            // no bigrams
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.lmLikelihoodMilli(docs, reference)
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("score_micro") > got(1).getAs[Long]("score_micro"),
+      "in-domain text must out-score unseen-bigram text")
+    assert(got(2).getAs[Long]("score_micro") === 0L &&
+      got(2).getAs[Long]("n_bigrams") === 0L)
+    intercept[IllegalArgumentException] {
+      graft.ops.TextAnalysis.lmLikelihoodMilli(docs, reference.filter(lit(false)))
+    }
+  }
+
   test("vocab tokenization maps tokens by frequency rank with -1 UNK") {
     val docs = Seq((1L, "b a b c"), (2L, "b a rare")).toDF("doc_id", "text")
     val vocab = TextAnalysis.buildVocab(docs, topK = 2) // b(3)→0, a(2)→1
