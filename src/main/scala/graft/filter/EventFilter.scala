@@ -508,6 +508,18 @@ object EventFilter {
         case "max" =>
           if (args.length < 2) fail("max expects at least 2 arguments")
           s"greatest(${args.mkString(", ")})"
+        // array/map builtins with exact Catalyst twins (wave 2 batch 2)
+        case "join" =>
+          if (args.length == 1) s"array_join(${args(0)}, '')"
+          else { arity(2); s"array_join(${args(0)}, ${args(1)})" }
+        case "keys"   => arity(1); s"map_keys(${args(0)})"
+        case "values" => arity(1); s"map_values(${args(0)})"
+        // Spark's reverse is already polymorphic over string/array —
+        // the one builtin that needs no dispatch shim
+        case "reverse" => arity(1); s"reverse(${args(0)})"
+        case "sort"    => arity(1); s"array_sort(${args(0)})"
+        case "first"   => arity(1); s"graft_at(${args(0)}, 0)"
+        case "last"    => arity(1); s"graft_at(${args(0)}, graft_len(${args(0)}) - 1)"
         // DETERMINISM STANCE: expr-lang's now() reads the wall clock per
         // evaluation; current_timestamp() is a PLAN-TIME constant (one
         // value per query) — the only defensible semantics for a

@@ -269,7 +269,8 @@ object ConfigPipeline {
     // server per JVM however many pipelines start
     val statsOn = bool(props, "stats.enabled", default = true)
     if (statsOn)
-      StatsEndpoint.ensure(spark, props.getOrElse("stats.port", "8081").toInt)
+      StatsEndpoint.ensure(spark, props.getOrElse("stats.port", "8081").toInt,
+        runtimeStats = bool(props, "stats.runtime.enabled", default = true))
     val shaped = shape(StreamPipeline.envelopeStream(spark, dir, effectiveOps(props)), props)
     (if (statsOn) StreamPipeline.withStats(shaped) else shaped)
       .writeStream

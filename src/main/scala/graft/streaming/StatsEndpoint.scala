@@ -25,7 +25,8 @@ object StatsEndpoint {
   /** Prometheus text exposition (v0.0.4) of the counter map. Counters
     * the reference doesn't name surface under `graft_` so nothing
     * silently disappears from the scrape. */
-  def render(counters: scala.collection.Map[String, Long]): String = {
+  def render(counters: scala.collection.Map[String, Long],
+             runtimeStats: Boolean = true): String = {
     val sb = new StringBuilder
     series.foreach { case (key, name, typ) =>
       sb.append("# TYPE ").append(name).append(' ').append(typ).append('\n')
@@ -37,7 +38,30 @@ object StatsEndpoint {
       sb.append("# TYPE ").append(safe).append(" counter\n")
       sb.append(safe).append(' ').append(v).append('\n')
     }
+    if (runtimeStats) sb.append(runtimeMetrics())
     sb.toString
+  }
+
+  /** JVM runtime gauges — the engine-side analog of the reference's Go
+    * procstats collector (`stats.go:57-62`, `stats.runtime.enabled`
+    * default true): heap bytes, GC counts/time, live threads, uptime. */
+  private def runtimeMetrics(): String = {
+    import java.lang.management.ManagementFactory._
+    val heap = getMemoryMXBean.getHeapMemoryUsage
+    var gcCount = 0L
+    var gcMs = 0L
+    getGarbageCollectorMXBeans.forEach { gc =>
+      if (gc.getCollectionCount >= 0) gcCount += gc.getCollectionCount
+      if (gc.getCollectionTime >= 0) gcMs += gc.getCollectionTime
+    }
+    val rows = Seq(
+      ("streamer_runtime_heap_used_bytes", "gauge", heap.getUsed),
+      ("streamer_runtime_heap_committed_bytes", "gauge", heap.getCommitted),
+      ("streamer_runtime_gc_count", "counter", gcCount),
+      ("streamer_runtime_gc_time_ms", "counter", gcMs),
+      ("streamer_runtime_threads", "gauge", getThreadMXBean.getThreadCount.toLong),
+      ("streamer_runtime_uptime_ms", "counter", getRuntimeMXBean.getUptime))
+    rows.map { case (n, t, v) => s"# TYPE $n $t\n$n $v\n" }.mkString
   }
 
   private val servers =
@@ -49,14 +73,15 @@ object StatsEndpoint {
     * process, stats.go:35): one StatsListener per session, one scrape
     * server per port, shared by every config pipeline that enables
     * stats. */
-  def ensure(spark: org.apache.spark.sql.SparkSession, port: Int): StatsListener =
+  def ensure(spark: org.apache.spark.sql.SparkSession, port: Int,
+             runtimeStats: Boolean = true): StatsListener =
     synchronized {
       val l = listeners.getOrElseUpdate(spark, {
         val x = new StatsListener
         spark.streams.addListener(x)
         x
       })
-      servers.getOrElseUpdate(port, start(l, port))
+      servers.getOrElseUpdate(port, start(l, port, runtimeStats))
       l
     }
 
@@ -64,12 +89,13 @@ object StatsEndpoint {
     * Driver-side only — one tiny daemon thread pool inside the JDK
     * server; call `stop(0)` to shut down. */
   def start(listener: StatsListener,
-            port: Int = 8081): com.sun.net.httpserver.HttpServer = {
+            port: Int = 8081,
+            runtimeStats: Boolean = true): com.sun.net.httpserver.HttpServer = {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress(port), 0)
     server.createContext("/metrics", new com.sun.net.httpserver.HttpHandler {
       def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
-        val body = render(listener.counters).getBytes("UTF-8")
+        val body = render(listener.counters, runtimeStats).getBytes("UTF-8")
         ex.getResponseHeaders.add("Content-Type",
           "text/plain; version=0.0.4; charset=utf-8")
         ex.sendResponseHeaders(200, body.length.toLong)

@@ -206,6 +206,15 @@ class OpsSpec extends SparkSpec {
     assert(ev("""type(name[5:9])""").getString(0) === "string") // empty slice, not nil
     assert(ev("""duration("2h") > duration("90m")""").getBoolean(0))
     assert(ev("""now() > date("2020-01-01")""").getBoolean(0))
+    // batch-2 array/map builtins
+    assert(EventFilter.translate("""join(tags, "-")""") === "array_join(`tags`, '-')")
+    assert(EventFilter.translate("""keys(m)""") === "map_keys(`m`)")
+    assert(ev("""join(tags, "-")""").getString(0) === "a-b-c")
+    assert(ev("""reverse(name)""").getString(0) === "olleh")
+    assert(ev("""sort(tags)[0]""").getString(0) === "a")
+    assert(ev("""first(tags)""").getString(0) === "a")
+    assert(ev("""last(tags)""").getString(0) === "c")
+    assert(ev("""join(values({x: "p", y: "q"}), "")""").getString(0) === "pq")
   }
 
   test("event filter closures evaluate on array data") {

@@ -287,6 +287,12 @@ class StreamingSpec extends SparkSpec {
         assert(body.contains(s"streamer_replicationchannel_calls_updates ${opCount("u")}"))
         assert(body.contains(s"streamer_replicationchannel_calls_deletes ${opCount("d")}"))
         assert(body.contains("streamer_eventemitter_emitted_count 1000"))
+        // runtime gauges (the procstats analog) ride the same scrape
+        assert(body.contains("streamer_runtime_heap_used_bytes"))
+        assert(body.contains("# TYPE streamer_runtime_gc_count counter"))
+        // and can be disabled (stats.runtime.enabled=false parity)
+        assert(!graft.streaming.StatsEndpoint.render(listener.counters,
+          runtimeStats = false).contains("streamer_runtime_"))
       } finally server.stop(0)
     } finally spark.streams.removeListener(listener)
   }
