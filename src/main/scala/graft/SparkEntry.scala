@@ -1291,6 +1291,17 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    "ann_ivf_sampled_topk" -> ((s, dir) => {
+      // the 100 TB fit posture: Lloyd rounds over the pmod(vec_id,2)=0
+      // HALF of the corpus, assignment over everything — sampled fits
+      // stay hash-verified because the sample predicate is engine-neutral
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, 5, nLists = 16,
+          nProbe = 4, fitSampleMod = 2)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     "ann_ivf_seed_topk" -> ((s, dir) => {
       // seeded lowest-id quantizer baseline (kmeansIters = 0)
       val emb = Tables.embeddings(s, dir)
@@ -2945,6 +2956,36 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     "ann_ivf_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS norm FROM embeddings),
          |${duckKmeans("e", 16, 64, 2, "km")},
+         |asg AS (SELECT vec_id, centroid_id FROM (
+         |    SELECT e.vec_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckDot("e.embedding", "c.centroid")} / (e.norm * c.cnorm) DESC,
+         |                 c.centroid_id) AS rn
+         |    FROM e CROSS JOIN km2 c) t WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, norm AS qnorm FROM e WHERE vec_id < 10),
+         |pr AS (SELECT query_id, centroid_id FROM (
+         |    SELECT q.query_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${duckDot("q.qe", "c.centroid")} / (q.qnorm * c.cnorm) DESC,
+         |                 c.centroid_id) AS rn
+         |    FROM q CROSS JOIN km2 c) t WHERE rn <= 4),
+         |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |             ${duckDot("q.qe", "e.embedding")} / (q.qnorm * e.norm) AS cosine
+         |           FROM pr JOIN asg ON pr.centroid_id = asg.centroid_id
+         |                JOIN e ON e.vec_id = asg.vec_id
+         |                JOIN q ON q.query_id = pr.query_id
+         |           WHERE q.query_id <> e.vec_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cosine DESC, neighbor_id) AS rnk FROM scored)
+         |SELECT query_id, neighbor_id, rnk, cosine FROM ranked
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // sampled-fit twin: the kmeans CTEs run over the vec_id%2=0 slice,
+    // assignment/probe/score over the full corpus
+    "ann_ivf_sampled_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS norm FROM embeddings),
+         |es AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+         |${duckKmeans("es", 16, 64, 2, "km")},
          |asg AS (SELECT vec_id, centroid_id FROM (
          |    SELECT e.vec_id, c.centroid_id,
          |      row_number() OVER (PARTITION BY e.vec_id

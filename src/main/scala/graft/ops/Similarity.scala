@@ -112,12 +112,22 @@ object Similarity {
     * partitioning, which is what lets every fitted-default query keep a
     * DuckDB hash oracle.
     */
-  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int = 3): DataFrame = {
-    var centroids = corpus.orderBy(col("vec_id")).limit(k)
+  /** `fitSampleMod > 1` fits the quantizer on the deterministic
+    * `pmod(vec_id, mod) = 0` slice — the standard 100 TB posture (Lloyd
+    * rounds over a sample, assignment over everything); the sample
+    * predicate is engine-neutral, so sampled fits stay hash-verifiable.
+    */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int = 3,
+                      fitSampleMod: Int = 1): DataFrame = {
+    require(fitSampleMod >= 1, s"kmeans: fitSampleMod=$fitSampleMod must be >= 1")
+    val fitOn =
+      if (fitSampleMod == 1) corpus
+      else corpus.filter(pmod(col("vec_id"), lit(fitSampleMod.toLong)) === 0)
+    var centroids = fitOn.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val lists = ivfAssignWith(corpus, centroids)
+      val lists = ivfAssignWith(fitOn, centroids)
       val means = lists
         .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("centroid_id"), col("pos"))
@@ -245,17 +255,18 @@ object Similarity {
     * produce skewed inverted lists and every within-list join or probe
     * inherits that skew. */
   private def quantize(corpus: DataFrame, nLists: Int,
-      kmeansIters: Int): (DataFrame, DataFrame) =
+      kmeansIters: Int, fitSampleMod: Int = 1): (DataFrame, DataFrame) =
     if (kmeansIters <= 0) ivfAssign(corpus, nLists)
     else {
-      val fitted = kmeansCentroids(corpus, nLists, kmeansIters)
+      val fitted = kmeansCentroids(corpus, nLists, kmeansIters, fitSampleMod)
       (fitted, ivfAssignWith(corpus, fitted))
     }
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nLists: Int = 16, nProbe: Int = 4,
-              kmeansIters: Int = 2, balanceFactor: Double = 4.0): DataFrame = {
-    val (centroids, lists) = quantize(corpus, nLists, kmeansIters)
+              kmeansIters: Int = 2, balanceFactor: Double = 4.0,
+              fitSampleMod: Int = 1): DataFrame = {
+    val (centroids, lists) = quantize(corpus, nLists, kmeansIters, fitSampleMod)
     // probe assignment: nProbe nearest centroids per query — same
     // broadcast-array shape as the assign step: sort struct{-sim, id}
     // ascending (= sim desc, id asc), take nProbe, explode. No window,
