@@ -34,8 +34,8 @@ import org.apache.spark.sql.functions.expr
   * functions (`filter`/`transform`/`forall`/`exists`/`size∘filter`);
   * postfix indexing/slicing `x[i]` / `x[a:b]` / `x[:b]` / `x[a:]`
   * (0-based end-exclusive over strings/arrays, key lookup over maps,
-  * via the polymorphic PolyAt/PolySlice expressions — negative from-end
-  * indices are outside the subset and fail at parse); map literals
+  * negative indices count from the end, via the polymorphic
+  * PolyAt/PolySlice expressions); map literals
   * `{a: 1, "b": 2}` and `in` over maps (KEY membership) / array values
   * (graft_in); `now()` (a PLAN-TIME constant — one value per query, the
   * deterministic deviation a distributed filter needs), `duration()`
@@ -340,22 +340,18 @@ object EventFilter {
       * `x[:]` — 0-based, end-exclusive, over strings/arrays (index also
       * over maps), via the polymorphic graft_at/graft_slice expressions
       * (type dispatch at analysis, builtin codegen at run time).
-      * Negative (from-end) indices are outside the columnar subset and
-      * literal ones fail at parse. */
+      * Negative indices count from the end — `x[-1]` is the last
+      * element, python/expr-lang semantics, literal or computed. */
     def postfix(e0: String): String = {
-      def noNeg(idx: String): String =
-        if (idx.startsWith("(- ")) fail(
-          s"negative (from-end) index '$idx' outside the columnar subset")
-        else idx
       var e = e0
       while (eatOp("[")) {
         def sliceTo(a: String): String = {
-          val b = if (peekOp("]")) s"graft_len($e)" else noNeg(ternary())
+          val b = if (peekOp("]")) s"graft_len($e)" else ternary()
           s"graft_slice($e, $a, $b)"
         }
         if (eatOp(":")) { e = sliceTo("0"); expectOp("]") }
         else {
-          val a = noNeg(ternary())
+          val a = ternary()
           if (eatOp(":")) { e = sliceTo(a); expectOp("]") }
           else { expectOp("]"); e = s"graft_at($e, $a)" }
         }

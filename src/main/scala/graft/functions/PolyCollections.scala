@@ -13,20 +13,38 @@ import org.apache.spark.sql.types._
   * eval in the hot path.
   */
 
+private[functions] object PolyIndex {
+  /** Python/expr-lang index normalization: negative counts from the
+    * end (`x[-1]` = last), clamped at 0 for slices. */
+  def norm(idx: Expression, len: Expression, clamp: Boolean): Expression = {
+    val i = Cast(idx, IntegerType)
+    val fromEnd = Add(len, i)
+    val adj = if (clamp) If(LessThan(fromEnd, Literal(0)), Literal(0), fromEnd)
+              else fromEnd
+    If(LessThan(i, Literal(0)), adj, i)
+  }
+}
+
 /** expr-lang `x[a:b]` — 0-based, end-exclusive slice of a string or
-  * array; `b < a` yields empty. Negative (from-end) indices are outside
-  * the columnar subset — the translator documents the limitation. */
+  * array; negative bounds count from the end (python semantics, what
+  * the dialect implements); `b ≤ a` after normalization yields empty. */
 case class PolySlice(input: Expression, from: Expression, until: Expression)
     extends RuntimeReplaceable {
   override lazy val replacement: Expression = {
-    val start = Add(from, Literal(1))
-    val diff = Subtract(until, from)
-    val count = If(GreaterThan(diff, Literal(0)), diff, Literal(0))
-    input.dataType match {
-      case StringType   => Substring(input, start, count)
-      case _: ArrayType => Slice(input, start, count)
+    val len = input.dataType match {
+      case StringType   => Length(input)
+      case _: ArrayType => Size(input, legacySizeOfNull = false)
       case t => throw new IllegalArgumentException(
         s"graft_slice requires string or array input, got $t")
+    }
+    val a = PolyIndex.norm(from, len, clamp = true)
+    val b = PolyIndex.norm(until, len, clamp = true)
+    val diff = Subtract(b, a)
+    val count = If(GreaterThan(diff, Literal(0)), diff, Literal(0))
+    val start = Add(a, Literal(1))
+    input.dataType match {
+      case StringType => Substring(input, start, count)
+      case _          => Slice(input, start, count)
     }
   }
   override def children: Seq[Expression] = Seq(input, from, until)
@@ -36,13 +54,21 @@ case class PolySlice(input: Expression, from: Expression, until: Expression)
 }
 
 /** expr-lang `x[i]` — 0-based index into an array, key lookup in a map,
-  * single-character slice of a string; out-of-range/missing yields
-  * nil (NULL), the dialect's behavior for optional access. */
+  * single-character slice of a string; negative indices count from the
+  * end; out-of-range/missing yields nil (NULL), the dialect's behavior
+  * for optional access. */
 case class PolyAt(input: Expression, index: Expression)
     extends RuntimeReplaceable {
   override lazy val replacement: Expression = input.dataType match {
-    case StringType   => Substring(input, Add(index, Literal(1)), Literal(1))
-    case _: ArrayType => GetArrayItem(input, index)
+    case StringType =>
+      val i = PolyIndex.norm(index, Length(input), clamp = false)
+      // out-of-range must be nil, not '' — expr-lang optional access
+      val ch = Substring(input, Add(i, Literal(1)), Literal(1))
+      If(Or(LessThan(i, Literal(0)), GreaterThanOrEqual(i, Length(input))),
+        Literal.create(null, StringType), ch)
+    case _: ArrayType =>
+      GetArrayItem(input,
+        PolyIndex.norm(index, Size(input, legacySizeOfNull = false), clamp = false))
     case _: MapType   => GetMapValue(input, index)
     case t => throw new IllegalArgumentException(
       s"graft_at requires string, array, or map input, got $t")

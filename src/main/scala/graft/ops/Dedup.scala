@@ -606,8 +606,12 @@ object Dedup {
                        threshold: Double = 0.99, kmeansIters: Int = 2,
                        balanceFactor: Double = 4.0): DataFrame = {
     val centroids = semanticQuantizer(emb, nClusters, kmeansIters)
-    val assigned = Similarity.ivfAssignWithSim(emb, centroids)
+    val assigned0 = Similarity.ivfAssignWithSim(emb, centroids)
       .withColumn("norm", Similarity.l2Norm("embedding"))
+    // with the guard active the assignment is consumed THREE times
+    // (eager sizing + both self-join sides) — pin it once instead of
+    // recomputing the corpus-wide argmax scan per consumer
+    val assigned = if (balanceFactor > 0) assigned0.localCheckpoint(true) else assigned0
     // CLUSTER BALANCE GUARD: a cluster of f vectors contributes f² pair
     // rows through ONE join key — at 100 TB a single skewed cluster
     // serializes into one task. Oversized clusters (> balanceFactor×n/k

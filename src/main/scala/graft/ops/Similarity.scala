@@ -236,12 +236,16 @@ object Similarity {
     */
   private def joinProbedLists(lists: DataFrame, probes: DataFrame,
       nLists: Int, balanceFactor: Double): DataFrame = {
-    val salts = listSaltCounts(lists, nLists, balanceFactor)
-    if (salts.isEmpty) lists.join(probes, Seq("centroid_id"))
+    // the sizing pass is eager, so the assignment would otherwise run
+    // twice (sizes + join) — pin it once; the guard's whole premise is
+    // that the assignment scan is the dominant cost worth protecting
+    val pinned = if (balanceFactor > 0) lists.localCheckpoint(true) else lists
+    val salts = listSaltCounts(pinned, nLists, balanceFactor)
+    if (salts.isEmpty) pinned.join(probes, Seq("centroid_id"))
     else {
       val nSalt = coalesce(element_at(typedLit(salts), col("centroid_id")), lit(1))
         .cast("long")
-      val l = lists.withColumn("__salt", pmod(xxhash64(col("vec_id")), nSalt))
+      val l = pinned.withColumn("__salt", pmod(xxhash64(col("vec_id")), nSalt))
       val p = probes.withColumn("__salt",
         explode(sequence(lit(0L), nSalt - lit(1L))))
       l.join(p, Seq("centroid_id", "__salt")).drop("__salt")

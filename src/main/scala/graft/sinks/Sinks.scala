@@ -90,6 +90,12 @@ object Sinks {
           throw new IllegalArgumentException(
             s"kafka wire client implements SASL PLAIN only, got '$mechanism'; " +
               "other mechanisms need the native format(\"kafka\") path")
+        // sasl.enabled with no username must FAIL, not silently produce
+        // unauthenticated (the emit-side handshake is gated on a
+        // non-empty user, so an empty one would disable SASL entirely)
+        if (saslOn && p("sink.kafka.sasl.user").isEmpty)
+          throw new IllegalArgumentException(
+            "sink.kafka.sasl.enabled=true requires sink.kafka.sasl.user")
         KafkaWireSink(
           bootstrap = p("sink.kafka.brokers", "localhost:9092"),
           saslUsername = if (saslOn) p("sink.kafka.sasl.user") else "",
@@ -440,7 +446,11 @@ final case class NatsSink(config: NatsSinkConfig) extends Sink {
       val (host, port) = Sinks.hostPort(address, 4222)
       val sock = new java.net.Socket(host, port)
       try {
-        sock.setSoTimeout(timeoutMs)       // a lost ack must throw, not hang
+        // ack timeout is a JETSTREAM contract (a lost ack must throw,
+        // not hang); core mode's single flush PONG lands after a whole
+        // partition of PUBs drains — bounding it at 5 s would turn a
+        // slow-but-healthy broker into 8 duplicate-producing retries
+        if (js) sock.setSoTimeout(timeoutMs)
         val out = new java.io.BufferedOutputStream(sock.getOutputStream)
         val in  = new java.io.DataInputStream(
           new java.io.BufferedInputStream(sock.getInputStream))
@@ -463,6 +473,9 @@ final case class NatsSink(config: NatsSinkConfig) extends Sink {
             val l = crlfLine()
             if (l.isEmpty) throw new RuntimeException("nats: connection closed awaiting ack")
             else if (l == "PING") { send("PONG\r\n"); out.flush() }
+            // servers push unsolicited INFO on live connections (cluster
+            // topology, lame-duck announcements) — spec-legal, skip it
+            else if (l.startsWith("INFO")) ()
             else if (l.startsWith("-ERR")) throw new RuntimeException(s"nats: $l")
             else if (l.startsWith("MSG ") || l.startsWith("HMSG ")) {
               val n = l.split(" ").last.toInt // total payload bytes

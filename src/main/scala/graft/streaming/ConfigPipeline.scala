@@ -271,8 +271,14 @@ object ConfigPipeline {
     if (statsOn)
       StatsEndpoint.ensure(spark, props.getOrElse("stats.port", "8081").toInt,
         runtimeStats = bool(props, "stats.runtime.enabled", default = true))
-    val shaped = shape(StreamPipeline.envelopeStream(spark, dir, effectiveOps(props)), props)
-    (if (statsOn) StreamPipeline.withStats(shaped) else shaped)
+    // channel counters observe BEFORE shape() (the reference counts them
+    // at the replication handler, pre-filter — replicationhandler.go:41)
+    // and emitted AFTER it (eventemitter.go:51) — without the split, a
+    // filtering config makes calls_total ≡ emitted_count and the
+    // channel/emitted gap every reference dashboard plots disappears
+    val base = StreamPipeline.envelopeStream(spark, dir, effectiveOps(props))
+    val shaped = shape(if (statsOn) StreamPipeline.withStats(base) else base, props)
+    (if (statsOn) StreamPipeline.withEmitted(shaped) else shaped)
       .writeStream
       .queryName(topicPrefix(props))
       .option("checkpointLocation", ckpt)

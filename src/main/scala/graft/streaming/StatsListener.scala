@@ -25,24 +25,29 @@ class StatsListener extends StreamingQueryListener {
 
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
     val om = e.progress.observedMetrics
+    def long(row: org.apache.spark.sql.Row, name: String): Long =
+      if (!row.schema.fieldNames.contains(name)) 0L
+      else {
+        val i = row.schema.fieldIndex(name)
+        if (row.isNullAt(i)) 0L else row.getLong(i)
+      }
     if (om.containsKey("graft_stats")) {
       val row = om.get("graft_stats")
-      def long(name: String): Long =
-        if (!row.schema.fieldNames.contains(name)) 0L
-        else {
-          val i = row.schema.fieldIndex(name)
-          if (row.isNullAt(i)) 0L else row.getLong(i)
-        }
-      add("total", long("n_events"))
-      add("insert", long("n_inserts"))
-      add("updates", long("n_updates"))
-      add("deletes", long("n_deletes"))
-      add("truncates", long("n_truncates"))
-      add("messages", long("n_messages"))
-      // from the observed batch, NOT progress.sink.numOutputRows — the
-      // foreachBatch sink reports -1 (no sink metrics), which would pin
-      // the reference's emitted.count series at zero
-      add("emitted.count", long("n_events"))
+      add("total", long(row, "n_events"))
+      add("insert", long(row, "n_inserts"))
+      add("updates", long(row, "n_updates"))
+      add("deletes", long(row, "n_deletes"))
+      add("truncates", long(row, "n_truncates"))
+      add("messages", long(row, "n_messages"))
+      // pipelines with a post-filter graft_emitted observe report the
+      // true emitted count there; otherwise (no filters between channel
+      // and sink) the channel count IS the emitted count. Neither path
+      // reads progress.sink.numOutputRows — the foreachBatch sink
+      // reports -1 (no sink metrics), which would pin the series at zero
+      if (!om.containsKey("graft_emitted"))
+        add("emitted.count", long(row, "n_events"))
     }
+    if (om.containsKey("graft_emitted"))
+      add("emitted.count", long(om.get("graft_emitted"), "n_emitted"))
   }
 }

@@ -125,6 +125,13 @@ object StreamPipeline {
       sum(when(col("op") === "t", 1).otherwise(0)).as("n_truncates"),
       sum(when(col("op") === "m", 1).otherwise(0)).as("n_messages"))
 
+  /** The EMITTED counter observed separately, post-filter: the
+    * reference counts channel calls at the replication handler
+    * (pre-filter) and emitted events at the emitter (post-filter) —
+    * two different plan points, two observe nodes. */
+  def withEmitted(df: DataFrame): DataFrame =
+    df.observe("graft_emitted", count(lit(1)).as("n_emitted"))
+
   def run(spark: SparkSession, dir: String, checkpointDir: String,
           sink: Sink, queryName: String = "graft-cdc"): StreamingQuery =
     withStats(envelopeStream(spark, dir))

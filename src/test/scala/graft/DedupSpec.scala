@@ -373,12 +373,18 @@ class DedupSpec extends SparkSpec {
   test("plan shapes: semantic assign broadcasts (no cartesian), bloom prefilter is scan-level, bm25 broadcasts df") {
     val emb = Tables.embeddings(spark, sf001)
     // SemDeDup assignment rides the one-row broadcast centroid array —
-    // a BroadcastNestedLoopJoin against ONE row, never CartesianProduct
+    // a BroadcastNestedLoopJoin against ONE row, never CartesianProduct.
+    // (balanceFactor = 0 exposes the raw plan; the default guard pins
+    // the assignment behind a localCheckpoint, hiding the BNLJ from the
+    // final plan string)
+    val rawPlan = Dedup.semanticDupPairs(emb, 8, 0.9, balanceFactor = 0)
+      .queryExecution.executedPlan.toString
+    assert(rawPlan.contains("BroadcastNestedLoopJoin"))
+    assert(!rawPlan.contains("CartesianProduct"),
+      s"semantic pair generation must never go all-pairs:\n$rawPlan")
     val pairsPlan = Dedup.semanticDupPairs(emb, 8, 0.9)
       .queryExecution.executedPlan.toString
-    assert(pairsPlan.contains("BroadcastNestedLoopJoin"))
-    assert(!pairsPlan.contains("CartesianProduct"),
-      s"semantic pair generation must never go all-pairs:\n$pairsPlan")
+    assert(!pairsPlan.contains("CartesianProduct"))
     val docs = Tables.documents(spark, sf001)
     // bloom probe compiles to the codegen might_contain kernel in a
     // narrow Filter (no join for the definitely-new branch)

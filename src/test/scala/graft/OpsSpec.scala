@@ -185,8 +185,7 @@ class OpsSpec extends SparkSpec {
       === "make_dt_interval(0, 0, 0, 5400.0)")
     assert(EventFilter.translate("""duration("250ms")""")
       === "make_dt_interval(0, 0, 0, 0.25)")
-    // fail-loud: from-end indices, malformed durations, non-literal durations
-    intercept[IllegalArgumentException](EventFilter.translate("""name[-1]"""))
+    // fail-loud: malformed durations, non-literal durations
     intercept[IllegalArgumentException](EventFilter.translate("""duration("1x")"""))
     intercept[IllegalArgumentException](EventFilter.translate("""duration(name)"""))
     // evaluation on data
@@ -197,6 +196,16 @@ class OpsSpec extends SparkSpec {
     assert(ev("""name[0]""").getString(0) === "h")
     assert(ev("""tags[1]""").getString(0) === "b")
     assert(ev("""tags[1:]""").getSeq[String](0) === Seq("b", "c"))
+    // negative indices count from the end (python/expr-lang), literal or
+    // computed; out-of-range is nil, not '' or a wrapped position
+    assert(ev("""name[-1]""").getString(0) === "o")
+    assert(ev("""tags[-1]""").getString(0) === "c")
+    assert(ev("""name[len(name) - 6]""").getString(0) === "o") // computed -1: from-end
+    assert(ev("""name[0 - 99]""").isNullAt(0))                 // past-the-start: nil
+    assert(ev("""name[99]""").isNullAt(0))
+    assert(ev("""name[1:-1]""").getString(0) === "ell")
+    assert(ev("""name[-3:]""").getString(0) === "llo")
+    assert(ev("""tags[-2:-1]""").getSeq[String](0) === Seq("b"))
     assert(ev("""name in {hello: 1, other: 2}""").getBoolean(0))
     assert(ev(""""b" in tags""").getBoolean(0))
     assert(!ev(""""q" in tags""").getBoolean(0))
