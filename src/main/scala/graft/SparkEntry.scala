@@ -1418,6 +1418,14 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("vec_id"))
     }),
 
+    "dedup_semantic_sweep" -> ((s, dir) =>
+      // the τ-tuning chart: pairs + cumulative would-be-drops per cosine
+      // threshold bucket, ONE pass over the pair set (re-running dedup
+      // per candidate τ is the naive 100 TB mistake)
+      Dedup.semanticThresholdSweep(Tables.embeddings(s, dir), nClusters = 16,
+          tauFloor = 0.2, step = 0.05)
+        .orderBy(col("threshold_milli"))),
+
     "dedup_bloom_prune" -> ((s, dir) => {
       // bloom-prefiltered incremental exact dedup: history = short-named
       // sources, batch = long-named (the dedup_incremental split)
@@ -3148,6 +3156,38 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
          |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
          |WHERE ${duckDot("ea.embedding", "eb.embedding")} / (ea.norm * eb.norm) >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // sweep twin: the dedup_semantic pair CTEs at floor 0.2, then
+    // bucket + two cumulative sums from the top
+    "dedup_semantic_sweep" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS norm FROM embeddings),
+         |${duckKmeans("e", 16, 64, 2, "km")},
+         |asg AS (SELECT vec_id, centroid_id FROM (
+         |    SELECT e.vec_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckDot("e.embedding", "c.centroid")} / (e.norm * c.cnorm) DESC,
+         |                 c.centroid_id) AS rn
+         |    FROM e CROSS JOIN km2 c) t WHERE rn = 1),
+         |pairs AS (SELECT b.vec_id AS id_b,
+         |    ${duckDot("ea.embedding", "eb.embedding")} / (ea.norm * eb.norm) AS cosine
+         |  FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+         |    JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+         |  WHERE ${duckDot("ea.embedding", "eb.embedding")} / (ea.norm * eb.norm) >= 0.2),
+         |bk AS (SELECT least(CAST(floor((cosine - 0.2) / 0.05) AS INT), 15) AS b, id_b FROM pairs),
+         |pc AS (SELECT b, count(*) AS n_pairs FROM bk GROUP BY b),
+         |dm AS (SELECT b, count(*) AS n_new_drops FROM (
+         |    SELECT id_b, max(b) AS b FROM bk GROUP BY id_b) z GROUP BY b),
+         |j AS (SELECT coalesce(pc.b, dm.b) AS b,
+         |        coalesce(pc.n_pairs, 0) AS n_pairs,
+         |        coalesce(dm.n_new_drops, 0) AS n_new_drops
+         |      FROM pc FULL JOIN dm ON pc.b = dm.b)
+         |SELECT CAST(200 + b * 50 AS BIGINT) AS threshold_milli,
+         |  CAST(n_pairs AS BIGINT) AS n_pairs,
+         |  CAST(sum(n_pairs) OVER (ORDER BY b DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pairs_at_or_above,
+         |  CAST(sum(n_new_drops) OVER (ORDER BY b DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS docs_dropped_at_or_above
+         |FROM j ORDER BY threshold_milli""".stripMargin,
 
     // prune twin: pairs always have id_a < id_b, so a drops only when
     // strictly beaten on centroid_sim; b drops on loss OR tie

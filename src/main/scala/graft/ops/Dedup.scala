@@ -894,6 +894,46 @@ object Dedup {
     definitelyNew.unionByName(suspected).drop("__h")
   }
 
+  /** Threshold-sweep dedup report: how many near-dup PAIRS and how many
+    * would-be-dropped DOCS each candidate cosine threshold yields — the
+    * chart a pipeline owner reads before committing to a SemDeDup
+    * threshold (the paper tunes τ per corpus; sweeping by rerunning the
+    * whole dedup per τ is the naive 100 TB mistake). ONE pass over the
+    * pair set: each pair lands in its cosine bucket, and cumulative
+    * counts from the top give every threshold's answer simultaneously.
+    * `drop_docs` uses the keep-lowest policy (distinct doc_b across all
+    * pairs at-or-above the bucket), computed exactly via a distinct-doc
+    * min-bucket then the same cumulative trick.
+    */
+  def semanticThresholdSweep(emb: DataFrame, nClusters: Int = 16,
+                             tauFloor: Double = 0.2, step: Double = 0.05,
+                             kmeansIters: Int = 2): DataFrame = {
+    val pairs = semanticDupPairs(emb, nClusters, threshold = tauFloor, kmeansIters)
+    // integer bucket index: floor((cosine - tauFloor)/step), clamped up
+    // at the last bucket; buckets are [tauFloor + i·step, + (i+1)·step)
+    val nB = math.max(math.ceil((1.0 - tauFloor) / step).toInt, 1)
+    val bucket = least(floor(((col("cosine") - lit(tauFloor)) / lit(step))).cast("int"),
+      lit(nB - 1))
+    val byBucket = pairs.select(bucket.as("b"), col("id_b"))
+    val pairCounts = byBucket.groupBy(col("b")).agg(count(lit(1)).as("n_pairs"))
+    // a doc drops at threshold t iff it is the RIGHT side of some pair
+    // with cosine >= t ⇒ its contribution starts at its MAX bucket
+    val docMax = byBucket.groupBy(col("id_b")).agg(max(col("b")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("n_new_drops"))
+    val w = Window.orderBy(col("b").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pairCounts.join(docMax, Seq("b"), "full")
+      .select(col("b"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_new_drops"), lit(0L)).as("n_new_drops"))
+      .withColumn("pairs_at_or_above", sum(col("n_pairs")).over(w))
+      .withColumn("docs_dropped_at_or_above", sum(col("n_new_drops")).over(w))
+      .withColumn("threshold_milli",
+        (lit((tauFloor * 1000).toLong) + col("b") * lit((step * 1000).toLong)))
+      .select(col("threshold_milli"), col("n_pairs"), col("pairs_at_or_above"),
+        col("docs_dropped_at_or_above"))
+  }
+
   /** Embedding near-dup: cosine over candidate pairs. The full pairwise
     * form is the correctness oracle (bounded inputs); the scale path is
     * Similarity.lshCosinePairs.
