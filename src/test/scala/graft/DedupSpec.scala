@@ -612,6 +612,17 @@ class DedupSpec extends SparkSpec {
       "default cap: only the unique-content twins pair; no viral-gram blowup")
   }
 
+  test("edge inputs: sweep/chunk-dedup/LM ops are defined no-ops on empty or tiny frames") {
+    import spark.implicits._
+    val emptyEmb = Tables.embeddings(spark, sf001).filter(lit(false))
+    assert(Dedup.semanticThresholdSweep(emptyEmb, nClusters = 4).count() === 0)
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.chunkDedup(emptyDocs).count() === 0)
+    val one = Seq((1L, "solo")).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(one).head
+    assert(got.getAs[String]("cleaned") === "solo" && got.getAs[Long]("n_chunks") === 1L)
+  }
+
   test("exact-mean kmeans is bit-identical across partitionings (the cluster-layout determinism contract)") {
     val emb = Tables.embeddings(spark, sf001)
     def fit(parts: Int): Map[Long, Seq[Float]] =
