@@ -1449,6 +1449,13 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("doc_id"))
     }),
 
+    "mix_unimax" -> ((s, dir) =>
+      // UniMax: epoch-capped waterfilling of a token budget across
+      // sources — small sources saturate at n*E, the rest split evenly
+      Sampling.unimaxAllocation(Tables.documents(s, dir),
+          budget = 100000L, epochCap = 2)
+        .orderBy(col("source"))),
+
     "sample_cap_per_source" -> ((s, dir) => {
       // RefinedWeb-style per-domain frequency cap: best 20 docs per
       // source by (n_chars desc, doc_id)
@@ -3308,6 +3315,28 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |WHERE length(d.source) = 5
         |  AND d.text NOT IN (SELECT text FROM documents WHERE length(source) = 4)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // unimax twin: identical window cumsums over the cap-sorted sources
+    "mix_unimax" ->
+      """WITH s AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+        |           FROM documents GROUP BY source),
+        |c AS (SELECT source, n_tokens, n_tokens * 2 AS cap_tokens FROM s),
+        |f AS (SELECT *,
+        |    coalesce(sum(cap_tokens) OVER (ORDER BY cap_tokens, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx,
+        |    count(*) OVER (ORDER BY cap_tokens, source
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rem
+        |  FROM c),
+        |g AS (SELECT *, cap_tokens * rem <= 100000 - pfx AS sat FROM f),
+        |t AS (SELECT coalesce(sum(CASE WHEN sat THEN cap_tokens END), 0) AS sat_sum,
+        |             sum(CASE WHEN sat THEN 0 ELSE 1 END) AS n_unsat FROM g),
+        |a AS (SELECT g.source, g.n_tokens, g.cap_tokens,
+        |        CASE WHEN g.sat THEN g.cap_tokens
+        |             ELSE (100000 - t.sat_sum) // t.n_unsat END AS alloc_tokens
+        |      FROM g CROSS JOIN t)
+        |SELECT source, n_tokens, cap_tokens, CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+        |  CAST(alloc_tokens * 1000 // n_tokens AS BIGINT) AS epochs_milli
+        |FROM a ORDER BY source""".stripMargin,
 
     "sample_cap_per_source" ->
       """SELECT doc_id, source, n_chars FROM (

@@ -57,4 +57,49 @@ object Sampling {
       .filter(col("__rk").cast("long") * 100 <= col("__n") * pct)
       .drop("__rk", "__n")
   }
+
+  /** UniMax budget allocation (Chung et al. 2023 §3, published method):
+    * distribute a token `budget` over sources as UNIFORMLY as possible
+    * while never taking more than `epochCap` epochs of any source —
+    * small sources saturate at cap `n_i·E`, everyone else splits the
+    * remainder evenly. Closed form over the cap-sorted sources:
+    * source k saturates iff `cap_k · remaining_k ≤ B − Σ_{j<k} cap_j`
+    * (the saturated set is a prefix of the ascending order — standard
+    * waterfilling), and the uniform level for the rest is
+    * `u = (B − Σ_sat) div n_unsat` (integer floor: the budget is a
+    * ceiling, never overshot).
+    *
+    * Everything is integer-exact: one groupBy for sizes, window
+    * cumsums over |sources| rows (tiny — domains/languages, not
+    * documents), one broadcast single-row aggregate for the saturated
+    * totals. Output per source: corpus tokens, cap, allocated tokens,
+    * and milli-epochs (`alloc·1000 div n`), the mixing table a training
+    * loader consumes.
+    */
+  def unimaxAllocation(df: DataFrame, budget: Long, epochCap: Int = 4,
+                       groupCol: String = "source",
+                       weightCol: String = "n_chars"): DataFrame = {
+    require(budget >= 0 && epochCap >= 1,
+      s"unimax: budget=$budget epochCap=$epochCap out of range")
+    val sizes = df.groupBy(col(groupCol))
+      .agg(sum(col(weightCol)).cast("long").as("n_tokens"))
+      .withColumn("cap_tokens", col("n_tokens") * epochCap)
+    val ord = Window.orderBy(col("cap_tokens"), col(groupCol))
+    val flagged = sizes
+      .withColumn("__prefix", coalesce(sum(col("cap_tokens"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__remaining",
+        count(lit(1)).over(ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("__sat",
+        col("cap_tokens") * col("__remaining") <= lit(budget) - col("__prefix"))
+    val totals = flagged.agg(
+      sum(when(col("__sat"), col("cap_tokens")).otherwise(0L)).as("__sat_sum"),
+      sum(when(col("__sat"), 0L).otherwise(1L)).as("__n_unsat"))
+    flagged.crossJoin(broadcast(totals))
+      .select(col(groupCol), col("n_tokens"), col("cap_tokens"),
+        when(col("__sat"), col("cap_tokens"))
+          .otherwise(expr(s"(${budget}L - __sat_sum) div __n_unsat"))
+          .as("alloc_tokens"))
+      .withColumn("epochs_milli", expr("alloc_tokens * 1000 div n_tokens"))
+  }
 }

@@ -56,4 +56,30 @@ class SamplingSpec extends SparkSpec {
       Sampling.topPercentPerGroup(docs, "source", 101, Seq(col("doc_id")))
     }
   }
+
+  test("unimax allocation: budget never overshot, caps honored, unsaturated sources split evenly") {
+    import spark.implicits._
+    val mix = Seq(
+      ("tiny", 100L), ("tiny", 50L),        // n=150, cap=300  — saturates
+      ("small", 400L),                       // n=400, cap=800  — saturates
+      ("big", 5000L), ("big", 5000L),        // n=10000, cap=20000
+      ("huge", 30000L)                       // n=30000, cap=60000
+    ).toDF("source", "n_chars").withColumn("doc_id", monotonically_increasing_id())
+    val budget = 9000L
+    val got = Sampling.unimaxAllocation(mix, budget, epochCap = 2)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("cap_tokens"), r.getAs[Long]("alloc_tokens")))
+      .toMap
+    // saturated: cap·remaining ≤ B − prefix → tiny (300·4 ≤ 9000) and
+    // small (800·3 ≤ 8700); the rest split (9000 − 1100) div 2 = 3950
+    assert(got("tiny")._3 === 300L && got("small")._3 === 800L)
+    assert(got("big")._3 === 3950L && got("huge")._3 === 3950L)
+    val total = got.values.map(_._3).sum
+    assert(total <= budget, s"allocation $total must never overshoot the budget")
+    got.values.foreach { case (_, cap, alloc) => assert(alloc <= cap) }
+    // budget above all caps: everything saturates exactly at cap
+    val all = Sampling.unimaxAllocation(mix, 1000000L, epochCap = 2)
+      .collect().map(r => (r.getAs[Long]("cap_tokens"), r.getAs[Long]("alloc_tokens")))
+    all.foreach { case (cap, alloc) => assert(alloc === cap) }
+  }
 }
