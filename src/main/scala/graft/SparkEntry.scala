@@ -1449,6 +1449,12 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("doc_id"))
     }),
 
+    "mix_temperature" -> ((s, dir) =>
+      // T=2 temperature mixing (mT5 posture): keep rates ∝ sqrt(n)/n,
+      // engine-exact floor-sqrt weights + defined nested-floor ppm
+      Sampling.temperatureMixRates(Tables.documents(s, dir), budget = 50000L)
+        .orderBy(col("source"))),
+
     "mix_unimax" -> ((s, dir) =>
       // UniMax: epoch-capped waterfilling of a token budget across
       // sources — small sources saturate at n*E, the rest split evenly
@@ -3315,6 +3321,17 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |WHERE length(d.source) = 5
         |  AND d.text NOT IN (SELECT text FROM documents WHERE length(source) = 4)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // temperature twin: identical floor-sqrt weights + nested-floor ppm
+    "mix_temperature" ->
+      """WITH s AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+        |           FROM documents GROUP BY source),
+        |w AS (SELECT source, n_tokens,
+        |        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight FROM s),
+        |t AS (SELECT sum(weight) AS w_sum FROM w)
+        |SELECT w.source, w.n_tokens, w.weight,
+        |  least(1000000, ((CAST(50000 AS BIGINT) * 1000000 // t.w_sum) * w.weight) // w.n_tokens) AS rate_ppm
+        |FROM w CROSS JOIN t ORDER BY source""".stripMargin,
 
     // unimax twin: identical window cumsums over the cap-sorted sources
     "mix_unimax" ->

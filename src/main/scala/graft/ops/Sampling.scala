@@ -76,6 +76,34 @@ object Sampling {
     * and milli-epochs (`alloc·1000 div n`), the mixing table a training
     * loader consumes.
     */
+  /** Temperature-weighted mixing table at T = 2 (the mT5/multilingual
+    * standard: sample sources ∝ n^(1/T), upweighting the tail): weights
+    * are `floor(sqrt(n))` — IEEE sqrt is correctly rounded and n < 2⁵²
+    * is double-exact, so the weight is bit-identical on any engine —
+    * and the per-source keep rate in ppm is the DEFINED nested-floor
+    * form `min(10⁶, ((budget·10⁶ div Σw) · w) div n)`, every step a
+    * long (a single exact big-rational floor would need 128-bit
+    * arithmetic; the nested form is the documented contract both
+    * engines replicate). One tiny groupBy + one broadcast single-row
+    * total. T ≠ 2 needs pow — outside the integer-exact subset.
+    */
+  def temperatureMixRates(df: DataFrame, budget: Long,
+                          groupCol: String = "source",
+                          weightCol: String = "n_chars"): DataFrame = {
+    require(budget >= 0, s"temperatureMix: budget=$budget must be >= 0")
+    require(budget <= Long.MaxValue / 1000000L,
+      s"temperatureMix: budget=$budget overflows the ppm scaling — use coarser units")
+    val sizes = df.groupBy(col(groupCol))
+      .agg(sum(col(weightCol)).cast("long").as("n_tokens"))
+      .withColumn("weight", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val totals = sizes.agg(sum(col("weight")).as("__w_sum"))
+    sizes.crossJoin(broadcast(totals))
+      .select(col(groupCol), col("n_tokens"), col("weight"),
+        least(lit(1000000L),
+          expr(s"((${budget}L * 1000000L div __w_sum) * weight) div n_tokens"))
+          .as("rate_ppm"))
+  }
+
   def unimaxAllocation(df: DataFrame, budget: Long, epochCap: Int = 4,
                        groupCol: String = "source",
                        weightCol: String = "n_chars"): DataFrame = {
