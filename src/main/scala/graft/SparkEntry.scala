@@ -3170,26 +3170,29 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
          |WHERE ${duckDot("ea.embedding", "eb.embedding")} / (ea.norm * eb.norm) >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
 
-    // sweep twin: the dedup_semantic pair CTEs at floor 0.2, then
-    // bucket + two cumulative sums from the top
+    // sweep twin: the dedup_semantic pair CTEs at floor 0.2, each
+    // pair's LOSER by semanticPrune's policy (higher centroid_sim, tie
+    // → higher id), then bucket + two cumulative sums from the top
     "dedup_semantic_sweep" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS norm FROM embeddings),
          |${duckKmeans("e", 16, 64, 2, "km")},
-         |asg AS (SELECT vec_id, centroid_id FROM (
+         |asg AS (SELECT vec_id, centroid_id, sim AS centroid_sim FROM (
          |    SELECT e.vec_id, c.centroid_id,
+         |      ${duckDot("e.embedding", "c.centroid")} / (e.norm * c.cnorm) AS sim,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${duckDot("e.embedding", "c.centroid")} / (e.norm * c.cnorm) DESC,
          |                 c.centroid_id) AS rn
          |    FROM e CROSS JOIN km2 c) t WHERE rn = 1),
-         |pairs AS (SELECT b.vec_id AS id_b,
+         |pairs AS (SELECT CASE WHEN b.centroid_sim < a.centroid_sim
+         |      THEN a.vec_id ELSE b.vec_id END AS loser,
          |    ${duckDot("ea.embedding", "eb.embedding")} / (ea.norm * eb.norm) AS cosine
          |  FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
          |    JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
          |  WHERE ${duckDot("ea.embedding", "eb.embedding")} / (ea.norm * eb.norm) >= 0.2),
-         |bk AS (SELECT least(CAST(floor((cosine - 0.2) / 0.05) AS INT), 15) AS b, id_b FROM pairs),
+         |bk AS (SELECT least(CAST(floor((cosine - 0.2) / 0.05) AS INT), 15) AS b, loser FROM pairs),
          |pc AS (SELECT b, count(*) AS n_pairs FROM bk GROUP BY b),
          |dm AS (SELECT b, count(*) AS n_new_drops FROM (
-         |    SELECT id_b, max(b) AS b FROM bk GROUP BY id_b) z GROUP BY b),
+         |    SELECT loser, max(b) AS b FROM bk GROUP BY loser) z GROUP BY b),
          |j AS (SELECT coalesce(pc.b, dm.b) AS b,
          |        coalesce(pc.n_pairs, 0) AS n_pairs,
          |        coalesce(dm.n_new_drops, 0) AS n_new_drops
@@ -3330,7 +3333,9 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight FROM s),
         |t AS (SELECT sum(weight) AS w_sum FROM w)
         |SELECT w.source, w.n_tokens, w.weight,
-        |  least(1000000, ((CAST(50000 AS BIGINT) * 1000000 // t.w_sum) * w.weight) // w.n_tokens) AS rate_ppm
+        |  CASE WHEN w.n_tokens <= 0 OR t.w_sum <= 0 THEN 0
+        |       ELSE least(1000000, ((CAST(50000 AS BIGINT) * 1000000 // t.w_sum) * w.weight) // w.n_tokens)
+        |  END AS rate_ppm
         |FROM w CROSS JOIN t ORDER BY source""".stripMargin,
 
     // unimax twin: identical window cumsums over the cap-sorted sources

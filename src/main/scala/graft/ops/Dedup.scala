@@ -901,9 +901,15 @@ object Dedup {
     * whole dedup per τ is the naive 100 TB mistake). ONE pass over the
     * pair set: each pair lands in its cosine bucket, and cumulative
     * counts from the top give every threshold's answer simultaneously.
-    * `drop_docs` uses the keep-lowest policy (distinct doc_b across all
-    * pairs at-or-above the bucket), computed exactly via a distinct-doc
-    * min-bucket then the same cumulative trick.
+    * `docs_dropped_at_or_above` uses [[semanticPrune]]'s OWN drop
+    * policy (each pair's LOSER is the higher-centroid-sim side, ties
+    * toward the higher id) so the chart predicts exactly what the
+    * committed prune would remove: a doc drops at threshold t iff the
+    * MAX cosine over its losing pairs is ≥ t, so each doc contributes
+    * once, at its max losing bucket, and the same top-down cumulative
+    * sum answers every t. The narrow (bucket, loser) projection is
+    * pinned with `localCheckpoint` — two aggregations consume it and
+    * the within-cluster pair join must not run twice.
     */
   def semanticThresholdSweep(emb: DataFrame, nClusters: Int = 16,
                              tauFloor: Double = 0.2, step: Double = 0.05,
@@ -914,11 +920,17 @@ object Dedup {
     val nB = math.max(math.ceil((1.0 - tauFloor) / step).toInt, 1)
     val bucket = least(floor(((col("cosine") - lit(tauFloor)) / lit(step))).cast("int"),
       lit(nB - 1))
-    val byBucket = pairs.select(bucket.as("b"), col("id_b"))
+    // pairs guarantee id_a < id_b, so semanticPrune's tie-break (lower
+    // id wins) makes a the loser only on a STRICT centroid-sim loss —
+    // the same two branches as semanticPrune's dropA/dropB
+    val loser = when(col("centroid_sim_b") < col("centroid_sim_a"), col("id_a"))
+      .otherwise(col("id_b"))
+    val byBucket = pairs.select(bucket.as("b"), loser.as("loser"))
+      .localCheckpoint(true)
     val pairCounts = byBucket.groupBy(col("b")).agg(count(lit(1)).as("n_pairs"))
-    // a doc drops at threshold t iff it is the RIGHT side of some pair
-    // with cosine >= t ⇒ its contribution starts at its MAX bucket
-    val docMax = byBucket.groupBy(col("id_b")).agg(max(col("b")).as("b"))
+    // a doc drops at threshold t iff it LOSES some pair with
+    // cosine >= t ⇒ its contribution starts at its MAX losing bucket
+    val docMax = byBucket.groupBy(col("loser")).agg(max(col("b")).as("b"))
       .groupBy(col("b")).agg(count(lit(1)).as("n_new_drops"))
     val w = Window.orderBy(col("b").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -929,7 +941,7 @@ object Dedup {
       .withColumn("pairs_at_or_above", sum(col("n_pairs")).over(w))
       .withColumn("docs_dropped_at_or_above", sum(col("n_new_drops")).over(w))
       .withColumn("threshold_milli",
-        (lit((tauFloor * 1000).toLong) + col("b") * lit((step * 1000).toLong)))
+        (lit(math.round(tauFloor * 1000)) + col("b") * lit(math.round(step * 1000))))
       .select(col("threshold_milli"), col("n_pairs"), col("pairs_at_or_above"),
         col("docs_dropped_at_or_above"))
   }

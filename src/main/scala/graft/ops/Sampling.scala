@@ -58,6 +58,40 @@ object Sampling {
       .drop("__rk", "__n")
   }
 
+  /** Temperature-weighted mixing table at T = 2 (the mT5/multilingual
+    * standard: sample sources ∝ n^(1/T), upweighting the tail): weights
+    * are `floor(sqrt(n))` — IEEE sqrt is correctly rounded and n < 2⁵²
+    * is double-exact, so the weight is bit-identical on any engine —
+    * and the per-source keep rate in ppm is the DEFINED nested-floor
+    * form `min(10⁶, ((budget·10⁶ div Σw) · w) div n)`, every step a
+    * long (a single exact big-rational floor would need 128-bit
+    * arithmetic; the nested form is the documented contract both
+    * engines replicate). One tiny groupBy + one broadcast single-row
+    * total. T ≠ 2 needs pow — outside the integer-exact subset.
+    *
+    * Degenerate sources get an explicit 0 rate: a source whose tokens
+    * sum to 0/NULL (or an all-empty corpus, Σw = 0) must keep NOTHING —
+    * without the guard the integer `div` yields NULL and `least()`
+    * skips NULLs, silently promoting the rate to the 10⁶ cap.
+    */
+  def temperatureMixRates(df: DataFrame, budget: Long,
+                          groupCol: String = "source",
+                          weightCol: String = "n_chars"): DataFrame = {
+    require(budget >= 0, s"temperatureMix: budget=$budget must be >= 0")
+    require(budget <= Long.MaxValue / 1000000L,
+      s"temperatureMix: budget=$budget overflows the ppm scaling — use coarser units")
+    val sizes = df.groupBy(col(groupCol))
+      .agg(coalesce(sum(col(weightCol)).cast("long"), lit(0L)).as("n_tokens"))
+      .withColumn("weight", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val totals = sizes.agg(sum(col("weight")).as("__w_sum"))
+    sizes.crossJoin(broadcast(totals))
+      .select(col(groupCol), col("n_tokens"), col("weight"),
+        when(col("n_tokens") <= 0 || col("__w_sum") <= 0, lit(0L))
+          .otherwise(least(lit(1000000L),
+            expr(s"((${budget}L * 1000000L div __w_sum) * weight) div n_tokens")))
+          .as("rate_ppm"))
+  }
+
   /** UniMax budget allocation (Chung et al. 2023 §3, published method):
     * distribute a token `budget` over sources as UNIFORMLY as possible
     * while never taking more than `epochCap` epochs of any source —
@@ -75,45 +109,35 @@ object Sampling {
     * totals. Output per source: corpus tokens, cap, allocated tokens,
     * and milli-epochs (`alloc·1000 div n`), the mixing table a training
     * loader consumes.
+    *
+    * Overflow posture: Spark's non-ANSI `*` wraps silently, and a
+    * wrapped-negative cap would sort first, "saturate", and emit a
+    * negative allocation. Guarded by an eager single-row aggregate over
+    * the tiny per-source table (the documented bloom-sizing stance):
+    * every product in the plan — `n·epochCap`, `cap·remaining`,
+    * `alloc·1000` — is proven in-range or the call fails loudly.
     */
-  /** Temperature-weighted mixing table at T = 2 (the mT5/multilingual
-    * standard: sample sources ∝ n^(1/T), upweighting the tail): weights
-    * are `floor(sqrt(n))` — IEEE sqrt is correctly rounded and n < 2⁵²
-    * is double-exact, so the weight is bit-identical on any engine —
-    * and the per-source keep rate in ppm is the DEFINED nested-floor
-    * form `min(10⁶, ((budget·10⁶ div Σw) · w) div n)`, every step a
-    * long (a single exact big-rational floor would need 128-bit
-    * arithmetic; the nested form is the documented contract both
-    * engines replicate). One tiny groupBy + one broadcast single-row
-    * total. T ≠ 2 needs pow — outside the integer-exact subset.
-    */
-  def temperatureMixRates(df: DataFrame, budget: Long,
-                          groupCol: String = "source",
-                          weightCol: String = "n_chars"): DataFrame = {
-    require(budget >= 0, s"temperatureMix: budget=$budget must be >= 0")
-    require(budget <= Long.MaxValue / 1000000L,
-      s"temperatureMix: budget=$budget overflows the ppm scaling — use coarser units")
-    val sizes = df.groupBy(col(groupCol))
-      .agg(sum(col(weightCol)).cast("long").as("n_tokens"))
-      .withColumn("weight", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
-    val totals = sizes.agg(sum(col("weight")).as("__w_sum"))
-    sizes.crossJoin(broadcast(totals))
-      .select(col(groupCol), col("n_tokens"), col("weight"),
-        least(lit(1000000L),
-          expr(s"((${budget}L * 1000000L div __w_sum) * weight) div n_tokens"))
-          .as("rate_ppm"))
-  }
 
   def unimaxAllocation(df: DataFrame, budget: Long, epochCap: Int = 4,
                        groupCol: String = "source",
                        weightCol: String = "n_chars"): DataFrame = {
     require(budget >= 0 && epochCap >= 1,
       s"unimax: budget=$budget epochCap=$epochCap out of range")
+    require(budget <= Long.MaxValue / 1000L,
+      s"unimax: budget=$budget overflows the milli-epoch scaling — use coarser units")
     val sizes = df.groupBy(col(groupCol))
-      .agg(sum(col(weightCol)).cast("long").as("n_tokens"))
-      .withColumn("cap_tokens", col("n_tokens") * epochCap)
+      .agg(coalesce(sum(col(weightCol)).cast("long"), lit(0L)).as("n_tokens"))
+    val bounds = sizes.agg(coalesce(max(col("n_tokens")), lit(0L)),
+      count(lit(1))).head
+    val (maxN, nSources) = (bounds.getLong(0), bounds.getLong(1))
+    require(maxN >= 0, s"unimax: negative $weightCol sum ($maxN) in some source")
+    require(maxN <= Long.MaxValue / epochCap &&
+      (nSources == 0 || maxN * epochCap <= Long.MaxValue / math.max(nSources, 1000L)),
+      s"unimax: max source size $maxN × epochCap=$epochCap × $nSources sources " +
+        s"overflows 64-bit token arithmetic — use coarser units")
+    val withCap = sizes.withColumn("cap_tokens", col("n_tokens") * epochCap)
     val ord = Window.orderBy(col("cap_tokens"), col(groupCol))
-    val flagged = sizes
+    val flagged = withCap
       .withColumn("__prefix", coalesce(sum(col("cap_tokens"))
         .over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("__remaining",

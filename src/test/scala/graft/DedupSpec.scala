@@ -574,6 +574,24 @@ class DedupSpec extends SparkSpec {
     assert(kept === (all -- expectedDrops))
   }
 
+  test("threshold sweep predicts semanticPrune exactly at every aligned threshold") {
+    val emb = Tables.embeddings(spark, sf001)
+    val sweep = Dedup.semanticThresholdSweep(emb, nClusters = 8,
+      tauFloor = 0.2, step = 0.05)
+      .collect().map(r => r.getAs[Long]("threshold_milli") ->
+        (r.getAs[Long]("pairs_at_or_above"), r.getAs[Long]("docs_dropped_at_or_above"))).toMap
+    val total = emb.count()
+    for (milli <- Seq(400L, 600L, 900L) if sweep.contains(milli)) {
+      val tau = milli / 1000.0
+      val wantPairs = Dedup.semanticDupPairs(emb, nClusters = 8, threshold = tau).count()
+      val wantDrops = total -
+        Dedup.semanticPrune(emb, nClusters = 8, threshold = tau).count()
+      assert(sweep(milli)._1 === wantPairs, s"pairs at tau=$tau")
+      assert(sweep(milli)._2 === wantDrops,
+        s"docs dropped at tau=$tau must equal what semanticPrune removes")
+    }
+  }
+
   test("adaptive clusters: long path graph falls back to star and finishes in <= log rounds end-to-end") {
     import spark.implicits._
     val n = 200

@@ -82,4 +82,33 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("cap_tokens"), r.getAs[Long]("alloc_tokens")))
     all.foreach { case (cap, alloc) => assert(alloc === cap) }
   }
+
+  test("unimax refuses arithmetic that would wrap 64-bit token math") {
+    import spark.implicits._
+    val huge = Seq(("a", Long.MaxValue / 2), ("b", 10L))
+      .toDF("source", "n_chars")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.unimaxAllocation(huge, 1000L, epochCap = 4)
+    }
+    assert(e.getMessage.contains("overflows"))
+    intercept[IllegalArgumentException] {
+      Sampling.unimaxAllocation(huge, Long.MaxValue / 100L, epochCap = 1)
+    }
+  }
+
+  test("temperature mix: zero-token sources keep nothing, not everything") {
+    import spark.implicits._
+    val mix = Seq(("live", 10000L), ("empty", 0L))
+      .toDF("source", "n_chars")
+    val rates = Sampling.temperatureMixRates(mix, budget = 5000L)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("rate_ppm")).toMap
+    // the NULL-division trap: least(1e6, NULL) = 1e6 would keep 100 %
+    // of a source that has no tokens at all
+    assert(rates("empty") === 0L)
+    assert(rates("live") > 0L && rates("live") <= 1000000L)
+    // fully empty corpus: Σw = 0 must not promote every rate to the cap
+    val allEmpty = Seq(("a", 0L), ("b", 0L)).toDF("source", "n_chars")
+    Sampling.temperatureMixRates(allEmpty, budget = 5000L)
+      .collect().foreach(r => assert(r.getAs[Long]("rate_ppm") === 0L))
+  }
 }
