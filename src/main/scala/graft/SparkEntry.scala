@@ -1334,6 +1334,14 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "ann_ivf_balance" -> ((s, dir) =>
+      // the quantizer-skew report: per-list size/share + micro-cosine
+      // cohesion for the default fitted quantizer — read BEFORE a run,
+      // fixed with more Lloyd rounds / higher k / the salt guard
+      Similarity.ivfBalance(Tables.embeddings(s, dir), nLists = 16,
+          kmeansIters = 2)
+        .orderBy(col("centroid_id"))),
+
     "text_langid" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("doc_id"), TextAnalysis.langId("text").as("pred_lang"))
@@ -1584,6 +1592,18 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // corpus-level heavy hitters = boilerplate shortlist
       TextAnalysis.topNgrams(Tables.documents(s, dir), n = 3, k = 20)
     }),
+
+    "text_boilerplate" -> ((s, dir) =>
+      // per-doc share of corpus-common 3-grams (df >= 4): the doc-level
+      // boilerplate signal behind RefinedWeb/CCNet line filtering
+      TextAnalysis.boilerplateScore(Tables.documents(s, dir), n = 3, minDf = 4)
+        .orderBy(col("doc_id"))),
+
+    "source_overlap" -> ((s, dir) =>
+      // pairwise distinct-3-gram Jaccard between sources: the
+      // mirror-crawl detector read before committing mixing weights
+      TextAnalysis.sourceOverlap(Tables.documents(s, dir), n = 3)
+        .orderBy(col("source_a"), col("source_b"))),
 
     "text_script_profile" -> ((s, dir) => {
       // Unicode-script routing: the pre-model script detector
@@ -3031,6 +3051,31 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
          |SELECT query_id, neighbor_id, rnk, cosine FROM ranked
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
+    // balance twin: the fitted (2-round) quantizer's per-list sizes and
+    // micro-rounded cohesion — sim folds identically (sequential
+    // list_reduce ≡ Spark's aggregate HOF), so floor(sim·10⁶+0.5) is
+    // bit-equal and the BIGINT sums are order-free
+    "ann_ivf_balance" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS norm FROM embeddings),
+         |${duckKmeans("e", 16, 64, 2, "km")},
+         |asg AS (SELECT vec_id, centroid_id,
+         |    CAST(floor(sim * 1000000.0 + 0.5) AS BIGINT) AS sim_micro FROM (
+         |    SELECT e.vec_id, c.centroid_id,
+         |      ${duckDot("e.embedding", "c.centroid")} / (e.norm * c.cnorm) AS sim,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckDot("e.embedding", "c.centroid")} / (e.norm * c.cnorm) DESC,
+         |                 c.centroid_id) AS rn
+         |    FROM e CROSS JOIN km2 c) t WHERE rn = 1),
+         |pl AS (SELECT centroid_id, count(*) AS n_vectors,
+         |         sum(sim_micro) AS sum_sim_micro, min(sim_micro) AS min_sim_micro
+         |       FROM asg GROUP BY centroid_id),
+         |t AS (SELECT sum(n_vectors) AS tot FROM pl)
+         |SELECT centroid_id, CAST(n_vectors AS BIGINT) AS n_vectors,
+         |  CAST(n_vectors * 1000000 // tot AS BIGINT) AS share_ppm,
+         |  CAST(sum_sim_micro AS BIGINT) AS sum_sim_micro,
+         |  CAST(min_sim_micro AS BIGINT) AS min_sim_micro
+         |FROM pl CROSS JOIN t ORDER BY centroid_id""".stripMargin,
+
     // the seeded (kmeansIters = 0) baseline keeps the SQL-trivial
     // lowest-id quantizer oracle
     "ann_ivf_seed_topk" ->
@@ -3608,6 +3653,44 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |      FROM (SELECT string_split(text, ' ') AS t FROM documents) z
         |      WHERE len(t) >= 3)
         |GROUP BY gram ORDER BY n_occurrences DESC, gram LIMIT 20""".stripMargin,
+
+    // boilerplate twin: distinct per-doc 3-grams, df across docs, the
+    // same integer ppm (all counts nonneg, so // matches div)
+    "text_boilerplate" ->
+      """WITH g AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
+        |      x -> x[1] || ' ' || x[2] || ' ' || x[3]))) AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) z
+        |  WHERE len(t) >= 3),
+        |d AS (SELECT gram, count(*) AS gram_df FROM g GROUP BY gram),
+        |p AS (SELECT g.doc_id, count(*) AS n_grams,
+        |        sum(CASE WHEN d.gram_df >= 4 THEN 1 ELSE 0 END) AS n_common
+        |      FROM g JOIN d USING (gram) GROUP BY g.doc_id)
+        |SELECT doc_id, CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(p.n_common, 0) AS BIGINT) AS n_common,
+        |  CAST(coalesce(p.n_common * 1000000 // p.n_grams, 0) AS BIGINT) AS boilerplate_ppm
+        |FROM documents LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // overlap twin: distinct (source, gram) sets, self-join on gram with
+    // src_a < src_b, integer Jaccard over the union size
+    "source_overlap" ->
+      """WITH sg AS (SELECT DISTINCT src, gram FROM (
+        |    SELECT source AS src,
+        |      unnest(list_distinct(list_transform(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
+        |        x -> x[1] || ' ' || x[2] || ' ' || x[3]))) AS gram
+        |    FROM (SELECT source, string_split(text, ' ') AS t FROM documents) z
+        |    WHERE len(t) >= 3)),
+        |sz AS (SELECT src, count(*) AS n FROM sg GROUP BY src),
+        |i AS (SELECT a.src AS source_a, b.src AS source_b, count(*) AS n_common
+        |      FROM sg a JOIN sg b ON a.gram = b.gram AND a.src < b.src
+        |      GROUP BY 1, 2)
+        |SELECT i.source_a, i.source_b,
+        |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+        |  CAST(i.n_common AS BIGINT) AS n_common,
+        |  CAST(i.n_common * 1000000 // (sa.n + sb.n - i.n_common) AS BIGINT) AS jaccard_ppm
+        |FROM i JOIN sz sa ON sa.src = i.source_a
+        |  JOIN sz sb ON sb.src = i.source_b
+        |ORDER BY source_a, source_b""".stripMargin,
 
     // script-profile twin: identical literal-character classes (the one
     // form Java regex and RE2 share), list_position argmax = first-wins

@@ -266,6 +266,46 @@ object Similarity {
       (fitted, ivfAssignWith(corpus, fitted))
     }
 
+  /** Quantizer balance report — the observability half of the list-size
+    * balance guard: per inverted list its member count, corpus share in
+    * ppm, and cohesion stats over the winning cosine (micro-rounded to
+    * integers so BIGINT sums stay order-free and hash-verifiable; a
+    * float sum would depend on partitioning). `share_ppm` far above
+    * `10⁶/k` on some list is exactly the skew that makes every
+    * within-list join or probe quadratic in the hot list — this is the
+    * report an operator reads BEFORE committing a quantizer to a 100 TB
+    * run (then fixes with more Lloyd rounds, higher k, or lets the salt
+    * guard absorb it). One assignment scan (zero-Exchange broadcast
+    * argmax), one groupBy over k keys, a broadcast single-row total.
+    * Lists that captured no vectors don't appear (count 0 — same in any
+    * engine replicating the argmax).
+    */
+  def ivfBalance(corpus: DataFrame, nLists: Int = 16, kmeansIters: Int = 2,
+                 fitSampleMod: Int = 1): DataFrame = {
+    val centroids =
+      if (kmeansIters <= 0)
+        corpus.orderBy(col("vec_id")).limit(nLists)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      else kmeansCentroids(corpus, nLists, kmeansIters, fitSampleMod)
+    val assigned = ivfAssignWithSim(corpus, centroids)
+    val perList = assigned
+      .select(col("centroid_id"),
+        floor(col("centroid_sim") * lit(1000000.0d) + lit(0.5d)).cast("long")
+          .as("sim_micro"))
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("sim_micro")).as("sum_sim_micro"),
+        min(col("sim_micro")).as("min_sim_micro"))
+    val total = perList.agg(sum(col("n_vectors")).as("__total"))
+    perList.crossJoin(broadcast(total))
+      .select(col("centroid_id"), col("n_vectors"),
+        expr("n_vectors * 1000000 div __total").as("share_ppm"),
+        // the SUM, not the mean: sum_sim_micro can be negative (cosine
+        // spans [-1,1]) and truncating-vs-floor integer division would
+        // diverge across engines there — the reader divides by n_vectors
+        col("sum_sim_micro"), col("min_sim_micro"))
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nLists: Int = 16, nProbe: Int = 4,
               kmeansIters: Int = 2, balanceFactor: Double = 4.0,

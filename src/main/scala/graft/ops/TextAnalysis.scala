@@ -427,6 +427,80 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("gram"))
       .limit(k)
 
+  /** Per-document boilerplate score: the share (ppm) of a document's
+    * DISTINCT word n-grams that are corpus-common (document frequency
+    * ≥ `minDf`) — the per-doc complement of [[topNgrams]], and the
+    * signal RefinedWeb/CCNet-style line filters approximate: a document
+    * made mostly of grams that recur across ≥ minDf documents is
+    * navigation/template boilerplate, not content. Integer-exact
+    * (count div count — no float ratio).
+    *
+    * Scale shape: distinct grams per doc (narrow explode), a df
+    * AGGREGATE (not a window count — partial aggregation absorbs a
+    * viral gram map-side, where a count-over-gram-partition window
+    * would serialize every occurrence into one task), a gram-keyed
+    * join-back, then one groupBy on doc_id. The gram explode is
+    * evaluated on both sides of the join (the df side's partial agg
+    * sits below its exchange, so the shuffles can't unify) — a
+    * deliberate trade: recomputing a narrow projection beats either
+    * pinning token-scale state or the window's hot-key cliff. Docs
+    * shorter than n tokens have no grams and score 0 over 0.
+    */
+  def boilerplateScore(df: DataFrame, n: Int = 3, minDf: Int = 100,
+                       textCol: String = "text"): DataFrame = {
+    require(minDf >= 2, s"boilerplateScore: minDf=$minDf must be >= 2")
+    val grams = df.select(col("doc_id"),
+      explode(array_distinct(graft.functions.TextFunctions.ngrams_join(
+        split(col(textCol), " "), n))).as("gram"))
+    val gramDf = grams.groupBy(col("gram")).agg(count(lit(1)).as("gram_df"))
+    val perDoc = grams.join(gramDf, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gram_df") >= minDf, 1L).otherwise(0L)).as("n_common"))
+    df.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(expr("n_common * 1000000 div n_grams"), lit(0L))
+          .as("boilerplate_ppm"))
+  }
+
+  /** Pairwise source-overlap matrix: for every pair of sources that
+    * share at least one distinct word n-gram, the intersection size and
+    * integer Jaccard (ppm) over their distinct-gram sets — the corpus
+    * report that surfaces mirrored/scraped-twice sources BEFORE mixing
+    * weights are committed (two sources with jaccard_ppm near 10⁶ are
+    * the same crawl twice; UniMax would double-budget them).
+    *
+    * Scale shape: distinct (source, gram) pairs — ONE shuffle — then a
+    * self-equi-join on gram whose per-key fanout is bounded by the
+    * SOURCE count (each gram contributes ≤ |sources_containing_it|²
+    * pairs, never a per-document blowup), and the self-join reuses the
+    * distinct's exchange. Sized for source/domain cardinality in the
+    * hundreds-to-thousands; the output is |source pairs| rows, tiny.
+    * Zero-overlap pairs don't appear (their Jaccard is 0).
+    */
+  def sourceOverlap(df: DataFrame, n: Int = 3, textCol: String = "text",
+                    groupCol: String = "source"): DataFrame = {
+    val sg = df.select(col(groupCol).as("src"),
+      explode(array_distinct(graft.functions.TextFunctions.ngrams_join(
+        split(col(textCol), " "), n))).as("gram"))
+      .distinct()
+    val sizes = sg.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    val inter = sg.as("a").join(sg.as("b"),
+        col("a.gram") === col("b.gram") && col("a.src") < col("b.src"))
+      .select(col("a.src").as("source_a"), col("b.src").as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("src").as("source_a"), col("n").as("n_a")), Seq("source_a"))
+      .join(sizes.select(col("src").as("source_b"), col("n").as("n_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        expr("n_common * 1000000 div (n_a + n_b - n_common)").as("jaccard_ppm"))
+  }
+
   /** BM25-shaped keyword retrieval over the corpus: rank documents for a
     * fixed term set by `idf · tf-saturation · length-normalization` —
     * the retrieval primitive data curation uses (find docs matching an

@@ -372,6 +372,72 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("boilerplate score: template prefixes score, unique docs zero, short docs are 0/0") {
+    import spark.implicits._
+    val shared = "nav home about contact" // 2 shared 3-grams across 5 docs
+    val docs = ((1 to 5).map(i => (i.toLong, s"$shared u$i v$i w$i")) ++
+      Seq((10L, "alpha beta gamma delta epsilon"), (11L, "one two")))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.boilerplateScore(docs, n = 3, minDf = 4)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // template docs: 5 distinct grams, 2 with df=5 >= 4 → 400000 ppm
+    (1 to 5).foreach(i => assert(got(i.toLong) === ((5L, 2L, 400000L)), s"doc $i"))
+    assert(got(10L) === ((3L, 0L, 0L)), "unique grams never count as boilerplate")
+    assert(got(11L) === ((0L, 0L, 0L)), "sub-n docs stay in the report at 0/0")
+  }
+
+  test("source overlap: mirrored sources hit 1e6 ppm, disjoint pairs absent, self-join reuses the exchange") {
+    import spark.implicits._
+    val docs = Seq(
+      ("mirror1", "a b c d e"), ("mirror2", "a b c d e"),
+      ("other", "p q r s t")).toDF("source", "text")
+    val got = graft.ops.TextAnalysis.sourceOverlap(docs, n = 3).collect()
+    assert(got.length === 1, "zero-overlap pairs must not appear")
+    val r = got.head
+    assert((r.getString(0), r.getString(1)) === (("mirror1", "mirror2")))
+    assert(r.getLong(4) === 3L && r.getLong(5) === 1000000L,
+      "identical gram sets are a perfect-mirror pair")
+    // the 100 TB join shape: both sides of the gram self-join share one
+    // shuffle once tiny-data broadcasts are off
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = graft.ops.TextAnalysis.sourceOverlap(docs, n = 3)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"),
+        s"self-join sides must reuse the distinct-gram exchange:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("ivf balance report accounts for every vector and matches a direct recomputation") {
+    val emb = Tables.embeddings(spark, sf001)
+    val bal = graft.ops.Similarity.ivfBalance(emb, nLists = 16, kmeansIters = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(bal.values.map(_._1).sum === emb.count(), "every vector lands in a list")
+    val shareSum = bal.values.map(_._2).sum
+    assert(shareSum > 1000000L - bal.size && shareSum <= 1000000L,
+      "floored shares sum to 1e6 within k ulps")
+    // recompute from the same deterministic quantizer: must agree exactly
+    val cents = graft.ops.Similarity.kmeansCentroids(emb, 16, iters = 2)
+    val expect = graft.ops.Similarity.ivfAssignWithSim(emb, cents)
+      .select(col("centroid_id"),
+        floor(col("centroid_sim") * lit(1000000.0d) + lit(0.5d)).cast("long").as("m"))
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("s"), min(col("m")).as("mn"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(bal.keySet === expect.keySet)
+    bal.foreach { case (id, (n, _, s, mn)) =>
+      assert(expect(id) === ((n, s, mn)), s"list $id")
+    }
+  }
+
   test("vocab tokenization maps tokens by frequency rank with -1 UNK") {
     val docs = Seq((1L, "b a b c"), (2L, "b a rare")).toDF("doc_id", "text")
     val vocab = TextAnalysis.buildVocab(docs, topK = 2) // b(3)→0, a(2)→1
