@@ -1255,6 +1255,26 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("user_id"), col("sess_no"))
     }),
 
+    "events_funnel" -> ((s, dir) =>
+      // strict-order view→click→purchase funnel, converting within 7
+      // days of entry; greedy earliest-chain per user, nulls where the
+      // funnel stalls. Timestamps are floored to MICROS first: DuckDB
+      // truncates TIMESTAMP_NS to micro precision on read, so the
+      // engines must compare the same integers (the sub-micro tail
+      // would flip strict-order comparisons between them)
+      ops.EventAnalytics.funnel(
+          Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000")),
+          steps = Seq("view", "click", "purchase"),
+          windowNs = 604800L * 1000000L, tsCol = "ts_us")
+        .orderBy(col("user_id"))),
+
+    "events_retention" -> ((s, dir) =>
+      // weekly cohort-retention triangle: users bucketed by first-seen
+      // week, distinct-active counts per (cohort, weeks-since) cell
+      ops.EventAnalytics.cohortRetention(Tables.events(s, dir),
+          periodNs = 604800L * 1000000000L)
+        .orderBy(col("cohort_period"), col("period_offset"))),
+
     "q_asof_join" -> ((s, dir) => {
       Cdc.asofLastOrder(Cdc.walEvents(s, dir), Tables.orders(s, dir))
         .orderBy(col("event_id"))
@@ -2147,6 +2167,39 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
          |    FROM events) a) b
          |GROUP BY user_id, sess_no
          |ORDER BY user_id, sess_no""".stripMargin,
+
+    // funnel twin: identical greedy join-chain (min step-1, earliest
+    // next-step after the previous inside the entry window), on MICROS
+    // (epoch_ns // 1000 ≡ Spark's ts div 1000 — DuckDB truncates
+    // TIMESTAMP_NS to micro precision, so micros is the shared grid)
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS tsn, event_type FROM events),
+        |s1 AS (SELECT user_id, min(tsn) AS ts_1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT s1.user_id, max(s1.ts_1) AS ts_1, min(e.tsn) AS ts_2
+        |       FROM s1 LEFT JOIN e ON e.user_id = s1.user_id
+        |         AND e.event_type = 'click'
+        |         AND e.tsn > s1.ts_1 AND e.tsn <= s1.ts_1 + 604800000000
+        |       GROUP BY s1.user_id),
+        |s3 AS (SELECT s2.user_id, max(ts_1) AS ts_1, max(ts_2) AS ts_2,
+        |         min(e.tsn) AS ts_3
+        |       FROM s2 LEFT JOIN e ON e.user_id = s2.user_id
+        |         AND e.event_type = 'purchase'
+        |         AND e.tsn > s2.ts_2 AND e.tsn <= s2.ts_1 + 604800000000
+        |       GROUP BY s2.user_id)
+        |SELECT user_id, ts_1, ts_2, ts_3,
+        |  CAST(1 + CASE WHEN ts_2 IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN ts_3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS steps_completed
+        |FROM s3 ORDER BY user_id""".stripMargin,
+
+    // retention twin: integer week buckets over epoch nanos
+    "events_retention" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 604800000000000 AS period FROM events),
+        |f AS (SELECT user_id, min(period) AS cohort_period FROM e GROUP BY user_id)
+        |SELECT f.cohort_period, e.period - f.cohort_period AS period_offset,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active_users
+        |FROM e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_asof_join" ->
       """SELECT e.event_id, e.user_id, MAX(epoch_ms(o.o_orderdate)) AS last_order_ms

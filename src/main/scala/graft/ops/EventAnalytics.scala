@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table: ordered-funnel
+  * conversion and cohort retention — the two reports every
+  * product-analytics engine ships (the reference's CDC events feed
+  * exactly this kind of consumer downstream).
+  *
+  * Timestamps are LONG NANOS (`Tables.events` reads TIMESTAMP(NANOS)
+  * as long) and every derived quantity is integer arithmetic on them —
+  * engine-exact, no timezone or float ambiguity.
+  */
+object EventAnalytics {
+
+  /** Strict-order funnel: for each user who performed `steps.head`,
+    * the earliest chain `t₁ < t₂ < … < tₖ` with every step inside
+    * `windowNs` of the user's FIRST step-1 event (the standard
+    * "convert within W of entry" contract), greedily matched — `tᵢ` is
+    * the earliest step-i event after `tᵢ₋₁`. Greedy earliest-first is
+    * the classical correct choice: if any valid chain exists, the
+    * greedy one exists (exchanging any tᵢ for an earlier valid one
+    * never invalidates later steps).
+    *
+    * Output: one row per entered user — `user_id`, `ts_1 … ts_k`
+    * (nulls where the funnel stalled), `steps_completed`.
+    *
+    * Scale shape: one aggregate per step over the TYPE-FILTERED event
+    * slice (the filter reaches the scan; non-funnel events are never
+    * read into a shuffle), chained by k−1 equi-joins on `user_id` —
+    * every stage is partial-agg-able min/max, no per-user arrays, no
+    * windows, so a bot user with 10⁸ events costs map-side reduction,
+    * not a single-task sort. k is the funnel length (tiny, fixed).
+    */
+  def funnel(events: DataFrame, steps: Seq[String], windowNs: Long,
+             tsCol: String = "ts", userCol: String = "user_id",
+             typeCol: String = "event_type"): DataFrame = {
+    require(steps.size >= 2, s"funnel: need >= 2 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size,
+      s"funnel: repeated step types $steps — greedy matching needs distinct types")
+    require(windowNs > 0, s"funnel: windowNs=$windowNs must be positive")
+    val base = events.select(col(userCol).as("user_id"),
+      col(tsCol).cast("long").as("tsn"), col(typeCol).as("etype"))
+    var acc = base.filter(col("etype") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("tsn")).as("ts_1"))
+    for (i <- 1 until steps.size) {
+      val cand = base.filter(col("etype") === steps(i))
+        .select(col("user_id"), col("tsn"))
+      val carried = (1 to i).map(j => max(col(s"ts_$j")).as(s"ts_$j"))
+      // explicit aliases: acc and cand share base's lineage, so bare
+      // user_id would be ambiguous in the self-derived join
+      acc = acc.as("l").join(cand.as("r"),
+          col("l.user_id") === col("r.user_id") &&
+            col("r.tsn") > col(s"l.ts_$i") &&
+            col("r.tsn") <= col("l.ts_1") + windowNs,
+          "left")
+        .select(col("l.user_id").as("user_id") +:
+          (1 to i).map(j => col(s"l.ts_$j").as(s"ts_$j")) :+
+          col("r.tsn").as("tsn"): _*)
+        .groupBy(col("user_id"))
+        // carried columns are single-valued per user (max = the value);
+        // a stalled step leaves min(tsn) null and later steps stay null
+        .agg(carried.head, carried.tail :+ min(col("tsn")).as(s"ts_${i + 1}"): _*)
+    }
+    val completed = (2 to steps.size)
+      .map(j => when(col(s"ts_$j").isNotNull, 1).otherwise(0))
+      .foldLeft(lit(1))(_ + _)
+    acc.withColumn("steps_completed", completed.cast("long"))
+  }
+
+  /** Cohort retention: users bucketed by FIRST-ACTIVITY period, then
+    * the distinct-active-user count per (cohort, periods-since-cohort)
+    * cell — the retention triangle. `periodNs` picks the granularity
+    * (day/week); periods are `tsn div periodNs`, integer-exact.
+    *
+    * Scale shape: first-seen is one min-aggregate on `user_id`; the
+    * join-back shuffles on the same key; the cell count is a
+    * count-distinct on a (cohort, offset) key space bounded by
+    * (periods)² — tiny output, partial-agg'd. No windows, no arrays.
+    */
+  def cohortRetention(events: DataFrame, periodNs: Long,
+                      tsCol: String = "ts",
+                      userCol: String = "user_id"): DataFrame = {
+    require(periodNs > 0, s"cohortRetention: periodNs=$periodNs must be positive")
+    val base = events.select(col(userCol).as("user_id"),
+      expr(s"CAST($tsCol AS BIGINT) div ${periodNs}L").as("period"))
+    val firstSeen = base.groupBy(col("user_id"))
+      .agg(min(col("period")).as("cohort_period"))
+    base.join(firstSeen, Seq("user_id"))
+      .groupBy(col("cohort_period"),
+        (col("period") - col("cohort_period")).as("period_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active_users"))
+  }
+}

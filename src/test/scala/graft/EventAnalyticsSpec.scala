@@ -1,0 +1,67 @@
+package graft
+
+import graft.ops.EventAnalytics
+import org.apache.spark.sql.functions._
+
+/** Planted-fixture semantics for the event-analytics ops: greedy funnel
+  * chaining, window cutoffs, stalls, and the retention triangle. */
+class EventAnalyticsSpec extends SparkSpec {
+
+  private def ev(rows: (Long, Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("user_id", "ts", "event_type")
+  }
+
+  test("funnel: greedy chain, stalls leave nulls, entry window cuts late steps") {
+    val events = ev(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 24L, "purchase"), // complete inside entry+15
+      (2L, 10L, "view"), (2L, 5L, "purchase"),                      // purchase precedes → stalls at 1
+      (3L, 5L, "click"), (3L, 10L, "view"), (3L, 12L, "click"),     // pre-view click ignored
+      (3L, 11L, "purchase"),                                        // 11 < ts_2=12 → stalls at 2
+      (4L, 10L, "view"), (4L, 30L, "click"),                        // outside window 15
+      (5L, 10L, "click"), (5L, 20L, "purchase"))                    // never entered → absent
+    val got = EventAnalytics.funnel(events,
+        Seq("view", "click", "purchase"), windowNs = 15L)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getLong(4))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    assert(got(1L) === ((Some(10L), Some(20L), Some(24L), 3L)))
+    assert(got(2L) === ((Some(10L), None, None, 1L)))
+    assert(got(3L) === ((Some(10L), Some(12L), None, 2L)))
+    assert(got(4L) === ((Some(10L), None, None, 1L)),
+      "a step past entry+window must not match")
+  }
+
+  test("funnel: greedy earliest entry maximizes the window; guards reject bad params") {
+    // two views: entry anchors at the EARLIEST (ts 5), so the window
+    // [5, 25] still admits the click at 24
+    val events = ev(
+      (1L, 5L, "view"), (1L, 18L, "view"), (1L, 24L, "click"))
+    val r = EventAnalytics.funnel(events, Seq("view", "click"), windowNs = 20L).head
+    assert(r.getLong(1) === 5L && r.getLong(2) === 24L && r.getLong(3) === 2L)
+    intercept[IllegalArgumentException] {
+      EventAnalytics.funnel(events, Seq("view"), windowNs = 20L)
+    }
+    intercept[IllegalArgumentException] {
+      EventAnalytics.funnel(events, Seq("view", "view"), windowNs = 20L)
+    }
+    intercept[IllegalArgumentException] {
+      EventAnalytics.funnel(events, Seq("view", "click"), windowNs = 0L)
+    }
+  }
+
+  test("cohort retention counts distinct users per (first-seen period, offset) cell") {
+    val events = ev(
+      (1L, 5L, "e"), (1L, 15L, "e"), (1L, 35L, "e"),   // cohort 0, offsets 0,1,3
+      (2L, 12L, "e"), (2L, 13L, "e"), (2L, 25L, "e"),  // cohort 1, offsets 0,0,1
+      (3L, 8L, "e"))                                    // cohort 0, offset 0
+    val got = EventAnalytics.cohortRetention(events, periodNs = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      (0L, 0L) -> 2L,   // users 1 and 3 active in their first period
+      (0L, 1L) -> 1L,   // user 1 returns next period
+      (0L, 3L) -> 1L,   // user 1 returns in period 3
+      (1L, 0L) -> 1L,   // user 2's double event counts once
+      (1L, 1L) -> 1L))
+  }
+}
