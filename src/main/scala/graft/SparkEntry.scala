@@ -1619,6 +1619,15 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       TextAnalysis.boilerplateScore(Tables.documents(s, dir), n = 3, minDf = 4)
         .orderBy(col("doc_id"))),
 
+    "text_hash_embedding" -> ((s, dir) =>
+      // model-free doc embedding via the signed hashing trick: 64-dim
+      // FNV-bucketed signed token counts, map-only, feeds the ANN family
+      TextAnalysis.hashEmbedding(Tables.documents(s, dir), dim = 64)
+        .select(col("vec_id").as("doc_id"),
+          array_join(transform(col("embedding"),
+            v => v.cast("long").cast("string")), ",").as("emb_csv"))
+        .orderBy(col("doc_id"))),
+
     "source_overlap" -> ((s, dir) =>
       // pairwise distinct-3-gram Jaccard between sources: the
       // mirror-crawl detector read before committing mixing weights
@@ -3723,6 +3732,29 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |  CAST(coalesce(p.n_common, 0) AS BIGINT) AS n_common,
         |  CAST(coalesce(p.n_common * 1000000 // p.n_grams, 0) AS BIGINT) AS boilerplate_ppm
         |FROM documents LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // hash-embedding twin: the classifier twin's FNV HUGEINT fold per
+    // token; bucket = % 64 (2^64 ≡ 0 mod 64 so unsigned ≡ signed pmod),
+    // sign = bit 6 ((hv // 64) % 2 ≡ Spark's (h >>> 6) & 1), dense csv
+    // over the 0..63 grid with 0 for untouched buckets
+    "text_hash_embedding" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |h AS (SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |      list_transform(range(1, length(t) + 1),
+        |        i -> ascii(substr(t, CAST(i AS INTEGER), 1)))),
+        |      (acc, c) -> (xor(acc, CAST(c AS HUGEINT)) * 1099511628211) % 18446744073709551616) AS hv
+        |  FROM tok),
+        |b AS (SELECT doc_id, CAST(hv % 64 AS BIGINT) AS bkt,
+        |        CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END AS s FROM h),
+        |agg AS (SELECT doc_id, bkt, sum(s) AS v FROM b GROUP BY 1, 2),
+        |grid AS (SELECT d.doc_id, dims.b FROM (SELECT doc_id FROM documents) d
+        |         CROSS JOIN (SELECT unnest(range(0, 64)) AS b) dims)
+        |SELECT g.doc_id,
+        |  array_to_string(list(CAST(CAST(coalesce(a.v, 0) AS BIGINT) AS VARCHAR)
+        |    ORDER BY g.b), ',') AS emb_csv
+        |FROM grid g LEFT JOIN agg a ON a.doc_id = g.doc_id AND a.bkt = g.b
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
 
     // overlap twin: distinct (source, gram) sets, self-join on gram with
     // src_a < src_b, integer Jaccard over the union size

@@ -438,6 +438,32 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("hash embedding bridges text to the ANN family: near-dups score high, plan is map-only") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark shuffles partition data across executors"),
+      (2L, "spark shuffles partition data across machines"),   // near-dup of 1
+      (3L, "violets are blue and roses are red entirely")      // unrelated
+    ).toDF("doc_id", "text")
+    val emb = graft.ops.TextAnalysis.hashEmbedding(docs, dim = 64)
+    // composes directly with the similarity ops (vec_id + float array)
+    val pairs = graft.ops.Dedup.embeddingNearDups(emb, threshold = -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) > pairs((1L, 3L)) && pairs((1L, 2L)) > pairs((2L, 3L)),
+      s"near-dup docs must out-score unrelated ones: $pairs")
+    assert(pairs((1L, 2L)) > 0.5, s"5-of-6 shared tokens: ${pairs((1L, 2L))}")
+    // embedding generation itself never shuffles (map-only at 100 TB)
+    val plan = emb.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"hashEmbedding must be shuffle-free:\n$plan")
+    // identical text → identical vector, and dim must be a power of two
+    val e = emb.filter(col("vec_id") <= 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(e(1L).length === 64 && e(1L).map(math.abs).sum > 0)
+    intercept[IllegalArgumentException] {
+      graft.ops.TextAnalysis.hashEmbedding(docs, dim = 48)
+    }
+  }
+
   test("vocab tokenization maps tokens by frequency rank with -1 UNK") {
     val docs = Seq((1L, "b a b c"), (2L, "b a rare")).toDF("doc_id", "text")
     val vocab = TextAnalysis.buildVocab(docs, topK = 2) // b(3)→0, a(2)→1
