@@ -1236,6 +1236,17 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("lsn"))
     }),
 
+    "cdc_filter_wave3" -> ((s, dir) => {
+      // wave-3 dialect surface: let-binding prelude, inclusive ranges
+      // (with `in` and as closure/take/reduce inputs), reduce with the
+      // #acc accumulator, findIndex — one narrow codegen predicate
+      graft.filter.EventFilter(
+        """let v = int(props[6:-1]); v in 10..60 && reduce(take(1..v, 3), #acc + #, int(0)) == 6 && findIndex(split(props, ":"), {hasPrefix(#, " ")}) == 1""")
+        .apply(Cdc.walEvents(s, dir))
+        .select(col("lsn"), col("user_id"), col("props"))
+        .orderBy(col("lsn"))
+    }),
+
     "cdc_filter_closures" -> ((s, dir) => {
       // expr-lang array closures (# placeholder, brace shorthand, nested
       // map-inside-count) compiled to Catalyst higher-order functions —
@@ -2150,6 +2161,21 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |WHERE substring(event_type, 1, 3) IN ('sig', 'pur', 'vie')
         |  AND length(substring(props, 3, 4)) = 4
         |  AND user_id IS NOT NULL
+        |ORDER BY lsn""".stripMargin,
+
+    // wave-3 twin: the let binding inlines to the same slice-cast; the
+    // dialect's 0-based end-exclusive [6:-1] is duck's 1-based
+    // inclusive [7:-2]; take(1..v, 3) = range(1, least(v,3)+1)
+    // (end-exclusive); findIndex = 1-based list_position - 1
+    "cdc_filter_wave3" ->
+      """WITH e AS (SELECT event_id AS lsn, user_id, props,
+        |             CAST(props[7:-2] AS BIGINT) AS v FROM events)
+        |SELECT lsn, user_id, props FROM e
+        |WHERE v BETWEEN 10 AND 60
+        |  AND list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        range(1, least(v, 3) + 1)), (a, b) -> a + b) = 6
+        |  AND list_position(list_transform(string_split(props, ':'),
+        |        x -> starts_with(x, ' ')), true) - 1 = 1
         |ORDER BY lsn""".stripMargin,
 
     "cdc_filter_closures" ->

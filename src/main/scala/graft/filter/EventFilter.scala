@@ -40,7 +40,13 @@ import org.apache.spark.sql.functions.expr
   * (graft_in); `now()` (a PLAN-TIME constant — one value per query, the
   * deterministic deviation a distributed filter needs), `duration()`
   * over Go literals → interval constants, `date()`, and `type()` with
-  * expr-lang's type names.
+  * expr-lang's type names; wave 3: inclusive integer ranges `a..b`
+  * (empty when descending, usable with `in`/closures), `let x = e;`
+  * binding preludes (inlined at each reference — Catalyst CSE dedups),
+  * `find`/`findIndex` closures (nil / -1 when absent), `take`,
+  * `sum` (type-correct zero, empty sums to 0), and `reduce` with the
+  * `#acc` accumulator placeholder (init's type is the accumulator
+  * type, Spark's aggregate contract).
   * Literal `matches` patterns are
   * checked against a non-RE2 reject-list (backreferences, lookarounds,
   * atomic groups, possessive quantifiers) since expr-lang compiles Go
@@ -134,7 +140,11 @@ object EventFilter {
       } else if (c.isDigit ||
                  (c == '.' && i + 1 < s.length && s.charAt(i + 1).isDigit)) {
         val start = i
-        while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.' ||
+        // a '.' followed by another '.' is the range operator, not a
+        // decimal point — "1..5" lexes as TNum(1), TOp(..), TNum(5)
+        while (i < s.length && (s.charAt(i).isDigit ||
+               (s.charAt(i) == '.' &&
+                 !(i + 1 < s.length && s.charAt(i + 1) == '.')) ||
                s.charAt(i) == 'e' || s.charAt(i) == 'E' ||
                ((s.charAt(i) == '+' || s.charAt(i) == '-') && i > start &&
                 (s.charAt(i - 1) == 'e' || s.charAt(i - 1) == 'E')))) i += 1
@@ -160,12 +170,12 @@ object EventFilter {
       } else {
         val two = if (i + 1 < s.length) s.substring(i, i + 2) else ""
         two match {
-          case "==" | "!=" | "<=" | ">=" | "&&" | "||" | "??" =>
+          case "==" | "!=" | "<=" | ">=" | "&&" | "||" | "??" | ".." =>
             out += TOp(two); i += 2
           case _ =>
             c match {
               case '<' | '>' | '!' | '(' | ')' | '[' | ']' | ',' | '?' | ':' |
-                   '+' | '-' | '*' | '/' | '%' | '{' | '}' | '.' =>
+                   '+' | '-' | '*' | '/' | '%' | '{' | '}' | '.' | '=' | ';' =>
                 out += TOp(c.toString); i += 1
               case _ => fail(s"unexpected character '$c'")
             }
@@ -183,9 +193,21 @@ object EventFilter {
 
     // stack of active closure lambda variables; `#` binds the innermost
     private var lambdaVars: List[String] = Nil
+    // accumulator variables of enclosing reduce() closures (`#acc`)
+    private var accVars: List[String] = Nil
     private var lambdaSeq = 0
+    // let-bound names → their translated (parenthesized) SQL
+    private[EventFilter] var bindings: Map[String, String] = Map.empty
 
     private def placeholderPath(p: String): String = {
+      if (p == "#acc" || p.startsWith("#acc.")) {
+        val a = accVars.headOption.getOrElse(
+          fail(s"accumulator placeholder '$p' outside a reduce closure"))
+        if (p == "#acc") return a
+        val segs = p.substring("#acc.".length).split('.')
+        if (segs.isEmpty || segs.exists(_.isEmpty)) fail(s"malformed placeholder '$p'")
+        return (a +: segs.toSeq.map(s => s"`$s`")).mkString(".")
+      }
       val v = lambdaVars.headOption.getOrElse(
         fail(s"placeholder '$p' outside a closure"))
       if (p == "#") v
@@ -196,6 +218,26 @@ object EventFilter {
         val segs = p.substring(2).split('.')
         if (segs.isEmpty || segs.exists(_.isEmpty)) fail(s"malformed placeholder '$p'")
         (v +: segs.toSeq.map(s => s"`$s`")).mkString(".")
+      }
+    }
+
+    /** `let name = expr; …` prelude (expr-lang variable bindings):
+      * each binding is translated once and INLINED at every reference —
+      * the natural columnar reading of a pure expression language
+      * (Catalyst's common-subexpression elimination dedups the work).
+      * Bindings may reference earlier bindings; member access on a
+      * binding uses indexing (`m["k"]`), not dotted paths. */
+    def parseLets(): Unit = {
+      while (peek.contains(TIdent("let"))) {
+        next()
+        val name = next() match {
+          case TIdent(n) if !n.contains(".") && !n.startsWith("#") => n
+          case other => fail(s"expected let variable name, got $other")
+        }
+        expectOp("=")
+        val value = ternary()
+        expectOp(";")
+        bindings += name -> s"($value)"
       }
     }
 
@@ -242,17 +284,17 @@ object EventFilter {
     }
 
     def comparison(): String = {
-      val l = additive()
+      val l = rangeExpr()
       peek match {
         case Some(TOp(sym @ ("==" | "!=" | "<" | "<=" | ">" | ">="))) =>
           next()
-          val r = additive()
+          val r = rangeExpr()
           val sql = sym match { case "==" => "="; case "!=" => "<>"; case s => s }
           s"$l $sql $r"
         case Some(TIdent("matches")) =>
           next()
           val before = toks
-          val r = additive()
+          val r = rangeExpr()
           // literal pattern (exactly one TStr consumed): reject non-RE2
           // syntax — expr-lang compiles Go RE2, Spark rlike is Java regex;
           // constructs RE2 lacks would silently diverge
@@ -261,9 +303,9 @@ object EventFilter {
             case _                                 => ()
           }
           s"rlike($l, $r)"
-        case Some(TIdent("contains"))   => next(); s"contains($l, ${additive()})"
-        case Some(TIdent("startsWith")) => next(); s"startswith($l, ${additive()})"
-        case Some(TIdent("endsWith"))   => next(); s"endswith($l, ${additive()})"
+        case Some(TIdent("contains"))   => next(); s"contains($l, ${rangeExpr()})"
+        case Some(TIdent("startsWith")) => next(); s"startswith($l, ${rangeExpr()})"
+        case Some(TIdent("endsWith"))   => next(); s"endswith($l, ${rangeExpr()})"
         case Some(TIdent("in"))         => next(); inRhs(l, negate = false)
         case Some(TIdent("not")) =>
           next()
@@ -275,14 +317,27 @@ object EventFilter {
       }
     }
 
+    /** Range literal `a..b` (expr-lang power 25 — between comparisons
+      * and additive): an INCLUSIVE integer array. Spark's `sequence`
+      * counts DOWN when a > b where expr-lang yields an empty range, so
+      * the descending case is pinned to empty explicitly. */
+    def rangeExpr(): String = {
+      val l = additive()
+      if (eatOp("..")) {
+        val r = additive()
+        s"IF(($l) <= ($r), sequence(CAST($l AS BIGINT), CAST($r AS BIGINT)), " +
+          "CAST(array() AS ARRAY<BIGINT>))"
+      } else l
+    }
+
     /** `l in <rhs>`: a `[..]` literal keeps the SQL IN-list form; any
-      * other operand (map literal, array-valued path, slice…) becomes
-      * the polymorphic graft_in — array membership, or KEY membership
-      * for maps, as the dialect defines `in` over each type. */
+      * other operand (range, map literal, array-valued path, slice…)
+      * becomes the polymorphic graft_in — array membership, or KEY
+      * membership for maps, as the dialect defines `in` over each type. */
     def inRhs(l: String, negate: Boolean): String = {
       val base =
         if (peekOp("[")) s"$l IN ${listLiteral()}"
-        else s"graft_in($l, ${additive()})"
+        else s"graft_in($l, ${rangeExpr()})"
       if (negate) s"(NOT $base)" else base
     }
 
@@ -402,6 +457,11 @@ object EventFilter {
           case TIdent(path) => placeholderPath("#." + path)
           case other        => fail(s"expected field name after '.', got $other")
         }
+      case TIdent(path) if bindings.contains(path) => bindings(path)
+      case TIdent(path) if path.contains(".") &&
+          bindings.contains(path.takeWhile(_ != '.')) =>
+        fail(s"dotted access on let binding '$path' — index it instead " +
+          s"""(${path.takeWhile(_ != '.')}["${path.dropWhile(_ != '.').drop(1)}"])""")
       case TIdent(path)    => mapPath(path)
       case other => fail(s"unexpected token $other")
     }
@@ -417,6 +477,25 @@ object EventFilter {
       expectOp(",")
       val v = s"x${lambdaSeq}_"
       lambdaSeq += 1
+      if (name == "reduce") {
+        // reduce(arr, <body with # and #acc>, init) → aggregate(). The
+        // init's TYPE is the accumulator type (Spark's aggregate
+        // contract) — `reduce(xs, #acc + #, int(0))` for long arrays;
+        // a mismatched init fails loudly at analysis, never silently.
+        val a = s"acc${lambdaSeq}_"
+        lambdaSeq += 1
+        lambdaVars = v :: lambdaVars
+        accVars = a :: accVars
+        val braced = eatOp("{")
+        val body = ternary()
+        if (braced) expectOp("}")
+        lambdaVars = lambdaVars.tail
+        accVars = accVars.tail
+        expectOp(",")
+        val init = ternary()
+        expectOp(")")
+        return s"aggregate($arr, $init, ($a, $v) -> $body)"
+      }
       lambdaVars = v :: lambdaVars
       val braced = eatOp("{")
       val body = ternary()
@@ -431,6 +510,11 @@ object EventFilter {
         case "none"   => s"(NOT exists($arr, $v -> $body))"
         case "one"    => s"(size(filter($arr, $v -> $body)) = 1)"
         case "count"  => s"size(filter($arr, $v -> $body))"
+        // find: first matching element or nil; findIndex: 0-based index
+        // of the first match, -1 when absent (the dialect's documented
+        // reading of the expr-lang pair)
+        case "find"      => s"graft_at(filter($arr, $v -> $body), 0)"
+        case "findIndex" => s"(array_position(transform($arr, $v -> $body), true) - 1)"
       }
     }
 
@@ -439,7 +523,8 @@ object EventFilter {
       * anything outside this list still fails loudly). */
     def call(name: String): String = {
       expectOp("(")
-      if (Set("filter", "map", "all", "any", "none", "one", "count")(name))
+      if (Set("filter", "map", "all", "any", "none", "one", "count",
+          "find", "findIndex", "reduce")(name))
         return closureCall(name)
       val args = scala.collection.mutable.ListBuffer.empty[String]
       // raw value of an argument that was exactly one string literal —
@@ -516,6 +601,16 @@ object EventFilter {
         case "sort"    => arity(1); s"array_sort(${args(0)})"
         case "first"   => arity(1); s"graft_at(${args(0)}, 0)"
         case "last"    => arity(1); s"graft_at(${args(0)}, graft_len(${args(0)}) - 1)"
+        case "take"    => arity(2); s"graft_slice(${args(0)}, 0, ${args(1)})"
+        // sum via aggregate with a TYPE-CORRECT zero (first element × 0
+        // keeps long arrays long — a literal 0.0 would force doubles and
+        // lose exactness past 2^53); empty/null arrays sum to 0
+        case "sum" =>
+          arity(1)
+          val a  = args(0)
+          val va = s"x${lambdaSeq}_"; val vb = s"y${lambdaSeq}_"
+          lambdaSeq += 1
+          s"coalesce(aggregate($a, graft_at($a, 0) * 0, ($va, $vb) -> $va + $vb), 0)"
         // DETERMINISM STANCE: expr-lang's now() reads the wall clock per
         // evaluation; current_timestamp() is a PLAN-TIME constant (one
         // value per query) — the only defensible semantics for a
@@ -641,6 +736,7 @@ object EventFilter {
   /** Expr → Spark SQL translation for the supported subset. */
   def translate(cond: String): String = {
     val p = new Parser(cond, lex(cond))
+    p.parseLets()
     val sql = p.ternary()
     if (p.toks.nonEmpty)
       p.fail(s"trailing tokens ${p.toks.take(3).mkString(", ")}")

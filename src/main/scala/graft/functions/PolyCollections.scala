@@ -67,8 +67,12 @@ case class PolyAt(input: Expression, index: Expression)
       If(Or(LessThan(i, Literal(0)), GreaterThanOrEqual(i, Length(input))),
         Literal.create(null, StringType), ch)
     case _: ArrayType =>
+      // failOnError=false: out-of-range is nil in the dialect, and ANSI
+      // mode (Spark 4's default) would otherwise THROW on the empty/
+      // past-the-end access (the `get()` builtin's behavior)
       GetArrayItem(input,
-        PolyIndex.norm(index, Size(input, legacySizeOfNull = false), clamp = false))
+        PolyIndex.norm(index, Size(input, legacySizeOfNull = false), clamp = false),
+        failOnError = false)
     case _: MapType   => GetMapValue(input, index)
     case t => throw new IllegalArgumentException(
       s"graft_at requires string, array, or map input, got $t")
@@ -81,14 +85,28 @@ case class PolyAt(input: Expression, index: Expression)
 
 /** expr-lang `v in xs` over a non-list operand: array membership, or
   * KEY membership for maps (`"k" in {"k": 1}` is true — the dialect
-  * checks keys, Go-map style). */
+  * checks keys, Go-map style). Mixed numeric widths (an int literal
+  * probed against a bigint range) are widened to the tightest common
+  * type here — the replacement is built AFTER analysis-time implicit
+  * coercion has run, so ArrayContains would otherwise stay unresolved
+  * on any width mismatch. */
 case class PolyIn(item: Expression, collection: Expression)
     extends RuntimeReplaceable {
-  override lazy val replacement: Expression = collection.dataType match {
-    case _: ArrayType => ArrayContains(collection, item)
-    case _: MapType   => ArrayContains(MapKeys(collection), item)
-    case t => throw new IllegalArgumentException(
-      s"graft_in requires an array or map collection, got $t")
+  override lazy val replacement: Expression = {
+    val elems = collection.dataType match {
+      case _: ArrayType => collection
+      case _: MapType   => MapKeys(collection)
+      case t => throw new IllegalArgumentException(
+        s"graft_in requires an array or map collection, got $t")
+    }
+    val elemT = elems.dataType.asInstanceOf[ArrayType].elementType
+    if (elemT == item.dataType) ArrayContains(elems, item)
+    else org.apache.spark.sql.catalyst.analysis.TypeCoercion
+      .findTightestCommonType(item.dataType, elemT) match {
+        case Some(t) =>
+          ArrayContains(Cast(elems, ArrayType(t)), Cast(item, t))
+        case None => ArrayContains(elems, item) // unresolvable: fail loudly
+      }
   }
   override def children: Seq[Expression] = Seq(item, collection)
   override protected def withNewChildrenInternal(

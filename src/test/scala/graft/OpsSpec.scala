@@ -226,6 +226,44 @@ class OpsSpec extends SparkSpec {
     assert(ev("""join(values({x: "p", y: "q"}), "")""").getString(0) === "pq")
   }
 
+  test("event filter wave 3: ranges, let bindings, find/findIndex/take/sum/reduce") {
+    // translation shapes
+    assert(EventFilter.translate("""x in 1..3""").contains("sequence(CAST(1 AS BIGINT), CAST(3 AS BIGINT))"))
+    assert(EventFilter.translate("""let a = 5; n > a""") === "`n` > (5)")
+    assert(EventFilter.translate("""take(tags, 2)""") === "graft_slice(`tags`, 0, 2)")
+    // fail-loud: dotted access on a binding, #acc outside reduce,
+    // malformed let, dangling range number "1..", unknown builtin stays
+    intercept[IllegalArgumentException](EventFilter.translate("""let m = {a: 1}; m.a > 0"""))
+    intercept[IllegalArgumentException](EventFilter.translate("""sum(ns, #acc)"""))
+    intercept[IllegalArgumentException](EventFilter.translate("""let 3 = x; true"""))
+    intercept[IllegalArgumentException](EventFilter.translate("""sortBy(tags, #)"""))
+    // evaluation on data
+    graft.GraftExtensions.registerTo(spark)
+    val df = Seq(("hello", Seq("a", "bb", "ccc"), Seq(10L, 20L, 30L), 5L))
+      .toDF("name", "tags", "ns", "n")
+    def ev(cond: String) = df.select(expr(EventFilter.translate(cond))).head
+    assert(ev("""3 in 1..5""").getBoolean(0))
+    assert(!ev("""9 in 1..5""").getBoolean(0))
+    assert(ev("""n in 1..10""").getBoolean(0))
+    assert(ev("""5..3""").getSeq[Long](0) === Seq.empty, "descending range is empty")
+    assert(ev("""1..3""").getSeq[Long](0) === Seq(1L, 2L, 3L))
+    assert(ev("""all(1..4, {# > 0})""").getBoolean(0))
+    assert(ev("""let lim = n * 2; let lo = lim - 9; lo""").getLong(0) === 1L)
+    assert(ev("""find(tags, {len(#) == 2})""").getString(0) === "bb")
+    assert(ev("""find(tags, {len(#) == 9})""").isNullAt(0), "find misses to nil")
+    assert(ev("""findIndex(tags, {len(#) == 3})""").getLong(0) === 2L)
+    assert(ev("""findIndex(tags, {len(#) == 9})""").getLong(0) === -1L)
+    assert(ev("""take(ns, 2)""").getSeq[Long](0) === Seq(10L, 20L))
+    assert(ev("""take(ns, 99)""").getSeq[Long](0) === Seq(10L, 20L, 30L))
+    assert(ev("""sum(ns)""").getLong(0) === 60L)
+    assert(ev("""sum(take(ns, 0))""").getLong(0) === 0L, "empty sum is 0")
+    assert(ev("""reduce(ns, #acc + #, int(0))""").getLong(0) === 60L)
+    assert(ev("""reduce(tags, #acc + len(#), int(0))""").getLong(0) === 6L)
+    assert(ev("""reduce(ns, #acc > # ? #acc : #, int(-1))""").getLong(0) === 30L)
+    // composition: let + sum + range membership in one predicate
+    assert(ev("""let total = sum(ns); total == 60 && total / n in 10..12""").getBoolean(0))
+  }
+
   test("event filter closures evaluate on array data") {
     val docs = Seq(
       (1L, Seq("alpha", "bravo", "charlie")),
