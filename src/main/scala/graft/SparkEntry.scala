@@ -1488,6 +1488,29 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("doc_id"))
     }),
 
+    "dedup_edit_distance" -> ((s, dir) => {
+      // fuzzy short-string dedup: exact levenshtein <= 6 over
+      // pigeonhole-blocked 24-char title prefixes (k+1 aligned
+      // segments; substitution-complete recall, indel shifts are the
+      // documented blocking trade)
+      val titles = Tables.documents(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("text"))
+      Dedup.editDistancePairs(titles, k = 6)
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "layout_zorder" -> ((s, dir) =>
+      // the data-skipping clustering key: 10-bit Morton interleave of
+      // (n_chars, doc_id) rank spaces — files sorted by it carry tight
+      // min/max on BOTH columns
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          ops.Compaction.zOrderValue(Seq(
+            pmod(col("n_chars"), lit(1024L)), pmod(col("doc_id"), lit(1024L))),
+            bits = 10).as("zval"))
+        .orderBy(col("doc_id"))),
+
     "mix_temperature" -> ((s, dir) =>
       // T=2 temperature mixing (mT5 posture): keep rates ∝ sqrt(n)/n,
       // engine-exact floor-sqrt weights + defined nested-floor ppm
@@ -3457,6 +3480,35 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |WHERE length(d.source) = 5
         |  AND d.text NOT IN (SELECT text FROM documents WHERE length(source) = 4)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // edit-distance twin: identical even-split segmentation (remainder
+    // spread left), same df-capped blocking, same distinct-then-verify
+    "dedup_edit_distance" ->
+      """WITH t AS (SELECT doc_id AS id, substring(text, 1, 24) AS s FROM documents
+        |           WHERE length(substring(text, 1, 24)) >= 7),
+        |segs AS (SELECT id, s, length(s) AS L, iv.i AS seg_i,
+        |    substring(s, CAST(iv.i * (length(s) // 7) + least(iv.i, length(s) % 7) + 1 AS INTEGER),
+        |      CAST((length(s) // 7) + CASE WHEN iv.i < length(s) % 7 THEN 1 ELSE 0 END AS INTEGER)) AS seg
+        |  FROM t CROSS JOIN (SELECT unnest(range(0, 7)) AS i) iv),
+        |hot AS (SELECT seg_i, seg, L FROM segs
+        |        GROUP BY 1, 2, 3 HAVING count(*) > 2000),
+        |capped AS (SELECT s.* FROM segs s ANTI JOIN hot h USING (seg_i, seg, L)),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b
+        |  FROM capped a JOIN capped b ON a.seg_i = b.seg_i AND a.seg = b.seg
+        |    AND a.L = b.L AND a.id < b.id)
+        |SELECT id_a, id_b, CAST(levenshtein(s_a, s_b) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(s_a, s_b) <= 6
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // z-order twin: the same statically-unrolled bit interleave
+    "layout_zorder" -> {
+      val terms = for {
+        i <- 0 until 10
+        (c, j) <- Seq("(n_chars % 1024)", "(doc_id % 1024)").zipWithIndex
+      } yield s"((($c >> $i) & 1) << ${i * 2 + j})"
+      s"""SELECT doc_id, CAST(${terms.mkString(" + ")} AS BIGINT) AS zval
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     // temperature twin: identical floor-sqrt weights + nested-floor ppm
     "mix_temperature" ->

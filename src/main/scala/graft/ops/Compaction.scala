@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Output compaction — the small-files problem every long-running
   * pipeline hits at scale: a streaming sink or over-partitioned batch
@@ -54,5 +55,45 @@ object Compaction {
     val sized = if (shuffle) df.repartition(target) else df.coalesce(target)
     sized.write.mode("overwrite").parquet(outDir)
     spark.read.parquet(outDir)
+  }
+
+  /** Z-order (Morton) interleave of 2–4 non-negative integer columns:
+    * bit i of column j lands at position `i·n + j`, so rows close in
+    * EVERY dimension get close z-values — the standard multi-dimension
+    * clustering key behind data-skipping layouts (a file sorted by
+    * z-value has tight min/max ranges on ALL interleaved columns, so a
+    * predicate on any of them prunes files; a plain sort only skips on
+    * its leading column). Statically unrolled shift/mask terms — one
+    * codegen projection, no UDF, engine-replicable integer math.
+    *
+    * Callers map skewed domains onto a bounded rank space first (only
+    * the low `bits` bits interleave; negative inputs are a caller
+    * error). */
+  def zOrderValue(cols: Seq[Column], bits: Int = 16): Column = {
+    require(cols.size >= 2 && cols.size <= 4,
+      s"zOrderValue interleaves 2-4 columns, got ${cols.size}")
+    require(bits >= 1 && cols.size * bits <= 63,
+      s"zOrderValue: ${cols.size} cols × $bits bits exceeds a long")
+    val n = cols.size
+    var z = lit(0L)
+    for (i <- 0 until bits; (c, j) <- cols.zipWithIndex)
+      z = z.plus(shiftleft(
+        shiftrightunsigned(c.cast("long"), i).bitwiseAND(lit(1L)), i * n + j))
+    z
+  }
+
+  /** Cluster a dataset by z-value: range-repartition (sampled balanced
+    * boundaries — the same mechanism as a global sort, but only the
+    * boundary sample crosses the driver) + an in-partition sort, so
+    * every output file covers one tight z-range. One shuffle; the sort
+    * is partition-local. */
+  def zOrderLayout(df: DataFrame, colNames: Seq[String], bits: Int = 16,
+                   numPartitions: Int = 0): DataFrame = {
+    val z = zOrderValue(colNames.map(df(_)), bits)
+    val withZ = df.withColumn("__z", z)
+    val parts =
+      if (numPartitions > 0) withZ.repartitionByRange(numPartitions, col("__z"))
+      else withZ.repartitionByRange(col("__z"))
+    parts.sortWithinPartitions("__z").drop("__z")
   }
 }

@@ -946,6 +946,59 @@ object Dedup {
         col("docs_dropped_at_or_above"))
   }
 
+  /** Edit-distance near-dup pairs for SHORT strings (titles, names,
+    * URLs — the fuzzy-matching half of entity dedup): exact
+    * `levenshtein(a, b) ≤ k` verification over PIGEONHOLE-blocked
+    * candidates. Each string of length L is cut into k+1 contiguous
+    * segments (even split, remainder spread left); by pigeonhole, two
+    * SAME-LENGTH strings within k substitutions share at least one
+    * aligned segment, so the equi-join on (segment index, segment
+    * text, length) is recall-complete for substitution distance.
+    * Indel-shifted pairs can escape the blocking (the full PassJoin
+    * shift-window is the published fix) — a documented recall trade,
+    * exactly like MinHash banding; every SURVIVING pair is exact.
+    *
+    * Scale shape: k+1 narrow segment rows per string, one equi-join on
+    * a bounded key, distinct pair set, then the levenshtein verify runs
+    * only on candidates — never all-pairs. Segment hot keys mirror the
+    * shingle family's df posture: a segment shared by many strings
+    * fans out quadratically; `dfCap` (default on) excises segments
+    * above it, trading recall on boilerplate-heavy blocks for a
+    * bounded largest task.
+    */
+  def editDistancePairs(df: DataFrame, k: Int = 2, textCol: String = "text",
+                        idCol: String = "doc_id",
+                        dfCap: Int = DefaultDfCap): DataFrame = {
+    require(k >= 1, s"editDistancePairs: k=$k must be >= 1")
+    val nSeg = k + 1
+    val t = df.select(col(idCol).as("id"), col(textCol).as("s"))
+      .filter(col("s").isNotNull && length(col("s")) >= nSeg)
+    val segs = t.select(col("id"), col("s"), length(col("s")).as("L"),
+        posexplode(expr(
+          s"""transform(sequence(0, ${nSeg - 1}), i ->
+             |  substring(s, i * (length(s) div $nSeg) + least(i, length(s) % $nSeg) + 1,
+             |            (length(s) div $nSeg) + IF(i < length(s) % $nSeg, 1, 0)))"""
+            .stripMargin)).as(Seq("seg_i", "seg")))
+      .select(col("id"), col("s"), col("L"), col("seg_i"), col("seg"))
+    val capped =
+      if (dfCap <= 0) segs
+      else {
+        val hot = segs.groupBy(col("seg_i"), col("seg"), col("L"))
+          .agg(count(lit(1)).as("__df")).filter(col("__df") > dfCap)
+          .select(col("seg_i"), col("seg"), col("L"))
+        segs.join(hot, Seq("seg_i", "seg", "L"), "left_anti")
+      }
+    capped.as("a").join(capped.as("b"),
+        col("a.seg_i") === col("b.seg_i") && col("a.seg") === col("b.seg") &&
+          col("a.L") === col("b.L") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.s").as("s_a"), col("b.s").as("s_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("s_a"), col("s_b")).as("dist"))
+      .filter(col("dist") <= k)
+  }
+
   /** Embedding near-dup: cosine over candidate pairs. The full pairwise
     * form is the correctness oracle (bounded inputs); the scale path is
     * Similarity.lshCosinePairs.

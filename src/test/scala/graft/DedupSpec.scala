@@ -641,6 +641,32 @@ class DedupSpec extends SparkSpec {
     assert(got.getAs[String]("cleaned") === "solo" && got.getAs[Long]("n_chunks") === 1L)
   }
 
+  test("edit-distance pairs: substitutions within k caught, beyond-k and hot blocks excluded") {
+    import spark.implicits._
+    val titles = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brawn fox"),   // 1 substitution from 1
+      (3L, "the quick brawn fax"),   // 2 subs from 1, 1 from 2
+      (4L, "completely different!"),  // same length as nothing relevant
+      (5L, "xhe quick brown foz")    // 2 subs from 1
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(titles, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got === Map(
+      (1L, 2L) -> 1, (1L, 3L) -> 2, (2L, 3L) -> 1, (1L, 5L) -> 2))
+    // (2,5) and (3,5) are distance 3: candidates via shared segments is
+    // fine, but the exact verify must reject them
+    assert(!got.contains((2L, 5L)) && !got.contains((3L, 5L)))
+    // a hot segment above the cap is excised: 3000 strings sharing one
+    // aligned segment must not fan out quadratically
+    val viral = (0 until 3000).map(i => (100L + i, f"AAAA$i%04d")).toDF("doc_id", "text")
+    assert(Dedup.editDistancePairs(viral, k = 1, dfCap = 2000).count() === 0L)
+    // same fixture under the cap still pairs (e.g. 0001 vs 1001 ids differ
+    // by digits): sanity that the cap, not the verify, did the excision
+    val small = (0 until 20).map(i => (100L + i, f"AAAA000$i%d")).toDF("doc_id", "text")
+    assert(Dedup.editDistancePairs(small, k = 1, dfCap = 0).count() > 0L)
+  }
+
   test("exact-mean kmeans is bit-identical across partitionings (the cluster-layout determinism contract)") {
     val emb = Tables.embeddings(spark, sf001)
     def fit(parts: Int): Map[Long, Seq[Float]] =

@@ -476,6 +476,35 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("z-order interleave: exact Morton values, quadrant prefixes, range-partitioned layout") {
+    import spark.implicits._
+    import graft.ops.Compaction
+    // x=3 (011), y=5 (101), 3 bits: x bits at even positions (1+4),
+    // y bits at odd (2+32) → 39
+    val df = Seq((3L, 5L), (0L, 0L), (7L, 7L)).toDF("x", "y")
+    val z = df.select(Compaction.zOrderValue(Seq(col("x"), col("y")), bits = 3))
+      .collect().map(_.getLong(0))
+    assert(z.toSeq === Seq(39L, 0L, 63L))
+    // quadrant property: the top bit pair of z is (x_hi, y_hi) — rows in
+    // the same quadrant share a z prefix, the data-skipping invariant
+    val quad = Seq((1L, 1L), (1L, 6L), (6L, 1L), (6L, 6L)).toDF("x", "y")
+      .select(Compaction.zOrderValue(Seq(col("x"), col("y")), bits = 3).as("z"))
+      .collect().map(r => r.getLong(0) >> 4)
+    assert(quad.toSeq === Seq(0L, 2L, 1L, 3L))
+    intercept[IllegalArgumentException](Compaction.zOrderValue(Seq(col("x")), 3))
+    intercept[IllegalArgumentException](
+      Compaction.zOrderValue(Seq(col("x"), col("y")), 32))
+    // layout: one range shuffle on the z-value, helper column dropped
+    val docs = Tables.documents(spark, sf001)
+    val laid = Compaction.zOrderLayout(docs, Seq("n_chars", "doc_id"), bits = 10,
+      numPartitions = 4)
+    assert(laid.columns.sameElements(docs.columns))
+    assert(laid.count() === docs.count())
+    val plan = laid.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning"),
+      s"z-order layout must range-partition on the z-value:\n$plan")
+  }
+
   test("hash embedding bridges text to the ANN family: near-dups score high, plan is map-only") {
     import spark.implicits._
     val docs = Seq(
