@@ -1385,6 +1385,23 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("source_id"))
     }),
 
+    "multimodal_ahash" -> ((s, dir) =>
+      // perceptual hash per image: real ImageIO decode → integer aHash
+      // (rows-only: codec output is not SQL-replicable)
+      ops.Multimodal.imageHashes(
+          ops.Multimodal.attachImages(Tables.documents(s, dir)))
+        .orderBy(col("source_id"))),
+
+    "dedup_image_ahash" -> ((s, dir) => {
+      // image near-dup demo: every doc's image + a 1px-perturbed
+      // re-encode; banded hamming join must recover the planted twins
+      val base = ops.Multimodal.attachImages(
+        Tables.documents(s, dir).filter(col("doc_id") < 2000))
+      val twins = ops.Multimodal.perturbImages(base, idOffset = 1000000L)
+      ops.Multimodal.imageNearDups(base.unionByName(twins), maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "multimodal_video" -> ((s, dir) => {
       // real demux + per-keyframe ImageIO decode over the labeled
       // frame-container fixture (no mp4 codec in the JDK). Scoped to
@@ -1523,6 +1540,13 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       Sampling.unimaxAllocation(Tables.documents(s, dir),
           budget = 100000L, epochCap = 2)
         .orderBy(col("source"))),
+
+    "sample_splits" -> ((s, dir) =>
+      // leakage-safe train/val/test: content-keyed FNV ppm, so exact
+      // duplicates always share a split and can't leak into eval
+      Sampling.assignSplits(Tables.documents(s, dir))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))),
 
     "sample_cap_per_source" -> ((s, dir) => {
       // RefinedWeb-style per-domain frequency cap: best 20 docs per
@@ -3544,6 +3568,21 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |SELECT source, n_tokens, cap_tokens, CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
         |  CAST(alloc_tokens * 1000 // n_tokens AS BIGINT) AS epochs_milli
         |FROM a ORDER BY source""".stripMargin,
+
+    // splits twin: the classifier twin's FNV HUGEINT fold over the TEXT
+    // (content-keyed), unsigned % 1e6, same ppm thresholds
+    "sample_splits" ->
+      """WITH h AS (SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |      list_transform(range(1, length(text) + 1),
+        |        i -> ascii(substr(text, CAST(i AS INTEGER), 1)))),
+        |      (acc, c) -> (xor(acc, CAST(c AS HUGEINT)) * 1099511628211) % 18446744073709551616)
+        |    % 1000000 AS hv
+        |  FROM documents)
+        |SELECT doc_id, CASE WHEN hv < 800000 THEN 'train'
+        |                    WHEN hv < 900000 THEN 'val'
+        |                    ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "sample_cap_per_source" ->
       """SELECT doc_id, source, n_chars FROM (

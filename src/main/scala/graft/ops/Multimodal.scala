@@ -105,6 +105,49 @@ object Multimodal {
       sum
     }
 
+    /** Average-hash (aHash — the classic published perceptual hash):
+      * the image is box-averaged onto an 8×8 luminance grid and bit i
+      * is 1 iff cell i is brighter than the grid mean. ALL-INTEGER
+      * arithmetic (BT.601 luma in parts-per-mille, integer cell
+      * boundaries `i·w div 8`) so the hash is bit-identical on any JVM/
+      * platform — no float resize, no rounding-mode dependence.
+      * Near-duplicate images (re-encodes, small edits, light resizes)
+      * land within a few bits of hamming distance.
+      */
+    def averageHash(img: java.awt.image.BufferedImage): Long = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      require(w >= 8 && h >= 8, s"averageHash needs >= 8x8 pixels, got ${w}x$h")
+      val cells = new Array[Long](64)
+      var cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 8) {
+          val (x0, x1) = (cx * w / 8, (cx + 1) * w / 8)
+          val (y0, y1) = (cy * h / 8, (cy + 1) * h / 8)
+          var sum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+                114L * (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          cells(cy * 8 + cx) = sum / ((x1 - x0).toLong * (y1 - y0))
+          cx += 1
+        }
+        cy += 1
+      }
+      val mean = cells.sum / 64
+      var hash = 0L
+      var i = 0
+      while (i < 64) { if (cells(i) > mean) hash |= (1L << i); i += 1 }
+      hash
+    }
+
     /** Feature row per payload. Image mimes decode for real; anything
       * else yields byte-level metadata with sentinel dimensions (-1). */
     def decode(bytes: Array[Byte], mime: String, sourceId: Long): Row = mime match {
@@ -125,6 +168,80 @@ object Multimodal {
         // decoder init (ImageIO scanner registry) amortizes per partition
         rows.map { r =>
           ImageCodec.decode(r.getAs[Array[Byte]](0), r.getString(1), r.getLong(2))
+        }
+      }(enc)
+  }
+
+  /** Perceptual hash per image payload: REAL decode → integer aHash.
+    * Output (source_id, ahash); non-image mimes fail loudly (hash of
+    * undecoded bytes would silently be a byte hash, not perceptual). */
+  def imageHashes(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("source_id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false))))
+    media.select(col("media.bytes"), col("media.mime"), col("media.source_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val mime = r.getString(1)
+          require(mime.startsWith("image/"),
+            s"imageHashes: non-image mime $mime for source ${r.getLong(2)}")
+          val img = javax.imageio.ImageIO.read(
+            new ByteArrayInputStream(r.getAs[Array[Byte]](0)))
+          require(img != null, s"undecodable $mime payload for source ${r.getLong(2)}")
+          Row(r.getLong(2), ImageCodec.averageHash(img))
+        }
+      }(enc)
+  }
+
+  /** Near-duplicate images by perceptual hash: pairs within
+    * `maxHamming` bits of aHash distance. Candidates come from
+    * PIGEONHOLE banding — the 64-bit hash splits into maxHamming+1
+    * bands, and two hashes within the bound must agree on at least one
+    * whole band — an equi-join on (band index, band bits), never
+    * all-pairs; the verify is an exact `bit_count(xor)`. The same
+    * banding logic as MinHash-LSH, with recall GUARANTEED (pigeonhole,
+    * not probabilistic) at the cost of band-key hot spots on flat
+    * images (same posture as the shingle df-cap — monotone payloads
+    * all hash near 0x0/0xff…f).
+    */
+  def imageNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 15,
+      s"imageNearDups: maxHamming=$maxHamming out of [1,15]")
+    val nBands = maxHamming + 1
+    val hashes = imageHashes(media)
+    val bands = hashes.select(col("source_id"), col("ahash"),
+      posexplode(expr(
+        s"""transform(sequence(0, ${nBands - 1}), i -> CASE
+           |  WHEN (i + 1) * 64 div $nBands - i * 64 div $nBands = 64 THEN ahash
+           |  ELSE shiftright(ahash, i * 64 div $nBands) &
+           |    (shiftleft(1L, (i + 1) * 64 div $nBands - i * 64 div $nBands) - 1)
+           |  END)""".stripMargin)).as(Seq("band_i", "band")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_i") === col("b.band_i") && col("a.band") === col("b.band") &&
+          col("a.source_id") < col("b.source_id"))
+      .select(col("a.source_id").as("id_a"), col("b.source_id").as("id_b"),
+        col("a.ahash").as("h_a"), col("b.ahash").as("h_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        expr("CAST(bit_count(h_a ^ h_b) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Fixture companion to [[attachImages]]: the SAME decode path with a
+    * single-pixel perturbation and an id offset — the planted near-dup
+    * twin an image-dedup demo needs (re-encoded, 1px different →
+    * perceptually identical). */
+  def perturbImages(media: DataFrame, idOffset: Long): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(StructField("media", mediaSchema))))
+    media.select(col("media.bytes"), col("media.mime"), col("media.source_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new ByteArrayInputStream(r.getAs[Array[Byte]](0)))
+          img.setRGB(0, 0, img.getRGB(0, 0) ^ 0x0f0f0f)
+          val bos = new ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Row(Row(bos.toByteArray, "image/png", r.getLong(2) + idOffset))
         }
       }(enc)
   }

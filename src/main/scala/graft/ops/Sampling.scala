@@ -118,6 +118,33 @@ object Sampling {
     * `alloc·1000` — is proven in-range or the call fails loudly.
     */
 
+  /** Deterministic train/val/test assignment, keyed on CONTENT by
+    * default: the split hash is FNV-64a of the text (unsigned-mod ppm),
+    * so byte-identical duplicates — the ones dedup may not have caught
+    * yet — always land in the SAME split and can never leak train
+    * examples into eval. Keying on doc_id (pass `byContent = false`)
+    * gives id-stable splits instead (re-ingested content moves with its
+    * id). Thresholds are ppm (train, then val, remainder test),
+    * integer-exact, no RNG — rerunning on any partitioning reproduces
+    * the split bit-for-bit, the same keep-hash recipe as
+    * [[graft.functions.FnvHash64.keepHashPpm]].
+    * Narrow per-row projection; zero shuffles.
+    */
+  def assignSplits(df: DataFrame, trainPpm: Int = 800000, valPpm: Int = 100000,
+                   textCol: String = "text", idCol: String = "doc_id",
+                   byContent: Boolean = true): DataFrame = {
+    require(trainPpm >= 0 && valPpm >= 0 && trainPpm + valPpm <= 1000000,
+      s"assignSplits: train=$trainPpm + val=$valPpm ppm exceed 1e6")
+    val h =
+      if (byContent) graft.functions.FnvHash64.remainderUnsigned(
+        graft.functions.FnvHash64.fnv_hash64(col(textCol)), 1000000L)
+      else graft.functions.FnvHash64.keepHashPpm(col(idCol))
+    df.withColumn("split",
+      when(h < trainPpm, "train")
+        .when(h < trainPpm + valPpm, "val")
+        .otherwise("test"))
+  }
+
   def unimaxAllocation(df: DataFrame, budget: Long, epochCap: Int = 4,
                        groupCol: String = "source",
                        weightCol: String = "n_chars"): DataFrame = {

@@ -977,6 +977,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("image aHash: deterministic, perturbation-tolerant, banded near-dup recovers planted twins") {
+    import graft.ops.Multimodal
+    val docs = Tables.documents(spark, sf001).filter(col("doc_id") < 40)
+    val media = Multimodal.attachImages(docs)
+    // deterministic across partitionings (pure integer pipeline)
+    val h1 = Multimodal.imageHashes(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h2 = Multimodal.imageHashes(media.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h1 === h2)
+    assert(h1.values.toSet.size > 1, "distinct images should hash apart")
+    // the 1px-perturbed re-encode stays within the hamming bound and
+    // the banded join recovers every planted twin exactly
+    val twins = Multimodal.perturbImages(media, idOffset = 5000L)
+    val pairs = Multimodal.imageNearDups(media.unionByName(twins), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val planted = pairs.filter(p => p._2 == p._1 + 5000L)
+    assert(planted.length === 40, s"all twins recovered, got ${planted.length}")
+    assert(planted.forall(_._3 <= 3))
+    // non-image payloads fail loudly rather than hashing bytes
+    intercept[Exception] {
+      Multimodal.imageHashes(Multimodal.attachMedia(docs)).collect()
+    }
+  }
+
   test("multimodal audio: javax.sound.sampled decodes real WAV header and frames (golden)") {
     val docs = Tables.documents(spark, sf001)
     val feats = Multimodal.audioFeatures(Multimodal.attachAudio(docs))

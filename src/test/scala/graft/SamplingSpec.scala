@@ -96,6 +96,30 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("split assignment is content-keyed (dup-safe), exhaustive, and partitioning-invariant") {
+    import spark.implicits._
+    val withDup = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.limit(1).select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val s = Sampling.assignSplits(withDup)
+      .select(col("doc_id"), col("text"), col("split")).collect()
+    // byte-identical texts NEVER straddle splits — the leakage contract
+    s.groupBy(_.getString(1)).values.foreach { rows =>
+      assert(rows.map(_.getString(2)).distinct.length === 1,
+        "duplicate content must share one split")
+    }
+    val bySplit = s.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+    // deterministic across partitionings
+    val a = Sampling.assignSplits(docs).select("doc_id", "split").collect().toSet
+    val b = Sampling.assignSplits(docs.repartition(17)).select("doc_id", "split")
+      .collect().toSet
+    assert(a === b)
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(docs, trainPpm = 900000, valPpm = 200000)
+    }
+  }
+
   test("temperature mix: zero-token sources keep nothing, not everything") {
     import spark.implicits._
     val mix = Seq(("live", 10000L), ("empty", 0L))
