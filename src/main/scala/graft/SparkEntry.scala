@@ -3509,11 +3509,16 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     // spread left), same df-capped blocking, same distinct-then-verify
     "dedup_edit_distance" ->
       """WITH t AS (SELECT doc_id AS id, substring(text, 1, 24) AS s FROM documents
-        |           WHERE length(substring(text, 1, 24)) >= 7),
-        |segs AS (SELECT id, s, length(s) AS L, iv.i AS seg_i,
+        |           WHERE length(substring(text, 1, 24)) >= 1),
+        |segs AS (
+        |  SELECT id, s, length(s) AS L, iv.i AS seg_i,
         |    substring(s, CAST(iv.i * (length(s) // 7) + least(iv.i, length(s) % 7) + 1 AS INTEGER),
         |      CAST((length(s) // 7) + CASE WHEN iv.i < length(s) % 7 THEN 1 ELSE 0 END AS INTEGER)) AS seg
-        |  FROM t CROSS JOIN (SELECT unnest(range(0, 7)) AS i) iv),
+        |  FROM t CROSS JOIN (SELECT unnest(range(0, 7)) AS i) iv
+        |  WHERE length(s) >= 7
+        |  UNION ALL
+        |  SELECT id, s, length(s) AS L, CAST(0 AS BIGINT) AS seg_i, '' AS seg
+        |  FROM t WHERE length(s) < 7),
         |hot AS (SELECT seg_i, seg, L FROM segs
         |        GROUP BY 1, 2, 3 HAVING count(*) > 2000),
         |capped AS (SELECT s.* FROM segs s ANTI JOIN hot h USING (seg_i, seg, L)),

@@ -156,16 +156,22 @@ object EventFilter {
           fail(s"malformed numeric literal '$numText'")
         out += TNum(numText)
       } else if (c.isLetter || c == '_') {
+        // a '.' followed by another '.' is the range operator — 'lo..hi'
+        // must lex as two identifiers, not one dotted path
         val start = i
         while (i < s.length && (s.charAt(i).isLetterOrDigit ||
-               s.charAt(i) == '_' || s.charAt(i) == '.')) i += 1
+               s.charAt(i) == '_' ||
+               (s.charAt(i) == '.' &&
+                 !(i + 1 < s.length && s.charAt(i + 1) == '.')))) i += 1
         out += TIdent(s.substring(start, i))
       } else if (c == '#') {
         // closure placeholder, optionally with member access: # or #.a.b
         val start = i
         i += 1
         while (i < s.length && (s.charAt(i).isLetterOrDigit ||
-               s.charAt(i) == '_' || s.charAt(i) == '.')) i += 1
+               s.charAt(i) == '_' ||
+               (s.charAt(i) == '.' &&
+                 !(i + 1 < s.length && s.charAt(i + 1) == '.')))) i += 1
         out += TIdent(s.substring(start, i))
       } else {
         val two = if (i + 1 < s.length) s.substring(i, i + 2) else ""
@@ -227,10 +233,17 @@ object EventFilter {
       * (Catalyst's common-subexpression elimination dedups the work).
       * Bindings may reference earlier bindings; member access on a
       * binding uses indexing (`m["k"]`), not dotted paths. */
+    // words that primary()/comparison() resolve BEFORE the bindings
+    // lookup — a binding named one of these would silently lose
+    private val reservedWords = Set("let", "nil", "true", "false", "not",
+      "in", "matches", "contains", "startsWith", "endsWith")
+
     def parseLets(): Unit = {
       while (peek.contains(TIdent("let"))) {
         next()
         val name = next() match {
+          case TIdent(n) if reservedWords(n) =>
+            fail(s"let binding '$n' shadows a reserved word")
           case TIdent(n) if !n.contains(".") && !n.startsWith("#") => n
           case other => fail(s"expected let variable name, got $other")
         }
@@ -604,13 +617,17 @@ object EventFilter {
         case "take"    => arity(2); s"graft_slice(${args(0)}, 0, ${args(1)})"
         // sum via aggregate with a TYPE-CORRECT zero (first element × 0
         // keeps long arrays long — a literal 0.0 would force doubles and
-        // lose exactness past 2^53); empty/null arrays sum to 0
+        // lose exactness past 2^53). ONLY the empty array maps to 0: a
+        // nil element or nil array propagates null — a coalesce would
+        // silently read a null-poisoned fold as "empty", violating the
+        // fail-loud stance
         case "sum" =>
           arity(1)
           val a  = args(0)
           val va = s"x${lambdaSeq}_"; val vb = s"y${lambdaSeq}_"
           lambdaSeq += 1
-          s"coalesce(aggregate($a, graft_at($a, 0) * 0, ($va, $vb) -> $va + $vb), 0)"
+          s"IF(graft_len($a) = 0, 0, " +
+            s"aggregate($a, graft_at($a, 0) * 0, ($va, $vb) -> $va + $vb))"
         // DETERMINISM STANCE: expr-lang's now() reads the wall clock per
         // evaluation; current_timestamp() is a PLAN-TIME constant (one
         // value per query) — the only defensible semantics for a

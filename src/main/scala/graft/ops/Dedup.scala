@@ -958,6 +958,12 @@ object Dedup {
     * shift-window is the published fix) — a documented recall trade,
     * exactly like MinHash banding; every SURVIVING pair is exact.
     *
+    * Strings SHORTER than k+1 get a single whole-length block instead
+    * of segments: with L ≤ k every same-length pair is within k
+    * substitutions by definition, so same-length all-pairs IS the
+    * complete candidate set there (still levenshtein-verified, still
+    * df-cappable).
+    *
     * Scale shape: k+1 narrow segment rows per string, one equi-join on
     * a bounded key, distinct pair set, then the levenshtein verify runs
     * only on candidates — never all-pairs. Segment hot keys mirror the
@@ -972,12 +978,13 @@ object Dedup {
     require(k >= 1, s"editDistancePairs: k=$k must be >= 1")
     val nSeg = k + 1
     val t = df.select(col(idCol).as("id"), col(textCol).as("s"))
-      .filter(col("s").isNotNull && length(col("s")) >= nSeg)
+      .filter(col("s").isNotNull && length(col("s")) >= 1)
     val segs = t.select(col("id"), col("s"), length(col("s")).as("L"),
         posexplode(expr(
-          s"""transform(sequence(0, ${nSeg - 1}), i ->
-             |  substring(s, i * (length(s) div $nSeg) + least(i, length(s) % $nSeg) + 1,
-             |            (length(s) div $nSeg) + IF(i < length(s) % $nSeg, 1, 0)))"""
+          s"""IF(length(s) < $nSeg, array(''),
+             |  transform(sequence(0, ${nSeg - 1}), i ->
+             |    substring(s, i * (length(s) div $nSeg) + least(i, length(s) % $nSeg) + 1,
+             |              (length(s) div $nSeg) + IF(i < length(s) % $nSeg, 1, 0))))"""
             .stripMargin)).as(Seq("seg_i", "seg")))
       .select(col("id"), col("s"), col("L"), col("seg_i"), col("seg"))
     val capped =

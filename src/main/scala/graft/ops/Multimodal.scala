@@ -200,22 +200,35 @@ object Multimodal {
     * whole band — an equi-join on (band index, band bits), never
     * all-pairs; the verify is an exact `bit_count(xor)`. The same
     * banding logic as MinHash-LSH, with recall GUARANTEED (pigeonhole,
-    * not probabilistic) at the cost of band-key hot spots on flat
-    * images (same posture as the shingle df-cap — monotone payloads
-    * all hash near 0x0/0xff…f).
+    * not probabilistic) for pairs whose bands survive the df-cap
+    * (`dfCap = 0` opts out of the cap for unbounded exact recall).
     */
-  def imageNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def imageNearDups(media: DataFrame, maxHamming: Int = 3,
+                    dfCap: Int = Dedup.DefaultDfCap): DataFrame = {
     require(maxHamming >= 1 && maxHamming <= 15,
       s"imageNearDups: maxHamming=$maxHamming out of [1,15]")
     val nBands = maxHamming + 1
-    val hashes = imageHashes(media)
-    val bands = hashes.select(col("source_id"), col("ahash"),
+    // pin the hashes: both join sides (and the cap aggregate) consume
+    // them, and the real ImageIO decode behind them must not run once
+    // per consumer
+    val hashes = imageHashes(media).localCheckpoint(true)
+    val allBands = hashes.select(col("source_id"), col("ahash"),
       posexplode(expr(
         s"""transform(sequence(0, ${nBands - 1}), i -> CASE
            |  WHEN (i + 1) * 64 div $nBands - i * 64 div $nBands = 64 THEN ahash
            |  ELSE shiftright(ahash, i * 64 div $nBands) &
            |    (shiftleft(1L, (i + 1) * 64 div $nBands - i * 64 div $nBands) - 1)
            |  END)""".stripMargin)).as(Seq("band_i", "band")))
+    // flat-image hot bands (everything hashing near 0x0/0xff…f) fan out
+    // quadratically on one key — excise past the cap, the shingle
+    // family's df posture; recall stays guaranteed for surviving bands
+    val bands =
+      if (dfCap <= 0) allBands
+      else allBands.join(
+        allBands.groupBy(col("band_i"), col("band"))
+          .agg(count(lit(1)).as("__df")).filter(col("__df") > dfCap)
+          .select(col("band_i"), col("band")),
+        Seq("band_i", "band"), "left_anti")
     bands.as("a").join(bands.as("b"),
         col("a.band_i") === col("b.band_i") && col("a.band") === col("b.band") &&
           col("a.source_id") < col("b.source_id"))
@@ -238,6 +251,8 @@ object Multimodal {
         rows.map { r =>
           val img = javax.imageio.ImageIO.read(
             new ByteArrayInputStream(r.getAs[Array[Byte]](0)))
+          require(img != null,
+            s"perturbImages: undecodable payload for source ${r.getLong(2)}")
           img.setRGB(0, 0, img.getRGB(0, 0) ^ 0x0f0f0f)
           val bos = new ByteArrayOutputStream()
           javax.imageio.ImageIO.write(img, "png", bos)

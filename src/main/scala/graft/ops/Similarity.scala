@@ -282,11 +282,9 @@ object Similarity {
     */
   def ivfBalance(corpus: DataFrame, nLists: Int = 16, kmeansIters: Int = 2,
                  fitSampleMod: Int = 1): DataFrame = {
-    val centroids =
-      if (kmeansIters <= 0)
-        corpus.orderBy(col("vec_id")).limit(nLists)
-          .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
-      else kmeansCentroids(corpus, nLists, kmeansIters, fitSampleMod)
+    // the SAME quantizer dispatch every IVF entry point uses — the
+    // report must measure the quantizer ivfTopK actually runs with
+    val (centroids, _) = quantize(corpus, nLists, kmeansIters, fitSampleMod)
     val assigned = ivfAssignWithSim(corpus, centroids)
     val perList = assigned
       .select(col("centroid_id"),

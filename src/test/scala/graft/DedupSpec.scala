@@ -665,6 +665,13 @@ class DedupSpec extends SparkSpec {
     // by digits): sanity that the cap, not the verify, did the excision
     val small = (0 until 20).map(i => (100L + i, f"AAAA000$i%d")).toDF("doc_id", "text")
     assert(Dedup.editDistancePairs(small, k = 1, dfCap = 0).count() > 0L)
+    // strings SHORTER than k+1 are not dropped: with L <= k every
+    // same-length pair is within k substitutions — whole-length block
+    val short = Seq((1L, "abc"), (2L, "abc"), (3L, "abd"), (4L, "xxxxxxxx"))
+      .toDF("doc_id", "text")
+    val shortPairs = Dedup.editDistancePairs(short, k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(shortPairs === Map((1L, 2L) -> 0, (1L, 3L) -> 1, (2L, 3L) -> 1))
   }
 
   test("exact-mean kmeans is bit-identical across partitionings (the cluster-layout determinism contract)") {

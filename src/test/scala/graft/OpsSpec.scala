@@ -262,6 +262,14 @@ class OpsSpec extends SparkSpec {
     assert(ev("""reduce(ns, #acc > # ? #acc : #, int(-1))""").getLong(0) === 30L)
     // composition: let + sum + range membership in one predicate
     assert(ev("""let total = sum(ns); total == 60 && total / n in 10..12""").getBoolean(0))
+    // identifier-valued range endpoints lex as a range, not a dotted path
+    assert(ev("""let lo = 1; let hi = 9; n in lo..hi""").getBoolean(0))
+    assert(ev("""n in n..n""").getBoolean(0))
+    // a nil element poisons sum to nil — never silently 0
+    assert(ev("""sum(map(ns, # == 20 ? nil : #))""").isNullAt(0))
+    // reserved words cannot be shadowed by let
+    intercept[IllegalArgumentException](EventFilter.translate("""let nil = 5; n == nil"""))
+    intercept[IllegalArgumentException](EventFilter.translate("""let in = 5; true"""))
   }
 
   test("event filter closures evaluate on array data") {
@@ -1000,6 +1008,14 @@ class OpsSpec extends SparkSpec {
     intercept[Exception] {
       Multimodal.imageHashes(Multimodal.attachMedia(docs)).collect()
     }
+    // hot-band cap: identical (flat-hash) images all land on one band
+    // key — the cap excises them; unbounded opt-out still pairs them
+    val flat = Multimodal.attachImages(docs.limit(1))
+    val clones = (1 to 11).map(i =>
+      Multimodal.perturbImages(flat, idOffset = 10000L * i))
+      .foldLeft(flat)(_ unionByName _)
+    assert(Multimodal.imageNearDups(clones, maxHamming = 3, dfCap = 10).count() === 0L)
+    assert(Multimodal.imageNearDups(clones, maxHamming = 3, dfCap = 0).count() === 66L)
   }
 
   test("multimodal audio: javax.sound.sampled decodes real WAV header and frames (golden)") {
