@@ -165,7 +165,10 @@ class OpsSpec extends SparkSpec {
     // malformed placeholders fail at parse, not at Spark analysis
     intercept[IllegalArgumentException](EventFilter.translate("""any(xs, {#x > 0})"""))
     intercept[IllegalArgumentException](EventFilter.translate("""any(xs, {#. > 0})"""))
-    intercept[IllegalArgumentException](EventFilter.translate("""any(xs, {#.a..b > 0})"""))
+    // '#.a..b' is a RANGE (#.a .. b) since wave 3, not a malformed path
+    assert(EventFilter.translate("""any(xs, {1 in #.a..b})""").contains("sequence"))
+    // a dangling range still fails at parse
+    intercept[IllegalArgumentException](EventFilter.translate("""any(xs, {#.a..})"""))
   }
 
   test("event filter wave 2: slices, indexing, map literals, in-over-collections, now/duration/date/type") {
