@@ -1541,6 +1541,12 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
           budget = 100000L, epochCap = 2)
         .orderBy(col("source"))),
 
+    "pack_concat" -> ((s, dir) =>
+      // shard materialization: the EOS-joined blob + char-offset index
+      // a training loader consumes, per (source, 512-token shard)
+      Sampling.packConcat(Tables.documents(s, dir), budgetTokens = 512)
+        .orderBy(col("source"), col("shard"))),
+
     "sample_splits" -> ((s, dir) =>
       // leakage-safe train/val/test: content-keyed FNV ppm, so exact
       // duplicates always share a split and can't leak into eval
@@ -2994,6 +3000,28 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |SELECT source, CAST(start_tok // 512 AS BIGINT) AS shard,
         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
         |FROM c GROUP BY 1, 2 ORDER BY source, shard""".stripMargin,
+
+    // concat twin: pack_shards' window math + per-doc char offsets
+    // (Σ previous len+eosLen inside the shard) + ordered string_agg
+    "pack_concat" ->
+      """WITH t AS (SELECT source, doc_id, text,
+        |             len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT source, doc_id, text, n_tokens,
+        |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_tok
+        |      FROM t),
+        |sh AS (SELECT source, doc_id, text, n_tokens,
+        |         CAST(start_tok // 512 AS BIGINT) AS shard FROM c),
+        |o AS (SELECT source, shard, doc_id, text, n_tokens,
+        |        coalesce(sum(length(text) + 7) OVER (PARTITION BY source, shard
+        |          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |      FROM sh)
+        |SELECT source, shard, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+        |  string_agg(text, '<|eos|>' ORDER BY doc_id) AS blob,
+        |  string_agg(CAST(off AS VARCHAR), ',' ORDER BY doc_id) AS offsets_csv
+        |FROM o GROUP BY 1, 2 ORDER BY source, shard""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -118,6 +118,42 @@ object Sampling {
     * `alloc·1000` — is proven in-range or the call fails loudly.
     */
 
+  /** Materialize packed training shards: the step AFTER shard
+    * assignment (`pack_shards`' window math) that a training loader
+    * actually consumes — per (group, shard) the EOS-joined text blob in
+    * id order plus the character offset of every document start
+    * (`offsets_csv`), so a reader can slice any document back out of
+    * the blob without re-tokenizing. Offsets are exact integer char
+    * positions (each doc starts at Σ previous `len(text) + len(eos)`).
+    *
+    * Scale shape: one window partitioning (group, then group+shard —
+    * same shuffle) and a groupBy whose state per key is ONE shard's
+    * text (bounded by the token budget, not the corpus); no global
+    * sort anywhere. Blob size ≈ budget × avg chars/token — the same
+    * bound a training shard file has to satisfy anyway.
+    */
+  def packConcat(df: DataFrame, budgetTokens: Int, eos: String = "<|eos|>",
+                 groupCol: String = "source", textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    require(budgetTokens > 0, s"packConcat: budgetTokens=$budgetTokens must be > 0")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+    val packed = df.select(col(groupCol), col(idCol), col(textCol).as("__t"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("__nt"))
+      .withColumn("__start", sum(col("__nt")).over(w) - col("__nt"))
+      .withColumn("shard", expr(s"__start div $budgetTokens"))
+    val ws = Window.partitionBy(col(groupCol), col("shard")).orderBy(col(idCol))
+    packed
+      .withColumn("__off", coalesce(
+        sum(length(col("__t")).cast("long") + lit(eos.length.toLong))
+          .over(ws.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy(col(groupCol), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("shard_tokens"),
+        array_join(transform(array_sort(collect_list(struct(col(idCol), col("__t")))),
+          s => s.getField("__t")), eos).as("blob"),
+        array_join(transform(array_sort(collect_list(struct(col(idCol), col("__off")))),
+          s => s.getField("__off").cast("string")), ",").as("offsets_csv"))
+  }
+
   /** Deterministic train/val/test assignment, keyed on CONTENT by
     * default: the split hash is FNV-64a of the text (unsigned-mod ppm),
     * so byte-identical duplicates — the ones dedup may not have caught

@@ -674,6 +674,39 @@ class DedupSpec extends SparkSpec {
     assert(shortPairs === Map((1L, 2L) -> 0, (1L, 3L) -> 1, (2L, 3L) -> 1))
   }
 
+  test("edit-distance pairs: precision 1 and hamming-complete recall vs brute force on random corpora") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def ham(a: String, b: String): Int =
+      if (a.length != b.length) Int.MaxValue
+      else a.zip(b).count { case (x, y) => x != y }
+    val rnd = new scala.util.Random(7)
+    val strs = (0 until 60).map(i =>
+      i.toLong -> (0 until 10).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    val got = Dedup.editDistancePairs(strs.toDF("doc_id", "text"), k = 3, dfCap = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val brute = (for {
+      (i, si) <- strs; (j, sj) <- strs if i < j
+      d = lev(si, sj) if d <= 3
+    } yield (i, j) -> d).toMap
+    // precision 1: every reported pair is a true <= k pair with the
+    // true distance
+    got.foreach { case (p, d) => assert(brute.get(p).contains(d), s"pair $p") }
+    // recall contract: every pair within k SUBSTITUTIONS is found
+    // (indel-shifted pairs may escape the blocking — documented)
+    strs.foreach { case (i, si) => strs.foreach { case (j, sj) =>
+      if (i < j && ham(si, sj) <= 3)
+        assert(got.contains((i, j)), s"hamming-close pair ($i,$j) must be blocked together")
+    } }
+    assert(got.nonEmpty && brute.nonEmpty, "fixture must exercise real pairs")
+  }
+
   test("exact-mean kmeans is bit-identical across partitionings (the cluster-layout determinism contract)") {
     val emb = Tables.embeddings(spark, sf001)
     def fit(parts: Int): Map[Long, Seq[Float]] =

@@ -96,6 +96,29 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("packConcat: offsets slice every document back out of the blob, nothing lost") {
+    val subset = docs.filter(col("doc_id") < 100)
+    val shards = Sampling.packConcat(subset, budgetTokens = 256).collect()
+    val eos = "<|eos|>"
+    val reconstructed = shards.flatMap { r =>
+      val (blob, offs) = (r.getAs[String]("blob"),
+        r.getAs[String]("offsets_csv").split(',').map(_.toLong))
+      assert(offs.length === r.getAs[Long]("n_docs"), "one offset per doc")
+      val parts = blob.split(java.util.regex.Pattern.quote(eos), -1)
+      assert(parts.length.toLong === r.getAs[Long]("n_docs"))
+      // every offset points exactly at its document's first char
+      parts.zip(offs).foreach { case (doc, off) =>
+        assert(blob.regionMatches(off.toInt, doc, 0, doc.length),
+          s"offset $off must locate its doc")
+      }
+      parts
+    }
+    val original = subset.select("text").collect().map(_.getString(0))
+    assert(reconstructed.sorted.toSeq === original.sorted.toSeq,
+      "blobs must carry the full corpus, nothing duplicated or dropped")
+    intercept[IllegalArgumentException](Sampling.packConcat(docs, budgetTokens = 0))
+  }
+
   test("split assignment is content-keyed (dup-safe), exhaustive, and partitioning-invariant") {
     import spark.implicits._
     val withDup = docs.select(col("doc_id"), col("text"))

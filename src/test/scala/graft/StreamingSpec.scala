@@ -223,6 +223,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("text stream → hash embedding → incremental semantic prune composes end-to-end") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the model-free pipeline: raw text streams in, gets a feature-hash
+    // embedding (stateless narrow projection — streaming-legal by
+    // construction), and is semantically pruned against a static
+    // history embedded THE SAME WAY; stream must equal batch
+    val docs = Tables.documents(spark, sf001)
+    val history = graft.ops.TextAnalysis.hashEmbedding(
+      docs.filter(col("doc_id") < 250))
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf001)
+      .filter(col("doc_id") >= 250)
+    val pruned = graft.ops.Dedup.semanticPruneIncremental(
+      graft.ops.TextAnalysis.hashEmbedding(stream), history,
+      nClusters = 8, threshold = 0.95)
+    val q = pruned.writeStream.format("memory").queryName("hashsem")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish within the timeout")
+    val streamed = spark.table("hashsem").select("vec_id").as[Long].collect().sorted
+    val batch = graft.ops.Dedup.semanticPruneIncremental(
+        graft.ops.TextAnalysis.hashEmbedding(docs.filter(col("doc_id") >= 250)),
+        history, nClusters = 8, threshold = 0.95)
+      .select("vec_id").as[Long].collect().sorted
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream-stream interval join within watermark bounds") {
     import org.apache.spark.sql.functions._
     val a = StreamPipeline.walStream(spark, sf001)
