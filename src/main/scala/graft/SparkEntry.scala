@@ -1725,6 +1725,23 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("source"))
     }),
 
+    "corpus_profile_approx" -> ((s, dir) => {
+      // the 100 TB form of corpus_profile: HLL++ approximate distincts
+      // replace the exact countDistinct (whose per-group state is the
+      // distinct value set — the thing that doesn't fit at scale).
+      // Rows-only: sketch estimates are engine-specific, the same
+      // stance as q_quantiles_approx; OpsSpec bounds the error vs exact
+      val docs = Tables.documents(s, dir)
+      docs.select(col("source"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          md5(col("text")).as("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          approx_count_distinct(col("h")).as("approx_distinct"),
+          approx_count_distinct(col("lang")).as("approx_langs"))
+        .orderBy(col("source"))
+    }),
+
     "cdc_config_snapshot_only" -> ((s, dir) => {
       // postgresql.snapshot.initial=initial_only → the snapshot alone
       // (op='r'), scoped filter applied via the canonical table name

@@ -487,6 +487,21 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("approx corpus profile tracks the exact one within HLL error bounds") {
+    val docs = Tables.documents(spark, sf001)
+    val base = docs.select(col("source"), md5(col("text")).as("h"))
+    val exact = base.groupBy("source").agg(countDistinct(col("h")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = base.groupBy("source").agg(approx_count_distinct(col("h")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (src, ex) =>
+      val ap = approx(src).toDouble
+      assert(math.abs(ap - ex) <= math.max(0.05 * ex, 2.0),
+        s"source $src: approx $ap vs exact $ex outside 5% HLL bound")
+    }
+  }
+
   test("z-order interleave: exact Morton values, quadrant prefixes, range-partitioned layout") {
     import spark.implicits._
     import graft.ops.Compaction
