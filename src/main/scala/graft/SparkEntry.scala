@@ -152,6 +152,14 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     }.mkString("(", " + ", ")")
   }
 
+  /** The corpus_profile enrichment, shared with its HLL approx twin so
+    * the exact and approximate profiles can never silently diverge in
+    * token/hash definitions. */
+  private def profileEnriched(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("lang"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      md5(col("text")).as("h"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ================= analytics (Catalyst built-ins) =================
     "q1_pricing_summary" -> ((s, dir) => {
@@ -1050,18 +1058,13 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
 
     "pack_shards" -> ((s, dir) => {
       // Sequence packing: docs accumulate in doc_id order into fixed
-      // token-budget training shards. Partitioned by source so the
-      // window never globally sorts the corpus — each source packs in
-      // parallel (the 100 TB-safe form of greedy packing).
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("doc_id"))
-      Tables.documents(s, dir)
-        .select(col("source"), col("doc_id"),
-          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
-        .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
-        .withColumn("shard", expr("start_tok div 512"))
+      // token-budget training shards, via the SAME shardAssign math
+      // pack_concat materializes (one shared helper — the two views of
+      // a shard can never desync). Partitioned by source so the window
+      // never globally sorts the corpus.
+      Sampling.shardAssign(Tables.documents(s, dir), budgetTokens = 512)
         .groupBy(col("source"), col("shard"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("shard_tokens"))
         .orderBy(col("source"), col("shard"))
     }),
 
@@ -1709,11 +1712,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // rate, and language mix — the summary a curation run prints
       // before and after each pipeline stage. One shuffle on source
       // (the dup-rate subaggregate shares it via partial aggs).
-      val docs = Tables.documents(s, dir)
-      val enriched = docs.select(col("source"), col("lang"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-        md5(col("text")).as("h"))
-      enriched
+      profileEnriched(Tables.documents(s, dir))
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),
@@ -1728,13 +1727,11 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     "corpus_profile_approx" -> ((s, dir) => {
       // the 100 TB form of corpus_profile: HLL++ approximate distincts
       // replace the exact countDistinct (whose per-group state is the
-      // distinct value set — the thing that doesn't fit at scale).
-      // Rows-only: sketch estimates are engine-specific, the same
-      // stance as q_quantiles_approx; OpsSpec bounds the error vs exact
-      val docs = Tables.documents(s, dir)
-      docs.select(col("source"), col("lang"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-          md5(col("text")).as("h"))
+      // distinct value set — the thing that doesn't fit at scale) over
+      // the SAME shared enrichment (the two can't diverge in token/hash
+      // definitions). Rows-only: sketch estimates are engine-specific,
+      // the q_quantiles_approx stance; OpsSpec bounds the error vs exact
+      profileEnriched(Tables.documents(s, dir))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
           approx_count_distinct(col("h")).as("approx_distinct"),
@@ -3031,7 +3028,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |sh AS (SELECT source, doc_id, text, n_tokens,
         |         CAST(start_tok // 512 AS BIGINT) AS shard FROM c),
         |o AS (SELECT source, shard, doc_id, text, n_tokens,
-        |        coalesce(sum(length(text) + 7) OVER (PARTITION BY source, shard
+        |        coalesce(sum(strlen(text) + 7) OVER (PARTITION BY source, shard
         |          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
         |      FROM sh)
         |SELECT source, shard, count(*) AS n_docs,

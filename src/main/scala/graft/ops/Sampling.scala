@@ -118,39 +118,57 @@ object Sampling {
     * `alloc·1000` — is proven in-range or the call fails loudly.
     */
 
-  /** Materialize packed training shards: the step AFTER shard
-    * assignment (`pack_shards`' window math) that a training loader
-    * actually consumes — per (group, shard) the EOS-joined text blob in
-    * id order plus the character offset of every document start
-    * (`offsets_csv`), so a reader can slice any document back out of
-    * the blob without re-tokenizing. Offsets are exact integer char
-    * positions (each doc starts at Σ previous `len(text) + len(eos)`).
+  /** Greedy token-budget shard assignment — THE shard math (`pack_shards`
+    * and [[packConcat]] must agree on which docs share a shard, so they
+    * share this): per-group id-ordered token cumsum, shard = floor of
+    * the doc's start position over the budget. One window shuffle on
+    * the group key, never a global sort. Output adds `__nt` (token
+    * count) and `shard` to (group, id, text) columns.
+    */
+  def shardAssign(df: DataFrame, budgetTokens: Int,
+                  groupCol: String = "source", textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    require(budgetTokens > 0, s"shardAssign: budgetTokens=$budgetTokens must be > 0")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+    df.select(col(groupCol), col(idCol), col(textCol).as("__t"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("__nt"))
+      .withColumn("__start", sum(col("__nt")).over(w) - col("__nt"))
+      .withColumn("shard", expr(s"__start div $budgetTokens"))
+      .drop("__start")
+  }
+
+  /** Materialize packed training shards: the step AFTER [[shardAssign]]
+    * that a training loader actually consumes — per (group, shard) the
+    * EOS-joined text blob in id order plus the BYTE offset of every
+    * document start (`offsets_csv`), so a reader can slice any document
+    * straight out of the UTF-8 shard file without re-tokenizing.
+    * Offsets are exact UTF-8 byte positions (Σ previous
+    * `octet_length(text) + octet_length(eos)`) — bytes, not chars or
+    * UTF-16 units, because bytes are what a file reader seeks by.
     *
     * Scale shape: one window partitioning (group, then group+shard —
-    * same shuffle) and a groupBy whose state per key is ONE shard's
-    * text (bounded by the token budget, not the corpus); no global
-    * sort anywhere. Blob size ≈ budget × avg chars/token — the same
-    * bound a training shard file has to satisfy anyway.
+    * the group+shard distribution is already satisfied by the group
+    * hash, no second exchange) and a groupBy whose state per key is ONE
+    * shard's text (bounded by the token budget, not the corpus); the
+    * per-shard sort is a single combined (id, text, off) struct list.
     */
   def packConcat(df: DataFrame, budgetTokens: Int, eos: String = "<|eos|>",
                  groupCol: String = "source", textCol: String = "text",
                  idCol: String = "doc_id"): DataFrame = {
-    require(budgetTokens > 0, s"packConcat: budgetTokens=$budgetTokens must be > 0")
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
-    val packed = df.select(col(groupCol), col(idCol), col(textCol).as("__t"),
-        TextAnalysis.tokenCount(col(textCol)).cast("long").as("__nt"))
-      .withColumn("__start", sum(col("__nt")).over(w) - col("__nt"))
-      .withColumn("shard", expr(s"__start div $budgetTokens"))
+    val packed = shardAssign(df, budgetTokens, groupCol, textCol, idCol)
     val ws = Window.partitionBy(col(groupCol), col("shard")).orderBy(col(idCol))
+    val eosBytes = eos.getBytes("UTF-8").length.toLong
     packed
       .withColumn("__off", coalesce(
-        sum(length(col("__t")).cast("long") + lit(eos.length.toLong))
+        sum(octet_length(col("__t")).cast("long") + lit(eosBytes))
           .over(ws.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .groupBy(col(groupCol), col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("shard_tokens"),
-        array_join(transform(array_sort(collect_list(struct(col(idCol), col("__t")))),
-          s => s.getField("__t")), eos).as("blob"),
-        array_join(transform(array_sort(collect_list(struct(col(idCol), col("__off")))),
+        array_sort(collect_list(struct(col(idCol), col("__t"), col("__off"))))
+          .as("__docs"))
+      .select(col(groupCol), col("shard"), col("n_docs"), col("shard_tokens"),
+        array_join(transform(col("__docs"), s => s.getField("__t")), eos).as("blob"),
+        array_join(transform(col("__docs"),
           s => s.getField("__off").cast("string")), ",").as("offsets_csv"))
   }
 

@@ -106,10 +106,13 @@ class SamplingSpec extends SparkSpec {
       assert(offs.length === r.getAs[Long]("n_docs"), "one offset per doc")
       val parts = blob.split(java.util.regex.Pattern.quote(eos), -1)
       assert(parts.length.toLong === r.getAs[Long]("n_docs"))
-      // every offset points exactly at its document's first char
+      // every offset points exactly at its document's first BYTE of the
+      // UTF-8 blob (the unit a shard-file reader seeks by)
+      val blobBytes = blob.getBytes("UTF-8")
       parts.zip(offs).foreach { case (doc, off) =>
-        assert(blob.regionMatches(off.toInt, doc, 0, doc.length),
-          s"offset $off must locate its doc")
+        val docBytes = doc.getBytes("UTF-8")
+        assert(blobBytes.slice(off.toInt, off.toInt + docBytes.length)
+          .sameElements(docBytes), s"byte offset $off must locate its doc")
       }
       parts
     }
