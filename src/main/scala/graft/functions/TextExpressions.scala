@@ -81,8 +81,67 @@ case class NGramsJoin(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd feature-hash embedding kernel: the fused form of
+  * `aggregate(transform(tokens, fnv), zeros, per-bucket ±1)` — the HOF
+  * fold COPIES the dim-wide accumulator array once per token (HOF
+  * lambdas are immutable per step), which is O(dim·tokens) allocations
+  * on what should be the cheapest map-only stage of the pipeline. This
+  * kernel accumulates into one local long[dim] per row and emits the
+  * identical signed counts (bucket = low log₂(dim) bits of FNV-64a,
+  * sign = the next bit), cast to float.
+  */
+case class HashEmbedVec(child: Expression, dim: Int) extends UnaryExpression {
+  require(dim >= 2 && (dim & (dim - 1)) == 0,
+    s"hash_embed: dim=$dim must be a power of two")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hash_embed requires array<string>, got $t")
+    }
+
+  override protected def nullSafeEval(a: Any): Any =
+    HashEmbedVec.compute(a.asInstanceOf[ArrayData], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.HashEmbedVec.compute($a, $dim);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashEmbedVec {
+  /** Shared by eval and codegen: one virtual call per row, one local
+    * accumulator, zero per-token allocation. */
+  def compute(tokens: ArrayData, dim: Int): ArrayData = {
+    val shift = java.lang.Integer.numberOfTrailingZeros(dim)
+    val acc = new Array[Long](dim)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val h = FnvHash64.hash(tokens.getUTF8String(i).getBytes)
+      val bucket = (h & (dim - 1)).toInt
+      acc(bucket) += 1L - (((h >>> shift) & 1L) << 1)
+      i += 1
+    }
+    val out = new Array[Any](dim)
+    var j = 0
+    while (j < dim) { out(j) = acc(j).toFloat; j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graft.ColumnBridge._
   def ngrams_join(tokens: Column, n: Int): Column =
     column(NGramsJoin(expression(tokens), n))
+  def hash_embed(tokens: Column, dim: Int): Column =
+    column(HashEmbedVec(expression(tokens), dim))
 }

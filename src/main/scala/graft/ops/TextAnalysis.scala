@@ -474,12 +474,13 @@ object TextAnalysis {
     * the ANN/dedup family ([[Similarity]] cosine/LSH/IVF) as a
     * model-free `Array[Float]` embedding with `doc_id` as `vec_id`.
     *
-    * Entirely per-row HOF arithmetic — a fold over the token array into
-    * a dim-length vector, inside whole-stage codegen, ZERO shuffles:
+    * One codegen kernel call per row ([[graft.functions.HashEmbedVec]]
+    * — the composable HOF fold copies the dim-wide accumulator once
+    * per token; the kernel accumulates in place), ZERO shuffles:
     * embedding generation at 100 TB is map-only and scales with input
-    * splits. `dim` must be a power of two so signed `pmod` equals the
-    * unsigned residue (2⁶⁴ ≡ 0 mod 2ᵏ — the classifier-twin identity)
-    * and the sign bit sits just above the bucket bits. Values are
+    * splits. `dim` must be a power of two so the bucket is the low
+    * log₂(dim) hash bits (≡ the unsigned residue — the classifier-twin
+    * identity) and the sign bit sits just above them. Values are
     * integral (signed counts) cast to float — exactly representable,
     * so downstream dot products stay engine-replicable.
     */
@@ -487,17 +488,9 @@ object TextAnalysis {
                     textCol: String = "text"): DataFrame = {
     require(dim >= 2 && (dim & (dim - 1)) == 0,
       s"hashEmbedding: dim=$dim must be a power of two")
-    val shift = java.lang.Integer.numberOfTrailingZeros(dim)
-    val hashes = transform(split(col(textCol), " "),
-      t => graft.functions.FnvHash64.fnv_hash64(t))
-    val folded = aggregate(hashes, array_repeat(lit(0L), lit(dim)),
-      (acc, h) => {
-        val bucket = pmod(h, lit(dim.toLong))
-        val sgn = lit(1L) - shiftrightunsigned(h, shift).bitwiseAND(lit(1L)) * lit(2L)
-        transform(acc, (v, i) => when(bucket === i.cast("long"), v + sgn).otherwise(v))
-      })
     df.select(col("doc_id").as("vec_id"),
-      transform(folded, v => v.cast("float")).as("embedding"))
+      graft.functions.TextFunctions.hash_embed(split(col(textCol), " "), dim)
+        .as("embedding"))
   }
 
   /** Pairwise source-overlap matrix: for every pair of sources that
