@@ -126,9 +126,14 @@ object HashEmbedVec {
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      val h = FnvHash64.hash(tokens.getUTF8String(i).getBytes)
-      val bucket = (h & (dim - 1)).toInt
-      acc(bucket) += 1L - (((h >>> shift) & 1L) << 1)
+      // null elements are skipped (concat_ws posture) — split() never
+      // produces them, but hash_embed is a public function
+      val t = tokens.getUTF8String(i)
+      if (t != null) {
+        val h = FnvHash64.hash(t.getBytes)
+        val bucket = (h & (dim - 1)).toInt
+        acc(bucket) += 1L - (((h >>> shift) & 1L) << 1)
+      }
       i += 1
     }
     val out = new Array[Any](dim)

@@ -555,6 +555,14 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       graft.ops.TextAnalysis.hashEmbedding(docs, dim = 48)
     }
+    // null array elements are skipped, not NPE'd: hash_embed is a public
+    // function and must be total even though split() never yields nulls
+    val withNull = spark.range(1).select(
+      graft.functions.TextFunctions.hash_embed(
+        array(lit("a"), lit(null).cast("string"), lit("b")), 16).as("e"),
+      graft.functions.TextFunctions.hash_embed(
+        array(lit("a"), lit("b")), 16).as("want")).head()
+    assert(withNull.getSeq[Float](0) === withNull.getSeq[Float](1))
   }
 
   test("vocab tokenization maps tokens by frequency rank with -1 UNK") {
