@@ -103,6 +103,35 @@ FROM $prev p0 LEFT JOIN (SELECT centroid_id, list(mn ORDER BY pos) AS marr
     (init +: rounds).mkString(",\n")
   }
 
+  /** Unrolled BPE merge learning — the oracle twin of
+    * `TextAnalysis.bpeFit`. Emits the word table `{p}0 … {p}{iters}`
+    * (w, freq, sym) and per-round winning pairs `{p}{i}_b` (pr, cnt):
+    * adjacent-pair weighted counts over the space-joined symbol string,
+    * argmax with (count desc, pair asc) tie-break, then a padded
+    * literal replace — exactly the engine's round. */
+  private def duckBpe(iters: Int, p: String = "bpe"): String = {
+    val init =
+      s"""${p}0 AS (SELECT w, freq,
+trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' </w>' AS sym FROM (
+  SELECT tok AS w, count(*) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents) t
+  WHERE tok <> '' GROUP BY tok) wf)"""
+    val rounds = (1 to iters).map { i =>
+      val prev = s"$p${i - 1}"; val cur = s"$p$i"
+      s"""${cur}_b AS (SELECT pr, cnt FROM (
+  SELECT pr, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_transform(range(1, len(arr)),
+      j -> arr[j] || ' ' || arr[j+1])) AS pr, freq
+    FROM (SELECT string_split(sym, ' ') AS arr, freq FROM $prev) s) g
+  GROUP BY pr) z ORDER BY cnt DESC, pr LIMIT 1),
+$cur AS (SELECT w, freq,
+  trim(replace(' ' || sym || ' ', ' ' || b.pr || ' ',
+               ' ' || replace(b.pr, ' ', '') || ' ')) AS sym
+  FROM $prev CROSS JOIN ${cur}_b b)"""
+    }
+    (init +: rounds).mkString(",\n")
+  }
+
   /** Per-subspace unrolled PQ codebook fit — the oracle twin of
     * `Similarity.pqCodebookFitted` (independent exact-mean Lloyd rounds
     * in every subspace, squared-L2 argmin as `2·a·c − ‖c‖²` argmax).
@@ -1023,6 +1052,17 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       TextAnalysis.tokenizeToIds(docs, TextAnalysis.buildVocab(docs, topK = 100))
         .orderBy(col("doc_id"))
     }),
+
+    "vocab_bpe_merges" -> ((s, dir) =>
+      // tokenizer TRAINING (Sennrich BPE): corpus touched once for the
+      // word-freq table, then 6 merge rounds over the vocab-sized table
+      TextAnalysis.bpeMerges(Tables.documents(s, dir), nMerges = 6)),
+
+    "vocab_bpe_fertility" -> ((s, dir) =>
+      // symbols-per-word by source under the learned tokenizer — the
+      // corpus-mass → token-budget conversion a mixing plan needs
+      TextAnalysis.bpeFertility(Tables.documents(s, dir), nMerges = 6)
+        .orderBy(col("source"))),
 
     "sample_stratified" -> ((s, dir) => {
       // Data mixing: per-source sampling rates applied via the shared
@@ -2912,6 +2952,27 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |  array_to_string(list(CAST(coalesce(v.id, -1) AS VARCHAR) ORDER BY pos), ',') AS ids_csv
         |FROM tokens LEFT JOIN vocab v ON tok = v.token
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // BPE twin: 6 unrolled merge rounds (duckBpe); each round's winner
+    // row becomes one output row in training order
+    "vocab_bpe_merges" ->
+      (s"WITH ${duckBpe(6)},\nm AS (" +
+        (1 to 6).map(i =>
+          s"SELECT $i AS rank, split_part(pr, ' ', 1) AS lhs, " +
+            s"split_part(pr, ' ', 2) AS rhs, replace(pr, ' ', '') AS merged, " +
+            s"cnt AS weighted_count FROM bpe${i}_b").mkString(" UNION ALL ") +
+        ")\nSELECT * FROM m ORDER BY rank"),
+
+    // fertility twin: per-source word counts joined to the round-6 word
+    // table; symbol count = segmented-symbol list length
+    "vocab_bpe_fertility" ->
+      s"""WITH ${duckBpe(6)},
+         |sw AS (SELECT source, tok AS w, count(*) AS f FROM (
+         |  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents) t
+         |  WHERE tok <> '' GROUP BY source, tok)
+         |SELECT sw.source, CAST(sum(sw.f) AS BIGINT) AS n_words,
+         |  CAST(sum(sw.f * len(string_split(k.sym, ' '))) AS BIGINT) AS n_symbols
+         |FROM sw JOIN bpe6 k ON sw.w = k.w GROUP BY sw.source ORDER BY source""".stripMargin,
 
     // substring-span twin: same windows, keeper = rn 1 over
     // (doc_id, start) ≡ Spark's min(struct), reassembly by position

@@ -690,4 +690,102 @@ object TextAnalysis {
     aggregate(transform(split(col(textCol), " "), weight), lit(0L),
       (acc, w) => acc + w)
   }
+
+  /** One learned BPE merge: `lhs + rhs → merged`, with the weighted
+    * adjacent-pair count that won the round. */
+  final case class BpeMerge(rank: Int, lhs: String, rhs: String,
+                            merged: String, weighted_count: Long)
+
+  /** BPE tokenizer training (Sennrich et al. 2016, the published
+    * algorithm every LLM pipeline runs): learn `nMerges` merge rules by
+    * repeatedly merging the most frequent adjacent symbol pair.
+    *
+    * Scale shape — the reason BPE fits Spark at 100 TB: the corpus is
+    * touched exactly ONCE (explode → word-frequency groupBy); every
+    * merge round then runs on the DISTINCT-WORD table (≤ low 10⁸ rows
+    * for web-scale corpora — the Sennrich word-dict trick), so the K
+    * rounds cost K small shuffles independent of corpus size. Each
+    * round is `localCheckpoint`ed: the plan stays O(1) deep and the
+    * table is vocabulary-sized.
+    *
+    * Engine-exact: integer pair counts (overlapping occurrences each
+    * count, the reference get_stats behavior), argmax tie-break by
+    * pair string ascending, and the merge-apply is a literal
+    * space-delimited string replace (left-to-right non-overlapping in
+    * both engines — greedy BPE semantics). Words end with a `</w>`
+    * symbol so merges can't cross word boundaries and end-of-word units
+    * are learnable. The per-round 1-row argmax is a driver action by
+    * design (the merge RULE is control flow, same stance as the bm25
+    * stats row). Stops early if the corpus runs out of pairs.
+    */
+  def bpeFit(df: DataFrame, nMerges: Int, textCol: String = "text")
+      : (Seq[BpeMerge], DataFrame) = {
+    require(nMerges >= 1 && nMerges <= 64,
+      s"bpeFit: nMerges=$nMerges out of range (1..64)")
+    // the ONE corpus pass: distinct words + frequencies, then each word
+    // as a space-joined symbol string ("c h a r s </w>")
+    var words = df
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"),
+        concat_ws(" ", concat(split(col("w"), ""), array(lit("</w>")))).as("sym"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[BpeMerge]
+    var k = 1
+    var exhausted = false
+    while (k <= nMerges && !exhausted) {
+      val top = words
+        .select(explode(graft.functions.TextFunctions.ngrams_join(
+          split(col("sym"), " "), 2)).as("pair"), col("freq"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        val Array(l, r) = pair.split(" ", 2)
+        val mergedSym = l + r
+        merges += BpeMerge(k, l, r, mergedSym, top(0).getLong(1))
+        // pad with spaces so " l r " can't match inside another symbol
+        words = words.select(col("w"), col("freq"),
+            trim(replace(concat(lit(" "), col("sym"), lit(" ")),
+              lit(s" $l $r "), lit(s" $mergedSym "))).as("sym"))
+          .localCheckpoint(true)
+        k += 1
+      }
+    }
+    (merges.result(), words)
+  }
+
+  /** The learned merge table as a DataFrame — `bpeFit`'s rule output in
+    * training order. K rows; the tokenizer artifact a loader ships. */
+  def bpeMerges(df: DataFrame, nMerges: Int,
+                textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    bpeFit(df, nMerges, textCol)._1.toDF()
+  }
+
+  /** Per-source tokenizer fertility after `nMerges` BPE rounds: how
+    * many symbols the learned tokenizer spends per word in each slice
+    * of the corpus — THE feasibility number for a token budget (mixing
+    * rates are set in tokens; fertility converts corpus mass to
+    * tokens). Integer-exact: Σ freq·|symbols| and Σ freq per source.
+    * One corpus pass for per-source word counts + a broadcast join to
+    * the vocabulary-sized fitted table.
+    */
+  def bpeFertility(df: DataFrame, nMerges: Int, textCol: String = "text",
+                   groupCol: String = "source"): DataFrame = {
+    val fitted = bpeFit(df, nMerges, textCol)._2
+      .select(col("w"), size(split(col("sym"), " ")).cast("long").as("n_sym"))
+    df.select(col(groupCol),
+        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col(groupCol), col("w")).agg(count(lit(1)).as("f"))
+      .join(broadcast(fitted), "w")
+      .groupBy(col(groupCol))
+      .agg(sum(col("f")).as("n_words"),
+        sum(col("f") * col("n_sym")).as("n_symbols"))
+  }
 }

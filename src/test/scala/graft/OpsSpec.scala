@@ -1862,4 +1862,60 @@ class OpsSpec extends SparkSpec {
       .head.getString(0) === "graft.public.events")
     assert(graft.model.Envelope.messageTopicName("graft") === "graft.message")
   }
+
+  test("bpe: learns the textbook merge sequence on a known corpus") {
+    import graft.ops.TextAnalysis
+    // 'low'×5, 'lower'×2: e-r wins round 3 only after l-o and lo-w
+    val docs = Seq((1L, "low low low low low lower lower")).toDF("doc_id", "text")
+    val (merges, words) = TextAnalysis.bpeFit(docs, nMerges = 4)
+    val rules = merges.map(m => (m.lhs, m.rhs, m.merged, m.weighted_count))
+    // round 1: (l,o) appears in both words: 5+2=7
+    assert(rules(0) === (("l", "o", "lo", 7L)))
+    // round 2: (lo,w) 7 beats (w,</w>) 5 ... actually (w,</w>)=5, (lo,w)=7
+    assert(rules(1) === (("lo", "w", "low", 7L)))
+    // round 3: (low,</w>) 5 beats (e,r) 2 and (low,e) 2
+    assert(rules(2) === (("low", "</w>", "low</w>", 5L)))
+    val sym = words.collect().map(r => r.getAs[String]("w") -> r.getAs[String]("sym")).toMap
+    assert(sym("low") === "low</w>")
+    assert(sym("lower").startsWith("low"))
+  }
+
+  test("bpe: greedy left-to-right merge on overlapping pairs, and early stop") {
+    import graft.ops.TextAnalysis
+    // 'aaa' → a a a </w>: pair (a,a) counts both overlapping positions
+    val docs = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val (merges, words) = TextAnalysis.bpeFit(docs, nMerges = 2)
+    assert(merges.head.weighted_count === 2L) // overlapping occurrences both count
+    // greedy apply: "a a a" → "aa a", NOT "a aa"
+    assert(merges.head.merged === "aa")
+    // round 2: (aa,a) and (a,</w>) tie at 1; "a </w>" < "aa a" in byte
+    // order (space sorts below 'a'), so the tie-break picks (a, </w>)
+    assert(merges(1).lhs === "a" && merges(1).rhs === "</w>")
+    assert(words.head.getAs[String]("sym") === "aa a</w>")
+    // early stop: a single-symbol vocabulary runs out of pairs
+    val tiny = Seq((1L, "x")).toDF("doc_id", "text")
+    val (m2, _) = TextAnalysis.bpeFit(tiny, nMerges = 8)
+    assert(m2.length < 8 && m2.nonEmpty) // (x,</w>) merges, then nothing left
+    intercept[IllegalArgumentException] { TextAnalysis.bpeFit(tiny, 0) }
+  }
+
+  test("bpe fertility: integer symbol budget per source, monotone in merges") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "aa aa aa bb", "s1"), (2L, "aa bb bb cc", "s2")
+    ).toDF("doc_id", "text", "source")
+    val f1 = TextAnalysis.bpeFertility(docs, nMerges = 1)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_symbols"))).toMap
+    val f6 = TextAnalysis.bpeFertility(docs, nMerges = 6)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_symbols"))).toMap
+    assert(f1("s1")._1 === 4L && f1("s2")._1 === 4L)
+    // more merges never increase the symbol count (merges only shrink)
+    for (s <- Seq("s1", "s2")) assert(f6(s)._2 <= f1(s)._2)
+    // merge 1 is (a,</w>) — tie at 4 with (a,a), "a </w>" sorts first —
+    // so 'aa' = [a, a</w>] = 2 syms, 'bb' untouched = 3 syms:
+    // s1 = 3 words × 2 + 1 word × 3 = 9
+    assert(f1("s1")._2 === 3L * 2 + 3L)
+  }
 }
