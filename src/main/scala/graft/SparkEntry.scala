@@ -1096,6 +1096,13 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       Dedup.substringSpans(Tables.documents(s, dir))
         .orderBy(col("doc_id"))),
 
+    "dedup_self_spans" -> ((s, dir) =>
+      // within-doc repeated-trigram trim: the self-repetition REWRITE
+      // (repetitionMetrics only scores); (doc, gram)-keyed window, so
+      // no cross-doc skew and no df-cap to tune
+      Dedup.selfDedupSpans(Tables.documents(s, dir), n = 3)
+        .orderBy(col("doc_id"))),
+
     "pack_shards" -> ((s, dir) => {
       // Sequence packing: docs accumulate in doc_id order into fixed
       // token-budget training shards, via the SAME shardAssign math
@@ -2990,6 +2997,33 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |    FROM win) x WHERE rn > 1 AND cnt <= ${Dedup.DefaultDfCap}),
         |covered AS (SELECT DISTINCT doc_id, pos FROM (
         |    SELECT doc_id, unnest(generate_series(start, start + 9)) AS pos FROM marked) y),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok
+        |         FROM tok t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+        |         WHERE c.pos IS NULL),
+        |reb AS (SELECT doc_id, count(*) AS n_kept,
+        |          array_to_string(list(tok ORDER BY pos), ' ') AS cleaned
+        |        FROM kept GROUP BY 1)
+        |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(r.cleaned, '') AS cleaned
+        |FROM documents d LEFT JOIN reb r ON d.doc_id = r.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // self-span twin: identical span machinery with the window keyed
+    // by (doc_id, gram) — repeats never cross documents
+    "dedup_self_spans" ->
+      s"""WITH tok0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tok AS (SELECT doc_id, pos - 1 AS pos, t[pos] AS tok
+        |        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS pos FROM tok0) z),
+        |win AS (SELECT doc_id, start - 1 AS start, array_to_string(t[start:start+2], ' ') AS gram
+        |        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS start
+        |              FROM tok0 WHERE len(t) >= 3) z),
+        |marked AS (SELECT doc_id, start FROM (
+        |    SELECT doc_id, start,
+        |      row_number() OVER (PARTITION BY doc_id, gram ORDER BY start) AS rn
+        |    FROM win) x WHERE rn > 1),
+        |covered AS (SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT doc_id, unnest(generate_series(start, start + 2)) AS pos FROM marked) y),
         |kept AS (SELECT t.doc_id, t.pos, t.tok
         |         FROM tok t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
         |         WHERE c.pos IS NULL),

@@ -101,6 +101,15 @@ object Dedup {
     val covered = marked
       .select(col(idCol), explode(sequence(col("start"), col("start") + lit(n - 1))).as("pos"))
       .distinct()
+    rebuildUncovered(df, tok, covered, n, textCol, idCol)
+  }
+
+  /** Shared span-removal tail: anti-join token positions against the
+    * covered set, reassemble survivors in position order, and re-attach
+    * docs that lost every gram (or had none). Used by the cross-doc
+    * [[substringSpans]] and the within-doc [[selfDedupSpans]]. */
+  private def rebuildUncovered(df: DataFrame, tok: DataFrame, covered: DataFrame,
+                               n: Int, textCol: String, idCol: String): DataFrame = {
     val rebuilt = tok.join(covered, Seq(idCol, "pos"), "left_anti")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_kept"),
@@ -111,6 +120,39 @@ object Dedup {
       .select(col(idCol), col("n_tokens"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
+  /** WITHIN-document repeated-span removal: every occurrence of an
+    * n-gram AFTER its first occurrence in the same document is a
+    * repeat; tokens covered only by repeats are dropped and the doc is
+    * reassembled from the survivors. The intra-doc complement of
+    * [[substringSpans]] (which dedups across the corpus) and the
+    * REWRITE form of `TextAnalysis.repetitionMetrics` (which only
+    * scores): the standard self-repetition trim before quality gates,
+    * since looping generator output and boilerplate chains repeat long
+    * spans inside one page.
+    *
+    * Scale shape: the first-occurrence window is keyed by
+    * `(doc, gram)` — unlike the cross-doc op there is NO viral-gram
+    * skew and no df-cap to tune, because a partition never outgrows one
+    * document's occurrence list. Coverage distinct and the rebuild
+    * anti-join are keyed by doc; everything distributes on the corpus's
+    * natural key.
+    */
+  def selfDedupSpans(df: DataFrame, n: Int = 10, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("t"))
+    val tok = toks.select(col(idCol), posexplode(col("t")).as(Seq("pos", "tok")))
+    val wins = toks.select(col(idCol),
+      posexplode(graft.functions.TextFunctions.ngrams_join(col("t"), n))
+        .as(Seq("start", "gram")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol), col("gram")).orderBy(col("start"))
+    val covered = wins.withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .select(col(idCol), explode(sequence(col("start"), col("start") + lit(n - 1))).as("pos"))
+      .distinct()
+    rebuildUncovered(df, tok, covered, n, textCol, idCol)
   }
 
   /** Chunk-level exact dedup — the Dolma/RefinedWeb PARAGRAPH-dedup

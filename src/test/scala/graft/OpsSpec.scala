@@ -733,6 +733,36 @@ class OpsSpec extends SparkSpec {
     assert(wide === got)
   }
 
+  test("self-span dedup trims in-document repeats and is idempotent") {
+    import graft.ops.Dedup
+    // doc 1 repeats its opening 4-gram verbatim at position 5; with
+    // n=4 the second occurrence covers positions 5..8 → only those drop
+    val docs = Seq(
+      (1L, "a b c d x a b c d y"),
+      (2L, "p q r s t u v w")).toDF("doc_id", "text")
+    val got = Dedup.selfDedupSpans(docs, n = 4).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 10L, 6L, "a b c d x y"),
+      (2L, 8L, 8L, "p q r s t u v w")))
+    // idempotent: a trimmed corpus has no in-doc repeats left to trim
+    val again = Dedup.selfDedupSpans(
+      got.map { case (id, _, _, t) => (id, t) }.toDF("doc_id", "text"), n = 4)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(again.map(r => (r._1, r._4)) === got.map(r => (r._1, r._4)))
+    // on a one-document corpus the within-doc and cross-corpus span
+    // ops see the same duplicate set and must agree
+    val solo = Seq((7L, "m n o p m n o p m n o p")).toDF("doc_id", "text")
+    val a = Dedup.selfDedupSpans(solo, n = 4).head.getString(3)
+    val b = Dedup.substringSpans(solo, n = 4, dfCap = Dedup.Unbounded).head.getString(3)
+    assert(a === b && a === "m n o p")
+    // overlapping repeats: "a a a a a a" with n=3 → dup starts 1,2,3
+    // cover positions 1..5; position 0 alone survives
+    val rep = Dedup.selfDedupSpans(Seq((1L, "a a a a a a")).toDF("doc_id", "text"), n = 3)
+      .head
+    assert(rep.getLong(2) === 1L && rep.getString(3) === "a")
+  }
+
   test("per-label centroid sums: counts partition the corpus, micros match a hand fold") {
     val emb = Seq(
       (1L, Array(0.5f, -0.25f), "a"),
