@@ -1297,6 +1297,17 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("lsn"))
     }),
 
+    "cdc_filter_wave4" -> ((s, dir) => {
+      // wave-4 dialect surface: end-scans (findLast/findLastIndex),
+      // stable sortBy + get, concat/takeLast array algebra, mean, and
+      // a base64 round-trip — still one narrow codegen predicate
+      graft.filter.EventFilter(
+        """let toks = split(props, ":"); let lens = map(toks, {len(#)}); let v = int(props[6:-1]); findLastIndex(toks, {hasSuffix(#, "}")}) == 1 && findLast(toks, {hasPrefix(#, "{")}) == get(toks, 0) && takeLast(sortBy(concat(lens, [v]), #), 1) == [v] && mean(concat(lens, [v])) >= 20.0 && fromBase64(toBase64(props)) == props""")
+        .apply(Cdc.walEvents(s, dir))
+        .select(col("lsn"), col("user_id"), col("props"))
+        .orderBy(col("lsn"))
+    }),
+
     "cdc_filter_closures" -> ((s, dir) => {
       // expr-lang array closures (# placeholder, brace shorthand, nested
       // map-inside-count) compiled to Catalyst higher-order functions —
@@ -2290,6 +2301,21 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |        range(1, least(v, 3) + 1)), (a, b) -> a + b) = 6
         |  AND list_position(list_transform(string_split(props, ':'),
         |        x -> starts_with(x, ' ')), true) - 1 = 1
+        |ORDER BY lsn""".stripMargin,
+
+    "cdc_filter_wave4" ->
+      """WITH e AS (SELECT event_id AS lsn, user_id, props,
+        |    string_split(props, ':') AS t,
+        |    CAST(props[7:-2] AS BIGINT) AS v FROM events),
+        |x AS (SELECT lsn, user_id, props, v, t,
+        |    list_concat(list_transform(t, s -> CAST(length(s) AS BIGINT)), [v]) AS ext FROM e)
+        |SELECT lsn, user_id, props FROM x
+        |WHERE (CASE WHEN list_position(list_reverse(list_transform(t, s -> ends_with(s, '}'))), true) = 0 THEN -1
+        |       ELSE len(t) - list_position(list_reverse(list_transform(t, s -> ends_with(s, '}'))), true) END) = 1
+        |  AND list_reverse(list_filter(t, s -> starts_with(s, '{')))[1] = t[1]
+        |  AND list_slice(list_sort(ext), len(ext), len(ext)) = [v]
+        |  AND list_aggregate(ext, 'avg') >= 20.0
+        |  AND decode(from_base64(to_base64(encode(props)))) = props
         |ORDER BY lsn""".stripMargin,
 
     "cdc_filter_closures" ->

@@ -528,6 +528,23 @@ object EventFilter {
         // reading of the expr-lang pair)
         case "find"      => s"graft_at(filter($arr, $v -> $body), 0)"
         case "findIndex" => s"(array_position(transform($arr, $v -> $body), true) - 1)"
+        // findLast / findLastIndex: the same pair scanned from the end.
+        // The predicate column appears twice in findLastIndex's CASE —
+        // a pure per-row expression, so double evaluation is just work,
+        // never a semantic hazard
+        case "findLast" => s"graft_at(reverse(filter($arr, $v -> $body)), 0)"
+        case "findLastIndex" =>
+          val tr = s"array_position(reverse(transform($arr, $v -> $body)), true)"
+          s"(CASE WHEN $tr = 0 THEN -1 ELSE graft_len($arr) - $tr END)"
+        // sortBy: expr-lang's STABLE ascending sort by key function —
+        // decorate with (key, original index, value), sort by the
+        // struct's natural field order (index breaks key ties, which IS
+        // stability), undecorate
+        case "sortBy" =>
+          val i = s"i${lambdaSeq}_"; val z = s"z${lambdaSeq}_"
+          lambdaSeq += 1
+          s"transform(array_sort(transform($arr, ($v, $i) -> " +
+            s"struct(($body) AS k, $i AS p, $v AS x))), $z -> $z.x)"
       }
     }
 
@@ -537,7 +554,8 @@ object EventFilter {
     def call(name: String): String = {
       expectOp("(")
       if (Set("filter", "map", "all", "any", "none", "one", "count",
-          "find", "findIndex", "reduce")(name))
+          "find", "findIndex", "findLast", "findLastIndex", "sortBy",
+          "reduce")(name))
         return closureCall(name)
       val args = scala.collection.mutable.ListBuffer.empty[String]
       // raw value of an argument that was exactly one string literal —
@@ -615,6 +633,35 @@ object EventFilter {
         case "first"   => arity(1); s"graft_at(${args(0)}, 0)"
         case "last"    => arity(1); s"graft_at(${args(0)}, graft_len(${args(0)}) - 1)"
         case "take"    => arity(2); s"graft_slice(${args(0)}, 0, ${args(1)})"
+        // graft_slice is [from, until) — takeLast keeps the tail range
+        case "takeLast" =>
+          arity(2); val a = args(0); val n = args(1)
+          s"graft_slice($a, greatest(graft_len($a) - ($n), 0), graft_len($a))"
+        case "flatten" => arity(1); s"flatten(${args(0)})"
+        // uniq: first-occurrence order preserved — array_distinct's
+        // documented behavior, the exact expr-lang contract
+        case "uniq" => arity(1); s"array_distinct(${args(0)})"
+        case "concat" =>
+          if (args.length < 2) fail("concat expects at least 2 arguments")
+          s"concat(${args.mkString(", ")})"
+        // get: polymorphic index (array 0-based / map key) — the same
+        // PolyAt the [] operator compiles to, but total (nil on miss)
+        case "get" => arity(2); s"graft_at(${args(0)}, ${args(1)})"
+        // mean/median return float; the empty array yields nil (Spark
+        // null-division) where expr-lang errors — documented deviation,
+        // same stance as the other total-function readings
+        case "mean" =>
+          arity(1); val a = args(0)
+          val va = s"x${lambdaSeq}_"; val vb = s"y${lambdaSeq}_"
+          lambdaSeq += 1
+          s"try_divide(aggregate($a, CAST(0 AS DOUBLE), ($va, $vb) -> $va + $vb), graft_len($a))"
+        case "median" =>
+          arity(1); val a = args(0)
+          val s = s"array_sort($a)"
+          s"((CAST(graft_at($s, (graft_len($a) - 1) div 2) AS DOUBLE) + " +
+            s"CAST(graft_at($s, graft_len($a) div 2) AS DOUBLE)) / 2)"
+        case "toBase64"   => arity(1); s"base64(${args(0)})"
+        case "fromBase64" => arity(1); s"CAST(unbase64(${args(0)}) AS STRING)"
         // sum via aggregate with a TYPE-CORRECT zero (first element × 0
         // keeps long arrays long — a literal 0.0 would force doubles and
         // lose exactness past 2^53). ONLY the empty array maps to 0: a

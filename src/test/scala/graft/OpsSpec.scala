@@ -239,7 +239,7 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](EventFilter.translate("""let m = {a: 1}; m.a > 0"""))
     intercept[IllegalArgumentException](EventFilter.translate("""sum(ns, #acc)"""))
     intercept[IllegalArgumentException](EventFilter.translate("""let 3 = x; true"""))
-    intercept[IllegalArgumentException](EventFilter.translate("""sortBy(tags, #)"""))
+    intercept[IllegalArgumentException](EventFilter.translate("""groupBy(tags, #)"""))
     // evaluation on data
     graft.GraftExtensions.registerTo(spark)
     val df = Seq(("hello", Seq("a", "bb", "ccc"), Seq(10L, 20L, 30L), 5L))
@@ -273,6 +273,42 @@ class OpsSpec extends SparkSpec {
     // reserved words cannot be shadowed by let
     intercept[IllegalArgumentException](EventFilter.translate("""let nil = 5; n == nil"""))
     intercept[IllegalArgumentException](EventFilter.translate("""let in = 5; true"""))
+  }
+
+  test("event filter wave 4: end-scans, sortBy, array algebra, stats, base64") {
+    graft.GraftExtensions.registerTo(spark)
+    val df = Seq(("hello", Seq("a", "bb", "ccc", "dd"), Seq(30L, 10L, 20L), 5L))
+      .toDF("name", "tags", "ns", "n")
+    def ev(cond: String) = df.select(expr(EventFilter.translate(cond))).head
+    // findLast / findLastIndex scan from the end; misses → nil / -1
+    assert(ev("""findLast(tags, {len(#) == 2})""").getString(0) === "dd")
+    assert(ev("""findLast(tags, {len(#) == 9})""").isNullAt(0))
+    assert(ev("""findLastIndex(tags, {len(#) == 2})""").getLong(0) === 3L)
+    assert(ev("""findLastIndex(tags, {len(#) == 9})""").getLong(0) === -1L)
+    // sortBy is STABLE ascending by the key closure: equal-length tags
+    // keep their input order
+    assert(ev("""sortBy(tags, len(#))""").getSeq[String](0)
+      === Seq("a", "bb", "dd", "ccc"))
+    assert(ev("""sortBy(ns, -#)""").getSeq[Long](0) === Seq(30L, 20L, 10L))
+    // array algebra
+    assert(ev("""takeLast(ns, 2)""").getSeq[Long](0) === Seq(10L, 20L))
+    assert(ev("""takeLast(ns, 99)""").getSeq[Long](0) === Seq(30L, 10L, 20L))
+    assert(ev("""flatten([[1, 2], [3]])""").getSeq[Long](0) === Seq(1L, 2L, 3L))
+    assert(ev("""uniq(["b", "a", "b"])""").getSeq[String](0) === Seq("b", "a"))
+    assert(ev("""concat(take(ns, 1), takeLast(ns, 1))""").getSeq[Long](0)
+      === Seq(30L, 20L))
+    assert(ev("""get(tags, 1)""").getString(0) === "bb")
+    assert(ev("""get(tags, 99)""").isNullAt(0), "get misses to nil")
+    // mean/median are floats; median of an even count averages middles
+    assert(ev("""mean(ns)""").getDouble(0) === 20.0)
+    assert(ev("""median(ns)""").getDouble(0) === 20.0)
+    assert(ev("""median([4, 1, 3, 2])""").getDouble(0) === 2.5)
+    assert(ev("""mean(take(ns, 0))""").isNullAt(0), "empty mean is nil")
+    // base64 round-trip
+    assert(ev("""toBase64("spark")""").getString(0) === "c3Bhcms=")
+    assert(ev("""fromBase64(toBase64(name))""").getString(0) === "hello")
+    // still-unknown builtins stay fail-loud
+    intercept[IllegalArgumentException](EventFilter.translate("""fromJSON(name)"""))
   }
 
   test("event filter closures evaluate on array data") {
