@@ -1130,6 +1130,15 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("doc_id"))
     }),
 
+    "dedup_canonical" -> ((s, dir) => {
+      // the SHIP step after near-dup detection: one keeper per cluster
+      // (longest doc, ties to lowest id); filter(keep) = pruned corpus
+      val docs = Tables.documents(s, dir)
+      Dedup.canonicalKeep(docs,
+          Dedup.jaccardPairs(docs, n = 3, threshold10 = 4))
+        .orderBy(col("doc_id"))
+    }),
+
     "dedup_neardup_embedding" -> ((s, dir) => {
       Dedup.embeddingNearDups(Tables.embeddings(s, dir), 0.45)
         .orderBy(col("id_a"), col("id_b"))
@@ -3260,6 +3269,35 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |       UNION
         |       SELECT e.a, cc.label FROM cc JOIN edges e ON cc.doc = e.b)
         |SELECT doc AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY doc ORDER BY doc_id""".stripMargin,
+
+    // canonical twin: the clusters chain, labels left-joined onto the
+    // whole corpus (singletons label as themselves), keeper = rn 1 over
+    // (n_chars desc, doc_id)
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
+        |        x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS shingle FROM tok WHERE len(t) >= 3),
+        |sh AS (SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS dfc FROM sh0) zc
+        |  WHERE dfc <= ${Dedup.DefaultDfCap}),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY a.doc_id, b.doc_id),
+        |near AS (SELECT doc_a, doc_b FROM pairs
+        |         JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |         WHERE shared * 10 >= 4 * (sa.n + sb.n - shared)),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM near UNION SELECT doc_b, doc_a FROM near),
+        |cc AS (SELECT a AS doc, a AS label FROM edges
+        |       UNION
+        |       SELECT e.a, cc.label FROM cc JOIN edges e ON cc.doc = e.b),
+        |lab AS (SELECT doc AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY doc),
+        |full0 AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+        |         FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id)
+        |SELECT doc_id, cluster_id, n_chars,
+        |  row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) = 1 AS keep
+        |FROM full0 ORDER BY doc_id""".stripMargin,
 
     "dedup_neardup_embedding" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS norm FROM embeddings)

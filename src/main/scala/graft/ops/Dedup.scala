@@ -547,6 +547,37 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** Canonical selection — the step AFTER near-dup detection that a
+    * real pipeline actually ships: cluster the duplicate pairs
+    * ([[clusters]]), then per cluster KEEP exactly one member — the
+    * highest-`scoreCol` doc (ties to the lowest id) — and mark the rest
+    * as drops. Docs in no pair are their own singleton cluster and
+    * always keep. Output: every corpus doc with its `cluster_id`, the
+    * ranking score, and the `keep` verdict; `filter(keep)` IS the
+    * deduplicated corpus.
+    *
+    * Scale shape: the label propagation is [[clusters]]' (adaptive,
+    * log-round fallback); the selection itself adds ONE window shuffle
+    * keyed by cluster_id, whose partitions are duplicate-cluster-sized
+    * — bounded by the biggest near-dup family, not the corpus.
+    */
+  def canonicalKeep(df: DataFrame, pairs: DataFrame,
+                    idCol: String = "doc_id",
+                    scoreCol: String = "n_chars"): DataFrame = {
+    val labels = clusters(pairs)
+      .withColumnRenamed("doc_id", idCol)
+    val joined = df.select(col(idCol), col(scoreCol))
+      .join(labels, Seq(idCol), "left")
+      .select(col(idCol), col(scoreCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    joined
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col(idCol), col("cluster_id"), col(scoreCol), col("keep"))
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003 —
     * the MOSS algorithm): hash every token `k`-gram, slide a window of
     * `w` consecutive hashes, keep the MINIMUM of each full window; the

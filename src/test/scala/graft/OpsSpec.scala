@@ -799,6 +799,25 @@ class OpsSpec extends SparkSpec {
     assert(rep.getLong(2) === 1L && rep.getString(3) === "a")
   }
 
+  test("canonical selection keeps exactly one best doc per duplicate cluster") {
+    import graft.ops.Dedup
+    val docs = Seq(
+      (1L, 100L), (2L, 250L), (3L, 250L),  // cluster {1,2,3}: 2 and 3 tie on score → keep 2
+      (4L, 50L),                            // singleton: keeps
+      (5L, 10L), (6L, 90L)                  // cluster {5,6}: keep 6
+    ).toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = Dedup.canonicalKeep(docs, pairs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    assert(got.toSeq === Seq(
+      (1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
+      (4L, 4L, true), (5L, 5L, false), (6L, 5L, true)))
+    // exactly one keeper per cluster; filter(keep) is the pruned corpus
+    val kept = Dedup.canonicalKeep(docs, pairs).filter(col("keep"))
+    assert(kept.count() === 3)
+    assert(kept.select("cluster_id").distinct().count() === 3)
+  }
+
   test("per-label centroid sums: counts partition the corpus, micros match a hand fold") {
     val emb = Seq(
       (1L, Array(0.5f, -0.25f), "a"),
