@@ -1311,7 +1311,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // stable sortBy + get, concat/takeLast array algebra, mean, and
       // a base64 round-trip — still one narrow codegen predicate
       graft.filter.EventFilter(
-        """let toks = split(props, ":"); let lens = map(toks, {len(#)}); let v = int(props[6:-1]); findLastIndex(toks, {hasSuffix(#, "}")}) == 1 && findLast(toks, {hasPrefix(#, "{")}) == get(toks, 0) && takeLast(sortBy(concat(lens, [v]), #), 1) == [v] && mean(concat(lens, [v])) >= 20.0 && fromBase64(toBase64(props)) == props""")
+        """let toks = split(props, ":"); let lens = map(toks, {len(#)}); let v = int(props[6:-1]); findLastIndex(toks, {hasSuffix(#, "}")}) == 1 && findLast(toks, {hasPrefix(#, "{")}) == get(toks, 0) && takeLast(sortBy(concat(lens, [v]), #), 1) == [v] && mean(concat(lens, [v])) >= 20.0 && len(get(groupBy(toks, len(#)), 4)) >= 1 && fromBase64(toBase64(props)) == props""")
         .apply(Cdc.walEvents(s, dir))
         .select(col("lsn"), col("user_id"), col("props"))
         .orderBy(col("lsn"))
@@ -2324,6 +2324,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |  AND list_reverse(list_filter(t, s -> starts_with(s, '{')))[1] = t[1]
         |  AND list_slice(list_sort(ext), len(ext), len(ext)) = [v]
         |  AND list_aggregate(ext, 'avg') >= 20.0
+        |  AND len(list_filter(t, s -> length(s) = 4)) >= 1
         |  AND decode(from_base64(to_base64(encode(props)))) = props
         |ORDER BY lsn""".stripMargin,
 

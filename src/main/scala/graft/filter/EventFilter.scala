@@ -510,10 +510,27 @@ object EventFilter {
         return s"aggregate($arr, $init, ($a, $v) -> $body)"
       }
       lambdaVars = v :: lambdaVars
+      val saved = toks
       val braced = eatOp("{")
       val body = ternary()
       if (braced) expectOp("}")
       lambdaVars = lambdaVars.tail
+      // groupBy consumes the key lambda under TWO bound variables (keys
+      // projection + per-key filter) — re-parse the identical token
+      // span with a fresh name; tokens are immutable so the rewind is a
+      // pointer reset
+      val (vars, bodies) =
+        if (name == "groupBy") {
+          val v2 = s"x${lambdaSeq}_"
+          lambdaSeq += 1
+          toks = saved
+          lambdaVars = v2 :: lambdaVars
+          val braced2 = eatOp("{")
+          val body2 = ternary()
+          if (braced2) expectOp("}")
+          lambdaVars = lambdaVars.tail
+          (Seq(v, v2), Seq(body, body2))
+        } else (Seq(v), Seq(body))
       expectOp(")")
       name match {
         case "filter" => s"filter($arr, $v -> $body)"
@@ -545,6 +562,19 @@ object EventFilter {
           lambdaSeq += 1
           s"transform(array_sort(transform($arr, ($v, $i) -> " +
             s"struct(($body) AS k, $i AS p, $v AS x))), $z -> $z.x)"
+        // groupBy: map from each distinct key to the elements producing
+        // it, keys in first-occurrence order (array_distinct's
+        // contract). The key lambda is needed under TWO different bound
+        // variables (keys projection + per-key filter), so the body was
+        // parsed twice from the same token span — see closureCall
+        case "groupBy" =>
+          val body2 = bodies(1)
+          val v2 = vars(1)
+          val k = s"k${lambdaSeq}_"
+          lambdaSeq += 1
+          val keys = s"array_distinct(transform($arr, $v -> $body))"
+          s"map_from_arrays($keys, transform($keys, $k -> " +
+            s"filter($arr, $v2 -> ($body2) <=> $k)))"
       }
     }
 
@@ -555,7 +585,7 @@ object EventFilter {
       expectOp("(")
       if (Set("filter", "map", "all", "any", "none", "one", "count",
           "find", "findIndex", "findLast", "findLastIndex", "sortBy",
-          "reduce")(name))
+          "groupBy", "reduce")(name))
         return closureCall(name)
       val args = scala.collection.mutable.ListBuffer.empty[String]
       // raw value of an argument that was exactly one string literal —

@@ -239,7 +239,7 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](EventFilter.translate("""let m = {a: 1}; m.a > 0"""))
     intercept[IllegalArgumentException](EventFilter.translate("""sum(ns, #acc)"""))
     intercept[IllegalArgumentException](EventFilter.translate("""let 3 = x; true"""))
-    intercept[IllegalArgumentException](EventFilter.translate("""groupBy(tags, #)"""))
+    intercept[IllegalArgumentException](EventFilter.translate("""splitAfter(name, ",")"""))
     // evaluation on data
     graft.GraftExtensions.registerTo(spark)
     val df = Seq(("hello", Seq("a", "bb", "ccc"), Seq(10L, 20L, 30L), 5L))
@@ -307,6 +307,12 @@ class OpsSpec extends SparkSpec {
     // base64 round-trip
     assert(ev("""toBase64("spark")""").getString(0) === "c3Bhcms=")
     assert(ev("""fromBase64(toBase64(name))""").getString(0) === "hello")
+    // groupBy: map from key to the elements producing it, keys in
+    // first-occurrence order; composes with keys/get/len
+    assert(ev("""keys(groupBy(tags, len(#)))""").getSeq[Int](0) === Seq(1, 2, 3))
+    assert(ev("""get(groupBy(tags, len(#)), 2)""").getSeq[String](0) === Seq("bb", "dd"))
+    assert(ev("""len(get(groupBy(ns, # > 15 ? "hi" : "lo"), "hi"))""").getInt(0) === 2)
+    assert(ev("""get(groupBy(tags, len(#)), 9)""").isNullAt(0), "absent key → nil")
     // still-unknown builtins stay fail-loud
     intercept[IllegalArgumentException](EventFilter.translate("""fromJSON(name)"""))
   }
