@@ -1064,6 +1064,12 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       TextAnalysis.bpeFertility(Tables.documents(s, dir), nMerges = 6)
         .orderBy(col("source"))),
 
+    "vocab_bpe_encode" -> ((s, dir) =>
+      // the tokenizer APPLIED: every doc as its loader-ready subword-id
+      // sequence under the 6-merge fit; two broadcast vocab joins
+      TextAnalysis.bpeEncode(Tables.documents(s, dir), nMerges = 6)
+        .orderBy(col("doc_id"))),
+
     "sample_stratified" -> ((s, dir) => {
       // Data mixing: per-source sampling rates applied via the shared
       // doc-id-keyed FNV-64a keep-hash — deterministic across retries
@@ -3016,6 +3022,23 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
          |SELECT sw.source, CAST(sum(sw.f) AS BIGINT) AS n_words,
          |  CAST(sum(sw.f * len(string_split(k.sym, ' '))) AS BIGINT) AS n_symbols
          |FROM sw JOIN bpe6 k ON sw.w = k.w GROUP BY sw.source ORDER BY source""".stripMargin,
+
+    // encode twin: frequency-ranked symbol ids over the fitted vocab,
+    // per-word segmentation join, ids ordered by (word pos, sym pos)
+    "vocab_bpe_encode" ->
+      s"""WITH ${duckBpe(6)},
+         |sc AS (SELECT s AS symbol, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |  SELECT unnest(string_split(sym, ' ')) AS s, freq FROM bpe6) z GROUP BY s),
+         |svocab AS (SELECT symbol, row_number() OVER (ORDER BY cnt DESC, symbol) - 1 AS id FROM sc),
+         |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+         |wpos AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS wp, t FROM tok),
+         |words AS (SELECT doc_id, wp, t[wp] AS w FROM wpos WHERE t[wp] <> ''),
+         |enc AS (SELECT doc_id, wp, string_split(k.sym, ' ') AS syms FROM words JOIN bpe6 k USING (w)),
+         |spos AS (SELECT doc_id, wp, unnest(generate_series(1, len(syms))) AS sp, syms FROM enc),
+         |symrows AS (SELECT doc_id, wp, sp, syms[sp] AS symbol FROM spos)
+         |SELECT s.doc_id, count(*) AS n_ids,
+         |  array_to_string(list(CAST(v.id AS VARCHAR) ORDER BY s.wp, s.sp), ',') AS ids_csv
+         |FROM symrows s JOIN svocab v USING (symbol) GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
     // substring-span twin: same windows, keeper = rn 1 over
     // (doc_id, start) ≡ Spark's min(struct), reassembly by position

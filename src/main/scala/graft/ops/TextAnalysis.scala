@@ -775,6 +775,41 @@ object TextAnalysis {
     * One corpus pass for per-source word counts + a broadcast join to
     * the vocabulary-sized fitted table.
     */
+  /** BPE-encode the corpus with a tokenizer fitted on it: each doc
+    * becomes its loader-ready subword-id sequence (CSV, mirroring
+    * `tokenizeToIds`' contract) plus the id count. Symbol ids are
+    * frequency-ranked over the fitted vocabulary (count desc, symbol
+    * asc — deterministic), so id 0 is the most common subword.
+    *
+    * Scale shape: the fit is [[bpeFit]] (corpus touched once, K
+    * vocab-table rounds); encoding is then two BROADCAST joins (word →
+    * symbol segmentation, symbol → id — both vocabulary-sized) and one
+    * per-doc groupBy. The id-assignment window runs over the symbol
+    * vocabulary only (chars + merges), never the corpus.
+    */
+  def bpeEncode(df: DataFrame, nMerges: Int,
+                textCol: String = "text"): DataFrame = {
+    val fitted = bpeFit(df, nMerges, textCol)._2
+    val symCounts = fitted
+      .select(explode(split(col("sym"), " ")).as("symbol"), col("freq"))
+      .groupBy(col("symbol")).agg(sum(col("freq")).as("cnt"))
+    val vw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("symbol"))
+    val svocab = symCounts.withColumn("id", row_number().over(vw) - 1)
+    df.select(col("doc_id"),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("wp", "w")))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(fitted.select(col("w"), split(col("sym"), " ").as("syms"))), "w")
+      .select(col("doc_id"), col("wp"),
+        posexplode(col("syms")).as(Seq("sp", "symbol")))
+      .join(broadcast(svocab.select(col("symbol"), col("id"))), "symbol")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ids"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("wp"), col("sp"), col("id")))),
+          s => s.getField("id").cast("string")), ",").as("ids_csv"))
+  }
+
   def bpeFertility(df: DataFrame, nMerges: Int, textCol: String = "text",
                    groupCol: String = "source"): DataFrame = {
     val fitted = bpeFit(df, nMerges, textCol)._2

@@ -1990,6 +1990,30 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { TextAnalysis.bpeFit(tiny, 0) }
   }
 
+  test("bpe encode: id sequences agree with fertility totals and the learned segmentation") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "low low lower", "s1"), (2L, "lowest low", "s2")
+    ).toDF("doc_id", "text", "source")
+    val enc = TextAnalysis.bpeEncode(docs, nMerges = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // Σ n_ids across docs = Σ n_symbols from fertility (same fit depth)
+    val totalSyms = TextAnalysis.bpeFertility(docs, nMerges = 3)
+      .agg(sum(col("n_symbols"))).head.getLong(0)
+    assert(enc.values.map(_._1).sum === totalSyms)
+    // same word → same id subsequence wherever it appears: doc 1 is
+    // "low low lower", so its ids start with two identical blocks
+    val ids1 = enc(1L)._2.split(",")
+    val enc2 = TextAnalysis.bpeEncode(docs, nMerges = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(enc2(1L) === enc(1L)._2, "deterministic across runs")
+    val rep = (1 to ids1.length / 2).exists(k =>
+      ids1.take(k).toSeq == ids1.slice(k, 2 * k).toSeq)
+    assert(rep, s"repeated word must produce a repeated id block: ${enc(1L)._2}")
+    // ids are within the symbol vocabulary (non-negative ints)
+    assert(ids1.forall(s => s.toInt >= 0))
+  }
+
   test("bpe fertility: integer symbol budget per source, monotone in merges") {
     import graft.ops.TextAnalysis
     val docs = Seq(
