@@ -311,6 +311,20 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
+    "q_pivot_events" -> ((s, dir) => {
+      // PIVOT with an explicit value list (the only scale-sane form —
+      // an implicit list means a distinct scan before planning): one
+      // groupBy shuffle on user_id, absent cells coalesced to 0
+      val kinds = Seq("click", "error", "purchase", "signup", "view")
+      val p = Cdc.walEvents(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", kinds)
+        .agg(count(lit(1)))
+      p.select(col("user_id") +:
+          kinds.map(k => coalesce(col(k), lit(0L)).as(s"n_$k")): _*)
+        .orderBy(col("user_id"))
+    }),
+
     "q_min_cost_supplier" -> ((s, dir) => {
       // scalar-subquery shape: per nation, the supplier(s) with minimal
       // account balance (correlated min via join-back)
@@ -1981,6 +1995,16 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
         |ORDER BY c_custkey""".stripMargin,
+
+    // pivot twin: one conditional-sum column per pivoted value
+    "q_pivot_events" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_rollup_revenue" ->
       s"""SELECT l_returnflag, l_linestatus,
