@@ -663,10 +663,13 @@ object EventFilter {
         case "first"   => arity(1); s"graft_at(${args(0)}, 0)"
         case "last"    => arity(1); s"graft_at(${args(0)}, graft_len(${args(0)}) - 1)"
         case "take"    => arity(2); s"graft_slice(${args(0)}, 0, ${args(1)})"
-        // graft_slice is [from, until) — takeLast keeps the tail range
+        // takeLast via double reverse: the dialect compiles to plain
+        // expression trees (no CSE), so every extra reference to $a
+        // duplicates its whole subtree — reverse(take(reverse(x), n))
+        // references x ONCE vs thrice for the slice-arithmetic form
         case "takeLast" =>
-          arity(2); val a = args(0); val n = args(1)
-          s"graft_slice($a, greatest(graft_len($a) - ($n), 0), graft_len($a))"
+          arity(2)
+          s"reverse(graft_slice(reverse(${args(0)}), 0, ${args(1)}))"
         case "flatten" => arity(1); s"flatten(${args(0)})"
         // uniq: first-occurrence order preserved — array_distinct's
         // documented behavior, the exact expr-lang contract
