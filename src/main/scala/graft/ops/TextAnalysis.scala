@@ -789,13 +789,7 @@ object TextAnalysis {
     */
   def bpeEncode(df: DataFrame, nMerges: Int,
                 textCol: String = "text"): DataFrame = {
-    val fitted = bpeFit(df, nMerges, textCol)._2
-    val symCounts = fitted
-      .select(explode(split(col("sym"), " ")).as("symbol"), col("freq"))
-      .groupBy(col("symbol")).agg(sum(col("freq")).as("cnt"))
-    val vw = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cnt").desc, col("symbol"))
-    val svocab = symCounts.withColumn("id", row_number().over(vw) - 1)
+    val (fitted, svocab) = bpeArtifacts(df, nMerges, textCol)
     df.select(col("doc_id"),
         posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("wp", "w")))
       .filter(length(col("w")) > 0)
@@ -808,6 +802,56 @@ object TextAnalysis {
         array_join(transform(
           array_sort(collect_list(struct(col("wp"), col("sp"), col("id")))),
           s => s.getField("id").cast("string")), ",").as("ids_csv"))
+  }
+
+  /** Streaming-legal BPE encode against a PRE-FITTED vocabulary: a
+    * tokenizer is trained offline ([[bpeFit]] — multi-pass, inherently
+    * batch) and then applied at ingest. The fitted word table collapses
+    * to one literal word→ids map, so encoding is a pure per-row
+    * projection — no join, no shuffle, no state — and therefore legal
+    * in any streaming output mode. Out-of-vocabulary words map to a
+    * single -1 (the `tokenizeToIds` UNK contract).
+    *
+    * The map lives in the PLAN (driver-collected): real tokenizer
+    * vocabularies are 32k–500k entries, far under `maxVocabEntries`;
+    * past the cap this fails loudly rather than silently shipping a
+    * multi-GB plan — the broadcast-join batch path ([[bpeEncode]]) is
+    * the unbounded form.
+    */
+  def bpeEncodeWith(stream: DataFrame, fittedWords: DataFrame,
+                    symbolIds: DataFrame, textCol: String = "text",
+                    maxVocabEntries: Int = 2000000): DataFrame = {
+    val ids = symbolIds.collect()
+      .map(r => r.getAs[String]("symbol") -> r.getAs[Int]("id")).toMap
+    val entries = fittedWords.select(col("w"), col("sym")).collect()
+    require(entries.length <= maxVocabEntries,
+      s"bpeEncodeWith: fitted vocabulary ${entries.length} exceeds " +
+        s"$maxVocabEntries literal-map entries — use the bpeEncode batch path")
+    val wordToIds: Map[String, Seq[Int]] = entries.map { r =>
+      r.getString(0) -> r.getString(1).split(" ").toSeq.map(s =>
+        ids.getOrElse(s, -1))
+    }.toMap
+    val m = typedLit(wordToIds)
+    // same word stream as the batch path: split, drop empties
+    val words = filter(split(trim(col(textCol)), "\\s+"),
+      w => length(w) > 0)
+    stream.select(col("doc_id"),
+      array_join(flatten(transform(words,
+        w => coalesce(element_at(m, w), array(lit(-1))))), ",").as("ids_csv"))
+  }
+
+  /** The fitted artifacts [[bpeEncodeWith]] consumes, from one batch
+    * fit: (word→symbols table, frequency-ranked symbol ids). */
+  def bpeArtifacts(df: DataFrame, nMerges: Int,
+                   textCol: String = "text"): (DataFrame, DataFrame) = {
+    val fitted = bpeFit(df, nMerges, textCol)._2
+    val symCounts = fitted
+      .select(explode(split(col("sym"), " ")).as("symbol"), col("freq"))
+      .groupBy(col("symbol")).agg(sum(col("freq")).as("cnt"))
+    val vw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("symbol"))
+    (fitted, symCounts.withColumn("id", row_number().over(vw) - 1)
+      .select(col("symbol"), col("id")))
   }
 
   def bpeFertility(df: DataFrame, nMerges: Int, textCol: String = "text",

@@ -251,6 +251,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming BPE encode with a pre-fitted vocabulary equals the batch encode") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // tokenizer trained OFFLINE (multi-pass batch fit), applied at
+    // ingest as a pure per-row projection — no join, no shuffle, no
+    // state, so it is legal in any streaming output mode
+    val docs = Tables.documents(spark, sf001)
+    val (fitted, symIds) = graft.ops.TextAnalysis.bpeArtifacts(docs, nMerges = 6)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf001)
+    val q = graft.ops.TextAnalysis.bpeEncodeWith(stream, fitted, symIds)
+      .writeStream.format("memory").queryName("bpestream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish within the timeout")
+    val streamed = spark.table("bpestream")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = graft.ops.TextAnalysis.bpeEncode(docs, nMerges = 6)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(streamed.size === batch.size)
+    assert(streamed === batch, "per-row literal-map encode must equal the broadcast-join batch path")
+    // vocabulary cap fails loudly, never silently ships a huge plan
+    intercept[IllegalArgumentException] {
+      graft.ops.TextAnalysis.bpeEncodeWith(stream, fitted, symIds,
+        maxVocabEntries = 1)
+    }
+  }
+
   test("stream-stream interval join within watermark bounds") {
     import org.apache.spark.sql.functions._
     val a = StreamPipeline.walStream(spark, sf001)
