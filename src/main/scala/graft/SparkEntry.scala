@@ -107,8 +107,11 @@ FROM $prev p0 LEFT JOIN (SELECT centroid_id, list(mn ORDER BY pos) AS marr
     * `TextAnalysis.bpeFit`. Emits the word table `{p}0 … {p}{iters}`
     * (w, freq, sym) and per-round winning pairs `{p}{i}_b` (pr, cnt):
     * adjacent-pair weighted counts over the space-joined symbol string,
-    * argmax with (count desc, pair asc) tie-break, then a padded
-    * literal replace — exactly the engine's round. */
+    * argmax with (count desc, pair asc) tie-break, then the engine's
+    * double-spaced literal replace (" l  r " → " lr " with every
+    * separator doubled, so consecutive runs of the winning pair all
+    * merge — Sennrich semantics), collapsed back — exactly the
+    * engine's round. */
   private def duckBpe(iters: Int, p: String = "bpe"): String = {
     val init =
       s"""${p}0 AS (SELECT w, freq,
@@ -125,8 +128,11 @@ trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' </w>' AS sym FROM (
     FROM (SELECT string_split(sym, ' ') AS arr, freq FROM $prev) s) g
   GROUP BY pr) z ORDER BY cnt DESC, pr LIMIT 1),
 $cur AS (SELECT w, freq,
-  trim(replace(' ' || sym || ' ', ' ' || b.pr || ' ',
-               ' ' || replace(b.pr, ' ', '') || ' ')) AS sym
+  trim(replace(
+    replace('  ' || replace(sym, ' ', '  ') || '  ',
+            ' ' || replace(b.pr, ' ', '  ') || ' ',
+            ' ' || replace(b.pr, ' ', '') || ' '),
+    '  ', ' ')) AS sym
   FROM $prev CROSS JOIN ${cur}_b b)"""
     }
     (init +: rounds).mkString(",\n")

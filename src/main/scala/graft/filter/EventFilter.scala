@@ -566,15 +566,21 @@ object EventFilter {
         // it, keys in first-occurrence order (array_distinct's
         // contract). The key lambda is needed under TWO different bound
         // variables (keys projection + per-key filter), so the body was
-        // parsed twice from the same token span — see closureCall
+        // parsed twice from the same token span — see closureCall.
+        // Spark maps reject null keys (NULL_MAP_KEY aborts the job), so
+        // a nil-yielding key closure nil-propagates the whole result —
+        // the same total-function stance as every other builtin here
         case "groupBy" =>
           val body2 = bodies(1)
           val v2 = vars(1)
           val k = s"k${lambdaSeq}_"
+          val n = s"n${lambdaSeq}_"
           lambdaSeq += 1
-          val keys = s"array_distinct(transform($arr, $v -> $body))"
-          s"map_from_arrays($keys, transform($keys, $k -> " +
-            s"filter($arr, $v2 -> ($body2) <=> $k)))"
+          val keysRaw = s"transform($arr, $v -> $body)"
+          val keys = s"array_distinct($keysRaw)"
+          s"CASE WHEN exists($keysRaw, $n -> $n IS NULL) THEN NULL " +
+            s"ELSE map_from_arrays($keys, transform($keys, $k -> " +
+            s"filter($arr, $v2 -> ($body2) <=> $k))) END"
       }
     }
 

@@ -101,7 +101,7 @@ object Dedup {
     val covered = marked
       .select(col(idCol), explode(sequence(col("start"), col("start") + lit(n - 1))).as("pos"))
       .distinct()
-    rebuildUncovered(df, tok, covered, n, textCol, idCol)
+    rebuildUncovered(df, tok, covered, textCol, idCol)
   }
 
   /** Shared span-removal tail: anti-join token positions against the
@@ -109,7 +109,7 @@ object Dedup {
     * docs that lost every gram (or had none). Used by the cross-doc
     * [[substringSpans]] and the within-doc [[selfDedupSpans]]. */
   private def rebuildUncovered(df: DataFrame, tok: DataFrame, covered: DataFrame,
-                               n: Int, textCol: String, idCol: String): DataFrame = {
+                               textCol: String, idCol: String): DataFrame = {
     val rebuilt = tok.join(covered, Seq(idCol, "pos"), "left_anti")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_kept"),
@@ -152,7 +152,7 @@ object Dedup {
       .filter(col("rn") > 1)
       .select(col(idCol), explode(sequence(col("start"), col("start") + lit(n - 1))).as("pos"))
       .distinct()
-    rebuildUncovered(df, tok, covered, n, textCol, idCol)
+    rebuildUncovered(df, tok, covered, textCol, idCol)
   }
 
   /** Chunk-level exact dedup — the Dolma/RefinedWeb PARAGRAPH-dedup

@@ -710,11 +710,16 @@ object TextAnalysis {
     *
     * Engine-exact: integer pair counts (overlapping occurrences each
     * count, the reference get_stats behavior), argmax tie-break by
-    * pair string ascending, and the merge-apply is a literal
-    * space-delimited string replace (left-to-right non-overlapping in
-    * both engines — greedy BPE semantics). Words end with a `</w>`
-    * symbol so merges can't cross word boundaries and end-of-word units
-    * are learnable. The per-round 1-row argmax is a driver action by
+    * pair string ascending, and the merge-apply is a literal replace
+    * over a DOUBLE-spaced rendering (" l  r " → " lr " on a string
+    * where every symbol separator is exactly two spaces). The doubling
+    * matters: each match then consumes only its own wrapping spaces, so
+    * left-to-right non-overlapping replace merges consecutive runs of
+    * the winning pair ("a a a a" → "aa aa") exactly like the reference
+    * regex `(?<!\S)l r(?!\S)` — a shared-delimiter single-space replace
+    * would skip every other occurrence. Words end with a `</w>` symbol
+    * so merges can't cross word boundaries and end-of-word units are
+    * learnable. The per-round 1-row argmax is a driver action by
     * design (the merge RULE is control flow, same stance as the bm25
     * stats row). Stops early if the corpus runs out of pairs.
     */
@@ -747,10 +752,16 @@ object TextAnalysis {
         val Array(l, r) = pair.split(" ", 2)
         val mergedSym = l + r
         merges += BpeMerge(k, l, r, mergedSym, top(0).getLong(1))
-        // pad with spaces so " l r " can't match inside another symbol
+        // double the separators (pad included) so each " l  r " match
+        // owns its wrapping spaces — consecutive pairs all merge; then
+        // collapse back (every space run is exactly 2 by construction)
         words = words.select(col("w"), col("freq"),
-            trim(replace(concat(lit(" "), col("sym"), lit(" ")),
-              lit(s" $l $r "), lit(s" $mergedSym "))).as("sym"))
+            trim(replace(
+              replace(
+                concat(lit("  "), replace(col("sym"), lit(" "), lit("  ")),
+                  lit("  ")),
+                lit(s" $l  $r "), lit(s" $mergedSym ")),
+              lit("  "), lit(" "))).as("sym"))
           .localCheckpoint(true)
         k += 1
       }
@@ -767,14 +778,6 @@ object TextAnalysis {
     bpeFit(df, nMerges, textCol)._1.toDF()
   }
 
-  /** Per-source tokenizer fertility after `nMerges` BPE rounds: how
-    * many symbols the learned tokenizer spends per word in each slice
-    * of the corpus — THE feasibility number for a token budget (mixing
-    * rates are set in tokens; fertility converts corpus mass to
-    * tokens). Integer-exact: Σ freq·|symbols| and Σ freq per source.
-    * One corpus pass for per-source word counts + a broadcast join to
-    * the vocabulary-sized fitted table.
-    */
   /** BPE-encode the corpus with a tokenizer fitted on it: each doc
     * becomes its loader-ready subword-id sequence (CSV, mirroring
     * `tokenizeToIds`' contract) plus the id count. Symbol ids are
@@ -832,12 +835,17 @@ object TextAnalysis {
         ids.getOrElse(s, -1))
     }.toMap
     val m = typedLit(wordToIds)
-    // same word stream as the batch path: split, drop empties
+    // same word stream as the batch path: split, drop empties — and
+    // drop WORDLESS docs (null/empty text) entirely, matching the batch
+    // encode, which emits no row for a doc with no words (a null/empty
+    // size nil-propagates through the `where`)
     val words = filter(split(trim(col(textCol)), "\\s+"),
       w => length(w) > 0)
-    stream.select(col("doc_id"),
-      array_join(flatten(transform(words,
-        w => coalesce(element_at(m, w), array(lit(-1))))), ",").as("ids_csv"))
+    stream.select(col("doc_id"), words.as("words_"))
+      .where(size(col("words_")) > 0)
+      .select(col("doc_id"),
+        array_join(flatten(transform(col("words_"),
+          w => coalesce(element_at(m, w), array(lit(-1))))), ",").as("ids_csv"))
   }
 
   /** The fitted artifacts [[bpeEncodeWith]] consumes, from one batch
@@ -854,6 +862,14 @@ object TextAnalysis {
       .select(col("symbol"), col("id")))
   }
 
+  /** Per-source tokenizer fertility after `nMerges` BPE rounds: how
+    * many symbols the learned tokenizer spends per word in each slice
+    * of the corpus — THE feasibility number for a token budget (mixing
+    * rates are set in tokens; fertility converts corpus mass to
+    * tokens). Integer-exact: Σ freq·|symbols| and Σ freq per source.
+    * One corpus pass for per-source word counts + a broadcast join to
+    * the vocabulary-sized fitted table.
+    */
   def bpeFertility(df: DataFrame, nMerges: Int, textCol: String = "text",
                    groupCol: String = "source"): DataFrame = {
     val fitted = bpeFit(df, nMerges, textCol)._2

@@ -313,6 +313,12 @@ class OpsSpec extends SparkSpec {
     assert(ev("""get(groupBy(tags, len(#)), 2)""").getSeq[String](0) === Seq("bb", "dd"))
     assert(ev("""len(get(groupBy(ns, # > 15 ? "hi" : "lo"), "hi"))""").getInt(0) === 2)
     assert(ev("""get(groupBy(tags, len(#)), 9)""").isNullAt(0), "absent key → nil")
+    // a nil-yielding key closure nil-propagates the whole map (Spark
+    // maps reject null keys — must not abort the job with NULL_MAP_KEY)
+    assert(ev("""groupBy(tags, len(#) == 2 ? "two" : nil)""").isNullAt(0),
+      "nil key → nil result, not a runtime abort")
+    assert(ev("""keys(groupBy(tags, len(#) > 0 ? "t" : nil))""")
+      .getSeq[String](0) === Seq("t"), "all-non-nil keys unaffected")
     // still-unknown builtins stay fail-loud
     intercept[IllegalArgumentException](EventFilter.translate("""fromJSON(name)"""))
   }
@@ -1983,6 +1989,13 @@ class OpsSpec extends SparkSpec {
     // order (space sorts below 'a'), so the tie-break picks (a, </w>)
     assert(merges(1).lhs === "a" && merges(1).rhs === "</w>")
     assert(words.head.getAs[String]("sym") === "aa a</w>")
+    // EVEN run — the case a shared-delimiter single-space replace gets
+    // wrong: "a a a a" must merge to "aa aa" (Sennrich non-overlapping
+    // left-to-right scan), not "aa a a" (skipping every other pair)
+    val even = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val (m3, w3) = TextAnalysis.bpeFit(even, nMerges = 1)
+    assert(m3.head.weighted_count === 3L)
+    assert(w3.head.getAs[String]("sym") === "aa aa </w>")
     // early stop: a single-symbol vocabulary runs out of pairs
     val tiny = Seq((1L, "x")).toDF("doc_id", "text")
     val (m2, _) = TextAnalysis.bpeFit(tiny, nMerges = 8)
@@ -2012,6 +2025,23 @@ class OpsSpec extends SparkSpec {
     assert(rep, s"repeated word must produce a repeated id block: ${enc(1L)._2}")
     // ids are within the symbol vocabulary (non-negative ints)
     assert(ids1.forall(s => s.toInt >= 0))
+  }
+
+  test("bpe encode-with drops wordless docs exactly like the batch encode") {
+    import graft.ops.TextAnalysis
+    val corpus = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val (fitted, symIds) = TextAnalysis.bpeArtifacts(corpus, nMerges = 2)
+    // empty, whitespace-only, and null text produce NO row — the batch
+    // encode's posexplode+filter emits nothing for them, and the
+    // streaming projection must agree on row count
+    val in = Seq((1L, "low lower"), (2L, ""), (3L, "   "))
+      .toDF("doc_id", "text")
+      .union(Seq(4L).toDF("doc_id").select(col("doc_id"),
+        lit(null).cast("string").as("text")))
+    val out = TextAnalysis.bpeEncodeWith(in, fitted, symIds)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet === Set(1L))
+    assert(out(1L).split(",").forall(_.toInt >= -1))
   }
 
   test("bpe fertility: integer symbol budget per source, monotone in merges") {
