@@ -1141,6 +1141,13 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("source"), col("shard"))
     }),
 
+    "pack_windows" -> ((s, dir) =>
+      // Token-level concat-and-chop: the context-window manifest (docs
+      // SPLIT across fixed 256-token windows, zero padding waste) —
+      // the loader-facing complement of pack_shards' doc-granular form
+      Sampling.packSequences(Tables.documents(s, dir), windowTokens = 256)
+        .orderBy(col("source"), col("win"), col("doc_id"))),
+
     // ============ training-data pipeline: dedup ============
     "dedup_exact" -> ((s, dir) => {
       Dedup.exact(Tables.documents(s, dir)).orderBy(col("text_hash"))
@@ -3198,6 +3205,27 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |SELECT source, CAST(start_tok // 512 AS BIGINT) AS shard,
         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
         |FROM c GROUP BY 1, 2 ORDER BY source, shard""".stripMargin,
+
+    // token-level chop: same running-offset CTE, then each doc unnests
+    // over its window-id range with slice arithmetic
+    "pack_windows" ->
+      """WITH t AS (SELECT source, doc_id,
+        |             len(string_split_regex(trim(text), '\s+')) AS nt
+        |           FROM documents),
+        |c AS (SELECT source, doc_id, nt,
+        |        CAST(sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt
+        |        AS BIGINT) AS s
+        |      FROM t WHERE nt > 0),
+        |e AS (SELECT source, doc_id, s, s + nt AS e FROM c),
+        |x AS (SELECT source, doc_id, s, e,
+        |        unnest(range(s // 256, (e - 1) // 256 + 1)) AS win FROM e)
+        |SELECT source, CAST(win AS BIGINT) AS win, doc_id,
+        |  CAST(greatest(s, win * 256) - s AS BIGINT) AS doc_from,
+        |  CAST(least(e, (win + 1) * 256) - greatest(s, win * 256) AS BIGINT)
+        |    AS slice_len,
+        |  CAST(greatest(s, win * 256) - win * 256 AS BIGINT) AS win_off
+        |FROM x ORDER BY source, win, doc_id""".stripMargin,
 
     // concat twin: pack_shards' window math + per-doc char offsets
     // (Σ previous len+eosLen inside the shard) + ordered string_agg

@@ -172,6 +172,49 @@ object Sampling {
           s => s.getField("__off").cast("string")), ",").as("offsets_csv"))
   }
 
+  /** Token-level context-window packing — the concat-and-chop every LM
+    * pretraining loader runs: per group, documents are concatenated in
+    * id order into one token stream and chopped into fixed `windowTokens`
+    * context windows; a document crossing a boundary is SPLIT, its tail
+    * continuing in the next window (no padding waste, unlike the
+    * doc-granular [[shardAssign]], which never splits). Output is the
+    * loader manifest: one row per (window, document-slice) with
+    *  - `win`       window id within the group,
+    *  - `doc_from`  first token of the slice, as an offset INTO THE DOC,
+    *  - `slice_len` tokens in the slice,
+    *  - `win_off`   where the slice lands INSIDE the window —
+    * enough to materialize any window without touching neighbors, and
+    * the attention-mask boundaries fall out of consecutive rows.
+    *
+    * Scale shape: one window shuffle on the group key for the running
+    * token offset, then a narrow per-row explode over the (tiny — a doc
+    * spans `⌈len/W⌉` windows) window-id range. Integer-exact, no RNG,
+    * no global sort. Every window except each group's last holds
+    * exactly `windowTokens` tokens (spec-asserted).
+    */
+  def packSequences(df: DataFrame, windowTokens: Int,
+                    groupCol: String = "source", textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(windowTokens > 0,
+      s"packSequences: windowTokens=$windowTokens must be > 0")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+    df.select(col(groupCol), col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("__nt"))
+      .filter(col("__nt") > 0)
+      .withColumn("__start", sum(col("__nt")).over(w) - col("__nt"))
+      .withColumn("__end", col("__start") + col("__nt"))
+      .withColumn("win", explode(sequence(
+        expr(s"__start div $windowTokens"),
+        expr(s"(__end - 1) div $windowTokens"))))
+      .select(col(groupCol), col("win"), col(idCol),
+        (greatest(col("__start"), col("win") * windowTokens) - col("__start"))
+          .as("doc_from"),
+        (least(col("__end"), (col("win") + 1) * windowTokens)
+          - greatest(col("__start"), col("win") * windowTokens)).as("slice_len"),
+        (greatest(col("__start"), col("win") * windowTokens)
+          - col("win") * windowTokens).as("win_off"))
+  }
+
   /** Deterministic train/val/test assignment, keyed on CONTENT by
     * default: the split hash is FNV-64a of the text (unsigned-mod ppm),
     * so byte-identical duplicates — the ones dedup may not have caught

@@ -122,6 +122,41 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sampling.packConcat(docs, budgetTokens = 0))
   }
 
+  test("packSequences: windows tile exactly, docs split across boundaries, nothing lost") {
+    import spark.implicits._
+    // group g: docs of 3, 5, 4 tokens, W=4 → stream of 12 tokens = 3
+    // full windows; doc 2 (5 toks) must split across windows 0/1, doc 3
+    // across 1/2
+    val docs = Seq(
+      ("g", 1L, "a b c"), ("g", 2L, "d e f g h"), ("g", 3L, "i j k l"),
+      ("h", 9L, "x y")).toDF("source", "doc_id", "text")
+    val out = Sampling.packSequences(docs, windowTokens = 4)
+      .orderBy("source", "win", "doc_id")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("g", 0L, 1L, 0L, 3L, 0L),   // doc1 fully in window 0
+      ("g", 0L, 2L, 0L, 1L, 3L),   // doc2 head fills window 0
+      ("g", 1L, 2L, 1L, 4L, 0L),   // doc2 tail fills all of window 1
+      ("g", 2L, 3L, 0L, 4L, 0L),   // doc3 exactly window 2
+      ("h", 0L, 9L, 0L, 2L, 0L)))  // group h: short tail window
+    // invariants on the real corpus: every non-final window holds
+    // exactly W tokens; per-doc slices sum to the doc's token count
+    val corpus = Tables.documents(spark, sf001)
+    val w = 64
+    val packed = Sampling.packSequences(corpus, windowTokens = w)
+    val perWin = packed.groupBy(col("source"), col("win"))
+      .agg(sum(col("slice_len")).as("nt"))
+    val maxWin = packed.groupBy(col("source"))
+      .agg(max(col("win")).as("last"))
+    val nonFinal = perWin.join(maxWin, "source").filter(col("win") < col("last"))
+    assert(nonFinal.filter(col("nt") =!= w).count() === 0L)
+    val perDoc = packed.groupBy(col("doc_id")).agg(sum(col("slice_len")).as("nt"))
+      .join(corpus.select(col("doc_id"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("expect")), "doc_id")
+    assert(perDoc.filter(col("nt") =!= col("expect")).count() === 0L)
+    intercept[IllegalArgumentException] { Sampling.packSequences(docs, 0) }
+  }
+
   test("split assignment is content-keyed (dup-safe), exhaustive, and partitioning-invariant") {
     import spark.implicits._
     val withDup = docs.select(col("doc_id"), col("text"))
