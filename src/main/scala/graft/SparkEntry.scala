@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.cdc.Cdc
 import graft.catalog.TableFilter
 import graft.model.Envelope
-import graft.ops.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Sampling, Similarity, TextAnalysis, Web}
 import graft.types.PgConverters
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -194,6 +194,48 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     docs.select(col("source"), col("lang"),
       TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
       md5(col("text")).as("h"))
+
+  /** Deterministic messy-URL synthesis for the Web-op queries (the
+    * corpus has no URL column): consecutive doc pairs share everything
+    * derived from `doc_id div 2`, while the even doc takes uppercase
+    * host + explicit :443 + tracking-params/fragment noise — so after
+    * [[graft.ops.Web.urlNormalize]] exactly the pairs whose query
+    * params survive identically collapse. Mirrored literally by
+    * [[synthUrlSql]]. */
+  private def synthUrl: Column = {
+    val k = expr("doc_id div 2")
+    val hostBase = concat(
+      when(k % 3 === 0, lit("cdn.")).otherwise(lit("")),
+      lit("site"), (k % 50).cast("string"),
+      when(k % 5 === 0, lit(".co.uk")).otherwise(lit(".com")))
+    concat(
+      when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+      when(col("doc_id") % 2 === 0, upper(hostBase)).otherwise(hostBase),
+      when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit("")),
+      lit("/page/"), k.cast("string"),
+      when(col("doc_id") % 4 === 0, lit("?utm_source=x&b=2&a=1"))
+        .when(col("doc_id") % 4 === 1, lit("?a=1&b=2"))
+        .when(col("doc_id") % 4 === 2, lit("?b=2&a=1&fbclid=zz"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit("")))
+  }
+
+  /** DuckDB twin of [[synthUrl]]. */
+  private val synthUrlSql: String =
+    """(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END ||
+      | CASE WHEN doc_id % 2 = 0 THEN upper(hb) ELSE hb END ||
+      | CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END ||
+      | '/page/' || CAST(doc_id // 2 AS VARCHAR) ||
+      | CASE doc_id % 4 WHEN 0 THEN '?utm_source=x&b=2&a=1'
+      |                 WHEN 1 THEN '?a=1&b=2'
+      |                 WHEN 2 THEN '?b=2&a=1&fbclid=zz' ELSE '' END ||
+      | CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)""".stripMargin
+
+  /** The `hb` (host-base) CTE column [[synthUrlSql]] consumes. */
+  private val synthHostSql: String =
+    """(CASE WHEN (doc_id // 2) % 3 = 0 THEN 'cdn.' ELSE '' END ||
+      | 'site' || CAST((doc_id // 2) % 50 AS VARCHAR) ||
+      | CASE WHEN (doc_id // 2) % 5 = 0 THEN '.co.uk' ELSE '.com' END)""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ================= analytics (Catalyst built-ins) =================
@@ -1147,6 +1189,31 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // the loader-facing complement of pack_shards' doc-granular form
       Sampling.packSequences(Tables.documents(s, dir), windowTokens = 256)
         .orderBy(col("source"), col("win"), col("doc_id"))),
+
+    // ============ web-corpus URL/domain front-of-pipeline ============
+    "web_url_dedup" -> ((s, dir) =>
+      // canonical-URL dedup over deterministically synthesized messy
+      // URLs: case/port/tracking-param/fragment variants of the same
+      // page collapse to one key (zero shuffle before the one groupBy)
+      Web.urlDedup(Tables.documents(s, dir), synthUrl)
+        .orderBy(col("url_norm"))),
+
+    "web_domain_stats" -> ((s, dir) =>
+      // corpus mass per registrable domain (PSL-approximate: co.uk-
+      // style generic second levels take three labels) — the input
+      // table for per-domain caps and blocklist review
+      Web.domainStats(Tables.documents(s, dir), synthUrl)
+        .orderBy(col("domain"))),
+
+    "web_domain_filter" -> ((s, dir) => {
+      import s.implicits._
+      // blocklist gate: broadcast anti-join on registrable domain,
+      // surviving corpus counted per source
+      Web.domainFilter(Tables.documents(s, dir), synthUrl,
+          Seq("site7.com", "site13.com", "site0.co.uk").toDF("domain"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("source"))
+    }),
 
     // ============ training-data pipeline: dedup ============
     "dedup_exact" -> ((s, dir) => {
@@ -3226,6 +3293,73 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |    AS slice_len,
         |  CAST(greatest(s, win * 256) - win * 256 AS BIGINT) AS win_off
         |FROM x ORDER BY source, win, doc_id""".stripMargin,
+
+    // URL normalization mirrored step by step: parse with the same RE2
+    // regexes, strip default port / trailing dot / fragment, drop
+    // tracking params, byte-sort survivors
+    "web_url_dedup" ->
+      s"""WITH b AS (SELECT doc_id, $synthHostSql AS hb FROM documents),
+         |u AS (SELECT doc_id, $synthUrlSql AS url FROM b),
+         |p AS (SELECT doc_id,
+         |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://.*$$', 1)) AS scheme,
+         |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*$$', 1)) AS auth,
+         |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*).*$$', 1) AS path0,
+         |  regexp_extract(url, '^[^?#]*\\?([^#]*).*$$', 1) AS q FROM u),
+         |n AS (SELECT doc_id, scheme,
+         |  regexp_replace(regexp_replace(auth, ':[0-9]+$$', ''), '\\.$$', '') AS hostc,
+         |  regexp_extract(auth, ':([0-9]+)$$', 1) AS port,
+         |  CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+         |  list_sort(list_filter(string_split(q, '&'),
+         |    x -> strlen(x) > 0 AND NOT starts_with(string_split(x, '=')[1], 'utm_')
+         |         AND NOT list_contains(['fbclid','gclid','msclkid','mc_cid','mc_eid','ref'],
+         |                               string_split(x, '=')[1]))) AS kept FROM p),
+         |k AS (SELECT doc_id, scheme || '://' ||
+         |  (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+         |         OR (scheme = 'https' AND port = '443')
+         |        THEN hostc ELSE hostc || ':' || port END) || path ||
+         |  (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+         |        ELSE '' END) AS url_norm FROM n)
+         |SELECT url_norm, count(*) AS n_docs, min(doc_id) AS keeper
+         |FROM k GROUP BY url_norm ORDER BY url_norm""".stripMargin,
+
+    "web_domain_stats" ->
+      s"""WITH b AS (SELECT doc_id, text, $synthHostSql AS hb FROM documents),
+         |u AS (SELECT doc_id, text, $synthUrlSql AS url FROM b),
+         |h AS (SELECT doc_id, text,
+         |  regexp_replace(regexp_replace(
+         |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*$$', 1)),
+         |    ':[0-9]+$$', ''), '\\.$$', '') AS host FROM u),
+         |d AS (SELECT doc_id, text, host, string_split(host, '.') AS ls,
+         |             len(string_split(host, '.')) AS nl FROM h),
+         |r AS (SELECT doc_id, text,
+         |  CASE WHEN nl <= 2 THEN host
+         |       WHEN strlen(ls[nl]) = 2 AND list_contains(
+         |              ['co','com','net','org','gov','ac','edu'], ls[nl-1])
+         |       THEN ls[nl-2] || '.' || ls[nl-1] || '.' || ls[nl]
+         |       ELSE ls[nl-1] || '.' || ls[nl] END AS domain FROM d)
+         |SELECT domain, count(*) AS n_docs,
+         |  CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+         |    AS n_tokens
+         |FROM r GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "web_domain_filter" ->
+      s"""WITH b AS (SELECT doc_id, source, $synthHostSql AS hb FROM documents),
+         |u AS (SELECT doc_id, source, $synthUrlSql AS url FROM b),
+         |h AS (SELECT doc_id, source,
+         |  regexp_replace(regexp_replace(
+         |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*$$', 1)),
+         |    ':[0-9]+$$', ''), '\\.$$', '') AS host FROM u),
+         |d AS (SELECT doc_id, source, host, string_split(host, '.') AS ls,
+         |             len(string_split(host, '.')) AS nl FROM h),
+         |r AS (SELECT doc_id, source,
+         |  CASE WHEN nl <= 2 THEN host
+         |       WHEN strlen(ls[nl]) = 2 AND list_contains(
+         |              ['co','com','net','org','gov','ac','edu'], ls[nl-1])
+         |       THEN ls[nl-2] || '.' || ls[nl-1] || '.' || ls[nl]
+         |       ELSE ls[nl-1] || '.' || ls[nl] END AS domain FROM d)
+         |SELECT source, count(*) AS n_kept FROM r
+         |WHERE domain NOT IN ('site7.com', 'site13.com', 'site0.co.uk')
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     // concat twin: pack_shards' window math + per-doc char offsets
     // (Σ previous len+eosLen inside the shard) + ordered string_agg

@@ -2044,6 +2044,49 @@ class OpsSpec extends SparkSpec {
     assert(out(1L).split(",").forall(_.toInt >= -1))
   }
 
+  test("url normalization: case/port/dot/tracking/fragment variants collapse, real differences survive") {
+    import graft.ops.Web
+    def norm(u: String): String =
+      Seq(u).toDF("u").select(Web.urlNormalize(col("u"))).head.getString(0)
+    // the canonical collapse set
+    assert(norm("HTTPS://WWW.Example.COM:443/Path?utm_source=a&b=2&a=1#frag")
+      === "https://www.example.com/Path?a=1&b=2")
+    assert(norm("http://example.com.:80") === "http://example.com/")
+    // non-default port, path case, and param VALUES are content — kept
+    assert(norm("https://example.com:8443/x") === "https://example.com:8443/x")
+    assert(norm("https://example.com/A") !== norm("https://example.com/a"))
+    assert(norm("https://example.com/?a=1") !== norm("https://example.com/?a=2"))
+    // ?utm-only query drops entirely (no dangling '?')
+    assert(norm("https://example.com/p?utm_campaign=x&fbclid=1")
+      === "https://example.com/p")
+    // malformed input passes through trimmed, colliding only with itself
+    assert(norm("  not a url  ") === "not a url")
+    // :80 is only default for http, :443 only for https
+    assert(norm("https://example.com:80/") === "https://example.com:80/")
+    assert(norm("http://example.com:443/") === "http://example.com:443/")
+  }
+
+  test("registrable domain: PSL-approximate two/three-label extraction and the blocklist gate") {
+    import graft.ops.Web
+    def dom(u: String): String =
+      Seq(u).toDF("u").select(Web.registrableDomain(col("u"))).head.getString(0)
+    assert(dom("https://a.b.site.com/x") === "site.com")
+    assert(dom("https://cdn.site.co.uk:8080/x") === "site.co.uk")
+    assert(dom("https://news.bbc.ac.jp/") === "bbc.ac.jp")
+    assert(dom("https://site.com/") === "site.com")
+    assert(dom("https://localhost/") === "localhost")
+    // .com is not a ccTLD: 'ac.com' is a plain registrable domain
+    assert(dom("https://x.ac.com/") === "ac.com")
+    val docs = Seq(
+      (1L, "https://a.bad.com/x", "t"), (2L, "https://ok.com/y", "t"),
+      (3L, "https://sub.bad.com/z", "t")).toDF("doc_id", "url", "text")
+    val kept = Web.domainFilter(docs, col("url"), Seq("bad.com").toDF("d"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(2L))
+    assert(docs.columns.toSeq ===
+      Web.domainFilter(docs, col("url"), Seq("bad.com").toDF("d")).columns.toSeq)
+  }
+
   test("bpe fertility: integer symbol budget per source, monotone in merges") {
     import graft.ops.TextAnalysis
     val docs = Seq(
