@@ -1215,6 +1215,17 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("source"))
     }),
 
+    "web_domain_cap" -> ((s, dir) =>
+      // RefinedWeb §3.2 per-registered-domain cap: the Web family
+      // composes with the sampling family — registrable domain becomes
+      // the capPerGroup key (one window shuffle), longest docs survive
+      Sampling.capPerGroup(
+          Tables.documents(s, dir)
+            .withColumn("domain", Web.registrableDomain(synthUrl)),
+          "domain", n = 5, Seq(col("n_chars").desc, col("doc_id")))
+        .select(col("domain"), col("doc_id"), col("n_chars"))
+        .orderBy(col("domain"), col("doc_id"))),
+
     // ============ training-data pipeline: dedup ============
     "dedup_exact" -> ((s, dir) => {
       Dedup.exact(Tables.documents(s, dir)).orderBy(col("text_hash"))
@@ -3360,6 +3371,27 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
          |SELECT source, count(*) AS n_kept FROM r
          |WHERE domain NOT IN ('site7.com', 'site13.com', 'site0.co.uk')
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    "web_domain_cap" ->
+      s"""WITH b AS (SELECT doc_id, n_chars, $synthHostSql AS hb FROM documents),
+         |u AS (SELECT doc_id, n_chars, $synthUrlSql AS url FROM b),
+         |h AS (SELECT doc_id, n_chars,
+         |  regexp_replace(regexp_replace(
+         |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*$$', 1)),
+         |    ':[0-9]+$$', ''), '\\.$$', '') AS host FROM u),
+         |d AS (SELECT doc_id, n_chars, host, string_split(host, '.') AS ls,
+         |             len(string_split(host, '.')) AS nl FROM h),
+         |r AS (SELECT doc_id, n_chars,
+         |  CASE WHEN nl <= 2 THEN host
+         |       WHEN strlen(ls[nl]) = 2 AND list_contains(
+         |              ['co','com','net','org','gov','ac','edu'], ls[nl-1])
+         |       THEN ls[nl-2] || '.' || ls[nl-1] || '.' || ls[nl]
+         |       ELSE ls[nl-1] || '.' || ls[nl] END AS domain FROM d),
+         |k AS (SELECT domain, doc_id, n_chars, row_number() OVER (
+         |        PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rk
+         |      FROM r)
+         |SELECT domain, doc_id, n_chars FROM k WHERE rk <= 5
+         |ORDER BY domain, doc_id""".stripMargin,
 
     // concat twin: pack_shards' window math + per-doc char offsets
     // (Σ previous len+eosLen inside the shard) + ordered string_agg

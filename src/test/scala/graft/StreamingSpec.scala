@@ -278,6 +278,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming URL dedup at ingest: canonical keys match the batch keeper set") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // urlNormalize is a pure projection (streaming-legal anywhere);
+    // composing it with dropDuplicates gives at-ingest URL dedup with
+    // bounded state — the streaming twin of Web.urlDedup's groupBy
+    val docs = Tables.documents(spark, sf001)
+    val mkUrl = concat(
+      when(col("doc_id") % 2 === 0, lit("HTTP://")).otherwise(lit("http://")),
+      lit("site"), expr("doc_id div 2"), lit(".com"),
+      when(col("doc_id") % 2 === 0, lit(":80/x?utm_s=1")).otherwise(lit("/x")))
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf001)
+    val q = stream
+      .select(col("doc_id"), graft.ops.Web.urlNormalize(mkUrl).as("url_norm"))
+      .dropDuplicates("url_norm")
+      .writeStream.format("memory").queryName("urldedup")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish within the timeout")
+    val streamedKeys = spark.table("urldedup").select("url_norm")
+      .as[String].collect().sorted
+    val batchKeys = graft.ops.Web.urlDedup(docs, mkUrl)
+      .select("url_norm").as[String].collect().sorted
+    assert(streamedKeys.length === batchKeys.length,
+      "streaming keeps exactly one row per canonical URL")
+    assert(streamedKeys.toSeq === batchKeys.toSeq)
+    // the synthesized pairs really did collapse: half as many keys as docs
+    assert(streamedKeys.length * 2 === docs.count())
+  }
+
   test("stream-stream interval join within watermark bounds") {
     import org.apache.spark.sql.functions._
     val a = StreamPipeline.walStream(spark, sf001)
