@@ -1560,6 +1560,16 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("doc_id"))
     }),
 
+    "text_langid_confusion" -> ((s, dir) =>
+      // the langid AUDIT: predicted × labeled confusion counts — the
+      // first table anyone checks before trusting a language gate.
+      // One corpus scan + one tiny (|langs|²-row) groupBy
+      Tables.documents(s, dir)
+        .select(col("lang"), TextAnalysis.langId("text").as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("pred_lang"))),
+
     "multimodal_features" -> ((s, dir) => {
       // real javax.imageio PNG decode: width/height are true pixel dims
       ops.Multimodal.decodeFeatures(ops.Multimodal.attachImages(Tables.documents(s, dir)))
@@ -1592,6 +1602,18 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
           ops.Multimodal.attachVideo(
             Tables.documents(s, dir).filter(col("doc_id") < 2000)), stride = 2)
         .orderBy(col("source_id"), col("frame_no"))
+    }),
+
+    "dedup_video_keyframes" -> ((s, dir) => {
+      // video near-dup demo: every doc's container + a last-frame-
+      // trimmed repack; the keyframe-hash equi-join must recover each
+      // planted trimmed copy (rows-only: real-codec outputs)
+      val base = ops.Multimodal.attachVideo(
+        Tables.documents(s, dir).filter(col("doc_id") < 1000))
+      val twins = ops.Multimodal.perturbVideos(base, idOffset = 1000000L)
+      ops.Multimodal.videoNearDups(base.unionByName(twins), stride = 2,
+          minShared = 2)
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     "multimodal_audio" -> ((s, dir) => {
@@ -2860,6 +2882,19 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |  len(regexp_extract_all(text, '\b(的|是|了|在)\b')) AS zh
         |  FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+
+    "text_langid_confusion" ->
+      """SELECT lang, CASE WHEN greatest(de, en, es, fr, zh) = 0 THEN 'und'
+        |       ELSE ['de','en','es','fr','zh'][list_position([de, en, es, fr, zh], greatest(de, en, es, fr, zh))]
+        |  END AS pred_lang, count(*) AS n_docs
+        |FROM (SELECT lang,
+        |  len(regexp_extract_all(text, '\b(der|die|das|und)\b')) AS de,
+        |  len(regexp_extract_all(text, '\b(the|a|of|and)\b')) AS en,
+        |  len(regexp_extract_all(text, '\b(el|la|los|y)\b')) AS es,
+        |  len(regexp_extract_all(text, '\b(le|la|les|et)\b')) AS fr,
+        |  len(regexp_extract_all(text, '\b(的|是|了|在)\b')) AS zh
+        |  FROM documents) t
+        |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
 
     // Upgraded from rows-only: FNV-64a as a HUGEINT byte fold (names are
     // ASCII so ascii(char) = byte), unsigned modulo for free since the

@@ -398,17 +398,15 @@ object Multimodal {
     val Magic = 0x47564944 // "GVID"
     def frameCount(id: Long): Int = 4 + (id % 6).toInt
 
-    def syntheticVideo(id: Long): Array[Byte] = {
+    def syntheticVideo(id: Long): Array[Byte] =
+      encode((0 until frameCount(id)).map(f => ImageCodec.syntheticPng(id * 131 + f)))
+
+    /** Mux: frames back into a container (demux's inverse). */
+    def encode(frames: Seq[Array[Byte]]): Array[Byte] = {
       val bos = new ByteArrayOutputStream()
       val out = new java.io.DataOutputStream(bos)
-      val n = frameCount(id)
-      out.writeInt(Magic); out.writeInt(n)
-      var f = 0
-      while (f < n) {
-        val png = ImageCodec.syntheticPng(id * 131 + f)
-        out.writeInt(png.length); out.write(png)
-        f += 1
-      }
+      out.writeInt(Magic); out.writeInt(frames.length)
+      frames.foreach { png => out.writeInt(png.length); out.write(png) }
       out.flush()
       bos.toByteArray
     }
@@ -464,6 +462,90 @@ object Multimodal {
               require(img != null, s"undecodable frame $f of source $id")
               Row(id, f, img.getWidth, img.getHeight, frame.length)
           }
+        }
+      }(enc)
+  }
+
+  /** Per-keyframe perceptual hashes: demux, keep every `stride`-th
+    * frame, REAL-decode it, aHash it. The video analog of
+    * [[imageHashes]] — (source_id, frame_no, ahash), skipped frames
+    * never decoded, zero shuffle. */
+  def videoFrameHashes(media: DataFrame, stride: Int = 2): DataFrame = {
+    require(stride > 0, s"stride must be positive: $stride")
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("source_id", LongType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("ahash", LongType, nullable = false))))
+    media.select(col("media.bytes"), col("media.mime"), col("media.source_id"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val (bytes, mime, id) = (r.getAs[Array[Byte]](0), r.getString(1), r.getLong(2))
+          require(mime == "video/x-graft-frames",
+            s"videoFrameHashes: non-video mime $mime for source $id")
+          VideoCodec.demux(bytes).zipWithIndex.iterator.collect {
+            case (frame, f) if f % stride == 0 =>
+              val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(frame))
+              require(img != null, s"undecodable frame $f of source $id")
+              Row(id, f, ImageCodec.averageHash(img))
+          }
+        }
+      }(enc)
+  }
+
+  /** Near-duplicate VIDEOS by shared keyframe perceptual hashes — the
+    * standard video-dedup recipe (re-encodes, trims, and container
+    * repacks of the same footage share most keyframe hashes; different
+    * footage shares none). Candidates come from an equi-join on the
+    * exact aHash (a 64-bit match is already a near-identical frame;
+    * per-frame hamming tolerance belongs in [[imageNearDups]]), so the
+    * join key is bounded and never all-pairs; hot hashes (test cards,
+    * black frames — every corpus has them) are df-capped out like the
+    * shingle family. Output per pair: distinct shared hashes and each
+    * side's distinct-hash count, so both Jaccard and containment
+    * (trimmed-copy) judgments read straight off the row.
+    */
+  def videoNearDups(media: DataFrame, stride: Int = 2, minShared: Int = 2,
+                    dfCap: Int = Dedup.DefaultDfCap): DataFrame = {
+    require(minShared >= 1, s"videoNearDups: minShared=$minShared must be >= 1")
+    // pin: the decode behind the hashes must not run once per consumer
+    val hashes = videoFrameHashes(media, stride)
+      .select(col("source_id"), col("ahash")).distinct()
+      .localCheckpoint(true)
+    val counts = hashes.groupBy(col("source_id"))
+      .agg(count(lit(1)).as("n_frames"))
+    val capped =
+      if (dfCap <= 0) hashes
+      else hashes.join(
+        hashes.groupBy(col("ahash")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > dfCap).select(col("ahash")),
+        Seq("ahash"), "left_anti")
+    capped.as("a").join(capped.as("b"),
+        col("a.ahash") === col("b.ahash") &&
+          col("a.source_id") < col("b.source_id"))
+      .groupBy(col("a.source_id").as("id_a"), col("b.source_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      // counts is corpus-sized (one row per video) — never broadcast
+      // it; the post-filter pair table is the small side, AQE
+      // broadcasts that at runtime
+      .join(counts.withColumnRenamed("source_id", "id_a")
+        .withColumnRenamed("n_frames", "n_a"), "id_a")
+      .join(counts.withColumnRenamed("source_id", "id_b")
+        .withColumnRenamed("n_frames", "n_b"), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("n_a"), col("n_b"))
+  }
+
+  /** Fixture companion to [[attachVideo]]: the same container minus its
+    * LAST frame, under an offset id — the planted trimmed-copy twin a
+    * video-dedup demo needs (shares every surviving keyframe hash). */
+  def perturbVideos(media: DataFrame, idOffset: Long): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(StructField("media", mediaSchema))))
+    media.select(col("media.bytes"), col("media.mime"), col("media.source_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val frames = VideoCodec.demux(r.getAs[Array[Byte]](0))
+          Row(Row(VideoCodec.encode(frames.dropRight(1)),
+            r.getString(1), r.getLong(2) + idOffset))
         }
       }(enc)
   }

@@ -1189,6 +1189,36 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.videoKeyFrames(Multimodal.attachMedia(docs.limit(2))).count() === 0)
   }
 
+  test("video near-dups: trimmed repacks recovered via shared keyframe hashes, strangers absent") {
+    val docs = Tables.documents(spark, sf001)
+    val base = Multimodal.attachVideo(docs.limit(8))
+    val twins = Multimodal.perturbVideos(base, idOffset = 1000L)
+    val pairs = Multimodal.videoNearDups(base.unionByName(twins),
+        stride = 2, minShared = 2)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("n_shared"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
+    val byPair = pairs.map(p => (p._1, p._2) -> p).toMap
+    // every planted trimmed copy is found, and ONLY those pairs
+    assert(pairs.map(p => (p._1, p._2)).sorted.toSeq ===
+      (0L until 8L).map(id => (id, id + 1000L)).toSeq)
+    (0L until 8L).foreach { id =>
+      val n = Multimodal.VideoCodec.frameCount(id)
+      val keyframes = (0 until n by 2).length
+      val twinKeyframes = (0 until n - 1 by 2).length
+      val (_, _, shared, na, nb) = byPair((id, id + 1000L))
+      assert(na === keyframes.toLong && nb === twinKeyframes.toLong)
+      // the trim only loses a keyframe hash when the last frame index
+      // was even (stride 2): containment n_shared == n_b always
+      assert(shared === nb, s"trimmed copy of $id must be contained")
+    }
+    // a hot hash shared by MANY videos is df-capped out of candidates
+    // rather than fanning out quadratically (recall for it is given up
+    // explicitly, the shingle-family posture)
+    val hot = Multimodal.videoNearDups(base.unionByName(twins),
+      stride = 2, minShared = 1, dfCap = 1)
+    assert(hot.count() === 0L)
+  }
+
   test("multimodal frame sampling keeps every stride-th frame") {
     val docs = Tables.documents(spark, sf001).limit(3)
     val frames = Multimodal.sampleFrames(Multimodal.attachMedia(docs), frameBytes = 64, stride = 4)
