@@ -1560,6 +1560,24 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("doc_id"))
     }),
 
+    "text_strip_markup" -> ((s, dir) => {
+      // C4's extraction step: deterministic HTML wrapper (script/style
+      // payload, attributes, comments, single- and double-escaped
+      // entities) around the corpus, stripped back to prose
+      val html = concat(
+        lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;" +
+          "</script><style>p{color:red}</style></head><body><h1 class=\"t\">"),
+        col("source"), lit("</h1><p>"),
+        replace(col("text"), lit(" the "), lit(" &amp; ")),
+        lit(" &lt;tag&gt; &amp;lt;literal&#39;s&nbsp;end</p>" +
+          "<!-- note --></body></html>"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.stripMarkup(html).as("clean"))
+        .withColumn("n_tokens",
+          TextAnalysis.tokenCount(col("clean")).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_langid_confusion" -> ((s, dir) =>
       // the langid AUDIT: predicted × labeled confusion counts — the
       // first table anyone checks before trusting a language gate.
@@ -2882,6 +2900,27 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |  len(regexp_extract_all(text, '\b(的|是|了|在)\b')) AS zh
         |  FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+
+    // markup strip mirrored step by step (DuckDB regexp_replace needs
+    // the explicit 'g' flag — Spark's is global by default)
+    "text_strip_markup" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><script type="text/javascript">var x = 1 < 2;' ||
+        |  '</script><style>p{color:red}</style></head><body><h1 class="t">' ||
+        |  source || '</h1><p>' || replace(text, ' the ', ' &amp; ') ||
+        |  ' &lt;tag&gt; &amp;lt;literal&#39;s&nbsp;end</p>' ||
+        |  '<!-- note --></body></html>' AS html FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(html,
+        |  '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS x FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(x, '<[^>]*>', ' ', 'g') AS x FROM s1),
+        |s3 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(x,
+        |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |  '&nbsp;', ' '), '&amp;', '&') AS x FROM s2),
+        |c AS (SELECT doc_id, trim(regexp_replace(x, '\s+', ' ', 'g')) AS clean
+        |      FROM s3)
+        |SELECT doc_id, clean,
+        |  CAST(len(string_split_regex(trim(clean), '\s+')) AS BIGINT) AS n_tokens
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "text_langid_confusion" ->
       """SELECT lang, CASE WHEN greatest(de, en, es, fr, zh) = 0 THEN 'und'

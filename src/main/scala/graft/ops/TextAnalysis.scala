@@ -122,6 +122,26 @@ object TextAnalysis {
   val Ipv4Re  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
   val PhoneRe = "\\b[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
 
+  /** HTML/markup → text: the extraction step between a web crawl and
+    * every other text operator (C4 runs it before any filtering).
+    * Script/style elements drop with their CONTENT (code is not prose),
+    * remaining tags and comments become spaces, the five core character
+    * entities decode exactly once (`&amp;` last, so `&amp;lt;` yields
+    * the literal `&lt;` — the HTML spec's double-escape behavior), and
+    * whitespace collapses. All RE2-safe regexes ((?is) flags +
+    * non-greedy, no lookarounds), fully codegen, shuffle-free; a real
+    * DOM extractor (trafilatura-class) is a library choice this column
+    * contract slots under. */
+  def stripMarkup(c: Column): Column = {
+    val noScript = regexp_replace(c,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noScript, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (e, v)) => replace(acc, lit(e), lit(v)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Redact emails, IPv4 addresses and phone-shaped numbers — the
     * standard pre-training scrub pass. Narrow per-row regex transforms,
     * fully codegen, shuffle-free; order is fixed (email → ip → phone) so

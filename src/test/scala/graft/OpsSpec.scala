@@ -2074,6 +2074,25 @@ class OpsSpec extends SparkSpec {
     assert(out(1L).split(",").forall(_.toInt >= -1))
   }
 
+  test("stripMarkup: script/style content drops, tags become spaces, entities decode once") {
+    def strip(s: String): String =
+      Seq(s).toDF("h").select(TextAnalysis.stripMarkup(col("h"))).head.getString(0)
+    assert(strip("<p>hello <b>world</b></p>") === "hello world")
+    // script/style lose their CONTENT; other tags only themselves
+    assert(strip("a<script>var x = '<p>not text</p>';</script>b") === "a b")
+    assert(strip("a<style media=\"x\">p{}</style>b") === "a b")
+    assert(strip("<SCRIPT>\nmultiline();\n</SCRIPT>ok") === "ok", "(?is) case+dotall")
+    // entities: one decode pass — double-escaped stays literal
+    assert(strip("fish &amp; chips") === "fish & chips")
+    assert(strip("&amp;lt;kept&amp;gt;") === "&lt;kept&gt;")
+    assert(strip("&lt;tag&gt; &#39;q&#39;&nbsp;x") === "<tag> 'q' x")
+    // attributes, comments, whitespace collapse
+    assert(strip("<a href=\"http://x\" rel=nofollow>link</a><!-- c -->  end")
+      === "link end")
+    // tags split words (space, not empty join) — the C4 behavior
+    assert(strip("one<br/>two") === "one two")
+  }
+
   test("url normalization: case/port/dot/tracking/fragment variants collapse, real differences survive") {
     import graft.ops.Web
     def norm(u: String): String =
