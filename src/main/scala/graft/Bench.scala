@@ -50,12 +50,38 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
+    def qmap(rs: Seq[(String, Double, Option[String])]): String =
+      rs.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // Full per-query detail goes to a FILE: the harness that collects this
+    // run keeps only a short tail of stdout, and a 170-query map does not
+    // fit — the stdout line carries the total, error states, and a fixed
+    // family-representative headline subset, and points at the detail file.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
+    val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"queries":${qmap(results)},"errors":$errs,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      detail.getBytes("UTF-8"))
+    val headline = Set(
+      "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+      "q_window_rank", "q_quantiles", "q_topk_orders", "q_asof_join",
+      "q_rollup_revenue", "cdc_envelope", "cdc_multitable",
+      "cdc_config_pipeline", "cdc_event_filter", "cdc_snapshot_fence",
+      "cdc_txn_boundaries", "dedup_exact", "dedup_minhash_lsh",
+      "dedup_simhash", "dedup_ngram_jaccard", "dedup_substring_spans",
+      "dedup_incremental", "dedup_clusters", "dedup_semantic",
+      "dedup_bloom_prune", "dedup_winnow_prune", "dedup_edit_distance",
+      "ann_cosine_topk", "ann_ivf_topk", "ann_pq_adc_topk",
+      "ann_ivf_pq_topk", "ann_lsh_cosine", "text_tfidf_topk",
+      "text_bm25_topk", "text_langid", "text_repetition", "text_pii_redact",
+      "text_strip_markup", "pipeline_gopher_filter", "pipeline_clean_corpus",
+      "sample_dsir_topk", "mix_unimax", "pack_shards", "sample_splits",
+      "vocab_bpe_encode", "multimodal_resize", "multimodal_video",
+      "web_url_dedup", "events_sessionize", "events_funnel")
+    val head = results.filter(r => headline(r._1))
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"queries":${qmap(head)},"errors":$errs,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }

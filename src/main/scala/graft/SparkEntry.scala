@@ -2910,8 +2910,9 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |  source || '</h1><p>' || replace(text, ' the ', ' &amp; ') ||
         |  ' &lt;tag&gt; &amp;lt;literal&#39;s&nbsp;end</p>' ||
         |  '<!-- note --></body></html>' AS html FROM documents),
-        |s1 AS (SELECT doc_id, regexp_replace(html,
-        |  '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS x FROM h),
+        |s1 AS (SELECT doc_id, regexp_replace(regexp_replace(html,
+        |  '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |  '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS x FROM h),
         |s2 AS (SELECT doc_id, regexp_replace(x, '<[^>]*>', ' ', 'g') AS x FROM s1),
         |s3 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(x,
         |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
@@ -4070,9 +4071,9 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight FROM s),
         |t AS (SELECT sum(weight) AS w_sum FROM w)
         |SELECT w.source, w.n_tokens, w.weight,
-        |  CASE WHEN w.n_tokens <= 0 OR t.w_sum <= 0 THEN 0
+        |  CAST(CASE WHEN w.n_tokens <= 0 OR t.w_sum <= 0 THEN 0
         |       ELSE least(1000000, ((CAST(50000 AS BIGINT) * 1000000 // t.w_sum) * w.weight) // w.n_tokens)
-        |  END AS rate_ppm
+        |  END AS BIGINT) AS rate_ppm
         |FROM w CROSS JOIN t ORDER BY source""".stripMargin,
 
     // unimax twin: identical window cumsums over the cap-sorted sources
@@ -4094,7 +4095,8 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |             ELSE (100000 - t.sat_sum) // t.n_unsat END AS alloc_tokens
         |      FROM g CROSS JOIN t)
         |SELECT source, n_tokens, cap_tokens, CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
-        |  CAST(alloc_tokens * 1000 // n_tokens AS BIGINT) AS epochs_milli
+        |  CAST(CASE WHEN n_tokens <= 0 THEN 0
+        |       ELSE alloc_tokens * 1000 // n_tokens END AS BIGINT) AS epochs_milli
         |FROM a ORDER BY source""".stripMargin,
 
     // splits twin: the classifier twin's FNV HUGEINT fold over the TEXT

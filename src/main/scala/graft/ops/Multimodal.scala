@@ -511,14 +511,18 @@ object Multimodal {
     val hashes = videoFrameHashes(media, stride)
       .select(col("source_id"), col("ahash")).distinct()
       .localCheckpoint(true)
-    val counts = hashes.groupBy(col("source_id"))
-      .agg(count(lit(1)).as("n_frames"))
     val capped =
       if (dfCap <= 0) hashes
       else hashes.join(
         hashes.groupBy(col("ahash")).agg(count(lit(1)).as("__df"))
           .filter(col("__df") > dfCap).select(col("ahash")),
         Seq("ahash"), "left_anti")
+    // family convention (cappedShingles → thresholdedPairs): the
+    // denominators come from the SAME capped universe as n_shared, so
+    // the Jaccard/containment ratios stay unbiased when hot hashes are
+    // excised
+    val counts = capped.groupBy(col("source_id"))
+      .agg(count(lit(1)).as("n_frames"))
     capped.as("a").join(capped.as("b"),
         col("a.ahash") === col("b.ahash") &&
           col("a.source_id") < col("b.source_id"))

@@ -276,6 +276,11 @@ object Sampling {
         when(col("__sat"), col("cap_tokens"))
           .otherwise(expr(s"(${budget}L - __sat_sum) div __n_unsat"))
           .as("alloc_tokens"))
-      .withColumn("epochs_milli", expr("alloc_tokens * 1000 div n_tokens"))
+      // degenerate (0/NULL-token) sources: alloc*1000 div 0 is NULL
+      // under non-ANSI div — pin to 0 epochs, matching
+      // temperatureMixRates' explicit degenerate-source contract
+      .withColumn("epochs_milli",
+        when(col("n_tokens") <= 0, lit(0L))
+          .otherwise(expr("alloc_tokens * 1000 div n_tokens")))
   }
 }

@@ -133,8 +133,14 @@ object TextAnalysis {
     * DOM extractor (trafilatura-class) is a library choice this column
     * contract slots under. */
   def stripMarkup(c: Column): Column = {
-    val noScript = regexp_replace(c,
-      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    // one regex PER element — the alternation form
+    // `<(script|style)>.*?</(script|style)>` terminates a <script> at
+    // the first </style>, leaking the remaining script payload as
+    // "prose"; a backreference would fix it but leave the RE2-safe
+    // subset, so each element gets its own anchored pattern
+    val noScript = regexp_replace(
+      regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noScript, "<[^>]*>", " ")
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
         "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")

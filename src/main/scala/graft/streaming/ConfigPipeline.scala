@@ -90,32 +90,38 @@ object ConfigPipeline {
   private def list(props: Map[String, String], key: String): Seq[String] =
     props.get(key).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
 
-  /** Per-kind op gate set from BOTH gate namespaces: an op passes only
-    * when its `timescaledb.events.*` AND its `postgresql.events.*` key
-    * allow it (the reference gates pg-side decoding and hypertable-side
-    * emission independently — `replicationresolver.go`; both default
-    * true for CRUD+truncate, so an unset config behaves identically),
-    * plus `postgresql.events.message` (off; the deprecated
-    * `timescaledb.events.message` is honored as a fallback).
+  /** Per-kind op gates for the event kinds this engine EMITS. The
+    * reference's gates are per-TABLE-KIND, not two gates on one event:
+    * `replicationresolver.go`'s OnInsertEvent consults
+    * `genPostgresqlInsertEvent` only for vanilla-table events and
+    * `genHypertableInsertEvent` only for hypertable/chunk events —
+    * never both on the same event. This engine's stream is entirely
+    * chunk-resolved HYPERTABLE events, so CRUD+truncate gate on
+    * `timescaledb.events.*` alone; the `postgresql.events.*` CRUD keys
+    * are accepted and shape-validated but inert (they would gate a
+    * vanilla-table stream this engine doesn't model), exactly like the
+    * decompression key. Message events are pg-side (no hypertable
+    * variant), so `postgresql.events.message` is the real gate with the
+    * deprecated `timescaledb.events.message` honored as a fallback.
     *
     * op='$' gates on `timescaledb.events.compression` ONLY: this
     * engine's stand-in chunk-transition rule synthesizes COMPRESSION
     * events (`tsdb_op="c"`), never decompression ones, so the
     * decompression key has no '$' rows to enable — it is accepted for
     * config compatibility and documented as inert (the decompression-
-    * side behavior here is the INSERT suppression operator, P7). The
-    * old OR-merge made `decompression=true` alone emit compression
-    * events — wrong kind, now fixed. */
+    * side behavior here is the INSERT suppression operator, P7). */
   def enabledOps(props: Map[String, String]): Seq[String] = {
-    def dual(kind: String): Boolean =
-      bool(props, s"timescaledb.events.$kind", default = true) &&
-        bool(props, s"postgresql.events.$kind", default = true)
+    def ht(kind: String): Boolean = {
+      // validate the pg-side twin's value shape even though it is inert
+      bool(props, s"postgresql.events.$kind", default = true)
+      bool(props, s"timescaledb.events.$kind", default = true)
+    }
     val b = Seq(
-      Envelope.Op.Read     -> dual("read"),
-      Envelope.Op.Create   -> dual("insert"),
-      Envelope.Op.Update   -> dual("update"),
-      Envelope.Op.Delete   -> dual("delete"),
-      Envelope.Op.Truncate -> dual("truncate"),
+      Envelope.Op.Read     -> ht("read"),
+      Envelope.Op.Create   -> ht("insert"),
+      Envelope.Op.Update   -> ht("update"),
+      Envelope.Op.Delete   -> ht("delete"),
+      Envelope.Op.Truncate -> ht("truncate"),
       Envelope.Op.Message  -> bool(props, "postgresql.events.message",
         default = bool(props, "timescaledb.events.message", default = false)),
       Envelope.Op.Timescale ->

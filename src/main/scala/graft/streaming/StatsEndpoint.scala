@@ -64,15 +64,18 @@ object StatsEndpoint {
     rows.map { case (n, t, v) => s"# TYPE $n $t\n$n $v\n" }.mkString
   }
 
-  private val servers =
-    scala.collection.concurrent.TrieMap[Int, com.sun.net.httpserver.HttpServer]()
+  private val servers = scala.collection.concurrent.TrieMap[
+    Int, (com.sun.net.httpserver.HttpServer, org.apache.spark.sql.SparkSession)]()
   private val listeners = scala.collection.concurrent.TrieMap[
     org.apache.spark.sql.SparkSession, StatsListener]()
 
   /** Idempotent per-JVM wiring (the reference runs ONE stats service per
     * process, stats.go:35): one StatsListener per session, one scrape
     * server per port, shared by every config pipeline that enables
-    * stats. */
+    * stats. A port stays bound to the SESSION that first claimed it —
+    * a second session asking for the same port fails loudly rather
+    * than silently scraping the first session's counters (the port is
+    * the scrape identity; give each pipeline its own). */
   def ensure(spark: org.apache.spark.sql.SparkSession, port: Int,
              runtimeStats: Boolean = true): StatsListener =
     synchronized {
@@ -81,9 +84,24 @@ object StatsEndpoint {
         spark.streams.addListener(x)
         x
       })
-      servers.getOrElseUpdate(port, start(l, port, runtimeStats))
+      // port 0 is ephemeral (tests): every session gets its own server,
+      // so there is no shared binding to police
+      if (port == 0) start(l, port, runtimeStats)
+      else servers.get(port) match {
+        case Some((_, owner)) if owner ne spark =>
+          throw new IllegalStateException(
+            s"stats.port=$port already serves a different SparkSession's " +
+              "counters — use a distinct port per session")
+        case Some(_) => ()
+        case None => servers.put(port, (start(l, port, runtimeStats), spark))
+      }
       l
     }
+
+  /** Release a port claimed via [[ensure]] (tests / pipeline teardown). */
+  def stop(port: Int): Unit = synchronized {
+    servers.remove(port).foreach(_._1.stop(0))
+  }
 
   /** Start the scrape server on `port` (0 = ephemeral, for tests).
     * Driver-side only — one tiny daemon thread pool inside the JDK

@@ -21,15 +21,20 @@ class ConfigPipelineSpec extends SparkSpec {
     assert(!ConfigPipeline.enabledOps(Map(
       "timescaledb.events.message" -> "true",
       "postgresql.events.message" -> "false")).contains("m"))
-    // postgresql.events.* CRUD keys are honored: either namespace can
-    // veto an op (reference gates pg-side and hypertable-side
-    // independently; previously these keys were silently ignored)
-    assert(!ConfigPipeline.enabledOps(Map(
-      "postgresql.events.insert" -> "false")).contains("c"))
-    assert(!ConfigPipeline.enabledOps(Map(
-      "postgresql.events.truncate" -> "false")).contains("t"))
+    // postgresql.events.* CRUD keys are validated-but-INERT: the
+    // reference's gates are per-table-kind (replicationresolver.go
+    // checks genPostgresqlInsertEvent only for vanilla-table events,
+    // genHypertableInsertEvent only for hypertable/chunk events), and
+    // this engine's stream is entirely hypertable events — a pg-side
+    // veto must not suppress them
     assert(ConfigPipeline.enabledOps(Map(
-      "postgresql.events.insert" -> "false")).sorted === Seq("d", "r", "t", "u"))
+      "postgresql.events.insert" -> "false")).contains("c"))
+    assert(ConfigPipeline.enabledOps(Map(
+      "postgresql.events.truncate" -> "false")).contains("t"))
+    assert(!ConfigPipeline.enabledOps(Map(
+      "timescaledb.events.insert" -> "false")).contains("c"))
+    assert(ConfigPipeline.enabledOps(Map(
+      "timescaledb.events.insert" -> "false")).sorted === Seq("d", "r", "t", "u"))
     intercept[IllegalArgumentException] {
       ConfigPipeline.enabledOps(Map("postgresql.events.delete" -> "maybe"))
     }

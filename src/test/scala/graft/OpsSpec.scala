@@ -1219,6 +1219,28 @@ class OpsSpec extends SparkSpec {
     assert(hot.count() === 0L)
   }
 
+  test("video near-dup denominators come from the CAPPED hash universe") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    // videos: 1=[p,q] 2=[p,r]; five hot carriers of q make df(q)=6
+    val Seq(p, q, r) = Seq(1, 2, 3).map(i => Multimodal.ImageCodec.syntheticPng(i.toLong))
+    def mk(id: Long, frames: Seq[Array[Byte]]) =
+      Row(Row(Multimodal.VideoCodec.encode(frames), "video/x-graft-frames", id))
+    val rows = Seq(mk(1L, Seq(p, q)), mk(2L, Seq(p, r))) ++
+      (10L to 14L).map(i => mk(i, Seq(q)))
+    val media = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(StructField("media", Multimodal.mediaSchema))))
+    val out = Multimodal.videoNearDups(media, stride = 1, minShared = 1, dfCap = 5)
+      .collect()
+    // q excised (df=6 > 5): the only pair is (1,2) via p, and BOTH
+    // denominators count capped hashes only — n_a=1, not the pre-cap 2
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_shared") === 1L)
+    assert(out.head.getAs[Long]("n_a") === 1L,
+      "denominator must exclude the capped-out hot hash")
+    assert(out.head.getAs[Long]("n_b") === 2L)
+  }
+
   test("multimodal frame sampling keeps every stride-th frame") {
     val docs = Tables.documents(spark, sf001).limit(3)
     val frames = Multimodal.sampleFrames(Multimodal.attachMedia(docs), frameBytes = 64, stride = 4)
@@ -2082,6 +2104,11 @@ class OpsSpec extends SparkSpec {
     assert(strip("a<script>var x = '<p>not text</p>';</script>b") === "a b")
     assert(strip("a<style media=\"x\">p{}</style>b") === "a b")
     assert(strip("<SCRIPT>\nmultiline();\n</SCRIPT>ok") === "ok", "(?is) case+dotall")
+    // nested other-element closer inside the payload: a '</style>'
+    // INSIDE a script must not terminate the script strip (the old
+    // alternation regex leaked `;leak()` as prose)
+    assert(strip("a<script>write('</style>');leak()</script>b") === "a b")
+    assert(strip("a<style>s{content:'</script>'}leak</style>b") === "a b")
     // entities: one decode pass — double-escaped stays literal
     assert(strip("fish &amp; chips") === "fish & chips")
     assert(strip("&amp;lt;kept&amp;gt;") === "&lt;kept&gt;")

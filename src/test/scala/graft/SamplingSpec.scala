@@ -83,6 +83,22 @@ class SamplingSpec extends SparkSpec {
     all.foreach { case (cap, alloc) => assert(alloc === cap) }
   }
 
+  test("unimax degenerate (zero-token) source gets 0 epochs, matching temperatureMixRates") {
+    import spark.implicits._
+    val mix = Seq(("empty", 0L), ("real", 1000L))
+      .toDF("source", "n_chars")
+    val rows = Sampling.unimaxAllocation(mix, 500L, epochCap = 2).collect()
+    // alloc·1000 div 0 is NULL under non-ANSI div — must be pinned to 0,
+    // never NULL (getAs[Long] unboxes null to 0, so assert non-null
+    // explicitly; the two mixing tables agree on degenerate sources)
+    rows.foreach(r => assert(!r.isNullAt(r.fieldIndex("epochs_milli")),
+      s"NULL epochs_milli for ${r.getAs[String]("source")}"))
+    val got = rows.map(r => r.getAs[String]("source") ->
+      r.getAs[Long]("epochs_milli")).toMap
+    assert(got("empty") === 0L)
+    assert(got("real") > 0L)
+  }
+
   test("unimax refuses arithmetic that would wrap 64-bit token math") {
     import spark.implicits._
     val huge = Seq(("a", Long.MaxValue / 2), ("b", 10L))

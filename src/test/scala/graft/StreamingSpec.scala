@@ -383,6 +383,26 @@ class StreamingSpec extends SparkSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("stats endpoint: a bound port belongs to ONE session — a second session fails loudly") {
+    // grab an ephemeral port, then simulate two sessions contending for
+    // it (plain ServerSocket: close() releases the bind synchronously —
+    // an unstarted HttpServer's stop() does not)
+    val probe = new java.net.ServerSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+    graft.streaming.StatsEndpoint.ensure(spark, port)
+    // same session re-ensuring is idempotent
+    graft.streaming.StatsEndpoint.ensure(spark, port)
+    // a DIFFERENT session must not silently scrape the first session's
+    // counters off the same port
+    val other = spark.newSession()
+    val e = intercept[IllegalStateException] {
+      graft.streaming.StatsEndpoint.ensure(other, port)
+    }
+    assert(e.getMessage.contains("different SparkSession"))
+    graft.streaming.StatsEndpoint.stop(port)
+  }
+
   test("file-queue sink: transient failures retried, batch-id idempotence, exactly-once") {
     val dir = java.nio.file.Files.createTempDirectory("fq-sink").toString
     val ckpt = java.nio.file.Files.createTempDirectory("fq-ckpt").toString

@@ -34,6 +34,15 @@ for name, sql in sorted(oracle.items()):
     ocols, scols = sorted(odf.columns), sorted(sdf.columns)
     if ocols != scols:
         print(f"FAIL {name}: cols oracle={ocols} spark={scols}"); fails += 1; continue
+    # The driver's hash stringifies values, so an int64-vs-float64 dtype
+    # mismatch (e.g. DuckDB HUGEINT from sum(BIGINT) reaching the output
+    # uncast) hashes "999.0" vs "999" even when values agree — flag it.
+    dbad = [(c, str(odf[c].dtype), str(sdf[c].dtype)) for c in ocols
+            if (str(odf[c].dtype).startswith("float") !=
+                str(sdf[c].dtype).startswith("float"))]
+    if dbad:
+        print(f"FAIL {name}: int/float dtype mismatch (cast oracle to BIGINT?): {dbad}")
+        fails += 1; continue
     if len(odf) != len(sdf):
         print(f"FAIL {name}: rows oracle={len(odf)} spark={len(sdf)}"); fails += 1; continue
     o = odf[ocols].astype(object).values.tolist()
