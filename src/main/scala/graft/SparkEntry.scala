@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.cdc.Cdc
 import graft.catalog.TableFilter
 import graft.model.Envelope
-import graft.ops.{Dedup, Sampling, Similarity, TextAnalysis, Web}
+import graft.ops.{Dedup, Ingest, Sampling, Similarity, TextAnalysis, Web}
 import graft.types.PgConverters
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -202,6 +202,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     * [[graft.ops.Web.urlNormalize]] exactly the pairs whose query
     * params survive identically collapse. Mirrored literally by
     * [[synthUrlSql]]. */
+
   private def synthUrl: Column = {
     val k = expr("doc_id div 2")
     val hostBase = concat(
@@ -236,6 +237,23 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     """(CASE WHEN (doc_id // 2) % 3 = 0 THEN 'cdn.' ELSE '' END ||
       | 'site' || CAST((doc_id // 2) % 50 AS VARCHAR) ||
       | CASE WHEN (doc_id // 2) % 5 = 0 THEN '.co.uk' ELSE '.com' END)""".stripMargin
+
+  /** Deterministic JSONL fixture for the ingest queries: one JSON
+    * object per document (id/lang/n_chars — fields whose string forms
+    * are engine-identical), with every `doc_id % 7 == 3` line truncated
+    * to 10 chars (never a closing brace → malformed in BOTH engines,
+    * and the cut always severs `lang`, the corruption marker). DuckDB
+    * twin inline in the `ingest_*` oracles. */
+  private def synthJsonl(docs: DataFrame): DataFrame = {
+    val full = concat(
+      lit("{\"id\": "), col("doc_id"),
+      lit(", \"lang\": \""), col("lang"),
+      lit("\", \"nc\": "), col("n_chars"), lit("}"))
+    docs.select(
+      col("doc_id").as("line_no"),
+      (col("doc_id") % 8).as("shard"),
+      when(col("doc_id") % 7 === 3, substring(full, 1, 10)).otherwise(full).as("line"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ================= analytics (Catalyst built-ins) =================
@@ -1191,6 +1209,28 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("source"), col("win"), col("doc_id"))),
 
     // ============ web-corpus URL/domain front-of-pipeline ============
+    "ingest_jsonl" -> ((s, dir) =>
+      // front-door tolerant JSONL parse: every line surfaces exactly
+      // once, typed or quarantined (corruption anchored on the
+      // mandatory `lang` field, so partial-parse salvage differences
+      // between engines can't split the verdict)
+      Ingest.jsonlParse(synthJsonl(Tables.documents(s, dir)),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "id BIGINT, lang STRING, nc BIGINT"),
+          markerCol = "lang", keep = Seq("line_no", "shard"))
+        .orderBy(col("line_no"))),
+
+    "ingest_quarantine" -> ((s, dir) =>
+      // quarantine-rate report per shard — the ops dashboard row that
+      // makes a bad input shard visible the batch it lands
+      Ingest.quarantineStats(
+          Ingest.jsonlParse(synthJsonl(Tables.documents(s, dir)),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "id BIGINT, lang STRING, nc BIGINT"),
+            markerCol = "lang", keep = Seq("shard")),
+          "shard")
+        .orderBy(col("shard"))),
+
     "web_url_dedup" -> ((s, dir) =>
       // canonical-URL dedup over deterministically synthesized messy
       // URLs: case/port/tracking-param/fragment variants of the same
@@ -1282,6 +1322,27 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
 
     "cdc_watermarks" -> ((s, dir) => {
       Cdc.watermarks(Cdc.walEvents(s, dir))
+    }),
+
+    "cdc_apply_upsert" -> ((s, dir) =>
+      // consumer-side materialization: replay the keyed change stream
+      // into the target table's CURRENT state (last-LSN-wins, terminal
+      // delete removes the row) — one partial-agg shuffle on the key
+      Cdc.applyUpsert(Cdc.walEvents(s, dir))
+        .orderBy(col("user_id"))),
+
+    "cdc_cagg_refresh" -> ((s, dir) => {
+      // continuous-aggregate refresh: merge the materialized base
+      // partials with partials from ONLY the delta WAL slice (lsn above
+      // the fence); oracle recomputes from scratch, proving the
+      // incremental merge is exact. Fence rides as a broadcast scalar.
+      val wal = Cdc.walEvents(s, dir)
+      val fenced = wal.crossJoin(
+        broadcast(wal.agg(expr("max(lsn) div 2").as("__fence"))))
+      Cdc.caggRefresh(
+          Cdc.caggPartials(fenced.filter(col("lsn") <= col("__fence"))),
+          fenced.filter(col("lsn") > col("__fence")))
+        .orderBy(col("chunk_day"))
     }),
 
     "cdc_catalog_columns" -> ((s, dir) => {
@@ -1447,6 +1508,22 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("user_id"), col("sess_no"))
     }),
 
+    "q_interval_overlap" -> ((s, dir) => {
+      // two-sided range join, binned: purchases (any user) landing
+      // inside each user-session window — equi-join on the hour bin +
+      // residual BETWEEN, never a nested-loop cross product
+      val wal = Cdc.walEvents(s, dir)
+      val sessions = Cdc.sessionize(wal)
+        .select(col("user_id"), col("sess_no").cast("long").as("sess_no"),
+          col("sess_start_ms"), col("sess_end_ms"))
+      val purchases = wal.filter(col("event_type") === "purchase")
+        .select(col("lsn").as("purchase_lsn"), col("ts_ms").as("pt_ms"))
+      graft.ops.RangeJoin.pointInInterval(purchases, sessions,
+          "pt_ms", "sess_start_ms", "sess_end_ms", binWidth = 3600000L)
+        .select(col("user_id"), col("sess_no"), col("purchase_lsn"), col("pt_ms"))
+        .orderBy(col("user_id"), col("sess_no"), col("purchase_lsn"))
+    }),
+
     "events_funnel" -> ((s, dir) =>
       // strict-order view→click→purchase funnel, converting within 7
       // days of entry; greedy earliest-chain per user, nulls where the
@@ -1553,6 +1630,25 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       Similarity.ivfBalance(Tables.embeddings(s, dir), nLists = 16,
           kmeansIters = 2)
         .orderBy(col("centroid_id"))),
+
+    "ann_recall_report" -> ((s, dir) => {
+      // the tuning loop ANN serving actually runs: recall@k of the IVF
+      // probe path (nProbe=2, deliberately lossy) against the exact
+      // scan, per query — the number that decides nProbe before a
+      // 100 TB index build. Integer pct keeps it engine-exact.
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.cosineTopK(qs, emb, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfTopK(qs, emb, 5, nLists = 16, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("query_id"), col("k"), col("n_hit"),
+          expr("n_hit * 100 div k").as("recall_pct"))
+        .orderBy(col("query_id"))
+    }),
 
     "text_langid" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -1870,6 +1966,13 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("doc_id"))
     }),
 
+    "corpus_divergence" -> ((s, dir) =>
+      // mixing diagnostic: per-source total-variation distance from the
+      // corpus blend, integer ppm (which source is lexically unlike the
+      // mix — the signal mixture reweighting actually moves)
+      TextAnalysis.sourceDivergence(Tables.documents(s, dir))
+        .orderBy(col("source"))),
+
     "pipeline_quality_buckets" -> ((s, dir) => {
       // CCNet-style quality bucketing composed from two proven ops in
       // ONE plan: per-doc classifier score → keep the better half of
@@ -1924,6 +2027,25 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       TextAnalysis.scriptProfile(Tables.documents(s, dir))
         .orderBy(col("doc_id"))
     }),
+
+    "profile_columns" -> ((s, dir) =>
+      // deequ-posture column profile: completeness + exact distinctness
+      // per column in one scan (multi-distinct → one Expand shuffle)
+      graft.ops.Profile.columnProfile(Tables.documents(s, dir),
+          Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy(col("column_name"))),
+
+    "profile_constraints" -> ((s, dir) =>
+      // the ship gate: named row-level assertions → violation counts.
+      // 'text_min_length' is a deliberately tight bar real docs miss —
+      // the report must prove failures SURFACE, not that data is clean
+      graft.ops.Profile.checkConstraints(Tables.documents(s, dir), Seq(
+          "doc_id_not_null" -> col("doc_id").isNotNull,
+          "lang_known" -> col("lang").isin("en", "de", "fr", "es", "zh", "ja"),
+          "n_chars_positive" -> (col("n_chars") > 0),
+          "n_chars_matches_text" -> (length(col("text")) === col("n_chars")),
+          "text_min_length" -> (length(col("text")) >= 200)))
+        .orderBy(col("constraint"))),
 
     "corpus_profile" -> ((s, dir) => {
       // ONE-plan corpus report: per-source doc/token totals, exact-dup
@@ -2319,6 +2441,28 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |  MIN(event_id) AS low_key, MAX(event_id) AS high_key
         |FROM events""".stripMargin,
 
+    // upsert twin recomputes last-per-key with a window rank — the
+    // Spark side's max_by partial agg must land on the identical state
+    "cdc_apply_upsert" ->
+      s"""WITH wal AS (
+         |  SELECT event_id AS lsn, user_id, value,
+         |    epoch_ns(ts) // 1000000 AS ts_ms, $opCaseSql AS op
+         |  FROM events),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+         |  FROM wal WHERE op IN ('r','c','u','d'))
+         |SELECT user_id, lsn AS last_lsn, op AS last_op, value, ts_ms
+         |FROM ranked WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin,
+
+    // refresh twin recomputes the rollup from scratch — equality proves
+    // the base⊎delta partial-state merge is exact
+    "cdc_cagg_refresh" ->
+      s"""SELECT epoch_ns(ts) // 86400000000000 - 19723 AS chunk_day,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micros
+         |FROM events WHERE $opCaseSql = 'c'
+         |GROUP BY 1 ORDER BY chunk_day""".stripMargin,
+
     "cdc_catalog_columns" ->
       """SELECT * FROM (VALUES
         |  ('event_id','bigint',true,true,1,false,NULL,1),
@@ -2513,6 +2657,30 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
          |    FROM events) a) b
          |GROUP BY user_id, sess_no
          |ORDER BY user_id, sess_no""".stripMargin,
+
+    // overlap twin: the same session CTE, then a plain inequality join
+    // (DuckDB's IEJoin handles it natively — the binning is Spark-side
+    // physical strategy, invisible in the result)
+    "q_interval_overlap" ->
+      s"""WITH sess AS (
+         |  SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+         |    MIN(ts_ms) AS sess_start_ms, MAX(ts_ms) AS sess_end_ms
+         |  FROM (
+         |    SELECT user_id, ts_ms,
+         |      SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, lsn
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+         |    FROM (
+         |      SELECT user_id, event_id AS lsn, epoch_ns(ts) // 1000000 AS ts_ms,
+         |        CASE WHEN lag(epoch_ns(ts) // 1000000, 1) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000000, event_id) IS NULL
+         |               OR epoch_ns(ts) // 1000000 - lag(epoch_ns(ts) // 1000000, 1) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000000, event_id) > 3600000
+         |             THEN 1 ELSE 0 END AS new_sess
+         |      FROM events) a) b
+         |  GROUP BY user_id, sess_no),
+         |p AS (SELECT event_id AS purchase_lsn, epoch_ns(ts) // 1000000 AS pt_ms
+         |      FROM events WHERE event_type = 'purchase')
+         |SELECT s.user_id, s.sess_no, p.purchase_lsn, p.pt_ms
+         |FROM sess s JOIN p ON p.pt_ms BETWEEN s.sess_start_ms AND s.sess_end_ms
+         |ORDER BY s.user_id, s.sess_no, p.purchase_lsn""".stripMargin,
 
     // funnel twin: identical greedy join-chain (min step-1, earliest
     // next-step after the previous inside the entry window), on MICROS
@@ -3380,6 +3548,50 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |  CAST(greatest(s, win * 256) - win * 256 AS BIGINT) AS win_off
         |FROM x ORDER BY source, win, doc_id""".stripMargin,
 
+    // jsonl twin: identical line synthesis; corruption = try_cast NULL
+    // or missing lang — the same verdict the Spark side anchors on lang
+    "ingest_jsonl" ->
+      """WITH raw AS (
+        |  SELECT doc_id AS line_no, doc_id % 8 AS shard,
+        |    '{"id": ' || CAST(doc_id AS VARCHAR) || ', "lang": "' || lang ||
+        |      '", "nc": ' || CAST(n_chars AS VARCHAR) || '}' AS fl
+        |  FROM documents),
+        |lines AS (SELECT line_no, shard,
+        |    CASE WHEN line_no % 7 = 3 THEN left(fl, 10) ELSE fl END AS line
+        |  FROM raw),
+        |p AS (SELECT line_no, shard, line, try_cast(line AS JSON) AS j FROM lines),
+        |f AS (SELECT *,
+        |    (j IS NULL OR json_extract_string(j, '$.lang') IS NULL) AS is_corrupt
+        |  FROM p)
+        |SELECT line_no, shard,
+        |  CASE WHEN is_corrupt THEN NULL
+        |       ELSE CAST(json_extract(j, '$.id') AS BIGINT) END AS id,
+        |  CASE WHEN is_corrupt THEN NULL
+        |       ELSE json_extract_string(j, '$.lang') END AS lang,
+        |  CASE WHEN is_corrupt THEN NULL
+        |       ELSE CAST(json_extract(j, '$.nc') AS BIGINT) END AS nc,
+        |  is_corrupt,
+        |  CASE WHEN is_corrupt THEN line END AS quarantine_raw
+        |FROM f ORDER BY line_no""".stripMargin,
+
+    "ingest_quarantine" ->
+      """WITH raw AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    '{"id": ' || CAST(doc_id AS VARCHAR) || ', "lang": "' || lang ||
+        |      '", "nc": ' || CAST(n_chars AS VARCHAR) || '}' AS fl
+        |  FROM documents),
+        |lines AS (SELECT shard,
+        |    CASE WHEN doc_id % 7 = 3 THEN left(fl, 10) ELSE fl END AS line
+        |  FROM raw),
+        |f AS (SELECT shard,
+        |    (try_cast(line AS JSON) IS NULL OR
+        |     json_extract_string(try_cast(line AS JSON), '$.lang') IS NULL)
+        |      AS is_corrupt
+        |  FROM lines)
+        |SELECT shard, COUNT(*) AS n_lines,
+        |  CAST(SUM(CASE WHEN is_corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt
+        |FROM f GROUP BY shard ORDER BY shard""".stripMargin,
+
     // URL normalization mirrored step by step: parse with the same RE2
     // regexes, strip default port / trailing dot / fragment, drop
     // tracking params, byte-sort survivors
@@ -3679,6 +3891,47 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
          |             ORDER BY cosine DESC, neighbor_id) AS rnk FROM scored)
          |SELECT query_id, neighbor_id, rnk, cosine FROM ranked
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // recall twin: brute-force top-5 LEFT JOIN the nProbe=2 IVF top-5
+    // (same fitted km2 CTEs as ann_ivf_topk) — hits counted per query
+    "ann_recall_report" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS norm FROM embeddings),
+         |${duckKmeans("e", 16, 64, 2, "km")},
+         |asg AS (SELECT vec_id, centroid_id FROM (
+         |    SELECT e.vec_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckDot("e.embedding", "c.centroid")} / (e.norm * c.cnorm) DESC,
+         |                 c.centroid_id) AS rn
+         |    FROM e CROSS JOIN km2 c) t WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, norm AS qnorm FROM e WHERE vec_id < 10),
+         |pr AS (SELECT query_id, centroid_id FROM (
+         |    SELECT q.query_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${duckDot("q.qe", "c.centroid")} / (q.qnorm * c.cnorm) DESC,
+         |                 c.centroid_id) AS rn
+         |    FROM q CROSS JOIN km2 c) t WHERE rn <= 2),
+         |iscored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |             ${duckDot("q.qe", "e.embedding")} / (q.qnorm * e.norm) AS cosine
+         |           FROM pr JOIN asg ON pr.centroid_id = asg.centroid_id
+         |                JOIN e ON e.vec_id = asg.vec_id
+         |                JOIN q ON q.query_id = pr.query_id
+         |           WHERE q.query_id <> e.vec_id),
+         |ivf AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rnk FROM iscored) t WHERE rnk <= 5),
+         |escored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    ${duckDot("q.qe", "c.embedding")} / (q.qnorm * c.norm) AS cosine
+         |  FROM q JOIN e c ON q.query_id <> c.vec_id),
+         |exact AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rnk FROM escored) t WHERE rnk <= 5)
+         |SELECT exact.query_id, COUNT(*) AS k,
+         |  CAST(SUM(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  CAST(SUM(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 100
+         |    // COUNT(*) AS BIGINT) AS recall_pct
+         |FROM exact LEFT JOIN ivf ON exact.query_id = ivf.query_id
+         |     AND exact.neighbor_id = ivf.neighbor_id
+         |GROUP BY exact.query_id ORDER BY exact.query_id""".stripMargin,
 
     // sampled-fit twin: the kmeans CTEs run over the vec_id%2=0 slice,
     // assignment/probe/score over the full corpus
@@ -4293,6 +4546,25 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // divergence twin: identical floored-ppm distributions; the absent
+    // mass enters as Q_total − Σ_present q (never a source × vocab join)
+    "corpus_divergence" ->
+      """WITH st AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+        |sc AS (SELECT source, token, count(*) AS n FROM st GROUP BY 1, 2),
+        |corpus AS (SELECT token, CAST(sum(n) AS BIGINT) AS m FROM sc GROUP BY 1),
+        |mt AS (SELECT CAST(sum(m) AS BIGINT) AS mm FROM corpus),
+        |q AS (SELECT token, m * 1000000 // mt.mm AS q_ppm FROM corpus CROSS JOIN mt),
+        |qt AS (SELECT CAST(sum(q_ppm) AS BIGINT) AS qtot FROM q),
+        |ns AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |         CAST(count(*) AS BIGINT) AS n_distinct FROM sc GROUP BY 1),
+        |per AS (SELECT sc.source,
+        |    CAST(sum(abs(sc.n * 1000000 // ns.n_tokens - q.q_ppm)) AS BIGINT) AS present,
+        |    CAST(sum(q.q_ppm) AS BIGINT) AS q_present
+        |  FROM sc JOIN q USING (token) JOIN ns USING (source) GROUP BY 1)
+        |SELECT per.source, ns.n_tokens, ns.n_distinct,
+        |  CAST((per.present + (qt.qtot - per.q_present)) // 2 AS BIGINT) AS tv_ppm
+        |FROM per JOIN ns USING (source) CROSS JOIN qt ORDER BY source""".stripMargin,
+
     "corpus_diff" ->
       """WITH after AS (
         |  SELECT doc_id,
@@ -4442,6 +4714,41 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
          |  ELSE $names[list_position($cols, $great)] END AS dominant_script
          |FROM c ORDER BY doc_id""".stripMargin
     },
+
+    "profile_columns" ->
+      """SELECT 'doc_id' AS column_name, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  COUNT(DISTINCT doc_id) AS n_distinct FROM documents
+        |UNION ALL
+        |SELECT 'lang', COUNT(*),
+        |  CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT lang) FROM documents
+        |UNION ALL
+        |SELECT 'source', COUNT(*),
+        |  CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT source) FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', COUNT(*),
+        |  CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT n_chars) FROM documents
+        |ORDER BY column_name""".stripMargin,
+
+    "profile_constraints" ->
+      """WITH v AS (SELECT COUNT(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |    CAST(SUM(CASE WHEN lang IN ('en','de','fr','es','zh','ja')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+        |    CAST(SUM(CASE WHEN n_chars > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+        |    CAST(SUM(CASE WHEN length(text) = n_chars THEN 0 ELSE 1 END) AS BIGINT) AS v4,
+        |    CAST(SUM(CASE WHEN length(text) >= 200 THEN 0 ELSE 1 END) AS BIGINT) AS v5
+        |  FROM documents)
+        |SELECT "constraint", n_rows, n_violations, n_violations = 0 AS passed FROM (
+        |  SELECT 'doc_id_not_null' AS "constraint", n_rows, v1 AS n_violations FROM v
+        |  UNION ALL SELECT 'lang_known', n_rows, v2 FROM v
+        |  UNION ALL SELECT 'n_chars_positive', n_rows, v3 FROM v
+        |  UNION ALL SELECT 'n_chars_matches_text', n_rows, v4 FROM v
+        |  UNION ALL SELECT 'text_min_length', n_rows, v5 FROM v) t
+        |ORDER BY "constraint"""".stripMargin,
 
     "corpus_profile" ->
       """SELECT source, count(*) AS n_docs,

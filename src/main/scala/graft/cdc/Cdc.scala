@@ -452,6 +452,60 @@ object Cdc {
       .agg(max(col("order_ms")).as("last_order_ms"))
   }
 
+  /** Consumer-side table materialization — the half every CDC pipeline
+    * ends in but the reference (a producer) leaves to its sinks: replay
+    * the keyed change stream into the CURRENT state of the target
+    * table, upsert semantics (the highest-LSN change per key wins; a
+    * terminal delete removes the row — the Debezium JDBC-sink contract
+    * its envelope is designed for, `spi/schema/eventschema.go:36-44` op
+    * codes).
+    *
+    * Scale shape: ONE shuffle on the key with map-side partial
+    * aggregation — `max_by` carries the candidate row as a struct and
+    * pre-combines per partition, so each mapper emits one row per
+    * distinct key it saw. The window-rank alternative must hash the
+    * FULL event volume and sort every key group; this form moves
+    * O(mappers × keys) rows.
+    */
+  def applyUpsert(wal: DataFrame, keyCol: String = "user_id"): DataFrame =
+    wal
+      .filter(col("op").isin(Envelope.Op.Read, Envelope.Op.Create,
+        Envelope.Op.Update, Envelope.Op.Delete))
+      .groupBy(col(keyCol))
+      .agg(max_by(
+        struct(col("lsn"), col("op"), col("value"), col("ts_ms")), col("lsn")).as("__last"))
+      .filter(col("__last.op") =!= Envelope.Op.Delete)
+      .select(col(keyCol), col("__last.lsn").as("last_lsn"),
+        col("__last.op").as("last_op"), col("__last.value").as("value"),
+        col("__last.ts_ms").as("ts_ms"))
+
+  /** Per-chunk partial aggregate state for [[caggRefresh]]: count +
+    * integer-micro value sum of INSERT events (fixed point is the
+    * cross-engine exactness posture; sum/count are the delta-mergeable
+    * aggregates — min/max are NOT maintainable under deletes and are
+    * deliberately absent).
+    */
+  def caggPartials(wal: DataFrame): DataFrame =
+    wal.filter(col("op") === Envelope.Op.Create)
+      .groupBy(col("chunk_day"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(floor(value * 1000000 + 0.5) as bigint)")).as("sum_micros"))
+
+  /** Continuous-aggregate REFRESH — the incremental half of A2
+    * (TimescaleDB caggs refresh only the invalidated window;
+    * FIXTURES.md §1 continuous_aggregate). The already-materialized
+    * base partials merge with partials computed from ONLY the delta WAL
+    * slice: refresh cost is O(delta + |materialized groups|), never a
+    * corpus re-scan — the property that makes a 100 TB rollup
+    * maintainable at all. Merging partial states = re-aggregating their
+    * union (sum of counts, sum of sums); the result is bit-identical to
+    * a full recompute, which is exactly what the oracle checks.
+    */
+  def caggRefresh(basePartials: DataFrame, deltaWal: DataFrame): DataFrame =
+    basePartials.unionByName(caggPartials(deltaWal))
+      .groupBy(col("chunk_day"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_micros")).as("sum_micros"))
+
   /** T9 — catalog/DDL control plane (`catalogeventhandler.go:58-263`):
     * a chunk's first WAL event plays the role of the
     * `_timescaledb_catalog.chunk` INSERT — the control event that

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality profiling and constraint checking — the CI gate a
+  * corpus passes BEFORE training ever sees it (the Deequ/
+  * great-expectations posture, re-expressed as single-pass Spark
+  * aggregates). Ship gates fail on a report row, not on a mid-training
+  * surprise.
+  *
+  * Scale shape: both ops compute ONE aggregate row over the corpus —
+  * constraint violations as conditional sums (one scan, partial aggs,
+  * no shuffle beyond the final single-row combine), column profiles as
+  * multi-column distinct counts (Spark plans n distincts via one
+  * Expand: n× the scan rows through ONE shuffle — the documented cost;
+  * use [[columnProfileApprox]] when exact distinct counts don't earn
+  * that at 100 TB). The wide single row then unpivots via `stack` —
+  * driver never collects anything.
+  */
+object Profile {
+
+  /** Per-column completeness/distinctness profile: one output row per
+    * profiled column — `(column_name, n_rows, n_nulls, n_distinct)`.
+    * Exact distinct counts (Expand plan; see object doc).
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, c => count_distinct(col(c)))
+
+  /** [[columnProfile]] with HLL distinct counts (`approx_count_distinct`,
+    * default 5% rsd): no Expand, plain partial aggregation — the 100 TB
+    * default when the gate thresholds tolerate ±5%. */
+  def columnProfileApprox(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, c => approx_count_distinct(col(c)))
+
+  private def profileWith(df: DataFrame, cols: Seq[String],
+                          distinct: String => Column): DataFrame = {
+    require(cols.nonEmpty, "columnProfile: no columns to profile")
+    cols.foreach(c => require(df.columns.contains(c),
+      s"columnProfile: column '$c' not in ${df.columns.mkString(",")}"))
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+      distinct(c).as(s"__dist_$c")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c => s"'$c', `__null_$c`, `__dist_$c`").mkString(", ")
+    one.select(
+        col("__n").as("n_rows"),
+        expr(s"stack(${cols.length}, $stacked) AS (column_name, n_nulls, n_distinct)"))
+      .select(col("column_name"), col("n_rows"), col("n_nulls"), col("n_distinct"))
+  }
+
+  /** Declarative row-level constraints evaluated corpus-wide in one
+    * scan: each named predicate yields `(constraint, n_rows,
+    * n_violations, passed)`. NULL predicate results count as
+    * violations (a constraint that cannot be evaluated did not pass —
+    * the fail-closed reading a ship gate needs).
+    */
+  def checkConstraints(df: DataFrame,
+                       constraints: Seq[(String, Column)]): DataFrame = {
+    require(constraints.nonEmpty, "checkConstraints: no constraints")
+    val names = constraints.map(_._1)
+    require(names.distinct.size == names.size,
+      s"checkConstraints: duplicate constraint names in ${names.mkString(",")}")
+    val aggs = count(lit(1)).as("__n") +: constraints.map { case (n, p) =>
+      sum(when(coalesce(p, lit(false)), 0L).otherwise(1L)).as(s"__v_$n")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = constraints.map { case (n, _) => s"'$n', `__v_$n`" }.mkString(", ")
+    one.select(
+        col("__n").as("n_rows"),
+        expr(s"stack(${constraints.length}, $stacked) AS (constraint, n_violations)"))
+      .select(col("constraint"), col("n_rows"), col("n_violations"),
+        (col("n_violations") === 0L).as("passed"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval/point range joins that survive scale.
+  *
+  * Spark plans a bare `p.ts BETWEEN i.lo AND i.hi` join predicate as a
+  * BroadcastNestedLoopJoin — O(|points| × |intervals|) comparisons with
+  * no partition parallelism on the probe side. The standard remedy
+  * (binning; the same trick range-join hints hardcode in engines that
+  * ship them natively) turns it into an equi-join: explode each
+  * interval into the fixed-width time bins it covers, key each point by
+  * its bin, equi-join on the bin, then apply the BETWEEN as a residual
+  * filter. Each point is compared only against intervals sharing its
+  * bin — work scales with genuine overlap density, not the cross
+  * product — and the equi-join shuffles/broadcasts like any other.
+  *
+  * Reference analog: the stream/snapshot LSN fence and as-of alignment
+  * (`replicationresolver.go` family) are one-sided range predicates;
+  * this is the two-sided generalization a consumer needs for
+  * time-window enrichment.
+  */
+object RangeJoin {
+
+  /** Join `points` to every interval of `intervals` containing them.
+    *
+    * `binWidth` is in the shared unit of `ptCol`/`loCol`/`hiCol`
+    * (pick ≈ the typical interval length: too small multiplies
+    * interval rows, too large multiplies residual comparisons).
+    * `maxBinsPerInterval` fails loudly when an outlier interval would
+    * explode into pathological row counts (the skew guard — a single
+    * year-long interval at minute bins is a plan bug, not data).
+    *
+    * Output: every (interval ⋈ point) pair with all columns of both
+    * inputs (caller aliases collisions away first). Inner join: a
+    * point in no interval, or an empty interval, contributes nothing.
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      ptCol: String, loCol: String, hiCol: String,
+                      binWidth: Long,
+                      maxBinsPerInterval: Int = 10000): DataFrame = {
+    require(binWidth > 0, s"pointInInterval: binWidth=$binWidth must be positive")
+    val nBins = expr(s"$hiCol div $binWidth - $loCol div $binWidth + 1")
+    // the guard rides INSIDE the bin computation (a dropped side column
+    // would be pruned by Catalyst and never fire)
+    val lowBin = when(nBins > maxBinsPerInterval,
+        raise_error(concat(lit(s"pointInInterval: interval spans more than " +
+          s"$maxBinsPerInterval bins of width $binWidth ("),
+          nBins, lit(" bins) — widen binWidth"))))
+      .otherwise(expr(s"$loCol div $binWidth"))
+    val binned = intervals
+      .withColumn("__bin",
+        explode(sequence(lowBin, expr(s"$hiCol div $binWidth"))))
+    points
+      .withColumn("__bin", expr(s"$ptCol div $binWidth"))
+      .join(binned, Seq("__bin"))
+      .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
+      .drop("__bin")
+  }
+}

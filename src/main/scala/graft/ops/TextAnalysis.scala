@@ -412,6 +412,47 @@ object TextAnalysis {
       .agg(expr("sum(tf * w_ppm) div sum(tf)").as("dsir_score_ppm"))
   }
 
+  /** Per-source distribution drift: total-variation distance between
+    * each source's unigram token distribution and the corpus-wide one,
+    * in ppm — the mixing diagnostic that answers "which source is
+    * lexically unlike the blend" before weights are chosen (TV rather
+    * than KL/JS: exact under integer fixed-point, no cross-engine log
+    * ULPs, and it is the metric the mixture actually moves — reweighting
+    * a source shifts the blend by at most its TV).
+    *
+    * Exact without a per-source × vocabulary join: with p = source
+    * distribution and q = corpus distribution (both floored to ppm),
+    * 2·TV = Σ_present |p−q| + Σ_absent q, and the absent mass is
+    * Q_total − Σ_present q where `Q_total = Σ_vocab q_ppm` is ONE
+    * corpus-wide scalar — so only (source, token) PRESENT pairs ever
+    * materialize. One tokenize pass, (source,token) partial-agg
+    * shuffle, token-keyed corpus counts derived FROM that aggregate
+    * (nothing re-tokenizes), one bounded join token→(m, q), broadcast
+    * totals. Fixed-point floors are the defined cross-engine contract
+    * (the mix-rate posture); Σ tv contributions ≤ 2·10⁶ per source so
+    * i64 never wraps.
+    */
+  def sourceDivergence(df: DataFrame, groupCol: String = "source",
+                       textCol: String = "text"): DataFrame = {
+    val st = df.select(col(groupCol), explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("n"))
+    val corpus = st.groupBy(col("token")).agg(sum(col("n")).as("m"))
+    // totals ride as broadcast single-row aggregates (never an eager
+    // scalar — that would re-run the tokenize once per scalar)
+    val q = corpus.crossJoin(broadcast(corpus.agg(sum(col("m")).as("__M"))))
+      .select(col("token"), expr("m * 1000000 div __M").as("q_ppm"))
+    val nS = st.groupBy(col(groupCol))
+      .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("n_distinct"))
+    val perSrc = st.join(q, Seq("token"))
+      .join(broadcast(nS), Seq(groupCol))
+      .groupBy(col(groupCol), col("n_tokens"), col("n_distinct"))
+      .agg(sum(abs(expr("n * 1000000 div n_tokens") - col("q_ppm"))).as("__present"),
+        sum(col("q_ppm")).as("__q_present"))
+    perSrc.crossJoin(broadcast(q.agg(sum(col("q_ppm")).as("__qt"))))
+      .select(col(groupCol), col("n_tokens"), col("n_distinct"),
+        expr("(__present + (__qt - __q_present)) div 2").as("tv_ppm"))
+  }
+
   /** Corpus version diff: classify every doc id across two corpus
     * versions as added / removed / modified / unchanged by content
     * hash — the audit step between pipeline runs ("what did this stage

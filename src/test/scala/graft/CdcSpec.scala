@@ -121,4 +121,39 @@ class CdcSpec extends SparkSpec {
       assert(r.getAs[Long]("commit_lsn") - r.getAs[Long]("begin_lsn") + 1 === r.getAs[Long]("n_events"))
     }
   }
+
+  test("applyUpsert: last-LSN wins, terminal delete removes, delete-then-create revives") {
+    import spark.implicits._
+    // key 1: create then update → update's value survives
+    // key 2: create then delete → absent
+    // key 3: delete then create (out-of-order arrival orders by lsn) → revived
+    // key 4: message op only → never materializes
+    val frame = Seq(
+      (1L, 1L, "c", 10.0, 100L), (5L, 1L, "u", 11.0, 105L),
+      (2L, 2L, "c", 20.0, 101L), (6L, 2L, "d", 20.0, 106L),
+      (7L, 3L, "c", 30.0, 107L), (3L, 3L, "d", 30.0, 103L),
+      (4L, 4L, "m", 40.0, 104L)
+    ).toDF("lsn", "user_id", "op", "value", "ts_ms")
+    val state = Cdc.applyUpsert(frame).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("last_lsn"), r.getAs[String]("last_op"), r.getAs[Double]("value"))))
+      .toMap
+    assert(state.keySet === Set(1L, 3L))
+    assert(state(1L) === ((5L, "u", 11.0)))
+    assert(state(3L) === ((7L, "c", 30.0)))
+  }
+
+  test("caggRefresh: base ⊎ delta merge is exact vs full recompute at any fence") {
+    val full = Cdc.caggPartials(wal).collect()
+      .map(r => r.getAs[Int]("chunk_day") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("sum_micros")))).toMap
+    for (fence <- Seq(0L, 250L, 999L, 2000L)) {
+      val merged = Cdc.caggRefresh(
+          Cdc.caggPartials(wal.filter(col("lsn") <= fence)),
+          wal.filter(col("lsn") > fence)).collect()
+        .map(r => r.getAs[Int]("chunk_day") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("sum_micros")))).toMap
+      assert(merged === full, s"fence=$fence")
+    }
+  }
 }

@@ -512,6 +512,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("source divergence: identical-to-blend is 0, disjoint half is exactly 500000 ppm") {
+    import spark.implicits._
+    // A emits only 'x', B only 'y', equal mass → blend is 50/50 and each
+    // source's TV from it is ½(|10⁶−5·10⁵| + 5·10⁵) = 500000, exactly
+    val halves = Seq(("A", "x x x x"), ("B", "y y y y")).toDF("source", "text")
+    val tv = graft.ops.TextAnalysis.sourceDivergence(halves).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("tv_ppm")).toMap
+    assert(tv("A") === 500000L && tv("B") === 500000L)
+    // one source IS the corpus → p = q tokenwise → distance 0
+    val solo = Seq(("only", "a b b c c c")).toDF("source", "text")
+    val r0 = graft.ops.TextAnalysis.sourceDivergence(solo).collect().head
+    assert(r0.getAs[Long]("tv_ppm") === 0L)
+    assert(r0.getAs[Long]("n_tokens") === 6L && r0.getAs[Long]("n_distinct") === 3L)
+    // TV is a metric on distributions: always within [0, 10⁶]
+    val real = graft.ops.TextAnalysis.sourceDivergence(
+      Tables.documents(spark, sf001)).collect()
+    real.foreach(r => assert(r.getAs[Long]("tv_ppm") >= 0L &&
+      r.getAs[Long]("tv_ppm") <= 1000000L))
+  }
+
   test("ivf balance report accounts for every vector and matches a direct recomputation") {
     val emb = Tables.embeddings(spark, sf001)
     val bal = graft.ops.Similarity.ivfBalance(emb, nLists = 16, kmeansIters = 2)
@@ -2181,5 +2201,66 @@ class OpsSpec extends SparkSpec {
     // so 'aa' = [a, a</w>] = 2 syms, 'bb' untouched = 3 syms:
     // s1 = 3 words × 2 + 1 word × 3 = 9
     assert(f1("s1")._2 === 3L * 2 + 3L)
+  }
+
+  test("pointInInterval: equals the naive inequality join, plans as equi-join, guard fires") {
+    import spark.implicits._
+    val intervals = Seq((1L, 0L, 250L), (2L, 100L, 199L), (3L, 500L, 500L), (4L, 900L, 800L))
+      .toDF("iv_id", "lo", "hi") // 4: empty (hi < lo) contributes nothing
+    val points = (0L until 1000L by 7L).map(t => (t, t)).toSeq.toDF("pt_id", "ts")
+    val binned = graft.ops.RangeJoin.pointInInterval(points, intervals,
+      "ts", "lo", "hi", binWidth = 100L)
+    val naive = points.join(intervals, col("ts") >= col("lo") && col("ts") <= col("hi"))
+    val key = (df: org.apache.spark.sql.DataFrame) => df.select("iv_id", "pt_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(key(binned) === key(naive))
+    assert(key(binned).nonEmpty && !key(binned).exists(_._1 == 4L))
+    // the point of the op: no nested-loop join in the physical plan
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"expected equi-join plan:\n$plan")
+    assert(naive.queryExecution.executedPlan.toString.contains("NestedLoopJoin"),
+      "fixture sanity: the naive form really does plan as a nested loop")
+    // outlier interval trips the bin guard instead of exploding rows
+    val wide = Seq((9L, 0L, 10000000L)).toDF("iv_id", "lo", "hi")
+    val e = intercept[Exception] {
+      graft.ops.RangeJoin.pointInInterval(points, wide, "ts", "lo", "hi",
+        binWidth = 10L, maxBinsPerInterval = 100).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("widen binWidth")), s"got: ${msgs(e)}")
+  }
+
+  test("jsonlParse: every line exactly once, typed or quarantined, never both") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.StructType
+    val schema = StructType.fromDDL("id BIGINT, lang STRING, nc BIGINT")
+    val raw = Seq(
+      (1L, """{"id": 1, "lang": "en", "nc": 7}"""),  // valid
+      (2L, """{"id": 2, "lang"""),                   // truncated → corrupt
+      (3L, """not json at all"""),                   // garbage → corrupt
+      (4L, """{"id": 4, "nc": 9}"""),                // valid JSON, marker absent → corrupt
+      (5L, """{"id": 5, "lang": "de", "nc": 3}""")   // valid
+    ).toDF("line_no", "line")
+    val out = graft.ops.Ingest.jsonlParse(raw, schema, markerCol = "lang",
+      keep = Seq("line_no")).collect()
+      .map(r => r.getAs[Long]("line_no") -> r).toMap
+    assert(out.size === 5, "exactly-once: every input line surfaces")
+    assert(!out(1L).getAs[Boolean]("is_corrupt") && out(1L).getAs[Long]("id") === 1L
+      && out(1L).getAs[String]("lang") === "en")
+    for (n <- Seq(2L, 3L, 4L)) {
+      val r = out(n)
+      assert(r.getAs[Boolean]("is_corrupt"), s"line $n corrupt")
+      assert(r.isNullAt(r.fieldIndex("id")) && r.isNullAt(r.fieldIndex("lang")),
+        s"line $n: corrupt rows never leak salvaged fields")
+      assert(r.getAs[String]("quarantine_raw") != null, s"line $n raw preserved")
+    }
+    assert(out(5L).getAs[String]("quarantine_raw") == null,
+      "valid rows carry no quarantine payload")
+    val stats = graft.ops.Ingest.quarantineStats(
+      graft.ops.Ingest.jsonlParse(raw, schema, markerCol = "lang",
+        keep = Seq("line_no")).withColumn("shard", lit(0)), "shard").collect()
+    assert(stats.length === 1 && stats(0).getAs[Long]("n_lines") === 5L
+      && stats(0).getAs[Long]("n_corrupt") === 3L)
   }
 }
