@@ -18,14 +18,43 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = t(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses by
-    * default ([PARQUET_TYPE_ILLEGAL]). Read it as Long nanos-since-epoch
-    * — integer arithmetic downstream is then exact and engine-independent
-    * (the DuckDB oracle uses epoch_ns). Set per-session, runtime-safe.
+  /** `events.ts` has drifted across testdata generations: TIMESTAMP(NANOS)
+    * parquet (which Spark 4 refuses by default, [PARQUET_TYPE_ILLEGAL] —
+    * `nanosAsLong` reads it as Long nanos) vs timestamp[us]. Every
+    * downstream consumer does exact integer epoch-NANOS arithmetic (the
+    * DuckDB oracle uses `epoch_ns(ts)`, precision-agnostic), so normalize
+    * any flavor to Long nanos here — the single choke point for the type.
+    *
+    * `inferTimestampNTZ=false` makes a no-tz micros column load as
+    * TimestampType, whose internal value IS the raw stored micros
+    * (no session-timezone shift on read), so `unix_micros(ts)*1000`
+    * equals DuckDB's naive-as-UTC `epoch_ns` regardless of session tz.
+    * Both confs are runtime-settable, per-session.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    eventsConf(spark)
+    normalizeTsNanos(t(spark, dir, "events"))
+  }
+
+  def eventsConf(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+  }
+
+  /** Rewrite `ts` to Long nanos-since-epoch whatever type it loaded as.
+    * Works on batch and streaming DataFrames alike (pure projection). */
+  def normalizeTsNanos(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType      => df
+      case TimestampType => df.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      case TimestampNTZType =>
+        // only reachable if a caller bypassed eventsConf; cast is exact
+        // under the UTC session tz all entry points set
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case other => sys.error(s"events.ts: unsupported parquet type $other")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")

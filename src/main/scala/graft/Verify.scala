@@ -28,6 +28,11 @@ object Verify {
     // thread-safe and each query writes its own directory. Failures stay
     // per-query (logged, never abort the dump).
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    // failed queries are RECORDED, not dropped: a missing output dir would
+    // silently vanish from the round's correctness artifact and read as
+    // green (round-5 postmortem). errors.json names every failure and the
+    // process exits nonzero so the driver can see the run was not clean.
+    val failures = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val tasks = SparkEntry.queries.toSeq.filter(t => selected(t._1)).map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
@@ -35,6 +40,8 @@ object Verify {
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            failures.put(name,
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
           }
       })
     }
@@ -55,6 +62,15 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(t => selected(t._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    import scala.jdk.CollectionConverters._
+    val errJson = failures.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (!failures.isEmpty) {
+      System.err.println(s"[verify] ${failures.size} quer(ies) FAILED — see $outDir/errors.json")
+      spark.stop()
+      sys.exit(1)
+    }
     spark.stop()
   }
 }

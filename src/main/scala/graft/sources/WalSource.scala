@@ -183,11 +183,32 @@ class WalRangeReader(path: String, lo: Long, hi: Long)
   private var current: Group = _
   override def next(): Boolean = { current = reader.read(); current != null }
 
+  /** Raw-int64→nanos multiplier for `ts`, derived from the column's
+    * parquet logical type (testdata generations have shipped both
+    * TIMESTAMP(NANOS) and timestamp[us]; a bare int64 means nanos). */
+  private var tsToNanos: Long = 0L
+  private def tsMultiplier(g: Group): Long = {
+    if (tsToNanos == 0L) {
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      import LogicalTypeAnnotation.{TimeUnit, TimestampLogicalTypeAnnotation}
+      tsToNanos = g.getType.getType("ts").asPrimitiveType()
+        .getLogicalTypeAnnotation match {
+        case t: TimestampLogicalTypeAnnotation => t.getUnit match {
+          case TimeUnit.NANOS  => 1L
+          case TimeUnit.MICROS => 1000L
+          case TimeUnit.MILLIS => 1000000L
+        }
+        case _ => 1L // plain int64: already nanos
+      }
+    }
+    tsToNanos
+  }
+
   override def get(): InternalRow = {
     val g = current
     def has(field: String): Boolean = g.getFieldRepetitionCount(field) > 0
     val eventId = g.getLong("event_id", 0)
-    val tsNanos = g.getLong("ts", 0)
+    val tsNanos = g.getLong("ts", 0) * tsMultiplier(g)
     val eventType = g.getBinary("event_type", 0).toStringUsingUTF8
     // the shared event_type→op rule (one source of truth with Cdc)
     val op = graft.model.Envelope.opFor(eventType)

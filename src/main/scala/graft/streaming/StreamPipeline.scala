@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Tables
 import graft.cdc.Cdc
 import graft.model.Envelope
 import graft.sinks.Sink
@@ -33,14 +34,14 @@ object StreamPipeline {
     * its transaction window (`transactiontracker.go:458-482`).
     */
   def walStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.eventsConf(spark)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "events.parquet") // source dir, events file only
       .parquet(dir)
-    Cdc.shapeWal(stream)
+    Cdc.shapeWal(Tables.normalizeTsNanos(stream))
   }
 
   /** Full streaming envelope pipeline: shape → gates → envelope columns.
