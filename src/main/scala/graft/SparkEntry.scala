@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.cdc.Cdc
 import graft.catalog.TableFilter
 import graft.model.Envelope
-import graft.ops.{Dedup, Ingest, Sampling, Similarity, TextAnalysis, Web}
+import graft.ops.{Dedup, Ingest, Retrieval, Sampling, Similarity, TextAnalysis, Web}
 import graft.types.PgConverters
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -48,6 +48,97 @@ object SparkEntry {
     * without a float-to-string crossing engines (numrange/float8 text). */
   private def decimalCentsText(c: Column): Column = concat(
     (c / 100).cast("long"), lit("."), lpad(pmod(c, lit(100)).cast("string"), 2, "0"))
+
+  /** Shared CTE chain for the hybrid-retrieval oracles: BM25 top-50
+    * with ranks (`sp`) + hash-embedding integer dot-product top-50 with
+    * ranks (`de`). The dot is computed in bucket-join form — identical
+    * to Spark's zip_with lane product because non-shared lanes multiply
+    * to 0. Ends with `)),` so callers append their own closing CTE +
+    * SELECT. Terms/query fixed to 'hash join vector' (the bm25 query's
+    * term set). */
+  private val retrievalCtes =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+      |g AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM lens),
+      |av AS (SELECT greatest(tot * 1000 // greatest(n, 1), 1) AS avgdl_milli, n FROM g),
+      |tf AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, term, count(*) AS tf
+      |       FROM (SELECT doc_id, t, unnest(t) AS term FROM toks) z
+      |       WHERE term IN ('hash', 'join', 'vector')
+      |       GROUP BY 1, 2, 3),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |scored AS (SELECT tf.doc_id,
+      |    (av.n * 1000000 // dfreq.df) * tf.tf * (1200 + 1000) //
+      |      (tf.tf * 1000 + 1200 * (1000 - 750 + 750 * tf.dl * 1000 // av.avgdl_milli) // 1000)
+      |      AS contrib
+      |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN av),
+      |sp AS (SELECT doc_id, row_number() OVER (ORDER BY score_milli DESC, doc_id) AS sparse_rank
+      |       FROM (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_milli
+      |             FROM scored GROUP BY 1
+      |             ORDER BY score_milli DESC, doc_id LIMIT 50)),
+      |tok2 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |h2 AS (SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      |      list_transform(range(1, length(t) + 1),
+      |        i -> ascii(substr(t, CAST(i AS INTEGER), 1)))),
+      |      (acc, c) -> (xor(acc, CAST(c AS HUGEINT)) * 1099511628211) % 18446744073709551616) AS hv
+      |  FROM tok2),
+      |da AS (SELECT doc_id, CAST(hv % 64 AS BIGINT) AS bkt,
+      |         CAST(sum(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
+      |       FROM h2 GROUP BY 1, 2),
+      |qt AS (SELECT unnest(string_split('hash join vector', ' ')) AS t),
+      |qh AS (SELECT
+      |  list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      |      list_transform(range(1, length(t) + 1),
+      |        i -> ascii(substr(t, CAST(i AS INTEGER), 1)))),
+      |      (acc, c) -> (xor(acc, CAST(c AS HUGEINT)) * 1099511628211) % 18446744073709551616) AS hv
+      |  FROM qt),
+      |qa AS (SELECT CAST(hv % 64 AS BIGINT) AS bkt,
+      |         CAST(sum(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
+      |       FROM qh GROUP BY 1),
+      |dot AS (SELECT d0.doc_id, CAST(coalesce(s.dot, 0) AS BIGINT) AS dot
+      |        FROM (SELECT doc_id FROM documents) d0
+      |        LEFT JOIN (SELECT d.doc_id, sum(d.v * q.v) AS dot
+      |                   FROM da d JOIN qa q USING (bkt) GROUP BY 1) s USING (doc_id)),
+      |de AS (SELECT doc_id, dot, row_number() OVER (ORDER BY dot DESC, doc_id) AS dense_rank
+      |       FROM (SELECT * FROM dot ORDER BY dot DESC, doc_id LIMIT 50)),""".stripMargin
+
+  /** Shared CTE chain producing the MinHash-LSH near-dup pair set
+    * (`pairs(doc_a, doc_b)`) — the dedup_minhash_lsh pipeline as a
+    * composable block for the split-leakage family. Declared RECURSIVE
+    * so callers may append recursive CTEs (connected components); ends
+    * WITHOUT a trailing comma. The FNV split hash CTE (`spl`) is
+    * appended per-oracle because its input text differs (raw text vs
+    * cluster-representative text). */
+  private val minhashPairCtes =
+    """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
+      |           x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS shingle
+      |       FROM tok WHERE len(t) >= 3),
+      |hv AS (SELECT doc_id,
+      |         list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      |           list_transform(range(1, length(shingle) + 1),
+      |             i -> ascii(substr(shingle, CAST(i AS INTEGER), 1)))),
+      |           (acc, c) -> (xor(acc, CAST(c AS HUGEINT)) * 1099511628211) % 18446744073709551616) AS hu
+      |       FROM sh),
+      |hb AS (SELECT doc_id,
+      |         CAST((((CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+      |                      THEN hu - CAST(18446744073709551616 AS HUGEINT) ELSE hu END)
+      |                % 2147483647 + 2147483647) % 2147483647) AS BIGINT) AS h
+      |       FROM hv),
+      |perm AS (SELECT i,
+      |           CAST(CASE WHEN ((6364136223846793005 * CAST(i AS HUGEINT) + 1442695040888963407) & 2147483647) = 0
+      |                     THEN 1
+      |                     ELSE ((6364136223846793005 * CAST(i AS HUGEINT) + 1442695040888963407) & 2147483647) END AS BIGINT) AS a,
+      |           CAST(((2862933555777941757 * CAST(i AS HUGEINT) + 3037000493) & 2147483647) AS BIGINT) AS b
+      |         FROM (SELECT unnest(range(1, 17)) AS i)),
+      |mh AS (SELECT doc_id, p.i AS i, min((h * p.a + p.b) % 2147483647) AS mh
+      |       FROM hb CROSS JOIN perm p GROUP BY doc_id, p.i),
+      |bd AS (SELECT doc_id, (i - 1) // 4 AS band,
+      |              array_to_string(list(CAST(mh AS VARCHAR) ORDER BY i), ',') AS bkey
+      |       FROM mh GROUP BY doc_id, (i - 1) // 4),
+      |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |          FROM bd a JOIN bd b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
 
   /** Shared CASE expression for op mapping in oracles. */
   private val opCaseSql =
@@ -1911,6 +2002,52 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       TextAnalysis.bm25TopK(Tables.documents(s, dir),
           Seq("hash", "join", "vector"), k = 15)
         .orderBy(col("score_milli").desc, col("doc_id"))
+    }),
+
+    "retrieval_rrf" -> ((s, dir) => {
+      // hybrid retrieval: BM25 top-50 ⊕ dense hash-embedding top-50,
+      // merged by reciprocal-rank fusion (integer micro-scaled)
+      val docs = Tables.documents(s, dir)
+      Retrieval.rrfFuse(
+          Retrieval.sparseTopK(docs, Seq("hash", "join", "vector"), 50),
+          Retrieval.denseTopK(docs, "hash join vector", 50))
+        .select(col("doc_id"), col("sparse_rank"), col("dense_rank"),
+          col("rrf_micro"), col("rank"))
+        .orderBy(col("rank"))
+    }),
+
+    "retrieval_hard_negatives" -> ((s, dir) =>
+      // contrastive hard negatives: dense-retrieved docs the lexical
+      // arm misses — the DPR/Contriever negative-mining set
+      Retrieval.hardNegatives(Tables.documents(s, dir),
+          Seq("hash", "join", "vector"), "hash join vector")
+        .select(col("doc_id"), col("dot"), col("dense_rank"))
+        .orderBy(col("dense_rank"))),
+
+    "split_leakage" -> ((s, dir) => {
+      // decontamination audit: near-dup pairs (MinHash-LSH) that CROSS
+      // the content-keyed train/val/test boundary — exact duplicates
+      // can't leak (content hashing pins them to one split), so every
+      // hit here is a fuzzy leak the split assignment can't see
+      val docs = Tables.documents(s, dir)
+      val splits = Sampling.assignSplits(docs).select(col("doc_id"), col("split"))
+      Dedup.minhashLshPairs(docs)
+        .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+        .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+        .filter(col("split_a") =!= col("split_b"))
+        .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "split_by_cluster" -> ((s, dir) => {
+      // the FIX for split_leakage: near-dup clusters (connected
+      // components of the MinHash-LSH graph) keyed by their
+      // representative's content hash — one split per cluster, so
+      // fuzzy leakage across train/val/test is structurally impossible
+      val docs = Tables.documents(s, dir)
+      Sampling.assignSplitsByCluster(docs, Dedup.minhashLshPairs(docs))
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+        .orderBy(col("doc_id"))
     }),
 
     "dedup_norm_exact" -> ((s, dir) => {
@@ -4405,6 +4542,68 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |        FROM scored GROUP BY 1)
         |SELECT doc_id, score_milli, n_terms_hit FROM agg
         |ORDER BY score_milli DESC, doc_id LIMIT 15""".stripMargin,
+
+    // hybrid-retrieval twin: the bm25 CTE chain at k=50 + the
+    // hash-embedding dot product (bucket-join form — identical to the
+    // zip_with dot, non-shared lanes contribute 0) + integer RRF merge
+    "retrieval_rrf" -> (retrievalCtes +
+      """
+        |f AS (SELECT coalesce(sp.doc_id, de.doc_id) AS doc_id, sp.sparse_rank, de.dense_rank,
+        |        coalesce(1000000 // (60 + sp.sparse_rank), 0) +
+        |        coalesce(1000000 // (60 + de.dense_rank), 0) AS rrf_micro
+        |      FROM sp FULL OUTER JOIN de ON sp.doc_id = de.doc_id)
+        |SELECT doc_id, sparse_rank, dense_rank, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+        |  row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS rank
+        |FROM (SELECT * FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 20) z
+        |ORDER BY rank""".stripMargin),
+
+    // hard-negative twin: dense pool minus the sparse top-50 doc set
+    "retrieval_hard_negatives" -> (retrievalCtes +
+      """
+        |hn AS (SELECT doc_id, dot, dense_rank FROM de
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM sp))
+        |SELECT doc_id, dot, dense_rank FROM hn ORDER BY dense_rank LIMIT 20""".stripMargin),
+
+    // leakage twin: the minhash-LSH pair CTEs + the content-keyed split
+    // hash, keeping only pairs whose endpoints land in different splits
+    "split_leakage" -> (minhashPairCtes +
+      """,
+        |spl AS (SELECT doc_id,
+        |  CASE WHEN hvs < 800000 THEN 'train' WHEN hvs < 900000 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |        list_transform(range(1, length(text) + 1),
+        |          i -> ascii(substr(text, CAST(i AS INTEGER), 1)))),
+        |        (acc, c) -> (xor(acc, CAST(c AS HUGEINT)) * 1099511628211) % 18446744073709551616)
+        |      % 1000000 AS hvs
+        |    FROM documents) hx)
+        |SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b
+        |FROM pairs p JOIN spl sa ON p.doc_a = sa.doc_id JOIN spl sb ON p.doc_b = sb.doc_id
+        |WHERE sa.split <> sb.split
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // cluster-split twin: the same pair CTEs + recursive connected
+    // components (min label), split hash over the representative's text
+    "split_by_cluster" -> (minhashPairCtes +
+      """,
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        |cc AS (SELECT a AS doc, a AS label FROM edges
+        |       UNION SELECT e.a, cc.label FROM cc JOIN edges e ON cc.doc = e.b),
+        |lab AS (SELECT doc AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY doc),
+        |keyed AS (SELECT d.doc_id, l.cluster_id, coalesce(r.text, d.text) AS key_text
+        |          FROM documents d LEFT JOIN lab l USING (doc_id)
+        |          LEFT JOIN documents r ON r.doc_id = l.cluster_id),
+        |spl AS (SELECT doc_id, cluster_id,
+        |  CASE WHEN hvs < 800000 THEN 'train' WHEN hvs < 900000 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, cluster_id,
+        |    list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |        list_transform(range(1, length(key_text) + 1),
+        |          i -> ascii(substr(key_text, CAST(i AS INTEGER), 1)))),
+        |        (acc, c) -> (xor(acc, CAST(c AS HUGEINT)) * 1099511628211) % 18446744073709551616)
+        |      % 1000000 AS hvs
+        |    FROM keyed) hx)
+        |SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id, split
+        |FROM spl ORDER BY doc_id""".stripMargin),
 
     // normalized-dedup twin: identical ASCII normalization ('g' = all
     // occurrences, matching Spark's replace-all default)

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval — the sparse⊕dense merge a retrieval-augmented
+  * training pipeline runs on top of the BM25 (TextAnalysis.bm25TopK)
+  * and hash-embedding (TextAnalysis.hashEmbedding) families, plus the
+  * contrastive hard-negative miner built from their disagreement.
+  *
+  * Everything is integer fixed-point: hash-embedding lanes are small
+  * signed counts (lossless in float lanes, cast back to long), BM25 is
+  * milli-scaled, RRF is micro-scaled — so every ranking hash-verifies
+  * against a DuckDB oracle, the engine's exactness contract.
+  */
+object Retrieval {
+
+  /** Dense retrieval arm: integer dot product between each document's
+    * signed hashing-trick embedding and the SAME embedding of the query
+    * string — model-free dense scoring (the query rides the identical
+    * featurizer, so "semantically near" degrades gracefully to
+    * shared-vocabulary-bucket mass).
+    *
+    * Scale shape: the query vector is a one-row broadcast (cross join
+    * with a single-row side); the dot is a narrow codegen'd map over
+    * the corpus (`zip_with` + `aggregate`, no UDF); top-k compiles to
+    * TakeOrderedAndProject — no global sort ever materializes. The
+    * trailing row_number window runs over ≤ k rows.
+    */
+  def denseTopK(df: DataFrame, queryText: String, k: Int,
+                dim: Int = 64, textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val docs = TextAnalysis.hashEmbedding(df, dim, textCol)
+      .select(col("vec_id").as("doc_id"),
+        transform(col("embedding"), v => v.cast("long")).as("emb"))
+    val qv = TextAnalysis.hashEmbedding(
+        Seq((0L, queryText)).toDF("doc_id", textCol), dim, textCol)
+      .select(transform(col("embedding"), v => v.cast("long")).as("q_emb"))
+    docs.crossJoin(broadcast(qv))
+      .withColumn("dot",
+        aggregate(zip_with(col("emb"), col("q_emb"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+      .select(col("doc_id"), col("dot"))
+      .orderBy(col("dot").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("dense_rank",
+        row_number().over(Window.orderBy(col("dot").desc, col("doc_id"))))
+  }
+
+  /** Sparse retrieval arm: BM25 top-k with an explicit 1-based rank
+    * among the survivors (rank window over ≤ k rows). */
+  def sparseTopK(df: DataFrame, terms: Seq[String], k: Int,
+                 textCol: String = "text"): DataFrame =
+    TextAnalysis.bm25TopK(df, terms, k, textCol = textCol)
+      .withColumn("sparse_rank",
+        row_number().over(Window.orderBy(col("score_milli").desc, col("doc_id"))))
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher '09): fused score
+    * = Σ_systems 1e6 // (kRrf + rank); a document absent from one
+    * system's top-k contributes 0 from it. The standard hybrid merge —
+    * immune to the two systems' incomparable score scales, no tuning
+    * beyond kRrf. Both inputs are ≤ k-row slivers, so the full-outer
+    * join and final rank are trivial at any corpus scale.
+    */
+  def rrfFuse(sparse: DataFrame, dense: DataFrame, kRrf: Int = 60,
+              topK: Int = 20): DataFrame =
+    sparse.select(col("doc_id"), col("sparse_rank"))
+      .join(dense.select(col("doc_id"), col("dense_rank")), Seq("doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr(s"1000000 div ($kRrf + sparse_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($kRrf + dense_rank)"), lit(0L)))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf_micro").desc, col("doc_id"))))
+
+  /** Contrastive hard negatives: documents the dense retriever surfaces
+    * that the lexical retriever does NOT — semantically near, lexically
+    * off-query, exactly the negative set contrastive embedding training
+    * wants (DPR/Contriever practice). Anti-join of two ≤ kPool-row
+    * slivers; ordering inherited from the dense rank.
+    */
+  def hardNegatives(df: DataFrame, terms: Seq[String], queryText: String,
+                    kPool: Int = 50, k: Int = 20, dim: Int = 64): DataFrame =
+    denseTopK(df, queryText, kPool, dim)
+      .join(TextAnalysis.bm25TopK(df, terms, kPool).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .orderBy(col("dense_rank"))
+      .limit(k)
+}

@@ -242,6 +242,37 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Near-dup-aware split assignment: every near-duplicate CLUSTER
+    * rides one split — the representative's (min-id member's) content
+    * hash keys all members — so the fuzzy leakage `split_leakage`
+    * surfaces is structurally impossible, extending [[assignSplits]]'
+    * exact-duplicate guarantee to the near-dup graph. `pairs` is any
+    * near-dup pair set `(doc_a, doc_b)` (MinHash-LSH in the shipped
+    * query).
+    *
+    * Scale shape: [[Dedup.clusters]] is the min-label/star family
+    * (log-round shuffles over the PAIR graph only — near-dups are a
+    * small corpus fraction); the representative-text key is two
+    * broadcast-sized joins on `cluster_id`; singleton documents never
+    * shuffle at all (left joins miss, content key falls back to their
+    * own text).
+    */
+  def assignSplitsByCluster(df: DataFrame, pairs: DataFrame,
+                            trainPpm: Int = 800000, valPpm: Int = 100000,
+                            textCol: String = "text",
+                            idCol: String = "doc_id"): DataFrame = {
+    val labels = Dedup.clusters(pairs)
+    val reps = df.select(col(idCol).as("cluster_id"), col(textCol).as("__rep_text"))
+      .join(labels.filter(col("doc_id") === col("cluster_id"))
+        .select(col("cluster_id")), "cluster_id")
+    val keyed = df
+      .join(labels.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+      .join(reps, Seq("cluster_id"), "left")
+      .withColumn("__key_text", coalesce(col("__rep_text"), col(textCol)))
+    assignSplits(keyed, trainPpm, valPpm, textCol = "__key_text", idCol = idCol)
+      .drop("__rep_text", "__key_text")
+  }
+
   def unimaxAllocation(df: DataFrame, budget: Long, epochCap: Int = 4,
                        groupCol: String = "source",
                        weightCol: String = "n_chars"): DataFrame = {
