@@ -1299,6 +1299,13 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       Sampling.packSequences(Tables.documents(s, dir), windowTokens = 256)
         .orderBy(col("source"), col("win"), col("doc_id"))),
 
+    "pack_efficiency" -> ((s, dir) =>
+      // the report read BEFORE committing a window size: padding waste
+      // and truncation loss per candidate W under the three loader
+      // strategies (pad-per-doc / clip-to-W / concat-and-chop)
+      Sampling.packingEfficiency(Tables.documents(s, dir), Seq(64, 128, 256, 512))
+        .orderBy(col("window_tokens"), col("strategy"))),
+
     // ============ web-corpus URL/domain front-of-pipeline ============
     "ingest_jsonl" -> ((s, dir) =>
       // front-door tolerant JSONL parse: every line surfaces exactly
@@ -1421,6 +1428,33 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // delete removes the row) — one partial-agg shuffle on the key
       Cdc.applyUpsert(Cdc.walEvents(s, dir))
         .orderBy(col("user_id"))),
+
+    "cdc_scd2" -> ((s, dir) =>
+      // SCD2 dimension build: half-open version intervals per key,
+      // deletes close without opening — one per-key lead window
+      Cdc.scd2History(Cdc.walEvents(s, dir))
+        .orderBy(col("user_id"), col("valid_from_lsn"))),
+
+    "cdc_time_travel" -> ((s, dir) => {
+      // state AS OF the mid-stream fence (broadcast scalar, in-plan);
+      // oracle replays the same fenced slice from scratch
+      val wal = Cdc.walEvents(s, dir)
+      val fenced = wal.crossJoin(
+        broadcast(wal.agg(expr("max(lsn) div 2").as("__fence"))))
+      Cdc.stateAtLsn(fenced, col("__fence")).orderBy(col("user_id"))
+    }),
+
+    "cdc_compact_log" -> ((s, dir) => {
+      // Kafka-compacted-topic retention: below the mid-stream fence
+      // only each key's last event survives; everything above passes
+      // through — replay-equivalent for any lsn ≥ fence (CdcSpec)
+      val wal = Cdc.walEvents(s, dir)
+      val fenced = wal.crossJoin(
+        broadcast(wal.agg(expr("max(lsn) div 2").as("__fence"))))
+      Cdc.compactChangelog(fenced, col("__fence"))
+        .select(col("lsn"), col("user_id"), col("op"), col("ts_ms"))
+        .orderBy(col("lsn"))
+    }),
 
     "cdc_cagg_refresh" -> ((s, dir) => {
       // continuous-aggregate refresh: merge the materialized base
@@ -2024,6 +2058,13 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .select(col("doc_id"), col("dot"), col("dense_rank"))
         .orderBy(col("dense_rank"))),
 
+    "retrieval_eval" -> ((s, dir) =>
+      // recall@20 / MRR of the dense arm and the fusion vs the BM25
+      // top-10 relevance proxy — is the fusion earning its extra arm?
+      Retrieval.evalVsLexical(Tables.documents(s, dir),
+          Seq("hash", "join", "vector"), "hash join vector")
+        .orderBy(col("system"))),
+
     "split_leakage" -> ((s, dir) => {
       // decontamination audit: near-dup pairs (MinHash-LSH) that CROSS
       // the content-keyed train/val/test boundary — exact duplicates
@@ -2593,6 +2634,49 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
 
     // refresh twin recomputes the rollup from scratch — equality proves
     // the base⊎delta partial-state merge is exact
+    // scd2 twin: lead() over the same keyed event order
+    "cdc_scd2" ->
+      s"""WITH wal AS (
+         |  SELECT event_id AS lsn, user_id, value,
+         |    epoch_ns(ts) // 1000000 AS ts_ms, $opCaseSql AS op
+         |  FROM events),
+         |v AS (
+         |  SELECT *, lead(lsn, 1) OVER (PARTITION BY user_id ORDER BY lsn) AS valid_to_lsn
+         |  FROM wal WHERE op IN ('r','c','u','d'))
+         |SELECT user_id, lsn AS valid_from_lsn, valid_to_lsn, op, value, ts_ms,
+         |  valid_to_lsn IS NULL AS is_current
+         |FROM v WHERE op <> 'd' ORDER BY user_id, valid_from_lsn""".stripMargin,
+
+    // compaction twin: last-per-key below the fence ∪ all above
+    "cdc_compact_log" ->
+      s"""WITH f AS (SELECT max(event_id) // 2 AS fence FROM events),
+         |wal AS (
+         |  SELECT event_id AS lsn, user_id,
+         |    epoch_ns(ts) // 1000000 AS ts_ms, $opCaseSql AS op
+         |  FROM events),
+         |below AS (SELECT w.* FROM wal w CROSS JOIN f
+         |          WHERE w.lsn <= f.fence AND w.op IN ('r','c','u','d')),
+         |last_below AS (SELECT user_id, max(lsn) AS lsn FROM below GROUP BY user_id)
+         |SELECT b.lsn, b.user_id, b.op, b.ts_ms
+         |FROM below b JOIN last_below l ON b.user_id = l.user_id AND b.lsn = l.lsn
+         |UNION ALL
+         |SELECT w.lsn, w.user_id, w.op, w.ts_ms
+         |FROM wal w CROSS JOIN f WHERE w.lsn > f.fence
+         |ORDER BY lsn""".stripMargin,
+
+    // time-travel twin: last-writer-wins over the fenced slice only
+    "cdc_time_travel" ->
+      s"""WITH f AS (SELECT max(event_id) // 2 AS fence FROM events),
+         |wal AS (
+         |  SELECT event_id AS lsn, user_id, value,
+         |    epoch_ns(ts) // 1000000 AS ts_ms, $opCaseSql AS op
+         |  FROM events CROSS JOIN f WHERE event_id <= fence),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+         |  FROM wal WHERE op IN ('r','c','u','d'))
+         |SELECT user_id, lsn AS last_lsn, op AS last_op, value, ts_ms
+         |FROM ranked WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin,
+
     "cdc_cagg_refresh" ->
       s"""SELECT epoch_ns(ts) // 86400000000000 - 19723 AS chunk_day,
          |  COUNT(*) AS n,
@@ -3685,6 +3769,39 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |  CAST(greatest(s, win * 256) - win * 256 AS BIGINT) AS win_off
         |FROM x ORDER BY source, win, doc_id""".stripMargin,
 
+    // efficiency twin: same whitespace token counts, three strategy
+    // arms unioned, ceil-div as (n + w - 1) // w
+    "pack_efficiency" ->
+      """WITH nt AS (SELECT source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt
+        |  FROM documents
+        |  WHERE len(string_split_regex(trim(text), '\s+')) > 0),
+        |ws AS (SELECT unnest([64, 128, 256, 512]) AS w),
+        |pd AS (SELECT w, 'pad_doc' AS strategy,
+        |    CAST(sum((nt + w - 1) // w) AS BIGINT) AS n_sequences,
+        |    CAST(sum(nt) AS BIGINT) AS content_tokens,
+        |    CAST(sum(((nt + w - 1) // w) * w - nt) AS BIGINT) AS padding_tokens,
+        |    CAST(0 AS BIGINT) AS truncated_tokens
+        |  FROM nt CROSS JOIN ws GROUP BY w),
+        |cl AS (SELECT w, 'clip' AS strategy,
+        |    CAST(count(*) AS BIGINT) AS n_sequences,
+        |    CAST(sum(least(nt, w)) AS BIGINT) AS content_tokens,
+        |    CAST(sum(greatest(0, w - nt)) AS BIGINT) AS padding_tokens,
+        |    CAST(sum(greatest(0, nt - w)) AS BIGINT) AS truncated_tokens
+        |  FROM nt CROSS JOIN ws GROUP BY w),
+        |gt AS (SELECT source, CAST(sum(nt) AS BIGINT) AS gtv FROM nt GROUP BY source),
+        |ch AS (SELECT w, 'chop' AS strategy,
+        |    CAST(sum((gtv + w - 1) // w) AS BIGINT) AS n_sequences,
+        |    CAST(sum(gtv) AS BIGINT) AS content_tokens,
+        |    CAST(sum(((gtv + w - 1) // w) * w - gtv) AS BIGINT) AS padding_tokens,
+        |    CAST(0 AS BIGINT) AS truncated_tokens
+        |  FROM gt CROSS JOIN ws GROUP BY w),
+        |u AS (SELECT * FROM pd UNION ALL SELECT * FROM cl UNION ALL SELECT * FROM ch)
+        |SELECT CAST(w AS BIGINT) AS window_tokens, strategy, n_sequences,
+        |  content_tokens, padding_tokens, truncated_tokens,
+        |  CAST(content_tokens * 1000000 // (n_sequences * w) AS BIGINT) AS efficiency_ppm
+        |FROM u ORDER BY window_tokens, strategy""".stripMargin,
+
     // jsonl twin: identical line synthesis; corruption = try_cast NULL
     // or missing lang — the same verdict the Spark side anchors on lang
     "ingest_jsonl" ->
@@ -4556,6 +4673,25 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |  row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS rank
         |FROM (SELECT * FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 20) z
         |ORDER BY rank""".stripMargin),
+
+    // eval twin: relevance = sparse_rank ≤ 10; recall/MRR per system
+    "retrieval_eval" -> (retrievalCtes +
+      """
+        |f AS (SELECT coalesce(sp.doc_id, de.doc_id) AS doc_id, sp.sparse_rank, de.dense_rank,
+        |        coalesce(1000000 // (60 + sp.sparse_rank), 0) +
+        |        coalesce(1000000 // (60 + de.dense_rank), 0) AS rrf_micro
+        |      FROM sp FULL OUTER JOIN de ON sp.doc_id = de.doc_id),
+        |rr AS (SELECT doc_id, row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS rank
+        |       FROM (SELECT * FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 20) z),
+        |rel AS (SELECT doc_id FROM sp WHERE sparse_rank <= 10),
+        |dm AS (SELECT 'dense' AS system, count(*) AS n_hits, min(dense_rank) AS fr
+        |       FROM de WHERE dense_rank <= 20 AND doc_id IN (SELECT doc_id FROM rel)),
+        |rm AS (SELECT 'rrf' AS system, count(*) AS n_hits, min(rank) AS fr
+        |       FROM rr WHERE doc_id IN (SELECT doc_id FROM rel))
+        |SELECT system, CAST(n_hits AS BIGINT) AS n_hits,
+        |  CAST(n_hits * 1000000 // 10 AS BIGINT) AS recall_ppm,
+        |  CAST(coalesce(1000000 // fr, 0) AS BIGINT) AS mrr_micro
+        |FROM (SELECT * FROM dm UNION ALL SELECT * FROM rm) u ORDER BY system""".stripMargin),
 
     // hard-negative twin: dense pool minus the sparse top-50 doc set
     "retrieval_hard_negatives" -> (retrievalCtes +

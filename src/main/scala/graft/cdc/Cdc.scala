@@ -479,6 +479,71 @@ object Cdc {
         col("__last.op").as("last_op"), col("__last.value").as("value"),
         col("__last.ts_ms").as("ts_ms"))
 
+  /** SCD2 (slowly-changing-dimension type 2) version history from the
+    * changelog: every kept c/u/r event OPENS a version whose validity
+    * ends at the key's next event — half-open `[valid_from_lsn,
+    * valid_to_lsn)` — and a delete closes its predecessor without
+    * opening one. `is_current` marks still-open versions. This is the
+    * downstream table warehouse users derive from a CDC feed (the
+    * reference emits the changelog; the dimension build is the first
+    * thing its consumers do with it).
+    *
+    * Scale shape: ONE shuffle — a single per-key window ordered by lsn
+    * (`lead`); no self-join, no global sort. Per-key state is the key's
+    * event count, fine for dimension-shaped keys; a pathological
+    * hot key serializes only its own partition slice.
+    */
+  def scd2History(wal: DataFrame, keyCol: String = "user_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("lsn"))
+    wal
+      .filter(col("op").isin(Envelope.Op.Read, Envelope.Op.Create,
+        Envelope.Op.Update, Envelope.Op.Delete))
+      .withColumn("valid_to_lsn", lead(col("lsn"), 1).over(w))
+      .filter(col("op") =!= Envelope.Op.Delete) // closes, never opens
+      .select(col(keyCol), col("lsn").as("valid_from_lsn"),
+        col("valid_to_lsn"), col("op"), col("value"), col("ts_ms"),
+        col("valid_to_lsn").isNull.as("is_current"))
+  }
+
+  /** Table state AS OF an LSN fence — time travel over the changelog:
+    * last-writer-wins replay of every event at or below the fence
+    * ([[applyUpsert]] on the fenced slice). The fence rides as a column
+    * so callers can derive it IN-PLAN (broadcast scalar) with no
+    * driver-side action.
+    */
+  def stateAtLsn(wal: DataFrame, fence: Column,
+                 keyCol: String = "user_id"): DataFrame =
+    applyUpsert(wal.filter(col("lsn") <= fence), keyCol)
+
+  /** Changelog compaction (the Kafka compacted-topic contract): below
+    * the fence keep only each key's LAST event; above it keep
+    * everything. Replaying the compacted log reproduces [[stateAtLsn]]
+    * EXACTLY for every lsn ≥ fence (spec-asserted) — the history a
+    * consumer can no longer distinguish is what gets dropped, which is
+    * why compaction bounds a 100 TB changelog's retention without
+    * breaking late joiners.
+    *
+    * Scale shape: one partial-agg shuffle (max lsn per key on the
+    * fenced slice) + a semi-join back on (key, lsn); the above-fence
+    * slice passes through untouched. No windows, no global sort.
+    */
+  def compactChangelog(wal: DataFrame, fence: Column,
+                       keyCol: String = "user_id"): DataFrame = {
+    // only keyed TABLE CHANGES participate in compaction: a logical
+    // message (op 'm') is not table state, must never shadow a key's
+    // real last upsert, and — being history — does not survive the
+    // compacted region (the Kafka compacted-topic contract applies to
+    // keyed records; messages below retention are gone)
+    val below = wal.filter(col("lsn") <= fence &&
+      col("op").isin(Envelope.Op.Read, Envelope.Op.Create,
+        Envelope.Op.Update, Envelope.Op.Delete))
+    val lastBelow = below
+      .groupBy(col(keyCol)).agg(max(col("lsn")).as("lsn"))
+    below.join(lastBelow, Seq(keyCol, "lsn"), "left_semi")
+      .unionByName(wal.filter(col("lsn") > fence))
+  }
+
   /** Per-chunk partial aggregate state for [[caggRefresh]]: count +
     * integer-micro value sum of INSERT events (fixed point is the
     * cross-engine exactness posture; sum/count are the delta-mergeable

@@ -89,4 +89,29 @@ object Retrieval {
         Seq("doc_id"), "left_anti")
       .orderBy(col("dense_rank"))
       .limit(k)
+
+  /** Retrieval evaluation against the lexical proxy: with the BM25
+    * top-`kRel` as the relevance set (the standard no-labels proxy),
+    * integer recall@k and MRR for the dense arm and the RRF fusion —
+    * the report that says whether fusion is EARNING its extra arm on
+    * this corpus. Zero-hit systems report 0s (empty-agg contract: count
+    * 0, min NULL → coalesced). All inputs are top-k slivers; the
+    * metrics are two ≤ k-row joins.
+    */
+  def evalVsLexical(df: DataFrame, terms: Seq[String], queryText: String,
+                    kRel: Int = 10, k: Int = 20, dim: Int = 64): DataFrame = {
+    val sparse = sparseTopK(df, terms, 50)
+    val rel = sparse.filter(col("sparse_rank") <= kRel).select(col("doc_id"))
+    val dense = denseTopK(df, queryText, 50, dim)
+    val rrf = rrfFuse(sparse, dense, topK = k)
+    def metrics(sys: String, top: DataFrame, rankCol: String): DataFrame =
+      top.filter(col(rankCol) <= k)
+        .join(rel, Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"), min(col(rankCol)).as("__first"))
+        .select(lit(sys).as("system"), col("n_hits"),
+          expr(s"n_hits * 1000000 div $kRel").as("recall_ppm"),
+          coalesce(expr("1000000 div __first"), lit(0L)).as("mrr_micro"))
+    metrics("dense", dense, "dense_rank")
+      .unionByName(metrics("rrf", rrf, "rank"))
+  }
 }

@@ -215,6 +215,70 @@ object Sampling {
           - col("win") * windowTokens).as("win_off"))
   }
 
+  /** Packing-efficiency report: for every candidate context-window
+    * size, the sequence count, padding waste, and truncation loss each
+    * loader strategy would pay on THIS corpus — the numbers a pipeline
+    * owner reads before committing a `windowTokens`:
+    *
+    *  - `pad_doc`: one document per sequence run, padded up to the next
+    *    window boundary (no splits, no loss — pure padding waste);
+    *  - `clip`: one document per fixed-W sequence, padded short docs,
+    *    truncating long ones (BERT-style — waste AND loss);
+    *  - `chop`: concat-and-chop per group ([[packSequences]] — waste
+    *    only in each group's final window, zero loss).
+    *
+    * `efficiency_ppm` = content·10⁶ / (sequences·W), integer-exact.
+    * Overflow bound: content_tokens × 10⁶ must fit in 64 bits — fine
+    * through ~9×10¹² tokens; beyond that, run per-partition reports.
+    *
+    * Scale shape: one corpus scan computes per-doc token counts; the
+    * windows list is a literal explode (|W| ≤ dozens) feeding partial
+    * aggregates — map-side combine leaves |W| rows per strategy. The
+    * `chop` arm aggregates per group first (bounded by group
+    * cardinality), then per window.
+    */
+  def packingEfficiency(df: DataFrame, windows: Seq[Int],
+                        groupCol: String = "source",
+                        textCol: String = "text"): DataFrame = {
+    require(windows.nonEmpty && windows.forall(_ > 0),
+      s"packingEfficiency: windows=$windows must be non-empty positive")
+    val nt = df
+      .select(col(groupCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("nt"))
+      .filter(col("nt") > 0)
+    val wArr = lit(windows.toArray)
+    val perDoc = nt.select(col("nt"), explode(wArr).as("w"))
+    val padDoc = perDoc.groupBy(col("w")).agg(
+        sum(expr("(nt + w - 1) div w")).as("n_sequences"),
+        sum(col("nt")).as("content_tokens"),
+        sum(expr("((nt + w - 1) div w) * w - nt")).as("padding_tokens"))
+      .withColumn("truncated_tokens", lit(0L))
+      .withColumn("strategy", lit("pad_doc"))
+    val clip = perDoc.groupBy(col("w")).agg(
+        count(lit(1)).as("n_sequences"),
+        sum(least(col("nt"), col("w").cast("long"))).as("content_tokens"),
+        sum(greatest(lit(0L), col("w") - col("nt"))).as("padding_tokens"),
+        sum(greatest(lit(0L), col("nt") - col("w"))).as("truncated_tokens"))
+      .withColumn("strategy", lit("clip"))
+    val chop = nt.groupBy(col(groupCol)).agg(sum(col("nt")).as("gt"))
+      .select(col("gt"), explode(wArr).as("w"))
+      .groupBy(col("w")).agg(
+        sum(expr("(gt + w - 1) div w")).as("n_sequences"),
+        sum(col("gt")).as("content_tokens"),
+        sum(expr("((gt + w - 1) div w) * w - gt")).as("padding_tokens"))
+      .withColumn("truncated_tokens", lit(0L))
+      .withColumn("strategy", lit("chop"))
+    val cols = Seq("w", "strategy", "n_sequences", "content_tokens",
+      "padding_tokens", "truncated_tokens").map(col)
+    padDoc.select(cols: _*)
+      .unionByName(clip.select(cols: _*))
+      .unionByName(chop.select(cols: _*))
+      .select(col("w").cast("long").as("window_tokens"), col("strategy"),
+        col("n_sequences"), col("content_tokens"), col("padding_tokens"),
+        col("truncated_tokens"),
+        expr("content_tokens * 1000000 div (n_sequences * w)").as("efficiency_ppm"))
+  }
+
   /** Deterministic train/val/test assignment, keyed on CONTENT by
     * default: the split hash is FNV-64a of the text (unsigned-mod ppm),
     * so byte-identical duplicates — the ones dedup may not have caught

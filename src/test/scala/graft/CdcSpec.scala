@@ -156,4 +156,47 @@ class CdcSpec extends SparkSpec {
       assert(merged === full, s"fence=$fence")
     }
   }
+
+  test("scd2History: versions chain per key, one current unless deleted last") {
+    val hist = Cdc.scd2History(wal).collect()
+    val byKey = hist.groupBy(_.getAs[Long]("user_id"))
+    byKey.foreach { case (k, vs) =>
+      val sorted = vs.sortBy(_.getAs[Long]("valid_from_lsn"))
+      // half-open intervals never overlap: from < to, and froms increase
+      sorted.foreach { v =>
+        if (!v.isNullAt(v.fieldIndex("valid_to_lsn")))
+          assert(v.getAs[Long]("valid_from_lsn") < v.getAs[Long]("valid_to_lsn"), s"key $k")
+      }
+      assert(sorted.count(_.getAs[Boolean]("is_current")) <= 1, s"key $k")
+    }
+    // current SCD2 version ≡ applyUpsert state, key for key
+    val current = hist.filter(_.getAs[Boolean]("is_current"))
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("valid_from_lsn")).toMap
+    val state = Cdc.applyUpsert(wal).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("last_lsn")).toMap
+    assert(current === state,
+      "open SCD2 versions must be exactly the upsert-materialized state")
+  }
+
+  test("compactChangelog: replay-equivalent at and above the fence, smaller below") {
+    for (fence <- Seq(100L, 500L, 900L)) {
+      val compacted = Cdc.compactChangelog(wal, lit(fence))
+      // the compaction contract: state at ANY lsn >= fence is identical
+      for (at <- Seq(fence, fence + 50, Long.MaxValue)) {
+        val full = Cdc.stateAtLsn(wal, lit(at)).collect().map(_.toString).sorted
+        val compact = Cdc.stateAtLsn(compacted, lit(at)).collect().map(_.toString).sorted
+        assert(compact.sameElements(full), s"fence=$fence at=$at")
+      }
+      // and it actually dropped history (unless every key below is distinct)
+      assert(compacted.count() <= wal.count())
+    }
+  }
+
+  test("stateAtLsn at the max fence equals the full upsert replay") {
+    val full = Cdc.applyUpsert(wal).collect().map(_.toString).sorted
+    val traveled = Cdc.stateAtLsn(wal, lit(Long.MaxValue)).collect().map(_.toString).sorted
+    assert(traveled.sameElements(full))
+    // and at fence 0 only lsn-0's key can exist
+    assert(Cdc.stateAtLsn(wal, lit(0L)).count() <= 1)
+  }
 }

@@ -212,4 +212,26 @@ class SamplingSpec extends SparkSpec {
     Sampling.temperatureMixRates(allEmpty, budget = 5000L)
       .collect().foreach(r => assert(r.getAs[Long]("rate_ppm") === 0L))
   }
+
+  test("packingEfficiency: closed-form waste/loss on a tiny corpus") {
+    import spark.implicits._
+    // docs of 3, 5, 10 tokens in one source; W = 4
+    val df = Seq(
+      (1L, "a b c", "s1"), (2L, "a b c d e", "s1"),
+      (3L, "a b c d e f g h i j", "s1")).toDF("doc_id", "text", "source")
+    val rep = Sampling.packingEfficiency(df, Seq(4))
+      .collect().map(r => r.getAs[String]("strategy") ->
+        (r.getAs[Long]("n_sequences"), r.getAs[Long]("content_tokens"),
+          r.getAs[Long]("padding_tokens"), r.getAs[Long]("truncated_tokens"))).toMap
+    // pad_doc: ceil(3/4)+ceil(5/4)+ceil(10/4)=1+2+3=6 seqs, 24 slots, 18 content
+    assert(rep("pad_doc") === ((6L, 18L, 6L, 0L)))
+    // clip: 3 seqs of 4; content 3+4+4=11; pad only doc1 (1); trunc 1+6=7
+    assert(rep("clip") === ((3L, 11L, 1L, 7L)))
+    // chop: T=18 → ceil(18/4)=5 seqs, pad 2, no loss
+    assert(rep("chop") === ((5L, 18L, 2L, 0L)))
+    // efficiency ordering: chop ≥ pad_doc (chop never pads mid-stream)
+    val eff = Sampling.packingEfficiency(df, Seq(4))
+      .collect().map(r => r.getAs[String]("strategy") -> r.getAs[Long]("efficiency_ppm")).toMap
+    assert(eff("chop") >= eff("pad_doc"))
+  }
 }
