@@ -1444,6 +1444,13 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       Cdc.stateAtLsn(fenced, col("__fence")).orderBy(col("user_id"))
     }),
 
+    "cdc_forget" -> ((s, dir) =>
+      // right-to-be-forgotten: keys whose TERMINAL change is a delete
+      // vanish from the store, history included (tombstone propagation)
+      Cdc.forgetDeleted(Cdc.walEvents(s, dir))
+        .select(col("lsn"), col("user_id"), col("op"))
+        .orderBy(col("lsn"))),
+
     "cdc_compact_log" -> ((s, dir) => {
       // Kafka-compacted-topic retention: below the mid-stream fence
       // only each key's last event survives; everything above passes
@@ -2646,6 +2653,19 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
          |SELECT user_id, lsn AS valid_from_lsn, valid_to_lsn, op, value, ts_ms,
          |  valid_to_lsn IS NULL AS is_current
          |FROM v WHERE op <> 'd' ORDER BY user_id, valid_from_lsn""".stripMargin,
+
+    // forget twin: semi-join against the surviving-key replay
+    "cdc_forget" ->
+      s"""WITH wal AS (
+         |  SELECT event_id AS lsn, user_id, $opCaseSql AS op
+         |  FROM events),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+         |  FROM wal WHERE op IN ('r','c','u','d')),
+         |alive AS (SELECT user_id FROM ranked WHERE rn = 1 AND op <> 'd')
+         |SELECT w.lsn, w.user_id, w.op FROM wal w
+         |WHERE w.user_id IN (SELECT user_id FROM alive)
+         |ORDER BY w.lsn""".stripMargin,
 
     // compaction twin: last-per-key below the fence ∪ all above
     "cdc_compact_log" ->

@@ -544,6 +544,17 @@ object Cdc {
       .unionByName(wal.filter(col("lsn") > fence))
   }
 
+  /** Deletion propagation ("forget" / right-to-be-forgotten): keep only
+    * events whose key SURVIVES the full replay — a key whose terminal
+    * change is a delete disappears from the analytic store entirely,
+    * history included. This is the canonical downstream obligation of a
+    * CDC feed (the reference delivers the deletes + tombstones; the
+    * consumer must propagate them into derived tables).
+    * One aggregate on the key + a semi-join — no windows.
+    */
+  def forgetDeleted(wal: DataFrame, keyCol: String = "user_id"): DataFrame =
+    wal.join(applyUpsert(wal, keyCol).select(col(keyCol)), Seq(keyCol), "left_semi")
+
   /** Per-chunk partial aggregate state for [[caggRefresh]]: count +
     * integer-micro value sum of INSERT events (fixed point is the
     * cross-engine exactness posture; sum/count are the delta-mergeable

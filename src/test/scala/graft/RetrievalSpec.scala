@@ -85,6 +85,13 @@ class RetrievalSpec extends SparkSpec {
     assert(leaks.count() === 1, "the planted cross-split near-dup must surface")
   }
 
+  test("denseTopK plan: top-k compiles to TakeOrderedAndProject, no global sort") {
+    val plan = Retrieval.denseTopK(corpus, "hash join vector", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected top-k physical operator, got:\n$plan")
+  }
+
   test("assignSplitsByCluster eliminates cross-split near-dup leakage") {
     val docs = Tables.documents(spark, sf01)
     val pairs = Dedup.minhashLshPairs(docs).cache()

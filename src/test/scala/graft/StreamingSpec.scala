@@ -1,7 +1,7 @@
 package graft
 
 import graft.sinks.CollectorSink
-import graft.streaming.StreamPipeline
+import graft.streaming.{Scd2Assembler, StreamPipeline}
 import java.nio.file.Files
 
 /** Streaming-path parity: T1 offsets/recovery, envelope equivalence with
@@ -434,5 +434,45 @@ class StreamingSpec extends SparkSpec {
     val q2 = StreamPipeline.run(spark, sf001, ckpt, sink, "graft-restart-2")
     q2.awaitTermination(120000)
     assert(sink.rows.size === afterFirst, "no events re-emitted after restart")
+  }
+
+  test("streaming SCD2 closed versions equal the batch dimension history") {
+    val q = Scd2Assembler.scd2Stream(spark, sf001)
+      .writeStream.format("memory").queryName("scd2_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql(
+        "SELECT user_id, valid_from_lsn, valid_to_lsn FROM scd2_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val batch = graft.cdc.Cdc.scd2History(graft.cdc.Cdc.walEvents(spark, sf001))
+      .filter(!org.apache.spark.sql.functions.col("is_current"))
+      .select("user_id", "valid_from_lsn", "valid_to_lsn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(streamed.length === batch.length,
+      s"closed-version counts: stream ${streamed.length} vs batch ${batch.length}")
+    assert(streamed.sameElements(batch))
+  }
+
+  test("SCD2 step: state carries the open version across batches, delete clears it") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    import Scd2Assembler.{KeyEv, OpenVersion}
+    def st(prev: Option[OpenVersion]) =
+      TestGroupState.create[OpenVersion](
+        Optional.ofNullable(prev.orNull), GroupStateTimeout.NoTimeout,
+        1000L, Optional.empty[Long](), hasTimedOut = false)
+    // batch 1: create then update — one closed version, update stays open
+    val s1 = st(None)
+    val out1 = Scd2Assembler.step(7L, Iterator(
+      KeyEv(10L, 7L, "c", Some(1.0), 100L),
+      KeyEv(20L, 7L, "u", Some(2.0), 200L)), s1).toSeq
+    assert(out1.map(v => (v.valid_from_lsn, v.valid_to_lsn)) === Seq((10L, 20L)))
+    assert(s1.exists && s1.get.lsn === 20L)
+    // batch 2 (state carried): delete closes the open version and clears
+    val s2 = st(Some(s1.get))
+    val out2 = Scd2Assembler.step(7L, Iterator(
+      KeyEv(30L, 7L, "d", None, 300L)), s2).toSeq
+    assert(out2.map(v => (v.valid_from_lsn, v.valid_to_lsn)) === Seq((20L, 30L)))
+    assert(!s2.exists, "delete must remove the key's state")
   }
 }
