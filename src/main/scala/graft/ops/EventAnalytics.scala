@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
   * product-analytics engine ships (the reference's CDC events feed
   * exactly this kind of consumer downstream).
   *
-  * Timestamps are LONG NANOS (`Tables.events` reads TIMESTAMP(NANOS)
-  * as long) and every derived quantity is integer arithmetic on them —
-  * engine-exact, no timezone or float ambiguity.
+  * Timestamps are LONG NANOS (`Tables.events` normalizes any parquet
+  * timestamp precision to epoch-nanos longs) and every derived quantity
+  * is integer arithmetic on them — engine-exact, no timezone or float
+  * ambiguity.
   */
 object EventAnalytics {
 
