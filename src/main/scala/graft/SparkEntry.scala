@@ -49,6 +49,15 @@ object SparkEntry {
   private def decimalCentsText(c: Column): Column = concat(
     (c / 100).cast("long"), lit("."), lpad(pmod(c, lit(100)).cast("string"), 2, "0"))
 
+  /** DuckDB FNV-1a 64 fold over a string expression (HUGEINT modular
+    * arithmetic) — the oracle twin of `graft.functions.FnvHash64`. ONE
+    * definition: five CTE families hash with it, and a drift in any
+    * copy would silently break that oracle's parity. */
+  private def fnvSql(e: String): String =
+    s"list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
+      s"list_transform(range(1, length($e) + 1), i -> ascii(substr($e, CAST(i AS INTEGER), 1)))), " +
+      "(acc, c) -> (xor(acc, CAST(c AS HUGEINT)) * 1099511628211) % 18446744073709551616)"
+
   /** Shared CTE chain for the hybrid-retrieval oracles: BM25 top-50
     * with ranks (`sp`) + hash-embedding integer dot-product top-50 with
     * ranks (`de`). The dot is computed in bucket-join form — identical
@@ -57,7 +66,7 @@ object SparkEntry {
     * SELECT. Terms/query fixed to 'hash join vector' (the bm25 query's
     * term set). */
   private val retrievalCtes =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
       |g AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tot FROM lens),
       |av AS (SELECT greatest(tot * 1000 // greatest(n, 1), 1) AS avgdl_milli, n FROM g),
@@ -76,22 +85,12 @@ object SparkEntry {
       |             FROM scored GROUP BY 1
       |             ORDER BY score_milli DESC, doc_id LIMIT 50)),
       |tok2 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-      |h2 AS (SELECT doc_id,
-      |  list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
-      |      list_transform(range(1, length(t) + 1),
-      |        i -> ascii(substr(t, CAST(i AS INTEGER), 1)))),
-      |      (acc, c) -> (xor(acc, CAST(c AS HUGEINT)) * 1099511628211) % 18446744073709551616) AS hv
-      |  FROM tok2),
+      |h2 AS (SELECT doc_id, ${fnvSql("t")} AS hv FROM tok2),
       |da AS (SELECT doc_id, CAST(hv % 64 AS BIGINT) AS bkt,
       |         CAST(sum(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
       |       FROM h2 GROUP BY 1, 2),
       |qt AS (SELECT unnest(string_split('hash join vector', ' ')) AS t),
-      |qh AS (SELECT
-      |  list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
-      |      list_transform(range(1, length(t) + 1),
-      |        i -> ascii(substr(t, CAST(i AS INTEGER), 1)))),
-      |      (acc, c) -> (xor(acc, CAST(c AS HUGEINT)) * 1099511628211) % 18446744073709551616) AS hv
-      |  FROM qt),
+      |qh AS (SELECT ${fnvSql("t")} AS hv FROM qt),
       |qa AS (SELECT CAST(hv % 64 AS BIGINT) AS bkt,
       |         CAST(sum(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
       |       FROM qh GROUP BY 1),
@@ -110,17 +109,12 @@ object SparkEntry {
     * appended per-oracle because its input text differs (raw text vs
     * cluster-representative text). */
   private val minhashPairCtes =
-    """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s"""WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (SELECT DISTINCT doc_id,
       |         unnest(list_transform(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
       |           x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS shingle
       |       FROM tok WHERE len(t) >= 3),
-      |hv AS (SELECT doc_id,
-      |         list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
-      |           list_transform(range(1, length(shingle) + 1),
-      |             i -> ascii(substr(shingle, CAST(i AS INTEGER), 1)))),
-      |           (acc, c) -> (xor(acc, CAST(c AS HUGEINT)) * 1099511628211) % 18446744073709551616) AS hu
-      |       FROM sh),
+      |hv AS (SELECT doc_id, ${fnvSql("shingle")} AS hu FROM sh),
       |hb AS (SELECT doc_id,
       |         CAST((((CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
       |                      THEN hu - CAST(18446744073709551616 AS HUGEINT) ELSE hu END)
@@ -1621,6 +1615,15 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("lsn"))
     }),
 
+    "cdc_filter_wave5" -> ((s, dir) =>
+      // wave-5 dialect surface: bit builtins (&, |, ^, shifts as 64-bit
+      // Catalyst operators) and lastIndexOf (reverse-trick compile)
+      graft.filter.EventFilter(
+        """bitand(user_id, 7) in [1, 2, 3] && bitshl(1, 3) == 8 && bitushr(bitshl(user_id, 1), 1) == user_id && bitxor(bitor(user_id, 4), 4) <= user_id && lastIndexOf(props, "1") >= 2 && lastIndexOf(props, "zz") == -1""")
+        .apply(Cdc.walEvents(s, dir))
+        .select(col("lsn"), col("user_id"), col("props"))
+        .orderBy(col("lsn"))),
+
     "cdc_filter_closures" -> ((s, dir) => {
       // expr-lang array closures (# placeholder, brace shorthand, nested
       // map-inside-count) compiled to Catalyst higher-order functions —
@@ -2872,6 +2875,21 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |  AND list_aggregate(ext, 'avg') >= 20.0
         |  AND len(list_filter(t, s -> length(s) = 4)) >= 1
         |  AND decode(from_base64(to_base64(encode(props)))) = props
+        |ORDER BY lsn""".stripMargin,
+
+    // wave-5 twin: DuckDB bit operators + the same reverse-trick
+    // lastIndexOf (strpos ≡ instr: 1-based, 0 when absent)
+    "cdc_filter_wave5" ->
+      """WITH e AS (SELECT event_id AS lsn, user_id, props FROM events)
+        |SELECT lsn, user_id, props FROM e
+        |WHERE (user_id & 7) IN (1, 2, 3)
+        |  AND (1 << 3) = 8
+        |  AND ((user_id << 1) >> 1) = user_id
+        |  AND xor(user_id | 4, 4) <= user_id
+        |  AND (CASE WHEN strpos(reverse(props), reverse('1')) = 0 THEN -1
+        |       ELSE length(props) - strpos(reverse(props), reverse('1')) - length('1') + 1 END) >= 2
+        |  AND (CASE WHEN strpos(reverse(props), reverse('zz')) = 0 THEN -1
+        |       ELSE length(props) - strpos(reverse(props), reverse('zz')) - length('zz') + 1 END) = -1
         |ORDER BY lsn""".stripMargin,
 
     "cdc_filter_closures" ->
@@ -4723,15 +4741,10 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     // leakage twin: the minhash-LSH pair CTEs + the content-keyed split
     // hash, keeping only pairs whose endpoints land in different splits
     "split_leakage" -> (minhashPairCtes +
-      """,
+      s""",
         |spl AS (SELECT doc_id,
         |  CASE WHEN hvs < 800000 THEN 'train' WHEN hvs < 900000 THEN 'val' ELSE 'test' END AS split
-        |  FROM (SELECT doc_id,
-        |    list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
-        |        list_transform(range(1, length(text) + 1),
-        |          i -> ascii(substr(text, CAST(i AS INTEGER), 1)))),
-        |        (acc, c) -> (xor(acc, CAST(c AS HUGEINT)) * 1099511628211) % 18446744073709551616)
-        |      % 1000000 AS hvs
+        |  FROM (SELECT doc_id, ${fnvSql("text")} % 1000000 AS hvs
         |    FROM documents) hx)
         |SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b
         |FROM pairs p JOIN spl sa ON p.doc_a = sa.doc_id JOIN spl sb ON p.doc_b = sb.doc_id
@@ -4741,7 +4754,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     // cluster-split twin: the same pair CTEs + recursive connected
     // components (min label), split hash over the representative's text
     "split_by_cluster" -> (minhashPairCtes +
-      """,
+      s""",
         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
         |cc AS (SELECT a AS doc, a AS label FROM edges
         |       UNION SELECT e.a, cc.label FROM cc JOIN edges e ON cc.doc = e.b),
@@ -4751,12 +4764,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |          LEFT JOIN documents r ON r.doc_id = l.cluster_id),
         |spl AS (SELECT doc_id, cluster_id,
         |  CASE WHEN hvs < 800000 THEN 'train' WHEN hvs < 900000 THEN 'val' ELSE 'test' END AS split
-        |  FROM (SELECT doc_id, cluster_id,
-        |    list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
-        |        list_transform(range(1, length(key_text) + 1),
-        |          i -> ascii(substr(key_text, CAST(i AS INTEGER), 1)))),
-        |        (acc, c) -> (xor(acc, CAST(c AS HUGEINT)) * 1099511628211) % 18446744073709551616)
-        |      % 1000000 AS hvs
+        |  FROM (SELECT doc_id, cluster_id, ${fnvSql("key_text")} % 1000000 AS hvs
         |    FROM keyed) hx)
         |SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id, split
         |FROM spl ORDER BY doc_id""".stripMargin),

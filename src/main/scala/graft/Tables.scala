@@ -50,8 +50,14 @@ object Tables {
       case LongType      => df
       case TimestampType => df.withColumn("ts", unix_micros(col("ts")) * 1000L)
       case TimestampNTZType =>
-        // only reachable if a caller bypassed eventsConf; cast is exact
-        // under the UTC session tz all entry points set
+        // only reachable if a caller bypassed eventsConf; the NTZ→LTZ
+        // cast reads the wall clock IN THE SESSION TIMEZONE, so it is
+        // only exact under UTC — anything else would silently shift
+        // every timestamp by the zone offset. Fail loud instead.
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        if (tz != "UTC") sys.error(
+          s"events.ts loaded as TIMESTAMP_NTZ under session timezone $tz; " +
+            "call Tables.eventsConf(spark) before reading (or set UTC)")
         df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
       case other => sys.error(s"events.ts: unsupported parquet type $other")
     }

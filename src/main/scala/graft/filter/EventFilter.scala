@@ -46,7 +46,10 @@ import org.apache.spark.sql.functions.expr
   * `find`/`findIndex` closures (nil / -1 when absent), `take`,
   * `sum` (type-correct zero, empty sums to 0), and `reduce` with the
   * `#acc` accumulator placeholder (init's type is the accumulator
-  * type, Spark's aggregate contract).
+  * type, Spark's aggregate contract); wave 5: bit builtins
+  * (`bitand/bitor/bitxor/bitnot/bitshl/bitshr/bitushr` → Catalyst
+  * bitwise operators) and `lastIndexOf` (reverse-trick compile,
+  * 0-based, -1 absent).
   * Literal `matches` patterns are
   * checked against a non-RE2 reject-list (backreferences, lookarounds,
   * atomic groups, possessive quantifiers) since expr-lang compiles Go
@@ -701,6 +704,26 @@ object EventFilter {
             s"CAST(graft_at($s, graft_len($a) div 2) AS DOUBLE)) / 2)"
         case "toBase64"   => arity(1); s"base64(${args(0)})"
         case "fromBase64" => arity(1); s"CAST(unbase64(${args(0)}) AS STRING)"
+        // expr-lang bit builtins → Catalyst bitwise operators (64-bit
+        // int semantics both sides; shifts take an INT distance)
+        case "bitand"  => arity(2); s"(${args(0)} & ${args(1)})"
+        case "bitor"   => arity(2); s"(${args(0)} | ${args(1)})"
+        case "bitxor"  => arity(2); s"(${args(0)} ^ ${args(1)})"
+        case "bitnot"  => arity(1); s"(~${args(0)})"
+        // value operand widened to BIGINT: Spark's shift on an INT uses
+        // 32-bit Java semantics (distance mod 32, zero-fill at bit 31),
+        // but expr-lang ints are 64-bit — an int literal must shift as one
+        case "bitshl"  => arity(2); s"shiftleft(CAST(${args(0)} AS BIGINT), CAST(${args(1)} AS INT))"
+        case "bitshr"  => arity(2); s"shiftright(CAST(${args(0)} AS BIGINT), CAST(${args(1)} AS INT))"
+        case "bitushr" => arity(2); s"shiftrightunsigned(CAST(${args(0)} AS BIGINT), CAST(${args(1)} AS INT))"
+        // last occurrence via the reverse trick (no lastIndexOf builtin
+        // in Catalyst): 0-based like indexOf, -1 when absent, null-
+        // propagating on null input (instr(NULL) is NULL both engines)
+        case "lastIndexOf" =>
+          arity(2)
+          val (s0, sub) = (args(0), args(1))
+          s"(CASE WHEN instr(reverse($s0), reverse($sub)) = 0 THEN -1 " +
+            s"ELSE length($s0) - instr(reverse($s0), reverse($sub)) - length($sub) + 1 END)"
         // sum via aggregate with a TYPE-CORRECT zero (first element × 0
         // keeps long arrays long — a literal 0.0 would force doubles and
         // lose exactness past 2^53). ONLY the empty array maps to 0: a

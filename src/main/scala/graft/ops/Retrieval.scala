@@ -100,9 +100,12 @@ object Retrieval {
     */
   def evalVsLexical(df: DataFrame, terms: Seq[String], queryText: String,
                     kRel: Int = 10, k: Int = 20, dim: Int = 64): DataFrame = {
-    val sparse = sparseTopK(df, terms, 50)
+    // pools must cover the deepest rank either metric reads — a fixed 50
+    // would silently truncate recall@k for k > 50
+    val pool = math.max(50, math.max(k, kRel))
+    val sparse = sparseTopK(df, terms, pool)
     val rel = sparse.filter(col("sparse_rank") <= kRel).select(col("doc_id"))
-    val dense = denseTopK(df, queryText, 50, dim)
+    val dense = denseTopK(df, queryText, pool, dim)
     val rrf = rrfFuse(sparse, dense, topK = k)
     def metrics(sys: String, top: DataFrame, rankCol: String): DataFrame =
       top.filter(col(rankCol) <= k)

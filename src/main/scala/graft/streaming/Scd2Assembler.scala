@@ -38,6 +38,12 @@ object Scd2Assembler {
     val out = Seq.newBuilder[ClosedVersion]
     for (e <- evs) {
       open.foreach { o =>
+        // fail-loud ordering guard: a batch delivering an lsn at or
+        // below the stored open version would emit an inverted interval
+        // and silently corrupt the dimension — the file source must feed
+        // lsn-monotone batches (WalSource's per-partition contract)
+        require(e.lsn > o.lsn,
+          s"SCD2 stream out of order for key $key: event lsn ${e.lsn} <= open version lsn ${o.lsn}")
         out += ClosedVersion(key, o.lsn, e.lsn, o.op, o.value, o.tsMs)
       }
       open = if (e.op == graft.model.Envelope.Op.Delete) None

@@ -187,8 +187,10 @@ class CdcSpec extends SparkSpec {
         val compact = Cdc.stateAtLsn(compacted, lit(at)).collect().map(_.toString).sorted
         assert(compact.sameElements(full), s"fence=$fence at=$at")
       }
-      // and it actually dropped history (unless every key below is distinct)
-      assert(compacted.count() <= wal.count())
+      // and it ACTUALLY dropped history: sf0.001 has repeated keys
+      // below every fence used, so strict inequality is assertable
+      assert(compacted.count() < wal.count(),
+        s"fence=$fence: compaction must drop shadowed events")
     }
   }
 

@@ -323,6 +323,29 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](EventFilter.translate("""fromJSON(name)"""))
   }
 
+  test("event filter wave 5: bit builtins and lastIndexOf") {
+    graft.GraftExtensions.registerTo(spark)
+    val df = Seq(("abcabc", 12L)).toDF("name", "n")
+    def ev(cond: String) = df.select(expr(EventFilter.translate(cond))).head
+    assert(ev("""bitand(n, 7)""").getLong(0) === 4L)
+    assert(ev("""bitor(n, 1)""").getLong(0) === 13L)
+    assert(ev("""bitxor(n, 5)""").getLong(0) === 9L)
+    assert(ev("""bitnot(n)""").getLong(0) === -13L)
+    assert(ev("""bitshl(n, 2)""").getLong(0) === 48L)
+    assert(ev("""bitshr(n, 2)""").getLong(0) === 3L)
+    assert(ev("""bitushr(bitshl(n, 1), 1)""").getLong(0) === 12L)
+    // 64-bit semantics on INT literals too: a 32-bit Java shift would
+    // wrap the distance mod 32 and yield 2 here
+    assert(ev("""bitshl(1, 33)""").getLong(0) === 8589934592L)
+    // lastIndexOf: 0-based like indexOf, -1 when absent, null-propagating
+    assert(ev("""lastIndexOf(name, "bc")""").getInt(0) === 4)
+    assert(ev("""lastIndexOf(name, "abc")""").getInt(0) === 3)
+    assert(ev("""lastIndexOf(name, "zz")""").getInt(0) === -1)
+    assert(ev("""lastIndexOf(name, "abcabc")""").getInt(0) === 0)
+    // agreement with indexOf on a unique substring
+    assert(ev("""lastIndexOf(name, "ca") == indexOf(name, "ca")""").getBoolean(0))
+  }
+
   test("event filter closures evaluate on array data") {
     val docs = Seq(
       (1L, Seq("alpha", "bravo", "charlie")),

@@ -474,5 +474,12 @@ class StreamingSpec extends SparkSpec {
       KeyEv(30L, 7L, "d", None, 300L)), s2).toSeq
     assert(out2.map(v => (v.valid_from_lsn, v.valid_to_lsn)) === Seq((20L, 30L)))
     assert(!s2.exists, "delete must remove the key's state")
+    // out-of-order lsn (at or below the open version) fails loud instead
+    // of emitting an inverted interval
+    val s3 = st(Some(OpenVersion(20L, "u", Some(2.0), 200L)))
+    intercept[IllegalArgumentException] {
+      Scd2Assembler.step(7L, Iterator(
+        KeyEv(15L, 7L, "u", Some(3.0), 150L)), s3).toSeq
+    }
   }
 }
