@@ -1445,6 +1445,27 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .select(col("lsn"), col("user_id"), col("op"))
         .orderBy(col("lsn"))),
 
+    "cdc_unwrap" -> ((s, dir) =>
+      // Debezium ExtractNewRecordState SMT (consumer-side): envelope →
+      // flat row (after.* + __op/__lsn/__source_ts_ms/__table), rewrite
+      // mode keeps deletes as soft-delete markers with null state —
+      // pure narrow projection, fuses into the scan
+      Cdc.unwrapNewRecordState(Cdc.walEvents(s, dir), deleteMode = "rewrite")
+        .orderBy(col("__lsn"))),
+
+    "cdc_incremental_snapshot" -> ((s, dir) => {
+      // DBLog/Debezium watermark-windowed incremental snapshot: chunk =
+      // 2nd user_id quartile as of the mid-stream low watermark, window
+      // = (max/2, 3·max/4] LSN; stream events supersede snapshot rows
+      // for touched keys. Bounds from one 1-row agg (documented tiny
+      // driver-side scalar, same class as the bm25 stats).
+      val wal = Cdc.walEvents(s, dir)
+      val b = wal.agg(max(col("lsn")).as("ml"), max(col("user_id")).as("mu")).head()
+      val (ml, mu) = (b.getLong(0), b.getLong(1))
+      Cdc.incrementalSnapshotChunk(wal, mu / 4, mu / 2, ml / 2, ml * 3 / 4)
+        .orderBy(col("lsn"), col("user_id"), col("op"))
+    }),
+
     "cdc_compact_log" -> ((s, dir) => {
       // Kafka-compacted-topic retention: below the mid-stream fence
       // only each key's last event survives; everything above passes
@@ -2669,6 +2690,46 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
          |SELECT w.lsn, w.user_id, w.op FROM wal w
          |WHERE w.user_id IN (SELECT user_id FROM alive)
          |ORDER BY w.lsn""".stripMargin,
+
+    // unwrap twin: flat projection with after-null-on-delete rules
+    "cdc_unwrap" ->
+      s"""SELECT user_id,
+         |  CASE WHEN op = 'd' THEN NULL ELSE value END AS value,
+         |  CASE WHEN op = 'd' THEN NULL ELSE props END AS props,
+         |  op AS __op, lsn AS __lsn, ts_ms AS __source_ts_ms,
+         |  'public.events' AS __table,
+         |  CASE WHEN op = 'd' THEN 'true' ELSE 'false' END AS __deleted
+         |FROM (SELECT event_id AS lsn, user_id, value, props,
+         |        epoch_ns(ts) // 1000000 AS ts_ms, $opCaseSql AS op
+         |      FROM events)
+         |WHERE op IN ('r','c','u','d') ORDER BY __lsn""".stripMargin,
+
+    // incremental-snapshot twin: fenced last-writer-wins state for the
+    // chunk, anti-joined against the window's touched keys, ∪ window
+    "cdc_incremental_snapshot" ->
+      s"""WITH b AS (SELECT max(event_id) AS ml, max(user_id) AS mu FROM events),
+         |wal AS (
+         |  SELECT event_id AS lsn, user_id, value,
+         |    epoch_ns(ts) // 1000000 AS ts_ms, $opCaseSql AS op
+         |  FROM events),
+         |win AS (SELECT w.* FROM wal w CROSS JOIN b
+         |        WHERE w.lsn > b.ml // 2 AND w.lsn <= b.ml * 3 // 4
+         |          AND w.op IN ('c','u','d')),
+         |state AS (SELECT * FROM (
+         |    SELECT w.*, row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+         |    FROM wal w CROSS JOIN b
+         |    WHERE w.lsn <= b.ml // 2 AND w.op IN ('r','c','u','d'))
+         |  WHERE rn = 1 AND op <> 'd'),
+         |chunk AS (SELECT s.* FROM state s CROSS JOIN b
+         |          WHERE s.user_id > b.mu // 4 AND s.user_id <= b.mu // 2),
+         |touched AS (SELECT DISTINCT w.user_id FROM win w CROSS JOIN b
+         |            WHERE w.user_id > b.mu // 4 AND w.user_id <= b.mu // 2)
+         |SELECT c.user_id, 'r' AS op, b.ml // 2 AS lsn, c.value, c.ts_ms
+         |FROM chunk c CROSS JOIN b
+         |WHERE c.user_id NOT IN (SELECT user_id FROM touched)
+         |UNION ALL
+         |SELECT user_id, op, lsn, value, ts_ms FROM win
+         |ORDER BY lsn, user_id, op""".stripMargin,
 
     // compaction twin: last-per-key below the fence ∪ all above
     "cdc_compact_log" ->

@@ -555,6 +555,78 @@ object Cdc {
   def forgetDeleted(wal: DataFrame, keyCol: String = "user_id"): DataFrame =
     wal.join(applyUpsert(wal, keyCol).select(col(keyCol)), Seq(keyCol), "left_semi")
 
+  /** Consumer-side single-message-transform parity — Debezium's
+    * `ExtractNewRecordState` ("unwrap"), the transform virtually every
+    * consumer of the reference's envelopes applies first: flatten the
+    * `{before, after, source, op, ts_ms}` envelope to a plain row =
+    * `after.*` + `__`-prefixed metadata columns. `after` is null on
+    * deletes (`spi/schema/eventschema.go:100-117` presence rules), so
+    * delete handling is a mode: `drop` discards delete records (the
+    * SMT's default), `rewrite` keeps them with a soft-delete marker
+    * `__deleted = "true"` and null state columns.
+    *
+    * Pure narrow projection + filter — fuses into the scan's
+    * whole-stage-codegen; zero shuffle at any scale.
+    */
+  def unwrapNewRecordState(wal: DataFrame, deleteMode: String = "drop"): DataFrame = {
+    val after = when(col("op") =!= Envelope.Op.Delete,
+      struct(col("value"), col("props"))) // null struct ⇒ null fields (after=null on d)
+    val unwrapped = wal
+      .filter(col("op").isin(Envelope.Op.Read, Envelope.Op.Create,
+        Envelope.Op.Update, Envelope.Op.Delete))
+      .withColumn("__after", after)
+      .select(
+        col("user_id"),
+        col("__after.value").as("value"),
+        col("__after.props").as("props"),
+        col("op").as("__op"),
+        col("lsn").as("__lsn"),
+        col("ts_ms").as("__source_ts_ms"),
+        concat(col("schema_name"), lit("."), col("table_name")).as("__table"),
+        (col("op") === Envelope.Op.Delete).as("__deleted"))
+    deleteMode match {
+      case "drop"    => unwrapped.filter(!col("__deleted")).drop("__deleted")
+      // the SMT renders the marker as a STRING field ("true"/"false")
+      case "rewrite" => unwrapped.withColumn("__deleted", col("__deleted").cast(StringType))
+      case other     => sys.error(s"unwrap: unknown delete.handling.mode '$other' (drop|rewrite)")
+    }
+  }
+
+  /** Incremental snapshot, DBLog-style (the watermark-windowed chunk
+    * algorithm Debezium adopted for snapshots that run CONCURRENTLY with
+    * the stream — the scale path the reference's stop-the-world initial
+    * snapshot lacks): snapshot one key-range chunk `(keyLo, keyHi]` as
+    * of the low-watermark LSN, then let any stream event for the same
+    * key inside the `(lsnLo, lsnHi]` watermark window SUPERSEDE the
+    * snapshot row (the stream value is newer by construction; emitting
+    * both would reorder a key's history). Output = surviving snapshot
+    * rows as op `r` at the low watermark + the window's live events,
+    * exactly DBLog's "buffer chunk, evict on stream hit, flush at high
+    * watermark".
+    *
+    * Scale shape: the chunk's state is [[stateAtLsn]] (one partial-agg
+    * shuffle over only the fenced slice), the supersede check is a
+    * left-anti join on the key against the window's (tiny, time-bounded)
+    * touched-key set — broadcastable since a watermark window spans
+    * seconds of WAL, not history.
+    */
+  def incrementalSnapshotChunk(wal: DataFrame, keyLo: Long, keyHi: Long,
+                               lsnLo: Long, lsnHi: Long,
+                               keyCol: String = "user_id"): DataFrame = {
+    val window = wal.filter(col("lsn") > lsnLo && col("lsn") <= lsnHi &&
+      col("op").isin(Envelope.Op.Create, Envelope.Op.Update, Envelope.Op.Delete))
+    val windowKeys = window
+      .filter(col(keyCol) > keyLo && col(keyCol) <= keyHi)
+      .select(col(keyCol)).distinct()
+    val snap = stateAtLsn(wal, lit(lsnLo), keyCol)
+      .filter(col(keyCol) > keyLo && col(keyCol) <= keyHi)
+      .join(broadcast(windowKeys), Seq(keyCol), "left_anti")
+      .select(col(keyCol), lit(Envelope.Op.Read).as("op"), lit(lsnLo).as("lsn"),
+        col("value"), col("ts_ms"))
+    snap.unionByName(
+      window.select(col(keyCol), col("op"), col("lsn"), col("value"), col("ts_ms")))
+  }
+
   /** Per-chunk partial aggregate state for [[caggRefresh]]: count +
     * integer-micro value sum of INSERT events (fixed point is the
     * cross-engine exactness posture; sum/count are the delta-mergeable

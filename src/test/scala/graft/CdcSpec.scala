@@ -201,4 +201,40 @@ class CdcSpec extends SparkSpec {
     // and at fence 0 only lsn-0's key can exist
     assert(Cdc.stateAtLsn(wal, lit(0L)).count() <= 1)
   }
+
+  test("unwrapNewRecordState: drop mode removes deletes, rewrite soft-deletes") {
+    val dropped = Cdc.unwrapNewRecordState(wal, "drop")
+    assert(dropped.filter(col("__op") === "d").count() === 0)
+    assert(!dropped.columns.contains("__deleted"))
+    val rewritten = Cdc.unwrapNewRecordState(wal, "rewrite")
+    val dels = rewritten.filter(col("__deleted") === "true")
+    assert(dels.count() === wal.filter(col("op") === "d").count())
+    // after = null on delete ⇒ state columns are null, key survives
+    assert(dels.filter(col("value").isNotNull || col("props").isNotNull).count() === 0)
+    assert(dels.filter(col("user_id").isNull).count() === 0)
+    intercept[RuntimeException](Cdc.unwrapNewRecordState(wal, "bogus"))
+  }
+
+  test("incrementalSnapshotChunk: DBLog invariant — replaying chunk output " +
+    "reproduces the state at the high watermark") {
+    val (keyLo, keyHi, lsnLo, lsnHi) = (20L, 60L, 400L, 700L)
+    val out = Cdc.incrementalSnapshotChunk(wal, keyLo, keyHi, lsnLo, lsnHi)
+    // snapshot rows only for untouched keys, and never outside the chunk
+    val snapRows = out.filter(col("op") === "r")
+    assert(snapRows.filter(col("user_id") <= keyLo || col("user_id") > keyHi).count() === 0)
+    val touched = out.filter(col("op") =!= "r")
+      .filter(col("user_id") > keyLo && col("user_id") <= keyHi)
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(snapRows.filter(col("user_id").isin(touched.toSeq: _*)).count() === 0,
+      "a stream-touched key must not also emit a snapshot row")
+    // the DBLog contract: last-writer-wins replay of the output,
+    // restricted to the chunk, equals stateAtLsn(hi) on the chunk
+    val replayed = Cdc.applyUpsert(out)
+      .filter(col("user_id") > keyLo && col("user_id") <= keyHi)
+      .select("user_id", "value").collect().map(_.toString).sorted
+    val expected = Cdc.stateAtLsn(wal, lit(lsnHi))
+      .filter(col("user_id") > keyLo && col("user_id") <= keyHi)
+      .select("user_id", "value").collect().map(_.toString).sorted
+    assert(replayed.sameElements(expected))
+  }
 }
