@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.cdc.Cdc
 import graft.catalog.TableFilter
 import graft.model.Envelope
-import graft.ops.{Dedup, Ingest, Retrieval, Sampling, Similarity, TextAnalysis, Web}
+import graft.ops.{Dedup, Graph, Ingest, Retrieval, Sampling, Similarity, TextAnalysis, Web}
 import graft.types.PgConverters
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1329,6 +1329,25 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // page collapse to one key (zero shuffle before the one groupBy)
       Web.urlDedup(Tables.documents(s, dir), synthUrl)
         .orderBy(col("url_norm"))),
+
+    "web_pagerank" -> ((s, dir) => {
+      // link-graph centrality for corpus weighting: 5 synchronous
+      // integer-fixed-point PageRank iterations over a deterministic
+      // 3-out-link graph (dst = (id·a+b) mod N, the N scalar rides as a
+      // broadcast — no driver action). Static edges repartitioned once
+      // on src; each iteration = one rank join + one partial-agg.
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val n = ids.agg((max(col("doc_id")) + 1).as("__n"))
+      val edges = ids.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"), explode(array(
+          pmod(col("doc_id") * 31 + 7, col("__n")),
+          pmod(col("doc_id") * 17 + 3, col("__n")),
+          pmod(col("doc_id") * 13 + 11, col("__n")))).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      Graph.pageRankInt(edges, iters = 5)
+        .select(col("node").as("doc_id"), col("rank"))
+        .orderBy(col("doc_id"))
+    }),
 
     "web_domain_stats" -> ((s, dir) =>
       // corpus mass per registrable domain (PSL-approximate: co.uk-
@@ -3972,6 +3991,30 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
          |        ELSE '' END) AS url_norm FROM n)
          |SELECT url_norm, count(*) AS n_docs, min(doc_id) AS keeper
          |FROM k GROUP BY url_norm ORDER BY url_norm""".stripMargin,
+
+    // pagerank twin: the identical integer iterations, unrolled
+    "web_pagerank" -> {
+      val iterCtes = (1 to 5).map { i =>
+        val prev = if (i == 1) "r0" else s"r${i - 1}"
+        s"""r$i AS (SELECT n.node,
+           |    CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, SUM(r.rank // o.outdeg) AS s
+           |    FROM e JOIN outd o ON e.src = o.src JOIN $prev r ON r.node = e.src
+           |    GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+         |e AS (SELECT DISTINCT src, dst FROM (
+         |    SELECT doc_id AS src, (doc_id*31+7) % n AS dst FROM documents CROSS JOIN nn
+         |    UNION ALL SELECT doc_id, (doc_id*17+3) % n FROM documents CROSS JOIN nn
+         |    UNION ALL SELECT doc_id, (doc_id*13+11) % n FROM documents CROSS JOIN nn)
+         |  WHERE src <> dst),
+         |outd AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+         |$iterCtes
+         |SELECT node AS doc_id, rank FROM r5 ORDER BY doc_id""".stripMargin
+    },
 
     "web_domain_stats" ->
       s"""WITH b AS (SELECT doc_id, text, $synthHostSql AS hb FROM documents),

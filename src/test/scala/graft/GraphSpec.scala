@@ -1,0 +1,50 @@
+package graft
+
+import graft.ops.Graph
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("pageRankInt: a ring is a fixed point — every rank stays exactly at scale") {
+    // outdeg 1 everywhere: next = 150000 + 85·1000000 div 100 = 1000000
+    val n = 10
+    val ring = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong)).toDF("src", "dst")
+    val ranks = Graph.pageRankInt(ring, iters = 4).collect()
+    assert(ranks.length === n)
+    assert(ranks.forall(_.getAs[Long]("rank") === 1000000L))
+  }
+
+  test("pageRankInt: hub of a star outranks the leaves, monotonically in iters") {
+    val leaves = (1L to 20L)
+    val star = leaves.map(l => (l, 0L)).toDF("src", "dst") // all point at hub 0
+    def hubRank(iters: Int): Long =
+      Graph.pageRankInt(star, iters).filter(col("node") === 0L)
+        .head().getAs[Long]("rank")
+    val r1 = hubRank(1); val r2 = hubRank(2)
+    // after one iteration the hub holds the teleport share + 85% of the
+    // 20 leaves' full initial mass; leaves (no in-edges) fall to teleport
+    assert(r1 === 150000L + 85L * 20L * 1000000L / 100L)
+    // hub rank can only shrink once leaves have dropped to teleport mass,
+    // but must stay far above any leaf
+    val leafRank = Graph.pageRankInt(star, 2).filter(col("node") === 1L)
+      .head().getAs[Long]("rank")
+    assert(r2 > leafRank * 10)
+    assert(leafRank === 150000L) // dangling hub contributes nothing back
+  }
+
+  test("pageRankInt: result is invariant to input partitioning (exact integers)") {
+    val edges = (0L until 60L).map(i => (i, (i * 7 + 3) % 60)).filter(t => t._1 != t._2)
+    val a = Graph.pageRankInt(edges.toDF("src", "dst").repartition(13), 3)
+      .collect().map(_.toString).sorted
+    val b = Graph.pageRankInt(edges.toDF("src", "dst").coalesce(1), 3)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("pageRankInt: rejects a damping numerator above the denominator") {
+    intercept[IllegalArgumentException](
+      Graph.pageRankInt(Seq((1L, 2L)).toDF("src", "dst"), 1, dampNum = 101))
+  }
+}
