@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{FloatVecDot, FloatVecNorm2, FnvHash64, NGramsJoin,
-  PolyAt, PolyIn, PolyLen, PolySlice}
+  PolyAt, PolyIn, PolyLen, PolySlice, UnicodeNormalize}
 
 /** SparkSessionExtensions hook — registers the engine's custom Catalyst
   * expressions as SQL functions so `spark.sql("SELECT vec_dot(a, b) …")`
@@ -55,6 +55,17 @@ object GraftExtensions {
             s"ngrams_join(tokens, n): n must be an integer literal, got $other")
         }
         NGramsJoin(children(0), n)
+      }),
+    (FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+      (children: Seq[Expression]) => {
+        val form = children match {
+          case Seq(_) => "NFC"
+          case Seq(_, org.apache.spark.sql.catalyst.expressions.Literal(f, _)) => f.toString
+          case _ => throw new IllegalArgumentException(
+            "unicode_normalize(s[, form]) expects 1-2 arguments, form a string literal")
+        }
+        UnicodeNormalize(children.head, form)
       }))
 
   /** Attach to an already-built session (the extensions path only

@@ -2147,6 +2147,23 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("norm_hash"))
     }),
 
+    "dedup_unicode_nfc" -> ((s, dir) => {
+      // canonical-form dedup: the SAME text arrives precomposed (U+00E9)
+      // and decomposed (e + U+0301) — byte-hash dedup sees 2 docs, the
+      // codegen unicode_normalize(NFC) key merges them. Variants are
+      // synthesized per doc (both forms of an accented suffix); the
+      // countDistinct pair proves raw keys split where NFC keys fuse.
+      import graft.functions.TextFunctions
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(array(
+          concat(col("text"), lit(" café")),
+          concat(col("text"), lit(" café")))).as("raw"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("raw")).as("n_raw"),
+          countDistinct(TextFunctions.unicode_normalize(col("raw"))).as("n_nfc"))
+        .orderBy(col("doc_id"))
+    }),
+
     "dedup_containment" -> ((s, dir) => {
       // containment near-dups: a doc 80%-contained in another is a dup
       // even when symmetric Jaccard dilutes below any threshold
@@ -4880,6 +4897,15 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY norm_hash""".stripMargin,
+
+    // NFC twin: DuckDB's nfc_normalize on the same synthesized variants
+    "dedup_unicode_nfc" ->
+      """WITH v AS (SELECT doc_id,
+        |  unnest([text || ' caf' || chr(233), text || ' cafe' || chr(769)]) AS raw
+        |  FROM documents)
+        |SELECT doc_id, CAST(count(DISTINCT raw) AS BIGINT) AS n_raw,
+        |  CAST(count(DISTINCT nfc_normalize(raw)) AS BIGINT) AS n_nfc
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // winnow-prune twin: the pairs CTE + right-side anti-join
     "dedup_winnow_prune" ->

@@ -143,10 +143,60 @@ object HashEmbedVec {
   }
 }
 
+/** Unicode normalization (java.text.Normalizer) as a codegen scalar —
+  * Spark ships no normalizer builtin, yet byte-level dedup keys are
+  * wrong without one: the SAME text arrives both precomposed (NFC) and
+  * decomposed (NFD, common from mac filesystems and some OCR/extraction
+  * stacks), and hash-dedup then sees two distinct documents. Normalizing
+  * to a canonical form before hashing is the standard first step of
+  * exact dedup on web corpora.
+  *
+  * The ASCII fast path (`Normalizer.isNormalized` is O(n) with no
+  * allocation, and true for all-ASCII) makes the common case nearly
+  * free; only genuinely decomposed strings pay for re-composition.
+  */
+case class UnicodeNormalize(child: Expression, form: String) extends UnaryExpression {
+  private val normForm = java.text.Normalizer.Form.valueOf(form) // fail at plan time
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"unicode_normalize requires string, got $t")
+    }
+
+  override protected def nullSafeEval(s: Any): Any =
+    UnicodeNormalize.compute(s.asInstanceOf[UTF8String], normForm)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val formRef = ctx.addReferenceObj("form", normForm,
+      classOf[java.text.Normalizer.Form].getName)
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.UnicodeNormalize.compute($s, $formRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object UnicodeNormalize {
+  def compute(s: UTF8String, form: java.text.Normalizer.Form): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, form)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, form))
+  }
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graft.ColumnBridge._
   def ngrams_join(tokens: Column, n: Int): Column =
     column(NGramsJoin(expression(tokens), n))
   def hash_embed(tokens: Column, dim: Int): Column =
     column(HashEmbedVec(expression(tokens), dim))
+  def unicode_normalize(s: Column, form: String = "NFC"): Column =
+    column(UnicodeNormalize(expression(s), form))
 }

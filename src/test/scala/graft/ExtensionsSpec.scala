@@ -46,4 +46,28 @@ class ExtensionsSpec extends SparkSpec {
     val e = intercept[Exception] { spark.sql("SELECT graft_len(42)").collect() }
     assert(e.getMessage.contains("len requires"))
   }
+
+  test("unicode_normalize merges NFC/NFD forms; codegen and HOF paths agree") {
+    import graft.functions.TextFunctions.unicode_normalize
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val pre = "café"        // precomposed
+    val dec = "café"       // decomposed (combining acute)
+    assert(pre != dec)
+    val df = Seq((1, pre), (2, dec), (3, null: String)).toDF("id", "s")
+    val out = df.select(col("id"), unicode_normalize(col("s")).as("n")).collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out(1) === pre && out(2) === pre, "both forms normalize to NFC")
+    assert(out(3) === null, "null-intolerant: null in, null out")
+    // NFD round-trip via the form parameter; bad form fails at plan time
+    val nfd = df.filter(col("id") === 1)
+      .select(unicode_normalize(col("s"), "NFD")).head.getString(0)
+    assert(nfd === dec)
+    intercept[IllegalArgumentException](unicode_normalize(col("s"), "NFX"))
+    // interpreted path (inside a HOF lambda) matches codegen
+    val hof = df.filter(col("id") === 2)
+      .select(transform(array(col("s")), v => unicode_normalize(v)).as("a"))
+      .head.getSeq[String](0)
+    assert(hof === Seq(pre))
+  }
 }
