@@ -55,13 +55,18 @@ object Bench {
       rs.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // the headline total counts ONLY clean queries: an errored query's
+    // (fast) failure time would otherwise deflate the total and make a
+    // broken run read as a perf baseline (round-5 postmortem)
+    val ok = results.filter(_._3.isEmpty)
+    val total = ok.map(_._2).sum
+    val nOk = ok.length
     // Full per-query detail goes to a FILE: the harness that collects this
     // run keeps only a short tail of stdout, and a 170-query map does not
     // fit — the stdout line carries the total, error states, and a fixed
     // family-representative headline subset, and points at the detail file.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
-    val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"queries":${qmap(results)},"errors":$errs,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"n_ok":$nOk,"queries":${qmap(results)},"errors":$errs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       detail.getBytes("UTF-8"))
     val headline = Set(
@@ -81,7 +86,7 @@ object Bench {
       "vocab_bpe_encode", "multimodal_resize", "multimodal_video",
       "web_url_dedup", "events_sessionize", "events_funnel")
     val head = results.filter(r => headline(r._1))
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"queries":${qmap(head)},"errors":$errs,"detail":"$detailPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"n_ok":$nOk,"queries":${qmap(head)},"errors":$errs,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }

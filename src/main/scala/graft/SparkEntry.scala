@@ -1664,6 +1664,16 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .select(col("lsn"), col("user_id"), col("props"))
         .orderBy(col("lsn"))),
 
+    "cdc_filter_wave6" -> ((s, dir) =>
+      // wave-6 dialect surface: fromJSON (columnar map<string,string>
+      // reading), toJSON, toPairs/fromPairs (native entry structs), and
+      // splitAfter — the whole predicate stays one codegen projection
+      graft.filter.EventFilter(
+        """int(get(fromJSON(value.props), "k")) >= 40 && len(toPairs(fromJSON(value.props))) == 1 && get(fromPairs(toPairs(fromJSON(value.props))), "k") == get(fromJSON(value.props), "k") && len(splitAfter(value.event_type, "e")) >= 2 && first(splitAfter(value.event_type, "e")) != "e" && len(toJSON(keys(fromJSON(value.props)))) == 5""")
+        .apply(Cdc.walEvents(s, dir))
+        .select(col("lsn"), col("user_id"), col("event_type"), col("props"))
+        .orderBy(col("lsn"))),
+
     "cdc_filter_closures" -> ((s, dir) => {
       // expr-lang array closures (# placeholder, brace shorthand, nested
       // map-inside-count) compiled to Catalyst higher-order functions —
@@ -2987,6 +2997,17 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |       ELSE length(props) - strpos(reverse(props), reverse('1')) - length('1') + 1 END) >= 2
         |  AND (CASE WHEN strpos(reverse(props), reverse('zz')) = 0 THEN -1
         |       ELSE length(props) - strpos(reverse(props), reverse('zz')) - length('zz') + 1 END) = -1
+        |ORDER BY lsn""".stripMargin,
+
+    "cdc_filter_wave6" ->
+      """WITH e AS (SELECT event_id AS lsn, user_id, event_type, props FROM events)
+        |SELECT lsn, user_id, event_type, props FROM e
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 40
+        |  AND len(json_keys(props)) = 1
+        |  AND json_extract_string(props, '$.k') = json_extract_string(props, '$.k')
+        |  AND len(string_split(event_type, 'e')) >= 2
+        |  AND NOT starts_with(event_type, 'e')
+        |  AND length(to_json(json_keys(props))) = 5
         |ORDER BY lsn""".stripMargin,
 
     "cdc_filter_closures" ->

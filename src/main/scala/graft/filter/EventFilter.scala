@@ -770,6 +770,32 @@ object EventFilter {
             s"WHEN typeof($a) LIKE 'array%' THEN 'array' " +
             s"WHEN typeof($a) LIKE 'map%' OR typeof($a) LIKE 'struct%' THEN 'map' " +
             s"ELSE typeof($a) END)"
+        // map ↔ pairs: the dialect reads structs as maps, so Spark's
+        // native entry structs ARE expr-lang pairs — no re-encoding
+        case "toPairs"   => arity(1); s"map_entries(${args(0)})"
+        case "fromPairs" => arity(1); s"map_from_entries(${args(0)})"
+        // splitAfter keeps the separator attached to every piece but the
+        // last (expr-lang contract); literal-only like split. The split
+        // subtree appears twice (length probe + transform input) — pure
+        // expression, duplication is work not semantics
+        case "splitAfter" =>
+          arity(2)
+          val sep = litArgs(1).getOrElse(
+            fail("splitAfter separator must be a string literal in the columnar subset"))
+          val q = sqlString(java.util.regex.Pattern.quote(sep))
+          val parts = s"split(${args(0)}, $q, -1)"
+          val v = s"x${lambdaSeq}_"; val i = s"i${lambdaSeq}_"
+          lambdaSeq += 1
+          s"transform($parts, ($v, $i) -> " +
+            s"IF($i = graft_len($parts) - 1, $v, concat($v, ${args(1)})))"
+        // toJSON over the dialect's composite values (maps/structs/
+        // arrays — Spark's to_json domain; a scalar argument fails at
+        // analysis, matching the fail-loud stance). fromJSON is the
+        // COLUMNAR-SUBSET reading: JSON objects of string values →
+        // map<string,string> (the envelope's hstore/tags shape); full
+        // dynamic decoding has no typed columnar equivalent
+        case "toJSON"   => arity(1); s"to_json(${args(0)})"
+        case "fromJSON" => arity(1); s"from_json(${args(0)}, 'map<string,string>')"
         case other =>
           fail(s"unsupported function '$other' (expr-lang builtin outside the columnar subset)")
       }
