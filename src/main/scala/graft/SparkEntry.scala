@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.cdc.Cdc
 import graft.catalog.TableFilter
 import graft.model.Envelope
-import graft.ops.{Dedup, Graph, Ingest, Retrieval, Sampling, Similarity, TextAnalysis, Web}
+import graft.ops.{Dedup, Graph, Ingest, Learn, Retrieval, Sampling, Similarity, TextAnalysis, Web}
 import graft.types.PgConverters
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -138,6 +138,33 @@ object SparkEntry {
   private val opCaseSql =
     """CASE event_type WHEN 'signup' THEN 'c' WHEN 'purchase' THEN 'u'
       |    WHEN 'error' THEN 'd' WHEN 'view' THEN 'r' ELSE 'm' END""".stripMargin
+
+  /** Unrolled batch-perceptron CTE chain (Learn.perceptronTrain twin):
+    * sparse token-shape features + bias, zero weights, then per
+    * iteration margins → misclassified gradient → weight update, all
+    * exact integers. */
+  private def perceptronCtes(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""m$i AS (SELECT f.doc_id, f.y, SUM(f.xv * w.w) AS margin
+         |  FROM f JOIN w${i - 1} w USING (pos) GROUP BY 1, 2),
+         |g$i AS (SELECT f.pos, SUM(f.y * f.xv) AS g FROM f
+         |  JOIN (SELECT doc_id FROM m$i WHERE y * margin <= 0) d USING (doc_id)
+         |  GROUP BY 1),
+         |w$i AS (SELECT w.pos, CAST(w.w + COALESCE(g.g, 0) AS BIGINT) AS w
+         |  FROM w${i - 1} w LEFT JOIN g$i g USING (pos))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH f AS (
+       |  SELECT doc_id, CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
+       |    CAST(length(tok) % 8 AS INT) AS pos, CAST(count(*) AS BIGINT) AS xv
+       |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY 1, 2, 3
+       |  UNION ALL
+       |  SELECT doc_id, CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT),
+       |    8, 1 FROM documents),
+       |w0 AS (SELECT CAST(unnest(generate_series(0, 8)) AS INT) AS pos,
+       |              CAST(0 AS BIGINT) AS w),
+       |$steps""".stripMargin
+  }
 
   /** DuckDB sequential-fold dot product over two list columns (parity
     * with Similarity.dot's aggregate/zip_with left fold). */
@@ -461,6 +488,18 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .agg(sum(cents(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
+
+    "q_cube_events" -> ((s, dir) =>
+      // the full grouping-sets lattice (CUBE) + grouping_id — the §2.4
+      // "Catalyst built-ins" claim made checkable: one expand+agg, the
+      // 4 grouping sets share a single shuffle
+      Cdc.walEvents(s, dir)
+        .cube(col("event_type"), expr("user_id div 20").as("user_band"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(floor(value * 1000000 + 0.5) as bigint)")).as("sum_micros"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("event_type").asc_nulls_first,
+          col("user_band").asc_nulls_first)),
 
     "q_pivot_events" -> ((s, dir) => {
       // PIVOT with an explicit value list (the only scale-sane form —
@@ -1205,6 +1244,22 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
           TextAnalysis.classifierScoreMilli("text").as("score_milli"))
         .withColumn("kept", col("score_milli") > 0)
         .orderBy(col("doc_id"))),
+
+    "classifier_perceptron" -> ((s, dir) =>
+      // TRAINED quality/lang filter (vs text_classifier's fixed
+      // weights): 3 synchronous batch-perceptron passes over sparse
+      // integer features — exact-integer updates, broadcast weight
+      // vector, unrolled-SQL oracle parity
+      Learn.perceptronTrain(
+          Learn.perceptronFeatures(Tables.documents(s, dir)), iters = 3)
+        .orderBy(col("pos"))),
+
+    "classifier_perceptron_eval" -> ((s, dir) => {
+      // training-set confusion of the trained hyperplane (ties = errors)
+      val feats = Learn.perceptronFeatures(Tables.documents(s, dir))
+      Learn.perceptronEval(feats, Learn.perceptronTrain(feats, iters = 3))
+        .orderBy(col("y"))
+    }),
 
     "chunk_documents" -> ((s, dir) =>
       TextAnalysis.chunk(Tables.documents(s, dir), width = 32, overlap = 8)
@@ -2520,6 +2575,16 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
+    // cube twin: DuckDB CUBE + GROUPING() (standard bit order: leftmost
+    // column = most significant bit, 1 when aggregated away)
+    "q_cube_events" ->
+      s"""SELECT event_type, user_id // 20 AS user_band, COUNT(*) AS n,
+         |  CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micros,
+         |  CAST(GROUPING(event_type, user_id // 20) AS BIGINT) AS gid
+         |FROM events
+         |GROUP BY CUBE (event_type, user_id // 20)
+         |ORDER BY gid, event_type ASC NULLS FIRST, user_band ASC NULLS FIRST""".stripMargin,
+
     "q_min_cost_supplier" ->
       """SELECT s_nationkey, s_suppkey, s_name FROM supplier s
         |WHERE s_acctbal = (SELECT MIN(s2.s_acctbal) FROM supplier s2
@@ -3713,6 +3778,18 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |SELECT doc_id, CAST(sum(w) AS BIGINT) AS score_milli,
         |  CAST(sum(w) AS BIGINT) > 0 AS kept
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "classifier_perceptron" ->
+      s"""${perceptronCtes(3)}
+         |SELECT pos, w FROM w3 ORDER BY pos""".stripMargin,
+
+    "classifier_perceptron_eval" ->
+      s"""${perceptronCtes(3)},
+         |mf AS (SELECT f.doc_id, f.y, SUM(f.xv * w.w) AS margin
+         |  FROM f JOIN w3 w USING (pos) GROUP BY 1, 2)
+         |SELECT y, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN y * margin > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+         |FROM mf GROUP BY y ORDER BY y""".stripMargin,
 
     "chunk_documents" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
