@@ -1220,6 +1220,12 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // JL random projection 64→8 dims; shuffle-free per-row map
       Similarity.randomProject(Tables.embeddings(s, dir)).orderBy(col("vec_id"))),
 
+    "embed_power_iteration" -> ((s, dir) =>
+      // 1-component PCA direction via 3 integer power iterations (two
+      // sparse matvecs + max-|w| renorm per round, broadcast direction)
+      Similarity.powerIterationTop(Tables.embeddings(s, dir), iters = 3)
+        .orderBy(col("pos"))),
+
     "ann_pq_codes" -> ((s, dir) =>
       // product-quantization encode; zero corpus shuffle
       Similarity.pqCodes(Tables.embeddings(s, dir))
@@ -3747,6 +3753,29 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         s"${duckDot("embedding", lst)} AS p$j"
       }.mkString(",\n")
       s"SELECT vec_id,\n$cols\nFROM embeddings ORDER BY vec_id"
+    },
+
+    // power-iteration twin: identical integer matvecs + sign-safe renorm
+    "embed_power_iteration" -> {
+      val steps = (1 to 3).map { i =>
+        s"""s$i AS (SELECT x.vec_id, SUM(x.xq * v.v) AS s
+           |  FROM x JOIN v${i - 1} v USING (pos) GROUP BY 1),
+           |w$i AS (SELECT x.pos, SUM(s.s * x.xq) AS w
+           |  FROM x JOIN s$i s USING (vec_id) GROUP BY 1),
+           |n$i AS (SELECT MAX(ABS(w)) AS m FROM w$i),
+           |v$i AS (SELECT pos, CAST(CASE WHEN m = 0 THEN 0
+           |    WHEN w < 0 THEN -((ABS(w) * 1000) // m)
+           |    ELSE (ABS(w) * 1000) // m END AS BIGINT) AS v
+           |  FROM w$i CROSS JOIN n$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH x AS (SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+         |    CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000.0 + 0.5)
+         |         AS BIGINT) AS xq
+         |  FROM embeddings CROSS JOIN range(1, 65) t(i)),
+         |v0 AS (SELECT CAST(i - 1 AS INT) AS pos, CAST(1000 AS BIGINT) AS v
+         |  FROM range(1, 65) t(i)),
+         |$steps
+         |SELECT pos, v FROM v3 ORDER BY pos""".stripMargin
     },
 
     // centroid twin: floor(c*1e6+0.5) micros summed as BIGINT — integer

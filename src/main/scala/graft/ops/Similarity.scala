@@ -660,4 +660,45 @@ object Similarity {
         sum(floor(col("comp").cast("double") * 1000000.0d + 0.5d).cast("long"))
           .as("comp_micros_sum"),
         count(lit(1)).as("n"))
+
+  /** Top principal direction of the embedding cloud by POWER ITERATION
+    * in integer fixed point — the dominant eigenvector of XᵀX, the
+    * 1-component PCA every embedding-drift / whitening pass starts
+    * from. Vectors quantize to milli-units once; each iteration is two
+    * sparse matvecs (`s = X v`, `w = Xᵀ s`) as plain equi-join +
+    * partial-agg sums, then an integer renormalization to ±1000 via the
+    * max-|component| (sign-safe truncating division — Spark `div` and a
+    * positive-only `//` agree; raw `//` on negatives would floor where
+    * `div` truncates). Every step is an order-independent integer sum,
+    * so the unrolled SQL oracle hash-matches.
+    *
+    * Scale shape: the direction vector (dim rows) broadcasts; the
+    * corpus never shuffles except the two partial aggs. Overflow
+    * headroom: |s| ≤ dim·maxq·1000, |w| ≤ n·|s|·maxq — past ~10⁸ rows
+    * rescale `s` (divide by a power of two) before the second matvec;
+    * documented, not needed at bench scale.
+    */
+  def powerIterationTop(emb: DataFrame, iters: Int, dim: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    val x = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"), col("pos"),
+        floor(col("xf").cast("double") * 1000.0d + 0.5d).cast("long").as("xq"))
+    var v = spark.range(dim)
+      .select(col("id").cast("int").as("pos"), lit(1000L).as("v"))
+    for (_ <- 1 to iters) {
+      val s = x.join(broadcast(v), "pos")
+        .groupBy(col("vec_id")).agg(sum(col("xq") * col("v")).as("s"))
+      val w = x.join(s, "vec_id")
+        .groupBy(col("pos")).agg(sum(col("s") * col("xq")).as("w"))
+      val m = w.agg(max(abs(col("w"))).as("m"))
+      v = w.crossJoin(broadcast(m))
+        .select(col("pos"), expr(
+          "CASE WHEN m = 0 THEN CAST(0 AS BIGINT) " +
+            "WHEN w < 0 THEN -((abs(w) * 1000) div m) " +
+            "ELSE (abs(w) * 1000) div m END").as("v"))
+        .localCheckpoint(eager = false)
+    }
+    v
+  }
 }

@@ -2286,4 +2286,24 @@ class OpsSpec extends SparkSpec {
     assert(stats.length === 1 && stats(0).getAs[Long]("n_lines") === 5L
       && stats(0).getAs[Long]("n_corrupt") === 3L)
   }
+
+  test("powerIterationTop finds a planted dominant direction; partition-invariant") {
+    import spark.implicits._
+    // 40 vectors ≈ ±(axis 2) with small deterministic noise on axis 5:
+    // the dominant eigenvector of XᵀX is axis 2 regardless of sign flips
+    val emb = (0 until 40).map { i =>
+      val v = Array.fill(8)(0.0f)
+      v(2) = if (i % 2 == 0) 1.0f else -1.0f
+      v(5) = (i % 3 - 1) * 0.05f
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val dir = graft.ops.Similarity.powerIterationTop(emb, iters = 3, dim = 8)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(math.abs(dir(2)) === 1000L, "dominant axis pinned to the renorm bound")
+    assert(dir.filterNot(_._1 == 2).values.forall(v => math.abs(v) < 200L),
+      "off-axis components stay small")
+    val dir2 = graft.ops.Similarity.powerIterationTop(emb.repartition(7), 3, dim = 8)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(dir === dir2, "exact integers ⇒ partitioning-invariant")
+  }
 }
