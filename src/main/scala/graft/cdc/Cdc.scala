@@ -568,14 +568,15 @@ object Cdc {
     * Pure narrow projection + filter — fuses into the scan's
     * whole-stage-codegen; zero shuffle at any scale.
     */
-  def unwrapNewRecordState(wal: DataFrame, deleteMode: String = "drop"): DataFrame = {
+  def unwrapNewRecordState(wal: DataFrame, deleteMode: String = "drop",
+                           passthrough: Seq[String] = Nil): DataFrame = {
     val after = when(col("op") =!= Envelope.Op.Delete,
       struct(col("value"), col("props"))) // null struct ⇒ null fields (after=null on d)
     val unwrapped = wal
       .filter(col("op").isin(Envelope.Op.Read, Envelope.Op.Create,
         Envelope.Op.Update, Envelope.Op.Delete))
       .withColumn("__after", after)
-      .select(
+      .select(Seq(
         col("user_id"),
         col("__after.value").as("value"),
         col("__after.props").as("props"),
@@ -583,7 +584,8 @@ object Cdc {
         col("lsn").as("__lsn"),
         col("ts_ms").as("__source_ts_ms"),
         concat(col("schema_name"), lit("."), col("table_name")).as("__table"),
-        (col("op") === Envelope.Op.Delete).as("__deleted"))
+        (col("op") === Envelope.Op.Delete).as("__deleted")) ++
+        passthrough.map(col): _*)
     deleteMode match {
       case "drop"    => unwrapped.filter(!col("__deleted")).drop("__deleted")
       // the SMT renders the marker as a STRING field ("true"/"false")

@@ -228,8 +228,20 @@ object ConfigPipeline {
     val filtered = eventFilters(props).foldLeft(selected)((df, f) => f.apply(df))
     val named = filtered.withColumn("topic",
       Envelope.topicName(prefix, col("schema_name"), col("table_name")))
-    if (bool(props, "sink.tombstone", default = false)) Cdc.withTombstones(named)
-    else named
+    val withTomb =
+      if (bool(props, "sink.tombstone", default = false)) Cdc.withTombstones(named)
+      else named
+    // Debezium SMT surface: `transforms.unwrap` applies
+    // ExtractNewRecordState LAST (after filters/naming/tombstones, the
+    // SMT position in a Debezium chain); delete records follow
+    // `transforms.unwrap.delete.handling.mode` (drop|rewrite) — drop
+    // also drops tombstone fan-out rows, Debezium's drop.tombstones
+    // default. The topic column rides through for the sink dispatch.
+    if (bool(props, "transforms.unwrap", default = false))
+      Cdc.unwrapNewRecordState(withTomb,
+        props.getOrElse("transforms.unwrap.delete.handling.mode", "drop"),
+        passthrough = Seq("topic"))
+    else withTomb
   }
 
   /** Gate set with the snapshot mode APPLIED: in this engine's model,

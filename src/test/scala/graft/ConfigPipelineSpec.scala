@@ -194,4 +194,25 @@ class ConfigPipelineSpec extends SparkSpec {
     assert(streamed.length === batch.length)
     assert(streamed.sameElements(batch))
   }
+
+  test("transforms.unwrap applies the ExtractNewRecordState SMT last") {
+    val base = Map("transforms.unwrap" -> "true")
+    val dropped = ConfigPipeline.fromProperties(spark, sf001, base)
+    assert(dropped.columns.contains("__op") && dropped.columns.contains("topic"))
+    assert(!dropped.columns.contains("__deleted"), "drop mode: no soft-delete marker")
+    assert(dropped.filter(org.apache.spark.sql.functions.col("__op") === "d").count() === 0)
+    val rewritten = ConfigPipeline.fromProperties(spark, sf001,
+      base + ("transforms.unwrap.delete.handling.mode" -> "rewrite",
+        "sink.tombstone" -> "true"))
+    import org.apache.spark.sql.functions.col
+    assert(rewritten.filter(col("__deleted") === "true").count() > 0)
+    // unwrap after tombstone fan-out: tombstones are delete rows too
+    val plain = ConfigPipeline.fromProperties(spark, sf001,
+      base + ("transforms.unwrap.delete.handling.mode" -> "rewrite"))
+    assert(rewritten.count() > plain.count(), "tombstone rows survive rewrite mode")
+    intercept[RuntimeException] {
+      ConfigPipeline.fromProperties(spark, sf001,
+        base + ("transforms.unwrap.delete.handling.mode" -> "bogus")).count()
+    }
+  }
 }

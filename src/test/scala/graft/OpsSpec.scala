@@ -239,7 +239,7 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](EventFilter.translate("""let m = {a: 1}; m.a > 0"""))
     intercept[IllegalArgumentException](EventFilter.translate("""sum(ns, #acc)"""))
     intercept[IllegalArgumentException](EventFilter.translate("""let 3 = x; true"""))
-    intercept[IllegalArgumentException](EventFilter.translate("""splitAfter(name, ",")"""))
+    intercept[IllegalArgumentException](EventFilter.translate("""snakeCase(name)"""))
     // evaluation on data
     graft.GraftExtensions.registerTo(spark)
     val df = Seq(("hello", Seq("a", "bb", "ccc"), Seq(10L, 20L, 30L), 5L))
@@ -320,7 +320,7 @@ class OpsSpec extends SparkSpec {
     assert(ev("""keys(groupBy(tags, len(#) > 0 ? "t" : nil))""")
       .getSeq[String](0) === Seq("t"), "all-non-nil keys unaffected")
     // still-unknown builtins stay fail-loud
-    intercept[IllegalArgumentException](EventFilter.translate("""fromJSON(name)"""))
+    intercept[IllegalArgumentException](EventFilter.translate("""camelCase(name)"""))
   }
 
   test("event filter wave 5: bit builtins and lastIndexOf") {

@@ -77,7 +77,10 @@ class WalSourceSpec extends SparkSpec {
     def countRows(): Long =
       spark.sql("SELECT count(*) FROM wal_tail").head.getLong(0)
     def awaitCount(want: Long): Unit = {
-      val deadline = System.nanoTime() + 120e9.toLong
+      // generous bound: under the FULL parallel suite the micro-batch
+      // scheduler can starve for minutes (observed >120 s); this waits
+      // on progress, the assert below is the real check
+      val deadline = System.nanoTime() + 300e9.toLong
       while (countRows() < want && System.nanoTime() < deadline) Thread.sleep(200)
       assert(countRows() === want)
     }
