@@ -1533,6 +1533,11 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       Cdc.unwrapNewRecordState(Cdc.walEvents(s, dir), deleteMode = "rewrite")
         .orderBy(col("__lsn"))),
 
+    "cdc_outbox_route" -> ((s, dir) =>
+      // transactional-outbox consumer: INSERT-only rows re-topiced by
+      // aggregate type, keyed by aggregate id, payload verbatim
+      Cdc.outboxRoute(Cdc.walEvents(s, dir)).orderBy(col("lsn"))),
+
     "cdc_incremental_snapshot" -> ((s, dir) => {
       // DBLog/Debezium watermark-windowed incremental snapshot: chunk =
       // 2nd user_id quartile as of the mid-stream low watermark, window
@@ -2820,6 +2825,12 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
          |        epoch_ns(ts) // 1000000 AS ts_ms, $opCaseSql AS op
          |      FROM events)
          |WHERE op IN ('r','c','u','d') ORDER BY __lsn""".stripMargin,
+
+    // outbox twin: inserts only, re-topic + key + payload projection
+    "cdc_outbox_route" ->
+      s"""SELECT 'outbox.event.' || event_type AS topic, user_id AS key,
+         |  props AS value, event_id AS lsn, epoch_ns(ts) // 1000000 AS ts_ms
+         |FROM events WHERE $opCaseSql = 'c' ORDER BY lsn""".stripMargin,
 
     // incremental-snapshot twin: fenced last-writer-wins state for the
     // chunk, anti-joined against the window's touched keys, ∪ window

@@ -594,6 +594,25 @@ object Cdc {
     }
   }
 
+  /** Debezium outbox event router (the transactional-outbox pattern's
+    * consumer half): an INSERT-only outbox table carries
+    * (aggregate type, aggregate id, payload); the router re-topics each
+    * insert to `<prefix>.<aggregatetype>`, keys it by the aggregate id,
+    * and forwards the payload verbatim. Updates/deletes on an outbox
+    * table are operational noise and are dropped, per the SMT's
+    * contract. In the WAL stand-in: aggregate type = event_type,
+    * aggregate id = user_id, payload = props.
+    *
+    * Narrow projection + filter — fuses into the scan, zero shuffle.
+    */
+  def outboxRoute(wal: DataFrame, topicPrefix: String = "outbox.event"): DataFrame =
+    wal.filter(col("op") === Envelope.Op.Create)
+      .select(
+        concat(lit(topicPrefix), lit("."), col("event_type")).as("topic"),
+        col("user_id").as("key"),
+        col("props").as("value"),
+        col("lsn"), col("ts_ms"))
+
   /** Incremental snapshot, DBLog-style (the watermark-windowed chunk
     * algorithm Debezium adopted for snapshots that run CONCURRENTLY with
     * the stream — the scale path the reference's stop-the-world initial

@@ -43,6 +43,18 @@ class GraphSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("pageRankInt: static edges read from cache, never recomputed per iteration") {
+    val edges = (0L until 200L).map(i => (i, (i * 7 + 3) % 200))
+      .filter(t => t._1 != t._2).toDF("src", "dst")
+    val plan = Graph.pageRankInt(edges, 2, checkpoint = false)
+      .queryExecution.executedPlan.toString
+    // the edge list is repartitioned on src once and CACHED — every
+    // iteration's contrib join scans the in-memory copy (at scale only
+    // the rank vector moves); the rank lineage itself is checkpointed
+    assert(plan.contains("InMemoryTableScan"),
+      s"edges must come from the cached repartitioned copy:\n$plan")
+  }
+
   test("pageRankInt: rejects a damping numerator above the denominator") {
     intercept[IllegalArgumentException](
       Graph.pageRankInt(Seq((1L, 2L)).toDF("src", "dst"), 1, dampNum = 101))

@@ -35,6 +35,20 @@ class LearnSpec extends SparkSpec {
     assert(eval(-1L)._1 === eval(-1L)._2, "all negatives classified correctly")
   }
 
+  test("margins: the weight vector joins features as a broadcast") {
+    // the trainer's returned frame is localCheckpoint-cut (lineage
+    // deliberately truncated), so assert on the margins stage — the hot
+    // per-iteration join — directly
+    val feats = Learn.perceptronFeatures(Tables.documents(spark, sf001))
+    val w0 = spark.range(9).select(col("id").cast("int").as("pos"),
+      org.apache.spark.sql.functions.lit(0L).as("w"))
+    val plan = Learn.margins(feats, w0).queryExecution.executedPlan.toString
+    // weights are feature-space-sized — they must broadcast to the
+    // corpus, never shuffle it
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"weight join must broadcast:\n$plan")
+  }
+
   test("perceptronTrain is invariant to input partitioning (exact integer updates)") {
     val docs = Tables.documents(spark, sf001)
     val a = Learn.perceptronTrain(Learn.perceptronFeatures(docs).repartition(17), 2)
