@@ -1795,6 +1795,18 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
           periodNs = 604800L * 1000000000L)
         .orderBy(col("cohort_period"), col("period_offset"))),
 
+    "events_time_bucket" -> ((s, dir) =>
+      // TimescaleDB first()/last() per day bucket — deterministic via
+      // the combined ts·10⁶+lsn order key, one partial-agg shuffle
+      ops.EventAnalytics.timeBucketFirstLast(Cdc.walEvents(s, dir))
+        .orderBy(col("event_type"), col("chunk_day"))),
+
+    "events_gapfill_locf" -> ((s, dir) =>
+      // time_bucket_gapfill + locf: dense per-type daily grid, absent
+      // buckets n=0 with last observed value carried forward
+      ops.EventAnalytics.gapfillLocf(Cdc.walEvents(s, dir))
+        .orderBy(col("event_type"), col("chunk_day"))),
+
     "q_asof_join" -> ((s, dir) => {
       Cdc.asofLastOrder(Cdc.walEvents(s, dir), Tables.orders(s, dir))
         .orderBy(col("event_id"))
@@ -3173,6 +3185,43 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active_users
         |FROM e JOIN f ON e.user_id = f.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // time-bucket twin: arg_min/arg_max on the identical combined key
+    "events_time_bucket" ->
+      """WITH wal AS (
+        |  SELECT event_id AS lsn, event_type, value,
+        |    epoch_ns(ts) // 1000000 AS ts_ms,
+        |    epoch_ns(ts) // 86400000000000 - 19723 AS chunk_day
+        |  FROM events)
+        |SELECT event_type, chunk_day,
+        |  arg_min(value, ts_ms * 1000000 + lsn) AS first_value,
+        |  arg_max(value, ts_ms * 1000000 + lsn) AS last_value,
+        |  min(value) AS min_value, max(value) AS max_value, COUNT(*) AS n
+        |FROM wal GROUP BY 1, 2 ORDER BY event_type, chunk_day""".stripMargin,
+
+    // gapfill twin: dense generate_series grid + IGNORE NULLS window
+    "events_gapfill_locf" ->
+      """WITH wal AS (
+        |  SELECT event_id AS lsn, event_type, value,
+        |    epoch_ns(ts) // 1000000 AS ts_ms,
+        |    epoch_ns(ts) // 86400000000000 - 19723 AS chunk_day
+        |  FROM events),
+        |daily AS (SELECT event_type, chunk_day,
+        |    arg_max(value, ts_ms * 1000000 + lsn) AS day_last, COUNT(*) AS n
+        |  FROM wal GROUP BY 1, 2),
+        |r AS (SELECT min(chunk_day) AS lo, max(chunk_day) AS hi FROM wal),
+        |grid AS (SELECT t.event_type, g.d AS chunk_day
+        |  FROM (SELECT DISTINCT event_type FROM wal) t
+        |  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM r),
+        |                                            (SELECT hi FROM r))) AS d) g),
+        |filled AS (SELECT g.event_type, g.chunk_day,
+        |    COALESCE(d.n, 0) AS n, d.day_last
+        |  FROM grid g LEFT JOIN daily d USING (event_type, chunk_day))
+        |SELECT event_type, chunk_day, n,
+        |  last_value(day_last IGNORE NULLS) OVER (PARTITION BY event_type
+        |    ORDER BY chunk_day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS value_locf
+        |FROM filled ORDER BY event_type, chunk_day""".stripMargin,
 
     "q_asof_join" ->
       """SELECT e.event_id, e.user_id, MAX(epoch_ms(o.o_orderdate)) AS last_order_ms

@@ -93,4 +93,53 @@ object EventAnalytics {
         (col("period") - col("cohort_period")).as("period_offset"))
       .agg(countDistinct(col("user_id")).as("n_active_users"))
   }
+
+  /** TimescaleDB's signature per-bucket aggregates — `first(value, ts)`
+    * / `last(value, ts)` — over the WAL's day buckets, per event type.
+    * Ties on the millisecond are broken by LSN via a combined integer
+    * order key `ts_ms·10⁶ + lsn` (unique, ts-major — deterministic
+    * where raw `first()` is not; the oracle uses the identical key).
+    * One partial-agg shuffle: min_by/max_by pre-combine map-side.
+    */
+  def timeBucketFirstLast(wal: DataFrame): DataFrame = {
+    val ord = expr("ts_ms * 1000000 + lsn")
+    wal.groupBy(col("event_type"), col("chunk_day"))
+      .agg(
+        min_by(col("value"), ord).as("first_value"),
+        max_by(col("value"), ord).as("last_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        count(lit(1)).as("n"))
+  }
+
+  /** `time_bucket_gapfill` + `locf()` — the other half of the
+    * TimescaleDB downstream-analytics identity: a dense per-type daily
+    * grid over the corpus' full day range, absent buckets at `n = 0`
+    * with the value carried forward from the last observed bucket
+    * (null before the first observation, locf's contract).
+    *
+    * Scale shape: the observed-bucket table is one partial-agg shuffle
+    * (bucket count is bounded by types × days, not events); the grid is
+    * a type-set × day-sequence explode against a broadcast 1-row range
+    * scalar; the LOCF window partitions by type — per-partition state
+    * is the day count, never event volume.
+    */
+  def gapfillLocf(wal: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = wal.groupBy(col("event_type"), col("chunk_day"))
+      .agg(max_by(col("value"), expr("ts_ms * 1000000 + lsn")).as("day_last"),
+        count(lit(1)).as("n"))
+    val range = wal.agg(min(col("chunk_day")).as("lo"), max(col("chunk_day")).as("hi"))
+    val grid = wal.select(col("event_type")).distinct()
+      .crossJoin(broadcast(range))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("chunk_day"))
+    grid.join(daily, Seq("event_type", "chunk_day"), "left")
+      .select(col("event_type"), col("chunk_day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("day_last"), ignoreNulls = true).over(
+          Window.partitionBy(col("event_type")).orderBy(col("chunk_day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("value_locf"))
+  }
 }

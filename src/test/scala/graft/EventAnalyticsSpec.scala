@@ -64,4 +64,34 @@ class EventAnalyticsSpec extends SparkSpec {
       (1L, 0L) -> 1L,   // user 2's double event counts once
       (1L, 1L) -> 1L))
   }
+
+  test("gapfillLocf: planted gaps fill at n=0 with the value carried forward") {
+    import spark.implicits._
+    // type A observed on days 0 and 3 (gap 1-2); type B only on day 2:
+    // B's days 0-1 precede its first observation → null value, n=0
+    val wal = Seq(
+      (1L, "A", 10.0, 100L, 0),
+      (2L, "A", 11.0, 200L, 0),  // later lsn same day wins day_last
+      (3L, "A", 30.0, 300L, 3),
+      (4L, "B", 99.0, 400L, 2)
+    ).toDF("lsn", "event_type", "value", "ts_ms", "chunk_day")
+      // constant ts_ms ties are fine: the combined key falls back to lsn
+      .withColumn("ts_ms", lit(0L))
+    val out = EventAnalytics.gapfillLocf(wal).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(out.size === 8, "2 types × days 0..3")
+    assert(out(("A", 0)) === ((2L, 11.0)), "last-by-lsn within the day")
+    assert(out(("A", 1)) === ((0L, 11.0)), "gap day: n=0, value carried")
+    assert(out(("A", 2)) === ((0L, 11.0)))
+    assert(out(("A", 3)) === ((1L, 30.0)))
+    assert(out(("B", 0)) === ((0L, null)), "before first observation: null")
+    assert(out(("B", 1)) === ((0L, null)))
+    assert(out(("B", 2)) === ((1L, 99.0)))
+    assert(out(("B", 3)) === ((0L, 99.0)))
+    val fl = EventAnalytics.timeBucketFirstLast(wal)
+      .filter(col("event_type") === "A" && col("chunk_day") === 0).head()
+    assert(fl.getAs[Double]("first_value") === 10.0)
+    assert(fl.getAs[Double]("last_value") === 11.0)
+  }
 }
