@@ -1807,6 +1807,19 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       ops.EventAnalytics.gapfillLocf(Cdc.walEvents(s, dir))
         .orderBy(col("event_type"), col("chunk_day"))),
 
+    "events_time_weighted" -> ((s, dir) =>
+      // time_weight('LOCF') per (type, day): exact integer numerator +
+      // observed span — division left to the caller (float ratios are
+      // not engine-exact)
+      ops.EventAnalytics.timeWeighted(Cdc.walEvents(s, dir))
+        .orderBy(col("event_type"), col("chunk_day"))),
+
+    "events_counter_delta" -> ((s, dir) =>
+      // counter_agg delta() with reset handling (drop ⇒ restart),
+      // integer milli-values, one per-key window
+      ops.EventAnalytics.counterDelta(Cdc.walEvents(s, dir))
+        .orderBy(col("user_id"))),
+
     "q_asof_join" -> ((s, dir) => {
       Cdc.asofLastOrder(Cdc.walEvents(s, dir), Tables.orders(s, dir))
         .orderBy(col("event_id"))
@@ -3222,6 +3235,42 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |    ORDER BY chunk_day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS value_locf
         |FROM filled ORDER BY event_type, chunk_day""".stripMargin,
+
+    // time-weight twin: identical lead() integral in integer units
+    "events_time_weighted" ->
+      """WITH wal AS (
+        |  SELECT event_id AS lsn, event_type,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_milli,
+        |    epoch_ns(ts) // 1000000 AS ts_ms,
+        |    epoch_ns(ts) // 86400000000000 - 19723 AS chunk_day
+        |  FROM events),
+        |led AS (SELECT *, lead(ts_ms, 1) OVER (
+        |    PARTITION BY event_type, chunk_day
+        |    ORDER BY ts_ms * 1000000 + lsn) AS next_ts FROM wal)
+        |SELECT event_type, chunk_day,
+        |  CAST(SUM(CASE WHEN next_ts IS NOT NULL
+        |       THEN v_milli * (next_ts - ts_ms) ELSE 0 END) AS BIGINT)
+        |    AS weighted_milli_ms,
+        |  max(ts_ms) - min(ts_ms) AS span_ms, COUNT(*) AS n
+        |FROM led GROUP BY 1, 2 ORDER BY event_type, chunk_day""".stripMargin,
+
+    // counter-delta twin: lag() diffs, resets contribute whole
+    "events_counter_delta" ->
+      """WITH wal AS (
+        |  SELECT event_id AS lsn, user_id,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_milli,
+        |    epoch_ns(ts) // 1000000 AS ts_ms
+        |  FROM events),
+        |lagged AS (SELECT *, lag(v_milli, 1) OVER (
+        |    PARTITION BY user_id ORDER BY ts_ms * 1000000 + lsn) AS prev FROM wal)
+        |SELECT user_id,
+        |  CAST(SUM(CASE WHEN prev IS NULL THEN 0
+        |       WHEN v_milli >= prev THEN v_milli - prev
+        |       ELSE v_milli END) AS BIGINT) AS delta_milli,
+        |  CAST(SUM(CASE WHEN prev IS NOT NULL AND v_milli < prev THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_resets,
+        |  COUNT(*) AS n
+        |FROM lagged GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_asof_join" ->
       """SELECT e.event_id, e.user_id, MAX(epoch_ms(o.o_orderdate)) AS last_order_ms

@@ -142,4 +142,52 @@ object EventAnalytics {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .as("value_locf"))
   }
+
+  /** TimescaleDB `time_weight('LOCF', …)` analog per (type, day bucket):
+    * each observation's value holds until the next one, so the
+    * time-weighted integral over the bucket's OBSERVED span is
+    * `Σ vᵢ·(tᵢ₊₁−tᵢ)`. Division is refused (float ratios are not
+    * engine-exact); the output is the exact integer pair — numerator in
+    * milli-value·ms units plus the span — and the caller divides.
+    * Milli (not micro) value units keep the worst-case bucket
+    * (10⁶ rows × day-span products) inside int64.
+    * One window shuffle on (type, day); lead() is per-partition.
+    */
+  def timeWeighted(wal: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"), col("chunk_day"))
+      .orderBy(expr("ts_ms * 1000000 + lsn"))
+    wal
+      .withColumn("v_milli", expr("cast(floor(value * 1000 + 0.5) as bigint)"))
+      .withColumn("next_ts", lead(col("ts_ms"), 1).over(w))
+      .groupBy(col("event_type"), col("chunk_day"))
+      .agg(
+        sum(when(col("next_ts").isNotNull,
+          col("v_milli") * (col("next_ts") - col("ts_ms"))).otherwise(0L))
+          .as("weighted_milli_ms"),
+        (max(col("ts_ms")) - min(col("ts_ms"))).as("span_ms"),
+        count(lit(1)).as("n"))
+  }
+
+  /** TimescaleDB `counter_agg` → `delta()` analog: per key, the counter
+    * increase over the stream with RESET handling — a drop between
+    * consecutive readings means the counter restarted, so the new
+    * reading contributes whole (the Prometheus/Timescale convention).
+    * Integer milli-values; one window shuffle on the key.
+    */
+  def counterDelta(wal: DataFrame, keyCol: String = "user_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(expr("ts_ms * 1000000 + lsn"))
+    wal
+      .withColumn("v_milli", expr("cast(floor(value * 1000 + 0.5) as bigint)"))
+      .withColumn("prev", lag(col("v_milli"), 1).over(w))
+      .groupBy(col(keyCol))
+      .agg(
+        sum(when(col("prev").isNull, 0L) // first reading establishes the level
+          .when(col("v_milli") >= col("prev"), col("v_milli") - col("prev"))
+          .otherwise(col("v_milli"))).as("delta_milli"),
+        sum(when(col("prev").isNotNull && col("v_milli") < col("prev"), 1L)
+          .otherwise(0L)).as("n_resets"),
+        count(lit(1)).as("n"))
+  }
 }

@@ -94,4 +94,29 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(fl.getAs[Double]("first_value") === 10.0)
     assert(fl.getAs[Double]("last_value") === 11.0)
   }
+
+  test("timeWeighted: LOCF integral over the observed span, exact integers") {
+    import spark.implicits._
+    val wal = Seq(
+      (1L, "A", 1.0, 0L, 0), (2L, "A", 3.0, 10L, 0), (3L, "A", 5.0, 30L, 0),
+      (4L, "B", 7.0, 5L, 0) // singleton: zero integral, zero span
+    ).toDF("lsn", "event_type", "value", "ts_ms", "chunk_day")
+    val out = EventAnalytics.timeWeighted(wal).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("A") === ((1000L * 10 + 3000L * 20, 30L, 3L)),
+      "Σ vᵢ·(tᵢ₊₁−tᵢ): 1.0 holds 10ms, 3.0 holds 20ms, last extends nowhere")
+    assert(out("B") === ((0L, 0L, 1L)))
+  }
+
+  test("counterDelta: monotone increases sum, a drop restarts the counter") {
+    import spark.implicits._
+    val wal = Seq(
+      (1L, 9L, 5.0, 0L), (2L, 9L, 7.0, 1L), (3L, 9L, 3.0, 2L), (4L, 9L, 4.0, 3L)
+    ).toDF("lsn", "user_id", "value", "ts_ms")
+    val r = EventAnalytics.counterDelta(wal).head()
+    assert(r.getAs[Long]("delta_milli") === 2000L + 3000L + 1000L,
+      "+2 increase, reset contributes 3 whole, +1 increase")
+    assert(r.getAs[Long]("n_resets") === 1L)
+    assert(r.getAs[Long]("n") === 4L)
+  }
 }
