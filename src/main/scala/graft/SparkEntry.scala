@@ -1581,6 +1581,20 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       Cdc.catalogColumns(s, dir).orderBy(col("ordinal"))
     }),
 
+    "cdc_cagg_weekly" -> ((s, dir) =>
+      // hierarchical cagg: weekly level rolled up FROM the daily
+      // partials (count/sum states merge losslessly); oracle recomputes
+      // the weekly truth from raw events
+      Cdc.caggWeeklyFromDaily(Cdc.caggPartials(Cdc.walEvents(s, dir)))
+        .orderBy(col("chunk_week"))),
+
+    "cdc_chunk_checksums" -> ((s, dir) =>
+      // replica-verification digests: order-independent XOR of per-row
+      // FNV-64a per (table, chunk) — equal checksum + count verifies a
+      // chunk without moving rows
+      Cdc.chunkChecksums(Cdc.walEvents(s, dir))
+        .orderBy(col("table_name"), col("chunk_day"))),
+
     "cdc_chunk_added" -> ((s, dir) => {
       // T9 control plane: chunk registration sequence (FNV partition
       // column exercised in the rows-only snapshot_partitions query)
@@ -2920,6 +2934,34 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
          |  CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micros
          |FROM events WHERE $opCaseSql = 'c'
          |GROUP BY 1 ORDER BY chunk_day""".stripMargin,
+
+    // weekly-cagg twin: weekly truth recomputed from raw events
+    "cdc_cagg_weekly" ->
+      s"""SELECT (epoch_ns(ts) // 86400000000000 - 19723) // 7 AS chunk_week,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         |    AS sum_micros
+         |FROM events WHERE $opCaseSql = 'c'
+         |GROUP BY 1 ORDER BY chunk_week""".stripMargin,
+
+    // checksum twin: signed FNV-64a per row, XOR-folded per chunk
+    "cdc_chunk_checksums" -> {
+      val rowStr = "lsn || '|' || user_id || '|' || event_type || '|' || " +
+        "v_micros || '|' || props"
+      s"""WITH wal AS (
+         |  SELECT event_id AS lsn, user_id, event_type, props,
+         |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_micros,
+         |    epoch_ns(ts) // 86400000000000 - 19723 AS chunk_day
+         |  FROM events),
+         |h AS (SELECT chunk_day,
+         |  CAST(CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+         |       THEN hu - CAST(18446744073709551616 AS HUGEINT) ELSE hu END
+         |       AS BIGINT) AS rh
+         |  FROM (SELECT chunk_day, ${fnvSql(s"($rowStr)")} AS hu FROM wal) z)
+         |SELECT 'events' AS table_name, chunk_day, COUNT(*) AS n_rows,
+         |  CAST(bit_xor(rh) AS BIGINT) AS checksum
+         |FROM h GROUP BY 2 ORDER BY table_name, chunk_day""".stripMargin
+    },
 
     "cdc_catalog_columns" ->
       """SELECT * FROM (VALUES

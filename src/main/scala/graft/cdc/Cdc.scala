@@ -675,6 +675,36 @@ object Cdc {
       .groupBy(col("chunk_day"))
       .agg(sum(col("n")).as("n"), sum(col("sum_micros")).as("sum_micros"))
 
+  /** Hierarchical continuous aggregate — the weekly rollup built FROM
+    * the daily partials, never from raw events (TimescaleDB 2.9+
+    * caggs-on-caggs): count/sum partial states re-aggregate losslessly
+    * at any coarser grain, so each level's refresh cost is the finer
+    * level's GROUP count. The oracle recomputes the weekly truth from
+    * scratch, proving the partial-merge chain exact.
+    */
+  def caggWeeklyFromDaily(dailyPartials: DataFrame): DataFrame =
+    dailyPartials
+      .groupBy(expr("chunk_day div 7").as("chunk_week"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_micros")).as("sum_micros"))
+
+  /** Per-chunk table checksums — the pt-table-checksum/Debezium
+    * "verify the replica" obligation of every CDC pipeline: an
+    * ORDER-INDEPENDENT digest per (table, chunk) = XOR-fold of a
+    * per-row FNV-64a over the canonical `|`-joined row rendering
+    * (value in integer micros — float text never crosses engines).
+    * Source and target compute it independently; equal checksums +
+    * counts ⇒ chunk verified without moving rows. One partial-agg
+    * shuffle (bit_xor and count pre-combine map-side).
+    */
+  def chunkChecksums(wal: DataFrame): DataFrame =
+    wal
+      .withColumn("__row_hash", graft.functions.FnvHash64.fnv_hash64(
+        concat_ws("|", col("lsn"), col("user_id"), col("event_type"),
+          expr("cast(floor(value * 1000000 + 0.5) as bigint)"), col("props"))))
+      .groupBy(col("table_name"), col("chunk_day"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__row_hash)").as("checksum"))
+
   /** T9 — catalog/DDL control plane (`catalogeventhandler.go:58-263`):
     * a chunk's first WAL event plays the role of the
     * `_timescaledb_catalog.chunk` INSERT — the control event that

@@ -202,6 +202,35 @@ class CdcSpec extends SparkSpec {
     assert(Cdc.stateAtLsn(wal, lit(0L)).count() <= 1)
   }
 
+  test("chunkChecksums: partition-invariant, and a one-row tamper flips exactly " +
+    "its chunk's digest") {
+    val base = Cdc.chunkChecksums(wal).collect()
+      .map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3))).toMap
+    val shuffled = Cdc.chunkChecksums(wal.repartition(13)).collect()
+      .map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(base === shuffled, "XOR fold is order/partitioning-independent")
+    // tamper with one row's value: same counts, exactly one digest differs
+    val tampered = Cdc.chunkChecksums(
+      wal.withColumn("value",
+        when(col("lsn") === 500L, col("value") + 1.0).otherwise(col("value"))))
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(tampered.view.mapValues(_._1).toMap === base.view.mapValues(_._1).toMap,
+      "row counts unchanged")
+    val diff = base.keySet.filter(k => base(k)._2 != tampered(k)._2)
+    assert(diff.size === 1, s"exactly one chunk digest must differ, got $diff")
+  }
+
+  test("caggWeeklyFromDaily equals a from-scratch weekly rollup") {
+    val weeklyFromDaily = Cdc.caggWeeklyFromDaily(Cdc.caggPartials(wal))
+      .collect().map(_.toString).sorted
+    val scratch = wal.filter(col("op") === "c")
+      .groupBy(expr("chunk_day div 7").as("chunk_week"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(floor(value * 1000000 + 0.5) as bigint)")).as("sum_micros"))
+      .collect().map(_.toString).sorted
+    assert(weeklyFromDaily.sameElements(scratch))
+  }
+
   test("unwrapNewRecordState: drop mode removes deletes, rewrite soft-deletes") {
     val dropped = Cdc.unwrapNewRecordState(wal, "drop")
     assert(dropped.filter(col("__op") === "d").count() === 0)
