@@ -1581,6 +1581,21 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       Cdc.catalogColumns(s, dir).orderBy(col("ordinal"))
     }),
 
+    "cdc_heartbeats" -> ((s, dir) =>
+      // heartbeat.interval analog: per elapsed hour, the high-watermark
+      // LSN — the offset-advance signal for quiet tables
+      Cdc.heartbeats(Cdc.walEvents(s, dir), intervalMs = 3600000L)
+        .orderBy(col("beat_ms"))),
+
+    "cdc_column_mask" -> ((s, dir) =>
+      // column.exclude.list + column.mask.hash: value dropped, props
+      // hashed (pseudonymous equality preserved), applied at capture
+      Cdc.maskColumns(
+          Cdc.walEvents(s, dir)
+            .select(col("lsn"), col("user_id"), col("op"), col("value"), col("props")),
+          exclude = Seq("value"), maskHash = Seq("props"))
+        .orderBy(col("lsn"))),
+
     "cdc_cagg_weekly" -> ((s, dir) =>
       // hierarchical cagg: weekly level rolled up FROM the daily
       // partials (count/sum states merge losslessly); oracle recomputes
@@ -2935,7 +2950,19 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
          |FROM events WHERE $opCaseSql = 'c'
          |GROUP BY 1 ORDER BY chunk_day""".stripMargin,
 
-    // weekly-cagg twin: weekly truth recomputed from raw events
+    // heartbeat twin: hourly buckets, max lsn
+    "cdc_heartbeats" ->
+      """SELECT (epoch_ns(ts) // 1000000 // 3600000) * 3600000 AS beat_ms,
+        |  MAX(event_id) AS high_lsn, COUNT(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY beat_ms""".stripMargin,
+
+    // mask twin: value excluded, props sha256-hex (lowercase both sides)
+    "cdc_column_mask" ->
+      s"""SELECT event_id AS lsn, user_id, $opCaseSql AS op,
+         |  sha256(props) AS props
+         |FROM events ORDER BY lsn""".stripMargin,
+
+    // weekly-cagg twin: weekly truth recomputed from scratch
     "cdc_cagg_weekly" ->
       s"""SELECT (epoch_ns(ts) // 86400000000000 - 19723) // 7 AS chunk_week,
          |  COUNT(*) AS n,

@@ -675,6 +675,35 @@ object Cdc {
       .groupBy(col("chunk_day"))
       .agg(sum(col("n")).as("n"), sum(col("sum_micros")).as("sum_micros"))
 
+  /** Debezium-style heartbeats (`heartbeat.interval.ms`): one synthetic
+    * record per elapsed interval carrying the high-watermark LSN at
+    * that point — the liveness signal consumers use to advance offsets
+    * across quiet tables. Derived from the stream itself (one
+    * partial-agg shuffle on the interval bucket); at scale the bucket
+    * count is bounded by wall time, not event volume.
+    */
+  def heartbeats(wal: DataFrame, intervalMs: Long): DataFrame =
+    wal.groupBy(expr(s"ts_ms div $intervalMs").as("beat"))
+      .agg(max(col("lsn")).as("high_lsn"), count(lit(1)).as("n_events"))
+      .select((col("beat") * intervalMs).as("beat_ms"), col("high_lsn"),
+        col("n_events"))
+
+  /** Column-level privacy controls (Debezium `column.exclude.list` /
+    * `column.mask.hash.*`): excluded payload columns are DROPPED from
+    * the envelope, masked ones replaced by the SHA-256 hex of their
+    * string rendering (pseudonymous joins still work — equal plaintexts
+    * mask equally). Narrow projection, zero shuffle, applied at capture
+    * (before any sink sees a byte, the point of the control).
+    */
+  def maskColumns(df: DataFrame, exclude: Seq[String] = Nil,
+                  maskHash: Seq[String] = Nil): DataFrame = {
+    val bad = (exclude ++ maskHash).filterNot(df.columns.contains)
+    require(bad.isEmpty, s"maskColumns: unknown column(s) ${bad.mkString(",")}")
+    val dropped = df.drop(exclude: _*)
+    maskHash.foldLeft(dropped)((d, c) =>
+      d.withColumn(c, sha2(col(c).cast(StringType), 256)))
+  }
+
   /** Hierarchical continuous aggregate — the weekly rollup built FROM
     * the daily partials, never from raw events (TimescaleDB 2.9+
     * caggs-on-caggs): count/sum partial states re-aggregate losslessly

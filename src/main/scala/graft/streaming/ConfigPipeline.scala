@@ -223,7 +223,15 @@ object ConfigPipeline {
     * the batch and streaming forms (the envelope input differs). */
   private def shape(envelope: DataFrame, props: Map[String, String]): DataFrame = {
     val prefix = topicPrefix(props)
-    val selected = envelope.filter(tablePredicate(hypertableFilter(props),
+    // column privacy FIRST — Debezium applies exclude/mask at capture,
+    // before filters or SMTs can observe a plaintext byte. Entries are
+    // `schema.table.column` (canonical) or bare column names.
+    def colList(key: String): Seq[String] =
+      list(props, key).map(_.split('.').last)
+    val masked = Cdc.maskColumns(envelope,
+      exclude = colList("column.exclude.list"),
+      maskHash = colList("column.mask.hash.list"))
+    val selected = masked.filter(tablePredicate(hypertableFilter(props),
       concat_ws(".", col("schema_name"), col("table_name"))))
     val filtered = eventFilters(props).foldLeft(selected)((df, f) => f.apply(df))
     val named = filtered.withColumn("topic",

@@ -195,6 +195,23 @@ class ConfigPipelineSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("column.exclude.list drops and column.mask.hash.list hashes payload columns") {
+    import org.apache.spark.sql.functions.col
+    val out = ConfigPipeline.fromProperties(spark, sf001, Map(
+      "column.exclude.list" -> "public.events.value",
+      "column.mask.hash.list" -> "props"))
+    assert(!out.columns.contains("value"), "excluded column dropped")
+    val r = out.select(col("props")).head.getString(0)
+    assert(r.matches("[0-9a-f]{64}"), s"masked column is sha256 hex, got $r")
+    // equal plaintexts mask equally (pseudonymous joins preserved)
+    assert(out.select(org.apache.spark.sql.functions.countDistinct(col("props")))
+      .head.getLong(0) < out.count())
+    intercept[IllegalArgumentException] {
+      ConfigPipeline.fromProperties(spark, sf001,
+        Map("column.exclude.list" -> "no_such_col"))
+    }
+  }
+
   test("transforms.unwrap applies the ExtractNewRecordState SMT last") {
     val base = Map("transforms.unwrap" -> "true")
     val dropped = ConfigPipeline.fromProperties(spark, sf001, base)
