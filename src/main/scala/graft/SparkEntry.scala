@@ -2277,6 +2277,13 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("norm_hash"))
     }),
 
+    "dedup_cdc_chunks" -> ((s, dir) =>
+      // content-defined chunk dedup: boundaries where the 3-gram FNV
+      // hits hash mod 16 = 0 (content-anchored — edits reshape chunks
+      // locally, unlike fixed-width); first occurrence survives
+      Dedup.cdcChunkDedup(Tables.documents(s, dir), w = 3, maskBits = 4)
+        .orderBy(col("doc_id"))),
+
     "dedup_unicode_nfc" -> ((s, dir) => {
       // canonical-form dedup: the SAME text arrives precomposed (U+00E9)
       // and decomposed (e + U+0301) — byte-hash dedup sees 2 docs, the
@@ -5202,6 +5209,34 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY norm_hash""".stripMargin,
+
+    // CDC-chunk twin: same boundary rule via the shared FNV fold
+    "dedup_cdc_chunks" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |g AS (SELECT doc_id, start - 1 AS gpos,
+         |        array_to_string(t[start:start+2], ' ') AS gram
+         |      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS start
+         |            FROM tok WHERE len(t) >= 3) z),
+         |b AS (SELECT doc_id, gpos FROM g
+         |      WHERE gpos > 0 AND (${fnvSql("gram")}) % 16 = 0),
+         |tk AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok
+         |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+         |             FROM tok) z),
+         |tc AS (SELECT k.doc_id, k.pos, k.tok,
+         |         (SELECT count(*) FROM b
+         |          WHERE b.doc_id = k.doc_id AND b.gpos <= k.pos) AS chunk_id
+         |       FROM tk k),
+         |ch AS (SELECT doc_id, chunk_id,
+         |         string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+         |       FROM tc GROUP BY 1, 2),
+         |kp AS (SELECT *, row_number() OVER (
+         |         PARTITION BY chunk_text ORDER BY doc_id, chunk_id) AS rn
+         |       FROM ch)
+         |SELECT doc_id, COUNT(*) AS n_chunks,
+         |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_chunks,
+         |  COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk_text END,
+         |                      ' ' ORDER BY chunk_id), '') AS cleaned
+         |FROM kp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // NFC twin: DuckDB's nfc_normalize on the same synthesized variants
     "dedup_unicode_nfc" ->

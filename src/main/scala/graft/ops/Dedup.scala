@@ -1084,6 +1084,63 @@ object Dedup {
       .distinct()
   }
 
+  /** Content-defined chunking (the rsync/FastCDC family) at token
+    * granularity + corpus-wide chunk dedup: a chunk boundary opens
+    * wherever the w-gram rolling fingerprint hits
+    * `hash mod 2^maskBits = 0`, so boundaries are CONTENT-anchored —
+    * an insertion reshapes only its local chunk, where fixed-width
+    * chunking ([[chunkDedup]]) shifts every downstream chunk and
+    * destroys their dedup keys. That locality is why CDC chunking is
+    * the storage-dedup standard; here it dedups repeated passages
+    * across a corpus whose copies drift by small edits.
+    *
+    * Expected chunk length is 2^maskBits tokens. First occurrence
+    * (lowest doc, then chunk index) survives; output mirrors
+    * [[chunkDedup]]: per doc the chunk counts + the kept-chunk
+    * reassembly.
+    *
+    * Scale shape: gram hashing is the codegen NGramsJoin+FnvHash64
+    * kernel (map-only); boundary sets are per-doc arrays (bounded by
+    * doc length); the dedup is ONE window over the chunk-text key —
+    * exactly the [[chunkDedup]] shuffle, CDC only changes where
+    * boundaries fall.
+    */
+  def cdcChunkDedup(df: DataFrame, w: Int = 3, maskBits: Int = 4,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(w >= 1 && maskBits >= 1 && maskBits < 62, s"cdcChunkDedup: bad w=$w/maskBits=$maskBits")
+    val mask = (1L << maskBits) - 1
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("t"))
+    // boundary gram-start positions (0-based); gpos 0 would open a chunk
+    // before token 0 — a no-op, excluded so chunk ids start at 0
+    val bounds = toks
+      .select(col(idCol), posexplode(
+        graft.functions.TextFunctions.ngrams_join(col("t"), w)).as(Seq("gpos", "gram")))
+      .filter(col("gpos") > 0 &&
+        (graft.functions.FnvHash64.fnv_hash64(col("gram")).bitwiseAND(mask) === 0))
+      .groupBy(col(idCol)).agg(sort_array(collect_list(col("gpos"))).as("bs"))
+    val tokRows = toks.join(bounds, Seq(idCol), "left")
+      .select(col(idCol), col("bs"), posexplode(col("t")).as(Seq("pos", "tok")))
+      .withColumn("chunk_id",
+        expr("size(filter(coalesce(bs, array()), p -> p <= pos))"))
+    val chunks = tokRows.groupBy(col(idCol), col("chunk_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        s => s.getField("tok")), " ").as("chunk_text"))
+    val kept = chunks.withColumn("rn", row_number().over(
+        Window.partitionBy(col("chunk_text")).orderBy(col(idCol), col("chunk_id"))))
+      .filter(col("rn") === 1)
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept_chunks"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+          s => s.getField("chunk_text")), " ").as("cleaned"))
+    chunks.groupBy(col(idCol)).agg(count(lit(1)).as("n_chunks"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"),
+        coalesce(col("n_kept_chunks"), lit(0L)).as("n_kept_chunks"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** Embedding near-dup: cosine over candidate pairs. The full pairwise
     * form is the correctness oracle (bounded inputs); the scale path is
     * Similarity.lshCosinePairs.

@@ -795,4 +795,24 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("maxBroadcastBytes"),
       "a streaming batch past the cap must fail loudly, not silently shuffle")
   }
+
+  test("cdcChunkDedup: content-anchored boundaries survive a front insertion " +
+    "where fixed-width chunking loses every downstream chunk") {
+    import spark.implicits._
+    val base = Tables.documents(spark, sf001)
+      .filter(col("doc_id") === 0L).head.getAs[String]("text")
+    val docs = Seq((0L, base), (1L, "zzz qqq " + base)).toDF("doc_id", "text")
+    val cdc = Dedup.cdcChunkDedup(docs, w = 3, maskBits = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1's chunks past the first boundary are identical token runs →
+    // they dedup against doc 0 despite the 2-token front insertion
+    assert(cdc(1L)._2 < cdc(1L)._1,
+      s"CDC chunking must dedup shifted content, got $cdc")
+    assert(cdc(0L)._2 === cdc(0L)._1, "first occurrence keeps everything")
+    // fixed-width chunking: the same insertion shifts every chunk key
+    val fixed = Dedup.chunkDedup(docs, chunkTokens = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fixed(1L)._2 === fixed(1L)._1,
+      s"fixed chunking keeps all of doc 1 (nothing aligns), got $fixed")
+  }
 }
