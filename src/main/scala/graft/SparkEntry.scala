@@ -1836,6 +1836,12 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       ops.EventAnalytics.gapfillLocf(Cdc.walEvents(s, dir))
         .orderBy(col("event_type"), col("chunk_day"))),
 
+    "events_attribution" -> ((s, dir) =>
+      // purchase→view attribution: the stream-stream interval join's
+      // batch twin (one code path — withWatermark is a no-op in batch)
+      graft.streaming.StreamPipeline.streamStreamAttribution(Cdc.walEvents(s, dir))
+        .orderBy(col("purchase_lsn"), col("view_lsn"))),
+
     "events_time_weighted" -> ((s, dir) =>
       // time_weight('LOCF') per (type, day): exact integer numerator +
       // observed span — division left to the caller (float ratios are
@@ -3311,6 +3317,19 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |    ORDER BY chunk_day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS value_locf
         |FROM filled ORDER BY event_type, chunk_day""".stripMargin,
+
+    // attribution twin: plain interval self-join on the ms integers
+    "events_attribution" ->
+      """WITH wal AS (SELECT event_id AS lsn, user_id, event_type,
+        |    epoch_ns(ts) // 1000000 AS ts_ms FROM events),
+        |v AS (SELECT user_id AS v_user, lsn AS view_lsn, ts_ms AS view_ms
+        |      FROM wal WHERE event_type = 'view'),
+        |p AS (SELECT user_id, lsn AS purchase_lsn, ts_ms AS purchase_ms
+        |      FROM wal WHERE event_type = 'purchase')
+        |SELECT p.user_id, purchase_lsn, view_lsn, purchase_ms, view_ms
+        |FROM p JOIN v ON v.v_user = p.user_id
+        |  AND view_ms <= purchase_ms AND view_ms >= purchase_ms - 3600000
+        |ORDER BY purchase_lsn, view_lsn""".stripMargin,
 
     // time-weight twin: identical lead() integral in integer units
     "events_time_weighted" ->

@@ -65,6 +65,36 @@ object StreamPipeline {
         col("event_id"), col("user_id"), col("value"), col("props"))
   }
 
+  /** STREAM-STREAM interval join — the one Structured Streaming join
+    * class the rest of the pipeline doesn't exercise: each purchase
+    * joined to every preceding view by the same user within
+    * `windowMs` (click/view attribution, the canonical use). Both
+    * sides carry event-time watermarks and the join condition bounds
+    * the time skew, so the state store provably evicts: a buffered
+    * view older than watermark − window can never match a future
+    * purchase and is dropped.
+    *
+    * One code path batch + streaming (`withWatermark` is a no-op on a
+    * batch frame) — the batch form is the SQL-oracle-checked truth,
+    * the StreamingSpec asserts stream ≡ batch row sets.
+    */
+  def streamStreamAttribution(wal: DataFrame, windowMs: Long = 3600000L): DataFrame = {
+    val v = wal.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("lsn").as("view_lsn"),
+        timestamp_millis(col("ts_ms")).as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val p = wal.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("lsn").as("purchase_lsn"),
+        timestamp_millis(col("ts_ms")).as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    p.join(v, expr(
+        s"""v_user = p_user AND v_ts <= p_ts AND
+           |v_ts >= p_ts - INTERVAL ${windowMs / 1000} SECONDS""".stripMargin))
+      .select(col("p_user").as("user_id"), col("purchase_lsn"), col("view_lsn"),
+        unix_millis(col("p_ts")).as("purchase_ms"),
+        unix_millis(col("v_ts")).as("view_ms"))
+  }
+
   /** Event-time windowed aggregation with a watermark — the continuous-
     * aggregate analog (SURVEY §2.4 A2): hourly per-op counts over the
     * WAL stream. The watermark bounds state exactly like the reference

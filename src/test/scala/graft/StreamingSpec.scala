@@ -482,4 +482,23 @@ class StreamingSpec extends SparkSpec {
         KeyEv(15L, 7L, "u", Some(3.0), 150L)), s3).toSeq
     }
   }
+
+  test("stream-stream interval join: streamed attribution equals batch") {
+    val q = StreamPipeline.streamStreamAttribution(
+        StreamPipeline.walStream(spark, sf001))
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql(
+        "SELECT user_id, purchase_lsn, view_lsn FROM attrib")
+      .collect().map(_.toString).sorted
+    val batch = StreamPipeline.streamStreamAttribution(
+        graft.cdc.Cdc.walEvents(spark, sf001))
+      .select("user_id", "purchase_lsn", "view_lsn")
+      .collect().map(_.toString).sorted
+    assert(batch.nonEmpty, "fixture must produce attributed pairs")
+    assert(streamed.sameElements(batch),
+      "stream-stream join must emit exactly the batch pair set")
+  }
 }
