@@ -1251,6 +1251,12 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .withColumn("kept", col("score_milli") > 0)
         .orderBy(col("doc_id"))),
 
+    "text_rake_keywords" -> ((s, dir) =>
+      // phrase-level keywords (RAKE): stopword-split candidate runs,
+      // deg/freq word scores in milli fixed point, per-doc top-3
+      TextAnalysis.rakeKeywords(Tables.documents(s, dir), k = 3)
+        .orderBy(col("doc_id"), col("rank"))),
+
     "classifier_perceptron" -> ((s, dir) =>
       // TRAINED quality/lang filter (vs text_classifier's fixed
       // weights): 3 synchronous batch-perceptron passes over sparse
@@ -4011,6 +4017,34 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |SELECT doc_id, CAST(sum(w) AS BIGINT) AS score_milli,
         |  CAST(sum(w) AS BIGINT) > 0 AS kept
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // RAKE twin: identical phrase runs, deg/freq milli scores
+    "text_rake_keywords" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tk AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok
+        |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+        |             FROM tok) z),
+        |st AS (SELECT doc_id, pos FROM tk WHERE tok IN ('the', 'a')),
+        |nr AS (SELECT k.doc_id, k.pos, k.tok,
+        |        (SELECT count(*) FROM st s
+        |         WHERE s.doc_id = k.doc_id AND s.pos < k.pos) AS phrase_id
+        |       FROM tk k WHERE k.tok NOT IN ('the', 'a')),
+        |ph AS (SELECT doc_id, phrase_id,
+        |         string_agg(tok, ' ' ORDER BY pos) AS phrase, COUNT(*) AS plen
+        |       FROM nr GROUP BY 1, 2),
+        |wr AS (SELECT doc_id, phrase_id, phrase, plen,
+        |         unnest(string_split(phrase, ' ')) AS word FROM ph),
+        |ws AS (SELECT doc_id, word,
+        |         (1000 * SUM(plen)) // COUNT(*) AS wscore_milli
+        |       FROM wr GROUP BY 1, 2),
+        |sc AS (SELECT w.doc_id, w.phrase_id, w.phrase,
+        |         CAST(SUM(s.wscore_milli) AS BIGINT) AS score_milli
+        |       FROM wr w JOIN ws s ON s.doc_id = w.doc_id AND s.word = w.word
+        |       GROUP BY 1, 2, 3),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |         ORDER BY score_milli DESC, phrase, phrase_id) AS rank FROM sc)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, phrase, score_milli
+        |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "classifier_perceptron" ->
       s"""${perceptronCtes(3)}

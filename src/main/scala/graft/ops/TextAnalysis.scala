@@ -950,4 +950,50 @@ object TextAnalysis {
       .agg(sum(col("f")).as("n_words"),
         sum(col("f") * col("n_sym")).as("n_symbols"))
   }
+
+  /** RAKE keyword extraction (Rose et al. 2010) — PHRASE-level keywords
+    * where TF-IDF ranks single terms: candidate phrases are maximal
+    * stopword-free token runs; a word's score is `deg/freq` (degree =
+    * Σ of the lengths of its phrases — self-inclusive co-occurrence,
+    * the common variant); a phrase scores the sum over its word
+    * OCCURRENCES. All per-document, integer milli fixed point
+    * (`1000·deg div freq` — positive truncating division, engine-
+    * exact); ties rank by phrase text then position.
+    *
+    * Scale shape: phrase building mirrors [[Dedup.cdcChunkDedup]]'s
+    * boundary arrays (per-doc, bounded by doc length); the stats are
+    * (doc, word)-keyed partial aggs; top-k is one per-doc window.
+    */
+  def rakeKeywords(df: DataFrame, k: Int = 3, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stopArr = "array('the', 'a')" // stopwordCount's fixed list
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("t"))
+    val tokRows = toks
+      .withColumn("bs", expr(
+        s"filter(transform(sequence(0, size(t) - 1), i -> " +
+          s"IF(array_contains($stopArr, element_at(t, i + 1)), i, -1)), p -> p >= 0)"))
+      .select(col(idCol), col("bs"), posexplode(col("t")).as(Seq("pos", "tok")))
+      .filter(!expr(s"array_contains($stopArr, tok)"))
+      .withColumn("phrase_id", expr("size(filter(bs, p -> p < pos))"))
+    val phrases = tokRows.groupBy(col(idCol), col("phrase_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        s => s.getField("tok")), " ").as("phrase"),
+        count(lit(1)).as("plen"))
+    val wordRows = phrases.select(col(idCol), col("phrase_id"), col("phrase"),
+      col("plen"), explode(split(col("phrase"), " ")).as("word"))
+    val wstats = wordRows.groupBy(col(idCol), col("word"))
+      .agg(sum(col("plen")).as("deg"), count(lit(1)).as("freq"))
+      .withColumn("wscore_milli", expr("(1000 * deg) div freq"))
+    val scored = wordRows
+      .join(wstats, Seq(idCol, "word"))
+      .groupBy(col(idCol), col("phrase_id"), col("phrase"))
+      .agg(sum(col("wscore_milli")).as("score_milli"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("score_milli").desc, col("phrase"), col("phrase_id"))))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("phrase"), col("score_milli"))
+  }
 }

@@ -2287,6 +2287,18 @@ class OpsSpec extends SparkSpec {
       && stats(0).getAs[Long]("n_corrupt") === 3L)
   }
 
+  test("rakeKeywords: hand-computed deg/freq phrase scores, multi-word phrases win") {
+    import spark.implicits._
+    val docs = Seq((1L, "deep learning the deep model a learning")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.rakeKeywords(docs, k = 3).collect()
+      .map(r => r.getAs[Int]("rank") ->
+        (r.getAs[String]("phrase"), r.getAs[Long]("score_milli"))).toMap
+    // deg: deep 2+2=4/freq 2 → 2000; learning (2+1)/2 → 1500; model 2/1 → 2000
+    assert(out(1) === (("deep model", 4000L)))
+    assert(out(2) === (("deep learning", 3500L)))
+    assert(out(3) === (("learning", 1500L)))
+  }
+
   test("powerIterationTop finds a planted dominant direction; partition-invariant") {
     import spark.implicits._
     // 40 vectors ≈ ±(axis 2) with small deterministic noise on axis 5:
