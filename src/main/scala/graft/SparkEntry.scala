@@ -139,6 +139,51 @@ object SparkEntry {
     """CASE event_type WHEN 'signup' THEN 'c' WHEN 'purchase' THEN 'u'
       |    WHEN 'error' THEN 'd' WHEN 'view' THEN 'r' ELSE 'm' END""".stripMargin
 
+  /** Shared IVF-PQ oracle chain through the `ranked` candidates CTE —
+    * the topk entry appends its own cut, the rerank entry appends an
+    * exact re-scoring stage over the same candidates. */
+  private lazy val ivfPqRankedCtes: String =
+    s"""WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS norm FROM embeddings),
+         |${duckKmeans("e", 16, 64, 2, "km")},
+         |asg AS (SELECT vec_id, centroid_id FROM (
+         |    SELECT e.vec_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckDot("e.embedding", "c.centroid")} / (e.norm * c.cnorm) DESC,
+         |                 c.centroid_id) AS rn
+         |    FROM e CROSS JOIN km2 c) t WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, norm AS qnorm FROM e WHERE vec_id < 10),
+         |pr AS (SELECT query_id, centroid_id FROM (
+         |    SELECT q.query_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${duckDot("q.qe", "c.centroid")} / (q.qnorm * c.cnorm) DESC,
+         |                 c.centroid_id) AS rn
+         |    FROM q CROSS JOIN km2 c) t WHERE rn <= 4),
+         |${duckPqKmeans(16, 8, 8, 2, "pq")},
+         |cscored AS (SELECT c2.vec_id, c2.sm, b.cid,
+         |    2 * ${duckDot("c2.subvec", "b.csub")} - ${duckDot("b.csub", "b.csub")} AS score
+         |  FROM pqcorp c2 JOIN pq2 b ON c2.sm = b.sm),
+         |codes AS (SELECT vec_id, sm, cid AS code FROM (
+         |    SELECT vec_id, sm, cid,
+         |      row_number() OVER (PARTITION BY vec_id, sm ORDER BY score DESC, cid ASC) AS rn
+         |    FROM cscored) t WHERE rn = 1),
+         |qsub AS (SELECT vec_id AS query_id, sm, subvec AS qsub
+         |         FROM pqcorp WHERE vec_id < 10),
+         |dt AS (SELECT query_id, b.sm, b.cid,
+         |    2 * ${duckDot("qs.qsub", "b.csub")} - ${duckDot("b.csub", "b.csub")} AS score
+         |  FROM qsub qs JOIN pq2 b ON qs.sm = b.sm),
+         |cand AS (SELECT pr.query_id, asg.vec_id
+         |  FROM pr JOIN asg ON pr.centroid_id = asg.centroid_id
+         |  WHERE pr.query_id <> asg.vec_id),
+         |joined AS (SELECT cand.query_id, cd.vec_id, cd.sm, dt.score
+         |  FROM cand JOIN codes cd ON cd.vec_id = cand.vec_id
+         |    JOIN dt ON dt.query_id = cand.query_id AND dt.sm = cd.sm AND dt.cid = cd.code),
+         |summed AS (SELECT query_id, vec_id AS neighbor_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(score ORDER BY sm)),
+         |      (a, x) -> a + x) AS adc_score
+         |  FROM joined GROUP BY 1, 2),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_score DESC, neighbor_id ASC) AS rank FROM summed)""".stripMargin
+
   /** Unrolled batch-perceptron CTE chain (Learn.perceptronTrain twin):
     * sparse token-shape features + bias, zero weights, then per
     * iteration margins → misclassified gradient → weight update, all
@@ -1922,6 +1967,15 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, 10,
           nLists = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "ann_ivf_pq_rerank" -> ((s, dir) => {
+      // two-stage: PQ proposes 30 candidates, exact cosine re-scores
+      // — full vectors touched only for candidates, never the corpus
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqRerank(emb.filter(col("vec_id") < 10), emb, k = 10,
+          kCand = 30, nLists = 16, nProbe = 4)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -4840,50 +4894,24 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     // fitted ann_pq_adc_topk codes/dtable/ordered-fold CTEs score,
     // joined on the probed lists only
     "ann_ivf_pq_topk" ->
-      s"""WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS norm FROM embeddings),
-         |${duckKmeans("e", 16, 64, 2, "km")},
-         |asg AS (SELECT vec_id, centroid_id FROM (
-         |    SELECT e.vec_id, c.centroid_id,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${duckDot("e.embedding", "c.centroid")} / (e.norm * c.cnorm) DESC,
-         |                 c.centroid_id) AS rn
-         |    FROM e CROSS JOIN km2 c) t WHERE rn = 1),
-         |q AS (SELECT vec_id AS query_id, embedding AS qe, norm AS qnorm FROM e WHERE vec_id < 10),
-         |pr AS (SELECT query_id, centroid_id FROM (
-         |    SELECT q.query_id, c.centroid_id,
-         |      row_number() OVER (PARTITION BY q.query_id
-         |        ORDER BY ${duckDot("q.qe", "c.centroid")} / (q.qnorm * c.cnorm) DESC,
-         |                 c.centroid_id) AS rn
-         |    FROM q CROSS JOIN km2 c) t WHERE rn <= 4),
-         |${duckPqKmeans(16, 8, 8, 2, "pq")},
-         |cscored AS (SELECT c2.vec_id, c2.sm, b.cid,
-         |    2 * ${duckDot("c2.subvec", "b.csub")} - ${duckDot("b.csub", "b.csub")} AS score
-         |  FROM pqcorp c2 JOIN pq2 b ON c2.sm = b.sm),
-         |codes AS (SELECT vec_id, sm, cid AS code FROM (
-         |    SELECT vec_id, sm, cid,
-         |      row_number() OVER (PARTITION BY vec_id, sm ORDER BY score DESC, cid ASC) AS rn
-         |    FROM cscored) t WHERE rn = 1),
-         |qsub AS (SELECT vec_id AS query_id, sm, subvec AS qsub
-         |         FROM pqcorp WHERE vec_id < 10),
-         |dt AS (SELECT query_id, b.sm, b.cid,
-         |    2 * ${duckDot("qs.qsub", "b.csub")} - ${duckDot("b.csub", "b.csub")} AS score
-         |  FROM qsub qs JOIN pq2 b ON qs.sm = b.sm),
-         |cand AS (SELECT pr.query_id, asg.vec_id
-         |  FROM pr JOIN asg ON pr.centroid_id = asg.centroid_id
-         |  WHERE pr.query_id <> asg.vec_id),
-         |joined AS (SELECT cand.query_id, cd.vec_id, cd.sm, dt.score
-         |  FROM cand JOIN codes cd ON cd.vec_id = cand.vec_id
-         |    JOIN dt ON dt.query_id = cand.query_id AND dt.sm = cd.sm AND dt.cid = cd.code),
-         |summed AS (SELECT query_id, vec_id AS neighbor_id,
-         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(score ORDER BY sm)),
-         |      (a, x) -> a + x) AS adc_score
-         |  FROM joined GROUP BY 1, 2),
-         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY adc_score DESC, neighbor_id ASC) AS rank FROM summed)
+      s"""${ivfPqRankedCtes}
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc_score
          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
-    // SemDeDup twin: the IVF-assign CTE shape (argmax = row_number over
+    // two-stage search twin: PQ candidates (top-30) exactly re-scored
+    "ann_ivf_pq_rerank" ->
+      s"""${ivfPqRankedCtes},
+         |rcand AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 30),
+         |rr AS (SELECT r.query_id, r.neighbor_id,
+         |    ${duckDot("ne.embedding", "qq.qe")} / (ne.norm * qq.qnorm) AS cosine
+         |  FROM rcand r JOIN e ne ON ne.vec_id = r.neighbor_id
+         |    JOIN q qq ON qq.query_id = r.query_id),
+         |rr2 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM rr)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+         |FROM rr2 WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+        // SemDeDup twin: the IVF-assign CTE shape (argmax = row_number over
     // cosine DESC, centroid_id ASC — proven equal to Spark's
     // array_max(struct(sim, -id))) keeping the winning cosine itself,
     // then within-cluster pairs only

@@ -626,6 +626,32 @@ object Similarity {
         col("adc_score"))
   }
 
+  /** Two-stage search — the production ANN pattern: the compressed
+    * index (IVF-PQ) proposes `kCand` candidates from 8-byte codes, an
+    * EXACT cosine re-scoring of only those candidates picks the final
+    * `k`. Recall comes from the cheap wide stage, precision from the
+    * narrow exact stage; full vectors are touched only for
+    * `kCand × |queries|` rows, never the corpus.
+    */
+  def ivfPqRerank(queries: DataFrame, corpus: DataFrame, k: Int,
+                  kCand: Int = 30, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cands = ivfPqTopK(queries, corpus, kCand, nLists, nProbe)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"), l2Norm("embedding").as("cnorm"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), l2Norm("embedding").as("qnorm"))
+    val rescored = cands.join(c, "neighbor_id").join(broadcast(q), "query_id")
+      .withColumn("cosine",
+        graft.functions.VecFunctions.vec_dot(col("ce"), col("qe")) /
+          (col("cnorm") * col("qnorm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Dense Johnson–Lindenstrauss random projection: `p_j = dot(v,
     * plane_j)` for `outDim` deterministic pseudo-random planes (same
     * xorshift generator as the LSH family — one generator, two engines,
