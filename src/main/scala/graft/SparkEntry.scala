@@ -1265,6 +1265,11 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // JL random projection 64→8 dims; shuffle-free per-row map
       Similarity.randomProject(Tables.embeddings(s, dir)).orderBy(col("vec_id"))),
 
+    "embed_dim_stats" -> ((s, dir) =>
+      // per-dimension micro-exact stats — the normalization/whitening
+      // input table; one (pos)-keyed partial agg
+      Similarity.dimStats(Tables.embeddings(s, dir)).orderBy(col("pos"))),
+
     "embed_power_iteration" -> ((s, dir) =>
       // 1-component PCA direction via 3 integer power iterations (two
       // sparse matvecs + max-|w| renorm per round, broadcast direction)
@@ -2233,6 +2238,12 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // shard materialization: the EOS-joined blob + char-offset index
       // a training loader consumes, per (source, 512-token shard)
       Sampling.packConcat(Tables.documents(s, dir), budgetTokens = 512)
+        .orderBy(col("source"), col("shard"))),
+
+    "pack_manifest" -> ((s, dir) =>
+      // shard integrity sidecar: byte size + sha256 per blob — what the
+      // loader checks before reading; manifest ≡ artifact by derivation
+      Sampling.packManifest(Tables.documents(s, dir), budgetTokens = 512)
         .orderBy(col("source"), col("shard"))),
 
     "sample_splits" -> ((s, dir) =>
@@ -4019,6 +4030,16 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       s"SELECT vec_id,\n$cols\nFROM embeddings ORDER BY vec_id"
     },
 
+    // dim-stats twin: unnest with positional index, integer micros
+    "embed_dim_stats" ->
+      """SELECT CAST(i - 1 AS INT) AS pos, COUNT(*) AS n,
+        |  CAST(SUM(vm) AS BIGINT) AS sum_micros,
+        |  MIN(vm) AS min_micros, MAX(vm) AS max_micros
+        |FROM (SELECT i, CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+        |        * 1000000 + 0.5) AS BIGINT) AS vm
+        |      FROM embeddings CROSS JOIN range(1, 65) t(i)) z
+        |GROUP BY 1 ORDER BY pos""".stripMargin,
+
     // power-iteration twin: identical integer matvecs + sign-safe renorm
     "embed_power_iteration" -> {
       val steps = (1 to 3).map { i =>
@@ -4533,6 +4554,25 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |  string_agg(text, '<|eos|>' ORDER BY doc_id) AS blob,
         |  string_agg(CAST(off AS VARCHAR), ',' ORDER BY doc_id) AS offsets_csv
         |FROM o GROUP BY 1, 2 ORDER BY source, shard""".stripMargin,
+
+    // manifest twin: size + sha256 over the identical blobs
+    "pack_manifest" ->
+      """WITH t AS (SELECT source, doc_id, text,
+        |             len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT source, doc_id, text, n_tokens,
+        |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_tok
+        |      FROM t),
+        |sh AS (SELECT source, doc_id, text, n_tokens,
+        |         CAST(start_tok // 512 AS BIGINT) AS shard FROM c),
+        |b AS (SELECT source, shard, count(*) AS n_docs,
+        |        CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+        |        string_agg(text, '<|eos|>' ORDER BY doc_id) AS blob
+        |      FROM sh GROUP BY 1, 2)
+        |SELECT source, shard, n_docs, shard_tokens,
+        |  CAST(strlen(blob) AS BIGINT) AS blob_bytes, sha256(blob) AS sha256
+        |FROM b ORDER BY source, shard""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

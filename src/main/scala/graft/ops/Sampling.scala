@@ -172,6 +172,21 @@ object Sampling {
           s => s.getField("__off").cast("string")), ",").as("offsets_csv"))
   }
 
+  /** Shard MANIFEST — the integrity artifact a training loader checks
+    * before reading a shard (WebDataset-style sidecar): per (group,
+    * shard) the blob's byte size, SHA-256, doc count and token mass.
+    * Derived from [[packConcat]]'s blobs, so manifest ≡ artifact by
+    * construction; a re-download or partial write shows up as a hash
+    * mismatch. Narrow projection over the packed frame.
+    */
+  def packManifest(df: DataFrame, budgetTokens: Int, eos: String = "<|eos|>",
+                   groupCol: String = "source", textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame =
+    packConcat(df, budgetTokens, eos, groupCol, textCol, idCol)
+      .select(col(groupCol), col("shard"), col("n_docs"), col("shard_tokens"),
+        octet_length(col("blob")).cast("long").as("blob_bytes"),
+        sha2(col("blob"), 256).as("sha256"))
+
   /** Token-level context-window packing — the concat-and-chop every LM
     * pretraining loader runs: per group, documents are concatenated in
     * id order into one token stream and chopped into fixed `windowTokens`

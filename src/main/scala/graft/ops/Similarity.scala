@@ -626,6 +626,19 @@ object Similarity {
         col("adc_score"))
   }
 
+  /** Per-dimension corpus statistics in exact integer micros — the
+    * input every normalization / whitening / clipping pass needs
+    * (mean = sum/n downstream, range for min-max scaling, outlier dims
+    * by |max|). One (pos)-keyed partial agg; dim rows out.
+    */
+  def dimStats(emb: DataFrame): DataFrame =
+    emb.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("pos"),
+        expr("cast(floor(cast(v as double) * 1000000 + 0.5) as bigint)").as("vm"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("vm")).as("sum_micros"),
+        min(col("vm")).as("min_micros"), max(col("vm")).as("max_micros"))
+
   /** Two-stage search — the production ANN pattern: the compressed
     * index (IVF-PQ) proposes `kCand` candidates from 8-byte codes, an
     * EXACT cosine re-scoring of only those candidates picks the final
