@@ -220,6 +220,29 @@ class CdcSpec extends SparkSpec {
     assert(diff.size === 1, s"exactly one chunk digest must differ, got $diff")
   }
 
+  test("outboxRoute: inserts only, aggregate-type topics, payload verbatim") {
+    val routed = Cdc.outboxRoute(wal)
+    val inserts = wal.filter(col("op") === "c")
+    assert(routed.count() === inserts.count(), "updates/deletes dropped")
+    val topics = routed.select("topic").distinct().collect().map(_.getString(0))
+    assert(topics.forall(_.startsWith("outbox.event.")))
+    assert(topics.contains("outbox.event.signup"))
+    // payload verbatim: every routed value is the source props for its lsn
+    val joined = routed.join(inserts.select(col("lsn"), col("props")), "lsn")
+    assert(joined.filter(col("value") =!= col("props")).count() === 0)
+  }
+
+  test("heartbeats: intervals partition the stream, high watermark is the interval max") {
+    val hb = Cdc.heartbeats(wal, intervalMs = 3600000L).collect()
+      .map(r => r.getAs[Long]("beat_ms") ->
+        (r.getAs[Long]("high_lsn"), r.getAs[Long]("n_events"))).toMap
+    assert(hb.values.map(_._2).sum === wal.count(), "every event in exactly one beat")
+    val expect = wal.groupBy(expr("ts_ms div 3600000 * 3600000").as("beat_ms"))
+      .agg(max(col("lsn")).as("hi"), count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(hb === expect)
+  }
+
   test("caggWeeklyFromDaily equals a from-scratch weekly rollup") {
     val weeklyFromDaily = Cdc.caggWeeklyFromDaily(Cdc.caggPartials(wal))
       .collect().map(_.toString).sorted

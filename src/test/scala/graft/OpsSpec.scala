@@ -2299,6 +2299,51 @@ class OpsSpec extends SparkSpec {
     assert(out(3) === (("learning", 1500L)))
   }
 
+  test("ivfPqRerank: neighbors come from the PQ candidate set, scores are exact cosines") {
+    val emb = Tables.embeddings(spark, sf001)
+    val qs = emb.filter(col("vec_id") < 5)
+    val rr = graft.ops.Similarity.ivfPqRerank(qs, emb, k = 5, kCand = 20).collect()
+    val cand = graft.ops.Similarity.ivfPqTopK(qs, emb, 20).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(rr.nonEmpty)
+    assert(rr.forall(r => cand(
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))),
+      "rerank never invents a neighbor outside the candidate stage")
+    // per query: ranks are 1..k and cosines non-increasing (exact re-score order)
+    rr.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq === (1L to sorted.length))
+      val cs = sorted.map(_.getAs[Double]("cosine"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, s"query $q")
+    }
+  }
+
+  test("packManifest: sha256 sidecar matches a local digest of the packed blob") {
+    val docs = Tables.documents(spark, sf001)
+    val blobs = graft.ops.Sampling.packConcat(docs, budgetTokens = 512).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("shard")) -> r.getAs[String]("blob")).toMap
+    val man = graft.ops.Sampling.packManifest(docs, budgetTokens = 512).collect()
+    assert(man.nonEmpty && man.length === blobs.size)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    man.foreach { r =>
+      val blob = blobs((r.getString(0), r.getAs[Long]("shard")))
+      val hex = md.digest(blob.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getAs[String]("sha256") === hex)
+      assert(r.getAs[Long]("blob_bytes") === blob.getBytes("UTF-8").length.toLong)
+    }
+  }
+
+  test("dimStats: hand-computed micro stats per dimension") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.5f, -2.0f)), (2L, Seq(0.25f, 4.0f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.dimStats(emb).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(0) === ((2L, 1750000L, 250000L, 1500000L)))
+    assert(out(1) === ((2L, 2000000L, -2000000L, 4000000L)))
+  }
+
   test("powerIterationTop finds a planted dominant direction; partition-invariant") {
     import spark.implicits._
     // 40 vectors ≈ ±(axis 2) with small deterministic noise on axis 5:
