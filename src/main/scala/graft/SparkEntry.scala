@@ -474,6 +474,38 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("o_custkey"), col("rn"))
     }),
 
+    "q_geo_radius_join" -> ((s, dir) => {
+      // 2-D radius join via grid binning: users × stores within 25k
+      // micro-units — the oracle recomputes by ALL-PAIRS distance, so
+      // the hash match proves the 3×3-cell candidate set is complete
+      val users = Cdc.walEvents(s, dir).select(col("user_id")).distinct()
+        .select(col("user_id"),
+          expr("(user_id * 37) % 1000 * 1000").as("lat_m"),
+          expr("(user_id * 91 + 13) % 1000 * 1000").as("lon_m"))
+      val stores = Tables.supplier(s, dir)
+        .select(col("s_suppkey"),
+          expr("(s_suppkey * 53) % 1000 * 1000").as("lat_m"),
+          expr("(s_suppkey * 17 + 7) % 1000 * 1000").as("lon_m"))
+      ops.RangeJoin.geoRadiusJoin(users, stores, radius = 25000L)
+        .select(col("user_id"), col("s_suppkey"),
+          col("lat_m"), col("lon_m"), col("b_lat_m"), col("b_lon_m"))
+        .orderBy(col("user_id"), col("s_suppkey"))
+    }),
+
+    "q_window_range_frame" -> ((s, dir) => {
+      // RANGE (value-based) frame — the window class rows-frames can't
+      // express: per-user rolling 24h event count + micro-value sum
+      // over the ts_ms ORDER key itself; one shuffle on user_id
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+        .rangeBetween(-86400000L + 1, Window.currentRow)
+      Cdc.walEvents(s, dir)
+        .select(col("user_id"), col("lsn"), col("ts_ms"),
+          count(lit(1)).over(w).as("n_24h"),
+          sum(expr("cast(floor(value * 1000000 + 0.5) as bigint)")).over(w)
+            .as("sum_micros_24h"))
+        .orderBy(col("lsn"))
+    }),
+
     "q_window_running" -> ((s, dir) => {
       // frame spec: per-customer running revenue + lead/lag deltas
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
@@ -2673,6 +2705,33 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |    rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk
         |  FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    // radius-join twin: the brute-force all-pairs truth
+    "q_geo_radius_join" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |a AS (SELECT user_id, (user_id * 37) % 1000 * 1000 AS lat_m,
+        |             (user_id * 91 + 13) % 1000 * 1000 AS lon_m FROM u),
+        |b AS (SELECT s_suppkey, (s_suppkey * 53) % 1000 * 1000 AS b_lat_m,
+        |             (s_suppkey * 17 + 7) % 1000 * 1000 AS b_lon_m FROM supplier)
+        |SELECT user_id, s_suppkey, lat_m, lon_m, b_lat_m, b_lon_m
+        |FROM a, b
+        |WHERE (lat_m - b_lat_m) * (lat_m - b_lat_m)
+        |    + (lon_m - b_lon_m) * (lon_m - b_lon_m) <= 625000000
+        |ORDER BY user_id, s_suppkey""".stripMargin,
+
+    // range-frame twin: identical RANGE bound on the ms integers
+    "q_window_range_frame" ->
+      """WITH wal AS (SELECT event_id AS lsn, user_id,
+        |    epoch_ns(ts) // 1000000 AS ts_ms,
+        |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm
+        |  FROM events)
+        |SELECT user_id, lsn, ts_ms,
+        |  COUNT(*) OVER w AS n_24h,
+        |  CAST(SUM(vm) OVER w AS BIGINT) AS sum_micros_24h
+        |FROM wal
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+        |  RANGE BETWEEN 86399999 PRECEDING AND CURRENT ROW)
+        |ORDER BY lsn""".stripMargin,
 
     "q_window_running" ->
       s"""SELECT o_custkey, o_orderkey,

@@ -2344,6 +2344,25 @@ class OpsSpec extends SparkSpec {
     assert(out(1) === ((2L, 2000000L, -2000000L, 4000000L)))
   }
 
+  test("geoRadiusJoin equals brute force, including exact-radius boundary pairs") {
+    import spark.implicits._
+    val a = (0L until 80L).map(i => (i, (i * 137) % 2000, (i * 311 + 5) % 2000))
+      .toDF("aid", "lat_m", "lon_m")
+    val b = (0L until 40L).map(j => (j, (j * 173 + 9) % 2000, (j * 97) % 2000))
+      .toDF("bid", "lat_m", "lon_m") :: // plant an EXACTLY-at-radius pair vs a's (0, 0·137, 5)
+      Seq((999L, 0L + 100L, 5L)).toDF("bid", "lat_m", "lon_m") :: Nil reduce (_ unionByName _)
+    val r = 100L
+    val binned = graft.ops.RangeJoin.geoRadiusJoin(a, b, r)
+      .select("aid", "bid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val brute = a.as("x").crossJoin(b.withColumnRenamed("lat_m", "b_lat_m")
+        .withColumnRenamed("lon_m", "b_lon_m").as("y"))
+      .filter(expr(s"(lat_m - b_lat_m) * (lat_m - b_lat_m) + " +
+        s"(lon_m - b_lon_m) * (lon_m - b_lon_m) <= ${r * r}"))
+      .select("aid", "bid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(binned === brute, "bin join must lose no pair and invent none")
+    assert(binned.contains((0L, 999L)), "distance == radius is inside (≤)")
+  }
+
   test("powerIterationTop finds a planted dominant direction; partition-invariant") {
     import spark.implicits._
     // 40 vectors ≈ ±(axis 2) with small deterministic noise on axis 5:
