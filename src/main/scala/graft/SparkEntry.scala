@@ -1384,6 +1384,13 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       TextAnalysis.bpeEncode(Tables.documents(s, dir), nMerges = 6)
         .orderBy(col("doc_id"))),
 
+    "pack_token_ids" -> ((s, dir) =>
+      // the full loader artifact: BPE-encoded corpus concat-and-chopped
+      // into 256-id context windows per source, in one plan
+      TextAnalysis.bpeEncodePacked(Tables.documents(s, dir), nMerges = 6,
+          windowTokens = 256)
+        .orderBy(col("source"), col("win"))),
+
     "sample_stratified" -> ((s, dir) => {
       // Data mixing: per-source sampling rates applied via the shared
       // doc-id-keyed FNV-64a keep-hash — deterministic across retries
@@ -4238,6 +4245,32 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
 
     // encode twin: frequency-ranked symbol ids over the fitted vocab,
     // per-word segmentation join, ids ordered by (word pos, sym pos)
+    // packed-ids twin: the encode CTEs + global offsets + window chop
+    "pack_token_ids" ->
+      s"""WITH ${duckBpe(6)},
+         |sc AS (SELECT s AS symbol, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |  SELECT unnest(string_split(sym, ' ')) AS s, freq FROM bpe6) z GROUP BY s),
+         |svocab AS (SELECT symbol, row_number() OVER (ORDER BY cnt DESC, symbol) - 1 AS id FROM sc),
+         |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+         |wpos AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS wp, t FROM tok),
+         |words AS (SELECT doc_id, wp, t[wp] AS w FROM wpos WHERE t[wp] <> ''),
+         |enc AS (SELECT doc_id, wp, string_split(k.sym, ' ') AS syms FROM words JOIN bpe6 k USING (w)),
+         |spos AS (SELECT doc_id, wp, unnest(generate_series(1, len(syms))) AS sp, syms FROM enc),
+         |symrows AS (SELECT doc_id, wp, sp, syms[sp] AS symbol FROM spos),
+         |ids AS (SELECT s.doc_id, v.id,
+         |    row_number() OVER (PARTITION BY s.doc_id ORDER BY s.wp, s.sp) - 1 AS tp
+         |  FROM symrows s JOIN svocab v USING (symbol)),
+         |lens AS (SELECT doc_id, count(*) AS n FROM ids GROUP BY 1),
+         |starts AS (SELECT d.doc_id, d.source,
+         |    sum(l.n) OVER (PARTITION BY d.source ORDER BY d.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - l.n AS doc_start
+         |  FROM documents d JOIN lens l USING (doc_id)),
+         |g AS (SELECT st.source, i.doc_id, i.id, st.doc_start + i.tp AS gpos
+         |  FROM ids i JOIN starts st USING (doc_id))
+         |SELECT source, CAST(gpos // 256 AS BIGINT) AS win, COUNT(*) AS n_ids,
+         |  array_to_string(list(CAST(id AS VARCHAR) ORDER BY gpos), ',') AS ids_csv
+         |FROM g GROUP BY 1, 2 ORDER BY source, win""".stripMargin,
+
     "vocab_bpe_encode" ->
       s"""WITH ${duckBpe(6)},
          |sc AS (SELECT s AS symbol, CAST(sum(freq) AS BIGINT) AS cnt FROM (

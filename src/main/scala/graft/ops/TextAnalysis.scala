@@ -951,6 +951,47 @@ object TextAnalysis {
         sum(col("f") * col("n_sym")).as("n_symbols"))
   }
 
+  /** The loader-ready artifact end-to-end: the corpus BPE-ENCODED and
+    * concat-and-chopped into fixed `windowTokens` context windows of
+    * TOKEN IDS per source — [[bpeEncode]] ∘ the packSequences chop in
+    * one plan, at the id level (a doc crossing a boundary continues in
+    * the next window; no padding). Output per (source, window): id
+    * count + the comma-joined id sequence in stream order.
+    *
+    * Scale shape: the two broadcast vocab joins of [[bpeEncode]], one
+    * per-doc window for in-doc positions, one per-source window for doc
+    * start offsets (runs over the doc-count-sized length table, not the
+    * id stream), then a single (source, win) partial agg.
+    */
+  def bpeEncodePacked(df: DataFrame, nMerges: Int, windowTokens: Int,
+                      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (fitted, svocab) = bpeArtifacts(df, nMerges, textCol)
+    val symrows = df
+      .select(col("doc_id"), col("source"),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("wp", "w")))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(fitted.select(col("w"), split(col("sym"), " ").as("syms"))), "w")
+      .select(col("doc_id"), col("source"), col("wp"),
+        posexplode(col("syms")).as(Seq("sp", "symbol")))
+      .join(broadcast(svocab.select(col("symbol"), col("id"))), "symbol")
+    val ids = symrows.withColumn("tp",
+      row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("wp"), col("sp"))).cast("long") - 1)
+    val starts = ids.groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("doc_start",
+        sum(col("n")).over(Window.partitionBy(col("source"))
+          .orderBy(col("doc_id"))) - col("n"))
+    ids.join(starts.select(col("doc_id"), col("doc_start")), "doc_id")
+      .withColumn("gpos", col("doc_start") + col("tp"))
+      .groupBy(col("source"), expr(s"gpos div $windowTokens").as("win"))
+      .agg(count(lit(1)).as("n_ids"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("gpos"), col("id")))),
+          s => s.getField("id").cast("string")), ",").as("ids_csv"))
+  }
+
   /** RAKE keyword extraction (Rose et al. 2010) — PHRASE-level keywords
     * where TF-IDF ranks single terms: candidate phrases are maximal
     * stopword-free token runs; a word's score is `deg/freq` (degree =

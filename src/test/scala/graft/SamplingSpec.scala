@@ -234,4 +234,25 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => r.getAs[String]("strategy") -> r.getAs[Long]("efficiency_ppm")).toMap
     assert(eff("chop") >= eff("pad_doc"))
   }
+
+  test("bpeEncodePacked: full windows except each source's last, mass conserved") {
+    val docs = Tables.documents(spark, sf001)
+    val packed = graft.ops.TextAnalysis
+      .bpeEncodePacked(docs, nMerges = 6, windowTokens = 256).collect()
+    val bySource = packed.groupBy(_.getString(0))
+    bySource.foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("win"))
+      // contiguous window ids from 0
+      assert(sorted.map(_.getAs[Long]("win")).toSeq === (0L until sorted.length))
+      sorted.init.foreach { r =>
+        assert(r.getAs[Long]("n_ids") === 256L, s"$src non-final window must be full")
+        assert(r.getAs[String]("ids_csv").split(",").length === 256)
+      }
+    }
+    // id mass ≡ the unpacked encoder's total
+    val totalPacked = packed.map(_.getAs[Long]("n_ids")).sum
+    val totalEnc = graft.ops.TextAnalysis.bpeEncode(docs, nMerges = 6)
+      .agg(org.apache.spark.sql.functions.sum("n_ids")).head.getLong(0)
+    assert(totalPacked === totalEnc)
+  }
 }
