@@ -1944,6 +1944,13 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       ops.EventAnalytics.timeWeighted(Cdc.walEvents(s, dir))
         .orderBy(col("event_type"), col("chunk_day"))),
 
+    "events_histogram" -> ((s, dir) =>
+      // histogram() hyperfunction: 10 equal-width micro-value buckets
+      // per type + under/overflow, integer bucket arithmetic
+      ops.EventAnalytics.valueHistogram(Cdc.walEvents(s, dir),
+          loMicros = 100000000L, hiMicros = 900000000L, nBuckets = 10)
+        .orderBy(col("event_type"), col("bucket"))),
+
     "events_counter_delta" -> ((s, dir) =>
       // counter_agg delta() with reset handling (drop ⇒ restart),
       // integer milli-values, one per-key window
@@ -3485,6 +3492,17 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |    AS weighted_milli_ms,
         |  max(ts_ms) - min(ts_ms) AS span_ms, COUNT(*) AS n
         |FROM led GROUP BY 1, 2 ORDER BY event_type, chunk_day""".stripMargin,
+
+    // histogram twin: identical integer bucket CASE
+    "events_histogram" ->
+      """SELECT event_type,
+        |  CAST(CASE WHEN vm < 100000000 THEN -1
+        |       WHEN vm >= 900000000 THEN 10
+        |       ELSE (vm - 100000000) * 10 // 800000000 END AS INT) AS bucket,
+        |  COUNT(*) AS n
+        |FROM (SELECT event_type,
+        |        CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm FROM events) z
+        |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
 
     // counter-delta twin: lag() diffs, resets contribute whole
     "events_counter_delta" ->

@@ -169,6 +169,27 @@ object EventAnalytics {
         count(lit(1)).as("n"))
   }
 
+  /** TimescaleDB `histogram(value, min, max, nbuckets)` analog per
+    * event type: fixed equal-width buckets over `[loMicros, hiMicros)`
+    * in integer micro-values, with the hyperfunction's underflow (−1)
+    * and overflow (`nBuckets`) buckets. Pure integer bucket arithmetic
+    * (`(v−lo)·n div (hi−lo)`) — engine-exact, no float edges; one
+    * partial-agg shuffle on (type, bucket).
+    */
+  def valueHistogram(wal: DataFrame, loMicros: Long, hiMicros: Long,
+                     nBuckets: Int): DataFrame = {
+    require(hiMicros > loMicros && nBuckets > 0, "histogram: bad bounds")
+    wal
+      .withColumn("vm", expr("cast(floor(value * 1000000 + 0.5) as bigint)"))
+      .withColumn("bucket",
+        when(col("vm") < loMicros, lit(-1))
+          .when(col("vm") >= hiMicros, lit(nBuckets))
+          .otherwise(expr(
+            s"cast((vm - $loMicros) * $nBuckets div ($hiMicros - $loMicros) as int)")))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** TimescaleDB `counter_agg` → `delta()` analog: per key, the counter
     * increase over the stream with RESET handling — a drop between
     * consecutive readings means the counter restarted, so the new

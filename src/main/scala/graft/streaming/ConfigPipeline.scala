@@ -285,6 +285,18 @@ object ConfigPipeline {
         val p = props.getOrElse("statestorage.file.path", "")
         require(p.nonEmpty, "statestorage.file.path is mandatory for statestorage.type=file")
         p
+      // rocksdb: checkpoint like `file`, but keyed state lives in a
+      // native RocksDB per executor instead of the JVM heap — the
+      // production setting once stream-stream joins / dedup / SCD2
+      // state outgrows memory (state spills to local SST files and
+      // only the changelog rides the checkpoint). Session-level conf:
+      // Spark resolves the provider at query start.
+      case "rocksdb" =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val p = props.getOrElse("statestorage.file.path", "")
+        require(p.nonEmpty, "statestorage.file.path is mandatory for statestorage.type=rocksdb")
+        p
       case "none" => defaultCheckpointDir
       case other => throw new IllegalArgumentException(
         s"statestorage.type: illegal value '$other'")

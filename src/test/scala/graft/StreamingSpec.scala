@@ -483,6 +483,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("rocksdb state store: the stateful join gives identical results off-heap") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = StreamPipeline.streamStreamAttribution(
+          StreamPipeline.walStream(spark, sf001))
+        .writeStream.format("memory").queryName("attrib_rocks")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val streamed = spark.sql(
+          "SELECT user_id, purchase_lsn, view_lsn FROM attrib_rocks")
+        .collect().map(_.toString).sorted
+      val batch = StreamPipeline.streamStreamAttribution(
+          graft.cdc.Cdc.walEvents(spark, sf001))
+        .select("user_id", "purchase_lsn", "view_lsn")
+        .collect().map(_.toString).sorted
+      assert(streamed.nonEmpty && streamed.sameElements(batch),
+        "native state store must be semantically invisible")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("stream-stream interval join: streamed attribution equals batch") {
     val q = StreamPipeline.streamStreamAttribution(
         StreamPipeline.walStream(spark, sf001))
