@@ -84,7 +84,10 @@ object Bench {
       "text_strip_markup", "pipeline_gopher_filter", "pipeline_clean_corpus",
       "sample_dsir_topk", "mix_unimax", "pack_shards", "sample_splits",
       "vocab_bpe_encode", "multimodal_resize", "multimodal_video",
-      "web_url_dedup", "events_sessionize", "events_funnel")
+      "web_url_dedup", "events_sessionize", "events_funnel",
+      "web_pagerank", "classifier_perceptron", "embed_power_iteration",
+      "cdc_incremental_snapshot", "events_attribution", "pack_token_ids",
+      "dedup_cdc_chunks", "ann_ivf_pq_rerank", "q_geo_radius_join")
     val head = results.filter(r => headline(r._1))
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"n_ok":$nOk,"queries":${qmap(head)},"errors":$errs,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()

@@ -2552,6 +2552,12 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
           "text_min_length" -> (length(col("text")) >= 200)))
         .orderBy(col("constraint"))),
 
+    "profile_skew" -> ((s, dir) =>
+      // pre-join skew diagnostic: hottest keys + exact ppm shares —
+      // the report that decides whether a join needs salting
+      graft.ops.Profile.keySkew(Cdc.walEvents(s, dir), "user_id", topK = 5)
+        .orderBy(col("rank"))),
+
     "corpus_profile" -> ((s, dir) => {
       // ONE-plan corpus report: per-source doc/token totals, exact-dup
       // rate, and language mix — the summary a curation run prints
@@ -5796,6 +5802,18 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |  CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |  COUNT(DISTINCT n_chars) FROM documents
         |ORDER BY column_name""".stripMargin,
+
+    // skew twin: counts + prefix shares over the same deterministic order
+    "profile_skew" ->
+      """WITH c AS (SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+        |r AS (SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rank
+        |      FROM c)
+        |SELECT CAST(rank AS INT) AS rank, key, cnt,
+        |  CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
+        |  CAST(sum(cnt) OVER (ORDER BY rank) * 1000000 // total AS BIGINT)
+        |    AS cum_share_ppm
+        |FROM r CROSS JOIN t WHERE rank <= 5 ORDER BY rank""".stripMargin,
 
     "profile_constraints" ->
       """WITH v AS (SELECT COUNT(*) AS n_rows,

@@ -72,4 +72,29 @@ object Profile {
       .select(col("constraint"), col("n_rows"), col("n_violations"),
         (col("n_violations") === 0L).as("passed"))
   }
+
+  /** Key-skew report — the diagnostic to run BEFORE keying a 100 TB
+    * join/groupBy on a column: the top-k hottest keys with their exact
+    * row share (ppm, integer `cnt·10⁶ div total`) plus the cumulative
+    * share of the top-k. A top key near the per-task row budget means
+    * salting ([[Skew]]) or AQE skew handling is mandatory, not
+    * optional. One partial-agg shuffle + TakeOrderedAndProject.
+    */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("__total"))
+    // top-k FIRST via orderBy+limit (TakeOrderedAndProject — distributed
+    // partial top-k per partition); the global window then ranks only
+    // the K survivors, never the keys-sized counts table
+    counts.orderBy(col("cnt").desc, col(keyCol)).limit(topK)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col(keyCol))))
+      .withColumn("share_ppm", expr("cnt * 1000000 div __total"))
+      .withColumn("cum_share_ppm",
+        expr("sum(cnt) over (order by rank) * 1000000 div __total"))
+      .select(col("rank"), col(keyCol).as("key"), col("cnt"),
+        col("share_ppm"), col("cum_share_ppm"))
+  }
 }
