@@ -72,6 +72,17 @@ object Sinks {
   def fromConfig(props: Map[String, String]): Sink = {
     def p(key: String, default: String = ""): String = props.getOrElse(key, default)
     def opt(key: String): Option[String] = props.get(key)
+    // dead-letter queue: `sink.dlq.*` configures a SECOND sink (same key
+    // surface, re-prefixed) that receives batches the primary still
+    // fails after its retries — see [[withDlq]] for the contract
+    if (props.contains("sink.dlq.type")) {
+      val primary = fromConfig(props - "sink.dlq.type" --
+        props.keys.filter(_.startsWith("sink.dlq.")))
+      val dlqProps = props.collect {
+        case (k, v) if k.startsWith("sink.dlq.") => "sink." + k.stripPrefix("sink.dlq.") -> v
+      }
+      return withDlq(primary, fromConfig(dlqProps))
+    }
     p("sink.type", "stdout") match {
       case "stdout" => ConsoleSink
       case "kafka" =>
@@ -168,6 +179,32 @@ object Sinks {
           }
         }
       }
+    }
+
+  /** Dead-letter queue around a sink: when a batch STILL fails after the
+    * primary's retries, it routes — annotated with the batch id and the
+    * failure — to the DLQ sink instead of killing the stream. The
+    * poison-batch pattern every long-running delivery pipeline needs:
+    * one unreachable endpoint or un-serializable record must not stall
+    * the WAL behind it forever (at-least-once holds: the batch IS
+    * delivered, just to the dead-letter side, where an operator replays
+    * it after the fix). DLQ failures themselves are NOT swallowed —
+    * losing data silently is worse than stalling.
+    */
+  def withDlq(primary: Sink, dlq: Sink): Sink =
+    new Sink {
+      def name: String = s"dlq(${primary.name} -> ${dlq.name})"
+      def emit(batch: DataFrame, batchId: Long): Unit =
+        try primary.emit(batch, batchId)
+        catch {
+          case e: Exception =>
+            import org.apache.spark.sql.functions.{lit, substring}
+            dlq.emit(batch
+              .withColumn("__dlq_batch_id", lit(batchId))
+              .withColumn("__dlq_error", substring(lit(
+                Option(e.getMessage).getOrElse(e.getClass.getName)), 1, 500)),
+              batchId)
+        }
     }
 }
 

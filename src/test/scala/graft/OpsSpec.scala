@@ -1952,6 +1952,30 @@ class OpsSpec extends SparkSpec {
     assert(calls === 3)
   }
 
+  test("dead-letter queue: a poison batch routes annotated to the DLQ, " +
+    "healthy batches never touch it, DLQ failures propagate") {
+    val dead = new graft.sinks.CollectorSink
+    val poison = new graft.sinks.Sink {
+      def name = "poison"
+      def emit(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+        throw new RuntimeException("endpoint gone")
+    }
+    val docs = Tables.documents(spark, sf001).limit(3)
+    graft.sinks.Sinks.withDlq(poison, dead).emit(docs, 42L)
+    assert(dead.rows.length === 3, "the whole failed batch lands in the DLQ")
+    assert(dead.rows.forall(_.getAs[Long]("__dlq_batch_id") === 42L))
+    assert(dead.rows.forall(_.getAs[String]("__dlq_error").contains("endpoint gone")))
+    // healthy primary: DLQ untouched
+    val ok = new graft.sinks.CollectorSink
+    val dead2 = new graft.sinks.CollectorSink
+    graft.sinks.Sinks.withDlq(ok, dead2).emit(docs, 1L)
+    assert(ok.rows.length === 3 && dead2.rows.isEmpty)
+    // a failing DLQ must NOT be swallowed
+    intercept[RuntimeException] {
+      graft.sinks.Sinks.withDlq(poison, poison).emit(docs, 2L)
+    }
+  }
+
   test("topic sanitization replaces illegal chars (sanitization.go:24-52)") {
     val df = Seq("a b/c:d").toDF("t")
     assert(df.select(graft.model.Envelope.sanitizeTopic(col("t"))).head.getString(0) === "a_b_c_d")
