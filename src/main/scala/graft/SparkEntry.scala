@@ -1691,6 +1691,21 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
           exclude = Seq("value"), maskHash = Seq("props"))
         .orderBy(col("lsn"))),
 
+    "cdc_ivm_join" -> ((s, dir) => {
+      // JOIN-view incremental maintenance: base view ∪ (ΔWAL ⋈ dim) —
+      // refresh cost O(Δ), oracle recomputes the view from scratch
+      val wal = Cdc.walEvents(s, dir).select(col("lsn"), col("user_id"), col("value"))
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+      val fenced = wal.crossJoin(
+        broadcast(wal.agg(expr("max(lsn) div 2").as("__fence"))))
+      val base = fenced.filter(col("lsn") <= col("__fence"))
+        .join(broadcast(dim), "user_id")
+      Cdc.ivmJoinRefresh(base, fenced.filter(col("lsn") > col("__fence")), dim, "user_id")
+        .select(col("lsn"), col("user_id"), col("value"), col("c_nationkey"))
+        .orderBy(col("lsn"))
+    }),
+
     "cdc_cagg_weekly" -> ((s, dir) =>
       // hierarchical cagg: weekly level rolled up FROM the daily
       // partials (count/sum states merge losslessly); oracle recomputes
@@ -3124,6 +3139,12 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       s"""SELECT event_id AS lsn, user_id, $opCaseSql AS op,
          |  sha256(props) AS props
          |FROM events ORDER BY lsn""".stripMargin,
+
+    // ivm-join twin: the from-scratch view truth
+    "cdc_ivm_join" ->
+      """SELECT e.event_id AS lsn, e.user_id, e.value, c.c_nationkey
+        |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        |ORDER BY lsn""".stripMargin,
 
     // weekly-cagg twin: weekly truth recomputed from scratch
     "cdc_cagg_weekly" ->

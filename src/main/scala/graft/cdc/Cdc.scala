@@ -704,6 +704,19 @@ object Cdc {
       d.withColumn(c, sha2(col(c).cast(StringType), 256)))
   }
 
+  /** Incremental view maintenance for a JOIN view — the join sibling of
+    * [[caggRefresh]]'s aggregate IVM: a materialized `events ⋈ dim`
+    * view refreshes from ONLY the delta WAL slice (`ΔA ⋈ dim`; with a
+    * static dimension the classic three-way delta expansion collapses
+    * to one term). Refresh cost is O(Δ·broadcast), never a base-table
+    * re-join — the property that keeps a 100 TB enriched view
+    * maintainable. The oracle recomputes the whole view from scratch,
+    * proving base ∪ delta-join exact.
+    */
+  def ivmJoinRefresh(baseView: DataFrame, deltaWal: DataFrame,
+                     dim: DataFrame, key: String): DataFrame =
+    baseView.unionByName(deltaWal.join(broadcast(dim), key))
+
   /** Hierarchical continuous aggregate — the weekly rollup built FROM
     * the daily partials, never from raw events (TimescaleDB 2.9+
     * caggs-on-caggs): count/sum partial states re-aggregate losslessly
