@@ -426,6 +426,40 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    "q6_forecast_revenue" -> ((s, dir) =>
+      // TPC-H Q6: tight-band filter + single agg — the pure predicate-
+      // pushdown showcase (every filter reaches the parquet scan)
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1994-01-01") &&
+          col("l_shipdate") < lit("1995-01-01") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(cents(col("l_extendedprice") * col("l_discount"))).as("revenue_cents"),
+          count(lit(1)).as("n"))),
+
+    "pipeline_funnel_report" -> ((s, dir) => {
+      // curation funnel observability: doc counts surviving each stage
+      // (raw → length gate → english → exact dedup → near-dup prune) —
+      // the report every data-pipeline review starts from
+      val docs = Tables.documents(s, dir)
+      val quality = docs.filter(length(col("text")) >= 100)
+      val english = quality.filter(col("lang") === "en")
+      val exact = english.withColumn("__rn",
+          row_number().over(Window.partitionBy(col("text")).orderBy(col("doc_id"))))
+        .filter(col("__rn") === 1).drop("__rn")
+      val pairs = Dedup.jaccardPairs(exact, n = 3, threshold10 = 4)
+      val pruned = exact.join(
+        pairs.select(col("doc_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      def stage(no: Int, name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(no).as("stage_no"), lit(name).as("stage"), col("n_docs"))
+      stage(1, "raw", docs)
+        .unionByName(stage(2, "min_length", quality))
+        .unionByName(stage(3, "english", english))
+        .unionByName(stage(4, "exact_dedup", exact))
+        .unionByName(stage(5, "neardup_prune", pruned))
+        .orderBy(col("stage_no"))
+    }),
+
     "q3_shipping_priority" -> ((s, dir) => {
       val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
       val ord  = Tables.orders(s, dir)
@@ -3556,6 +3590,43 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |  ON o.o_custkey = e.user_id AND epoch_ms(o.o_orderdate) <= e.ts_ms
         |GROUP BY e.event_id, e.user_id
         |ORDER BY e.event_id""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(FLOOR((l_extendedprice * l_discount) * 100.0 + 0.5)
+        |         AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    // funnel twin: each stage recomputed over the previous stage's set
+    "pipeline_funnel_report" ->
+      s"""WITH q AS (SELECT * FROM documents WHERE length(text) >= 100),
+         |en AS (SELECT * FROM q WHERE lang = 'en'),
+         |ex AS (SELECT * FROM (SELECT *, row_number() OVER (
+         |         PARTITION BY text ORDER BY doc_id) AS rn FROM en) z WHERE rn = 1),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM ex),
+         |sh0 AS (SELECT DISTINCT doc_id,
+         |         unnest(list_transform(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
+         |           x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS shingle
+         |       FROM tok WHERE len(t) >= 3),
+         |sh AS (SELECT doc_id, shingle FROM (
+         |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS dfc FROM sh0) zc
+         |  WHERE dfc <= ${Dedup.DefaultDfCap}),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id),
+         |dups AS (SELECT DISTINCT doc_b FROM pairs
+         |         JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+         |         WHERE shared * 10 >= 4 * (sa.n + sb.n - shared)),
+         |pr AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_b FROM dups))
+         |SELECT 1 AS stage_no, 'raw' AS stage, COUNT(*) AS n_docs FROM documents
+         |UNION ALL SELECT 2, 'min_length', COUNT(*) FROM q
+         |UNION ALL SELECT 3, 'english', COUNT(*) FROM en
+         |UNION ALL SELECT 4, 'exact_dedup', COUNT(*) FROM ex
+         |UNION ALL SELECT 5, 'neardup_prune', COUNT(*) FROM pr
+         |ORDER BY stage_no""".stripMargin,
 
     "dedup_prune" ->
       s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
