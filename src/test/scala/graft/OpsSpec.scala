@@ -2342,6 +2342,21 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("two-stage rerank: recall@10 vs the exact scan is >= raw PQ ranking's") {
+    val emb = Tables.embeddings(spark, sf001)
+    val qs = emb.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(graft.ops.Similarity.cosineTopK(qs, emb, 10))
+    val pq = pairs(graft.ops.Similarity.ivfPqTopK(qs, emb, 10))
+    val rr = pairs(graft.ops.Similarity.ivfPqRerank(qs, emb, 10, kCand = 30))
+    // same candidate routing, exact re-scoring can only fix PQ's
+    // quantization-order mistakes — never lose a true neighbor PQ kept
+    assert((rr & exact).size >= (pq & exact).size,
+      s"rerank recall ${(rr & exact).size} < pq recall ${(pq & exact).size}")
+  }
+
   test("packManifest: sha256 sidecar matches a local digest of the packed blob") {
     val docs = Tables.documents(spark, sf001)
     val blobs = graft.ops.Sampling.packConcat(docs, budgetTokens = 512).collect()
