@@ -1520,6 +1520,23 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       Web.urlDedup(Tables.documents(s, dir), synthUrl)
         .orderBy(col("url_norm"))),
 
+    "web_joint_dedup" -> ((s, dir) => {
+      // multi-signal dedup (RefinedWeb's URL-then-content passes as ONE
+      // component computation): URL-duplicate star edges ∪ MinHash-LSH
+      // near-dup pairs → connected components → keep = representative
+      val docs = Tables.documents(s, dir)
+      val withUrl = docs.select(col("doc_id"), Web.urlNormalize(synthUrl).as("u"))
+      val ka = withUrl.groupBy(col("u")).agg(min(col("doc_id")).as("ka"))
+      val urlPairs = withUrl.join(ka, "u").filter(col("doc_id") > col("ka"))
+        .select(col("ka").as("doc_a"), col("doc_id").as("doc_b"))
+      val pairs = urlPairs
+        .unionByName(Dedup.minhashLshPairs(docs).select(col("doc_a"), col("doc_b")))
+        .distinct()
+      Dedup.clusters(pairs)
+        .withColumn("keep", col("doc_id") === col("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "web_pagerank" -> ((s, dir) => {
       // link-graph centrality for corpus weighting: 5 synchronous
       // integer-fixed-point PageRank iterations over a deterministic
@@ -4656,6 +4673,42 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
          |        ELSE '' END) AS url_norm FROM n)
          |SELECT url_norm, count(*) AS n_docs, min(doc_id) AS keeper
          |FROM k GROUP BY url_norm ORDER BY url_norm""".stripMargin,
+
+    // joint-dedup twin: minhash pairs ∪ URL star edges → recursive CC
+    "web_joint_dedup" -> (minhashPairCtes +
+      s""",
+         |b AS (SELECT doc_id, $synthHostSql AS hb FROM documents),
+         |u AS (SELECT doc_id, $synthUrlSql AS url FROM b),
+         |p AS (SELECT doc_id,
+         |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://.*$$', 1)) AS scheme,
+         |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*$$', 1)) AS auth,
+         |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*).*$$', 1) AS path0,
+         |  regexp_extract(url, '^[^?#]*\\?([^#]*).*$$', 1) AS q FROM u),
+         |n AS (SELECT doc_id, scheme,
+         |  regexp_replace(regexp_replace(auth, ':[0-9]+$$', ''), '\\.$$', '') AS hostc,
+         |  regexp_extract(auth, ':([0-9]+)$$', 1) AS port,
+         |  CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+         |  list_sort(list_filter(string_split(q, '&'),
+         |    x -> strlen(x) > 0 AND NOT starts_with(string_split(x, '=')[1], 'utm_')
+         |         AND NOT list_contains(['fbclid','gclid','msclkid','mc_cid','mc_eid','ref'],
+         |                               string_split(x, '=')[1]))) AS kept FROM p),
+         |k AS (SELECT doc_id, scheme || '://' ||
+         |  (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+         |         OR (scheme = 'https' AND port = '443')
+         |        THEN hostc ELSE hostc || ':' || port END) || path ||
+         |  (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+         |        ELSE '' END) AS url_norm FROM n),
+         |ka AS (SELECT url_norm, MIN(doc_id) AS m FROM k GROUP BY 1),
+         |urlp AS (SELECT ka.m AS doc_a, k.doc_id AS doc_b
+         |         FROM k JOIN ka USING (url_norm) WHERE k.doc_id > ka.m),
+         |alle AS (SELECT doc_a, doc_b FROM pairs UNION SELECT doc_a, doc_b FROM urlp),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM alle
+         |          UNION SELECT doc_b, doc_a FROM alle),
+         |cc AS (SELECT a AS doc, a AS label FROM edges
+         |       UNION SELECT e.a, cc.label FROM cc JOIN edges e ON cc.doc = e.b)
+         |SELECT doc AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id,
+         |  MIN(label) = doc AS keep
+         |FROM cc GROUP BY doc ORDER BY doc_id""".stripMargin),
 
     // pagerank twin: the identical integer iterations, unrolled
     "web_pagerank" -> {
