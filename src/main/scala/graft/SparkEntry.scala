@@ -2195,6 +2195,17 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dedup_audio_fp" -> ((s, dir) => {
+      // acoustic near-dup: base corpus + EXACT 4×-gain remasters —
+      // energy-delta fingerprints are gain-invariant, so every twin
+      // must pair; equality dedup, no pairwise stage
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 2000)
+      val base = ops.Multimodal.attachAudioGain(docs, gain = 1, idOffset = 0L)
+      val twins = ops.Multimodal.attachAudioGain(docs, gain = 4, idOffset = 1000000L)
+      ops.Multimodal.audioNearDups(base.unionByName(twins))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "multimodal_video" -> ((s, dir) => {
       // real demux + per-keyframe ImageIO decode over the labeled
       // frame-container fixture (no mp4 codec in the JDK). Scoped to

@@ -291,6 +291,30 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** Quiet variant for exact-gain experiments: samples confined to
+      * 12 bits (±2048) then multiplied by an integer gain ≤ 8 — never
+      * clips, so a gain-g copy is SAMPLE-EXACTLY g× the base. */
+    def syntheticWavQuiet(id: Long, gain: Int): Array[Byte] = {
+      val n = frames(id)
+      val samples = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        var z = id * 0x9e3779b97f4a7c15L + i * 0xbf58476d1ce4e5b9L
+        z ^= z >>> 30; z *= 0xbf58476d1ce4e5b9L; z ^= z >>> 27
+        val s = (((z & 0xfff) - 2048).toInt * gain).toShort
+        samples(2 * i) = (s & 0xff).toByte
+        samples(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(SampleRate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(samples), fmt, n.toLong)
+      val bos = new ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
     /** Real decode: container header + frame count from the JDK parser.
       * Echoes the INPUT mime — decode accepts WAV and AIFF, and
       * relabeling an AIFF row as wav would lie to mime-keyed consumers. */
@@ -310,6 +334,108 @@ object Multimodal {
     StructField("sample_rate", IntegerType, nullable = false),
     StructField("channels", IntegerType, nullable = false),
     StructField("n_frames", LongType, nullable = false)))
+
+  /** Acoustic fingerprint — the audio member of the perceptual-dedup
+    * family (image aHash / video keyframe hashes): per 4-sample window
+    * the integer energy `Σ s²`, fingerprint bit i = `energy(i) >
+    * energy(i+1)` (up to 64 deltas). Comparing ADJACENT energies makes
+    * the print GAIN-INVARIANT — an exactly-scaled copy (remaster at a
+    * different level) scales every energy by the same factor and flips
+    * no bit; real-world re-encodes are near-exact (truncation can flip
+    * a bit only where adjacent energies nearly tie, the standard
+    * fingerprint robustness caveat). Dedup = equality on
+    * (n_windows, fingerprint) — a plain groupBy, no pairwise stage.
+    */
+  object AudioFingerprint {
+    // 4-sample windows: short fixtures (100-500 frames) still yield
+    // 24-64 delta bits — a 16-sample window would leave single-digit
+    // bits and a degenerate fingerprint space on clips this short
+    val WindowSamples = 4
+
+    /** (fingerprint, n_windows) from 16-bit LE mono PCM inside a
+      * WAV/AIFF container (real JDK decode). */
+    def fingerprint(bytes: Array[Byte]): (Long, Int) = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      val pcm = ais.readAllBytes()
+      val bigEndian = ais.getFormat.isBigEndian
+      val n = pcm.length / 2
+      val nw = n / WindowSamples
+      val energies = new Array[Long](nw)
+      var w = 0
+      while (w < nw) {
+        var e = 0L
+        var i = 0
+        while (i < WindowSamples) {
+          val off = (w * WindowSamples + i) * 2
+          val s =
+            if (bigEndian) ((pcm(off) << 8) | (pcm(off + 1) & 0xff)).toShort
+            else ((pcm(off + 1) << 8) | (pcm(off) & 0xff)).toShort
+          e += s.toLong * s.toLong
+          i += 1
+        }
+        energies(w) = e
+        w += 1
+      }
+      var fp = 0L
+      var i = 0
+      val bits = math.min(nw - 1, 64)
+      while (i < bits) {
+        if (energies(i) > energies(i + 1)) fp |= 1L << (i % 64)
+        i += 1
+      }
+      (fp, nw)
+    }
+  }
+
+  val audioFpSchema: StructType = StructType(Seq(
+    StructField("source_id", LongType, nullable = false),
+    StructField("n_windows", IntegerType, nullable = false),
+    StructField("fingerprint", LongType, nullable = false)))
+
+  /** Per-payload acoustic fingerprints (executor-side real decode). */
+  def audioFingerprints(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioFpSchema)
+    media.select(col("media.bytes"), col("media.mime"), col("media.source_id"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val (bytes, mime, id) = (r.getAs[Array[Byte]](0), r.getString(1), r.getLong(2))
+          if (mime == "audio/wav" || mime == "audio/aiff") {
+            val (fp, nw) = AudioFingerprint.fingerprint(bytes)
+            Some(Row(id, nw, fp))
+          } else None
+        }
+      }(enc)
+  }
+
+  /** Acoustic near-dup pairs: equality on (n_windows, fingerprint) —
+    * one groupBy-sized shuffle, keep-lowest pairing like the image
+    * family. */
+  def audioNearDups(media: DataFrame): DataFrame = {
+    val fps = audioFingerprints(media)
+    fps.as("a").join(fps.as("b"),
+        col("a.n_windows") === col("b.n_windows") &&
+          col("a.fingerprint") === col("b.fingerprint") &&
+          col("a.source_id") < col("b.source_id"))
+      .select(col("a.source_id").as("id_a"), col("b.source_id").as("id_b"),
+        col("a.n_windows").as("n_windows"), col("a.fingerprint").as("fingerprint"))
+  }
+
+  /** Gain-scaled twin corpus for the fingerprint specs/query: quiet
+    * 12-bit samples multiplied by an EXACT integer gain — energies
+    * scale by gain² uniformly, so the fingerprint is provably
+    * identical while the bytes differ. */
+  def attachAudioGain(docs: DataFrame, gain: Int, idOffset: Long): DataFrame = {
+    require(gain >= 1 && gain <= 8, s"gain $gain would clip 12-bit samples")
+    val enc = RowEncoder.encoderFor(StructType(Seq(StructField("media", mediaSchema))))
+    docs.select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(Row(AudioCodec.syntheticWavQuiet(id, gain), "audio/wav", id + idOffset))
+        }
+      }(enc)
+  }
 
   /** Attach real WAV payloads (deterministic synthesis, executor-side). */
   def attachAudio(docs: DataFrame): DataFrame = {

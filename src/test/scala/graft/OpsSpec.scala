@@ -2342,6 +2342,23 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("audio fingerprint: exact-gain remasters pair, distinct audios don't collapse") {
+    val docs = Tables.documents(spark, sf001).filter(col("doc_id") < 60)
+    val base = graft.ops.Multimodal.attachAudioGain(docs, gain = 1, idOffset = 0L)
+    val twins = graft.ops.Multimodal.attachAudioGain(docs, gain = 4, idOffset = 1000000L)
+    val pairs = graft.ops.Multimodal.audioNearDups(base.unionByName(twins))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 60L).map(i => (i, i + 1000000L)).toSet
+    assert(expected.subsetOf(pairs), "every gain-4 remaster must pair with its base")
+    // the fingerprint space is not degenerate: distinct sources rarely collide
+    assert(pairs.size < expected.size + 10,
+      s"too many cross-source collisions: ${pairs.size}")
+    // deterministic across re-computation
+    val again = graft.ops.Multimodal.audioNearDups(base.unionByName(twins))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === pairs)
+  }
+
   test("two-stage rerank: recall@10 vs the exact scan is >= raw PQ ranking's") {
     val emb = Tables.embeddings(spark, sf001)
     val qs = emb.filter(col("vec_id") < 10)
