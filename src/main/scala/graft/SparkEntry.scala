@@ -2010,6 +2010,18 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       ops.EventAnalytics.timeWeighted(Cdc.walEvents(s, dir))
         .orderBy(col("event_type"), col("chunk_day"))),
 
+    "events_seasonality" -> ((s, dir) =>
+      // dow×hour activity matrix, Thursday-anchored integer epoch math
+      ops.EventAnalytics.seasonality(Cdc.walEvents(s, dir))
+        .orderBy(col("event_type"), col("dow"), col("hour"))),
+
+    "events_change_point" -> ((s, dir) =>
+      // mean-shift CUSUM per type in exact integers: the scaled
+      // deviation n·cᵢ − i·S needs no rational mean; peak position =
+      // candidate change point (earliest lsn on ties)
+      ops.EventAnalytics.cusumChangePoint(Cdc.walEvents(s, dir))
+        .orderBy(col("event_type"))),
+
     "events_histogram" -> ((s, dir) =>
       // histogram() hyperfunction: 10 equal-width micro-value buckets
       // per type + under/overflow, integer bucket arithmetic
@@ -3581,6 +3593,36 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |    AS weighted_milli_ms,
         |  max(ts_ms) - min(ts_ms) AS span_ms, COUNT(*) AS n
         |FROM led GROUP BY 1, 2 ORDER BY event_type, chunk_day""".stripMargin,
+
+    // seasonality twin: same Thursday-anchored integer epoch math
+    "events_seasonality" ->
+      """SELECT event_type,
+        |  (epoch_ns(ts) // 1000000 // 86400000 + 4) % 7 AS dow,
+        |  (epoch_ns(ts) // 1000000 // 3600000) % 24 AS hour,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_micros
+        |FROM events GROUP BY 1, 2, 3 ORDER BY event_type, dow, hour""".stripMargin,
+
+    // cusum twin: identical scaled-deviation argmax
+    "events_change_point" ->
+      """WITH wal AS (SELECT event_id AS lsn, event_type,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm FROM events),
+        |pref AS (SELECT *,
+        |    CAST(SUM(vm) OVER (PARTITION BY event_type ORDER BY lsn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY lsn) AS BIGINT) AS i
+        |  FROM wal),
+        |tot AS (SELECT event_type, CAST(SUM(vm) AS BIGINT) AS s, COUNT(*) AS n
+        |        FROM wal GROUP BY 1),
+        |dev AS (SELECT p.event_type, p.lsn,
+        |    abs(t.n * p.c - p.i * t.s) AS dev, t.n, t.s
+        |  FROM pref p JOIN tot t USING (event_type)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY dev DESC, lsn ASC) AS rn FROM dev)
+        |SELECT event_type, lsn AS change_lsn, CAST(dev AS BIGINT) AS max_dev,
+        |  n, s AS sum_milli
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
 
     // histogram twin: identical integer bucket CASE
     "events_histogram" ->

@@ -169,6 +169,48 @@ object EventAnalytics {
         count(lit(1)).as("n"))
   }
 
+  /** Seasonality profile — the (day-of-week × hour) activity matrix
+    * every ops dashboard draws: integer epoch arithmetic only
+    * (`dow = (epoch_days + 4) mod 7`, Thursday-anchored; hour from ms),
+    * one (type, dow, hour) partial agg.
+    */
+  def seasonality(wal: DataFrame): DataFrame =
+    wal.groupBy(col("event_type"),
+        expr("(ts_ms div 86400000 + 4) % 7").as("dow"),
+        expr("(ts_ms div 3600000) % 24").as("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(floor(value * 1000000 + 0.5) as bigint)")).as("sum_micros"))
+
+  /** CUSUM change-point statistic per event type — exact integers: with
+    * per-type totals `(S, n)` and running prefix `(cᵢ, i)`, the scaled
+    * deviation `n·cᵢ − i·S` is the classic mean-shift CUSUM numerator
+    * times `n` (no rational mean needed). Output per type: the max
+    * |deviation|, WHERE it peaks (the candidate change point, earliest
+    * lsn on ties), and the totals to rescale by. One per-type window.
+    * Magnitude bound: n·cᵢ ≤ 10⁵·(10⁵·10⁹) = 10¹⁹ overflows at extreme
+    * corpus sizes — divide value units or shard by time first; at bench
+    * scale ≤ 10¹⁶.
+    */
+  def cusumChangePoint(wal: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("lsn"))
+    val vm = wal.withColumn("vm", expr("cast(floor(value * 1000 + 0.5) as bigint)"))
+    val pref = vm
+      .withColumn("c", sum(col("vm")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("i", row_number().over(w).cast("long"))
+    val totals = vm.groupBy(col("event_type"))
+      .agg(sum(col("vm")).as("s"), count(lit(1)).as("n"))
+    pref.join(broadcast(totals), "event_type")
+      .withColumn("dev", abs(col("n") * col("c") - col("i") * col("s")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("dev").desc, col("lsn"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("lsn").as("change_lsn"),
+        col("dev").as("max_dev"), col("n"), col("s").as("sum_milli"))
+  }
+
   /** TimescaleDB `histogram(value, min, max, nbuckets)` analog per
     * event type: fixed equal-width buckets over `[loMicros, hiMicros)`
     * in integer micro-values, with the hyperfunction's underflow (−1)

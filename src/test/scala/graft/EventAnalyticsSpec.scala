@@ -108,6 +108,21 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out("B") === ((0L, 0L, 1L)))
   }
 
+  test("cusumChangePoint: the planted mean shift peaks exactly at the boundary") {
+    import spark.implicits._
+    val wal = (1L to 20L).map(l =>
+      (l, "A", if (l <= 10) 1.0 else 5.0)).toDF("lsn", "event_type", "value")
+    val r = EventAnalytics.cusumChangePoint(wal).head()
+    assert(r.getAs[Long]("change_lsn") === 10L, "peak at the shift boundary")
+    // n·c₁₀ − 10·S = |20·10000 − 10·60000| = 400000 (milli units)
+    assert(r.getAs[Long]("max_dev") === 400000L)
+    assert(r.getAs[Long]("n") === 20L && r.getAs[Long]("sum_milli") === 60000L)
+    // a constant series has zero deviation everywhere (ties → lsn 1)
+    val flat = (1L to 9L).map(l => (l, "B", 2.0)).toDF("lsn", "event_type", "value")
+    val f = EventAnalytics.cusumChangePoint(flat).head()
+    assert(f.getAs[Long]("max_dev") === 0L && f.getAs[Long]("change_lsn") === 1L)
+  }
+
   test("counterDelta: monotone increases sum, a drop restarts the counter") {
     import spark.implicits._
     val wal = Seq(
