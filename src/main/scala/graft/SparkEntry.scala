@@ -1757,6 +1757,21 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("lsn"))
     }),
 
+    "cdc_reconcile" -> ((s, dir) => {
+      // source↔target divergence report over checksum tables: a target
+      // with one dropped row (count_mismatch), one altered value
+      // (checksum_mismatch) and one dropped chunk (missing_on_target);
+      // bounds from a 1-row agg (documented tiny driver scalar)
+      val wal = Cdc.walEvents(s, dir)
+      val ml = wal.agg(max(col("lsn"))).head.getLong(0)
+      val target = wal
+        .filter(col("lsn") =!= ml / 2 && col("chunk_day") =!= 0)
+        .withColumn("value",
+          when(col("lsn") === ml / 3, col("value") + 1.0).otherwise(col("value")))
+      Cdc.reconcile(Cdc.chunkChecksums(wal), Cdc.chunkChecksums(target))
+        .orderBy(col("table_name"), col("chunk_day"))
+    }),
+
     "cdc_cagg_weekly" -> ((s, dir) =>
       // hierarchical cagg: weekly level rolled up FROM the daily
       // partials (count/sum states merge losslessly); oracle recomputes
@@ -3213,6 +3228,40 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       s"""SELECT event_id AS lsn, user_id, $opCaseSql AS op,
          |  sha256(props) AS props
          |FROM events ORDER BY lsn""".stripMargin,
+
+    // reconcile twin: both sides' digests recomputed with the same tamper
+    "cdc_reconcile" -> {
+      def digest(src: String, p: String) =
+        s"""${p}h AS (SELECT chunk_day,
+           |  CAST(CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+           |       THEN hu - CAST(18446744073709551616 AS HUGEINT) ELSE hu END
+           |       AS BIGINT) AS rh
+           |  FROM (SELECT chunk_day, ${fnvSql(
+                      "(lsn || '|' || user_id || '|' || event_type || '|' || " +
+                        "v_micros || '|' || props)")} AS hu FROM $src) ${p}z),
+           |${p}c AS (SELECT chunk_day, COUNT(*) AS n_rows,
+           |  CAST(bit_xor(rh) AS BIGINT) AS cs FROM ${p}h GROUP BY 1)""".stripMargin
+      s"""WITH wal AS (SELECT event_id AS lsn, user_id, event_type, props, value,
+         |    epoch_ns(ts) // 86400000000000 - 19723 AS chunk_day FROM events),
+         |mm AS (SELECT max(lsn) AS ml FROM wal),
+         |sv AS (SELECT chunk_day, lsn, user_id, event_type, props,
+         |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_micros FROM wal),
+         |tv AS (SELECT chunk_day, lsn, user_id, event_type, props,
+         |    CAST(floor((CASE WHEN lsn = (SELECT ml // 3 FROM mm)
+         |                     THEN value + 1 ELSE value END) * 1000000 + 0.5)
+         |         AS BIGINT) AS v_micros
+         |  FROM wal WHERE lsn <> (SELECT ml // 2 FROM mm) AND chunk_day <> 0),
+         |${digest("sv", "s")},
+         |${digest("tv", "t")}
+         |SELECT 'events' AS table_name, chunk_day,
+         |  CASE WHEN sc.n_rows IS NULL THEN 'missing_on_source'
+         |       WHEN tc.n_rows IS NULL THEN 'missing_on_target'
+         |       WHEN sc.n_rows <> tc.n_rows THEN 'count_mismatch'
+         |       WHEN sc.cs <> tc.cs THEN 'checksum_mismatch'
+         |       ELSE 'equal' END AS status
+         |FROM sc FULL OUTER JOIN tc USING (chunk_day)
+         |ORDER BY table_name, chunk_day""".stripMargin
+    },
 
     // ivm-join twin: the from-scratch view truth
     "cdc_ivm_join" ->

@@ -747,6 +747,27 @@ object Cdc {
       .agg(count(lit(1)).as("n_rows"),
         expr("bit_xor(__row_hash)").as("checksum"))
 
+  /** Source↔target reconciliation from two [[chunkChecksums]] runs —
+    * the report a CDC operator reads after a suspected divergence:
+    * per chunk `equal` / `count_mismatch` / `checksum_mismatch` /
+    * `missing_on_target` / `missing_on_source`. Compares digest tables
+    * (chunk-count-sized), never rows — the entire point of
+    * checksum-based reconciliation at 100 TB.
+    */
+  def reconcile(source: DataFrame, target: DataFrame): DataFrame = {
+    val s = source.select(col("table_name"), col("chunk_day"),
+      col("n_rows").as("s_rows"), col("checksum").as("s_sum"))
+    val t = target.select(col("table_name"), col("chunk_day"),
+      col("n_rows").as("t_rows"), col("checksum").as("t_sum"))
+    s.join(t, Seq("table_name", "chunk_day"), "full_outer")
+      .select(col("table_name"), col("chunk_day"),
+        when(col("s_rows").isNull, "missing_on_source")
+          .when(col("t_rows").isNull, "missing_on_target")
+          .when(col("s_rows") =!= col("t_rows"), "count_mismatch")
+          .when(col("s_sum") =!= col("t_sum"), "checksum_mismatch")
+          .otherwise("equal").as("status"))
+  }
+
   /** T9 — catalog/DDL control plane (`catalogeventhandler.go:58-263`):
     * a chunk's first WAL event plays the role of the
     * `_timescaledb_catalog.chunk` INSERT — the control event that
