@@ -1727,6 +1727,29 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       Cdc.catalogColumns(s, dir).orderBy(col("ordinal"))
     }),
 
+    "cdc_schema_diff" -> ((s, dir) => {
+      // the DDL control-plane diff driver-visible: live events schema vs
+      // its next version (value widened, props dropped, geo added,
+      // event_type→kind positional rename) → typed change report
+      import org.apache.spark.sql.types._
+      import graft.streaming.SchemaEvolution
+      val cur = Tables.events(s, dir).schema
+      val next = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("kind", StringType),
+        StructField("value", DecimalType(18, 6)),
+        StructField("geo", LongType))) // type differs from props ⇒ drop+add, not rename
+      val rows = SchemaEvolution.diff(cur, next).map {
+        case SchemaEvolution.Added(c, t)           => (c, "added", t.simpleString)
+        case SchemaEvolution.Dropped(c, t)         => (c, "dropped", t.simpleString)
+        case SchemaEvolution.TypeChanged(c, f, t)  => (c, "type_changed", s"${f.simpleString}->${t.simpleString}")
+        case SchemaEvolution.NullabilityChanged(c, n) => (c, "nullability", n.toString)
+        case SchemaEvolution.Renamed(c, to)        => (c, "renamed", to)
+      }
+      import s.implicits._
+      rows.toDF("column_name", "change", "detail").orderBy(col("column_name"), col("change"))
+    }),
+
     "cdc_heartbeats" -> ((s, dir) =>
       // heartbeat.interval analog: per elapsed hour, the high-watermark
       // LSN — the offset-advance signal for quiet tables
@@ -3296,6 +3319,16 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
          |  CAST(bit_xor(rh) AS BIGINT) AS checksum
          |FROM h GROUP BY 2 ORDER BY table_name, chunk_day""".stripMargin
     },
+
+    // schema-diff twin: the expected change set as literal truth
+    "cdc_schema_diff" ->
+      """SELECT * FROM (VALUES
+        |  ('event_type', 'renamed', 'kind'),
+        |  ('geo', 'added', 'bigint'),
+        |  ('props', 'dropped', 'string'),
+        |  ('value', 'type_changed', 'double->decimal(18,6)'))
+        |  AS t(column_name, change, detail)
+        |ORDER BY column_name, change""".stripMargin,
 
     "cdc_catalog_columns" ->
       """SELECT * FROM (VALUES
