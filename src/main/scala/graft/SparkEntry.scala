@@ -1367,6 +1367,11 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .withColumn("kept", col("score_milli") > 0)
         .orderBy(col("doc_id"))),
 
+    "text_compressibility" -> ((s, dir) =>
+      // gzip-ratio proxy: distinct/total 4-gram ppm, zero shuffle
+      TextAnalysis.compressibility(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
     "text_rake_keywords" -> ((s, dir) =>
       // phrase-level keywords (RAKE): stopword-split candidate runs,
       // deg/freq word scores in milli fixed point, per-doc top-3
@@ -4426,6 +4431,18 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |SELECT doc_id, CAST(sum(w) AS BIGINT) AS score_milli,
         |  CAST(sum(w) AS BIGINT) > 0 AS kept
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // compressibility twin: DuckDB 4-gram zip + distinct count
+    "text_compressibility" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |    list_transform(list_zip(t[1:len(t)-3], t[2:len(t)-2], t[3:len(t)-1], t[4:len(t)]),
+        |      x -> x[1] || ' ' || x[2] || ' ' || x[3] || ' ' || x[4]) AS gs
+        |  FROM tok WHERE len(t) >= 4)
+        |SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+        |  CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct,
+        |  CAST(len(list_distinct(gs)) * 1000000 // len(gs) AS BIGINT) AS distinct_ppm
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     // RAKE twin: identical phrase runs, deg/freq milli scores
     "text_rake_keywords" ->

@@ -992,6 +992,24 @@ object TextAnalysis {
           s => s.getField("id").cast("string")), ",").as("ids_csv"))
   }
 
+  /** Compressibility proxy — the engine-exact stand-in for the gzip-
+    * ratio quality signal (highly compressible ⇒ templated/repetitive
+    * text): distinct-to-total 4-gram ratio in ppm, integer division.
+    * Narrow per-row computation on the codegen n-gram kernel, zero
+    * shuffle; gate on low ppm to drop boilerplate-heavy docs.
+    */
+  def compressibility(df: DataFrame, n: Int = 4,
+                      textCol: String = "text"): DataFrame =
+    df.select(col("doc_id"),
+        split(col(textCol), " ").as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.ngrams_join(col("t"), n).as("g"))
+      .select(col("doc_id"),
+        size(col("g")).cast("long").as("n_grams"),
+        size(array_distinct(col("g"))).cast("long").as("n_distinct"))
+      .withColumn("distinct_ppm", expr("n_distinct * 1000000 div n_grams"))
+
   /** RAKE keyword extraction (Rose et al. 2010) — PHRASE-level keywords
     * where TF-IDF ranks single terms: candidate phrases are maximal
     * stopword-free token runs; a word's score is `deg/freq` (degree =
