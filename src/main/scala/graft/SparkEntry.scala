@@ -1785,6 +1785,17 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("lsn"))
     }),
 
+    "cdc_lsn_gaps" -> ((s, dir) => {
+      // delivery-loss audit: two slices carved out of the stream must
+      // surface as exactly two gaps with exact bounds/widths
+      val wal = Cdc.walEvents(s, dir)
+      val ml = wal.agg(max(col("lsn"))).head.getLong(0)
+      val delivered = wal.filter(
+        !col("lsn").between(ml / 4, ml / 4 + 9) &&
+          !col("lsn").between(ml / 2, ml / 2 + 4))
+      Cdc.lsnGaps(delivered).orderBy(col("gap_after_lsn"))
+    }),
+
     "cdc_reconcile" -> ((s, dir) => {
       // source↔target divergence report over checksum tables: a target
       // with one dropped row (count_mismatch), one altered value
@@ -3256,6 +3267,17 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       s"""SELECT event_id AS lsn, user_id, $opCaseSql AS op,
          |  sha256(props) AS props
          |FROM events ORDER BY lsn""".stripMargin,
+
+    // gap twin: identical lead() over the identically-carved stream
+    "cdc_lsn_gaps" ->
+      """WITH mm AS (SELECT max(event_id) AS ml FROM events),
+        |d AS (SELECT event_id AS lsn FROM events CROSS JOIN mm
+        |      WHERE NOT (event_id BETWEEN ml // 4 AND ml // 4 + 9)
+        |        AND NOT (event_id BETWEEN ml // 2 AND ml // 2 + 4)),
+        |g AS (SELECT lsn, lead(lsn, 1) OVER (ORDER BY lsn) AS next_lsn FROM d)
+        |SELECT lsn AS gap_after_lsn, next_lsn AS resume_lsn,
+        |  next_lsn - lsn - 1 AS missing
+        |FROM g WHERE next_lsn - lsn > 1 ORDER BY gap_after_lsn""".stripMargin,
 
     // reconcile twin: both sides' digests recomputed with the same tamper
     "cdc_reconcile" -> {

@@ -747,6 +747,23 @@ object Cdc {
       .agg(count(lit(1)).as("n_rows"),
         expr("bit_xor(__row_hash)").as("checksum"))
 
+  /** WAL continuity audit — the loss detector every at-least-once
+    * consumer runs: adjacent delivered LSNs more than one apart mean a
+    * gap (dropped batch, compacted-away range, or a skipped slice);
+    * report each gap's bounds and width. One global window ordered by
+    * LSN — at scale, partition by WAL segment/day first and audit
+    * within segments (gap width across a segment boundary is checked by
+    * comparing segment min/max, the same shape as [[watermarks]]).
+    */
+  def lsnGaps(delivered: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    delivered
+      .withColumn("next_lsn", lead(col("lsn"), 1).over(Window.orderBy(col("lsn"))))
+      .filter(col("next_lsn") - col("lsn") > 1)
+      .select(col("lsn").as("gap_after_lsn"), col("next_lsn").as("resume_lsn"),
+        (col("next_lsn") - col("lsn") - 1).as("missing"))
+  }
+
   /** Source↔target reconciliation from two [[chunkChecksums]] runs —
     * the report a CDC operator reads after a suspected divergence:
     * per chunk `equal` / `count_mismatch` / `checksum_mismatch` /
