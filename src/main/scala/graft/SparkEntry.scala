@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.cdc.Cdc
 import graft.catalog.TableFilter
 import graft.model.Envelope
-import graft.ops.{Dedup, Graph, Ingest, Learn, Retrieval, Sampling, Similarity, TextAnalysis, Web}
+import graft.ops.{Dedup, Graph, Ingest, Layout, Learn, Retrieval, Sampling, Similarity, TextAnalysis, Web}
 import graft.types.PgConverters
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -435,6 +435,242 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
         .agg(sum(cents(col("l_extendedprice") * col("l_discount"))).as("revenue_cents"),
           count(lit(1)).as("n"))),
+
+    "q4_order_priority" -> ((s, dir) => {
+      // TPC-H Q4 (adapted: "late" = shipped >30 days after order date —
+      // this dataset has no commit/receipt dates): EXISTS decorrelates to
+      // a left-semi join whose equi-key (orderkey) carries the non-equi
+      // lateness residual — one shuffle, no subquery re-execution per row
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1996-04-01"))
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(li, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"), "leftsemi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "q7_volume_shipping" -> ((s, dir) => {
+      // TPC-H Q7: revenue between two nation pairs by ship year. The two
+      // catalog-sized dims (supplier+nation, customer+nation) broadcast;
+      // lineitem⋈orders is the only shuffle
+      val n1 = Tables.nation(s, dir).select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir).select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      val sup = Tables.supplier(s, dir).join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+      val cus = Tables.customer(s, dir).join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cus), col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .withColumn("l_year", year(col("l_shipdate")))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_cents"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    "q10_returned_items" -> ((s, dir) => {
+      // TPC-H Q10: returned-item revenue per customer, one quarter, top 20.
+      // Aggregate BEFORE joining the customer dim: the groupBy key is
+      // o_custkey, so the heavy lineitem⋈orders rolls up first and only
+      // ~|customers| rows meet the (broadcast) dim join
+      val rev = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1995-10-01") && col("o_orderdate") < lit("1996-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_cents"))
+      val nat = Tables.nation(s, dir)
+      rev.join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue_cents"), col("n_name"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    "q12_shipping_delay" -> ((s, dir) => {
+      // TPC-H Q12 (adapted: delay bands replace ship modes): per band,
+      // how many high- vs low-priority lines — the CASE-sum pattern;
+      // single lineitem⋈orders shuffle, bands derived post-join
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .withColumn("delay_band",
+          when(datediff(col("l_shipdate"), col("o_orderdate")) > 90, "late")
+            .when(datediff(col("l_shipdate"), col("o_orderdate")) > 30, "slow")
+            .otherwise("fast"))
+        .groupBy(col("delay_band"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+            .as("low_line_count"))
+        .orderBy(col("delay_band"))
+    }),
+
+    "q14_promo_effect" -> ((s, dir) =>
+      // TPC-H Q14: promo revenue share for one month. The ratio is
+      // emitted as its two integer-cents terms (numerator/denominator) —
+      // exact under any aggregation order, division left to the reader
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-09-01") && col("l_shipdate") < lit("1995-10-01"))
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO",
+            cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).otherwise(0L))
+            .as("promo_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("total_cents"))),
+
+    "q16_supplier_cnt" -> ((s, dir) =>
+      // TPC-H Q16 (adapted: lineitem links parts to suppliers — this
+      // dataset has no partsupp): distinct-supplier counts per brand/size
+      // slice; the part dim broadcasts, count(distinct) is the only
+      // aggregate (expands to a two-phase exact distinct)
+      Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_brand") =!= "Brand#9" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))),
+
+    "q18_large_volume" -> ((s, dir) => {
+      // TPC-H Q18: orders whose total quantity exceeds 300. The HAVING
+      // subquery and the outer per-order rollup are the SAME aggregation —
+      // computed once, filtered, then joined to the order/customer dims
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(cents(col("l_quantity"))).as("sum_qty_cents"))
+        .filter(col("sum_qty_cents") > 300 * 100L)
+      big.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          unix_millis(col("o_orderdate")).as("order_ms"),
+          cents(col("o_totalprice")).cast("long").as("total_cents"),
+          col("sum_qty_cents"))
+        .orderBy(col("total_cents").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    "q19_disjunctive" -> ((s, dir) =>
+      // TPC-H Q19: OR-of-ANDs over joined attributes — the predicate
+      // can't fully push past the join, but each disjunct's part-side
+      // half prunes the broadcast build, and the lineitem quantity
+      // envelope (1..40 across all branches) pushes to the scan
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 21)) ||
+          (col("p_brand") === "Brand#13" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#20" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 40)))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_cents"),
+          count(lit(1)).as("n"))),
+
+    "q21_waiting_supplier" -> ((s, dir) => {
+      // TPC-H Q21 (adapted lateness): suppliers who were the ONLY late
+      // supplier on a multi-supplier order. EXISTS/NOT-EXISTS become one
+      // left-semi + one left-anti on the same orderkey — Catalyst plans
+      // all three lineitem passes off a shared scan, keyed shuffles only
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val late = li
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val l1 = late.as("l1")
+      val others = li.select(col("l_orderkey").as("o2_key"), col("l_suppkey").as("s2_key"))
+      val lateOthers = late.select(col("l_orderkey").as("o3_key"), col("l_suppkey").as("s3_key"))
+      l1.join(others, col("l1.l_orderkey") === col("o2_key") &&
+          col("l1.l_suppkey") =!= col("s2_key"), "leftsemi")
+        .join(lateOthers, col("l1.l_orderkey") === col("o3_key") &&
+          col("l1.l_suppkey") =!= col("s3_key"), "leftanti")
+        .join(broadcast(Tables.supplier(s, dir)), col("l1.l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(50)
+    }),
+
+    "q22_dormant_customers" -> ((s, dir) => {
+      // TPC-H Q22 (adapted: "no orders" → "no orders since 2000" — every
+      // customer here has some order): above-average balance, integer-
+      // exact mean test (bal_cents·n > Σcents avoids the float mean), the
+      // 1-row global stats broadcast-crossed, recent orders anti-joined
+      val cust = Tables.customer(s, dir)
+      val stats = cust.filter(col("c_acctbal") > 0)
+        .agg(sum(cents(col("c_acctbal")).cast("long")).as("pos_sum"),
+          count(lit(1)).as("pos_n"))
+      val recent = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2000-01-01"))
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(stats))
+        .filter(cents(col("c_acctbal")).cast("long") * col("pos_n") > col("pos_sum"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "leftanti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(cents(col("c_acctbal")).cast("long")).as("totacctbal_cents"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    "layout_zorder_key" -> ((s, dir) =>
+      // Z-order clustering key (Delta/Iceberg OPTIMIZE ZORDER analog):
+      // pure shift/mask integer ladder, codegen'd, zero shuffle to
+      // compute — the oracle runs the identical bit arithmetic
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          Layout.mortonKey(col("user_id"), col("event_id"), bits = 16).as("zkey"))
+        .orderBy(col("event_id"))),
+
+    "layout_zorder_extents" -> ((s, dir) => {
+      // layout-quality report: bucket events into the 64 aligned Morton
+      // quadrants of (user_id, value_cents>>8) and measure each bucket's
+      // extent in BOTH dimensions — the numbers a zone map prunes on.
+      // Coordinates are chosen UNWRAPPED (user_id < 256, cents>>8 < 256)
+      // so quadrant membership genuinely bounds both raw columns
+      val vc = floor(col("value") * lit(100.0) + lit(0.5))
+      Layout.zorderExtents(Tables.events(s, dir),
+          col("user_id"), shiftright(vc, 8), bits = 8, quadBits = 3)
+        .orderBy(col("bucket"))
+    }),
+
+    "layout_zonemap_prune" -> ((s, dir) => {
+      // zone-map data skipping, proven lossless: the pruned scan (bucket
+      // min/max intersect → broadcast semi-join → residual filter) must
+      // hash-match the oracle's PLAIN filter over all rows
+      val ev = Tables.events(s, dir)
+        .withColumn("value_cents", floor(col("value") * lit(100.0) + lit(0.5)))
+      val bucket = shiftright(
+        Layout.mortonKey(col("user_id"), shiftright(col("value_cents"), 8), bits = 8), 10)
+      val zm = Layout.zoneMap(ev, bucket, col("value_cents"))
+      Layout.zoneMapPrunedFilter(ev, bucket, col("value_cents"),
+          zm, lit(2000L), lit(3000L))
+        .select(col("event_id"), col("user_id"), col("value_cents"))
+        .orderBy(col("event_id"))
+    }),
+
+    "text_boilerplate_remove" -> ((s, dir) =>
+      // CCNet dedup-paragraphs rewrite on 3-token chunks: chunks seen
+      // ≥3 times corpus-wide are cut, survivors reassembled in order
+      TextAnalysis.boilerplateRemove(Tables.documents(s, dir), width = 3, maxDf = 3)
+        .orderBy(col("doc_id"))),
+
+    "text_blocklist_hits" -> ((s, dir) => {
+      // safety-filter primitive: substring occurrence counts against a
+      // broadcast-free compiled-in blocklist + a keep/flag verdict
+      val terms = Seq("slow", "big table", "vector")
+      val (total, distinctHit) = TextAnalysis.blocklistHits(col("text"), terms)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), total.as("n_hits"), distinctHit.as("n_terms_hit"),
+          (total * 1000000L / greatest(length(col("text")), lit(1))).cast("long")
+            .as("hit_ppm_per_char"))
+        .orderBy(col("doc_id"))
+    }),
 
     "pipeline_funnel_report" -> ((s, dir) => {
       // curation funnel observability: doc counts surviving each stage
@@ -3777,6 +4013,160 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |FROM lineitem
         |WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q7_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS INT) AS l_year,
+         |  CAST(SUM(${centsSql("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT) AS revenue_cents
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, revenue_cents, n_name
+         |FROM (SELECT o_custkey,
+         |        CAST(SUM(${centsSql("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT) AS revenue_cents
+         |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |      WHERE l_returnflag = 'R'
+         |        AND o_orderdate >= DATE '1995-10-01' AND o_orderdate < DATE '1996-01-01'
+         |      GROUP BY o_custkey) r
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q12_shipping_delay" ->
+      """SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) > 90 THEN 'late'
+        |            WHEN datediff('day', o_orderdate, l_shipdate) > 30 THEN 'slow'
+        |            ELSE 'fast' END AS delay_band,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q14_promo_effect" ->
+      s"""SELECT
+         |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+         |    THEN ${centsSql("l_extendedprice * (1.0 - l_discount)")} ELSE 0 END) AS BIGINT)
+         |    AS promo_cents,
+         |  CAST(SUM(${centsSql("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT) AS total_cents
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-10-01'""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#9' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+
+    "q18_large_volume" ->
+      s"""SELECT c_custkey, c_name, o_orderkey, epoch_ms(o_orderdate) AS order_ms,
+         |  ${centsSql("o_totalprice")} AS total_cents, sum_qty_cents
+         |FROM (SELECT l_orderkey,
+         |        CAST(SUM(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_cents
+         |      FROM lineitem GROUP BY l_orderkey HAVING sum_qty_cents > 30000) big
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY total_cents DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q19_disjunctive" ->
+      s"""SELECT CAST(SUM(${centsSql("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT)
+         |    AS revenue_cents,
+         |  COUNT(*) AS n
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+         |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+         |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 50""".stripMargin,
+
+    "q22_dormant_customers" ->
+      s"""WITH st AS (SELECT CAST(SUM(${centsSql("c_acctbal")}) AS BIGINT) AS pos_sum,
+         |              COUNT(*) AS pos_n
+         |            FROM customer WHERE c_acctbal > 0)
+         |SELECT c_nationkey, COUNT(*) AS numcust,
+         |  CAST(SUM(${centsSql("c_acctbal")}) AS BIGINT) AS totacctbal_cents
+         |FROM customer, st
+         |WHERE ${centsSql("c_acctbal")} * pos_n > pos_sum
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |                  WHERE o_custkey = c_custkey AND o_orderdate >= DATE '2000-01-01')
+         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "layout_zorder_key" ->
+      s"""SELECT event_id, ${Layout.mortonKeySql("user_id", "event_id", 16)} AS zkey
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    "layout_zorder_extents" ->
+      s"""WITH e AS (SELECT
+         |    user_id % 256 AS zx,
+         |    (CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) >> 8) % 256 AS zy,
+         |    ${Layout.mortonKeySql("user_id", "(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) >> 8)", 8)} AS zkey
+         |  FROM events)
+         |SELECT zkey >> 10 AS bucket, COUNT(*) AS n_rows,
+         |  MIN(zx) AS min_x, MAX(zx) AS max_x,
+         |  MIN(zy) AS min_y, MAX(zy) AS max_y
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "layout_zonemap_prune" ->
+      """SELECT event_id, user_id, CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS value_cents
+        |FROM events
+        |WHERE CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) BETWEEN 2000 AND 3000
+        |ORDER BY event_id""".stripMargin,
+
+    "text_boilerplate_remove" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |chl AS (SELECT doc_id, list_transform(range(0, (len(t)-1)//3 + 1),
+        |          i -> array_to_string(t[(i*3+1):(i*3+3)], ' ')) AS chunks FROM tok),
+        |ch AS (SELECT doc_id, unnest(chunks) AS chunk,
+        |         unnest(range(0, len(chunks))) AS chunk_idx FROM chl),
+        |dfc AS (SELECT chunk, count(*) AS chunk_df FROM ch GROUP BY chunk),
+        |j AS (SELECT doc_id, chunk_idx, chunk, chunk_df FROM ch JOIN dfc USING (chunk))
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN chunk_df < 3 THEN chunk END, ' ' ORDER BY chunk_idx), '')
+        |    AS clean_text,
+        |  COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN chunk_df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_blocklist_hits" ->
+      """WITH h AS (SELECT doc_id, text,
+        |    (length(text) - length(replace(text, 'slow', ''))) // 4 AS c1,
+        |    (length(text) - length(replace(text, 'big table', ''))) // 9 AS c2,
+        |    (length(text) - length(replace(text, 'vector', ''))) // 6 AS c3
+        |  FROM documents)
+        |SELECT doc_id, c1 + c2 + c3 AS n_hits,
+        |  (CASE WHEN c1 > 0 THEN 1 ELSE 0 END + CASE WHEN c2 > 0 THEN 1 ELSE 0 END
+        |    + CASE WHEN c3 > 0 THEN 1 ELSE 0 END) AS n_terms_hit,
+        |  ((c1 + c2 + c3) * 1000000) // greatest(length(text), 1) AS hit_ppm_per_char
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     // funnel twin: each stage recomputed over the previous stage's set
     "pipeline_funnel_report" ->
