@@ -1055,4 +1055,65 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col(idCol), col("rank"), col("phrase"), col("score_milli"))
   }
+
+  /** CCNet-style corpus-wide boilerplate REMOVAL (Wenzek et al. 2019
+    * dedup paragraphs step, adapted to fixed `width`-token chunks —
+    * this corpus has no paragraph breaks): a chunk that appears verbatim
+    * in ≥ `maxDf` documents is template/navigation boilerplate and is
+    * cut from every document; the survivors are reassembled in original
+    * order. Differs from [[boilerplateScore]] (which only SCORES docs)
+    * and from `Dedup.substringSpans` (pairwise near-dup spans): this is
+    * the frequency-threshold rewrite every CommonCrawl pipeline runs.
+    *
+    * Scale shape: chunking is a per-row HOF (sequence→slice→join — zero
+    * shuffle, no token-level explode); then ONE aggregate for chunk df
+    * (partial agg absorbs viral chunks map-side — never a window over
+    * the chunk partition), one chunk-keyed join back, one groupBy(doc)
+    * reassembly. Three keyed shuffles total, each on a bounded key.
+    * Deduplication is by exact chunk text; docs that end up empty are
+    * kept with clean_text = '' (the caller decides to drop).
+    */
+  def boilerplateRemove(df: DataFrame, width: Int = 8, maxDf: Int = 3,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(width >= 1, s"boilerplateRemove: width must be >= 1, got $width")
+    require(maxDf >= 2, s"boilerplateRemove: maxDf must be >= 2, got $maxDf")
+    val chunked = df.select(col(idCol),
+        expr(s"transform(sequence(0, (size(split($textCol, ' ')) - 1) div $width), " +
+          s"i -> array_join(slice(split($textCol, ' '), i * $width + 1, $width), ' '))")
+          .as("chunks"))
+      .select(col(idCol), posexplode(col("chunks")).as(Seq("chunk_idx", "chunk")))
+    val chunkDf = chunked.groupBy(col("chunk")).agg(count(lit(1)).as("chunk_df"))
+    val kept = chunked.join(chunkDf, Seq("chunk"))
+    kept.groupBy(col(idCol))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+            when(col("chunk_df") < maxDf, struct(col("chunk_idx"), col("chunk"))))),
+          s => s.getField("chunk")), " ").as("clean_text"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("chunk_df") >= maxDf, 1L).otherwise(0L)).as("n_removed"))
+  }
+
+  /** Blocklist hit counting — the safety-filter primitive: per document,
+    * total occurrence count of any blocklist term plus the count of
+    * distinct terms present. SUBSTRING semantics (an occurrence is
+    * counted wherever the term appears, word-boundary or not) — exact,
+    * engine-replicable via the replace-length identity
+    * `(len(t) - len(replace(t, term))) / len(term)`, and the documented
+    * trade: boundary-aware matching needs per-term regexes that RE2 and
+    * Java disagree on for edge classes. Terms fold into a fixed
+    * expression chain (the list is config-sized, ≤ a few thousand — it
+    * compiles into the plan, zero shuffle, no join).
+    */
+  def blocklistHits(text: Column, terms: Seq[String]): (Column, Column) = {
+    require(terms.nonEmpty && terms.forall(_.nonEmpty), "blocklist terms must be non-empty")
+    val counts = terms.map { t =>
+      // numerator is always an exact multiple of the term length, so the
+      // division is exact; cast pins the integer dtype per term
+      ((length(text) - length(replace(text, lit(t), lit("")))) / t.length).cast("long")
+    }
+    val total = counts.reduce(_ + _)
+    val distinctHit = counts.map(c => when(c > 0, 1L).otherwise(0L)).reduce(_ + _)
+    (total, distinctHit)
+  }
 }

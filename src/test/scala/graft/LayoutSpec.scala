@@ -1,0 +1,87 @@
+package graft
+
+import graft.ops.Layout
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("morton key interleaves bits (known values) and round-trips") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 5L), (65535L, 65535L))
+      .toDF("x", "y")
+      .select(col("x"), col("y"), Layout.mortonKey(col("x"), col("y")).as("z"))
+    val rows = df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(rows((0L, 0L)) === 0L)
+    assert(rows((1L, 0L)) === 1L)  // x → even bits
+    assert(rows((0L, 1L)) === 2L)  // y → odd bits
+    assert(rows((1L, 1L)) === 3L)
+    // 3=0b11, 5=0b101 → interleave: y2x2 y1x1 y0x0 = 1,0 0,1 1,1 = 0b100111 = 39
+    assert(rows((3L, 5L)) === 39L)
+    assert(rows((65535L, 65535L)) === 0xFFFFFFFFL)
+    // deinterleave on the driver: every (x,y) must round-trip
+    def compact(z: Long): Long = {
+      var c = z & 0x5555555555555555L
+      c = (c | (c >> 1)) & 0x3333333333333333L
+      c = (c | (c >> 2)) & 0x0F0F0F0F0F0F0F0FL
+      c = (c | (c >> 4)) & 0x00FF00FF00FF00FFL
+      (c | (c >> 8)) & 0x0000FFFF0000FFFFL
+    }
+    rows.foreach { case ((x, y), z) =>
+      assert(compact(z) === x && compact(z >> 1) === y, s"roundtrip ($x,$y)")
+    }
+  }
+
+  test("z-order buckets bound BOTH dimensions; 1-D sort does not") {
+    // uniform grid: 64×64 points, 16 quadrant buckets (quadBits=2)
+    val pts = spark.range(4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    val ext = Layout.zorderExtents(pts, col("x"), col("y"), bits = 6, quadBits = 2)
+      .collect()
+    assert(ext.length === 16, "4^quadBits aligned quadrants")
+    ext.foreach { r =>
+      val (w, h) = (r.getAs[Long]("max_x") - r.getAs[Long]("min_x"),
+        r.getAs[Long]("max_y") - r.getAs[Long]("min_y"))
+      // each Morton quadrant at quadBits=2 spans 1/4 of each axis: 16 cells
+      assert(w <= 15 && h <= 15, s"bucket ${r.get(0)} extent ${w}x$h")
+    }
+    // contrast: bucketing by x alone leaves the y-extent at full range
+    val sorted1d = pts.groupBy((col("x") / 16).cast("long").as("bucket"))
+      .agg(max(col("y")) - min(col("y"))).collect()
+    assert(sorted1d.forall(_.getLong(1) === 63L), "1-D layout: unbounded second dim")
+  }
+
+  test("clusterByZOrder partitions carry narrow bounding boxes") {
+    val pts = spark.range(4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    val clustered = Layout.clusterByZOrder(pts, col("x"), col("y"), nFiles = 16, bits = 6)
+    val boxes = clustered
+      .select(spark_partition_id().as("pid"), col("x"), col("y"))
+      .groupBy("pid")
+      .agg((max(col("x")) - min(col("x"))).as("w"), (max(col("y")) - min(col("y"))).as("h"))
+      .collect()
+    assert(boxes.length > 1, "range partitioner actually split the data")
+    // contiguous Z-ranges over a uniform grid: every partition's box is
+    // far narrower than the 63×63 full extent in at least one dim, and
+    // the AVERAGE area is a small fraction of the full square
+    val areas = boxes.map(r => (r.getLong(1) + 1.0) * (r.getLong(2) + 1.0))
+    assert(areas.sum / areas.length < 64.0 * 64.0 / 4,
+      s"mean partition bbox area ${areas.sum / areas.length} not clustered")
+  }
+
+  test("zone-map pruned filter ≡ plain filter, and it actually prunes") {
+    val ev = Tables.events(spark, sf001)
+      .withColumn("value_cents", floor(col("value") * lit(100.0) + lit(0.5)))
+    val bucket = shiftright(
+      Layout.mortonKey(col("user_id"), shiftright(col("value_cents"), 8), 8), 10)
+    val zm = Layout.zoneMap(ev, bucket, col("value_cents"))
+    val zmRows = zm.collect()
+    val (lo, hi) = (2000L, 3000L)
+    val kept = zmRows.count(r => !(r.getAs[Long]("zm_max") < lo || r.getAs[Long]("zm_min") > hi))
+    assert(kept < zmRows.length, "zone map keeps a strict subset of buckets")
+    val pruned = Layout.zoneMapPrunedFilter(ev, bucket, col("value_cents"), zm, lit(lo), lit(hi))
+      .select("event_id").as[Long].collect().sorted
+    val plain = ev.filter(col("value_cents").between(lo, hi))
+      .select("event_id").as[Long].collect().sorted
+    assert(pruned.toSeq === plain.toSeq, "pruning is lossless")
+  }
+}
