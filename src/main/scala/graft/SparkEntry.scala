@@ -654,6 +654,23 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("event_id"))
     }),
 
+    "sample_priority" -> ((s, dir) =>
+      // weighted sampling without replacement (Duffield-Lund-Thorup
+      // priority sampling), deterministic integer instantiation —
+      // u = (keepHash+1)/1e6, priority = w·1e6 div (h+1), top-k
+      Sampling.prioritySample(Tables.documents(s, dir), k = 100, weightCol = "n_chars")
+        .select(col("doc_id"), col("n_chars"), col("priority"))),
+
+    "profile_heavy_hitters" -> ((s, dir) => {
+      // exact heavy hitters via the two-pass hash filter: pass-1 state
+      // is nBuckets rows (NOT key cardinality); the oracle's plain
+      // HAVING twin proves the bounded-memory path loses nothing
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+      graft.ops.Profile.heavyHitters(toks, "tok", minCount = 700L, nBuckets = 1 << 12)
+        .orderBy(col("cnt").desc, col("tok"))
+    }),
+
     "text_boilerplate_remove" -> ((s, dir) =>
       // CCNet dedup-paragraphs rewrite on 3-token chunks: chunks seen
       // ≥3 times corpus-wide are cut, survivors reassembled in order
@@ -1388,7 +1405,11 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       val u = col("user_id"); val e = col("event_id")
       def uintOf(name: String) = PgConverters.uint32ToLong(
         expr(s"CAST(($name * 2654435761) % 4294967296 - 2147483648 AS INT)"))
+      // sort FIRST, project after: the range exchange ships the narrow
+      // source rows, not the ~17 wide rendered strings (the projection
+      // is order-preserving, so output order is unchanged)
       Tables.events(s, dir)
+        .orderBy(col("event_id"))
         .select(e.as("event_id"),
           array_join(array(concat(lit("t_"), u), concat(lit("idx_"), pmod(e, lit(10)))), ",").as("name_arr"),
           array_join(array(lower(hex(col("event_type").cast("binary"))),
@@ -1426,7 +1447,6 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
             array_join(transform(array(h1, h2),
               j => to_json(PgConverters.hstoreToMap(j))), ";").as("hstore_arr")
           })
-        .orderBy(col("event_id"))
     }),
 
     "conv_array_temporal_geo_sweep" -> ((s, dir) => {
@@ -1439,7 +1459,9 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       val t1 = timestamp_micros(expr("ts div 1000 + 60000000"))
       def day(shift: Int) = date_format(
         timestamp_micros(expr(s"ts div 1000 + ${shift.toLong * 86400000000L}")), "yyyy-MM-dd")
+      // sort first, project after — see conv_array_scalar_sweep
       Tables.events(s, dir)
+        .orderBy(col("event_id"))
         .select(e.as("event_id"),
           array_join(array(PgConverters.timeToText(t0), PgConverters.timeToText(t1)), ",").as("time_arr"),
           array_join(array(PgConverters.timetzToText(t0), PgConverters.timetzToText(t1)), ",").as("timetz_arr"),
@@ -1469,7 +1491,6 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
           array_join(array(
             PgConverters.pathToText(closed = false, (u, m), (u + 2, m + 3)),
             PgConverters.pathToText(closed = false, (u + 1, m), (u + 3, m + 4))), ";").as("path_arr"))
-        .orderBy(col("event_id"))
     }),
 
     "pipeline_gopher_filter" -> ((s, dir) => {
@@ -4140,6 +4161,19 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |FROM events
         |WHERE CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) BETWEEN 2000 AND 3000
         |ORDER BY event_id""".stripMargin,
+
+    "sample_priority" ->
+      s"""WITH keyed AS (SELECT doc_id, n_chars,
+         |    CAST(${fnvSql("'doc_' || CAST(doc_id AS VARCHAR)")} % 1000000 AS BIGINT) + 1 AS u
+         |  FROM documents)
+         |SELECT doc_id, n_chars, (CAST(n_chars AS BIGINT) * 1000000) // u AS priority
+         |FROM keyed ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin,
+
+    "profile_heavy_hitters" ->
+      """SELECT tok, COUNT(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |GROUP BY tok HAVING cnt >= 700
+        |ORDER BY cnt DESC, tok""".stripMargin,
 
     "text_boilerplate_remove" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

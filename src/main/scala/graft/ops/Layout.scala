@@ -3,8 +3,11 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Multi-dimensional data layout — Z-order (Morton) clustering keys,
-  * per-bucket extent reports, and zone-map data skipping.
+/** Data-layout QUALITY and SKIPPING surface: the 2-D Morton fast path,
+  * per-bucket extent reports, and zone-map data skipping. The general
+  * n-column interleave and the file-rewrite op live in [[Compaction]]
+  * (`zOrderValue`/`zOrderLayout`); this module adds what a pipeline
+  * owner reads and what a scan planner prunes with.
   *
   * Why this matters at 100 TB: a single-column sort order can only make
   * ONE predicate selective at the file level. Interleaving the bits of
@@ -48,7 +51,13 @@ object Layout {
 
   /** 2-D Morton key over `bits`-bit coordinates (bits ≤ 16): x occupies
     * even bit positions, y odd. Inputs are clamped into range with
-    * `pmod` so arbitrary integer expressions are safe to feed. */
+    * `pmod` so arbitrary integer expressions are safe to feed.
+    *
+    * VALUE-IDENTICAL to [[Compaction.zOrderValue]]`(Seq(x, y), bits)`
+    * on in-range inputs (spec-proven) — this is its 2-D fast path: the
+    * mask ladder is ~10 integer ops total where the general n-column
+    * form unrolls 2·bits shift/mask terms; use [[Compaction.zOrderLayout]]
+    * to actually rewrite files by either key. */
   def mortonKey(x: Column, y: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 16, s"morton bits must be 1..16, got $bits")
     val m = lit(1L << bits)
@@ -62,18 +71,6 @@ object Layout {
     val py = s"((($y) % $m + $m) % $m)"
     s"(${spread16Sql(px)} | (${spread16Sql(py)} << 1))"
   }
-
-  /** Z-cluster a dataset: range-partition by the Morton key of
-    * (`x`,`y`) into `nFiles` partitions. Each output partition covers a
-    * contiguous Z-range = a union of a few aligned quadrants, so its
-    * bounding box in BOTH x and y is narrow — that is what downstream
-    * zone maps prune on. Range partitioning samples the key (no full
-    * sort); within-partition order is irrelevant to zone maps. */
-  def clusterByZOrder(df: DataFrame, x: Column, y: Column,
-                      nFiles: Int, bits: Int = 16): DataFrame =
-    df.withColumn("__zkey", mortonKey(x, y, bits))
-      .repartitionByRange(nFiles, col("__zkey"))
-      .drop("__zkey")
 
   /** Per-bucket layout report: bucket = top `log2(nBuckets)` bit-pairs
     * of the Morton key (an aligned power-of-4 quadrant grid — the

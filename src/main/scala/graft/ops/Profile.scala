@@ -97,4 +97,37 @@ object Profile {
       .select(col("rank"), col(keyCol).as("key"), col("cnt"),
         col("share_ppm"), col("cum_share_ppm"))
   }
+
+  /** Exact heavy hitters with BOUNDED intermediate state — the two-pass
+    * hash-filter construction (the deterministic cousin of Misra-Gries /
+    * count-min candidate generation): pass 1 aggregates counts over
+    * `nBuckets` FNV hash buckets (state = nBuckets rows, independent of
+    * key cardinality); pass 2 counts exactly ONLY the keys whose bucket
+    * total reaches `minCount` (a bucket's count upper-bounds every key
+    * inside it, so no true heavy hitter can be filtered — supersets are
+    * safe, and the second exact pass removes false positives). Output is
+    * EXACTLY the keys with frequency ≥ `minCount` — same answer as a
+    * full groupBy, but the first shuffle moves nBuckets partial rows per
+    * task instead of |distinct keys|, which at 100 TB of tokens is the
+    * difference between a bounded map-side combine and a trillion-row
+    * aggregate. Both passes are deterministic, so the result is
+    * oracle-replicable (unlike per-partition MG summaries, whose
+    * candidate set depends on the partition layout).
+    */
+  def heavyHitters(keys: DataFrame, keyCol: String, minCount: Long,
+                   nBuckets: Int = 1 << 16): DataFrame = {
+    require(minCount >= 1, s"heavyHitters: minCount=$minCount must be >= 1")
+    require(nBuckets >= 2, s"heavyHitters: nBuckets=$nBuckets must be >= 2")
+    val bucket = graft.functions.FnvHash64.remainderUnsigned(
+      graft.functions.FnvHash64.fnv_hash64(col(keyCol).cast("string")), nBuckets.toLong)
+    val hot = keys.groupBy(bucket.as("__bucket"))
+      .agg(count(lit(1)).as("__bcnt"))
+      .filter(col("__bcnt") >= minCount)
+      .select(col("__bucket"))
+    keys.withColumn("__bucket", bucket)
+      .join(broadcast(hot), Seq("__bucket"), "leftsemi")
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
 }

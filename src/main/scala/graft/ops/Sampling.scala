@@ -352,6 +352,37 @@ object Sampling {
       .drop("__rep_text", "__key_text")
   }
 
+  /** Weighted sampling without replacement — priority sampling
+    * (Duffield, Lund & Thorup, JACM 2007): each row gets priority
+    * q = w/u with u uniform on (0,1], and the k largest priorities are
+    * the sample. Instantiated DETERMINISTICALLY and integer-exactly:
+    * u = (keepHashPpm(id)+1)/10⁶, so q = w·10⁶ div (h+1) — no RNG,
+    * bit-identical on any engine/partitioning, heavier rows win more
+    * buckets of the hash lottery exactly as the published scheme
+    * prescribes. Selection is orderBy+limit → TakeOrderedAndProject
+    * (per-partition top-k, merge of k·P rows — never a global sort).
+    * Overflow contract: w·10⁶ must fit in 64 bits (w < 9.2·10¹²) —
+    * token/char weights are far inside; fail-loud guard on the cheap
+    * single-row max.
+    */
+  def prioritySample(df: DataFrame, k: Int, weightCol: String,
+                     idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"prioritySample: k=$k must be >= 1")
+    val maxW = df.agg(coalesce(max(col(weightCol)).cast("long"), lit(0L))).head.getLong(0)
+    require(maxW <= Long.MaxValue / 1000000L,
+      s"prioritySample: max weight $maxW overflows the ppm priority — use coarser units")
+    val h = graft.functions.FnvHash64.keepHashPpm(col(idCol))
+    // integer `div`, never float `/`: the truncated quotient is the
+    // defined priority, and float rounding near .0 boundaries would
+    // flip ranks between engines
+    df.withColumn("__u", h + 1)
+      .withColumn("priority",
+        expr(s"(CAST($weightCol AS BIGINT) * 1000000L) div __u"))
+      .drop("__u")
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+  }
+
   def unimaxAllocation(df: DataFrame, budget: Long, epochCap: Int = 4,
                        groupCol: String = "source",
                        weightCol: String = "n_chars"): DataFrame = {

@@ -50,10 +50,21 @@ class LayoutSpec extends SparkSpec {
     assert(sorted1d.forall(_.getLong(1) === 63L), "1-D layout: unbounded second dim")
   }
 
-  test("clusterByZOrder partitions carry narrow bounding boxes") {
+  test("mortonKey ≡ Compaction.zOrderValue 2-col form (the general interleave)") {
+    val pts = spark.range(4096).select(
+      (col("id") * 37 % 1024).as("x"), (col("id") * 101 % 1024).as("y"))
+    val diff = pts.select(
+        Layout.mortonKey(col("x"), col("y"), bits = 10).as("a"),
+        graft.ops.Compaction.zOrderValue(Seq(col("x"), col("y")), bits = 10).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff === 0L, "mask ladder must equal the unrolled interleave")
+  }
+
+  test("zOrderLayout partitions carry narrow bounding boxes") {
     val pts = spark.range(4096).select(
       (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
-    val clustered = Layout.clusterByZOrder(pts, col("x"), col("y"), nFiles = 16, bits = 6)
+    val clustered = graft.ops.Compaction.zOrderLayout(pts, Seq("x", "y"),
+      bits = 6, numPartitions = 16)
     val boxes = clustered
       .select(spark_partition_id().as("pid"), col("x"), col("y"))
       .groupBy("pid")

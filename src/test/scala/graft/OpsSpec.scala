@@ -2438,4 +2438,37 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(dir === dir2, "exact integers ⇒ partitioning-invariant")
   }
+
+  test("boilerplateRemove: corpus-frequent chunks cut, order kept, uniques intact") {
+    import spark.implicits._
+    // chunk width 2: "nav bar" opens 3 docs (df=3 → boilerplate at maxDf=3);
+    // every other chunk is unique
+    val docs = Seq(
+      (1L, "nav bar alpha beta gamma delta"),
+      (2L, "nav bar epsilon zeta"),
+      (3L, "nav bar eta theta iota kappa"),
+      (4L, "lambda mu nu xi")).toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateRemove(docs, width = 2, maxDf = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getAs[Long]("n_chunks"), r.getAs[Long]("n_removed"))).toMap
+    assert(out(1L) === (("alpha beta gamma delta", 3L, 1L)))
+    assert(out(2L) === (("epsilon zeta", 2L, 1L)))
+    assert(out(3L) === (("eta theta iota kappa", 3L, 1L)))
+    assert(out(4L) === (("lambda mu nu xi", 2L, 0L)))
+    // a doc that is ALL boilerplate survives as an empty row, not a drop
+    val all = Seq((1L, "x y"), (2L, "x y"), (3L, "x y")).toDF("doc_id", "text")
+    val cleaned = TextAnalysis.boilerplateRemove(all, width = 2, maxDf = 3).collect()
+    assert(cleaned.length === 3 && cleaned.forall(_.getString(1) === ""))
+  }
+
+  test("blocklistHits: exact substring counts via the replace-length identity") {
+    import spark.implicits._
+    val df = Seq((1L, "bad bad wolf"), (2L, "clean text"), (3L, "badbad")).toDF("id", "t")
+    val (total, terms) = TextAnalysis.blocklistHits(col("t"), Seq("bad", "wolf"))
+    val rows = df.select(col("id"), total.as("n"), terms.as("k"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(1L) === ((3L, 2L)))   // 2×bad + 1×wolf, both terms hit
+    assert(rows(2L) === ((0L, 0L)))
+    assert(rows(3L) === ((2L, 1L)))   // substring semantics: badbad = 2 hits
+  }
 }

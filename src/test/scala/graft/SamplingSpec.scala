@@ -255,4 +255,40 @@ class SamplingSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("n_ids")).head.getLong(0)
     assert(totalPacked === totalEnc)
   }
+
+  test("prioritySample: deterministic, weight-sensitive, exactly k rows") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf001)
+    val s1 = Sampling.prioritySample(docs, k = 20, weightCol = "n_chars")
+      .select("doc_id").as[Long].collect().toSeq
+    val s2 = Sampling.prioritySample(docs.repartition(7), k = 20, weightCol = "n_chars")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(s1 === s2, "partitioning must not change the sample")
+    assert(s1.length === 20)
+    // weights matter: zeroing them changes the winning set (the hash
+    // lottery alone picks different rows than weight/hash)
+    val flat = Sampling.prioritySample(
+      docs.withColumn("w1", lit(1L)), k = 20, weightCol = "w1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(flat !== s1.toSet, "weight column must influence selection")
+    // heavier rows overrepresented: mean sampled weight > corpus mean
+    val meanAll = docs.agg(avg(col("n_chars"))).head.getDouble(0)
+    val meanSampled = Sampling.prioritySample(docs, 20, "n_chars")
+      .agg(avg(col("n_chars"))).head.getDouble(0)
+    assert(meanSampled > meanAll, s"weighted sample mean $meanSampled ≤ corpus mean $meanAll")
+  }
+
+  test("heavyHitters: bounded-state two-pass ≡ plain groupBy-HAVING") {
+    import org.apache.spark.sql.functions._
+    val toks = Tables.documents(spark, sf001)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    // tiny bucket table (collision-heavy on purpose) still loses nothing
+    val hh = graft.ops.Profile.heavyHitters(toks, "tok", minCount = 50L, nBuckets = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 50)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh === exact)
+    assert(exact.nonEmpty, "fixture must contain heavy hitters")
+  }
 }
