@@ -2326,6 +2326,26 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       ops.EventAnalytics.seasonality(Cdc.walEvents(s, dir))
         .orderBy(col("event_type"), col("dow"), col("hour"))),
 
+    "events_stats_agg" -> ((s, dir) =>
+      // stats_agg hyperfunction analog: the exact integer regression
+      // accumulator (mergeable by addition — the rollup() contract) +
+      // fixed-op-order double accessors scaled to integers
+      ops.EventAnalytics.statsAgg(Cdc.walEvents(s, dir))
+        .orderBy(col("event_type"))),
+
+    "events_state_agg" -> ((s, dir) =>
+      // state_agg hyperfunction analog: per-state LOCF dwell time over
+      // each user's event sequence; open last intervals counted apart
+      ops.EventAnalytics.stateAgg(Cdc.walEvents(s, dir))
+        .orderBy(col("event_type"))),
+
+    "events_lttb" -> ((s, dir) =>
+      // lttb hyperfunction analog (bucket-centroid parallel form):
+      // integer-exact scaled-area argmax, one window shuffle, no
+      // sequential dependency — see EventAnalytics.lttbDownsample
+      ops.EventAnalytics.lttbDownsample(Cdc.walEvents(s, dir), nBuckets = 40)
+        .orderBy(col("event_type"), col("bucket"))),
+
     "events_change_point" -> ((s, dir) =>
       // mean-shift CUSUM per type in exact integers: the scaled
       // deviation n·cᵢ − i·S needs no rational mean; peak position =
@@ -3959,6 +3979,89 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |    AS weighted_milli_ms,
         |  max(ts_ms) - min(ts_ms) AS span_ms, COUNT(*) AS n
         |FROM led GROUP BY 1, 2 ORDER BY event_type, chunk_day""".stripMargin,
+
+    // stats_agg twin: identical integer sums; accessors share the exact
+    // double operation order (IEEE ops on equal inputs are bit-equal)
+    "events_stats_agg" ->
+      """WITH wal AS (
+        |  SELECT event_type,
+        |    (epoch_ns(ts) // 1000000 - (SELECT min(epoch_ns(ts) // 1000000) FROM events)) // 60000 AS x,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS y
+        |  FROM events),
+        |acc AS (SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y,
+        |    CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sum_x2,
+        |    CAST(SUM(y * y) AS BIGINT) AS sum_y2
+        |  FROM wal GROUP BY event_type),
+        |sl AS (SELECT *,
+        |    CASE WHEN CAST(n AS DOUBLE) * CAST(sum_x2 AS DOUBLE)
+        |              - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE) = 0.0 THEN 0
+        |         ELSE CAST(FLOOR(
+        |           (CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+        |              - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+        |           / (CAST(n AS DOUBLE) * CAST(sum_x2 AS DOUBLE)
+        |              - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+        |           * 1000000.0 + 0.5) AS BIGINT) END AS slope_micro
+        |  FROM acc)
+        |SELECT event_type, n, sum_x, sum_y, sum_xy, sum_x2, sum_y2, slope_micro,
+        |  CASE WHEN n = 0 THEN 0
+        |       ELSE CAST(FLOOR(
+        |         (CAST(sum_y AS DOUBLE) - CAST(slope_micro AS DOUBLE) / 1000000.0
+        |            * CAST(sum_x AS DOUBLE)) / CAST(n AS DOUBLE) + 0.5) AS BIGINT) END
+        |    AS intercept_milli
+        |FROM sl ORDER BY event_type""".stripMargin,
+
+    // state_agg twin: lead() over the same (ts,lsn) order per user
+    "events_state_agg" ->
+      """WITH wal AS (
+        |  SELECT event_id AS lsn, event_type, user_id,
+        |    epoch_ns(ts) // 1000000 AS ts_ms FROM events),
+        |led AS (SELECT *,
+        |    lead(ts_ms, 1) OVER (PARTITION BY user_id ORDER BY ts_ms * 1000000 + lsn) AS next_ts,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts_ms * 1000000 + lsn) AS next_type
+        |  FROM wal)
+        |SELECT event_type,
+        |  CAST(SUM(CASE WHEN next_ts IS NOT NULL THEN next_ts - ts_ms ELSE 0 END) AS BIGINT) AS total_ms,
+        |  CAST(SUM(CASE WHEN next_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_intervals,
+        |  CAST(SUM(CASE WHEN next_type IS NOT NULL AND next_type <> event_type THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_transitions_out,
+        |  CAST(SUM(CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_open
+        |FROM led GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // lttb twin: same centroid anchors, same scaled integer area argmax
+    "events_lttb" ->
+      """WITH pts AS (
+        |  SELECT event_type, event_id AS lsn, epoch_ns(ts) // 1000000 AS ts_ms,
+        |    (epoch_ns(ts) // 1000000 - (SELECT min(epoch_ns(ts) // 1000000) FROM events)) // 60000 AS x,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        |  FROM events),
+        |bkt AS (SELECT *,
+        |    ((row_number() OVER (PARTITION BY event_type ORDER BY ts_ms, lsn) - 1) * 40)
+        |      // (count(*) OVER (PARTITION BY event_type)) AS bucket
+        |  FROM pts),
+        |cen AS (SELECT event_type, bucket, CAST(SUM(x) AS BIGINT) AS cx,
+        |    CAST(SUM(y) AS BIGINT) AS cy, COUNT(*) AS cn
+        |  FROM bkt GROUP BY 1, 2),
+        |ends AS (SELECT event_type,
+        |    min_by(x, ts_ms * 1000000 + lsn) AS fx, min_by(y, ts_ms * 1000000 + lsn) AS fy,
+        |    max_by(x, ts_ms * 1000000 + lsn) AS lx, max_by(y, ts_ms * 1000000 + lsn) AS ly
+        |  FROM bkt GROUP BY event_type),
+        |anch AS (SELECT c.event_type, c.bucket,
+        |    coalesce(lag(cx) OVER wob, fx) AS px, coalesce(lag(cy) OVER wob, fy) AS py,
+        |    coalesce(lag(cn) OVER wob, 1) AS pn,
+        |    coalesce(lead(cx) OVER wob, lx) AS nx, coalesce(lead(cy) OVER wob, ly) AS ny,
+        |    coalesce(lead(cn) OVER wob, 1) AS nn
+        |  FROM cen c JOIN ends e ON c.event_type = e.event_type
+        |  WINDOW wob AS (PARTITION BY c.event_type ORDER BY c.bucket)),
+        |scored AS (SELECT b.event_type, b.bucket, b.ts_ms, b.lsn, b.y,
+        |    abs((px - b.x * pn) * (ny - b.y * nn) - (nx - b.x * nn) * (py - b.y * pn)) AS area2
+        |  FROM bkt b JOIN anch a ON b.event_type = a.event_type AND b.bucket = a.bucket)
+        |SELECT event_type, bucket, ts_ms, lsn, y AS v_centi FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY event_type, bucket ORDER BY area2 DESC, ts_ms, lsn) AS rn
+        |  FROM scored) z
+        |WHERE rn = 1 ORDER BY event_type, bucket""".stripMargin,
 
     // seasonality twin: same Thursday-anchored integer epoch math
     "events_seasonality" ->

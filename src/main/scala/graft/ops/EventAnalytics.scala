@@ -253,4 +253,139 @@ object EventAnalytics {
           .otherwise(0L)).as("n_resets"),
         count(lit(1)).as("n"))
   }
+
+  /** `stats_agg` 2-D analog (TimescaleDB hyperfunction): per type, the
+    * exact integer REGRESSION ACCUMULATOR (n, Σx, Σy, Σxy, Σx², Σy²) —
+    * which is all stats_agg stores — plus the slope/intercept accessors
+    * scaled to micro units. x = minutes since the corpus' first event
+    * (the broadcast 1-row min), y = value milli-units; centering x keeps
+    * every sum exact in 64 bits through ~10⁹ rows × multi-year spans.
+    * The accessors divide in DOUBLE from the exact sums with a fixed
+    * operation order, so both engines execute the identical IEEE
+    * sequence — bit-equal, then floor-scaled to integers. Accumulator
+    * rows MERGE by adding (the rollup() contract): re-aggregating these
+    * sums over coarser groups is exact.
+    * One partial-agg shuffle; the min rides as a broadcast scalar.
+    */
+  def statsAgg(wal: DataFrame): DataFrame = {
+    val t0 = wal.agg(min(col("ts_ms")).as("__t0"))
+    wal.crossJoin(broadcast(t0))
+      .select(col("event_type"),
+        expr("(ts_ms - __t0) div 60000").as("x"),
+        expr("cast(floor(value * 1000 + 0.5) as bigint)").as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+        sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("x") * col("x")).as("sum_x2"),
+        sum(col("y") * col("y")).as("sum_y2"))
+      .withColumn("slope_micro", expr(
+        """CASE WHEN CAST(n AS DOUBLE) * CAST(sum_x2 AS DOUBLE)
+          |          - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE) = 0.0 THEN 0
+          |     ELSE CAST(FLOOR(
+          |       (CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+          |          - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+          |       / (CAST(n AS DOUBLE) * CAST(sum_x2 AS DOUBLE)
+          |          - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+          |       * 1000000.0 + 0.5) AS BIGINT) END""".stripMargin))
+      .withColumn("intercept_milli", expr(
+        """CASE WHEN n = 0 THEN 0
+          |     ELSE CAST(FLOOR(
+          |       (CAST(sum_y AS DOUBLE) - CAST(slope_micro AS DOUBLE) / 1000000.0
+          |          * CAST(sum_x AS DOUBLE)) / CAST(n AS DOUBLE) + 0.5) AS BIGINT) END"""
+          .stripMargin))
+  }
+
+  /** `state_agg` analog (TimescaleDB hyperfunction): time spent in each
+    * state, where a user is "in" state e from an event of type e until
+    * their next event (LOCF state semantics; each user's last interval
+    * is open and excluded, its count reported separately). One window
+    * shuffle on the user key, then a partial agg per state.
+    */
+  def stateAgg(wal: DataFrame, keyCol: String = "user_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(expr("ts_ms * 1000000 + lsn"))
+    wal
+      .withColumn("next_ts", lead(col("ts_ms"), 1).over(w))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("next_ts").isNotNull, col("next_ts") - col("ts_ms"))
+          .otherwise(0L)).as("total_ms"),
+        sum(when(col("next_ts").isNotNull, 1L).otherwise(0L)).as("n_intervals"),
+        sum(when(col("next_type").isNotNull && col("next_type") =!= col("event_type"), 1L)
+          .otherwise(0L)).as("n_transitions_out"),
+        sum(when(col("next_ts").isNull, 1L).otherwise(0L)).as("n_open"))
+  }
+
+  /** Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013 —
+    * TimescaleDB ships it as the `lttb` hyperfunction), in its
+    * bucket-centroid PARALLEL form: the classic algorithm anchors each
+    * bucket's triangle on the PREVIOUSLY SELECTED point (inherently
+    * sequential); anchoring on the neighbor buckets' centroids instead
+    * (the standard parallelization, also what LTTB uses for its
+    * right anchor) makes every bucket independent — one window shuffle
+    * + one tiny centroid table, no driver loop, and ≤2× the classic
+    * form's triangle-area loss on any input since centroids are within
+    * the neighbor bucket's hull.
+    *
+    * Integer-exact argmax: with prev anchor (X₁/n₁, Y₁/n₁), next
+    * (X₂/n₂, Y₂/n₂) and candidate (x,y), area·2·n₁·n₂ =
+    * |(X₁−x·n₁)(Y₂−y·n₂) − (X₂−x·n₂)(Y₁−y·n₁)| — n₁·n₂ is constant
+    * within a bucket, so the scaled comparison picks the true argmax
+    * with NO rational arithmetic. Magnitude contract: with x in minutes
+    * centered per corpus and y in centi-units,
+    * |term| ≤ n·(bucket span in minutes + y range) — overflow-safe
+    * through ~10⁶-row buckets on multi-year ranges; first/last series
+    * points anchor the edge buckets (n=1), matching LTTB's kept
+    * endpoints. Ties break to the earliest (ts, lsn).
+    */
+  def lttbDownsample(wal: DataFrame, nBuckets: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets >= 2, s"lttb: nBuckets=$nBuckets must be >= 2")
+    val t0 = wal.agg(min(col("ts_ms")).as("__t0"))
+    val pts = wal.crossJoin(broadcast(t0))
+      .select(col("event_type"), col("ts_ms"), col("lsn"),
+        expr("(ts_ms - __t0) div 60000").as("x"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_ms"), col("lsn"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val bucketed = pts
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("bucket", expr(s"((__rn - 1) * $nBuckets) div __n"))
+    val centroids = bucketed.groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("x")).as("cx"), sum(col("y")).as("cy"), count(lit(1)).as("cn"))
+    val ends = bucketed.groupBy(col("event_type"))
+      .agg(min_by(struct(col("x"), col("y")), struct(col("ts_ms"), col("lsn"))).as("__f"),
+        max_by(struct(col("x"), col("y")), struct(col("ts_ms"), col("lsn"))).as("__l"),
+        max(col("bucket")).as("__maxb"))
+    val wb = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val anchors = centroids
+      .withColumn("px", lag(col("cx"), 1).over(wb))
+      .withColumn("py", lag(col("cy"), 1).over(wb))
+      .withColumn("pn", lag(col("cn"), 1).over(wb))
+      .withColumn("nx", lead(col("cx"), 1).over(wb))
+      .withColumn("ny", lead(col("cy"), 1).over(wb))
+      .withColumn("nn", lead(col("cn"), 1).over(wb))
+      .join(ends, Seq("event_type"))
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("px"), col("__f").getField("x")).as("px"),
+        coalesce(col("py"), col("__f").getField("y")).as("py"),
+        coalesce(col("pn"), lit(1L)).as("pn"),
+        coalesce(col("nx"), col("__l").getField("x")).as("nx"),
+        coalesce(col("ny"), col("__l").getField("y")).as("ny"),
+        coalesce(col("nn"), lit(1L)).as("nn"))
+    bucketed.join(broadcast(anchors), Seq("event_type", "bucket"))
+      .withColumn("area2", abs(
+        (col("px") - col("x") * col("pn")) * (col("ny") - col("y") * col("nn")) -
+        (col("nx") - col("x") * col("nn")) * (col("py") - col("y") * col("pn"))))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max_by(struct(col("ts_ms"), col("lsn"), col("y")),
+        struct(col("area2"), -col("ts_ms"), -col("lsn"))).as("__pick"))
+      .select(col("event_type"), col("bucket"),
+        col("__pick").getField("ts_ms").as("ts_ms"),
+        col("__pick").getField("lsn").as("lsn"),
+        col("__pick").getField("y").as("v_centi"))
+  }
 }

@@ -134,4 +134,58 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_resets") === 1L)
     assert(r.getAs[Long]("n") === 4L)
   }
+
+  test("statsAgg: hand-computed accumulator and slope on a perfect line") {
+    import spark.implicits._
+    // perfect line y_milli = 2000·x over minutes 0,1,2:
+    // slope = 2000 milli-units/minute → slope_micro = 2000·10⁶, intercept 0
+    val wal = Seq(
+      (1L, "A", 0.0, 0L), (2L, "A", 2.0, 60000L), (3L, "A", 4.0, 120000L)
+    ).toDF("lsn", "event_type", "value", "ts_ms")
+    val r = EventAnalytics.statsAgg(wal).head()
+    assert(r.getAs[Long]("n") === 3L)
+    assert(r.getAs[Long]("sum_x") === 3L)      // minutes 0+1+2
+    assert(r.getAs[Long]("sum_y") === 6000L)   // 0+2000+4000 milli
+    assert(r.getAs[Long]("sum_xy") === 10000L) // 0 + 2000 + 8000
+    assert(r.getAs[Long]("sum_x2") === 5L)
+    assert(r.getAs[Long]("slope_micro") === 2000L * 1000000L)
+    assert(r.getAs[Long]("intercept_milli") === 0L)
+  }
+
+  test("stateAgg: LOCF dwell per state, open intervals counted apart") {
+    import spark.implicits._
+    // user 9: A(t=0) → B(t=100) → A(t=300) → open; user 8: B(t=0) → open
+    val wal = Seq(
+      (1L, 9L, "A", 0L), (2L, 9L, "B", 100L), (3L, 9L, "A", 300L),
+      (4L, 8L, "B", 0L)
+    ).toDF("lsn", "user_id", "event_type", "ts_ms")
+    val rows = EventAnalytics.stateAgg(wal).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("total_ms"),
+        r.getAs[Long]("n_intervals"), r.getAs[Long]("n_transitions_out"),
+        r.getAs[Long]("n_open"))).toMap
+    assert(rows("A") === ((100L, 1L, 1L, 1L)))
+    assert(rows("B") === ((200L, 1L, 1L, 1L)))
+  }
+
+  test("lttb: ≤ nBuckets picks per series, picks are real points, spike survives") {
+    import spark.implicits._
+    // a flat series with one towering spike: any sane downsample keeps it
+    val wal = (0L until 200L).map { i =>
+      (i + 1, "A", if (i == 137) 500.0 else 1.0 + (i % 3) * 0.01, i * 60000L)
+    }.toDF("lsn", "event_type", "value", "ts_ms")
+    val picks = EventAnalytics.lttbDownsample(wal, nBuckets = 10).collect()
+    assert(picks.length === 10)
+    assert(picks.map(_.getAs[Long]("bucket")).distinct.length === 10)
+    assert(picks.exists(_.getAs[Long]("v_centi") === 50000L), "spike kept")
+    // every pick is an actual input point
+    val inputs = (0L until 200L).map(i => (i * 60000L,
+      math.floor((if (i == 137) 500.0 else 1.0 + (i % 3) * 0.01) * 100 + 0.5).toLong)).toSet
+    picks.foreach(p => assert(inputs.contains(
+      (p.getAs[Long]("ts_ms"), p.getAs[Long]("v_centi")))))
+    // partitioning-invariant (exact integer argmax, deterministic ties)
+    val again = EventAnalytics.lttbDownsample(
+      wal.repartition(13), nBuckets = 10).collect()
+    assert(picks.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq ===
+      again.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq)
+  }
 }
