@@ -2932,6 +2932,13 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       TextAnalysis.boilerplateScore(Tables.documents(s, dir), n = 3, minDf = 4)
         .orderBy(col("doc_id"))),
 
+    "topic_clusters" -> ((s, dir) =>
+      // BERTopic-shaped corpus map: hash-embed → exact-Lloyd k-means →
+      // fixed-point c-TF-IDF labels; the whole chain stays hash-
+      // verifiable because every stage is engine-exact
+      TextAnalysis.topicClusters(Tables.documents(s, dir), nTopics = 8, iters = 2)
+        .orderBy(col("topic_id"), col("rank"))),
+
     "text_hash_embedding" -> ((s, dir) =>
       // model-free doc embedding via the signed hashing trick: 64-dim
       // FNV-bucketed signed token counts, map-only, feeds the ANN family
@@ -6567,6 +6574,49 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |  CAST(coalesce(p.n_common, 0) AS BIGINT) AS n_common,
         |  CAST(coalesce(p.n_common * 1000000 // p.n_grams, 0) AS BIGINT) AS boilerplate_ppm
         |FROM documents LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // topic twin: the hash-embedding CTEs (REAL list form) feed the
+    // unrolled-Lloyd kmeans CTEs, then the same argmax-assign shape as
+    // every IVF twin, then integer c-TF-IDF
+    "topic_clusters" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |h AS (SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+         |      list_transform(range(1, length(t) + 1),
+         |        i -> ascii(substr(t, CAST(i AS INTEGER), 1)))),
+         |      (acc, c) -> (xor(acc, CAST(c AS HUGEINT)) * 1099511628211) % 18446744073709551616) AS hv
+         |  FROM tok),
+         |bh AS (SELECT doc_id, CAST(hv % 64 AS BIGINT) AS bkt,
+         |        CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END AS s FROM h),
+         |bagg AS (SELECT doc_id, bkt, sum(s) AS v FROM bh GROUP BY 1, 2),
+         |grid AS (SELECT d.doc_id, dims.b FROM (SELECT doc_id FROM documents) d
+         |         CROSS JOIN (SELECT unnest(range(0, 64)) AS b) dims),
+         |e0 AS (SELECT g.doc_id AS vec_id,
+         |    list(CAST(CAST(coalesce(a.v, 0) AS BIGINT) AS REAL) ORDER BY g.b) AS embedding
+         |  FROM grid g LEFT JOIN bagg a ON a.doc_id = g.doc_id AND a.bkt = g.b
+         |  GROUP BY g.doc_id),
+         |e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS norm FROM e0),
+         |${duckKmeans("e", 8, 64, 2, "tk")},
+         |asg AS (SELECT vec_id AS doc_id, centroid_id AS topic_id FROM (
+         |    SELECT s.vec_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY ${duckDot("s.embedding", "c.centroid")} / (s.norm * c.cnorm) DESC,
+         |                 c.centroid_id) AS rn
+         |    FROM e s CROSS JOIN tk2 c) t WHERE rn = 1),
+         |sizes AS (SELECT topic_id, COUNT(*) AS n_docs FROM asg GROUP BY topic_id),
+         |terms AS (SELECT a.topic_id, tok.t AS term FROM tok JOIN asg a USING (doc_id)),
+         |ctf AS (SELECT topic_id, term, COUNT(*) AS ctf FROM terms GROUP BY 1, 2),
+         |ttok AS (SELECT topic_id, COUNT(*) AS topic_tokens FROM terms GROUP BY 1),
+         |tdf AS (SELECT term, COUNT(*) AS topic_df FROM ctf GROUP BY term),
+         |scored AS (SELECT c.topic_id, c.term,
+         |    (c.ctf * 1000000 // t.topic_tokens) * (8 // d.topic_df) AS score_fp
+         |  FROM ctf c JOIN ttok t USING (topic_id) JOIN tdf d USING (term)),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY topic_id
+         |    ORDER BY score_fp DESC, term) AS rank FROM scored)
+         |SELECT r.topic_id, s.n_docs, CAST(r.rank AS BIGINT) AS rank, r.term,
+         |  CAST(r.score_fp AS BIGINT) AS score_fp
+         |FROM ranked r JOIN sizes s USING (topic_id)
+         |WHERE r.rank <= 3 ORDER BY r.topic_id, r.rank""".stripMargin,
 
     // hash-embedding twin: the classifier twin's FNV HUGEINT fold per
     // token; bucket = % 64 (2^64 ≡ 0 mod 64 so unsigned ≡ signed pmod),

@@ -1094,6 +1094,49 @@ object TextAnalysis {
         sum(when(col("chunk_df") >= maxDf, 1L).otherwise(0L)).as("n_removed"))
   }
 
+  /** Topic-cluster report (the BERTopic recipe on engine-exact parts:
+    * embed → cluster → c-TF-IDF class terms): documents are hash-embedded
+    * ([[hashEmbedding]], map-only), k-means-clustered
+    * ([[graft.ops.Similarity.kmeansCentroids]] exact fixed-point Lloyd +
+    * the zero-Exchange broadcast argmax), and each topic is labeled with
+    * its top-`topTerms` discriminative terms by fixed-point c-TF-IDF:
+    * `score_fp = (ctf·10⁶ div topic_tokens) · (nTopics div topic_df)` —
+    * term share within the topic × the linear-idf surrogate over
+    * topic-level df (the same integer-exactness trade as tfidfTopK,
+    * documented; log-idf is not engine-replicable).
+    *
+    * Scale shape: embedding is map-only; Lloyd rounds cost k·dim tiny
+    * aggregate rows per round; term scoring is two keyed aggregates
+    * (topic×term, term) and a topic-sized window over candidates. The
+    * report is topics×topTerms rows — dashboard-sized.
+    */
+  def topicClusters(df: DataFrame, nTopics: Int = 8, iters: Int = 2,
+                    dim: Int = 64, topTerms: Int = 3,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = hashEmbedding(df, dim = dim, textCol = textCol)
+    val centroids = graft.ops.Similarity.kmeansCentroids(emb, nTopics, iters)
+    val asg = graft.ops.Similarity.ivfAssignWith(emb, centroids)
+      .select(col("vec_id").as(idCol), col("centroid_id").as("topic_id"))
+    val sizes = asg.groupBy(col("topic_id")).agg(count(lit(1)).as("n_docs"))
+    val terms = df.join(asg, idCol)
+      .select(col("topic_id"), explode(split(col(textCol), " ")).as("term"))
+    val ctf = terms.groupBy(col("topic_id"), col("term"))
+      .agg(count(lit(1)).as("ctf"))
+    val topicTokens = terms.groupBy(col("topic_id")).agg(count(lit(1)).as("topic_tokens"))
+    val termTopics = ctf.groupBy(col("term")).agg(count(lit(1)).as("topic_df"))
+    val scored = ctf.join(topicTokens, "topic_id").join(termTopics, "term")
+      .withColumn("score_fp",
+        expr(s"(ctf * 1000000 div topic_tokens) * ($nTopics div topic_df)"))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("topic_id"))
+        .orderBy(col("score_fp").desc, col("term"))))
+      .filter(col("rank") <= topTerms)
+      .join(sizes, "topic_id")
+      .select(col("topic_id"), col("n_docs"), col("rank"), col("term"), col("score_fp"))
+  }
+
   /** Blocklist hit counting — the safety-filter primitive: per document,
     * total occurrence count of any blocklist term plus the count of
     * distinct terms present. SUBSTRING semantics (an occurrence is
