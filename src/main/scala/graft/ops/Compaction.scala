@@ -96,4 +96,76 @@ object Compaction {
       else withZ.repartitionByRange(col("__z"))
     parts.sortWithinPartitions("__z").drop("__z")
   }
+
+  /** Scan-optimized parquet write — the footer-level levers a 100 TB
+    * table lives or dies by, set explicitly instead of hoping at
+    * defaults:
+    *  - per-column BLOOM FILTERS (`parquet.bloom.filter.enabled#col`)
+    *    for point-lookup columns: a reader probing `col = x` skips whole
+    *    row groups without touching data pages — min/max stats can't do
+    *    that for high-cardinality uniform keys, where every row group's
+    *    range spans the predicate;
+    *  - row-group sizing (`parquet.block.size`): bigger groups amortize
+    *    footer overhead, smaller ones sharpen skipping granularity;
+    *  - optional pre-sort on `sortCols` so min/max stats become
+    *    disjoint ranges (the zone-map complement of the bloom lever —
+    *    range predicates, where blooms are useless).
+    * The write itself is one shuffle at most (the sort); everything
+    * else is encoder configuration riding the normal parquet sink.
+    */
+  def writeOptimized(df: DataFrame, outDir: String,
+                     bloomCols: Seq[String] = Nil,
+                     sortCols: Seq[String] = Nil,
+                     rowGroupBytes: Long = 128L * 1024 * 1024,
+                     bloomNdv: Long = 1000000L): Unit = {
+    require(rowGroupBytes >= 1024 * 1024,
+      s"writeOptimized: rowGroupBytes=$rowGroupBytes below parquet sanity (1 MiB)")
+    val sorted =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df
+    var w = sorted.write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes.toString)
+    bloomCols.foreach { c =>
+      w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", bloomNdv.toString)
+    }
+    w.parquet(outDir)
+  }
+
+  /** Footer audit for [[writeOptimized]]: per column, whether every row
+    * group carries a bloom filter and min/max statistics — the check a
+    * layout CI job runs after a rewrite (a silently-disabled bloom
+    * shows up as a full-scan regression weeks later). Reads ONLY
+    * footers via the parquet API; never touches data pages.
+    */
+  def footerAudit(spark: SparkSession, dir: String,
+                  cols: Seq[String]): Seq[(String, Boolean, Boolean)] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    val files = fs.listStatus(new Path(dir)).toSeq
+      .filter(f => f.getPath.getName.endsWith(".parquet"))
+    cols.map { c =>
+      var bloomAll = true
+      var statsAll = true
+      files.foreach { f =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+        try reader.getFooter.getBlocks.asScala.foreach { block =>
+          block.getColumns.asScala
+            .filter(_.getPath.toDotString == c)
+            .foreach { cc =>
+              if (cc.getBloomFilterOffset < 0) bloomAll = false
+              val st = cc.getStatistics
+              if (st == null || !st.hasNonNullValue) statsAll = false
+            }
+        } finally reader.close()
+      }
+      (c, bloomAll, statsAll)
+    }
+  }
 }

@@ -95,4 +95,23 @@ class LayoutSpec extends SparkSpec {
       .select("event_id").as[Long].collect().sorted
     assert(pruned.toSeq === plain.toSeq, "pruning is lossless")
   }
+
+  test("writeOptimized: blooms + stats land in every row group footer; sorted ranges disjoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wopt").toString
+    val df = spark.range(200000).select(
+      col("id").as("k"), (col("id") % 97).as("v"))
+    graft.ops.Compaction.writeOptimized(df, s"$dir/t", bloomCols = Seq("k"),
+      sortCols = Seq("k"), rowGroupBytes = 1024 * 1024)
+    val audit = graft.ops.Compaction.footerAudit(spark, s"$dir/t", Seq("k", "v"))
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(audit("k") === ((true, true)), "bloom + stats on the keyed column")
+    assert(audit("k")._2, "bloom filter present in every row group")
+    assert(audit("v")._1 === false, "no bloom requested on v")
+    assert(audit("v")._2 === true, "min/max stats always on")
+    // read back: correctness unchanged, and the point predicate returns
+    // through the bloom-enabled reader path
+    val got = spark.read.parquet(s"$dir/t").filter(col("k") === 123456L)
+      .select("v").collect()
+    assert(got.length === 1 && got(0).getLong(0) === 123456L % 97)
+  }
 }
