@@ -87,7 +87,12 @@ object Bench {
       "web_url_dedup", "events_sessionize", "events_funnel",
       "web_pagerank", "classifier_perceptron", "embed_power_iteration",
       "cdc_incremental_snapshot", "events_attribution", "pack_token_ids",
-      "dedup_cdc_chunks", "ann_ivf_pq_rerank", "q_geo_radius_join")
+      "dedup_cdc_chunks", "ann_ivf_pq_rerank", "q_geo_radius_join",
+      // round-7 families
+      "q10_returned_items", "q18_large_volume", "q21_waiting_supplier",
+      "layout_zorder_key", "layout_zonemap_prune", "text_boilerplate_remove",
+      "text_blocklist_hits", "sample_priority", "profile_heavy_hitters",
+      "events_stats_agg", "events_lttb", "topic_clusters")
     val head = results.filter(r => headline(r._1))
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"n_ok":$nOk,"queries":${qmap(head)},"errors":$errs,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()

@@ -1799,6 +1799,23 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("doc_id"))
     }),
 
+    "graph_triangles" -> ((s, dir) => {
+      // dedup-graph QA: exact triangle participation per node via the
+      // degree-ordered orientation (Schank/Wagner) — hot hubs fan out
+      // only toward higher-degree nodes, bounding wedge skew at O(√|E|)
+      // ring-with-chords graph (i→i+1, i→i+2, plus a long chord): the
+      // short edges guarantee (i, i+1, i+2) triangles to count
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val n = ids.agg((max(col("doc_id")) + 1).as("__n"))
+      val edges = ids.crossJoin(broadcast(n))
+        .select(col("doc_id").as("doc_a"), explode(array(
+          pmod(col("doc_id") + 1, col("__n")),
+          pmod(col("doc_id") + 2, col("__n")),
+          pmod(col("doc_id") * 31 + 7, col("__n")))).as("doc_b"))
+        .filter(col("doc_a") =!= col("doc_b")).distinct()
+      Graph.triangles(edges).orderBy(col("node"))
+    }),
+
     "web_pagerank" -> ((s, dir) => {
       // link-graph centrality for corpus weighting: 5 synchronous
       // integer-fixed-point PageRank iterations over a deterministic
@@ -5419,6 +5436,26 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
          |FROM cc GROUP BY doc ORDER BY doc_id""".stripMargin),
 
     // pagerank twin: the identical integer iterations, unrolled
+    // triangles twin: same synthetic 3-out-link graph, same degree-
+    // ordered orientation, wedge join + closure semi-join
+    "graph_triangles" ->
+      """WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |    SELECT doc_id AS src, (doc_id+1) % n AS dst FROM documents CROSS JOIN nn
+        |    UNION ALL SELECT doc_id, (doc_id+2) % n FROM documents CROSS JOIN nn
+        |    UNION ALL SELECT doc_id, (doc_id*31+7) % n FROM documents CROSS JOIN nn)
+        |  WHERE src <> dst),
+        |und AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+        |deg AS (SELECT u AS nd, count(*) AS d FROM und GROUP BY u),
+        |ori AS (SELECT und.u AS a, und.v AS b
+        |  FROM und JOIN deg du ON und.u = du.nd JOIN deg dv ON und.v = dv.nd
+        |  WHERE du.d < dv.d OR (du.d = dv.d AND und.u < und.v)),
+        |w AS (SELECT e1.a, e1.b, e2.b AS c FROM ori e1 JOIN ori e2 ON e1.b = e2.a),
+        |t AS (SELECT w.a, w.b, w.c FROM w
+        |      WHERE EXISTS (SELECT 1 FROM ori o WHERE o.a = w.a AND o.b = w.c)),
+        |x AS (SELECT unnest([a, b, c]) AS node FROM t)
+        |SELECT node, COUNT(*) AS n_triangles FROM x GROUP BY node ORDER BY node""".stripMargin,
+
     "web_pagerank" -> {
       val iterCtes = (1 to 5).map { i =>
         val prev = if (i == 1) "r0" else s"r${i - 1}"

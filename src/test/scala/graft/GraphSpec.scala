@@ -59,4 +59,21 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Graph.pageRankInt(Seq((1L, 2L)).toDF("src", "dst"), 1, dampNum = 101))
   }
+
+  test("triangles: K4 counts 3 per node; triangle-free star counts none") {
+    // K4: every node sits in C(3,2)=3 triangles; 4 triangles total
+    val k4 = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b))
+      .toDF("doc_a", "doc_b")
+    val got = Graph.triangles(k4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // duplicate/reversed input edges must not double-count
+    val noisy = k4.unionByName(k4.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val got2 = Graph.triangles(noisy).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 === got, "orientation dedups reversed duplicates")
+    // star graph: wedges everywhere, zero closures
+    val star = (2L to 6L).map(b => (1L, b)).toDF("doc_a", "doc_b")
+    assert(Graph.triangles(star).count() === 0L)
+  }
 }
