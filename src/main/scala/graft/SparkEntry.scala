@@ -2778,6 +2778,21 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("score_milli").desc, col("doc_id"))
     }),
 
+    "profile_mad_outliers" -> ((s, dir) =>
+      // robust per-source length-outlier gate: lower-median/MAD, all
+      // integer, 50% breakdown point — the estimator the outliers
+      // themselves can't drag
+      graft.ops.Profile.madOutliers(Tables.documents(s, dir), "n_chars", k = 3)
+        .orderBy(col("source"))),
+
+    "retrieval_maxsim" -> ((s, dir) =>
+      // ColBERT-style late interaction on engine-exact parts: per query
+      // unit, the best-matching 8-token chunk; score = Σ of the maxes.
+      // Long docs win on a local passage instead of an averaged blur
+      Retrieval.maxSimTopK(Tables.documents(s, dir),
+        Seq("vector", "batch window", "slow scan"), k = 10)
+        .orderBy(col("rank"))),
+
     "retrieval_rrf" -> ((s, dir) => {
       // hybrid retrieval: BM25 top-50 ⊕ dense hash-embedding top-50,
       // merged by reciprocal-rank fusion (integer micro-scaled)
@@ -6261,6 +6276,62 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     // hybrid-retrieval twin: the bm25 CTE chain at k=50 + the
     // hash-embedding dot product (bucket-join form — identical to the
     // zip_with dot, non-shared lanes contribute 0) + integer RRF merge
+    // maxsim twin: sparse bucket-join dots with the zero-fill cases made
+    // explicit — a unit/chunk pair sharing no bucket has dot EXACTLY 0,
+    // so (a) per-(doc,unit) max includes 0 when any chunk is absent from
+    // the join, (b) absent (doc,unit) pairs contribute 0 via the grid
+    // MAD twin: same lower-median rank definition, same (value,id) and
+    // (dev,id) total orders
+    "profile_mad_outliers" ->
+      """WITH base AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS v,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents),
+        |med AS (SELECT source, v AS med FROM base WHERE rn = (n + 1) // 2),
+        |dev AS (SELECT b.source, b.doc_id, b.v, b.n, abs(b.v - m.med) AS dv, m.med
+        |  FROM base b JOIN med m USING (source)),
+        |mad AS (SELECT source, dv AS mad FROM (
+        |    SELECT source, dv, n,
+        |      row_number() OVER (PARTITION BY source ORDER BY dv, doc_id) AS rd
+        |    FROM dev) z WHERE rd = (n + 1) // 2)
+        |SELECT d.source, COUNT(*) AS n, min(d.med) AS median, min(m.mad) AS mad,
+        |  CAST(SUM(CASE WHEN d.dv > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  max(CASE WHEN d.dv > 3 * m.mad THEN d.v END) AS worst_value
+        |FROM dev d JOIN mad m USING (source)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "retrieval_maxsim" ->
+      s"""WITH chl AS (SELECT doc_id, list_transform(range(0, (len(t)-1)//8 + 1),
+         |      i -> array_to_string(t[(i*8+1):(i*8+8)], ' ')) AS chunks
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) z),
+         |ch AS (SELECT doc_id, unnest(range(0, len(chunks))) AS chunk_idx,
+         |        unnest(chunks) AS chunk FROM chl),
+         |ctok AS (SELECT doc_id, chunk_idx, unnest(string_split(chunk, ' ')) AS t FROM ch),
+         |chv AS (SELECT doc_id, chunk_idx, ${fnvSql("t")} AS hv FROM ctok),
+         |cagg AS (SELECT doc_id, chunk_idx, CAST(hv % 64 AS BIGINT) AS bkt,
+         |    CAST(SUM(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
+         |  FROM chv GROUP BY 1, 2, 3),
+         |q(unit_id, unit) AS (VALUES (0, 'vector'), (1, 'batch window'), (2, 'slow scan')),
+         |qtok AS (SELECT unit_id, unnest(string_split(unit, ' ')) AS t FROM q),
+         |qhv AS (SELECT unit_id, ${fnvSql("t")} AS hv FROM qtok),
+         |qagg AS (SELECT unit_id, CAST(hv % 64 AS BIGINT) AS bkt,
+         |    CAST(SUM(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
+         |  FROM qhv GROUP BY 1, 2),
+         |nch AS (SELECT doc_id, COUNT(*) AS n FROM ch GROUP BY doc_id),
+         |dots AS (SELECT c.doc_id, c.chunk_idx, qq.unit_id, SUM(c.v * qq.v) AS dot
+         |  FROM cagg c JOIN qagg qq USING (bkt) GROUP BY 1, 2, 3),
+         |mx AS (SELECT d.doc_id, d.unit_id,
+         |    CASE WHEN COUNT(*) < any_value(n.n) THEN greatest(max(dot), 0)
+         |         ELSE max(dot) END AS maxsim
+         |  FROM dots d JOIN nch n USING (doc_id) GROUP BY d.doc_id, d.unit_id),
+         |grid AS (SELECT d.doc_id, q.unit_id FROM (SELECT doc_id FROM documents) d CROSS JOIN q),
+         |mx2 AS (SELECT g.doc_id, g.unit_id, coalesce(m.maxsim, 0) AS maxsim
+         |  FROM grid g LEFT JOIN mx m USING (doc_id, unit_id)),
+         |sc AS (SELECT doc_id, CAST(SUM(maxsim) AS BIGINT) AS score FROM mx2 GROUP BY doc_id)
+         |SELECT doc_id, score,
+         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
     "retrieval_rrf" -> (retrievalCtes +
       """
         |f AS (SELECT coalesce(sp.doc_id, de.doc_id) AS doc_id, sp.sparse_rank, de.dense_rank,

@@ -98,6 +98,47 @@ object Profile {
         col("share_ppm"), col("cum_share_ppm"))
   }
 
+  /** Robust per-group outlier report — median/MAD, the
+    * estimator family that survives the very outliers it hunts (mean/
+    * stddev gates move with the contamination; the 50% breakdown point
+    * of the median does not). Integer-exact: "median" is DEFINED as the
+    * lower median (the element at 1-based rank `(n+1) div 2` under a
+    * (value, id) total order), MAD as the lower median of |x − med|,
+    * and the gate as `|x − med| > k·MAD` — all longs, no interpolation,
+    * so the oracle replays it bit-for-bit.
+    *
+    * Scale shape: two window shuffles on the group key (rank for the
+    * median, rank for the MAD) + broadcast-sized joins of the per-group
+    * scalars. Groups are sources/domains — many small partitions, the
+    * shape window functions like.
+    */
+  def madOutliers(df: DataFrame, valueCol: String, k: Int = 3,
+                  groupCol: String = "source",
+                  idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"madOutliers: k=$k must be >= 1")
+    val wv = Window.partitionBy(col(groupCol)).orderBy(col("__v"), col(idCol))
+    val wg = Window.partitionBy(col(groupCol))
+    val base = df.select(col(groupCol), col(idCol), col(valueCol).cast("long").as("__v"))
+      .withColumn("__rn", row_number().over(wv))
+      .withColumn("__n", count(lit(1)).over(wg))
+    val med = base.filter(col("__rn") === expr("(__n + 1) div 2"))
+      .select(col(groupCol), col("__v").as("med"))
+    val dev = base.join(med, groupCol)
+      .withColumn("__dev", abs(col("__v") - col("med")))
+    val wd = Window.partitionBy(col(groupCol)).orderBy(col("__dev"), col(idCol))
+    val mad = dev.withColumn("__rd", row_number().over(wd))
+      .filter(col("__rd") === expr("(__n + 1) div 2"))
+      .select(col(groupCol), col("__dev").as("mad"))
+    dev.join(mad, groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        min(col("med")).as("median"), min(col("mad")).as("mad"),
+        sum(when(col("__dev") > lit(k.toLong) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        max(when(col("__dev") > lit(k.toLong) * col("mad"), col("__v"))).as("worst_value"))
+  }
+
   /** Exact heavy hitters with BOUNDED intermediate state — the two-pass
     * hash-filter construction (the deterministic cousin of Misra-Gries /
     * count-min candidate generation): pass 1 aggregates counts over

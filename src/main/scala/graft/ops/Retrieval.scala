@@ -117,4 +117,55 @@ object Retrieval {
     metrics("dense", dense, "dense_rank")
       .unionByName(metrics("rrf", rrf, "rank"))
   }
+
+  /** Late-interaction retrieval (the ColBERT MaxSim operator, Khattab &
+    * Zaharia 2020, on model-free parts): documents are split into fixed
+    * `chunkTokens`-token windows, each window hash-embedded; each query
+    * unit is hash-embedded the same way; and
+    * `score(q, d) = Σ_{u ∈ q} max_{c ∈ d} ⟨emb(u), emb(c)⟩` — the sum
+    * over query units of their best-matching chunk. This is what makes
+    * long documents retrievable by a local passage instead of being
+    * averaged into mush (the single-vector failure mode of
+    * [[denseTopK]]).
+    *
+    * Integer-exact: embeddings are signed counts, dots are long sums —
+    * every ranking hash-verifies. Scale shape: chunking is a per-row
+    * HOF (no token explode); the query side is a ≤|q|-row broadcast;
+    * max-per-(doc,unit) and sum-per-doc are partial aggs that collapse
+    * map-side (chunks of a doc co-reside after posexplode); top-k is
+    * TakeOrderedAndProject. Nothing shuffles at corpus width except
+    * the two keyed aggregates.
+    */
+  def maxSimTopK(df: DataFrame, queryUnits: Seq[String], k: Int,
+                 chunkTokens: Int = 8, dim: Int = 64,
+                 textCol: String = "text"): DataFrame = {
+    require(queryUnits.nonEmpty, "maxSimTopK: queryUnits must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val chunks = df.select(col("doc_id"),
+        expr(s"transform(sequence(0, (size(split($textCol, ' ')) - 1) div $chunkTokens), " +
+          s"i -> array_join(slice(split($textCol, ' '), i * $chunkTokens + 1, $chunkTokens), ' '))")
+          .as("chunks"))
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"),
+        transform(graft.functions.TextFunctions.hash_embed(
+          split(col("chunk"), " "), dim), v => v.cast("long")).as("c_emb"))
+    val qdf = queryUnits.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("unit_id", "unit")
+      .select(col("unit_id"),
+        transform(graft.functions.TextFunctions.hash_embed(
+          split(col("unit"), " "), dim), v => v.cast("long")).as("q_emb"))
+    chunks.crossJoin(broadcast(qdf))
+      .withColumn("dot",
+        aggregate(zip_with(col("c_emb"), col("q_emb"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+      .groupBy(col("doc_id"), col("unit_id"))
+      .agg(max(col("dot")).as("maxsim"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("maxsim")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+  }
 }

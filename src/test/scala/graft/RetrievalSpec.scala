@@ -109,4 +109,46 @@ class RetrievalSpec extends SparkSpec {
     val train = splits.filter(col("split") === "train").count()
     assert(train * 100 >= n * 70 && train * 100 <= n * 90)
   }
+
+  test("maxSimTopK: a local passage beats a diluted full-doc match") {
+    import spark.implicits._
+    // doc 1: the query phrase sits in ONE chunk of an otherwise-noisy
+    // long doc; doc 2 scatters the query words across chunks so no
+    // single chunk concentrates them; doc 3 is noise
+    val noise = (1 to 24).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$noise alpha beta gamma delta $noise"),
+      (2L, s"alpha $noise beta $noise gamma"),
+      (3L, s"$noise $noise")).toDF("doc_id", "text")
+    val got = graft.ops.Retrieval.maxSimTopK(
+        docs, Seq("alpha beta gamma delta"), k = 3, chunkTokens = 8)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("rank")).toMap
+    assert(got(1L) === 1, "doc with the concentrated passage ranks first")
+    assert(got(1L) < got(2L) && got(2L) < got(3L))
+    // deterministic under repartition (integer dots, total-order ties)
+    val again = graft.ops.Retrieval.maxSimTopK(
+        docs.repartition(5), Seq("alpha beta gamma delta"), k = 3, chunkTokens = 8)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("rank")).toMap
+    assert(again === got)
+  }
+
+  test("madOutliers: planted outlier flagged, median/MAD immune to it") {
+    import spark.implicits._
+    // 7 values: 8,10,10,10,12,12 + one planted 500. Lower median (rank
+    // (7+1) div 2 = 4 of the sorted values) = 10; deviations sorted are
+    // 0,0,0,2,2,2,490 → MAD (rank 4) = 2; only 490 > 3·MAD flags
+    val rows = Seq(8L, 10L, 10L, 10L, 12L, 12L, 500L).zipWithIndex
+      .map { case (v, i) => ("g", i.toLong, v) }
+    val df = rows.toDF("source", "doc_id", "n_chars")
+    val r = graft.ops.Profile.madOutliers(df, "n_chars", k = 3).head()
+    assert(r.getAs[Long]("median") === 10L)
+    assert(r.getAs[Long]("mad") === 2L, "dev ranks 0,0,0,2,2,2,490 → rank-4 = 2")
+    assert(r.getAs[Long]("n_outliers") === 1L, "only the planted 500 exceeds 3·MAD")
+    assert(r.getAs[Long]("worst_value") === 500L)
+    // a mean/stddev gate at the same k would have been dragged by the
+    // outlier itself: mean ≈ 80, σ ≈ 171 → 500 < mean + 3σ — NOT flagged
+    val mean = rows.map(_._3).sum.toDouble / rows.length
+    val sd = math.sqrt(rows.map(v => math.pow(v._3 - mean, 2)).sum / rows.length)
+    assert(500 < mean + 3 * sd, "the contrast case: z-score gate misses it")
+  }
 }
