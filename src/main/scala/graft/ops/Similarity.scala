@@ -590,6 +590,21 @@ object Similarity {
     // derive from the same corpus scan; no embeddings move)
     val codes = pqEncodeWithCb(corpus, cbDf, m, dim)
       .join(lists.select(col("vec_id"), col("centroid_id")), "vec_id")
+    ivfPqSearchWith(queries, centroids, cbDf, codes, k, nLists, nProbe, m, dim,
+      balanceFactor)
+  }
+
+  /** The SEARCH half of [[ivfPqTopK]], taking prebuilt index frames —
+    * what actually runs in serving, where the index is fit once
+    * ([[saveIvfPqIndex]]) and queried many times: probe routing against
+    * the broadcast centroids, the per-query ADC distance table from the
+    * persisted codebook, scoring over probed lists' CODES only. No
+    * Lloyd round, no encode pass, no corpus embedding ever loads.
+    */
+  def ivfPqSearchWith(queries: DataFrame, centroids: DataFrame, cbDf: DataFrame,
+                      codes: DataFrame, k: Int, nLists: Int = 16,
+                      nProbe: Int = 4, m: Int = 8, dim: Int = 64,
+                      balanceFactor: Double = 4.0): DataFrame = {
     // routing: nProbe nearest lists per query — the ivfTopK probe shape
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
       l2Norm("embedding").as("qnorm"))
@@ -624,6 +639,61 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         col("adc_score"))
+  }
+
+  /** Persist the IVF-PQ serving index: coarse centroids, PQ codebook,
+    * list-tagged codes — three parquet tables plus a manifest recording
+    * the fit parameters (a search with mismatched m/dim against these
+    * artifacts would silently score garbage; the manifest makes the
+    * loader fail loudly instead). The big table (`codes`) is ~9 bytes a
+    * vector; centroids and codebook are KB-scale. Fit-once-query-many
+    * is the 100 TB serving shape — rebuilding the quantizer per query
+    * batch (what a naive [[ivfPqTopK]] loop would do) pays Lloyd and a
+    * full corpus encode every time.
+    */
+  def saveIvfPqIndex(corpus: DataFrame, dir: String, nLists: Int = 16,
+                     m: Int = 8, kCodes: Int = 16, dim: Int = 64,
+                     kmeansIters: Int = 2, pqIters: Int = 2): Unit = {
+    require(dim % m == 0, s"pq: dim=$dim not divisible by m=$m")
+    val (centroids, lists) = quantize(corpus, nLists, kmeansIters)
+    val cbDf = pqCodebook(corpus, m, kCodes, dim, pqIters)
+    val codes = pqEncodeWithCb(corpus, cbDf, m, dim)
+      .join(lists.select(col("vec_id"), col("centroid_id")), "vec_id")
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    cbDf.write.mode("overwrite").parquet(s"$dir/codebook")
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    val manifest =
+      s"""{"nLists":$nLists,"m":$m,"kCodes":$kCodes,"dim":$dim,
+         |"kmeansIters":$kmeansIters,"pqIters":$pqIters}""".stripMargin
+    val path = new org.apache.hadoop.fs.Path(s"$dir/manifest.json")
+    val fs = path.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Search a persisted [[saveIvfPqIndex]] index. `m`/`dim`/`nLists`
+    * come from the manifest — a caller can't mis-pair them with the
+    * artifacts. Only the probed lists' codes are read (plus the two
+    * KB-scale tables); corpus embeddings never load.
+    */
+  def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       queries: DataFrame, k: Int, nProbe: Int = 4,
+                       balanceFactor: Double = 4.0): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/manifest.json")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(path)
+    val manifest = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    def param(key: String): Int = {
+      val m0 = s""""$key":(\\d+)""".r.findFirstMatchIn(manifest)
+      require(m0.isDefined, s"ivf-pq manifest at $dir lacks '$key': $manifest")
+      m0.get.group(1).toInt
+    }
+    ivfPqSearchWith(queries,
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/codebook"),
+      spark.read.parquet(s"$dir/codes"),
+      k, param("nLists"), nProbe, param("m"), param("dim"), balanceFactor)
   }
 
   /** Per-dimension corpus statistics in exact integer micros — the

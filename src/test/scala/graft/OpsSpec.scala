@@ -2439,6 +2439,28 @@ class OpsSpec extends SparkSpec {
     assert(dir === dir2, "exact integers ⇒ partitioning-invariant")
   }
 
+  test("persisted IVF-PQ index: search over artifacts ≡ direct ivfPqTopK; loader rejects a broken manifest") {
+    val emb = Tables.embeddings(spark, sf001)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    graft.ops.Similarity.saveIvfPqIndex(emb, dir)
+    val q = emb.filter(col("vec_id") < 5)
+    val fromIndex = graft.ops.Similarity.searchIvfPqIndex(spark, dir, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = graft.ops.Similarity.ivfPqTopK(q, emb, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fromIndex === direct, "fit-once artifacts must reproduce the direct search")
+    // artifacts exist with the expected shapes
+    assert(spark.read.parquet(s"$dir/codes").columns.toSet
+      .contains("centroid_id"), "codes carry their IVF list")
+    // a manifest missing a param fails loudly, not garbage-scores
+    val p = new org.apache.hadoop.fs.Path(s"$dir/manifest.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true); out.write("{}".getBytes); out.close()
+    intercept[IllegalArgumentException] {
+      graft.ops.Similarity.searchIvfPqIndex(spark, dir, q, k = 10)
+    }
+  }
+
   test("boilerplateRemove: corpus-frequent chunks cut, order kept, uniques intact") {
     import spark.implicits._
     // chunk width 2: "nav bar" opens 3 docs (df=3 → boilerplate at maxDf=3);
