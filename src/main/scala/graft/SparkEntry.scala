@@ -1369,7 +1369,9 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // engine-stable), ltree[] — remaining array lifts of the matrix
       val u = col("user_id"); val e = col("event_id")
       val m = pmod(e, lit(100))
+      // sort first, project after — see conv_array_scalar_sweep
       Tables.events(s, dir)
+        .orderBy(col("event_id"))
         .select(e.as("event_id"),
           array_join(array(
             PgConverters.pointToText(u, m),
@@ -1384,7 +1386,6 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
           array_join(array(
             concat(lit("root.u"), u), concat(lit("root.e"), pmod(e, lit(10)))), ",")
             .as("ltree_arr"))
-        .orderBy(col("event_id"))
     }),
 
     "conv_array_bits" -> ((s, dir) => {
@@ -2349,6 +2350,16 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // fixed-op-order double accessors scaled to integers
       ops.EventAnalytics.statsAgg(Cdc.walEvents(s, dir))
         .orderBy(col("event_type"))),
+
+    "events_stats_rollup" -> ((s, dir) =>
+      // the rollup() contract live: fine (type, day) accumulators — the
+      // granularity a cagg would materialize — whose sums re-aggregate
+      // exactly to any coarser slice (spec-proven ≡ the direct fit)
+      ops.EventAnalytics.statsAgg(Cdc.walEvents(s, dir),
+          Seq("event_type", "chunk_day"))
+        .select(col("event_type"), col("chunk_day"), col("n"), col("sum_x"),
+          col("sum_y"), col("sum_xy"), col("sum_x2"), col("sum_y2"))
+        .orderBy(col("event_type"), col("chunk_day"))),
 
     "events_state_agg" -> ((s, dir) =>
       // state_agg hyperfunction analog: per-state LOCF dwell time over
@@ -4050,6 +4061,20 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |            * CAST(sum_x AS DOUBLE)) / CAST(n AS DOUBLE) + 0.5) AS BIGINT) END
         |    AS intercept_milli
         |FROM sl ORDER BY event_type""".stripMargin,
+
+    "events_stats_rollup" ->
+      """WITH wal AS (
+        |  SELECT event_type,
+        |    epoch_ns(ts) // 86400000000000 - 19723 AS chunk_day,
+        |    (epoch_ns(ts) // 1000000 - (SELECT min(epoch_ns(ts) // 1000000) FROM events)) // 60000 AS x,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS y
+        |  FROM events)
+        |SELECT event_type, chunk_day, COUNT(*) AS n,
+        |  CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y,
+        |  CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+        |  CAST(SUM(x * x) AS BIGINT) AS sum_x2,
+        |  CAST(SUM(y * y) AS BIGINT) AS sum_y2
+        |FROM wal GROUP BY 1, 2 ORDER BY event_type, chunk_day""".stripMargin,
 
     // state_agg twin: lead() over the same (ts,lsn) order per user
     "events_state_agg" ->

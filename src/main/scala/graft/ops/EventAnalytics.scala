@@ -267,13 +267,15 @@ object EventAnalytics {
     * sums over coarser groups is exact.
     * One partial-agg shuffle; the min rides as a broadcast scalar.
     */
-  def statsAgg(wal: DataFrame): DataFrame = {
+  def statsAgg(wal: DataFrame,
+               groupCols: Seq[String] = Seq("event_type")): DataFrame = {
+    require(groupCols.nonEmpty, "statsAgg: need at least one group column")
     val t0 = wal.agg(min(col("ts_ms")).as("__t0"))
     wal.crossJoin(broadcast(t0))
-      .select(col("event_type"),
+      .select((groupCols.map(col) ++ Seq(
         expr("(ts_ms - __t0) div 60000").as("x"),
-        expr("cast(floor(value * 1000 + 0.5) as bigint)").as("y"))
-      .groupBy(col("event_type"))
+        expr("cast(floor(value * 1000 + 0.5) as bigint)").as("y"))): _*)
+      .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
         sum(col("x") * col("y")).as("sum_xy"),

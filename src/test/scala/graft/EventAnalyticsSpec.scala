@@ -152,6 +152,26 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("intercept_milli") === 0L)
   }
 
+  test("statsAgg rollup contract: fine-grained accumulators merge by addition") {
+    import spark.implicits._
+    val wal = (1L to 40L).map(i =>
+      (i, "A", (i % 7).toDouble, i * 60000L, (i % 3).toInt))
+      .toDF("lsn", "event_type", "value", "ts_ms", "chunk_day")
+    // fine accumulators per (type, day), then summed per type, must equal
+    // the direct per-type accumulator — BOTH share one x origin (the
+    // corpus min), which is what makes the sums mergeable
+    val fine = EventAnalytics.statsAgg(wal, Seq("event_type", "chunk_day"))
+      .groupBy("event_type")
+      .agg(sum("n").as("n"), sum("sum_x").as("sum_x"), sum("sum_y").as("sum_y"),
+        sum("sum_xy").as("sum_xy"), sum("sum_x2").as("sum_x2"),
+        sum("sum_y2").as("sum_y2"))
+      .head()
+    val direct = EventAnalytics.statsAgg(wal).head()
+    Seq("n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2").foreach { c =>
+      assert(fine.getAs[Long](c) === direct.getAs[Long](c), c)
+    }
+  }
+
   test("stateAgg: LOCF dwell per state, open intervals counted apart") {
     import spark.implicits._
     // user 9: A(t=0) → B(t=100) → A(t=300) → open; user 8: B(t=0) → open
