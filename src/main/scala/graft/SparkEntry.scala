@@ -2789,6 +2789,12 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("score_milli").desc, col("doc_id"))
     }),
 
+    "profile_k_anonymity" -> ((s, dir) =>
+      // governance gate: (lang, source) quasi-identifier groups below
+      // k=5 re-identify their members; 1-row report, examples withheld
+      graft.ops.Profile.kAnonymity(Tables.documents(s, dir),
+        Seq("lang", "source"), k = 5)),
+
     "profile_mad_outliers" -> ((s, dir) =>
       // robust per-source length-outlier gate: lower-median/MAD, all
       // integer, 50% breakdown point — the estimator the outliers
@@ -6305,6 +6311,16 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     // explicit — a unit/chunk pair sharing no bucket has dot EXACTLY 0,
     // so (a) per-(doc,unit) max includes 0 when any chunk is absent from
     // the join, (b) absent (doc,unit) pairs contribute 0 via the grid
+    "profile_k_anonymity" ->
+      """WITH g AS (SELECT lang, source, count(*) AS sz FROM documents GROUP BY 1, 2)
+        |SELECT 'lang,source' AS qi, CAST(5 AS BIGINT) AS k,
+        |  COUNT(*) AS n_groups,
+        |  CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+        |  CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+        |  min(sz) AS min_group_size,
+        |  (SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) = 0) AS passed
+        |FROM g""".stripMargin,
+
     // MAD twin: same lower-median rank definition, same (value,id) and
     // (dev,id) total orders
     "profile_mad_outliers" ->

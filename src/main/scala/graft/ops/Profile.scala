@@ -139,6 +139,29 @@ object Profile {
         max(when(col("__dev") > lit(k.toLong) * col("mad"), col("__v"))).as("worst_value"))
   }
 
+  /** k-anonymity audit over a quasi-identifier column set — the
+    * governance gate for releasing/training on user-adjacent data: any
+    * QI combination shared by fewer than `k` rows re-identifies its
+    * members (Sweeney 2002). One partial-agg shuffle on the QI key;
+    * output is a 1-row report (gate on `n_rows_at_risk == 0`) — the
+    * smallest-group examples stay in the engine, deliberately: a
+    * violation REPORT that itself lists rare QI combos would leak what
+    * it polices.
+    */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame = {
+    require(qiCols.nonEmpty && k >= 2, s"kAnonymity: need QI columns and k >= 2 (got $k)")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("__sz"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("__sz") < k, 1L).otherwise(0L)).as("n_small_groups"),
+        sum(when(col("__sz") < k, col("__sz")).otherwise(0L)).as("n_rows_at_risk"),
+        min(col("__sz")).as("min_group_size"))
+      .select(lit(qiCols.mkString(",")).as("qi"), lit(k.toLong).as("k"),
+        col("n_groups"), col("n_small_groups"), col("n_rows_at_risk"),
+        col("min_group_size"),
+        (col("n_rows_at_risk") === 0L).as("passed"))
+  }
+
   /** Exact heavy hitters with BOUNDED intermediate state — the two-pass
     * hash-filter construction (the deterministic cousin of Misra-Gries /
     * count-min candidate generation): pass 1 aggregates counts over
