@@ -1589,6 +1589,17 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // JL random projection 64→8 dims; shuffle-free per-row map
       Similarity.randomProject(Tables.embeddings(s, dir)).orderBy(col("vec_id"))),
 
+    "embed_dim_drift" -> ((s, dir) => {
+      // model-input drift monitor: per-dimension exact mean shift between
+      // the even-id slice (the "fitted" corpus) and the odd-id slice
+      // (the "arriving" one), scaled by the fitted slice's range
+      val emb = Tables.embeddings(s, dir)
+      Similarity.dimDrift(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+          emb.filter(pmod(col("vec_id"), lit(2)) === 1))
+        .orderBy(col("pos"))
+    }),
+
     "embed_dim_stats" -> ((s, dir) =>
       // per-dimension micro-exact stats — the normalization/whitening
       // input table; one (pos)-keyed partial agg
@@ -4989,6 +5000,25 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     },
 
     // dim-stats twin: unnest with positional index, integer micros
+    // drift twin: the dim-stats CTE per parity slice, integer mean shift
+    "embed_dim_drift" ->
+      """WITH vm AS (SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+        |    CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS vm
+        |  FROM embeddings CROSS JOIN range(1, 65) t(i)),
+        |sa AS (SELECT pos, CAST(SUM(vm) // COUNT(*) AS BIGINT) AS mean_a_micro,
+        |         MIN(vm) AS min_a, MAX(vm) AS max_a
+        |       FROM vm WHERE vec_id % 2 = 0 GROUP BY pos),
+        |sb AS (SELECT pos, CAST(SUM(vm) // COUNT(*) AS BIGINT) AS mean_b_micro,
+        |         MIN(vm) AS min_b, MAX(vm) AS max_b
+        |       FROM vm WHERE vec_id % 2 = 1 GROUP BY pos)
+        |SELECT sa.pos, mean_a_micro, mean_b_micro,
+        |  abs(mean_b_micro - mean_a_micro) AS mean_shift_micro,
+        |  CAST(CASE WHEN max_a = min_a THEN 0
+        |       ELSE abs(mean_b_micro - mean_a_micro) * 1000000 // (max_a - min_a)
+        |  END AS BIGINT) AS drift_ppm,
+        |  (min_b < min_a OR max_b > max_a) AS range_expanded
+        |FROM sa JOIN sb USING (pos) ORDER BY sa.pos""".stripMargin,
+
     "embed_dim_stats" ->
       """SELECT CAST(i - 1 AS INT) AS pos, COUNT(*) AS n,
         |  CAST(SUM(vm) AS BIGINT) AS sum_micros,

@@ -162,6 +162,29 @@ object Profile {
         (col("n_rows_at_risk") === 0L).as("passed"))
   }
 
+  /** l-diversity audit — [[kAnonymity]]'s companion (Machanavajjhala et
+    * al. 2006): a QI group can be k-large yet still disclose its
+    * members' SENSITIVE attribute if everyone in it shares one value;
+    * the gate requires ≥ `l` distinct sensitive values per group. Same
+    * one-shuffle shape (QI-keyed agg with a distinct count), same
+    * examples-withheld 1-row report.
+    */
+  def lDiversity(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+                 l: Int): DataFrame = {
+    require(qiCols.nonEmpty && l >= 2, s"lDiversity: need QI columns and l >= 2 (got $l)")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("__sz"),
+        count_distinct(col(sensitiveCol)).as("__nv"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("__nv") < l, 1L).otherwise(0L)).as("n_undiverse_groups"),
+        sum(when(col("__nv") < l, col("__sz")).otherwise(0L)).as("n_rows_at_risk"),
+        min(col("__nv")).as("min_diversity"))
+      .select(lit(qiCols.mkString(",")).as("qi"), lit(sensitiveCol).as("sensitive"),
+        lit(l.toLong).as("l"), col("n_groups"), col("n_undiverse_groups"),
+        col("n_rows_at_risk"), col("min_diversity"),
+        (col("n_rows_at_risk") === 0L).as("passed"))
+  }
+
   /** Exact heavy hitters with BOUNDED intermediate state — the two-pass
     * hash-filter construction (the deterministic cousin of Misra-Gries /
     * count-min candidate generation): pass 1 aggregates counts over

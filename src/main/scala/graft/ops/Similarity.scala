@@ -709,6 +709,31 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum(col("vm")).as("sum_micros"),
         min(col("vm")).as("min_micros"), max(col("vm")).as("max_micros"))
 
+  /** Embedding-distribution drift between two corpus slices (old vs new
+    * crawl, train vs serve) — the model-input monitoring report: per
+    * dimension, the exact integer mean shift and range change from
+    * [[dimStats]] accumulators. A dimension whose mean moved by a large
+    * fraction of its historical range means the upstream featurizer (or
+    * the corpus itself) changed — caught here, BEFORE a quantizer/index
+    * fitted on the old distribution silently degrades. drift_ppm scales
+    * |Δmean| by slice-a's range (0 when the range is 0). Two dim-keyed
+    * partial aggs + a dim-sized join: report cost is O(dim).
+    */
+  def dimDrift(a: DataFrame, b: DataFrame): DataFrame = {
+    def side(df: DataFrame, tag: String) = dimStats(df)
+      .select(col("pos"),
+        expr("sum_micros div n").as(s"mean_${tag}_micro"),
+        col("min_micros").as(s"min_$tag"), col("max_micros").as(s"max_$tag"))
+    side(a, "a").join(side(b, "b"), "pos")
+      .withColumn("mean_shift_micro", abs(col("mean_b_micro") - col("mean_a_micro")))
+      .withColumn("drift_ppm",
+        when(col("max_a") === col("min_a"), lit(0L))
+          .otherwise(expr("mean_shift_micro * 1000000 div (max_a - min_a)")))
+      .select(col("pos"), col("mean_a_micro"), col("mean_b_micro"),
+        col("mean_shift_micro"), col("drift_ppm"),
+        (col("min_b") < col("min_a") || col("max_b") > col("max_a")).as("range_expanded"))
+  }
+
   /** Two-stage search — the production ANN pattern: the compressed
     * index (IVF-PQ) proposes `kCand` candidates from 8-byte codes, an
     * EXACT cosine re-scoring of only those candidates picks the final

@@ -2461,6 +2461,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("k-anonymity and l-diversity gates on planted violations") {
+    import spark.implicits._
+    // QI (city, age): the (A,30) group has 1 row → k=2 violation;
+    // the (B,40) group is 3-large but all share salary 10 → l=2 violation
+    val df = Seq(
+      ("A", 30, 10), ("B", 40, 10), ("B", 40, 10), ("B", 40, 10),
+      ("C", 50, 10), ("C", 50, 20)
+    ).toDF("city", "age", "salary")
+    val ka = graft.ops.Profile.kAnonymity(df, Seq("city", "age"), k = 2).head()
+    assert(ka.getAs[Long]("n_small_groups") === 1L)
+    assert(ka.getAs[Long]("n_rows_at_risk") === 1L)
+    assert(!ka.getAs[Boolean]("passed"))
+    val ld = graft.ops.Profile.lDiversity(df, Seq("city", "age"), "salary", l = 2).head()
+    assert(ld.getAs[Long]("n_undiverse_groups") === 2L,
+      "(A,30) singleton AND the salary-uniform (B,40) both fail diversity")
+    assert(ld.getAs[Long]("n_rows_at_risk") === 4L)
+    assert(!ld.getAs[Boolean]("passed"))
+    // the (C,50) group is both k-large and diverse: a clean frame passes
+    val clean = df.filter(col("city") === "C")
+    assert(graft.ops.Profile.kAnonymity(clean, Seq("city", "age"), 2)
+      .head().getAs[Boolean]("passed"))
+    assert(graft.ops.Profile.lDiversity(clean, Seq("city", "age"), "salary", 2)
+      .head().getAs[Boolean]("passed"))
+  }
+
   test("boilerplateRemove: corpus-frequent chunks cut, order kept, uniques intact") {
     import spark.implicits._
     // chunk width 2: "nav bar" opens 3 docs (df=3 → boilerplate at maxDf=3);
