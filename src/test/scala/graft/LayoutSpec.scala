@@ -96,6 +96,23 @@ class LayoutSpec extends SparkSpec {
     assert(pruned.toSeq === plain.toSeq, "pruning is lossless")
   }
 
+  test("zone maps are mergeable: zoneMap(a ∪ b) ≡ merge of the two zone maps") {
+    // the append-path contract: on new data, merge the small new zone map
+    // into the standing one (min/min, max/max, n+n) instead of rescanning
+    val ev = Tables.events(spark, sf001)
+      .withColumn("value_cents", floor(col("value") * lit(100.0) + lit(0.5)))
+    val bucket = pmod(col("user_id"), lit(16L))
+    val (a, b) = (ev.filter(col("event_id") % 2 === 0), ev.filter(col("event_id") % 2 === 1))
+    val merged = Layout.zoneMap(a, bucket, col("value_cents"))
+      .unionByName(Layout.zoneMap(b, bucket, col("value_cents")))
+      .groupBy("zm_bucket")
+      .agg(min("zm_min").as("zm_min"), max("zm_max").as("zm_max"), sum("zm_n").as("zm_n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val direct = Layout.zoneMap(ev, bucket, col("value_cents"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(merged === direct)
+  }
+
   test("writeOptimized: blooms + stats land in every row group footer; sorted ranges disjoint") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wopt").toString
     val df = spark.range(200000).select(
