@@ -1126,14 +1126,16 @@ object TextAnalysis {
       .agg(count(lit(1)).as("ctf"))
     val topicTokens = terms.groupBy(col("topic_id")).agg(count(lit(1)).as("topic_tokens"))
     val termTopics = ctf.groupBy(col("term")).agg(count(lit(1)).as("topic_df"))
-    val scored = ctf.join(topicTokens, "topic_id").join(termTopics, "term")
+    // topicTokens and sizes are nTopics rows — broadcast, never SMJ;
+    // termTopics is vocab-sized and stays a keyed shuffle join
+    val scored = ctf.join(broadcast(topicTokens), "topic_id").join(termTopics, "term")
       .withColumn("score_fp",
         expr(s"(ctf * 1000000 div topic_tokens) * ($nTopics div topic_df)"))
     scored
       .withColumn("rank", row_number().over(Window.partitionBy(col("topic_id"))
         .orderBy(col("score_fp").desc, col("term"))))
       .filter(col("rank") <= topTerms)
-      .join(sizes, "topic_id")
+      .join(broadcast(sizes), "topic_id")
       .select(col("topic_id"), col("n_docs"), col("rank"), col("term"), col("score_fp"))
   }
 
