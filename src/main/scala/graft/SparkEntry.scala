@@ -1510,6 +1510,12 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("doc_id"))
     }),
 
+    "dedup_lsh_eval" -> ((s, dir) =>
+      // banding calibration: raw LSH candidate precision/recall vs the
+      // exact Jaccard truth set — the measured S-curve that picks
+      // (bands × rows) before a 100 TB run commits to one
+      Dedup.lshEval(Tables.documents(s, dir))),
+
     "dedup_incremental" -> ((s, dir) => {
       // continuous-ingest dedup: short-named sources (src0..src9) play
       // the historical corpus, long-named (src10..src19) the new batch
@@ -4831,6 +4837,31 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |WHERE n_tokens BETWEEN 20 AND 1000 AND n_distinct_tokens * 2 >= n_tokens
         |  AND coalesce(tc, 0) * 20 <= coalesce(ng, 0) AND n_stop >= 1
         |ORDER BY doc_id""".stripMargin,
+
+    // lsh-eval twin: the minhash candidate CTEs (`pairs`) + the df-capped
+    // exact-Jaccard truth CTEs, then three counts and two integer ratios
+    "dedup_lsh_eval" -> (minhashPairCtes +
+      s""",
+         |tsh AS (SELECT doc_id, shingle FROM (
+         |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS dfc FROM sh) zc
+         |  WHERE dfc <= ${Dedup.DefaultDfCap}),
+         |tsizes AS (SELECT doc_id, count(*) AS n FROM tsh GROUP BY doc_id),
+         |tpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |           FROM tsh a JOIN tsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2),
+         |truth AS (SELECT doc_a, doc_b FROM tpairs
+         |          JOIN tsizes sa ON doc_a = sa.doc_id JOIN tsizes sb ON doc_b = sb.doc_id
+         |          WHERE shared * 10 >= 4 * (sa.n + sb.n - shared)),
+         |hits AS (SELECT p.doc_a FROM pairs p JOIN truth t USING (doc_a, doc_b)),
+         |c AS (SELECT (SELECT count(*) FROM truth) AS n_true,
+         |             (SELECT count(*) FROM pairs) AS n_candidates,
+         |             (SELECT count(*) FROM hits) AS n_hits)
+         |SELECT n_true, n_candidates, n_hits,
+         |  CAST(CASE WHEN n_candidates = 0 THEN 0
+         |       ELSE n_hits * 1000000 // n_candidates END AS BIGINT) AS precision_ppm,
+         |  CAST(CASE WHEN n_true = 0 THEN 0
+         |       ELSE n_hits * 1000000 // n_true END AS BIGINT) AS recall_ppm
+         |FROM c""".stripMargin),
 
     "dedup_incremental" ->
       s"""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),

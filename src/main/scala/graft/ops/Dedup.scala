@@ -339,6 +339,40 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH banding calibration report — the number to read before
+    * committing (k bands × rows) at 100 TB: candidate precision/recall
+    * of [[minhashLshPairs]]' RAW band candidates against the exact
+    * n-gram-Jaccard truth set at `threshold10/10`. Banding with too few
+    * rows floods the verifier with false candidates (precision cost =
+    * wasted exact checks); too many rows drops true pairs (recall cost =
+    * surviving duplicates). The report is the
+    * `Pr[candidate] = 1-(1-s^rows)^bands` S-curve measured on THIS
+    * corpus instead of assumed. Integer ppm; one row.
+    *
+    * Scale shape: both pair sets are bounded-key equi-joins; the
+    * comparison is two pair-keyed joins of candidate-sized (small)
+    * outputs. At 100 TB, run it on a sampled slice — the S-curve is a
+    * property of the similarity distribution, not the corpus size.
+    */
+  def lshEval(df: DataFrame, n: Int = 3, threshold10: Int = 4,
+              k: Int = 16, rows: Int = 4,
+              dfCap: Int = DefaultDfCap): DataFrame = {
+    val truth = jaccardPairs(df, n, threshold10, dfCap = dfCap)
+      .select(col("doc_a"), col("doc_b"))
+    val cand = minhashLshPairs(df, n, k, rows)
+      .select(col("doc_a"), col("doc_b"))
+    val hits = cand.join(truth, Seq("doc_a", "doc_b"), "leftsemi")
+    val nT = truth.agg(count(lit(1)).as("n_true"))
+    val nC = cand.agg(count(lit(1)).as("n_candidates"))
+    val nH = hits.agg(count(lit(1)).as("n_hits"))
+    nC.crossJoin(broadcast(nT)).crossJoin(broadcast(nH))
+      .select(col("n_true"), col("n_candidates"), col("n_hits"),
+        when(col("n_candidates") === 0, 0L)
+          .otherwise(expr("n_hits * 1000000 div n_candidates")).as("precision_ppm"),
+        when(col("n_true") === 0, 0L)
+          .otherwise(expr("n_hits * 1000000 div n_true")).as("recall_ppm"))
+  }
+
   /** Incremental near-dup prune: drop new-batch documents that are
     * n-gram-Jaccard near-dups of ANY document already in the historical
     * corpus — the operational form of dedup in a continuously-ingesting

@@ -815,4 +815,28 @@ class DedupSpec extends SparkSpec {
     assert(fixed(1L)._2 === fixed(1L)._1,
       s"fixed chunking keeps all of doc 1 (nothing aligns), got $fixed")
   }
+
+  test("lshEval: counts tie out against the two pair sets; imperfect precision surfaces") {
+    import spark.implicits._
+    // two true near-dups (one token differs) + a medium-similarity pair
+    // engineered to collide in SOME band without clearing jaccard 0.4:
+    // low-row banding (rows=1 → 16 bands) fires on ANY shared min-hash
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base.replace("tok7", "tokX")),
+      // 15 shared leading tokens ⇒ 13 shared shingles, jaccard ≈ 0.30:
+      // under threshold10=4 (not a true pair) yet nearly certain to share
+      // at least one of 16 single-row band min-hashes
+      (3L, ((1 to 15).map(i => s"tok$i") ++ (1 to 15).map(i => s"uuu$i")).mkString(" ")),
+      (4L, (1 to 30).map(i => s"yyy$i").mkString(" "))).toDF("doc_id", "text")
+    val r = Dedup.lshEval(docs, rows = 1).head()
+    val (nT, nC, nH) = (r.getAs[Long]("n_true"), r.getAs[Long]("n_candidates"),
+      r.getAs[Long]("n_hits"))
+    assert(nH <= math.min(nT, nC))
+    assert(nT === Dedup.jaccardPairs(docs, 3, 4).count())
+    assert(nC === Dedup.minhashLshPairs(docs, rows = 1).count())
+    assert(nC > nT, "rows=1 banding must overfire on the partial-overlap doc")
+    assert(r.getAs[Long]("precision_ppm") < 1000000L)
+    assert(r.getAs[Long]("recall_ppm") === 1000000L, "true pair shares 16/16 minhashes")
+  }
 }
