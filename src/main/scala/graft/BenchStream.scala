@@ -31,7 +31,7 @@ object BenchStream {
     // envelope JSON is materialized per event (count(envelope) forces the
     // full payload+schema rendering, not just row counting)
     val q = graft.streaming.StreamPipeline.envelopeStream(spark, sfDir)
-      .select(graft.cdc.Cdc.envelopeJson(spark, sfDir).as("envelope"))
+      .select(graft.cdc.Cdc.envelopeJsonCol().as("envelope"))
       .writeStream
       .option("checkpointLocation", s"$ckpt/cp")
       .trigger(Trigger.AvailableNow())

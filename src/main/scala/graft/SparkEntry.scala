@@ -2276,6 +2276,20 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .select(col("lsn"), col("user_id"), col("event_type"), col("props"))
         .orderBy(col("lsn"))),
 
+    "cdc_filter_wave7" -> ((s, dir) =>
+      // wave-7 dialect surface: optional chaining `?.` (nil-safe member
+      // access over maps — every access already total in the columnar
+      // compile) incl. chained `?.` after a let binding, missing-key nil
+      // + `??` default, and nil-propagation through int()
+      graft.filter.EventFilter(
+        """let m = fromJSON(value.props);
+          |m?.k != nil && (m?.absent ?? "42") == "42" &&
+          |int(fromJSON(value.props)?.k) >= 0 &&
+          |(int(m?.absent) ?? -1) == -1""".stripMargin)
+        .apply(Cdc.walEvents(s, dir))
+        .select(col("lsn"), col("user_id"), col("props"))
+        .orderBy(col("lsn"))),
+
     "cdc_filter_closures" -> ((s, dir) => {
       // expr-lang array closures (# placeholder, brace shorthand, nested
       // map-inside-count) compiled to Catalyst higher-order functions —
@@ -3903,6 +3917,14 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |  AND length(to_json(json_keys(props))) = 5
         |ORDER BY lsn""".stripMargin,
 
+    "cdc_filter_wave7" ->
+      """SELECT event_id AS lsn, user_id, props FROM events
+        |WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |  AND coalesce(json_extract_string(props, '$.absent'), '42') = '42'
+        |  AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 0
+        |  AND coalesce(CAST(json_extract_string(props, '$.absent') AS BIGINT), -1) = -1
+        |ORDER BY lsn""".stripMargin,
+
     "cdc_filter_closures" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
         |SELECT doc_id, len(t) AS n_toks FROM tok
@@ -4124,6 +4146,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
         |  FROM events),
         |bkt AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts_ms, lsn) AS rn,
         |    ((row_number() OVER (PARTITION BY event_type ORDER BY ts_ms, lsn) - 1) * 40)
         |      // (count(*) OVER (PARTITION BY event_type)) AS bucket
         |  FROM pts),
@@ -4131,8 +4154,8 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |    CAST(SUM(y) AS BIGINT) AS cy, COUNT(*) AS cn
         |  FROM bkt GROUP BY 1, 2),
         |ends AS (SELECT event_type,
-        |    min_by(x, ts_ms * 1000000 + lsn) AS fx, min_by(y, ts_ms * 1000000 + lsn) AS fy,
-        |    max_by(x, ts_ms * 1000000 + lsn) AS lx, max_by(y, ts_ms * 1000000 + lsn) AS ly
+        |    min_by(x, rn) AS fx, min_by(y, rn) AS fy,
+        |    max_by(x, rn) AS lx, max_by(y, rn) AS ly
         |  FROM bkt GROUP BY event_type),
         |anch AS (SELECT c.event_type, c.bucket,
         |    coalesce(lag(cx) OVER wob, fx) AS px, coalesce(lag(cy) OVER wob, fy) AS py,

@@ -825,6 +825,19 @@ object Cdc {
     */
   def envelopeJson(spark: SparkSession, dir: String, dbName: String = "graft"): DataFrame = {
     val wal = walEvents(spark, dir)
+    wal.select(col("lsn"),
+      envelopeJsonCol(dbName).as("envelope"),
+      envelopeKeyJsonCol.as("key"))
+  }
+
+  /** Column-level form of the full `{payload, schema}` envelope — the
+    * one codegen'd projection, applicable to ANY frame carrying the
+    * shaped-WAL columns (op, ts_ms, schema_name, table_name, xid, lsn,
+    * event_id, user_id, value, props). Shared by the batch
+    * `envelopeJson` and the streaming `BenchStream` path, so the
+    * streaming throughput number measures the identical rendering.
+    */
+  def envelopeJsonCol(dbName: String = "graft"): Column = {
     val rowStruct = struct(col("event_id"), col("user_id"), col("value"), col("props"))
     val source = Envelope.sourceBlock(dbName, col("schema_name"), col("table_name"),
       col("ts_ms"), lit(false), col("xid"),
@@ -844,14 +857,16 @@ object Cdc {
           .putString("debezium.name", graft.model.DebeziumSchema.JsonSchemaName).build())))
     val schemaJson = graft.model.DebeziumSchema
       .envelopeSchemaJson(rowSchema, "graft.public.events")
+    concat(lit("{\"payload\":"), to_json(struct(payload.as("payload"))),
+      lit(",\"schema\":"), lit(schemaJson), lit("}"))
+  }
+
+  /** Key envelope (`eventschema.go:180-197` PK-key form) as a Column. */
+  def envelopeKeyJsonCol: Column = {
     val keySchemaJson = graft.model.DebeziumSchema
       .keySchemaJson("graft.public.events", Seq("event_id" -> LongType))
-    wal.select(
-      col("lsn"),
-      concat(lit("{\"payload\":"), to_json(struct(payload.as("payload"))),
-        lit(",\"schema\":"), lit(schemaJson), lit("}")).as("envelope"),
-      concat(lit("{\"payload\":"), to_json(struct(col("event_id"))),
-        lit(",\"schema\":"), lit(keySchemaJson), lit("}")).as("key"))
+    concat(lit("{\"payload\":"), to_json(struct(col("event_id"))),
+      lit(",\"schema\":"), lit(keySchemaJson), lit("}"))
   }
 
   /** Oracle-parity variant of the full `{payload, schema}` envelope: the

@@ -179,7 +179,12 @@ object EventFilter {
       } else {
         val two = if (i + 1 < s.length) s.substring(i, i + 2) else ""
         two match {
-          case "==" | "!=" | "<=" | ">=" | "&&" | "||" | "??" | ".." =>
+          // NOTE: "?." lexes greedily, so a ternary whose then-branch
+          // starts with the brace-closure member shorthand (`c ? .f : x`)
+          // must parenthesize (`c ? (.f) : x`) — same greediness as
+          // expr-lang's own scanner; the unparenthesized form fails
+          // loudly at parse, never silently re-reads
+          case "==" | "!=" | "<=" | ">=" | "&&" | "||" | "??" | ".." | "?." =>
             out += TOp(two); i += 2
           case _ =>
             c match {
@@ -305,8 +310,20 @@ object EventFilter {
         case Some(TOp(sym @ ("==" | "!=" | "<" | "<=" | ">" | ">="))) =>
           next()
           val r = rangeExpr()
-          val sql = sym match { case "==" => "="; case "!=" => "<>"; case s => s }
-          s"$l $sql $r"
+          // expr-lang `x == nil` is a real nil TEST (true/false), but SQL
+          // `x = NULL` is NULL — compile nil comparisons to IS [NOT] NULL
+          // (either side; `nil == nil` folds to true like expr-lang)
+          (sym, l, r) match {
+            case ("==", "NULL", "NULL") => "true"
+            case ("!=", "NULL", "NULL") => "false"
+            case ("==", _, "NULL") => s"$l IS NULL"
+            case ("==", "NULL", _) => s"$r IS NULL"
+            case ("!=", _, "NULL") => s"$l IS NOT NULL"
+            case ("!=", "NULL", _) => s"$r IS NOT NULL"
+            case _ =>
+              val sql = sym match { case "==" => "="; case "!=" => "<>"; case s => s }
+              s"$l $sql $r"
+          }
         case Some(TIdent("matches")) =>
           next()
           val before = toks
@@ -401,9 +418,13 @@ object EventFilter {
       if (eatOp("-")) s"(- ${negUnary()})" else nullCoalesce()
 
     def nullCoalesce(): String = {
-      // expr-lang power 500 — the tightest binary, inside even unary -
+      // expr-lang power 500 — the tightest binary, inside even unary -.
+      // A negative-literal RHS (`x ?? -1`) still reads naturally: the
+      // sign is absorbed into the coalesce operand
+      def operand(): String =
+        if (eatOp("-")) s"(- ${operand()})" else postfix(primary())
       var l = postfix(primary())
-      while (eatOp("??")) l = s"coalesce($l, ${postfix(primary())})"
+      while (eatOp("??")) l = s"coalesce($l, ${operand()})"
       l
     }
 
@@ -415,17 +436,33 @@ object EventFilter {
       * element, python/expr-lang semantics, literal or computed. */
     def postfix(e0: String): String = {
       var e = e0
-      while (eatOp("[")) {
-        def sliceTo(a: String): String = {
-          val b = if (peekOp("]")) s"graft_len($e)" else ternary()
-          s"graft_slice($e, $a, $b)"
-        }
-        if (eatOp(":")) { e = sliceTo("0"); expectOp("]") }
-        else {
-          val a = ternary()
-          if (eatOp(":")) { e = sliceTo(a); expectOp("]") }
-          else { expectOp("]"); e = s"graft_at($e, $a)" }
-        }
+      var more = true
+      while (more) {
+        if (eatOp("[")) {
+          def sliceTo(a: String): String = {
+            val b = if (peekOp("]")) s"graft_len($e)" else ternary()
+            s"graft_slice($e, $a, $b)"
+          }
+          if (eatOp(":")) { e = sliceTo("0"); expectOp("]") }
+          else {
+            val a = ternary()
+            if (eatOp(":")) { e = sliceTo(a); expectOp("]") }
+            else { expectOp("]"); e = s"graft_at($e, $a)" }
+          }
+        } else if (eatOp("?.")) {
+          // wave 7 — optional chaining: `a?.b.c` is nil-safe member
+          // access. graft_at already yields nil on a nil base for
+          // map/array/string, and its struct arm (PolyAt) rides
+          // GetStructField's null propagation — so `?.` and `.` compile
+          // IDENTICALLY, which is exactly expr-lang's semantics lifted
+          // to columns (every access is already total). The operator
+          // exists so reference conditions parse verbatim.
+          next() match {
+            case TIdent(path) if !path.startsWith("#") =>
+              path.split('.').foreach { seg => e = s"graft_at($e, ${sqlString(seg)})" }
+            case other => fail(s"expected field name after '?.', got $other")
+          }
+        } else more = false
       }
       e
     }

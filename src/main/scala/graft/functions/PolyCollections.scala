@@ -74,8 +74,22 @@ case class PolyAt(input: Expression, index: Expression)
         PolyIndex.norm(index, Size(input, legacySizeOfNull = false), clamp = false),
         failOnError = false)
     case _: MapType   => GetMapValue(input, index)
+    // struct member (the `?.` chain compiles through graft_at so every
+    // access is total): field name must be a plan-time literal, missing
+    // field fails loudly at analysis — GetStructField null-propagates a
+    // nil base, which IS the optional-chaining contract
+    case s: StructType =>
+      val key = index match {
+        case Literal(v, StringType) if v != null => v.toString
+        case _ => throw new IllegalArgumentException(
+          "graft_at on a struct requires a literal field name")
+      }
+      val ord = s.fieldNames.indexWhere(_.equalsIgnoreCase(key))
+      if (ord < 0) throw new IllegalArgumentException(
+        s"graft_at: no field '$key' in struct<${s.fieldNames.mkString(",")}>")
+      GetStructField(input, ord, Some(s.fieldNames(ord)))
     case t => throw new IllegalArgumentException(
-      s"graft_at requires string, array, or map input, got $t")
+      s"graft_at requires string, array, map, or struct input, got $t")
   }
   override def children: Seq[Expression] = Seq(input, index)
   override protected def withNewChildrenInternal(

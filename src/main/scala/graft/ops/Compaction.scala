@@ -150,22 +150,25 @@ object Compaction {
     val fs = new Path(dir).getFileSystem(conf)
     val files = fs.listStatus(new Path(dir)).toSeq
       .filter(f => f.getPath.getName.endsWith(".parquet"))
+    require(files.nonEmpty, s"footerAudit: no parquet files under $dir")
     cols.map { c =>
       var bloomAll = true
       var statsAll = true
+      var matched = 0L // vacuous-pass guard: a typo'd column must FAIL, not pass
       files.foreach { f =>
         val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
         try reader.getFooter.getBlocks.asScala.foreach { block =>
           block.getColumns.asScala
             .filter(_.getPath.toDotString == c)
             .foreach { cc =>
+              matched += 1
               if (cc.getBloomFilterOffset < 0) bloomAll = false
               val st = cc.getStatistics
               if (st == null || !st.hasNonNullValue) statsAll = false
             }
         } finally reader.close()
       }
-      (c, bloomAll, statsAll)
+      if (matched == 0) (c, false, false) else (c, bloomAll, statsAll)
     }
   }
 }

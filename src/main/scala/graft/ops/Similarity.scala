@@ -720,6 +720,10 @@ object Similarity {
     * partial aggs + a dim-sized join: report cost is O(dim).
     */
   def dimDrift(a: DataFrame, b: DataFrame): DataFrame = {
+    // `div` truncates toward zero; sum_micros IS negative for real dims,
+    // so the sign convention matters. Verified (r8): DuckDB's `//` on
+    // INTEGER operands ALSO truncates toward zero ((-7)//2 = -3; it
+    // floors only for floats), so the two engines agree exactly here.
     def side(df: DataFrame, tag: String) = dimStats(df)
       .select(col("pos"),
         expr("sum_micros div n").as(s"mean_${tag}_micro"),

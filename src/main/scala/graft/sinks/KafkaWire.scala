@@ -28,9 +28,16 @@ final case class KafkaWireSink(
     // SASL PLAIN (`kafka.go:53-66`, sarama SASLTypePlaintext): when a
     // username is set, every connection runs SaslHandshake(v1) +
     // SaslAuthenticate(v0) before its first Produce. Other mechanisms
-    // (SCRAM, GSSAPI) and TLS stay native-path-only.
+    // (SCRAM, GSSAPI) stay native-path-only.
     saslUsername: String = "",
-    saslPassword: String = "") extends Sink {
+    saslPassword: String = "",
+    // TLS (`kafka.go:66-77`, sarama Net.TLS): JDK SSLEngine over the
+    // same socket path. skipVerify ≙ tls.Config.InsecureSkipVerify —
+    // trust any chain, no hostname check (test/self-signed brokers);
+    // the verified path uses the JVM default trust store WITH HTTPS
+    // endpoint identification, sarama's default stance.
+    tlsEnabled: Boolean = false,
+    tlsSkipVerify: Boolean = false) extends Sink {
   def name = "kafka-wire"
 
   def emit(batch: DataFrame, batchId: Long): Unit = {
@@ -39,10 +46,13 @@ final case class KafkaWireSink(
     val timeout = timeoutMs
     val chunkSz = maxBatchRecords
     val (user, pass) = (saslUsername, saslPassword)
+    val (tls, tlsSkip) = (tlsEnabled, tlsSkipVerify)
     batch.select("topic", "key", "envelope").foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {                  // empty partition: don't even dial
       val (host, port) = Sinks.hostPort(address, 9092)
-      val sock = new java.net.Socket(host, port)
+      val sock: java.net.Socket =
+        if (tls) KafkaWire.tlsSocket(host, port, tlsSkip)
+        else new java.net.Socket(host, port)
       try {
         val out = new java.io.DataOutputStream(
           new java.io.BufferedOutputStream(sock.getOutputStream))
@@ -81,6 +91,36 @@ final case class KafkaWireSink(
 }
 
 object KafkaWire {
+  /** TLS client socket for the wire path (`kafka.go:66-77` analog).
+    * skipVerify trusts any certificate and skips hostname checks —
+    * sarama's InsecureSkipVerify; otherwise the platform trust store
+    * plus HTTPS-rule endpoint identification (sarama's default
+    * `tls.Config{}` verifies both). Handshake is forced eagerly so a
+    * bad certificate fails HERE, not on the first Produce write.
+    */
+  def tlsSocket(host: String, port: Int, skipVerify: Boolean): javax.net.ssl.SSLSocket = {
+    import javax.net.ssl._
+    val factory: SSLSocketFactory =
+      if (skipVerify) {
+        val trustAll: TrustManager = new X509TrustManager {
+          def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+          def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+          def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        }
+        val ctx = SSLContext.getInstance("TLS")
+        ctx.init(null, Array(trustAll), new java.security.SecureRandom())
+        ctx.getSocketFactory
+      } else SSLSocketFactory.getDefault.asInstanceOf[SSLSocketFactory]
+    val s = factory.createSocket(host, port).asInstanceOf[SSLSocket]
+    if (!skipVerify) {
+      val params = s.getSSLParameters
+      params.setEndpointIdentificationAlgorithm("HTTPS")
+      s.setSSLParameters(params)
+    }
+    s.startHandshake()
+    s
+  }
+
   /** Zigzag varint (the protocol's signed variable-length integer). */
   def writeVarlong(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
     var z = (v << 1) ^ (v >> 63)

@@ -86,15 +86,6 @@ object Sinks {
     p("sink.type", "stdout") match {
       case "stdout" => ConsoleSink
       case "kafka" =>
-        // the wire client speaks PLAINTEXT; a config asking for SASL/TLS
-        // must fail loudly, not connect insecurely with keys dropped
-        // (the native format("kafka") path via KafkaSinkConfig carries
-        // the full security option assembly on clusters that have the
-        // connector jar)
-        if (p("sink.kafka.tls.enabled", "false").toBoolean)
-          throw new IllegalArgumentException(
-            "kafka wire client has no TLS; " +
-              "sink.kafka.tls configs need the native format(\"kafka\") path")
         val saslOn = p("sink.kafka.sasl.enabled", "false").toBoolean
         val mechanism = p("sink.kafka.sasl.mechanism", "PLAIN").toUpperCase
         if (saslOn && mechanism != "PLAIN")
@@ -110,7 +101,17 @@ object Sinks {
         KafkaWireSink(
           bootstrap = p("sink.kafka.brokers", "localhost:9092"),
           saslUsername = if (saslOn) p("sink.kafka.sasl.user") else "",
-          saslPassword = if (saslOn) p("sink.kafka.sasl.password") else "")
+          saslPassword = if (saslOn) p("sink.kafka.sasl.password") else "",
+          // sink.kafka.tls.* ≙ kafka.go:66-77 (enabled + skipverify);
+          // clientauth (mTLS) remains native-path-only — fail loudly
+          tlsEnabled = p("sink.kafka.tls.enabled", "false").toBoolean,
+          tlsSkipVerify = {
+            if (p("sink.kafka.tls.clientauth", "0") != "0")
+              throw new IllegalArgumentException(
+                "kafka wire client has no mTLS client auth; " +
+                  "sink.kafka.tls.clientauth needs the native format(\"kafka\") path")
+            p("sink.kafka.tls.skipverify", "false").toBoolean
+          })
       case "nats" => NatsSink(NatsSinkConfig(
         address = p("sink.nats.address", "nats://localhost:4222"),
         authorization = p("sink.nats.authorization", "userinfo"),

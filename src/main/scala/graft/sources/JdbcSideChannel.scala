@@ -1,0 +1,162 @@
+package graft.sources
+
+import java.sql.{Connection, DriverManager, ResultSet}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** JDBC side channel — the live-database counterpart of the file-shaped
+  * CDC path, closing the reference's "speaks SQL to a real server" seam
+  * (`internal/sidechannel/sidechannel.go:380-523`,
+  * `internal/sidechannel/queries.go:106-178`): catalog discovery,
+  * snapshot-index resolution, high-watermark probe, and a fenced,
+  * resumable, KEYSET-paginated snapshot.
+  *
+  * Division of labor (the part that matters at 100 TB):
+  *  - catalog reads run DRIVER-side over one short-lived connection —
+  *    they are catalog-sized (table/column counts scale with DDL, not
+  *    rows), exactly like the reference's single side-channel session
+  *    (`sidechannel.go:907-931`);
+  *  - snapshot DATA reads run EXECUTOR-side via `spark.read.jdbc` with
+  *    one keyset-range predicate per partition — N parallel connections
+  *    each scanning `key > lo AND key <= hi`, the set-based form of the
+  *    reference's `WhereTupleGT(low) AND WhereTupleLE(high)` cursor loop
+  *    (`sidechannel.go:408-480`). No OFFSET anywhere: page starts stay
+  *    O(1) regardless of table size, and a resume never re-reads.
+  *
+  * The fence (high watermark, `sidechannel.go:481-523`) is captured ONCE
+  * before the scan and embedded in every partition predicate, so the
+  * snapshot is a consistent keyset range even while writers append —
+  * rows above the fence belong to the streaming phase
+  * (`Cdc.snapshotWithFence`).
+  */
+object JdbcSideChannel {
+
+  // keep Derby (and any embedded engine) scratch out of the repo tree
+  if (sys.props.get("derby.system.home").isEmpty)
+    sys.props("derby.system.home") = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+
+  case class JdbcTable(schema: String, name: String)
+  /** pkSeq: 1-based position in the primary key, 0 = not a key column. */
+  case class JdbcColumn(name: String, typeName: String, nullable: Boolean, pkSeq: Int)
+
+  def withConnection[A](url: String)(f: Connection => A): A = {
+    val c = DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  /** `ReadVanillaTables` analog (`sidechannel.go:227-246`): user tables
+    * visible through JDBC metadata, filtered by schema pattern. */
+  def readTables(url: String, schemaPattern: String = "%"): Seq[JdbcTable] =
+    withConnection(url) { c =>
+      val rs = c.getMetaData.getTables(null, schemaPattern, "%", Array("TABLE"))
+      collect(rs)(r => JdbcTable(r.getString("TABLE_SCHEM"), r.getString("TABLE_NAME")))
+    }
+
+  /** `ReadVanillaTableSchema` analog (`sidechannel.go:302-316`,
+    * `queries.go:130-178` shape): column name/type/nullability plus the
+    * primary-key position — the snapshot index the keyset scan orders by
+    * (`spi/systemcatalog/column.go:37-57`). */
+  def readTableSchema(url: String, schema: String, table: String): Seq[JdbcColumn] =
+    withConnection(url) { c =>
+      val md = c.getMetaData
+      val pks = collect(md.getPrimaryKeys(null, schema, table))(r =>
+        r.getString("COLUMN_NAME") -> r.getInt("KEY_SEQ")).toMap
+      collect(md.getColumns(null, schema, table, "%")) { r =>
+        JdbcColumn(
+          r.getString("COLUMN_NAME"),
+          r.getString("TYPE_NAME"),
+          r.getInt("NULLABLE") != java.sql.DatabaseMetaData.columnNoNulls,
+          pks.getOrElse(r.getString("COLUMN_NAME"), 0))
+      }
+    }
+
+  /** Snapshot index: PK columns in key-sequence order. Empty ⇒ the table
+    * has no keyset path (the reference falls back to its SCROLL-cursor
+    * form there — `Cdc.snapshotScrollCursor` is the Spark analog). */
+  def snapshotIndex(url: String, schema: String, table: String): Seq[String] =
+    readTableSchema(url, schema, table).filter(_.pkSeq > 0).sortBy(_.pkSeq).map(_.name)
+
+  /** High-watermark probe (`sidechannel.go:481-523`,
+    * `queryTemplateSnapshotHighWatermark`): the MAX key value at snapshot
+    * start — every snapshot predicate is fenced `key <= fence`. */
+  def readHighWatermark(url: String, schema: String, table: String,
+                        keyCol: String): Option[Long] =
+    withConnection(url) { c =>
+      val rs = c.createStatement().executeQuery(
+        s"""SELECT MAX("$keyCol") FROM "$schema"."$table"""")
+      if (rs.next() && rs.getObject(1) != null) Some(rs.getLong(1)) else None
+    }
+
+  /** Low end of the key range (for even partition bounds). */
+  def readLowWatermark(url: String, schema: String, table: String,
+                       keyCol: String): Option[Long] =
+    withConnection(url) { c =>
+      val rs = c.createStatement().executeQuery(
+        s"""SELECT MIN("$keyCol") FROM "$schema"."$table"""")
+      if (rs.next() && rs.getObject(1) != null) Some(rs.getLong(1)) else None
+    }
+
+  /** Keyset-range predicates over (low, high]: `parts` half-open slices,
+    * each exactly the reference's `key > lo AND key <= hi` batch shape
+    * (`sidechannel.go:425-447`). One predicate = one Spark partition =
+    * one executor-side JDBC scan. */
+  def keysetPredicates(keyCol: String, low: Long, high: Long, parts: Int): Array[String] = {
+    require(parts > 0, s"keysetPredicates: parts=$parts")
+    require(high > low, s"keysetPredicates: empty range ($low, $high]")
+    val span = high - low
+    val n = math.min(parts.toLong, span).toInt // never more slices than keys
+    (0 until n).map { i =>
+      val lo = low + span * i / n
+      val hi = low + span * (i + 1) / n
+      s""""$keyCol" > $lo AND "$keyCol" <= $hi"""
+    }.toArray
+  }
+
+  /** Fenced, resumable snapshot (`FetchTableSnapshotBatch`,
+    * `sidechannel.go:408-480`): reads `(lowWatermark, fence]` in `parts`
+    * parallel keyset slices. Returns the frame and the fence it used, so
+    * the caller can hand the fence to the streaming phase
+    * (`Cdc.snapshotWithFence`) and persist it as the resume point.
+    *
+    * A resume after failure passes the last completed slice's upper
+    * bound as `lowWatermark` — nothing below it is re-read (the
+    * reference's SetLowWatermark-per-batch made exactly this contract).
+    */
+  def snapshot(spark: SparkSession, url: String, schema: String, table: String,
+               keyCol: String, lowWatermark: Option[Long] = None,
+               parts: Int = 32, fenceOverride: Option[Long] = None): (DataFrame, Long) = {
+    val fence = fenceOverride.orElse(readHighWatermark(url, schema, table, keyCol))
+      .getOrElse(throw new IllegalStateException(
+        s"snapshot: $schema.$table is empty or $keyCol is all-NULL — nothing to fence"))
+    val low = lowWatermark.orElse(readLowWatermark(url, schema, table, keyCol).map(_ - 1))
+      .getOrElse(fence)
+    if (low >= fence) // fully caught up: empty frame with the right schema
+      return (readJdbc(spark, url, schema, table,
+        Array(s""""$keyCol" > $fence AND "$keyCol" <= $fence""")), fence)
+    val preds = keysetPredicates(keyCol, low, fence, parts)
+    (readJdbc(spark, url, schema, table, preds), fence)
+  }
+
+  private def readJdbc(spark: SparkSession, url: String, schema: String,
+                       table: String, predicates: Array[String]): DataFrame = {
+    val props = new java.util.Properties()
+    spark.read.jdbc(url, s""""$schema"."$table"""", predicates, props)
+  }
+
+  /** Catalog columns as a DataFrame, same shape as the parquet-path
+    * `Cdc.catalogColumns` — lets one oracle check both channels. */
+  def catalogColumnsDf(spark: SparkSession, url: String, schema: String,
+                       table: String): DataFrame = {
+    import spark.implicits._
+    readTableSchema(url, schema, table)
+      .map(c => (c.name.toLowerCase, c.typeName.toLowerCase, c.nullable, c.pkSeq))
+      .toDF("column_name", "type_name", "nullable", "pk_seq")
+  }
+
+  private def collect[A](rs: ResultSet)(f: ResultSet => A): Seq[A] = {
+    val b = Seq.newBuilder[A]
+    while (rs.next()) b += f(rs)
+    rs.close()
+    b.result()
+  }
+}

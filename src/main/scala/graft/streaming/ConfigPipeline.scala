@@ -211,11 +211,18 @@ object ConfigPipeline {
     * restarts (topics would rename), so the deterministic `timescaledb`
     * default stands in — set the key explicitly for reference-identical
     * behavior. */
-  def topicPrefix(props: Map[String, String]): String = {
-    val strategy = props.getOrElse("topic.namingstrategy.type", "debezium")
-    require(strategy == "debezium",
-      s"topic.namingstrategy.type: only 'debezium' is supported, got '$strategy'")
+  def topicPrefix(props: Map[String, String]): String =
     props.getOrElse("topic.prefix", "timescaledb")
+
+  /** `topic.namingstrategy.type` dispatch through the plugin-extensible
+    * registry (`wiremodules.go:73`; plugins register via
+    * [[graft.spi.Plugins]]). Classpath plugins are loaded first, so a
+    * strategy shipped as a jar resolves here with zero code changes —
+    * `streamer.go:87-90` ordering. */
+  def namingStrategy(props: Map[String, String]): graft.spi.NamingStrategy = {
+    graft.spi.Plugins.load()
+    graft.spi.NamingStrategies.create(
+      props.getOrElse("topic.namingstrategy.type", "debezium"))
   }
 
   /** Shared post-envelope transform chain: table selection → event
@@ -223,6 +230,7 @@ object ConfigPipeline {
     * the batch and streaming forms (the envelope input differs). */
   private def shape(envelope: DataFrame, props: Map[String, String]): DataFrame = {
     val prefix = topicPrefix(props)
+    val naming = namingStrategy(props)
     // column privacy FIRST — Debezium applies exclude/mask at capture,
     // before filters or SMTs can observe a plaintext byte. Entries are
     // `schema.table.column` (canonical) or bare column names.
@@ -235,7 +243,7 @@ object ConfigPipeline {
       concat_ws(".", col("schema_name"), col("table_name"))))
     val filtered = eventFilters(props).foldLeft(selected)((df, f) => f.apply(df))
     val named = filtered.withColumn("topic",
-      Envelope.topicName(prefix, col("schema_name"), col("table_name")))
+      naming.topicName(prefix, col("schema_name"), col("table_name")))
     val withTomb =
       if (bool(props, "sink.tombstone", default = false)) Cdc.withTombstones(named)
       else named
@@ -280,27 +288,16 @@ object ConfigPipeline {
   def start(spark: SparkSession, dir: String, props: Map[String, String],
             defaultCheckpointDir: String): StreamingQuery = {
     txnWindow(props)
-    val ckpt = props.getOrElse("statestorage.type", "none") match {
-      case "file" =>
-        val p = props.getOrElse("statestorage.file.path", "")
-        require(p.nonEmpty, "statestorage.file.path is mandatory for statestorage.type=file")
-        p
-      // rocksdb: checkpoint like `file`, but keyed state lives in a
-      // native RocksDB per executor instead of the JVM heap — the
-      // production setting once stream-stream joins / dedup / SCD2
-      // state outgrows memory (state spills to local SST files and
-      // only the changelog rides the checkpoint). Session-level conf:
-      // Spark resolves the provider at query start.
-      case "rocksdb" =>
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        val p = props.getOrElse("statestorage.file.path", "")
-        require(p.nonEmpty, "statestorage.file.path is mandatory for statestorage.type=rocksdb")
-        p
-      case "none" => defaultCheckpointDir
-      case other => throw new IllegalArgumentException(
-        s"statestorage.type: illegal value '$other'")
-    }
+    // plugin-extensible statestorage dispatch (spi/statestorage analog;
+    // built-ins: file = reference file storage, rocksdb = checkpoint like
+    // file but keyed state in a native RocksDB per executor — the
+    // production setting once stream-stream joins / dedup / SCD2 state
+    // outgrows the JVM heap, none = caller default). Classpath plugins
+    // load first (streamer.go:87-90 ordering).
+    graft.spi.Plugins.load()
+    val ckpt = graft.spi.StateStorages
+      .create(props.getOrElse("statestorage.type", "none"))
+      .checkpointLocation(spark, props, defaultCheckpointDir)
     val sink = Sinks.fromConfig(props)
     // Prometheus scrape surface, reference parity: stats.enabled default
     // true, stats.port default 8081 (stats.go:35-100); one listener +

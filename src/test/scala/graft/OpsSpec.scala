@@ -54,6 +54,15 @@ class OpsSpec extends SparkSpec {
     assert(EventFilter.translate("""!a ?? b""") === "(NOT coalesce(`a`, `b`))")
     assert(EventFilter.translate("""not a * b""") === "(NOT (`a` * `b`))")
     assert(EventFilter.translate("""!a + b""") === "((NOT `a`) + `b`)")
+    // wave 7: optional chaining compiles through total graft_at access
+    assert(EventFilter.translate("""m?.k == "1"""") === "graft_at(`m`, 'k') = '1'")
+    assert(EventFilter.translate("""m?.a.b != nil""")
+      === "graft_at(graft_at(`m`, 'a'), 'b') IS NOT NULL")
+    // nil comparisons are real tests, not SQL three-valued `= NULL`
+    assert(EventFilter.translate("""props == nil""") === "`props` IS NULL")
+    assert(EventFilter.translate("""nil != props""") === "`props` IS NOT NULL")
+    assert(EventFilter.translate("""nil == nil""") === "true")
+    intercept[IllegalArgumentException](EventFilter.translate("""m?.5"""))
     assert(EventFilter.translate("""-a ?? b""") === "(- coalesce(`a`, `b`))")
     assert(EventFilter.translate("""a > 1 ? b == 2 : c != 3""")
       === "IF(`a` > 1, `b` = 2, `c` <> 3)")
@@ -1876,6 +1885,93 @@ class OpsSpec extends SparkSpec {
     } finally { running = false; server.close() }
   }
 
+  test("kafka wire sink: TLS handshake (skipVerify) gates Produce; plaintext dial and verified-path self-signed both fail") {
+    // self-signed broker identity, generated offline by the JDK's keytool
+    val ksPath = java.nio.file.Files.createTempFile("graft-kafka-tls", ".p12")
+    java.nio.file.Files.delete(ksPath)
+    val keytool = new ProcessBuilder(
+      s"${sys.props("java.home")}/bin/keytool", "-genkeypair", "-alias", "broker",
+      "-keyalg", "RSA", "-keysize", "2048", "-storetype", "PKCS12",
+      "-keystore", ksPath.toString, "-storepass", "changeit",
+      "-dname", "CN=127.0.0.1", "-validity", "1").redirectErrorStream(true).start()
+    assert(keytool.waitFor() == 0, "keytool keypair generation failed")
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val fis = new java.io.FileInputStream(ksPath.toFile)
+    try ks.load(fis, "changeit".toCharArray) finally fis.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, "changeit".toCharArray)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    val server = ctx.getServerSocketFactory.createServerSocket(
+      0, 50, java.net.InetAddress.getByName("127.0.0.1"))
+    @volatile var running = true
+    val topicsSeen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val acceptor = new Thread(() => {
+      while (running) {
+        try {
+          val s = server.accept()
+          new Thread(() => {
+            val in  = new java.io.DataInputStream(new java.io.BufferedInputStream(s.getInputStream))
+            val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(s.getOutputStream))
+            try {
+              while (true) {
+                val size = in.readInt()
+                val req = new Array[Byte](size); in.readFully(req)
+                val r = new java.io.DataInputStream(new java.io.ByteArrayInputStream(req))
+                def rstr(): String = { val n = r.readShort(); val b = new Array[Byte](n); r.readFully(b); new String(b, "UTF-8") }
+                assert(r.readShort() == 0 && r.readShort() == 3) // Produce v3 over TLS
+                val corr = r.readInt()
+                rstr(); r.readShort(); r.readShort(); r.readInt() // clientId, txn_id, acks, timeout
+                val nTopics = r.readInt()
+                val names = (0 until nTopics).map { _ =>
+                  val t = rstr()
+                  r.readInt(); r.readInt()                        // 1 entry, partition 0
+                  val setSize = r.readInt(); r.skipBytes(setSize) // record set
+                  topicsSeen.add(t); t
+                }
+                val resp = new java.io.ByteArrayOutputStream()
+                val d = new java.io.DataOutputStream(resp)
+                d.writeInt(corr); d.writeInt(names.length)
+                names.foreach { t =>
+                  val tb = t.getBytes("UTF-8"); d.writeShort(tb.length); d.write(tb)
+                  d.writeInt(1); d.writeInt(0); d.writeShort(0)
+                  d.writeLong(0L); d.writeLong(-1L)
+                }
+                d.writeInt(0)
+                out.writeInt(resp.size()); resp.writeTo(out); out.flush()
+              }
+            } catch { case _: Exception => () } finally s.close()
+          }).start()
+        } catch { case _: Exception => () }
+      }
+    })
+    acceptor.start()
+    try {
+      import spark.implicits._
+      import scala.jdk.CollectionConverters._
+      val df = Seq(("tls-topic", "k1", """{"ev":1}"""))
+        .toDF("topic", "key", "envelope").coalesce(1)
+      val addr = s"127.0.0.1:${server.getLocalPort}"
+      // skipVerify accepts the self-signed chain and the produce succeeds
+      graft.sinks.KafkaWireSink(bootstrap = addr,
+        tlsEnabled = true, tlsSkipVerify = true).emit(df, 1L)
+      assert(topicsSeen.asScala.toSet === Set("tls-topic"))
+      // default trust store must REJECT a self-signed broker
+      assertThrows[org.apache.spark.SparkException] {
+        graft.sinks.KafkaWireSink(bootstrap = addr,
+          tlsEnabled = true, tlsSkipVerify = false).emit(df, 2L)
+      }
+      // a plaintext client against a TLS listener fails, never half-works
+      assertThrows[org.apache.spark.SparkException] {
+        graft.sinks.KafkaWireSink(bootstrap = addr).emit(df, 3L)
+      }
+    } finally {
+      running = false; server.close()
+      java.nio.file.Files.deleteIfExists(ksPath)
+    }
+  }
+
   test("config-driven sink dispatch builds every backend from reference property keys") {
     import graft.sinks._
     assert(Sinks.fromConfig(Map.empty) === ConsoleSink)   // stdout default
@@ -1901,15 +1997,21 @@ class OpsSpec extends SparkSpec {
       "sink.kafka.sasl.password" -> "kp"))
       === KafkaWireSink(bootstrap = "localhost:9092",
         saslUsername = "ku", saslPassword = "kp"))
-    // non-PLAIN mechanisms and TLS still fail loudly to the native path
+    // non-PLAIN mechanisms and mTLS client auth still fail loudly to the native path
     assertThrows[IllegalArgumentException] {
       Sinks.fromConfig(Map("sink.type" -> "kafka",
         "sink.kafka.sasl.enabled" -> "true",
         "sink.kafka.sasl.mechanism" -> "SCRAM-SHA-256"))
     }
     assertThrows[IllegalArgumentException] {
-      Sinks.fromConfig(Map("sink.type" -> "kafka", "sink.kafka.tls.enabled" -> "true"))
+      Sinks.fromConfig(Map("sink.type" -> "kafka",
+        "sink.kafka.tls.enabled" -> "true", "sink.kafka.tls.clientauth" -> "4"))
     }
+    // TLS now rides the wire path (kafka.go:66-77 analog)
+    assert(Sinks.fromConfig(Map("sink.type" -> "kafka",
+      "sink.kafka.tls.enabled" -> "true", "sink.kafka.tls.skipverify" -> "true"))
+      === KafkaWireSink(tlsEnabled = true, tlsSkipVerify = true,
+        bootstrap = "localhost:9092"))
     // missing mandatory http url fails at construction, not on an executor
     assertThrows[IllegalArgumentException] {
       Sinks.fromConfig(Map("sink.type" -> "http"))
