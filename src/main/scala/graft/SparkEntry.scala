@@ -981,6 +981,26 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("lsn"), col("snapshot"))
     }),
 
+    "cdc_jdbc_snapshot" -> ((s, dir) => {
+      // the LIVE-SOURCE path, driver-gated: events loaded once per JVM
+      // into an in-JVM Derby database, then snapshotted through the real
+      // JDBC side channel (fenced keyset predicates → parallel
+      // spark.read.jdbc partitions) and shaped by the SAME shapeWal the
+      // file path uses — the oracle reads the parquet directly, so a
+      // hash match proves the whole JDBC round-trip is lossless
+      val url = graft.sources.JdbcSideChannel.derbyEventsUrl(s, dir)
+      val (snap, _) = graft.sources.JdbcSideChannel.snapshot(
+        s, url, "APP", "EVENTS", "EVENT_ID", lowWatermark = Some(-1L), parts = 8)
+      val lowered = snap.columns.foldLeft(snap)((d, c) =>
+        d.withColumnRenamed(c, c.toLowerCase))
+      Cdc.shapeWal(lowered)
+        .select(col("lsn"), col("xid"), col("op"), col("ts_ms"),
+          col("event_id"), col("user_id"),
+          expr("cast(floor(value * 100 + 0.5) as bigint)").as("value_cents"),
+          col("props"))
+        .orderBy(col("lsn"))
+    }),
+
     "cdc_decomp_suppress" -> ((s, dir) => {
       Cdc.decompressionSuppress(Cdc.walEvents(s, dir))
         .select(col("lsn"), col("xid"), col("op"))
@@ -3392,6 +3412,15 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
          |UNION ALL
          |SELECT event_id, $opCaseSql, false FROM events WHERE event_id > 500
          |ORDER BY lsn, snapshot""".stripMargin,
+
+    // jdbc-snapshot twin reads the parquet directly: a hash match proves
+    // the parquet → Derby → keyset-JDBC-snapshot → shapeWal round-trip
+    // loses nothing (values, nulls, op mapping, ts precision)
+    "cdc_jdbc_snapshot" ->
+      s"""SELECT event_id AS lsn, event_id // 10 AS xid, $opCaseSql AS op,
+         |  epoch_ns(ts) // 1000000 AS ts_ms, event_id, user_id,
+         |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents, props
+         |FROM events ORDER BY lsn""".stripMargin,
 
     "cdc_decomp_suppress" ->
       s"""SELECT lsn, xid, op FROM (

@@ -16,6 +16,12 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // codegen falls back to interpreted expressions once a generated
+      // method exceeds HotSpot's 8 KB JIT-compile limit (the 64 KB default
+      // guards Janino, not the JIT): an un-JIT-able giant method runs as
+      // interpreted BYTECODE, ~3x slower than Spark's interpreted
+      // expression path on the wide conversion sweeps
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -153,6 +153,29 @@ object JdbcSideChannel {
       .toDF("column_name", "type_name", "nullable", "pk_seq")
   }
 
+  /** Gate/test helper: the harness has no live Postgres, so the
+    * driver-checkable JDBC path loads the deterministic events table
+    * into an in-JVM Derby memory database — once per (JVM, dir),
+    * thread-safe (Verify submits queries concurrently) — and snapshots
+    * THROUGH the real side-channel machinery. Returns the JDBC url. */
+  private val loadedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def derbyEventsUrl(spark: SparkSession, dir: String): String =
+    loadedDirs.computeIfAbsent(dir, d => {
+      val db = "graftdb" + java.lang.Integer.toHexString(d.hashCode & 0x7fffffff)
+      val url = s"jdbc:derby:memory:$db;create=true"
+      withConnection(url) { c =>
+        val st = c.createStatement()
+        try st.execute("DROP TABLE EVENTS") catch { case _: java.sql.SQLException => }
+        st.execute(
+          "CREATE TABLE EVENTS (event_id BIGINT NOT NULL PRIMARY KEY, " +
+            "ts BIGINT, user_id BIGINT, event_type VARCHAR(32), " +
+            "value DOUBLE, props VARCHAR(512))")
+      }
+      graft.Tables.events(spark, d) // ts normalized to Long nanos
+        .write.mode("append").jdbc(url, "EVENTS", new java.util.Properties())
+      url
+    })
+
   private def collect[A](rs: ResultSet)(f: ResultSet => A): Seq[A] = {
     val b = Seq.newBuilder[A]
     while (rs.next()) b += f(rs)

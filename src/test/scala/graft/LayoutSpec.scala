@@ -130,5 +130,13 @@ class LayoutSpec extends SparkSpec {
     val got = spark.read.parquet(s"$dir/t").filter(col("k") === 123456L)
       .select("v").collect()
     assert(got.length === 1 && got(0).getLong(0) === 123456L % 97)
+    // vacuous-pass guards: a typo'd column FAILS the audit (no footer
+    // matched), an empty directory throws — a layout CI gate can't
+    // silently green on nothing
+    val typo = graft.ops.Compaction.footerAudit(spark, s"$dir/t", Seq("nope"))
+    assert(typo === Seq(("nope", false, false)))
+    val empty = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    assertThrows[IllegalArgumentException](
+      graft.ops.Compaction.footerAudit(spark, empty, Seq("k")))
   }
 }
