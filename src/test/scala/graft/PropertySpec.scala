@@ -210,4 +210,29 @@ class PropertySpec extends AnyFunSuite {
       "body".getBytes("UTF-8"), "20260812T000000Z", "us-east-1", "sqs", "AK", "SK")
     assert(reordered === base())
   }
+
+  test("jdbc keyset predicates tile (low, high] exactly: no gap, no overlap, any split") {
+    val gen = Gen.zip(
+      Gen.chooseNum(-1000000L, 1000000L),
+      Gen.chooseNum(1L, 5000000L),
+      Gen.chooseNum(1, 64))
+    samples(gen).foreach { case (low, span, parts) =>
+      val high = low + span
+      val preds = graft.sources.JdbcSideChannel.keysetPredicates("k", low, high, parts)
+      // parse back the (lo, hi] bounds from the emitted SQL
+      val bounds = preds.map { p =>
+        val m = """"k" > (-?\d+) AND "k" <= (-?\d+)""".r.findFirstMatchIn(p).get
+        (m.group(1).toLong, m.group(2).toLong)
+      }
+      assert(bounds.head._1 == low && bounds.last._2 == high)
+      bounds.sliding(2).foreach {
+        case Array((_, hi1), (lo2, _)) => assert(hi1 == lo2, "adjacent slices must abut")
+        case _ => ()
+      }
+      bounds.foreach { case (lo, hi) => assert(lo < hi, "every slice non-empty") }
+      assert(bounds.length == math.min(parts.toLong, span).toInt)
+      // total key coverage equals the span — no key lost or double-read
+      assert(bounds.map { case (lo, hi) => hi - lo }.sum == span)
+    }
+  }
 }
