@@ -618,6 +618,150 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("c_nationkey"))
     }),
 
+    "q8_market_share" -> ((s, dir) => {
+      // TPC-H Q8: NATION_1 suppliers' share of ASIA-customer revenue per
+      // order year, emitted as exact (nation_cents, total_cents) pairs.
+      // Every dim chain (customer→nation→region, supplier→nation)
+      // broadcasts; the only shuffle is the final 2-key agg
+      val asiaCust = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val suppNation = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1995-01-01") &&
+            col("o_orderdate") < lit("1997-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_1",
+            cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .otherwise(0L)).as("nation_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("total_cents"))
+        .orderBy(col("o_year"))
+    }),
+
+    "q9_product_profit" -> ((s, dir) =>
+      // TPC-H Q9 (adapted: no partsupp → profit is the discounted
+      // revenue on name-matched parts): per supplier nation and order
+      // year. part/supplier/nation broadcast; one (nation, year) agg
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_name").contains("red")).select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("profit_cents"))
+        .orderBy(col("nation"), col("o_year").desc)),
+
+    "q11_important_stock" -> ((s, dir) => {
+      // TPC-H Q11 (adapted: no partsupp → "stock value" is NATION_2
+      // suppliers' shipped value per part): parts whose value exceeds
+      // 1/1000 of the nation's total. The HAVING-against-a-scalar
+      // subquery is the pattern: a 1-row aggregate broadcast-crossed,
+      // compared division-free (value·1000 > total)
+      val natSupp = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_2")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val vals = Tables.lineitem(s, dir)
+        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(cents(col("l_extendedprice") * col("l_quantity"))).as("value_cents"))
+      val total = vals.agg(sum(col("value_cents")).as("total_cents"))
+      vals.crossJoin(broadcast(total))
+        .filter(col("value_cents") * 1000 > col("total_cents"))
+        .select(col("l_partkey"), col("value_cents"))
+        .orderBy(col("value_cents").desc, col("l_partkey"))
+    }),
+
+    "q13_order_distribution" -> ((s, dir) => {
+      // TPC-H Q13: customers per order count INCLUDING zero-order
+      // customers — the left outer join is the point (an inner join
+      // silently drops the c_count=0 row); "special" orders excluded
+      val ords = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"))
+      Tables.customer(s, dir)
+        .join(ords, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_custkey")).as("c_count")) // count(col) skips nulls
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    "q15_top_supplier" -> ((s, dir) => {
+      // TPC-H Q15: supplier(s) with max quarterly revenue. The view +
+      // scalar-max subquery collapses to one agg reused twice via a
+      // rank-1 window over an UNPARTITIONED 100-row frame (supplier-
+      // sized, never data-sized — safe at any SF)
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("total_revenue_cents"))
+      val w = Window.orderBy(col("total_revenue_cents").desc)
+      rev.withColumn("rk", rank().over(w)).filter(col("rk") === 1).drop("rk")
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue_cents"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    "q17_small_quantity" -> ((s, dir) => {
+      // TPC-H Q17: revenue from lines whose quantity is below 20% of the
+      // part's average — the correlated AVG subquery becomes a per-part
+      // agg self-join, and the 0.2·avg comparison is cleared of division:
+      // 5·qty·n_part < sum_qty (exact integers, no float mean)
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_brand") === "Brand#3").select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+      val perPart = li.groupBy(col("p_partkey").as("agg_partkey"))
+        .agg(sum(cents(col("l_quantity")).cast("long")).as("sum_qty_cents"),
+          count(lit(1)).as("n_lines"))
+      li.join(broadcast(perPart), col("p_partkey") === col("agg_partkey"))
+        .filter(cents(col("l_quantity")).cast("long") * lit(5L) * col("n_lines") <
+          col("sum_qty_cents"))
+        .agg(sum(cents(col("l_extendedprice")).cast("long")).as("yearly_cents"))
+    }),
+
+    "q20_dominant_supplier" -> ((s, dir) => {
+      // TPC-H Q20 (adapted: no partsupp availability → a supplier
+      // "dominates" a part when it shipped over half of the part's 1995
+      // volume): division-free 2·supp_qty > part_qty, supplier dim
+      // broadcast, the part-total agg reused via a broadcast join
+      val li95 = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") < lit("1996-01-01"))
+        .select(col("l_partkey"), col("l_suppkey"), cents(col("l_quantity")).cast("long").as("qc"))
+      val perPart = li95.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("qc")).as("part_qty_cents"))
+      val perSupp = li95.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("qc")).as("supp_qty_cents"))
+      perSupp.join(broadcast(perPart), col("l_partkey") === col("pk"))
+        .filter(col("supp_qty_cents") * 2 > col("part_qty_cents"))
+        .select(col("l_suppkey")).distinct()
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     "layout_zorder_key" -> ((s, dir) =>
       // Z-order clustering key (Delta/Iceberg OPTIMIZE ZORDER analog):
       // pure shift/mask integer ladder, codegen'd, zero shuffle to
@@ -4382,6 +4526,95 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
          |  AND NOT EXISTS (SELECT 1 FROM orders
          |                  WHERE o_custkey = c_custkey AND o_orderdate >= DATE '2000-01-01')
          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q8_market_share" ->
+      s"""SELECT year(o_orderdate) AS o_year,
+         |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_1'
+         |    THEN ${centsSql("l_extendedprice * (1.0 - l_discount)")} ELSE 0 END) AS BIGINT)
+         |    AS nation_cents,
+         |  CAST(SUM(${centsSql("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT)
+         |    AS total_cents
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1997-01-01'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q9_product_profit" ->
+      s"""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         |  CAST(SUM(${centsSql("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT)
+         |    AS profit_cents
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q11_important_stock" ->
+      s"""WITH vals AS (
+         |  SELECT l_partkey,
+         |    CAST(SUM(${centsSql("l_extendedprice * l_quantity")}) AS BIGINT) AS value_cents
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_2'
+         |  GROUP BY 1)
+         |SELECT l_partkey, value_cents FROM vals
+         |WHERE value_cents * 1000 > (SELECT CAST(SUM(value_cents) AS BIGINT) FROM vals)
+         |ORDER BY value_cents DESC, l_partkey""".stripMargin,
+
+    "q13_order_distribution" ->
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(COUNT(o_custkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT OUTER JOIN
+        |        (SELECT o_custkey FROM orders WHERE o_orderpriority <> '1-URGENT') o
+        |        ON c_custkey = o_custkey
+        |      GROUP BY c_custkey) c
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |    CAST(SUM(${centsSql("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT)
+         |      AS total_revenue_cents
+         |  FROM lineitem
+         |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue_cents
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_revenue_cents = (SELECT MAX(total_revenue_cents) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    "q17_small_quantity" ->
+      s"""WITH li AS (SELECT l_partkey, l_quantity, l_extendedprice
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#3'),
+         |pp AS (SELECT l_partkey AS agg_partkey,
+         |    CAST(SUM(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_cents,
+         |    COUNT(*) AS n_lines
+         |  FROM li GROUP BY 1)
+         |SELECT CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT) AS yearly_cents
+         |FROM li JOIN pp ON l_partkey = agg_partkey
+         |WHERE ${centsSql("l_quantity")} * 5 * n_lines < sum_qty_cents""".stripMargin,
+
+    "q20_dominant_supplier" ->
+      s"""WITH li AS (SELECT l_partkey, l_suppkey,
+         |    CAST(${centsSql("l_quantity")} AS BIGINT) AS qc
+         |  FROM lineitem
+         |  WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'),
+         |pp AS (SELECT l_partkey, CAST(SUM(qc) AS BIGINT) AS part_qty_cents
+         |       FROM li GROUP BY 1),
+         |ps AS (SELECT l_partkey, l_suppkey, CAST(SUM(qc) AS BIGINT) AS supp_qty_cents
+         |       FROM li GROUP BY 1, 2)
+         |SELECT DISTINCT s_suppkey, s_name, n_name
+         |FROM ps JOIN pp USING (l_partkey)
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE supp_qty_cents * 2 > part_qty_cents
+         |ORDER BY s_suppkey""".stripMargin,
 
     "layout_zorder_key" ->
       s"""SELECT event_id, ${Layout.mortonKeySql("user_id", "event_id", 16)} AS zkey
