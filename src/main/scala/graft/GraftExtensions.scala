@@ -17,8 +17,12 @@ import graft.functions.{FloatVecDot, FloatVecNorm2, FnvHash64, NGramsJoin,
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach(ext.injectFunction)
+    // bounded-levenshtein rewrite: natural `levenshtein(a,b) <= k`
+    // filters become the banded O(k·n) form + an O(1) length guard
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinBoundRule)
+  }
 }
 
 object GraftExtensions {
@@ -69,10 +73,16 @@ object GraftExtensions {
       }))
 
   /** Attach to an already-built session (the extensions path only
-    * applies at session construction). */
-  def registerTo(spark: org.apache.spark.sql.SparkSession): Unit =
+    * applies at session construction). Functions land in the registry;
+    * the optimizer rule rides `experimental.extraOptimizations`, the
+    * documented live-session hook — added once, idempotently. */
+  def registerTo(spark: org.apache.spark.sql.SparkSession): Unit = {
     registrations.foreach { case (id, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(id.funcName, builder, "scala_udf")
     }
+    val extra = spark.experimental.extraOptimizations
+    if (!extra.contains(graft.plans.LevenshteinBoundRule))
+      spark.experimental.extraOptimizations = extra :+ graft.plans.LevenshteinBoundRule
+  }
 }

@@ -897,6 +897,15 @@ object Cdc {
   def envelopeWithSchema(spark: SparkSession, dir: String,
                          dbName: String = "graft"): DataFrame = {
     val wal = walEvents(spark, dir)
+    val (env, key) = eventsEnvelopeCols(dbName)
+    wal.select(col("lsn"), env.as("envelope"), key.as("key_json"))
+  }
+
+  /** The events-table envelope + key renders as COLUMNS over the shaped
+    * WAL schema (lsn, xid, op, ts_ms, event_id, user_id, value, props) —
+    * shared by [[envelopeWithSchema]] and the render-late sorted
+    * multi-table path ([[multiTableEnvelopesSorted]]). */
+  def eventsEnvelopeCols(dbName: String = "graft"): (Column, Column) = {
     val schemaJson = eventsEnvelopeSchemaJson
 
     // row image: alphabetical keys; props embeds raw (it IS json); money
@@ -935,12 +944,10 @@ object Cdc {
     val valueSchema =
       when(col("op") === Envelope.Op.Message, lit(messageEnvelopeSchemaJson))
         .otherwise(lit(schemaJson))
-    wal.select(
-      col("lsn"),
-      concat(lit("{\"payload\":"), payload, lit(",\"schema\":"), valueSchema,
-        lit("}")).as("envelope"),
+    (concat(lit("{\"payload\":"), payload, lit(",\"schema\":"), valueSchema,
+        lit("}")),
       concat(lit("{\"payload\":"), keyPayload, lit(",\"schema\":"), keySchema,
-        lit("}")).as("key_json"))
+        lit("}")))
   }
 
   /** One table's snapshot-read envelope stream (op='r', snapshot=true,

@@ -70,4 +70,47 @@ class ExtensionsSpec extends SparkSpec {
       .head.getSeq[String](0)
     assert(hof === Seq(pre))
   }
+
+  test("LevenshteinBoundRule: natural lev(a,b) <= k rewrites to the banded form + length guard") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.registerTo(spark)
+    val words = Seq("kitten", "sitting", "kittens", "mitten", "flask",
+      "flash", "a", "abcdefghij", "abc").toDF("w")
+    val pairs = words.as("x").crossJoin(words.as("y"))
+      .filter(col("x.w") < col("y.w"))
+    val natural = pairs.filter(expr("levenshtein(x.w, y.w) <= 2"))
+    // the optimized plan carries the three-arg banded call, never the full form
+    val opt = natural.queryExecution.optimizedPlan.toString()
+    assert(opt.contains("levenshtein(") && opt.contains("Some(2)"),
+      s"expected banded levenshtein in:\n$opt")
+    assert(opt.contains("length("), s"expected length guard in:\n$opt")
+    // results identical to the brute-force distance computed WITHOUT the bound
+    val expected = pairs
+      .select(col("x.w").as("a"), col("y.w").as("b"), expr("levenshtein(x.w, y.w)").as("d"))
+      .collect().filter(_.getInt(2) <= 2).map(r => (r.getString(0), r.getString(1))).toSet
+    val got = natural.select(col("x.w"), col("y.w")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === expected && got.nonEmpty)
+    // strict bound and equality forms rewrite too, same results
+    val strict = pairs.filter(expr("levenshtein(x.w, y.w) < 2"))
+      .select(col("x.w"), col("y.w")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val strictExpected = pairs
+      .select(col("x.w"), col("y.w"), expr("levenshtein(x.w, y.w)").as("d"))
+      .collect().filter(_.getInt(2) < 2).map(r => (r.getString(0), r.getString(1))).toSet
+    assert(strict === strictExpected)
+    val eq = pairs.filter(expr("levenshtein(x.w, y.w) = 1"))
+    assert(eq.queryExecution.optimizedPlan.toString().contains("Some(1)"))
+    assert(eq.count() === strictExpected.size - pairs
+      .filter(expr("levenshtein(x.w, y.w) = 0")).count())
+    // a non-literal bound is left alone (no threshold to band on)
+    val dynamic = pairs.filter(expr("levenshtein(x.w, y.w) <= length(x.w) - 4"))
+    val dynOpt = dynamic.queryExecution.optimizedPlan.toString()
+    assert(!dynOpt.contains("Some("), s"must not rewrite:\n$dynOpt")
+    // null inputs behave identically (filtered out both ways)
+    val withNull = Seq(("a", null), ("ab", "ab")).toDF("a", "b")
+      .filter(expr("levenshtein(a, b) <= 2"))
+    assert(withNull.count() === 1)
+  }
 }
