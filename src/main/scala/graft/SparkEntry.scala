@@ -131,8 +131,18 @@ object SparkEntry {
       |bd AS (SELECT doc_id, (i - 1) // 4 AS band,
       |              array_to_string(list(CAST(mh AS VARCHAR) ORDER BY i), ',') AS bkey
       |       FROM mh GROUP BY doc_id, (i - 1) // 4),
-      |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |          FROM bd a JOIN bd b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+      |bsz AS (SELECT doc_id, band, bkey,
+      |              count(*) OVER (PARTITION BY band, bkey) AS bc,
+      |              min(doc_id) OVER (PARTITION BY band, bkey) AS anchor
+      |        FROM bd),
+      |pairs AS (SELECT DISTINCT doc_a, doc_b FROM (
+      |          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |          FROM (SELECT doc_id, band, bkey FROM bsz WHERE bc <= ${Dedup.DefaultMaxBucket}) a
+      |          JOIN (SELECT doc_id, band, bkey FROM bsz WHERE bc <= ${Dedup.DefaultMaxBucket}) b
+      |            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      |          UNION ALL
+      |          SELECT anchor AS doc_a, doc_id AS doc_b FROM bsz
+      |          WHERE bc > ${Dedup.DefaultMaxBucket} AND doc_id <> anchor))""".stripMargin
 
   /** Shared CASE expression for op mapping in oracles. */
   private val opCaseSql =
@@ -1663,8 +1673,9 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // duplicate-token fraction, top-2-gram share, stopword presence —
       // integer inequalities throughout (ratio-free, oracle-stable)
       val docs = Tables.documents(s, dir)
-      val stop = docs.select(col("doc_id"), TextAnalysis.stopwordCount("text").as("n_stop"))
-      TextAnalysis.repetitionMetrics(docs).join(stop, Seq("doc_id"))
+      // n_stop computed inside repetitionMetrics' narrow words projection:
+      // one corpus scan, no second shuffle-join (r8 bench regression fix)
+      TextAnalysis.repetitionMetrics(docs, includeStopwords = true)
         .filter(col("n_tokens").between(20, 1000) &&
           col("n_distinct_tokens") * 2 >= col("n_tokens") &&
           col("top2_count") * 20 <= col("n_2grams") &&
@@ -6008,10 +6019,21 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |       FROM hb CROSS JOIN perm p GROUP BY doc_id, p.i),
         |bd AS (SELECT doc_id, (i - 1) // 4 AS band,
         |              array_to_string(list(CAST(mh AS VARCHAR) ORDER BY i), ',') AS bkey
-        |       FROM mh GROUP BY doc_id, (i - 1) // 4)
-        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |FROM bd a JOIN bd b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-        |ORDER BY doc_a, doc_b""".stripMargin,
+        |       FROM mh GROUP BY doc_id, (i - 1) // 4),
+        |bsz AS (SELECT doc_id, band, bkey,
+        |              count(*) OVER (PARTITION BY band, bkey) AS bc,
+        |              min(doc_id) OVER (PARTITION BY band, bkey) AS anchor
+        |        FROM bd)
+        |SELECT DISTINCT doc_a, doc_b FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM (SELECT doc_id, band, bkey FROM bsz WHERE bc <= MAXB) a
+        |  JOIN (SELECT doc_id, band, bkey FROM bsz WHERE bc <= MAXB) b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |  UNION ALL
+        |  SELECT anchor AS doc_a, doc_id AS doc_b FROM bsz
+        |  WHERE bc > MAXB AND doc_id <> anchor)
+        |ORDER BY doc_a, doc_b""".stripMargin
+        .replace("MAXB", Dedup.DefaultMaxBucket.toString),
 
     // full 64-bit SimHash twin: FNV-64a per token as a HUGEINT fold
     // (ascii-per-char = utf-8 bytes on this corpus), term-frequency bit

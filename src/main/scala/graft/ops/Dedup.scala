@@ -316,11 +316,27 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Band buckets larger than this emit star edges instead of all pairs. */
+  val DefaultMaxBucket = 64
+
   /** MinHash-LSH candidate pairs: band the signature (bands of `rows`
     * values), bucket-join on (band index, band hash). Only docs sharing
     * a band collide — the 100 TB path, no pairwise comparison.
+    *
+    * Hot-bucket guard: a degenerate bucket (m identical boilerplate
+    * docs sharing one band key) would emit m(m-1)/2 pairs from a single
+    * join task — the skew cliff at web scale. Buckets above `maxBucket`
+    * therefore emit STAR edges (bucket-min doc_id → every other member,
+    * m-1 edges) instead of all pairs. Star edges keep every bucket
+    * member connected through the anchor, so connected components — what
+    * the clustering consumers ([[clusters]], [[canonicalKeep]],
+    * split-by-cluster) compute from these pairs — are unchanged; only
+    * the redundant transitive pairs are dropped. The bucket-size window
+    * partitions on the same (band, band_hash) key as the self-join, so
+    * the exchange is reused, not added.
     */
-  def minhashLshPairs(df: DataFrame, n: Int = 3, k: Int = 16, rows: Int = 4): DataFrame = {
+  def minhashLshPairs(df: DataFrame, n: Int = 3, k: Int = 16, rows: Int = 4,
+                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sig = minhashSignatures(df, n, k)
     val nBands = k / rows
     // posexplode over an array of band keys: ONE pass over the
@@ -332,11 +348,27 @@ object Dedup {
     }
     val banded = sig.select(col("doc_id"),
       posexplode(array(bandHashes: _*)).as(Seq("band", "band_hash")))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    if (maxBucket == Unbounded || maxBucket <= 0) {
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+    } else {
+      val w = Window.partitionBy(col("band"), col("band_hash"))
+      val stats = banded.select(col("doc_id"), col("band"), col("band_hash"),
+        count(lit(1)).over(w).as("bc"), min(col("doc_id")).over(w).as("anchor"))
+      val small = stats.filter(col("bc") <= maxBucket)
+        .select(col("doc_id"), col("band"), col("band_hash"))
+      val smallPairs = small.as("a").join(small.as("b"),
+          col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val starPairs = stats
+        .filter(col("bc") > maxBucket && col("doc_id") =!= col("anchor"))
+        .select(col("anchor").as("doc_a"), col("doc_id").as("doc_b"))
+      smallPairs.unionAll(starPairs).distinct()
+    }
   }
 
   /** LSH banding calibration report — the number to read before

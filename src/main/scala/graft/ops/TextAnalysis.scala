@@ -82,12 +82,20 @@ object TextAnalysis {
     * top-gram stats shuffle on (doc_id, gram) then doc_id — bounded keys,
     * partial aggregation map-side, no skew risk (grams are near-unique).
     */
-  def repetitionMetrics(df: DataFrame, textCol: String = "text"): DataFrame = {
+  def repetitionMetrics(df: DataFrame, textCol: String = "text",
+                        includeStopwords: Boolean = false): DataFrame = {
     val toks = df.select(col("doc_id"), split(col(textCol), " ").as("t"))
-    val words = toks.select(
+    // n_stop rides the same narrow `words` projection (one corpus scan);
+    // computing it in a separate scan + shuffle-join was the bench's
+    // slowest query (pipeline_gopher_filter, 6.98 s → the r8 regression)
+    val wordCols = Seq(
       col("doc_id"),
       size(col("t")).as("n_tokens"),
-      size(array_distinct(col("t"))).as("n_distinct_tokens"))
+      size(array_distinct(col("t"))).as("n_distinct_tokens")) ++
+      (if (includeStopwords)
+        Seq(size(filter(col("t"), x => x === "the" || x === "a")).as("n_stop"))
+      else Nil)
+    val words = toks.select(wordCols: _*)
     // both gram orders in ONE pass: tag each gram with its n, aggregate
     // once on (doc_id, n, gram), then fold the two orders side-by-side
     // with conditional aggregates — one corpus scan, not one per order
@@ -103,13 +111,15 @@ object TextAnalysis {
         sum(when(col("n") === 2, col("c"))).as("n_2grams"),
         max(when(col("n") === 3, col("c"))).as("top3_count"),
         sum(when(col("n") === 3, col("c"))).as("n_3grams"))
+    val outCols = Seq(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+      coalesce(col("top2_count"), lit(0L)).as("top2_count"),
+      coalesce(col("n_2grams"), lit(0L)).as("n_2grams"),
+      coalesce(col("top3_count"), lit(0L)).as("top3_count"),
+      coalesce(col("n_3grams"), lit(0L)).as("n_3grams")) ++
+      (if (includeStopwords) Seq(col("n_stop")) else Nil)
     words
       .join(grams, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
-        coalesce(col("top2_count"), lit(0L)).as("top2_count"),
-        coalesce(col("n_2grams"), lit(0L)).as("n_2grams"),
-        coalesce(col("top3_count"), lit(0L)).as("top3_count"),
-        coalesce(col("n_3grams"), lit(0L)).as("n_3grams"))
+      .select(outCols: _*)
   }
 
   /** PII patterns in the Java∩RE2 regex subset (no backreferences or

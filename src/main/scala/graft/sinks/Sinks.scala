@@ -28,6 +28,11 @@ object Sinks {
   def register(name: String, factory: () => Sink): Unit =
     synchronized { registry = registry + (name -> factory) }
 
+  /** Registry membership without invoking the factory — a factory that
+    * throws (or has side effects) at construction must not be misread as
+    * "unregistered" by the plugin first-wins probe. */
+  def contains(name: String): Boolean = registry.contains(name)
+
   def create(name: String): Sink =
     registry.getOrElse(name,
       throw new IllegalArgumentException(s"unknown sink: $name (have: ${registry.keys.mkString(",")})"))()

@@ -99,16 +99,30 @@ object JdbcSideChannel {
   /** Keyset-range predicates over (low, high]: `parts` half-open slices,
     * each exactly the reference's `key > lo AND key <= hi` batch shape
     * (`sidechannel.go:425-447`). One predicate = one Spark partition =
-    * one executor-side JDBC scan. */
-  def keysetPredicates(keyCol: String, low: Long, high: Long, parts: Int): Array[String] = {
+    * one executor-side JDBC scan.
+    *
+    * Bounds are computed in BigInt: `high - low` and `span * i` both
+    * overflow Long for snowflake-style 64-bit keys (span > 2^63/parts),
+    * and an overflowed bound silently drops rows from a fenced snapshot.
+    * The literals rendered into SQL are still in-Long-range because each
+    * bound lies inside [low, high].
+    *
+    * `inclusiveLow` turns the FIRST slice into `key >= low`, used when the
+    * table's minimum key is Long.MinValue and "min - 1" has no Long
+    * representation. */
+  def keysetPredicates(keyCol: String, low: Long, high: Long, parts: Int,
+                       inclusiveLow: Boolean = false): Array[String] = {
     require(parts > 0, s"keysetPredicates: parts=$parts")
-    require(high > low, s"keysetPredicates: empty range ($low, $high]")
-    val span = high - low
-    val n = math.min(parts.toLong, span).toInt // never more slices than keys
+    require(high > low || (inclusiveLow && high >= low),
+      s"keysetPredicates: empty range ($low, $high]")
+    val bLow  = BigInt(low)
+    val span  = BigInt(high) - bLow                        // exact, never overflows
+    val n     = span.min(BigInt(parts)).max(BigInt(1)).toInt // never more slices than keys
     (0 until n).map { i =>
-      val lo = low + span * i / n
-      val hi = low + span * (i + 1) / n
-      s""""$keyCol" > $lo AND "$keyCol" <= $hi"""
+      val lo = bLow + span * i / n
+      val hi = bLow + span * (i + 1) / n
+      val op = if (i == 0 && inclusiveLow) ">=" else ">"
+      s""""$keyCol" $op $lo AND "$keyCol" <= $hi"""
     }.toArray
   }
 
@@ -128,12 +142,22 @@ object JdbcSideChannel {
     val fence = fenceOverride.orElse(readHighWatermark(url, schema, table, keyCol))
       .getOrElse(throw new IllegalStateException(
         s"snapshot: $schema.$table is empty or $keyCol is all-NULL — nothing to fence"))
-    val low = lowWatermark.orElse(readLowWatermark(url, schema, table, keyCol).map(_ - 1))
-      .getOrElse(fence)
-    if (low >= fence) // fully caught up: empty frame with the right schema
+    // "min - 1" wraps to Long.MaxValue when the min key is Long.MinValue,
+    // which would misread a non-empty table as fully caught up; saturate
+    // by switching the first slice to an inclusive `>=` bound instead.
+    val (low, inclusiveLow) = lowWatermark match {
+      case Some(l) => (l, false)
+      case None => readLowWatermark(url, schema, table, keyCol) match {
+        case Some(Long.MinValue) => (Long.MinValue, true)
+        case Some(m)             => (m - 1, false)
+        case None                => (fence, false)
+      }
+    }
+    val caughtUp = if (inclusiveLow) low > fence else low >= fence
+    if (caughtUp) // fully caught up: empty frame with the right schema
       return (readJdbc(spark, url, schema, table,
         Array(s""""$keyCol" > $fence AND "$keyCol" <= $fence""")), fence)
-    val preds = keysetPredicates(keyCol, low, fence, parts)
+    val preds = keysetPredicates(keyCol, low, fence, parts, inclusiveLow)
     (readJdbc(spark, url, schema, table, preds), fence)
   }
 
@@ -161,7 +185,9 @@ object JdbcSideChannel {
   private val loadedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   def derbyEventsUrl(spark: SparkSession, dir: String): String =
     loadedDirs.computeIfAbsent(dir, d => {
-      val db = "graftdb" + java.lang.Integer.toHexString(d.hashCode & 0x7fffffff)
+      // Full sanitized path, not a 31-bit hashCode: a hash collision between
+      // two data dirs would silently serve one dir's events for the other.
+      val db = "graftdb_" + d.replaceAll("[^A-Za-z0-9]", "_")
       val url = s"jdbc:derby:memory:$db;create=true"
       withConnection(url) { c =>
         val st = c.createStatement()

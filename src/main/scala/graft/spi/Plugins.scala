@@ -114,9 +114,10 @@ object Plugins {
       if (fresh) graft.sinks.Sinks.register(name, factory)
       fresh
     }
-    private def exists(name: String): Boolean =
-      try { graft.sinks.Sinks.create(name); true }
-      catch { case _: IllegalArgumentException => false }
+    // Membership check only — calling create() would invoke the factory,
+    // and a factory that throws at construction would be misread as
+    // "unregistered", letting a later plugin clobber the registration.
+    private def exists(name: String): Boolean = graft.sinks.Sinks.contains(name)
     def registerNamingStrategy(name: String, s: NamingStrategy): Boolean =
       NamingStrategies.register(name, s)
     def registerStateStorage(name: String, p: StateStorageProvider): Boolean =

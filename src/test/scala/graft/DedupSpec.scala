@@ -42,6 +42,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhash-LSH hot bucket degrades to star edges, not m^2 pairs") {
+    // 1,000 identical docs: every band key collides into ONE bucket.
+    // Without the guard that is 499,500 pairs from a single join task;
+    // with it, m-1 star edges per band → exactly 999 distinct pairs,
+    // all anchored at the bucket-min doc_id, and connected components
+    // are unchanged (everything reachable through the anchor).
+    val m = 1000
+    val hot = (0 until m).map(i => (i.toLong, "src0", "the same boilerplate text repeated across the mirror set"))
+      .toDF("doc_id", "source", "text")
+    val pairs = Dedup.minhashLshPairs(hot).collect()
+    assert(pairs.length === m - 1, s"expected ${m - 1} star edges, got ${pairs.length}")
+    assert(pairs.forall(_.getLong(0) == 0L), "every edge must anchor at the bucket-min doc")
+    assert(pairs.map(_.getLong(1)).toSet === (1 until m).map(_.toLong).toSet,
+      "every member must stay connected to the anchor")
+    // cap disabled reproduces the full pair set (legacy shape)
+    val unbounded = Dedup.minhashLshPairs(hot.limit(60), maxBucket = Dedup.Unbounded)
+    assert(unbounded.count() === 60L * 59 / 2)
+  }
+
   test("simhash of identical docs is identical; hamming 0") {
     val doubled = docs.limit(5)
       .unionByName(docs.limit(5).withColumn("doc_id", col("doc_id") + 10000))

@@ -235,4 +235,39 @@ class PropertySpec extends AnyFunSuite {
       assert(bounds.map { case (lo, hi) => hi - lo }.sum == span)
     }
   }
+
+  test("jdbc keyset predicates survive near-Long.MaxValue spans (no Long overflow)") {
+    // snowflake-style 64-bit keys: span * i overflowed Long in the naive
+    // `low + span * i / n` tiling, producing non-monotonic/empty slices
+    // that silently dropped rows from a fenced snapshot.
+    val cases = Seq(
+      (Long.MinValue + 1, Long.MaxValue, 32),          // nearly the full Long range
+      (Long.MinValue + 1, Long.MaxValue, 1),
+      (0L, Long.MaxValue, 64),
+      (-1L, Long.MaxValue - 1, 7),
+      (Long.MaxValue - 100, Long.MaxValue, 32),        // tiny span at the top end
+      (Long.MinValue + 1, Long.MinValue + 5, 32))      // tiny span at the bottom end
+    cases.foreach { case (low, high, parts) =>
+      val preds = graft.sources.JdbcSideChannel.keysetPredicates("k", low, high, parts)
+      val bounds = preds.map { p =>
+        val m = """"k" > (-?\d+) AND "k" <= (-?\d+)""".r.findFirstMatchIn(p).get
+        (BigInt(m.group(1)), BigInt(m.group(2)))
+      }
+      assert(bounds.head._1 == BigInt(low) && bounds.last._2 == BigInt(high))
+      bounds.sliding(2).foreach {
+        case Array((_, hi1), (lo2, _)) => assert(hi1 == lo2, "adjacent slices must abut")
+        case _ => ()
+      }
+      bounds.foreach { case (lo, hi) =>
+        assert(lo < hi, "every slice non-empty")
+        assert(lo.isValidLong && hi.isValidLong, "bounds must be SQL-renderable Longs")
+      }
+      assert(bounds.map { case (lo, hi) => hi - lo }.sum == BigInt(high) - BigInt(low))
+    }
+    // min key == Long.MinValue: inclusive first slice instead of "min - 1"
+    val inc = graft.sources.JdbcSideChannel.keysetPredicates(
+      "k", Long.MinValue, Long.MinValue + 10, 4, inclusiveLow = true)
+    assert(inc.head.contains("\"k\" >= " + Long.MinValue))
+    assert(inc.tail.forall(_.contains("\"k\" > ")))
+  }
 }
