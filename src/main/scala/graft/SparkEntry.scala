@@ -1094,6 +1094,13 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("lsn"))
     }),
 
+    "cdc_pgoutput_decode" -> ((s, dir) =>
+      // S1/S2 closed end-to-end: events → binary pgoutput segment blobs
+      // (Relation/Begin/DML/Message/Commit wire frames) → executor-side
+      // byte decode → the same envelope columns the parquet path yields.
+      // Every tuple value round-trips THROUGH protocol text format.
+      graft.cdc.PgOutput.decodeGate(s, dir).orderBy(col("lsn"))),
+
     "cdc_op_gates" -> ((s, dir) => {
       Cdc.opGate(Seq(Envelope.Op.Create, Envelope.Op.Update, Envelope.Op.Delete))(
         Cdc.walEvents(s, dir))
@@ -3523,6 +3530,24 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
          |  'public' AS schema_name, 'events' AS table_name,
          |  'graft.public.events' AS topic,
          |  event_id, user_id
+         |FROM events ORDER BY lsn""".stripMargin,
+
+    // pgoutput-decode twin: click rows travel as logical messages (only
+    // props survives as message content); everything else is a DML tuple
+    // in REPLICA IDENTITY FULL, so all six columns round-trip
+    "cdc_pgoutput_decode" ->
+      s"""SELECT event_id AS lsn, event_id // 10 AS xid,
+         |  CASE event_type WHEN 'signup' THEN 'I' WHEN 'purchase' THEN 'U'
+         |       WHEN 'error' THEN 'D' WHEN 'view' THEN 'I' ELSE 'M' END AS op_wire,
+         |  $opCaseSql AS op,
+         |  CASE WHEN event_type = 'click' THEN NULL ELSE epoch_ns(ts) // 1000000 END AS ts_ms,
+         |  CASE WHEN event_type = 'click' THEN NULL ELSE event_id END AS event_id,
+         |  CASE WHEN event_type = 'click' THEN NULL ELSE user_id END AS user_id,
+         |  CASE WHEN event_type = 'click' THEN NULL ELSE event_type END AS event_type,
+         |  CASE WHEN event_type = 'click' THEN NULL ELSE value END AS value,
+         |  props,
+         |  CASE WHEN event_type = 'click' THEN NULL ELSE 'public' END AS schema_name,
+         |  CASE WHEN event_type = 'click' THEN NULL ELSE 'events' END AS table_name
          |FROM events ORDER BY lsn""".stripMargin,
 
     "cdc_op_gates" ->

@@ -1,0 +1,387 @@
+package graft.cdc
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Binary pgoutput decode — the S1/S2 seam between "parity on the
+  * harness data" and "could attach to a real Postgres".
+  *
+  * The wire format is PostgreSQL's public logical-replication protocol
+  * (docs "Logical Replication Message Formats"; the reference parses it
+  * via pglogrepl in `spi/pgtypes/xlogdecoder.go:24-53` and dispatches in
+  * `internal/replication/replicationchannel/replicationhandler.go:238-350`).
+  * This module implements the byte codec natively: Relation / Begin /
+  * Commit / Insert / Update / Delete / Truncate / Type / Origin /
+  * LogicalMessage, with text-format TupleData.
+  *
+  * Spark shape — the unit of distribution is a SEGMENT (one row, one
+  * binary blob of XLogData-framed messages), mirroring WAL segment
+  * files. Each segment is self-describing: Relation messages are
+  * re-emitted at segment start (exactly what a replication slot does
+  * after restart) and transactions never span segments, so decode is a
+  * pure per-row flatMap — no ordering dependency BETWEEN rows, which
+  * makes it embarrassingly parallel at 100 TB and valid on both batch
+  * and streaming DataFrames. The sequential state the reference keeps on
+  * its socket loop (relation cache `replicationhandler.go:249`, last
+  * transaction id `xlogdecoder.go:38-48`) lives inside the per-segment
+  * decode loop instead.
+  */
+object PgOutput {
+
+  // ---------------------------------------------------------------------
+  // Message ADT (field layout per the public protocol docs)
+  // ---------------------------------------------------------------------
+
+  sealed trait TupleCol
+  case object NullCol extends TupleCol                 // 'n'
+  case object UnchangedCol extends TupleCol            // 'u' (TOAST)
+  final case class TextCol(bytes: Array[Byte]) extends TupleCol   // 't'
+  final case class BinaryCol(bytes: Array[Byte]) extends TupleCol // 'b'
+
+  final case class RelCol(flags: Byte, name: String, typeOid: Int, typeMod: Int)
+
+  sealed trait PgMsg
+  final case class BeginMsg(finalLsn: Long, commitTimeMicros: Long, xid: Int) extends PgMsg
+  final case class CommitMsg(flags: Byte, commitLsn: Long, endLsn: Long,
+                             commitTimeMicros: Long) extends PgMsg
+  final case class OriginMsg(commitLsn: Long, name: String) extends PgMsg
+  final case class RelationMsg(relId: Int, namespace: String, relName: String,
+                               replicaIdentity: Byte, cols: Seq[RelCol]) extends PgMsg
+  final case class TypeMsg(typeOid: Int, namespace: String, name: String) extends PgMsg
+  final case class InsertMsg(relId: Int, newTuple: Seq[TupleCol]) extends PgMsg
+  final case class UpdateMsg(relId: Int, oldKind: Option[Char], oldTuple: Option[Seq[TupleCol]],
+                             newTuple: Seq[TupleCol]) extends PgMsg
+  final case class DeleteMsg(relId: Int, oldKind: Char, oldTuple: Seq[TupleCol]) extends PgMsg
+  final case class TruncateMsg(options: Byte, relIds: Seq[Int]) extends PgMsg
+  final case class LogicalMsg(transactional: Boolean, lsn: Long, prefix: String,
+                              content: Array[Byte]) extends PgMsg
+
+  /** Micros between the unix epoch and PostgreSQL's 2000-01-01 epoch. */
+  val PgEpochMicros = 946684800000000L
+
+  // ---------------------------------------------------------------------
+  // Byte codec (big-endian throughout, cstrings NUL-terminated)
+  // ---------------------------------------------------------------------
+
+  def encode(m: PgMsg): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(64)
+    val o = new DataOutputStream(bos)
+    def cstr(s: String): Unit = { o.write(s.getBytes(UTF_8)); o.writeByte(0) }
+    def tuple(t: Seq[TupleCol]): Unit = {
+      o.writeShort(t.length)
+      t.foreach {
+        case NullCol         => o.writeByte('n')
+        case UnchangedCol    => o.writeByte('u')
+        case TextCol(b)      => o.writeByte('t'); o.writeInt(b.length); o.write(b)
+        case BinaryCol(b)    => o.writeByte('b'); o.writeInt(b.length); o.write(b)
+      }
+    }
+    m match {
+      case BeginMsg(finalLsn, t, xid) =>
+        o.writeByte('B'); o.writeLong(finalLsn); o.writeLong(t); o.writeInt(xid)
+      case CommitMsg(f, cLsn, eLsn, t) =>
+        o.writeByte('C'); o.writeByte(f); o.writeLong(cLsn); o.writeLong(eLsn); o.writeLong(t)
+      case OriginMsg(cLsn, name) =>
+        o.writeByte('O'); o.writeLong(cLsn); cstr(name)
+      case RelationMsg(id, ns, rel, ri, cols) =>
+        o.writeByte('R'); o.writeInt(id); cstr(ns); cstr(rel); o.writeByte(ri)
+        o.writeShort(cols.length)
+        cols.foreach { c => o.writeByte(c.flags); cstr(c.name); o.writeInt(c.typeOid); o.writeInt(c.typeMod) }
+      case TypeMsg(oid, ns, name) =>
+        o.writeByte('Y'); o.writeInt(oid); cstr(ns); cstr(name)
+      case InsertMsg(id, nt) =>
+        o.writeByte('I'); o.writeInt(id); o.writeByte('N'); tuple(nt)
+      case UpdateMsg(id, ok, ot, nt) =>
+        o.writeByte('U'); o.writeInt(id)
+        ok.foreach { k => o.writeByte(k); tuple(ot.get) }
+        o.writeByte('N'); tuple(nt)
+      case DeleteMsg(id, k, ot) =>
+        o.writeByte('D'); o.writeInt(id); o.writeByte(k); tuple(ot)
+      case TruncateMsg(opts, ids) =>
+        o.writeByte('T'); o.writeInt(ids.length); o.writeByte(opts); ids.foreach(o.writeInt)
+      case LogicalMsg(txn, lsn, prefix, content) =>
+        o.writeByte('M'); o.writeByte(if (txn) 1 else 0); o.writeLong(lsn)
+        cstr(prefix); o.writeInt(content.length); o.write(content)
+    }
+    bos.toByteArray
+  }
+
+  def decode(data: Array[Byte]): PgMsg = {
+    val b = ByteBuffer.wrap(data)
+    def cstr(): String = {
+      val start = b.position()
+      while (b.get() != 0) {}
+      val s = new String(data, start, b.position() - 1 - start, UTF_8)
+      s
+    }
+    def bytes(n: Int): Array[Byte] = { val a = new Array[Byte](n); b.get(a); a }
+    def tuple(): Seq[TupleCol] = {
+      val n = b.getShort.toInt
+      (0 until n).map { _ =>
+        b.get().toChar match {
+          case 'n' => NullCol
+          case 'u' => UnchangedCol
+          case 't' => TextCol(bytes(b.getInt))
+          case 'b' => BinaryCol(bytes(b.getInt))
+          case c   => throw new IllegalArgumentException(s"pgoutput: bad tuple col kind '$c'")
+        }
+      }
+    }
+    b.get().toChar match {
+      case 'B' => BeginMsg(b.getLong, b.getLong, b.getInt)
+      case 'C' => CommitMsg(b.get(), b.getLong, b.getLong, b.getLong)
+      case 'O' => OriginMsg(b.getLong, cstr())
+      case 'R' =>
+        val id = b.getInt; val ns = cstr(); val rel = cstr(); val ri = b.get()
+        val n = b.getShort.toInt
+        RelationMsg(id, ns, rel, ri,
+          (0 until n).map(_ => RelCol(b.get(), cstr(), b.getInt, b.getInt)))
+      case 'Y' => TypeMsg(b.getInt, cstr(), cstr())
+      case 'I' =>
+        val id = b.getInt
+        require(b.get().toChar == 'N', "pgoutput: insert without new tuple")
+        InsertMsg(id, tuple())
+      case 'U' =>
+        val id = b.getInt
+        b.get().toChar match {
+          case 'N'            => UpdateMsg(id, None, None, tuple())
+          case k @ ('K' | 'O') =>
+            val ot = tuple()
+            require(b.get().toChar == 'N', "pgoutput: update without new tuple")
+            UpdateMsg(id, Some(k), Some(ot), tuple())
+          case c => throw new IllegalArgumentException(s"pgoutput: bad update tuple kind '$c'")
+        }
+      case 'D' =>
+        val id = b.getInt
+        b.get().toChar match {
+          case k @ ('K' | 'O') => DeleteMsg(id, k, tuple())
+          case c => throw new IllegalArgumentException(s"pgoutput: bad delete tuple kind '$c'")
+        }
+      case 'T' =>
+        val n = b.getInt; val opts = b.get()
+        TruncateMsg(opts, (0 until n).map(_ => b.getInt))
+      case 'M' =>
+        val txn = b.get() == 1
+        LogicalMsg(txn, b.getLong, cstr(), bytes(b.getInt))
+      case c => throw new IllegalArgumentException(s"pgoutput: unknown message type '$c'")
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // XLogData framing inside a segment blob: the replication protocol's
+  // CopyData payload ('w', walStart, walEnd, serverSendTime, message) —
+  // plus an Int32 length prefix so frames concatenate into one blob.
+  // serverSendTime is pinned to 0 for determinism.
+  // ---------------------------------------------------------------------
+
+  def writeFrame(o: DataOutputStream, lsn: Long, msg: Array[Byte]): Unit = {
+    o.writeInt(1 + 8 + 8 + 8 + msg.length)
+    o.writeByte('w'); o.writeLong(lsn); o.writeLong(lsn + msg.length); o.writeLong(0L)
+    o.write(msg)
+  }
+
+  /** Decode every (lsn, message) frame out of one segment blob. */
+  def readFrames(blob: Array[Byte]): Iterator[(Long, PgMsg)] = new Iterator[(Long, PgMsg)] {
+    private val b = ByteBuffer.wrap(blob)
+    def hasNext: Boolean = b.remaining() > 0
+    def next(): (Long, PgMsg) = {
+      val len = b.getInt
+      require(b.get().toChar == 'w', "pgoutput: frame without XLogData tag")
+      val lsn = b.getLong
+      b.getLong; b.getLong // walEnd, serverSendTime
+      val msg = new Array[Byte](len - 25)
+      b.get(msg)
+      (lsn, decode(msg))
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // events-table fixture encoding (test/gate harness)
+  // ---------------------------------------------------------------------
+
+  /** OIDs of the stand-in relation's columns (public pg_type values). */
+  val EventsRelId = 16385
+  val EventsRelCols: Seq[RelCol] = Seq(
+    RelCol(1, "event_id", 20, -1),   // int8, key
+    RelCol(0, "ts", 1114, -1),       // timestamp
+    RelCol(0, "user_id", 20, -1),    // int8
+    RelCol(0, "event_type", 25, -1), // text
+    RelCol(0, "value", 701, -1),     // float8
+    RelCol(0, "props", 25, -1))      // text
+
+  private val NanosPerSec = 1000000000L
+
+  /** Long nanos → timestamp text (9 fractional digits; a superset of
+    * PG's 6 — the harness `ts` column has shipped at both precisions). */
+  def tsToText(nanos: Long): String = {
+    val sec = Math.floorDiv(nanos, NanosPerSec)
+    val frac = Math.floorMod(nanos, NanosPerSec)
+    val ldt = java.time.LocalDateTime.ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC)
+    f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d " +
+      f"${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d.$frac%09d"
+  }
+
+  def tsFromText(s: String): Long = {
+    val Array(d, t) = s.split(" ")
+    val Array(hms, frac) = t.split("\\.")
+    val Array(y, mo, dd) = d.split("-").map(_.toInt)
+    val Array(h, mi, se) = hms.split(":").map(_.toInt)
+    val sec = java.time.LocalDateTime.of(y, mo, dd, h, mi, se)
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+    sec * NanosPerSec + frac.padTo(9, '0').toLong
+  }
+
+  private def textCol(s: String): TupleCol = if (s == null) NullCol else TextCol(s.getBytes(UTF_8))
+
+  /** One event row → its full text-format tuple (REPLICA IDENTITY FULL:
+    * deletes/updates carry the complete old row, which is what lets the
+    * decode gate reproduce every envelope column — `catalog/
+    * ReplicaIdentity.scala` is where the engine validates the setting). */
+  def rowTuple(eventId: Long, tsNanos: Long, userId: Long, eventType: String,
+               value: Double, props: String): Seq[TupleCol] =
+    Seq(textCol(eventId.toString), textCol(tsToText(tsNanos)), textCol(userId.toString),
+      textCol(eventType), textCol(java.lang.Double.toString(value)), textCol(props))
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("segment", LongType, nullable = false),
+    StructField("start_lsn", LongType, nullable = false),
+    StructField("data", BinaryType, nullable = false)))
+
+  /** Encode the events table into self-contained pgoutput segments:
+    * segment = 100 transactions = 1,000 events (bounded, in-memory
+    * sortable per group). Layout per segment: Relation, then per xid
+    * Begin → DML/Message frames → Commit. view-events become Inserts
+    * (there is no "read" in WAL — the op is re-derived from the decoded
+    * event_type, as shapeWal does), click-events become transactional
+    * logical messages carrying props (`xlogdecoder.go:38-48` xid
+    * attachment).
+    */
+  def encodeSegments(events: DataFrame, txnSize: Int = 10, segmentTxns: Int = 100): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rowsPerSegment = txnSize.toLong * segmentTxns
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+      .withColumn("segment", expr(s"event_id div $rowsPerSegment"))
+      .as[(Long, Long, Long, String, Double, String, Long)]
+      .groupByKey(_._7)
+      .mapGroups { (segment, it) =>
+        // a segment is bounded at rowsPerSegment rows by construction —
+        // safe to materialize and sort in one task
+        val rows = it.toSeq.sortBy(_._1)
+        val bos = new ByteArrayOutputStream(rows.length * 96)
+        val o = new DataOutputStream(bos)
+        val startLsn = rows.head._1
+        writeFrame(o, startLsn,
+          encode(RelationMsg(EventsRelId, "public", "events", 'f', EventsRelCols)))
+        rows.groupBy(_._1 / txnSize).toSeq.sortBy(_._1).foreach { case (xid, txn) =>
+          val commitLsn = txn.last._1
+          val commitMicros = txn.last._2 / 1000L - PgEpochMicros
+          writeFrame(o, txn.head._1, encode(BeginMsg(commitLsn, commitMicros, xid.toInt)))
+          txn.foreach { case (eid, ts, uid, et, v, props, _) =>
+            val msg = et match {
+              case "signup"   => InsertMsg(EventsRelId, rowTuple(eid, ts, uid, et, v, props))
+              case "purchase" => UpdateMsg(EventsRelId, Some('O'),
+                Some(rowTuple(eid, ts, uid, et, v, props)), rowTuple(eid, ts, uid, et, v, props))
+              case "error"    => DeleteMsg(EventsRelId, 'O', rowTuple(eid, ts, uid, et, v, props))
+              case "click"    => LogicalMsg(transactional = true, eid, "graft.props",
+                (if (props == null) "" else props).getBytes(UTF_8))
+              case _          => InsertMsg(EventsRelId, rowTuple(eid, ts, uid, et, v, props)) // view
+            }
+            writeFrame(o, eid, encode(msg))
+          }
+          writeFrame(o, commitLsn, encode(CommitMsg(0, commitLsn, commitLsn + 1, commitMicros)))
+        }
+        (segment, startLsn, bos.toByteArray)
+      }
+      .toDF("segment", "start_lsn", "data")
+  }
+
+  /** One decoded WAL change row (nullable fields are absent for
+    * logical-message rows). */
+  final case class DecodedWal(
+      segment: Long, lsn: Long, xid: Long, op_wire: String,
+      schema_name: Option[String], table_name: Option[String],
+      event_id: Option[Long], ts: Option[Long], user_id: Option[Long],
+      event_type: Option[String], value: Option[Double], props: Option[String])
+
+  private def asText(c: TupleCol): Option[String] = c match {
+    case TextCol(b) => Some(new String(b, UTF_8))
+    case NullCol    => None
+    case other      => throw new IllegalArgumentException(s"pgoutput: expected text col, got $other")
+  }
+
+  /** Decode pgoutput segment blobs back into WAL change rows — a pure
+    * per-segment flatMap (valid on batch AND streaming frames). The
+    * relation cache and current-xid live per segment, exactly the state
+    * the reference keeps per replication socket. */
+  def decodeSegments(frames: DataFrame): Dataset[DecodedWal] = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.select(col("segment"), col("data")).as[(Long, Array[Byte])].flatMap {
+      case (segment, blob) =>
+        val relations = scala.collection.mutable.Map[Int, RelationMsg]()
+        var currentXid = -1L
+        def tupleRow(lsn: Long, opWire: String, relId: Int, t: Seq[TupleCol]): DecodedWal = {
+          val rel = relations.getOrElse(relId,
+            throw new IllegalStateException(s"pgoutput: unknown relation id $relId"))
+          val byName = rel.cols.map(_.name).zip(t).toMap
+          def txt(n: String) = asText(byName(n))
+          DecodedWal(segment, lsn, currentXid, opWire,
+            Some(rel.namespace), Some(rel.relName),
+            txt("event_id").map(_.toLong), txt("ts").map(tsFromText),
+            txt("user_id").map(_.toLong), txt("event_type"),
+            txt("value").map(java.lang.Double.parseDouble), txt("props"))
+        }
+        readFrames(blob).flatMap {
+          case (_, RelationMsg(id, ns, rel, ri, cols)) =>
+            relations(id) = RelationMsg(id, ns, rel, ri, cols); Nil
+          case (_, BeginMsg(_, _, xid)) => currentXid = xid.toLong & 0xffffffffL; Nil
+          case (_, _: CommitMsg)        => currentXid = -1L; Nil
+          case (_, _: OriginMsg)        => Nil
+          case (_, _: TypeMsg)          => Nil
+          case (lsn, InsertMsg(id, nt))          => Seq(tupleRow(lsn, "I", id, nt))
+          case (lsn, UpdateMsg(id, _, _, nt))    => Seq(tupleRow(lsn, "U", id, nt))
+          case (lsn, DeleteMsg(id, _, ot))       => Seq(tupleRow(lsn, "D", id, ot))
+          case (lsn, TruncateMsg(_, ids)) =>
+            ids.map { id =>
+              val rel = relations.get(id)
+              DecodedWal(segment, lsn, currentXid, "T",
+                rel.map(_.namespace), rel.map(_.relName),
+                None, None, None, None, None, None)
+            }
+          case (lsn, LogicalMsg(txn, _, _, content)) =>
+            Seq(DecodedWal(segment, lsn, if (txn) currentXid else -1L, "M",
+              None, None, None, None, None, None, None,
+              Some(new String(content, UTF_8))))
+        }
+    }
+  }
+
+  /** The full gate path: events → pgoutput bytes → decoded WAL, shaped
+    * like the envelope the parquet-path `Cdc.shapeWal` produces on the
+    * same logical events (the `cdc_pgoutput_decode` correctness entry). */
+  def decodeGate(spark: SparkSession, dir: String): DataFrame = {
+    val wal = decodeSegments(encodeSegments(Tables.events(spark, dir)))
+    wal.select(
+      col("lsn"), col("xid"), col("op_wire"),
+      Cdc.opExpr(col("event_type")).as("op"),
+      expr("ts div 1000000").as("ts_ms"),
+      col("event_id"), col("user_id"), col("event_type"), col("value"), col("props"),
+      col("schema_name"), col("table_name"))
+  }
+
+  /** Streaming twin: readStream the segment parquet and run the SAME
+    * decode flatMap — the alternate `WalSource` reader over binary
+    * fixtures (`replicationhandler.go:115-215`'s socket loop, as a
+    * file-fed micro-batch stream). */
+  def streamDecoded(spark: SparkSession, segmentsPath: String): Dataset[DecodedWal] =
+    decodeSegments(spark.readStream.schema(frameSchema).parquet(segmentsPath))
+}
