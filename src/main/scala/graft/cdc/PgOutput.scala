@@ -346,7 +346,16 @@ object PgOutput {
           case (_, BeginMsg(_, _, xid)) => currentXid = xid.toLong & 0xffffffffL; Nil
           case (_, _: CommitMsg)        => currentXid = -1L; Nil
           case (_, _: OriginMsg)        => Nil
-          case (_, _: TypeMsg)          => Nil
+          case (_, TypeMsg(oid, _, name)) =>
+            // lazy mid-stream type announcement (`replicationhandler.go:
+            // 318-328` OnTypeEvent → typemanager registration): a
+            // user-defined type registers before first use, as its text
+            // form — PG sends user-defined values via their text output fn
+            if (!graft.types.TypeRegistry.known(oid))
+              graft.types.TypeRegistry.register(
+                graft.types.TypeRegistry.Registration(
+                  oid, name, org.apache.spark.sql.types.StringType, s => s))
+            Nil
           case (lsn, InsertMsg(id, nt))          => Seq(tupleRow(lsn, "I", id, nt))
           case (lsn, UpdateMsg(id, _, _, nt))    => Seq(tupleRow(lsn, "U", id, nt))
           case (lsn, DeleteMsg(id, _, ot))       => Seq(tupleRow(lsn, "D", id, ot))

@@ -143,6 +143,7 @@ object Sinks {
         endpoint = p("sink.kinesis.aws.endpoint"),
         streamCreate = p("sink.kinesis.stream.create", "true").toBoolean,
         shardCount = opt("sink.kinesis.stream.shardcount").map(_.toLong),
+        streamMode = opt("sink.kinesis.stream.mode"),
         accessKeyId = p("sink.kinesis.aws.accesskeyid"),
         secretAccessKey = p("sink.kinesis.aws.secretaccesskey"),
         sessionToken = p("sink.kinesis.aws.sessiontoken")))
@@ -655,6 +656,7 @@ final case class KinesisSinkConfig(
     endpoint: String = "",
     streamCreate: Boolean = true,
     shardCount: Option[Long] = None,
+    streamMode: Option[String] = None,
     accessKeyId: String = "",
     secretAccessKey: String = "",
     sessionToken: String = "") {
@@ -663,6 +665,7 @@ final case class KinesisSinkConfig(
       throw new IllegalArgumentException("kinesis stream name is not provided"))
     Map("streamName" -> name, "streamCreate" -> streamCreate.toString) ++
       region.map("region" -> _) ++ shardCount.map("shardCount" -> _.toString) ++
+      streamMode.map("streamMode" -> _) ++
       (if (endpoint.nonEmpty) Map("endpoint" -> endpoint) else Map.empty)
   }
   /** awskinesis.go:143: PartitionKey = topic name. */
@@ -704,7 +707,57 @@ final case class SqsSinkConfig(
   */
 final case class KinesisSink(config: KinesisSinkConfig) extends Sink {
   def name = "kinesis"
+
+  /** Stream auto-create parity (`awskinesis.go:89-117`): DescribeStream;
+    * on ResourceNotFoundException with stream.create enabled (the
+    * default), CreateStream with the configured shard count / stream
+    * mode, then wait until the stream reports ACTIVE. Runs once per sink
+    * instance, driver-side, before the first batch; create disabled or
+    * any other error propagates, exactly the reference's behavior. */
+  @transient private lazy val streamReady: Boolean = { ensureStream(); true }
+
+  private def ensureStream(): Unit = {
+    val streamName = config.streamName.getOrElse(
+      throw new IllegalArgumentException("kinesis stream name is not provided"))
+    val client = java.net.http.HttpClient.newHttpClient()
+    val uri    = java.net.URI.create(config.endpoint)
+    val region = config.region.getOrElse("us-east-1")
+    def call(target: String, body: String): java.net.http.HttpResponse[String] =
+      AwsSigV4.signedPost(client, uri, region, "kinesis",
+        config.accessKeyId, config.secretAccessKey, config.sessionToken,
+        "application/x-amz-json-1.1",
+        Seq("x-amz-target" -> s"Kinesis_20131202.$target"), body.getBytes("UTF-8"))
+    val nameJson = s"""{"StreamName":"${Sinks.jsonEscape(streamName)}"}"""
+    val desc = call("DescribeStream", nameJson)
+    if (desc.statusCode() / 100 == 2) return
+    val notFound = desc.body().contains("ResourceNotFoundException")
+    if (!notFound) throw new RuntimeException(
+      s"kinesis sink: DescribeStream -> ${desc.statusCode()}: ${desc.body()}")
+    if (!config.streamCreate) throw new RuntimeException(
+      s"kinesis sink: stream '$streamName' does not exist and stream.create is disabled")
+    val createBody = s"""{"StreamName":"${Sinks.jsonEscape(streamName)}"""" +
+      config.shardCount.map(n => s""","ShardCount":$n""").getOrElse("") +
+      config.streamMode.map(m =>
+        s""","StreamModeDetails":{"StreamMode":"${Sinks.jsonEscape(m)}"}""").getOrElse("") +
+      "}"
+    val created = call("CreateStream", createBody)
+    if (created.statusCode() / 100 != 2) throw new RuntimeException(
+      s"kinesis sink: CreateStream -> ${created.statusCode()}: ${created.body()}")
+    // WaitUntilStreamExists analog: poll DescribeStream for ACTIVE
+    var attempts = 0
+    while (attempts < 60) {
+      val d = call("DescribeStream", nameJson)
+      if (d.statusCode() / 100 == 2 &&
+          "\"StreamStatus\"\\s*:\\s*\"ACTIVE\"".r.findFirstIn(d.body()).isDefined) return
+      attempts += 1
+      Thread.sleep(250)
+    }
+    throw new RuntimeException(
+      s"kinesis sink: stream '$streamName' did not become ACTIVE after create")
+  }
+
   def emit(batch: DataFrame, batchId: Long): Unit = {
+    require(streamReady)
     val streamName = config.streamName.getOrElse(
       throw new IllegalArgumentException("kinesis stream name is not provided"))
     val endpoint = config.endpoint

@@ -1,0 +1,211 @@
+package graft.types
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** Dynamic OID→converter registry — the analog of the reference's lazy
+  * type registration (`internal/typemanager/typemanager.go:236-323`
+  * lazilyRegisterTypeMap, fed by the pg_type side-channel scan
+  * `internal/sidechannel/queries.go:36-63`).
+  *
+  * The reference loads all of pg_type at startup and registers types
+  * seen mid-stream on demand: arrays recurse to their element type,
+  * enums decode as their label text, domains resolve through their base
+  * type, composites become structured records. This registry reproduces
+  * that resolution chain for the pgoutput text-tuple path: core OIDs are
+  * pre-seeded, and an unknown OID consults a [[TypeRegistry.Resolver]]
+  * (the pg_type scan analog) AT DECODE TIME — a user-defined type first
+  * appearing mid-stream resolves without a restart.
+  *
+  * Scale shape: the registry is a JVM-local concurrent map keyed by OID
+  * — catalog-sized (thousands of types, not rows), resolved at most once
+  * per executor JVM per OID; resolver results are cached forever (OIDs
+  * are never reused within a database epoch).
+  */
+object TypeRegistry {
+
+  /** One pg_type row, the subset the resolution chain needs
+    * (`queries.go:36-63` columns typname/typtype/typelem/typbasetype +
+    * enum labels). */
+  final case class PgTypeRow(oid: Int, name: String, typtype: Char,
+                             elemOid: Int = 0, baseOid: Int = 0,
+                             enumLabels: Seq[String] = Nil)
+
+  /** The side-channel lookup: given an unknown OID, produce its pg_type
+    * row (or None — unknown to the database too, which is a hard error). */
+  trait Resolver extends Serializable {
+    def resolve(oid: Int): Option[PgTypeRow]
+  }
+  object Resolver {
+    val empty: Resolver = (_: Int) => None
+    def ofMap(m: Map[Int, PgTypeRow]): Resolver = (oid: Int) => m.get(oid)
+    /** Catalog-as-DataFrame resolver (harness stand-in for the live
+      * pg_type scan): collected once — pg_type is catalog-sized. */
+    def ofDataFrame(df: DataFrame): Resolver = {
+      val rows = df.select("oid", "typname", "typtype", "typelem", "typbasetype")
+        .collect()
+        .map(r => r.getInt(0) -> PgTypeRow(r.getInt(0), r.getString(1),
+          r.getString(2).charAt(0), r.getInt(3), r.getInt(4)))
+        .toMap
+      ofMap(rows)
+    }
+  }
+
+  /** A registered converter: Spark-side type + text-format parser. */
+  final case class Registration(oid: Int, name: String, dataType: DataType,
+                                parse: String => Any) extends Serializable
+
+  // -- core seed: the OIDs every PostgreSQL ships (public pg_type.dat) --
+  private def textId(s: String): Any = s
+  private val coreSeed: Seq[Registration] = Seq(
+    Registration(16, "bool", BooleanType, s => s == "t" || s == "true"),
+    Registration(20, "int8", LongType, _.toLong),
+    Registration(21, "int2", ShortType, _.toShort),
+    Registration(23, "int4", IntegerType, _.toInt),
+    Registration(25, "text", StringType, textId),
+    Registration(700, "float4", FloatType, java.lang.Float.parseFloat),
+    Registration(701, "float8", DoubleType, java.lang.Double.parseDouble),
+    Registration(1042, "bpchar", StringType, textId),
+    Registration(1043, "varchar", StringType, textId),
+    Registration(17, "bytea", BinaryType,
+      s => { require(s.startsWith("\\x"), s"bytea not in hex form: $s")
+             val hex = s.drop(2)
+             Array.tabulate[Byte](hex.length / 2)(i =>
+               Integer.parseInt(hex.substring(2 * i, 2 * i + 2), 16).toByte) }),
+    Registration(1114, "timestamp", LongType, graft.cdc.PgOutput.tsFromText),
+    Registration(1184, "timestamptz", LongType, graft.cdc.PgOutput.tsFromText),
+    Registration(1082, "date", StringType, textId),
+    Registration(1083, "time", StringType, textId),
+    Registration(1700, "numeric", StringType, textId), // lossless: downstream casts decide
+    Registration(2950, "uuid", StringType, textId),
+    Registration(114, "json", StringType, textId),
+    Registration(3802, "jsonb", StringType, textId),
+    Registration(869, "inet", StringType, textId),
+    Registration(829, "macaddr", StringType, textId),
+    Registration(142, "xml", StringType, textId),
+    Registration(26, "oid", LongType, _.toLong))
+
+  private val registry = {
+    val m = new ConcurrentHashMap[Int, Registration]()
+    coreSeed.foreach(r => m.put(r.oid, r))
+    m
+  }
+
+  def known(oid: Int): Boolean = registry.containsKey(oid)
+
+  /** Direct registration — the path a Type ('Y') protocol message takes
+    * (`replicationhandler.go:318-328` OnTypeEvent): the stream announces
+    * a user-defined type before first use; without catalog info beyond
+    * the name, it registers as its text form (PG sends user-defined
+    * values in their text output function's form). */
+  def register(r: Registration): Unit = registry.put(r.oid, r)
+
+  /** PG text array literal → Seq of element values ('{a,b,NULL}' with
+    * double-quote escaping — the public array output format). */
+  def parseArrayText(s: String, elemParse: String => Any): Seq[Any] = {
+    require(s.length >= 2 && s.head == '{' && s.last == '}', s"bad array literal: $s")
+    val body = s.substring(1, s.length - 1)
+    if (body.isEmpty) return Nil
+    val out = Seq.newBuilder[Any]
+    val cur = new StringBuilder
+    var inQuotes = false; var wasQuoted = false; var i = 0
+    def flush(): Unit = {
+      val v = cur.toString
+      out += (if (!wasQuoted && v == "NULL") null else elemParse(v))
+      cur.clear(); wasQuoted = false
+    }
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (inQuotes) {
+        if (c == '\\') { cur.append(body.charAt(i + 1)); i += 1 }
+        else if (c == '"') inQuotes = false
+        else cur.append(c)
+      } else c match {
+        case '"' => inQuotes = true; wasQuoted = true
+        case ',' => flush()
+        case other => cur.append(other)
+      }
+      i += 1
+    }
+    flush()
+    out.result()
+  }
+
+  /** The lazy chain (`typemanager.go:236-323`): resolve an OID through
+    * the registry, consulting `resolver` for anything unknown —
+    * arrays recurse to the element type, enums become label strings,
+    * domains resolve through their base, composites pass through as
+    * their record-literal text (structured parse is the consumer's
+    * call, as with the reference's composite converter). Resolution is
+    * cached; an OID the resolver doesn't know fails loudly (the
+    * reference errors the same way rather than guessing).
+    */
+  def converterFor(oid: Int, resolver: Resolver = Resolver.empty): Registration = {
+    val hit = registry.get(oid)
+    if (hit != null) return hit
+    val row = resolver.resolve(oid).getOrElse(
+      throw new IllegalStateException(
+        s"type oid $oid unknown to registry and resolver — cannot decode"))
+    val reg = row.typtype match {
+      case 'b' => // base type the seed doesn't carry: text passthrough
+        Registration(oid, row.name, StringType, s => s)
+      case 'e' => // enum → label string (enum2string, typemanager.go:253-263)
+        val labels = row.enumLabels.toSet
+        Registration(oid, row.name, StringType, s => {
+          if (labels.nonEmpty) require(labels.contains(s),
+            s"enum ${row.name}: unknown label '$s' (have ${labels.mkString(",")})")
+          s
+        })
+      case 'd' => // domain → its base type's converter
+        val base = converterFor(row.baseOid, resolver)
+        Registration(oid, row.name, base.dataType, base.parse)
+      case 'c' => // composite → record-literal text (newCompositeConverter analog)
+        Registration(oid, row.name, StringType, s => s)
+      case 'a' => // some catalogs mark arrays via typtype; elem chain below
+        arrayReg(oid, row, resolver)
+      case other =>
+        throw new IllegalStateException(s"oid $oid: unsupported typtype '$other'")
+    }
+    val finalReg = if (row.elemOid != 0 && row.typtype != 'a' && row.name.startsWith("_"))
+      arrayReg(oid, row, resolver) // pg convention: array types are named "_elem"
+    else reg
+    registry.putIfAbsent(oid, finalReg)
+    registry.get(oid)
+  }
+
+  private def arrayReg(oid: Int, row: PgTypeRow, resolver: Resolver): Registration = {
+    val elem = converterFor(row.elemOid, resolver)
+    Registration(oid, row.name, ArrayType(elem.dataType),
+      s => parseArrayText(s, elem.parse))
+  }
+
+  /** Spark schema of a pgoutput relation, registry-resolved — what
+    * `SchemaEvolution.diff` compares when a relation gains a column
+    * mid-stream. */
+  def schemaFor(cols: Seq[(String, Int)], resolver: Resolver = Resolver.empty): StructType =
+    StructType(cols.map { case (name, oid) =>
+      StructField(name, converterFor(oid, resolver).dataType, nullable = true)
+    })
+
+  /** Decode one text tuple against its relation columns — the generic
+    * (registry-driven) twin of the fixture-specific decode in
+    * `PgOutput.decodeSegments`. New columns of types never seen before
+    * resolve through the lazy chain right here, mid-stream. */
+  def decodeTuple(cols: Seq[(String, Int)], tuple: Seq[graft.cdc.PgOutput.TupleCol],
+                  resolver: Resolver = Resolver.empty): Seq[(String, Any)] =
+    cols.zip(tuple).map { case ((name, oid), c) =>
+      val v = c match {
+        case graft.cdc.PgOutput.NullCol      => null
+        case graft.cdc.PgOutput.UnchangedCol => null // TOAST: absent, not a value
+        case graft.cdc.PgOutput.TextCol(b)   =>
+          converterFor(oid, resolver).parse(new String(b, UTF_8))
+        case graft.cdc.PgOutput.BinaryCol(_) =>
+          throw new IllegalArgumentException(
+            s"column $name: binary-format tuples need a binary codec (text expected)")
+      }
+      name -> v
+    }
+}

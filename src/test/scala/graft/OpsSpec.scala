@@ -1601,8 +1601,13 @@ class OpsSpec extends SparkSpec {
     server.createContext("/", { ex =>
       val body = ex.getRequestBody.readAllBytes()
       if (!sigV4Matches(ex, body, "eu-west-1", "kinesis", "topsecret")) sigBad.incrementAndGet()
+      val target = ex.getRequestHeaders.getFirst("x-amz-target")
       val resp =
-        if (http500.getAndDecrement() > 0) { ex.sendResponseHeaders(500, 0); "" }
+        if (target == "Kinesis_20131202.DescribeStream") {
+          ex.sendResponseHeaders(200, 0)
+          """{"StreamDescription":{"StreamStatus":"ACTIVE"}}"""
+        }
+        else if (http500.getAndDecrement() > 0) { ex.sendResponseHeaders(500, 0); "" }
         else if (failedRecs.getAndDecrement() > 0) {
           ex.sendResponseHeaders(200, 0); """{"FailedRecordCount":1,"Records":[]}"""
         } else {
@@ -1630,6 +1635,69 @@ class OpsSpec extends SparkSpec {
       assert(sigBad.get() === 0)
       assert(received.asScala.toSet ===
         (1 to 12).map(i => s"topic$i|{\"event\":$i}").toSet)
+    } finally server.stop(0)
+  }
+
+  test("kinesis sink: auto-creates a missing stream (describe -> create -> wait-active -> put)") {
+    import scala.jdk.CollectionConverters._
+    // awskinesis.go:89-117 parity: ResourceNotFoundException triggers
+    // CreateStream with the configured shard count, then polling until
+    // ACTIVE, then the records flow. Sequence is asserted in order.
+    val calls   = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val created = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val describesAfterCreate = new java.util.concurrent.atomic.AtomicInteger(0)
+    val received = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { ex =>
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val target = ex.getRequestHeaders.getFirst("x-amz-target")
+      calls.add(target)
+      val resp = target match {
+        case "Kinesis_20131202.DescribeStream" if !created.get() =>
+          ex.sendResponseHeaders(400, 0)
+          """{"__type":"ResourceNotFoundException","message":"Stream graft-auto under account x not found."}"""
+        case "Kinesis_20131202.DescribeStream" =>
+          // first poll reports CREATING, second ACTIVE — exercises the wait loop
+          val status =
+            if (describesAfterCreate.getAndIncrement() == 0) "CREATING" else "ACTIVE"
+          ex.sendResponseHeaders(200, 0)
+          s"""{"StreamDescription":{"StreamStatus":"$status"}}"""
+        case "Kinesis_20131202.CreateStream" =>
+          assert(body.contains("\"ShardCount\":3"), s"shard count must ride create: $body")
+          assert(body.contains("\"StreamName\":\"graft-auto\""))
+          created.set(true)
+          ex.sendResponseHeaders(200, 0); "{}"
+        case "Kinesis_20131202.PutRecords" =>
+          """\{"Data":"([^"]+)","PartitionKey":"([^"]*)"\}""".r
+            .findAllMatchIn(body).foreach { m =>
+              received.add(new String(java.util.Base64.getDecoder.decode(m.group(1)), "UTF-8"))
+            }
+          ex.sendResponseHeaders(200, 0); """{"FailedRecordCount":0,"Records":[]}"""
+      }
+      ex.getResponseBody.write(resp.getBytes("UTF-8")); ex.close()
+    })
+    server.start()
+    try {
+      import spark.implicits._
+      val df = Seq(("t", """{"e":1}""")).toDF("topic", "envelope")
+      val cfg = graft.sinks.KinesisSinkConfig(
+        streamName = Some("graft-auto"), region = Some("eu-west-1"),
+        endpoint = s"http://127.0.0.1:${server.getAddress.getPort}",
+        shardCount = Some(3L),
+        accessKeyId = "AKIDEXAMPLE", secretAccessKey = "topsecret")
+      graft.sinks.KinesisSink(cfg).emit(df, 1L)
+      assert(received.asScala.toSet === Set("""{"e":1}"""))
+      val seq = calls.asScala.toList.map(_.stripPrefix("Kinesis_20131202."))
+      assert(seq.take(4) === List("DescribeStream", "CreateStream",
+        "DescribeStream", "DescribeStream"), s"unexpected call order: $seq")
+      assert(seq.last === "PutRecords")
+      // create disabled: the same missing stream is a hard error
+      created.set(false)
+      val e = intercept[RuntimeException] {
+        graft.sinks.KinesisSink(cfg.copy(streamCreate = false)).emit(df, 2L)
+      }
+      assert(e.getMessage.contains("stream.create is disabled"))
     } finally server.stop(0)
   }
 

@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.cdc.PgOutput
+import graft.cdc.PgOutput._
+import graft.types.TypeRegistry
+import graft.types.TypeRegistry.{PgTypeRow, Registration, Resolver}
+import org.apache.spark.sql.types._
+
+/** Lazy OID→converter resolution (`typemanager.go:236-323` analog):
+  * enums, arrays, domains, composites resolve on first use through a
+  * pg_type resolver; a column of a never-seen type appearing mid-stream
+  * decodes without restart; unknown-to-everyone OIDs fail loudly. */
+class TypeRegistrySpec extends SparkSpec {
+  import spark.implicits._
+
+  // user-defined types live at OID >= 16384; unique per test to keep the
+  // shared JVM registry clean
+  private val catalog: Resolver = Resolver.ofMap(Map(
+    90001 -> PgTypeRow(90001, "mood", 'e', enumLabels = Seq("happy", "sad", "meh")),
+    90002 -> PgTypeRow(90002, "_mood", 'a', elemOid = 90001),
+    90003 -> PgTypeRow(90003, "age", 'd', baseOid = 23),
+    90004 -> PgTypeRow(90004, "address", 'c'),
+    90005 -> PgTypeRow(90005, "_int8_like", 'a', elemOid = 20),
+    90010 -> PgTypeRow(90010, "shade", 'e', enumLabels = Seq("light", "dark"))))
+
+  test("core OIDs parse text format to typed values") {
+    assert(TypeRegistry.converterFor(20).parse("42") === 42L)
+    assert(TypeRegistry.converterFor(16).parse("t") === true)
+    assert(TypeRegistry.converterFor(701).parse("6.55") === 6.55)
+    assert(TypeRegistry.converterFor(1114).parse("2024-01-01 00:00:07.179575000")
+      === 1704067207179575000L)
+    assert(TypeRegistry.converterFor(17).parse("\\x0aff").asInstanceOf[Array[Byte]].toSeq
+      === Seq(0x0a.toByte, 0xff.toByte))
+  }
+
+  test("enum resolves lazily to label text and validates labels") {
+    val r = TypeRegistry.converterFor(90001, catalog)
+    assert(r.dataType === StringType)
+    assert(r.parse("happy") === "happy")
+    intercept[IllegalArgumentException] { r.parse("angry") }
+    // second lookup hits the cache (no resolver needed anymore)
+    assert(TypeRegistry.converterFor(90001).parse("sad") === "sad")
+  }
+
+  test("array type recurses to its element converter (enum + core)") {
+    val enumArr = TypeRegistry.converterFor(90002, catalog)
+    assert(enumArr.dataType === ArrayType(StringType))
+    assert(enumArr.parse("{happy,sad}") === Seq("happy", "sad"))
+    val longArr = TypeRegistry.converterFor(90005, catalog)
+    assert(longArr.dataType === ArrayType(LongType))
+    assert(longArr.parse("{1,2,NULL}") === Seq(1L, 2L, null))
+  }
+
+  test("array text literal handles quoting, escapes, NULL vs \"NULL\"") {
+    val p = (s: String) => TypeRegistry.parseArrayText(s, x => x)
+    assert(p("{}") === Nil)
+    assert(p("{a,b}") === Seq("a", "b"))
+    assert(p("""{"a,b","c\"d"}""") === Seq("a,b", "c\"d"))
+    assert(p("""{NULL,"NULL"}""") === Seq(null, "NULL"))
+  }
+
+  test("domain resolves through its base type") {
+    val r = TypeRegistry.converterFor(90003, catalog)
+    assert(r.dataType === IntegerType)
+    assert(r.parse("7") === 7)
+  }
+
+  test("composite passes through as record-literal text") {
+    val r = TypeRegistry.converterFor(90004, catalog)
+    assert(r.parse("(1,main st)") === "(1,main st)")
+  }
+
+  test("unknown OID with no resolver fails loudly") {
+    val e = intercept[IllegalStateException] { TypeRegistry.converterFor(98765) }
+    assert(e.getMessage.contains("98765"))
+  }
+
+  test("relation gains a column of a not-yet-registered type mid-stream: no restart") {
+    // segment 1: two-column relation. segment 2 (later in the stream):
+    // the relation re-announces with an extra enum column whose OID has
+    // never been registered — decode proceeds, resolving it lazily.
+    val relV1 = Seq(("id", 20), ("name", 25))
+    val relV2 = relV1 :+ (("mood", 90010))
+    val t1 = TypeRegistry.decodeTuple(relV1,
+      Seq(TextCol("1".getBytes(UTF_8)), TextCol("a".getBytes(UTF_8))), catalog)
+    assert(t1 === Seq("id" -> 1L, "name" -> "a"))
+    val t2 = TypeRegistry.decodeTuple(relV2,
+      Seq(TextCol("2".getBytes(UTF_8)), TextCol("b".getBytes(UTF_8)),
+        TextCol("dark".getBytes(UTF_8))), catalog)
+    assert(t2 === Seq("id" -> 2L, "name" -> "b", "mood" -> "dark"))
+    // and the schema diff the evolution guard would report
+    val diff = graft.streaming.SchemaEvolution.diff(
+      TypeRegistry.schemaFor(relV1, catalog), TypeRegistry.schemaFor(relV2, catalog))
+    assert(diff === Seq(graft.streaming.SchemaEvolution.Added("mood", StringType)))
+  }
+
+  test("pgoutput Type message registers the announced type for the decode path") {
+    val oid = 91234
+    assert(!TypeRegistry.known(oid))
+    val bos = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bos)
+    writeFrame(o, 1L, PgOutput.encode(TypeMsg(oid, "public", "mytype")))
+    PgOutput.decodeSegments(Seq((0L, 1L, bos.toByteArray))
+      .toDF("segment", "start_lsn", "data")).collect()
+    assert(TypeRegistry.known(oid), "Type message must register the oid")
+    assert(TypeRegistry.converterFor(oid).parse("anything") === "anything")
+  }
+
+  test("null and TOAST-unchanged tuple columns decode as null") {
+    val cols = Seq(("id", 20), ("blob", 25))
+    assert(TypeRegistry.decodeTuple(cols, Seq(NullCol, UnchangedCol), catalog)
+      === Seq("id" -> null, "blob" -> null))
+  }
+}
