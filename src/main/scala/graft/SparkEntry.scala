@@ -1067,7 +1067,20 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       val sketch = o.agg(
         expr("approx_percentile(o_totalprice, 0.5, 10000)").as("p50"),
         expr("approx_percentile(o_totalprice, 0.9, 10000)").as("p90"))
-      o.agg(count_distinct(col("o_custkey")).as("n_customers")).crossJoin(sketch)
+      // driver-checkable sketch gate (r8 advice: shrink the rows-only
+      // set): re-rank the sketch estimates against the data and emit
+      // BOUND BOOLEANS — approx_percentile guarantees rank error
+      // <= n/accuracy, so the oracle states `true` and a drifting sketch
+      // turns the hash red. The extra pass is gate-only arithmetic; the
+      // production operator remains the single sketch aggregation.
+      val ranked = o.crossJoin(broadcast(sketch)).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_totalprice") <= col("p50"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("o_totalprice") <= col("p90"), 1L).otherwise(0L)).as("r90"))
+        .select(
+          (abs(col("r50") * 20000 - col("n") * 10000) <= col("n") * 2 + 20000).as("p50_rank_ok"),
+          (abs(col("r90") * 10000 - col("n") * 9000) <= col("n") + 10000).as("p90_rank_ok"))
+      o.agg(count_distinct(col("o_custkey")).as("n_customers")).crossJoin(broadcast(ranked))
     }),
 
     "q_except_customers" -> ((s, dir) => {
@@ -2757,8 +2770,13 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("lang"), col("pred_lang"))),
 
     "multimodal_features" -> ((s, dir) => {
-      // real javax.imageio PNG decode: width/height are true pixel dims
+      // real javax.imageio PNG decode: width/height are true pixel dims.
+      // Gate columns are the SQL-predictable invariants (the fixture
+      // dims derive from the id), so encode→decode round-trips hash
+      // against the oracle; byte_len/checksum (codec-specific) stay
+      // spec-asserted in MultimodalSpec
       ops.Multimodal.decodeFeatures(ops.Multimodal.attachImages(Tables.documents(s, dir)))
+        .select(col("source_id"), col("mime"), col("width"), col("height"))
         .orderBy(col("source_id"))
     }),
 
@@ -2795,9 +2813,13 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // frame-container fixture (no mp4 codec in the JDK). Scoped to
       // 2000 docs: the bench cost of this query is dominated by the
       // fixture's per-frame PNG ENCODE, not the operator under test
+      // gate columns: decoded frame dims (fixture-derivable), so the
+      // mux→demux→ImageIO chain hashes against the oracle; the PNG byte
+      // size stays spec-asserted
       ops.Multimodal.videoKeyFrames(
           ops.Multimodal.attachVideo(
             Tables.documents(s, dir).filter(col("doc_id") < 2000)), stride = 2)
+        .select(col("source_id"), col("frame_no"), col("width"), col("height"))
         .orderBy(col("source_id"), col("frame_no"))
     }),
 
@@ -2830,12 +2852,32 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     }),
 
     "multimodal_frames" -> ((s, dir) => {
+      // frame slicing over opaque bytes; the corpus is ASCII, so the
+      // sliced frames re-read as text and gate against a substring twin
       ops.Multimodal.sampleFrames(ops.Multimodal.attachMedia(Tables.documents(s, dir)))
+        .select(col("source_id"), col("frame_no"),
+          octet_length(col("frame")).as("frame_len"),
+          col("frame").cast("string").as("frame_text"))
         .orderBy(col("source_id"), col("frame_no"))
     }),
 
     "cdc_envelope_json" -> ((s, dir) => {
-      Cdc.envelopeJson(s, dir).orderBy(col("lsn"))
+      // driver-checkable form (r8 advice): the rendered JSON is parsed
+      // BACK and its fields gate against the oracle — well-formedness,
+      // op routing, before/after presence rules, the textual LSN, the
+      // schema descriptor identity, and the key envelope all hash;
+      // byte-exactness of the envelope text itself is covered by the
+      // cdc_multitable twin (same builder) and DebeziumSchemaSpec
+      val e = Cdc.envelopeJson(s, dir)
+      e.select(col("lsn"),
+        get_json_object(col("envelope"), "$.payload.op").as("op"),
+        get_json_object(col("envelope"), "$.payload.source.lsn").as("source_lsn"),
+        get_json_object(col("envelope"), "$.payload.after.event_id").cast("long").as("after_event_id"),
+        get_json_object(col("envelope"), "$.payload.before.user_id").cast("long").as("before_user_id"),
+        get_json_object(col("envelope"), "$.schema.name").as("schema_name"),
+        get_json_object(col("envelope"), "$.schema.type").as("schema_type"),
+        get_json_object(col("key"), "$.payload.event_id").cast("long").as("key_event_id"))
+        .orderBy(col("lsn"))
     }),
 
     "cdc_snapshot_partitions" -> ((s, dir) => {
@@ -3271,11 +3313,23 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // the SAME shared enrichment (the two can't diverge in token/hash
       // definitions). Rows-only: sketch estimates are engine-specific,
       // the q_quantiles_approx stance; OpsSpec bounds the error vs exact
+      // driver-checkable form (r8 advice): the exact aggregates gate
+      // directly; the HLL estimates gate via BOUND BOOLEANS against the
+      // exact distincts (computed alongside — gate arithmetic only; the
+      // production operator is the sketch-only aggregation above this
+      // comment's history). |approx - exact| <= 15% of exact + 5 is ~3x
+      // the default 5% rsd — a broken sketch turns the hash red, a
+      // healthy one never flaps.
       profileEnriched(Tables.documents(s, dir))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
-          approx_count_distinct(col("h")).as("approx_distinct"),
-          approx_count_distinct(col("lang")).as("approx_langs"))
+          approx_count_distinct(col("h")).as("ad"),
+          approx_count_distinct(col("lang")).as("al"),
+          count_distinct(col("h")).as("ed"),
+          count_distinct(col("lang")).as("el"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (abs(col("ad") * 100 - col("ed") * 100) <= col("ed") * 15 + 500).as("distinct_ok"),
+          (abs(col("al") * 100 - col("el") * 100) <= col("el") * 15 + 500).as("langs_ok"))
         .orderBy(col("source"))
     }),
 
@@ -3373,6 +3427,60 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
 
   /** DuckDB-runnable oracle SQL, column-aliased identically to `queries`. */
   def oracleSql: Map[String, String] = Map(
+    // ---- multimodal invariants (r8 advice: shrink the rows-only set).
+    // The codec fixtures are id-parameterized (ImageCodec.dims,
+    // AudioCodec.frames, VideoCodec.frameCount), so the REAL
+    // encode→decode chains must land exactly on these SQL-derivable
+    // values — dims wrong, container wrong, or demux wrong → hash red.
+    "multimodal_features" ->
+      """SELECT doc_id AS source_id, 'image/png' AS mime,
+        |  CAST(8 + doc_id % 32 AS INT) AS width,
+        |  CAST(8 + (doc_id // 3) % 24 AS INT) AS height
+        |FROM documents ORDER BY source_id""".stripMargin,
+
+    // box-fit 16x16, aspect preserved, never upscaled: identical IEEE
+    // double ops on both engines, FLOOR = Scala's toInt for positives
+    "multimodal_resize" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(8 + doc_id % 32 AS DOUBLE) AS w0,
+        |    CAST(8 + (doc_id // 3) % 24 AS DOUBLE) AS h0
+        |  FROM documents),
+        |s AS (SELECT doc_id, w0, h0, LEAST(1.0, 16.0 / w0, 16.0 / h0) AS sc FROM d)
+        |SELECT doc_id AS source_id, 'image/png' AS mime,
+        |  CAST(GREATEST(1, FLOOR(w0 * sc)) AS INT) AS width,
+        |  CAST(GREATEST(1, FLOOR(h0 * sc)) AS INT) AS height
+        |FROM s ORDER BY source_id""".stripMargin,
+
+    // canonical RIFF/WAV: 44-byte header + 2 bytes per 16-bit mono frame
+    "multimodal_audio" ->
+      """SELECT doc_id AS source_id, 'audio/wav' AS mime,
+        |  CAST(44 + 2 * (100 + doc_id % 400) AS INT) AS byte_len,
+        |  8000 AS sample_rate, 1 AS channels,
+        |  CAST(100 + doc_id % 400 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY source_id""".stripMargin,
+
+    // 64-byte frame slicing at stride 4 over the (ASCII) text bytes
+    "multimodal_frames" ->
+      """WITH f AS (SELECT doc_id AS source_id, CAST(i AS INT) AS frame_no,
+        |    substring(text, CAST(i * 64 + 1 AS INT), 64) AS frame_text
+        |  FROM documents, unnest(range(0, (length(text) - 1) // 64 + 1)) AS t(i)
+        |  WHERE i % 4 = 0)
+        |SELECT source_id, frame_no,
+        |  CAST(length(frame_text) AS INT) AS frame_len, frame_text
+        |FROM f ORDER BY source_id, frame_no""".stripMargin,
+
+    // demux + per-keyframe decode: frame f of doc d is the synthetic
+    // image for id d*131+f; stride 2 over 4 + d%6 frames
+    "multimodal_video" ->
+      """WITH fr AS (SELECT doc_id, CAST(f AS INT) AS frame_no,
+        |    doc_id * 131 + f AS fid
+        |  FROM documents, unnest(range(0, 4 + doc_id % 6)) AS t(f)
+        |  WHERE doc_id < 2000 AND f % 2 = 0)
+        |SELECT doc_id AS source_id, frame_no,
+        |  CAST(8 + fid % 32 AS INT) AS width,
+        |  CAST(8 + (fid // 3) % 24 AS INT) AS height
+        |FROM fr ORDER BY source_id, frame_no""".stripMargin,
+
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty,
@@ -3514,6 +3622,14 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |  quantile_cont(o_totalprice, 0.9) AS p90
         |FROM orders""".stripMargin,
 
+    // approx twin: the sketch's rank-error contract is the checkable
+    // fact (estimates themselves are engine-specific); a sketch outside
+    // its n/accuracy bound turns these booleans false -> hash red
+    "q_quantiles_approx" ->
+      """SELECT COUNT(DISTINCT o_custkey) AS n_customers,
+        |  true AS p50_rank_ok, true AS p90_rank_ok
+        |FROM orders""".stripMargin,
+
     "q_except_customers" ->
       """SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders
         |ORDER BY c_custkey""".stripMargin,
@@ -3530,6 +3646,18 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
          |  'public' AS schema_name, 'events' AS table_name,
          |  'graft.public.events' AS topic,
          |  event_id, user_id
+         |FROM events ORDER BY lsn""".stripMargin,
+
+    // parse-back twin of the rendered envelope JSON: op routing,
+    // before/after presence rules, textual LSN, schema identity, key
+    "cdc_envelope_json" ->
+      s"""SELECT event_id AS lsn, $opCaseSql AS op,
+         |  hex(event_id // 4294967296) || '/' || hex(event_id % 4294967296) AS source_lsn,
+         |  CASE WHEN $opCaseSql IN ('r','c','u') THEN event_id END AS after_event_id,
+         |  CASE WHEN $opCaseSql IN ('u','d') THEN user_id END AS before_user_id,
+         |  'graft.public.events.Envelope' AS schema_name,
+         |  'struct' AS schema_type,
+         |  event_id AS key_event_id
          |FROM events ORDER BY lsn""".stripMargin,
 
     // pgoutput-decode twin: click rows travel as logical messages (only
@@ -7277,6 +7405,14 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |  count(DISTINCT lang) AS n_langs,
         |  CAST(max(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS max_doc_tokens,
         |  count(*) - count(DISTINCT md5(text)) AS n_exact_dups
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // approx twin: exact aggregates checked directly, HLL estimates via
+    // their error-bound booleans (same stance as q_quantiles_approx)
+    "corpus_profile_approx" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+        |  true AS distinct_ok, true AS langs_ok
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // snapshot-only twin: initial_only keeps only op='r' rows; the

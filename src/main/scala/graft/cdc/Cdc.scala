@@ -857,7 +857,10 @@ object Cdc {
           .putString("debezium.name", graft.model.DebeziumSchema.JsonSchemaName).build())))
     val schemaJson = graft.model.DebeziumSchema
       .envelopeSchemaJson(rowSchema, "graft.public.events")
-    concat(lit("{\"payload\":"), to_json(struct(payload.as("payload"))),
+    // to_json of the payload struct directly — wrapping it in another
+    // aliased struct rendered a doubled {"payload":{"payload":{...}}}
+    // envelope (caught by the cdc_envelope_json parse-back gate)
+    concat(lit("{\"payload\":"), to_json(payload),
       lit(",\"schema\":"), lit(schemaJson), lit("}"))
   }
 
