@@ -2485,6 +2485,24 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .select(col("lsn"), col("user_id"), col("props"))
         .orderBy(col("lsn"))),
 
+    "cdc_filter_wave8" -> ((s, dir) =>
+      // wave-8: the filter env's SCHEMA members (the reference evaluates
+      // over {key, value, keySchema, valueSchema} — eventfilter.go:
+      // 127-138). The descriptor is plan-time constant, so these paths
+      // fold to literals at compile time; the bracket indexes run over
+      // the inlined array/map literals. Zero per-row schema work.
+      graft.filter.EventFilter(
+        """valueSchema.name == "graft.public.events.Envelope" &&
+          |valueSchema.type == "struct" &&
+          |len(valueSchema.fields) == 6 &&
+          |valueSchema.fields[3]["field"] == "op" &&
+          |keySchema.name == "graft.public.events.Key" &&
+          |keySchema.fields[0]["name"] == "event_id" &&
+          |value.user_id % 2 == 0""".stripMargin)
+        .apply(Cdc.walEvents(s, dir))
+        .select(col("lsn"), col("user_id"))
+        .orderBy(col("lsn"))),
+
     "cdc_filter_closures" -> ((s, dir) => {
       // expr-lang array closures (# placeholder, brace shorthand, nested
       // map-inside-count) compiled to Catalyst higher-order functions —
@@ -4261,6 +4279,12 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |  AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 0
         |  AND coalesce(CAST(json_extract_string(props, '$.absent') AS BIGINT), -1) = -1
         |ORDER BY lsn""".stripMargin,
+
+    // wave-8 twin: every schema-introspection conjunct folds to a
+    // compile-time truth, leaving only the payload predicate
+    "cdc_filter_wave8" ->
+      """SELECT event_id AS lsn, user_id FROM events
+        |WHERE user_id % 2 = 0 ORDER BY lsn""".stripMargin,
 
     "cdc_filter_closures" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)

@@ -56,7 +56,9 @@ import org.apache.spark.sql.functions.expr
   * RE2 while `rlike` is java.util.regex. Envelope field paths are
   * mapped to columns: `value.after.x`/`value.before.x`/`value.x`/`key.x`
   * address the payload (the flat envelope columns here);
-  * `keySchema.*`/`valueSchema.*` — schema introspection — is rejected.
+  * `keySchema.*`/`valueSchema.*` — schema introspection — folds at
+  * COMPILE time against the plan-time-constant Debezium descriptor
+  * (the reference env's other two members, `eventfilter.go:127-138`).
   * Per-filter table scoping and the `default` inversion mirror
   * `eventfilter.go:95-152`.
   */
@@ -873,17 +875,76 @@ object EventFilter {
     }
   }
 
+  /** The schema half of the reference's filter env: the Debezium
+    * descriptors for the events envelope, parsed ONCE from the same
+    * builder the envelope artifact ships (`DebeziumSchema`). The
+    * descriptor is a plan-time constant per table, so `keySchema.*` /
+    * `valueSchema.*` paths FOLD AT COMPILE TIME — no per-row work at
+    * any scale. */
+  private lazy val schemaEnv: Map[String, com.fasterxml.jackson.databind.JsonNode] = {
+    import org.apache.spark.sql.types._
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rowSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType), StructField("props", StringType,
+        nullable = true, new MetadataBuilder()
+          .putString("debezium.name", graft.model.DebeziumSchema.JsonSchemaName).build())))
+    Map(
+      "valueSchema" -> m.readTree(graft.model.DebeziumSchema
+        .envelopeSchemaJson(rowSchema, "graft.public.events")),
+      "keySchema" -> m.readTree(graft.model.DebeziumSchema
+        .keySchemaJson("graft.public.events", Seq("event_id" -> LongType))))
+  }
+
+  /** Compile-time JSON → SQL literal. Scalars keep their native type;
+    * objects inline as `map<string,string>` (nested values stringified —
+    * compact JSON for non-scalars) and arrays as arrays thereof, so the
+    * runtime `[i]`/`["k"]` postfix machinery indexes them. */
+  private def inlineJson(n: com.fasterxml.jackson.databind.JsonNode): String = {
+    import scala.jdk.CollectionConverters._
+    def asStringValue(v: com.fasterxml.jackson.databind.JsonNode): String =
+      if (v.isTextual) sqlString(v.asText) else sqlString(v.toString)
+    if (n.isTextual) sqlString(n.asText)
+    else if (n.isBoolean || n.isNumber) n.asText
+    else if (n.isArray) n.elements().asScala.map(inlineJson).mkString("array(", ", ", ")")
+    else n.properties().asScala.toSeq
+      .flatMap(e => Seq(sqlString(e.getKey), asStringValue(e.getValue)))
+      .mkString("map(", ", ", ")")
+  }
+
+  /** Navigate a dotted schema path through the descriptor tree —
+    * numeric components index arrays (`valueSchema.fields.0.field`).
+    * A path that walks off the descriptor fails loudly with the valid
+    * keys at the failure point. */
+  private def resolveSchemaPath(path: String): String = {
+    import scala.jdk.CollectionConverters._
+    val parts = path.split('.')
+    var node = schemaEnv(parts.head)
+    parts.tail.foreach { p =>
+      val next =
+        if (node.isArray && p.forall(_.isDigit)) node.get(p.toInt)
+        else node.get(p)
+      if (next == null) {
+        val have =
+          if (node.isArray) s"array of ${node.size()}"
+          else node.properties().asScala.map(_.getKey).mkString(", ")
+        throw new IllegalArgumentException(
+          s"schema path '$path': no '$p' at this level (have: $have)")
+      }
+      node = next
+    }
+    inlineJson(node)
+  }
+
   /** Envelope field-path → column mapping. The reference's Expr env is
     * `{key, value, keySchema, valueSchema}` over the Debezium envelope
     * (`eventfilter.go:127-138`); here the payload fields are the flat
-    * envelope columns, so the payload prefixes strip away. Schema
-    * introspection paths are not representable as a columnar predicate —
-    * fail loudly rather than silently mis-evaluate. */
+    * envelope columns, so the payload prefixes strip away, and the two
+    * schema members fold to literals from the constant descriptor. */
   private def mapPath(path: String): String = {
     if (path.startsWith("keySchema.") || path.startsWith("valueSchema.") ||
         path == "keySchema" || path == "valueSchema")
-      throw new IllegalArgumentException(
-        s"schema-introspection path '$path' is not supported in columnar filters")
+      return resolveSchemaPath(path)
     val stripped =
       if (path.startsWith("value.after."))  path.substring("value.after.".length)
       else if (path.startsWith("value.")) path.substring("value.".length)

@@ -70,6 +70,35 @@ class OpsSpec extends SparkSpec {
       === "endswith((coalesce(`props`, '')), '}')")
   }
 
+  test("filter schema-introspection env folds to compile-time literals") {
+    import graft.filter.EventFilter
+    // scalar leaves keep native types
+    assert(EventFilter.translate("valueSchema.name")
+      === "'graft.public.events.Envelope'")
+    assert(EventFilter.translate("valueSchema.type") === "'struct'")
+    assert(EventFilter.translate("keySchema.name") === "'graft.public.events.Key'")
+    assert(EventFilter.translate("keySchema.optional") === "false")
+    // dotted navigation through arrays by numeric component
+    assert(EventFilter.translate("keySchema.fields.0.schema.type") === "'int64'")
+    // arrays/objects inline as literals the runtime indexing walks
+    val fields = EventFilter.translate("valueSchema.fields")
+    assert(fields.startsWith("array(map("))
+    assert(fields.contains("'field', 'op'"))
+    // off-descriptor path fails loudly with the valid keys
+    val e = intercept[IllegalArgumentException] {
+      EventFilter.translate("valueSchema.nope")
+    }
+    assert(e.getMessage.contains("have:") && e.getMessage.contains("fields"))
+    // end to end: schema conjuncts fold away, payload predicate remains
+    val wal = graft.cdc.Cdc.walEvents(spark, sf001)
+    val kept = EventFilter(
+      """keySchema.fields[0]["name"] == "event_id" && value.user_id >= 0""")
+      .apply(wal)
+    assert(kept.count() === wal.count())
+    val none = EventFilter("""valueSchema.name == "wrong"""").apply(wal)
+    assert(none.count() === 0)
+  }
+
   test("event filter builtin functions translate to Catalyst twins") {
     assert(EventFilter.translate("""len(props) > 10""") === "graft_len(`props`) > 10")
     assert(EventFilter.translate("""upper(op) == "C"""") === "upper(`op`) = 'C'")
