@@ -54,33 +54,50 @@ object TypeRegistry {
     }
   }
 
-  /** A registered converter: Spark-side type + text-format parser. */
+  /** A registered converter: Spark-side type + text-format parser +
+    * optional binary-format parser (pgoutput `binary 'true'` on PG14+ —
+    * the reference's send-in-binary path; types without one fall back
+    * loudly rather than misreading bytes). */
   final case class Registration(oid: Int, name: String, dataType: DataType,
-                                parse: String => Any) extends Serializable
+                                parse: String => Any,
+                                parseBinary: Array[Byte] => Any = null) extends Serializable
 
-  // -- core seed: the OIDs every PostgreSQL ships (public pg_type.dat) --
+  // -- core seed: the OIDs every PostgreSQL ships (public pg_type.dat).
+  // Binary parsers implement the documented send-function wire forms:
+  // network byte order, bool as one byte, timestamp as int64 micros
+  // since the 2000-01-01 PG epoch.
   private def textId(s: String): Any = s
+  private def buf(b: Array[Byte]) = java.nio.ByteBuffer.wrap(b)
+  private def binUtf8(b: Array[Byte]): Any = new String(b, UTF_8)
   private val coreSeed: Seq[Registration] = Seq(
-    Registration(16, "bool", BooleanType, s => s == "t" || s == "true"),
-    Registration(20, "int8", LongType, _.toLong),
-    Registration(21, "int2", ShortType, _.toShort),
-    Registration(23, "int4", IntegerType, _.toInt),
-    Registration(25, "text", StringType, textId),
-    Registration(700, "float4", FloatType, java.lang.Float.parseFloat),
-    Registration(701, "float8", DoubleType, java.lang.Double.parseDouble),
-    Registration(1042, "bpchar", StringType, textId),
-    Registration(1043, "varchar", StringType, textId),
+    Registration(16, "bool", BooleanType, s => s == "t" || s == "true",
+      b => b(0) != 0),
+    Registration(20, "int8", LongType, _.toLong, b => buf(b).getLong),
+    Registration(21, "int2", ShortType, _.toShort, b => buf(b).getShort),
+    Registration(23, "int4", IntegerType, _.toInt, b => buf(b).getInt),
+    Registration(25, "text", StringType, textId, binUtf8),
+    Registration(700, "float4", FloatType, java.lang.Float.parseFloat,
+      b => buf(b).getFloat),
+    Registration(701, "float8", DoubleType, java.lang.Double.parseDouble,
+      b => buf(b).getDouble),
+    Registration(1042, "bpchar", StringType, textId, binUtf8),
+    Registration(1043, "varchar", StringType, textId, binUtf8),
     Registration(17, "bytea", BinaryType,
       s => { require(s.startsWith("\\x"), s"bytea not in hex form: $s")
              val hex = s.drop(2)
              Array.tabulate[Byte](hex.length / 2)(i =>
-               Integer.parseInt(hex.substring(2 * i, 2 * i + 2), 16).toByte) }),
-    Registration(1114, "timestamp", LongType, graft.cdc.PgOutput.tsFromText),
-    Registration(1184, "timestamptz", LongType, graft.cdc.PgOutput.tsFromText),
+               Integer.parseInt(hex.substring(2 * i, 2 * i + 2), 16).toByte) },
+      b => b),
+    // binary form: int64 micros since 2000-01-01 → Long epoch nanos
+    Registration(1114, "timestamp", LongType, graft.cdc.PgOutput.tsFromText,
+      b => (buf(b).getLong + graft.cdc.PgOutput.PgEpochMicros) * 1000L),
+    Registration(1184, "timestamptz", LongType, graft.cdc.PgOutput.tsFromText,
+      b => (buf(b).getLong + graft.cdc.PgOutput.PgEpochMicros) * 1000L),
     Registration(1082, "date", StringType, textId),
     Registration(1083, "time", StringType, textId),
     Registration(1700, "numeric", StringType, textId), // lossless: downstream casts decide
-    Registration(2950, "uuid", StringType, textId),
+    Registration(2950, "uuid", StringType, textId,
+      b => new java.util.UUID(buf(b).getLong, buf(b.drop(8)).getLong).toString),
     Registration(114, "json", StringType, textId),
     Registration(3802, "jsonb", StringType, textId),
     Registration(869, "inet", StringType, textId),
@@ -202,9 +219,13 @@ object TypeRegistry {
         case graft.cdc.PgOutput.UnchangedCol => null // TOAST: absent, not a value
         case graft.cdc.PgOutput.TextCol(b)   =>
           converterFor(oid, resolver).parse(new String(b, UTF_8))
-        case graft.cdc.PgOutput.BinaryCol(_) =>
-          throw new IllegalArgumentException(
-            s"column $name: binary-format tuples need a binary codec (text expected)")
+        case graft.cdc.PgOutput.BinaryCol(b) =>
+          val reg = converterFor(oid, resolver)
+          if (reg.parseBinary == null)
+            throw new IllegalArgumentException(
+              s"column $name: type ${reg.name} (oid $oid) has no binary codec " +
+                "(pgoutput binary mode); re-slot with a text subscription")
+          reg.parseBinary(b)
       }
       name -> v
     }

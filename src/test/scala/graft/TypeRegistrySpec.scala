@@ -108,6 +108,30 @@ class TypeRegistrySpec extends SparkSpec {
     assert(TypeRegistry.converterFor(oid).parse("anything") === "anything")
   }
 
+  test("binary-format tuples decode via the documented send-function forms") {
+    import java.nio.ByteBuffer
+    def be64(v: Long) = ByteBuffer.allocate(8).putLong(v).array()
+    def be32(v: Int)  = ByteBuffer.allocate(4).putInt(v).array()
+    val cols = Seq(("id", 20), ("n", 23), ("ok", 16), ("x", 701), ("ts", 1114), ("s", 25))
+    val tsNanos = 1704067207179575000L
+    val pgMicros = tsNanos / 1000 - PgOutput.PgEpochMicros
+    val decoded = TypeRegistry.decodeTuple(cols, Seq(
+      BinaryCol(be64(42L)), BinaryCol(be32(7)), BinaryCol(Array[Byte](1)),
+      BinaryCol(ByteBuffer.allocate(8).putDouble(6.55).array()),
+      BinaryCol(be64(pgMicros)), BinaryCol("hi".getBytes(UTF_8))))
+    assert(decoded === Seq("id" -> 42L, "n" -> 7, "ok" -> true,
+      "x" -> 6.55, "ts" -> tsNanos, "s" -> "hi"))
+    // a type with no binary codec refuses rather than misreading bytes
+    val e = intercept[IllegalArgumentException] {
+      TypeRegistry.decodeTuple(Seq(("j", 114)), Seq(BinaryCol(be32(1))))
+    }
+    assert(e.getMessage.contains("no binary codec"))
+    // mixed text+binary in ONE tuple (the protocol allows per-column kinds)
+    assert(TypeRegistry.decodeTuple(Seq(("a", 20), ("b", 20)),
+      Seq(TextCol("5".getBytes(UTF_8)), BinaryCol(be64(6L))))
+      === Seq("a" -> 5L, "b" -> 6L))
+  }
+
   test("null and TOAST-unchanged tuple columns decode as null") {
     val cols = Seq(("id", 20), ("blob", 25))
     assert(TypeRegistry.decodeTuple(cols, Seq(NullCol, UnchangedCol), catalog)
