@@ -24,9 +24,10 @@ class OpsSpec extends SparkSpec {
   }
 
   test("event filter rejects unsupported constructs loudly") {
-    // schema introspection has no columnar representation
+    // schema introspection folds since wave 8 — but only against the
+    // REAL descriptor; off-descriptor paths still fail at compile
     intercept[IllegalArgumentException] {
-      EventFilter.translate("""valueSchema.fields != nil""")
+      EventFilter.translate("""valueSchema.no_such_member != nil""")
     }
     // malformed expressions fail at parse, not at Spark analysis
     intercept[IllegalArgumentException] { EventFilter.translate("""op == """) }
