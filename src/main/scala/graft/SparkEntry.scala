@@ -1114,6 +1114,20 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // Every tuple value round-trips THROUGH protocol text format.
       graft.cdc.PgOutput.decodeGate(s, dir).orderBy(col("lsn"))),
 
+    "cdc_pgoutput_txn" -> ((s, dir) => {
+      // transaction boundaries RECOVERED FROM THE WIRE: xid attachment
+      // happens inside the per-segment decode loop (Begin sets it,
+      // Commit clears it — `xlogdecoder.go:38-48`), so grouping the
+      // decoded rows by xid must reproduce the exact txn windows the
+      // parquet path derives arithmetically
+      val wal = graft.cdc.PgOutput.decodeSegments(
+        graft.cdc.PgOutput.encodeSegments(Tables.events(s, dir)))
+      wal.groupBy(col("xid"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("lsn")).as("first_lsn"), max(col("lsn")).as("last_lsn"))
+        .orderBy(col("xid"))
+    }),
+
     "cdc_op_gates" -> ((s, dir) => {
       Cdc.opGate(Seq(Envelope.Op.Create, Envelope.Op.Update, Envelope.Op.Delete))(
         Cdc.walEvents(s, dir))
@@ -3677,6 +3691,12 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
          |  'struct' AS schema_type,
          |  event_id AS key_event_id
          |FROM events ORDER BY lsn""".stripMargin,
+
+    // wire-recovered transaction windows == arithmetic ones
+    "cdc_pgoutput_txn" ->
+      """SELECT event_id // 10 AS xid, count(*) AS n_events,
+        |  min(event_id) AS first_lsn, max(event_id) AS last_lsn
+        |FROM events GROUP BY 1 ORDER BY xid""".stripMargin,
 
     // pgoutput-decode twin: click rows travel as logical messages (only
     // props survives as message content); everything else is a DML tuple

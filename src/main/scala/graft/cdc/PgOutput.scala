@@ -186,9 +186,73 @@ object PgOutput {
     o.write(msg)
   }
 
-  /** Decode every (lsn, message) frame out of one segment blob. */
+  // -- replication-session control frames (the other two CopyData tags
+  // the reference's socket loop handles, `replicationhandler.go:163-177`
+  // receive / `:133-138` send): PrimaryKeepalive 'k' (server→client) and
+  // StandbyStatusUpdate 'r' (client→server ack). Layouts per the public
+  // streaming-replication protocol docs. --
+
+  final case class PrimaryKeepalive(serverWalEnd: Long, serverTimeMicros: Long,
+                                    replyRequested: Boolean)
+  final case class StandbyStatusUpdate(writtenLsn: Long, flushedLsn: Long,
+                                       appliedLsn: Long, clientTimeMicros: Long,
+                                       replyRequested: Boolean)
+
+  def encodeKeepalive(k: PrimaryKeepalive): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(18)
+    val o = new DataOutputStream(bos)
+    o.writeByte('k'); o.writeLong(k.serverWalEnd); o.writeLong(k.serverTimeMicros)
+    o.writeByte(if (k.replyRequested) 1 else 0)
+    bos.toByteArray
+  }
+
+  def decodeKeepalive(data: Array[Byte]): PrimaryKeepalive = {
+    require(data(0).toChar == 'k', "not a PrimaryKeepalive frame")
+    val b = ByteBuffer.wrap(data, 1, data.length - 1)
+    PrimaryKeepalive(b.getLong, b.getLong, b.get() == 1)
+  }
+
+  /** The ack the client loop sends on its standby deadline (and
+    * immediately when a keepalive sets replyRequested) — carrying the
+    * committed LSN cursor, which is exactly the streaming Offset the
+    * `WalSource` checkpoints. */
+  def encodeStatusUpdate(s: StandbyStatusUpdate): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(34)
+    val o = new DataOutputStream(bos)
+    o.writeByte('r'); o.writeLong(s.writtenLsn); o.writeLong(s.flushedLsn)
+    o.writeLong(s.appliedLsn); o.writeLong(s.clientTimeMicros)
+    o.writeByte(if (s.replyRequested) 1 else 0)
+    bos.toByteArray
+  }
+
+  def decodeStatusUpdate(data: Array[Byte]): StandbyStatusUpdate = {
+    require(data(0).toChar == 'r', "not a StandbyStatusUpdate frame")
+    val b = ByteBuffer.wrap(data, 1, data.length - 1)
+    StandbyStatusUpdate(b.getLong, b.getLong, b.getLong, b.getLong, b.get() == 1)
+  }
+
+  /** Append a keepalive as a segment frame (length-prefixed, 'k' tag in
+    * place of 'w') — interleaved keepalives are part of any real
+    * replication byte stream and the decoder must skip them. */
+  def writeKeepaliveFrame(o: DataOutputStream, k: PrimaryKeepalive): Unit = {
+    val bytes = encodeKeepalive(k)
+    o.writeInt(bytes.length)
+    o.write(bytes)
+  }
+
+  /** Decode every (lsn, message) frame out of one segment blob,
+    * silently skipping interleaved PrimaryKeepalive ('k') control
+    * frames the way the reference's receive loop does
+    * (`replicationhandler.go:163-177`: log + maybe-ack, never emitted
+    * as an event). */
   def readFrames(blob: Array[Byte]): Iterator[(Long, PgMsg)] = new Iterator[(Long, PgMsg)] {
     private val b = ByteBuffer.wrap(blob)
+    private def skipKeepalives(): Unit =
+      while (b.remaining() > 0 && blob(b.position() + 4).toChar == 'k') {
+        val len = b.getInt
+        b.position(b.position() + len)
+      }
+    skipKeepalives()
     def hasNext: Boolean = b.remaining() > 0
     def next(): (Long, PgMsg) = {
       val len = b.getInt
@@ -197,6 +261,7 @@ object PgOutput {
       b.getLong; b.getLong // walEnd, serverSendTime
       val msg = new Array[Byte](len - 25)
       b.get(msg)
+      skipKeepalives()
       (lsn, decode(msg))
     }
   }
@@ -332,8 +397,11 @@ object PgOutput {
         def tupleRow(lsn: Long, opWire: String, relId: Int, t: Seq[TupleCol]): DecodedWal = {
           val rel = relations.getOrElse(relId,
             throw new IllegalStateException(s"pgoutput: unknown relation id $relId"))
+          // name-keyed so relations other than the events fixture (or a
+          // relation that evolved columns mid-stream) decode what they
+          // have and leave the rest null
           val byName = rel.cols.map(_.name).zip(t).toMap
-          def txt(n: String) = asText(byName(n))
+          def txt(n: String) = byName.get(n).flatMap(asText)
           DecodedWal(segment, lsn, currentXid, opWire,
             Some(rel.namespace), Some(rel.relName),
             txt("event_id").map(_.toLong), txt("ts").map(tsFromText),

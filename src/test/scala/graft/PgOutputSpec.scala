@@ -144,6 +144,35 @@ class PgOutputSpec extends SparkSpec {
     assert(rows.forall(_.xid == 3L))
   }
 
+  test("keepalive/status-update control frames: layout, roundtrip, decoder skip") {
+    // PrimaryKeepalive: 'k', Int64 walEnd, Int64 serverTime, Byte reply
+    val ka = PrimaryKeepalive(0x1122334455667788L, 99L, replyRequested = true)
+    val kb = PgOutput.encodeKeepalive(ka)
+    assert(kb.length === 18 && kb(0) === 'k'.toByte && kb(17) === 1.toByte)
+    assert(PgOutput.decodeKeepalive(kb) === ka)
+    // StandbyStatusUpdate: 'r', 4×Int64, Byte
+    val st = StandbyStatusUpdate(10L, 9L, 8L, 1234L, replyRequested = false)
+    val sb2 = PgOutput.encodeStatusUpdate(st)
+    assert(sb2.length === 34 && sb2(0) === 'r'.toByte)
+    assert(PgOutput.decodeStatusUpdate(sb2) === st)
+    // keepalives interleaved in a segment byte stream are skipped — at
+    // the head, between frames, and trailing
+    val bos = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bos)
+    PgOutput.writeKeepaliveFrame(o, ka)
+    writeFrame(o, 1L, PgOutput.encode(RelationMsg(5, "public", "a", 'f',
+      Seq(RelCol(1, "id", 20, -1)))))
+    PgOutput.writeKeepaliveFrame(o, ka)
+    writeFrame(o, 2L, PgOutput.encode(BeginMsg(3L, 0L, 1)))
+    writeFrame(o, 3L, PgOutput.encode(InsertMsg(5, Seq(TextCol("7".getBytes(UTF_8))))))
+    writeFrame(o, 4L, PgOutput.encode(CommitMsg(0, 3L, 4L, 0L)))
+    PgOutput.writeKeepaliveFrame(o, ka)
+    val rows = PgOutput.decodeSegments(
+      Seq((0L, 1L, bos.toByteArray)).toDF("segment", "start_lsn", "data")).collect()
+    assert(rows.length === 1)
+    assert(rows(0).lsn === 3L && rows(0).op_wire === "I" && rows(0).xid === 1L)
+  }
+
   test("streaming decode over segment files equals the batch decode") {
     val dir = java.nio.file.Files.createTempDirectory("pgo_stream").toString
     val ev = Tables.events(spark, sf001)
