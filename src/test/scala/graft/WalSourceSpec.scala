@@ -15,7 +15,7 @@ class WalSourceSpec extends SparkSpec {
   test("LSN-windowed micro-batches deliver the full WAL exactly once") {
     val q = readWal.writeStream.format("memory").queryName("wal_src")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(300000), "stream did not finish within 300 s")
     val lsns = spark.sql("SELECT lsn FROM wal_src ORDER BY lsn")
       .collect().map(_.getLong(0))
     assert(lsns.length === 1000)
@@ -31,7 +31,7 @@ class WalSourceSpec extends SparkSpec {
         .option("checkpointLocation", ckpt)
         .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => sink.emit(b, id))
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(300000), "stream did not finish within 300 s")
     }
     run()
     assert(sink.rows.size === 1000)
@@ -43,7 +43,7 @@ class WalSourceSpec extends SparkSpec {
   test("range readers decode identically to the batch WAL path") {
     val q = readWal.writeStream.format("memory").queryName("wal_decode")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(300000), "stream did not finish within 300 s")
     val streamed = spark.sql(
       "SELECT lsn, xid, op, ts_ms, event_id, user_id, value, props FROM wal_decode ORDER BY lsn")
       .collect()
@@ -114,7 +114,7 @@ class WalSourceSpec extends SparkSpec {
         .option("checkpointLocation", ckpt)
         .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => sink.emit(b, id))
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(300000)
+      assert(q.awaitTermination(600000), "stream did not finish within 600 s")
     }
     run()
     assert(sink.rows.size === 100000)
