@@ -72,7 +72,12 @@ object PgOutput {
   def encode(m: PgMsg): Array[Byte] = {
     val bos = new ByteArrayOutputStream(64)
     val o = new DataOutputStream(bos)
-    def cstr(s: String): Unit = { o.write(s.getBytes(UTF_8)); o.writeByte(0) }
+    def cstr(s: String): Unit = {
+      // the wire form is NUL-terminated; an embedded NUL would truncate
+      // the string on decode and desync every byte after it
+      require(s.indexOf(0.toChar) < 0, s"pgoutput: embedded NUL in '$s'")
+      o.write(s.getBytes(UTF_8)); o.writeByte(0)
+    }
     def tuple(t: Seq[TupleCol]): Unit = {
       o.writeShort(t.length)
       t.foreach {
@@ -120,7 +125,14 @@ object PgOutput {
       val s = new String(data, start, b.position() - 1 - start, UTF_8)
       s
     }
-    def bytes(n: Int): Array[Byte] = { val a = new Array[Byte](n); b.get(a); a }
+    // length prefixes are attacker/corruption-controlled: validate
+    // against the remaining buffer BEFORE allocating, or a single bad
+    // frame allocates gigabytes on an executor
+    def bytes(n: Int): Array[Byte] = {
+      require(n >= 0 && n <= b.remaining(),
+        s"pgoutput: length prefix $n exceeds remaining ${b.remaining()} bytes")
+      val a = new Array[Byte](n); b.get(a); a
+    }
     def tuple(): Seq[TupleCol] = {
       val n = b.getShort.toInt
       (0 until n).map { _ =>
