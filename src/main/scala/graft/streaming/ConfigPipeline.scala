@@ -311,7 +311,11 @@ object ConfigPipeline {
     // and emitted AFTER it (eventemitter.go:51) — without the split, a
     // filtering config makes calls_total ≡ emitted_count and the
     // channel/emitted gap every reference dashboard plots disappears
-    val base = StreamPipeline.envelopeStream(spark, dir, effectiveOps(props))
+    // WAL source dispatch: `postgresql.pgoutput.path` switches the
+    // stream onto binary pgoutput segment blobs (the wire-decode path);
+    // default is the parquet stand-in. Same downstream pipeline either way.
+    val base = StreamPipeline.envelopeStream(spark, dir, effectiveOps(props),
+      pgoutputPath = props.get("postgresql.pgoutput.path"))
     val shaped = shape(if (statsOn) StreamPipeline.withStats(base) else base, props)
     (if (statsOn) StreamPipeline.withEmitted(shaped) else shaped)
       .writeStream

@@ -44,14 +44,38 @@ object StreamPipeline {
     Cdc.shapeWal(Tables.normalizeTsNanos(stream))
   }
 
+  /** Alternate streaming WAL source — BINARY pgoutput segment blobs
+    * decoded executor-side (`Cdc.PgOutput`), shaped onto the same
+    * columns `walStream` yields so the whole downstream pipeline is
+    * source-agnostic. Logical-message rows (no table, no timestamp on
+    * the wire) are excluded here — they belong on the message topic,
+    * not in chunk resolution. `chunk_day`/`ts_ms` derive from the
+    * decoded tuple exactly as `Cdc.shapeWal` derives them from parquet.
+    */
+  def walStreamPgOutput(spark: SparkSession, segmentsPath: String): DataFrame =
+    graft.cdc.PgOutput.streamDecoded(spark, segmentsPath)
+      .toDF()
+      .filter(col("op_wire") =!= "M" && col("op_wire") =!= "T")
+      .select(col("lsn"), col("xid"),
+        graft.cdc.Cdc.opExpr(col("event_type")).as("op"),
+        col("schema_name"), col("table_name"),
+        expr("ts div 86400000000000").minus(lit(19723L)).cast("int").as("chunk_day"),
+        expr("ts div 1000000").as("ts_ms"),
+        col("event_id"), col("user_id"), col("value"), col("props"))
+
   /** Full streaming envelope pipeline: shape → gates → envelope columns.
     * The chunk catalog is resolved against a *static* DataFrame — a
     * stream-static broadcast join, the Spark analog of the reference's
     * in-memory chunk cache (`containers/relationcache.go`).
+    *
+    * `pgoutputPath`: when set, the WAL comes from binary pgoutput
+    * segment blobs instead of the parquet stand-in — the config surface
+    * is `postgresql.pgoutput.path` (ConfigPipeline).
     */
   def envelopeStream(spark: SparkSession, dir: String,
-                     enabledOps: Seq[String] = Envelope.Op.all): DataFrame = {
-    val wal = walStream(spark, dir)
+                     enabledOps: Seq[String] = Envelope.Op.all,
+                     pgoutputPath: Option[String] = None): DataFrame = {
+    val wal = pgoutputPath.fold(walStream(spark, dir))(walStreamPgOutput(spark, _))
     val resolved = wal
       .join(broadcast(Cdc.chunkCatalog(spark, dir)), Seq("chunk_day"))
       .join(broadcast(Cdc.hypertableCatalog(spark)), Seq("hypertable_id"))

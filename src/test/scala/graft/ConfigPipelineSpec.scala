@@ -175,6 +175,38 @@ class ConfigPipelineSpec extends SparkSpec {
       "checkpointed resume must re-deliver nothing (same statestorage path)")
   }
 
+  test("postgresql.pgoutput.path switches the WAL source to binary wire decode") {
+    // encode sf0.001 events into pgoutput segment blobs, point the
+    // CONFIGURED pipeline at them, and require the delivered envelopes
+    // to match the file-sourced pipeline row-for-row on the DML set
+    // (logical messages carry no table/timestamp on the wire — they
+    // belong to the message topic, excluded from chunk resolution)
+    val dir = Files.createTempDirectory("graft-cfg-pgo").toString
+    graft.cdc.PgOutput.encodeSegments(Tables.events(spark, sf001))
+      .write.mode("overwrite").parquet(s"$dir/segments")
+    val sink = new graft.sinks.CollectorSink
+    graft.sinks.Sinks.register("collector-pgo", () => sink)
+    val props = Map(
+      "sink.type" -> "collector-pgo",
+      "postgresql.pgoutput.path" -> s"$dir/segments",
+      "statestorage.type" -> "file",
+      "statestorage.file.path" -> s"$dir/ckpt")
+    val q = ConfigPipeline.start(spark, sf001, props, dir)
+    assert(q.awaitTermination(300000), "pgoutput-sourced stream did not finish")
+    val streamed = sink.rows.map(r =>
+      (r.getAs[Long]("lsn"), r.getAs[String]("op"), r.getAs[Long]("ts_ms"),
+        r.getAs[String]("topic"), r.getAs[Long]("user_id"))).sortBy(_._1)
+    val fileSourced = ConfigPipeline
+      .fromProperties(spark, sf001, props - "postgresql.pgoutput.path" - "statestorage.type")
+      .filter(org.apache.spark.sql.functions.col("op") =!= "m")
+      .select("lsn", "op", "ts_ms", "topic", "user_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1)
+    assert(streamed.length === fileSourced.length)
+    assert(streamed.sameElements(fileSourced),
+      "wire-decoded envelopes must equal the file-sourced pipeline's DML set")
+  }
+
   test("streaming start() from config delivers the batch result through the sink") {
     val dir = Files.createTempDirectory("graft-cfg-sink").toString
     val ckpt = Files.createTempDirectory("graft-cfg-ckpt").toString
