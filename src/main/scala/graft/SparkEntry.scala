@@ -1114,6 +1114,13 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // Every tuple value round-trips THROUGH protocol text format.
       graft.cdc.PgOutput.decodeGate(s, dir).orderBy(col("lsn"))),
 
+    "cdc_pgoutput_binary" -> ((s, dir) =>
+      // the same end-to-end chain in BINARY tuple format (`binary
+      // 'true'`, requested by the reference on PG14+): network-order
+      // send-function bytes through the registry codecs must land on
+      // the identical envelope rows
+      graft.cdc.PgOutput.decodeGate(s, dir, binary = true).orderBy(col("lsn"))),
+
     "cdc_pgoutput_txn" -> ((s, dir) => {
       // transaction boundaries RECOVERED FROM THE WIRE: xid attachment
       // happens inside the per-segment decode loop (Begin sets it,
@@ -3702,6 +3709,22 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     // props survives as message content); everything else is a DML tuple
     // in REPLICA IDENTITY FULL, so all six columns round-trip
     "cdc_pgoutput_decode" ->
+      s"""SELECT event_id AS lsn, event_id // 10 AS xid,
+         |  CASE event_type WHEN 'signup' THEN 'I' WHEN 'purchase' THEN 'U'
+         |       WHEN 'error' THEN 'D' WHEN 'view' THEN 'I' ELSE 'M' END AS op_wire,
+         |  $opCaseSql AS op,
+         |  CASE WHEN event_type = 'click' THEN NULL ELSE epoch_ns(ts) // 1000000 END AS ts_ms,
+         |  CASE WHEN event_type = 'click' THEN NULL ELSE event_id END AS event_id,
+         |  CASE WHEN event_type = 'click' THEN NULL ELSE user_id END AS user_id,
+         |  CASE WHEN event_type = 'click' THEN NULL ELSE event_type END AS event_type,
+         |  CASE WHEN event_type = 'click' THEN NULL ELSE value END AS value,
+         |  props,
+         |  CASE WHEN event_type = 'click' THEN NULL ELSE 'public' END AS schema_name,
+         |  CASE WHEN event_type = 'click' THEN NULL ELSE 'events' END AS table_name
+         |FROM events ORDER BY lsn""".stripMargin,
+
+    // binary-format twin: identical envelope rows, different wire bytes
+    "cdc_pgoutput_binary" ->
       s"""SELECT event_id AS lsn, event_id // 10 AS xid,
          |  CASE event_type WHEN 'signup' THEN 'I' WHEN 'purchase' THEN 'U'
          |       WHEN 'error' THEN 'D' WHEN 'view' THEN 'I' ELSE 'M' END AS op_wire,

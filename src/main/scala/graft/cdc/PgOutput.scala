@@ -315,6 +315,8 @@ object PgOutput {
   }
 
   private def textCol(s: String): TupleCol = if (s == null) NullCol else TextCol(s.getBytes(UTF_8))
+  private def be64(v: Long): Array[Byte] =
+    ByteBuffer.allocate(8).putLong(v).array()
 
   /** One event row → its full text-format tuple (REPLICA IDENTITY FULL:
     * deletes/updates carry the complete old row, which is what lets the
@@ -324,6 +326,24 @@ object PgOutput {
                value: Double, props: String): Seq[TupleCol] =
     Seq(textCol(eventId.toString), textCol(tsToText(tsNanos)), textCol(userId.toString),
       textCol(eventType), textCol(java.lang.Double.toString(value)), textCol(props))
+
+  /** The same row in BINARY tuple format (`binary 'true'`, what the
+    * reference requests on PG14+ — `replicationchannel.go:118-124`):
+    * network-order send-function forms; the timestamp wire form is
+    * int64 PG-epoch MICROS, so a sub-microsecond `ts` cannot survive
+    * binary mode and fails loudly rather than rounding silently. */
+  def rowTupleBinary(eventId: Long, tsNanos: Long, userId: Long, eventType: String,
+                     value: Double, props: String): Seq[TupleCol] = {
+    require(tsNanos % 1000 == 0,
+      s"binary timestamp carries micros only; ts=$tsNanos has sub-micro precision")
+    Seq(
+      BinaryCol(be64(eventId)),
+      BinaryCol(be64(tsNanos / 1000 - PgEpochMicros)),
+      BinaryCol(be64(userId)),
+      if (eventType == null) NullCol else TextCol(eventType.getBytes(UTF_8)),
+      BinaryCol(ByteBuffer.allocate(8).putDouble(value).array()),
+      if (props == null) NullCol else TextCol(props.getBytes(UTF_8)))
+  }
 
   val frameSchema: StructType = StructType(Seq(
     StructField("segment", LongType, nullable = false),
@@ -339,7 +359,8 @@ object PgOutput {
     * logical messages carrying props (`xlogdecoder.go:38-48` xid
     * attachment).
     */
-  def encodeSegments(events: DataFrame, txnSize: Int = 10, segmentTxns: Int = 100): DataFrame = {
+  def encodeSegments(events: DataFrame, txnSize: Int = 10, segmentTxns: Int = 100,
+                     binary: Boolean = false): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     val rowsPerSegment = txnSize.toLong * segmentTxns
@@ -363,14 +384,15 @@ object PgOutput {
           val commitMicros = txn.last._2 / 1000L - PgEpochMicros
           writeFrame(o, txn.head._1, encode(BeginMsg(commitLsn, commitMicros, xid.toInt)))
           txn.foreach { case (eid, ts, uid, et, v, props, _) =>
+            def tup = if (binary) rowTupleBinary(eid, ts, uid, et, v, props)
+                      else rowTuple(eid, ts, uid, et, v, props)
             val msg = et match {
-              case "signup"   => InsertMsg(EventsRelId, rowTuple(eid, ts, uid, et, v, props))
-              case "purchase" => UpdateMsg(EventsRelId, Some('O'),
-                Some(rowTuple(eid, ts, uid, et, v, props)), rowTuple(eid, ts, uid, et, v, props))
-              case "error"    => DeleteMsg(EventsRelId, 'O', rowTuple(eid, ts, uid, et, v, props))
+              case "signup"   => InsertMsg(EventsRelId, tup)
+              case "purchase" => UpdateMsg(EventsRelId, Some('O'), Some(tup), tup)
+              case "error"    => DeleteMsg(EventsRelId, 'O', tup)
               case "click"    => LogicalMsg(transactional = true, eid, "graft.props",
                 (if (props == null) "" else props).getBytes(UTF_8))
-              case _          => InsertMsg(EventsRelId, rowTuple(eid, ts, uid, et, v, props)) // view
+              case _          => InsertMsg(EventsRelId, tup) // view
             }
             writeFrame(o, eid, encode(msg))
           }
@@ -389,12 +411,6 @@ object PgOutput {
       event_id: Option[Long], ts: Option[Long], user_id: Option[Long],
       event_type: Option[String], value: Option[Double], props: Option[String])
 
-  private def asText(c: TupleCol): Option[String] = c match {
-    case TextCol(b) => Some(new String(b, UTF_8))
-    case NullCol    => None
-    case other      => throw new IllegalArgumentException(s"pgoutput: expected text col, got $other")
-  }
-
   /** Decode pgoutput segment blobs back into WAL change rows — a pure
     * per-segment flatMap (valid on batch AND streaming frames). The
     * relation cache and current-xid live per segment, exactly the state
@@ -409,16 +425,20 @@ object PgOutput {
         def tupleRow(lsn: Long, opWire: String, relId: Int, t: Seq[TupleCol]): DecodedWal = {
           val rel = relations.getOrElse(relId,
             throw new IllegalStateException(s"pgoutput: unknown relation id $relId"))
+          // registry-driven value decode keyed by the Relation message's
+          // column OIDs — ONE path for text AND binary tuple formats
+          // (the reference requests `binary 'true'` on PG14+), and
           // name-keyed so relations other than the events fixture (or a
-          // relation that evolved columns mid-stream) decode what they
-          // have and leave the rest null
-          val byName = rel.cols.map(_.name).zip(t).toMap
-          def txt(n: String) = byName.get(n).flatMap(asText)
+          // relation that evolved mid-stream) decode what they have
+          val vals = graft.types.TypeRegistry
+            .decodeTuple(rel.cols.map(c => (c.name, c.typeOid)), t).toMap
+          def g[T](n: String): Option[T] =
+            vals.get(n).flatMap(Option(_)).map(_.asInstanceOf[T])
           DecodedWal(segment, lsn, currentXid, opWire,
             Some(rel.namespace), Some(rel.relName),
-            txt("event_id").map(_.toLong), txt("ts").map(tsFromText),
-            txt("user_id").map(_.toLong), txt("event_type"),
-            txt("value").map(java.lang.Double.parseDouble), txt("props"))
+            g[Long]("event_id"), g[Long]("ts"),
+            g[Long]("user_id"), g[String]("event_type"),
+            g[Double]("value"), g[String]("props"))
         }
         readFrames(blob).flatMap {
           case (_, RelationMsg(id, ns, rel, ri, cols)) =>
@@ -457,8 +477,8 @@ object PgOutput {
   /** The full gate path: events → pgoutput bytes → decoded WAL, shaped
     * like the envelope the parquet-path `Cdc.shapeWal` produces on the
     * same logical events (the `cdc_pgoutput_decode` correctness entry). */
-  def decodeGate(spark: SparkSession, dir: String): DataFrame = {
-    val wal = decodeSegments(encodeSegments(Tables.events(spark, dir)))
+  def decodeGate(spark: SparkSession, dir: String, binary: Boolean = false): DataFrame = {
+    val wal = decodeSegments(encodeSegments(Tables.events(spark, dir), binary = binary))
     wal.select(
       col("lsn"), col("xid"), col("op_wire"),
       Cdc.opExpr(col("event_type")).as("op"),
