@@ -45,8 +45,8 @@ object Cdc {
     * places rows into 24h chunks (FIXTURES.md §1: chunk interval 24h).
     */
   /** Days from epoch to 2024-01-01 (start of the events series). */
-  private val EpochDay20240101 = 19723L
-  private val NanosPerDay      = 86400000000000L
+  val EpochDay20240101 = 19723L
+  val NanosPerDay      = 86400000000000L
 
   def walEvents(spark: SparkSession, dir: String): DataFrame =
     shapeWal(Tables.events(spark, dir))

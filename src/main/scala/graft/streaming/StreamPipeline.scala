@@ -59,7 +59,8 @@ object StreamPipeline {
       .select(col("lsn"), col("xid"),
         graft.cdc.Cdc.opExpr(col("event_type")).as("op"),
         col("schema_name"), col("table_name"),
-        expr("ts div 86400000000000").minus(lit(19723L)).cast("int").as("chunk_day"),
+        expr(s"ts div ${graft.cdc.Cdc.NanosPerDay}")
+          .minus(lit(graft.cdc.Cdc.EpochDay20240101)).cast("int").as("chunk_day"),
         expr("ts div 1000000").as("ts_ms"),
         col("event_id"), col("user_id"), col("value"), col("props"))
 
