@@ -108,6 +108,47 @@ object SparkEntry {
     * WITHOUT a trailing comma. The FNV split hash CTE (`spl`) is
     * appended per-oracle because its input text differs (raw text vs
     * cluster-representative text). */
+  // splitmix64-style finalization constants of the multimodal fixtures
+  // (`Multimodal.ImageCodec.syntheticPng` / `AudioCodec.syntheticWav*`),
+  // as unsigned decimals for DuckDB HUGEINT arithmetic
+  private val SmK1 = java.lang.Long.toUnsignedString(0x9e3779b97f4a7c15L)
+  private val SmK2 = java.lang.Long.toUnsignedString(0xbf58476d1ce4e5b9L)
+  private val SmK3 = java.lang.Long.toUnsignedString(0x94d049bb133111ebL)
+  private val U64  = "18446744073709551616"
+
+  /** DuckDB CTE chain computing the Java aHash for synthetic images —
+    * the exact integer pipeline `ImageCodec.averageHash` runs on REAL
+    * decoded pixels, replayed from the fixture generator's arithmetic
+    * (pixels survive the PNG roundtrip losslessly, so the codec chain
+    * must land on these very bits). Input CTE `imgs(img_key, sid, w, h,
+    * flip)`: `sid` seeds the pixel hash, `flip` applies the
+    * `perturbImages` (0,0)-pixel xor. The 64×64 multiply is split 32/32
+    * to stay inside signed HUGEINT. Emits `ah(img_key, ahash)`. */
+  private def ahashCtes: String =
+    s"""apx AS (SELECT img_key, sid, w, h, flip, CAST(x AS HUGEINT) AS x, CAST(y AS HUGEINT) AS y
+       |        FROM imgs, unnest(range(0, w)) tx(x), unnest(range(0, h)) ty(y)),
+       |az0 AS (SELECT img_key, w, h, flip, x, y,
+       |          (CAST(sid AS HUGEINT) * $SmK1 + x * $SmK2 + y * $SmK3) % $U64 AS z FROM apx),
+       |az1 AS (SELECT img_key, w, h, flip, x, y, xor(z, z // 1073741824) AS z FROM az0),
+       |az2 AS (SELECT img_key, w, h, flip, x, y,
+       |          ((z % 4294967296) * $SmK2 + ((z // 4294967296) * $SmK2 % 4294967296) * 4294967296)
+       |            % $U64 AS z FROM az1),
+       |apxv AS (SELECT img_key, w, h, x, y,
+       |           CASE WHEN flip AND x = 0 AND y = 0
+       |                THEN xor(xor(z, z // 134217728) % 16777216, 986895)
+       |                ELSE xor(z, z // 134217728) % 16777216 END AS rgb FROM az2),
+       |alum AS (SELECT img_key, (8*x + w + 7) // w - 1 AS cx, (8*y + h + 7) // h - 1 AS cy,
+       |           299*(rgb // 65536) + 587*((rgb // 256) % 256) + 114*(rgb % 256) AS l FROM apxv),
+       |acell AS (SELECT img_key, CAST(cy*8 + cx AS INTEGER) AS cell, sum(l) // count(*) AS cv
+       |          FROM alum GROUP BY 1, 2),
+       |amean AS (SELECT img_key, sum(cv) // 64 AS mean FROM acell GROUP BY 1),
+       |ahu AS (SELECT c.img_key,
+       |          sum(CASE WHEN cv > mean THEN CAST(1 AS HUGEINT) << cell
+       |              ELSE CAST(0 AS HUGEINT) END) AS hu
+       |        FROM acell c JOIN amean USING (img_key) GROUP BY 1),
+       |ah AS (SELECT img_key, CAST(CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+       |         THEN hu - CAST($U64 AS HUGEINT) ELSE hu END AS BIGINT) AS ahash FROM ahu)""".stripMargin
+
   private val minhashPairCtes =
     s"""WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (SELECT DISTINCT doc_id,
@@ -3507,6 +3548,108 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |SELECT source_id, frame_no,
         |  CAST(length(frame_text) AS INT) AS frame_len, frame_text
         |FROM f ORDER BY source_id, frame_no""".stripMargin,
+
+    // the REAL-codec perceptual hash, oracle-replayed: PNG pixels are a
+    // lossless roundtrip of the generator arithmetic, so the decoded
+    // aHash must equal the recomputed one bit-for-bit
+    "multimodal_ahash" ->
+      s"""WITH imgs AS (SELECT doc_id AS img_key, doc_id AS sid,
+         |    8 + doc_id % 32 AS w, 8 + (doc_id // 3) % 24 AS h, false AS flip
+         |  FROM documents),
+         |$ahashCtes
+         |SELECT img_key AS source_id, ahash FROM ah ORDER BY source_id""".stripMargin,
+
+    // image near-dup twin: base + (0,0)-xored re-encodes, the SAME
+    // 4-band pigeonhole candidates + df-cap + hamming cut as the engine
+    "dedup_image_ahash" ->
+      s"""WITH imgs AS (
+         |  SELECT doc_id AS img_key, doc_id AS sid,
+         |    8 + doc_id % 32 AS w, 8 + (doc_id // 3) % 24 AS h, false AS flip
+         |  FROM documents WHERE doc_id < 2000
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS img_key, doc_id AS sid,
+         |    8 + doc_id % 32 AS w, 8 + (doc_id // 3) % 24 AS h, true AS flip
+         |  FROM documents WHERE doc_id < 2000),
+         |$ahashCtes,
+         |bd AS (SELECT img_key, ahash, CAST(i AS INTEGER) AS band_i,
+         |         (ahash >> CAST(16*i AS INTEGER)) & 65535 AS band
+         |       FROM ah, unnest(range(0, 4)) t(i)),
+         |keep AS (SELECT bd.* FROM bd LEFT JOIN (
+         |    SELECT band_i, band FROM bd GROUP BY 1, 2 HAVING count(*) > ${graft.ops.Dedup.DefaultDfCap}
+         |  ) hot USING (band_i, band) WHERE hot.band IS NULL),
+         |cand AS (SELECT DISTINCT a.img_key AS id_a, b.img_key AS id_b,
+         |           a.ahash AS h_a, b.ahash AS h_b
+         |         FROM keep a JOIN keep b
+         |           ON a.band_i = b.band_i AND a.band = b.band AND a.img_key < b.img_key)
+         |SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // acoustic-fingerprint twin: quiet 12-bit samples from the same
+    // splitmix arithmetic; gain-4 remasters share the fingerprint
+    // EXACTLY (energies scale by 16, comparisons unchanged), so both
+    // sides carry the gain-1 fingerprint into the equality join
+    "dedup_audio_fp" ->
+      s"""WITH d AS (SELECT doc_id, 100 + doc_id % 400 AS n
+         |  FROM documents WHERE doc_id < 2000),
+         |sm0 AS (SELECT doc_id, n, CAST(i AS HUGEINT) AS i,
+         |    (CAST(doc_id AS HUGEINT) * $SmK1 + CAST(i AS HUGEINT) * $SmK2) % $U64 AS z
+         |  FROM d, unnest(range(0, (n // 4) * 4)) t(i)),
+         |sm1 AS (SELECT doc_id, n, i, xor(z, z // 1073741824) AS z FROM sm0),
+         |sm2 AS (SELECT doc_id, n, i,
+         |    ((z % 4294967296) * $SmK2 + ((z // 4294967296) * $SmK2 % 4294967296) * 4294967296)
+         |      % $U64 AS z FROM sm1),
+         |smp AS (SELECT doc_id, n, i,
+         |    CAST(xor(z, z // 134217728) % 4096 - 2048 AS BIGINT) AS s FROM sm2),
+         |en AS (SELECT doc_id, n, CAST(i // 4 AS BIGINT) AS wi, sum(s * s) AS e
+         |       FROM smp GROUP BY 1, 2, 3),
+         |fpb AS (SELECT a.doc_id, a.n // 4 AS nw,
+         |          sum(CASE WHEN a.e > b.e THEN CAST(1 AS HUGEINT) << CAST(a.wi % 64 AS INTEGER)
+         |              ELSE CAST(0 AS HUGEINT) END) AS hu
+         |        FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.wi = a.wi + 1
+         |        WHERE a.wi < least(a.n // 4 - 1, 64)
+         |        GROUP BY 1, 2),
+         |fp AS (SELECT doc_id, CAST(nw AS INTEGER) AS n_windows,
+         |         CAST(CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+         |           THEN hu - CAST($U64 AS HUGEINT) ELSE hu END AS BIGINT) AS fingerprint
+         |       FROM fpb),
+         |un AS (SELECT doc_id AS source_id, n_windows, fingerprint FROM fp
+         |       UNION ALL
+         |       SELECT doc_id + 1000000, n_windows, fingerprint FROM fp)
+         |SELECT a.source_id AS id_a, b.source_id AS id_b,
+         |  a.n_windows, a.fingerprint
+         |FROM un a JOIN un b
+         |  ON a.n_windows = b.n_windows AND a.fingerprint = b.fingerprint
+         |    AND a.source_id < b.source_id
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // keyframe twin: frame f of doc d hashes the synthetic image for
+    // id d*131+f; trimmed repacks drop the last frame; shared-hash
+    // equi-join with the engine's df-cap and minShared cut
+    "dedup_video_keyframes" ->
+      s"""WITH fr AS (SELECT doc_id, CAST(f AS BIGINT) AS f, doc_id * 131 + f AS fid
+         |  FROM documents, unnest(range(0, 4 + doc_id % 6)) t(f)
+         |  WHERE doc_id < 1000 AND f % 2 = 0),
+         |imgs AS (SELECT DISTINCT fid AS img_key, fid AS sid,
+         |    8 + fid % 32 AS w, 8 + (fid // 3) % 24 AS h, false AS flip FROM fr),
+         |$ahashCtes,
+         |kept AS (
+         |  SELECT fr.doc_id AS source_id, ah.ahash FROM fr JOIN ah ON fr.fid = ah.img_key
+         |  UNION
+         |  SELECT fr.doc_id + 1000000 AS source_id, ah.ahash
+         |  FROM fr JOIN ah ON fr.fid = ah.img_key
+         |  WHERE fr.f < 4 + fr.doc_id % 6 - 1),
+         |capped AS (SELECT k.* FROM kept k LEFT JOIN (
+         |    SELECT ahash FROM kept GROUP BY 1 HAVING count(*) > ${graft.ops.Dedup.DefaultDfCap}
+         |  ) hot USING (ahash) WHERE hot.ahash IS NULL),
+         |cnt AS (SELECT source_id, count(*) AS n_frames FROM capped GROUP BY 1),
+         |prs AS (SELECT a.source_id AS id_a, b.source_id AS id_b, count(*) AS n_shared
+         |        FROM capped a JOIN capped b
+         |          ON a.ahash = b.ahash AND a.source_id < b.source_id
+         |        GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT id_a, id_b, n_shared, ca.n_frames AS n_a, cb.n_frames AS n_b
+         |FROM prs JOIN cnt ca ON id_a = ca.source_id JOIN cnt cb ON id_b = cb.source_id
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // demux + per-keyframe decode: frame f of doc d is the synthetic
     // image for id d*131+f; stride 2 over 4 + d%6 frames
