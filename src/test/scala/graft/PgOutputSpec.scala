@@ -234,6 +234,35 @@ class PgOutputSpec extends SparkSpec {
     assert(rows(0).lsn === 3L && rows(0).op_wire === "I" && rows(0).xid === 1L)
   }
 
+  test("decode is partitioning-invariant (segments are self-contained)") {
+    val frames = PgOutput.encodeSegments(Tables.events(spark, sf001)).cache()
+    def rows(parts: Int) = PgOutput.decodeSegments(frames.repartition(parts))
+      .collect().map(r => (r.lsn, r.op_wire, r.event_id, r.xid)).toSet
+    val one = rows(1)
+    assert(one === rows(7) && one === rows(32),
+      "decoded set must not depend on how segments land on partitions")
+    frames.unpersist()
+  }
+
+  test("empty transaction (Begin+Commit only) decodes to zero rows, no error") {
+    // reference parity: Test_General_Acknowledge_To_PG_With_Only_Begin_Commit
+    // (`tests/streamer_test.go`) — keepalive-style empty txns must flow
+    // through without producing events or corrupting xid state
+    val bos = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bos)
+    writeFrame(o, 1L, PgOutput.encode(RelationMsg(5, "public", "a", 'f',
+      Seq(RelCol(1, "id", 20, -1)))))
+    writeFrame(o, 2L, PgOutput.encode(BeginMsg(2L, 0L, 9)))
+    writeFrame(o, 3L, PgOutput.encode(CommitMsg(0, 2L, 3L, 0L)))
+    writeFrame(o, 4L, PgOutput.encode(BeginMsg(5L, 0L, 10)))
+    writeFrame(o, 5L, PgOutput.encode(InsertMsg(5, Seq(TextCol("1".getBytes(UTF_8))))))
+    writeFrame(o, 6L, PgOutput.encode(CommitMsg(0, 5L, 6L, 0L)))
+    val rows = PgOutput.decodeSegments(
+      Seq((0L, 1L, bos.toByteArray)).toDF("segment", "start_lsn", "data")).collect()
+    assert(rows.length === 1)
+    assert(rows(0).xid === 10L, "xid must come from the SECOND txn, not the empty one")
+  }
+
   test("streaming decode over segment files equals the batch decode") {
     val dir = java.nio.file.Files.createTempDirectory("pgo_stream").toString
     val ev = Tables.events(spark, sf001)
