@@ -856,6 +856,15 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       Sampling.prioritySample(Tables.documents(s, dir), k = 100, weightCol = "n_chars")
         .select(col("doc_id"), col("n_chars"), col("priority"))),
 
+    "sample_kcenter" -> ((s, dir) =>
+      // k-center greedy coreset (farthest-point): the diverse-subset
+      // selection a curation pipeline runs AFTER dedup — maximize
+      // coverage, the opposite pressure from near-dup removal. dist is
+      // the squared-L2 coverage radius sequence; sequential-fold double
+      // dots are engine-exact, so the oracle replays all 8 rounds
+      Sampling.kCenterSelect(Tables.embeddings(s, dir), k = 8)
+        .orderBy(col("rank"))),
+
     "profile_heavy_hitters" -> ((s, dir) => {
       // exact heavy hitters via the two-pass hash filter: pass-1 state
       // is nBuckets rows (NOT key cardinality); the oracle's plain
@@ -5010,6 +5019,30 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |FROM events
         |WHERE CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) BETWEEN 2000 AND 3000
         |ORDER BY event_id""".stripMargin,
+
+    // k-center twin: 8 unrolled farthest-point rounds; dist arithmetic
+    // mirrors the Spark expression ((a·a + c·c) - 2·a·c, same fold order)
+    "sample_kcenter" -> {
+      val k = 8
+      val sb = new StringBuilder
+      sb.append("WITH e AS (SELECT vec_id, embedding FROM embeddings),\n")
+      sb.append("s0 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1),\n")
+      def distSql(v: String, c: String) =
+        s"((${duckDot(s"$v.embedding", s"$v.embedding")} + ${duckDot(s"$c.embedding", s"$c.embedding")}) - " +
+          s"2 * ${duckDot(s"$v.embedding", s"$c.embedding")})"
+      sb.append(s"d0 AS (SELECT e.vec_id, e.embedding, ${distSql("e", "s0")} AS d FROM e, s0),\n")
+      (1 until k).foreach { r =>
+        sb.append(s"s$r AS (SELECT vec_id, embedding, d FROM d${r - 1} ORDER BY d DESC, vec_id LIMIT 1),\n")
+        if (r < k - 1)
+          sb.append(s"d$r AS (SELECT d${r - 1}.vec_id, d${r - 1}.embedding, " +
+            s"least(d${r - 1}.d, ${distSql(s"d${r - 1}", s"s$r")}) AS d FROM d${r - 1}, s$r),\n")
+      }
+      val selects = (s"SELECT 0 AS rank, vec_id, CAST(0.0 AS DOUBLE) AS dist FROM s0" +:
+        (1 until k).map(r => s"SELECT $r, vec_id, d FROM s$r"))
+      sb.setLength(sb.length - 2) // drop trailing comma-newline
+      sb.append("\n" + selects.mkString("\nUNION ALL ") + "\nORDER BY rank")
+      sb.toString
+    },
 
     "sample_priority" ->
       s"""WITH keyed AS (SELECT doc_id, n_chars,

@@ -424,4 +424,57 @@ object Sampling {
         when(col("n_tokens") <= 0, lit(0L))
           .otherwise(expr("alloc_tokens * 1000 div n_tokens")))
   }
+
+  /** k-center greedy coreset selection (Gonzalez '85 farthest-point
+    * 2-approximation) — the diverse-subset selection step of a
+    * training-data curation pipeline: pick the k embeddings that best
+    * COVER the corpus, maximizing the minimum pairwise distance, the
+    * opposite selection pressure from near-dup removal. Returns
+    * `(rank, vec_id, dist)` where `dist` is the squared-L2 coverage
+    * radius at selection time — the monotone-decreasing sequence a
+    * curation run reads to choose k.
+    *
+    * Scale shape: each of the k rounds is ONE narrow codegen pass — the
+    * newest center ships as a literal float array into the `vec_dot`
+    * kernel, the running min-distance is a `least` column, and the
+    * farthest point reduces via TakeOrderedAndProject (never a global
+    * sort). Driver state is k rows. The k-pass recompute is the honest
+    * cost (a production run persists the running distances per round —
+    * the DataFrame shape makes that a one-line `.persist()`); a
+    * crossJoin alternative would be O(n·k) shuffled rows instead of
+    * O(n) per pass. Distances are sequential-fold doubles (identical
+    * fold order engine-to-engine), so the output is oracle-exact.
+    *
+    * Tie-break: lowest vec_id, so the selection is deterministic on
+    * corpora with duplicate embeddings.
+    */
+  def kCenterSelect(emb: DataFrame, k: Int, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"kCenterSelect: k=$k")
+    val spark = emb.sparkSession
+    graft.GraftExtensions.registerTo(spark)
+    import spark.implicits._
+    def dot(a: Column, b: Column): Column = graft.functions.VecFunctions.vec_dot(a, b)
+    def distTo(center: Array[Float]): Column = {
+      val c = typedLit(center)
+      (dot(col(vecCol), col(vecCol)) + dot(c, c)) - lit(2.0) * dot(col(vecCol), c)
+    }
+    val first = emb.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(1)
+      .collect().headOption.getOrElse(
+        throw new IllegalArgumentException("kCenterSelect: empty input"))
+    var selected = Vector((first.getLong(0), first.getSeq[Float](1).toArray, 0.0))
+    var cur = emb.select(col(idCol), col(vecCol))
+      .withColumn("d", distTo(selected.head._2))
+    var r = 1
+    while (r < k) {
+      val next = cur.orderBy(col("d").desc, col(idCol)).limit(1).collect().head
+      selected = selected :+ ((next.getLong(0), next.getSeq[Float](1).toArray,
+        next.getDouble(2)))
+      cur = cur.withColumn("d", least(col("d"), distTo(selected.last._2)))
+      r += 1
+    }
+    selected.zipWithIndex
+      .map { case ((id, _, d), i) => (i, id, d) }
+      .toDF("rank", idCol, "dist")
+  }
 }

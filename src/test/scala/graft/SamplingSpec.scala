@@ -291,4 +291,32 @@ class SamplingSpec extends SparkSpec {
     assert(hh === exact)
     assert(exact.nonEmpty, "fixture must contain heavy hitters")
   }
+
+  test("k-center coreset: monotone coverage radius, distinct picks, farthest-point invariant") {
+    import graft.ops.Sampling
+    val emb = Tables.embeddings(spark, sf001)
+    val sel = Sampling.kCenterSelect(emb, k = 6).orderBy("rank").collect()
+    assert(sel.length === 6)
+    assert(sel.map(_.getLong(1)).distinct.length === 6, "no vector selected twice")
+    val radii = sel.drop(1).map(_.getDouble(2))
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      s"coverage radius must be non-increasing: ${radii.mkString(", ")}")
+    assert(radii.forall(_ > 0), "distinct embeddings must have positive radii")
+    // farthest-point invariant: pick r's distance >= every point's final
+    // min-distance to the first r centers — spot-check rank 1 against a
+    // brute-force recompute
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        val diff = a(i).toDouble - b(i).toDouble; s += diff * diff; i += 1
+      }
+      s
+    }
+    val c0 = vecs(sel(0).getLong(1))
+    val bruteMax = vecs.map { case (_, v) => d2(v, c0) }.max
+    assert(math.abs(sel(1).getDouble(2) - bruteMax) < 1e-6 * math.max(1.0, bruteMax),
+      "rank-1 pick must be the farthest point from the seed")
+  }
 }
