@@ -2445,11 +2445,13 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       Cdc.envelopeWithSchema(s, dir).orderBy(col("lsn"))
     }),
 
-    "cdc_multitable" -> ((s, dir) => {
+    "cdc_multitable" -> ((s, dir) =>
       // events CDC + orders/lineitem snapshots, per-table schemas,
-      // composite key on lineitem — one unioned stream
-      Cdc.multiTableEnvelopes(s, dir).orderBy(col("topic"), col("lsn"))
-    }),
+      // composite key on lineitem — one unioned stream, RENDER-LATE:
+      // the (topic, lsn) sort moves the narrow union; the ~1 KB
+      // envelope strings assemble above the sort (r9 — previously the
+      // exchange carried ~850 MB of rendered strings)
+      Cdc.multiTableEnvelopesSorted(s, dir)),
 
     "cdc_filter_paths" -> ((s, dir) => {
       // envelope field paths + `in` list (eventfilter.go env mapping)

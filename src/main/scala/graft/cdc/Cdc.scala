@@ -1026,6 +1026,87 @@ object Cdc {
     ev.unionByName(orders).unionByName(lineitem)
   }
 
+  /** Render-LATE multi-table envelopes: the (topic, lsn) sort runs over
+    * the NARROW union — table key fields plus the small per-row json
+    * fragments — and the ~1 KB `{payload, schema}` envelope strings are
+    * assembled ABOVE the sort, in the post-exchange stage. At 850 k
+    * events the exchange moves ~10× fewer bytes than sorting rendered
+    * envelopes ([[multiTableEnvelopes]]' shape); at 100 TB this is the
+    * only sane order-then-emit topology. Byte-identical output
+    * (EnvelopeRenderSpec proves it against the render-early path).
+    * Rows emerge already ordered by (topic, lsn) — both are unique per
+    * table, so the order is total and deterministic. */
+  def multiTableEnvelopesSorted(spark: SparkSession, dir: String,
+                                dbName: String = "graft"): DataFrame = {
+    val evTopic = s"$dbName.public.events"
+    val oTopic  = s"$dbName.public.orders"
+    val nullL   = lit(null).cast(LongType)
+    val nullS   = lit(null).cast(StringType)
+    val nullD   = lit(null).cast(DoubleType)
+
+    val ev = walEvents(spark, dir).select(
+      lit(evTopic).as("topic"), col("lsn"), col("ts_ms"), col("op"), col("xid"),
+      col("event_id"), col("user_id"), col("value"), col("props"),
+      nullS.as("row_json"), nullS.as("key_payload"))
+    def snapNarrow(df: DataFrame, topic: String, lsn: Column, tsMs: Column,
+                   rowJson: Column, keyPayload: Column): DataFrame =
+      df.select(lit(topic).as("topic"), lsn.as("lsn"), tsMs.as("ts_ms"),
+        lit("r").as("op"), nullL.as("xid"), nullL.as("event_id"),
+        nullL.as("user_id"), nullD.as("value"), nullS.as("props"),
+        rowJson.as("row_json"), keyPayload.as("key_payload"))
+    val o = Tables.orders(spark, dir)
+    val orders = snapNarrow(o, oTopic,
+      lsn = col("o_orderkey"),
+      tsMs = PgConverters.timestampToMillis(col("o_orderdate")),
+      rowJson = concat(lit("{\"o_custkey\":"), col("o_custkey"),
+        lit(",\"o_orderkey\":"), col("o_orderkey"),
+        lit(",\"total_cents\":"), floor(col("o_totalprice") * 100.0 + 0.5).cast(LongType),
+        lit("}")),
+      keyPayload = concat(lit("{\"o_orderkey\":"), col("o_orderkey"), lit("}")))
+    val li = Tables.lineitem(spark, dir)
+    val lineitem = snapNarrow(li, s"$dbName.public.lineitem",
+      lsn = col("l_orderkey") * 10 + col("l_linenumber"),
+      tsMs = PgConverters.timestampToMillis(col("l_shipdate")),
+      rowJson = concat(lit("{\"l_linenumber\":"), col("l_linenumber"),
+        lit(",\"l_orderkey\":"), col("l_orderkey"),
+        lit(",\"qty_cents\":"), floor(col("l_quantity") * 100.0 + 0.5).cast(LongType),
+        lit("}")),
+      keyPayload = concat(lit("{\"l_linenumber\":"), col("l_linenumber"),
+        lit(",\"l_orderkey\":"), col("l_orderkey"), lit("}")))
+
+    val sorted = ev.unionByName(orders).unionByName(lineitem)
+      .orderBy(col("topic"), col("lsn"))
+
+    // render above the sort: Catalyst keeps this Project over the Sort
+    // (nothing pushes an expensive projection below an ordering)
+    def snapEnvCols(tableName: String, rowSchema: StructType,
+                    pk: Seq[(String, DataType)]): (Column, Column) = {
+      val topic = s"$dbName.public.$tableName"
+      val schemaJson = graft.model.DebeziumSchema.envelopeSchemaJson(rowSchema, topic)
+      val keySchemaJson = graft.model.DebeziumSchema.keySchemaJson(topic, pk)
+      val src = sourceJson(dbName, "public", tableName,
+        col("lsn"), col("ts_ms"), snapshot = true, txId = None)
+      val payload = concat(lit("{\"after\":"), col("row_json"),
+        lit(",\"op\":\"r\",\"source\":"), src, lit(",\"ts_ms\":"), col("ts_ms"), lit("}"))
+      (concat(lit("{\"payload\":"), payload, lit(",\"schema\":"), lit(schemaJson), lit("}")),
+       concat(lit("{\"payload\":"), col("key_payload"), lit(",\"schema\":"),
+         lit(keySchemaJson), lit("}")))
+    }
+    val (evEnv, evKey) = eventsEnvelopeCols(dbName)
+    val (oEnv, oKey) = snapEnvCols("orders", StructType(Seq(
+      StructField("o_custkey", LongType), StructField("o_orderkey", LongType),
+      StructField("total_cents", LongType))), Seq("o_orderkey" -> LongType))
+    val (lEnv, lKey) = snapEnvCols("lineitem", StructType(Seq(
+      StructField("l_linenumber", LongType), StructField("l_orderkey", LongType),
+      StructField("qty_cents", LongType))),
+      Seq("l_orderkey" -> LongType, "l_linenumber" -> LongType))
+    sorted.select(col("topic"), col("lsn"),
+      when(col("topic") === evTopic, evEnv)
+        .when(col("topic") === oTopic, oEnv).otherwise(lEnv).as("envelope"),
+      when(col("topic") === evTopic, evKey)
+        .when(col("topic") === oTopic, oKey).otherwise(lKey).as("key_json"))
+  }
+
   /** The full normalize stage: WAL rows → resolved + enveloped events.
     * Mirrors hot-path stages 5-7 of SURVEY §3.1.
     */
