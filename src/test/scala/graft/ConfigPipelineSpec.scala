@@ -207,6 +207,27 @@ class ConfigPipelineSpec extends SparkSpec {
       "wire-decoded envelopes must equal the file-sourced pipeline's DML set")
   }
 
+  test("pgoutput-sourced pipeline restarted on the same checkpoint emits nothing new") {
+    val dir = Files.createTempDirectory("graft-cfg-pgo-restart").toString
+    graft.cdc.PgOutput.encodeSegments(Tables.events(spark, sf001))
+      .write.mode("overwrite").parquet(s"$dir/segments")
+    val sink = new graft.sinks.CollectorSink
+    graft.sinks.Sinks.register("collector-pgo-restart", () => sink)
+    val props = Map(
+      "sink.type" -> "collector-pgo-restart",
+      "postgresql.pgoutput.path" -> s"$dir/segments",
+      "statestorage.type" -> "file",
+      "statestorage.file.path" -> s"$dir/ckpt")
+    val q1 = ConfigPipeline.start(spark, sf001, props, dir)
+    assert(q1.awaitTermination(300000))
+    val n1 = sink.rows.size
+    assert(n1 > 0)
+    val q2 = ConfigPipeline.start(spark, sf001, props, dir)
+    assert(q2.awaitTermination(300000))
+    assert(sink.rows.size === n1,
+      "checkpointed pgoutput stream must re-deliver nothing after restart (T1)")
+  }
+
   test("streaming start() from config delivers the batch result through the sink") {
     val dir = Files.createTempDirectory("graft-cfg-sink").toString
     val ckpt = Files.createTempDirectory("graft-cfg-ckpt").toString
