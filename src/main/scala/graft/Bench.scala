@@ -37,7 +37,12 @@ object Bench {
     // Failures must not read as (fast) timings: each query carries an "err"
     // field and any failure makes the whole run exit nonzero, so a regression
     // that breaks a query can never masquerade as a speedup.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional first arg: comma-separated query-name filter for quick
+    // single-query timing loops (the driver passes no args → full run)
+    val only: Option[Set[String]] =
+      args.headOption.filter(_.nonEmpty).map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(t => only.forall(_.contains(t._1))).map { case (name, fn) =>
       var err: Option[String] = None
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()

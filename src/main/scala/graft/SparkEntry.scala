@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import graft.cdc.Cdc
 import graft.catalog.TableFilter
 import graft.model.Envelope
@@ -2959,15 +2960,32 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // schema descriptor identity, and the key envelope all hash;
       // byte-exactness of the envelope text itself is covered by the
       // cdc_multitable twin (same builder) and DebeziumSchemaSpec
+      // one from_json per JSON column (sparse schema) instead of one
+      // get_json_object per FIELD: each get_json_object re-parses the
+      // whole envelope (schema descriptor included) per row, so the old
+      // form paid 7 full parses/row — the bench's top outlier at sf0.1
       val e = Cdc.envelopeJson(s, dir)
+      val envSchema = StructType(Seq(
+        StructField("payload", StructType(Seq(
+          StructField("op", StringType),
+          StructField("source", StructType(Seq(StructField("lsn", StringType)))),
+          StructField("after", StructType(Seq(StructField("event_id", LongType)))),
+          StructField("before", StructType(Seq(StructField("user_id", LongType))))))),
+        StructField("schema", StructType(Seq(
+          StructField("name", StringType), StructField("type", StringType))))))
+      val keySchema = StructType(Seq(
+        StructField("payload", StructType(Seq(StructField("event_id", LongType))))))
       e.select(col("lsn"),
-        get_json_object(col("envelope"), "$.payload.op").as("op"),
-        get_json_object(col("envelope"), "$.payload.source.lsn").as("source_lsn"),
-        get_json_object(col("envelope"), "$.payload.after.event_id").cast("long").as("after_event_id"),
-        get_json_object(col("envelope"), "$.payload.before.user_id").cast("long").as("before_user_id"),
-        get_json_object(col("envelope"), "$.schema.name").as("schema_name"),
-        get_json_object(col("envelope"), "$.schema.type").as("schema_type"),
-        get_json_object(col("key"), "$.payload.event_id").cast("long").as("key_event_id"))
+          from_json(col("envelope"), envSchema).as("env"),
+          from_json(col("key"), keySchema).as("k"))
+        .select(col("lsn"),
+          col("env.payload.op").as("op"),
+          col("env.payload.source.lsn").as("source_lsn"),
+          col("env.payload.after.event_id").as("after_event_id"),
+          col("env.payload.before.user_id").as("before_user_id"),
+          col("env.schema.name").as("schema_name"),
+          col("env.schema.type").as("schema_type"),
+          col("k.payload.event_id").as("key_event_id"))
         .orderBy(col("lsn"))
     }),
 

@@ -27,7 +27,11 @@ import org.apache.spark.sql.types._
   * after restart) and transactions never span segments, so decode is a
   * pure per-row flatMap — no ordering dependency BETWEEN rows, which
   * makes it embarrassingly parallel at 100 TB and valid on both batch
-  * and streaming DataFrames. The sequential state the reference keeps on
+  * and streaming DataFrames. The same contract extends to Type ('Y')
+  * announcements: a producer using non-core types must re-emit them per
+  * segment (as it re-emits Relations) — a segment whose tuples carry an
+  * OID neither core-seeded, segment-announced, nor resolver-known fails
+  * loudly rather than guessing. The sequential state the reference keeps on
   * its socket loop (relation cache `replicationhandler.go:249`, last
   * transaction id `xlogdecoder.go:38-48`) lives inside the per-segment
   * decode loop instead.
