@@ -2644,6 +2644,18 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       ops.EventAnalytics.gapfillLocf(Cdc.walEvents(s, dir))
         .orderBy(col("event_type"), col("chunk_day"))),
 
+    "events_candlestick" -> ((s, dir) =>
+      // candlestick_agg: OHLC + volume + integer VWAP per (type, day),
+      // open/close by the ts·10⁶+lsn order, mergeable accumulators
+      ops.EventAnalytics.candlestick(Cdc.walEvents(s, dir))
+        .orderBy(col("event_type"), col("chunk_day"))),
+
+    "events_heartbeat" -> ((s, dir) =>
+      // heartbeat_agg: 12h-TTL liveness merge per user — uptime,
+      // live-range count, longest dead gap, downtime
+      ops.EventAnalytics.heartbeatAgg(Cdc.walEvents(s, dir), ttlMs = 43200000L)
+        .orderBy(col("user_id"))),
+
     "events_attribution" -> ((s, dir) =>
       // purchase→view attribution: the stream-stream interval join's
       // batch twin (one code path — withWatermark is a no-op in batch)
@@ -4595,6 +4607,59 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |  arg_max(value, ts_ms * 1000000 + lsn) AS last_value,
         |  min(value) AS min_value, max(value) AS max_value, COUNT(*) AS n
         |FROM wal GROUP BY 1, 2 ORDER BY event_type, chunk_day""".stripMargin,
+
+    // candlestick twin: same cents/volume integerization, arg_min/arg_max
+    // on the combined order, floor (//) division matches Spark's div on
+    // the all-positive notional
+    "events_candlestick" ->
+      """WITH wal AS (
+        |  SELECT event_id AS lsn, event_type,
+        |    epoch_ns(ts) // 1000000 AS ts_ms,
+        |    epoch_ns(ts) // 86400000000000 - 19723 AS chunk_day,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS vol
+        |  FROM events)
+        |SELECT event_type, chunk_day,
+        |  arg_min(cents, ts_ms * 1000000 + lsn) AS open_cents,
+        |  arg_max(cents, ts_ms * 1000000 + lsn) AS close_cents,
+        |  max(cents) AS high_cents, min(cents) AS low_cents,
+        |  min(ts_ms * 1000000 + lsn) AS open_ord,
+        |  max(ts_ms * 1000000 + lsn) AS close_ord,
+        |  COUNT(*) AS n_ticks,
+        |  CAST(sum(vol) AS BIGINT) AS volume,
+        |  CAST(sum(cents * vol) AS BIGINT) AS notional_cents,
+        |  CAST(sum(cents * vol) AS BIGINT) * 10000
+        |    // nullif(CAST(sum(vol) AS BIGINT), 0) AS vwap_micro
+        |FROM wal GROUP BY 1, 2 ORDER BY event_type, chunk_day""".stripMargin,
+
+    // heartbeat twin: lead-gap per user on the same order key; the
+    // final (null-gap) beat is excluded from the sum and contributes
+    // its TTL via the constant term, exactly as the Spark side does
+    "events_heartbeat" ->
+      """WITH wal AS (
+        |  SELECT event_id AS lsn, user_id,
+        |    epoch_ns(ts) // 1000000 AS ts_ms
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts_ms,
+        |    lead(ts_ms) OVER (PARTITION BY user_id
+        |      ORDER BY ts_ms * 1000000 + lsn) - ts_ms AS gap
+        |  FROM wal)
+        |SELECT user_id,
+        |  COUNT(*) AS n_beats,
+        |  min(ts_ms) AS first_seen_ms,
+        |  max(ts_ms) AS last_seen_ms,
+        |  CAST(coalesce(sum(CASE WHEN gap IS NOT NULL
+        |      THEN least(gap, 43200000) END), 0) + 43200000 AS BIGINT)
+        |    AS uptime_ms,
+        |  CAST(sum(CASE WHEN gap > 43200000 THEN 1 ELSE 0 END) + 1 AS BIGINT)
+        |    AS num_live_ranges,
+        |  max(CASE WHEN gap > 43200000 THEN gap END) AS longest_gap_ms,
+        |  max(ts_ms) - min(ts_ms) + 43200000
+        |    - CAST(coalesce(sum(CASE WHEN gap IS NOT NULL
+        |        THEN least(gap, 43200000) END), 0) + 43200000 AS BIGINT)
+        |    AS downtime_ms
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // gapfill twin: dense generate_series grid + IGNORE NULLS window
     "events_gapfill_locf" ->

@@ -390,4 +390,70 @@ object EventAnalytics {
         col("__pick").getField("lsn").as("lsn"),
         col("__pick").getField("y").as("v_centi"))
   }
+
+  /** `candlestick_agg` analog (TimescaleDB hyperfunction): per
+    * (type, day) OHLC bar over tick data — open/close picked by the
+    * ts·10⁶+lsn total order, high/low, traded volume (the `props.k`
+    * integer plays the per-tick volume), and VWAP. Everything integer:
+    * prices as cents, VWAP as micro-dollars via integer division of the
+    * exact notional sum — engine-exact, accumulator rows merge by
+    * min/max/sum (the rollup() contract), so re-bucketing day bars to
+    * weeks is a plain re-aggregation.
+    * One partial-agg shuffle; no windows, no per-group state.
+    */
+  def candlestick(wal: DataFrame): DataFrame = {
+    val ord = expr("ts_ms * 1000000 + lsn")
+    wal.select(col("event_type"), col("chunk_day"), col("ts_ms"), col("lsn"),
+        expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("cents"),
+        graft.types.PgConverters.jsonGet(col("props"), "$.k").cast("long").as("vol"))
+      .groupBy(col("event_type"), col("chunk_day"))
+      .agg(
+        min_by(col("cents"), ord).as("open_cents"),
+        max_by(col("cents"), ord).as("close_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        min(ord).as("open_ord"),
+        max(ord).as("close_ord"),
+        count(lit(1)).as("n_ticks"),
+        sum(col("vol")).as("volume"),
+        sum(col("cents") * col("vol")).as("notional_cents"))
+      .withColumn("vwap_micro",
+        expr("notional_cents * 10000 div nullif(volume, 0)"))
+  }
+
+  /** `heartbeat_agg` analog (TimescaleDB hyperfunction): each event is a
+    * liveness heartbeat asserting its key alive for `ttlMs` after it;
+    * overlapping assertions merge. Per key: total uptime, interval
+    * count (= 1 + number of TTL-exceeding gaps), longest dead gap, and
+    * first/last seen — the toolkit's `uptime`/`num_gaps`/`num_live_ranges`
+    * accessor set. A heartbeat's contribution is `min(gap_to_next, ttl)`
+    * (exactly the merged-interval measure, no interval materialization),
+    * the final beat contributes its full TTL.
+    * One window shuffle on the key; per-row state is a single lag — a
+    * key with 10⁸ beats costs a sort, never an array.
+    */
+  def heartbeatAgg(wal: DataFrame, ttlMs: Long,
+                   keyCol: String = "user_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(expr("ts_ms * 1000000 + lsn"))
+    wal
+      .withColumn("next_ts", lead(col("ts_ms"), 1).over(w))
+      .withColumn("gap", col("next_ts") - col("ts_ms"))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_beats"),
+        min(col("ts_ms")).as("first_seen_ms"),
+        max(col("ts_ms")).as("last_seen_ms"),
+        // the null-gap (final) beat is excluded EXPLICITLY: Spark's
+        // `least` skips nulls (it would silently count ttl for the last
+        // beat), so the guard keeps Spark and the SQL twin on the same
+        // arithmetic; the final beat's TTL is the `+ ttlMs` term
+        (coalesce(sum(when(col("gap").isNotNull,
+            least(col("gap"), lit(ttlMs)))), lit(0L)) + ttlMs)
+          .as("uptime_ms"),
+        (sum(when(col("gap") > ttlMs, 1).otherwise(0)) + 1).as("num_live_ranges"),
+        max(when(col("gap") > ttlMs, col("gap"))).as("longest_gap_ms"))
+      .withColumn("downtime_ms",
+        col("last_seen_ms") - col("first_seen_ms") + ttlMs - col("uptime_ms"))
+  }
 }

@@ -208,4 +208,73 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(picks.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq ===
       again.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq)
   }
+
+  test("candlestick: OHLC by order key, integer VWAP, day bars re-aggregate to the range bar") {
+    import spark.implicits._
+    // ticks across two days; prices chosen so open≠low and close≠high
+    val wal = Seq(
+      // (lsn, event_type, chunk_day, ts_ms, value, props)
+      (1L, "A", 0, 1000L, 5.00, """{"k": 2}"""),  // day0 open
+      (2L, "A", 0, 2000L, 9.00, """{"k": 1}"""),  // day0 high
+      (3L, "A", 0, 3000L, 3.00, """{"k": 0}"""),  // day0 low (zero volume tick)
+      (4L, "A", 0, 4000L, 7.00, """{"k": 3}"""),  // day0 close
+      (5L, "A", 1, 5000L, 6.00, """{"k": 4}"""))
+      .toDF("lsn", "event_type", "chunk_day", "ts_ms", "value", "props")
+    val bars = EventAnalytics.candlestick(wal).collect()
+      .map(r => r.getAs[Int]("chunk_day") -> r).toMap
+    val d0 = bars(0)
+    assert(d0.getAs[Long]("open_cents") === 500L)
+    assert(d0.getAs[Long]("high_cents") === 900L)
+    assert(d0.getAs[Long]("low_cents") === 300L)
+    assert(d0.getAs[Long]("close_cents") === 700L)
+    assert(d0.getAs[Long]("volume") === 6L)
+    // notional = 500·2 + 900·1 + 300·0 + 700·3 = 4000 → vwap 666666 µ$
+    assert(d0.getAs[Long]("notional_cents") === 4000L)
+    assert(d0.getAs[Long]("vwap_micro") === 4000L * 10000 / 6)
+    // rollup contract: merging day accumulators with min/max/sum plus
+    // order-key-anchored open/close equals the bar computed on raw ticks
+    val merged = EventAnalytics.candlestick(wal.withColumn("chunk_day", lit(0)))
+      .collect().head
+    assert(merged.getAs[Long]("open_cents") === 500L)
+    assert(merged.getAs[Long]("close_cents") === 600L)
+    assert(merged.getAs[Long]("volume") === 10L)
+    assert(merged.getAs[Long]("notional_cents") === 4000L + 600L * 4)
+  }
+
+  test("candlestick: all-zero volume day yields null VWAP, never a division error") {
+    import spark.implicits._
+    val wal = Seq((1L, "A", 0, 1000L, 5.0, """{"k": 0}"""))
+      .toDF("lsn", "event_type", "chunk_day", "ts_ms", "value", "props")
+    val bar = EventAnalytics.candlestick(wal).collect().head
+    assert(bar.getAs[Long]("volume") === 0L)
+    assert(bar.isNullAt(bar.fieldIndex("vwap_micro")))
+  }
+
+  test("heartbeat: TTL merge, gap accounting, and the single-beat edge") {
+    import spark.implicits._
+    // ttl=10: user 1 beats at 0,5,30 → ranges [0,15)+[30,40): uptime
+    // 5+10+10=25, one 25-gap (>ttl), 2 live ranges, downtime 30+10-25=15.
+    // user 2 beats once → uptime = ttl, 1 range, no gaps, 0 downtime.
+    val wal = Seq(
+      (1L, 1L, 0L), (2L, 1L, 5L), (3L, 1L, 30L),
+      (4L, 2L, 100L))
+      .toDF("lsn", "user_id", "ts_ms")
+    val got = EventAnalytics.heartbeatAgg(wal, ttlMs = 10L)
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    val u1 = got(1L)
+    assert(u1.getAs[Long]("n_beats") === 3L)
+    assert(u1.getAs[Long]("uptime_ms") === 25L)
+    assert(u1.getAs[Long]("num_live_ranges") === 2L)
+    assert(u1.getAs[Long]("longest_gap_ms") === 25L)
+    assert(u1.getAs[Long]("downtime_ms") === 15L)
+    val u2 = got(2L)
+    assert(u2.getAs[Long]("uptime_ms") === 10L)
+    assert(u2.getAs[Long]("num_live_ranges") === 1L)
+    assert(u2.isNullAt(u2.fieldIndex("longest_gap_ms")))
+    assert(u2.getAs[Long]("downtime_ms") === 0L)
+    // uptime never exceeds observed span + ttl; both invariant under repartition
+    val again = EventAnalytics.heartbeatAgg(wal.repartition(7), ttlMs = 10L)
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("uptime_ms")).toMap
+    assert(again === got.view.mapValues(_.getAs[Long]("uptime_ms")).toMap)
+  }
 }
