@@ -2656,6 +2656,12 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       ops.EventAnalytics.heartbeatAgg(Cdc.walEvents(s, dir), ttlMs = 43200000L)
         .orderBy(col("user_id"))),
 
+    "events_time_weighted_interp" -> ((s, dir) =>
+      // interpolated_average: LOCF holds carry across day boundaries,
+      // each day charged for its exact overlap with every hold span
+      ops.EventAnalytics.timeWeightedInterpolated(Cdc.walEvents(s, dir))
+        .orderBy(col("event_type"), col("chunk_day"))),
+
     "events_attribution" -> ((s, dir) =>
       // purchase→view attribution: the stream-stream interval join's
       // batch twin (one code path — withWatermark is a no-op in batch)
@@ -4660,6 +4666,39 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |        THEN least(gap, 43200000) END), 0) + 43200000 AS BIGINT)
         |    AS downtime_ms
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // interpolated time-weight twin: per-type lead spans, inclusive
+    // generate_series over spanned days, clip to each day; both engines
+    // do the identical integer ms arithmetic
+    "events_time_weighted_interp" ->
+      """WITH wal AS (
+        |  SELECT event_id AS lsn, event_type,
+        |    epoch_ns(ts) // 1000000 AS ts_ms,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_milli
+        |  FROM events),
+        |sp AS (
+        |  SELECT event_type, v_milli, ts_ms,
+        |    lead(ts_ms) OVER (PARTITION BY event_type
+        |      ORDER BY ts_ms * 1000000 + lsn) AS next_ts
+        |  FROM wal),
+        |seg AS (
+        |  SELECT event_type, v_milli, ts_ms, next_ts,
+        |    unnest(generate_series(ts_ms // 86400000,
+        |                           (next_ts - 1) // 86400000)) AS day
+        |  FROM sp WHERE next_ts IS NOT NULL AND next_ts > ts_ms)
+        |SELECT event_type,
+        |  CAST(day - 19723 AS INTEGER) AS chunk_day,
+        |  CAST(sum(v_milli * (least(next_ts, (day + 1) * 86400000)
+        |        - greatest(ts_ms, day * 86400000))) AS BIGINT)
+        |    AS weighted_milli_ms,
+        |  CAST(sum(least(next_ts, (day + 1) * 86400000)
+        |        - greatest(ts_ms, day * 86400000)) AS BIGINT) AS covered_ms,
+        |  COUNT(*) AS n_segs,
+        |  CAST(sum(v_milli * (least(next_ts, (day + 1) * 86400000)
+        |        - greatest(ts_ms, day * 86400000))) AS BIGINT) * 1000
+        |    // nullif(CAST(sum(least(next_ts, (day + 1) * 86400000)
+        |        - greatest(ts_ms, day * 86400000)) AS BIGINT), 0) AS twa_micro
+        |FROM seg GROUP BY 1, 2 ORDER BY event_type, chunk_day""".stripMargin,
 
     // gapfill twin: dense generate_series grid + IGNORE NULLS window
     "events_gapfill_locf" ->

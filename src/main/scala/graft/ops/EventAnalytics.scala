@@ -169,6 +169,47 @@ object EventAnalytics {
         count(lit(1)).as("n"))
   }
 
+  /** `interpolated_average` analog (TimescaleDB hyperfunction): the
+    * time-weighted LOCF average per (type, day) where a held value
+    * CARRIES ACROSS bucket boundaries — the plain [[timeWeighted]]
+    * truncates each day's integral at its first/last sample, this one
+    * charges every day for the exact portion of each hold-interval that
+    * overlaps it. Each event's hold span `[ts, next_ts)` (lead over the
+    * per-type global order) explodes over the days it touches and is
+    * clipped to each; all integer ms × milli-value arithmetic, average
+    * exposed as micro-units by integer division.
+    *
+    * Scale shape: one window shuffle on the type key; the explode
+    * fan-out is `ceil(span/day)` — bounded by the ingest cadence (a
+    * type quiet for a year fans 365 rows once, not per event), and the
+    * groupBy after it is a partial agg on (type, day).
+    */
+  def timeWeightedInterpolated(wal: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayMs = 86400000L
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(expr("ts_ms * 1000000 + lsn"))
+    wal
+      .withColumn("v_milli", expr("cast(floor(value * 1000 + 0.5) as bigint)"))
+      .withColumn("next_ts", lead(col("ts_ms"), 1).over(w))
+      // zero-length holds (ts ties) carry no weight; the last event's
+      // open hold is excluded, matching the bounded-integral contract
+      .filter(col("next_ts").isNotNull && col("next_ts") > col("ts_ms"))
+      .withColumn("day", explode(expr(
+        s"sequence(ts_ms div $dayMs, (next_ts - 1) div $dayMs)")))
+      .withColumn("seg_ms",
+        least(col("next_ts"), (col("day") + 1) * dayMs) -
+          greatest(col("ts_ms"), col("day") * dayMs))
+      .groupBy(col("event_type"),
+        (col("day") - graft.cdc.Cdc.EpochDay20240101).cast("int").as("chunk_day"))
+      .agg(
+        sum(col("v_milli") * col("seg_ms")).as("weighted_milli_ms"),
+        sum(col("seg_ms")).as("covered_ms"),
+        count(lit(1)).as("n_segs"))
+      .withColumn("twa_micro",
+        expr("weighted_milli_ms * 1000 div nullif(covered_ms, 0)"))
+  }
+
   /** Seasonality profile — the (day-of-week × hour) activity matrix
     * every ops dashboard draws: integer epoch arithmetic only
     * (`dow = (epoch_days + 4) mod 7`, Thursday-anchored; hour from ms),

@@ -209,6 +209,29 @@ class EventAnalyticsSpec extends SparkSpec {
       again.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq)
   }
 
+  test("interpolated time-weight: holds split exactly at day boundaries and conserve mass") {
+    import spark.implicits._
+    val day = 86400000L
+    // type A: value 2.0 held from day0 18:00 across midnight to day1
+    // 06:00, then 4.0 held until day1 12:00 (open tail excluded)
+    val wal = Seq(
+      (1L, "A", day * 3 / 4, 2.0),      // 18:00 day0
+      (2L, "A", day + day / 4, 4.0),    // 06:00 day1
+      (3L, "A", day + day / 2, 9.0))    // 12:00 day1 (last: no hold)
+      .toDF("lsn", "event_type", "ts_ms", "value")
+    val got = EventAnalytics.timeWeightedInterpolated(wal).collect()
+      .map(r => r.getAs[Int]("chunk_day") ->
+        (r.getAs[Long]("weighted_milli_ms"), r.getAs[Long]("covered_ms"))).toMap
+    val d0 = -19723 // fixture ts starts at epoch, not 2024
+    // day0 gets 6h of 2.0; day1 gets 6h of 2.0 + 6h of 4.0
+    assert(got(d0) === ((2000L * (day / 4), day / 4)))
+    assert(got(d0 + 1) === ((2000L * (day / 4) + 4000L * (day / 4), day / 2)))
+    // conservation: per-day numerators sum to the unsplit span integral
+    val whole = 2000L * (day / 2) + 4000L * (day / 4)
+    assert(got.values.map(_._1).sum === whole)
+    assert(got.values.map(_._2).sum === day * 3 / 4)
+  }
+
   test("candlestick: OHLC by order key, integer VWAP, day bars re-aggregate to the range bar") {
     import spark.implicits._
     // ticks across two days; prices chosen so open≠low and close≠high
