@@ -529,8 +529,11 @@ object TextAnalysis {
     val grams = df.select(col("doc_id"),
       explode(array_distinct(graft.functions.TextFunctions.ngrams_join(
         split(col(textCol), " "), n))).as("gram"))
-    val gramDf = grams.groupBy(col("gram")).agg(count(lit(1)).as("gram_df"))
-    val perDoc = grams.join(gramDf, Seq("gram"))
+    // df as an unordered window count over the gram key — one pass and
+    // one shuffle instead of the groupBy + join-back double scan
+    val perDoc = grams.withColumn("gram_df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("gram"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("gram_df") >= minDf, 1L).otherwise(0L)).as("n_common"))
@@ -1093,8 +1096,12 @@ object TextAnalysis {
           s"i -> array_join(slice(split($textCol, ' '), i * $width + 1, $width), ' '))")
           .as("chunks"))
       .select(col(idCol), posexplode(col("chunks")).as(Seq("chunk_idx", "chunk")))
-    val chunkDf = chunked.groupBy(col("chunk")).agg(count(lit(1)).as("chunk_df"))
-    val kept = chunked.join(chunkDf, Seq("chunk"))
+    // chunk df as an unordered window count: ONE pass over the chunked
+    // corpus and one shuffle on the chunk key — the groupBy + join-back
+    // form scanned and chunked the corpus twice and shuffled it twice
+    val kept = chunked.withColumn("chunk_df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("chunk"))))
     kept.groupBy(col(idCol))
       .agg(
         array_join(transform(array_sort(collect_list(
