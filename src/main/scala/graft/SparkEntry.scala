@@ -2662,6 +2662,12 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       ops.EventAnalytics.timeWeightedInterpolated(Cdc.walEvents(s, dir))
         .orderBy(col("event_type"), col("chunk_day"))),
 
+    "events_hdr_quantiles" -> ((s, dir) =>
+      // approx_percentile on engine-exact parts: log2 (HDR) bucket
+      // sketch, mergeable by addition, integer in-bucket interpolation
+      ops.EventAnalytics.hdrQuantiles(Cdc.walEvents(s, dir))
+        .orderBy(col("event_type"), col("p"))),
+
     "events_attribution" -> ((s, dir) =>
       // purchase→view attribution: the stream-stream interval join's
       // batch twin (one code path — withWatermark is a no-op in batch)
@@ -4699,6 +4705,39 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |    // nullif(CAST(sum(least(next_ts, (day + 1) * 86400000)
         |        - greatest(ts_ms, day * 86400000)) AS BIGINT), 0) AS twa_micro
         |FROM seg GROUP BY 1, 2 ORDER BY event_type, chunk_day""".stripMargin,
+
+    // HDR-quantile twin: msb via binary-string length (integer-exact in
+    // both engines), running window cum, first qualifying bucket, the
+    // identical integer interpolation
+    "events_hdr_quantiles" ->
+      """WITH wal AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) + 1 AS shifted
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type,
+        |    CAST(length(printf('%b', shifted)) - 1 AS INTEGER) AS bucket,
+        |    COUNT(*) AS cnt
+        |  FROM wal GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, bucket, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type
+        |      ORDER BY bucket) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS total
+        |  FROM b),
+        |x AS (
+        |  SELECT c.*, p FROM c
+        |  CROSS JOIN (SELECT unnest([50, 90, 99]) AS p) ps
+        |  WHERE cum >= (total * p + 99) // 100)
+        |SELECT event_type, p, total AS n, bucket,
+        |  (1::BIGINT << bucket)
+        |    + ((((total * p + 99) // 100) - cum + cnt)
+        |       * (1::BIGINT << bucket)) // cnt
+        |    - 1 AS approx_cents
+        |FROM x
+        |QUALIFY row_number() OVER (PARTITION BY event_type, p
+        |  ORDER BY bucket) = 1
+        |ORDER BY event_type, p""".stripMargin,
 
     // gapfill twin: dense generate_series grid + IGNORE NULLS window
     "events_gapfill_locf" ->

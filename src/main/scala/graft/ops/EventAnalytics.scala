@@ -210,6 +210,56 @@ object EventAnalytics {
         expr("weighted_milli_ms * 1000 div nullif(covered_ms, 0)"))
   }
 
+  /** `approx_percentile` analog on ENGINE-EXACT parts (HDR-histogram
+    * bucketing, Tene's public HdrHistogram idea): values integerize to
+    * cents, shift by +1 (zero-safe), and land in log₂ buckets keyed by
+    * the most significant bit — computed as `length(conv(x, 10, 2)) - 1`,
+    * an integer/string op both engines evaluate identically (a float
+    * `log2` would disagree at boundaries). Bucket counts are the whole
+    * sketch: mergeable by addition (rollup contract), ≤ 64 rows per
+    * group no matter the input size. Quantiles interpolate linearly
+    * inside the bucket with integer division: for 1-based rank r in a
+    * bucket [2^b, 2^(b+1)) holding `cnt` values with `cum` cumulative,
+    * estimate = 2^b + ((r - cum + cnt) · 2^b) div cnt − 1 (the −1 undoes
+    * the shift). Relative error ≤ 2× (one bucket), the classic HDR
+    * trade; exactness of the ARITHMETIC is what the oracle checks.
+    *
+    * Scale shape: one partial-agg shuffle to ≤ 64 rows/group, a window
+    * over those rows, and a quantile-list explode against them — the
+    * sketch is dashboard-sized however large the corpus.
+    */
+  def hdrQuantiles(wal: DataFrame, percentiles: Seq[Int] = Seq(50, 90, 99),
+                   groupCol: String = "event_type"): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall(p => p >= 1 && p <= 100),
+      s"hdrQuantiles: percentiles must be in [1,100], got $percentiles")
+    import org.apache.spark.sql.expressions.Window
+    val buckets = wal
+      .select(col(groupCol),
+        expr("cast(floor(value * 100 + 0.5) as bigint) + 1").as("shifted"))
+      .groupBy(col(groupCol),
+        (length(conv(col("shifted"), 10, 2)) - 1).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("bucket"))
+    val cum = buckets
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy(col(groupCol))))
+    val ps = percentiles.map(p => lit(p)) // config-sized
+    cum
+      .withColumn("p", explode(array(ps: _*)))
+      .withColumn("rank", expr("(total * p + 99) div 100"))
+      .filter(col("cum") >= col("rank"))
+      .groupBy(col(groupCol), col("p"))
+      .agg(min_by(struct(col("bucket"), col("cnt"), col("cum"), col("total")),
+        col("bucket")).as("__hit"))
+      .select(col(groupCol), col("p"),
+        col("__hit.total").as("n"),
+        col("__hit.bucket").as("bucket"),
+        expr("""shiftleft(1L, __hit.bucket)
+               | + ((((__hit.total * p + 99) div 100) - __hit.cum + __hit.cnt)
+               |    * shiftleft(1L, __hit.bucket)) div __hit.cnt
+               | - 1""".stripMargin).as("approx_cents"))
+  }
+
   /** Seasonality profile — the (day-of-week × hour) activity matrix
     * every ops dashboard draws: integer epoch arithmetic only
     * (`dow = (epoch_days + 4) mod 7`, Thursday-anchored; hour from ms),

@@ -232,6 +232,31 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.values.map(_._2).sum === day * 3 / 4)
   }
 
+  test("hdrQuantiles: estimates within the 2x bucket bound, exact on planted powers, partition-invariant") {
+    import spark.implicits._
+    // geometric spread so several log2 buckets fill
+    val vals = (1 to 1000).map(i => (i.toLong, "A", i * 0.01)) // cents 1..1000
+    val wal = vals.toDF("lsn", "event_type", "value")
+    val got = EventAnalytics.hdrQuantiles(wal)
+      .collect().map(r => r.getAs[Int]("p") -> r.getAs[Long]("approx_cents")).toMap
+    // exact pth percentile of cents 1..1000 is 10·p; HDR guarantees the
+    // estimate stays within the containing power-of-two bucket
+    for (p <- Seq(50, 90, 99)) {
+      val exact = 10L * p
+      val lo = java.lang.Long.highestOneBit(exact + 1) - 1
+      val hi = 2 * (lo + 1) - 1
+      assert(got(p) >= lo && got(p) <= hi,
+        s"p$p estimate ${got(p)} escaped its bucket [$lo,$hi]")
+    }
+    // the sketch is a plain keyed count: estimates cannot depend on layout
+    val again = EventAnalytics.hdrQuantiles(wal.repartition(11))
+      .collect().map(r => r.getAs[Int]("p") -> r.getAs[Long]("approx_cents")).toMap
+    assert(again === got)
+    intercept[IllegalArgumentException] {
+      EventAnalytics.hdrQuantiles(wal, percentiles = Seq(0))
+    }
+  }
+
   test("candlestick: OHLC by order key, integer VWAP, day bars re-aggregate to the range bar") {
     import spark.implicits._
     // ticks across two days; prices chosen so open≠low and close≠high
