@@ -103,7 +103,11 @@ object Bench {
       "q10_returned_items", "q18_large_volume", "q21_waiting_supplier",
       "layout_zorder_key", "layout_zonemap_prune", "text_boilerplate_remove",
       "text_blocklist_hits", "sample_priority", "profile_heavy_hitters",
-      "events_stats_agg", "events_lttb", "topic_clusters")
+      "events_stats_agg", "events_lttb", "topic_clusters",
+      // round-9 families
+      "cdc_pgoutput_decode", "cdc_envelope_json", "events_candlestick",
+      "events_heartbeat", "events_hdr_quantiles",
+      "events_time_weighted_interp", "sample_kcenter")
     val head = results.filter(r => headline(r._1))
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"n_ok":$nOk,"queries":${qmap(head)},"errors":$errs,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
