@@ -44,6 +44,30 @@ class StreamingSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM winstats").head.getLong(0) === batch)
   }
 
+  test("streaming candlestick bars equal the batch bars (one code path)") {
+    // the OHLC accumulator is pure groupBy-agg (min/max/sum + order-key
+    // min_by/max_by), so the SAME operator runs under a streaming plan;
+    // complete mode because day bars revise as ticks arrive
+    val q = graft.ops.EventAnalytics.candlestick(StreamPipeline.walStream(spark, sf001))
+      .writeStream.format("memory").queryName("candle_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish within the timeout")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("event_type"), r.getAs[Int]("chunk_day"))
+    def bar(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("open_cents"), r.getAs[Long]("close_cents"),
+        r.getAs[Long]("high_cents"), r.getAs[Long]("low_cents"),
+        r.getAs[Long]("volume"), Option(r.get(r.fieldIndex("vwap_micro"))))
+    val streamed = spark.sql("SELECT * FROM candle_stream").collect()
+      .map(r => key(r) -> bar(r)).toMap
+    val batch = graft.ops.EventAnalytics.candlestick(
+        graft.cdc.Cdc.walEvents(spark, sf001)).collect()
+      .map(r => key(r) -> bar(r)).toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("session_window streaming sessions agree with batch sessionize") {
     val q = StreamPipeline.sessionizedStream(spark, sf001)
       .writeStream.format("memory").queryName("sess_stream")
