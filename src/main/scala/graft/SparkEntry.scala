@@ -1186,6 +1186,14 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("xid"))
     }),
 
+    "cdc_toast_omit" -> ((s, dir) =>
+      // unchanged-TOAST elision end-to-end: every 3rd update's props
+      // column rides the wire as 'u' (PG never read the TOASTed value);
+      // the decoded envelope must OMIT the key — not render null — and
+      // the gate parses the rendered JSON back to prove key absence
+      // (`decoderplan.go:54-59`)
+      graft.cdc.PgOutput.toastGate(s, dir, toastEvery = 3)),
+
     "cdc_op_gates" -> ((s, dir) => {
       Cdc.opGate(Seq(Envelope.Op.Create, Envelope.Op.Update, Envelope.Op.Delete))(
         Cdc.walEvents(s, dir))
@@ -3934,6 +3942,15 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
          |  CASE WHEN event_type = 'click' THEN NULL ELSE 'public' END AS schema_name,
          |  CASE WHEN event_type = 'click' THEN NULL ELSE 'events' END AS table_name
          |FROM events ORDER BY lsn""".stripMargin,
+
+    // TOAST-elision twin: the elision rule is arithmetic on event_id, so
+    // DuckDB replays it — key absent exactly when the wire said 'u'
+    "cdc_toast_omit" ->
+      """SELECT event_id AS lsn,
+        |  NOT (props IS NOT NULL AND event_id % 3 = 0) AS props_key_present,
+        |  CASE WHEN event_id % 3 = 0 THEN NULL ELSE props END AS props_parsed,
+        |  event_id, user_id
+        |FROM events WHERE event_type = 'purchase' ORDER BY lsn""".stripMargin,
 
     "cdc_op_gates" ->
       s"""SELECT event_id AS lsn, $opCaseSql AS op

@@ -362,9 +362,16 @@ object PgOutput {
     * event_type, as shapeWal does), click-events become transactional
     * logical messages carrying props (`xlogdecoder.go:38-48` xid
     * attachment).
+    *
+    * `toastEvery` > 0 turns on deterministic unchanged-TOAST elision:
+    * every purchase (Update) whose `event_id % toastEvery == 0` sends its
+    * `props` column as `'u'` in the NEW tuple — exactly what PG emits for
+    * a TOASTed column an UPDATE didn't touch. The old tuple stays
+    * complete (REPLICA IDENTITY FULL old rows are logged whole). The rule
+    * is pure arithmetic on event_id so a DuckDB oracle can replay it.
     */
   def encodeSegments(events: DataFrame, txnSize: Int = 10, segmentTxns: Int = 100,
-                     binary: Boolean = false): DataFrame = {
+                     binary: Boolean = false, toastEvery: Int = 0): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     val rowsPerSegment = txnSize.toLong * segmentTxns
@@ -390,9 +397,16 @@ object PgOutput {
           txn.foreach { case (eid, ts, uid, et, v, props, _) =>
             def tup = if (binary) rowTupleBinary(eid, ts, uid, et, v, props)
                       else rowTuple(eid, ts, uid, et, v, props)
+            // unchanged-TOAST elision: props (the only TOASTable column)
+            // rides as 'u' in the new tuple of the selected updates; a
+            // null is never TOASTed ('n' lives inline in the heap tuple)
+            def newTup =
+              if (toastEvery > 0 && props != null && eid % toastEvery == 0)
+                tup.updated(5, UnchangedCol)
+              else tup
             val msg = et match {
               case "signup"   => InsertMsg(EventsRelId, tup)
-              case "purchase" => UpdateMsg(EventsRelId, Some('O'), Some(tup), tup)
+              case "purchase" => UpdateMsg(EventsRelId, Some('O'), Some(tup), newTup)
               case "error"    => DeleteMsg(EventsRelId, 'O', tup)
               case "click"    => LogicalMsg(transactional = true, eid, "graft.props",
                 (if (props == null) "" else props).getBytes(UTF_8))
@@ -408,12 +422,17 @@ object PgOutput {
   }
 
   /** One decoded WAL change row (nullable fields are absent for
-    * logical-message rows). */
+    * logical-message rows). `unchanged_cols` lists the columns the wire
+    * carried as `'u'` (unchanged TOAST, `decoderplan.go:57-59`): their
+    * value fields here are null, but the envelope must OMIT their keys
+    * rather than render `null` — the replication stream never read the
+    * value, and a consumer that conflates the two corrupts its replica. */
   final case class DecodedWal(
       segment: Long, lsn: Long, xid: Long, op_wire: String,
       schema_name: Option[String], table_name: Option[String],
       event_id: Option[Long], ts: Option[Long], user_id: Option[Long],
-      event_type: Option[String], value: Option[Double], props: Option[String])
+      event_type: Option[String], value: Option[Double], props: Option[String],
+      unchanged_cols: Seq[String] = Nil)
 
   /** Decode pgoutput segment blobs back into WAL change rows — a pure
     * per-segment flatMap (valid on batch AND streaming frames). The
@@ -436,13 +455,17 @@ object PgOutput {
           // relation that evolved mid-stream) decode what they have
           val vals = graft.types.TypeRegistry
             .decodeTuple(rel.cols.map(c => (c.name, c.typeOid)), t).toMap
+          // decodeTuple omits 'u' keys (reference contract) — recover the
+          // omission set from the wire tuple so the envelope can drop keys
+          val unchanged = rel.cols.map(_.name).zip(t)
+            .collect { case (n, UnchangedCol) => n }
           def g[T](n: String): Option[T] =
             vals.get(n).flatMap(Option(_)).map(_.asInstanceOf[T])
           DecodedWal(segment, lsn, currentXid, opWire,
             Some(rel.namespace), Some(rel.relName),
             g[Long]("event_id"), g[Long]("ts"),
             g[Long]("user_id"), g[String]("event_type"),
-            g[Double]("value"), g[String]("props"))
+            g[Double]("value"), g[String]("props"), unchanged)
         }
         readFrames(blob).flatMap {
           case (_, RelationMsg(id, ns, rel, ri, cols)) =>
@@ -489,6 +512,38 @@ object PgOutput {
       expr("ts div 1000000").as("ts_ms"),
       col("event_id"), col("user_id"), col("event_type"), col("value"), col("props"),
       col("schema_name"), col("table_name"))
+  }
+
+  /** Unchanged-TOAST envelope gate: encode with deterministic `'u'`
+    * elision, decode, render each update's payload JSON with the
+    * REFERENCE's key semantics — null column ⇒ `"props": null`, unchanged
+    * TOAST ⇒ no `props` key at all (`decoderplan.go:54-59`) — then PARSE
+    * THE RENDERED JSON BACK so the output columns prove the key really is
+    * absent (not just null-valued). The elision rule is arithmetic on
+    * event_id, so the DuckDB twin replays it from the raw events table.
+    *
+    * Scale shape: one flatMap decode + per-row `when(...)` between two
+    * codegen'd `to_json` branches — no shuffle until the final gate sort.
+    */
+  def toastGate(spark: SparkSession, dir: String, toastEvery: Int = 3,
+                binary: Boolean = false): DataFrame = {
+    val wal = decodeSegments(encodeSegments(Tables.events(spark, dir),
+      binary = binary, toastEvery = toastEvery))
+    val omitted = array_contains(col("unchanged_cols"), "props")
+    val renderOpts = Map("ignoreNullFields" -> "false")
+    val payload = when(omitted,
+        to_json(struct(col("event_id"), col("user_id"), col("value")), renderOpts))
+      .otherwise(
+        to_json(struct(col("event_id"), col("user_id"), col("value"), col("props")),
+          renderOpts))
+    wal.filter(col("op_wire") === "U")
+      .withColumn("payload", payload)
+      .select(
+        col("lsn"),
+        col("payload").contains("\"props\"").as("props_key_present"),
+        get_json_object(col("payload"), "$.props").as("props_parsed"),
+        col("event_id"), col("user_id"))
+      .orderBy(col("lsn"))
   }
 
   /** Streaming twin: readStream the segment parquet and run the SAME

@@ -210,23 +210,29 @@ object TypeRegistry {
   /** Decode one text tuple against its relation columns — the generic
     * (registry-driven) twin of the fixture-specific decode in
     * `PgOutput.decodeSegments`. New columns of types never seen before
-    * resolve through the lazy chain right here, mid-stream. */
+    * resolve through the lazy chain right here, mid-stream.
+    *
+    * Kind semantics match the reference's decoder plan
+    * (`internal/typemanager/decoderplan.go:54-59`): `'n'` yields the key
+    * with a null value, but `'u'` (unchanged TOAST) yields NO key at all —
+    * logical replication never read the value off disk, so the decoded
+    * map must not pretend it saw one. Downstream envelope rendering
+    * relies on the distinction: `"col": null` vs the key being absent. */
   def decodeTuple(cols: Seq[(String, Int)], tuple: Seq[graft.cdc.PgOutput.TupleCol],
                   resolver: Resolver = Resolver.empty): Seq[(String, Any)] =
-    cols.zip(tuple).map { case ((name, oid), c) =>
-      val v = c match {
-        case graft.cdc.PgOutput.NullCol      => null
-        case graft.cdc.PgOutput.UnchangedCol => null // TOAST: absent, not a value
+    cols.zip(tuple).flatMap { case ((name, oid), c) =>
+      c match {
+        case graft.cdc.PgOutput.NullCol      => Some(name -> (null: Any))
+        case graft.cdc.PgOutput.UnchangedCol => None // TOAST: key absent, not null
         case graft.cdc.PgOutput.TextCol(b)   =>
-          converterFor(oid, resolver).parse(new String(b, UTF_8))
+          Some(name -> converterFor(oid, resolver).parse(new String(b, UTF_8)))
         case graft.cdc.PgOutput.BinaryCol(b) =>
           val reg = converterFor(oid, resolver)
           if (reg.parseBinary == null)
             throw new IllegalArgumentException(
               s"column $name: type ${reg.name} (oid $oid) has no binary codec " +
                 "(pgoutput binary mode); re-slot with a text subscription")
-          reg.parseBinary(b)
+          Some(name -> reg.parseBinary(b))
       }
-      name -> v
     }
 }

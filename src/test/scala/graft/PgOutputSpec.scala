@@ -263,6 +263,36 @@ class PgOutputSpec extends SparkSpec {
     assert(rows(0).xid === 10L, "xid must come from the SECOND txn, not the empty one")
   }
 
+  test("unchanged-TOAST 'u' omits the envelope key; 'n' renders null — and binary mode agrees") {
+    // decoderplan.go:54-59 — the observable difference between a column
+    // PG never read ('u') and one that IS null ('n') must survive the
+    // full encode → decode → render → re-parse chain
+    val gate = PgOutput.toastGate(spark, sf001, toastEvery = 3).collect()
+    assert(gate.nonEmpty)
+    val byId = gate.map(r => r.getLong(3) -> (r.getBoolean(1), r.getString(2))).toMap
+    val evs = Tables.events(spark, sf001)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("props")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId.keySet === evs.keySet)
+    var omitted = 0
+    evs.foreach { case (eid, props) =>
+      val (keyPresent, parsed) = byId(eid)
+      if (props != null && eid % 3 == 0) {
+        assert(!keyPresent, s"event $eid: elided props must have NO key")
+        assert(parsed == null); omitted += 1
+      } else {
+        assert(keyPresent, s"event $eid: untouched props must keep its key")
+        assert(parsed === props)
+      }
+    }
+    assert(omitted > 0, "fixture must exercise the elision branch")
+    // binary tuple format takes a different wire path to the same rows
+    val bin = PgOutput.toastGate(spark, sf001, toastEvery = 3, binary = true)
+      .collect().map(r => r.getLong(3) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(bin === byId)
+  }
+
   test("streaming decode over segment files equals the batch decode") {
     val dir = java.nio.file.Files.createTempDirectory("pgo_stream").toString
     val ev = Tables.events(spark, sf001)

@@ -132,9 +132,14 @@ class TypeRegistrySpec extends SparkSpec {
       === Seq("a" -> 5L, "b" -> 6L))
   }
 
-  test("null and TOAST-unchanged tuple columns decode as null") {
+  test("null decodes to a null-valued key; TOAST-unchanged omits the key entirely") {
+    // decoderplan.go:54-59 — 'n' sets the key to nil, 'u' never touches
+    // the map: the distinction is observable in the envelope ("blob": null
+    // vs no "blob" key) and must survive decode
     val cols = Seq(("id", 20), ("blob", 25))
     assert(TypeRegistry.decodeTuple(cols, Seq(NullCol, UnchangedCol), catalog)
-      === Seq("id" -> null, "blob" -> null))
+      === Seq("id" -> null))
+    assert(TypeRegistry.decodeTuple(cols, Seq(UnchangedCol, UnchangedCol), catalog)
+      === Seq.empty)
   }
 }
