@@ -1194,6 +1194,13 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // (`decoderplan.go:54-59`)
       graft.cdc.PgOutput.toastGate(s, dir, toastEvery = 3)),
 
+    "cdc_update_before" -> ((s, dir) =>
+      // REPLICA IDENTITY FULL old tuples: every update's before surface
+      // decodes COMPLETE off the wire — including updates whose new
+      // tuple elided props as unchanged TOAST ('u'); before carries the
+      // value the after key omitted
+      graft.cdc.PgOutput.beforeGate(s, dir, toastEvery = 3)),
+
     "cdc_op_gates" -> ((s, dir) => {
       Cdc.opGate(Seq(Envelope.Op.Create, Envelope.Op.Update, Envelope.Op.Delete))(
         Cdc.walEvents(s, dir))
@@ -3950,6 +3957,15 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |  NOT (props IS NOT NULL AND event_id % 3 = 0) AS props_key_present,
         |  CASE WHEN event_id % 3 = 0 THEN NULL ELSE props END AS props_parsed,
         |  event_id, user_id
+        |FROM events WHERE event_type = 'purchase' ORDER BY lsn""".stripMargin,
+
+    // old-tuple twin: RI FULL logs old rows whole, so before == the raw
+    // row on every update regardless of TOAST elision in the new tuple
+    "cdc_update_before" ->
+      """SELECT event_id AS lsn, 'O' AS old_kind,
+        |  event_id AS before_event_id, user_id AS before_user_id,
+        |  value AS before_value, props AS before_props,
+        |  (props IS NOT NULL AND event_id % 3 = 0) AS after_props_elided
         |FROM events WHERE event_type = 'purchase' ORDER BY lsn""".stripMargin,
 
     "cdc_op_gates" ->

@@ -432,7 +432,15 @@ object PgOutput {
       schema_name: Option[String], table_name: Option[String],
       event_id: Option[Long], ts: Option[Long], user_id: Option[Long],
       event_type: Option[String], value: Option[Double], props: Option[String],
-      unchanged_cols: Seq[String] = Nil)
+      unchanged_cols: Seq[String] = Nil,
+      // old-tuple surface (Update 'O'/'K' submessage, `xlogdecoder.go`
+      // OldTupleType): kind + the decoded old row's columns. Under
+      // REPLICA IDENTITY FULL ('O') PG logs the old row WHOLE — so
+      // `before` stays complete even when the NEW tuple elided a TOASTed
+      // column as 'u'. 'K' carries key columns only (identity index).
+      old_kind: Option[String] = None,
+      before_event_id: Option[Long] = None, before_user_id: Option[Long] = None,
+      before_value: Option[Double] = None, before_props: Option[String] = None)
 
   /** Decode pgoutput segment blobs back into WAL change rows — a pure
     * per-segment flatMap (valid on batch AND streaming frames). The
@@ -467,6 +475,22 @@ object PgOutput {
             g[Long]("user_id"), g[String]("event_type"),
             g[Double]("value"), g[String]("props"), unchanged)
         }
+        // decode an old-tuple submessage into the before_* fields of an
+        // already-built row ('O' = full old row, 'K' = key cols only —
+        // whatever the wire carried, name-keyed like the main decode)
+        def withBefore(row: DecodedWal, relId: Int, kind: Char,
+                       ot: Seq[TupleCol]): DecodedWal = {
+          val rel = relations(relId)
+          val vals = graft.types.TypeRegistry
+            .decodeTuple(rel.cols.map(c => (c.name, c.typeOid)), ot).toMap
+          def g[T](n: String): Option[T] =
+            vals.get(n).flatMap(Option(_)).map(_.asInstanceOf[T])
+          row.copy(old_kind = Some(kind.toString),
+            before_event_id = g[Long]("event_id"),
+            before_user_id = g[Long]("user_id"),
+            before_value = g[Double]("value"),
+            before_props = g[String]("props"))
+        }
         readFrames(blob).flatMap {
           case (_, RelationMsg(id, ns, rel, ri, cols)) =>
             relations(id) = RelationMsg(id, ns, rel, ri, cols); Nil
@@ -484,8 +508,16 @@ object PgOutput {
                   oid, name, org.apache.spark.sql.types.StringType, s => s))
             Nil
           case (lsn, InsertMsg(id, nt))          => Seq(tupleRow(lsn, "I", id, nt))
-          case (lsn, UpdateMsg(id, _, _, nt))    => Seq(tupleRow(lsn, "U", id, nt))
-          case (lsn, DeleteMsg(id, _, ot))       => Seq(tupleRow(lsn, "D", id, ot))
+          case (lsn, UpdateMsg(id, ok, ot, nt)) =>
+            val row = tupleRow(lsn, "U", id, nt)
+            Seq((ok, ot) match {
+              case (Some(k), Some(t)) => withBefore(row, id, k, t)
+              case _                  => row // no old tuple on the wire
+            })
+          case (lsn, DeleteMsg(id, k, ot)) =>
+            // delete's tuple IS the old row; record which identity form
+            // the wire used alongside the main-column decode
+            Seq(tupleRow(lsn, "D", id, ot).copy(old_kind = Some(k.toString)))
           case (lsn, TruncateMsg(_, ids)) =>
             ids.map { id =>
               val rel = relations.get(id)
@@ -543,6 +575,25 @@ object PgOutput {
         col("payload").contains("\"props\"").as("props_key_present"),
         get_json_object(col("payload"), "$.props").as("props_parsed"),
         col("event_id"), col("user_id"))
+      .orderBy(col("lsn"))
+  }
+
+  /** Old-tuple gate: updates under REPLICA IDENTITY FULL log the OLD row
+    * whole ('O' submessage) — so the decoded `before` surface must be
+    * complete on every update, INCLUDING the ones whose NEW tuple elided
+    * `props` as unchanged TOAST. The envelope's before/after asymmetry
+    * (before has the value, after omits the key) is exactly what a
+    * downstream replica needs to reconstruct state. */
+  def beforeGate(spark: SparkSession, dir: String, toastEvery: Int = 3,
+                 binary: Boolean = false): DataFrame = {
+    val wal = decodeSegments(encodeSegments(Tables.events(spark, dir),
+      binary = binary, toastEvery = toastEvery))
+    wal.filter(col("op_wire") === "U")
+      .select(
+        col("lsn"), col("old_kind"),
+        col("before_event_id"), col("before_user_id"),
+        col("before_value"), col("before_props"),
+        array_contains(col("unchanged_cols"), "props").as("after_props_elided"))
       .orderBy(col("lsn"))
   }
 

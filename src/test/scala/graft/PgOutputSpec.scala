@@ -293,6 +293,42 @@ class PgOutputSpec extends SparkSpec {
     assert(bin === byId)
   }
 
+  test("update old tuples decode into before_*: 'O' full row, 'K' key columns only") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bos)
+    def t(s: String) = TextCol(s.getBytes(UTF_8))
+    val newTup = Seq(t("1"), t("2024-01-01 00:00:00.000000000"), t("5"), t("purchase"), t("2.5"), t("{}"))
+    val oldFull = Seq(t("1"), t("2024-01-01 00:00:00.000000000"), t("4"), t("purchase"), t("1.5"), t("{\"old\":1}"))
+    // 'K': identity-index columns only — non-key columns ride as null
+    val oldKey = Seq(t("1"), NullCol, NullCol, NullCol, NullCol, NullCol)
+    writeFrame(o, 1L, PgOutput.encode(RelationMsg(PgOutput.EventsRelId,
+      "public", "events", 'f', PgOutput.EventsRelCols)))
+    writeFrame(o, 2L, PgOutput.encode(BeginMsg(4L, 0L, 7)))
+    writeFrame(o, 3L, PgOutput.encode(
+      UpdateMsg(PgOutput.EventsRelId, Some('O'), Some(oldFull), newTup)))
+    writeFrame(o, 4L, PgOutput.encode(
+      UpdateMsg(PgOutput.EventsRelId, Some('K'), Some(oldKey), newTup)))
+    writeFrame(o, 5L, PgOutput.encode(
+      UpdateMsg(PgOutput.EventsRelId, None, None, newTup)))
+    writeFrame(o, 6L, PgOutput.encode(CommitMsg(0, 4L, 7L, 0L)))
+    val rows = PgOutput.decodeSegments(
+        Seq((0L, 1L, bos.toByteArray)).toDF("segment", "start_lsn", "data"))
+      .collect().sortBy(_.lsn)
+    assert(rows.length === 3)
+    val full = rows(0)
+    assert(full.old_kind === Some("O"))
+    assert(full.before_user_id === Some(4L) && full.before_value === Some(1.5)
+      && full.before_props === Some("{\"old\":1}"))
+    assert(full.user_id === Some(5L), "main columns must stay the NEW tuple")
+    val key = rows(1)
+    assert(key.old_kind === Some("K"))
+    assert(key.before_event_id === Some(1L))
+    assert(key.before_user_id === None && key.before_props === None,
+      "'K' carries identity columns only — the rest never reached the wire")
+    val none = rows(2)
+    assert(none.old_kind === None && none.before_event_id === None)
+  }
+
   test("streaming decode over segment files equals the batch decode") {
     val dir = java.nio.file.Files.createTempDirectory("pgo_stream").toString
     val ev = Tables.events(spark, sf001)
