@@ -1201,6 +1201,13 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // value the after key omitted
       graft.cdc.PgOutput.beforeGate(s, dir, toastEvery = 3)),
 
+    "cdc_pgoutput_envelope" -> ((s, dir) =>
+      // the wire path's full Debezium payload: before from the decoded
+      // OLD tuple, after with unchanged-TOAST keys omitted, source block
+      // with textual LSN — gated by re-parsing the rendered JSON
+      // (json_object_keys proves key absence on the envelope text)
+      graft.cdc.PgOutput.envelopeGate(s, dir, toastEvery = 3)),
+
     "cdc_op_gates" -> ((s, dir) => {
       Cdc.opGate(Seq(Envelope.Op.Create, Envelope.Op.Update, Envelope.Op.Delete))(
         Cdc.walEvents(s, dir))
@@ -3967,6 +3974,20 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |  value AS before_value, props AS before_props,
         |  (props IS NOT NULL AND event_id % 3 = 0) AS after_props_elided
         |FROM events WHERE event_type = 'purchase' ORDER BY lsn""".stripMargin,
+
+    // wire-path envelope twin: presence rules by op, TOAST elision by
+    // the arithmetic rule, before from the (identical-valued) old tuple
+    "cdc_pgoutput_envelope" ->
+      s"""SELECT event_id AS lsn, $opCaseSql AS op,
+         |  CASE WHEN $opCaseSql IN ('r','c','u')
+         |       THEN NOT (event_type = 'purchase' AND props IS NOT NULL
+         |                 AND event_id % 3 = 0) END AS after_has_props_key,
+         |  CASE WHEN $opCaseSql IN ('r','c','u') THEN event_id END AS after_event_id,
+         |  CASE WHEN $opCaseSql IN ('u','d') THEN user_id END AS before_user_id,
+         |  CASE WHEN $opCaseSql IN ('u','d') THEN props END AS before_props,
+         |  hex(event_id // 4294967296) || '/' || hex(event_id % 4294967296) AS source_lsn
+         |FROM events WHERE event_type IN ('signup','view','purchase','error')
+         |ORDER BY lsn""".stripMargin,
 
     "cdc_op_gates" ->
       s"""SELECT event_id AS lsn, $opCaseSql AS op

@@ -597,6 +597,52 @@ object PgOutput {
       .orderBy(col("lsn"))
   }
 
+  /** Full Debezium envelope rendered from the WIRE-decoded WAL — the
+    * pgoutput counterpart of `Cdc.envelopeJsonCol`, and strictly more
+    * faithful on updates: `before` comes from the decoded OLD tuple
+    * (REPLICA IDENTITY FULL), not the parquet path's new-row stand-in,
+    * and `after` omits unchanged-TOAST keys (`decoderplan.go:54-59`).
+    * The gate re-parses its own rendered JSON: `json_object_keys` over
+    * the `after` object proves key absence on the envelope text itself.
+    *
+    * Scale shape: decode flatMap → one codegen'd projection with a
+    * per-row `when` between two `to_json` branches; the only shuffle is
+    * the final gate sort. */
+  def envelopeGate(spark: SparkSession, dir: String, toastEvery: Int = 3,
+                   binary: Boolean = false): DataFrame = {
+    val wal = decodeSegments(encodeSegments(Tables.events(spark, dir),
+      binary = binary, toastEvery = toastEvery))
+      .filter(col("op_wire").isin("I", "U", "D"))
+    val op = Cdc.opExpr(col("event_type"))
+    val tsMs = expr("ts div 1000000")
+    val source = graft.model.Envelope.sourceBlock("graft",
+      col("schema_name"), col("table_name"), tsMs, lit(false), col("xid"),
+      Cdc.lsnText(col("lsn")))
+    val afterFull = struct(col("event_id"), col("user_id"), col("value"), col("props"))
+    val afterNoProps = struct(col("event_id"), col("user_id"), col("value"))
+    val before = when(col("op_wire") === "U",
+        struct(col("before_event_id").as("event_id"),
+          col("before_user_id").as("user_id"),
+          col("before_value").as("value"), col("before_props").as("props")))
+      .when(col("op_wire") === "D", afterFull) // delete's tuple IS the old row
+    val opts = Map("ignoreNullFields" -> "false")
+    def env(after: org.apache.spark.sql.Column) = to_json(graft.model.Envelope.payload(
+      op, before, when(col("op_wire").isin("I", "U"), after), source, tsMs), opts)
+    val envelope = when(array_contains(col("unchanged_cols"), "props"),
+      env(afterNoProps)).otherwise(env(afterFull))
+    wal.withColumn("envelope", envelope)
+      .select(
+        col("lsn"),
+        get_json_object(col("envelope"), "$.op").as("op"),
+        array_contains(json_object_keys(get_json_object(col("envelope"), "$.after")),
+          "props").as("after_has_props_key"),
+        get_json_object(col("envelope"), "$.after.event_id").cast("long").as("after_event_id"),
+        get_json_object(col("envelope"), "$.before.user_id").cast("long").as("before_user_id"),
+        get_json_object(col("envelope"), "$.before.props").as("before_props"),
+        get_json_object(col("envelope"), "$.source.lsn").as("source_lsn"))
+      .orderBy(col("lsn"))
+  }
+
   /** Streaming twin: readStream the segment parquet and run the SAME
     * decode flatMap — the alternate `WalSource` reader over binary
     * fixtures (`replicationhandler.go:115-215`'s socket loop, as a

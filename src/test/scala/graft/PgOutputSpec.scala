@@ -329,6 +329,19 @@ class PgOutputSpec extends SparkSpec {
     assert(none.old_kind === None && none.before_event_id === None)
   }
 
+  test("wire-path envelope: binary tuple format renders identical rows to text") {
+    val text = PgOutput.envelopeGate(spark, sf001, toastEvery = 3).collect()
+    val bin = PgOutput.envelopeGate(spark, sf001, toastEvery = 3, binary = true).collect()
+    assert(text.nonEmpty)
+    assert(text.map(_.toSeq).toSeq === bin.map(_.toSeq).toSeq)
+    // spot the asymmetry the gate exists for: an elided update keeps
+    // before.props but drops the after key
+    val elided = text.filter(r => !r.isNullAt(2) && !r.getBoolean(2) && r.getString(1) == "u")
+    assert(elided.nonEmpty)
+    elided.foreach(r => assert(r.getString(5) != null,
+      s"lsn ${r.getLong(0)}: before.props must survive when after elides"))
+  }
+
   test("streaming decode over segment files equals the batch decode") {
     val dir = java.nio.file.Files.createTempDirectory("pgo_stream").toString
     val ev = Tables.events(spark, sf001)
