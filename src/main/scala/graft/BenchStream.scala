@@ -56,16 +56,46 @@ object BenchStream {
       (n.get(), (System.nanoTime() - t0) / 1e9)
     }
 
+    // WIRE-path twin: raw pgoutput segment blobs → per-segment byte
+    // decode (registry tuple decode, before/TOAST surfaces) → the full
+    // envelope render. This is the rate a live replication-slot consumer
+    // would run at once frames land as segment files.
+    val segDir = s"$ckpt/segments"
+    graft.cdc.PgOutput.encodeSegments(Tables.events(spark, sfDir))
+      .write.mode("overwrite").parquet(segDir)
+    def runWire(tag: String): (Long, Double) = {
+      val n = new java.util.concurrent.atomic.AtomicLong(0)
+      val t0 = System.nanoTime()
+      val q = graft.cdc.PgOutput.streamDecoded(spark, segDir).toDF()
+        .filter(org.apache.spark.sql.functions.col("op_wire")
+          .isin("I", "U", "D"))
+        .select(graft.cdc.PgOutput.wireEnvelopeCol().as("envelope"))
+        .writeStream
+        .option("checkpointLocation", s"$ckpt/$tag")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          n.addAndGet(batch.filter(batch("envelope").isNotNull).count())
+          (): Unit
+        }
+        .start()
+      q.awaitTermination()
+      (n.get(), (System.nanoTime() - t0) / 1e9)
+    }
+
     // cold pass pays session/codegen/JIT startup; the warm pass is the
     // steady-state number a long-lived CDC stream actually runs at —
     // report both, headline the warm rate (matching how the reference's
     // throughput would be read off a warmed replication slot)
     val (nCold, coldSecs) = runOnce("cold")
     val (nWarm, warmSecs) = runOnce("warm")
+    val (nWireCold, wireColdSecs) = runWire("wire_cold")
+    val (nWire, wireSecs) = runWire("wire_warm")
     val rate     = if (warmSecs > 0) nWarm / warmSecs else 0.0
     val coldRate = if (coldSecs > 0) nCold / coldSecs else 0.0
-    println(f"""{"metric":"stream_envelopes_per_sec","value":$rate%.1f,"unit":"events/sec","n_events":$nWarm,"wall_sec":$warmSecs%.2f,"cold_rate":$coldRate%.1f,"cold_wall_sec":$coldSecs%.2f,"sf":"$sfDir"}""")
+    val wireRate = if (wireSecs > 0) nWire / wireSecs else 0.0
+    val wireColdRate = if (wireColdSecs > 0) nWireCold / wireColdSecs else 0.0
+    println(f"""{"metric":"stream_envelopes_per_sec","value":$rate%.1f,"unit":"events/sec","n_events":$nWarm,"wall_sec":$warmSecs%.2f,"cold_rate":$coldRate%.1f,"cold_wall_sec":$coldSecs%.2f,"wire_rate":$wireRate%.1f,"wire_n_events":$nWire,"wire_wall_sec":$wireSecs%.2f,"wire_cold_rate":$wireColdRate%.1f,"sf":"$sfDir"}""")
     spark.stop()
-    if (nWarm == 0) sys.exit(1)
+    if (nWarm == 0 || nWire == 0) sys.exit(1)
   }
 }

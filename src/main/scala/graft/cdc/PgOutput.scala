@@ -608,14 +608,13 @@ object PgOutput {
     * Scale shape: decode flatMap → one codegen'd projection with a
     * per-row `when` between two `to_json` branches; the only shuffle is
     * the final gate sort. */
-  def envelopeGate(spark: SparkSession, dir: String, toastEvery: Int = 3,
-                   binary: Boolean = false): DataFrame = {
-    val wal = decodeSegments(encodeSegments(Tables.events(spark, dir),
-      binary = binary, toastEvery = toastEvery))
-      .filter(col("op_wire").isin("I", "U", "D"))
+  /** The wire-path envelope payload JSON as a Column over decoded-WAL
+    * columns — shared by the batch gate and the streaming throughput
+    * bench so both measure the identical rendering. */
+  def wireEnvelopeCol(dbName: String = "graft"): org.apache.spark.sql.Column = {
     val op = Cdc.opExpr(col("event_type"))
     val tsMs = expr("ts div 1000000")
-    val source = graft.model.Envelope.sourceBlock("graft",
+    val source = graft.model.Envelope.sourceBlock(dbName,
       col("schema_name"), col("table_name"), tsMs, lit(false), col("xid"),
       Cdc.lsnText(col("lsn")))
     val afterFull = struct(col("event_id"), col("user_id"), col("value"), col("props"))
@@ -628,9 +627,16 @@ object PgOutput {
     val opts = Map("ignoreNullFields" -> "false")
     def env(after: org.apache.spark.sql.Column) = to_json(graft.model.Envelope.payload(
       op, before, when(col("op_wire").isin("I", "U"), after), source, tsMs), opts)
-    val envelope = when(array_contains(col("unchanged_cols"), "props"),
+    when(array_contains(col("unchanged_cols"), "props"),
       env(afterNoProps)).otherwise(env(afterFull))
-    wal.withColumn("envelope", envelope)
+  }
+
+  def envelopeGate(spark: SparkSession, dir: String, toastEvery: Int = 3,
+                   binary: Boolean = false): DataFrame = {
+    val wal = decodeSegments(encodeSegments(Tables.events(spark, dir),
+      binary = binary, toastEvery = toastEvery))
+      .filter(col("op_wire").isin("I", "U", "D"))
+    wal.withColumn("envelope", wireEnvelopeCol())
       .select(
         col("lsn"),
         get_json_object(col("envelope"), "$.op").as("op"),
