@@ -270,4 +270,59 @@ class PropertySpec extends AnyFunSuite {
     assert(inc.head.contains("\"k\" >= " + Long.MinValue))
     assert(inc.tail.forall(_.contains("\"k\" > ")))
   }
+
+  test("pgoutput codec: arbitrary messages roundtrip byte-exactly, framed streams included") {
+    import graft.cdc.PgOutput
+    import graft.cdc.PgOutput._
+    // arbitrary UTF-8 content, NUL excluded where the wire uses cstrings
+    val cstr: Gen[String] = Gen.listOf(
+      Gen.frequency(8 -> Gen.alphaNumChar, 2 -> Gen.oneOf('é', 'ß', '漢', '€', ' ', '.')))
+      .map(_.mkString.take(40))
+    val rawBytes: Gen[Array[Byte]] =
+      Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+    val tupleCol: Gen[TupleCol] = Gen.frequency(
+      5 -> rawBytes.map(TextCol.apply),
+      2 -> rawBytes.map(BinaryCol.apply),
+      2 -> Gen.const(NullCol),
+      1 -> Gen.const(UnchangedCol))
+    val tuple: Gen[Seq[TupleCol]] = Gen.listOf(tupleCol).map(_.take(8))
+    val relCol: Gen[RelCol] = for {
+      f <- Gen.oneOf(0, 1); n <- cstr; oid <- Gen.posNum[Int]; tm <- Gen.chooseNum(-1, 64)
+    } yield RelCol(f.toByte, n, oid, tm)
+    val msg: Gen[PgMsg] = Gen.oneOf(
+      for { l <- Gen.posNum[Long]; t <- Gen.chooseNum(-1000000L, 1000000L); x <- Gen.posNum[Int] }
+        yield BeginMsg(l, t, x),
+      for { l <- Gen.posNum[Long]; t <- Gen.posNum[Long] } yield CommitMsg(0, l, l + 1, t),
+      for { l <- Gen.posNum[Long]; n <- cstr } yield OriginMsg(l, n),
+      for { id <- Gen.posNum[Int]; ns <- cstr; n <- cstr; ri <- Gen.oneOf('d', 'f', 'n', 'i')
+            cols <- Gen.listOf(relCol).map(_.take(6)) } yield RelationMsg(id, ns, n, ri.toByte, cols),
+      for { oid <- Gen.posNum[Int]; ns <- cstr; n <- cstr } yield TypeMsg(oid, ns, n),
+      for { id <- Gen.posNum[Int]; t <- tuple } yield InsertMsg(id, t),
+      for { id <- Gen.posNum[Int]; k <- Gen.oneOf('O', 'K'); ot <- tuple; nt <- tuple }
+        yield UpdateMsg(id, Some(k), Some(ot), nt),
+      for { id <- Gen.posNum[Int]; nt <- tuple } yield UpdateMsg(id, None, None, nt),
+      for { id <- Gen.posNum[Int]; k <- Gen.oneOf('O', 'K'); t <- tuple } yield DeleteMsg(id, k, t),
+      for { opts <- Gen.chooseNum(0, 3); ids <- Gen.nonEmptyListOf(Gen.posNum[Int]) }
+        yield TruncateMsg(opts.toByte, ids.take(8)),
+      for { txn <- Gen.oneOf(true, false); l <- Gen.posNum[Long]; p <- cstr; c <- rawBytes }
+        yield LogicalMsg(txn, l, p, c))
+    val msgs = samples(msg, 400)
+    msgs.foreach { m =>
+      val enc = PgOutput.encode(m)
+      val dec = PgOutput.decode(enc)
+      assert(PgOutput.encode(dec).toSeq === enc.toSeq, s"roundtrip mismatch for $m")
+      assert(dec.getClass === m.getClass, s"type mismatch for $m")
+    }
+    // framed stream: the same messages written as one blob come back in
+    // order with their LSNs (the socket-loop contract decodeSegments runs on)
+    val bos = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bos)
+    msgs.zipWithIndex.foreach { case (m, i) => writeFrame(o, i + 1L, PgOutput.encode(m)) }
+    val back = readFrames(bos.toByteArray).toSeq
+    assert(back.length === msgs.length)
+    back.zip(msgs).zipWithIndex.foreach { case (((lsn, dec), orig), i) =>
+      assert(lsn === i + 1L)
+      assert(PgOutput.encode(dec).toSeq === PgOutput.encode(orig).toSeq, s"frame $i")
+    }
+  }
 }
