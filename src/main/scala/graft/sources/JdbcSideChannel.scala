@@ -138,7 +138,8 @@ object JdbcSideChannel {
     */
   def snapshot(spark: SparkSession, url: String, schema: String, table: String,
                keyCol: String, lowWatermark: Option[Long] = None,
-               parts: Int = 32, fenceOverride: Option[Long] = None): (DataFrame, Long) = {
+               parts: Int = 32, fenceOverride: Option[Long] = None,
+               fetchSize: Int = 0): (DataFrame, Long) = {
     val fence = fenceOverride.orElse(readHighWatermark(url, schema, table, keyCol))
       .getOrElse(throw new IllegalStateException(
         s"snapshot: $schema.$table is empty or $keyCol is all-NULL — nothing to fence"))
@@ -156,14 +157,19 @@ object JdbcSideChannel {
     val caughtUp = if (inclusiveLow) low > fence else low >= fence
     if (caughtUp) // fully caught up: empty frame with the right schema
       return (readJdbc(spark, url, schema, table,
-        Array(s""""$keyCol" > $fence AND "$keyCol" <= $fence""")), fence)
+        Array(s""""$keyCol" > $fence AND "$keyCol" <= $fence"""), fetchSize), fence)
     val preds = keysetPredicates(keyCol, low, fence, parts, inclusiveLow)
-    (readJdbc(spark, url, schema, table, preds), fence)
+    (readJdbc(spark, url, schema, table, preds, fetchSize), fence)
   }
 
   private def readJdbc(spark: SparkSession, url: String, schema: String,
-                       table: String, predicates: Array[String]): DataFrame = {
+                       table: String, predicates: Array[String],
+                       fetchSize: Int = 0): DataFrame = {
     val props = new java.util.Properties()
+    // `postgresql.snapshot.batchsize` analog: rows per driver round-trip
+    // within a slice (the reference's LIMIT-batch size; JDBC cursors
+    // express it as fetchsize)
+    if (fetchSize > 0) props.setProperty("fetchsize", fetchSize.toString)
     spark.read.jdbc(url, s""""$schema"."$table"""", predicates, props)
   }
 

@@ -205,6 +205,62 @@ object ConfigPipeline {
     mode
   }
 
+  /** `postgresql.publication.{name,create,autodrop}` → the publication
+    * lifecycle manager (`internal/publicationmanager/publicationmanager.go:35-45`;
+    * name defaults to "" like `streamer.go:76` — `ensurePublication`
+    * fails loudly on a missing unnamed publication with create off). */
+  def publicationManager(props: Map[String, String],
+                         preExisting: Option[Set[String]] = None): graft.catalog.PublicationManager =
+    new graft.catalog.PublicationManager(
+      props.getOrElse("postgresql.publication.name", ""),
+      bool(props, "postgresql.publication.create", default = true),
+      bool(props, "postgresql.publication.autodrop", default = true),
+      preExisting)
+
+  /** `postgresql.replicationslot.{name,create,autodrop}` → the slot
+    * lifecycle manager. The name default mirrors the reference's random
+    * 20-lowercase-letter fallback (`replicationcontext.go:73-75`) —
+    * like `topic.prefix`, set it explicitly for resumable deployments
+    * (a random slot name orphans the server-side cursor on restart). */
+  def replicationSlotManager(props: Map[String, String],
+                             preExisting: Boolean = false): graft.catalog.ReplicationSlotManager = {
+    val name = props.getOrElse("postgresql.replicationslot.name",
+      scala.util.Random.alphanumeric.filter(c => c >= 'a' && c <= 'z').take(20).mkString)
+    new graft.catalog.ReplicationSlotManager(name,
+      bool(props, "postgresql.replicationslot.create", default = true),
+      bool(props, "postgresql.replicationslot.autodrop", default = true),
+      preExisting)
+  }
+
+  /** `internal.snapshotter.parallelism` (default 5, `snapshotter.go:88`)
+    * + `postgresql.snapshot.batchsize` (default 1000, `snapshotter.go:89`)
+    * — the keyset-slice count and per-slice JDBC fetch size the fenced
+    * snapshot runs with. */
+  def snapshotterConfig(props: Map[String, String]): (Int, Int) = {
+    val parallelism = int(props, "internal.snapshotter.parallelism", 5)
+    val batchSize = int(props, "postgresql.snapshot.batchsize", 1000)
+    require(parallelism > 0, s"internal.snapshotter.parallelism: must be > 0, got $parallelism")
+    require(batchSize > 0, s"postgresql.snapshot.batchsize: must be > 0, got $batchSize")
+    (parallelism, batchSize)
+  }
+
+  /** The config-assembled fenced snapshot: slot create/adopt decides the
+    * fence semantics (a FRESH slot exports a snapshot name; an adopted
+    * slot resumes from storage), then the side-channel keyset snapshot
+    * runs at the configured parallelism/batch size. */
+  def configuredSnapshot(spark: SparkSession, url: String, schema: String,
+                         table: String, keyCol: String,
+                         props: Map[String, String],
+                         slotPreExisting: Boolean = false)
+      : (DataFrame, Long, graft.catalog.ReplicationSlotManager) = {
+    val slot = replicationSlotManager(props, slotPreExisting)
+    slot.createReplicationSlot()
+    val (parallelism, batchSize) = snapshotterConfig(props)
+    val (df, fence) = graft.sources.JdbcSideChannel.snapshot(
+      spark, url, schema, table, keyCol, parts = parallelism, fetchSize = batchSize)
+    (df, fence, slot)
+  }
+
   /** DOCUMENTED DEVIATION: the reference generates a RANDOM 20-char
     * prefix when `topic.prefix` is unset (`internal/streamer.go:81-82`);
     * a random default is untestable and breaks checkpoint resume across

@@ -124,6 +124,83 @@ class StatefulSpec extends SparkSpec {
     intercept[IllegalStateException] { dropper.attachTables(Seq("public.t")) }
   }
 
+  test("replication slot lifecycle: create-or-adopt, drop-only-if-created, monotonic ack") {
+    import graft.catalog.ReplicationSlotManager
+    // fresh slot: created, snapshot exported
+    val fresh = new ReplicationSlotManager("slot_a")
+    val (name, snap, created) = fresh.createReplicationSlot()
+    assert(name === "slot_a" && created && snap.nonEmpty)
+    // monotonic ack: a late out-of-order ack never regresses the restart point
+    fresh.acknowledgeProcessed(500L)
+    fresh.acknowledgeProcessed(300L)
+    assert(fresh.restartLsn === 500L)
+    fresh.acknowledgeReceived(800L)
+    assert(fresh.receivedLsn === 800L)
+    assert(fresh.dropReplicationSlot(), "created + autodrop slot drops on close")
+    intercept[IllegalStateException] { fresh.createReplicationSlot() }
+    // adopted slot: no snapshot, never dropped (ownership stays external)
+    val adopted = new ReplicationSlotManager("slot_b", preExisting = true)
+    val (_, snapB, createdB) = adopted.createReplicationSlot()
+    assert(!createdB && snapB.isEmpty)
+    assert(!adopted.dropReplicationSlot(), "adopting never steals ownership")
+    assert(adopted.existsSlot)
+    // created but autodrop off: survives close
+    val keep = new ReplicationSlotManager("slot_c", slotAutoDrop = false)
+    keep.createReplicationSlot()
+    assert(!keep.dropReplicationSlot())
+    // create disabled + missing: loud startup failure
+    val noCreate = new ReplicationSlotManager("slot_d", slotCreate = false)
+    intercept[IllegalStateException] { noCreate.createReplicationSlot() }
+    // ack before create: loud
+    intercept[IllegalStateException] {
+      new ReplicationSlotManager("slot_e").acknowledgeProcessed(1L)
+    }
+  }
+
+  test("postgresql.publication/replicationslot/snapshot config keys wire through") {
+    import graft.streaming.ConfigPipeline
+    val props = Map(
+      "postgresql.publication.name" -> "my_pub",
+      "postgresql.publication.autodrop" -> "false",
+      "postgresql.replicationslot.name" -> "my_slot",
+      "postgresql.replicationslot.create" -> "false",
+      "internal.snapshotter.parallelism" -> "7",
+      "postgresql.snapshot.batchsize" -> "250")
+    val pm = ConfigPipeline.publicationManager(props)
+    assert(pm.publicationName === "my_pub" && !pm.publicationAutoDrop && pm.publicationCreate)
+    val slot = ConfigPipeline.replicationSlotManager(props, preExisting = true)
+    assert(slot.slotName === "my_slot" && !slot.slotCreate && slot.slotAutoDrop)
+    assert(ConfigPipeline.snapshotterConfig(props) === ((7, 250)))
+    // defaults: parallelism 5 / batchsize 1000 (snapshotter.go:88-89),
+    // random 20-lowercase slot name (replicationcontext.go:73-75)
+    assert(ConfigPipeline.snapshotterConfig(Map.empty) === ((5, 1000)))
+    val defaulted = ConfigPipeline.replicationSlotManager(Map.empty)
+    assert(defaulted.slotName.length === 20 && defaulted.slotName.forall(c => c >= 'a' && c <= 'z'))
+    // illegal values fail with the key in the message
+    intercept[IllegalArgumentException] {
+      ConfigPipeline.snapshotterConfig(Map("postgresql.snapshot.batchsize" -> "0"))
+    }
+    intercept[IllegalArgumentException] {
+      ConfigPipeline.publicationManager(Map("postgresql.publication.create" -> "yes"))
+    }
+  }
+
+  test("configuredSnapshot: slot + parallelism/batchsize drive the fenced keyset scan") {
+    import graft.streaming.ConfigPipeline
+    val url = graft.sources.JdbcSideChannel.derbyEventsUrl(spark, sf001)
+    val props = Map(
+      "postgresql.replicationslot.name" -> "snap_slot",
+      "internal.snapshotter.parallelism" -> "4",
+      "postgresql.snapshot.batchsize" -> "100")
+    val (df, fence, slot) = ConfigPipeline.configuredSnapshot(
+      spark, url, "APP", "EVENTS", "EVENT_ID", props)
+    assert(slot.slotName === "snap_slot")
+    assert(df.rdd.getNumPartitions === 4, "one partition per configured snapshotter")
+    val n = Tables.events(spark, sf001).count()
+    assert(df.count() === n, "fenced snapshot covers the whole table")
+    assert(fence === Tables.events(spark, sf001).agg(max(col("event_id"))).head.getLong(0))
+  }
+
   test("txn window bounds: overflow at maxSize evicts state (transactiontracker.go:458-482)") {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     import org.apache.spark.api.java.Optional
