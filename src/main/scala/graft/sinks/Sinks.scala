@@ -46,6 +46,59 @@ object Sinks {
     sb.toString
   }
 
+  /** Duration config values in the reference's Go-duration vocabulary
+    * (`250ms`, `2s`, `1m`, `1h`; bare integers read as milliseconds —
+    * the unit every other `*.backoff.*` key in this config already
+    * uses). Returns milliseconds; sub-millisecond forms round down. */
+  private[sinks] def durationMs(v: String): Long = {
+    val s = v.trim
+    def num(t: String) = t.toLong
+    if (s.isEmpty) 0L
+    else if (s.endsWith("ms")) num(s.dropRight(2))
+    else if (s.endsWith("us") || s.endsWith("µs")) num(s.dropRight(2)) / 1000
+    else if (s.endsWith("ns")) num(s.dropRight(2)) / 1000000
+    else if (s.endsWith("s")) num(s.dropRight(1)) * 1000
+    else if (s.endsWith("m")) num(s.dropRight(1)) * 60000
+    else if (s.endsWith("h")) num(s.dropRight(1)) * 3600000
+    else num(s)
+  }
+
+  /** Dial a (possibly TLS) socket with the configured deadlines: a
+    * bounded connect, SO_TIMEOUT on reads, and for TLS the same trust
+    * policy as `KafkaWire.tlsSocket` — skipVerify trusts anything,
+    * otherwise platform trust store + HTTPS endpoint identification,
+    * eager handshake so a bad certificate fails at dial. */
+  private[sinks] def dialSocket(host: String, port: Int, tls: Boolean,
+                                skipVerify: Boolean, dialTimeoutMs: Long,
+                                readTimeoutMs: Long): java.net.Socket = {
+    val base = new java.net.Socket()
+    base.connect(new java.net.InetSocketAddress(host, port), dialTimeoutMs.toInt)
+    if (readTimeoutMs > 0) base.setSoTimeout(readTimeoutMs.toInt)
+    if (!tls) base
+    else {
+      import javax.net.ssl._
+      val factory: SSLSocketFactory =
+        if (skipVerify) {
+          val trustAll: TrustManager = new X509TrustManager {
+            def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+            def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+            def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+          }
+          val ctx = SSLContext.getInstance("TLS")
+          ctx.init(null, Array(trustAll), new java.security.SecureRandom())
+          ctx.getSocketFactory
+        } else SSLSocketFactory.getDefault.asInstanceOf[SSLSocketFactory]
+      val s = factory.createSocket(base, host, port, true).asInstanceOf[SSLSocket]
+      if (!skipVerify) {
+        val params = s.getSSLParameters
+        params.setEndpointIdentificationAlgorithm("HTTPS")
+        s.setSSLParameters(params)
+      }
+      s.startHandshake()
+      s
+    }
+  }
+
   /** First `host:port` of a (possibly comma-separated) address list.
     * Raw-socket clients dial one endpoint; a missing port gets the
     * protocol default. */
@@ -136,7 +189,21 @@ object Sinks {
         retriesMax = p("sink.redis.retries.maxattempts", "0").toInt,
         retryBackoffMinMs = p("sink.redis.retries.backoff.min", "8").toLong,
         retryBackoffMaxMs = p("sink.redis.retries.backoff.max", "512").toLong,
-        tlsSkipVerify = p("sink.redis.tls.skipverify", "false").toBoolean))
+        tls = p("sink.redis.tls.enabled", "false").toBoolean,
+        tlsSkipVerify = {
+          // mTLS client certs stay native-path like the kafka sink —
+          // fail LOUDLY rather than silently connecting without them
+          if (p("sink.redis.tls.clientauth", "0") != "0")
+            throw new IllegalArgumentException(
+              "sink.redis.tls.clientauth: client-certificate auth is not wire-implemented")
+          p("sink.redis.tls.skipverify", "false").toBoolean
+        },
+        dialTimeoutMs = durationMs(p("sink.redis.timeouts.dial", "0")),
+        readTimeoutMs = durationMs(p("sink.redis.timeouts.read", "0")),
+        writeTimeoutMs = durationMs(p("sink.redis.timeouts.write", "0")),
+        poolSize = p("sink.redis.poolsize", "0").toInt,
+        poolTimeoutMs = durationMs(p("sink.redis.timeouts.pool", "0")),
+        idleTimeoutMs = durationMs(p("sink.redis.timeouts.idle", "0"))))
       case "kinesis" => KinesisSink(KinesisSinkConfig(
         streamName = opt("sink.kinesis.stream.name"),
         region = opt("sink.kinesis.aws.region"),
@@ -161,7 +228,12 @@ object Sinks {
         basicPassword = p("sink.http.authentication.basic.password"),
         headerName = p("sink.http.authentication.header.name"),
         headerValue = p("sink.http.authentication.header.value"),
-        tlsSkipVerify = p("sink.http.tls.skipverify", "false").toBoolean))
+        tlsSkipVerify = {
+          if (p("sink.http.tls.clientauth", "0") != "0")
+            throw new IllegalArgumentException(
+              "sink.http.tls.clientauth: client-certificate auth is not wire-implemented")
+          p("sink.http.tls.skipverify", "false").toBoolean
+        }))
       // ONE dispatch surface: anything not built-in falls through to the
       // pluggable registry (the reference's RegisterSink extension path),
       // whose own error lists the registered names
@@ -382,13 +454,33 @@ final case class RedisSinkConfig(
     retryBackoffMinMs: Long = 8,
     retryBackoffMaxMs: Long = 512,
     tls: Boolean = false,
-    tlsSkipVerify: Boolean = false) {
+    tlsSkipVerify: Boolean = false,
+    // `sink.redis.timeouts.{dial,read,write}` (`redis.go:66-74`). Dial
+    // and read map to connect timeout / SO_TIMEOUT on the partition
+    // socket. JDK blocking sockets have no write deadline; every XADD
+    // awaits its reply, so a stalled peer surfaces through the BOUNDED
+    // ack read on the same round-trip — the failure the reference's
+    // write timeout guards is caught one step later, not never.
+    dialTimeoutMs: Long = 0,
+    readTimeoutMs: Long = 0,
+    writeTimeoutMs: Long = 0,
+    // `sink.redis.poolsize` + `timeouts.{pool,idle}` (`redis.go:75-83`):
+    // go-redis pools connections inside one process; here each executor
+    // partition holds exactly one connection for exactly one batch, so
+    // the partition count IS the pool and idle/acquire states don't
+    // exist. Accepted and validated for config-surface parity.
+    poolSize: Int = 0,
+    poolTimeoutMs: Long = 0,
+    idleTimeoutMs: Long = 0) {
   def options: Map[String, String] = Map(
     "network" -> network, "addr" -> address, "password" -> password,
     "db" -> database.toString, "maxRetries" -> retriesMax.toString,
     "minRetryBackoffMs" -> retryBackoffMinMs.toString,
     "maxRetryBackoffMs" -> retryBackoffMaxMs.toString,
-    "tls" -> tls.toString, "tlsSkipVerify" -> tlsSkipVerify.toString)
+    "tls" -> tls.toString, "tlsSkipVerify" -> tlsSkipVerify.toString,
+    "dialTimeoutMs" -> dialTimeoutMs.toString,
+    "readTimeoutMs" -> readTimeoutMs.toString,
+    "poolSize" -> poolSize.toString)
 }
 
 /** Minimal RESP2 client for the reference's Redis emit
@@ -405,10 +497,12 @@ final case class RedisSink(config: RedisSinkConfig) extends Sink {
     val address  = config.address
     val password = config.password
     val database = config.database
+    val (tls, skipVerify) = (config.tls, config.tlsSkipVerify)
+    val (dialMs, readMs) = (config.dialTimeoutMs, config.readTimeoutMs)
     batch.select("topic", "key", "envelope").foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {                  // empty partition: don't even dial
       val (host, port) = Sinks.hostPort(address, 6379)
-      val sock = new java.net.Socket(host, port)
+      val sock = Sinks.dialSocket(host, port, tls, skipVerify, dialMs, readMs)
       try {
         val out = new java.io.BufferedOutputStream(sock.getOutputStream)
         val in  = new java.io.DataInputStream(
@@ -432,7 +526,13 @@ final case class RedisSink(config: RedisSinkConfig) extends Sink {
             case '$' =>
               val n = line.substring(1).toInt
               if (n >= 0) { val buf = new Array[Byte](n + 2); in.readFully(buf) }
-            case _ => () // +OK, :N
+            case '+' | ':' => () // +OK, :N
+            case other =>
+              // a permissive default here once read a TLS ALERT record as
+              // a successful reply (plaintext client on a TLS port) —
+              // anything outside the RESP marker set is a hard failure
+              throw new RuntimeException(
+                f"redis: protocol violation: reply byte 0x${other.toInt}%02x is not RESP")
           }
         }
         if (password.nonEmpty) { writeCmd("AUTH", password); readReply() }

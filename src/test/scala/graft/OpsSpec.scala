@@ -1424,6 +1424,103 @@ class OpsSpec extends SparkSpec {
     } finally { running = false; server.close() }
   }
 
+  test("redis sink TLS: skipVerify accepts a self-signed server; plaintext dial to a TLS port fails") {
+    import scala.jdk.CollectionConverters._
+    // self-signed server identity, same keytool recipe as the kafka TLS test
+    val ksPath = java.nio.file.Files.createTempFile("graft-redis-tls", ".p12")
+    java.nio.file.Files.delete(ksPath)
+    val keytool = new ProcessBuilder(
+      s"${sys.props("java.home")}/bin/keytool", "-genkeypair", "-alias", "redis",
+      "-keyalg", "RSA", "-keysize", "2048", "-storetype", "PKCS12",
+      "-keystore", ksPath.toString, "-storepass", "changeit",
+      "-dname", "CN=127.0.0.1", "-validity", "1").redirectErrorStream(true).start()
+    assert(keytool.waitFor() == 0, "keytool keypair generation failed")
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val fis = new java.io.FileInputStream(ksPath.toFile)
+    try ks.load(fis, "changeit".toCharArray) finally fis.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, "changeit".toCharArray)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    val server = ctx.getServerSocketFactory.createServerSocket(
+      0, 50, java.net.InetAddress.getByName("127.0.0.1"))
+    val received = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    @volatile var running = true
+    val acceptor = new Thread(() => {
+      while (running) {
+        try {
+          val s = server.accept()
+          new Thread(() => {
+            val in  = new java.io.DataInputStream(new java.io.BufferedInputStream(s.getInputStream))
+            val out = new java.io.BufferedOutputStream(s.getOutputStream)
+            def line(): String = {
+              val sb = new StringBuilder; var c = in.read()
+              while (c != -1 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = in.read() }
+              sb.toString
+            }
+            try {
+              var l = line()
+              while (l.nonEmpty) {
+                val n = l.substring(1).toInt
+                val args = (0 until n).map { _ =>
+                  val len = line().substring(1).toInt
+                  val buf = new Array[Byte](len + 2); in.readFully(buf)
+                  new String(buf, 0, len, "UTF-8")
+                }
+                if (args.head == "XADD") { received.add(args(1)); out.write("$3\r\n1-1\r\n".getBytes) }
+                else out.write("+OK\r\n".getBytes)
+                out.flush()
+                l = line()
+              }
+            } catch { case _: Exception => () } finally s.close()
+          }).start()
+        } catch { case _: Exception => () }
+      }
+    })
+    acceptor.start()
+    try {
+      import spark.implicits._
+      val df = Seq(("tls-stream", "k1", "e1")).toDF("topic", "key", "envelope").coalesce(1)
+      val addr = s"127.0.0.1:${server.getLocalPort}"
+      graft.sinks.RedisSink(graft.sinks.RedisSinkConfig(address = addr,
+        tls = true, tlsSkipVerify = true,
+        dialTimeoutMs = 5000, readTimeoutMs = 5000)).emit(df, 1L)
+      assert(received.asScala.toSet === Set("tls-stream"))
+      // a PLAINTEXT dial against the TLS listener must fail, not hang:
+      // the read timeout bounds the stalled handshake-garbage exchange
+      // a PLAINTEXT dial against the TLS listener must fail, not succeed:
+      // the server's TLS alert bytes are NOT RESP, and the client's
+      // protocol-violation guard (not a permissive default) rejects them
+      assertThrows[org.apache.spark.SparkException] {
+        graft.sinks.RedisSink(graft.sinks.RedisSinkConfig(address = addr,
+          dialTimeoutMs = 5000, readTimeoutMs = 2000)).emit(df, 2L)
+      }
+    } finally { running = false; server.close() }
+  }
+
+  test("redis timeouts/poolsize/clientauth config keys parse with Go-duration forms") {
+    import graft.sinks.{Sinks, RedisSink}
+    val r = Sinks.fromConfig(Map("sink.type" -> "redis",
+      "sink.redis.tls.enabled" -> "true",
+      "sink.redis.timeouts.dial" -> "250ms",
+      "sink.redis.timeouts.read" -> "2s",
+      "sink.redis.timeouts.write" -> "500",
+      "sink.redis.timeouts.idle" -> "1m",
+      "sink.redis.poolsize" -> "8")).asInstanceOf[RedisSink]
+    assert(r.config.tls && r.config.dialTimeoutMs === 250L)
+    assert(r.config.readTimeoutMs === 2000L && r.config.writeTimeoutMs === 500L)
+    assert(r.config.idleTimeoutMs === 60000L && r.config.poolSize === 8)
+    // client-certificate auth is native-path only: loud, never silent
+    intercept[IllegalArgumentException] {
+      Sinks.fromConfig(Map("sink.type" -> "redis", "sink.redis.tls.clientauth" -> "4"))
+    }
+    intercept[IllegalArgumentException] {
+      Sinks.fromConfig(Map("sink.type" -> "http", "sink.http.url" -> "http://x",
+        "sink.http.tls.clientauth" -> "4"))
+    }
+  }
+
   test("nats sink speaks the core protocol: CONNECT auth, PUB frames, PING flush, -ERR triggers retry") {
     import scala.jdk.CollectionConverters._
     val received    = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
