@@ -261,6 +261,40 @@ object ConfigPipeline {
     (df, fence, slot)
   }
 
+  /** `postgresql.connection` + `postgresql.password` → the (jdbcUrl,
+    * user, password) triple the JDBC side channel dials. Accepts both
+    * pgx connection forms (`streamer.go:57-71` hands the string to
+    * `pgx.ParseConfig`): the keyword/value DSN (`host=h port=5432
+    * user=u dbname=d password=p`) and the `postgres://u:p@h:5432/d`
+    * URL. `postgresql.password`, when set, OVERRIDES any password
+    * embedded in the connection string — the reference's precedence.
+    * dbname falls back to the user name (the libpq rule pgx applies). */
+  def jdbcConnection(props: Map[String, String]): (String, String, String) = {
+    val conn = props.getOrElse("postgresql.connection", "host=localhost user=repl_user")
+    val (host, port, dbOpt, userOpt, passOpt) =
+      if (conn.startsWith("postgres://") || conn.startsWith("postgresql://")) {
+        val u = new java.net.URI(conn)
+        val userInfo = Option(u.getUserInfo).getOrElse("").split(":", 2)
+        (Option(u.getHost).getOrElse("localhost"),
+         if (u.getPort > 0) u.getPort else 5432,
+         Option(u.getPath).map(_.stripPrefix("/")).filter(_.nonEmpty),
+         userInfo.headOption.filter(_.nonEmpty),
+         if (userInfo.length > 1) Some(userInfo(1)) else None)
+      } else {
+        val kv = conn.trim.split("\\s+").filter(_.contains("=")).map { t =>
+          val Array(k, v) = t.split("=", 2); (k, v)
+        }.toMap
+        (kv.getOrElse("host", "localhost"),
+         kv.get("port").map(_.toInt).getOrElse(5432),
+         kv.get("dbname"), kv.get("user"), kv.get("password"))
+      }
+    val user = userOpt.getOrElse("")
+    val db = dbOpt.orElse(userOpt).getOrElse("")
+    val password = props.get("postgresql.password").filter(_.nonEmpty)
+      .orElse(passOpt).getOrElse("")
+    (s"jdbc:postgresql://$host:$port/$db", user, password)
+  }
+
   /** DOCUMENTED DEVIATION: the reference generates a RANDOM 20-char
     * prefix when `topic.prefix` is unset (`internal/streamer.go:81-82`);
     * a random default is untestable and breaks checkpoint resume across

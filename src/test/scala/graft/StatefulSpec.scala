@@ -185,6 +185,25 @@ class StatefulSpec extends SparkSpec {
     }
   }
 
+  test("postgresql.connection parses both pgx forms; postgresql.password overrides") {
+    import graft.streaming.ConfigPipeline.jdbcConnection
+    // keyword/value DSN
+    assert(jdbcConnection(Map("postgresql.connection" ->
+      "host=db1 port=5433 user=repl dbname=tsdb password=inline")) ===
+      (("jdbc:postgresql://db1:5433/tsdb", "repl", "inline")))
+    // postgres:// URL form
+    assert(jdbcConnection(Map("postgresql.connection" ->
+      "postgres://u:p@db2:5434/mydb")) ===
+      (("jdbc:postgresql://db2:5434/mydb", "u", "p")))
+    // postgresql.password overrides the embedded one (streamer.go:68-71)
+    assert(jdbcConnection(Map(
+      "postgresql.connection" -> "postgres://u:p@db2/mydb",
+      "postgresql.password" -> "vaulted"))._3 === "vaulted")
+    // defaults: reference default string, dbname falls back to user
+    assert(jdbcConnection(Map.empty) ===
+      (("jdbc:postgresql://localhost:5432/repl_user", "repl_user", "")))
+  }
+
   test("configuredSnapshot: slot + parallelism/batchsize drive the fenced keyset scan") {
     import graft.streaming.ConfigPipeline
     val url = graft.sources.JdbcSideChannel.derbyEventsUrl(spark, sf001)
