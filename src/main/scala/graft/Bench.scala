@@ -107,7 +107,8 @@ object Bench {
       // round-9 families
       "cdc_pgoutput_decode", "cdc_envelope_json", "events_candlestick",
       "events_heartbeat", "events_hdr_quantiles",
-      "events_time_weighted_interp", "sample_kcenter")
+      "events_time_weighted_interp", "sample_kcenter",
+      "cdc_pgoutput_envelope")
     val head = results.filter(r => headline(r._1))
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"n_ok":$nOk,"queries":${qmap(head)},"errors":$errs,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()

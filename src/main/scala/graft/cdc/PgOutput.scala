@@ -597,20 +597,15 @@ object PgOutput {
       .orderBy(col("lsn"))
   }
 
-  /** Full Debezium envelope rendered from the WIRE-decoded WAL — the
-    * pgoutput counterpart of `Cdc.envelopeJsonCol`, and strictly more
-    * faithful on updates: `before` comes from the decoded OLD tuple
-    * (REPLICA IDENTITY FULL), not the parquet path's new-row stand-in,
-    * and `after` omits unchanged-TOAST keys (`decoderplan.go:54-59`).
-    * The gate re-parses its own rendered JSON: `json_object_keys` over
-    * the `after` object proves key absence on the envelope text itself.
-    *
-    * Scale shape: decode flatMap → one codegen'd projection with a
-    * per-row `when` between two `to_json` branches; the only shuffle is
-    * the final gate sort. */
   /** The wire-path envelope payload JSON as a Column over decoded-WAL
-    * columns — shared by the batch gate and the streaming throughput
-    * bench so both measure the identical rendering. */
+    * columns — the pgoutput counterpart of `Cdc.envelopeJsonCol`, and
+    * strictly more faithful on updates: `before` comes from the decoded
+    * OLD tuple (REPLICA IDENTITY FULL), not the parquet path's new-row
+    * stand-in, and `after` omits unchanged-TOAST keys
+    * (`decoderplan.go:54-59`). Shared by the batch gate and the
+    * streaming throughput bench so both measure identical rendering.
+    * One codegen'd projection with a per-row `when` between two
+    * `to_json` branches — no shuffle. */
   def wireEnvelopeCol(dbName: String = "graft"): org.apache.spark.sql.Column = {
     val op = Cdc.opExpr(col("event_type"))
     val tsMs = expr("ts div 1000000")
@@ -631,21 +626,38 @@ object PgOutput {
       env(afterNoProps)).otherwise(env(afterFull))
   }
 
+  /** Batch gate over [[wireEnvelopeCol]]: re-parses its own rendered
+    * JSON — `json_object_keys` over the `after` object proves TOAST key
+    * absence on the envelope text itself, not a null-valued stand-in.
+    * The only shuffle is the final gate sort. */
   def envelopeGate(spark: SparkSession, dir: String, toastEvery: Int = 3,
                    binary: Boolean = false): DataFrame = {
     val wal = decodeSegments(encodeSegments(Tables.events(spark, dir),
       binary = binary, toastEvery = toastEvery))
       .filter(col("op_wire").isin("I", "U", "D"))
+    // ONE from_json for the typed fields (a sparse schema parses the
+    // envelope once; per-field get_json_object re-parsed it 4×) plus the
+    // json_object_keys probe that proves TOAST key ABSENCE — from_json
+    // alone can't distinguish a missing key from a null value
+    val envSchema = StructType(Seq(
+      StructField("op", StringType),
+      StructField("before", StructType(Seq(
+        StructField("user_id", LongType), StructField("props", StringType)))),
+      StructField("after", StructType(Seq(StructField("event_id", LongType)))),
+      StructField("source", StructType(Seq(StructField("lsn", StringType))))))
     wal.withColumn("envelope", wireEnvelopeCol())
+      .select(col("lsn"),
+        from_json(col("envelope"), envSchema).as("env"),
+        array_contains(json_object_keys(get_json_object(col("envelope"), "$.after")),
+          "props").as("after_has_props_key"))
       .select(
         col("lsn"),
-        get_json_object(col("envelope"), "$.op").as("op"),
-        array_contains(json_object_keys(get_json_object(col("envelope"), "$.after")),
-          "props").as("after_has_props_key"),
-        get_json_object(col("envelope"), "$.after.event_id").cast("long").as("after_event_id"),
-        get_json_object(col("envelope"), "$.before.user_id").cast("long").as("before_user_id"),
-        get_json_object(col("envelope"), "$.before.props").as("before_props"),
-        get_json_object(col("envelope"), "$.source.lsn").as("source_lsn"))
+        col("env.op").as("op"),
+        col("after_has_props_key"),
+        col("env.after.event_id").as("after_event_id"),
+        col("env.before.user_id").as("before_user_id"),
+        col("env.before.props").as("before_props"),
+        col("env.source.lsn").as("source_lsn"))
       .orderBy(col("lsn"))
   }
 
