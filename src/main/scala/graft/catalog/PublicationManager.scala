@@ -45,7 +45,9 @@ final class PublicationManager(
   private var published: Set[String] = preExisting.getOrElse(Set.empty)
   private var closed = false
 
-  def existsPublication: Boolean = { requireOpen(); existsFlag }
+  /** Read-only probe — valid after close() so a shutdown path can be
+    * observed (mutators stay guarded). */
+  def existsPublication: Boolean = existsFlag
 
   /** `ReadPublishedTables` (`publicationmanager.go:93-95`). */
   def readPublishedTables: Seq[String] = { requireOpen(); published.toSeq.sorted }

@@ -376,8 +376,32 @@ object ConfigPipeline {
     * location = `statestorage.file.path` when `statestorage.type=file`
     * (the reference's file state storage), else the caller's default. */
   def start(spark: SparkSession, dir: String, props: Map[String, String],
-            defaultCheckpointDir: String): StreamingQuery = {
+            defaultCheckpointDir: String): StreamingQuery =
+    startWithControlPlane(spark, dir, props, defaultCheckpointDir)._1
+
+  /** [[start]] plus the control-plane managers it assembled — the
+    * testable form (the managers' lifecycle state is asserted after the
+    * query terminates). Publication/slot lifecycle runs only when the
+    * respective name is CONFIGURED: the reference always runs both
+    * (random slot name, "" publication), but an unnamed publication is
+    * a server-side error there too, and a random slot orphans the
+    * cursor — naming them is the deployable configuration. Shutdown
+    * parity (`replicator.go` stop path): query termination auto-drops
+    * the slot (only if created here + autodrop) and closes the
+    * publication manager (auto-drop under publication.autodrop). */
+  def startWithControlPlane(spark: SparkSession, dir: String,
+                            props: Map[String, String],
+                            defaultCheckpointDir: String)
+      : (StreamingQuery,
+         Option[graft.catalog.PublicationManager],
+         Option[graft.catalog.ReplicationSlotManager]) = {
     txnWindow(props)
+    val pubM = props.get("postgresql.publication.name").filter(_.nonEmpty)
+      .map(_ => publicationManager(props))
+    pubM.foreach(_.ensurePublication())
+    val slotM = props.get("postgresql.replicationslot.name").filter(_.nonEmpty)
+      .map(_ => replicationSlotManager(props))
+    slotM.foreach(_.createReplicationSlot())
     // plugin-extensible statestorage dispatch (spi/statestorage analog;
     // built-ins: file = reference file storage, rocksdb = checkpoint like
     // file but keyed state in a native RocksDB per executor — the
@@ -407,12 +431,29 @@ object ConfigPipeline {
     val base = StreamPipeline.envelopeStream(spark, dir, effectiveOps(props),
       pgoutputPath = props.get("postgresql.pgoutput.path"))
     val shaped = shape(if (statsOn) StreamPipeline.withStats(base) else base, props)
-    (if (statsOn) StreamPipeline.withEmitted(shaped) else shaped)
+    val query = (if (statsOn) StreamPipeline.withEmitted(shaped) else shaped)
       .writeStream
       .queryName(topicPrefix(props))
       .option("checkpointLocation", ckpt)
       .foreachBatch((batch: DataFrame, id: Long) => sink.emit(batch, id))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+    if (pubM.nonEmpty || slotM.nonEmpty) {
+      val qid = query.id
+      spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == qid) {
+            slotM.foreach(_.dropReplicationSlot())
+            pubM.foreach(_.close())
+            spark.streams.removeListener(this)
+          }
+      })
+    }
+    (query, pubM, slotM)
   }
 }

@@ -175,6 +175,43 @@ class ConfigPipelineSpec extends SparkSpec {
       "checkpointed resume must re-deliver nothing (same statestorage path)")
   }
 
+  test("configured publication + slot run their lifecycle around the query (replicator stop path)") {
+    val dir = Files.createTempDirectory("graft-cfg-ctrl").toString
+    val sink = new graft.sinks.CollectorSink
+    graft.sinks.Sinks.register("collector-ctrl", () => sink)
+    val props = Map(
+      "sink.type" -> "collector-ctrl",
+      "postgresql.publication.name" -> "ctrl_pub",
+      "postgresql.replicationslot.name" -> "ctrl_slot",
+      "statestorage.type" -> "file",
+      "statestorage.file.path" -> s"$dir/ckpt")
+    val (q, pubM, slotM) = ConfigPipeline.startWithControlPlane(spark, sf001, props, dir)
+    // startup order parity: both exist BEFORE any data flows
+    assert(pubM.exists(_.existsPublication) && slotM.exists(_.existsSlot))
+    assert(q.awaitTermination(120000))
+    assert(sink.rows.nonEmpty)
+    // the termination listener fires asynchronously; wait for the drop
+    val deadline = System.currentTimeMillis() + 30000
+    while (slotM.exists(_.existsSlot) && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(slotM.exists(!_.existsSlot),
+      "created + autodrop slot must drop when the query terminates")
+    assert(pubM.exists(!_.existsPublication),
+      "publication.autodrop (default true) must drop the publication on close")
+    // autodrop OFF: both survive termination
+    val sink2 = new graft.sinks.CollectorSink
+    graft.sinks.Sinks.register("collector-ctrl2", () => sink2)
+    val props2 = props ++ Map("sink.type" -> "collector-ctrl2",
+      "statestorage.file.path" -> s"$dir/ckpt2",
+      "postgresql.publication.autodrop" -> "false",
+      "postgresql.replicationslot.autodrop" -> "false")
+    val (q2, pubM2, slotM2) = ConfigPipeline.startWithControlPlane(spark, sf001, props2, dir)
+    assert(q2.awaitTermination(120000))
+    Thread.sleep(1000) // give a (wrong) drop the chance to fire
+    assert(slotM2.exists(_.existsSlot) && pubM2.exists(_.existsPublication),
+      "autodrop=false must leave publication and slot in place")
+  }
+
   test("postgresql.pgoutput.path switches the WAL source to binary wire decode") {
     // encode sf0.001 events into pgoutput segment blobs, point the
     // CONFIGURED pipeline at them, and require the delivered envelopes
