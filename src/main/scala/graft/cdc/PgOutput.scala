@@ -614,7 +614,11 @@ object PgOutput {
       Cdc.lsnText(col("lsn")))
     val afterFull = struct(col("event_id"), col("user_id"), col("value"), col("props"))
     val afterNoProps = struct(col("event_id"), col("user_id"), col("value"))
-    val before = when(col("op_wire") === "U",
+    // updates with NO old tuple on the wire (REPLICA IDENTITY DEFAULT,
+    // old_kind null) must render "before": null, not an all-null object
+    // — a consumer reads {"before":{...nulls...}} as a KNOWN all-null
+    // old row and corrupts its replica
+    val before = when(col("op_wire") === "U" && col("old_kind").isNotNull,
         struct(col("before_event_id").as("event_id"),
           col("before_user_id").as("user_id"),
           col("before_value").as("value"), col("before_props").as("props")))

@@ -99,19 +99,9 @@ object KafkaWire {
     * bad certificate fails HERE, not on the first Produce write.
     */
   def tlsSocket(host: String, port: Int, skipVerify: Boolean): javax.net.ssl.SSLSocket = {
-    import javax.net.ssl._
-    val factory: SSLSocketFactory =
-      if (skipVerify) {
-        val trustAll: TrustManager = new X509TrustManager {
-          def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
-          def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
-          def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
-        }
-        val ctx = SSLContext.getInstance("TLS")
-        ctx.init(null, Array(trustAll), new java.security.SecureRandom())
-        ctx.getSocketFactory
-      } else SSLSocketFactory.getDefault.asInstanceOf[SSLSocketFactory]
-    val s = factory.createSocket(host, port).asInstanceOf[SSLSocket]
+    // one shared trust policy across wire sinks — Sinks.sslSocketFactory
+    val s = Sinks.sslSocketFactory(skipVerify)
+      .createSocket(host, port).asInstanceOf[javax.net.ssl.SSLSocket]
     if (!skipVerify) {
       val params = s.getSSLParameters
       params.setEndpointIdentificationAlgorithm("HTTPS")

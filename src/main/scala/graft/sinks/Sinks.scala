@@ -47,20 +47,32 @@ object Sinks {
   }
 
   /** Duration config values in the reference's Go-duration vocabulary
-    * (`250ms`, `2s`, `1m`, `1h`; bare integers read as milliseconds —
+    * (the config hands these to `time.ParseDuration`): a sequence of
+    * decimal+unit segments — `250ms`, `1.5s`, `1m30s`, `2h45m`, with
+    * ns/us/µs/μs/ms/s/m/h units. A bare integer reads as milliseconds,
     * the unit every other `*.backoff.*` key in this config already
-    * uses). Returns milliseconds; sub-millisecond forms round down. */
+    * uses. Returns milliseconds; sub-millisecond remainders truncate.
+    * Malformed input fails loudly (wrap with the config key at the
+    * parse site). */
   private[sinks] def durationMs(v: String): Long = {
     val s = v.trim
-    def num(t: String) = t.toLong
-    if (s.isEmpty) 0L
-    else if (s.endsWith("ms")) num(s.dropRight(2))
-    else if (s.endsWith("us") || s.endsWith("µs")) num(s.dropRight(2)) / 1000
-    else if (s.endsWith("ns")) num(s.dropRight(2)) / 1000000
-    else if (s.endsWith("s")) num(s.dropRight(1)) * 1000
-    else if (s.endsWith("m")) num(s.dropRight(1)) * 60000
-    else if (s.endsWith("h")) num(s.dropRight(1)) * 3600000
-    else num(s)
+    if (s.isEmpty) return 0L
+    if (s.forall(c => c.isDigit) || (s.startsWith("-") && s.drop(1).forall(_.isDigit)))
+      return s.toLong
+    val seg = "([0-9]*\\.?[0-9]+)(ns|us|µs|μs|ms|s|m|h)".r
+    val parts = seg.findAllMatchIn(s).toSeq
+    if (parts.isEmpty || parts.map(_.matched).mkString != s)
+      throw new IllegalArgumentException(s"malformed duration '$v'")
+    parts.map { m =>
+      m.group(1).toDouble * (m.group(2) match {
+        case "ns" => 1e-6
+        case "us" | "µs" | "μs" => 1e-3
+        case "ms" => 1.0
+        case "s" => 1000.0
+        case "m" => 60000.0
+        case "h" => 3600000.0
+      })
+    }.sum.toLong
   }
 
   /** Dial a (possibly TLS) socket with the configured deadlines: a
@@ -76,19 +88,8 @@ object Sinks {
     if (readTimeoutMs > 0) base.setSoTimeout(readTimeoutMs.toInt)
     if (!tls) base
     else {
-      import javax.net.ssl._
-      val factory: SSLSocketFactory =
-        if (skipVerify) {
-          val trustAll: TrustManager = new X509TrustManager {
-            def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
-            def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
-            def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
-          }
-          val ctx = SSLContext.getInstance("TLS")
-          ctx.init(null, Array(trustAll), new java.security.SecureRandom())
-          ctx.getSocketFactory
-        } else SSLSocketFactory.getDefault.asInstanceOf[SSLSocketFactory]
-      val s = factory.createSocket(base, host, port, true).asInstanceOf[SSLSocket]
+      val s = sslSocketFactory(skipVerify)
+        .createSocket(base, host, port, true).asInstanceOf[javax.net.ssl.SSLSocket]
       if (!skipVerify) {
         val params = s.getSSLParameters
         params.setEndpointIdentificationAlgorithm("HTTPS")
@@ -97,6 +98,25 @@ object Sinks {
       s.startHandshake()
       s
     }
+  }
+
+  /** The one TLS trust policy for every wire sink (kafka, redis):
+    * skipVerify = trust-anything context (sarama InsecureSkipVerify
+    * analog), otherwise the platform trust store — callers add HTTPS
+    * endpoint identification on the verified path and handshake
+    * eagerly so a bad certificate fails at dial. */
+  private[sinks] def sslSocketFactory(skipVerify: Boolean): javax.net.ssl.SSLSocketFactory = {
+    import javax.net.ssl._
+    if (skipVerify) {
+      val trustAll: TrustManager = new X509TrustManager {
+        def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+        def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+      }
+      val ctx = SSLContext.getInstance("TLS")
+      ctx.init(null, Array(trustAll), new java.security.SecureRandom())
+      ctx.getSocketFactory
+    } else SSLSocketFactory.getDefault.asInstanceOf[SSLSocketFactory]
   }
 
   /** First `host:port` of a (possibly comma-separated) address list.
@@ -130,6 +150,12 @@ object Sinks {
   def fromConfig(props: Map[String, String]): Sink = {
     def p(key: String, default: String = ""): String = props.getOrElse(key, default)
     def opt(key: String): Option[String] = props.get(key)
+    // duration keys name the offending key on malformed input, like the
+    // int()/bool() helpers elsewhere in the config surface
+    def dur(ps: Map[String, String], key: String): Long =
+      try durationMs(ps.getOrElse(key, "0"))
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(s"$key: ${e.getMessage}") }
     // dead-letter queue: `sink.dlq.*` configures a SECOND sink (same key
     // surface, re-prefixed) that receives batches the primary still
     // fails after its retries — see [[withDlq]] for the contract
@@ -198,12 +224,12 @@ object Sinks {
               "sink.redis.tls.clientauth: client-certificate auth is not wire-implemented")
           p("sink.redis.tls.skipverify", "false").toBoolean
         },
-        dialTimeoutMs = durationMs(p("sink.redis.timeouts.dial", "0")),
-        readTimeoutMs = durationMs(p("sink.redis.timeouts.read", "0")),
-        writeTimeoutMs = durationMs(p("sink.redis.timeouts.write", "0")),
+        dialTimeoutMs = dur(props, "sink.redis.timeouts.dial"),
+        readTimeoutMs = dur(props, "sink.redis.timeouts.read"),
+        writeTimeoutMs = dur(props, "sink.redis.timeouts.write"),
         poolSize = p("sink.redis.poolsize", "0").toInt,
-        poolTimeoutMs = durationMs(p("sink.redis.timeouts.pool", "0")),
-        idleTimeoutMs = durationMs(p("sink.redis.timeouts.idle", "0"))))
+        poolTimeoutMs = dur(props, "sink.redis.timeouts.pool"),
+        idleTimeoutMs = dur(props, "sink.redis.timeouts.idle")))
       case "kinesis" => KinesisSink(KinesisSinkConfig(
         streamName = opt("sink.kinesis.stream.name"),
         region = opt("sink.kinesis.aws.region"),

@@ -244,10 +244,13 @@ object ConfigPipeline {
     (parallelism, batchSize)
   }
 
-  /** The config-assembled fenced snapshot: slot create/adopt decides the
-    * fence semantics (a FRESH slot exports a snapshot name; an adopted
-    * slot resumes from storage), then the side-channel keyset snapshot
-    * runs at the configured parallelism/batch size. */
+  /** The config-assembled fenced snapshot: the slot lifecycle runs
+    * first (create-or-adopt; create-disabled + missing fails loudly
+    * BEFORE any scan), then the side-channel keyset snapshot runs at
+    * the configured parallelism/batch size. The fence is the live
+    * high-watermark probe in both cases — this harness has no server
+    * to export a slot snapshot against, so the created-slot snapshot
+    * name is informational (read it off the returned manager). */
   def configuredSnapshot(spark: SparkSession, url: String, schema: String,
                          table: String, keyCol: String,
                          props: Map[String, String],
@@ -259,6 +262,43 @@ object ConfigPipeline {
     val (df, fence) = graft.sources.JdbcSideChannel.snapshot(
       spark, url, schema, table, keyCol, parts = parallelism, fetchSize = batchSize)
     (df, fence, slot)
+  }
+
+  /** libpq keyword/value DSN tokenizer: `key = value` pairs where a
+    * value may be single-quoted (spaces inside) with `\'` / `\\`
+    * escapes — a naive whitespace split silently mangles a password
+    * containing a space into garbage that then fails AUTH instead of
+    * failing loudly at parse. Unterminated quotes throw. */
+  private def parseDsn(s: String): Map[String, String] = {
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    var i = 0
+    val n = s.length
+    def skipWs(): Unit = while (i < n && s.charAt(i).isWhitespace) i += 1
+    while ({ skipWs(); i < n }) {
+      val eq = s.indexOf('=', i)
+      require(eq > i, s"postgresql.connection: malformed at '${s.substring(i)}'")
+      val key = s.substring(i, eq).trim
+      i = eq + 1
+      skipWs() // libpq allows whitespace around '='
+      val sb = new StringBuilder
+      if (i < n && s.charAt(i) == '\'') {
+        i += 1
+        var closed = false
+        while (i < n && !closed) s.charAt(i) match {
+          case '\\' if i + 1 < n => sb.append(s.charAt(i + 1)); i += 2
+          case '\''              => closed = true; i += 1
+          case c                 => sb.append(c); i += 1
+        }
+        require(closed, "postgresql.connection: unterminated quoted value")
+      } else {
+        while (i < n && !s.charAt(i).isWhitespace) {
+          if (s.charAt(i) == '\\' && i + 1 < n) { sb.append(s.charAt(i + 1)); i += 2 }
+          else { sb.append(s.charAt(i)); i += 1 }
+        }
+      }
+      out(key) = sb.toString
+    }
+    out.toMap
   }
 
   /** `postgresql.connection` + `postgresql.password` → the (jdbcUrl,
@@ -281,9 +321,7 @@ object ConfigPipeline {
          userInfo.headOption.filter(_.nonEmpty),
          if (userInfo.length > 1) Some(userInfo(1)) else None)
       } else {
-        val kv = conn.trim.split("\\s+").filter(_.contains("=")).map { t =>
-          val Array(k, v) = t.split("=", 2); (k, v)
-        }.toMap
+        val kv = parseDsn(conn)
         (kv.getOrElse("host", "localhost"),
          kv.get("port").map(_.toInt).getOrElse(5432),
          kv.get("dbname"), kv.get("user"), kv.get("password"))
@@ -440,7 +478,13 @@ object ConfigPipeline {
       .start()
     if (pubM.nonEmpty || slotM.nonEmpty) {
       val qid = query.id
-      spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      // shutdown is idempotent (drop guards on created/dropped, close on
+      // closed), so the belt-and-suspenders below can double-fire safely
+      def shutdown(): Unit = {
+        slotM.foreach(_.dropReplicationSlot())
+        pubM.foreach(_.close())
+      }
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
         override def onQueryStarted(
             e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
         override def onQueryProgress(
@@ -448,11 +492,19 @@ object ConfigPipeline {
         override def onQueryTerminated(
             e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
           if (e.id == qid) {
-            slotM.foreach(_.dropReplicationSlot())
-            pubM.foreach(_.close())
+            shutdown()
             spark.streams.removeListener(this)
           }
-      })
+      }
+      spark.streams.addListener(listener)
+      // a fast AvailableNow query can terminate BEFORE addListener ran —
+      // the bus never replays missed events, so a late registration
+      // would silently skip the drop and leak the listener; check once
+      // after registering and run the shutdown inline if we lost the race
+      if (!query.isActive) {
+        shutdown()
+        spark.streams.removeListener(listener)
+      }
     }
     (query, pubM, slotM)
   }

@@ -1511,6 +1511,19 @@ class OpsSpec extends SparkSpec {
     assert(r.config.tls && r.config.dialTimeoutMs === 250L)
     assert(r.config.readTimeoutMs === 2000L && r.config.writeTimeoutMs === 500L)
     assert(r.config.idleTimeoutMs === 60000L && r.config.poolSize === 8)
+    // Go time.ParseDuration forms: decimals, compound segments, micro µ/μ
+    val r2 = Sinks.fromConfig(Map("sink.type" -> "redis",
+      "sink.redis.timeouts.dial" -> "1.5s",
+      "sink.redis.timeouts.read" -> "1m30s",
+      "sink.redis.timeouts.idle" -> "1500µs")).asInstanceOf[RedisSink]
+    assert(r2.config.dialTimeoutMs === 1500L)
+    assert(r2.config.readTimeoutMs === 90000L && r2.config.idleTimeoutMs === 1L)
+    // malformed duration names the offending key
+    val bad = intercept[IllegalArgumentException] {
+      Sinks.fromConfig(Map("sink.type" -> "redis",
+        "sink.redis.timeouts.read" -> "fast"))
+    }
+    assert(bad.getMessage.contains("sink.redis.timeouts.read"))
     // client-certificate auth is native-path only: loud, never silent
     intercept[IllegalArgumentException] {
       Sinks.fromConfig(Map("sink.type" -> "redis", "sink.redis.tls.clientauth" -> "4"))

@@ -329,6 +329,33 @@ class PgOutputSpec extends SparkSpec {
     assert(none.old_kind === None && none.before_event_id === None)
   }
 
+  test("wire-path envelope renders before:null for updates with NO old tuple") {
+    // REPLICA IDENTITY DEFAULT: the wire carries no old row, and the
+    // envelope must say "before":null — an all-null OBJECT would read
+    // as a known all-null old row and corrupt a consumer's replica
+    val bos = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bos)
+    def t(s: String) = TextCol(s.getBytes(UTF_8))
+    val newTup = Seq(t("1"), t("2024-01-01 00:00:00.000000000"), t("5"),
+      t("purchase"), t("2.5"), t("{}"))
+    writeFrame(o, 1L, PgOutput.encode(RelationMsg(PgOutput.EventsRelId,
+      "public", "events", 'f', PgOutput.EventsRelCols)))
+    writeFrame(o, 2L, PgOutput.encode(BeginMsg(4L, 0L, 7)))
+    writeFrame(o, 3L, PgOutput.encode(
+      UpdateMsg(PgOutput.EventsRelId, None, None, newTup)))
+    writeFrame(o, 4L, PgOutput.encode(
+      UpdateMsg(PgOutput.EventsRelId, Some('O'), Some(newTup), newTup)))
+    writeFrame(o, 5L, PgOutput.encode(CommitMsg(0, 4L, 6L, 0L)))
+    val envs = PgOutput.decodeSegments(
+        Seq((0L, 1L, bos.toByteArray)).toDF("segment", "start_lsn", "data"))
+      .toDF().select(col("lsn"), PgOutput.wireEnvelopeCol().as("env"))
+      .collect().sortBy(_.getLong(0)).map(_.getString(1))
+    assert(envs(0).contains("\"before\":null"),
+      s"no-old-tuple update must render before:null, got: ${envs(0)}")
+    assert(envs(1).contains("\"before\":{"),
+      s"RI FULL update must render the before object, got: ${envs(1)}")
+  }
+
   test("wire-path envelope: binary tuple format renders identical rows to text") {
     val text = PgOutput.envelopeGate(spark, sf001, toastEvery = 3).collect()
     val bin = PgOutput.envelopeGate(spark, sf001, toastEvery = 3, binary = true).collect()

@@ -202,6 +202,16 @@ class StatefulSpec extends SparkSpec {
     // defaults: reference default string, dbname falls back to user
     assert(jdbcConnection(Map.empty) ===
       (("jdbc:postgresql://localhost:5432/repl_user", "repl_user", "")))
+    // libpq quoting: a password with spaces and escaped quotes survives
+    assert(jdbcConnection(Map("postgresql.connection" ->
+      """host=db3 user=u password='my \'secret\' pw' dbname=d"""))._3 ===
+      "my 'secret' pw")
+    // whitespace around '=' is legal libpq
+    assert(jdbcConnection(Map("postgresql.connection" ->
+      "host = db4 port = 5000 user = x"))._1 === "jdbc:postgresql://db4:5000/x")
+    intercept[IllegalArgumentException] {
+      jdbcConnection(Map("postgresql.connection" -> "host=db password='oops"))
+    }
   }
 
   test("configuredSnapshot: slot + parallelism/batchsize drive the fenced keyset scan") {
