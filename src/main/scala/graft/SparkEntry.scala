@@ -3251,7 +3251,10 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // decontamination audit: near-dup pairs (MinHash-LSH) that CROSS
       // the content-keyed train/val/test boundary — exact duplicates
       // can't leak (content hashing pins them to one split), so every
-      // hit here is a fuzzy leak the split assignment can't see
+      // hit here is a fuzzy leak the split assignment can't see.
+      // NOTE: the pair set is star-capped in hot buckets, so a
+      // non-anchor x non-anchor dup can escape this PAIR listing —
+      // split_leakage_clusters is the complete (component-level) audit
       val docs = Tables.documents(s, dir)
       val splits = Sampling.assignSplits(docs).select(col("doc_id"), col("split"))
       Dedup.minhashLshPairs(docs)
@@ -3260,6 +3263,25 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .filter(col("split_a") =!= col("split_b"))
         .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"))
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "split_leakage_clusters" -> ((s, dir) => {
+      // the COMPLETE decontamination audit: pairwise split_leakage can
+      // miss a non-anchor x non-anchor dup inside a star-capped hot
+      // bucket, but star edges preserve connected components — so audit
+      // at the CLUSTER level: any near-dup cluster whose members span
+      // more than one content-keyed split is a leak, with no pair-set
+      // blind spot at any bucket size
+      val docs = Tables.documents(s, dir)
+      val splits = Sampling.assignSplits(docs).select(col("doc_id"), col("split"))
+      Dedup.clusters(Dedup.minhashLshPairs(docs))
+        .join(splits, "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("split")).as("n_splits"),
+          concat_ws(",", array_sort(collect_set(col("split")))).as("splits"))
+        .filter(col("n_splits") > 1)
+        .orderBy(col("cluster_id"))
     }),
 
     "split_by_cluster" -> ((s, dir) => {
@@ -7403,6 +7425,25 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |FROM pairs p JOIN spl sa ON p.doc_a = sa.doc_id JOIN spl sb ON p.doc_b = sb.doc_id
         |WHERE sa.split <> sb.split
         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // cluster-leak twin: recursive CC over the pair graph, split hash
+    // per member, leak = cluster spanning >1 split
+    "split_leakage_clusters" -> (minhashPairCtes +
+      s""",
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        |cc AS (SELECT a AS doc, a AS label FROM edges
+        |       UNION SELECT e.a, cc.label FROM cc JOIN edges e ON cc.doc = e.b),
+        |lab AS (SELECT doc AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY doc),
+        |spl AS (SELECT doc_id,
+        |  CASE WHEN hvs < 800000 THEN 'train' WHEN hvs < 900000 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, ${fnvSql("text")} % 1000000 AS hvs
+        |    FROM documents) hx)
+        |SELECT CAST(l.cluster_id AS BIGINT) AS cluster_id, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT s.split) AS n_splits,
+        |  string_agg(DISTINCT s.split, ',' ORDER BY s.split) AS splits
+        |FROM lab l JOIN spl s USING (doc_id)
+        |GROUP BY l.cluster_id HAVING COUNT(DISTINCT s.split) > 1
+        |ORDER BY cluster_id""".stripMargin),
 
     // cluster-split twin: the same pair CTEs + recursive connected
     // components (min label), split hash over the representative's text

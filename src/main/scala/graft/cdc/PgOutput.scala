@@ -263,15 +263,29 @@ object PgOutput {
     * as an event). */
   def readFrames(blob: Array[Byte]): Iterator[(Long, PgMsg)] = new Iterator[(Long, PgMsg)] {
     private val b = ByteBuffer.wrap(blob)
+    // frame-framing hardening, same contract as the message-level
+    // decode(): every length prefix is validated against the REMAINING
+    // buffer before any allocation or seek — a corrupt/hostile prefix
+    // (bit rot, torn write) fails loudly instead of attempting a
+    // multi-GB allocation or dying with a raw bounds exception
+    private def frameLen(): Int = {
+      require(b.remaining() >= 5,
+        s"pgoutput: truncated frame header (${b.remaining()} bytes left)")
+      val len = b.getInt // counts the bytes AFTER the prefix (tag included)
+      require(len >= 1 && len <= b.remaining(),
+        s"pgoutput: frame length $len exceeds remaining ${b.remaining()} bytes")
+      len
+    }
     private def skipKeepalives(): Unit =
-      while (b.remaining() > 0 && blob(b.position() + 4).toChar == 'k') {
-        val len = b.getInt
+      while (b.remaining() >= 5 && blob(b.position() + 4).toChar == 'k') {
+        val len = frameLen() // consumes the 4-byte prefix FIRST
         b.position(b.position() + len)
       }
     skipKeepalives()
     def hasNext: Boolean = b.remaining() > 0
     def next(): (Long, PgMsg) = {
-      val len = b.getInt
+      val len = frameLen()
+      require(len >= 25, s"pgoutput: XLogData frame length $len below header size")
       require(b.get().toChar == 'w', "pgoutput: frame without XLogData tag")
       val lsn = b.getLong
       b.getLong; b.getLong // walEnd, serverSendTime
@@ -453,22 +467,28 @@ object PgOutput {
       case (segment, blob) =>
         val relations = scala.collection.mutable.Map[Int, RelationMsg]()
         var currentXid = -1L
-        def tupleRow(lsn: Long, opWire: String, relId: Int, t: Seq[TupleCol]): DecodedWal = {
+        // registry-driven value decode keyed by the Relation message's
+        // column OIDs — ONE path for text AND binary tuple formats (the
+        // reference requests `binary 'true'` on PG14+), name-keyed so
+        // relations other than the events fixture (or a relation that
+        // evolved mid-stream) decode what they have. Shared by the main
+        // tuple AND the old-tuple submessage so the before/after
+        // surfaces can never diverge in decode semantics.
+        def decodeVals(relId: Int, t: Seq[TupleCol])
+            : (RelationMsg, Map[String, Any], String => Option[Any]) = {
           val rel = relations.getOrElse(relId,
             throw new IllegalStateException(s"pgoutput: unknown relation id $relId"))
-          // registry-driven value decode keyed by the Relation message's
-          // column OIDs — ONE path for text AND binary tuple formats
-          // (the reference requests `binary 'true'` on PG14+), and
-          // name-keyed so relations other than the events fixture (or a
-          // relation that evolved mid-stream) decode what they have
           val vals = graft.types.TypeRegistry
             .decodeTuple(rel.cols.map(c => (c.name, c.typeOid)), t).toMap
+          (rel, vals, n => vals.get(n).flatMap(Option(_)))
+        }
+        def tupleRow(lsn: Long, opWire: String, relId: Int, t: Seq[TupleCol]): DecodedWal = {
+          val (rel, _, g0) = decodeVals(relId, t)
+          def g[T](n: String): Option[T] = g0(n).map(_.asInstanceOf[T])
           // decodeTuple omits 'u' keys (reference contract) — recover the
           // omission set from the wire tuple so the envelope can drop keys
           val unchanged = rel.cols.map(_.name).zip(t)
             .collect { case (n, UnchangedCol) => n }
-          def g[T](n: String): Option[T] =
-            vals.get(n).flatMap(Option(_)).map(_.asInstanceOf[T])
           DecodedWal(segment, lsn, currentXid, opWire,
             Some(rel.namespace), Some(rel.relName),
             g[Long]("event_id"), g[Long]("ts"),
@@ -477,14 +497,11 @@ object PgOutput {
         }
         // decode an old-tuple submessage into the before_* fields of an
         // already-built row ('O' = full old row, 'K' = key cols only —
-        // whatever the wire carried, name-keyed like the main decode)
+        // whatever the wire carried, through the SAME decode helper)
         def withBefore(row: DecodedWal, relId: Int, kind: Char,
                        ot: Seq[TupleCol]): DecodedWal = {
-          val rel = relations(relId)
-          val vals = graft.types.TypeRegistry
-            .decodeTuple(rel.cols.map(c => (c.name, c.typeOid)), ot).toMap
-          def g[T](n: String): Option[T] =
-            vals.get(n).flatMap(Option(_)).map(_.asInstanceOf[T])
+          val (_, _, g0) = decodeVals(relId, ot)
+          def g[T](n: String): Option[T] = g0(n).map(_.asInstanceOf[T])
           row.copy(old_kind = Some(kind.toString),
             before_event_id = g[Long]("event_id"),
             before_user_id = g[Long]("user_id"),

@@ -373,8 +373,11 @@ object Dedup {
 
   /** LSH banding calibration report — the number to read before
     * committing (k bands × rows) at 100 TB: candidate precision/recall
-    * of [[minhashLshPairs]]' RAW band candidates against the exact
-    * n-gram-Jaccard truth set at `threshold10/10`. Banding with too few
+    * of [[minhashLshPairs]]' PRODUCTION candidate set (hot buckets
+    * star-capped at the default `maxBucket`, exactly as the pipeline
+    * runs them — pass `maxBucket = 0` downstream for the raw band
+    * S-curve on a bounded sample) against the exact n-gram-Jaccard
+    * truth set at `threshold10/10`. Banding with too few
     * rows floods the verifier with false candidates (precision cost =
     * wasted exact checks); too many rows drops true pairs (recall cost =
     * surviving duplicates). The report is the

@@ -233,9 +233,18 @@ object EventAnalytics {
     require(percentiles.nonEmpty && percentiles.forall(p => p >= 1 && p <= 100),
       s"hdrQuantiles: percentiles must be in [1,100], got $percentiles")
     import org.apache.spark.sql.expressions.Window
+    // the power-of-two bucket (bit length of shifted) is only meaningful
+    // for POSITIVE shifted cents: conv() of a negative bigint renders
+    // 64 two's-complement bits (bucket 63 → Long.MinValue-scale garbage
+    // estimates) and a null groups as its own phantom bucket — fail
+    // loudly on both instead of silently corrupting every percentile
     val buckets = wal
       .select(col(groupCol),
-        expr("cast(floor(value * 100 + 0.5) as bigint) + 1").as("shifted"))
+        expr("""CASE WHEN value IS NOT NULL AND floor(value * 100 + 0.5) + 1 > 0
+               |  THEN cast(floor(value * 100 + 0.5) as bigint) + 1
+               |  ELSE cast(assert_true(false,
+               |    'hdrQuantiles: value must be non-null and > -0.005 (positive shifted cents)') as bigint)
+               |END""".stripMargin).as("shifted"))
       .groupBy(col(groupCol),
         (length(conv(col("shifted"), 10, 2)) - 1).cast("int").as("bucket"))
       .agg(count(lit(1)).as("cnt"))

@@ -126,6 +126,12 @@ object TypeRegistry {
     require(s.length >= 2 && s.head == '{' && s.last == '}', s"bad array literal: $s")
     val body = s.substring(1, s.length - 1)
     if (body.isEmpty) return Nil
+    // multidimensional literals ('{{1,2},{3,4}}') would shred on commas
+    // into corrupt fragments — fail loudly; the flat form is what every
+    // registered array column carries (Spark-side type is ArrayType of
+    // a scalar, not nested arrays)
+    require(!body.trim.startsWith("{"),
+      s"multidimensional array literal not supported: $s")
     val out = Seq.newBuilder[Any]
     val cur = new StringBuilder
     var inQuotes = false; var wasQuoted = false; var i = 0
@@ -137,7 +143,10 @@ object TypeRegistry {
     while (i < body.length) {
       val c = body.charAt(i)
       if (inQuotes) {
-        if (c == '\\') { cur.append(body.charAt(i + 1)); i += 1 }
+        if (c == '\\') {
+          require(i + 1 < body.length, s"bad array literal (trailing backslash): $s")
+          cur.append(body.charAt(i + 1)); i += 1
+        }
         else if (c == '"') inQuotes = false
         else cur.append(c)
       } else c match {
@@ -176,9 +185,12 @@ object TypeRegistry {
             s"enum ${row.name}: unknown label '$s' (have ${labels.mkString(",")})")
           s
         })
-      case 'd' => // domain → its base type's converter
+      case 'd' => // domain → its base type's converter, BINARY codec
+        // included: PG sends domain values via the base type's send
+        // function, so dropping parseBinary here would reject a
+        // binary-subscription domain column whose base codec exists
         val base = converterFor(row.baseOid, resolver)
-        Registration(oid, row.name, base.dataType, base.parse)
+        Registration(oid, row.name, base.dataType, base.parse, base.parseBinary)
       case 'c' => // composite → record-literal text (newCompositeConverter analog)
         Registration(oid, row.name, StringType, s => s)
       case 'a' => // some catalogs mark arrays via typtype; elem chain below
@@ -219,7 +231,14 @@ object TypeRegistry {
     * map must not pretend it saw one. Downstream envelope rendering
     * relies on the distinction: `"col": null` vs the key being absent. */
   def decodeTuple(cols: Seq[(String, Int)], tuple: Seq[graft.cdc.PgOutput.TupleCol],
-                  resolver: Resolver = Resolver.empty): Seq[(String, Any)] =
+                  resolver: Resolver = Resolver.empty): Seq[(String, Any)] = {
+    // arity must match the cached Relation exactly: a zip would silently
+    // TRUNCATE a desynced stream into a plausible row whose missing
+    // trailing column is indistinguishable from TOAST key omission —
+    // exactly the corruption this module promises to fail loudly on
+    require(cols.length == tuple.length,
+      s"tuple arity ${tuple.length} != relation arity ${cols.length} " +
+        s"(cols: ${cols.map(_._1).mkString(",")}) — stream desync or stale relation cache")
     cols.zip(tuple).flatMap { case ((name, oid), c) =>
       c match {
         case graft.cdc.PgOutput.NullCol      => Some(name -> (null: Any))
@@ -235,4 +254,5 @@ object TypeRegistry {
           Some(name -> reg.parseBinary(b))
       }
     }
+  }
 }

@@ -88,6 +88,29 @@ class PgOutputSpec extends SparkSpec {
     assert(tsToText(1704067207179575000L) === "2024-01-01 00:00:07.179575000")
   }
 
+  test("frame framing rejects corrupt length prefixes before allocating") {
+    // hostile/bit-rotted prefix claiming 2 GB must fail loudly, not
+    // attempt the allocation; a truncated blob must not AIOOBE
+    def blobWith(len: Int, body: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bos)
+      o.writeInt(len); o.write(body)
+      bos.toByteArray
+    }
+    val giant = blobWith(Int.MaxValue, Array[Byte]('w', 0, 0, 0))
+    val e1 = intercept[IllegalArgumentException] {
+      PgOutput.readFrames(giant).toSeq
+    }
+    assert(e1.getMessage.contains("exceeds remaining"))
+    val truncated = Array[Byte](0, 0) // 2 bytes: not even a header
+    val e2 = intercept[IllegalArgumentException] {
+      PgOutput.readFrames(truncated).toSeq
+    }
+    assert(e2.getMessage.contains("truncated frame header"))
+    val negative = blobWith(-10, Array[Byte]('w', 0, 0, 0, 0))
+    intercept[IllegalArgumentException] { PgOutput.readFrames(negative).toSeq }
+  }
+
   test("decode fails loudly on an unknown relation id and bad markers") {
     // Spark wraps the executor-side IllegalStateException; assert on the cause chain
     val e = intercept[Exception] {

@@ -132,6 +132,34 @@ class TypeRegistrySpec extends SparkSpec {
       === Seq("a" -> 5L, "b" -> 6L))
   }
 
+  test("domain types keep their base type's BINARY codec") {
+    // PG sends domain values via the base send function; a domain over
+    // int8 must decode 8 network-order bytes, not reject binary mode
+    val dom = TypeRegistry.converterFor(90013, Resolver.ofMap(Map(
+      90013 -> PgTypeRow(90013, "order_id", 'd', baseOid = 20))))
+    assert(dom.parseBinary != null, "domain must inherit base parseBinary")
+    val b = java.nio.ByteBuffer.allocate(8).putLong(42L).array()
+    assert(dom.parseBinary(b) === 42L)
+  }
+
+  test("tuple arity mismatch against the relation fails loudly, never truncates") {
+    val cols = Seq(("a", 20), ("b", 20), ("c", 20))
+    val short = Seq(TextCol("1".getBytes(UTF_8)), TextCol("2".getBytes(UTF_8)))
+    val e = intercept[IllegalArgumentException] {
+      TypeRegistry.decodeTuple(cols, short, catalog)
+    }
+    assert(e.getMessage.contains("arity 2 != relation arity 3"))
+  }
+
+  test("array literal hardening: multidimensional and trailing-backslash fail loudly") {
+    intercept[IllegalArgumentException] {
+      TypeRegistry.parseArrayText("{{1,2},{3,4}}", _.toString.toLong)
+    }
+    intercept[IllegalArgumentException] {
+      TypeRegistry.parseArrayText("{\"a\\", s => s)
+    }
+  }
+
   test("null decodes to a null-valued key; TOAST-unchanged omits the key entirely") {
     // decoderplan.go:54-59 — 'n' sets the key to nil, 'u' never touches
     // the map: the distinction is observable in the envelope ("blob": null
