@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The standalone entry point — the analog of the reference's binary
+  * (`cmd/timescaledb-event-streamer/main.go:129-175`): read a config
+  * file (TOML or flat `key=value` properties), overlay environment
+  * variables, validate, assemble the configured pipeline, run until
+  * the stream ends or the process is signalled.
+  *
+  * `spark-submit --class graft.Replicator <jar> <config> [dataDir]`.
+  * The data directory (the WAL stand-in this harness streams from) can
+  * also come from the `graft.data.dir` property — the one
+  * engine-specific key, everything else is the reference's surface.
+  *
+  * Parity choices:
+  *   - `.toml` extension selects the TOML parser, anything else reads
+  *     flat properties (`unmarshall.go` picks by extension the same
+  *     way; its YAML arm is out of scope and fails loudly here);
+  *   - env overlay accepts only variables whose prefix maps to a known
+  *     config namespace (POSTGRESQL_/TIMESCALEDB_/SINK_/TOPIC_/
+  *     STATS_/STATESTORAGE_/INTERNAL_/GRAFT_) — a blanket
+  *     `fromEnvKey(PATH)` overlay would invent junk properties;
+  *   - a missing `postgresql.connection` is NOT fatal here, unlike the
+  *     reference's exit code 6: this harness streams from files, so
+  *     the connection string is only required when a JDBC side channel
+  *     is actually configured (documented deviation);
+  *   - SIGTERM/SIGINT stop the query gracefully via a shutdown hook —
+  *     the control-plane listener then drops the slot / publication
+  *     per their autodrop config, the reference's stop path.
+  */
+object Replicator {
+
+  /** Minimal TOML subset — exactly what the reference's config files
+    * use (`spi/config/unmarshall.go` + README examples): `[table]` /
+    * `[table.sub]` headers, `key = value` pairs with basic-string,
+    * literal-string, boolean, integer/float, and flat string-array
+    * values, `#` comments. Arrays flatten to comma-joined strings
+    * (the form every `*.includes`/`*.excludes` key already parses).
+    * Unsupported TOML (array-of-tables, multiline strings, dotted
+    * keys) fails loudly rather than mis-reading. */
+  def parseToml(text: String): Map[String, String] = {
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    var section = ""
+    def stripComment(line: String): String = {
+      var inBasic = false; var inLiteral = false
+      var i = 0
+      while (i < line.length) {
+        line.charAt(i) match {
+          case '"' if !inLiteral  => if (!inBasic || line.charAt(i - 1) != '\\') inBasic = !inBasic
+          case '\'' if !inBasic   => inLiteral = !inLiteral
+          case '#' if !inBasic && !inLiteral => return line.substring(0, i)
+          case _ => ()
+        }
+        i += 1
+      }
+      line
+    }
+    def scalar(v: String): String = {
+      val t = v.trim
+      require(t.nonEmpty, "empty TOML value")
+      if (t.startsWith("\"")) {
+        require(t.length >= 2 && t.endsWith("\""), s"unterminated string: $t")
+        require(!t.startsWith("\"\"\""), "multiline strings not supported")
+        val sb = new StringBuilder
+        var i = 1
+        while (i < t.length - 1) {
+          val c = t.charAt(i)
+          if (c == '\\') {
+            require(i + 1 < t.length - 1, s"trailing escape in $t")
+            sb.append(t.charAt(i + 1) match {
+              case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+              case '"' => '"'; case '\\' => '\\'
+              case other => throw new IllegalArgumentException(
+                s"unsupported escape \\$other in $t")
+            })
+            i += 2
+          } else { sb.append(c); i += 1 }
+        }
+        sb.toString
+      } else if (t.startsWith("'")) {
+        require(t.length >= 2 && t.endsWith("'"), s"unterminated literal string: $t")
+        t.substring(1, t.length - 1)
+      } else t // bare boolean / number
+    }
+    def array(v: String): String = {
+      val body = v.trim.stripPrefix("[").stripSuffix("]")
+      if (body.trim.isEmpty) return ""
+      // split on top-level commas (strings may contain commas)
+      val parts = Seq.newBuilder[String]
+      var depth = 0; var inBasic = false; var inLiteral = false
+      val cur = new StringBuilder
+      body.foreach {
+        case '"' if !inLiteral => inBasic = !inBasic; cur.append('"')
+        case '\'' if !inBasic  => inLiteral = !inLiteral; cur.append('\'')
+        case '[' if !inBasic && !inLiteral =>
+          throw new IllegalArgumentException("nested TOML arrays not supported")
+        case ',' if depth == 0 && !inBasic && !inLiteral =>
+          parts += cur.toString; cur.clear()
+        case c => cur.append(c)
+      }
+      parts += cur.toString
+      parts.result().map(scalar).mkString(",")
+    }
+    text.linesIterator.foreach { raw =>
+      val line = stripComment(raw).trim
+      if (line.nonEmpty) {
+        if (line.startsWith("[")) {
+          require(line.endsWith("]") && !line.startsWith("[["),
+            s"unsupported TOML table header: $line")
+          section = line.substring(1, line.length - 1).trim
+          require(section.nonEmpty, s"empty TOML table header: $line")
+        } else {
+          val eq = line.indexOf('=')
+          require(eq > 0, s"TOML line without '=': $line")
+          val key = line.substring(0, eq).trim
+          require(!key.contains(' ') && !key.contains('"'),
+            s"unsupported TOML key form: $key")
+          val rhs = line.substring(eq + 1).trim
+          val value = if (rhs.startsWith("[")) array(rhs) else scalar(rhs)
+          out(if (section.isEmpty) key else s"$section.$key") = value
+        }
+      }
+    }
+    out.toMap
+  }
+
+  /** Flat `key=value` properties (comments with '#', blank lines ok). */
+  def parseProperties(text: String): Map[String, String] =
+    text.linesIterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val eq = l.indexOf('=')
+        require(eq > 0, s"property line without '=': $l")
+        l.substring(0, eq).trim -> l.substring(eq + 1).trim
+      }.toMap
+
+  private val EnvPrefixes = Seq("POSTGRESQL_", "TIMESCALEDB_", "SINK_",
+    "TOPIC_", "STATS_", "STATESTORAGE_", "INTERNAL_", "GRAFT_")
+
+  /** Config assembly: file → env overlay (known namespaces only). */
+  def loadConfig(path: String, env: Map[String, String] = sys.env): Map[String, String] = {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+    val ext = path.toLowerCase
+    require(!ext.endsWith(".yaml") && !ext.endsWith(".yml"),
+      "YAML configs are not supported — use TOML or flat properties")
+    val fileProps =
+      if (ext.endsWith(".toml")) parseToml(text) else parseProperties(text)
+    val relevant = env.filter { case (k, _) => EnvPrefixes.exists(k.startsWith) }
+    graft.streaming.ConfigPipeline.withEnvOverrides(fileProps, relevant)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: graft.Replicator <config.(toml|properties)> [dataDir]")
+    val props = loadConfig(args(0))
+    val dir = if (args.length > 1) args(1)
+      else props.getOrElse("graft.data.dir",
+        throw new IllegalArgumentException(
+          "data directory required: pass as arg 2 or set graft.data.dir"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val ckptDefault = java.nio.file.Files.createTempDirectory("graft-replicator").toString
+    val (query, _, _) = graft.streaming.ConfigPipeline
+      .startWithControlPlane(spark, dir, props, ckptDefault)
+    // SIGTERM/SIGINT → graceful stop; the termination listener runs the
+    // slot/publication autodrop shutdown (replicator stop path)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try if (query.isActive) query.stop() catch { case _: Exception => () }))
+    query.awaitTermination()
+    spark.stop()
+  }
+}

@@ -212,6 +212,72 @@ class ConfigPipelineSpec extends SparkSpec {
       "autodrop=false must leave publication and slot in place")
   }
 
+  test("Replicator TOML parser: sections, strings, arrays, comments, loud unsupported forms") {
+    val toml = """
+      |# top comment
+      |[postgresql]
+      |connection = "host=db1 user=repl password='a # b'"  # trailing comment
+      |password = 'lit#eral'
+      |[postgresql.snapshot]
+      |batchsize = 250
+      |[timescaledb.hypertables]
+      |includes = ["public.ht_*", "other.t, with comma"]
+      |excludes = []
+      |[sink]
+      |type = "collector"
+      |tombstone = true
+      |""".stripMargin
+    val p = graft.Replicator.parseToml(toml)
+    assert(p("postgresql.connection") === "host=db1 user=repl password='a # b'")
+    assert(p("postgresql.password") === "lit#eral")
+    assert(p("postgresql.snapshot.batchsize") === "250")
+    assert(p("timescaledb.hypertables.includes") === "public.ht_*,other.t, with comma")
+    assert(p("timescaledb.hypertables.excludes") === "")
+    assert(p("sink.type") === "collector" && p("sink.tombstone") === "true")
+    // escapes in basic strings
+    assert(graft.Replicator.parseToml("""k = "a\"b\\c\nd"""")("k") === "a\"b\\c\nd")
+    // unsupported forms fail loudly, never mis-read
+    intercept[IllegalArgumentException] {
+      graft.Replicator.parseToml("[[servers]]\nname = \"x\"")
+    }
+    intercept[IllegalArgumentException] {
+      graft.Replicator.parseToml("k = [[1,2],[3]]")
+    }
+    intercept[IllegalArgumentException] { graft.Replicator.parseToml("just a line") }
+  }
+
+  test("Replicator end-to-end: TOML config file drives the configured pipeline") {
+    val dir = Files.createTempDirectory("graft-replicator-e2e").toString
+    val sink = new graft.sinks.CollectorSink
+    graft.sinks.Sinks.register("collector-toml", () => sink)
+    val toml =
+      s"""[sink]
+         |type = "collector-toml"
+         |[postgresql.publication]
+         |name = "toml_pub"
+         |[postgresql.replicationslot]
+         |name = "toml_slot"
+         |[statestorage]
+         |type = "file"
+         |[statestorage.file]
+         |path = "$dir/ckpt"
+         |""".stripMargin
+    val cfg = java.nio.file.Paths.get(dir, "replicator.toml")
+    java.nio.file.Files.write(cfg, toml.getBytes("UTF-8"))
+    // env overlay: a known-namespace var wins over the file; junk like
+    // PATH never becomes a property
+    val props = graft.Replicator.loadConfig(cfg.toString,
+      env = Map("TOPIC_PREFIX" -> "fromenv", "PATH" -> "/usr/bin"))
+    assert(props("topic.prefix") === "fromenv")
+    assert(!props.contains("path"))
+    assert(props("postgresql.replicationslot.name") === "toml_slot")
+    val (q, pubM, slotM) = ConfigPipeline.startWithControlPlane(spark, sf001, props, dir)
+    assert(q.awaitTermination(120000))
+    assert(sink.rows.nonEmpty)
+    assert(pubM.exists(_.publicationName === "toml_pub"))
+    assert(slotM.exists(_.slotName === "toml_slot"))
+  }
+
   test("postgresql.pgoutput.path switches the WAL source to binary wire decode") {
     // encode sf0.001 events into pgoutput segment blobs, point the
     // CONFIGURED pipeline at them, and require the delivered envelopes
