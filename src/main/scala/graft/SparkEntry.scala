@@ -2758,6 +2758,40 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       ops.EventAnalytics.counterDelta(Cdc.walEvents(s, dir))
         .orderBy(col("user_id"))),
 
+    "events_freq_topn" -> ((s, dir) => {
+      // freq_agg/topn hyperfunction analog: Misra–Gries mergeable
+      // heavy-hitters as a custom TypedImperativeAggregate — ONE
+      // shuffle of capacity-sized sketch states, never of rows. The
+      // gate runs it in the exact regime (40 distinct keys ≤ capacity
+      // 64 ⇒ zero decrements ⇒ estimates ARE the counts and max_err
+      // is 0); the inexact-regime n/(k+1) bound is spec-proven
+      val keyed = Cdc.walEvents(s, dir).select(
+        concat(col("event_type"), lit("#"),
+          pmod(col("user_id"), lit(8)).cast("string")).as("k"))
+      keyed
+        .agg(graft.functions.MisraGriesAgg.freq_agg(col("k"), 64).as("fa"))
+        .select(explode(col("fa.items")).as("item"),
+          col("fa.dec").as("max_err"), col("fa.n").as("n_rows"))
+        .select(col("item.key").as("key"), col("item.est").as("est"),
+          col("max_err"), col("n_rows"))
+        .orderBy(col("est").desc, col("key"))
+    }),
+
+    "events_asap_smooth" -> ((s, dir) =>
+      // asap_smooth hyperfunction analog (ASAP, VLDB'17): hourly
+      // densified per-type series, candidate moving windows, winner =
+      // argmin integer roughness (telescoped diffs, wide-int squares);
+      // everything past the first agg is dashboard-sized
+      ops.EventAnalytics.asapSmooth(Cdc.walEvents(s, dir))
+        .orderBy(col("event_type"), col("hour"))),
+
+    "events_m4" -> ((s, dir) =>
+      // M4 downsample (VLDB'14): first/last/min/max per equal-count
+      // bucket — the pixel-exact line-rendering reduction; one window
+      // pass + one partial agg of four champions
+      ops.EventAnalytics.m4Downsample(Cdc.walEvents(s, dir), nBuckets = 40)
+        .orderBy(col("event_type"), col("bucket"))),
+
     "q_asof_join" -> ((s, dir) => {
       Cdc.asofLastOrder(Cdc.walEvents(s, dir), Tables.orders(s, dir))
         .orderBy(col("event_id"))
@@ -5026,6 +5060,95 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |       AS BIGINT) AS n_resets,
         |  COUNT(*) AS n
         |FROM lagged GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // freq_agg twin: the gate keys (type × user_id%8 = 40 distinct) fit
+    // the capacity-64 summary, so Misra–Gries is EXACT — estimates are
+    // plain group counts and the carried error bound is zero; a sketch
+    // that ever decremented would hash red on max_err
+    "events_freq_topn" ->
+      """WITH k AS (
+        |  SELECT event_type || '#' || CAST(user_id % 8 AS VARCHAR) AS key
+        |  FROM events),
+        |t AS (SELECT COUNT(*) AS n_rows FROM k)
+        |SELECT k.key, COUNT(*) AS est, CAST(0 AS BIGINT) AS max_err, t.n_rows
+        |FROM k, t GROUP BY k.key, t.n_rows
+        |ORDER BY est DESC, key""".stripMargin,
+
+    // asap twin: identical densified hourly series, one UNION branch per
+    // candidate window (SQL frames are literal), telescoped roughness in
+    // HUGEINT (Spark: decimal) — internal only, the hash covers the
+    // winning window's smoothed series
+    "events_asap_smooth" -> {
+      val branches = Seq(2, 3, 4, 6, 8, 12, 24).map { w =>
+        s"""  SELECT event_type, minh, $w AS w, hour,
+           |    CAST(sum(x) OVER (PARTITION BY event_type ORDER BY hour
+           |      ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+           |  FROM dense""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH wal AS (
+         |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour,
+         |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm
+         |  FROM events),
+         |b AS (SELECT event_type, hour, CAST(sum(vm) AS BIGINT) AS x
+         |      FROM wal GROUP BY 1, 2),
+         |bounds AS (SELECT event_type, min(hour) AS minh, max(hour) AS maxh
+         |           FROM b GROUP BY 1),
+         |dense0 AS (SELECT event_type, minh,
+         |             unnest(generate_series(minh, maxh)) AS hour FROM bounds),
+         |dense AS (SELECT d.event_type, d.minh, d.hour, coalesce(b.x, 0) AS x
+         |          FROM dense0 d LEFT JOIN b
+         |            ON b.event_type = d.event_type AND b.hour = d.hour),
+         |sm AS (
+         |$branches
+         |),
+         |v AS (SELECT * FROM sm WHERE hour >= minh + w - 1),
+         |d AS (SELECT event_type, minh, w, hour, s,
+         |        s - lag(s) OVER (PARTITION BY event_type, w
+         |          ORDER BY hour) AS dd FROM v),
+         |r AS (SELECT event_type, w, sum(CAST(dd AS HUGEINT) * dd) AS rough
+         |      FROM d WHERE hour >= minh + w GROUP BY 1, 2),
+         |win AS (SELECT event_type, w FROM r
+         |        QUALIFY row_number() OVER (PARTITION BY event_type
+         |          ORDER BY rough, w) = 1)
+         |SELECT v.event_type, v.w AS window_w, v.hour, v.s AS smoothed_milli
+         |FROM v JOIN win ON win.event_type = v.event_type AND win.w = v.w
+         |ORDER BY 1, 3""".stripMargin
+    },
+
+    // M4 twin: same rank buckets as the Spark side; four row_number
+    // champions per bucket (this DuckDB's arg_min can't order by a
+    // composite), value ties to the earliest point
+    "events_m4" ->
+      """WITH wal AS (
+        |  SELECT event_id AS lsn, event_type,
+        |    epoch_ns(ts) // 1000000 AS ts_ms,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events),
+        |rk AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts_ms, lsn) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM wal),
+        |bk AS (SELECT *, (rn - 1) * 40 // n AS bucket FROM rk),
+        |c AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY ts_ms, lsn) AS rf,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY ts_ms DESC, lsn DESC) AS rl,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY v, ts_ms, lsn) AS rmin,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY v DESC, ts_ms, lsn) AS rmax
+        |  FROM bk)
+        |SELECT event_type, bucket, COUNT(*) AS n_pts,
+        |  max(CASE WHEN rf = 1 THEN ts_ms END) AS first_ts,
+        |  max(CASE WHEN rf = 1 THEN v END) AS first_v,
+        |  max(CASE WHEN rl = 1 THEN ts_ms END) AS last_ts,
+        |  max(CASE WHEN rl = 1 THEN v END) AS last_v,
+        |  max(CASE WHEN rmin = 1 THEN ts_ms END) AS min_ts,
+        |  max(CASE WHEN rmin = 1 THEN v END) AS min_v,
+        |  max(CASE WHEN rmax = 1 THEN ts_ms END) AS max_ts,
+        |  max(CASE WHEN rmax = 1 THEN v END) AS max_v
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_asof_join" ->
       """SELECT e.event_id, e.user_id, MAX(epoch_ms(o.o_orderdate)) AS last_order_ms

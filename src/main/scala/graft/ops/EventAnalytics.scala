@@ -556,4 +556,111 @@ object EventAnalytics {
       .withColumn("downtime_ms",
         col("last_seen_ms") - col("first_seen_ms") + ttlMs - col("uptime_ms"))
   }
+
+  /** `asap_smooth` analog (TimescaleDB toolkit downsample; Rong &
+    * Bailis, "ASAP: Prioritizing Attention via Time Series Smoothing",
+    * VLDB 2017): smooth a per-type hourly series with the moving-average
+    * window that minimizes roughness — ASAP's core observation is that a
+    * window aligned to the series' seasonality removes the most visual
+    * noise, and argmin-roughness over a candidate grid finds it without
+    * an explicit autocorrelation pass.
+    *
+    * Integer-exact formulation: the series is the per-(type, hour) SUM
+    * of milli-values over a DENSIFIED hour axis (missing hours = 0), so
+    * the W-hour moving sum telescopes — `S_i − S_{i−1} = x_i − x_{i−W}`
+    * — and roughness(W) = Σ (S_i − S_{i−1})² is exact decimal arithmetic
+    * (the square of an hourly diff overflows Long at sf ≥ 0.1; both
+    * engines compute it in wide integers). The winner is the candidate
+    * with minimal roughness, ties to the SMALLER window (less smoothing
+    * when equal). Output: the winning window's full-frame smoothed
+    * series per type.
+    *
+    * Scale shape: everything after the first partial agg operates on the
+    * BUCKETED series (types × hours — dashboard-sized, not corpus-
+    * sized); the candidate sweep is a union of |W| window passes over
+    * that aggregate, and the bounds join is a broadcast. At 100 TB the
+    * corpus is read once, shuffled once (the hour agg); nothing
+    * downstream scales with row count.
+    */
+  def asapSmooth(wal: DataFrame,
+                 candidates: Seq[Int] = Seq(2, 3, 4, 6, 8, 12, 24)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(candidates.nonEmpty && candidates.forall(_ >= 2),
+      s"asap: candidate windows must be >= 2, got $candidates")
+    val buckets = wal
+      .groupBy(col("event_type"), expr("ts_ms div 3600000").as("hour"))
+      .agg(sum(expr("cast(floor(value * 1000 + 0.5) as bigint)")).as("x"))
+    val bounds = buckets.groupBy(col("event_type"))
+      .agg(min(col("hour")).as("minh"), max(col("hour")).as("maxh"))
+    // densify: the moving frame is W consecutive HOURS, not W present
+    // rows — a gap would silently widen the physical window
+    val dense = bounds
+      .select(col("event_type"), col("minh"),
+        explode(expr("sequence(minh, maxh)")).as("hour"))
+      .join(buckets, Seq("event_type", "hour"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    val swept = candidates.map { wdw =>
+      dense
+        .withColumn("w", lit(wdw))
+        .withColumn("s", sum(col("x")).over(
+          wOrd.rowsBetween(-(wdw - 1), Window.currentRow)))
+        .filter(col("hour") >= col("minh") + (wdw - 1)) // full frames only
+    }.reduce(_ unionByName _)
+    val wWin = Window.partitionBy(col("event_type"), col("w")).orderBy(col("hour"))
+    val diffed = swept
+      .withColumn("dd", col("s") - lag(col("s"), 1).over(wWin))
+    val rough = diffed
+      .filter(col("hour") >= col("minh") + col("w")) // both frames full
+      .groupBy(col("event_type"), col("w"))
+      .agg(sum(expr("cast(dd as decimal(18,0)) * cast(dd as decimal(18,0))"))
+        .as("rough"))
+    val winner = rough
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("rough"), col("w"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("w"))
+    swept.join(broadcast(winner), Seq("event_type", "w"))
+      .select(col("event_type"), col("w").as("window_w"),
+        col("hour"), col("s").as("smoothed_milli"))
+  }
+
+  /** M4 downsample (Jugel et al., "M4: A Visualization-Oriented Time
+    * Series Data Aggregation", VLDB 2014 — the min/max downsampling the
+    * toolkit ships beside `lttb`): per (type, rank-bucket), the FIRST,
+    * LAST, MIN and MAX points — the four rows that make a line render
+    * pixel-identical to the full series. Buckets are equal-COUNT on the
+    * (ts, lsn) total order, the same `(rn−1)·n_buckets div n` convention
+    * as [[lttbDownsample]]; value ties pick the earliest point.
+    * One window pass for ranks + one partial agg — no per-bucket state
+    * beyond four (value, ord) champions, mergeable by construction.
+    */
+  def m4Downsample(wal: DataFrame, nBuckets: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets >= 1, s"m4: nBuckets=$nBuckets must be >= 1")
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_ms"), col("lsn"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val pts = wal
+      .select(col("event_type"), col("ts_ms"), col("lsn"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("v"))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("bucket", expr(s"((__rn - 1) * $nBuckets) div __n"))
+    val ord = struct(col("ts_ms"), col("lsn"))
+    pts.groupBy(col("event_type"), col("bucket"))
+      .agg(
+        min_by(struct(col("ts_ms"), col("v")), ord).as("__first"),
+        max_by(struct(col("ts_ms"), col("v")), ord).as("__last"),
+        min_by(struct(col("v"), col("ts_ms"), col("lsn")),
+          struct(col("v"), col("ts_ms"), col("lsn"))).as("__min"),
+        max_by(struct(col("v"), col("ts_ms"), col("lsn")),
+          struct(col("v"), -col("ts_ms"), -col("lsn"))).as("__max"),
+        count(lit(1)).as("n_pts"))
+      .select(col("event_type"), col("bucket"), col("n_pts"),
+        col("__first.ts_ms").as("first_ts"), col("__first.v").as("first_v"),
+        col("__last.ts_ms").as("last_ts"), col("__last.v").as("last_v"),
+        col("__min.ts_ms").as("min_ts"), col("__min.v").as("min_v"),
+        col("__max.ts_ms").as("max_ts"), col("__max.v").as("max_v"))
+  }
 }

@@ -325,4 +325,126 @@ class EventAnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("uptime_ms")).toMap
     assert(again === got.view.mapValues(_.getAs[Long]("uptime_ms")).toMap)
   }
+
+  test("freq_agg: exact when distinct <= capacity — counts, zero dec, partition-invariant") {
+    import spark.implicits._
+    import graft.functions.MisraGriesAgg.freq_agg
+    val rows = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(20)("c")
+    def run(parts: Int) = {
+      val df = rows.toDF("k").repartition(parts)
+      df.agg(freq_agg(col("k"), 8).as("fa"))
+        .select(col("fa.items").as("items"), col("fa.dec").as("dec"),
+          col("fa.n").as("n"))
+        .head
+    }
+    val r = run(1)
+    assert(r.getAs[Long]("dec") === 0L, "no decrement round may fire in the exact regime")
+    assert(r.getAs[Long]("n") === 100L)
+    val items = r.getSeq[org.apache.spark.sql.Row](0)
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(items === Seq(("a", 50L), ("b", 30L), ("c", 20L)),
+      "exact-regime estimates are the true counts, sorted (est desc, key)")
+    // byte-identical under any partitioning: merge order must not matter
+    assert(run(7) === r)
+    assert(run(32) === r)
+  }
+
+  test("freq_agg: inexact regime keeps the MG contract — est <= true <= est+dec, dec <= n/(k+1)") {
+    import spark.implicits._
+    import graft.functions.MisraGriesAgg.freq_agg
+    // one heavy key among 100 light ones, capacity 4: the table is
+    // forced to decrement constantly, but the heavy key must survive
+    // because true(heavy) > n/(k+1) >= dec
+    val truth = ("heavy" -> 500L) +: (0 until 100).map(i => s"f$i" -> 2L)
+    val rows = truth.flatMap { case (k, c) => Seq.fill(c.toInt)(k) }
+    val trueCounts = truth.toMap
+    val n = rows.size.toLong
+    for (parts <- Seq(1, 13)) {
+      val r = scala.util.Random.shuffle(rows).toDF("k").repartition(parts)
+        .agg(freq_agg(col("k"), 4).as("fa"))
+        .select(col("fa.items").as("items"), col("fa.dec").as("dec")).head
+      val dec = r.getAs[Long]("dec")
+      assert(dec <= n / 5, s"MG bound violated: dec=$dec > n/(k+1)=${n / 5}")
+      val items = r.getSeq[org.apache.spark.sql.Row](0)
+        .map(x => (x.getString(0), x.getLong(1)))
+      assert(items.size <= 4)
+      items.foreach { case (k, est) =>
+        val t = trueCounts(k)
+        assert(est <= t && t <= est + dec,
+          s"interval violated for $k: est=$est true=$t dec=$dec")
+      }
+      assert(items.exists(_._1 === "heavy"),
+        "a key with true count > dec is guaranteed present")
+    }
+  }
+
+  test("asap: periodic series picks the seasonal window (smallest on ties), ramp picks the narrowest") {
+    import spark.implicits._
+    // period-6 hourly pattern over 72h: every multiple-of-6 window has
+    // constant moving sums (roughness 0) — tie resolves to w=6; the
+    // smoothed series is the constant one-period sum
+    val periodic = (0 until 72).map(h =>
+      (h.toLong, "per", h.toLong * 3600000L, if (h % 6 == 5) 6.0 else 1.0))
+    // linear ramp: dd = c·w is constant per window, so roughness grows
+    // with w² — the narrowest candidate wins
+    val ramp = (0 until 72).map(h =>
+      (100L + h, "ramp", h.toLong * 3600000L, h.toDouble))
+    val wal = (periodic ++ ramp).toDF("lsn", "event_type", "ts_ms", "value")
+    val got = EventAnalytics.asapSmooth(wal)
+    val winners = got.select(col("event_type"), col("window_w")).distinct()
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(winners === Map("per" -> 6, "ramp" -> 2))
+    val perRows = got.filter(col("event_type") === "per")
+      .orderBy(col("hour")).collect()
+    assert(perRows.length === 72 - 5, "one full-frame row per hour >= minh+w-1")
+    assert(perRows.forall(_.getAs[Long]("smoothed_milli") === 11000L),
+      "period-aligned smoothing flattens the series to the period sum")
+    // partition invariance of the whole output
+    val again = EventAnalytics.asapSmooth(wal.repartition(17))
+      .orderBy(col("event_type"), col("hour")).collect().toSeq
+    assert(again === got.orderBy(col("event_type"), col("hour")).collect().toSeq)
+  }
+
+  test("asap: a missing hour densifies to zero, frames stay physical hours") {
+    import spark.implicits._
+    // hours 0..10 with hour 5 absent: the densified axis still spans
+    // 11 hours, so every candidate window w emits span-w+1 full frames
+    val wal = (0 to 10).filter(_ != 5).map(h =>
+      (h.toLong, "g", h.toLong * 3600000L, 1.0)).toDF("lsn", "event_type", "ts_ms", "value")
+    val got = EventAnalytics.asapSmooth(wal, candidates = Seq(2, 3))
+    val w = got.select(col("window_w")).head.getInt(0)
+    assert(got.count() === 11 - w + 1)
+    // the frames crossing the gap sum one fewer contributing point
+    val byHour = got.collect().map(r =>
+      r.getAs[Long]("hour") -> r.getAs[Long]("smoothed_milli")).toMap
+    assert(byHour.values.min === (w - 1) * 1000L)
+    assert(byHour.values.max === w * 1000L)
+  }
+
+  test("m4: champions are exact per rank-bucket, value ties pick the earliest point") {
+    import spark.implicits._
+    val wal = Seq(
+      // bucket 0 (rn 1..3): first=(t10,5), last=(t30,1), min=(t30,1), max @5 tie → earliest t10
+      (1L, "a", 10L, 0.05), (2L, "a", 20L, 0.05), (3L, "a", 30L, 0.01),
+      // bucket 1 (rn 4..6): monotone rise
+      (4L, "a", 40L, 0.02), (5L, "a", 50L, 0.07), (6L, "a", 60L, 0.09))
+      .toDF("lsn", "event_type", "ts_ms", "value")
+    val got = EventAnalytics.m4Downsample(wal, nBuckets = 2)
+      .orderBy(col("bucket")).collect()
+    assert(got.length === 2)
+    val b0 = got(0)
+    assert(b0.getAs[Long]("n_pts") === 3L)
+    assert(b0.getAs[Long]("first_ts") === 10L && b0.getAs[Long]("first_v") === 5L)
+    assert(b0.getAs[Long]("last_ts") === 30L && b0.getAs[Long]("last_v") === 1L)
+    assert(b0.getAs[Long]("min_ts") === 30L && b0.getAs[Long]("min_v") === 1L)
+    assert(b0.getAs[Long]("max_ts") === 10L && b0.getAs[Long]("max_v") === 5L,
+      "equal maxima must resolve to the earliest point")
+    val b1 = got(1)
+    assert(b1.getAs[Long]("min_v") === 2L && b1.getAs[Long]("max_v") === 9L)
+    assert(b1.getAs[Long]("first_ts") === 40L && b1.getAs[Long]("last_ts") === 60L)
+    // invariant under repartition
+    val again = EventAnalytics.m4Downsample(wal.repartition(5), nBuckets = 2)
+      .orderBy(col("bucket")).collect().toSeq
+    assert(again === got.toSeq)
+  }
 }

@@ -68,6 +68,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming freq_agg summary equals the exact batch counts (mergeable MG state)") {
+    import org.apache.spark.sql.functions.{col, concat, lit, pmod}
+    // the Misra–Gries buffer serializes into the streaming state store
+    // between micro-batches and merges by the Mergeable-Summaries rule;
+    // in the exact regime (40 keys ≤ capacity 64) the result must be
+    // byte-identical to one batch pass, whatever the batch boundaries
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.select(
+      concat(col("event_type"), lit("#"),
+        pmod(col("user_id"), lit(8)).cast("string")).as("k"))
+    val q = keyed(StreamPipeline.walStream(spark, sf001))
+      .agg(graft.functions.MisraGriesAgg.freq_agg(col("k"), 64).as("fa"))
+      .writeStream.format("memory").queryName("freq_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish within the timeout")
+    val streamed = spark.sql(
+      "SELECT fa.items AS items, fa.dec AS dec, fa.n AS n FROM freq_stream").head
+    val batch = keyed(graft.cdc.Cdc.walEvents(spark, sf001))
+      .agg(graft.functions.MisraGriesAgg.freq_agg(col("k"), 64).as("fa"))
+      .select(col("fa.items").as("items"), col("fa.dec").as("dec"),
+        col("fa.n").as("n")).head
+    assert(streamed === batch)
+    assert(streamed.getAs[Long]("dec") === 0L)
+    assert(streamed.getSeq[org.apache.spark.sql.Row](0).size === 40)
+  }
+
   test("session_window streaming sessions agree with batch sessionize") {
     val q = StreamPipeline.sessionizedStream(spark, sf001)
       .writeStream.format("memory").queryName("sess_stream")
