@@ -2792,6 +2792,42 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       ops.EventAnalytics.m4Downsample(Cdc.walEvents(s, dir), nBuckets = 40)
         .orderBy(col("event_type"), col("bucket"))),
 
+    "events_hll_rollup" -> ((s, dir) => {
+      // hyperloglog + rollup() hyperfunction contract: per-day
+      // DataSketches HLL sketches union to the per-type range estimate
+      // (register-max merge — order/partitioning-invariant), instead of
+      // re-scanning the range. The gate emits the EXACT distincts (SQL-
+      // checkable) plus 5%-bound booleans for the rollup and direct
+      // estimates (~3×RSE at lgK=12 and deterministic — the sketch hash
+      // is fixed, so the comparison is stable at every SF, exact below
+      // the coupon threshold). Exact distincts aggregate in their own
+      // frames: a distinct agg mixed with the TypedImperative sketch agg
+      // would force the slow sort-based fallback (see q_quantiles_approx)
+      val wal = Cdc.walEvents(s, dir)
+      val daySk = wal.groupBy(col("event_type"), col("chunk_day"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      val rolled = daySk.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_rollup"),
+          count(lit(1)).as("n_days"))
+      val direct = wal.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est_direct"))
+      val dayExact = wal.groupBy(col("event_type"), col("chunk_day"))
+        .agg(count_distinct(col("user_id")).as("day_users"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("day_users")).as("sum_day_users"))
+      val allExact = wal.groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("exact_users"))
+      rolled.join(direct, "event_type").join(dayExact, "event_type")
+        .join(allExact, "event_type")
+        .select(col("event_type"), col("n_days"), col("exact_users"),
+          col("sum_day_users"),
+          (abs(col("est_rollup") - col("exact_users")) * 20 <=
+            col("exact_users")).as("rollup_within_5pct"),
+          (abs(col("est_direct") - col("exact_users")) * 20 <=
+            col("exact_users")).as("direct_within_5pct"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_asof_join" -> ((s, dir) => {
       Cdc.asofLastOrder(Cdc.walEvents(s, dir), Tables.orders(s, dir))
         .orderBy(col("event_id"))
@@ -5149,6 +5185,27 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |  max(CASE WHEN rmax = 1 THEN ts_ms END) AS max_ts,
         |  max(CASE WHEN rmax = 1 THEN v END) AS max_v
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // HLL-rollup twin: the oracle states the exact distincts and asserts
+    // the sketch estimates (rollup-of-day-sketches AND direct) land
+    // inside the 5% bound — a drifting or wrongly-merged sketch flips
+    // the booleans and hashes red
+    "events_hll_rollup" ->
+      """WITH wal AS (
+        |  SELECT event_type, user_id,
+        |    epoch_ns(ts) // 86400000000000 - 19723 AS chunk_day
+        |  FROM events),
+        |d AS (SELECT event_type, chunk_day,
+        |        COUNT(DISTINCT user_id) AS day_users
+        |      FROM wal GROUP BY 1, 2)
+        |SELECT w.event_type,
+        |  (SELECT COUNT(*) FROM d WHERE d.event_type = w.event_type) AS n_days,
+        |  COUNT(DISTINCT w.user_id) AS exact_users,
+        |  (SELECT CAST(SUM(day_users) AS BIGINT) FROM d
+        |    WHERE d.event_type = w.event_type) AS sum_day_users,
+        |  true AS rollup_within_5pct,
+        |  true AS direct_within_5pct
+        |FROM wal w GROUP BY w.event_type ORDER BY w.event_type""".stripMargin,
 
     "q_asof_join" ->
       """SELECT e.event_id, e.user_id, MAX(epoch_ms(o.o_orderdate)) AS last_order_ms

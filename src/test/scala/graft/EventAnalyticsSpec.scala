@@ -447,4 +447,26 @@ class EventAnalyticsSpec extends SparkSpec {
       .orderBy(col("bucket")).collect().toSeq
     assert(again === got.toSeq)
   }
+
+  test("hll rollup contract: union of part-sketches estimates like the direct sketch") {
+    import spark.implicits._
+    // the union estimate is NOT bit-equal to the direct sketch's (the
+    // DataSketches union gadget re-targets HLL_8 and re-estimates), but
+    // both must land within the lgK=12 error bound of the truth — the
+    // same 5% gate the driver query hashes on
+    val df = (0 until 2000).map(i => (i % 4, s"u$i")).toDF("part", "k")
+    val direct = df.agg(expr("hll_sketch_estimate(hll_sketch_agg(k))")).head.getLong(0)
+    val rolled = df.groupBy(col("part")).agg(expr("hll_sketch_agg(k)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")).head.getLong(0)
+    assert(math.abs(direct - 2000L) * 20 <= 2000L, s"direct $direct outside 5% of 2000")
+    assert(math.abs(rolled - 2000L) * 20 <= 2000L, s"rollup $rolled outside 5% of 2000")
+    // below the coupon threshold the sketch is exact
+    val small = (0 until 100).map(i => s"s$i").toDF("k")
+    assert(small.agg(expr("hll_sketch_estimate(hll_sketch_agg(k))")).head.getLong(0) === 100L)
+    // and the whole path is partitioning-invariant (fixed hash)
+    val reparted = df.repartition(13).groupBy(col("part"))
+      .agg(expr("hll_sketch_agg(k)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")).head.getLong(0)
+    assert(reparted === rolled)
+  }
 }
