@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{FloatVecDot, FloatVecNorm2, FnvHash64, NGramsJoin,
-  PolyAt, PolyIn, PolyLen, PolySlice, UnicodeNormalize}
+import graft.functions.{CmsEstimate, FloatVecDot, FloatVecNorm2, FnvHash64,
+  NGramsJoin, PolyAt, PolyIn, PolyLen, PolySlice, UnicodeNormalize}
 
 /** SparkSessionExtensions hook — registers the engine's custom Catalyst
   * expressions as SQL functions so `spark.sql("SELECT vec_dot(a, b) …")`
@@ -60,6 +60,9 @@ object GraftExtensions {
         }
         NGramsJoin(children(0), n)
       }),
+    (FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (children: Seq[Expression]) => CmsEstimate(children(0), children(1))),
     (FunctionIdentifier("unicode_normalize"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
       (children: Seq[Expression]) => {

@@ -2792,6 +2792,28 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       ops.EventAnalytics.m4Downsample(Cdc.walEvents(s, dir), nBuckets = 40)
         .orderBy(col("event_type"), col("bucket"))),
 
+    "events_cms_heavy" -> ((s, dir) => {
+      // count_min_sketch + in-plan decode: Spark ships the CMS aggregate
+      // but no SQL read-back — cms_estimate (custom expression) probes
+      // the broadcast one-row sketch per key on the executors. Gate:
+      // the CMS contract booleans (est ≥ true; est ≤ true + ε·N with
+      // the fixed seed ⇒ deterministic at every SF) hash alongside the
+      // exact counts
+      val wal = Cdc.walEvents(s, dir)
+      val sketch = wal.agg(
+        expr("count_min_sketch(user_id, 0.0005d, 0.99d, 42)").as("cms"),
+        count(lit(1)).as("n_rows"))
+      val exact = wal.groupBy(col("user_id")).agg(count(lit(1)).as("true_cnt"))
+      val est = graft.functions.CmsEstimate.cms_estimate(col("cms"), col("user_id"))
+      exact.crossJoin(broadcast(sketch))
+        .select(col("user_id"), col("true_cnt"), col("n_rows"),
+          (est >= col("true_cnt")).as("never_undercounts"),
+          // ceil(n / 2000) = ε·N at ε = 0.0005; integer div, not `/`
+          (est <= col("true_cnt") + expr("(n_rows + 1999) div 2000"))
+            .as("within_eps_n"))
+        .orderBy(col("user_id"))
+    }),
+
     "events_hll_rollup" -> ((s, dir) => {
       // hyperloglog + rollup() hyperfunction contract: per-day
       // DataSketches HLL sketches union to the per-type range estimate
@@ -5185,6 +5207,17 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |  max(CASE WHEN rmax = 1 THEN ts_ms END) AS max_ts,
         |  max(CASE WHEN rmax = 1 THEN v END) AS max_v
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // CMS twin: exact per-key counts + the contract booleans stated true
+    // — an estimate below truth (impossible for a correct CMS) or past
+    // ε·N (deterministic with the fixed seed) hashes red
+    "events_cms_heavy" ->
+      """WITH wal AS (SELECT user_id FROM events),
+        |t AS (SELECT COUNT(*) AS n_rows FROM wal)
+        |SELECT w.user_id, COUNT(*) AS true_cnt, t.n_rows,
+        |  true AS never_undercounts, true AS within_eps_n
+        |FROM wal w, t GROUP BY w.user_id, t.n_rows
+        |ORDER BY w.user_id""".stripMargin,
 
     // HLL-rollup twin: the oracle states the exact distincts and asserts
     // the sketch estimates (rollup-of-day-sketches AND direct) land

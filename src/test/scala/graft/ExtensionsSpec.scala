@@ -17,6 +17,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getLong(2) === 0xaf63dc4c8601ec8cL)
   }
 
+  test("cms_estimate decodes the count_min_sketch aggregate in-plan") {
+    GraftExtensions.registerTo(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col, count, expr, lit}
+    val df = (Seq.fill(50)(7L) ++ Seq.fill(30)(9L) ++ Seq.fill(20)(11L)).toDF("k")
+    val sketch = df.agg(
+      expr("count_min_sketch(k, 0.001d, 0.99d, 42)").as("cms"))
+    // probe the broadcast sketch per key — the distributed shape
+    val probes = df.groupBy(col("k")).agg(count(lit(1)).as("true_cnt"))
+      .crossJoin(broadcast(sketch))
+      .selectExpr("k", "true_cnt", "cms_estimate(cms, k) AS est")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    probes.foreach { case (k, (t, est)) =>
+      assert(est >= t, s"CMS undercounted key $k: est=$est true=$t")
+      assert(est <= t + 1, s"CMS overshot eps*N for key $k: est=$est true=$t")
+    }
+    // absent key estimates near zero (<= eps*N)
+    val absent = sketch.selectExpr("cms_estimate(cms, CAST(999 AS BIGINT))").head.getLong(0)
+    assert(absent <= 1)
+    // null propagates; wrong types rejected at analysis
+    assert(sketch.selectExpr("cms_estimate(cms, CAST(NULL AS BIGINT))").head.isNullAt(0))
+    val err = intercept[Exception](
+      sketch.selectExpr("cms_estimate(cms, 'notalong')").head)
+    assert(err.getMessage.toLowerCase.contains("bigint") ||
+      err.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
   test("ngrams_join is SQL-callable with a literal n; non-literal n rejected") {
     GraftExtensions.registerTo(spark)
     val r = spark.sql("SELECT ngrams_join(array('a', 'b', 'c'), 2) AS g").head
