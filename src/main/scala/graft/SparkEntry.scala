@@ -45,6 +45,54 @@ object SparkEntry {
   private def cents(c: Column): Column = floor(c * lit(100.0) + lit(0.5))
   private def centsSql(e: String): String = s"CAST(FLOOR(($e) * 100.0 + 0.5) AS BIGINT)"
 
+  /** Shared MinHash+LSH DuckDB twin: FNV-64a shingle hash fold, the
+    * 16-perm LCG family, 4-row banding, and the hot-bucket star-edge
+    * guard — parameterized by the unit CTE (must yield `tok(doc_id, t)`)
+    * so document- and paragraph-granularity gates replay ONE tail. */
+  private def minhashPairsSql(unitsCte: String): String =
+    ("""WITH UNITS_CTE,
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
+      |           x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS shingle
+      |       FROM tok WHERE len(t) >= 3),
+      |hv AS (SELECT doc_id,
+      |         list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      |           list_transform(range(1, length(shingle) + 1),
+      |             i -> ascii(substr(shingle, CAST(i AS INTEGER), 1)))),
+      |           (acc, c) -> (xor(acc, CAST(c AS HUGEINT)) * 1099511628211) % 18446744073709551616) AS hu
+      |       FROM sh),
+      |hb AS (SELECT doc_id,
+      |         CAST((((CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+      |                      THEN hu - CAST(18446744073709551616 AS HUGEINT) ELSE hu END)
+      |                % 2147483647 + 2147483647) % 2147483647) AS BIGINT) AS h
+      |       FROM hv),
+      |perm AS (SELECT i,
+      |           CAST(CASE WHEN ((6364136223846793005 * CAST(i AS HUGEINT) + 1442695040888963407) & 2147483647) = 0
+      |                     THEN 1
+      |                     ELSE ((6364136223846793005 * CAST(i AS HUGEINT) + 1442695040888963407) & 2147483647) END AS BIGINT) AS a,
+      |           CAST(((2862933555777941757 * CAST(i AS HUGEINT) + 3037000493) & 2147483647) AS BIGINT) AS b
+      |         FROM (SELECT unnest(range(1, 17)) AS i)),
+      |mh AS (SELECT doc_id, p.i AS i, min((h * p.a + p.b) % 2147483647) AS mh
+      |       FROM hb CROSS JOIN perm p GROUP BY doc_id, p.i),
+      |bd AS (SELECT doc_id, (i - 1) // 4 AS band,
+      |              array_to_string(list(CAST(mh AS VARCHAR) ORDER BY i), ',') AS bkey
+      |       FROM mh GROUP BY doc_id, (i - 1) // 4),
+      |bsz AS (SELECT doc_id, band, bkey,
+      |              count(*) OVER (PARTITION BY band, bkey) AS bc,
+      |              min(doc_id) OVER (PARTITION BY band, bkey) AS anchor
+      |        FROM bd)
+      |SELECT DISTINCT doc_a, doc_b FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM (SELECT doc_id, band, bkey FROM bsz WHERE bc <= MAXB) a
+      |  JOIN (SELECT doc_id, band, bkey FROM bsz WHERE bc <= MAXB) b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      |  UNION ALL
+      |  SELECT anchor AS doc_a, doc_id AS doc_b FROM bsz
+      |  WHERE bc > MAXB AND doc_id <> anchor)
+      |ORDER BY doc_a, doc_b""".stripMargin
+      .replace("MAXB", Dedup.DefaultMaxBucket.toString)
+      .replace("UNITS_CTE", unitsCte))
+
   /** Integer cents → decimal text `x.yy` — rendering decimals as text
     * without a float-to-string crossing engines (numrange/float8 text). */
   private def decimalCentsText(c: Column): Column = concat(
@@ -2871,6 +2919,18 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     //      association order is engine-defined) ----
     "dedup_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLshPairs(Tables.documents(s, dir)).orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "dedup_paragraph_minhash" -> ((s, dir) => {
+      // paragraph-granularity fuzzy dedup (the Dolma/RefinedWeb recipe:
+      // boilerplate repeats at paragraph level long before whole docs
+      // collide): 16-token chunk units re-keyed doc_id·1000+chunk_no,
+      // then the SAME MinHash+LSH stack — chunking is a narrow
+      // projection, so the scale shape is unchanged from doc-level
+      val units = TextAnalysis.chunk(Tables.documents(s, dir), width = 16, overlap = 0)
+        .select((col("doc_id") * 1000 + col("chunk_no")).as("doc_id"),
+          col("chunk_text").as("text"))
+      Dedup.minhashLshPairs(units).orderBy(col("doc_a"), col("doc_b"))
     }),
 
     "dedup_simhash" -> ((s, dir) => {
@@ -6841,47 +6901,21 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     // i64 low bits — truncation to 64 bits never changes low-31 bits),
     // per-band min-tuple keys, bucket self-join
     "dedup_minhash_lsh" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
-        |         unnest(list_transform(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
-        |           x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS shingle
-        |       FROM tok WHERE len(t) >= 3),
-        |hv AS (SELECT doc_id,
-        |         list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
-        |           list_transform(range(1, length(shingle) + 1),
-        |             i -> ascii(substr(shingle, CAST(i AS INTEGER), 1)))),
-        |           (acc, c) -> (xor(acc, CAST(c AS HUGEINT)) * 1099511628211) % 18446744073709551616) AS hu
-        |       FROM sh),
-        |hb AS (SELECT doc_id,
-        |         CAST((((CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
-        |                      THEN hu - CAST(18446744073709551616 AS HUGEINT) ELSE hu END)
-        |                % 2147483647 + 2147483647) % 2147483647) AS BIGINT) AS h
-        |       FROM hv),
-        |perm AS (SELECT i,
-        |           CAST(CASE WHEN ((6364136223846793005 * CAST(i AS HUGEINT) + 1442695040888963407) & 2147483647) = 0
-        |                     THEN 1
-        |                     ELSE ((6364136223846793005 * CAST(i AS HUGEINT) + 1442695040888963407) & 2147483647) END AS BIGINT) AS a,
-        |           CAST(((2862933555777941757 * CAST(i AS HUGEINT) + 3037000493) & 2147483647) AS BIGINT) AS b
-        |         FROM (SELECT unnest(range(1, 17)) AS i)),
-        |mh AS (SELECT doc_id, p.i AS i, min((h * p.a + p.b) % 2147483647) AS mh
-        |       FROM hb CROSS JOIN perm p GROUP BY doc_id, p.i),
-        |bd AS (SELECT doc_id, (i - 1) // 4 AS band,
-        |              array_to_string(list(CAST(mh AS VARCHAR) ORDER BY i), ',') AS bkey
-        |       FROM mh GROUP BY doc_id, (i - 1) // 4),
-        |bsz AS (SELECT doc_id, band, bkey,
-        |              count(*) OVER (PARTITION BY band, bkey) AS bc,
-        |              min(doc_id) OVER (PARTITION BY band, bkey) AS anchor
-        |        FROM bd)
-        |SELECT DISTINCT doc_a, doc_b FROM (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM (SELECT doc_id, band, bkey FROM bsz WHERE bc <= MAXB) a
-        |  JOIN (SELECT doc_id, band, bkey FROM bsz WHERE bc <= MAXB) b
-        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-        |  UNION ALL
-        |  SELECT anchor AS doc_a, doc_id AS doc_b FROM bsz
-        |  WHERE bc > MAXB AND doc_id <> anchor)
-        |ORDER BY doc_a, doc_b""".stripMargin
-        .replace("MAXB", Dedup.DefaultMaxBucket.toString),
+      minhashPairsSql("tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)"),
+
+    // paragraph-granularity twin: identical MinHash+LSH tail over
+    // 16-token chunk units re-keyed as doc_id*1000+chunk_no (same
+    // windows as TextAnalysis.chunk width=16 overlap=0)
+    "dedup_paragraph_minhash" ->
+      minhashPairsSql(
+        """tok0 AS (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents),
+          |st AS (SELECT doc_id, t0,
+          |         unnest(range(1, greatest(len(t0), 1) + 1, 16)) AS start
+          |       FROM tok0),
+          |tok AS (SELECT doc_id * 1000 + (start - 1) // 16 AS doc_id,
+          |          list_slice(t0, start, start + 15) AS t
+          |        FROM st)""".stripMargin),
+
 
     // full 64-bit SimHash twin: FNV-64a per token as a HUGEINT fold
     // (ascii-per-char = utf-8 bytes on this corpus), term-frequency bit

@@ -858,4 +858,27 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Long]("precision_ppm") < 1000000L)
     assert(r.getAs[Long]("recall_ppm") === 1000000L, "true pair shares 16/16 minhashes")
   }
+
+  test("paragraph-granularity minhash catches a shared paragraph doc-level LSH misses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // two long documents, unrelated except ONE identical 16-token
+    // paragraph (chunk 1 of each): doc-level signatures are dominated
+    // by the unrelated text, paragraph units collide exactly
+    val para = (1 to 16).map(i => s"boiler$i").mkString(" ")
+    val docs = Seq(
+      (1L, ((1 to 16).map(i => s"aaa$i").mkString(" ") + " " + para + " " +
+        (1 to 16).map(i => s"bbb$i").mkString(" "))),
+      (2L, ((1 to 16).map(i => s"ccc$i").mkString(" ") + " " + para + " " +
+        (1 to 16).map(i => s"ddd$i").mkString(" ")))).toDF("doc_id", "text")
+    assert(Dedup.minhashLshPairs(docs).count() === 0L,
+      "doc-level LSH must not fire on 1/3 overlap at 4-row banding")
+    val units = graft.ops.TextAnalysis.chunk(docs, width = 16, overlap = 0)
+      .select((col("doc_id") * 1000 + col("chunk_no")).as("doc_id"),
+        col("chunk_text").as("text"))
+    val pairs = Dedup.minhashLshPairs(units)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1001L, 2001L)),
+      "exactly the two shared-paragraph units (chunk 1 of each doc) collide")
+  }
 }
