@@ -3587,6 +3587,30 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       TextAnalysis.sourceOverlap(Tables.documents(s, dir), n = 3)
         .orderBy(col("source_a"), col("source_b"))),
 
+    "source_overlap_approx" -> ((s, dir) => {
+      // the 100 TB overlap path: HLL inclusion-exclusion per source
+      // pair — corpus read once into sketch states, no distinct, no
+      // gram self-join. Gate: exact sizes hash (gate-only arithmetic,
+      // same pairing as q_quantiles_approx) + deterministic bound
+      // booleans — 5% of the UNION absorbs the three compounded RSEs
+      val docs = Tables.documents(s, dir)
+      val approx = TextAnalysis.sourceOverlapApprox(docs, n = 3)
+      val exact = TextAnalysis.sourceOverlap(docs, n = 3)
+        .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+          col("n_common"))
+      approx.join(exact, Seq("source_a", "source_b"))
+        .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+          col("n_common"),
+          (abs(col("est_a") - col("n_a")) * 20 <= col("n_a"))
+            .as("a_within_5pct"),
+          (abs(col("est_b") - col("n_b")) * 20 <= col("n_b"))
+            .as("b_within_5pct"),
+          (abs(col("est_common") - col("n_common")) * 20 <=
+            col("n_a") + col("n_b") - col("n_common"))
+            .as("common_within_5pct_of_union"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     "text_script_profile" -> ((s, dir) => {
       // Unicode-script routing: the pre-model script detector
       TextAnalysis.scriptProfile(Tables.documents(s, dir))
@@ -8076,6 +8100,29 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
         |  CAST(i.n_common AS BIGINT) AS n_common,
         |  CAST(i.n_common * 1000000 // (sa.n + sb.n - i.n_common) AS BIGINT) AS jaccard_ppm
+        |FROM i JOIN sz sa ON sa.src = i.source_a
+        |  JOIN sz sb ON sb.src = i.source_b
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    // approx-overlap twin: the exact sizes restated + the bound booleans
+    // asserted true — a drifting sketch or broken inclusion-exclusion
+    // flips a boolean and hashes red
+    "source_overlap_approx" ->
+      """WITH sg AS (SELECT DISTINCT src, gram FROM (
+        |    SELECT source AS src,
+        |      unnest(list_distinct(list_transform(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
+        |        x -> x[1] || ' ' || x[2] || ' ' || x[3]))) AS gram
+        |    FROM (SELECT source, string_split(text, ' ') AS t FROM documents) z
+        |    WHERE len(t) >= 3)),
+        |sz AS (SELECT src, count(*) AS n FROM sg GROUP BY src),
+        |i AS (SELECT a.src AS source_a, b.src AS source_b, count(*) AS n_common
+        |      FROM sg a JOIN sg b ON a.gram = b.gram AND a.src < b.src
+        |      GROUP BY 1, 2)
+        |SELECT i.source_a, i.source_b,
+        |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+        |  CAST(i.n_common AS BIGINT) AS n_common,
+        |  true AS a_within_5pct, true AS b_within_5pct,
+        |  true AS common_within_5pct_of_union
         |FROM i JOIN sz sa ON sa.src = i.source_a
         |  JOIN sz sb ON sb.src = i.source_b
         |ORDER BY source_a, source_b""".stripMargin,

@@ -608,6 +608,36 @@ object TextAnalysis {
         expr("n_common * 1000000 div (n_a + n_b - n_common)").as("jaccard_ppm"))
   }
 
+  /** The 100 TB path of [[sourceOverlap]]: per-source HLL sketches of
+    * the distinct-gram sets, pairwise intersection by inclusion-
+    * exclusion — `|A∩B| ≈ est(A) + est(B) − est(A∪B)` with the union
+    * estimated from `hll_union` of the two sketches, NEVER from data.
+    * The exact operator's distinct + self-equi-join shuffles every
+    * (source, gram) pair twice; this one reads the corpus once into
+    * lgK=12 sketch states (map-side combined) and every pairwise step
+    * runs over the |sources|-row aggregate — the all-pairs join is
+    * source-cardinality², a dashboard-sized nested loop by design.
+    * Estimates are deterministic (fixed sketch hash) and each carries
+    * ~1.6% RSE; the inclusion-exclusion difference inherits the sum of
+    * the three errors, so gates should bound against the UNION size.
+    */
+  def sourceOverlapApprox(df: DataFrame, n: Int = 3, textCol: String = "text",
+                          groupCol: String = "source"): DataFrame = {
+    val sk = df.select(col(groupCol).as("src"),
+        explode(graft.functions.TextFunctions.ngrams_join(
+          split(col(textCol), " "), n)).as("gram"))
+      .groupBy(col("src"))
+      .agg(expr("hll_sketch_agg(gram)").as("sk"))
+    sk.as("a").join(sk.as("b"), col("a.src") < col("b.src"))
+      .select(col("a.src").as("source_a"), col("b.src").as("source_b"),
+        expr("cast(hll_sketch_estimate(a.sk) as bigint)").as("est_a"),
+        expr("cast(hll_sketch_estimate(b.sk) as bigint)").as("est_b"),
+        expr("cast(hll_sketch_estimate(hll_union(a.sk, b.sk)) as bigint)")
+          .as("est_union"))
+      .withColumn("est_common",
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+  }
+
   /** BM25-shaped keyword retrieval over the corpus: rank documents for a
     * fixed term set by `idf · tf-saturation · length-normalization` —
     * the retrieval primitive data curation uses (find docs matching an

@@ -574,6 +574,34 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("source overlap approx: sketch inclusion-exclusion recovers planted overlaps, partition-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // three sources: x and y share exactly the first 52 of their 102
+    // 3-grams (50-token shared prefix + 2 boundary grams), z is disjoint;
+    // coupon-regime sketches (hundreds of grams) estimate EXACTLY
+    val shared = (1 to 52).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      ("x", shared + " " + (1 to 52).map(i => s"x$i").mkString(" ")),
+      ("y", shared + " " + (1 to 52).map(i => s"y$i").mkString(" ")),
+      ("z", (1 to 104).map(i => s"z$i").mkString(" "))).toDF("source", "text")
+    val exact = graft.ops.TextAnalysis.sourceOverlap(docs, n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    val got = graft.ops.TextAnalysis.sourceOverlapApprox(docs, n = 3)
+      .orderBy(col("source_a"), col("source_b")).collect()
+    assert(got.length === 3, "approx emits every pair (zero-overlap included)")
+    val byPair = got.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    // coupon regime ⇒ per-sketch estimates exact ⇒ common exact too
+    assert(byPair(("x", "y"))._3 === exact(("x", "y")))
+    assert(byPair(("x", "z"))._3 === 0L)
+    assert(byPair(("y", "z"))._3 === 0L)
+    // deterministic under repartition (fixed sketch hash)
+    val again = graft.ops.TextAnalysis.sourceOverlapApprox(docs.repartition(7), n = 3)
+      .orderBy(col("source_a"), col("source_b")).collect().toSeq
+    assert(again === got.toSeq)
+  }
+
   test("source divergence: identical-to-blend is 0, disjoint half is exactly 500000 ppm") {
     import spark.implicits._
     // A emits only 'x', B only 'y', equal mass → blend is 50/50 and each
