@@ -108,7 +108,11 @@ object Bench {
       "cdc_pgoutput_decode", "cdc_envelope_json", "events_candlestick",
       "events_heartbeat", "events_hdr_quantiles",
       "events_time_weighted_interp", "sample_kcenter",
-      "cdc_pgoutput_envelope")
+      "cdc_pgoutput_envelope",
+      // closing-r9 families: sketch aggregates + paragraph dedup
+      "events_freq_topn", "events_asap_smooth", "events_m4",
+      "events_hll_rollup", "events_cms_heavy", "dedup_paragraph_minhash",
+      "source_overlap_approx")
     val head = results.filter(r => headline(r._1))
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"n_ok":$nOk,"queries":${qmap(head)},"errors":$errs,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()

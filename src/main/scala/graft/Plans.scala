@@ -37,7 +37,12 @@ object Plans {
     "cdc_envelope_json" -> "one from_json per JSON column (not one parse per field); the parse-back projection stays in one codegen span",
     "events_hdr_quantiles" -> "sketch collapses to ≤64 rows/group in the partial agg; windows + quantile explode run over sketch-sized data",
     "text_boilerplate_remove" -> "chunk df as an unordered window count: one pass over the chunked corpus, one shuffle on the chunk key",
-    "cdc_pgoutput_envelope" -> "wire bytes → flatMap decode → ONE codegen'd projection renders before (old tuple) + after (TOAST keys omitted) + source; no shuffle before the gate sort")
+    "cdc_pgoutput_envelope" -> "wire bytes → flatMap decode → ONE codegen'd projection renders before (old tuple) + after (TOAST keys omitted) + source; no shuffle before the gate sort",
+    // closing round 9: sketch aggregates + paragraph dedup
+    "events_freq_topn" -> "Misra–Gries TypedImperativeAggregate: ObjectHashAggregate partials shuffle ONE capacity-sized sketch state per partition, never rows",
+    "events_asap_smooth" -> "corpus read once into the hourly partial agg; the candidate-window sweep and winner join run over the dashboard-sized bucketed series (broadcast winner)",
+    "dedup_paragraph_minhash" -> "chunking is a narrow projection feeding the same banding equi-join — paragraph granularity adds zero shuffles over doc-level",
+    "source_overlap_approx" -> "per-source HLL sketch agg (map-side combined); the pairwise inclusion-exclusion is a |sources|-row nested loop, no gram self-join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
