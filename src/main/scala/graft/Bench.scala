@@ -83,6 +83,7 @@ object Bench {
     val headline = Set(
       "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
       "q_window_rank", "q_quantiles", "q_topk_orders", "q_asof_join",
+      "q_range_autobin",
       "q_rollup_revenue", "cdc_envelope", "cdc_multitable",
       "cdc_config_pipeline", "cdc_event_filter", "cdc_snapshot_fence",
       "cdc_txn_boundaries", "dedup_exact", "dedup_minhash_lsh",

@@ -22,6 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // bounded-levenshtein rewrite: natural `levenshtein(a,b) <= k`
     // filters become the banded O(k·n) form + an O(1) length guard
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBoundRule)
+    // interval-containment joins become binned equi-joins (opt-in via
+    // spark.graft.rangeJoin.binWidth) instead of nested-loop products
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinBinRule)
   }
 }
 
@@ -84,8 +87,10 @@ object GraftExtensions {
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(id.funcName, builder, "scala_udf")
     }
-    val extra = spark.experimental.extraOptimizations
-    if (!extra.contains(graft.plans.LevenshteinBoundRule))
-      spark.experimental.extraOptimizations = extra :+ graft.plans.LevenshteinBoundRule
+    Seq(graft.plans.LevenshteinBoundRule, graft.plans.RangeJoinBinRule).foreach { r =>
+      val extra = spark.experimental.extraOptimizations
+      if (!extra.contains(r))
+        spark.experimental.extraOptimizations = extra :+ r
+    }
   }
 }

@@ -2682,6 +2682,26 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("user_id"), col("sess_no"), col("purchase_lsn"))
     }),
 
+    "q_range_autobin" -> ((s, dir) => {
+      // the SAME containment join as q_interval_overlap, written the
+      // NAIVE declarative way (bare BETWEEN, no manual binning) —
+      // RangeJoinBinRule rewrites it into the binned equi-join at
+      // optimization time, so the nested-loop product never plans
+      GraftExtensions.registerTo(s)
+      s.conf.set("spark.graft.rangeJoin.binWidth", "3600000")
+      val wal = Cdc.walEvents(s, dir)
+      val sessions = Cdc.sessionize(wal)
+        .select(col("user_id"), col("sess_no").cast("long").as("sess_no"),
+          col("sess_start_ms"), col("sess_end_ms"))
+      val purchases = wal.filter(col("event_type") === "purchase")
+        .select(col("lsn").as("purchase_lsn"), col("ts_ms").as("pt_ms"))
+      purchases
+        .join(sessions,
+          col("pt_ms") >= col("sess_start_ms") && col("pt_ms") <= col("sess_end_ms"))
+        .select(col("user_id"), col("sess_no"), col("purchase_lsn"), col("pt_ms"))
+        .orderBy(col("user_id"), col("sess_no"), col("purchase_lsn"))
+    }),
+
     "events_funnel" -> ((s, dir) =>
       // strict-order view→click→purchase funnel, converting within 7
       // days of entry; greedy earliest-chain per user, nulls where the
@@ -4806,6 +4826,30 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     // (DuckDB's IEJoin handles it natively — the binning is Spark-side
     // physical strategy, invisible in the result)
     "q_interval_overlap" ->
+      s"""WITH sess AS (
+         |  SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+         |    MIN(ts_ms) AS sess_start_ms, MAX(ts_ms) AS sess_end_ms
+         |  FROM (
+         |    SELECT user_id, ts_ms,
+         |      SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, lsn
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+         |    FROM (
+         |      SELECT user_id, event_id AS lsn, epoch_ns(ts) // 1000000 AS ts_ms,
+         |        CASE WHEN lag(epoch_ns(ts) // 1000000, 1) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000000, event_id) IS NULL
+         |               OR epoch_ns(ts) // 1000000 - lag(epoch_ns(ts) // 1000000, 1) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000000, event_id) > 3600000
+         |             THEN 1 ELSE 0 END AS new_sess
+         |      FROM events) a) b
+         |  GROUP BY user_id, sess_no),
+         |p AS (SELECT event_id AS purchase_lsn, epoch_ns(ts) // 1000000 AS pt_ms
+         |      FROM events WHERE event_type = 'purchase')
+         |SELECT s.user_id, s.sess_no, p.purchase_lsn, p.pt_ms
+         |FROM sess s JOIN p ON p.pt_ms BETWEEN s.sess_start_ms AND s.sess_end_ms
+         |ORDER BY s.user_id, s.sess_no, p.purchase_lsn""".stripMargin,
+
+    // identical semantics to q_interval_overlap — the Spark side differs
+    // only in HOW the plan is produced (optimizer rewrite vs manual
+    // binning), which the twin result must not see
+    "q_range_autobin" ->
       s"""WITH sess AS (
          |  SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
          |    MIN(ts_ms) AS sess_start_ms, MAX(ts_ms) AS sess_end_ms
