@@ -2820,6 +2820,12 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
           loMicros = 100000000L, hiMicros = 900000000L, nBuckets = 10)
         .orderBy(col("event_type"), col("bucket"))),
 
+    "events_counter_increase" -> ((s, dir) =>
+      // Prometheus-convention extrapolated increase per (type, day):
+      // exact integer accumulator, fixed-order double extrapolation
+      ops.EventAnalytics.counterIncreaseExtrapolated(Cdc.walEvents(s, dir))
+        .orderBy(col("event_type"), col("chunk_day"))),
+
     "events_counter_delta" -> ((s, dir) =>
       // counter_agg delta() with reset handling (drop ⇒ restart),
       // integer milli-values, one per-key window
@@ -5230,6 +5236,60 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
 
     // counter-delta twin: lag() diffs, resets contribute whole
+    // extrapolation twin: the integer accumulator CTEs mirror the Spark
+    // agg exactly; the double ladder is TEXTUALLY the same expressions
+    // in the same order, so both engines execute the identical IEEE
+    // sequence before the micro floor
+    "events_counter_increase" ->
+      """WITH wal AS (
+        |  SELECT event_id AS lsn, event_type,
+        |    CAST(epoch_ns(ts) // 86400000000000 - 19723 AS INT) AS chunk_day,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_milli,
+        |    epoch_ns(ts) // 1000000 AS ts_ms
+        |  FROM events),
+        |lagged AS (SELECT *, lag(v_milli, 1) OVER (
+        |    PARTITION BY event_type, chunk_day
+        |    ORDER BY ts_ms * 1000000 + lsn) AS prev FROM wal),
+        |agg AS (SELECT event_type, chunk_day,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN prev IS NOT NULL AND v_milli < prev THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_resets,
+        |  CAST(SUM(CASE WHEN prev IS NULL THEN 0
+        |       WHEN v_milli >= prev THEN v_milli - prev
+        |       ELSE v_milli END) AS BIGINT) AS delta_milli,
+        |  MIN(ts_ms) AS first_ts, MAX(ts_ms) AS last_ts,
+        |  arg_min(v_milli, ts_ms * 1000000 + lsn) AS v_first
+        |  FROM lagged GROUP BY event_type, chunk_day),
+        |b AS (SELECT *,
+        |  (CAST(chunk_day AS BIGINT) + 19723) * 86400000 AS range_start,
+        |  (CAST(chunk_day AS BIGINT) + 19723) * 86400000 + 86400000 AS range_end
+        |  FROM agg),
+        |d1 AS (SELECT *,
+        |  CAST(last_ts - first_ts AS DOUBLE) AS sampled_d,
+        |  CASE WHEN n >= 2 THEN CAST(last_ts - first_ts AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+        |       ELSE 0.0 END AS avg_d,
+        |  CAST(first_ts - range_start AS DOUBLE) AS to_start0_d,
+        |  CAST(range_end - last_ts AS DOUBLE) AS to_end_d
+        |  FROM b),
+        |d2 AS (SELECT *,
+        |  CASE WHEN delta_milli > 0 AND v_first >= 0
+        |    THEN sampled_d * (CAST(v_first AS DOUBLE) / CAST(delta_milli AS DOUBLE))
+        |    ELSE to_start0_d END AS to_zero_d
+        |  FROM d1),
+        |d3 AS (SELECT *, LEAST(to_start0_d, to_zero_d) AS to_start_d FROM d2),
+        |d4 AS (SELECT *,
+        |  sampled_d
+        |    + (CASE WHEN to_start_d < avg_d * 1.1 THEN to_start_d ELSE avg_d / 2.0 END)
+        |    + (CASE WHEN to_end_d < avg_d * 1.1 THEN to_end_d ELSE avg_d / 2.0 END)
+        |    AS extrap_d
+        |  FROM d3)
+        |SELECT event_type, chunk_day, n, n_resets, delta_milli,
+        |  CASE WHEN n >= 2 AND last_ts > first_ts
+        |    THEN CAST(FLOOR(CAST(delta_milli AS DOUBLE) * (extrap_d / sampled_d)
+        |                    * 1000.0 + 0.5) AS BIGINT)
+        |    ELSE NULL END AS increase_micro
+        |FROM d4 ORDER BY event_type, chunk_day""".stripMargin,
+
     "events_counter_delta" ->
       """WITH wal AS (
         |  SELECT event_id AS lsn, user_id,

@@ -332,6 +332,76 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** TimescaleDB `counter_agg` → `extrapolated_delta('prometheus')`
+    * analog: per (type, day bucket), the reset-adjusted counter increase
+    * EXTRAPOLATED to the bucket bounds the way Prometheus' `increase`
+    * does (promql extrapolatedRate): observed delta scaled by how far
+    * the bucket edges extend past the first/last samples — but never
+    * further than 1.1× the average sample spacing on each edge (beyond
+    * that, half a spacing), and never past the counter's implied zero
+    * crossing (`sampled · v_first/delta`).
+    *
+    * Exactness strategy: the ACCUMULATOR (n, n_resets, delta_milli,
+    * first/last ts, v_first) is integer-exact; the extrapolation factor
+    * then runs in DOUBLE with a FIXED operation order — each
+    * intermediate is its own column, so the DuckDB twin can evaluate the
+    * byte-identical expression text and land on the same IEEE result —
+    * and floors to micro units. Buckets with <2 samples (or zero span)
+    * yield NULL: no rate is defined there (Prometheus drops them too).
+    * One window shuffle on (type, day), then a partial agg — same cost
+    * shape as [[counterDelta]].
+    */
+  def counterIncreaseExtrapolated(wal: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"), col("chunk_day"))
+      .orderBy(expr("ts_ms * 1000000 + lsn"))
+    wal
+      .withColumn("v_milli", expr("cast(floor(value * 1000 + 0.5) as bigint)"))
+      .withColumn("prev", lag(col("v_milli"), 1).over(w))
+      .groupBy(col("event_type"), col("chunk_day"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("prev").isNotNull && col("v_milli") < col("prev"), 1L)
+          .otherwise(0L)).as("n_resets"),
+        // telescopes to v_last - v_first + Σ(pre-reset levels): the
+        // exact quantity Prometheus extrapolates
+        sum(when(col("prev").isNull, 0L)
+          .when(col("v_milli") >= col("prev"), col("v_milli") - col("prev"))
+          .otherwise(col("v_milli"))).as("delta_milli"),
+        min(col("ts_ms")).as("first_ts"),
+        max(col("ts_ms")).as("last_ts"),
+        min_by(col("v_milli"), expr("ts_ms * 1000000 + lsn")).as("v_first"))
+      .withColumn("range_start", expr(
+        s"(cast(chunk_day as bigint) + ${graft.cdc.Cdc.EpochDay20240101}) * 86400000"))
+      .withColumn("range_end", expr("range_start + 86400000"))
+      // ---- the double-math ladder: ONE definition per intermediate,
+      // mirrored textually by the oracle twin ----
+      .withColumn("sampled_d", expr("CAST(last_ts - first_ts AS DOUBLE)"))
+      // n=1 guarded HERE, not just at the output: ANSI mode raises on
+      // the double division even though the final CASE would mask it
+      .withColumn("avg_d", expr(
+        "CASE WHEN n >= 2 THEN sampled_d / CAST(n - 1 AS DOUBLE) ELSE 0.0 END"))
+      .withColumn("to_start0_d", expr("CAST(first_ts - range_start AS DOUBLE)"))
+      .withColumn("to_end_d", expr("CAST(range_end - last_ts AS DOUBLE)"))
+      .withColumn("to_zero_d", expr(
+        """CASE WHEN delta_milli > 0 AND v_first >= 0
+          |  THEN sampled_d * (CAST(v_first AS DOUBLE) / CAST(delta_milli AS DOUBLE))
+          |  ELSE to_start0_d END""".stripMargin))
+      .withColumn("to_start_d", expr("LEAST(to_start0_d, to_zero_d)"))
+      .withColumn("extrap_d", expr(
+        """sampled_d
+          |  + (CASE WHEN to_start_d < avg_d * 1.1 THEN to_start_d ELSE avg_d / 2.0 END)
+          |  + (CASE WHEN to_end_d < avg_d * 1.1 THEN to_end_d ELSE avg_d / 2.0 END)"""
+          .stripMargin))
+      .withColumn("increase_micro", expr(
+        """CASE WHEN n >= 2 AND last_ts > first_ts
+          |  THEN CAST(FLOOR(CAST(delta_milli AS DOUBLE) * (extrap_d / sampled_d)
+          |                  * 1000.0 + 0.5) AS BIGINT)
+          |  ELSE NULL END""".stripMargin))
+      .select(col("event_type"), col("chunk_day"), col("n"), col("n_resets"),
+        col("delta_milli"), col("increase_micro"))
+  }
+
   /** TimescaleDB `counter_agg` → `delta()` analog: per key, the counter
     * increase over the stream with RESET handling — a drop between
     * consecutive readings means the counter restarted, so the new

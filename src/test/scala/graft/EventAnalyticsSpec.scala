@@ -135,6 +135,33 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("n") === 4L)
   }
 
+  test("counterIncreaseExtrapolated: hand-computed Prometheus extrapolation") {
+    import spark.implicits._
+    // chunk_day 0 → range [19723·86400000, +1d). Samples at 1/4, 1/2,
+    // 3/4 of the day, counter 0→10→20 (delta 20000 milli, no resets).
+    // sampled = 12h, avg spacing = 6h; both edge gaps are 6h ≥ 1.1·avg?
+    // 6h < 6.6h → extrapolate fully to the edges, EXCEPT the start side
+    // is capped by the zero crossing: v_first=0 → to_zero=0, so only the
+    // end gap extends. extrap = 12h + 0 + 6h = 18h → factor 1.5.
+    val day0 = 19723L * 86400000L
+    val wal = Seq(
+      (1L, "A", 0, 0.0,  day0 + 21600000L),
+      (2L, "A", 0, 10.0, day0 + 43200000L),
+      (3L, "A", 0, 20.0, day0 + 64800000L)
+    ).toDF("lsn", "event_type", "chunk_day", "value", "ts_ms")
+    val r = ops.EventAnalytics.counterIncreaseExtrapolated(wal).head()
+    assert(r.getAs[Long]("n") === 3L)
+    assert(r.getAs[Long]("n_resets") === 0L)
+    assert(r.getAs[Long]("delta_milli") === 20000L)
+    assert(r.getAs[Long]("increase_micro") === 30000000L,
+      "20000 milli · 1.5 extrapolation = 30000 milli = 3·10⁷ micro")
+    // single-sample bucket: no rate is defined
+    val one = Seq((1L, "A", 0, 5.0, day0 + 100L))
+      .toDF("lsn", "event_type", "chunk_day", "value", "ts_ms")
+    assert(ops.EventAnalytics.counterIncreaseExtrapolated(one)
+      .head().isNullAt(5))
+  }
+
   test("statsAgg: hand-computed accumulator and slope on a perfect line") {
     import spark.implicits._
     // perfect line y_milli = 2000·x over minutes 0,1,2:
