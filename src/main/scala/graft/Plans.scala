@@ -42,7 +42,9 @@ object Plans {
     "events_freq_topn" -> "Misra–Gries TypedImperativeAggregate: ObjectHashAggregate partials shuffle ONE capacity-sized sketch state per partition, never rows",
     "events_asap_smooth" -> "corpus read once into the hourly partial agg; the candidate-window sweep and winner join run over the dashboard-sized bucketed series (broadcast winner)",
     "dedup_paragraph_minhash" -> "chunking is a narrow projection feeding the same banding equi-join — paragraph granularity adds zero shuffles over doc-level",
-    "source_overlap_approx" -> "per-source HLL sketch agg (map-side combined); the pairwise inclusion-exclusion is a |sources|-row nested loop, no gram self-join")
+    "source_overlap_approx" -> "per-source HLL sketch agg (map-side combined); the pairwise inclusion-exclusion is a |sources|-row nested loop, no gram self-join",
+    // round-9 continuation: the optimizer-rewritten range join
+    "q_range_autobin" -> "the NAIVE `pt BETWEEN lo AND hi` join: RangeJoinBinRule turns the would-be BroadcastNestedLoopJoin into Generate(explode bins) + a hash equi-join on the bin with the BETWEEN residual")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
