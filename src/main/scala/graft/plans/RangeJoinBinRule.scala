@@ -157,13 +157,20 @@ object RangeJoinBinRule extends Rule[LogicalPlan] with PredicateHelper {
             // Sequence is TimeZoneAwareExpression: it stays UNRESOLVED
             // until the zone is bound (normally the analyzer's
             // ResolveTimeZone does this; optimizer-injected nodes must
-            // bind it themselves)
+            // bind it themselves).
+            // An EMPTY interval (lo > hi) matches no point in the naive
+            // join but would make sequence() THROW (start > stop with
+            // step 1) — filter those rows out before the Generate. NULL
+            // bounds need no guard: null-input sequence yields null,
+            // which explode skips, matching BETWEEN-null's no-match.
+            val nonEmpty = org.apache.spark.sql.catalyst.plans.logical.Filter(
+              LessThanOrEqual(loBin, hiBin), if (ptOnLeft) right else left)
             val gen = Generate(
               Explode(new Sequence(guarded, hiBin, Some(Literal(1L, LongType)),
                 Some(conf.sessionLocalTimeZone))),
               unrequiredChildIndex = Nil, outer = false, qualifier = None,
               generatorOutput = Seq(binAttr),
-              child = if (ptOnLeft) right else left)
+              child = nonEmpty)
             val ptSide = if (ptOnLeft) left else right
             val prj = Project(ptSide.output :+ ptBin, ptSide)
             val newCond = And(EqualTo(ptBin.toAttribute, binAttr), cond)

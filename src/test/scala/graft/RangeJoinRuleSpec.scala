@@ -103,6 +103,35 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("property: rule on/off agree for arbitrary data, widths, and signs") {
+    import spark.implicits._
+    GraftExtensions.registerTo(spark)
+    val rnd = new scala.util.Random(42)
+    (0 until 5).foreach { trial =>
+      // negative points/bounds included: integer `div` rounds toward
+      // negative infinity differently than `/` — the bin must still
+      // cover every qualifying pair
+      val pts = (0 until 200).map(i =>
+        (i.toLong, rnd.nextLong(4000) - 2000L)).toDF("p_id", "pt")
+      // every 5th interval EMPTY (lo > hi): the naive join drops it;
+      // the rewrite must too, not throw on sequence(start > stop)
+      val ivs = (0 until 40).map { i =>
+        val lo = rnd.nextLong(4000) - 2000L
+        val hi = if (i % 5 == 0) lo - 1 - rnd.nextLong(100) else lo + rnd.nextLong(300)
+        (i.toLong, lo, hi)
+      }.toDF("i_id", "lo", "hi")
+      def q = pts.join(ivs, col("pt") >= col("lo") && col("pt") <= col("hi"))
+        .select(col("p_id"), col("i_id"))
+      val expected = q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      Seq(1L, 7L, 250L, 100000L).foreach { w =>
+        val got = withBinWidth(w) {
+          q.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        }
+        assert(got === expected, s"trial=$trial width=$w")
+      }
+    }
+  }
+
   test("idempotent: one Generate, one equi join, applied once") {
     withBinWidth(32) {
       val plan = naive.queryExecution.optimizedPlan.toString()
