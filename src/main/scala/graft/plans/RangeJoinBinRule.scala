@@ -132,8 +132,11 @@ object RangeJoinBinRule extends Rule[LogicalPlan] with PredicateHelper {
     val maxBins = conf.getConfString(MaxBinsKey, "10000").toLong
 
     plan.transformUp {
+      // batch only: a streaming range join has its own state-store
+      // machinery keyed on watermarks — a Generate under it would
+      // detach the event-time column lineage the planner relies on
       case j @ Join(left, right, Inner, Some(cond), hint)
-          if j.resolved && cond.deterministic => {
+          if j.resolved && cond.deterministic && !j.isStreaming => {
         val conjuncts = splitConjunctivePredicates(cond)
         if (hasEquiKey(conjuncts, left, right)) j
         else containmentTriple(conjuncts, left, right) match {
