@@ -2734,6 +2734,15 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       ops.EventAnalytics.gapfillLocf(Cdc.walEvents(s, dir))
         .orderBy(col("event_type"), col("chunk_day"))),
 
+    "events_gapfill_interp" -> ((s, dir) =>
+      // gapfill → interpolate(): a deterministic outage mask (every
+      // third (day+typelen) slot dropped) creates REAL gaps, so the
+      // linear branch is exercised, not just the observed-day passthrough
+      ops.EventAnalytics.gapfillInterpolate(
+          Cdc.walEvents(s, dir)
+            .filter(expr("(chunk_day + length(event_type)) % 3 != 0")))
+        .orderBy(col("event_type"), col("chunk_day"))),
+
     "events_candlestick" -> ((s, dir) =>
       // candlestick_agg: OHLC + volume + integer VWAP per (type, day),
       // open/close by the ts·10⁶+lsn order, mergeable accumulators
@@ -2819,6 +2828,12 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       ops.EventAnalytics.valueHistogram(Cdc.walEvents(s, dir),
           loMicros = 100000000L, hiMicros = 900000000L, nBuckets = 10)
         .orderBy(col("event_type"), col("bucket"))),
+
+    "events_instant_rate" -> ((s, dir) =>
+      // gauge idelta + counter irate from the final sample pair per
+      // series — both conventions from one window pass
+      ops.EventAnalytics.instantRate(Cdc.walEvents(s, dir))
+        .orderBy(col("event_type"))),
 
     "events_counter_increase" -> ((s, dir) =>
       // Prometheus-convention extrapolated increase per (type, day):
@@ -5065,6 +5080,52 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |    AS value_locf
         |FROM filled ORDER BY event_type, chunk_day""".stripMargin,
 
+    // interpolate twin: same masked wal, same grid, anchors via
+    // IGNORE-NULLS windows; the linear blend is the TEXTUALLY identical
+    // double expression (fixed IEEE order), rounded half-up to milli
+    "events_gapfill_interp" ->
+      """WITH wal AS (
+        |  SELECT event_id AS lsn, event_type, value,
+        |    epoch_ns(ts) // 1000000 AS ts_ms,
+        |    epoch_ns(ts) // 86400000000000 - 19723 AS chunk_day
+        |  FROM events
+        |  WHERE (epoch_ns(ts) // 86400000000000 - 19723 + length(event_type)) % 3 != 0),
+        |daily AS (SELECT event_type, chunk_day,
+        |    arg_max(CAST(floor(value * 1000 + 0.5) AS BIGINT),
+        |            ts_ms * 1000000 + lsn) AS day_last_milli,
+        |    COUNT(*) AS n
+        |  FROM wal GROUP BY 1, 2),
+        |r AS (SELECT min(chunk_day) AS lo, max(chunk_day) AS hi FROM wal),
+        |grid AS (SELECT t.event_type, g.d AS chunk_day
+        |  FROM (SELECT DISTINCT event_type FROM wal) t
+        |  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM r),
+        |                                            (SELECT hi FROM r))) AS d) g),
+        |filled AS (SELECT g.event_type, g.chunk_day,
+        |    COALESCE(d.n, 0) AS n, d.day_last_milli
+        |  FROM grid g LEFT JOIN daily d USING (event_type, chunk_day)),
+        |anch AS (SELECT *,
+        |  last_value(day_last_milli IGNORE NULLS) OVER wprev AS v_prev,
+        |  last_value(CASE WHEN day_last_milli IS NOT NULL THEN chunk_day END
+        |             IGNORE NULLS) OVER wprev AS d_prev,
+        |  first_value(day_last_milli IGNORE NULLS) OVER wnext AS v_next,
+        |  first_value(CASE WHEN day_last_milli IS NOT NULL THEN chunk_day END
+        |              IGNORE NULLS) OVER wnext AS d_next
+        |  FROM filled
+        |  WINDOW wprev AS (PARTITION BY event_type ORDER BY chunk_day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wnext AS (PARTITION BY event_type ORDER BY chunk_day
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, chunk_day, n,
+        |  CASE
+        |    WHEN day_last_milli IS NOT NULL THEN day_last_milli
+        |    WHEN v_prev IS NOT NULL AND v_next IS NOT NULL THEN
+        |      CAST(FLOOR(CAST(v_prev AS DOUBLE)
+        |        + (CAST(v_next AS DOUBLE) - CAST(v_prev AS DOUBLE))
+        |          * (CAST(chunk_day - d_prev AS DOUBLE)
+        |             / CAST(d_next - d_prev AS DOUBLE)) + 0.5) AS BIGINT)
+        |    ELSE NULL END AS value_interp_milli
+        |FROM anch ORDER BY event_type, chunk_day""".stripMargin,
+
     // attribution twin: plain interval self-join on the ms integers
     "events_attribution" ->
       """WITH wal AS (SELECT event_id AS lsn, user_id, event_type,
@@ -5236,6 +5297,38 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
 
     // counter-delta twin: lag() diffs, resets contribute whole
+    // instant-rate twin: QUALIFY row_number()=1 picks the same final
+    // pair; the division is the identical fixed-order double expression
+    "events_instant_rate" ->
+      """WITH wal AS (
+        |  SELECT event_id AS lsn, event_type,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_milli,
+        |    epoch_ns(ts) // 1000000 AS ts_ms
+        |  FROM events),
+        |lagged AS (SELECT *,
+        |    lag(v_milli, 1) OVER w AS prev_v, lag(ts_ms, 1) OVER w AS prev_ts
+        |  FROM wal WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY ts_ms * 1000000 + lsn)),
+        |lastpair AS (SELECT * FROM lagged WHERE prev_ts IS NOT NULL
+        |  QUALIFY row_number() OVER (PARTITION BY event_type
+        |    ORDER BY ts_ms * 1000000 + lsn DESC) = 1),
+        |d AS (SELECT event_type,
+        |    v_milli - prev_v AS idelta_milli,
+        |    ts_ms - prev_ts AS dt_ms,
+        |    CASE WHEN v_milli >= prev_v THEN v_milli - prev_v
+        |         ELSE v_milli END AS counter_idelta_milli
+        |  FROM lastpair)
+        |SELECT event_type, idelta_milli, dt_ms, counter_idelta_milli,
+        |  CASE WHEN dt_ms > 0 THEN
+        |    CAST(FLOOR(CAST(idelta_milli AS DOUBLE) / CAST(dt_ms AS DOUBLE)
+        |               * 1000000.0 + 0.5) AS BIGINT)
+        |  ELSE NULL END AS irate_micro,
+        |  CASE WHEN dt_ms > 0 THEN
+        |    CAST(FLOOR(CAST(counter_idelta_milli AS DOUBLE) / CAST(dt_ms AS DOUBLE)
+        |               * 1000000.0 + 0.5) AS BIGINT)
+        |  ELSE NULL END AS counter_irate_micro
+        |FROM d ORDER BY event_type""".stripMargin,
+
     // extrapolation twin: the integer accumulator CTEs mirror the Spark
     // agg exactly; the double ladder is TEXTUALLY the same expressions
     // in the same order, so both engines execute the identical IEEE

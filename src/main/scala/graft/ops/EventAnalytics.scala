@@ -143,6 +143,60 @@ object EventAnalytics {
           .as("value_locf"))
   }
 
+  /** `time_bucket_gapfill` → `interpolate()` analog: the LINEAR twin of
+    * [[gapfillLocf]]. Missing days take the straight line between the
+    * last observed day before and the first observed day after
+    * (`v_prev + (v_next − v_prev) · (d − d_prev)/(d_next − d_prev)`);
+    * days outside the observed range stay NULL — the toolkit's
+    * `interpolate()` contract (LOCF extends forward, interpolation
+    * cannot invent a slope past the last sample).
+    *
+    * Integer-exactness: per-day anchor values are exact milli ints
+    * (`max_by` last-of-day); the interpolation division runs in DOUBLE
+    * with a fixed operation order mirrored textually by the oracle twin
+    * and rounds half-up to milli. Two window passes over the (type-)
+    * partitioned day grid — same shuffle shape as gapfillLocf; the day
+    * grid is |types|×|days| rows, a dashboard-sized frame even at 100 TB
+    * of raw events (the heavy agg happened in the daily rollup).
+    */
+  def gapfillInterpolate(wal: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = wal.groupBy(col("event_type"), col("chunk_day"))
+      .agg(max_by(expr("cast(floor(value * 1000 + 0.5) as bigint)"),
+        expr("ts_ms * 1000000 + lsn")).as("day_last_milli"),
+        count(lit(1)).as("n"))
+    val range = wal.agg(min(col("chunk_day")).as("lo"), max(col("chunk_day")).as("hi"))
+    val grid = wal.select(col("event_type")).distinct()
+      .crossJoin(broadcast(range))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("chunk_day"))
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("chunk_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("event_type")).orderBy(col("chunk_day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(daily, Seq("event_type", "chunk_day"), "left")
+      .select(col("event_type"), col("chunk_day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("day_last_milli"),
+        last(col("day_last_milli"), ignoreNulls = true).over(wPrev).as("v_prev"),
+        last(when(col("day_last_milli").isNotNull, col("chunk_day")),
+          ignoreNulls = true).over(wPrev).as("d_prev"),
+        first(col("day_last_milli"), ignoreNulls = true).over(wNext).as("v_next"),
+        first(when(col("day_last_milli").isNotNull, col("chunk_day")),
+          ignoreNulls = true).over(wNext).as("d_next"))
+      .withColumn("value_interp_milli", expr(
+        """CASE
+          |  WHEN day_last_milli IS NOT NULL THEN day_last_milli
+          |  WHEN v_prev IS NOT NULL AND v_next IS NOT NULL THEN
+          |    CAST(FLOOR(CAST(v_prev AS DOUBLE)
+          |      + (CAST(v_next AS DOUBLE) - CAST(v_prev AS DOUBLE))
+          |        * (CAST(chunk_day - d_prev AS DOUBLE)
+          |           / CAST(d_next - d_prev AS DOUBLE)) + 0.5) AS BIGINT)
+          |  ELSE NULL END""".stripMargin))
+      .select(col("event_type"), col("chunk_day"), col("n"),
+        col("value_interp_milli"))
+  }
+
   /** TimescaleDB `time_weight('LOCF', …)` analog per (type, day bucket):
     * each observation's value holds until the next one, so the
     * time-weighted integral over the bucket's OBSERVED span is
@@ -330,6 +384,47 @@ object EventAnalytics {
             s"cast((vm - $loMicros) * $nBuckets div ($hiMicros - $loMicros) as int)")))
       .groupBy(col("event_type"), col("bucket"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** `gauge_agg → idelta_right` / PromQL `idelta`/`irate` analog: the
+    * INSTANT rate from the last two samples per series — the "what is it
+    * doing right now" accessor, vs [[counterIncreaseExtrapolated]]'s
+    * whole-bucket view. Emits both conventions from the same pair:
+    * gauge idelta (signed, no reset logic) and counter irate
+    * (a drop reads as a restart, so the new value counts whole).
+    * Integer-exact deltas; the per-second rates divide in DOUBLE with a
+    * fixed order and floor to micro-units/s. Series with one sample drop
+    * out (no pair exists); a zero time step yields NULL rates.
+    * One window shuffle on the series key, then a 1-row-per-key agg.
+    */
+  def instantRate(wal: DataFrame, keyCol: String = "event_type"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(expr("ts_ms * 1000000 + lsn"))
+    wal
+      .withColumn("v_milli", expr("cast(floor(value * 1000 + 0.5) as bigint)"))
+      .withColumn("prev_v", lag(col("v_milli"), 1).over(w))
+      .withColumn("prev_ts", lag(col("ts_ms"), 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(max_by(
+        struct(col("v_milli"), col("prev_v"), col("ts_ms"), col("prev_ts")),
+        expr("ts_ms * 1000000 + lsn")).as("lastPair"))
+      .select(col(keyCol),
+        expr("lastPair.v_milli - lastPair.prev_v").as("idelta_milli"),
+        expr("lastPair.ts_ms - lastPair.prev_ts").as("dt_ms"),
+        expr("""CASE WHEN lastPair.v_milli >= lastPair.prev_v
+                |  THEN lastPair.v_milli - lastPair.prev_v
+                |  ELSE lastPair.v_milli END""".stripMargin).as("counter_idelta_milli"))
+      .withColumn("irate_micro", expr(
+        """CASE WHEN dt_ms > 0 THEN
+          |  CAST(FLOOR(CAST(idelta_milli AS DOUBLE) / CAST(dt_ms AS DOUBLE)
+          |             * 1000000.0 + 0.5) AS BIGINT)
+          |ELSE NULL END""".stripMargin))
+      .withColumn("counter_irate_micro", expr(
+        """CASE WHEN dt_ms > 0 THEN
+          |  CAST(FLOOR(CAST(counter_idelta_milli AS DOUBLE) / CAST(dt_ms AS DOUBLE)
+          |             * 1000000.0 + 0.5) AS BIGINT)
+          |ELSE NULL END""".stripMargin))
   }
 
   /** TimescaleDB `counter_agg` → `extrapolated_delta('prometheus')`

@@ -135,6 +135,49 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("n") === 4L)
   }
 
+  test("gapfillInterpolate: linear mid-gap, passthrough observed, NULL edges") {
+    import spark.implicits._
+    // type A observed on days 1 and 4 (10.0 → 40.0): days 2,3 interpolate
+    // to 20000/30000 milli; type B observed only on day 2 → its days
+    // 1/3/4 have one-sided anchors → NULL
+    val wal = Seq(
+      (1L, "A", 1, 10.0, 1000L), (2L, "A", 4, 40.0, 4000L),
+      (3L, "B", 2, 7.0, 2000L)
+    ).toDF("lsn", "event_type", "chunk_day", "value", "ts_ms")
+    val r = ops.EventAnalytics.gapfillInterpolate(wal)
+      .orderBy(col("event_type"), col("chunk_day")).collect()
+    assert(r.length === 8, "2 types x days 1..4")
+    val a = r.filter(_.getString(0) == "A").map(x =>
+      x.getInt(1) -> (if (x.isNullAt(3)) None else Some(x.getLong(3)))).toMap
+    assert(a(1) === Some(10000L) && a(4) === Some(40000L), "observed passthrough")
+    assert(a(2) === Some(20000L) && a(3) === Some(30000L), "linear fill")
+    val b = r.filter(_.getString(0) == "B").map(x =>
+      x.getInt(1) -> (if (x.isNullAt(3)) None else Some(x.getLong(3)))).toMap
+    assert(b(2) === Some(7000L))
+    assert(b(1).isEmpty && b(3).isEmpty && b(4).isEmpty,
+      "no slope past the observed range")
+  }
+
+  test("instantRate: final pair drives both conventions; reset splits them") {
+    import spark.implicits._
+    // series A: ...8.0 @t=1000 → 2.0 @t=3000 (a reset): gauge idelta
+    // -6000 milli over 2s → -3000 micro/s... wait, -6000/2000*1e6 —
+    // milli per ms × 1e6 = micro per s → -3_000_000. Counter convention:
+    // the drop restarts, so idelta = 2000 milli → +1_000_000 micro/s.
+    val wal = Seq(
+      (1L, "A", 5.0, 0L), (2L, "A", 8.0, 1000L), (3L, "A", 2.0, 3000L),
+      (9L, "ONE", 1.0, 0L) // single sample: no pair, drops out
+    ).toDF("lsn", "event_type", "value", "ts_ms")
+    val rows = ops.EventAnalytics.instantRate(wal).collect()
+    assert(rows.length === 1, "single-sample series dropped")
+    val r = rows.head
+    assert(r.getAs[Long]("idelta_milli") === -6000L)
+    assert(r.getAs[Long]("dt_ms") === 2000L)
+    assert(r.getAs[Long]("counter_idelta_milli") === 2000L)
+    assert(r.getAs[Long]("irate_micro") === -3000000L)
+    assert(r.getAs[Long]("counter_irate_micro") === 1000000L)
+  }
+
   test("counterIncreaseExtrapolated: hand-computed Prometheus extrapolation") {
     import spark.implicits._
     // chunk_day 0 → range [19723·86400000, +1d). Samples at 1/4, 1/2,
