@@ -5296,7 +5296,6 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |        CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm FROM events) z
         |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
 
-    // counter-delta twin: lag() diffs, resets contribute whole
     // instant-rate twin: QUALIFY row_number()=1 picks the same final
     // pair; the division is the identical fixed-order double expression
     "events_instant_rate" ->
@@ -5383,6 +5382,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |    ELSE NULL END AS increase_micro
         |FROM d4 ORDER BY event_type, chunk_day""".stripMargin,
 
+    // counter-delta twin: lag() diffs, resets contribute whole
     "events_counter_delta" ->
       """WITH wal AS (
         |  SELECT event_id AS lsn, user_id,

@@ -124,17 +124,24 @@ object EventAnalytics {
     * scalar; the LOCF window partitions by type — per-partition state
     * is the day count, never event volume.
     */
+  /** Dense (event_type × day) grid over the corpus' observed day range —
+    * the gapfill scaffold shared by [[gapfillLocf]] and
+    * [[gapfillInterpolate]]. |types|·|days| rows: dashboard-sized at any
+    * corpus scale (the min/max range rides as a broadcast 1-row agg). */
+  private def dayGrid(wal: DataFrame): DataFrame = {
+    val range = wal.agg(min(col("chunk_day")).as("lo"), max(col("chunk_day")).as("hi"))
+    wal.select(col("event_type")).distinct()
+      .crossJoin(broadcast(range))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("chunk_day"))
+  }
+
   def gapfillLocf(wal: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val daily = wal.groupBy(col("event_type"), col("chunk_day"))
       .agg(max_by(col("value"), expr("ts_ms * 1000000 + lsn")).as("day_last"),
         count(lit(1)).as("n"))
-    val range = wal.agg(min(col("chunk_day")).as("lo"), max(col("chunk_day")).as("hi"))
-    val grid = wal.select(col("event_type")).distinct()
-      .crossJoin(broadcast(range))
-      .select(col("event_type"),
-        explode(sequence(col("lo"), col("hi"))).as("chunk_day"))
-    grid.join(daily, Seq("event_type", "chunk_day"), "left")
+    dayGrid(wal).join(daily, Seq("event_type", "chunk_day"), "left")
       .select(col("event_type"), col("chunk_day"),
         coalesce(col("n"), lit(0L)).as("n"),
         last(col("day_last"), ignoreNulls = true).over(
@@ -165,16 +172,11 @@ object EventAnalytics {
       .agg(max_by(expr("cast(floor(value * 1000 + 0.5) as bigint)"),
         expr("ts_ms * 1000000 + lsn")).as("day_last_milli"),
         count(lit(1)).as("n"))
-    val range = wal.agg(min(col("chunk_day")).as("lo"), max(col("chunk_day")).as("hi"))
-    val grid = wal.select(col("event_type")).distinct()
-      .crossJoin(broadcast(range))
-      .select(col("event_type"),
-        explode(sequence(col("lo"), col("hi"))).as("chunk_day"))
     val wPrev = Window.partitionBy(col("event_type")).orderBy(col("chunk_day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wNext = Window.partitionBy(col("event_type")).orderBy(col("chunk_day"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    grid.join(daily, Seq("event_type", "chunk_day"), "left")
+    dayGrid(wal).join(daily, Seq("event_type", "chunk_day"), "left")
       .select(col("event_type"), col("chunk_day"),
         coalesce(col("n"), lit(0L)).as("n"),
         col("day_last_milli"),

@@ -160,10 +160,10 @@ class EventAnalyticsSpec extends SparkSpec {
 
   test("instantRate: final pair drives both conventions; reset splits them") {
     import spark.implicits._
-    // series A: ...8.0 @t=1000 → 2.0 @t=3000 (a reset): gauge idelta
-    // -6000 milli over 2s → -3000 micro/s... wait, -6000/2000*1e6 —
-    // milli per ms × 1e6 = micro per s → -3_000_000. Counter convention:
-    // the drop restarts, so idelta = 2000 milli → +1_000_000 micro/s.
+    // series A final pair: 8.0 @t=1000 → 2.0 @t=3000 (a reset).
+    // Gauge: idelta −6000 milli over 2000 ms; −6000/2000 × 10⁶ =
+    // −3_000_000 micro/s. Counter: the drop restarts, so idelta is the
+    // new level 2000 milli → +1_000_000 micro/s.
     val wal = Seq(
       (1L, "A", 5.0, 0L), (2L, "A", 8.0, 1000L), (3L, "A", 2.0, 3000L),
       (9L, "ONE", 1.0, 0L) // single sample: no pair, drops out
