@@ -166,6 +166,15 @@ object Replicator {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // reference startup order: validate the replication connection and
+    // identify the system BEFORE creating any pipeline state
+    // (streamer.go:57-71). Opt-in — the file harness has no walsender.
+    if (props.get("graft.wire.probe").contains("true")) {
+      val id = graft.streaming.ConfigPipeline.wireProbe(props)
+      System.err.println(s"[replicator] walsender identified: system=${
+        id.headOption.flatten.getOrElse("?")} xlogpos=${
+        id.lift(2).flatten.getOrElse("?")}")
+    }
     val ckptDefault = java.nio.file.Files.createTempDirectory("graft-replicator").toString
     val (query, _, _) = graft.streaming.ConfigPipeline
       .startWithControlPlane(spark, dir, props, ckptDefault)

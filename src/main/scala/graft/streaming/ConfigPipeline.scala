@@ -309,7 +309,11 @@ object ConfigPipeline {
     * URL. `postgresql.password`, when set, OVERRIDES any password
     * embedded in the connection string — the reference's precedence.
     * dbname falls back to the user name (the libpq rule pgx applies). */
-  def jdbcConnection(props: Map[String, String]): (String, String, String) = {
+  /** The parsed (host, port, dbname, user, password?) quintuple both
+    * dialers share — JDBC side channel and the [[graft.sources.PgWire]]
+    * replication probe must see the SAME address or a config typo
+    * passes one check and fails the other. */
+  def connectionParts(props: Map[String, String]): (String, Int, String, String, Option[String]) = {
     val conn = props.getOrElse("postgresql.connection", "host=localhost user=repl_user")
     val (host, port, dbOpt, userOpt, passOpt) =
       if (conn.startsWith("postgres://") || conn.startsWith("postgresql://")) {
@@ -327,10 +331,29 @@ object ConfigPipeline {
          kv.get("dbname"), kv.get("user"), kv.get("password"))
       }
     val user = userOpt.getOrElse("")
-    val db = dbOpt.orElse(userOpt).getOrElse("")
+    (host, port, dbOpt.orElse(userOpt).getOrElse(""), user, passOpt)
+  }
+
+  def jdbcConnection(props: Map[String, String]): (String, String, String) = {
+    val (host, port, db, user, passOpt) = connectionParts(props)
     val password = props.get("postgresql.password").filter(_.nonEmpty)
       .orElse(passOpt).getOrElse("")
     (s"jdbc:postgresql://$host:$port/$db", user, password)
+  }
+
+  /** Startup connection validation over the REPLICATION protocol — the
+    * reference connects and identifies the system before streaming
+    * (`internal/streamer.go:57-71` via pgx; `replicationcontext.go`
+    * IdentifySystem). Opt-in (`graft.wire.probe=true`): this harness
+    * streams from files, so a live walsender is only present when the
+    * user points one at us. Returns the IDENTIFY_SYSTEM row; fails
+    * loudly (connect refusal, auth mismatch, server ErrorResponse)
+    * BEFORE any pipeline state is created. */
+  def wireProbe(props: Map[String, String]): Seq[Option[String]] = {
+    val (host, port, db, user, _) = connectionParts(props)
+    val client = new graft.sources.PgReplicationClient(host, port, user, db)
+    try { client.handshake(); client.identifySystem() }
+    finally client.close()
   }
 
   /** DOCUMENTED DEVIATION: the reference generates a RANDOM 20-char

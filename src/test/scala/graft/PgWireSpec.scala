@@ -181,6 +181,24 @@ class PgWireSpec extends AnyFunSuite {
     } finally c.close()
   }
 
+  test("wireProbe dials the postgresql.connection address, both DSN forms") {
+    val srv = new FakeWalsender()
+    val id = graft.streaming.ConfigPipeline.wireProbe(Map(
+      "postgresql.connection" -> s"host=127.0.0.1 port=${srv.port} user=rep dbname=events_db"))
+    assert(id.map(_.get) === Seq("7272727272", "1", "0/1000", "events_db"))
+    assert(srv.startupParams("user") === "rep")
+    assert(srv.startupParams("database") === "events_db")
+    val srv2 = new FakeWalsender()
+    val id2 = graft.streaming.ConfigPipeline.wireProbe(Map(
+      "postgresql.connection" -> s"postgres://rep@127.0.0.1:${srv2.port}/events_db"))
+    assert(id2.map(_.get).head === "7272727272")
+    // an unreachable walsender fails loudly before any pipeline state
+    intercept[java.io.IOException] {
+      graft.streaming.ConfigPipeline.wireProbe(Map(
+        "postgresql.connection" -> s"host=127.0.0.1 port=1 user=rep"))
+    }
+  }
+
   test("lsnText/parseLsn round-trip the X/Y hex form") {
     Seq(0L, 0x1000L, 0xABCDEF0012345678L, Long.MaxValue).foreach { l =>
       assert(PgWire.parseLsn(PgWire.lsnText(l)) === l)
