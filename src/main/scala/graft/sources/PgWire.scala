@@ -218,12 +218,14 @@ final class PgReplicationClient(host: String, port: Int, user: String,
     out.write(copyData(PgOutput.encodeStatusUpdate(ack))); out.flush()
   }
 
-  /** Pull the next decoded WAL message, transparently consuming
-    * keepalives (acking immediately when the server requests it — the
-    * `replicationhandler.go:163-177` contract). Returns None on a clean
-    * CopyDone. Each surfaced XLogData advances and ACKS the cursor to
-    * its end position — at-least-once, the reference's own guarantee. */
-  def next(): Option[(Long, PgOutput.PgMsg)] = {
+  /** Pull the next RAW XLogData payload (lsn, pgoutput message bytes),
+    * transparently consuming keepalives (acking immediately when the
+    * server requests it — the `replicationhandler.go:163-177`
+    * contract). Returns None on a clean CopyDone. Each surfaced frame
+    * advances and ACKS the cursor to its end position — at-least-once,
+    * the reference's own guarantee. The raw form feeds
+    * [[PgWireTailer]]'s segment writer; [[next]] decodes in place. */
+  def nextRaw(): Option[(Long, Array[Byte])] = {
     while (true) {
       val b = readBackend(in)
       b.tag match {
@@ -235,10 +237,9 @@ final class PgReplicationClient(host: String, port: Int, user: String,
               val lsn = bb.getLong
               bb.getLong; bb.getLong // walEnd, serverSendTime
               val msg = new Array[Byte](bb.remaining()); bb.get(msg)
-              val decoded = PgOutput.decode(msg)
               flushedLsn = math.max(flushedLsn, lsn + msg.length)
               sendStatus()
-              return Some((lsn, decoded))
+              return Some((lsn, msg))
             case 'k' =>
               val k = PgOutput.decodeKeepalive(b.payload)
               keepalivesSeen += 1
@@ -255,6 +256,10 @@ final class PgReplicationClient(host: String, port: Int, user: String,
     None // unreachable
   }
 
+  /** [[nextRaw]] + in-place decode. */
+  def next(): Option[(Long, PgOutput.PgMsg)] =
+    nextRaw().map { case (lsn, msg) => (lsn, PgOutput.decode(msg)) }
+
   /** Drain up to `max` messages (test/bounded-poll convenience). */
   def poll(max: Int): Seq[(Long, PgOutput.PgMsg)] = {
     val buf = scala.collection.mutable.ArrayBuffer[(Long, PgOutput.PgMsg)]()
@@ -269,5 +274,58 @@ final class PgReplicationClient(host: String, port: Int, user: String,
   override def close(): Unit = {
     try { out.write(PgWire.terminate); out.flush() } catch { case _: Throwable => }
     socket.close()
+  }
+}
+
+/** Socket → segment-parquet bridge: the Spark-native shape of a live
+  * replication feed. A slot is inherently a SINGLE-reader socket (the
+  * reference's loop is one goroutine for the same reason,
+  * `replicationhandler.go:115`); the scale move is to spool its frames
+  * into the bounded segment blobs [[graft.cdc.PgOutput.streamDecoded]]
+  * already consumes, so the DECODE fans out across executors and the
+  * downstream pipeline checkpoints file offsets exactly as with
+  * fixture data. The tailer itself is O(segment) memory and does no
+  * decoding — wire bytes pass through verbatim (writeFrame re-frames
+  * with the same 'w' layout, length-prefixed for the file format).
+  *
+  * Delivery: frames are acked as received (at-least-once into the
+  * spool); a crash between ack and parquet commit re-reads from the
+  * slot's restart LSN — duplicate frames carry duplicate LSNs, which
+  * the downstream envelope gate dedups exactly like WalSource restarts
+  * (dropDuplicatesWithinWatermark("lsn")).
+  */
+object PgWireTailer {
+
+  /** Drain `client` (already in COPY-BOTH mode) into `segmentsPath`,
+    * rotating a parquet file every `framesPerSegment` frames. Stops at
+    * CopyDone or after `maxSegments` rotations; flushes the partial
+    * tail segment either way. Returns the final flushed LSN — the
+    * cursor to hand the next session's START_REPLICATION. */
+  def tail(spark: org.apache.spark.sql.SparkSession, client: PgReplicationClient,
+           segmentsPath: String, framesPerSegment: Int = 1000,
+           maxSegments: Int = Int.MaxValue): Long = {
+    require(framesPerSegment > 0, "framesPerSegment must be positive")
+    var segment = 0L
+    var open = true
+    while (open && segment < maxSegments) {
+      val bos = new ByteArrayOutputStream()
+      val o = new DataOutputStream(bos)
+      var n = 0
+      var startLsn = -1L
+      while (n < framesPerSegment && open) client.nextRaw() match {
+        case Some((lsn, msg)) =>
+          if (startLsn < 0) startLsn = lsn
+          PgOutput.writeFrame(o, lsn, msg); n += 1
+        case None => open = false
+      }
+      if (n > 0) {
+        import scala.jdk.CollectionConverters._
+        val row = org.apache.spark.sql.Row(segment, startLsn, bos.toByteArray)
+        spark.createDataFrame(Seq(row).asJava, PgOutput.frameSchema)
+          .write.mode("append").parquet(segmentsPath)
+        segment += 1
+      }
+    }
+    client.flushedLsn
   }
 }

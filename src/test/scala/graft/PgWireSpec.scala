@@ -199,6 +199,31 @@ class PgWireSpec extends AnyFunSuite {
     }
   }
 
+  test("tailer: socket frames spool to segments the executor decode replays") {
+    val spark = SparkSpec.session
+    val srv = new FakeWalsender()
+    val dir = java.nio.file.Files.createTempDirectory("graft-wire-segments").toString
+    val c = new PgReplicationClient("127.0.0.1", srv.port, "rep", "events_db")
+    try {
+      c.handshake(); c.identifySystem()
+      c.startReplication("graft_slot", "graft_pub", 0L)
+      // 4 frames at 3/segment → one full + one tail rotation
+      val finalLsn = graft.sources.PgWireTailer.tail(spark, c, dir, framesPerSegment = 3)
+      assert(finalLsn >= 0x260L)
+      assert(srv.done.await(5, TimeUnit.SECONDS))
+      val segs = spark.read.schema(PgOutput.frameSchema).parquet(dir)
+      assert(segs.count() === 2L, "3+1 frames across two rotations")
+      // the SAME executor-side decode the fixture path uses replays the
+      // spooled wire bytes into typed WAL rows
+      val wal = PgOutput.decodeSegments(segs).collect()
+      val ins = wal.filter(_.op_wire == "I")
+      assert(ins.length === 1)
+      assert(ins.head.event_id === Some(4001L))
+      assert(ins.head.event_type === Some("click"))
+      assert(ins.head.user_id === Some(7L))
+    } finally c.close()
+  }
+
   test("lsnText/parseLsn round-trip the X/Y hex form") {
     Seq(0L, 0x1000L, 0xABCDEF0012345678L, Long.MaxValue).foreach { l =>
       assert(PgWire.parseLsn(PgWire.lsnText(l)) === l)
