@@ -82,6 +82,63 @@ object BenchStream {
       (n.get(), (System.nanoTime() - t0) / 1e9)
     }
 
+    // SOCKET phase: the same wire bytes served over a loopback v3
+    // CopyBoth session — PgReplicationClient + PgWireTailer spool them
+    // back into segment parquet (the live-slot ingestion chain,
+    // single-reader socket → distributed decode). The server passes the
+    // file-format inner frames through VERBATIM: the 'w'/'k' payloads
+    // are wire-identical by construction.
+    def runSocket(tag: String): (Long, Double) = {
+      import java.io.{DataInputStream, DataOutputStream}
+      val blobs = spark.read.schema(graft.cdc.PgOutput.frameSchema).parquet(segDir)
+        .orderBy("segment").collect().map(_.getAs[Array[Byte]]("data"))
+      val server = new java.net.ServerSocket(0)
+      val serverThread = new Thread(() => {
+        val s = server.accept()
+        val in = new DataInputStream(new java.io.BufferedInputStream(s.getInputStream))
+        val out = new DataOutputStream(new java.io.BufferedOutputStream(s.getOutputStream, 1 << 16))
+        def backend(t: Char, p: Array[Byte]): Unit = {
+          out.writeByte(t); out.writeInt(4 + p.length); out.write(p)
+        }
+        // startup
+        val len = in.readInt(); in.readFully(new Array[Byte](len - 4))
+        backend('R', Array[Byte](0, 0, 0, 0)); backend('Z', Array('I'.toByte)); out.flush()
+        // one query expected: START_REPLICATION (the bench skips IDENTIFY)
+        val qt = in.read(); require(qt == 'Q', s"expected Q, got $qt")
+        val ql = in.readInt(); in.readFully(new Array[Byte](ql - 4))
+        backend('W', Array[Byte](0, 0, 0)); out.flush()
+        blobs.foreach { blob =>
+          val bb = java.nio.ByteBuffer.wrap(blob)
+          while (bb.remaining() > 4) {
+            val flen = bb.getInt
+            val payload = new Array[Byte](flen); bb.get(payload)
+            out.writeByte('d'); out.writeInt(4 + payload.length); out.write(payload)
+          }
+        }
+        backend('c', Array.emptyByteArray); out.flush()
+        // drain the client's acks until it hangs up
+        try { while (in.read() >= 0) { val l = in.readInt(); in.readFully(new Array[Byte](l - 4)) } }
+        catch { case _: Exception => () }
+        s.close()
+      })
+      serverThread.setDaemon(true); serverThread.start()
+      val spoolDir = s"$ckpt/$tag/spool"
+      val t0 = System.nanoTime()
+      val c = new graft.sources.PgReplicationClient("127.0.0.1", server.getLocalPort,
+        "rep", "bench", ackEveryFrames = 1000)
+      val nFrames = try {
+        c.handshake()
+        c.startReplication("bench_slot", "bench_pub", 0L)
+        graft.sources.PgWireTailer.tail(spark, c, spoolDir, framesPerSegment = 100000)
+        // frames spooled = what the decode fans out over
+        graft.cdc.PgOutput.decodeSegments(
+          spark.read.schema(graft.cdc.PgOutput.frameSchema).parquet(spoolDir))
+          .filter(org.apache.spark.sql.functions.col("op_wire").isin("I", "U", "D"))
+          .count()
+      } finally { c.close(); server.close() }
+      (nFrames, (System.nanoTime() - t0) / 1e9)
+    }
+
     // cold pass pays session/codegen/JIT startup; the warm pass is the
     // steady-state number a long-lived CDC stream actually runs at —
     // report both, headline the warm rate (matching how the reference's
@@ -90,11 +147,15 @@ object BenchStream {
     val (nWarm, warmSecs) = runOnce("warm")
     val (nWireCold, wireColdSecs) = runWire("wire_cold")
     val (nWire, wireSecs) = runWire("wire_warm")
+    val (nSockCold, sockColdSecs) = runSocket("sock_cold")
+    val (nSock, sockSecs) = runSocket("sock_warm")
     val rate     = if (warmSecs > 0) nWarm / warmSecs else 0.0
     val coldRate = if (coldSecs > 0) nCold / coldSecs else 0.0
     val wireRate = if (wireSecs > 0) nWire / wireSecs else 0.0
     val wireColdRate = if (wireColdSecs > 0) nWireCold / wireColdSecs else 0.0
-    println(f"""{"metric":"stream_envelopes_per_sec","value":$rate%.1f,"unit":"events/sec","n_events":$nWarm,"wall_sec":$warmSecs%.2f,"cold_rate":$coldRate%.1f,"cold_wall_sec":$coldSecs%.2f,"wire_rate":$wireRate%.1f,"wire_n_events":$nWire,"wire_wall_sec":$wireSecs%.2f,"wire_cold_rate":$wireColdRate%.1f,"sf":"$sfDir"}""")
+    val sockRate = if (sockSecs > 0) nSock / sockSecs else 0.0
+    val sockColdRate = if (sockColdSecs > 0) nSockCold / sockColdSecs else 0.0
+    println(f"""{"metric":"stream_envelopes_per_sec","value":$rate%.1f,"unit":"events/sec","n_events":$nWarm,"wall_sec":$warmSecs%.2f,"cold_rate":$coldRate%.1f,"cold_wall_sec":$coldSecs%.2f,"wire_rate":$wireRate%.1f,"wire_n_events":$nWire,"wire_wall_sec":$wireSecs%.2f,"wire_cold_rate":$wireColdRate%.1f,"socket_rate":$sockRate%.1f,"socket_n_events":$nSock,"socket_wall_sec":$sockSecs%.2f,"socket_cold_rate":$sockColdRate%.1f,"sf":"$sfDir"}""")
     spark.stop()
     if (nWarm == 0 || nWire == 0) sys.exit(1)
   }

@@ -140,7 +140,9 @@ object PgWire {
   * `lastTransactionId`/ack bookkeeping. */
 final class PgReplicationClient(host: String, port: Int, user: String,
                                 database: String, connectTimeoutMs: Int = 5000,
-                                readTimeoutMs: Int = 15000) extends AutoCloseable {
+                                readTimeoutMs: Int = 15000,
+                                ackEveryFrames: Int = 1) extends AutoCloseable {
+  require(ackEveryFrames >= 1, "ackEveryFrames must be >= 1")
   private val socket = new Socket()
   socket.connect(new InetSocketAddress(host, port), connectTimeoutMs)
   socket.setSoTimeout(readTimeoutMs)
@@ -152,6 +154,7 @@ final class PgReplicationClient(host: String, port: Int, user: String,
   @volatile var flushedLsn: Long = 0L
   /** Keepalives observed (control-plane visibility, ops parity). */
   @volatile var keepalivesSeen: Long = 0L
+  private var framesSinceAck: Int = 0
 
   import PgWire._
 
@@ -238,7 +241,12 @@ final class PgReplicationClient(host: String, port: Int, user: String,
               bb.getLong; bb.getLong // walEnd, serverSendTime
               val msg = new Array[Byte](bb.remaining()); bb.get(msg)
               flushedLsn = math.max(flushedLsn, lsn + msg.length)
-              sendStatus()
+              // ack cadence: every frame by default (the spec contract);
+              // high-throughput consumers batch acks (`ackEveryFrames`)
+              // the way the reference acks on its standby timer rather
+              // than per message — each flush is a socket write
+              framesSinceAck += 1
+              if (framesSinceAck >= ackEveryFrames) { sendStatus(); framesSinceAck = 0 }
               return Some((lsn, msg))
             case 'k' =>
               val k = PgOutput.decodeKeepalive(b.payload)
@@ -247,7 +255,9 @@ final class PgReplicationClient(host: String, port: Int, user: String,
               if (k.replyRequested) sendStatus()
             case t => throw new java.io.IOException(s"pgwire: unknown CopyData tag '$t'")
           }
-        case 'c' => return None // CopyDone: server ended the stream
+        case 'c' => // CopyDone: final ack lands the cursor, then stop
+          if (framesSinceAck > 0) { sendStatus(); framesSinceAck = 0 }
+          return None
         case 'E' => fail(b)
         case 'N' | 'S' => // notices mid-stream are legal
         case t => throw new java.io.IOException(s"pgwire: unexpected '$t' in COPY-BOTH")
@@ -307,14 +317,27 @@ object PgWireTailer {
     require(framesPerSegment > 0, "framesPerSegment must be positive")
     var segment = 0L
     var open = true
+    // relation cache: decodeSegments requires each segment to be
+    // SELF-CONTAINED (a Relation message precedes its DML — pgoutput
+    // itself only sends Relation once per session per table), so every
+    // rotation replays the relations seen so far at its head. This is
+    // the spooling twin of the reference's in-memory relation cache
+    // (`containers/relationcache.go`): the cache state IS what makes a
+    // resume point valid.
+    val relCache = scala.collection.mutable.LinkedHashMap[Int, (Long, Array[Byte])]()
     while (open && segment < maxSegments) {
       val bos = new ByteArrayOutputStream()
       val o = new DataOutputStream(bos)
       var n = 0
       var startLsn = -1L
+      if (segment > 0) relCache.values.foreach { case (lsn, msg) =>
+        PgOutput.writeFrame(o, lsn, msg)
+      }
       while (n < framesPerSegment && open) client.nextRaw() match {
         case Some((lsn, msg)) =>
           if (startLsn < 0) startLsn = lsn
+          if (msg.nonEmpty && msg(0).toChar == 'R')
+            relCache(ByteBuffer.wrap(msg, 1, 4).getInt) = (lsn, msg)
           PgOutput.writeFrame(o, lsn, msg); n += 1
         case None => open = false
       }
