@@ -224,6 +224,28 @@ class PgWireSpec extends AnyFunSuite {
     } finally c.close()
   }
 
+  test("tailer rotation replays the relation cache: 1-frame segments decode") {
+    // the failure mode the bench caught: a rotation between Relation and
+    // its DML orphans the insert from its schema — every segment must be
+    // self-contained, so rotations re-emit the cached Relation frames
+    val spark = SparkSpec.session
+    val srv = new FakeWalsender()
+    val dir = java.nio.file.Files.createTempDirectory("graft-wire-seg1").toString
+    val c = new PgReplicationClient("127.0.0.1", srv.port, "rep", "events_db")
+    try {
+      c.handshake(); c.identifySystem()
+      c.startReplication("graft_slot", "graft_pub", 0L)
+      graft.sources.PgWireTailer.tail(spark, c, dir, framesPerSegment = 1)
+      assert(srv.done.await(5, TimeUnit.SECONDS))
+      val segs = spark.read.schema(PgOutput.frameSchema).parquet(dir)
+      assert(segs.count() === 4L, "one segment per frame")
+      val wal = PgOutput.decodeSegments(segs).collect()
+      val ins = wal.filter(_.op_wire == "I")
+      assert(ins.length === 1, "the isolated Insert segment decodes via the replayed Relation")
+      assert(ins.head.event_id === Some(4001L))
+    } finally c.close()
+  }
+
   test("lsnText/parseLsn round-trip the X/Y hex form") {
     Seq(0L, 0x1000L, 0xABCDEF0012345678L, Long.MaxValue).foreach { l =>
       assert(PgWire.parseLsn(PgWire.lsnText(l)) === l)
