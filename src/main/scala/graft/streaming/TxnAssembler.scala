@@ -77,6 +77,16 @@ object TxnAssembler {
 
   /** Streaming per-transaction summaries over the WAL stream, with the
     * reference's 10 000-entry / 60 s transaction-window bounds.
+    *
+    * TRIGGER CAVEAT: processing-time timers only fire on batches that
+    * carry data, but a PENDING timer keeps `Trigger.AvailableNow`
+    * scheduling empty batches forever — the query never terminates
+    * (observed: 3 000+ no-data batches). Run this under the default
+    * micro-batch trigger (a live CDC stream, where new data keeps
+    * arriving and expires windows) or drain bounded replays with
+    * `processAllAvailable()` + `stop()`. For a bounded replay that
+    * needs no window timeout, use `assemble(withTimeout = false)`
+    * under `GroupStateTimeout.NoTimeout` instead.
     */
   def txnStream(spark: SparkSession, dir: String,
                 maxSize: Long = DefaultMaxSize,

@@ -166,11 +166,11 @@ class ConfigPipelineSpec extends SparkSpec {
       "statestorage.type" -> "file",
       "statestorage.file.path" -> s"$dir/ckpt")
     val q1 = ConfigPipeline.start(spark, sf001, props, dir)
-    assert(q1.awaitTermination(120000))
+    assert(q1.awaitTermination(240000))
     val n1 = sink.rows.size
     assert(n1 > 0)
     val q2 = ConfigPipeline.start(spark, sf001, props, dir)
-    assert(q2.awaitTermination(120000))
+    assert(q2.awaitTermination(240000))
     assert(sink.rows.size === n1,
       "checkpointed resume must re-deliver nothing (same statestorage path)")
   }
@@ -188,7 +188,7 @@ class ConfigPipelineSpec extends SparkSpec {
     val (q, pubM, slotM) = ConfigPipeline.startWithControlPlane(spark, sf001, props, dir)
     // startup order parity: both exist BEFORE any data flows
     assert(pubM.exists(_.existsPublication) && slotM.exists(_.existsSlot))
-    assert(q.awaitTermination(120000))
+    assert(q.awaitTermination(240000))
     assert(sink.rows.nonEmpty)
     // the termination listener fires asynchronously; wait for the drop
     val deadline = System.currentTimeMillis() + 30000
@@ -206,7 +206,7 @@ class ConfigPipelineSpec extends SparkSpec {
       "postgresql.publication.autodrop" -> "false",
       "postgresql.replicationslot.autodrop" -> "false")
     val (q2, pubM2, slotM2) = ConfigPipeline.startWithControlPlane(spark, sf001, props2, dir)
-    assert(q2.awaitTermination(120000))
+    assert(q2.awaitTermination(240000))
     Thread.sleep(1000) // give a (wrong) drop the chance to fire
     assert(slotM2.exists(_.existsSlot) && pubM2.exists(_.existsPublication),
       "autodrop=false must leave publication and slot in place")
@@ -272,7 +272,7 @@ class ConfigPipelineSpec extends SparkSpec {
     assert(!props.contains("path"))
     assert(props("postgresql.replicationslot.name") === "toml_slot")
     val (q, pubM, slotM) = ConfigPipeline.startWithControlPlane(spark, sf001, props, dir)
-    assert(q.awaitTermination(120000))
+    assert(q.awaitTermination(240000))
     assert(sink.rows.nonEmpty)
     assert(pubM.exists(_.publicationName === "toml_pub"))
     assert(slotM.exists(_.slotName === "toml_slot"))
@@ -343,7 +343,7 @@ class ConfigPipelineSpec extends SparkSpec {
       "statestorage.type" -> "file",
       "statestorage.file.path" -> s"$dir/ckpt")
     val q = ConfigPipeline.start(spark, sf001, props, ckpt)
-    assert(q.awaitTermination(120000), "stream did not finish")
+    assert(q.awaitTermination(240000), "stream did not finish")
     val streamed = sink.rows.map(_.getAs[Long]("lsn")).sorted
     val batch = ConfigPipeline.fromProperties(spark, sf001, props - "statestorage.type")
       .select("lsn").as[Long].collect().sorted

@@ -14,7 +14,7 @@ class StreamingSpec extends SparkSpec {
     val sink = new CollectorSink
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
     val q = StreamPipeline.run(spark, sf001, ckpt, sink)
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(240000), "stream did not finish within the timeout")
     // A1: observed metrics surface the reference's stats counters
     val obs = q.lastProgress.observedMetrics.get("graft_stats")
     assert(obs.getAs[Long]("n_events") === 1000L)
@@ -31,7 +31,7 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("winstats")
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(240000), "stream did not finish within the timeout")
     val streamedTotal = spark.sql("SELECT sum(n) FROM winstats").head.getLong(0)
     assert(streamedTotal === 1000L, "windowed counts cover every event")
     // spot-check one window against the batch computation
@@ -52,7 +52,7 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("candle_stream")
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    assert(q.awaitTermination(120000), "stream did not finish within the timeout")
+    assert(q.awaitTermination(240000), "stream did not finish within the timeout")
     def key(r: org.apache.spark.sql.Row) =
       (r.getAs[String]("event_type"), r.getAs[Int]("chunk_day"))
     def bar(r: org.apache.spark.sql.Row) =
@@ -82,7 +82,7 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("freq_stream")
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    assert(q.awaitTermination(120000), "stream did not finish within the timeout")
+    assert(q.awaitTermination(240000), "stream did not finish within the timeout")
     val streamed = spark.sql(
       "SELECT fa.items AS items, fa.dec AS dec, fa.n AS n FROM freq_stream").head
     val batch = keyed(graft.cdc.Cdc.walEvents(spark, sf001))
@@ -99,7 +99,7 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("sess_stream")
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(240000), "stream did not finish within the timeout")
     val streamed = spark.sql(
       "SELECT user_id, n_events, sess_start_ms, sess_end_ms FROM sess_stream")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
@@ -113,7 +113,7 @@ class StreamingSpec extends SparkSpec {
     val q = StreamPipeline.dedupedStream(spark, sf001)
       .writeStream.format("memory").queryName("dedupstream")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(240000), "stream did not finish within the timeout")
     assert(spark.sql("SELECT count(*), count(DISTINCT lsn) FROM dedupstream").head ===
       org.apache.spark.sql.Row(1000L, 1000L))
   }
@@ -131,7 +131,7 @@ class StreamingSpec extends SparkSpec {
       TextAnalysis.piiRedact(concat(col("text"), lit(" mail a@b.co"))).as("red"))
     val q = cleaned.writeStream.format("memory").queryName("cleanstream")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    assert(q.awaitTermination(120000), "stream did not finish within the timeout")
+    assert(q.awaitTermination(240000), "stream did not finish within the timeout")
     assert(spark.sql("SELECT count(*) FROM cleanstream WHERE red LIKE '%<EMAIL>%'")
       .head.getLong(0) === 500L)
     val streamed = spark.sql("SELECT lang, count(*) AS c FROM cleanstream GROUP BY lang")
@@ -171,7 +171,7 @@ class StreamingSpec extends SparkSpec {
         .option("checkpointLocation",
           java.nio.file.Files.createTempDirectory("http-ckpt").toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      assert(q.awaitTermination(120000), "stream did not finish within the timeout")
+      assert(q.awaitTermination(240000), "stream did not finish within the timeout")
       val expected = Tables.documents(spark, sf001)
         .select(col("doc_id"), TextAnalysis.classifierScoreMilli("text").as("s"))
         .filter(col("s") > 0).collect().map(_.getLong(0)).toSet
@@ -192,7 +192,7 @@ class StreamingSpec extends SparkSpec {
     val codes = graft.ops.Similarity.pqEncodeWith(stream.drop("label"), emb)
     val q = codes.writeStream.format("memory").queryName("pqstream")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    assert(q.awaitTermination(120000), "stream did not finish within the timeout")
+    assert(q.awaitTermination(240000), "stream did not finish within the timeout")
     val streamed = spark.sql("SELECT * FROM pqstream")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val batch = graft.ops.Similarity.pqCodes(emb)
@@ -217,7 +217,7 @@ class StreamingSpec extends SparkSpec {
       .join(history, Seq("text_hash"), "left_anti")
     val q = stream.writeStream.format("memory").queryName("incdedup")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    assert(q.awaitTermination(120000), "stream did not finish within the timeout")
+    assert(q.awaitTermination(240000), "stream did not finish within the timeout")
     val streamed = spark.table("incdedup").select("doc_id")
       .as[Long].collect().sorted
     val batch = docs.filter(length(col("source")) === 5)
@@ -242,7 +242,7 @@ class StreamingSpec extends SparkSpec {
     val pruned = graft.ops.Dedup.bloomPrune(stream, history)
     val q = pruned.writeStream.format("memory").queryName("bloomdedup")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    assert(q.awaitTermination(120000), "stream did not finish within the timeout")
+    assert(q.awaitTermination(240000), "stream did not finish within the timeout")
     val streamed = spark.table("bloomdedup").select("doc_id")
       .as[Long].collect().sorted
     val batch = graft.ops.Dedup.bloomPrune(
@@ -264,7 +264,7 @@ class StreamingSpec extends SparkSpec {
       nClusters = 8, threshold = 0.4)
     val q = pruned.writeStream.format("memory").queryName("semdedup")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    assert(q.awaitTermination(120000), "stream did not finish within the timeout")
+    assert(q.awaitTermination(240000), "stream did not finish within the timeout")
     val streamed = spark.table("semdedup").select("vec_id").as[Long].collect().sorted
     val batch = graft.ops.Dedup.semanticPruneIncremental(
         emb.filter(col("vec_id") >= 350), history, nClusters = 8, threshold = 0.4)
@@ -291,7 +291,7 @@ class StreamingSpec extends SparkSpec {
       nClusters = 8, threshold = 0.95)
     val q = pruned.writeStream.format("memory").queryName("hashsem")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    assert(q.awaitTermination(120000), "stream did not finish within the timeout")
+    assert(q.awaitTermination(240000), "stream did not finish within the timeout")
     val streamed = spark.table("hashsem").select("vec_id").as[Long].collect().sorted
     val batch = graft.ops.Dedup.semanticPruneIncremental(
         graft.ops.TextAnalysis.hashEmbedding(docs.filter(col("doc_id") >= 250)),
@@ -314,7 +314,7 @@ class StreamingSpec extends SparkSpec {
     val q = graft.ops.TextAnalysis.bpeEncodeWith(stream, fitted, symIds)
       .writeStream.format("memory").queryName("bpestream")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    assert(q.awaitTermination(120000), "stream did not finish within the timeout")
+    assert(q.awaitTermination(240000), "stream did not finish within the timeout")
     val streamed = spark.table("bpestream")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val batch = graft.ops.TextAnalysis.bpeEncode(docs, nMerges = 6)
@@ -347,7 +347,7 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("urldedup")
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    assert(q.awaitTermination(120000), "stream did not finish within the timeout")
+    assert(q.awaitTermination(240000), "stream did not finish within the timeout")
     val streamedKeys = spark.table("urldedup").select("url_norm")
       .as[String].collect().sorted
     val batchKeys = graft.ops.Web.urlDedup(docs, mkUrl)
@@ -376,7 +376,7 @@ class StreamingSpec extends SparkSpec {
              |b_time BETWEEN a_time AND a_time + interval 10 minutes""".stripMargin))
     val q = joined.writeStream.format("memory").queryName("ssjoin")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(240000), "stream did not finish within the timeout")
     val streamed = spark.sql("SELECT count(*) FROM ssjoin").head.getLong(0)
     // batch reference computation
     val wal = graft.cdc.Cdc.walEvents(spark, sf001)
@@ -394,9 +394,9 @@ class StreamingSpec extends SparkSpec {
       val ckpt = java.nio.file.Files.createTempDirectory("stats-ckpt").toString
       val sink = new graft.sinks.CollectorSink
       val q = StreamPipeline.run(spark, sf001, ckpt, sink, "stats-test")
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(240000), "stream did not finish within the timeout")
       // listener delivery is async — poll briefly for the final totals
-      val deadline = System.nanoTime + 30e9.toLong
+      val deadline = System.nanoTime + 60e9.toLong
       while (listener.counters.getOrElse("total", 0L) < 1000L &&
              System.nanoTime < deadline) Thread.sleep(100)
       assert(listener.counters("total") === 1000L)
@@ -459,7 +459,7 @@ class StreamingSpec extends SparkSpec {
     // first two emit attempts throw — withRetry must absorb them
     val sink = graft.sinks.Sinks.withRetry(new graft.sinks.FileQueueSink(dir, failFirst = 2))
     val q = StreamPipeline.run(spark, sf001, ckpt, sink, "fq-test")
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(240000), "stream did not finish within the timeout")
     val delivered = spark.read.json(s"$dir/batch=*")
     assert(delivered.count() === 1000L)
     assert(delivered.select("lsn").distinct().count() === 1000L, "no duplicate delivery")
@@ -468,7 +468,7 @@ class StreamingSpec extends SparkSpec {
     val ckpt2 = java.nio.file.Files.createTempDirectory("fq-ckpt2").toString
     val q2 = StreamPipeline.run(spark, sf001, ckpt2,
       new graft.sinks.FileQueueSink(dir), "fq-test-replay")
-    q2.awaitTermination(120000)
+    assert(q2.awaitTermination(240000), "stream did not finish within the timeout")
     assert(spark.read.json(s"$dir/batch=*").count() === 1000L, "replay is idempotent")
   }
 
@@ -476,13 +476,13 @@ class StreamingSpec extends SparkSpec {
     val sink = new CollectorSink
     val ckpt = Files.createTempDirectory("graft-ckpt2").toString
     val q1 = StreamPipeline.run(spark, sf001, ckpt, sink, "graft-restart-1")
-    q1.awaitTermination(120000)
+    assert(q1.awaitTermination(240000), "stream did not finish within the timeout")
     val afterFirst = sink.rows.size
     assert(afterFirst === 1000)
     // "restart": new query, same checkpoint — the committed offset makes
     // the already-processed file invisible, like resuming from stored LSN
     val q2 = StreamPipeline.run(spark, sf001, ckpt, sink, "graft-restart-2")
-    q2.awaitTermination(120000)
+    assert(q2.awaitTermination(240000), "stream did not finish within the timeout")
     assert(sink.rows.size === afterFirst, "no events re-emitted after restart")
   }
 
@@ -490,7 +490,7 @@ class StreamingSpec extends SparkSpec {
     val q = Scd2Assembler.scd2Stream(spark, sf001)
       .writeStream.format("memory").queryName("scd2_stream")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(240000), "stream did not finish within the timeout")
     val streamed = spark.sql(
         "SELECT user_id, valid_from_lsn, valid_to_lsn FROM scd2_stream")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
@@ -544,7 +544,7 @@ class StreamingSpec extends SparkSpec {
         .writeStream.format("memory").queryName("attrib_rocks")
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(240000), "stream did not finish within the timeout")
       val streamed = spark.sql(
           "SELECT user_id, purchase_lsn, view_lsn FROM attrib_rocks")
         .collect().map(_.toString).sorted
@@ -566,7 +566,7 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("attrib")
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(240000), "stream did not finish within the timeout")
     val streamed = spark.sql(
         "SELECT user_id, purchase_lsn, view_lsn FROM attrib")
       .collect().map(_.toString).sorted

@@ -40,7 +40,7 @@ class TablesSpec extends SparkSpec {
       .option("path", sf001).load()
       .writeStream.format("memory").queryName("ts_parity")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(240000), "stream did not finish within the timeout")
     val viaSource = spark.table("ts_parity")
       .select("lsn", "ts_ms").orderBy("lsn").limit(20).collect()
     val viaBatch = graft.cdc.Cdc.walEvents(spark, sf001)
