@@ -141,8 +141,10 @@ object PgWire {
 final class PgReplicationClient(host: String, port: Int, user: String,
                                 database: String, connectTimeoutMs: Int = 5000,
                                 readTimeoutMs: Int = 15000,
-                                ackEveryFrames: Int = 1) extends AutoCloseable {
+                                ackEveryFrames: Int = 1,
+                                statusIntervalMs: Int = 5000) extends AutoCloseable {
   require(ackEveryFrames >= 1, "ackEveryFrames must be >= 1")
+  require(statusIntervalMs >= 1, "statusIntervalMs must be >= 1")
   private val socket = new Socket()
   socket.connect(new InetSocketAddress(host, port), connectTimeoutMs)
   socket.setSoTimeout(readTimeoutMs)
@@ -204,7 +206,13 @@ final class PgReplicationClient(host: String, port: Int, user: String,
     row
   }
 
-  /** Enter walsender COPY-BOTH mode on a slot. */
+  /** Enter walsender COPY-BOTH mode on a slot. From here the socket's
+    * read timeout drops to the STATUS CADENCE: a quiet stream must not
+    * look dead, and the server must keep hearing from us — PostgreSQL
+    * disconnects standbys silent past `wal_sender_timeout`, so the
+    * reference acks on a 5 s timer regardless of traffic
+    * (`replicationhandler.go:119`). [[nextRaw]] turns each idle tick
+    * into a proactive StandbyStatusUpdate. */
   def startReplication(slot: String, publication: String, startLsn: Long): Unit = {
     val sql = s"""START_REPLICATION SLOT "$slot" LOGICAL ${lsnText(startLsn)}""" +
       s""" (proto_version '1', publication_names '"$publication"')"""
@@ -213,6 +221,7 @@ final class PgReplicationClient(host: String, port: Int, user: String,
     while (b.tag == 'S' || b.tag == 'N') b = readBackend(in)
     if (b.tag == 'E') fail(b)
     require(b.tag == 'W', s"pgwire: expected CopyBothResponse, got '${b.tag}'")
+    socket.setSoTimeout(statusIntervalMs)
   }
 
   private def sendStatus(replyRequested: Boolean = false): Unit = {
@@ -230,8 +239,30 @@ final class PgReplicationClient(host: String, port: Int, user: String,
     * [[PgWireTailer]]'s segment writer; [[next]] decodes in place. */
   def nextRaw(): Option[(Long, Array[Byte])] = {
     while (true) {
-      val b = readBackend(in)
-      b.tag match {
+      // Only the BETWEEN-message wait may time out benignly (an idle
+      // stream): volunteer the cursor and keep waiting — the
+      // reference's 5 s timer ack. A timeout once a tag byte has
+      // arrived is a connection stalled MID-message: resuming there
+      // would desync the framing, so it propagates as a hard error.
+      val tag =
+        try in.read()
+        catch {
+          case _: java.net.SocketTimeoutException =>
+            sendStatus(); framesSinceAck = 0
+            -2
+        }
+      val b =
+        if (tag == -2) null
+        else if (tag < 0) throw new EOFException("pgwire: connection closed")
+        else {
+          val len = in.readInt()
+          require(len >= 4 && len - 4 <= (1 << 26),
+            s"pgwire: bad message length $len (tag ${tag.toChar})")
+          val payload = new Array[Byte](len - 4)
+          in.readFully(payload)
+          Backend(tag.toChar, payload)
+        }
+      if (b != null) b.tag match {
         case 'd' =>
           b.payload(0).toChar match {
             case 'w' =>

@@ -246,6 +246,53 @@ class PgWireSpec extends AnyFunSuite {
     } finally c.close()
   }
 
+  test("idle stream: proactive standby acks on the status cadence") {
+    // PostgreSQL disconnects standbys silent past wal_sender_timeout —
+    // with no inbound traffic the client must volunteer status updates
+    // on its own timer (the reference's 5 s cadence)
+    val server = new ServerSocket(0)
+    @volatile var idleAcks = 0
+    val done = new CountDownLatch(1)
+    val t = new Thread(() => {
+      val s = server.accept()
+      val in = new DataInputStream(s.getInputStream)
+      val out = new DataOutputStream(s.getOutputStream)
+      def backend(tag: Char, p: Array[Byte]): Unit = {
+        out.writeByte(tag); out.writeInt(4 + p.length); out.write(p); out.flush()
+      }
+      val len = in.readInt(); in.readFully(new Array[Byte](len - 4))
+      backend('R', ByteBuffer.allocate(4).putInt(0).array())
+      backend('Z', Array('I'.toByte))
+      val qt = in.read(); assert(qt == 'Q'); val ql = in.readInt()
+      in.readFully(new Array[Byte](ql - 4))
+      backend('W', Array[Byte](0, 0, 0))
+      // stay SILENT for a fixed wall-clock window, counting the acks
+      // that arrive purely from the client's timer (a per-read timeout
+      // would never fire — each ack resets it)
+      val deadline = System.nanoTime + 900e6.toLong
+      s.setSoTimeout(200)
+      while (System.nanoTime < deadline) {
+        try {
+          val tag = in.read(); if (tag < 0) throw new java.io.EOFException
+          val l = in.readInt(); val b = new Array[Byte](l - 4); in.readFully(b)
+          if (tag == 'd' && b(0) == 'r') idleAcks += 1
+        } catch { case _: java.net.SocketTimeoutException => () }
+      }
+      backend('c', Array.emptyByteArray)
+      s.close(); done.countDown()
+    })
+    t.setDaemon(true); t.start()
+    val c = new PgReplicationClient("127.0.0.1", server.getLocalPort, "rep", "db",
+      statusIntervalMs = 150)
+    try {
+      c.handshake()
+      c.startReplication("s", "p", 0L)
+      assert(c.poll(max = 10).isEmpty, "silent server ends with CopyDone, no frames")
+      assert(done.await(5, TimeUnit.SECONDS))
+      assert(idleAcks >= 3, s"expected timer-driven acks during ~900ms idle, got $idleAcks")
+    } finally { c.close(); server.close() }
+  }
+
   test("lsnText/parseLsn round-trip the X/Y hex form") {
     Seq(0L, 0x1000L, 0xABCDEF0012345678L, Long.MaxValue).foreach { l =>
       assert(PgWire.parseLsn(PgWire.lsnText(l)) === l)
