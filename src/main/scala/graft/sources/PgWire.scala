@@ -14,26 +14,36 @@ import graft.cdc.PgOutput
   * session setup, `replicationhandler.go:115-215` receive loop).
   *
   * Implements, per the public protocol docs (protocol 3.0):
+  *  - optional SSLRequest → TLS upgrade before startup (sslmode=require)
   *  - StartupMessage with `replication=database` (walsender mode)
-  *  - AuthenticationOk / ParameterStatus / BackendKeyData / ReadyForQuery
+  *  - AuthenticationOk / AuthenticationSASL → SCRAM-SHA-256 (RFC
+  *    5802/7677 via [[Scram]], with server-signature verification) /
+  *    ParameterStatus / BackendKeyData / ReadyForQuery
   *  - simple query (`IDENTIFY_SYSTEM`: RowDescription/DataRow/CommandComplete)
   *  - `START_REPLICATION SLOT … LOGICAL …` → CopyBothResponse
   *  - CopyData in both directions: XLogData 'w' and PrimaryKeepalive 'k'
   *    inbound, StandbyStatusUpdate 'r' acks outbound
   *  - ErrorResponse field decoding (fail loudly with the server's words)
   *
-  * Deliberately NOT implemented: auth methods beyond trust (the
-  * reference delegates auth to pgx; a real deployment fronts this with
-  * TLS + SCRAM — orthogonal to replication semantics), and the
-  * extended-query protocol (walsender only speaks simple queries).
+  * Deliberately NOT implemented: md5 auth (superseded; PostgreSQL 14+
+  * defaults to SCRAM and md5 is deprecated upstream — fail loudly) and
+  * the extended-query protocol (walsender only speaks simple queries).
   *
   * Scale/ops shape: one socket per slot, O(1) memory (a frame at a
-  * time), acks carry the flushed LSN — exactly the offset WalSource
-  * checkpoints, so a live source swaps in behind the same cursor.
+  * time). Two cursors, deliberately separate: `receivedLsn` tracks what
+  * came off the socket; `processedLsn` — the one acks report — advances
+  * only when the consumer calls [[PgReplicationClient.confirm]] after
+  * its own durable commit. That is the reference's contract exactly:
+  * StandbyStatusUpdate carries the LastProcessedLSN the event emitter
+  * has finished with (`replicationconnection.go` SendStatusUpdate /
+  * AcknowledgeProcessed), never the merely-received position — acking
+  * received-but-unspooled frames would let confirmed_flush_lsn advance
+  * past data a crash then loses forever.
   */
 object PgWire {
 
   val ProtocolV3 = 196608 // (3 << 16)
+  val SslRequestCode = 80877103 // 1234.5679, the SSLRequest pseudo-version
 
   /** "X/Y" hex form PostgreSQL prints LSNs in. */
   def lsnText(lsn: Long): String =
@@ -63,12 +73,50 @@ object PgWire {
     bb.array()
   }
 
+  /** SSLRequest: Int32 8, Int32 80877103 — also tagless; the server
+    * answers a single raw byte 'S' (proceed with TLS) or 'N'. */
+  val sslRequest: Array[Byte] =
+    ByteBuffer.allocate(8).putInt(8).putInt(SslRequestCode).array()
+
   /** Simple query: 'Q' + Int32 len + sql\0. */
   def queryMessage(sql: String): Array[Byte] = {
     val s = sql.getBytes(UTF_8)
     val bb = ByteBuffer.allocate(1 + 4 + s.length + 1)
     bb.put('Q'.toByte).putInt(4 + s.length + 1).put(s).put(0.toByte)
     bb.array()
+  }
+
+  /** SASLInitialResponse: 'p' + Int32 len + mechanism\0 + Int32
+    * responseLen + response bytes. */
+  def saslInitialResponse(mechanism: String, response: Array[Byte]): Array[Byte] = {
+    val m = mechanism.getBytes(UTF_8)
+    val bb = ByteBuffer.allocate(1 + 4 + m.length + 1 + 4 + response.length)
+    bb.put('p'.toByte).putInt(4 + m.length + 1 + 4 + response.length)
+      .put(m).put(0.toByte).putInt(response.length).put(response)
+    bb.array()
+  }
+
+  /** SASLResponse: 'p' + Int32 len + raw response bytes (no cstr). */
+  def saslResponse(response: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(5 + response.length)
+    bb.put('p'.toByte).putInt(4 + response.length).put(response)
+    bb.array()
+  }
+
+  /** AuthenticationSASL payload (after the Int32 code 10): mechanism
+    * cstrs, list terminated by an empty \0. */
+  def parseSaslMechanisms(payload: Array[Byte]): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 4 // skip the auth code
+    while (i < payload.length && payload(i) != 0) {
+      val start = i
+      while (i < payload.length && payload(i) != 0) i += 1
+      if (i >= payload.length) throw new java.io.IOException(
+        "pgwire: unterminated SASL mechanism name")
+      out += new String(payload, start, i - start, UTF_8)
+      i += 1
+    }
+    out.result()
   }
 
   /** CopyData: 'd' + Int32 len + payload (a replication message). */
@@ -99,24 +147,22 @@ object PgWire {
   }
 
   /** ErrorResponse/NoticeResponse payload: (fieldCode byte + cstr)* \0.
-    * Returns code→text (S severity, C sqlstate, M message, …). */
+    * Returns code→text (S severity, C sqlstate, M message, …). A field
+    * whose terminator is missing (truncated payload) raises the same
+    * descriptive framing error as every other malformed message — not a
+    * raw ArrayIndexOutOfBounds. */
   def errorFields(payload: Array[Byte]): Map[Char, String] = {
     val m = scala.collection.mutable.Map[Char, String]()
     var i = 0
     while (i < payload.length && payload(i) != 0) {
       val code = payload(i).toChar; i += 1
       val start = i
-      while (payload(i) != 0) i += 1
+      while (i < payload.length && payload(i) != 0) i += 1
+      if (i >= payload.length) throw new java.io.IOException(
+        s"pgwire: unterminated ErrorResponse field '$code' (truncated payload)")
       m(code) = new String(payload, start, i - start, UTF_8); i += 1
     }
     m.toMap
-  }
-
-  private def cstrAt(b: ByteBuffer): String = {
-    val sb = new StringBuilder
-    var c = b.get()
-    while (c != 0) { sb.append(c.toChar); c = b.get() }
-    sb.toString()
   }
 
   /** DataRow payload → column values (null → None). */
@@ -135,25 +181,46 @@ object PgWire {
   * at a time — the reference's receive-loop shape
   * (`replicationhandler.go:115-215`): XLogData surfaces as decoded
   * [[PgOutput.PgMsg]]s, keepalives are handled INSIDE the loop
-  * (immediate StandbyStatusUpdate when the server requests a reply),
-  * and the flushed-LSN cursor advances exactly like the reference's
-  * `lastTransactionId`/ack bookkeeping. */
+  * (immediate StandbyStatusUpdate when the server requests a reply).
+  *
+  * Delivery cursors: acks report [[processedLsn]], which the consumer
+  * advances via [[confirm]] AFTER its durable commit (PgWireTailer
+  * confirms per committed parquet segment). `ackOnSurface = true` is
+  * the opt-in shortcut for consumers whose processing IS the surfacing
+  * (synchronous in-memory decode, bench runs): each surfaced frame
+  * auto-confirms, restoring ack-per-frame cadence.
+  *
+  * Auth: trust (AuthenticationOk straight away) and SCRAM-SHA-256 (the
+  * PostgreSQL 14+ default). `sslContext` opts into an SSLRequest→TLS
+  * upgrade before the startup packet (sslmode=require semantics — a
+  * server answering 'N' is a hard error, no silent plaintext fallback).
+  */
 final class PgReplicationClient(host: String, port: Int, user: String,
-                                database: String, connectTimeoutMs: Int = 5000,
+                                database: String, password: String = "",
+                                sslContext: Option[javax.net.ssl.SSLContext] = None,
+                                connectTimeoutMs: Int = 5000,
                                 readTimeoutMs: Int = 15000,
                                 ackEveryFrames: Int = 1,
-                                statusIntervalMs: Int = 5000) extends AutoCloseable {
+                                statusIntervalMs: Int = 5000,
+                                ackOnSurface: Boolean = false) extends AutoCloseable {
   require(ackEveryFrames >= 1, "ackEveryFrames must be >= 1")
   require(statusIntervalMs >= 1, "statusIntervalMs must be >= 1")
-  private val socket = new Socket()
+  private var socket: Socket = new Socket()
   socket.connect(new InetSocketAddress(host, port), connectTimeoutMs)
   socket.setSoTimeout(readTimeoutMs)
   socket.setTcpNoDelay(true)
-  private val in = new DataInputStream(new java.io.BufferedInputStream(socket.getInputStream))
-  private val out = new DataOutputStream(new java.io.BufferedOutputStream(socket.getOutputStream))
+  private var in = new DataInputStream(new java.io.BufferedInputStream(socket.getInputStream))
+  private var out = new DataOutputStream(new java.io.BufferedOutputStream(socket.getOutputStream))
 
-  /** Highest LSN whose decode this client has surfaced (and acked). */
-  @volatile var flushedLsn: Long = 0L
+  /** Highest LSN seen off the socket: surfaced frame ends + keepalive
+    * serverWalEnd. Visibility only — never acked directly. */
+  @volatile var receivedLsn: Long = 0L
+  /** Highest LSN the consumer has durably processed ([[confirm]]) —
+    * the position every StandbyStatusUpdate reports. */
+  @volatile var processedLsn: Long = 0L
+  /** The resume cursor (kept under its long-standing name): what the
+    * next session's START_REPLICATION should start from. */
+  def flushedLsn: Long = processedLsn
   /** Keepalives observed (control-plane visibility, ops parity). */
   @volatile var keepalivesSeen: Long = 0L
   private var framesSinceAck: Int = 0
@@ -166,15 +233,89 @@ final class PgReplicationClient(host: String, port: Int, user: String,
       s"pgwire: server error ${f.getOrElse('C', "?????")}: ${f.getOrElse('M', "(no message)")}")
   }
 
-  /** Startup → AuthenticationOk → (ParameterStatus/BackendKeyData/
-    * NoticeResponse)* → ReadyForQuery. Only trust auth (code 0). */
+  /** SSLRequest → 'S' → wrap the socket. Runs BEFORE the startup packet
+    * (the protocol's one chance to negotiate TLS). */
+  private def upgradeTls(ctx: javax.net.ssl.SSLContext): Unit = {
+    out.write(sslRequest); out.flush()
+    val answer = in.read()
+    if (answer != 'S') throw new java.io.IOException(
+      s"pgwire: server refused TLS (answered '${if (answer < 0) "EOF" else answer.toChar}') " +
+        "and sslContext was provided — refusing plaintext fallback")
+    val ssl = ctx.getSocketFactory
+      .createSocket(socket, host, port, true).asInstanceOf[javax.net.ssl.SSLSocket]
+    ssl.setUseClientMode(true)
+    ssl.startHandshake()
+    socket = ssl
+    socket.setSoTimeout(readTimeoutMs)
+    in = new DataInputStream(new java.io.BufferedInputStream(socket.getInputStream))
+    out = new DataOutputStream(new java.io.BufferedOutputStream(socket.getOutputStream))
+  }
+
+  /** SCRAM-SHA-256 exchange (RFC 5802/7677): SASLInitialResponse →
+    * SASLContinue → SASLResponse → SASLFinal, verifying the SERVER's
+    * signature too — mutual auth; a server that knows the salt but not
+    * the password fails here. PostgreSQL ignores the SASL-level
+    * username (it uses the startup user), so `n=` is sent empty, the
+    * same choice libpq makes. */
+  private def scramExchange(mechanisms: Seq[String]): Unit = {
+    require(mechanisms.contains(Scram.Mechanism),
+      s"pgwire: server offers [${mechanisms.mkString(",")}] — only ${Scram.Mechanism} is implemented")
+    require(password.nonEmpty,
+      "pgwire: server requires SCRAM-SHA-256 but no password was configured")
+    val clientNonce = Scram.nonce()
+    val clientFirstBare = s"n=,r=$clientNonce"
+    out.write(saslInitialResponse(Scram.Mechanism, ("n,," + clientFirstBare).getBytes(UTF_8)))
+    out.flush()
+    val cont = readBackend(in)
+    if (cont.tag == 'E') fail(cont)
+    require(cont.tag == 'R' && ByteBuffer.wrap(cont.payload).getInt == 11,
+      s"pgwire: expected AuthenticationSASLContinue, got '${cont.tag}'")
+    val serverFirst = new String(cont.payload, 4, cont.payload.length - 4, UTF_8)
+    val sf = Scram.parseServerFirst(serverFirst)
+    require(sf.nonce.startsWith(clientNonce),
+      "pgwire: server nonce does not extend the client nonce — possible MITM, aborting")
+    require(sf.iterations >= 1, s"pgwire: absurd SCRAM iteration count ${sf.iterations}")
+    val salted = Scram.saltedPassword(password, sf.salt, sf.iterations)
+    val clientFinalNoProof = s"c=biws,r=${sf.nonce}" // biws = b64("n,,"): no channel binding
+    val authMessage = s"$clientFirstBare,$serverFirst,$clientFinalNoProof"
+    val proof = Scram.clientProof(salted, authMessage)
+    out.write(saslResponse(
+      s"$clientFinalNoProof,p=${Scram.b64(proof)}".getBytes(UTF_8)))
+    out.flush()
+    val fin = readBackend(in)
+    if (fin.tag == 'E') fail(fin) // wrong password lands here (28P01)
+    require(fin.tag == 'R' && ByteBuffer.wrap(fin.payload).getInt == 12,
+      s"pgwire: expected AuthenticationSASLFinal, got '${fin.tag}'")
+    val serverFinal = new String(fin.payload, 4, fin.payload.length - 4, UTF_8)
+    val v = Scram.attrs(serverFinal).getOrElse('v',
+      throw new java.io.IOException("pgwire: SASLFinal missing server signature v="))
+    val expected = Scram.serverSignature(salted, authMessage)
+    if (!java.security.MessageDigest.isEqual(Scram.unb64(v), expected))
+      throw new java.io.IOException(
+        "pgwire: SERVER signature mismatch — the server does not know the password; aborting")
+  }
+
+  /** (TLS upgrade if configured) → Startup → AuthenticationOk | SASL
+    * SCRAM-SHA-256 → (ParameterStatus/BackendKeyData/NoticeResponse)*
+    * → ReadyForQuery. md5 and other legacy methods are refused loudly. */
   def handshake(): Unit = {
+    sslContext.foreach(upgradeTls)
     out.write(startupMessage(user, database)); out.flush()
     val auth = readBackend(in)
     if (auth.tag == 'E') fail(auth)
     require(auth.tag == 'R', s"pgwire: expected Authentication, got '${auth.tag}'")
-    require(ByteBuffer.wrap(auth.payload).getInt == 0,
-      "pgwire: only trust auth is implemented (front with TLS+SCRAM in production)")
+    ByteBuffer.wrap(auth.payload).getInt match {
+      case 0  => // trust: AuthenticationOk immediately
+      case 10 => // AuthenticationSASL: mechanism negotiation
+        scramExchange(parseSaslMechanisms(auth.payload))
+        val ok = readBackend(in)
+        if (ok.tag == 'E') fail(ok)
+        require(ok.tag == 'R' && ByteBuffer.wrap(ok.payload).getInt == 0,
+          "pgwire: expected AuthenticationOk after SASL exchange")
+      case other => throw new java.io.IOException(
+        s"pgwire: unsupported auth method $other — trust and SCRAM-SHA-256 are implemented" +
+          (if (other == 5) " (md5 is deprecated upstream; use scram-sha-256)" else ""))
+    }
     var b = readBackend(in)
     while (b.tag != 'Z') {
       b.tag match {
@@ -214,6 +355,11 @@ final class PgReplicationClient(host: String, port: Int, user: String,
     * (`replicationhandler.go:119`). [[nextRaw]] turns each idle tick
     * into a proactive StandbyStatusUpdate. */
   def startReplication(slot: String, publication: String, startLsn: Long): Unit = {
+    // resuming a session starts the processed cursor AT the resume
+    // point — acks before the first confirm must not report 0 (a
+    // regression of the slot's confirmed_flush_lsn)
+    processedLsn = math.max(processedLsn, startLsn)
+    receivedLsn = math.max(receivedLsn, startLsn)
     val sql = s"""START_REPLICATION SLOT "$slot" LOGICAL ${lsnText(startLsn)}""" +
       s""" (proto_version '1', publication_names '"$publication"')"""
     out.write(queryMessage(sql)); out.flush()
@@ -225,18 +371,30 @@ final class PgReplicationClient(host: String, port: Int, user: String,
   }
 
   private def sendStatus(replyRequested: Boolean = false): Unit = {
-    val ack = PgOutput.StandbyStatusUpdate(flushedLsn, flushedLsn, flushedLsn,
+    val lsn = processedLsn
+    val ack = PgOutput.StandbyStatusUpdate(lsn, lsn, lsn,
       clientTimeMicros = 0L, replyRequested = replyRequested)
     out.write(copyData(PgOutput.encodeStatusUpdate(ack))); out.flush()
+  }
+
+  /** Consumer-side durable-commit notification: advances the processed
+    * cursor and acks on the configured cadence. Call AFTER the write
+    * that makes the data recoverable (parquet segment commit, sink
+    * flush) — the reference's AcknowledgeProcessed. */
+  def confirm(lsn: Long): Unit = {
+    if (lsn > processedLsn) processedLsn = lsn
+    framesSinceAck += 1
+    if (framesSinceAck >= ackEveryFrames) { sendStatus(); framesSinceAck = 0 }
   }
 
   /** Pull the next RAW XLogData payload (lsn, pgoutput message bytes),
     * transparently consuming keepalives (acking immediately when the
     * server requests it — the `replicationhandler.go:163-177`
     * contract). Returns None on a clean CopyDone. Each surfaced frame
-    * advances and ACKS the cursor to its end position — at-least-once,
-    * the reference's own guarantee. The raw form feeds
-    * [[PgWireTailer]]'s segment writer; [[next]] decodes in place. */
+    * advances [[receivedLsn]]; the ACKED cursor moves only via
+    * [[confirm]] (or automatically when `ackOnSurface`). The raw form
+    * feeds [[PgWireTailer]]'s segment writer; [[next]] decodes in
+    * place. */
   def nextRaw(): Option[(Long, Array[Byte])] = {
     while (true) {
       // Only the BETWEEN-message wait may time out benignly (an idle
@@ -271,22 +429,24 @@ final class PgReplicationClient(host: String, port: Int, user: String,
               val lsn = bb.getLong
               bb.getLong; bb.getLong // walEnd, serverSendTime
               val msg = new Array[Byte](bb.remaining()); bb.get(msg)
-              flushedLsn = math.max(flushedLsn, lsn + msg.length)
-              // ack cadence: every frame by default (the spec contract);
-              // high-throughput consumers batch acks (`ackEveryFrames`)
-              // the way the reference acks on its standby timer rather
-              // than per message — each flush is a socket write
-              framesSinceAck += 1
-              if (framesSinceAck >= ackEveryFrames) { sendStatus(); framesSinceAck = 0 }
+              receivedLsn = math.max(receivedLsn, lsn + msg.length)
+              if (ackOnSurface) confirm(lsn + msg.length)
               return Some((lsn, msg))
             case 'k' =>
               val k = PgOutput.decodeKeepalive(b.payload)
               keepalivesSeen += 1
-              flushedLsn = math.max(flushedLsn, k.serverWalEnd)
+              receivedLsn = math.max(receivedLsn, k.serverWalEnd)
+              // surface-mode only: with every prior frame auto-confirmed,
+              // the keepalive's walEnd is also fully processed. In
+              // explicit mode the processed cursor must NOT chase
+              // serverWalEnd — that is exactly the ack-past-unspooled-
+              // frames data-loss window.
+              if (ackOnSurface && k.serverWalEnd > processedLsn)
+                processedLsn = k.serverWalEnd
               if (k.replyRequested) sendStatus()
             case t => throw new java.io.IOException(s"pgwire: unknown CopyData tag '$t'")
           }
-        case 'c' => // CopyDone: final ack lands the cursor, then stop
+        case 'c' => // CopyDone: final ack lands the processed cursor, then stop
           if (framesSinceAck > 0) { sendStatus(); framesSinceAck = 0 }
           return None
         case 'E' => fail(b)
@@ -329,24 +489,30 @@ final class PgReplicationClient(host: String, port: Int, user: String,
   * decoding — wire bytes pass through verbatim (writeFrame re-frames
   * with the same 'w' layout, length-prefixed for the file format).
   *
-  * Delivery: frames are acked as received (at-least-once into the
-  * spool); a crash between ack and parquet commit re-reads from the
-  * slot's restart LSN — duplicate frames carry duplicate LSNs, which
-  * the downstream envelope gate dedups exactly like WalSource restarts
-  * (dropDuplicatesWithinWatermark("lsn")).
+  * Delivery: a segment is CONFIRMED (and therefore acked) only after
+  * its parquet write commits — a crash mid-segment re-reads those
+  * frames from the slot's restart LSN, which is exactly the
+  * at-least-once the reference provides. Duplicate frames carry
+  * duplicate LSNs, which the downstream envelope gate dedups exactly
+  * like WalSource restarts (dropDuplicatesWithinWatermark("lsn")).
   */
 object PgWireTailer {
 
   /** Drain `client` (already in COPY-BOTH mode) into `segmentsPath`,
     * rotating a parquet file every `framesPerSegment` frames. Stops at
     * CopyDone or after `maxSegments` rotations; flushes the partial
-    * tail segment either way. Returns the final flushed LSN — the
-    * cursor to hand the next session's START_REPLICATION. */
+    * tail segment either way. Each rotation's parquet commit is
+    * followed by `client.confirm(segment end LSN)` — the ack cursor
+    * never runs ahead of durable data. Returns the final PROCESSED
+    * LSN — the cursor to hand the next session's START_REPLICATION. */
   def tail(spark: org.apache.spark.sql.SparkSession, client: PgReplicationClient,
            segmentsPath: String, framesPerSegment: Int = 1000,
            maxSegments: Int = Int.MaxValue): Long = {
     require(framesPerSegment > 0, "framesPerSegment must be positive")
-    var segment = 0L
+    // a reconnecting session appends after the segments already on disk;
+    // maxSegments stays a PER-CALL rotation budget
+    val base = nextSegmentIndex(spark, segmentsPath)
+    var rotations = 0L
     var open = true
     // relation cache: decodeSegments requires each segment to be
     // SELF-CONTAINED (a Relation message precedes its DML — pgoutput
@@ -356,17 +522,19 @@ object PgWireTailer {
     // (`containers/relationcache.go`): the cache state IS what makes a
     // resume point valid.
     val relCache = scala.collection.mutable.LinkedHashMap[Int, (Long, Array[Byte])]()
-    while (open && segment < maxSegments) {
+    while (open && rotations < maxSegments) {
       val bos = new ByteArrayOutputStream()
       val o = new DataOutputStream(bos)
       var n = 0
       var startLsn = -1L
-      if (segment > 0) relCache.values.foreach { case (lsn, msg) =>
+      var endLsn = client.processedLsn
+      if (rotations > 0) relCache.values.foreach { case (lsn, msg) =>
         PgOutput.writeFrame(o, lsn, msg)
       }
       while (n < framesPerSegment && open) client.nextRaw() match {
         case Some((lsn, msg)) =>
           if (startLsn < 0) startLsn = lsn
+          endLsn = math.max(endLsn, lsn + msg.length)
           if (msg.nonEmpty && msg(0).toChar == 'R')
             relCache(ByteBuffer.wrap(msg, 1, 4).getInt) = (lsn, msg)
           PgOutput.writeFrame(o, lsn, msg); n += 1
@@ -374,12 +542,80 @@ object PgWireTailer {
       }
       if (n > 0) {
         import scala.jdk.CollectionConverters._
-        val row = org.apache.spark.sql.Row(segment, startLsn, bos.toByteArray)
+        val row = org.apache.spark.sql.Row(base + rotations, startLsn, bos.toByteArray)
         spark.createDataFrame(Seq(row).asJava, PgOutput.frameSchema)
           .write.mode("append").parquet(segmentsPath)
-        segment += 1
+        // the parquet commit above is the durability line: only now may
+        // the slot's confirmed_flush_lsn advance past these frames
+        client.confirm(endLsn)
+        rotations += 1
       }
     }
-    client.flushedLsn
+    client.processedLsn
+  }
+
+  /** Resume-safe segment numbering: a reconnecting tailer appends after
+    * the highest already-committed segment instead of colliding. */
+  private def nextSegmentIndex(spark: org.apache.spark.sql.SparkSession,
+                               segmentsPath: String): Long = {
+    val dir = new java.io.File(segmentsPath)
+    if (!dir.exists()) return 0L
+    val df = spark.read.schema(PgOutput.frameSchema).parquet(segmentsPath)
+    val r = df.agg(org.apache.spark.sql.functions.max("segment")).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
+  }
+
+  /** Database-gone resilience (the reference's
+    * `tests/streamer_databse_gone_test.go` scenario): run the
+    * connect → COPY-BOTH → [[tail]] chain, and when the socket dies
+    * mid-stream, reconnect with exponential backoff and RESUME from the
+    * last processed (= last parquet-committed) LSN. Frames received but
+    * not yet committed are re-fetched from the slot — no loss; nothing
+    * below the processed cursor is re-sent — no spool dupes beyond
+    * at-least-once.
+    *
+    * `connect(startLsn)` must return a client already in COPY-BOTH mode
+    * on that cursor (handshake + startReplication done) — connection
+    * parameters, auth, and slot/publication names live with the caller.
+    * Returns the final processed LSN after a clean CopyDone. */
+  def tailResilient(spark: org.apache.spark.sql.SparkSession,
+                    connect: Long => PgReplicationClient,
+                    startLsn: Long, segmentsPath: String,
+                    framesPerSegment: Int = 1000,
+                    maxReconnects: Int = 5,
+                    backoffInitialMs: Long = 50L): Long = {
+    var cursor = startLsn
+    var attempts = 0
+    while (true) {
+      val client =
+        try connect(cursor)
+        catch {
+          case e: java.io.IOException =>
+            attempts += 1
+            if (attempts > maxReconnects) throw new java.io.IOException(
+              s"pgwire: walsender unreachable after $maxReconnects reconnects " +
+                s"(resume cursor ${PgWire.lsnText(cursor)})", e)
+            Thread.sleep(backoffInitialMs << math.min(attempts - 1, 6))
+            null
+        }
+      if (client != null) {
+        try {
+          val done = tail(spark, client, segmentsPath, framesPerSegment)
+          return done // clean CopyDone
+        } catch {
+          case e: java.io.IOException => // socket death mid-stream (EOF included)
+            val progressed = client.processedLsn > cursor
+            cursor = math.max(cursor, client.processedLsn)
+            // fresh backoff after a session that committed new segments —
+            // only consecutive no-progress failures count against the cap
+            attempts = if (progressed) 1 else attempts + 1
+            if (attempts > maxReconnects) throw new java.io.IOException(
+              s"pgwire: stream died and $maxReconnects reconnects exhausted " +
+                s"(resume cursor ${PgWire.lsnText(cursor)})", e)
+            Thread.sleep(backoffInitialMs << math.min(attempts - 1, 6))
+        } finally client.close()
+      }
+    }
+    cursor // unreachable
   }
 }
