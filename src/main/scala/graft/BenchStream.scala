@@ -124,8 +124,11 @@ object BenchStream {
       serverThread.setDaemon(true); serverThread.start()
       val spoolDir = s"$ckpt/$tag/spool"
       val t0 = System.nanoTime()
+      // default ack cadence: the tailer confirms once per committed
+      // segment, so the server hears a status update at every segment
+      // boundary (plus keepalive replies and idle-timer acks)
       val c = new graft.sources.PgReplicationClient("127.0.0.1", server.getLocalPort,
-        "rep", "bench", ackEveryFrames = 1000)
+        "rep", "bench")
       val nFrames = try {
         c.handshake()
         c.startReplication("bench_slot", "bench_pub", 0L)
@@ -157,6 +160,6 @@ object BenchStream {
     val sockColdRate = if (sockColdSecs > 0) nSockCold / sockColdSecs else 0.0
     println(f"""{"metric":"stream_envelopes_per_sec","value":$rate%.1f,"unit":"events/sec","n_events":$nWarm,"wall_sec":$warmSecs%.2f,"cold_rate":$coldRate%.1f,"cold_wall_sec":$coldSecs%.2f,"wire_rate":$wireRate%.1f,"wire_n_events":$nWire,"wire_wall_sec":$wireSecs%.2f,"wire_cold_rate":$wireColdRate%.1f,"socket_rate":$sockRate%.1f,"socket_n_events":$nSock,"socket_wall_sec":$sockSecs%.2f,"socket_cold_rate":$sockColdRate%.1f,"sf":"$sfDir"}""")
     spark.stop()
-    if (nWarm == 0 || nWire == 0) sys.exit(1)
+    if (nWarm == 0 || nWire == 0 || nSock == 0) sys.exit(1)
   }
 }

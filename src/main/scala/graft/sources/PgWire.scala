@@ -198,12 +198,13 @@ object PgWire {
 final class PgReplicationClient(host: String, port: Int, user: String,
                                 database: String, password: String = "",
                                 sslContext: Option[javax.net.ssl.SSLContext] = None,
+                                sslVerifyHostname: Boolean = false,
                                 connectTimeoutMs: Int = 5000,
                                 readTimeoutMs: Int = 15000,
-                                ackEveryFrames: Int = 1,
+                                ackEveryConfirms: Int = 1,
                                 statusIntervalMs: Int = 5000,
                                 ackOnSurface: Boolean = false) extends AutoCloseable {
-  require(ackEveryFrames >= 1, "ackEveryFrames must be >= 1")
+  require(ackEveryConfirms >= 1, "ackEveryConfirms must be >= 1")
   require(statusIntervalMs >= 1, "statusIntervalMs must be >= 1")
   private var socket: Socket = new Socket()
   socket.connect(new InetSocketAddress(host, port), connectTimeoutMs)
@@ -223,7 +224,14 @@ final class PgReplicationClient(host: String, port: Int, user: String,
   def flushedLsn: Long = processedLsn
   /** Keepalives observed (control-plane visibility, ops parity). */
   @volatile var keepalivesSeen: Long = 0L
-  private var framesSinceAck: Int = 0
+  private var confirmsSinceAck: Int = 0
+  /** Guards every socket WRITE after startup plus the ack-cadence
+    * counter: [[confirm]] is documented as callable from the consumer's
+    * committer thread while the reading thread may concurrently send a
+    * keepalive-reply or idle-timer status update from [[nextRaw]] —
+    * unsynchronized, the interleaved writes would corrupt the protocol
+    * framing mid-message. */
+  private val writeLock = new Object
 
   import PgWire._
 
@@ -234,7 +242,12 @@ final class PgReplicationClient(host: String, port: Int, user: String,
   }
 
   /** SSLRequest → 'S' → wrap the socket. Runs BEFORE the startup packet
-    * (the protocol's one chance to negotiate TLS). */
+    * (the protocol's one chance to negotiate TLS). Without
+    * `sslVerifyHostname` this is sslmode=require: the chain is
+    * validated against the supplied context's trust material but the
+    * certificate's hostname is NOT checked; with it, endpoint
+    * identification (verify-full semantics) runs inside the handshake
+    * — the server's cert must carry a SAN matching `host`. */
   private def upgradeTls(ctx: javax.net.ssl.SSLContext): Unit = {
     out.write(sslRequest); out.flush()
     val answer = in.read()
@@ -244,6 +257,11 @@ final class PgReplicationClient(host: String, port: Int, user: String,
     val ssl = ctx.getSocketFactory
       .createSocket(socket, host, port, true).asInstanceOf[javax.net.ssl.SSLSocket]
     ssl.setUseClientMode(true)
+    if (sslVerifyHostname) {
+      val params = ssl.getSSLParameters
+      params.setEndpointIdentificationAlgorithm("HTTPS")
+      ssl.setSSLParameters(params)
+    }
     ssl.startHandshake()
     socket = ssl
     socket.setSoTimeout(readTimeoutMs)
@@ -370,7 +388,7 @@ final class PgReplicationClient(host: String, port: Int, user: String,
     socket.setSoTimeout(statusIntervalMs)
   }
 
-  private def sendStatus(replyRequested: Boolean = false): Unit = {
+  private def sendStatus(replyRequested: Boolean = false): Unit = writeLock.synchronized {
     val lsn = processedLsn
     val ack = PgOutput.StandbyStatusUpdate(lsn, lsn, lsn,
       clientTimeMicros = 0L, replyRequested = replyRequested)
@@ -378,13 +396,16 @@ final class PgReplicationClient(host: String, port: Int, user: String,
   }
 
   /** Consumer-side durable-commit notification: advances the processed
-    * cursor and acks on the configured cadence. Call AFTER the write
-    * that makes the data recoverable (parquet segment commit, sink
-    * flush) — the reference's AcknowledgeProcessed. */
-  def confirm(lsn: Long): Unit = {
+    * cursor and acks every `ackEveryConfirms` confirms (the unit is
+    * CONFIRMS, not frames — a tailer that confirms once per committed
+    * segment acks once per `ackEveryConfirms` segments). Call AFTER the
+    * write that makes the data recoverable (parquet segment commit,
+    * sink flush) — the reference's AcknowledgeProcessed. Safe to call
+    * from a committer thread concurrent with the reading thread. */
+  def confirm(lsn: Long): Unit = writeLock.synchronized {
     if (lsn > processedLsn) processedLsn = lsn
-    framesSinceAck += 1
-    if (framesSinceAck >= ackEveryFrames) { sendStatus(); framesSinceAck = 0 }
+    confirmsSinceAck += 1
+    if (confirmsSinceAck >= ackEveryConfirms) { sendStatus(); confirmsSinceAck = 0 }
   }
 
   /** Pull the next RAW XLogData payload (lsn, pgoutput message bytes),
@@ -406,7 +427,7 @@ final class PgReplicationClient(host: String, port: Int, user: String,
         try in.read()
         catch {
           case _: java.net.SocketTimeoutException =>
-            sendStatus(); framesSinceAck = 0
+            writeLock.synchronized { sendStatus(); confirmsSinceAck = 0 }
             -2
         }
       val b =
@@ -447,7 +468,9 @@ final class PgReplicationClient(host: String, port: Int, user: String,
             case t => throw new java.io.IOException(s"pgwire: unknown CopyData tag '$t'")
           }
         case 'c' => // CopyDone: final ack lands the processed cursor, then stop
-          if (framesSinceAck > 0) { sendStatus(); framesSinceAck = 0 }
+          writeLock.synchronized {
+            if (confirmsSinceAck > 0) { sendStatus(); confirmsSinceAck = 0 }
+          }
           return None
         case 'E' => fail(b)
         case 'N' | 'S' => // notices mid-stream are legal

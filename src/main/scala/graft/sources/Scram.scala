@@ -31,9 +31,29 @@ object Scram {
     mac.doFinal(msg)
   }
 
-  /** Hi(str, salt, i) — PBKDF2-HMAC-SHA-256, RFC 5802 §2.2. */
+  /** RFC 5802 §2.2 requires Normalize(password) = SASLprep (RFC 4013).
+    * PostgreSQL SASLpreps passwords at CREATE ROLE time, so a client
+    * that skips normalization computes a different SaltedPassword for
+    * any non-ASCII password (composed vs decomposed Unicode) and fails
+    * auth against a real server. SASLprep's mapping step is NFKC plus
+    * removal of mapped-to-nothing code points and rejection of
+    * prohibited ones; NFKC is the part that changes real passwords
+    * (libpq's effective behavior), and the two prohibited classes a
+    * password could realistically carry are checked loudly. */
+  def normalize(password: String): String = {
+    val n = java.text.Normalizer.normalize(password, java.text.Normalizer.Form.NFKC)
+    n.foreach { c =>
+      if (c.isControl) throw new IllegalArgumentException(
+        "scram: control character in password (prohibited by SASLprep, RFC 4013 C.2.1)")
+      if (Character.getType(c) == Character.UNASSIGNED) throw new IllegalArgumentException(
+        "scram: unassigned code point in password (prohibited by SASLprep, RFC 4013 §2.5)")
+    }
+    n
+  }
+
+  /** Hi(Normalize(str), salt, i) — PBKDF2-HMAC-SHA-256, RFC 5802 §2.2. */
   def saltedPassword(password: String, salt: Array[Byte], iterations: Int): Array[Byte] = {
-    val spec = new PBEKeySpec(password.toCharArray, salt, iterations, 256)
+    val spec = new PBEKeySpec(normalize(password).toCharArray, salt, iterations, 256)
     javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
       .generateSecret(spec).getEncoded
   }
