@@ -464,7 +464,11 @@ final class PgReplicationClient(host: String, port: Int, user: String,
               // frames data-loss window.
               if (ackOnSurface && k.serverWalEnd > processedLsn)
                 processedLsn = k.serverWalEnd
-              if (k.replyRequested) sendStatus()
+              // reply-requested acks reset the cadence counter like the
+              // idle-timer and CopyDone send sites — the server just
+              // heard the cursor; an immediate follow-up ack is noise
+              if (k.replyRequested)
+                writeLock.synchronized { sendStatus(); confirmsSinceAck = 0 }
             case t => throw new java.io.IOException(s"pgwire: unknown CopyData tag '$t'")
           }
         case 'c' => // CopyDone: final ack lands the processed cursor, then stop

@@ -31,24 +31,52 @@ object Scram {
     mac.doFinal(msg)
   }
 
+  /** RFC 3454 B.1 "mapped to nothing" — characters NFKC does NOT remove
+    * (soft hyphen, ZWNJ/ZWJ, variation selectors, BOM); stripping them
+    * first is what makes the client's SaltedPassword match the verifier
+    * the server stored at CREATE ROLE time. */
+  private def mapsToNothing(cp: Int): Boolean = cp match {
+    case 0x00AD | 0x034F | 0x1806 | 0x200B | 0x200C | 0x200D | 0x2060 | 0xFEFF => true
+    case _ => (cp >= 0x180B && cp <= 0x180D) || (cp >= 0xFE00 && cp <= 0xFE0F)
+  }
+
+  /** RFC 3454 C.1.2 non-ASCII space — SASLprep maps these to U+0020. */
+  private def nonAsciiSpace(cp: Int): Boolean = cp match {
+    case 0x00A0 | 0x1680 | 0x2028 | 0x2029 | 0x202F | 0x205F | 0x3000 => true
+    case _ => cp >= 0x2000 && cp <= 0x200A
+  }
+
   /** RFC 5802 §2.2 requires Normalize(password) = SASLprep (RFC 4013).
     * PostgreSQL SASLpreps passwords at CREATE ROLE time, so a client
     * that skips normalization computes a different SaltedPassword for
     * any non-ASCII password (composed vs decomposed Unicode) and fails
-    * auth against a real server. SASLprep's mapping step is NFKC plus
-    * removal of mapped-to-nothing code points and rejection of
-    * prohibited ones; NFKC is the part that changes real passwords
-    * (libpq's effective behavior), and the two prohibited classes a
-    * password could realistically carry are checked loudly. */
+    * auth against a real server.
+    *
+    * Steps, matching the server's pg_saslprep: (1) map — B.1 code
+    * points removed, C.1.2 non-ASCII spaces → space; (2) NFKC;
+    * (3) prohibited-output scan over CODE POINTS (controls, unassigned
+    * — including supplementary-plane ones that surface as surrogate
+    * pairs in UTF-16 — unpaired surrogates, private use,
+    * noncharacters). On prohibited input the result is the RAW password
+    * unchanged: pg_saslprep returns the original string when SASLprep
+    * fails, on both libpq and the server, so throwing here would reject
+    * a password that authenticates fine everywhere else. */
   def normalize(password: String): String = {
-    val n = java.text.Normalizer.normalize(password, java.text.Normalizer.Form.NFKC)
-    n.foreach { c =>
-      if (c.isControl) throw new IllegalArgumentException(
-        "scram: control character in password (prohibited by SASLprep, RFC 4013 C.2.1)")
-      if (Character.getType(c) == Character.UNASSIGNED) throw new IllegalArgumentException(
-        "scram: unassigned code point in password (prohibited by SASLprep, RFC 4013 §2.5)")
+    val mapped = new java.lang.StringBuilder(password.length)
+    password.codePoints().forEach { cp =>
+      if (nonAsciiSpace(cp)) mapped.append(' ')
+      else if (!mapsToNothing(cp)) mapped.appendCodePoint(cp)
     }
-    n
+    val n = java.text.Normalizer.normalize(mapped, java.text.Normalizer.Form.NFKC)
+    var prohibited = false
+    n.codePoints().forEach { cp =>
+      val t = Character.getType(cp)
+      if (t == Character.CONTROL || t == Character.UNASSIGNED ||
+          t == Character.SURROGATE || t == Character.PRIVATE_USE ||
+          (cp >= 0xFDD0 && cp <= 0xFDEF) || (cp & 0xFFFE) == 0xFFFE)
+        prohibited = true
+    }
+    if (prohibited) password else n
   }
 
   /** Hi(Normalize(str), salt, i) — PBKDF2-HMAC-SHA-256, RFC 5802 §2.2. */

@@ -7,25 +7,74 @@ import java.nio.charset.StandardCharsets.UTF_8
 import java.util.concurrent.{CountDownLatch, TimeUnit}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.cdc.PgOutput
-import graft.sources.{PgReplicationClient, PgWire}
+import graft.sources.{PgReplicationClient, PgWire, Scram}
 
 /** [[graft.sources.PgWire]]/[[PgReplicationClient]] against an in-JVM
-  * fake walsender speaking the real v3 byte layouts: startup/auth,
-  * IDENTIFY_SYSTEM over simple query, START_REPLICATION → CopyBoth,
-  * XLogData + keepalive inbound, StandbyStatusUpdate acks outbound,
-  * ErrorResponse propagation. Same pattern as the sink family's fake
-  * brokers — the bytes on the wire are the contract under test. */
+  * fake walsender speaking the real v3 byte layouts: startup/auth
+  * (trust, SCRAM-SHA-256 with a server-side verifier, md5 refusal),
+  * optional SSLRequest→TLS upgrade, IDENTIFY_SYSTEM over simple query,
+  * START_REPLICATION → CopyBoth, XLogData + keepalive inbound,
+  * StandbyStatusUpdate acks outbound, ErrorResponse propagation, and
+  * kill-and-resume over multiple sessions. Same pattern as the sink
+  * family's fake brokers — the bytes on the wire are the contract under
+  * test.
+  *
+  * The fake is CONFIRM-DRIVEN, matching the client's explicit-ack
+  * contract: it never blocks waiting for an ack after a data frame
+  * (the client only acks on [[PgReplicationClient.confirm]], keepalive
+  * reply requests, and its idle timer). Inbound acks drain on a
+  * dedicated reader thread per session, so the stream side is
+  * full-duplex like a real walsender. */
 class PgWireSpec extends AnyFunSuite {
 
   // ---- fake walsender ----
 
-  private class FakeWalsender(failSlot: Boolean = false, authMd5: Boolean = false) {
+  private object Fake {
+    /** Default stream script: one Begin/Relation/Insert/Commit txn at
+      * LSNs ABOVE the 0/1000 resume point the main test starts from —
+      * a server never streams below the requested LSN. */
+    val defaultFrames: Seq[(Long, PgOutput.PgMsg)] = Seq(
+      0x2000L -> PgOutput.BeginMsg(0x2601L, 77000000L, 901),
+      0x2100L -> PgOutput.RelationMsg(PgOutput.EventsRelId, "public", "events",
+        'd'.toByte, PgOutput.EventsRelCols),
+      0x2200L -> PgOutput.InsertMsg(PgOutput.EventsRelId,
+        PgOutput.rowTuple(4001L, 1700000000000000000L, 7L, "click", 1.5, """{"k":"9"}""")),
+      0x2600L -> PgOutput.CommitMsg(0, 0x2601L, 0x2602L, 77000000L))
+    val defaultScript: Long => Seq[(Long, Array[Byte])] =
+      start => defaultFrames.map { case (l, m) => (l, PgOutput.encode(m)) }
+        .filter(_._1 >= start)
+  }
+
+  /** One fake walsender server. `script(startLsn)` decides the frames a
+    * session serves given its START_REPLICATION position, so a
+    * reconnecting client resumes mid-script like against a real slot.
+    * `dieAfterFrames` hard-closes the FIRST session's socket after N
+    * data frames (no CopyDone) — the database-gone scenario. */
+  private class FakeWalsender(
+      failSlot: Boolean = false,
+      auth: String = "trust", // trust | md5 | scram
+      scramPassword: String = "",
+      tamperSignature: Boolean = false,
+      refuseTls: Boolean = false,
+      serverCtx: Option[javax.net.ssl.SSLContext] = None,
+      script: Long => Seq[(Long, Array[Byte])] = Fake.defaultScript,
+      sendKeepalive: Boolean = true,
+      keepaliveLsn: Long = 0x100L,
+      dieAfterFrames: Int = Int.MaxValue,
+      maxSessions: Int = 1) {
     val server = new ServerSocket(0)
     val port: Int = server.getLocalPort
     @volatile var startupParams: Map[String, String] = Map.empty
-    @volatile var acks: List[PgOutput.StandbyStatusUpdate] = Nil
-    @volatile var sawStartReplication: String = ""
+    @volatile var sawStartReplication: List[String] = Nil
+    val acks = new java.util.concurrent.CopyOnWriteArrayList[PgOutput.StandbyStatusUpdate]()
+    val ackErrors = new java.util.concurrent.CopyOnWriteArrayList[String]()
     val done = new CountDownLatch(1)
+
+    def awaitAcks(n: Int, timeoutMs: Long = 5000): Unit = {
+      val deadline = System.nanoTime + timeoutMs * 1000000L
+      while (acks.size < n && System.nanoTime < deadline) Thread.sleep(5)
+      assert(acks.size >= n, s"expected >=$n acks, got ${acks.size} after ${timeoutMs}ms")
+    }
 
     private def writeBackend(o: DataOutputStream, tag: Char, payload: Array[Byte]): Unit = {
       o.writeByte(tag); o.writeInt(4 + payload.length); o.write(payload); o.flush()
@@ -38,16 +87,83 @@ class PgWireSpec extends AnyFunSuite {
       bb.put('w'.toByte).putLong(lsn).putLong(lsn + msg.length).putLong(0L).put(msg)
       bb.array()
     }
+    private def errorResponse(o: DataOutputStream, sqlstate: String, msg: String): Unit = {
+      val e = new ByteArrayOutputStream()
+      e.write('S'); cstr(e, "FATAL"); e.write('C'); cstr(e, sqlstate)
+      e.write('M'); cstr(e, msg); e.write(0)
+      writeBackend(o, 'E', e.toByteArray)
+    }
 
-    private def serve(): Unit = {
-      val s = server.accept()
-      val in = new DataInputStream(s.getInputStream)
-      val out = new DataOutputStream(s.getOutputStream)
-      // startup: Int32 len (self-inclusive), Int32 proto, k\0v\0…\0
-      val len = in.readInt()
-      val body = new Array[Byte](len - 4); in.readFully(body)
+    /** Server half of the SCRAM-SHA-256 exchange, verifying the proof
+      * against the verifier PostgreSQL would store at CREATE ROLE time
+      * (SASLprep'd password → StoredKey). Returns false on 28P01. */
+    private def scramServe(in: DataInputStream, out: DataOutputStream): Boolean = {
+      val mech = new ByteArrayOutputStream()
+      mech.write(ByteBuffer.allocate(4).putInt(10).array())
+      cstr(mech, Scram.Mechanism); mech.write(0)
+      writeBackend(out, 'R', mech.toByteArray)
+      val t1 = in.read(); assert(t1 == 'p', s"expected SASLInitialResponse, got $t1")
+      val l1 = in.readInt(); val b1 = new Array[Byte](l1 - 4); in.readFully(b1)
+      val bb = ByteBuffer.wrap(b1)
+      val mname = { val sb = new StringBuilder; var c = bb.get()
+        while (c != 0) { sb.append(c.toChar); c = bb.get() }; sb.toString }
+      assert(mname == Scram.Mechanism)
+      val rl = bb.getInt; val resp = new Array[Byte](rl); bb.get(resp)
+      val clientFirst = new String(resp, UTF_8)
+      assert(clientFirst.startsWith("n,,"), s"bad gs2 header in '$clientFirst'")
+      val clientFirstBare = clientFirst.substring(3)
+      val clientNonce = Scram.attrs(clientFirstBare)('r')
+      val serverNonce = clientNonce + "FAKESRVNONCE"
+      val salt = "pepper-salt-16b!".getBytes(UTF_8)
+      val iters = 4096
+      val serverFirst = s"r=$serverNonce,s=${Scram.b64(salt)},i=$iters"
+      writeBackend(out, 'R', ByteBuffer.allocate(4 + serverFirst.length)
+        .putInt(11).put(serverFirst.getBytes(UTF_8)).array())
+      val t2 = in.read(); assert(t2 == 'p', s"expected SASLResponse, got $t2")
+      val l2 = in.readInt(); val b2 = new Array[Byte](l2 - 4); in.readFully(b2)
+      val clientFinal = new String(b2, UTF_8)
+      val a = Scram.attrs(clientFinal)
+      assert(a('r') == serverNonce, "client must echo the full combined nonce")
+      val proof = Scram.unb64(a('p'))
+      val clientFinalNoProof = clientFinal.substring(0, clientFinal.lastIndexOf(",p="))
+      val authMessage = s"$clientFirstBare,$serverFirst,$clientFinalNoProof"
+      val salted = Scram.saltedPassword(scramPassword, salt, iters)
+      val stored = Scram.storedKey(Scram.clientKey(salted))
+      if (!Scram.verifyClientProof(proof, stored, authMessage)) {
+        errorResponse(out, "28P01", s"password authentication failed for user \"rep\"")
+        return false
+      }
+      val sig = Scram.serverSignature(salted, authMessage)
+      if (tamperSignature) sig(0) = (sig(0) ^ 0x55).toByte
+      val fin = s"v=${Scram.b64(sig)}"
+      writeBackend(out, 'R', ByteBuffer.allocate(4 + fin.length)
+        .putInt(12).put(fin.getBytes(UTF_8)).array())
+      writeBackend(out, 'R', ByteBuffer.allocate(4).putInt(0).array())
+      true
+    }
+
+    private def serveSession(raw: java.net.Socket, isFirst: Boolean): Unit = {
+      var sock = raw
+      var in = new DataInputStream(sock.getInputStream)
+      var out = new DataOutputStream(sock.getOutputStream)
+      // startup (or SSLRequest first): Int32 len (self-inclusive), Int32 code
+      var len = in.readInt()
+      var code = in.readInt()
+      if (code == PgWire.SslRequestCode) {
+        if (refuseTls) { out.write('N'); out.flush(); sock.close(); return }
+        out.write('S'); out.flush()
+        val ssl = serverCtx.get.getSocketFactory
+          .createSocket(sock, "127.0.0.1", port, true).asInstanceOf[javax.net.ssl.SSLSocket]
+        ssl.setUseClientMode(false)
+        ssl.startHandshake()
+        sock = ssl
+        in = new DataInputStream(sock.getInputStream)
+        out = new DataOutputStream(sock.getOutputStream)
+        len = in.readInt(); code = in.readInt()
+      }
+      assert(code == PgWire.ProtocolV3, s"expected v3 startup, got $code")
+      val body = new Array[Byte](len - 8); in.readFully(body)
       val bb = ByteBuffer.wrap(body)
-      assert(bb.getInt == PgWire.ProtocolV3)
       val params = scala.collection.mutable.Map[String, String]()
       while (bb.remaining() > 1) {
         def cstrAt(): String = {
@@ -58,76 +174,157 @@ class PgWireSpec extends AnyFunSuite {
         val k = cstrAt(); if (k.nonEmpty) params(k) = cstrAt()
       }
       startupParams = params.toMap
-      if (authMd5) { // demand md5: client must refuse loudly
-        val p = ByteBuffer.allocate(8).putInt(5).putInt(0x01020304).array()
-        writeBackend(out, 'R', p); s.close(); done.countDown(); return
+      auth match {
+        case "md5" => // demand md5: client must refuse loudly
+          writeBackend(out, 'R',
+            ByteBuffer.allocate(8).putInt(5).putInt(0x01020304).array())
+          sock.close(); return
+        case "scram" =>
+          if (!scramServe(in, out)) { sock.close(); return }
+        case _ =>
+          writeBackend(out, 'R', ByteBuffer.allocate(4).putInt(0).array())
       }
-      writeBackend(out, 'R', ByteBuffer.allocate(4).putInt(0).array()) // AuthenticationOk
       val ps = new ByteArrayOutputStream(); cstr(ps, "server_version"); cstr(ps, "16.3")
       writeBackend(out, 'S', ps.toByteArray)
       writeBackend(out, 'K', ByteBuffer.allocate(8).putInt(7).putInt(42).array())
       writeBackend(out, 'Z', Array('I'.toByte))
-      // IDENTIFY_SYSTEM
-      def readQuery(): String = {
-        val tag = in.read(); assert(tag == 'Q', s"expected Q got $tag")
+      // simple-query loop: IDENTIFY_SYSTEM then START_REPLICATION; a
+      // client that closes after identify (wireProbe) ends the session
+      def readQuery(): Option[String] = {
+        val tag = in.read()
+        if (tag < 0 || tag == 'X') return None
+        assert(tag == 'Q', s"expected Q got $tag")
         val l = in.readInt(); val b = new Array[Byte](l - 4); in.readFully(b)
-        new String(b, 0, b.length - 1, UTF_8)
+        Some(new String(b, 0, b.length - 1, UTF_8))
       }
-      assert(readQuery() == "IDENTIFY_SYSTEM")
-      val rd = new ByteArrayOutputStream(); val ro = new DataOutputStream(rd)
-      ro.writeShort(4)
-      Seq("systemid", "timeline", "xlogpos", "dbname").foreach { n =>
-        cstr(rd, n); ro.writeInt(0); ro.writeShort(0); ro.writeInt(25)
-        ro.writeShort(-1); ro.writeInt(-1); ro.writeShort(0)
+      // IDENTIFY_SYSTEM is optional — a resuming tailer may go straight
+      // to START_REPLICATION (it already knows the system identity)
+      var q = readQuery()
+      q match {
+        case Some("IDENTIFY_SYSTEM") =>
+          val rd = new ByteArrayOutputStream(); val ro = new DataOutputStream(rd)
+          ro.writeShort(4)
+          Seq("systemid", "timeline", "xlogpos", "dbname").foreach { n =>
+            cstr(rd, n); ro.writeInt(0); ro.writeShort(0); ro.writeInt(25)
+            ro.writeShort(-1); ro.writeInt(-1); ro.writeShort(0)
+          }
+          writeBackend(out, 'T', rd.toByteArray)
+          val dr = new ByteArrayOutputStream(); val dro = new DataOutputStream(dr)
+          dro.writeShort(4)
+          Seq("7272727272", "1", "0/1000", "events_db").foreach { v =>
+            val b = v.getBytes(UTF_8); dro.writeInt(b.length); dro.write(b)
+          }
+          writeBackend(out, 'D', dr.toByteArray)
+          val cc = new ByteArrayOutputStream(); cstr(cc, "IDENTIFY_SYSTEM")
+          writeBackend(out, 'C', cc.toByteArray)
+          writeBackend(out, 'Z', Array('I'.toByte))
+          q = readQuery()
+        case _ => () // fall through: q is already START_REPLICATION (or EOF)
       }
-      writeBackend(out, 'T', rd.toByteArray)
-      val dr = new ByteArrayOutputStream(); val dro = new DataOutputStream(dr)
-      dro.writeShort(4)
-      Seq("7272727272", "1", "0/1000", "events_db").foreach { v =>
-        val b = v.getBytes(UTF_8); dro.writeInt(b.length); dro.write(b)
+      val start = q match {
+        case Some(sql) =>
+          assert(sql.startsWith("START_REPLICATION"), s"expected START_REPLICATION, got $sql")
+          sawStartReplication = sawStartReplication :+ sql
+          val m = """LOGICAL ([0-9A-Fa-f]+/[0-9A-Fa-f]+)""".r.findFirstMatchIn(sql)
+          PgWire.parseLsn(m.get.group(1))
+        case None => sock.close(); return
       }
-      writeBackend(out, 'D', dr.toByteArray)
-      val cc = new ByteArrayOutputStream(); cstr(cc, "IDENTIFY_SYSTEM")
-      writeBackend(out, 'C', cc.toByteArray)
-      writeBackend(out, 'Z', Array('I'.toByte))
-      // START_REPLICATION
-      sawStartReplication = readQuery()
       if (failSlot) {
-        val e = new ByteArrayOutputStream()
-        e.write('S'); cstr(e, "ERROR"); e.write('C'); cstr(e, "42704")
-        e.write('M'); cstr(e, "replication slot \"ghost\" does not exist"); e.write(0)
-        writeBackend(out, 'E', e.toByteArray); s.close(); done.countDown(); return
+        errorResponse(out, "42704", "replication slot \"ghost\" does not exist")
+        sock.close(); return
       }
       writeBackend(out, 'W', Array[Byte](0, 0, 0)) // CopyBoth, 0 cols
-      // the stream: keepalive (reply requested) → read ack, then a real
-      // Begin/Relation/Insert/Commit burst, then CopyDone
-      def readAck(): PgOutput.StandbyStatusUpdate = {
-        val tag = in.read(); assert(tag == 'd', s"expected CopyData ack got $tag")
-        val l = in.readInt(); val b = new Array[Byte](l - 4); in.readFully(b)
-        PgOutput.decodeStatusUpdate(b)
+      // full duplex from here: a reader thread drains inbound acks
+      // (the confirm-driven contract — the server NEVER waits for an
+      // ack to keep streaming), the session thread writes the script
+      val reader = new Thread(() => {
+        try {
+          while (true) {
+            val tag = in.read()
+            if (tag < 0 || tag == 'X') return
+            val l = in.readInt(); val b = new Array[Byte](l - 4); in.readFully(b)
+            if (tag == 'd' && b.nonEmpty && b(0) == 'r')
+              try acks.add(PgOutput.decodeStatusUpdate(b))
+              catch { case e: Exception => ackErrors.add(e.getMessage) }
+          }
+        } catch { case _: java.io.IOException => () }
+        finally { try sock.close() catch { case _: Exception => () } }
+      })
+      reader.setDaemon(true); reader.start()
+      if (sendKeepalive && isFirst)
+        writeBackend(out, 'd', PgOutput.encodeKeepalive(
+          PgOutput.PrimaryKeepalive(keepaliveLsn, 0L, replyRequested = true)))
+      var sent = 0
+      var died = false
+      script(start).foreach { case (lsn, msg) =>
+        if (!died) {
+          writeBackend(out, 'd', xlogData(lsn, msg))
+          sent += 1
+          if (isFirst && sent >= dieAfterFrames) {
+            // database-gone: hard close, NO CopyDone — the client must
+            // treat this as a retryable stream death
+            sock.close(); died = true
+          }
+        }
       }
-      writeBackend(out, 'd', PgOutput.encodeKeepalive(
-        PgOutput.PrimaryKeepalive(0x100L, 0L, replyRequested = true)))
-      acks ::= readAck()
-      val msgs = Seq[(Long, PgOutput.PgMsg)](
-        0x200L -> PgOutput.BeginMsg(0x260L, 77000000L, 901),
-        0x210L -> PgOutput.RelationMsg(PgOutput.EventsRelId, "public", "events",
-          'd'.toByte, PgOutput.EventsRelCols),
-        0x220L -> PgOutput.InsertMsg(PgOutput.EventsRelId,
-          PgOutput.rowTuple(4001L, 1700000000000000000L, 7L, "click", 1.5, """{"k":"9"}""")),
-        0x260L -> PgOutput.CommitMsg(0, 0x260L, 0x261L, 77000000L))
-      msgs.foreach { case (lsn, m) =>
-        writeBackend(out, 'd', xlogData(lsn, PgOutput.encode(m)))
-        acks ::= readAck() // client acks every surfaced XLogData
-      }
-      writeBackend(out, 'c', Array.emptyByteArray) // CopyDone
-      s.close(); done.countDown()
+      // CopyDone ends the stream; the reader keeps draining late
+      // confirm-driven acks until the client terminates, and closes the
+      // socket on its way out — the session thread must NOT wait for it
+      if (!died) writeBackend(out, 'c', Array.emptyByteArray)
+    }
+
+    private def serve(): Unit = {
+      var session = 0
+      try {
+        while (session < maxSessions) {
+          val s = server.accept()
+          session += 1
+          try serveSession(s, session == 1)
+          catch { case _: java.io.IOException => () } // client aborted mid-handshake
+        }
+      } finally done.countDown()
     }
     val thread = new Thread(() => serve())
     thread.setDaemon(true); thread.start()
   }
 
-  test("full replication session: handshake, identify, stream, acks") {
+  private def trustAllCtx: javax.net.ssl.SSLContext = {
+    val tm = new javax.net.ssl.X509TrustManager {
+      def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+      def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+      def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+    }
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(null, Array(tm), null)
+    ctx
+  }
+
+  /** Self-signed server context, SAN controlled by the caller — the
+    * same keytool recipe as the kafka/redis sink TLS specs. */
+  private def serverCtxWithSan(san: String): javax.net.ssl.SSLContext = {
+    val ksPath = java.nio.file.Files.createTempFile("graft-pgwire-tls", ".p12")
+    java.nio.file.Files.delete(ksPath)
+    val keytool = new ProcessBuilder(
+      s"${sys.props("java.home")}/bin/keytool", "-genkeypair", "-alias", "pg",
+      "-keyalg", "RSA", "-keysize", "2048", "-storetype", "PKCS12",
+      "-keystore", ksPath.toString, "-storepass", "changeit",
+      "-dname", "CN=fakewalsender", "-ext", s"san=$san",
+      "-validity", "1").redirectErrorStream(true).start()
+    assert(keytool.waitFor() == 0, "keytool keypair generation failed")
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val fis = new java.io.FileInputStream(ksPath.toFile)
+    try ks.load(fis, "changeit".toCharArray) finally fis.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, "changeit".toCharArray)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    ctx
+  }
+
+  // ---- specs ----
+
+  test("full replication session: handshake, identify, stream, confirm-driven acks") {
     val srv = new FakeWalsender()
     val c = new PgReplicationClient("127.0.0.1", srv.port, "rep", "events_db")
     try {
@@ -137,13 +334,13 @@ class PgWireSpec extends AnyFunSuite {
       val id = c.identifySystem()
       assert(id.map(_.get) === Seq("7272727272", "1", "0/1000", "events_db"))
       c.startReplication("graft_slot", "graft_pub", PgWire.parseLsn("0/1000"))
-      assert(srv.sawStartReplication.contains("START_REPLICATION SLOT \"graft_slot\""))
-      assert(srv.sawStartReplication.contains("proto_version '1'"))
-      assert(srv.sawStartReplication.contains("0/1000"))
+      assert(srv.sawStartReplication.head.contains("START_REPLICATION SLOT \"graft_slot\""))
+      assert(srv.sawStartReplication.head.contains("proto_version '1'"))
+      assert(srv.sawStartReplication.head.contains("0/1000"))
       val got = c.poll(max = 100)
       assert(srv.done.await(5, TimeUnit.SECONDS))
-      assert(got.map(_._1) === Seq(0x200L, 0x210L, 0x220L, 0x260L))
-      assert(got.head._2 === PgOutput.BeginMsg(0x260L, 77000000L, 901))
+      assert(got.map(_._1) === Seq(0x2000L, 0x2100L, 0x2200L, 0x2600L))
+      assert(got.head._2 === PgOutput.BeginMsg(0x2601L, 77000000L, 901))
       got(2)._2 match {
         case PgOutput.InsertMsg(relId, tuple) =>
           assert(relId === PgOutput.EventsRelId)
@@ -152,11 +349,23 @@ class PgWireSpec extends AnyFunSuite {
         case other => fail(s"expected InsertMsg, got $other")
       }
       assert(c.keepalivesSeen === 1L)
-      // at-least-once cursor: the final ack covers the commit frame's end
-      val finalAck = srv.acks.head
-      assert(finalAck.flushedLsn >= 0x260L)
-      // the keepalive-requested ack arrived BEFORE any data ack
-      assert(srv.acks.last.flushedLsn === 0x100L)
+      // resume-cursor contract: the keepalive-requested ack (the only
+      // ack so far — no confirm has run) reports the PRIMED processed
+      // cursor, i.e. the START_REPLICATION position, NOT the keepalive's
+      // serverWalEnd and NOT the received frames' end — acking past
+      // unconfirmed data is exactly the loss window explicit mode closes
+      srv.awaitAcks(1)
+      assert(srv.acks.get(0).flushedLsn === 0x1000L)
+      // the whole stream surfaced, yet nothing beyond the primed cursor
+      // was ever acked before the consumer's confirm
+      assert(c.receivedLsn >= 0x2600L)
+      srv.acks.forEach(a => assert(a.flushedLsn === 0x1000L,
+        s"ack ${a.flushedLsn} exceeds the last confirmed LSN"))
+      // the consumer's durable commit advances the acked cursor
+      c.confirm(0x2602L)
+      srv.awaitAcks(2)
+      assert(srv.acks.get(srv.acks.size - 1).flushedLsn === 0x2602L)
+      assert(c.flushedLsn === 0x2602L)
     } finally c.close()
   }
 
@@ -172,31 +381,145 @@ class PgWireSpec extends AnyFunSuite {
     } finally c.close()
   }
 
-  test("non-trust auth is refused loudly, not silently mishandled") {
-    val srv = new FakeWalsender(authMd5 = true)
+  test("md5 auth is refused loudly, not silently mishandled") {
+    val srv = new FakeWalsender(auth = "md5")
     val c = new PgReplicationClient("127.0.0.1", srv.port, "rep", "events_db")
     try {
       val e = intercept[Exception](c.handshake())
-      assert(e.getMessage.contains("trust auth"))
+      assert(e.getMessage.contains("unsupported auth method 5"))
+      assert(e.getMessage.contains("scram-sha-256"))
     } finally c.close()
   }
 
-  test("wireProbe dials the postgresql.connection address, both DSN forms") {
-    val srv = new FakeWalsender()
-    val id = graft.streaming.ConfigPipeline.wireProbe(Map(
-      "postgresql.connection" -> s"host=127.0.0.1 port=${srv.port} user=rep dbname=events_db"))
-    assert(id.map(_.get) === Seq("7272727272", "1", "0/1000", "events_db"))
-    assert(srv.startupParams("user") === "rep")
-    assert(srv.startupParams("database") === "events_db")
-    val srv2 = new FakeWalsender()
-    val id2 = graft.streaming.ConfigPipeline.wireProbe(Map(
-      "postgresql.connection" -> s"postgres://rep@127.0.0.1:${srv2.port}/events_db"))
-    assert(id2.map(_.get).head === "7272727272")
-    // an unreachable walsender fails loudly before any pipeline state
-    intercept[java.io.IOException] {
-      graft.streaming.ConfigPipeline.wireProbe(Map(
-        "postgresql.connection" -> s"host=127.0.0.1 port=1 user=rep"))
+  test("SCRAM-SHA-256: correct password authenticates and streams") {
+    val srv = new FakeWalsender(auth = "scram", scramPassword = "s3cret-Pass")
+    val c = new PgReplicationClient("127.0.0.1", srv.port, "rep", "events_db",
+      password = "s3cret-Pass")
+    try {
+      c.handshake()
+      val id = c.identifySystem()
+      assert(id.map(_.get).head === "7272727272")
+      c.startReplication("graft_slot", "graft_pub", 0L)
+      val got = c.poll(max = 100)
+      assert(got.map(_._1) === Seq(0x2000L, 0x2100L, 0x2200L, 0x2600L))
+    } finally c.close()
+  }
+
+  test("SCRAM-SHA-256: wrong password surfaces the server's 28P01") {
+    val srv = new FakeWalsender(auth = "scram", scramPassword = "s3cret-Pass")
+    val c = new PgReplicationClient("127.0.0.1", srv.port, "rep", "events_db",
+      password = "not-the-password")
+    try {
+      val e = intercept[java.io.IOException](c.handshake())
+      assert(e.getMessage.contains("28P01"))
+      assert(e.getMessage.contains("password authentication failed"))
+    } finally c.close()
+  }
+
+  test("SCRAM-SHA-256: tampered server signature aborts the client (mutual auth)") {
+    val srv = new FakeWalsender(auth = "scram", scramPassword = "s3cret-Pass",
+      tamperSignature = true)
+    val c = new PgReplicationClient("127.0.0.1", srv.port, "rep", "events_db",
+      password = "s3cret-Pass")
+    try {
+      val e = intercept[java.io.IOException](c.handshake())
+      assert(e.getMessage.contains("SERVER signature mismatch"))
+    } finally c.close()
+  }
+
+  test("SCRAM-SHA-256: non-ASCII password round-trips through SASLprep") {
+    // server stored the verifier from the NFKC-composed form (CREATE
+    // ROLE time), the client types the decomposed form — normalize()
+    // must make them compute the same SaltedPassword
+    val srv = new FakeWalsender(auth = "scram", scramPassword = "café")
+    val c = new PgReplicationClient("127.0.0.1", srv.port, "rep", "events_db",
+      password = "café")
+    try {
+      c.handshake()
+      assert(c.identifySystem().map(_.get).head === "7272727272")
+    } finally c.close()
+  }
+
+  test("Scram.normalize: SASLprep mapping and pg_saslprep's raw fallback") {
+    // NFKC: decomposed → composed
+    assert(Scram.normalize("café") === "café")
+    // B.1 map-to-nothing (soft hyphen, ZWNJ/ZWJ) — NFKC alone keeps these
+    assert(Scram.normalize("pa­ss") === "pass")
+    assert(Scram.normalize("pa‌ss‍") === "pass")
+    // C.1.2 non-ASCII space → U+0020
+    assert(Scram.normalize("a b") === "a b")
+    // prohibited output falls back to the RAW password (pg_saslprep
+    // contract), never throws: control char, unpaired surrogate,
+    // supplementary-plane unassigned (surrogate pair in UTF-16)
+    assert(Scram.normalize("ab") === "ab")
+    assert(Scram.normalize("a\uD800b") === "a\uD800b")
+    val unassigned = new String(Character.toChars(0xE0080))
+    assert(Scram.normalize("a" + unassigned) === "a" + unassigned)
+  }
+
+  test("TLS: server answering 'N' is a hard error, no plaintext fallback") {
+    val srv = new FakeWalsender(refuseTls = true)
+    val c = intercept[java.io.IOException] {
+      new PgReplicationClient("127.0.0.1", srv.port, "rep", "events_db",
+        sslContext = Some(trustAllCtx)).handshake()
     }
+    assert(c.getMessage.contains("refused TLS"))
+  }
+
+  test("TLS endpoint identification: cert without a matching SAN fails the handshake") {
+    val srv = new FakeWalsender(serverCtx = Some(serverCtxWithSan("dns:nothost.example")))
+    val c = new PgReplicationClient("127.0.0.1", srv.port, "rep", "events_db",
+      sslContext = Some(trustAllCtx), sslVerifyHostname = true)
+    try intercept[javax.net.ssl.SSLException](c.handshake())
+    finally c.close()
+  }
+
+  test("TLS endpoint identification: matching IP SAN handshakes and streams") {
+    val srv = new FakeWalsender(serverCtx = Some(serverCtxWithSan("ip:127.0.0.1")))
+    val c = new PgReplicationClient("127.0.0.1", srv.port, "rep", "events_db",
+      sslContext = Some(trustAllCtx), sslVerifyHostname = true)
+    try {
+      c.handshake()
+      assert(c.identifySystem().map(_.get).head === "7272727272")
+      c.startReplication("graft_slot", "graft_pub", 0L)
+      assert(c.poll(max = 100).map(_._1) === Seq(0x2000L, 0x2100L, 0x2200L, 0x2600L))
+    } finally c.close()
+  }
+
+  test("concurrent confirm() while the reader drains: framing stays intact") {
+    // the writeLock contract: a committer thread hammers confirm()
+    // (each sends a StandbyStatusUpdate) while the reading thread
+    // surfaces frames and may itself send keepalive/idle acks — every
+    // outbound byte sequence must stay a valid protocol frame, which
+    // the fake proves by PARSING every inbound ack
+    val inserts = (0 until 50).map { i =>
+      (0x1000L + i * 0x10, PgOutput.encode(PgOutput.InsertMsg(PgOutput.EventsRelId,
+        PgOutput.rowTuple(6000L + i, 1700000000000000000L, 7L, "click", 1.0, "{}"))))
+    }
+    val srv = new FakeWalsender(script = _ => inserts, sendKeepalive = false)
+    val c = new PgReplicationClient("127.0.0.1", srv.port, "rep", "events_db")
+    try {
+      c.handshake(); c.identifySystem()
+      c.startReplication("graft_slot", "graft_pub", 0L)
+      val confirms = 400
+      val start = new CountDownLatch(1)
+      val committer = new Thread(() => {
+        start.await()
+        (1 to confirms).foreach(i => c.confirm(0x100000L + i))
+      })
+      committer.start()
+      start.countDown()
+      val got = c.poll(max = 1000)
+      committer.join(10000)
+      assert(!committer.isAlive)
+      assert(got.length === 50)
+      srv.awaitAcks(confirms)
+      assert(srv.ackErrors.isEmpty, s"corrupt acks: ${srv.ackErrors}")
+      // acks are sent under the lock in confirm order → monotone cursor
+      var prev = 0L
+      srv.acks.forEach { a => assert(a.flushedLsn >= prev); prev = a.flushedLsn }
+      assert(prev === 0x100000L + confirms)
+    } finally c.close()
   }
 
   test("tailer: socket frames spool to segments the executor decode replays") {
@@ -209,10 +532,14 @@ class PgWireSpec extends AnyFunSuite {
       c.startReplication("graft_slot", "graft_pub", 0L)
       // 4 frames at 3/segment → one full + one tail rotation
       val finalLsn = graft.sources.PgWireTailer.tail(spark, c, dir, framesPerSegment = 3)
-      assert(finalLsn >= 0x260L)
+      assert(finalLsn >= 0x2600L)
       assert(srv.done.await(5, TimeUnit.SECONDS))
       val segs = spark.read.schema(PgOutput.frameSchema).parquet(dir)
       assert(segs.count() === 2L, "3+1 frames across two rotations")
+      // confirm-per-segment cadence: one ack per parquet commit (plus
+      // the keepalive reply), never one per frame
+      srv.awaitAcks(3)
+      assert(srv.acks.size === 3, s"expected keepalive reply + 2 segment acks, got ${srv.acks.size}")
       // the SAME executor-side decode the fixture path uses replays the
       // spooled wire bytes into typed WAL rows
       val wal = PgOutput.decodeSegments(segs).collect()
@@ -244,6 +571,75 @@ class PgWireSpec extends AnyFunSuite {
       assert(ins.length === 1, "the isolated Insert segment decodes via the replayed Relation")
       assert(ins.head.event_id === Some(4001L))
     } finally c.close()
+  }
+
+  test("tailResilient: socket death mid-segment resumes from the committed LSN") {
+    // the reference's streamer_databse_gone_test.go scenario: the
+    // walsender dies WITHOUT CopyDone mid-stream; the tailer reconnects
+    // and resumes from the last parquet-committed cursor — committed
+    // frames are never re-spooled, uncommitted ones are re-fetched
+    val spark = SparkSpec.session
+    val rel = 0x10L -> PgOutput.encode(PgOutput.RelationMsg(PgOutput.EventsRelId,
+      "public", "events", 'd'.toByte, PgOutput.EventsRelCols))
+    val txns = (0 until 3).flatMap { i =>
+      val base = 0x100L * (i + 1)
+      Seq(
+        base -> PgOutput.encode(PgOutput.BeginMsg(base + 0x50, 77000000L, 901 + i)),
+        (base + 0x10) -> PgOutput.encode(PgOutput.InsertMsg(PgOutput.EventsRelId,
+          PgOutput.rowTuple(5001L + i, 1700000000000000000L, 7L, "click", 1.0, "{}"))),
+        (base + 0x50) -> PgOutput.encode(PgOutput.CommitMsg(0, base + 0x50, base + 0x51,
+          77000000L)))
+    }
+    // a fresh session always re-sends Relation (pgoutput sends it once
+    // per SESSION per table), then the WAL from the requested position
+    def script(start: Long): Seq[(Long, Array[Byte])] =
+      rel +: txns.filter(_._1 >= start)
+    val srv = new FakeWalsender(script = script, sendKeepalive = false,
+      dieAfterFrames = 5, maxSessions = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-wire-resume").toString
+    def connect(lsn: Long): PgReplicationClient = {
+      val c = new PgReplicationClient("127.0.0.1", srv.port, "rep", "events_db")
+      c.handshake()
+      c.startReplication("graft_slot", "graft_pub", lsn)
+      c
+    }
+    val finalLsn = graft.sources.PgWireTailer.tailResilient(
+      spark, connect, 0L, dir, framesPerSegment = 4)
+    assert(srv.done.await(5, TimeUnit.SECONDS))
+    assert(srv.sawStartReplication.length === 2, "one reconnect after the mid-stream death")
+    // the second session resumed ABOVE the committed cursor, not from 0
+    assert(srv.sawStartReplication(1).contains("LOGICAL") &&
+      !srv.sawStartReplication(1).contains("LOGICAL 0/0"))
+    val segs = spark.read.schema(PgOutput.frameSchema).parquet(dir)
+    // resume APPENDS segments (nextSegmentIndex), never collides
+    val segIds = segs.select("segment").collect().map(_.getLong(0)).sorted
+    assert(segIds.distinct.length === segIds.length, "segment ids must not collide")
+    assert(segIds.head === 0L && segIds.last === segIds.length - 1, "contiguous append")
+    // no loss, and nothing below the committed cursor re-spooled: every
+    // insert appears EXACTLY once end-to-end
+    val wal = PgOutput.decodeSegments(segs).collect()
+    val ids = wal.filter(_.op_wire == "I").flatMap(_.event_id)
+    assert(ids.sorted.toSeq === Seq(5001L, 5002L, 5003L),
+      s"expected each insert exactly once, got ${ids.toSeq}")
+    assert(finalLsn >= 0x351L)
+  }
+
+  test("wireProbe dials the postgresql.connection address, both DSN forms") {
+    val srv = new FakeWalsender()
+    val id = graft.streaming.ConfigPipeline.wireProbe(Map(
+      "postgresql.connection" -> s"host=127.0.0.1 port=${srv.port} user=rep dbname=events_db"))
+    assert(id.map(_.get) === Seq("7272727272", "1", "0/1000", "events_db"))
+    assert(srv.startupParams("user") === "rep")
+    assert(srv.startupParams("database") === "events_db")
+    val srv2 = new FakeWalsender()
+    val id2 = graft.streaming.ConfigPipeline.wireProbe(Map(
+      "postgresql.connection" -> s"postgres://rep@127.0.0.1:${srv2.port}/events_db"))
+    assert(id2.map(_.get).head === "7272727272")
+    // an unreachable walsender fails loudly before any pipeline state
+    intercept[java.io.IOException] {
+      graft.streaming.ConfigPipeline.wireProbe(Map(
+        "postgresql.connection" -> s"host=127.0.0.1 port=1 user=rep"))
+    }
   }
 
   test("idle stream: proactive standby acks on the status cadence") {
