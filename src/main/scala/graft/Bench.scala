@@ -77,7 +77,33 @@ object Bench {
     // fit — the stdout line carries the total, error states, and a fixed
     // family-representative headline subset, and points at the detail file.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
-    val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"n_ok":$nOk,"queries":${qmap(results)},"errors":$errs,"sf":"$sfDir"}"""
+    // Isolated warm medians for the top-N in-suite costs: the suite
+    // numbers carry whatever GC/JIT state the 300-query sweep left
+    // behind, so round-over-round suite deltas on individual queries are
+    // dominated by host noise. This second pass re-times each expensive
+    // query alone — one unbilled warm-up run, then median of 3 — and is
+    // the column BASELINE.md quotes for per-query comparisons.
+    val isolatedN = sys.env.get("SPARK_GRAFT_BENCH_ISOLATED")
+      .flatMap(_.toIntOption).getOrElse(15)
+    val isolated = ok.sortBy(-_._2).take(isolatedN).flatMap { case (name, _, _) =>
+      val fn = SparkEntry.queries(name)
+      System.gc()
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      try {
+        run() // warm-up: plan/codegen caches primed, not billed
+        val times = (1 to 3).map(_ => run()).sorted
+        Some((name, times(1), None: Option[String]))
+      } catch { // in-suite success + isolated failure would be a state leak
+        case e: Throwable =>
+          System.err.println(s"[bench] isolated $name failed: ${e.getMessage}")
+          None
+      }
+    }
+    val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"n_ok":$nOk,"queries":${qmap(results)},"bench_isolated":${qmap(isolated)},"errors":$errs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       detail.getBytes("UTF-8"))
     val headline = Set(

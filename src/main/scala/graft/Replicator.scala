@@ -14,9 +14,11 @@ import org.apache.spark.sql.SparkSession
   * engine-specific key, everything else is the reference's surface.
   *
   * Parity choices:
-  *   - `.toml` extension selects the TOML parser, anything else reads
-  *     flat properties (`unmarshall.go` picks by extension the same
-  *     way; its YAML arm is out of scope and fails loudly here);
+  *   - `.toml` selects the TOML parser, `.yaml`/`.yml` the YAML parser
+  *     (`unmarshall.go` + `main.go:145-146` pick by extension the same
+  *     way; both arms land in one flat property map, like the
+  *     reference's one Config struct), anything else reads flat
+  *     properties;
   *   - env overlay accepts only variables whose prefix maps to a known
   *     config namespace (POSTGRESQL_/TIMESCALEDB_/SINK_/TOPIC_/
   *     STATS_/STATESTORAGE_/INTERNAL_/GRAFT_) — a blanket
@@ -37,8 +39,9 @@ object Replicator {
     * literal-string, boolean, integer/float, and flat string-array
     * values, `#` comments. Arrays flatten to comma-joined strings
     * (the form every `*.includes`/`*.excludes` key already parses).
-    * Unsupported TOML (array-of-tables, multiline strings, dotted
-    * keys) fails loudly rather than mis-reading. */
+    * Dotted keys flatten as written (the reference's example config is
+    * entirely dotted keys). Unsupported TOML (array-of-tables,
+    * multiline strings) fails loudly rather than mis-reading. */
   def parseToml(text: String): Map[String, String] = {
     val out = scala.collection.mutable.LinkedHashMap[String, String]()
     var section = ""
@@ -125,6 +128,125 @@ object Replicator {
     out.toMap
   }
 
+  /** Minimal YAML subset — exactly the shape the reference's
+    * `config.example.yml` uses (its `unmarshall.go` YAML arm feeds the
+    * SAME Config struct the TOML arm does, so both flatten to the same
+    * property map here): indentation-nested mappings, `key: value`
+    * scalars (bare / 'literal' / "escaped"), block sequences (`- item`,
+    * flattened to the comma-joined string every `*.includes`/
+    * `*.excludes` key already parses), `#` comments. Key segments
+    * lowercase on flattening — YAML spells `replicationSlot` where the
+    * canonical TOML keys spell `replicationslot`; Go reaches both via
+    * case-insensitive struct tags, a flat map needs one spelling.
+    * Unsupported YAML (tabs, flow collections, anchors/aliases,
+    * multi-line scalars, documents) fails loudly rather than
+    * mis-reading. */
+  def parseYaml(text: String): Map[String, String] = {
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    def scalar(v: String): String = {
+      val t = v.trim
+      if (t.startsWith("\"")) {
+        require(t.length >= 2 && t.endsWith("\""), s"unterminated YAML string: $t")
+        val sb = new StringBuilder
+        var i = 1
+        while (i < t.length - 1) {
+          val c = t.charAt(i)
+          if (c == '\\') {
+            require(i + 1 < t.length - 1, s"trailing escape in $t")
+            sb.append(t.charAt(i + 1) match {
+              case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+              case '"' => '"'; case '\\' => '\\'
+              case other => throw new IllegalArgumentException(
+                s"unsupported YAML escape \\$other in $t")
+            })
+            i += 2
+          } else { sb.append(c); i += 1 }
+        }
+        sb.toString
+      } else if (t.startsWith("'")) {
+        require(t.length >= 2 && t.endsWith("'"), s"unterminated YAML literal: $t")
+        // YAML single-quote escaping: '' → '
+        t.substring(1, t.length - 1).replace("''", "'")
+      } else {
+        require(!t.startsWith("[") && !t.startsWith("{"),
+          s"YAML flow collections not supported: $t")
+        require(!t.startsWith("&") && !t.startsWith("*"),
+          s"YAML anchors/aliases not supported: $t")
+        require(t != "|" && t != ">",
+          "YAML block scalars not supported")
+        t
+      }
+    }
+    // a '#' starts a comment only outside quotes and after whitespace
+    // (or at line start) — 'a # b' inside quotes survives
+    def stripComment(line: String): String = {
+      var inBasic = false; var inLiteral = false
+      var i = 0
+      while (i < line.length) {
+        line.charAt(i) match {
+          case '"' if !inLiteral => inBasic = !inBasic
+          case '\'' if !inBasic  => inLiteral = !inLiteral
+          case '#' if !inBasic && !inLiteral &&
+              (i == 0 || line.charAt(i - 1) == ' ') => return line.substring(0, i)
+          case _ => ()
+        }
+        i += 1
+      }
+      line
+    }
+    // (indent, segment) stack of the enclosing mappings
+    var stack = List[(Int, String)]()
+    // a key with an empty value is a pending LIST head until either an
+    // item arrives (block sequence) or a deeper key does (nested map)
+    var listKey: Option[String] = None
+    val listBuf = scala.collection.mutable.ListBuffer[String]()
+    def flushList(): Unit = {
+      listKey.foreach(k => if (listBuf.nonEmpty) out(k) = listBuf.mkString(","))
+      listKey = None; listBuf.clear()
+    }
+    text.linesIterator.foreach { raw =>
+      require(!raw.contains('\t'), s"YAML tabs not supported: $raw")
+      val noComment = stripComment(raw)
+      val line = noComment.trim
+      if (line.nonEmpty && line != "---") {
+        val indent = noComment.takeWhile(_ == ' ').length
+        if (line.startsWith("- ") || line == "-") {
+          require(listKey.isDefined, s"YAML sequence item without a key: $line")
+          val v = scalar(line.stripPrefix("-").trim)
+          require(v.nonEmpty, s"empty YAML sequence item: $line")
+          listBuf += v
+        } else {
+          flushList()
+          stack = stack.filter(_._1 < indent)
+          // split on the first ':' outside quotes
+          var colon = -1
+          var i = 0; var inB = false; var inL = false
+          while (i < line.length && colon < 0) {
+            line.charAt(i) match {
+              case '"' if !inL => inB = !inB
+              case '\'' if !inB => inL = !inL
+              case ':' if !inB && !inL => colon = i
+              case _ => ()
+            }
+            i += 1
+          }
+          require(colon > 0, s"YAML line without ':': $line")
+          val key = line.substring(0, colon).trim.toLowerCase
+          require(key.nonEmpty && !key.contains(' ') && !key.contains('"'),
+            s"unsupported YAML key form: $line")
+          val path = (stack.map(_._2) :+ key).mkString(".")
+          val rhs = line.substring(colon + 1).trim
+          if (rhs.isEmpty) { // nested map, or a block sequence's key
+            stack = stack :+ ((indent, key))
+            listKey = Some(path)
+          } else out(path) = scalar(rhs)
+        }
+      }
+    }
+    flushList()
+    out.toMap
+  }
+
   /** Flat `key=value` properties (comments with '#', blank lines ok). */
   def parseProperties(text: String): Map[String, String] =
     text.linesIterator.map(_.trim)
@@ -143,16 +265,16 @@ object Replicator {
     val text = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
     val ext = path.toLowerCase
-    require(!ext.endsWith(".yaml") && !ext.endsWith(".yml"),
-      "YAML configs are not supported — use TOML or flat properties")
     val fileProps =
-      if (ext.endsWith(".toml")) parseToml(text) else parseProperties(text)
+      if (ext.endsWith(".toml")) parseToml(text)
+      else if (ext.endsWith(".yaml") || ext.endsWith(".yml")) parseYaml(text)
+      else parseProperties(text)
     val relevant = env.filter { case (k, _) => EnvPrefixes.exists(k.startsWith) }
     graft.streaming.ConfigPipeline.withEnvOverrides(fileProps, relevant)
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: graft.Replicator <config.(toml|properties)> [dataDir]")
+    require(args.nonEmpty, "usage: graft.Replicator <config.(toml|yml|properties)> [dataDir]")
     val props = loadConfig(args(0))
     val dir = if (args.length > 1) args(1)
       else props.getOrElse("graft.data.dir",

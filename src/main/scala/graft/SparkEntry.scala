@@ -2647,6 +2647,26 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .select(col("lsn"), col("user_id"))
         .orderBy(col("lsn"))),
 
+    "cdc_filter_wave9" -> ((s, dir) => {
+      // wave-9 dialect surface: date() with a Go reference-time layout
+      // and timezone() (expr-lang's date/timezone builtins; Go
+      // time.ParseInLocation semantics — the wall-clock string is IN
+      // the zone, compared as the instant it denotes). The zone under
+      // oracle test is a FIXED-OFFSET id so the DuckDB twin is plain
+      // interval arithmetic (no ICU dependency); DST-zone parity is
+      // spec-proven against java.time in EventFilterSpec instead.
+      val wal = Cdc.walEvents(s, dir)
+        .withColumn("dt",
+          date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd HH:mm:ss"))
+      graft.filter.EventFilter(
+        """date(value.dt, "2006-01-02 15:04:05", timezone("Etc/GMT+5")) < date("2024-01-15T19:00:00") &&
+          |date(value.dt, "2006-01-02 15:04:05") >= date("2024-01-05T00:00:00") &&
+          |value.user_id % 3 == 0""".stripMargin)
+        .apply(wal)
+        .select(col("lsn"), col("user_id"), col("dt"))
+        .orderBy(col("lsn"))
+    }),
+
     "cdc_filter_closures" -> ((s, dir) => {
       // expr-lang array closures (# placeholder, brace shorthand, nested
       // map-inside-count) compiled to Catalyst higher-order functions —
@@ -2686,10 +2706,14 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // the SAME containment join as q_interval_overlap, written the
       // NAIVE declarative way (bare BETWEEN, no manual binning) —
       // RangeJoinBinRule rewrites it into the binned equi-join at
-      // optimization time, so the nested-loop product never plans
-      GraftExtensions.registerTo(s)
-      s.conf.set("spark.graft.rangeJoin.binWidth", "3600000")
-      val wal = Cdc.walEvents(s, dir)
+      // optimization time, so the nested-loop product never plans.
+      // The binWidth conf scopes to a CHILD session: setting it on the
+      // shared session would race concurrent planners (Verify submits
+      // queries in parallel) into seeing a conf they never asked for
+      val sess = s.newSession()
+      GraftExtensions.registerTo(sess)
+      sess.conf.set("spark.graft.rangeJoin.binWidth", "3600000")
+      val wal = Cdc.walEvents(sess, dir)
       val sessions = Cdc.sessionize(wal)
         .select(col("user_id"), col("sess_no").cast("long").as("sess_no"),
           col("sess_start_ms"), col("sess_end_ms"))
@@ -4817,6 +4841,18 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     "cdc_filter_wave8" ->
       """SELECT event_id AS lsn, user_id FROM events
         |WHERE user_id % 2 = 0 ORDER BY lsn""".stripMargin,
+
+    // wave-9 twin: the fixed-offset zone makes ParseInLocation plain
+    // interval arithmetic; dt is ts floored to seconds both sides
+    "cdc_filter_wave9" ->
+      """WITH e AS (SELECT event_id AS lsn, user_id,
+        |                  strftime(ts, '%Y-%m-%d %H:%M:%S') AS dt,
+        |                  date_trunc('second', ts) AS tsec FROM events)
+        |SELECT lsn, user_id, dt FROM e
+        |WHERE tsec + INTERVAL 5 HOUR < TIMESTAMP '2024-01-15 19:00:00'
+        |  AND tsec >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND user_id % 3 = 0
+        |ORDER BY lsn""".stripMargin,
 
     "cdc_filter_closures" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)

@@ -794,7 +794,39 @@ object EventFilter {
           val micros = parseGoDuration(lit).getOrElse(
             fail(s"malformed duration literal '$lit'"))
           s"make_dt_interval(0, 0, 0, ${micros / 1000000.0d})"
-        case "date" => arity(1); s"CAST(${args(0)} AS TIMESTAMP)"
+        // date(x) casts; date(x, layout) parses a Go reference-time
+        // layout; date(x, layout, tz) is time.ParseInLocation — the
+        // wall-clock string is IN the zone, and the result compares as
+        // the instant it denotes (session zone is UTC, so
+        // to_utc_timestamp IS that instant). Layout literal-only, with
+        // the Go→Spark token table checked at compile time.
+        case "date" =>
+          if (args.isEmpty || args.length > 3)
+            fail(s"date expects 1-3 arguments, got ${args.length}")
+          if (args.length == 1) s"CAST(${args(0)} AS TIMESTAMP)"
+          else {
+            val fmtLit = litArgs(1).getOrElse(
+              fail("date format must be a string literal in the columnar subset"))
+            val pattern = EventFilter.goLayoutToSpark(fmtLit).getOrElse(
+              fail(s"unsupported Go time layout '$fmtLit'"))
+            val parsed = s"to_timestamp(${args(0)}, ${sqlString(pattern)})"
+            if (args.length == 2) parsed
+            else s"to_utc_timestamp($parsed, ${args(2)})"
+          }
+        // expr-lang's timezone(name) yields a *time.Location consumed
+        // by date()'s third argument; columnar-ly the validated zone id
+        // IS the value. Literal-only, checked against the JVM tz db at
+        // COMPILE time — an unknown zone fails the filter's creation,
+        // not each row (eventfilter.go compiles conditions up front the
+        // same way).
+        case "timezone" =>
+          arity(1)
+          val lit = litArgs(0).getOrElse(
+            fail("timezone argument must be a string literal in the columnar subset"))
+          try java.time.ZoneId.of(lit)
+          catch { case e: java.time.DateTimeException =>
+            fail(s"unknown timezone '$lit' (${e.getMessage})") }
+          sqlString(lit)
         // expr-lang type names over Spark's typeof(): int/float/string/
         // bool/array/map/nil (structs read as map — the dialect views
         // envelope structs as maps)
@@ -976,6 +1008,37 @@ object EventFilter {
       idx = term.end
     }
     Some(micros.toLong)
+  }
+
+  /** Go reference-time layout ("2006-01-02 15:04:05") → Spark datetime
+    * pattern, token-by-token with the longest Go token winning. Only
+    * layout tokens with EXACT Spark twins convert; an unknown token
+    * yields None and the caller fails loudly — a half-translated format
+    * would parse plausible-but-wrong timestamps. 'T' passes through
+    * quoted (the RFC3339 literal); other stray letters are unknown
+    * tokens. */
+  private[graft] val goLayoutTokens: Seq[(String, String)] = Seq(
+    "2006" -> "yyyy", "January" -> "MMMM", "Jan" -> "MMM",
+    "Monday" -> "EEEE", "Mon" -> "EEE",
+    ".000000" -> ".SSSSSS", ".000" -> ".SSS",
+    "15" -> "HH", "03" -> "hh", "04" -> "mm", "05" -> "ss",
+    "01" -> "MM", "02" -> "dd", "PM" -> "a",
+    "Z07:00" -> "XXX", "-07:00" -> "xxx")
+
+  private[graft] def goLayoutToSpark(layout: String): Option[String] = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < layout.length) {
+      goLayoutTokens.find { case (go, _) => layout.startsWith(go, i) } match {
+        case Some((go, spark)) => sb.append(spark); i += go.length
+        case None =>
+          val c = layout.charAt(i)
+          if (c == 'T') { sb.append("'T'"); i += 1 }
+          else if (c.isLetter || c.isDigit) return None // unknown Go token
+          else { sb.append(c); i += 1 }
+      }
+    }
+    Some(sb.toString)
   }
 
   /** SQL string literal: single quotes doubled; backslashes doubled (the

@@ -438,9 +438,11 @@ object Sampling {
     * newest center ships as a literal float array into the `vec_dot`
     * kernel, the running min-distance is a `least` column, and the
     * farthest point reduces via TakeOrderedAndProject (never a global
-    * sort). Driver state is k rows. The k-pass recompute is the honest
-    * cost (a production run persists the running distances per round —
-    * the DataFrame shape makes that a one-line `.persist()`); a
+    * sort). Driver state is k rows. The running distances PERSIST per
+    * round (each round's frame caches, its parent uncaches one round
+    * later once the child has materialized off it), so every round is
+    * ONE narrow pass over the cached previous distances — O(n·k) total
+    * work, not the O(n·k²) a recompute-from-base chain would cost; a
     * crossJoin alternative would be O(n·k) shuffled rows instead of
     * O(n) per pass. Distances are sequential-fold doubles (identical
     * fold order engine-to-engine), so the output is oracle-exact.
@@ -464,15 +466,25 @@ object Sampling {
         throw new IllegalArgumentException("kCenterSelect: empty input"))
     var selected = Vector((first.getLong(0), first.getSeq[Float](1).toArray, 0.0))
     var cur = emb.select(col(idCol), col(vecCol))
-      .withColumn("d", distTo(selected.head._2))
+      .withColumn("d", distTo(selected.head._2)).persist()
+    // the previous round's cache: freed only AFTER the current round's
+    // top-1 has materialized the child off it — unpersisting earlier
+    // would re-derive the whole least() chain from base every round
+    var toFree: DataFrame = null
     var r = 1
     while (r < k) {
       val next = cur.orderBy(col("d").desc, col(idCol)).limit(1).collect().head
+      if (toFree != null) { toFree.unpersist(blocking = false); toFree = null }
       selected = selected :+ ((next.getLong(0), next.getSeq[Float](1).toArray,
         next.getDouble(2)))
-      cur = cur.withColumn("d", least(col("d"), distTo(selected.last._2)))
+      if (r + 1 < k) {
+        toFree = cur
+        cur = cur.withColumn("d", least(col("d"), distTo(selected.last._2))).persist()
+      }
       r += 1
     }
+    cur.unpersist(blocking = false)
+    if (toFree != null) toFree.unpersist(blocking = false)
     selected.zipWithIndex
       .map { case ((id, _, d), i) => (i, id, d) }
       .toDF("rank", idCol, "dist")

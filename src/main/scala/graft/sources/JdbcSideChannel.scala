@@ -173,6 +173,53 @@ object JdbcSideChannel {
     spark.read.jdbc(url, s""""$schema"."$table"""", predicates, props)
   }
 
+  /** The pg_type bulk load the reference runs at STARTUP
+    * (`internal/sidechannel/queries.go:36-63`
+    * queryTemplateReadPostgreSqlTypes, consumed by
+    * `internal/typemanager/typemanager.go:111-138` initialize): the
+    * full type catalog in ONE catalog-sized query — name, kind, array
+    * element, domain base, enum labels — so enum/domain/composite/array
+    * columns resolve without per-OID round-trips mid-stream. Against a
+    * live PostgreSQL the default SQL reads `pg_catalog.pg_type` with
+    * the enum labels aggregated exactly like the reference's LEFT JOIN
+    * on pg_enum; the harness overrides `sql` with the same column list
+    * over its fixture table. Labels arrive either as a PG array literal
+    * (`{a,b}`) or a plain comma-joined string — both parse. */
+  val PgTypesQuery: String =
+    """SELECT t.oid, t.typname, t.typtype, t.typelem, t.typbasetype, e.enum_values
+      |FROM pg_catalog.pg_type t
+      |LEFT JOIN (
+      |  SELECT e.enumtypid, array_agg(e.enumlabel ORDER BY e.enumsortorder) AS enum_values
+      |  FROM pg_catalog.pg_enum e GROUP BY 1
+      |) e ON e.enumtypid = t.oid
+      |WHERE t.typtype <> 'p'""".stripMargin
+
+  def readPgTypes(url: String, sql: String = PgTypesQuery): Seq[graft.types.TypeRegistry.PgTypeRow] =
+    withConnection(url) { c =>
+      val rs = c.createStatement().executeQuery(sql)
+      collect(rs) { r =>
+        val labelsRaw = Option(r.getString("enum_values")).map(_.trim).getOrElse("")
+        val labels: Seq[String] =
+          if (labelsRaw.isEmpty) Nil
+          else if (labelsRaw.startsWith("{"))
+            graft.types.TypeRegistry.parseArrayText(labelsRaw, s => s)
+              .collect { case s: String => s }
+          else labelsRaw.split(",").toSeq.map(_.trim)
+        graft.types.TypeRegistry.PgTypeRow(
+          r.getInt("oid"), r.getString("typname"), r.getString("typtype").charAt(0),
+          r.getInt("typelem"), r.getInt("typbasetype"), labels)
+      }
+    }
+
+  /** [[readPgTypes]] as a [[graft.types.TypeRegistry.Resolver]]: the
+    * startup-loaded map, with the lazy chain untouched as the fallback
+    * for types created AFTER startup (the reference keeps the same
+    * split — bulk load at `typemanager.go:111-138`, lazy registration
+    * for mid-stream arrivals at `:236-323`). */
+  def pgTypeResolver(url: String, sql: String = PgTypesQuery): graft.types.TypeRegistry.Resolver =
+    graft.types.TypeRegistry.Resolver.ofMap(
+      readPgTypes(url, sql).map(r => r.oid -> r).toMap)
+
   /** Catalog columns as a DataFrame, same shape as the parquet-path
     * `Cdc.catalogColumns` — lets one oracle check both channels. */
   def catalogColumnsDf(spark: SparkSession, url: String, schema: String,

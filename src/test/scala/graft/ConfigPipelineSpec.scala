@@ -246,6 +246,90 @@ class ConfigPipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException] { graft.Replicator.parseToml("just a line") }
   }
 
+  test("Replicator YAML parser: the reference's config.example.yml shape, TOML-equivalent") {
+    // the same configuration written both ways (the reference's
+    // unmarshall.go feeds one Config struct from either) must flatten
+    // to the IDENTICAL property map — YAML's camelCase spelling lands
+    // on the canonical lowercase TOML keys
+    val toml = """
+      |postgresql.connection = 'postgres://repl_user@localhost:5432/postgres'
+      |postgresql.password = 'se # cret'
+      |postgresql.replicationslot.name = 'slot_a'
+      |postgresql.replicationslot.autodrop = true
+      |postgresql.snapshot.batchsize = 1000
+      |timescaledb.hypertables.excludes = ["pg_catalog.*", "internal.*"]
+      |timescaledb.hypertables.includes = ["public.*"]
+      |statestorage.type = 'file'
+      |statestorage.file.path = '/tmp/statestorage.dat'
+      |sink.tombstone = false
+      |sink.type = 'stdout'
+      |""".stripMargin
+    val yaml = """
+      |postgresql:
+      |  connection: 'postgres://repl_user@localhost:5432/postgres'
+      |  password: 'se # cret'   # trailing comment survives the quotes
+      |  replicationSlot:
+      |    name: 'slot_a'
+      |    autoDrop: true
+      |  snapshot:
+      |    batchSize: 1000
+      |timescaledb:
+      |  hypertables:
+      |    excludes:
+      |      - 'pg_catalog.*'
+      |      - 'internal.*'
+      |    includes:
+      |      - 'public.*'
+      |stateStorage:
+      |  type: file
+      |  file:
+      |    path: '/tmp/statestorage.dat'
+      |sink:
+      |  tombstone: false
+      |  type: 'stdout'
+      |""".stripMargin
+    assert(graft.Replicator.parseYaml(yaml) === graft.Replicator.parseToml(toml))
+    // YAML-specific scalar forms
+    val p = graft.Replicator.parseYaml(
+      "a:\n  b: \"x\\ny\"\n  c: 'it''s'\n  d: bare value\n")
+    assert(p("a.b") === "x\ny" && p("a.c") === "it's" && p("a.d") === "bare value")
+    // unsupported YAML fails loudly, never mis-reads
+    intercept[IllegalArgumentException] { graft.Replicator.parseYaml("k: [1, 2]") }
+    intercept[IllegalArgumentException] { graft.Replicator.parseYaml("k: *anchor") }
+    intercept[IllegalArgumentException] { graft.Replicator.parseYaml("k:\n\tv: 1") }
+    intercept[IllegalArgumentException] { graft.Replicator.parseYaml("just a line") }
+    intercept[IllegalArgumentException] { graft.Replicator.parseYaml("- orphan item") }
+  }
+
+  test("Replicator end-to-end: YAML config file drives the configured pipeline") {
+    val dir = Files.createTempDirectory("graft-replicator-yml").toString
+    val sink = new graft.sinks.CollectorSink
+    graft.sinks.Sinks.register("collector-yml", () => sink)
+    val yml =
+      s"""sink:
+         |  type: 'collector-yml'
+         |postgresql:
+         |  publication:
+         |    name: 'yml_pub'
+         |  replicationSlot:
+         |    name: 'yml_slot'
+         |stateStorage:
+         |  type: file
+         |  file:
+         |    path: '$dir/ckpt'
+         |""".stripMargin
+    val cfg = java.nio.file.Paths.get(dir, "replicator.yml")
+    java.nio.file.Files.write(cfg, yml.getBytes("UTF-8"))
+    val props = graft.Replicator.loadConfig(cfg.toString, env = Map.empty)
+    assert(props("postgresql.replicationslot.name") === "yml_slot")
+    assert(props("statestorage.file.path") === s"$dir/ckpt")
+    val (q, pubM, slotM) = ConfigPipeline.startWithControlPlane(spark, sf001, props, dir)
+    assert(q.awaitTermination(240000))
+    assert(sink.rows.nonEmpty)
+    assert(pubM.exists(_.publicationName === "yml_pub"))
+    assert(slotM.exists(_.slotName === "yml_slot"))
+  }
+
   test("Replicator end-to-end: TOML config file drives the configured pipeline") {
     val dir = Files.createTempDirectory("graft-replicator-e2e").toString
     val sink = new graft.sinks.CollectorSink

@@ -35,6 +35,54 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { EventFilter.translate("""op == "unterminated""") }
   }
 
+  test("event filter wave 9: date() layouts and timezone() (expr-lang date builtins)") {
+    import EventFilter.translate
+    // Go reference-time layouts translate token-for-token, or fail loudly
+    assert(EventFilter.goLayoutToSpark("2006-01-02 15:04:05")
+      === Some("yyyy-MM-dd HH:mm:ss"))
+    assert(EventFilter.goLayoutToSpark("2006-01-02T15:04:05Z07:00")
+      === Some("yyyy-MM-dd'T'HH:mm:ssXXX"))
+    assert(EventFilter.goLayoutToSpark("Jan 02, 2006 03:04 PM")
+      === Some("MMM dd, yyyy hh:mm a"))
+    assert(EventFilter.goLayoutToSpark("2006-01-02 15:04:05.000")
+      === Some("yyyy-MM-dd HH:mm:ss.SSS"))
+    assert(EventFilter.goLayoutToSpark("2006-01-02 15:04:05 MST").isEmpty,
+      "zone-abbreviation token has no faithful Spark twin")
+    assert(translate(
+      """date(dt, "2006-01-02 15:04:05", timezone("America/New_York")) > now()""")
+      === "to_utc_timestamp(to_timestamp(`dt`, 'yyyy-MM-dd HH:mm:ss'), " +
+        "'America/New_York') > current_timestamp()")
+    // unknown zones, non-literal layouts, unsupported tokens: all fail
+    // at COMPILE time, never as per-row surprises
+    intercept[IllegalArgumentException] {
+      translate("""date(dt, "2006", timezone("Mars/Olympus")) != nil""")
+    }
+    intercept[IllegalArgumentException] { translate("""date(dt, fmt) != nil""") }
+    intercept[IllegalArgumentException] {
+      translate("""date(dt, "2006-01-02 25:00") != nil""")
+    }
+    intercept[IllegalArgumentException] { translate("""timezone(tzcol) != nil""") }
+    // ParseInLocation semantics across a DST boundary, cross-checked
+    // against java.time (Go's time pkg reads the same IANA db): the
+    // same New York wall clock is UTC-4 in July, UTC-5 in January
+    val df = Seq((1L, "2024-07-01 12:00:00"), (2L, "2024-01-01 12:00:00"))
+      .toDF("id", "dt").withColumn("table_name", lit("events"))
+    def instants(cond: String): Seq[Long] =
+      EventFilter(cond).apply(df).select("id").as[Long].collect().toSeq
+    assert(instants(
+      """date(value.dt, "2006-01-02 15:04:05", timezone("America/New_York")) == date("2024-07-01T16:00:00")""")
+      === Seq(1L))
+    assert(instants(
+      """date(value.dt, "2006-01-02 15:04:05", timezone("America/New_York")) == date("2024-01-01T17:00:00")""")
+      === Seq(2L))
+    assert(java.time.LocalDateTime.parse("2024-07-01T12:00:00")
+      .atZone(java.time.ZoneId.of("America/New_York")).toInstant
+      === java.time.Instant.parse("2024-07-01T16:00:00Z"))
+    assert(java.time.LocalDateTime.parse("2024-01-01T12:00:00")
+      .atZone(java.time.ZoneId.of("America/New_York")).toInstant
+      === java.time.Instant.parse("2024-01-01T17:00:00Z"))
+  }
+
   test("event filter string operators and literal preservation") {
     // operator tokens inside string literals survive byte-for-byte —
     // the round-1 replaceAll corrupted 'a==b' to 'a=b'

@@ -170,4 +170,54 @@ class TypeRegistrySpec extends SparkSpec {
     assert(TypeRegistry.decodeTuple(cols, Seq(UnchangedCol, UnchangedCol), catalog)
       === Seq.empty)
   }
+
+  test("pg_type bulk load over JDBC: enum/domain/composite/array resolve, hash-equal to the file path") {
+    // the reference loads ALL of pg_type in one side-channel query at
+    // startup (queries.go:36-63 / typemanager.go:111-138); here the
+    // same rows come off a JDBC-served pg_type table and must resolve
+    // IDENTICALLY to the fixture-map path
+    import graft.sources.JdbcSideChannel
+    val url = "jdbc:derby:memory:graft_pgtype;create=true"
+    JdbcSideChannel.withConnection(url) { c =>
+      val st = c.createStatement()
+      try st.execute("DROP TABLE PG_TYPE") catch { case _: java.sql.SQLException => }
+      st.execute("CREATE TABLE PG_TYPE (oid INT NOT NULL PRIMARY KEY, " +
+        "typname VARCHAR(64), typtype CHAR(1), typelem INT, " +
+        "typbasetype INT, enum_values VARCHAR(256))")
+      Seq(
+        "(93001, 'mood_j', 'e', 0, 0, '{happy,sad,meh}')", // PG array-literal labels
+        "(93002, '_mood_j', 'a', 93001, 0, NULL)",
+        "(93003, 'age_j', 'd', 0, 20, NULL)", // domain over int8
+        "(93004, 'address_j', 'c', 0, 0, NULL)",
+        "(93010, 'shade_j', 'e', 0, 0, 'light,dark')" // comma-joined labels
+      ).foreach(v => st.execute(s"INSERT INTO PG_TYPE VALUES $v"))
+    }
+    val jdbc = JdbcSideChannel.pgTypeResolver(url,
+      "SELECT oid, typname, typtype, typelem, typbasetype, enum_values FROM PG_TYPE")
+    // enum: labels parsed from the array-literal aggregation
+    val mood = TypeRegistry.converterFor(93001, jdbc)
+    assert(mood.dataType === StringType && mood.parse("happy") === "happy")
+    intercept[IllegalArgumentException] { mood.parse("angry") }
+    // comma-joined label form (a non-PG catalog serving the same shape)
+    assert(TypeRegistry.converterFor(93010, jdbc).parse("dark") === "dark")
+    // array recurses to the enum element; domain picks up int8's parser
+    // AND binary codec; composite passes record-literal text through
+    assert(TypeRegistry.converterFor(93002, jdbc).parse("{happy,sad}")
+      === Seq("happy", "sad"))
+    val age = TypeRegistry.converterFor(93003, jdbc)
+    assert(age.dataType === LongType && age.parse("42") === 42L)
+    assert(age.parseBinary(java.nio.ByteBuffer.allocate(8).putLong(7L).array()) === 7L)
+    assert(TypeRegistry.converterFor(93004, jdbc).parse("(1,main st)") === "(1,main st)")
+    // envelope parity: a tuple decoded through the JDBC-loaded resolver
+    // is byte-identical to the fixture-map path with the same rows
+    val fileRes = Resolver.ofMap(Map(
+      94001 -> PgTypeRow(94001, "mood_f", 'e', enumLabels = Seq("happy", "sad", "meh")),
+      94003 -> PgTypeRow(94003, "age_f", 'd', baseOid = 20)))
+    val colsJ = Seq(("id", 20), ("m", 93001), ("a", 93003))
+    val colsF = Seq(("id", 20), ("m", 94001), ("a", 94003))
+    val tuple = Seq(TextCol("5".getBytes(UTF_8)), TextCol("sad".getBytes(UTF_8)),
+      TextCol("33".getBytes(UTF_8)))
+    assert(TypeRegistry.decodeTuple(colsJ, tuple, jdbc)
+      === TypeRegistry.decodeTuple(colsF, tuple, fileRes))
+  }
 }
