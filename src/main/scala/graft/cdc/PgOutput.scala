@@ -459,8 +459,17 @@ object PgOutput {
   /** Decode pgoutput segment blobs back into WAL change rows — a pure
     * per-segment flatMap (valid on batch AND streaming frames). The
     * relation cache and current-xid live per segment, exactly the state
-    * the reference keeps per replication socket. */
-  def decodeSegments(frames: DataFrame): Dataset[DecodedWal] = {
+    * the reference keeps per replication socket.
+    *
+    * `resolver` is the startup-loaded pg_type map
+    * (`JdbcSideChannel.pgTypeResolver`, mirroring the reference's
+    * `typemanager.go:111-138` initialize): it SERIALIZES INTO the
+    * flatMap closure, so on a real cluster every executor JVM resolves
+    * enum/domain/composite OIDs locally — the JVM-global registry alone
+    * would only cover the driver. */
+  def decodeSegments(frames: DataFrame,
+                     resolver: graft.types.TypeRegistry.Resolver =
+                       graft.types.TypeRegistry.Resolver.empty): Dataset[DecodedWal] = {
     val spark = frames.sparkSession
     import spark.implicits._
     frames.select(col("segment"), col("data")).as[(Long, Array[Byte])].flatMap {
@@ -479,7 +488,7 @@ object PgOutput {
           val rel = relations.getOrElse(relId,
             throw new IllegalStateException(s"pgoutput: unknown relation id $relId"))
           val vals = graft.types.TypeRegistry
-            .decodeTuple(rel.cols.map(c => (c.name, c.typeOid)), t).toMap
+            .decodeTuple(rel.cols.map(c => (c.name, c.typeOid)), t, resolver).toMap
           (rel, vals, n => vals.get(n).flatMap(Option(_)))
         }
         def tupleRow(lsn: Long, opWire: String, relId: Int, t: Seq[TupleCol]): DecodedWal = {
@@ -686,6 +695,8 @@ object PgOutput {
     * decode flatMap — the alternate `WalSource` reader over binary
     * fixtures (`replicationhandler.go:115-215`'s socket loop, as a
     * file-fed micro-batch stream). */
-  def streamDecoded(spark: SparkSession, segmentsPath: String): Dataset[DecodedWal] =
-    decodeSegments(spark.readStream.schema(frameSchema).parquet(segmentsPath))
+  def streamDecoded(spark: SparkSession, segmentsPath: String,
+                    resolver: graft.types.TypeRegistry.Resolver =
+                      graft.types.TypeRegistry.Resolver.empty): Dataset[DecodedWal] =
+    decodeSegments(spark.readStream.schema(frameSchema).parquet(segmentsPath), resolver)
 }

@@ -489,8 +489,19 @@ object ConfigPipeline {
     // WAL source dispatch: `postgresql.pgoutput.path` switches the
     // stream onto binary pgoutput segment blobs (the wire-decode path);
     // default is the parquet stand-in. Same downstream pipeline either way.
+    // `graft.pgtypes.jdbc` (optional JDBC url, `graft.pgtypes.sql` the
+    // catalog query when the server isn't PostgreSQL-shaped) bulk-loads
+    // pg_type at STARTUP — the reference's typemanager.initialize
+    // (`typemanager.go:111-138` fed by `queries.go:36-63`) — and the
+    // loaded resolver rides the decode closure to every executor.
+    val typeResolver = props.get("graft.pgtypes.jdbc") match {
+      case Some(url) => graft.sources.JdbcSideChannel.pgTypeResolver(url,
+        props.getOrElse("graft.pgtypes.sql", graft.sources.JdbcSideChannel.PgTypesQuery))
+      case None => graft.types.TypeRegistry.Resolver.empty
+    }
     val base = StreamPipeline.envelopeStream(spark, dir, effectiveOps(props),
-      pgoutputPath = props.get("postgresql.pgoutput.path"))
+      pgoutputPath = props.get("postgresql.pgoutput.path"),
+      typeResolver = typeResolver)
     val shaped = shape(if (statsOn) StreamPipeline.withStats(base) else base, props)
     val query = (if (statsOn) StreamPipeline.withEmitted(shaped) else shaped)
       .writeStream

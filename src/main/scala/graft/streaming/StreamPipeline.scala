@@ -52,8 +52,10 @@ object StreamPipeline {
     * not in chunk resolution. `chunk_day`/`ts_ms` derive from the
     * decoded tuple exactly as `Cdc.shapeWal` derives them from parquet.
     */
-  def walStreamPgOutput(spark: SparkSession, segmentsPath: String): DataFrame =
-    graft.cdc.PgOutput.streamDecoded(spark, segmentsPath)
+  def walStreamPgOutput(spark: SparkSession, segmentsPath: String,
+                        typeResolver: graft.types.TypeRegistry.Resolver =
+                          graft.types.TypeRegistry.Resolver.empty): DataFrame =
+    graft.cdc.PgOutput.streamDecoded(spark, segmentsPath, typeResolver)
       .toDF()
       .filter(col("op_wire") =!= "M" && col("op_wire") =!= "T")
       .select(col("lsn"), col("xid"),
@@ -75,8 +77,11 @@ object StreamPipeline {
     */
   def envelopeStream(spark: SparkSession, dir: String,
                      enabledOps: Seq[String] = Envelope.Op.all,
-                     pgoutputPath: Option[String] = None): DataFrame = {
-    val wal = pgoutputPath.fold(walStream(spark, dir))(walStreamPgOutput(spark, _))
+                     pgoutputPath: Option[String] = None,
+                     typeResolver: graft.types.TypeRegistry.Resolver =
+                       graft.types.TypeRegistry.Resolver.empty): DataFrame = {
+    val wal = pgoutputPath.fold(walStream(spark, dir))(
+      walStreamPgOutput(spark, _, typeResolver))
     val resolved = wal
       .join(broadcast(Cdc.chunkCatalog(spark, dir)), Seq("chunk_day"))
       .join(broadcast(Cdc.hypertableCatalog(spark)), Seq("hypertable_id"))

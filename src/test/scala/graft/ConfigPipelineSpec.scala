@@ -394,6 +394,69 @@ class ConfigPipelineSpec extends SparkSpec {
       "wire-decoded envelopes must equal the file-sourced pipeline's DML set")
   }
 
+  test("graft.pgtypes.jdbc: startup pg_type bulk load feeds the wire-decode pipeline") {
+    // segments whose event_type column is a RESOLVER-ONLY enum oid —
+    // the configured pipeline can only decode them because the startup
+    // bulk load (typemanager.initialize analog) ran against the
+    // JDBC-served pg_type table and the loaded resolver rode the
+    // decode closure
+    import graft.cdc.PgOutput
+    import graft.cdc.PgOutput.{RelCol, RelationMsg, InsertMsg, rowTuple, writeFrame, encode}
+    val dir = Files.createTempDirectory("graft-cfg-pgtypes").toString
+    val src = Tables.events(spark, sf001)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .orderBy("event_id").limit(40).collect()
+    val labels = src.map(_.getString(3)).distinct.sorted
+    val cols = Seq(RelCol(1, "event_id", 20, -1), RelCol(0, "ts", 1114, -1),
+      RelCol(0, "user_id", 20, -1), RelCol(0, "event_type", 95102, -1),
+      RelCol(0, "value", 701, -1), RelCol(0, "props", 25, -1))
+    val bos = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bos)
+    writeFrame(o, 0x10L, encode(RelationMsg(779, "public", "events", 'd'.toByte, cols)))
+    src.foreach { r =>
+      writeFrame(o, r.getLong(0), encode(InsertMsg(779, rowTuple(
+        r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4), r.getString(5)))))
+    }
+    spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(0L, 0x10L, bos.toByteArray)),
+      PgOutput.frameSchema).write.mode("overwrite").parquet(s"$dir/segments")
+    val url = "jdbc:derby:memory:graft_pgtypes_cfg;create=true"
+    graft.sources.JdbcSideChannel.withConnection(url) { c =>
+      val st = c.createStatement()
+      try st.execute("DROP TABLE PG_TYPE_CFG") catch { case _: java.sql.SQLException => }
+      st.execute("CREATE TABLE PG_TYPE_CFG (oid INT NOT NULL PRIMARY KEY, " +
+        "typname VARCHAR(64), typtype CHAR(1), typelem INT, " +
+        "typbasetype INT, enum_values VARCHAR(256))")
+      st.execute("INSERT INTO PG_TYPE_CFG VALUES (95102, 'evt_kind_cfg', 'e', 0, 0, " +
+        s"'${labels.mkString(",")}')")
+    }
+    val sink = new graft.sinks.CollectorSink
+    graft.sinks.Sinks.register("collector-pgtypes", () => sink)
+    val props = Map(
+      "sink.type" -> "collector-pgtypes",
+      "postgresql.pgoutput.path" -> s"$dir/segments",
+      "graft.pgtypes.jdbc" -> url,
+      "graft.pgtypes.sql" ->
+        "SELECT oid, typname, typtype, typelem, typbasetype, enum_values FROM PG_TYPE_CFG",
+      "statestorage.type" -> "file",
+      "statestorage.file.path" -> s"$dir/ckpt")
+    val q = ConfigPipeline.start(spark, sf001, props, dir)
+    assert(q.awaitTermination(300000), "pgtypes-resolved stream did not finish")
+    // everything the envelope pipeline keeps (the default op gates —
+    // message excluded, snapshot-mode read handling — same as the plain
+    // pgoutput arm) decoded through the JDBC-loaded enum: no loss, no
+    // misreads
+    val keptOps = ConfigPipeline.effectiveOps(props)
+    val expected = Tables.events(spark, sf001)
+      .orderBy("event_id").limit(40)
+      .withColumn("op", graft.cdc.Cdc.opExpr(col("event_type")))
+      .filter(col("op").isin(keptOps: _*) && col("op") =!= "m")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val delivered = sink.rows.map(_.getAs[Long]("lsn")).toSet
+    assert(delivered === expected)
+  }
+
   test("pgoutput-sourced pipeline restarted on the same checkpoint emits nothing new") {
     val dir = Files.createTempDirectory("graft-cfg-pgo-restart").toString
     graft.cdc.PgOutput.encodeSegments(Tables.events(spark, sf001))

@@ -220,4 +220,32 @@ class TypeRegistrySpec extends SparkSpec {
     assert(TypeRegistry.decodeTuple(colsJ, tuple, jdbc)
       === TypeRegistry.decodeTuple(colsF, tuple, fileRes))
   }
+
+  test("resolver rides the decode closure: a resolver-only enum column decodes from segments") {
+    // the startup-loaded pg_type map must reach the EXECUTOR-side
+    // flatMap (typemanager.go:111-138's initialize, distributed): a
+    // relation whose column oid only the resolver knows decodes with
+    // it, and fails loudly without it
+    import graft.cdc.PgOutput.{RelCol, RelationMsg, InsertMsg, rowTuple, writeFrame, encode}
+    val cols = Seq(RelCol(1, "event_id", 20, -1), RelCol(0, "ts", 1114, -1),
+      RelCol(0, "user_id", 20, -1), RelCol(0, "event_type", 95101, -1), // resolver-only enum
+      RelCol(0, "value", 701, -1), RelCol(0, "props", 25, -1))
+    val bos = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bos)
+    writeFrame(o, 0x10L, encode(RelationMsg(778, "public", "events", 'd'.toByte, cols)))
+    writeFrame(o, 0x20L, encode(InsertMsg(778,
+      rowTuple(9001L, 1700000000000000000L, 7L, "happy", 1.0, "{}"))))
+    val df = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(0L, 0x10L, bos.toByteArray)),
+      PgOutput.frameSchema)
+    // no resolver: the unknown oid is a hard error, not a silent null
+    val e = intercept[Exception] { PgOutput.decodeSegments(df).collect() }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("unknown to registry"), chain.take(300))
+    val res = Resolver.ofMap(Map(95101 -> PgTypeRow(95101, "evt_kind", 'e',
+      enumLabels = Seq("happy", "sad"))))
+    val rows = PgOutput.decodeSegments(df, res).collect()
+    assert(rows.length === 1 && rows.head.event_type === Some("happy"))
+  }
 }
