@@ -129,6 +129,22 @@ object PgWire {
   /** Terminate: 'X' + Int32 4. */
   val terminate: Array[Byte] = Array('X'.toByte, 0, 0, 0, 4)
 
+  /** `sslmode=require` semantics: encrypt, do NOT authenticate the
+    * server — libpq's require performs no certificate verification at
+    * all (the documented behavior; verify-ca/verify-full are the
+    * authenticating modes). A trust-all manager is therefore not a
+    * shortcut here, it IS the mode. */
+  def permissiveTlsContext(): javax.net.ssl.SSLContext = {
+    val tm = new javax.net.ssl.X509TrustManager {
+      def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+      def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+      def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+    }
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(null, Array(tm), null)
+    ctx
+  }
+
   // ---- backend message frame ----
 
   final case class Backend(tag: Char, payload: Array[Byte])

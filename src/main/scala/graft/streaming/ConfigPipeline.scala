@@ -341,6 +341,26 @@ object ConfigPipeline {
     (s"jdbc:postgresql://$host:$port/$db", user, password)
   }
 
+  /** `sslmode` from the connection string (DSN keyword or URL query
+    * param), libpq's names: disable/allow/prefer → plaintext (prefer's
+    * opportunistic upgrade is a client nicety, not a guarantee — the
+    * probe treats it as its effective floor), require → TLS without
+    * certificate verification (libpq's documented require), verify-ca/
+    * verify-full → TLS against the JVM default trust store, verify-full
+    * additionally checking the hostname. Unknown modes fail loudly. */
+  def sslMode(props: Map[String, String]): String = {
+    val conn = props.getOrElse("postgresql.connection", "")
+    val mode =
+      if (conn.startsWith("postgres://") || conn.startsWith("postgresql://"))
+        Option(new java.net.URI(conn).getQuery).getOrElse("").split("&")
+          .map(_.split("=", 2)).collectFirst { case Array("sslmode", v) => v }
+          .getOrElse("prefer")
+      else parseDsn(conn).getOrElse("sslmode", "prefer")
+    require(Set("disable", "allow", "prefer", "require", "verify-ca", "verify-full")(mode),
+      s"unknown sslmode '$mode' in postgresql.connection")
+    mode
+  }
+
   /** Startup connection validation over the REPLICATION protocol — the
     * reference connects and identifies the system before streaming
     * (`internal/streamer.go:57-71` via pgx; `replicationcontext.go`
@@ -348,10 +368,25 @@ object ConfigPipeline {
     * streams from files, so a live walsender is only present when the
     * user points one at us. Returns the IDENTIFY_SYSTEM row; fails
     * loudly (connect refusal, auth mismatch, server ErrorResponse)
-    * BEFORE any pipeline state is created. */
+    * BEFORE any pipeline state is created. The probe dials with the
+    * CONFIGURED credentials and sslmode — `postgresql.password`
+    * (overriding any password embedded in the connection string, the
+    * reference's precedence) feeds the SCRAM exchange, and the
+    * connection string's `sslmode` selects the TLS posture, so a
+    * SCRAM-requiring or TLS-requiring server validates instead of
+    * failing a config that would work. */
   def wireProbe(props: Map[String, String]): Seq[Option[String]] = {
-    val (host, port, db, user, _) = connectionParts(props)
-    val client = new graft.sources.PgReplicationClient(host, port, user, db)
+    val (host, port, db, user, passOpt) = connectionParts(props)
+    val password = props.get("postgresql.password").filter(_.nonEmpty)
+      .orElse(passOpt).getOrElse("")
+    val (sslCtx, verifyHost) = sslMode(props) match {
+      case "disable" | "allow" | "prefer" => (None, false)
+      case "require" => (Some(graft.sources.PgWire.permissiveTlsContext()), false)
+      case "verify-ca" => (Some(javax.net.ssl.SSLContext.getDefault), false)
+      case "verify-full" => (Some(javax.net.ssl.SSLContext.getDefault), true)
+    }
+    val client = new graft.sources.PgReplicationClient(host, port, user, db,
+      password = password, sslContext = sslCtx, sslVerifyHostname = verifyHost)
     try { client.handshake(); client.identifySystem() }
     finally client.close()
   }

@@ -642,6 +642,56 @@ class PgWireSpec extends AnyFunSuite {
     }
   }
 
+  test("SCRAM over TLS: the production combination handshakes and streams") {
+    val srv = new FakeWalsender(serverCtx = Some(serverCtxWithSan("ip:127.0.0.1")),
+      auth = "scram", scramPassword = "s3cret-Pass")
+    val c = new PgReplicationClient("127.0.0.1", srv.port, "rep", "events_db",
+      password = "s3cret-Pass", sslContext = Some(trustAllCtx), sslVerifyHostname = true)
+    try {
+      c.handshake()
+      c.startReplication("graft_slot", "graft_pub", 0L)
+      assert(c.poll(max = 100).map(_._1) === Seq(0x2000L, 0x2100L, 0x2200L, 0x2600L))
+    } finally c.close()
+  }
+
+  test("wireProbe dials with the configured password and sslmode") {
+    // a SCRAM-requiring walsender validates with postgresql.password...
+    val srv = new FakeWalsender(auth = "scram", scramPassword = "probe-pw")
+    val id = graft.streaming.ConfigPipeline.wireProbe(Map(
+      "postgresql.connection" -> s"host=127.0.0.1 port=${srv.port} user=rep dbname=events_db",
+      "postgresql.password" -> "probe-pw"))
+    assert(id.map(_.get).head === "7272727272")
+    // ...and a wrong password surfaces the server's 28P01, not a hang
+    val srv2 = new FakeWalsender(auth = "scram", scramPassword = "probe-pw")
+    val e = intercept[java.io.IOException] {
+      graft.streaming.ConfigPipeline.wireProbe(Map(
+        "postgresql.connection" -> s"host=127.0.0.1 port=${srv2.port} user=rep dbname=events_db",
+        "postgresql.password" -> "wrong"))
+    }
+    assert(e.getMessage.contains("28P01"))
+    // sslmode=require: encrypt without certificate verification — a
+    // self-signed walsender passes (libpq's documented require)
+    val srv3 = new FakeWalsender(serverCtx = Some(serverCtxWithSan("ip:127.0.0.1")))
+    val id3 = graft.streaming.ConfigPipeline.wireProbe(Map(
+      "postgresql.connection" ->
+        s"postgres://rep@127.0.0.1:${srv3.port}/events_db?sslmode=require"))
+    assert(id3.map(_.get).head === "7272727272")
+    // verify-full against a self-signed cert: the JVM default trust
+    // store rejects the chain — authenticating modes must not silently
+    // degrade to require
+    val srv4 = new FakeWalsender(serverCtx = Some(serverCtxWithSan("ip:127.0.0.1")))
+    intercept[javax.net.ssl.SSLException] {
+      graft.streaming.ConfigPipeline.wireProbe(Map(
+        "postgresql.connection" ->
+          s"postgres://rep@127.0.0.1:${srv4.port}/events_db?sslmode=verify-full"))
+    }
+    // unknown modes fail loudly at parse
+    intercept[IllegalArgumentException] {
+      graft.streaming.ConfigPipeline.wireProbe(Map(
+        "postgresql.connection" -> "host=h sslmode=sideways"))
+    }
+  }
+
   test("idle stream: proactive standby acks on the status cadence") {
     // PostgreSQL disconnects standbys silent past wal_sender_timeout —
     // with no inbound traffic the client must volunteer status updates
