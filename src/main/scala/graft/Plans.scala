@@ -44,7 +44,9 @@ object Plans {
     "dedup_paragraph_minhash" -> "chunking is a narrow projection feeding the same banding equi-join — paragraph granularity adds zero shuffles over doc-level",
     "source_overlap_approx" -> "per-source HLL sketch agg (map-side combined); the pairwise inclusion-exclusion is a |sources|-row nested loop, no gram self-join",
     // round-9 continuation: the optimizer-rewritten range join
-    "q_range_autobin" -> "the NAIVE `pt BETWEEN lo AND hi` join: RangeJoinBinRule turns the would-be BroadcastNestedLoopJoin into Generate(explode bins) + a hash equi-join on the bin with the BETWEEN residual")
+    "q_range_autobin" -> "the NAIVE `pt BETWEEN lo AND hi` join: RangeJoinBinRule turns the would-be BroadcastNestedLoopJoin into Generate(explode bins) + a hash equi-join on the bin with the BETWEEN residual",
+    // round 12
+    "cdc_filter_wave9" -> "date()/timezone() compile to to_timestamp/to_utc_timestamp inside the SAME single codegen'd Filter as every other wave — zone math is plan-time constant folding fodder, zero per-row tz lookups outside codegen")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
