@@ -325,4 +325,113 @@ class PropertySpec extends AnyFunSuite {
       assert(PgOutput.encode(dec).toSeq === PgOutput.encode(orig).toSeq, s"frame $i")
     }
   }
+
+  test("SCRAM: proof verifies, tampering fails, normalize is idempotent — arbitrary passwords") {
+    import graft.sources.Scram
+    // structurally non-empty (head + tail): nonEmptyListOf/suchThat
+    // RETRY on failure, and samples() replays one fixed initial seed -
+    // a seed whose first draw fails would retry that same draw forever
+    val pwChar = Gen.oneOf(
+      Gen.alphaNumChar,
+      Gen.oneOf('é', 'ü', '€', ' ', '!', ',', '=', '­', ' '),
+      Gen.choose(0x20.toChar, 0x7e.toChar))
+    val pw: Gen[String] = for {
+      n <- Gen.choose(0, 23)
+      h <- pwChar
+      t <- Gen.listOfN(n, pwChar)
+    } yield (h +: t).mkString
+    val authMessage = "n=,r=cnonce,r=cnoncesrv,s=c2FsdA==,i=4096,c=biws,r=cnoncesrv"
+    samples(Gen.zip(pw, Gen.listOfN(16, Gen.choose(0, 255))), 60).foreach {
+      case (p, saltInts) =>
+        val salt = saltInts.map(_.toByte).toArray
+        val salted = Scram.saltedPassword(p, salt, 256)
+        val proof = Scram.clientProof(salted, authMessage)
+        val stored = Scram.storedKey(Scram.clientKey(salted))
+        // RFC 5802 §3: the server recovers ClientKey from the proof and
+        // checks H(ClientKey) == StoredKey — must hold for every password
+        assert(Scram.verifyClientProof(proof, stored, authMessage))
+        // any single-bit tamper of the proof must fail verification
+        val bad = proof.clone(); bad(0) = (bad(0) ^ 1).toByte
+        assert(!Scram.verifyClientProof(bad, stored, authMessage))
+        // SASLprep is a projection: applying it twice changes nothing
+        // (also holds on the raw-fallback path — same input, same answer)
+        assert(Scram.normalize(Scram.normalize(p)) === Scram.normalize(p))
+    }
+  }
+
+  test("YAML parser: arbitrary rendered config trees flatten to the expected map") {
+    // generate nested config trees, render them as block-style YAML
+    // (single-quoted scalars — the form config.example.yml uses), parse
+    // with Replicator.parseYaml, and require EXACTLY the flattened
+    // dotted-lowercase map. Catches indentation-stack, list-flush, and
+    // quote-handling bugs no fixture would.
+    sealed trait Node
+    case class Leaf(v: String) extends Node
+    case class Items(vs: Seq[String]) extends Node
+    case class Branch(kids: Seq[(String, Node)]) extends Node
+    val key: Gen[String] = for {
+      h <- Gen.alphaChar
+      t <- Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const('_'))).map(_.take(8))
+    } yield (h :: t).mkString
+    // printable scalars incl. the characters that trip naive parsers:
+    // '#', ':', ',', '=', double quotes, spaces; no newlines (can't
+    // render single-line), no leading/trailing space (YAML trims)
+    val scalarChar = Gen.oneOf(Gen.alphaNumChar,
+      Gen.oneOf('#', ':', ',', '=', '"', ' ', '\'', '.', '-', '/'))
+    // head is alphanumeric so trim can never empty the string - no
+    // suchThat (fixed-seed retry loops forever on a failing seed)
+    val scalar: Gen[String] = for {
+      n <- Gen.choose(0, 19)
+      h <- Gen.alphaNumChar
+      t <- Gen.listOfN(n, scalarChar)
+    } yield (h +: t).mkString.trim
+    // size bounded AT GENERATION: an unbounded listOf draws ~100
+    // elements per level before any take(), which goes exponential in
+    // the nested tree (100^3 leaf draws burned ~10 CPU-minutes)
+    def nel[T](g: Gen[T], cap: Int): Gen[Seq[T]] = for {
+      n <- Gen.choose(0, cap - 1)
+      h <- g
+      t <- Gen.listOfN(n, g)
+    } yield h +: t
+    val items: Gen[Node] = nel(scalar, 3).map(Items)
+    def node(depth: Int): Gen[Node] =
+      if (depth <= 0) Gen.oneOf(scalar.map(Leaf), items)
+      else Gen.frequency(
+        3 -> scalar.map(Leaf),
+        1 -> items,
+        2 -> nel(Gen.zip(key, Gen.lzy(node(depth - 1))), 4)
+          .map(kids => Branch(kids.distinctBy(_._1.toLowerCase))))
+    val tree: Gen[Branch] = nel(Gen.zip(key, node(2)), 5)
+      .map(kids => Branch(kids.distinctBy(_._1.toLowerCase)))
+    def q(s: String): String = "'" + s.replace("'", "''") + "'"
+    def render(b: Branch, indent: Int, sb: StringBuilder): Unit =
+      b.kids.foreach { case (k, n) =>
+        val pad = " " * indent
+        n match {
+          case Leaf(v)   => sb.append(s"$pad$k: ${q(v)}\n")
+          case Items(vs) =>
+            sb.append(s"$pad$k:\n")
+            vs.foreach(v => sb.append(s"$pad  - ${q(v)}\n"))
+          case br: Branch =>
+            sb.append(s"$pad$k:\n"); render(br, indent + 2, sb)
+        }
+      }
+    def flatten(b: Branch, prefix: String, out: scala.collection.mutable.Map[String, String]): Unit =
+      b.kids.foreach { case (k, n) =>
+        val path = if (prefix.isEmpty) k.toLowerCase else s"$prefix.${k.toLowerCase}"
+        n match {
+          case Leaf(v)    => out(path) = v
+          case Items(vs)  => out(path) = vs.mkString(",")
+          case br: Branch => flatten(br, path, out)
+        }
+      }
+    samples(tree, 150).foreach { t =>
+      val sb = new StringBuilder
+      render(t, 0, sb)
+      val expected = scala.collection.mutable.Map[String, String]()
+      flatten(t, "", expected)
+      assert(graft.Replicator.parseYaml(sb.toString) === expected.toMap,
+        s"yaml:\n${sb.toString.take(400)}")
+    }
+  }
 }
