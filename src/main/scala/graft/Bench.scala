@@ -64,8 +64,6 @@ object Bench {
     def fmt(v: Double): String = f"$v%.3f"
     def qmap(rs: Seq[(String, Double, Option[String])]): String =
       rs.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":" + jstr(e) }
-      .mkString("{", ",", "}")
     // the headline total counts ONLY clean queries: an errored query's
     // (fast) failure time would otherwise deflate the total and make a
     // broken run read as a perf baseline (round-5 postmortem)
@@ -85,7 +83,7 @@ object Bench {
     // the column BASELINE.md quotes for per-query comparisons.
     val isolatedN = sys.env.get("SPARK_GRAFT_BENCH_ISOLATED")
       .flatMap(_.toIntOption).getOrElse(15)
-    val isolated = ok.sortBy(-_._2).take(isolatedN).flatMap { case (name, _, _) =>
+    val isolated = ok.sortBy(-_._2).take(isolatedN).map { case (name, _, _) =>
       val fn = SparkEntry.queries(name)
       System.gc()
       def run(): Double = {
@@ -96,14 +94,21 @@ object Bench {
       try {
         run() // warm-up: plan/codegen caches primed, not billed
         val times = (1 to 3).map(_ => run()).sorted
-        Some((name, times(1), None: Option[String]))
-      } catch { // in-suite success + isolated failure would be a state leak
+        (name, times(1), None: Option[String])
+      } catch { // in-suite success + isolated failure is a state leak —
+        // it must fail the run like any other query failure, not
+        // silently vanish from the column BASELINE.md quotes
         case e: Throwable =>
           System.err.println(s"[bench] isolated $name failed: ${e.getMessage}")
-          None
+          (name, 0.0,
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)))
       }
     }
-    val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"n_ok":$nOk,"queries":${qmap(results)},"bench_isolated":${qmap(isolated)},"errors":$errs,"sf":"$sfDir"}"""
+    val allErrs = (results ++ isolated.map { case (k, t, e) =>
+      (s"isolated:$k", t, e) }).collect {
+      case (k, _, Some(e)) => "\"" + k + "\":" + jstr(e)
+    }.mkString("{", ",", "}")
+    val detail = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"n_ok":$nOk,"queries":${qmap(results)},"bench_isolated":${qmap(isolated.filter(_._3.isEmpty))},"errors":$allErrs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       detail.getBytes("UTF-8"))
     val headline = Set(
@@ -141,8 +146,8 @@ object Bench {
       "events_hll_rollup", "events_cms_heavy", "dedup_paragraph_minhash",
       "source_overlap_approx")
     val head = results.filter(r => headline(r._1))
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"n_ok":$nOk,"queries":${qmap(head)},"errors":$errs,"detail":"$detailPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"n_ok":$nOk,"queries":${qmap(head)},"errors":$allErrs,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
-    if (results.exists(_._3.isDefined)) sys.exit(1)
+    if (results.exists(_._3.isDefined) || isolated.exists(_._3.isDefined)) sys.exit(1)
   }
 }

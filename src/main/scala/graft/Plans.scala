@@ -72,10 +72,8 @@ object Plans {
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       sb.append(s"\n## $name\n\n_${why}_\n\n```\n$plan```\n")
-      // q_range_autobin's closure sets its opt-in rule conf on the
-      // SHARED session; reset so every later entry dumps its own
-      // default plan, not one with the range-join rewrite active
-      spark.conf.unset("spark.graft.rangeJoin.binWidth")
+      // (q_range_autobin scopes its rangeJoin.binWidth conf to a child
+      // session since round 12 — no shared-session cleanup needed here)
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       sb.toString.getBytes("UTF-8"))

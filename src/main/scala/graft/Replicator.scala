@@ -197,12 +197,20 @@ object Replicator {
     // (indent, segment) stack of the enclosing mappings
     var stack = List[(Int, String)]()
     // a key with an empty value is a pending LIST head until either an
-    // item arrives (block sequence) or a deeper key does (nested map)
+    // item arrives (block sequence) or a deeper key does (nested map);
+    // a pending key that gets NEITHER before the next same-or-shallower
+    // key (or EOF) is a mis-indented/empty mapping — fail loudly, a
+    // silently vanished key starts the pipeline minus a filter/slot
     var listKey: Option[String] = None
+    var listIndent = -1
+    var pendingResolved = true
     val listBuf = scala.collection.mutable.ListBuffer[String]()
     def flushList(): Unit = {
-      listKey.foreach(k => if (listBuf.nonEmpty) out(k) = listBuf.mkString(","))
-      listKey = None; listBuf.clear()
+      listKey.foreach { k =>
+        if (listBuf.nonEmpty) out(k) = listBuf.mkString(",")
+        else require(pendingResolved, s"YAML key '$k' has no value, items, or children")
+      }
+      listKey = None; listBuf.clear(); pendingResolved = true
     }
     text.linesIterator.foreach { raw =>
       require(!raw.contains('\t'), s"YAML tabs not supported: $raw")
@@ -216,6 +224,10 @@ object Replicator {
           require(v.nonEmpty, s"empty YAML sequence item: $line")
           listBuf += v
         } else {
+          // a deeper key resolves the pending empty-valued key into a
+          // nested mapping; a same-or-shallower key means it got nothing
+          if (listKey.isDefined && indent > listIndent) pendingResolved = true
+          else if (listKey.isDefined) pendingResolved = false
           flushList()
           stack = stack.filter(_._1 < indent)
           // split on the first ':' outside quotes
@@ -231,7 +243,9 @@ object Replicator {
             i += 1
           }
           require(colon > 0, s"YAML line without ':': $line")
-          val key = line.substring(0, colon).trim.toLowerCase
+          // Locale.ROOT: a Turkish default locale would fold 'I' to the
+          // dotless 'ı' and break every *Includes* key on that machine
+          val key = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
           require(key.nonEmpty && !key.contains(' ') && !key.contains('"'),
             s"unsupported YAML key form: $line")
           val path = (stack.map(_._2) :+ key).mkString(".")
@@ -239,10 +253,13 @@ object Replicator {
           if (rhs.isEmpty) { // nested map, or a block sequence's key
             stack = stack :+ ((indent, key))
             listKey = Some(path)
+            listIndent = indent
+            pendingResolved = false
           } else out(path) = scalar(rhs)
         }
       }
     }
+    // EOF with a pending unresolved key is the same mis-indent error
     flushList()
     out.toMap
   }

@@ -809,6 +809,15 @@ object EventFilter {
               fail("date format must be a string literal in the columnar subset"))
             val pattern = EventFilter.goLayoutToSpark(fmtLit).getOrElse(
               fail(s"unsupported Go time layout '$fmtLit'"))
+            // Go's ParseInLocation IGNORES the location when the string
+            // itself carries a zone — applying to_utc_timestamp on top
+            // of an offset-resolved parse would double-shift. No
+            // columnar expression can branch on "did the string carry a
+            // zone", so the 3-arg form rejects zone-bearing layouts.
+            if (args.length == 3 &&
+                (fmtLit.contains("Z07:00") || fmtLit.contains("-07:00")))
+              fail(s"date layout '$fmtLit' carries an explicit zone — " +
+                "ParseInLocation would ignore the timezone() argument; drop it")
             val parsed = s"to_timestamp(${args(0)}, ${sqlString(pattern)})"
             if (args.length == 2) parsed
             else s"to_utc_timestamp($parsed, ${args(2)})"

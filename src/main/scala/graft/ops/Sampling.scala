@@ -471,20 +471,25 @@ object Sampling {
     // top-1 has materialized the child off it — unpersisting earlier
     // would re-derive the whole least() chain from base every round
     var toFree: DataFrame = null
-    var r = 1
-    while (r < k) {
-      val next = cur.orderBy(col("d").desc, col(idCol)).limit(1).collect().head
-      if (toFree != null) { toFree.unpersist(blocking = false); toFree = null }
-      selected = selected :+ ((next.getLong(0), next.getSeq[Float](1).toArray,
-        next.getDouble(2)))
-      if (r + 1 < k) {
-        toFree = cur
-        cur = cur.withColumn("d", least(col("d"), distTo(selected.last._2))).persist()
+    // finally: a failed round (executor loss, OOM) must not leave the
+    // O(n) distance frames pinned in the block manager for the session
+    try {
+      var r = 1
+      while (r < k) {
+        val next = cur.orderBy(col("d").desc, col(idCol)).limit(1).collect().head
+        if (toFree != null) { toFree.unpersist(blocking = false); toFree = null }
+        selected = selected :+ ((next.getLong(0), next.getSeq[Float](1).toArray,
+          next.getDouble(2)))
+        if (r + 1 < k) {
+          toFree = cur
+          cur = cur.withColumn("d", least(col("d"), distTo(selected.last._2))).persist()
+        }
+        r += 1
       }
-      r += 1
+    } finally {
+      cur.unpersist(blocking = false)
+      if (toFree != null) toFree.unpersist(blocking = false)
     }
-    cur.unpersist(blocking = false)
-    if (toFree != null) toFree.unpersist(blocking = false)
     selected.zipWithIndex
       .map { case ((id, _, d), i) => (i, id, d) }
       .toDF("rank", idCol, "dist")

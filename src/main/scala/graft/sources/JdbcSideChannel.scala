@@ -205,9 +205,14 @@ object JdbcSideChannel {
             graft.types.TypeRegistry.parseArrayText(labelsRaw, s => s)
               .collect { case s: String => s }
           else labelsRaw.split(",").toSeq.map(_.trim)
+        // oid is UNSIGNED 32-bit in PostgreSQL: read as long and wrap to
+        // the signed Int the wire path produces (pgoutput Relation
+        // messages read oids with a signed getInt) — getInt here would
+        // throw on a cluster whose oid counter passed 2^31, and an
+        // unwrapped value would never match the wire-read registry key
         graft.types.TypeRegistry.PgTypeRow(
-          r.getInt("oid"), r.getString("typname"), r.getString("typtype").charAt(0),
-          r.getInt("typelem"), r.getInt("typbasetype"), labels)
+          r.getLong("oid").toInt, r.getString("typname"), r.getString("typtype").charAt(0),
+          r.getLong("typelem").toInt, r.getLong("typbasetype").toInt, labels)
       }
     }
 

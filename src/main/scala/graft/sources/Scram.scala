@@ -54,13 +54,15 @@ object Scram {
     *
     * Steps, matching the server's pg_saslprep: (1) map — B.1 code
     * points removed, C.1.2 non-ASCII spaces → space; (2) NFKC;
-    * (3) prohibited-output scan over CODE POINTS (controls, unassigned
-    * — including supplementary-plane ones that surface as surrogate
-    * pairs in UTF-16 — unpaired surrogates, private use,
-    * noncharacters). On prohibited input the result is the RAW password
-    * unchanged: pg_saslprep returns the original string when SASLprep
-    * fails, on both libpq and the server, so throwing here would reject
-    * a password that authenticates fine everywhere else. */
+    * (3) prohibited-output scan over CODE POINTS (the full RFC 3454
+    * C.2–C.9 tables — including supplementary-plane code points that
+    * surface as surrogate pairs in UTF-16 — plus unpaired surrogates);
+    * (4) the §6 bidi rule. On prohibited input the result is the RAW
+    * password unchanged: pg_saslprep returns the original string when
+    * SASLprep fails, on both libpq and the server, so throwing here
+    * would reject a password that authenticates fine everywhere else —
+    * and normalizing where the server fell back to raw would salt a
+    * DIFFERENT string than the stored verifier. */
   def normalize(password: String): String = {
     val mapped = new java.lang.StringBuilder(password.length)
     password.codePoints().forEach { cp =>
@@ -70,13 +72,52 @@ object Scram {
     val n = java.text.Normalizer.normalize(mapped, java.text.Normalizer.Form.NFKC)
     var prohibited = false
     n.codePoints().forEach { cp =>
-      val t = Character.getType(cp)
-      if (t == Character.CONTROL || t == Character.UNASSIGNED ||
-          t == Character.SURROGATE || t == Character.PRIVATE_USE ||
-          (cp >= 0xFDD0 && cp <= 0xFDEF) || (cp & 0xFFFE) == 0xFFFE)
-        prohibited = true
+      if (prohibitedOutput(cp)) prohibited = true
     }
-    if (prohibited) password else n
+    if (prohibited || bidiViolation(n)) password else n
+  }
+
+  /** RFC 3454 prohibited-output tables as pg_saslprep checks them
+    * (C.1.2 was mapped to space above; the rest must match the SERVER's
+    * verdict exactly — a character we pass but PostgreSQL flags, or
+    * vice versa, makes the two sides salt DIFFERENT strings and auth
+    * fails for a password libpq accepts):
+    * C.2.1/C.2.2 controls (getType CONTROL covers 00-1F, 7F-9F; the
+    * C.2.2 formatting singletons are listed), C.3 private use, C.4
+    * noncharacters, C.5 surrogates, C.6 inappropriate-for-plain-text,
+    * C.7 ideographic description, C.8 change-display/deprecated, C.9
+    * tagging. */
+  private def prohibitedOutput(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    t == Character.CONTROL || t == Character.UNASSIGNED ||
+    t == Character.SURROGATE || t == Character.PRIVATE_USE ||
+    cp == 0x06DD || cp == 0x070F || cp == 0x180E ||                 // C.2.2
+    cp == 0x2028 || cp == 0x2029 || (cp >= 0x2060 && cp <= 0x2063) ||
+    (cp >= 0x206A && cp <= 0x206F) || cp == 0xFEFF ||
+    (cp >= 0x1D173 && cp <= 0x1D17A) ||
+    (cp >= 0xFDD0 && cp <= 0xFDEF) || (cp & 0xFFFE) == 0xFFFE ||    // C.4
+    (cp >= 0xFFF9 && cp <= 0xFFFD) ||                               // C.6
+    (cp >= 0x2FF0 && cp <= 0x2FFB) ||                               // C.7
+    cp == 0x0340 || cp == 0x0341 || cp == 0x200E || cp == 0x200F || // C.8
+    (cp >= 0x202A && cp <= 0x202E) ||
+    cp == 0xE0001 || (cp >= 0xE0020 && cp <= 0xE007F)               // C.9
+  }
+
+  /** RFC 3454 §6 bidi rule (pg_saslprep enforces it): a string with any
+    * RandALCat character may contain no LCat character and must both
+    * start and end RandALCat. Violation → SASLprep fails → raw
+    * password, same as the prohibited tables. */
+  private def bidiViolation(s: String): Boolean = {
+    val cps = s.codePoints().toArray
+    def isR(cp: Int): Boolean = {
+      val d = Character.getDirectionality(cp)
+      d == Character.DIRECTIONALITY_RIGHT_TO_LEFT ||
+      d == Character.DIRECTIONALITY_RIGHT_TO_LEFT_ARABIC
+    }
+    def isL(cp: Int): Boolean =
+      Character.getDirectionality(cp) == Character.DIRECTIONALITY_LEFT_TO_RIGHT
+    cps.nonEmpty && cps.exists(isR) &&
+      (cps.exists(isL) || !isR(cps.head) || !isR(cps.last))
   }
 
   /** Hi(Normalize(str), salt, i) — PBKDF2-HMAC-SHA-256, RFC 5802 §2.2. */

@@ -299,6 +299,13 @@ class ConfigPipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException] { graft.Replicator.parseYaml("k:\n\tv: 1") }
     intercept[IllegalArgumentException] { graft.Replicator.parseYaml("just a line") }
     intercept[IllegalArgumentException] { graft.Replicator.parseYaml("- orphan item") }
+    // a key with no value, items, or children is a mis-indent, not a
+    // silent drop — the next key at the same/shallower level exposes it
+    intercept[IllegalArgumentException] {
+      graft.Replicator.parseYaml("a:\n  excludes:\n  b: 1\n")
+    }
+    intercept[IllegalArgumentException] { graft.Replicator.parseYaml("a:\nb: 1\n") }
+    intercept[IllegalArgumentException] { graft.Replicator.parseYaml("dangling:\n") }
   }
 
   test("Replicator end-to-end: YAML config file drives the configured pipeline") {

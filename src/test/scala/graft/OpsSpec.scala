@@ -62,6 +62,15 @@ class OpsSpec extends SparkSpec {
       translate("""date(dt, "2006-01-02 25:00") != nil""")
     }
     intercept[IllegalArgumentException] { translate("""timezone(tzcol) != nil""") }
+    // a zone-BEARING layout with a timezone() argument is rejected: Go's
+    // ParseInLocation ignores the location when the string carries its
+    // own zone, and to_utc_timestamp on top would double-shift
+    intercept[IllegalArgumentException] {
+      translate("""date(dt, "2006-01-02T15:04:05Z07:00", timezone("UTC")) != nil""")
+    }
+    // ...but the 2-arg form still accepts zone-bearing layouts
+    assert(translate("""date(dt, "2006-01-02T15:04:05Z07:00") != nil""")
+      .contains("to_timestamp"))
     // ParseInLocation semantics across a DST boundary, cross-checked
     // against java.time (Go's time pkg reads the same IANA db): the
     // same New York wall clock is UTC-4 in July, UTC-5 in January

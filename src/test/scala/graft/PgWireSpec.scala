@@ -288,16 +288,12 @@ class PgWireSpec extends AnyFunSuite {
     thread.setDaemon(true); thread.start()
   }
 
-  private def trustAllCtx: javax.net.ssl.SSLContext = {
-    val tm = new javax.net.ssl.X509TrustManager {
-      def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
-      def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
-      def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
-    }
-    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
-    ctx.init(null, Array(tm), null)
-    ctx
-  }
+  /** The production sslmode=require context: trust-all by DESIGN
+    * (libpq's require performs no certificate verification) — the specs
+    * exercising endpoint identification use the same helper the config
+    * path ships, so a change there is a change here. */
+  private def trustAllCtx: javax.net.ssl.SSLContext =
+    PgWire.permissiveTlsContext()
 
   /** Self-signed server context, SAN controlled by the caller — the
     * same keytool recipe as the kafka/redis sink TLS specs. */
@@ -455,6 +451,21 @@ class PgWireSpec extends AnyFunSuite {
     assert(Scram.normalize("a\uD800b") === "a\uD800b")
     val unassigned = new String(Character.toChars(0xE0080))
     assert(Scram.normalize("a" + unassigned) === "a" + unassigned)
+    // RFC 3454 C.8/C.9 survivors of NFKC (RLO override, tag characters)
+    // must fall back raw - the server's pg_saslprep flags them and salts
+    // the ORIGINAL string, so normalizing here would compute a different
+    // SaltedPassword than the stored verifier
+    val withRlo = "cafe\u0301\u202ex" // decomposed e + RLO: NFKC would compose
+    assert(Scram.normalize(withRlo) === withRlo)
+    val withTag = "a" + new String(Character.toChars(0xE0041))
+    assert(Scram.normalize(withTag) === withTag)
+    // RFC 3454 \u00a76 bidi rule: RTL mixed with LTR (or not RTL at both
+    // ends) fails SASLprep -> raw; an all-RTL password normalizes fine
+    val mixed = "a\u05d0" // latin + hebrew alef
+    assert(Scram.normalize(mixed) === mixed)
+    val rtlTrailingDigit = "\u05d0\u05d11" // ends non-RandALCat
+    assert(Scram.normalize(rtlTrailingDigit) === rtlTrailingDigit)
+    assert(Scram.normalize("\u05d0\u05d1") === "\u05d0\u05d1")
   }
 
   test("TLS: server answering 'N' is a hard error, no plaintext fallback") {
