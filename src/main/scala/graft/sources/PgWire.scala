@@ -16,9 +16,10 @@ import graft.cdc.PgOutput
   * Implements, per the public protocol docs (protocol 3.0):
   *  - optional SSLRequest → TLS upgrade before startup (sslmode=require)
   *  - StartupMessage with `replication=database` (walsender mode)
-  *  - AuthenticationOk / AuthenticationSASL → SCRAM-SHA-256 (RFC
-  *    5802/7677 via [[Scram]], with server-signature verification) /
-  *    ParameterStatus / BackendKeyData / ReadyForQuery
+  *  - AuthenticationOk / AuthenticationSASL → SCRAM-SHA-256 and
+  *    SCRAM-SHA-256-PLUS (RFC 5802/7677 via [[Scram]], server-signature
+  *    verification, RFC 5929 tls-server-end-point channel binding over
+  *    TLS) / ParameterStatus / BackendKeyData / ReadyForQuery
   *  - simple query (`IDENTIFY_SYSTEM`: RowDescription/DataRow/CommandComplete)
   *  - `START_REPLICATION SLOT … LOGICAL …` → CopyBothResponse
   *  - CopyData in both directions: XLogData 'w' and PrimaryKeepalive 'k'
@@ -128,6 +129,21 @@ object PgWire {
 
   /** Terminate: 'X' + Int32 4. */
   val terminate: Array[Byte] = Array('X'.toByte, 0, 0, 0, 4)
+
+  /** RFC 5929 tls-server-end-point channel-binding data: the hash of
+    * the server's leaf certificate, using the certificate signature's
+    * hash (MD5/SHA-1 upgrade to SHA-256 per the RFC — also the
+    * PostgreSQL server's rule in its be-secure channel-binding code).
+    * Shared by the client's -PLUS arm and the spec's fake walsender —
+    * both ends must compute the SAME bytes, that is the binding. */
+  private[graft] def tlsServerEndPoint(cert: java.security.cert.X509Certificate): Array[Byte] = {
+    val sig = cert.getSigAlgName.toUpperCase
+    val alg =
+      if (sig.contains("SHA384")) "SHA-384"
+      else if (sig.contains("SHA512")) "SHA-512"
+      else "SHA-256"
+    java.security.MessageDigest.getInstance(alg).digest(cert.getEncoded)
+  }
 
   /** `sslmode=require` semantics: encrypt, do NOT authenticate the
     * server — libpq's require performs no certificate verification at
@@ -285,20 +301,48 @@ final class PgReplicationClient(host: String, port: Int, user: String,
     out = new DataOutputStream(new java.io.BufferedOutputStream(socket.getOutputStream))
   }
 
-  /** SCRAM-SHA-256 exchange (RFC 5802/7677): SASLInitialResponse →
+  /** SCRAM-SHA-256 / SCRAM-SHA-256-PLUS exchange (RFC 5802/7677 + the
+    * RFC 5929 tls-server-end-point binding): SASLInitialResponse →
     * SASLContinue → SASLResponse → SASLFinal, verifying the SERVER's
     * signature too — mutual auth; a server that knows the salt but not
-    * the password fails here. PostgreSQL ignores the SASL-level
-    * username (it uses the startup user), so `n=` is sent empty, the
-    * same choice libpq makes. */
+    * the password fails here.
+    *
+    * Channel binding follows libpq's selection exactly: over TLS with
+    * the server offering -PLUS, bind the server certificate's RFC 5929
+    * hash (gs2 `p=tls-server-end-point`) — a MITM terminating TLS with
+    * its own certificate then fails the exchange even knowing the
+    * password's verifier; over TLS without a -PLUS offer, announce
+    * support with gs2 `y` (a binding-capable server seeing `y` rejects,
+    * which is the downgrade protection); over plaintext, gs2 `n`.
+    * PostgreSQL ignores the SASL-level username (it uses the startup
+    * user), so `n=` is sent empty, the same choice libpq makes. */
   private def scramExchange(mechanisms: Seq[String]): Unit = {
-    require(mechanisms.contains(Scram.Mechanism),
-      s"pgwire: server offers [${mechanisms.mkString(",")}] — only ${Scram.Mechanism} is implemented")
+    val peerCert: Option[java.security.cert.X509Certificate] = socket match {
+      case s: javax.net.ssl.SSLSocket =>
+        s.getSession.getPeerCertificates.headOption.collect {
+          case c: java.security.cert.X509Certificate => c
+        }
+      case _ => None
+    }
+    val offersPlus = mechanisms.contains(Scram.MechanismPlus)
+    require(mechanisms.contains(Scram.Mechanism) || (offersPlus && peerCert.isDefined),
+      if (offersPlus)
+        "pgwire: server requires channel binding (SCRAM-SHA-256-PLUS) but the " +
+          "connection is not TLS — configure sslContext"
+      else
+        s"pgwire: server offers [${mechanisms.mkString(",")}] — only " +
+          s"${Scram.Mechanism}(-PLUS) is implemented")
     require(password.nonEmpty,
       "pgwire: server requires SCRAM-SHA-256 but no password was configured")
+    val (mechanism, gs2Header, cbData) = peerCert match {
+      case Some(cert) if offersPlus =>
+        (Scram.MechanismPlus, "p=tls-server-end-point,,", tlsServerEndPoint(cert))
+      case Some(_) => (Scram.Mechanism, "y,,", Array.emptyByteArray)
+      case None    => (Scram.Mechanism, "n,,", Array.emptyByteArray)
+    }
     val clientNonce = Scram.nonce()
     val clientFirstBare = s"n=,r=$clientNonce"
-    out.write(saslInitialResponse(Scram.Mechanism, ("n,," + clientFirstBare).getBytes(UTF_8)))
+    out.write(saslInitialResponse(mechanism, (gs2Header + clientFirstBare).getBytes(UTF_8)))
     out.flush()
     val cont = readBackend(in)
     if (cont.tag == 'E') fail(cont)
@@ -310,7 +354,11 @@ final class PgReplicationClient(host: String, port: Int, user: String,
       "pgwire: server nonce does not extend the client nonce — possible MITM, aborting")
     require(sf.iterations >= 1, s"pgwire: absurd SCRAM iteration count ${sf.iterations}")
     val salted = Scram.saltedPassword(password, sf.salt, sf.iterations)
-    val clientFinalNoProof = s"c=biws,r=${sf.nonce}" // biws = b64("n,,"): no channel binding
+    // c= carries b64(gs2-header ++ cb-data): "biws"=b64("n,,") and
+    // "eSws"=b64("y,,") for the unbound forms; the -PLUS form appends
+    // the certificate hash so the server proves it saw the SAME channel
+    val clientFinalNoProof =
+      s"c=${Scram.b64(gs2Header.getBytes(UTF_8) ++ cbData)},r=${sf.nonce}"
     val authMessage = s"$clientFirstBare,$serverFirst,$clientFinalNoProof"
     val proof = Scram.clientProof(salted, authMessage)
     out.write(saslResponse(

@@ -21,6 +21,10 @@ import javax.crypto.spec.{PBEKeySpec, SecretKeySpec}
 object Scram {
 
   val Mechanism = "SCRAM-SHA-256"
+  /** Channel-binding variant (RFC 5802 §6.1 naming): same exchange with
+    * the RFC 5929 tls-server-end-point data appended to the c= gs2
+    * block. PostgreSQL advertises it on SSL connections. */
+  val MechanismPlus = "SCRAM-SHA-256-PLUS"
 
   def h(bytes: Array[Byte]): Array[Byte] =
     MessageDigest.getInstance("SHA-256").digest(bytes)

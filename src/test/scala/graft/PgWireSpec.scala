@@ -57,6 +57,9 @@ class PgWireSpec extends AnyFunSuite {
       tamperSignature: Boolean = false,
       refuseTls: Boolean = false,
       serverCtx: Option[javax.net.ssl.SSLContext] = None,
+      offerPlus: Boolean = false,    // advertise SCRAM-SHA-256-PLUS
+      offerBase: Boolean = true,     // advertise plain SCRAM-SHA-256
+      wrongCbCert: Boolean = false,  // MITM analog: expect a different cert's binding
       script: Long => Seq[(Long, Array[Byte])] = Fake.defaultScript,
       sendKeepalive: Boolean = true,
       keepaliveLsn: Long = 0x100L,
@@ -66,6 +69,8 @@ class PgWireSpec extends AnyFunSuite {
     val port: Int = server.getLocalPort
     @volatile var startupParams: Map[String, String] = Map.empty
     @volatile var sawStartReplication: List[String] = Nil
+    @volatile var sawMechanism: String = ""
+    @volatile var sawGs2: String = ""
     val acks = new java.util.concurrent.CopyOnWriteArrayList[PgOutput.StandbyStatusUpdate]()
     val ackErrors = new java.util.concurrent.CopyOnWriteArrayList[String]()
     val done = new CountDownLatch(1)
@@ -94,24 +99,41 @@ class PgWireSpec extends AnyFunSuite {
       writeBackend(o, 'E', e.toByteArray)
     }
 
-    /** Server half of the SCRAM-SHA-256 exchange, verifying the proof
-      * against the verifier PostgreSQL would store at CREATE ROLE time
-      * (SASLprep'd password → StoredKey). Returns false on 28P01. */
-    private def scramServe(in: DataInputStream, out: DataOutputStream): Boolean = {
+    /** Server half of the SCRAM-SHA-256(-PLUS) exchange, verifying the
+      * proof against the verifier PostgreSQL would store at CREATE ROLE
+      * time (SASLprep'd password → StoredKey) and, on -PLUS, the RFC
+      * 5929 channel binding against its OWN certificate — the same
+      * checks a real server's auth-scram.c performs. Returns false on
+      * a rejection. */
+    private def scramServe(in: DataInputStream, out: DataOutputStream,
+                           sock: java.net.Socket): Boolean = {
       val mech = new ByteArrayOutputStream()
       mech.write(ByteBuffer.allocate(4).putInt(10).array())
-      cstr(mech, Scram.Mechanism); mech.write(0)
+      if (offerPlus) cstr(mech, Scram.MechanismPlus)
+      if (offerBase) cstr(mech, Scram.Mechanism)
+      mech.write(0)
       writeBackend(out, 'R', mech.toByteArray)
       val t1 = in.read(); assert(t1 == 'p', s"expected SASLInitialResponse, got $t1")
       val l1 = in.readInt(); val b1 = new Array[Byte](l1 - 4); in.readFully(b1)
       val bb = ByteBuffer.wrap(b1)
       val mname = { val sb = new StringBuilder; var c = bb.get()
         while (c != 0) { sb.append(c.toChar); c = bb.get() }; sb.toString }
-      assert(mname == Scram.Mechanism)
+      assert(mname == Scram.Mechanism || mname == Scram.MechanismPlus, mname)
+      sawMechanism = mname
       val rl = bb.getInt; val resp = new Array[Byte](rl); bb.get(resp)
       val clientFirst = new String(resp, UTF_8)
-      assert(clientFirst.startsWith("n,,"), s"bad gs2 header in '$clientFirst'")
-      val clientFirstBare = clientFirst.substring(3)
+      val gs2End = clientFirst.indexOf(",,") + 2
+      assert(gs2End >= 2, s"bad gs2 header in '$clientFirst'")
+      val gs2 = clientFirst.substring(0, gs2End)
+      sawGs2 = gs2
+      // downgrade protection (auth-scram.c): a client announcing
+      // binding support with 'y' while the server ADVERTISED -PLUS
+      // means something stripped the offer — reject
+      if (offerPlus && gs2.startsWith("y")) {
+        errorResponse(out, "28000", "channel binding required but client chose 'y'")
+        return false
+      }
+      val clientFirstBare = clientFirst.substring(gs2End)
       val clientNonce = Scram.attrs(clientFirstBare)('r')
       val serverNonce = clientNonce + "FAKESRVNONCE"
       val salt = "pepper-salt-16b!".getBytes(UTF_8)
@@ -124,6 +146,22 @@ class PgWireSpec extends AnyFunSuite {
       val clientFinal = new String(b2, UTF_8)
       val a = Scram.attrs(clientFinal)
       assert(a('r') == serverNonce, "client must echo the full combined nonce")
+      // channel-binding check: c= must carry gs2 ++ the hash of the
+      // certificate THIS server presented on THIS connection
+      val expectedCb: Array[Byte] =
+        if (mname == Scram.MechanismPlus) {
+          if (wrongCbCert) // MITM analog: the client bound a different channel
+            java.security.MessageDigest.getInstance("SHA-256")
+              .digest("not-the-cert-the-client-saw".getBytes(UTF_8))
+          else PgWire.tlsServerEndPoint(
+            sock.asInstanceOf[javax.net.ssl.SSLSocket].getSession
+              .getLocalCertificates.head
+              .asInstanceOf[java.security.cert.X509Certificate])
+        } else Array.emptyByteArray
+      if (a('c') != Scram.b64(gs2.getBytes(UTF_8) ++ expectedCb)) {
+        errorResponse(out, "28000", "channel binding check failed")
+        return false
+      }
       val proof = Scram.unb64(a('p'))
       val clientFinalNoProof = clientFinal.substring(0, clientFinal.lastIndexOf(",p="))
       val authMessage = s"$clientFirstBare,$serverFirst,$clientFinalNoProof"
@@ -180,7 +218,7 @@ class PgWireSpec extends AnyFunSuite {
             ByteBuffer.allocate(8).putInt(5).putInt(0x01020304).array())
           sock.close(); return
         case "scram" =>
-          if (!scramServe(in, out)) { sock.close(); return }
+          if (!scramServe(in, out, sock)) { sock.close(); return }
         case _ =>
           writeBackend(out, 'R', ByteBuffer.allocate(4).putInt(0).array())
       }
@@ -393,6 +431,7 @@ class PgWireSpec extends AnyFunSuite {
       password = "s3cret-Pass")
     try {
       c.handshake()
+      assert(srv.sawGs2 === "n,,", "plaintext connection must not claim binding support")
       val id = c.identifySystem()
       assert(id.map(_.get).head === "7272727272")
       c.startReplication("graft_slot", "graft_pub", 0L)
@@ -660,8 +699,55 @@ class PgWireSpec extends AnyFunSuite {
       password = "s3cret-Pass", sslContext = Some(trustAllCtx), sslVerifyHostname = true)
     try {
       c.handshake()
+      // over TLS with no -PLUS offer, the client ANNOUNCES binding
+      // support (gs2 'y') — the RFC 5802 downgrade signal
+      assert(srv.sawGs2 === "y,,")
+      assert(srv.sawMechanism === Scram.Mechanism)
       c.startReplication("graft_slot", "graft_pub", 0L)
       assert(c.poll(max = 100).map(_._1) === Seq(0x2000L, 0x2100L, 0x2200L, 0x2600L))
+    } finally c.close()
+  }
+
+  test("channel binding: SCRAM-SHA-256-PLUS binds the server certificate over TLS") {
+    // the server advertises -PLUS; the client must pick it and put the
+    // RFC 5929 tls-server-end-point hash of the cert IT SAW into c= —
+    // the fake verifies against the cert it PRESENTED, like auth-scram.c
+    val srv = new FakeWalsender(serverCtx = Some(serverCtxWithSan("ip:127.0.0.1")),
+      auth = "scram", scramPassword = "s3cret-Pass", offerPlus = true)
+    val c = new PgReplicationClient("127.0.0.1", srv.port, "rep", "events_db",
+      password = "s3cret-Pass", sslContext = Some(trustAllCtx))
+    try {
+      c.handshake()
+      assert(srv.sawMechanism === Scram.MechanismPlus)
+      assert(srv.sawGs2 === "p=tls-server-end-point,,")
+      c.startReplication("graft_slot", "graft_pub", 0L)
+      assert(c.poll(max = 100).map(_._1) === Seq(0x2000L, 0x2100L, 0x2200L, 0x2600L))
+    } finally c.close()
+  }
+
+  test("channel binding: a MITM-terminated channel fails the -PLUS exchange") {
+    // the server expects the binding of a DIFFERENT certificate than the
+    // one on the client's channel — exactly what a TLS-terminating MITM
+    // produces; the exchange must fail even with the RIGHT password
+    val srv = new FakeWalsender(serverCtx = Some(serverCtxWithSan("ip:127.0.0.1")),
+      auth = "scram", scramPassword = "s3cret-Pass", offerPlus = true,
+      wrongCbCert = true)
+    val c = new PgReplicationClient("127.0.0.1", srv.port, "rep", "events_db",
+      password = "s3cret-Pass", sslContext = Some(trustAllCtx))
+    try {
+      val e = intercept[java.io.IOException](c.handshake())
+      assert(e.getMessage.contains("channel binding"))
+    } finally c.close()
+  }
+
+  test("channel binding: -PLUS-only server over plaintext is a loud config error") {
+    val srv = new FakeWalsender(auth = "scram", scramPassword = "s3cret-Pass",
+      offerPlus = true, offerBase = false)
+    val c = new PgReplicationClient("127.0.0.1", srv.port, "rep", "events_db",
+      password = "s3cret-Pass")
+    try {
+      val e = intercept[Exception](c.handshake())
+      assert(e.getMessage.contains("channel binding") && e.getMessage.contains("TLS"))
     } finally c.close()
   }
 
