@@ -814,8 +814,11 @@ object EventFilter {
             // of an offset-resolved parse would double-shift. No
             // columnar expression can branch on "did the string carry a
             // zone", so the 3-arg form rejects zone-bearing layouts.
-            if (args.length == 3 &&
-                (fmtLit.contains("Z07:00") || fmtLit.contains("-07:00")))
+            // Detected from the TRANSLATED pattern's zone letters
+            // (X/x/z/Z/O/V, quoted literals stripped) so any zone token
+            // later added to goLayoutTokens is covered automatically.
+            val unquoted = pattern.replaceAll("'[^']*'", "")
+            if (args.length == 3 && unquoted.exists("XxzZOV".contains(_)))
               fail(s"date layout '$fmtLit' carries an explicit zone — " +
                 "ParseInLocation would ignore the timezone() argument; drop it")
             val parsed = s"to_timestamp(${args(0)}, ${sqlString(pattern)})"

@@ -141,7 +141,13 @@ object PgWire {
     val alg =
       if (sig.contains("SHA384")) "SHA-384"
       else if (sig.contains("SHA512")) "SHA-512"
-      else "SHA-256"
+      else if (sig.contains("SHA256") || sig.contains("SHA1") || sig.contains("MD5"))
+        "SHA-256" // MD5/SHA-1 upgrade per the RFC
+      else throw new java.io.IOException(
+        s"pgwire: cannot determine the certificate signature hash for " +
+          s"tls-server-end-point channel binding (signature algorithm '$sig', " +
+          "e.g. RSASSA-PSS carries the hash in parameters) — use a SHA-2 " +
+          "certificate; silently guessing would fail the binding check opaquely")
     java.security.MessageDigest.getInstance(alg).digest(cert.getEncoded)
   }
 

@@ -38,16 +38,24 @@ object Scram {
   /** RFC 3454 B.1 "mapped to nothing" — characters NFKC does NOT remove
     * (soft hyphen, ZWNJ/ZWJ, variation selectors, BOM); stripping them
     * first is what makes the client's SaltedPassword match the verifier
-    * the server stored at CREATE ROLE time. */
+    * the server stored at CREATE ROLE time. U+200B is deliberately NOT
+    * here despite being in B.1: it is ALSO in C.1.2, and pg_saslprep's
+    * map step checks the space table first — the server turns it into a
+    * space, so deleting it here would salt a different string. */
   private def mapsToNothing(cp: Int): Boolean = cp match {
-    case 0x00AD | 0x034F | 0x1806 | 0x200B | 0x200C | 0x200D | 0x2060 | 0xFEFF => true
+    case 0x00AD | 0x034F | 0x1806 | 0x200C | 0x200D | 0x2060 | 0xFEFF => true
     case _ => (cp >= 0x180B && cp <= 0x180D) || (cp >= 0xFE00 && cp <= 0xFE0F)
   }
 
-  /** RFC 3454 C.1.2 non-ASCII space — SASLprep maps these to U+0020. */
+  /** RFC 3454 C.1.2 non-ASCII space — SASLprep maps these to U+0020.
+    * Exactly pg_saslprep's non_ascii_space_ranges: 2000–200B inclusive
+    * (the zero-width space IS space-mapped), and NOT the line/paragraph
+    * separators 2028/2029 — those are C.2.2 controls, whose prohibited
+    * verdict must reach the scan below for the raw fallback to match
+    * the server's. */
   private def nonAsciiSpace(cp: Int): Boolean = cp match {
-    case 0x00A0 | 0x1680 | 0x2028 | 0x2029 | 0x202F | 0x205F | 0x3000 => true
-    case _ => cp >= 0x2000 && cp <= 0x200A
+    case 0x00A0 | 0x1680 | 0x202F | 0x205F | 0x3000 => true
+    case _ => cp >= 0x2000 && cp <= 0x200B
   }
 
   /** RFC 5802 §2.2 requires Normalize(password) = SASLprep (RFC 4013).
@@ -104,7 +112,22 @@ object Scram {
     (cp >= 0x2FF0 && cp <= 0x2FFB) ||                               // C.7
     cp == 0x0340 || cp == 0x0341 || cp == 0x200E || cp == 0x200F || // C.8
     (cp >= 0x202A && cp <= 0x202E) ||
-    cp == 0xE0001 || (cp >= 0xE0020 && cp <= 0xE007F)               // C.9
+    cp == 0xE0001 || (cp >= 0xE0020 && cp <= 0xE007F) ||            // C.9
+    // RFC 3454's unassigned table (A.1) is frozen at Unicode 3.2, but
+    // Character.getType reflects the RUNNING JVM's Unicode version —
+    // code points assigned after 3.2 read as assigned here while
+    // pg_saslprep flags them (→ raw fallback on the server). The
+    // high-confidence post-3.2 blocks a password could realistically
+    // carry are pinned to the 3.2 verdict explicitly: emoji and
+    // symbols (plane-1 1F000+, all unassigned in 3.2), CJK extensions
+    // C–G and the plane-3+ area, and the plane-14 variation selectors.
+    // KNOWN DEVIATION: scattered BMP scripts assigned after 3.2 (e.g.
+    // NKo, Sundanese) still follow the JVM's verdict — transcribing all
+    // ~400 A.1 ranges without the authoritative table risks worse.
+    (cp >= 0x1F000 && cp <= 0x1FFFF) ||
+    (cp >= 0x2A6D7 && cp <= 0x2F7FF) ||
+    (cp >= 0x30000 && cp <= 0xDFFFF) ||
+    (cp >= 0xE0100 && cp <= 0xE01EF)
   }
 
   /** RFC 3454 §6 bidi rule (pg_saslprep enforces it): a string with any

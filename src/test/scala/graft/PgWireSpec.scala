@@ -481,8 +481,17 @@ class PgWireSpec extends AnyFunSuite {
     // B.1 map-to-nothing (soft hyphen, ZWNJ/ZWJ) — NFKC alone keeps these
     assert(Scram.normalize("pa­ss") === "pass")
     assert(Scram.normalize("pa‌ss‍") === "pass")
-    // C.1.2 non-ASCII space → U+0020
+    // C.1.2 non-ASCII space → U+0020; the zero-width space U+200B is in
+    // BOTH B.1 and C.1.2 — pg_saslprep's map step space-maps it first,
+    // so it must become a space, never vanish
     assert(Scram.normalize("a b") === "a b")
+    assert(Scram.normalize("pa\u200bss") === "pa ss")
+    // U+2028/2029 are C.2.2 CONTROLS (not spaces): prohibited → raw
+    assert(Scram.normalize("a\u2028b") === "a\u2028b")
+    // assigned-after-Unicode-3.2 code points the server still flags
+    // (emoji, plane-14 variation selectors): raw fallback, not NFKC
+    val emoji = "caf\u00e9" + new String(Character.toChars(0x1F600))
+    assert(Scram.normalize(emoji) === emoji)
     // prohibited output falls back to the RAW password (pg_saslprep
     // contract), never throws: control char, unpaired surrogate,
     // supplementary-plane unassigned (surrogate pair in UTF-16)
