@@ -64,6 +64,7 @@ class PgWireSpec extends AnyFunSuite {
       sendKeepalive: Boolean = true,
       keepaliveLsn: Long = 0x100L,
       dieAfterFrames: Int = Int.MaxValue,
+      frameDelayMs: Long = 0, // pace the stream (live-chain overlap tests)
       maxSessions: Int = 1) {
     val server = new ServerSocket(0)
     val port: Int = server.getLocalPort
@@ -277,13 +278,16 @@ class PgWireSpec extends AnyFunSuite {
       // ack to keep streaming), the session thread writes the script
       val reader = new Thread(() => {
         try {
-          while (true) {
+          var open = true // no `return` in a lambda: NonLocalReturnControl
+          while (open) {
             val tag = in.read()
-            if (tag < 0 || tag == 'X') return
-            val l = in.readInt(); val b = new Array[Byte](l - 4); in.readFully(b)
-            if (tag == 'd' && b.nonEmpty && b(0) == 'r')
-              try acks.add(PgOutput.decodeStatusUpdate(b))
-              catch { case e: Exception => ackErrors.add(e.getMessage) }
+            if (tag < 0 || tag == 'X') open = false
+            else {
+              val l = in.readInt(); val b = new Array[Byte](l - 4); in.readFully(b)
+              if (tag == 'd' && b.nonEmpty && b(0) == 'r')
+                try acks.add(PgOutput.decodeStatusUpdate(b))
+                catch { case e: Exception => ackErrors.add(e.getMessage) }
+            }
           }
         } catch { case _: java.io.IOException => () }
         finally { try sock.close() catch { case _: Exception => () } }
@@ -296,6 +300,7 @@ class PgWireSpec extends AnyFunSuite {
       var died = false
       script(start).foreach { case (lsn, msg) =>
         if (!died) {
+          if (frameDelayMs > 0) Thread.sleep(frameDelayMs)
           writeBackend(out, 'd', xlogData(lsn, msg))
           sent += 1
           if (isFirst && sent >= dieAfterFrames) {
@@ -630,6 +635,65 @@ class PgWireSpec extends AnyFunSuite {
       assert(ins.length === 1, "the isolated Insert segment decodes via the replayed Relation")
       assert(ins.head.event_id === Some(4001L))
     } finally c.close()
+  }
+
+  test("live chain: streaming decode consumes segments WHILE the tailer spools them") {
+    // the full production topology, CONCURRENT: one thread drains the
+    // replication socket into rotating segment files (single-reader by
+    // protocol) while a Structured Streaming query on the SAME
+    // directory decodes them executor-side — segments must become
+    // visible to the file source atomically and decode self-contained,
+    // mid-spool, not just after the tailer finishes
+    val spark = SparkSpec.session
+    val rel = 0xF00L -> PgOutput.encode(PgOutput.RelationMsg(PgOutput.EventsRelId,
+      "public", "events", 'd'.toByte, PgOutput.EventsRelCols))
+    val inserts = (0 until 120).map { i =>
+      (0x1000L + i * 0x10, PgOutput.encode(PgOutput.InsertMsg(PgOutput.EventsRelId,
+        PgOutput.rowTuple(7000L + i, 1700000000000000000L + i, 7L, "click", 1.0, "{}"))))
+    }
+    val srv = new FakeWalsender(script = _ => rel +: inserts,
+      sendKeepalive = false, frameDelayMs = 15)
+    val dir = java.nio.file.Files.createTempDirectory("graft-live-chain").toString
+    val q = PgOutput.streamDecoded(spark, dir).toDF()
+      .writeStream.format("memory").queryName("live_chain")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    @volatile var tailerDone = false
+    val tailer = new Thread(() => {
+      val c = new PgReplicationClient("127.0.0.1", srv.port, "rep", "events_db")
+      try {
+        c.handshake()
+        c.startReplication("graft_slot", "graft_pub", 0L)
+        graft.sources.PgWireTailer.tail(spark, c, dir, framesPerSegment = 10)
+      } finally { tailerDone = true; c.close() }
+    })
+    tailer.setDaemon(true)
+    try {
+      tailer.start()
+      def delivered(): Long =
+        spark.sql("SELECT count(*) FROM live_chain WHERE op_wire = 'I'").head.getLong(0)
+      // overlap proof: rows must surface while the tailer is still
+      // spooling (the 15 ms/frame pacing gives a ~2 s spool window
+      // against the 100 ms trigger)
+      var sawConcurrent = false
+      val deadline = System.nanoTime + 120e9.toLong
+      while (delivered() < 120 && System.nanoTime < deadline) {
+        if (delivered() > 0 && !tailerDone) sawConcurrent = true
+        Thread.sleep(50)
+      }
+      assert(delivered() === 120L, "every insert decodes end-to-end")
+      assert(sawConcurrent, "decode must run WHILE the tailer spools, not after")
+      tailer.join(10000)
+      // exactly once at this layer (no crash-restart in this scenario):
+      // each insert id appears once, in-order within its segment
+      val ids = spark.sql(
+        "SELECT event_id FROM live_chain WHERE op_wire = 'I' ORDER BY event_id")
+        .collect().map(_.getLong(0))
+      assert(ids.toSeq === (0 until 120).map(7000L + _))
+    } finally {
+      q.stop() // explicit stop: AvailableNow/timer queries must not linger
+      spark.sql("DROP TABLE IF EXISTS live_chain")
+    }
   }
 
   test("tailResilient: socket death mid-segment resumes from the committed LSN") {
