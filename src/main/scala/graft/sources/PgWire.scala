@@ -141,13 +141,19 @@ object PgWire {
     val alg =
       if (sig.contains("SHA384")) "SHA-384"
       else if (sig.contains("SHA512")) "SHA-512"
+      else if (sig.contains("SHA224")) "SHA-224" // only MD5/SHA-1 upgrade
       else if (sig.contains("SHA256") || sig.contains("SHA1") || sig.contains("MD5"))
         "SHA-256" // MD5/SHA-1 upgrade per the RFC
-      else throw new java.io.IOException(
+      // IllegalStateException, NOT IOException: a certificate whose
+      // signature hash can't be determined is a permanent configuration
+      // error — tailResilient retries IOExceptions as transient socket
+      // failures and would bury this under 5 backoff rounds
+      else throw new IllegalStateException(
         s"pgwire: cannot determine the certificate signature hash for " +
           s"tls-server-end-point channel binding (signature algorithm '$sig', " +
-          "e.g. RSASSA-PSS carries the hash in parameters) — use a SHA-2 " +
-          "certificate; silently guessing would fail the binding check opaquely")
+          "e.g. RSASSA-PSS carries the hash in parameters) — use a cert with " +
+          "an explicit SHA-2 signature; silently guessing would fail the " +
+          "binding check opaquely")
     java.security.MessageDigest.getInstance(alg).digest(cert.getEncoded)
   }
 

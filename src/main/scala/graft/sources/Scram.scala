@@ -117,18 +117,27 @@ object Scram {
     // Character.getType reflects the RUNNING JVM's Unicode version —
     // code points assigned after 3.2 read as assigned here while
     // pg_saslprep flags them (→ raw fallback on the server). The
-    // high-confidence post-3.2 blocks a password could realistically
-    // carry are pinned to the 3.2 verdict explicitly: emoji and
-    // symbols (plane-1 1F000+, all unassigned in 3.2), CJK extensions
-    // C–G and the plane-3+ area, and the plane-14 variation selectors.
-    // KNOWN DEVIATION: scattered BMP scripts assigned after 3.2 (e.g.
-    // NKo, Sundanese) still follow the JVM's verdict — transcribing all
-    // ~400 A.1 ranges without the authoritative table risks worse.
-    (cp >= 0x1F000 && cp <= 0x1FFFF) ||
-    (cp >= 0x2A6D7 && cp <= 0x2F7FF) ||
+    // SUPPLEMENTARY planes pin to the 3.2 verdict exactly: in 3.2,
+    // plane 1 carried only Old Italic/Gothic/Deseret and the
+    // musical/math-alphanumeric blocks, plane 2 only CJK ext B and the
+    // compat block, plane 14 only the C.9 tags — everything else
+    // (emoji, cuneiform, hieroglyphs, CJK C–G, variation selectors) is
+    // prohibited-as-unassigned on the server. KNOWN DEVIATION: BMP
+    // scripts assigned after 3.2 (e.g. NKo, Sundanese) still follow the
+    // JVM's verdict — transcribing A.1's ~400 BMP ranges without the
+    // authoritative table risks worse.
+    (cp >= 0x10000 && cp <= 0x1FFFF && !assignedInU32Plane1(cp)) ||
+    (cp >= 0x2A6D7 && cp <= 0x2F7FF) || (cp >= 0x2FA1E && cp <= 0x2FFFF) ||
     (cp >= 0x30000 && cp <= 0xDFFFF) ||
     (cp >= 0xE0100 && cp <= 0xE01EF)
   }
+
+  /** The plane-1 blocks Unicode 3.2 had assigned (everything else in
+    * the plane was A.1-unassigned): Old Italic, Gothic, Deseret,
+    * Byzantine/Western musical symbols, mathematical alphanumerics. */
+  private def assignedInU32Plane1(cp: Int): Boolean =
+    (cp >= 0x10300 && cp <= 0x1034F) || (cp >= 0x10400 && cp <= 0x1044F) ||
+    (cp >= 0x1D000 && cp <= 0x1D1FF) || (cp >= 0x1D400 && cp <= 0x1D7FF)
 
   /** RFC 3454 §6 bidi rule (pg_saslprep enforces it): a string with any
     * RandALCat character may contain no LCat character and must both

@@ -65,6 +65,9 @@ class PgWireSpec extends AnyFunSuite {
       keepaliveLsn: Long = 0x100L,
       dieAfterFrames: Int = Int.MaxValue,
       frameDelayMs: Long = 0, // pace the stream (live-chain overlap tests)
+      // hold the stream before writing frame N until the latch opens —
+      // DETERMINISTIC overlap for the live-chain test (no wall-clock luck)
+      gateAtFrame: Option[(Int, CountDownLatch)] = None,
       maxSessions: Int = 1) {
     val server = new ServerSocket(0)
     val port: Int = server.getLocalPort
@@ -301,6 +304,9 @@ class PgWireSpec extends AnyFunSuite {
       script(start).foreach { case (lsn, msg) =>
         if (!died) {
           if (frameDelayMs > 0) Thread.sleep(frameDelayMs)
+          gateAtFrame.foreach { case (n, latch) =>
+            if (sent == n) assert(latch.await(120, TimeUnit.SECONDS), "gate timed out")
+          }
           writeBackend(out, 'd', xlogData(lsn, msg))
           sent += 1
           if (isFirst && sent >= dieAfterFrames) {
@@ -481,40 +487,49 @@ class PgWireSpec extends AnyFunSuite {
   }
 
   test("Scram.normalize: SASLprep mapping and pg_saslprep's raw fallback") {
-    // NFKC: decomposed → composed
-    assert(Scram.normalize("café") === "café")
-    // B.1 map-to-nothing (soft hyphen, ZWNJ/ZWJ) — NFKC alone keeps these
-    assert(Scram.normalize("pa­ss") === "pass")
-    assert(Scram.normalize("pa‌ss‍") === "pass")
-    // C.1.2 non-ASCII space → U+0020; the zero-width space U+200B is in
-    // BOTH B.1 and C.1.2 — pg_saslprep's map step space-maps it first,
+    // NFKC: decomposed \u2192 composed
+    assert(Scram.normalize("cafe\u0301") === "caf\u00e9")
+    // B.1 map-to-nothing (soft hyphen, ZWNJ/ZWJ) \u2014 NFKC alone keeps these
+    assert(Scram.normalize("pa\u00adss") === "pass")
+    assert(Scram.normalize("pa\u200css\u200d") === "pass")
+    // C.1.2 non-ASCII space \u2192 U+0020; the zero-width space U+200B is in
+    // BOTH B.1 and C.1.2 \u2014 pg_saslprep's map step space-maps it first,
     // so it must become a space, never vanish
-    assert(Scram.normalize("a b") === "a b")
+    assert(Scram.normalize("a\u00a0b") === "a b")
     assert(Scram.normalize("pa\u200bss") === "pa ss")
-    // U+2028/2029 are C.2.2 CONTROLS (not spaces): prohibited → raw
-    assert(Scram.normalize("a\u2028b") === "a\u2028b")
-    // assigned-after-Unicode-3.2 code points the server still flags
-    // (emoji, plane-14 variation selectors): raw fallback, not NFKC
-    val emoji = "caf\u00e9" + new String(Character.toChars(0x1F600))
-    assert(Scram.normalize(emoji) === emoji)
+    // Every raw-fallback case below rides with U+FB01 (the fi ligature,
+    // which NFKC folds to "fi"): the assert then distinguishes the raw
+    // path from the NFKC path \u2014 without the rider the two produce the
+    // same string and the assert is vacuous. Positive control first:
+    assert(Scram.normalize("\ufb01") === "fi")
     // prohibited output falls back to the RAW password (pg_saslprep
     // contract), never throws: control char, unpaired surrogate,
     // supplementary-plane unassigned (surrogate pair in UTF-16)
-    assert(Scram.normalize("ab") === "ab")
-    assert(Scram.normalize("a\uD800b") === "a\uD800b")
+    assert(Scram.normalize("\ufb01\u0007") === "\ufb01\u0007")
+    assert(Scram.normalize("\ufb01\ud800") === "\ufb01\ud800")
     val unassigned = new String(Character.toChars(0xE0080))
-    assert(Scram.normalize("a" + unassigned) === "a" + unassigned)
-    // RFC 3454 C.8/C.9 survivors of NFKC (RLO override, tag characters)
-    // must fall back raw - the server's pg_saslprep flags them and salts
-    // the ORIGINAL string, so normalizing here would compute a different
+    assert(Scram.normalize("\ufb01" + unassigned) === "\ufb01" + unassigned)
+    // RFC 3454 C.2.2/C.8/C.9 survivors of NFKC (line separator, RLO
+    // override, tag characters): the server flags them and salts the
+    // ORIGINAL string, so normalizing here would compute a different
     // SaltedPassword than the stored verifier
-    val withRlo = "cafe\u0301\u202ex" // decomposed e + RLO: NFKC would compose
+    assert(Scram.normalize("\ufb01\u2028") === "\ufb01\u2028")
+    val withRlo = "\ufb01\u202ex"
     assert(Scram.normalize(withRlo) === withRlo)
-    val withTag = "a" + new String(Character.toChars(0xE0041))
+    val withTag = "\ufb01" + new String(Character.toChars(0xE0041))
     assert(Scram.normalize(withTag) === withTag)
+    // post-Unicode-3.2 assignments pinned to RFC 3454 A.1's verdict:
+    // emoji and cuneiform are unassigned-in-3.2 (raw fallback); Deseret
+    // was assigned in 3.2, so it stays on the NFKC path
+    val emoji = "\ufb01" + new String(Character.toChars(0x1F600))
+    assert(Scram.normalize(emoji) === emoji)
+    val cuneiform = "\ufb01" + new String(Character.toChars(0x12000))
+    assert(Scram.normalize(cuneiform) === cuneiform)
+    val deseret = new String(Character.toChars(0x10400))
+    assert(Scram.normalize("\ufb01" + deseret) === "fi" + deseret)
     // RFC 3454 \u00a76 bidi rule: RTL mixed with LTR (or not RTL at both
-    // ends) fails SASLprep -> raw; an all-RTL password normalizes fine
-    val mixed = "a\u05d0" // latin + hebrew alef
+    // ends) fails SASLprep \u2192 raw; an all-RTL password normalizes fine
+    val mixed = "\ufb01\u05d0" // latin ligature + hebrew alef
     assert(Scram.normalize(mixed) === mixed)
     val rtlTrailingDigit = "\u05d0\u05d11" // ends non-RandALCat
     assert(Scram.normalize(rtlTrailingDigit) === rtlTrailingDigit)
@@ -651,8 +666,12 @@ class PgWireSpec extends AnyFunSuite {
       (0x1000L + i * 0x10, PgOutput.encode(PgOutput.InsertMsg(PgOutput.EventsRelId,
         PgOutput.rowTuple(7000L + i, 1700000000000000000L + i, 7L, "click", 1.0, "{}"))))
     }
+    // deterministic overlap: the fake BLOCKS before frame 61 (after six
+    // 10-frame segments have committed) until the test has observed
+    // streamed rows — no wall-clock luck on loaded hosts
+    val gate = new CountDownLatch(1)
     val srv = new FakeWalsender(script = _ => rel +: inserts,
-      sendKeepalive = false, frameDelayMs = 15)
+      sendKeepalive = false, gateAtFrame = Some((61, gate)))
     val dir = java.nio.file.Files.createTempDirectory("graft-live-chain").toString
     val q = PgOutput.streamDecoded(spark, dir).toDF()
       .writeStream.format("memory").queryName("live_chain")
@@ -672,17 +691,16 @@ class PgWireSpec extends AnyFunSuite {
       tailer.start()
       def delivered(): Long =
         spark.sql("SELECT count(*) FROM live_chain WHERE op_wire = 'I'").head.getLong(0)
-      // overlap proof: rows must surface while the tailer is still
-      // spooling (the 15 ms/frame pacing gives a ~2 s spool window
-      // against the 100 ms trigger)
-      var sawConcurrent = false
+      // overlap proof, deterministic: with the fake gated before frame
+      // 61, the tailer CANNOT finish until rows have streamed — observe
+      // mid-spool delivery, then open the gate
       val deadline = System.nanoTime + 120e9.toLong
-      while (delivered() < 120 && System.nanoTime < deadline) {
-        if (delivered() > 0 && !tailerDone) sawConcurrent = true
-        Thread.sleep(50)
-      }
+      while (delivered() == 0 && System.nanoTime < deadline) Thread.sleep(50)
+      assert(delivered() > 0, "no rows streamed while the tailer was mid-spool")
+      assert(!tailerDone, "decode must run WHILE the tailer spools, not after")
+      gate.countDown()
+      while (delivered() < 120 && System.nanoTime < deadline) Thread.sleep(50)
       assert(delivered() === 120L, "every insert decodes end-to-end")
-      assert(sawConcurrent, "decode must run WHILE the tailer spools, not after")
       tailer.join(10000)
       // exactly once at this layer (no crash-restart in this scenario):
       // each insert id appears once, in-order within its segment
