@@ -11,6 +11,15 @@ import org.apache.spark.sql.types._
   */
 class TablesSpec extends SparkSpec {
 
+  test("SparkEntry.entry: the driver's flagship smoke yields envelope rows") {
+    // the driver checks rows > 0 on the sf0.001 envelope pipeline —
+    // pin the same contract locally so a regression can't first
+    // surface in the per-round driver run
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    assert(Seq("lsn", "op", "table_name").forall(df.columns.contains))
+  }
+
   test("events.ts loads as Long epoch-nanos whatever the parquet precision") {
     val df = Tables.events(spark, sf001)
     assert(df.schema("ts").dataType === LongType)
