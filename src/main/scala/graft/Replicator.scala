@@ -40,7 +40,10 @@ object Replicator {
     * values, `#` comments. Arrays flatten to comma-joined strings
     * (the form every `*.includes`/`*.excludes` key already parses).
     * Dotted keys flatten as written (the reference's example config is
-    * entirely dotted keys). Unsupported TOML (array-of-tables,
+    * entirely dotted keys); keys and table headers case-fold to
+    * lowercase, matching both parseYaml and the reference's
+    * case-insensitive struct-tag matching. Unsupported TOML
+    * (array-of-tables,
     * multiline strings) fails loudly rather than mis-reading. */
   def parseToml(text: String): Map[String, String] = {
     val out = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -111,12 +114,20 @@ object Replicator {
         if (line.startsWith("[")) {
           require(line.endsWith("]") && !line.startsWith("[["),
             s"unsupported TOML table header: $line")
+          // Case-fold like parseYaml: the reference's BurntSushi decoder
+          // matches struct tags case-insensitively, so a camelCase TOML
+          // key (postgresql.replicationSlot.name) is valid there — a
+          // flat map needs the one canonical lowercase spelling or the
+          // lookup silently falls back to defaults. Locale.ROOT for the
+          // Turkish-I reason documented in parseYaml.
           section = line.substring(1, line.length - 1).trim
+            .toLowerCase(java.util.Locale.ROOT)
           require(section.nonEmpty, s"empty TOML table header: $line")
         } else {
           val eq = line.indexOf('=')
           require(eq > 0, s"TOML line without '=': $line")
           val key = line.substring(0, eq).trim
+            .toLowerCase(java.util.Locale.ROOT)
           require(!key.contains(' ') && !key.contains('"'),
             s"unsupported TOML key form: $key")
           val rhs = line.substring(eq + 1).trim
@@ -203,6 +214,7 @@ object Replicator {
     // silently vanished key starts the pipeline minus a filter/slot
     var listKey: Option[String] = None
     var listIndent = -1
+    var itemIndent = -1 // indent of the block sequence's items, -1 until one arrives
     var pendingResolved = true
     val listBuf = scala.collection.mutable.ListBuffer[String]()
     def flushList(): Unit = {
@@ -210,7 +222,7 @@ object Replicator {
         if (listBuf.nonEmpty) out(k) = listBuf.mkString(",")
         else require(pendingResolved, s"YAML key '$k' has no value, items, or children")
       }
-      listKey = None; listBuf.clear(); pendingResolved = true
+      listKey = None; listBuf.clear(); itemIndent = -1; pendingResolved = true
     }
     text.linesIterator.foreach { raw =>
       require(!raw.contains('\t'), s"YAML tabs not supported: $raw")
@@ -222,10 +234,19 @@ object Replicator {
           require(listKey.isDefined, s"YAML sequence item without a key: $line")
           val v = scalar(line.stripPrefix("-").trim)
           require(v.nonEmpty, s"empty YAML sequence item: $line")
+          if (itemIndent < 0) itemIndent = indent
+          else require(indent == itemIndent,
+            s"YAML sequence item indent $indent does not match its siblings' $itemIndent: $line")
           listBuf += v
         } else {
           // a deeper key resolves the pending empty-valued key into a
-          // nested mapping; a same-or-shallower key means it got nothing
+          // nested mapping; a same-or-shallower key means it got nothing.
+          // Once ITEMS have arrived the key's value IS a sequence — a key
+          // line at or below the items' indent ('a:\n  - x\n    b: 1')
+          // is malformed YAML, not a nested map; silently flushing the
+          // list AND emitting 'a.b' would mis-read it.
+          require(listBuf.isEmpty || indent <= listIndent,
+            s"YAML key at indent $indent inside the sequence under '${listKey.getOrElse("")}' (items at indent $itemIndent): $line")
           if (listKey.isDefined && indent > listIndent) pendingResolved = true
           else if (listKey.isDefined) pendingResolved = false
           flushList()

@@ -803,6 +803,18 @@ object EventFilter {
         case "date" =>
           if (args.isEmpty || args.length > 3)
             fail(s"date expects 1-3 arguments, got ${args.length}")
+          // The Go-parity of every date() form (time.Parse reads
+          // zone-less strings as UTC; the to_utc_timestamp composition)
+          // holds ONLY under spark.sql.session.timeZone=UTC. Every graft
+          // entry point sets it, but a future non-UTC session would
+          // silently shift all parsed instants — so the compile fails
+          // loudly here, like every other unsupported shape.
+          org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
+            val tz = s.conf.get("spark.sql.session.timeZone", "UTC")
+            if (tz != "UTC" && tz != "Etc/UTC")
+              fail(s"date() requires spark.sql.session.timeZone=UTC for Go " +
+                s"time.Parse parity (zone-less strings read as UTC); session has '$tz'")
+          }
           if (args.length == 1) s"CAST(${args(0)} AS TIMESTAMP)"
           else {
             val fmtLit = litArgs(1).getOrElse(

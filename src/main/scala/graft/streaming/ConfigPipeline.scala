@@ -317,7 +317,14 @@ object ConfigPipeline {
     val conn = props.getOrElse("postgresql.connection", "host=localhost user=repl_user")
     val (host, port, dbOpt, userOpt, passOpt) =
       if (conn.startsWith("postgres://") || conn.startsWith("postgresql://")) {
-        val u = new java.net.URI(conn)
+        // Loud, actionable failure instead of a raw URISyntaxException
+        // when userinfo carries unencoded '@'/space/etc — the rest of
+        // config validation names the offending key; so does this.
+        val u = try new java.net.URI(conn) catch {
+          case e: java.net.URISyntaxException => throw new IllegalArgumentException(
+            s"postgresql.connection is not a parseable URL " +
+              s"(percent-encode special characters in user:password): ${e.getMessage}")
+        }
         val userInfo = Option(u.getUserInfo).getOrElse("").split(":", 2)
         (Option(u.getHost).getOrElse("localhost"),
          if (u.getPort > 0) u.getPort else 5432,
@@ -351,11 +358,18 @@ object ConfigPipeline {
   def sslMode(props: Map[String, String]): String = {
     val conn = props.getOrElse("postgresql.connection", "")
     val mode =
-      if (conn.startsWith("postgres://") || conn.startsWith("postgresql://"))
-        Option(new java.net.URI(conn).getQuery).getOrElse("").split("&")
+      if (conn.startsWith("postgres://") || conn.startsWith("postgresql://")) {
+        // NOT java.net.URI: libpq tolerates unencoded userinfo
+        // (passwords containing '@', spaces, …) where URI throws a raw
+        // URISyntaxException — extract the query with a plain split,
+        // searching for '?' only AFTER the last '@' so a '?' inside an
+        // unencoded password never masquerades as the query separator.
+        val hostPart = { val at = conn.lastIndexOf('@'); if (at >= 0) conn.substring(at + 1) else conn }
+        val q = { val i = hostPart.indexOf('?'); if (i < 0) "" else hostPart.substring(i + 1) }
+        q.split("&")
           .map(_.split("=", 2)).collectFirst { case Array("sslmode", v) => v }
           .getOrElse("prefer")
-      else parseDsn(conn).getOrElse("sslmode", "prefer")
+      } else parseDsn(conn).getOrElse("sslmode", "prefer")
     require(Set("disable", "allow", "prefer", "require", "verify-ca", "verify-full")(mode),
       s"unknown sslmode '$mode' in postgresql.connection")
     mode

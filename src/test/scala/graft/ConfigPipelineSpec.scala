@@ -244,6 +244,13 @@ class ConfigPipelineSpec extends SparkSpec {
       graft.Replicator.parseToml("k = [[1,2],[3]]")
     }
     intercept[IllegalArgumentException] { graft.Replicator.parseToml("just a line") }
+    // camelCase TOML keys — valid for the reference's case-insensitive
+    // BurntSushi struct tags — case-fold to the canonical lowercase
+    // spelling instead of silently missing the lookup
+    val camel = graft.Replicator.parseToml(
+      "postgresql.replicationSlot.name = 'slot_a'\n[Sink.Redis]\nAddress = 'r:6379'\n")
+    assert(camel("postgresql.replicationslot.name") === "slot_a")
+    assert(camel("sink.redis.address") === "r:6379")
   }
 
   test("Replicator YAML parser: the reference's config.example.yml shape, TOML-equivalent") {
@@ -306,6 +313,44 @@ class ConfigPipelineSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] { graft.Replicator.parseYaml("a:\nb: 1\n") }
     intercept[IllegalArgumentException] { graft.Replicator.parseYaml("dangling:\n") }
+    // a key line indented INSIDE a block sequence is malformed YAML —
+    // reject rather than flush the list AND emit a phantom nested key
+    intercept[IllegalArgumentException] {
+      graft.Replicator.parseYaml("a:\n  - x\n    b: 1\n")
+    }
+    intercept[IllegalArgumentException] {
+      graft.Replicator.parseYaml("a:\n    - x\n  b: 1\n")
+    }
+    // sequence items must agree on their indent
+    intercept[IllegalArgumentException] {
+      graft.Replicator.parseYaml("a:\n  - x\n    - y\n")
+    }
+    // …but a sibling key AFTER the sequence closes is fine
+    assert(graft.Replicator.parseYaml("a:\n  - x\n  - y\nb: 1\n")
+      === Map("a" -> "x,y", "b" -> "1"))
+  }
+
+  test("sslMode and connectionParts tolerate libpq-style unencoded userinfo") {
+    import graft.streaming.ConfigPipeline.{sslMode, connectionParts}
+    // libpq accepts passwords with '@'/space in URL userinfo where
+    // java.net.URI throws a raw URISyntaxException — sslmode extraction
+    // must not care, and the '?' is searched only after the last '@'
+    val raw = Map("postgresql.connection" ->
+      "postgres://rep:p@ss w?rd@db1:5433/events?sslmode=verify-ca")
+    assert(sslMode(raw) === "verify-ca")
+    assert(sslMode(Map("postgresql.connection" ->
+      "postgres://rep@db1/events")) === "prefer")
+    assert(sslMode(Map("postgresql.connection" ->
+      "host=db1 sslmode=require")) === "require")
+    intercept[IllegalArgumentException] {
+      sslMode(Map("postgresql.connection" -> "postgres://db1/ev?sslmode=sideways"))
+    }
+    // connectionParts still needs a parseable URL — but fails loudly
+    // naming the problem instead of surfacing URISyntaxException
+    val e = intercept[IllegalArgumentException] { connectionParts(raw) }
+    assert(e.getMessage.contains("postgresql.connection"))
+    assert(connectionParts(Map("postgresql.connection" ->
+      "postgres://rep:ok@db1:5433/events"))._2 === 5433)
   }
 
   test("Replicator end-to-end: YAML config file drives the configured pipeline") {

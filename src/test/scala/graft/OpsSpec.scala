@@ -90,6 +90,20 @@ class OpsSpec extends SparkSpec {
     assert(java.time.LocalDateTime.parse("2024-01-01T12:00:00")
       .atZone(java.time.ZoneId.of("America/New_York")).toInstant
       === java.time.Instant.parse("2024-01-01T17:00:00Z"))
+    // Go parity (time.Parse reads zone-less strings as UTC) holds only
+    // under spark.sql.session.timeZone=UTC — compiling date() against a
+    // non-UTC active session fails loudly instead of silently shifting
+    // every parsed instant
+    val nonUtc = spark.newSession()
+    nonUtc.conf.set("spark.sql.session.timeZone", "America/Chicago")
+    val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.setActiveSession(nonUtc)
+    try {
+      val tzErr = intercept[IllegalArgumentException] {
+        translate("""date(value.dt, "2006-01-02 15:04:05") != nil""")
+      }
+      assert(tzErr.getMessage.contains("timeZone"))
+    } finally prevActive.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
   }
 
   test("event filter string operators and literal preservation") {
