@@ -3403,6 +3403,17 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("doc_id"))
     }),
 
+    "text_stupid_backoff" -> ((s, dir) => {
+      // Brants et al. 2007 stupid-backoff trigram scoring: highest
+      // observed order wins, lower orders carry the fixed 0.4 factor —
+      // integer-exact micro scores, model fit on the clean-slice
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.stupidBackoffMilli(
+          docs.filter(length(col("source")) === 5),
+          reference = docs.filter(length(col("source")) === 4))
+        .orderBy(col("doc_id"))
+    }),
+
     "dedup_chunk_exact" -> ((s, dir) =>
       // chunk-level exact dedup (the Dolma paragraph-dedup granularity):
       // duplicated 20-token chunks removed corpus-wide, first stays
@@ -7653,6 +7664,48 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |SELECT d.doc_id,
         |  CAST(coalesce(agg.ms // agg.nb, 0) AS BIGINT) AS score_micro,
         |  CAST(coalesce(agg.nb, 0) AS BIGINT) AS n_bigrams
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |WHERE length(d.source) = 5
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // stupid-backoff twin: the same three count tables, existence-based
+    // tier dispatch, identical integer arithmetic (// is DuckDB's div)
+    "text_stupid_backoff" ->
+      """WITH ref AS (SELECT string_split(text, ' ') AS t FROM documents WHERE length(source) = 4),
+        |c3 AS (SELECT tri, count(*) AS c3 FROM (
+        |    SELECT unnest(list_transform(
+        |      list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
+        |      x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS tri
+        |    FROM ref WHERE len(t) >= 3) z GROUP BY tri),
+        |c2 AS (SELECT bi, count(*) AS c2 FROM (
+        |    SELECT unnest(list_transform(list_zip(t[1:len(t)-1], t[2:len(t)]),
+        |      x -> x[1] || ' ' || x[2])) AS bi FROM ref WHERE len(t) >= 2) z
+        |  GROUP BY bi),
+        |c1 AS (SELECT w, count(*) AS c1 FROM (
+        |    SELECT unnest(t) AS w FROM ref) z GROUP BY w),
+        |n AS (SELECT count(*) AS n FROM (SELECT unnest(t) AS w FROM ref) z),
+        |dt AS (SELECT doc_id, string_split(tri, ' ') AS p, tri FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
+        |      x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS tri
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |          WHERE length(source) = 5) q WHERE len(t) >= 3) z),
+        |sc AS (SELECT dt.doc_id,
+        |    CASE WHEN t3.c3 IS NOT NULL THEN (1000000 * t3.c3) // p2.c2
+        |         WHEN b2.c2 IS NOT NULL THEN (400000 * b2.c2) // u1.c1
+        |         WHEN uw.c1 IS NOT NULL THEN (160000 * uw.c1) // n.n
+        |         ELSE 0 END AS term
+        |  FROM dt
+        |  LEFT JOIN c3 t3 ON t3.tri = dt.tri
+        |  LEFT JOIN c2 p2 ON p2.bi = dt.p[1] || ' ' || dt.p[2]
+        |  LEFT JOIN c2 b2 ON b2.bi = dt.p[2] || ' ' || dt.p[3]
+        |  LEFT JOIN c1 u1 ON u1.w = dt.p[2]
+        |  LEFT JOIN c1 uw ON uw.w = dt.p[3]
+        |  CROSS JOIN n),
+        |agg AS (SELECT doc_id, sum(term) AS ms, count(*) AS nt FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(agg.ms // agg.nt, 0) AS BIGINT) AS score_micro,
+        |  CAST(coalesce(agg.nt, 0) AS BIGINT) AS n_trigrams
         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
         |WHERE length(d.source) = 5
         |ORDER BY d.doc_id""".stripMargin,

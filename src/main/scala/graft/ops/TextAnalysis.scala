@@ -720,6 +720,90 @@ object TextAnalysis {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
   }
 
+  /** Stupid-backoff trigram scoring (Brants et al. 2007, "Large Language
+    * Models in Machine Translation" — THE web-scale LM: no discounting,
+    * back off to the next-lower order with a fixed 0.4 multiplier, which
+    * at Google's corpus sizes matched Kneser-Ney). Per full-trigram
+    * position, integer-exact at micro scale (the lmLikelihoodMilli
+    * stance — order-free BIGINT sums, no logs):
+    *
+    *  - trigram tier (observed `w₂ w₁ w`):   `(10⁶·c₃) div c₂(w₂ w₁)`
+    *  - bigram tier (observed `w₁ w`):       `(4·10⁵·c₂) div c₁(w₁)`
+    *    (0.4·10⁶ is exact)
+    *  - unigram tier (observed `w`):         `(16·10⁴·c₁) div N`
+    *    (0.4²·10⁶ is exact; N = reference token count)
+    *  - unseen word: 0 (S(w) = c(w)/N is 0 at c=0 — stupid backoff has
+    *    no vocabulary smoothing by design)
+    *
+    * Tier choice is by n-gram EXISTENCE in the model, not score > 0, so
+    * a floor-to-zero high-order hit never silently falls through. The
+    * denominators are total by construction: an observed trigram's
+    * prefix bigram and an observed bigram's head unigram are counted
+    * from the same reference token stream. Only full-trigram positions
+    * score (no sentence padding); docs with < 3 tokens score 0 with
+    * n_trigrams 0. BIGINT headroom: exact up to ~9·10¹² occurrences of
+    * a single n-gram (10⁶·c₃ must fit a long).
+    *
+    * Scale shape: the model is three count tables from one reference
+    * scan (tri/bi/uni, partial-agg'd, each bounded by distinct-n-gram
+    * count, not corpus size); scoring explodes each doc into trigram
+    * strings ONCE (each carries its own context — no self-join, no
+    * window over token positions) and runs five equi-joins against the
+    * count tables. At CCNet geometry (fixed clean reference, e.g.
+    * Wikipedia, vs an unbounded web corpus) the model tables are
+    * per-order broadcast candidates; here they shuffle once each and
+    * AQE picks the strategy.
+    */
+  def stupidBackoffMilli(docs: DataFrame, reference: DataFrame,
+                         textCol: String = "text"): DataFrame = {
+    val refToks = reference.select(split(col(textCol), " ").as("t"))
+    val refTri = refToks
+      .select(explode(graft.functions.TextFunctions.ngrams_join(col("t"), 3)).as("tri"))
+      .groupBy(col("tri")).agg(count(lit(1)).as("c3"))
+    val refBi = refToks
+      .select(explode(graft.functions.TextFunctions.ngrams_join(col("t"), 2)).as("bi"))
+      .groupBy(col("bi")).agg(count(lit(1)).as("c2"))
+    val refUni = refToks
+      .select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    // N: one tiny eager agg (the bm25-stats / lmLikelihood-V stance);
+    // sum over ZERO rows is SQL NULL — surface the loud require, not a
+    // null-read crash
+    val nRow = refUni.agg(sum(col("c1"))).head
+    val nTokens = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+    require(nTokens > 0, "stupidBackoffMilli: empty reference corpus fits no model")
+    val docTri = docs
+      .select(col("doc_id"), split(col(textCol), " ").as("t"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.ngrams_join(col("t"), 3)).as("tri"))
+      .withColumn("p", split(col("tri"), " "))
+      .select(col("doc_id"), col("tri"),
+        concat_ws(" ", col("p").getItem(0), col("p").getItem(1)).as("bipre"),
+        concat_ws(" ", col("p").getItem(1), col("p").getItem(2)).as("bi"),
+        col("p").getItem(1).as("w1"),
+        col("p").getItem(2).as("w"))
+    val scored = docTri
+      .join(refTri, Seq("tri"), "left")
+      .join(refBi.withColumnRenamed("bi", "bipre")
+        .withColumnRenamed("c2", "c2pre"), Seq("bipre"), "left")
+      .join(refBi, Seq("bi"), "left")
+      .join(refUni.withColumnRenamed("w", "w1")
+        .withColumnRenamed("c1", "c1pre"), Seq("w1"), "left")
+      .join(refUni, Seq("w"), "left")
+      .select(col("doc_id"), expr(
+        s"""CASE WHEN c3 IS NOT NULL THEN (1000000L * c3) div c2pre
+           |     WHEN c2 IS NOT NULL THEN (400000L * c2) div c1pre
+           |     WHEN c1 IS NOT NULL THEN (160000L * c1) div ${nTokens}L
+           |     ELSE 0L END""".stripMargin).as("term_micro"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_micro")).as("micro_sum"), count(lit(1)).as("n_trigrams"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(expr("micro_sum div n_trigrams"), lit(0L)).as("score_micro"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"))
+  }
+
   def bm25TopK(df: DataFrame, queryTerms: Seq[String], k: Int = 10,
                k1Milli: Long = 1200L, bMilli: Long = 750L,
                textCol: String = "text", idfScale: Long = 1000000L): DataFrame = {

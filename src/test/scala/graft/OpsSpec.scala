@@ -602,6 +602,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("stupid backoff: hand-computed tier dispatch (tri > 0.4·bi > 0.16·uni > 0)") {
+    import spark.implicits._
+    // reference: N=7; uni a:2 b:2 c:1 d:1 x:1; bi 'a b':2 'b c':1
+    // 'c d':1 'b x':1; tri 'a b c':1 'b c d':1 'a b x':1
+    val reference = Seq((1L, "a b c d"), (2L, "a b x")).toDF("doc_id", "text")
+    val docs = Seq(
+      (200L, "a b c"), // trigram tier: 10⁶·1 div c₂('a b')=2 → 500000
+      (201L, "z b c"), // bigram tier:  4·10⁵·c₂('b c')=1 div c₁(b)=2 → 200000
+      (202L, "z z c"), // unigram tier: 16·10⁴·c₁(c)=1 div N=7 → 22857
+      (203L, "z z q"), // unseen word → 0, but still a scored position
+      (204L, "a b")    // no full trigram → 0 with n_trigrams 0
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.stupidBackoffMilli(docs, reference)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(200L) === ((500000L, 1L)))
+    assert(got(201L) === ((200000L, 1L)))
+    assert(got(202L) === ((22857L, 1L)))
+    assert(got(203L) === ((0L, 1L)))
+    assert(got(204L) === ((0L, 0L)))
+    intercept[IllegalArgumentException] {
+      graft.ops.TextAnalysis.stupidBackoffMilli(docs, reference.filter(lit(false)))
+    }
+  }
+
   test("boilerplate score: template prefixes score, unique docs zero, short docs are 0/0") {
     import spark.implicits._
     val shared = "nav home about contact" // 2 shared 3-grams across 5 docs
