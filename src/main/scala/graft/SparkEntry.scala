@@ -2871,6 +2871,12 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       ops.EventAnalytics.counterDelta(Cdc.walEvents(s, dir))
         .orderBy(col("user_id"))),
 
+    "events_gauge_agg" -> ((s, dir) =>
+      // gauge_agg: counter_agg for metrics that may decrease — signed
+      // delta plus left/right edge idelta/irate per (type, day)
+      ops.EventAnalytics.gaugeAgg(Cdc.walEvents(s, dir))
+        .orderBy(col("event_type"), col("chunk_day"))),
+
     "events_freq_topn" -> ((s, dir) => {
       // freq_agg/topn hyperfunction analog: Misra–Gries mergeable
       // heavy-hitters as a custom TypedImperativeAggregate — ONE
@@ -5446,6 +5452,43 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |       AS BIGINT) AS n_resets,
         |  COUNT(*) AS n
         |FROM lagged GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // gauge_agg twin: identical window pairs; the edge pairs select via
+    // FILTERed arg_min/arg_max where Spark uses the sentinel ordering,
+    // and the rates evaluate the byte-identical fixed-order double text
+    "events_gauge_agg" ->
+      """WITH wal AS (
+        |  SELECT event_id AS lsn, event_type, value,
+        |    epoch_ns(ts) // 1000000 AS ts_ms,
+        |    epoch_ns(ts) // 86400000000000 - 19723 AS chunk_day
+        |  FROM events),
+        |p AS (SELECT event_type, chunk_day, ts_ms,
+        |    ts_ms * 1000000 + lsn AS ord,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_milli,
+        |    lag(CAST(floor(value * 1000 + 0.5) AS BIGINT)) OVER w AS prev_v,
+        |    lag(ts_ms) OVER w AS prev_ts
+        |  FROM wal
+        |  WINDOW w AS (PARTITION BY event_type, chunk_day
+        |               ORDER BY ts_ms * 1000000 + lsn)),
+        |a AS (SELECT event_type, chunk_day, COUNT(*) AS n,
+        |    arg_min(v_milli, ord) AS v_first,
+        |    arg_max(v_milli, ord) AS v_last,
+        |    arg_min(v_milli - prev_v, ord) FILTER (prev_v IS NOT NULL) AS il,
+        |    arg_min(ts_ms - prev_ts, ord) FILTER (prev_v IS NOT NULL) AS ilgap,
+        |    arg_max(v_milli - prev_v, ord) FILTER (prev_v IS NOT NULL) AS ir,
+        |    arg_max(ts_ms - prev_ts, ord) FILTER (prev_v IS NOT NULL) AS irgap
+        |  FROM p GROUP BY 1, 2)
+        |SELECT event_type, chunk_day, n,
+        |  v_last - v_first AS delta_milli,
+        |  CASE WHEN n >= 2 THEN il END AS idelta_left_milli,
+        |  CASE WHEN n >= 2 THEN ir END AS idelta_right_milli,
+        |  CASE WHEN n >= 2 AND ilgap > 0 THEN
+        |    CAST(FLOOR(CAST(il AS DOUBLE) / CAST(ilgap AS DOUBLE)
+        |               * 1000000.0 + 0.5) AS BIGINT) END AS irate_left_micro,
+        |  CASE WHEN n >= 2 AND irgap > 0 THEN
+        |    CAST(FLOOR(CAST(ir AS DOUBLE) / CAST(irgap AS DOUBLE)
+        |               * 1000000.0 + 0.5) AS BIGINT) END AS irate_right_micro
+        |FROM a ORDER BY event_type, chunk_day""".stripMargin,
 
     // freq_agg twin: the gate keys (type × user_id%8 = 40 distinct) fit
     // the capacity-64 summary, so Misra–Gries is EXACT — estimates are

@@ -521,6 +521,63 @@ object EventAnalytics {
         count(lit(1)).as("n"))
   }
 
+  /** `gauge_agg` analog (TimescaleDB toolkit hyperfunction): counter_agg
+    * for metrics that legitimately DECREASE — no reset interpretation,
+    * deltas keep their sign. Per (type, day bucket): `delta()` (signed
+    * last − first), `idelta_left`/`idelta_right` (the instantaneous
+    * delta at the bucket's first/last sample pair), and
+    * `irate_left`/`irate_right` (those deltas over their timestamp
+    * gaps, micro-units/ms). Integer milli accumulators; the rates
+    * divide in DOUBLE with a fixed operation order then floor to micro
+    * (the counterIncreaseExtrapolated stance), so the DuckDB twin lands
+    * on the identical IEEE result. Buckets with one sample have no
+    * pair: idelta/irate are NULL there (delta is 0 — first == last).
+    * Zero-gap pairs rate to NULL, never a division error.
+    *
+    * Scale shape: one window shuffle on (type, day) for the lag pairs,
+    * then one partial agg on the same key — the window partitioning is
+    * reused by the groupBy (no second exchange), same cost shape as
+    * counterDelta.
+    */
+  def gaugeAgg(wal: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"), col("chunk_day"))
+      .orderBy(expr("ts_ms * 1000000 + lsn"))
+    wal
+      .withColumn("ord", expr("ts_ms * 1000000 + lsn"))
+      .withColumn("v_milli", expr("cast(floor(value * 1000 + 0.5) as bigint)"))
+      .withColumn("prev_v", lag(col("v_milli"), 1).over(w))
+      .withColumn("prev_ts", lag(col("ts_ms"), 1).over(w))
+      .groupBy(col("event_type"), col("chunk_day"))
+      .agg(
+        count(lit(1)).as("n"),
+        min_by(col("v_milli"), col("ord")).as("v_first"),
+        max_by(col("v_milli"), col("ord")).as("v_last"),
+        // the first/last PAIR: rows without a predecessor order last /
+        // first via the sign-flipped sentinel, and the CASE below nulls
+        // single-sample buckets before the sentinel could leak
+        min_by(struct(col("v_milli"), col("prev_v"), col("ts_ms"), col("prev_ts")),
+          when(col("prev_v").isNotNull, col("ord"))
+            .otherwise(lit(Long.MaxValue))).as("lp"),
+        max_by(struct(col("v_milli"), col("prev_v"), col("ts_ms"), col("prev_ts")),
+          when(col("prev_v").isNotNull, col("ord"))
+            .otherwise(lit(Long.MinValue))).as("rp"))
+      .select(col("event_type"), col("chunk_day"), col("n"),
+        expr("v_last - v_first").as("delta_milli"),
+        expr("CASE WHEN n >= 2 THEN lp.v_milli - lp.prev_v END").as("idelta_left_milli"),
+        expr("CASE WHEN n >= 2 THEN rp.v_milli - rp.prev_v END").as("idelta_right_milli"),
+        expr("""CASE WHEN n >= 2 AND lp.ts_ms > lp.prev_ts THEN
+               |  CAST(FLOOR(CAST(lp.v_milli - lp.prev_v AS DOUBLE)
+               |             / CAST(lp.ts_ms - lp.prev_ts AS DOUBLE)
+               |             * 1000000.0 + 0.5) AS BIGINT) END""".stripMargin)
+          .as("irate_left_micro"),
+        expr("""CASE WHEN n >= 2 AND rp.ts_ms > rp.prev_ts THEN
+               |  CAST(FLOOR(CAST(rp.v_milli - rp.prev_v AS DOUBLE)
+               |             / CAST(rp.ts_ms - rp.prev_ts AS DOUBLE)
+               |             * 1000000.0 + 0.5) AS BIGINT) END""".stripMargin)
+          .as("irate_right_micro"))
+  }
+
   /** `stats_agg` 2-D analog (TimescaleDB hyperfunction): per type, the
     * exact integer REGRESSION ACCUMULATOR (n, Σx, Σy, Σxy, Σx², Σy²) —
     * which is all stats_agg stores — plus the slope/intercept accessors

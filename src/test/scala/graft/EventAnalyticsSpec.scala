@@ -135,6 +135,40 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("n") === 4L)
   }
 
+  test("gaugeAgg: signed delta, edge pairs, single-sample and zero-gap NULLs") {
+    import spark.implicits._
+    // A/day1: 5.0@0 → 8.0@1000 → 2.0@3000. delta = 2000−5000 = −3000
+    // (signed — NO reset reinterpretation); left pair +3000/1000ms →
+    // +3M micro, right pair −6000/2000ms → −3M micro.
+    // B/day2: one sample — delta 0, no pair.
+    // C/day1: two samples at the SAME ts (lsn breaks the tie): idelta
+    // defined, rate NULL (zero gap), never a division error.
+    val wal = Seq(
+      (1L, "A", 1, 5.0, 0L), (2L, "A", 1, 8.0, 1000L), (3L, "A", 1, 2.0, 3000L),
+      (9L, "B", 2, 7.0, 5000L),
+      (4L, "C", 1, 1.0, 100L), (5L, "C", 1, 4.0, 100L)
+    ).toDF("lsn", "event_type", "chunk_day", "value", "ts_ms")
+    val got = ops.EventAnalytics.gaugeAgg(wal).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r).toMap
+    val a = got(("A", 1))
+    assert(a.getAs[Long]("n") === 3L)
+    assert(a.getAs[Long]("delta_milli") === -3000L)
+    assert(a.getAs[Long]("idelta_left_milli") === 3000L)
+    assert(a.getAs[Long]("idelta_right_milli") === -6000L)
+    assert(a.getAs[Long]("irate_left_micro") === 3000000L)
+    assert(a.getAs[Long]("irate_right_micro") === -3000000L)
+    val b = got(("B", 2))
+    assert(b.getAs[Long]("delta_milli") === 0L)
+    assert(b.isNullAt(b.fieldIndex("idelta_left_milli")) &&
+      b.isNullAt(b.fieldIndex("irate_right_micro")))
+    val c = got(("C", 1))
+    assert(c.getAs[Long]("delta_milli") === 3000L)
+    assert(c.getAs[Long]("idelta_left_milli") === 3000L &&
+      c.getAs[Long]("idelta_right_milli") === 3000L)
+    assert(c.isNullAt(c.fieldIndex("irate_left_micro")) &&
+      c.isNullAt(c.fieldIndex("irate_right_micro")), "zero gap rates to NULL")
+  }
+
   test("gapfillInterpolate: linear mid-gap, passthrough observed, NULL edges") {
     import spark.implicits._
     // type A observed on days 1 and 4 (10.0 → 40.0): days 2,3 interpolate
