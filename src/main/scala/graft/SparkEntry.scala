@@ -2832,6 +2832,12 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       ops.EventAnalytics.stateAgg(Cdc.walEvents(s, dir))
         .orderBy(col("event_type"))),
 
+    "events_state_timeline" -> ((s, dir) =>
+      // state_timeline accessor: run-length encoded state periods per
+      // user, [start, end) against the next period's start
+      ops.EventAnalytics.stateTimeline(Cdc.walEvents(s, dir))
+        .orderBy(col("user_id"), col("period"))),
+
     "events_lttb" -> ((s, dir) =>
       // lttb hyperfunction analog (bucket-centroid parallel form):
       // integer-exact scaled-area argmax, one window shuffle, no
@@ -5272,6 +5278,34 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |    AS n_transitions_out,
         |  CAST(SUM(CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_open
         |FROM led GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // state_timeline twin: identical change-flag running sum and
+    // period-level lead, the same [start, next-start) end convention
+    "events_state_timeline" ->
+      """WITH wal AS (
+        |  SELECT event_id AS lsn, event_type, user_id,
+        |    epoch_ns(ts) // 1000000 AS ts_ms FROM events),
+        |flg AS (SELECT *,
+        |    CASE WHEN lag(event_type, 1) OVER w IS NULL
+        |           OR lag(event_type, 1) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM wal
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms * 1000000 + lsn)),
+        |per AS (SELECT *,
+        |    CAST(SUM(chg) OVER (PARTITION BY user_id
+        |      ORDER BY ts_ms * 1000000 + lsn) AS BIGINT) AS period
+        |  FROM flg),
+        |agg AS (SELECT user_id, period, event_type AS state,
+        |    min(ts_ms) AS start_ms, max(ts_ms) AS last_ms,
+        |    COUNT(*) AS n_events
+        |  FROM per GROUP BY 1, 2, 3)
+        |SELECT user_id, period, state, start_ms,
+        |  coalesce(lead(start_ms, 1) OVER (PARTITION BY user_id ORDER BY period),
+        |           last_ms) AS end_ms,
+        |  coalesce(lead(start_ms, 1) OVER (PARTITION BY user_id ORDER BY period),
+        |           last_ms) - start_ms AS duration_ms,
+        |  n_events
+        |FROM agg ORDER BY user_id, period""".stripMargin,
 
     // lttb twin: same centroid anchors, same scaled integer area argmax
     "events_lttb" ->

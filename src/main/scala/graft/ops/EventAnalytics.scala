@@ -644,6 +644,42 @@ object EventAnalytics {
         sum(when(col("next_ts").isNull, 1L).otherwise(0L)).as("n_open"))
   }
 
+  /** `state_agg → state_timeline()` analog (TimescaleDB toolkit
+    * accessor): the contiguous state PERIODS, not just total durations —
+    * per key, consecutive same-state events run-length encode into
+    * `(period, state, start_ms, end_ms, n_events)` with the toolkit's
+    * [start, end) convention: a period ends where the next one starts;
+    * the last period closes at its own last observation (no open-ended
+    * extrapolation, the stateAgg open-interval stance). Periods number
+    * 1..k per key in time order — the classic change-flag running sum,
+    * integer-exact, ties broken by lsn.
+    *
+    * Scale shape: the lag + running-sum windows share one (key) shuffle
+    * and sort; the period agg and the lead over period-level rows keep
+    * the same key partitioning (period rows per key are run-count-sized,
+    * not event-sized).
+    */
+  def stateTimeline(wal: DataFrame, keyCol: String = "user_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(expr("ts_ms * 1000000 + lsn"))
+    val wp = Window.partitionBy(col(keyCol)).orderBy(col("period"))
+    wal
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev_type").isNull || col("prev_type") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("period", sum(col("chg")).over(w))
+      .groupBy(col(keyCol), col("period"), col("event_type").as("state"))
+      .agg(min(col("ts_ms")).as("start_ms"),
+        max(col("ts_ms")).as("last_ms"),
+        count(lit(1)).as("n_events"))
+      .withColumn("end_ms",
+        coalesce(lead(col("start_ms"), 1).over(wp), col("last_ms")))
+      .select(col(keyCol), col("period"), col("state"),
+        col("start_ms"), col("end_ms"),
+        expr("end_ms - start_ms").as("duration_ms"), col("n_events"))
+  }
+
   /** Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013 —
     * TimescaleDB ships it as the `lttb` hyperfunction), in its
     * bucket-centroid PARALLEL form: the classic algorithm anchors each

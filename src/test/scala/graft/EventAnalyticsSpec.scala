@@ -169,6 +169,26 @@ class EventAnalyticsSpec extends SparkSpec {
       c.isNullAt(c.fieldIndex("irate_right_micro")), "zero gap rates to NULL")
   }
 
+  test("stateTimeline: run-length periods, [start, next-start) ends, last closes on itself") {
+    import spark.implicits._
+    // user 1: A@0 A@10 B@20 A@30 → periods A[0,20) (2 events),
+    // B[20,30), A[30,30] (last closes at its own observation).
+    // user 2: single event → one zero-length period.
+    val wal = Seq(
+      (1L, 1L, "A", 0L), (2L, 1L, "A", 10L), (3L, 1L, "B", 20L), (4L, 1L, "A", 30L),
+      (9L, 2L, "C", 100L)
+    ).toDF("lsn", "user_id", "event_type", "ts_ms")
+    val got = ops.EventAnalytics.stateTimeline(wal)
+      .orderBy("user_id", "period").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got === Seq(
+      (1L, 1L, "A", 0L, 20L, 20L, 2L),
+      (1L, 2L, "B", 20L, 30L, 10L, 1L),
+      (1L, 3L, "A", 30L, 30L, 0L, 1L),
+      (2L, 1L, "C", 100L, 100L, 0L, 1L)))
+  }
+
   test("gapfillInterpolate: linear mid-gap, passthrough observed, NULL edges") {
     import spark.implicits._
     // type A observed on days 1 and 4 (10.0 → 40.0): days 2,3 interpolate
