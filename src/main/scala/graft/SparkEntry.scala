@@ -322,6 +322,49 @@ object SparkEntry {
        |  list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
        |  (acc, v) -> acc + v))""".stripMargin
 
+  /** MMR twin, generated for k greedy steps: the same top-`preselect`
+    * relevance cut, then per step a max-sim aggregate against the
+    * picked set, the identical fixed-order score text
+    * (0.7·rel − 0.3·maxsim — decimal literals parse to the same IEEE
+    * doubles lambdaMicro/10⁶ produces), NOT EXISTS exclusion, and the
+    * smallest-cand_id tie break. */
+  private def mmrOracle(k: Int, preselect: Int): String = {
+    val pairSim = s"${duckDot("r.ce", "s.se")} / (r.cnorm * s.snorm)"
+    val steps = (2 to k).map { i =>
+      s""",
+         |ms$i AS (SELECT r.query_id, r.cand_id, max($pairSim) AS maxsim
+         |  FROM rel r JOIN sel${i - 1} s ON s.query_id = r.query_id
+         |  GROUP BY r.query_id, r.cand_id),
+         |sc$i AS (SELECT r.query_id, r.cand_id, r.ce, r.cnorm,
+         |    0.7 * r.rel - 0.3 * m.maxsim AS score
+         |  FROM rel r JOIN ms$i m ON m.query_id = r.query_id AND m.cand_id = r.cand_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} s
+         |                    WHERE s.query_id = r.query_id AND s.sel_id = r.cand_id)),
+         |pk$i AS (SELECT query_id, cand_id AS sel_id, $i AS rnk, score,
+         |    ce AS se, cnorm AS snorm
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY score DESC, cand_id) AS rn FROM sc$i) z WHERE rn = 1),
+         |sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM pk$i)"""
+        .stripMargin
+    }.mkString
+    s"""WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS norm FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, norm AS qnorm FROM e WHERE vec_id < 6),
+       |rel0 AS (SELECT q.query_id, c.vec_id AS cand_id,
+       |    ${duckDot("q.qe", "c.embedding")} / (q.qnorm * c.norm) AS rel,
+       |    c.embedding AS ce, c.norm AS cnorm
+       |  FROM q JOIN e c ON q.query_id <> c.vec_id),
+       |rel AS (SELECT query_id, cand_id, rel, ce, cnorm FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, cand_id) AS rn FROM rel0) z WHERE rn <= $preselect),
+       |sel1 AS (SELECT query_id, cand_id AS sel_id, 1 AS rnk,
+       |    0.7 * rel - 0.3 * 0.0 AS score, ce AS se, cnorm AS snorm
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY (0.7 * rel - 0.3 * 0.0) DESC, cand_id) AS rn FROM rel) z
+       |  WHERE rn = 1)$steps
+       |SELECT query_id, rnk, sel_id AS selected_id, score
+       |FROM sel$k ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** The exact fixed-point mean used by every fitted-quantizer twin:
     * integer micros summed as BIGINT (order-free), ONE double division,
     * cast to REAL — bit-identical to Similarity.kmeansCentroids. */
@@ -2251,6 +2294,16 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     "ann_cosine_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.cosineTopK(emb.filter(col("vec_id") < 10), emb, 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    "ann_mmr_diverse" -> ((s, dir) => {
+      // MMR diversified top-k: greedy λ·rel − (1−λ)·max-sim-to-picked
+      // over a top-30 relevance cut (retrieve-then-rerank geometry)
+      val emb = Tables.embeddings(s, dir)
+      Similarity.mmrSelect(emb.filter(col("vec_id") < 6), emb,
+          k = 4, lambdaMicro = 700000L, preselect = 30)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))
     }),
@@ -7576,6 +7629,9 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
          |  FROM scored)
          |SELECT query_id, neighbor_id, rnk, cosine FROM ranked WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin,
+
+    // MMR twin: generated greedy unroll — see mmrOracle
+    "ann_mmr_diverse" -> mmrOracle(4, 30),
 
     // IVF-PQ twin: the fitted ann_ivf_topk assign/probe CTEs route, the
     // fitted ann_pq_adc_topk codes/dtable/ordered-fold CTEs score,

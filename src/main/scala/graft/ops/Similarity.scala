@@ -49,6 +49,81 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
+    * per query, greedily pick `k` results trading relevance against
+    * redundancy — pick i maximizes `λ·rel(q,c) − (1−λ)·max_{s∈picked}
+    * sim(c,s)` (the first pick has an empty picked set; its diversity
+    * term is 0). The training-data reading: diversified eval/demo-set
+    * selection from a near-duplicate-heavy corpus, where plain top-k
+    * returns k copies of the same document.
+    *
+    * Determinism: relevance and pair similarity use the sequential-fold
+    * cosine ([[dot]]), the score is ONE fixed-order double expression
+    * (`λ·rel − (1−λ)·maxsim`, λ = lambdaMicro/10⁶ — both factors are
+    * correctly-rounded doubles, so the oracle's decimal literals parse
+    * to the identical IEEE values), and argmax ties break to the
+    * smallest candidate id — the oracle replays the greedy bit-exactly.
+    *
+    * Scale shape: MMR is inherently O(candidates·k) per query, so the
+    * operator is two-stage by construction — candidates are first cut
+    * to the top-`preselect` by relevance (the classic retrieve-then-
+    * rerank geometry; at 100 TB the first stage is the ANN index, not
+    * this window). The cut frame (queries × preselect rows) is
+    * localCheckpoint'd once: every greedy round references it without
+    * re-scanning the corpus, and each round is an anti-join + a
+    * broadcast join against the ≤ queries·k picked rows — no shuffle
+    * grows with the corpus after the cut.
+    */
+  def mmrSelect(queries: DataFrame, corpus: DataFrame, k: Int,
+                lambdaMicro: Long = 700000L, preselect: Int = 100): DataFrame = {
+    require(k >= 1 && k <= 64, s"mmr: k=$k out of [1,64]")
+    require(lambdaMicro >= 0L && lambdaMicro <= 1000000L,
+      s"mmr: lambdaMicro=$lambdaMicro out of [0, 1000000]")
+    require(preselect >= k, s"mmr: preselect=$preselect must be >= k=$k")
+    val lam = lambdaMicro.toDouble / 1000000.0
+    val oneMinusLam = (1000000L - lambdaMicro).toDouble / 1000000.0
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      l2Norm("embedding").as("qnorm"))
+    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+      l2Norm("embedding").as("cnorm"))
+    val wRel = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("cand_id").asc)
+    val cands = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (dot("qe", "ce") / (col("qnorm") * col("cnorm"))).as("rel"),
+        col("ce"), col("cnorm"))
+      .withColumn("__rn", row_number().over(wRel))
+      .filter(col("__rn") <= preselect).drop("__rn")
+      // one eager materialization of the tiny cut frame: the k greedy
+      // rounds each reference it — without this the corpus scan and
+      // preselect window would replay once per round
+      .localCheckpoint()
+    val wPick = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    def pick(scored: DataFrame, rank: Int): DataFrame = scored
+      .withColumn("__rn", row_number().over(wPick))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("cand_id").as("sel_id"), lit(rank).as("rank"),
+        col("score"), col("ce").as("se"), col("cnorm").as("snorm"))
+    var selected = pick(
+      cands.withColumn("score", lit(lam) * col("rel") - lit(oneMinusLam) * lit(0.0d)), 1)
+    for (i <- 2 to k) {
+      val selSlim = selected.select(col("query_id"), col("sel_id"), col("se"), col("snorm"))
+      val remaining = cands.join(
+        selSlim.select(col("query_id"), col("sel_id").as("cand_id")),
+        Seq("query_id", "cand_id"), "left_anti")
+      val maxSim = remaining.join(broadcast(selSlim), Seq("query_id"))
+        .select(col("query_id"), col("cand_id"),
+          (dot("ce", "se") / (col("cnorm") * col("snorm"))).as("sim"))
+        .groupBy(col("query_id"), col("cand_id")).agg(max(col("sim")).as("maxsim"))
+      val scored = remaining.join(maxSim, Seq("query_id", "cand_id"))
+        .withColumn("score", lit(lam) * col("rel") - lit(oneMinusLam) * col("maxsim"))
+      selected = selected.unionByName(pick(scored, i))
+    }
+    selected.select(col("query_id"), col("rank"), col("sel_id").as("selected_id"),
+      col("score"))
+  }
+
   /** Deterministic sign-random-projection hyperplanes (xorshift64*,
     * plan-time constants). Public so the oracle SQL can embed the SAME
     * values — one generator, two engines. */

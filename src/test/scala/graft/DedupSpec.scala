@@ -100,6 +100,35 @@ class DedupSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1))).toSet))
   }
 
+  test("MMR: diversity term demotes the near-duplicate of an earlier pick") {
+    import spark.implicits._
+    // query q=[1,0]; a duplicates q's direction, b is a's near-dup,
+    // c is orthogonal. Relevance-only top-2 = (a, b); MMR at λ=0.3
+    // must pick a then c — b's similarity to the picked a outweighs
+    // its relevance edge over c.
+    val vecs = Seq(
+      (100L, Array(1f, 0f)),          // the query
+      (1L, Array(1f, 0f)),            // a: rel 1.0
+      (2L, Array(0.99f, 0.141f)),     // b: rel ≈ 0.99, sim(b,a) ≈ 0.99
+      (3L, Array(0f, 1f))             // c: rel 0, sim(c,a) 0
+    ).toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 100L)
+    val got = graft.ops.Similarity.mmrSelect(q, vecs.filter(col("vec_id") < 100L),
+        k = 3, lambdaMicro = 300000L, preselect = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    assert(got === Seq((1, 1L), (2, 3L), (3, 2L)),
+      "greedy order must be a, c (diverse), then b (the near-dup)")
+    // λ=1 degenerates to pure relevance order
+    val rel = graft.ops.Similarity.mmrSelect(q, vecs.filter(col("vec_id") < 100L),
+        k = 3, lambdaMicro = 1000000L, preselect = 3)
+      .orderBy("rank").collect().map(_.getLong(2))
+    assert(rel === Seq(1L, 2L, 3L))
+    intercept[IllegalArgumentException] {
+      graft.ops.Similarity.mmrSelect(q, vecs, k = 5, preselect = 3)
+    }
+  }
+
   test("k-means quantizer: deterministic Lloyd rounds, empty clusters keep centroids, recall holds") {
     val emb = Tables.embeddings(spark, sf001)
     val c1 = Similarity.kmeansCentroids(emb, 16, iters = 2).orderBy("centroid_id")
