@@ -750,18 +750,38 @@ object Cdc {
   /** WAL continuity audit — the loss detector every at-least-once
     * consumer runs: adjacent delivered LSNs more than one apart mean a
     * gap (dropped batch, compacted-away range, or a skipped slice);
-    * report each gap's bounds and width. One global window ordered by
-    * LSN — at scale, partition by WAL segment/day first and audit
-    * within segments (gap width across a segment boundary is checked by
-    * comparing segment min/max, the same shape as [[watermarks]]).
+    * report each gap's bounds and width.
+    *
+    * Two-level, never a whole-stream global sort: every adjacent pair
+    * either sits inside one WAL segment (`lsn div 2^segmentBits`) — a
+    * PARTITIONED lead finds those — or spans the boundary between a
+    * segment's max and the next non-empty segment's min, found by a
+    * lead over the per-segment min/max summary (segment-count-sized,
+    * 2^20 LSNs per segment ⇒ ~10⁶ summary rows per 10¹² delivered;
+    * empty segments are simply absent from the summary, so multi-
+    * segment holes collapse into one boundary gap). Identical result
+    * set to the textbook single global lead.
     */
-  def lsnGaps(delivered: DataFrame): DataFrame = {
+  def lsnGaps(delivered: DataFrame, segmentBits: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    delivered
-      .withColumn("next_lsn", lead(col("lsn"), 1).over(Window.orderBy(col("lsn"))))
+    require(segmentBits >= 1 && segmentBits <= 40,
+      s"lsnGaps: segmentBits=$segmentBits out of [1,40]")
+    val seg = delivered.select(col("lsn"),
+      expr(s"lsn div ${1L << segmentBits}L").as("__seg"))
+    val wIn = Window.partitionBy(col("__seg")).orderBy(col("lsn"))
+    val inner = seg
+      .withColumn("next_lsn", lead(col("lsn"), 1).over(wIn))
       .filter(col("next_lsn") - col("lsn") > 1)
-      .select(col("lsn").as("gap_after_lsn"), col("next_lsn").as("resume_lsn"),
-        (col("next_lsn") - col("lsn") - 1).as("missing"))
+      .select(col("lsn").as("gap_after_lsn"), col("next_lsn").as("resume_lsn"))
+    val summary = seg.groupBy(col("__seg"))
+      .agg(min(col("lsn")).as("seg_min"), max(col("lsn")).as("seg_max"))
+    val boundary = summary
+      .withColumn("next_min", lead(col("seg_min"), 1).over(Window.orderBy(col("__seg"))))
+      .filter(col("next_min") - col("seg_max") > 1)
+      .select(col("seg_max").as("gap_after_lsn"), col("next_min").as("resume_lsn"))
+    inner.unionByName(boundary)
+      .select(col("gap_after_lsn"), col("resume_lsn"),
+        (col("resume_lsn") - col("gap_after_lsn") - 1).as("missing"))
   }
 
   /** Source↔target reconciliation from two [[chunkChecksums]] runs —

@@ -267,6 +267,22 @@ class CdcSpec extends SparkSpec {
     intercept[RuntimeException](Cdc.unwrapNewRecordState(wal, "bogus"))
   }
 
+  test("lsnGaps: two-level segment audit equals the textbook global lead") {
+    import spark.implicits._
+    // segmentBits=2 ⇒ segments of 4 LSNs. Delivered stream plants:
+    // an in-segment gap (1→3), a boundary-straddling gap (6→9), and a
+    // multi-segment hole (11→25, segments 3..5 empty) that must
+    // collapse into ONE gap
+    val delivered = Seq(0L, 1L, 3L, 5L, 6L, 9L, 10L, 11L, 25L, 26L).toDF("lsn")
+    val got = Cdc.lsnGaps(delivered, segmentBits = 2)
+      .orderBy("gap_after_lsn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got === Seq((1L, 3L, 1L), (3L, 5L, 1L), (6L, 9L, 2L), (11L, 25L, 13L)))
+    // contiguous stream: no gaps at any segmentation
+    assert(Cdc.lsnGaps((100L to 140L).toDF("lsn"), segmentBits = 3).count() === 0)
+    intercept[IllegalArgumentException] { Cdc.lsnGaps(delivered, segmentBits = 0) }
+  }
+
   test("incrementalSnapshotChunk: DBLog invariant — replaying chunk output " +
     "reproduces the state at the high watermark") {
     val (keyLo, keyHi, lsnLo, lsnHi) = (20L, 60L, 400L, 700L)
