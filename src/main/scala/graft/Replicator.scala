@@ -123,6 +123,11 @@ object Replicator {
           section = line.substring(1, line.length - 1).trim
             .toLowerCase(java.util.Locale.ROOT)
           require(section.nonEmpty, s"empty TOML table header: $line")
+          // quoted segments are case-SENSITIVE per the TOML spec — the
+          // fold above would silently corrupt them, so reject instead
+          // (the reference's config never quotes header segments)
+          require(!section.contains('"') && !section.contains('\''),
+            s"quoted TOML table-header segments not supported: $line")
         } else {
           val eq = line.indexOf('=')
           require(eq > 0, s"TOML line without '=': $line")
@@ -234,8 +239,14 @@ object Replicator {
           require(listKey.isDefined, s"YAML sequence item without a key: $line")
           val v = scalar(line.stripPrefix("-").trim)
           require(v.nonEmpty, s"empty YAML sequence item: $line")
-          if (itemIndent < 0) itemIndent = indent
-          else require(indent == itemIndent,
+          if (itemIndent < 0) {
+            // items sit at or below their key's indent column — a
+            // shallower item ('m:\n  a:\n- x') belongs to some OUTER
+            // scope in real YAML and must not silently attach here
+            require(indent >= listIndent,
+              s"YAML sequence item at indent $indent under a key at indent $listIndent: $line")
+            itemIndent = indent
+          } else require(indent == itemIndent,
             s"YAML sequence item indent $indent does not match its siblings' $itemIndent: $line")
           listBuf += v
         } else {

@@ -809,8 +809,12 @@ object EventFilter {
           // entry point sets it, but a future non-UTC session would
           // silently shift all parsed instants — so the compile fails
           // loudly here, like every other unsupported shape.
+          // one-arg conf.get: resolves the entry's REAL default (the JVM
+          // timezone) when unset — the two-arg form would substitute
+          // "UTC" and wave through exactly the session this guard exists
+          // to catch
           org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
-            val tz = s.conf.get("spark.sql.session.timeZone", "UTC")
+            val tz = s.conf.get("spark.sql.session.timeZone")
             if (tz != "UTC" && tz != "Etc/UTC")
               fail(s"date() requires spark.sql.session.timeZone=UTC for Go " +
                 s"time.Parse parity (zone-less strings read as UTC); session has '$tz'")

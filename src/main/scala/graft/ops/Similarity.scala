@@ -118,7 +118,11 @@ object Similarity {
         .groupBy(col("query_id"), col("cand_id")).agg(max(col("sim")).as("maxsim"))
       val scored = remaining.join(maxSim, Seq("query_id", "cand_id"))
         .withColumn("score", lit(lam) * col("rel") - lit(oneMinusLam) * col("maxsim"))
-      selected = selected.unionByName(pick(scored, i))
+      // cut the lineage every round: selected_{i-1} is referenced three
+      // times when building selected_i (anti-join, maxsim, union), so
+      // an un-checkpointed loop grows the plan TREE 3^k-fold and hangs
+      // Catalyst analysis long before k reaches the allowed 64
+      selected = selected.unionByName(pick(scored, i)).localCheckpoint()
     }
     selected.select(col("query_id"), col("rank"), col("sel_id").as("selected_id"),
       col("score"))

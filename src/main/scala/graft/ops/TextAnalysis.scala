@@ -691,7 +691,9 @@ object TextAnalysis {
     */
   def lmLikelihoodMilli(docs: DataFrame, reference: DataFrame,
                         textCol: String = "text"): DataFrame = {
-    val refToks = reference.select(split(col(textCol), " ").as("t"))
+    // same single-scan stance as stupidBackoffMilli: bigram counts,
+    // unigram counts, and the V action all read this one token frame
+    val refToks = reference.select(split(col(textCol), " ").as("t")).localCheckpoint()
     val refBi = refToks
       .select(explode(graft.functions.TextFunctions.ngrams_join(col("t"), 2)).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
@@ -756,7 +758,10 @@ object TextAnalysis {
     */
   def stupidBackoffMilli(docs: DataFrame, reference: DataFrame,
                          textCol: String = "text"): DataFrame = {
-    val refToks = reference.select(split(col(textCol), " ").as("t"))
+    // tokenize the reference ONCE: the token frame feeds four readers
+    // (tri/bi/uni counts + the N action) — without the checkpoint each
+    // would re-scan and re-split the reference corpus
+    val refToks = reference.select(split(col(textCol), " ").as("t")).localCheckpoint()
     val refTri = refToks
       .select(explode(graft.functions.TextFunctions.ngrams_join(col("t"), 3)).as("tri"))
       .groupBy(col("tri")).agg(count(lit(1)).as("c3"))

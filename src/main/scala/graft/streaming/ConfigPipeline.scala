@@ -313,22 +313,50 @@ object ConfigPipeline {
     * dialers share — JDBC side channel and the [[graft.sources.PgWire]]
     * replication probe must see the SAME address or a config typo
     * passes one check and fails the other. */
+  /** Lenient postgres:// URL split — libpq semantics, NOT java.net.URI:
+    * userinfo may carry unencoded '@'/space/'?' (libpq tolerates what
+    * URI rejects with a raw URISyntaxException). The authority is the
+    * span before the FIRST '/' after the scheme; the userinfo boundary
+    * is the LAST '@' inside that span (so a '@' in the query or path —
+    * legal per RFC 3986 — never truncates the host or query); '?' is
+    * searched only after that boundary (so a '?' in a password never
+    * masquerades as the query separator). The one ambiguity left
+    * unresolvable without percent-encoding is '/' inside a password.
+    * Returns (userinfo, hostport, path, query). */
+  private[graft] def splitUrl(conn: String): (String, String, String, String) = {
+    val scheme = conn.indexOf("://")
+    require(scheme > 0, s"not a URL: $conn")
+    val rest0 = conn.substring(scheme + 3)
+    val firstSlash = rest0.indexOf('/')
+    val authEnd = if (firstSlash >= 0) firstSlash else rest0.length
+    val at = rest0.lastIndexOf('@', authEnd - 1)
+    val userinfo = if (at >= 0) rest0.substring(0, at) else ""
+    val rest = rest0.substring(at + 1)
+    val q = rest.indexOf('?')
+    val (beforeQ, query) =
+      if (q >= 0) (rest.substring(0, q), rest.substring(q + 1)) else (rest, "")
+    val slash = beforeQ.indexOf('/')
+    val (hostport, path) =
+      if (slash >= 0) (beforeQ.substring(0, slash), beforeQ.substring(slash + 1))
+      else (beforeQ, "")
+    (userinfo, hostport, path, query)
+  }
+
   def connectionParts(props: Map[String, String]): (String, Int, String, String, Option[String]) = {
     val conn = props.getOrElse("postgresql.connection", "host=localhost user=repl_user")
     val (host, port, dbOpt, userOpt, passOpt) =
       if (conn.startsWith("postgres://") || conn.startsWith("postgresql://")) {
-        // Loud, actionable failure instead of a raw URISyntaxException
-        // when userinfo carries unencoded '@'/space/etc — the rest of
-        // config validation names the offending key; so does this.
-        val u = try new java.net.URI(conn) catch {
-          case e: java.net.URISyntaxException => throw new IllegalArgumentException(
-            s"postgresql.connection is not a parseable URL " +
-              s"(percent-encode special characters in user:password): ${e.getMessage}")
-        }
-        val userInfo = Option(u.getUserInfo).getOrElse("").split(":", 2)
-        (Option(u.getHost).getOrElse("localhost"),
-         if (u.getPort > 0) u.getPort else 5432,
-         Option(u.getPath).map(_.stripPrefix("/")).filter(_.nonEmpty),
+        val (ui, hostport, path, _) = splitUrl(conn)
+        val userInfo = ui.split(":", 2)
+        // port = the suffix after the LAST ':' when it is all digits
+        // (an unencoded-IPv6 or portless host keeps the whole span)
+        val colon = hostport.lastIndexOf(':')
+        val portStr = if (colon >= 0) hostport.substring(colon + 1) else ""
+        val hasPort = portStr.nonEmpty && portStr.forall(_.isDigit)
+        (Some(if (hasPort) hostport.substring(0, colon) else hostport)
+           .filter(_.nonEmpty).getOrElse("localhost"),
+         if (hasPort) portStr.toInt else 5432,
+         Some(path).filter(_.nonEmpty),
          userInfo.headOption.filter(_.nonEmpty),
          if (userInfo.length > 1) Some(userInfo(1)) else None)
       } else {
@@ -358,18 +386,15 @@ object ConfigPipeline {
   def sslMode(props: Map[String, String]): String = {
     val conn = props.getOrElse("postgresql.connection", "")
     val mode =
-      if (conn.startsWith("postgres://") || conn.startsWith("postgresql://")) {
-        // NOT java.net.URI: libpq tolerates unencoded userinfo
-        // (passwords containing '@', spaces, …) where URI throws a raw
-        // URISyntaxException — extract the query with a plain split,
-        // searching for '?' only AFTER the last '@' so a '?' inside an
-        // unencoded password never masquerades as the query separator.
-        val hostPart = { val at = conn.lastIndexOf('@'); if (at >= 0) conn.substring(at + 1) else conn }
-        val q = { val i = hostPart.indexOf('?'); if (i < 0) "" else hostPart.substring(i + 1) }
-        q.split("&")
+      if (conn.startsWith("postgres://") || conn.startsWith("postgresql://"))
+        // the shared lenient splitter (splitUrl): unencoded userinfo
+        // tolerated, and a '@' in the query/path — legal per RFC 3986 —
+        // never truncates the query (that would silently downgrade a
+        // configured verify-full to the 'prefer' default)
+        splitUrl(conn)._4.split("&")
           .map(_.split("=", 2)).collectFirst { case Array("sslmode", v) => v }
           .getOrElse("prefer")
-      } else parseDsn(conn).getOrElse("sslmode", "prefer")
+      else parseDsn(conn).getOrElse("sslmode", "prefer")
     require(Set("disable", "allow", "prefer", "require", "verify-ca", "verify-full")(mode),
       s"unknown sslmode '$mode' in postgresql.connection")
     mode

@@ -251,6 +251,11 @@ class ConfigPipelineSpec extends SparkSpec {
       "postgresql.replicationSlot.name = 'slot_a'\n[Sink.Redis]\nAddress = 'r:6379'\n")
     assert(camel("postgresql.replicationslot.name") === "slot_a")
     assert(camel("sink.redis.address") === "r:6379")
+    // quoted header segments are case-sensitive per TOML — folding them
+    // would corrupt, so they fail loudly
+    intercept[IllegalArgumentException] {
+      graft.Replicator.parseToml("[tables.\"MixedCase\"]\nk = 1\n")
+    }
   }
 
   test("Replicator YAML parser: the reference's config.example.yml shape, TOML-equivalent") {
@@ -325,6 +330,13 @@ class ConfigPipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       graft.Replicator.parseYaml("a:\n  - x\n    - y\n")
     }
+    // an item SHALLOWER than its key belongs to an outer scope in real
+    // YAML — reject instead of silently attaching it here
+    intercept[IllegalArgumentException] {
+      graft.Replicator.parseYaml("m:\n  a:\n- x\n")
+    }
+    // items level with their key are standard YAML
+    assert(graft.Replicator.parseYaml("a:\n- x\n- y\n") === Map("a" -> "x,y"))
     // …but a sibling key AFTER the sequence closes is fine
     assert(graft.Replicator.parseYaml("a:\n  - x\n  - y\nb: 1\n")
       === Map("a" -> "x,y", "b" -> "1"))
@@ -345,12 +357,18 @@ class ConfigPipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       sslMode(Map("postgresql.connection" -> "postgres://db1/ev?sslmode=sideways"))
     }
-    // connectionParts still needs a parseable URL — but fails loudly
-    // naming the problem instead of surfacing URISyntaxException
-    val e = intercept[IllegalArgumentException] { connectionParts(raw) }
-    assert(e.getMessage.contains("postgresql.connection"))
+    // a '@' in the QUERY (legal per RFC 3986) must not truncate it —
+    // that would silently downgrade verify-full to the prefer default
+    assert(sslMode(Map("postgresql.connection" ->
+      "postgres://db1/ev?sslmode=verify-full&fallback_application_name=me@host"))
+      === "verify-full")
+    // connectionParts shares the lenient splitter: the unencoded
+    // password round-trips instead of throwing URISyntaxException
+    assert(connectionParts(raw) === (("db1", 5433, "events", "rep", Some("p@ss w?rd"))))
     assert(connectionParts(Map("postgresql.connection" ->
       "postgres://rep:ok@db1:5433/events"))._2 === 5433)
+    assert(connectionParts(Map("postgresql.connection" ->
+      "postgres://rep@db1/events")) === (("db1", 5432, "events", "rep", None)))
   }
 
   test("Replicator end-to-end: YAML config file drives the configured pipeline") {
