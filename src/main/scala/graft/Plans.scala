@@ -46,7 +46,12 @@ object Plans {
     // round-9 continuation: the optimizer-rewritten range join
     "q_range_autobin" -> "the NAIVE `pt BETWEEN lo AND hi` join: RangeJoinBinRule turns the would-be BroadcastNestedLoopJoin into Generate(explode bins) + a hash equi-join on the bin with the BETWEEN residual",
     // round 12
-    "cdc_filter_wave9" -> "date()/timezone() compile to to_timestamp/to_utc_timestamp inside the SAME single codegen'd Filter as every other wave — zone math is plan-time constant folding fodder, zero per-row tz lookups outside codegen")
+    "cdc_filter_wave9" -> "date()/timezone() compile to to_timestamp/to_utc_timestamp inside the SAME single codegen'd Filter as every other wave — zone math is plan-time constant folding fodder, zero per-row tz lookups outside codegen",
+    // round 13
+    "text_stupid_backoff" -> "three count tables partial-agg from ONE checkpointed reference tokenization; the doc trigram stream carries its own context (no window over token positions) into five equi-joins",
+    "events_gauge_agg" -> "the lag window and the partial agg share one (type, day) Exchange; edge pairs ride sentinel-keyed min_by/max_by inside the same agg",
+    "ann_mmr_diverse" -> "the relevance cut is the ONLY corpus-wide pass (broadcast queries, per-query window top-M); each greedy round is an anti-join + broadcast of the ≤ q·k picked rows over the checkpointed cut",
+    "cdc_lsn_gaps" -> "no whole-stream global sort: within-segment lead partitions on lsn div 2^20, boundary gaps come from a lead over the segment-count-sized min/max summary")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
