@@ -2891,6 +2891,12 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       ops.EventAnalytics.stateTimeline(Cdc.walEvents(s, dir))
         .orderBy(col("user_id"), col("period"))),
 
+    "events_duration_in_interp" -> ((s, dir) =>
+      // interpolated_duration_in accessor: per-(state, day) dwell time
+      // with per-user LOCF holds carrying across day boundaries
+      ops.EventAnalytics.interpolatedDurationIn(Cdc.walEvents(s, dir))
+        .orderBy(col("state"), col("chunk_day"))),
+
     "events_lttb" -> ((s, dir) =>
       // lttb hyperfunction analog (bucket-centroid parallel form):
       // integer-exact scaled-area argmax, one window shuffle, no
@@ -5359,6 +5365,30 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |           last_ms) - start_ms AS duration_ms,
         |  n_events
         |FROM agg ORDER BY user_id, period""".stripMargin,
+
+    // interpolated_duration_in twin: per-USER lead holds, the same
+    // day-clip arithmetic as the time_weighted_interp twin, aggregated
+    // per (state, day)
+    "events_duration_in_interp" ->
+      """WITH wal AS (
+        |  SELECT event_id AS lsn, event_type, user_id,
+        |    epoch_ns(ts) // 1000000 AS ts_ms FROM events),
+        |sp AS (
+        |  SELECT event_type, ts_ms,
+        |    lead(ts_ms) OVER (PARTITION BY user_id
+        |      ORDER BY ts_ms * 1000000 + lsn) AS next_ts
+        |  FROM wal),
+        |seg AS (
+        |  SELECT event_type, ts_ms, next_ts,
+        |    unnest(generate_series(ts_ms // 86400000,
+        |                           (next_ts - 1) // 86400000)) AS day
+        |  FROM sp WHERE next_ts IS NOT NULL AND next_ts > ts_ms)
+        |SELECT event_type AS state,
+        |  CAST(day - 19723 AS INTEGER) AS chunk_day,
+        |  CAST(sum(least(next_ts, (day + 1) * 86400000)
+        |        - greatest(ts_ms, day * 86400000)) AS BIGINT) AS duration_ms,
+        |  COUNT(*) AS n_segments
+        |FROM seg GROUP BY 1, 2 ORDER BY state, chunk_day""".stripMargin,
 
     // lttb twin: same centroid anchors, same scaled integer area argmax
     "events_lttb" ->

@@ -680,6 +680,37 @@ object EventAnalytics {
         expr("end_ms - start_ms").as("duration_ms"), col("n_events"))
   }
 
+  /** `state_agg → interpolated_duration_in` analog (TimescaleDB toolkit
+    * accessor): per-(state, day bucket) dwell time where a held state
+    * CARRIES ACROSS bucket boundaries — [[stateAgg]] reports whole-
+    * stream totals; this charges every day for the exact portion of
+    * each per-key LOCF hold `[ts, next_ts)` that overlaps it (the
+    * toolkit's interpolated accessor semantics, the same clipping
+    * arithmetic as [[timeWeightedInterpolated]]). Open last intervals
+    * are excluded — the bounded-integral contract stateAgg documents.
+    *
+    * Scale shape: one window shuffle on the key; the explode fan-out is
+    * `ceil(span/day)` — bounded by ingest cadence, not data size — and
+    * the groupBy after it is a partial agg on (state, day).
+    */
+  def interpolatedDurationIn(wal: DataFrame, keyCol: String = "user_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayMs = 86400000L
+    val w = Window.partitionBy(col(keyCol)).orderBy(expr("ts_ms * 1000000 + lsn"))
+    wal
+      .withColumn("next_ts", lead(col("ts_ms"), 1).over(w))
+      .filter(col("next_ts").isNotNull && col("next_ts") > col("ts_ms"))
+      .withColumn("day", explode(expr(
+        s"sequence(ts_ms div $dayMs, (next_ts - 1) div $dayMs)")))
+      .withColumn("seg_ms",
+        least(col("next_ts"), (col("day") + 1) * dayMs) -
+          greatest(col("ts_ms"), col("day") * dayMs))
+      .groupBy(col("event_type").as("state"),
+        (col("day") - graft.cdc.Cdc.EpochDay20240101).cast("int").as("chunk_day"))
+      .agg(sum(col("seg_ms")).as("duration_ms"),
+        count(lit(1)).as("n_segments"))
+  }
+
   /** Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013 —
     * TimescaleDB ships it as the `lttb` hyperfunction), in its
     * bucket-centroid PARALLEL form: the classic algorithm anchors each

@@ -189,6 +189,26 @@ class EventAnalyticsSpec extends SparkSpec {
       (2L, 1L, "C", 100L, 100L, 0L, 1L)))
   }
 
+  test("interpolatedDurationIn: holds split exactly at day boundaries, open last excluded") {
+    import spark.implicits._
+    val day = 86400000L
+    val wal = Seq(
+      // user 1: A held 1s before + 1s after midnight, then B for 1s
+      (1L, 1L, "A", day - 1000L), (2L, 1L, "B", day + 1000L), (3L, 1L, "B", day + 2000L),
+      // user 2: one C hold spanning three whole days (fan-out bounded
+      // by span, not events), then the open last event drops
+      (9L, 2L, "C", 0L), (10L, 2L, "C", 3L * day)
+    ).toDF("lsn", "user_id", "event_type", "ts_ms")
+    val base = -19723 // chunk_day of epoch day 0
+    val got = ops.EventAnalytics.interpolatedDurationIn(wal)
+      .orderBy("state", "chunk_day").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got === Seq(
+      ("A", base, 1000L, 1L), ("A", base + 1, 1000L, 1L),
+      ("B", base + 1, 1000L, 1L),
+      ("C", base, day, 1L), ("C", base + 1, day, 1L), ("C", base + 2, day, 1L)))
+  }
+
   test("gapfillInterpolate: linear mid-gap, passthrough observed, NULL edges") {
     import spark.implicits._
     // type A observed on days 1 and 4 (10.0 → 40.0): days 2,3 interpolate
