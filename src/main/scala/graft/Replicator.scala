@@ -49,13 +49,20 @@ object Replicator {
     val out = scala.collection.mutable.LinkedHashMap[String, String]()
     var section = ""
     def stripComment(line: String): String = {
-      var inBasic = false; var inLiteral = false
+      // escape-aware: inside a basic string \" stays in-string and \\
+      // consumes the backslash so a following real quote still closes
+      var inBasic = false; var inLiteral = false; var esc = false
       var i = 0
       while (i < line.length) {
-        line.charAt(i) match {
-          case '"' if !inLiteral  => if (!inBasic || line.charAt(i - 1) != '\\') inBasic = !inBasic
-          case '\'' if !inBasic   => inLiteral = !inLiteral
-          case '#' if !inBasic && !inLiteral => return line.substring(0, i)
+        val c = line.charAt(i)
+        if (inBasic) {
+          if (esc) esc = false
+          else if (c == '\\') esc = true
+          else if (c == '"') inBasic = false
+        } else c match {
+          case '"' if !inLiteral  => inBasic = true
+          case '\'' => inLiteral = !inLiteral
+          case '#' if !inLiteral => return line.substring(0, i)
           case _ => ()
         }
         i += 1
@@ -92,18 +99,28 @@ object Replicator {
     def array(v: String): String = {
       val body = v.trim.stripPrefix("[").stripSuffix("]")
       if (body.trim.isEmpty) return ""
-      // split on top-level commas (strings may contain commas)
+      // split on top-level commas (strings may contain commas); inside
+      // a basic string an ESCAPED quote (\" — or \\ then a real close)
+      // must not toggle the string state, or the element boundary
+      // shifts and quoted commas leak into the split
       val parts = Seq.newBuilder[String]
-      var depth = 0; var inBasic = false; var inLiteral = false
+      var inBasic = false; var inLiteral = false; var esc = false
       val cur = new StringBuilder
-      body.foreach {
-        case '"' if !inLiteral => inBasic = !inBasic; cur.append('"')
-        case '\'' if !inBasic  => inLiteral = !inLiteral; cur.append('\'')
-        case '[' if !inBasic && !inLiteral =>
-          throw new IllegalArgumentException("nested TOML arrays not supported")
-        case ',' if depth == 0 && !inBasic && !inLiteral =>
-          parts += cur.toString; cur.clear()
-        case c => cur.append(c)
+      body.foreach { c =>
+        if (inBasic) {
+          cur.append(c)
+          if (esc) esc = false
+          else if (c == '\\') esc = true
+          else if (c == '"') inBasic = false
+        } else c match {
+          case '"' if !inLiteral => inBasic = true; cur.append('"')
+          case '\'' if !inBasic  => inLiteral = !inLiteral; cur.append('\'')
+          case '[' if !inLiteral =>
+            throw new IllegalArgumentException("nested TOML arrays not supported")
+          case ',' if !inLiteral =>
+            parts += cur.toString; cur.clear()
+          case other => cur.append(other)
+        }
       }
       parts += cur.toString
       parts.result().map(scalar).mkString(",")

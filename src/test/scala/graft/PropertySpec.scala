@@ -433,5 +433,33 @@ class PropertySpec extends AnyFunSuite {
       assert(graft.Replicator.parseYaml(sb.toString) === expected.toMap,
         s"yaml:\n${sb.toString.take(400)}")
     }
+
+    // the SAME trees rendered as TOML ([dotted.section] headers, basic
+    // strings, flat arrays) must flatten to the IDENTICAL map — the
+    // TOML≡YAML equivalence the reference's unmarshall.go guarantees,
+    // here exercised over arbitrary trees instead of one fixture.
+    // Catches key/header case-folding and quote/comment-handling bugs.
+    def qToml(s: String): String = "\"" + s.replace("\"", "\\\"") + "\""
+    def renderToml(b: Branch, path: String, sb: StringBuilder): Unit = {
+      if (path.nonEmpty) sb.append(s"[$path]\n")
+      b.kids.foreach {
+        case (k, Leaf(v))   => sb.append(s"$k = ${qToml(v)}\n")
+        case (k, Items(vs)) => sb.append(s"$k = [${vs.map(qToml).mkString(", ")}]\n")
+        case _              => ()
+      }
+      b.kids.foreach {
+        case (k, br: Branch) =>
+          renderToml(br, if (path.isEmpty) k else s"$path.$k", sb)
+        case _ => ()
+      }
+    }
+    samples(tree, 150).foreach { t =>
+      val sb = new StringBuilder
+      renderToml(t, "", sb)
+      val expected = scala.collection.mutable.Map[String, String]()
+      flatten(t, "", expected)
+      assert(graft.Replicator.parseToml(sb.toString) === expected.toMap,
+        s"toml:\n${sb.toString.take(400)}")
+    }
   }
 }
