@@ -209,6 +209,25 @@ class EventAnalyticsSpec extends SparkSpec {
       ("C", base, day, 1L), ("C", base + 1, day, 1L), ("C", base + 2, day, 1L)))
   }
 
+  test("round-13 ops are partitioning-invariant (window orders carry the lsn tiebreak)") {
+    import spark.implicits._
+    val wal = (1L to 60L).map { l =>
+      (l, l % 7L, Seq("A", "B", "C")((l % 3L).toInt), (l * 37L) % 50000L,
+        ((l * 13L) % 9L).toDouble, ((l % 5L) - 19723L + 19723L).toInt)
+    }.toDF("lsn", "user_id", "event_type", "ts_ms", "value", "chunk_day")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(ops.EventAnalytics.gaugeAgg(wal))
+      === rows(ops.EventAnalytics.gaugeAgg(wal.repartition(7))))
+    assert(rows(ops.EventAnalytics.stateTimeline(wal))
+      === rows(ops.EventAnalytics.stateTimeline(wal.repartition(7))))
+    assert(rows(ops.EventAnalytics.interpolatedDurationIn(wal))
+      === rows(ops.EventAnalytics.interpolatedDurationIn(wal.repartition(7))))
+    assert(rows(graft.cdc.Cdc.lsnGaps(wal.select("lsn").filter(col("lsn") % 4 =!= 0), 3))
+      === rows(graft.cdc.Cdc.lsnGaps(
+        wal.select("lsn").filter(col("lsn") % 4 =!= 0).repartition(7), 3)))
+  }
+
   test("gapfillInterpolate: linear mid-gap, passthrough observed, NULL edges") {
     import spark.implicits._
     // type A observed on days 1 and 4 (10.0 → 40.0): days 2,3 interpolate
