@@ -2891,6 +2891,14 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       ops.EventAnalytics.stateTimeline(Cdc.walEvents(s, dir))
         .orderBy(col("user_id"), col("period"))),
 
+    "events_candlestick_weekly" -> ((s, dir) =>
+      // rollup(candlestick_agg): weekly candles merged FROM the daily
+      // candle rows (never from raw ticks) — the oracle computes the
+      // week from scratch, so a hash match proves the rollup contract
+      ops.EventAnalytics.candlestickRollup(
+          ops.EventAnalytics.candlestick(Cdc.walEvents(s, dir)))
+        .orderBy(col("event_type"), col("chunk_week"))),
+
     "events_duration_in_interp" -> ((s, dir) =>
       // interpolated_duration_in accessor: per-(state, day) dwell time
       // with per-user LOCF holds carrying across day boundaries
@@ -3473,6 +3481,12 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
           reference = docs.filter(length(col("source")) === 4))
         .orderBy(col("doc_id"))
     }),
+
+    "profile_source_stats" -> ((s, dir) =>
+      // per-source corpus-health report: doc/token counts, vocabulary,
+      // type-token ratio, mean doc length — all integer-exact
+      TextAnalysis.sourceProfile(Tables.documents(s, dir))
+        .orderBy(col("source"))),
 
     "text_stupid_backoff" -> ((s, dir) => {
       // Brants et al. 2007 stupid-backoff trigram scoring: highest
@@ -5078,6 +5092,30 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |  CAST(sum(cents * vol) AS BIGINT) * 10000
         |    // nullif(CAST(sum(vol) AS BIGINT), 0) AS vwap_micro
         |FROM wal GROUP BY 1, 2 ORDER BY event_type, chunk_day""".stripMargin,
+
+    // candlestick-rollup twin: the WEEK computed from scratch off raw
+    // ticks — hash equality against the Spark side's daily-merge is
+    // exactly the rollup() mergeable-state contract
+    "events_candlestick_weekly" ->
+      """WITH wal AS (
+        |  SELECT event_id AS lsn, event_type,
+        |    epoch_ns(ts) // 1000000 AS ts_ms,
+        |    epoch_ns(ts) // 86400000000000 - 19723 AS chunk_day,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS vol
+        |  FROM events)
+        |SELECT event_type, chunk_day // 7 AS chunk_week,
+        |  arg_min(cents, ts_ms * 1000000 + lsn) AS open_cents,
+        |  arg_max(cents, ts_ms * 1000000 + lsn) AS close_cents,
+        |  max(cents) AS high_cents, min(cents) AS low_cents,
+        |  min(ts_ms * 1000000 + lsn) AS open_ord,
+        |  max(ts_ms * 1000000 + lsn) AS close_ord,
+        |  COUNT(*) AS n_ticks,
+        |  CAST(sum(vol) AS BIGINT) AS volume,
+        |  CAST(sum(cents * vol) AS BIGINT) AS notional_cents,
+        |  CAST(sum(cents * vol) AS BIGINT) * 10000
+        |    // nullif(CAST(sum(vol) AS BIGINT), 0) AS vwap_micro
+        |FROM wal GROUP BY 1, 2 ORDER BY event_type, chunk_week""".stripMargin,
 
     // heartbeat twin: lead-gap per user on the same order key; the
     // final (null-gap) beat is excluded from the sum and contributes
@@ -7830,6 +7868,21 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
         |WHERE length(d.source) = 5
         |ORDER BY d.doc_id""".stripMargin,
+
+    // source-profile twin: doc-level token counts, per-source distinct
+    // vocabulary, the same integer ratio arithmetic
+    "profile_source_stats" ->
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+        |base AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(sum(len(t)) AS BIGINT) AS total_tokens
+        |  FROM toks GROUP BY source),
+        |dist AS (SELECT source, CAST(count(DISTINCT w) AS BIGINT) AS distinct_tokens
+        |  FROM (SELECT source, unnest(t) AS w FROM toks) z GROUP BY source)
+        |SELECT b.source, b.n_docs, b.total_tokens, d.distinct_tokens,
+        |  d.distinct_tokens * 1000000 // nullif(b.total_tokens, 0) AS ttr_ppm,
+        |  b.total_tokens * 1000 // b.n_docs AS mean_doc_tokens_milli
+        |FROM base b JOIN dist d ON b.source = d.source
+        |ORDER BY b.source""".stripMargin,
 
     // stupid-backoff twin: the same three count tables, existence-based
     // tier dispatch, identical integer arithmetic (// is DuckDB's div)

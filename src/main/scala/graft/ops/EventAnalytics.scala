@@ -812,6 +812,36 @@ object EventAnalytics {
         expr("notional_cents * 10000 div nullif(volume, 0)"))
   }
 
+  /** `rollup(candlestick_agg)` analog (TimescaleDB toolkit): weekly
+    * candles re-aggregated FROM the daily candle rows, never from raw
+    * ticks — the hierarchical-cagg geometry. [[candlestick]] keeps
+    * `open_ord`/`close_ord` precisely so its rows form a mergeable
+    * state: open = arg-min by open_ord, close = arg-max by close_ord,
+    * high/low = max/min, tick/volume/notional sums add, and VWAP
+    * re-derives from the merged sums (never averaged-of-averages).
+    * The spec proves merge ≡ from-scratch weekly — the rollup()
+    * contract; the oracle IS the from-scratch weekly, so the driver
+    * gate re-proves it at every SF.
+    *
+    * Scale shape: input is candle-count-sized (types × days), not
+    * tick-sized — one tiny partial agg.
+    */
+  def candlestickRollup(daily: DataFrame): DataFrame =
+    daily
+      .groupBy(col("event_type"), expr("chunk_day div 7").as("chunk_week"))
+      .agg(
+        min_by(col("open_cents"), col("open_ord")).as("open_cents"),
+        max_by(col("close_cents"), col("close_ord")).as("close_cents"),
+        max(col("high_cents")).as("high_cents"),
+        min(col("low_cents")).as("low_cents"),
+        min(col("open_ord")).as("open_ord"),
+        max(col("close_ord")).as("close_ord"),
+        sum(col("n_ticks")).as("n_ticks"),
+        sum(col("volume")).as("volume"),
+        sum(col("notional_cents")).as("notional_cents"))
+      .withColumn("vwap_micro",
+        expr("notional_cents * 10000 div nullif(volume, 0)"))
+
   /** `heartbeat_agg` analog (TimescaleDB hyperfunction): each event is a
     * liveness heartbeat asserting its key alive for `ttlMs` after it;
     * overlapping assertions merge. Per key: total uptime, interval

@@ -588,6 +588,33 @@ object TextAnalysis {
     * hundreds-to-thousands; the output is |source pairs| rows, tiny.
     * Zero-overlap pairs don't appear (their Jaccard is 0).
     */
+  /** Per-source corpus-health profile — the per-provenance report a
+    * Dolma/RedPajama-style pipeline publishes with every release: doc
+    * and token counts, distinct-token vocabulary, type-token ratio
+    * (ppm — a collapsed TTR flags a degenerate/boilerplate source long
+    * before any quality model does), and mean document length (milli).
+    * All integer-exact.
+    *
+    * Scale shape: totals are one doc-level partial agg (token counts
+    * from `size(split)`, no explode); the vocabulary needs the explode,
+    * but `countDistinct` compiles to a two-phase agg on (source, token)
+    * whose partial collapses repeats map-side — the shuffle carries the
+    * per-source vocabulary, not the token stream.
+    */
+  def sourceProfile(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col("source"), split(col(textCol), " ").as("t"))
+    val base = toks.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("t")).cast("long")).as("total_tokens"))
+    val dist = toks.select(col("source"), explode(col("t")).as("w"))
+      .groupBy(col("source")).agg(countDistinct(col("w")).as("distinct_tokens"))
+    base.join(dist, Seq("source"))
+      .withColumn("ttr_ppm",
+        expr("distinct_tokens * 1000000 div nullif(total_tokens, 0)"))
+      .withColumn("mean_doc_tokens_milli",
+        expr("total_tokens * 1000 div n_docs"))
+  }
+
   def sourceOverlap(df: DataFrame, n: Int = 3, textCol: String = "text",
                     groupCol: String = "source"): DataFrame = {
     val sg = df.select(col(groupCol).as("src"),

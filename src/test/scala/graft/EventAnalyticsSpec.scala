@@ -189,6 +189,27 @@ class EventAnalyticsSpec extends SparkSpec {
       (2L, 1L, "C", 100L, 100L, 0L, 1L)))
   }
 
+  test("candlestickRollup: weekly merge of daily candles equals from-scratch weekly") {
+    import spark.implicits._
+    // ticks span two weeks with open/close crossing day boundaries and
+    // a volume-weighted price that only reconciles if VWAP re-derives
+    // from merged sums (average-of-daily-VWAPs would be wrong)
+    val wal = (1L to 40L).map { l =>
+      (l, "A", ((l * 3L) % 14L).toInt, 10.0 + (l % 7L).toDouble,
+        l * 1000L, s"""{"k": ${1 + (l % 5L)}}""")
+    }.toDF("lsn", "event_type", "chunk_day", "value", "ts_ms", "props")
+    val daily = ops.EventAnalytics.candlestick(wal)
+    val merged = ops.EventAnalytics.candlestickRollup(daily)
+      .orderBy("event_type", "chunk_week").collect().map(_.toString)
+    val scratch = ops.EventAnalytics.candlestick(
+        wal.withColumn("chunk_day", expr("chunk_day div 7")))
+      .withColumnRenamed("chunk_day", "chunk_week")
+      .withColumn("chunk_week", col("chunk_week").cast("long"))
+      .orderBy("event_type", "chunk_week").collect().map(_.toString)
+    assert(merged.toSeq === scratch.toSeq,
+      "rollup contract: merging daily states must equal the from-scratch week")
+  }
+
   test("interpolatedDurationIn: holds split exactly at day boundaries, open last excluded") {
     import spark.implicits._
     val day = 86400000L

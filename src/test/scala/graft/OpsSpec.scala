@@ -602,6 +602,20 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("sourceProfile: hand-computed per-source doc/token/vocab/TTR stats") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "x x y"), (2L, "a", "y z"), (3L, "b", "w")
+    ).toDF("doc_id", "source", "text")
+    val got = graft.ops.TextAnalysis.sourceProfile(docs)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got === Seq(
+      ("a", 2L, 5L, 3L, 600000L, 2500L),
+      ("b", 1L, 1L, 1L, 1000000L, 1000L)))
+  }
+
   test("stupid backoff: hand-computed tier dispatch (tri > 0.4·bi > 0.16·uni > 0)") {
     import spark.implicits._
     // reference: N=7; uni a:2 b:2 c:1 d:1 x:1; bi 'a b':2 'b c':1
