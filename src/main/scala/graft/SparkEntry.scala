@@ -2899,6 +2899,22 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
           ops.EventAnalytics.candlestick(Cdc.walEvents(s, dir)))
         .orderBy(col("event_type"), col("chunk_week"))),
 
+    "conv_saturating_i32" -> ((s, dir) => {
+      // toolkit saturating i32 math: operands derived to cross both
+      // clamp bounds (sums past +2^31, mul both directions, negative
+      // sums for the _pos floor)
+      val base = Cdc.walEvents(s, dir).select(col("lsn"),
+        expr("cast((cast(floor(value * 100 + 0.5) as bigint) * 48271L) % 2147483647L as int)").as("a"),
+        expr("cast(((lsn * 69621L) % 2147483647L) - 1073741823L as int)").as("b"))
+      base.select(col("lsn"), col("a"), col("b"),
+        ops.EventAnalytics.saturatingAdd(col("a"), col("b")).as("sat_add"),
+        ops.EventAnalytics.saturatingSub(col("a"), col("b")).as("sat_sub"),
+        ops.EventAnalytics.saturatingMul(col("a"), col("b")).as("sat_mul"),
+        ops.EventAnalytics.saturatingAddPos(col("a"), col("b")).as("sat_add_pos"),
+        ops.EventAnalytics.saturatingSubPos(col("a"), col("b")).as("sat_sub_pos"))
+        .orderBy(col("lsn"))
+    }),
+
     "events_duration_in_interp" -> ((s, dir) =>
       // interpolated_duration_in accessor: per-(state, day) dwell time
       // with per-user LOCF holds carrying across day boundaries
@@ -5092,6 +5108,21 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |  CAST(sum(cents * vol) AS BIGINT) * 10000
         |    // nullif(CAST(sum(vol) AS BIGINT), 0) AS vwap_micro
         |FROM wal GROUP BY 1, 2 ORDER BY event_type, chunk_day""".stripMargin,
+
+    // saturating-math twin: identical operand derivation (both engines'
+    // % keeps the dividend sign), BIGINT arithmetic, i32/pos clamps
+    "conv_saturating_i32" ->
+      """WITH wal AS (SELECT event_id AS lsn,
+        |    CAST((CAST(floor(value * 100 + 0.5) AS BIGINT) * 48271) % 2147483647 AS INT) AS a,
+        |    CAST(((event_id * 69621) % 2147483647) - 1073741823 AS INT) AS b
+        |  FROM events)
+        |SELECT lsn, a, b,
+        |  CAST(least(greatest(CAST(a AS BIGINT) + CAST(b AS BIGINT), -2147483648), 2147483647) AS INT) AS sat_add,
+        |  CAST(least(greatest(CAST(a AS BIGINT) - CAST(b AS BIGINT), -2147483648), 2147483647) AS INT) AS sat_sub,
+        |  CAST(least(greatest(CAST(a AS BIGINT) * CAST(b AS BIGINT), -2147483648), 2147483647) AS INT) AS sat_mul,
+        |  CAST(least(greatest(CAST(a AS BIGINT) + CAST(b AS BIGINT), 0), 2147483647) AS INT) AS sat_add_pos,
+        |  CAST(least(greatest(CAST(a AS BIGINT) - CAST(b AS BIGINT), 0), 2147483647) AS INT) AS sat_sub_pos
+        |FROM wal ORDER BY lsn""".stripMargin,
 
     // candlestick-rollup twin: the WEEK computed from scratch off raw
     // ticks — hash equality against the Spark side's daily-merge is

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Event-stream analytics over the `events` table: ordered-funnel
@@ -811,6 +811,29 @@ object EventAnalytics {
       .withColumn("vwap_micro",
         expr("notional_cents * 10000 div nullif(volume, 0)"))
   }
+
+  /** `saturating_{add,sub,mul}` / `saturating_{add,sub}_pos` analogs
+    * (TimescaleDB toolkit's i32 saturating math, used by counter
+    * pipelines that must clamp instead of wrap or error): the operands
+    * are i32s, the arithmetic runs in BIGINT (no intermediate overflow
+    * for any i32 pair, including mul), and the result clamps to the i32
+    * range — the `_pos` forms clamp below at 0 instead. Pure codegen'd
+    * column expressions, no UDF.
+    */
+  private def clampI32(e: Column): Column =
+    least(greatest(e, lit(Int.MinValue.toLong)), lit(Int.MaxValue.toLong)).cast("int")
+  private def clampPos(e: Column): Column =
+    least(greatest(e, lit(0L)), lit(Int.MaxValue.toLong)).cast("int")
+  def saturatingAdd(a: Column, b: Column): Column =
+    clampI32(a.cast("long") + b.cast("long"))
+  def saturatingSub(a: Column, b: Column): Column =
+    clampI32(a.cast("long") - b.cast("long"))
+  def saturatingMul(a: Column, b: Column): Column =
+    clampI32(a.cast("long") * b.cast("long"))
+  def saturatingAddPos(a: Column, b: Column): Column =
+    clampPos(a.cast("long") + b.cast("long"))
+  def saturatingSubPos(a: Column, b: Column): Column =
+    clampPos(a.cast("long") - b.cast("long"))
 
   /** `rollup(candlestick_agg)` analog (TimescaleDB toolkit): weekly
     * candles re-aggregated FROM the daily candle rows, never from raw

@@ -189,6 +189,29 @@ class EventAnalyticsSpec extends SparkSpec {
       (2L, 1L, "C", 100L, 100L, 0L, 1L)))
   }
 
+  test("saturating i32 math clamps at the exact bounds, passes through inside them") {
+    import spark.implicits._
+    import ops.EventAnalytics._
+    val df = Seq(
+      (Int.MaxValue, 1), (Int.MinValue, 1), (65536, 65536), (-65536, 65536),
+      (-5, 2), (3, 5), (100, 23)
+    ).toDF("a", "b")
+    val r = df.select(
+      saturatingAdd(col("a"), col("b")).as("add"),
+      saturatingSub(col("a"), col("b")).as("sub"),
+      saturatingMul(col("a"), col("b")).as("mul"),
+      saturatingAddPos(col("a"), col("b")).as("addp"),
+      saturatingSubPos(col("a"), col("b")).as("subp")).collect()
+      .map(x => (x.getInt(0), x.getInt(1), x.getInt(2), x.getInt(3), x.getInt(4)))
+    assert(r(0) === ((Int.MaxValue, Int.MaxValue - 1, Int.MaxValue, Int.MaxValue, Int.MaxValue - 1)))
+    assert(r(1)._1 === Int.MinValue + 1 && r(1)._2 === Int.MinValue &&
+      r(1)._3 === Int.MinValue && r(1)._4 === 0 && r(1)._5 === 0)
+    assert(r(2)._3 === Int.MaxValue && r(3)._3 === Int.MinValue)
+    assert(r(4) === ((-3, -7, -10, 0, 0)))
+    assert(r(5) === ((8, -2, 15, 8, 0)))
+    assert(r(6) === ((123, 77, 2300, 123, 77)))
+  }
+
   test("candlestickRollup: weekly merge of daily candles equals from-scratch weekly") {
     import spark.implicits._
     // ticks span two weeks with open/close crossing day boundaries and
