@@ -76,7 +76,32 @@ object GraftExtensions {
             "unicode_normalize(s[, form]) expects 1-2 arguments, form a string literal")
         }
         UnicodeNormalize(children.head, form)
-      }))
+      })) ++ saturatingRegistrations
+
+  /** The toolkit saturating i32 family as SQL functions — composed from
+    * stock Catalyst arithmetic (BIGINT op, i32 / pos clamp), the same
+    * trees `EventAnalytics.saturating*` builds through the Column API. */
+  private def saturatingRegistrations
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Greatest, Least, Literal, Multiply, Subtract}
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    def make(name: String, op: (Expression, Expression) => Expression, lo: Long) =
+      (FunctionIdentifier(name),
+        new ExpressionInfo(classOf[Least].getName, name),
+        (children: Seq[Expression]) => {
+          if (children.length != 2) throw new IllegalArgumentException(
+            s"$name(a, b) expects 2 arguments, got ${children.length}")
+          val wide = op(Cast(children(0), LongType), Cast(children(1), LongType))
+          Cast(Least(Seq(Greatest(Seq(wide, Literal(lo))),
+            Literal(Int.MaxValue.toLong))), IntegerType)
+        })
+    Seq(
+      make("saturating_add", Add(_, _), Int.MinValue.toLong),
+      make("saturating_sub", Subtract(_, _), Int.MinValue.toLong),
+      make("saturating_mul", Multiply(_, _), Int.MinValue.toLong),
+      make("saturating_add_pos", Add(_, _), 0L),
+      make("saturating_sub_pos", Subtract(_, _), 0L))
+  }
 
   /** Attach to an already-built session (the extensions path only
     * applies at session construction). Functions land in the registry;

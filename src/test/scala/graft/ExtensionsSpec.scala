@@ -17,6 +17,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getLong(2) === 0xaf63dc4c8601ec8cL)
   }
 
+  test("saturating_* SQL functions clamp at the exact i32 / pos bounds") {
+    GraftExtensions.registerTo(spark)
+    val r = spark.sql(
+      """SELECT saturating_add(2147483647, 1) AS a,
+        |       saturating_sub(-2147483648, 1) AS b,
+        |       saturating_mul(65536, 65536) AS c,
+        |       saturating_mul(-65536, 65536) AS d,
+        |       saturating_add_pos(-5, 2) AS e,
+        |       saturating_sub_pos(3, 5) AS f,
+        |       saturating_add(100, 23) AS g""".stripMargin).head
+    assert(r.getInt(0) === Int.MaxValue && r.getInt(1) === Int.MinValue)
+    assert(r.getInt(2) === Int.MaxValue && r.getInt(3) === Int.MinValue)
+    assert(r.getInt(4) === 0 && r.getInt(5) === 0 && r.getInt(6) === 123)
+    intercept[Exception] { spark.sql("SELECT saturating_add(1)").head }
+  }
+
   test("cms_estimate decodes the count_min_sketch aggregate in-plan") {
     GraftExtensions.registerTo(spark)
     import spark.implicits._
