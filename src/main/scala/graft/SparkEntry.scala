@@ -2966,6 +2966,49 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       ops.EventAnalytics.gaugeAgg(Cdc.walEvents(s, dir))
         .orderBy(col("event_type"), col("chunk_day"))),
 
+    "events_stats2d" -> ((s, dir) =>
+      // stats_agg 2-D accessor family: covariance / corr /
+      // determination_coefficient / x_intercept from the SAME exact
+      // integer accumulator, fixed-op-order doubles floored to integers
+      ops.EventAnalytics.stats2dAccessors(Cdc.walEvents(s, dir))
+        .orderBy(col("event_type"))),
+
+    "events_stats_moments" -> ((s, dir) =>
+      // stats_agg skewness/kurtosis accessors: exact integer power sums
+      // (mergeable — the rollup contract) + central-moment expansion in
+      // fixed-order doubles, sqrt-only (pow is not correctly rounded)
+      ops.EventAnalytics.statsMoments(Cdc.walEvents(s, dir))
+        .orderBy(col("event_type"), col("chunk_day"))),
+
+    "events_max_n" -> ((s, dir) =>
+      // max_n/min_n/max_n_by: N extreme values per type with their
+      // carried payload; WindowGroupLimit keeps the exchange top-k-sized
+      ops.EventAnalytics.maxN(Cdc.walEvents(s, dir), n = 5)
+        .orderBy(col("side"), col("event_type"), col("rnk"))),
+
+    "events_hdr_rank" -> ((s, dir) =>
+      // approx_percentile_rank: the hdrQuantiles inverse — probe values
+      // rank against the power-of-two bucket table, integer interpolation
+      ops.EventAnalytics.hdrPercentileRank(Cdc.walEvents(s, dir),
+          probesCents = Seq(1000L, 10000L, 30000L, 56000L))
+        .orderBy(col("event_type"), col("probe_cents"))),
+
+    "text_bleu_pairs" -> ((s, dir) =>
+      // BLEU-style clipped n-gram precisions (p1..p4 ppm) + brevity
+      // parts per (even, odd) doc pair — the synthetic-rewrite QA gate
+      TextAnalysis.bleuPairs(Tables.documents(s, dir))
+        .orderBy(col("pair_id"))),
+
+    "classifier_calibration" -> ((s, dir) => {
+      // reliability report: margin bins relative to max |margin|
+      // (scale-invariant; portable FLOOR(x·n/max) signed division) vs
+      // empirical positive rate — score order must carry probability
+      // before the hyperplane gates a corpus
+      val feats = Learn.perceptronFeatures(Tables.documents(s, dir))
+      Learn.calibrationReport(feats, Learn.perceptronTrain(feats, iters = 3))
+        .orderBy(col("bin"))
+    }),
+
     "events_freq_topn" -> ((s, dir) => {
       // freq_agg/topn hyperfunction analog: Misra–Gries mergeable
       // heavy-hitters as a custom TypedImperativeAggregate — ONE
@@ -5390,6 +5433,143 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |  CAST(SUM(y * y) AS BIGINT) AS sum_y2
         |FROM wal GROUP BY 1, 2 ORDER BY event_type, chunk_day""".stripMargin,
 
+    // stats2d twin: identical sums, identical fixed-order double
+    // accessor text (division/sqrt are correctly rounded — bit-equal)
+    "events_stats2d" ->
+      """WITH wal AS (
+        |  SELECT event_type,
+        |    (epoch_ns(ts) // 1000000 - (SELECT min(epoch_ns(ts) // 1000000) FROM events)) // 60000 AS x,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS y
+        |  FROM events),
+        |acc AS (SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y,
+        |    CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sum_x2,
+        |    CAST(SUM(y * y) AS BIGINT) AS sum_y2
+        |  FROM wal GROUP BY event_type),
+        |sl AS (SELECT *,
+        |    CASE WHEN CAST(n AS DOUBLE) * CAST(sum_x2 AS DOUBLE)
+        |              - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE) = 0.0 THEN 0
+        |         ELSE CAST(FLOOR(
+        |           (CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+        |              - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+        |           / (CAST(n AS DOUBLE) * CAST(sum_x2 AS DOUBLE)
+        |              - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+        |           * 1000000.0 + 0.5) AS BIGINT) END AS slope_micro
+        |  FROM acc),
+        |ic AS (SELECT *,
+        |    CASE WHEN n = 0 THEN 0
+        |         ELSE CAST(FLOOR(
+        |           (CAST(sum_y AS DOUBLE) - CAST(slope_micro AS DOUBLE) / 1000000.0
+        |              * CAST(sum_x AS DOUBLE)) / CAST(n AS DOUBLE) + 0.5) AS BIGINT) END
+        |      AS intercept_milli
+        |  FROM sl),
+        |cr AS (SELECT *,
+        |    CASE WHEN CAST(n AS DOUBLE) * CAST(sum_x2 AS DOUBLE)
+        |              - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE) <= 0.0
+        |           OR CAST(n AS DOUBLE) * CAST(sum_y2 AS DOUBLE)
+        |              - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE) <= 0.0
+        |         THEN NULL
+        |         ELSE (CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+        |                 - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+        |              / (SQRT(CAST(n AS DOUBLE) * CAST(sum_x2 AS DOUBLE)
+        |                      - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+        |                 * SQRT(CAST(n AS DOUBLE) * CAST(sum_y2 AS DOUBLE)
+        |                        - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)))
+        |    END AS corr_d
+        |  FROM ic)
+        |SELECT event_type, n, sum_x, sum_y, sum_xy, sum_x2, sum_y2,
+        |  slope_micro, intercept_milli,
+        |  CASE WHEN n = 0 THEN NULL
+        |       ELSE CAST(FLOOR(
+        |         (CAST(sum_xy AS DOUBLE)
+        |            - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE)
+        |              / CAST(n AS DOUBLE))
+        |         / CAST(n AS DOUBLE) + 0.5) AS BIGINT) END AS covar_xy,
+        |  CAST(FLOOR(corr_d * 1000000.0 + 0.5) AS BIGINT) AS corr_micro,
+        |  CAST(FLOOR(corr_d * corr_d * 1000000.0 + 0.5) AS BIGINT) AS determination_micro,
+        |  CASE WHEN slope_micro = 0 THEN NULL
+        |       ELSE CAST(FLOOR(-CAST(intercept_milli AS DOUBLE)
+        |                       / (CAST(slope_micro AS DOUBLE) / 1000000.0)
+        |                       * 1000.0 + 0.5) AS BIGINT) END AS x_intercept_milli
+        |FROM cr ORDER BY event_type""".stripMargin,
+
+    // moments twin: identical deci-scale power sums (y⁴ ≤ 10¹⁶·rows
+    // fits i64 — no HUGEINT reaches the output), identical
+    // central-moment expansion text
+    "events_stats_moments" ->
+      """WITH wal AS (
+        |  SELECT event_type,
+        |    epoch_ns(ts) // 86400000000000 - 19723 AS chunk_day,
+        |    CAST(floor(value * 10 + 0.5) AS BIGINT) AS y
+        |  FROM events),
+        |acc AS (SELECT event_type, chunk_day, COUNT(*) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS sum_y,
+        |    CAST(SUM(y * y) AS BIGINT) AS sum_y2,
+        |    CAST(SUM(y * y * y) AS BIGINT) AS sum_y3,
+        |    CAST(SUM(y * y * y * y) AS BIGINT) AS sum_y4
+        |  FROM wal GROUP BY 1, 2),
+        |mm AS (SELECT *, CAST(sum_y AS DOUBLE) / CAST(n AS DOUBLE) AS mu FROM acc),
+        |ctr AS (SELECT *,
+        |    CAST(sum_y2 AS DOUBLE) / CAST(n AS DOUBLE) - mu * mu AS m2,
+        |    CAST(sum_y3 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - 3.0 * mu * (CAST(sum_y2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      + 2.0 * mu * mu * mu AS m3,
+        |    CAST(sum_y4 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - 4.0 * mu * (CAST(sum_y3 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      + 6.0 * mu * mu * (CAST(sum_y2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM mm)
+        |SELECT event_type, chunk_day, n, sum_y, sum_y2, sum_y3, sum_y4,
+        |  CASE WHEN n >= 2 AND m2 > 0.0
+        |    THEN CAST(FLOOR(m3 / (m2 * SQRT(m2)) * 1000000.0 + 0.5) AS BIGINT)
+        |  END AS skew_micro,
+        |  CASE WHEN n >= 2 AND m2 > 0.0
+        |    THEN CAST(FLOOR((m4 / (m2 * m2) - 3.0) * 1000000.0 + 0.5) AS BIGINT)
+        |  END AS kurtosis_micro
+        |FROM ctr ORDER BY event_type, chunk_day""".stripMargin,
+
+    // max_n twin: identical row_number windows and (value, lsn) ties
+    "events_max_n" ->
+      """WITH wal AS (SELECT event_id AS lsn, event_type, user_id,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_milli FROM events),
+        |mx AS (SELECT 'max_n' AS side, event_type,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY v_milli DESC, lsn) AS BIGINT) AS rnk,
+        |    v_milli, lsn, user_id FROM wal QUALIFY rnk <= 5),
+        |mn AS (SELECT 'min_n' AS side, event_type,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY v_milli ASC, lsn) AS BIGINT) AS rnk,
+        |    v_milli, lsn, user_id FROM wal QUALIFY rnk <= 5)
+        |SELECT * FROM mx UNION ALL SELECT * FROM mn
+        |ORDER BY side, event_type, rnk""".stripMargin,
+
+    // percentile-rank twin: same power-of-two buckets; probe bucket
+    // index/width are compile-time constants on both sides
+    "events_hdr_rank" ->
+      """WITH wal AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) + 1 AS shifted
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type,
+        |    CAST(length(printf('%b', shifted)) - 1 AS INTEGER) AS bucket,
+        |    COUNT(*) AS cnt
+        |  FROM wal GROUP BY 1, 2),
+        |p AS (SELECT * FROM (VALUES
+        |    (CAST(1000 AS BIGINT), CAST(1001 AS BIGINT), 9, CAST(512 AS BIGINT)),
+        |    (CAST(10000 AS BIGINT), CAST(10001 AS BIGINT), 13, CAST(8192 AS BIGINT)),
+        |    (CAST(30000 AS BIGINT), CAST(30001 AS BIGINT), 14, CAST(16384 AS BIGINT)),
+        |    (CAST(56000 AS BIGINT), CAST(56001 AS BIGINT), 15, CAST(32768 AS BIGINT)))
+        |  v(probe_cents, shifted, pb, pw))
+        |SELECT event_type, probe_cents, CAST(SUM(cnt) AS BIGINT) AS n,
+        |  (CAST(SUM(CASE WHEN bucket < pb THEN cnt
+        |                 WHEN bucket = pb THEN ((p.shifted - pw + 1) * cnt) // pw
+        |                 ELSE 0 END) AS BIGINT) * 1000000)
+        |    // CAST(SUM(cnt) AS BIGINT) AS rank_ppm
+        |FROM b CROSS JOIN p GROUP BY event_type, probe_cents
+        |ORDER BY event_type, probe_cents""".stripMargin,
+
     // state_agg twin: lead() over the same (ts,lsn) order per user
     "events_state_agg" ->
       """WITH wal AS (
@@ -6857,6 +7037,26 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       s"""${perceptronCtes(3)}
          |SELECT pos, w FROM w3 ORDER BY pos""".stripMargin,
 
+    // calibration twin: same trained w3, same margins, bins relative
+    // to max |margin| via the portable FLOOR(x·n/max) signed division
+    // (integer div truncates in Spark but floors in DuckDB — double
+    // floor agrees everywhere, exact below 2^53)
+    "classifier_calibration" ->
+      s"""${perceptronCtes(3)},
+         |mf AS (SELECT f.doc_id, f.y, SUM(f.xv * w.w) AS margin
+         |  FROM f JOIN w3 w USING (pos) GROUP BY 1, 2),
+         |mx AS (SELECT max(abs(margin)) AS maxabs FROM mf),
+         |bins AS (SELECT CASE WHEN maxabs = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE greatest(CAST(-4 AS BIGINT), least(CAST(4 AS BIGINT),
+         |      CAST(FLOOR(CAST(margin AS DOUBLE) * 4.0
+         |                 / CAST(maxabs AS DOUBLE)) AS BIGINT))) END AS bin, y
+         |  FROM mf CROSS JOIN mx)
+         |SELECT bin, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  (CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |    // COUNT(*) AS pos_ppm
+         |FROM bins GROUP BY bin ORDER BY bin""".stripMargin,
+
     "classifier_perceptron_eval" ->
       s"""${perceptronCtes(3)},
          |mf AS (SELECT f.doc_id, f.y, SUM(f.xv * w.w) AS margin
@@ -7956,6 +8156,62 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
         |WHERE length(d.source) = 5
         |ORDER BY d.doc_id""".stripMargin,
+
+    // BLEU twin: tagged-gram union per order (slices guarded by len —
+    // DuckDB's negative slice bounds wrap from the end, so the n >
+    // len(t) case must be excluded explicitly, matching the Spark
+    // ngrams kernel's empty-result contract), clipped min-join, ppm by
+    // integer division
+    "text_bleu_pairs" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |cand AS (SELECT doc_id - 1 AS pair_id, t FROM tok WHERE doc_id % 2 = 1),
+        |refs AS (SELECT doc_id AS pair_id, t FROM tok WHERE doc_id % 2 = 0),
+        |cg AS (SELECT pair_id, g, count(*) AS c FROM (
+        |    SELECT pair_id, unnest(list_transform(t, x -> '1|' || x)) AS g FROM cand
+        |    UNION ALL
+        |    SELECT pair_id, unnest(list_transform(list_zip(t[1:len(t)-1], t[2:len(t)]),
+        |      x -> '2|' || x[1] || ' ' || x[2])) FROM cand WHERE len(t) >= 2
+        |    UNION ALL
+        |    SELECT pair_id, unnest(list_transform(
+        |      list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
+        |      x -> '3|' || x[1] || ' ' || x[2] || ' ' || x[3])) FROM cand WHERE len(t) >= 3
+        |    UNION ALL
+        |    SELECT pair_id, unnest(list_transform(
+        |      list_zip(t[1:len(t)-3], t[2:len(t)-2], t[3:len(t)-1], t[4:len(t)]),
+        |      x -> '4|' || x[1] || ' ' || x[2] || ' ' || x[3] || ' ' || x[4]))
+        |    FROM cand WHERE len(t) >= 4) z GROUP BY 1, 2),
+        |rg AS (SELECT pair_id, g, count(*) AS rc FROM (
+        |    SELECT pair_id, unnest(list_transform(t, x -> '1|' || x)) AS g FROM refs
+        |    UNION ALL
+        |    SELECT pair_id, unnest(list_transform(list_zip(t[1:len(t)-1], t[2:len(t)]),
+        |      x -> '2|' || x[1] || ' ' || x[2])) FROM refs WHERE len(t) >= 2
+        |    UNION ALL
+        |    SELECT pair_id, unnest(list_transform(
+        |      list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
+        |      x -> '3|' || x[1] || ' ' || x[2] || ' ' || x[3])) FROM refs WHERE len(t) >= 3
+        |    UNION ALL
+        |    SELECT pair_id, unnest(list_transform(
+        |      list_zip(t[1:len(t)-3], t[2:len(t)-2], t[3:len(t)-1], t[4:len(t)]),
+        |      x -> '4|' || x[1] || ' ' || x[2] || ' ' || x[3] || ' ' || x[4]))
+        |    FROM refs WHERE len(t) >= 4) z GROUP BY 1, 2),
+        |tot AS (SELECT pair_id, CAST(split_part(g, '|', 1) AS INT) AS n,
+        |    CAST(SUM(c) AS BIGINT) AS total FROM cg GROUP BY 1, 2),
+        |clip AS (SELECT c.pair_id, CAST(split_part(c.g, '|', 1) AS INT) AS n,
+        |    CAST(SUM(least(c.c, r.rc)) AS BIGINT) AS clipped
+        |  FROM cg c JOIN rg r USING (pair_id, g) GROUP BY 1, 2),
+        |prec AS (SELECT t.pair_id, t.n,
+        |    (COALESCE(cl.clipped, 0) * 1000000) // t.total AS p_ppm
+        |  FROM tot t LEFT JOIN clip cl USING (pair_id, n)),
+        |lens AS (SELECT c.pair_id, CAST(len(c.t) AS BIGINT) AS len_c,
+        |    CAST(len(r.t) AS BIGINT) AS len_r
+        |  FROM cand c JOIN refs r USING (pair_id))
+        |SELECT l.pair_id, l.len_c, l.len_r, l.len_c >= l.len_r AS bp_ok,
+        |  max(CASE WHEN n = 1 THEN p_ppm END) AS p1_ppm,
+        |  max(CASE WHEN n = 2 THEN p_ppm END) AS p2_ppm,
+        |  max(CASE WHEN n = 3 THEN p_ppm END) AS p3_ppm,
+        |  max(CASE WHEN n = 4 THEN p_ppm END) AS p4_ppm
+        |FROM lens l LEFT JOIN prec USING (pair_id)
+        |GROUP BY 1, 2, 3, 4 ORDER BY l.pair_id""".stripMargin,
 
     // chunk-dedup twin: 20-token windows, corpus-wide first occurrence
     // by (doc_id, chunk_idx) survives, in-order reassembly

@@ -1007,4 +1007,174 @@ object EventAnalytics {
         col("__min.ts_ms").as("min_ts"), col("__min.v").as("min_v"),
         col("__max.ts_ms").as("max_ts"), col("__max.v").as("max_v"))
   }
+
+  /** `stats_agg` 2-D accessor family beyond slope/intercept (TimescaleDB
+    * toolkit: `covariance`, `corr`, `determination_coefficient`,
+    * `x_intercept`) — all derived from the SAME exact integer
+    * accumulator [[statsAgg]] emits, in fixed-operation-order doubles
+    * (division and sqrt are IEEE correctly-rounded, so both engines land
+    * on identical bits from identical integer sums), then floor-scaled
+    * to integers:
+    *  - `covar_xy` — population covariance `(Σxy − Σx·Σy/n)/n` in raw
+    *    minute·milli units (already integer-magnitude; no extra scale),
+    *  - `corr_micro` — Pearson r × 10⁶; NULL when either side is
+    *    constant (zero variance — the toolkit's NULL contract),
+    *  - `determination_micro` — r² × 10⁶ from the same double r,
+    *  - `x_intercept_milli` — `−intercept/slope` in milli-minutes; NULL
+    *    when the fitted slope rounds to zero.
+    * Zero extra shuffles: accessor arithmetic rides the statsAgg rows.
+    */
+  def stats2dAccessors(wal: DataFrame): DataFrame =
+    statsAgg(wal)
+      .withColumn("covar_xy", expr(
+        """CASE WHEN n = 0 THEN NULL
+          |     ELSE CAST(FLOOR(
+          |       (CAST(sum_xy AS DOUBLE)
+          |          - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE)
+          |            / CAST(n AS DOUBLE))
+          |       / CAST(n AS DOUBLE) + 0.5) AS BIGINT) END""".stripMargin))
+      .withColumn("__corr_d", expr(
+        """CASE WHEN CAST(n AS DOUBLE) * CAST(sum_x2 AS DOUBLE)
+          |          - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE) <= 0.0
+          |          OR CAST(n AS DOUBLE) * CAST(sum_y2 AS DOUBLE)
+          |          - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE) <= 0.0
+          |     THEN NULL
+          |     ELSE (CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+          |             - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+          |          / (SQRT(CAST(n AS DOUBLE) * CAST(sum_x2 AS DOUBLE)
+          |                  - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+          |             * SQRT(CAST(n AS DOUBLE) * CAST(sum_y2 AS DOUBLE)
+          |                    - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)))
+          |END""".stripMargin))
+      .withColumn("corr_micro",
+        expr("CAST(FLOOR(__corr_d * 1000000.0 + 0.5) AS BIGINT)"))
+      .withColumn("determination_micro",
+        expr("CAST(FLOOR(__corr_d * __corr_d * 1000000.0 + 0.5) AS BIGINT)"))
+      .withColumn("x_intercept_milli", expr(
+        // intercept and slope numerators share the y-MILLI unit, so the
+        // ratio is already minutes — only the ×1000 to milli-minutes
+        """CASE WHEN slope_micro = 0 THEN NULL
+          |     ELSE CAST(FLOOR(-CAST(intercept_milli AS DOUBLE)
+          |                     / (CAST(slope_micro AS DOUBLE) / 1000000.0)
+          |                     * 1000.0 + 0.5) AS BIGINT) END""".stripMargin))
+      .drop("__corr_d")
+
+  /** `stats_agg` 1-D higher-moment accessors (TimescaleDB toolkit:
+    * `skewness`, `kurtosis`) per (type, day bucket): the accumulator is
+    * the exact integer power-sum vector (n, Σy, Σy², Σy³, Σy⁴) —
+    * mergeable by addition, the rollup() contract — at DECI value scale,
+    * chosen so Σy⁴ stays inside i64 at per-day group sizes (y ≤ ~10⁴ ⇒
+    * y⁴ ≤ 10¹⁶·rows; document decimal(38,0) sums before rolling these
+    * up to whole-corpus groups at larger scales). Population skewness
+    * `m₃/m₂^{3/2}` and EXCESS kurtosis `m₄/m₂² − 3` come from the raw
+    * sums via the standard central-moment expansion in fixed-order
+    * doubles (sqrt only — `pow` is not correctly rounded, `m₂·√m₂` is),
+    * ×10⁶ floored. NULL on degenerate buckets (n < 2 or zero variance;
+    * m₂ can round to a denormal negative on constant series — the ≤ 0
+    * guard fires identically in both engines because the bits match).
+    * One partial-agg shuffle on (type, day).
+    */
+  def statsMoments(wal: DataFrame): DataFrame =
+    wal
+      .select(col("event_type"), col("chunk_day"),
+        expr("cast(floor(value * 10 + 0.5) as bigint)").as("y"))
+      .groupBy(col("event_type"), col("chunk_day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("y")).as("sum_y"),
+        sum(col("y") * col("y")).as("sum_y2"),
+        sum(col("y") * col("y") * col("y")).as("sum_y3"),
+        sum(col("y") * col("y") * col("y") * col("y")).as("sum_y4"))
+      .withColumn("__mu", expr("CAST(sum_y AS DOUBLE) / CAST(n AS DOUBLE)"))
+      .withColumn("__m2", expr(
+        "CAST(sum_y2 AS DOUBLE) / CAST(n AS DOUBLE) - __mu * __mu"))
+      .withColumn("__m3", expr(
+        """CAST(sum_y3 AS DOUBLE) / CAST(n AS DOUBLE)
+          | - 3.0 * __mu * (CAST(sum_y2 AS DOUBLE) / CAST(n AS DOUBLE))
+          | + 2.0 * __mu * __mu * __mu""".stripMargin))
+      .withColumn("__m4", expr(
+        """CAST(sum_y4 AS DOUBLE) / CAST(n AS DOUBLE)
+          | - 4.0 * __mu * (CAST(sum_y3 AS DOUBLE) / CAST(n AS DOUBLE))
+          | + 6.0 * __mu * __mu * (CAST(sum_y2 AS DOUBLE) / CAST(n AS DOUBLE))
+          | - 3.0 * __mu * __mu * __mu * __mu""".stripMargin))
+      .withColumn("skew_micro", expr(
+        """CASE WHEN n >= 2 AND __m2 > 0.0
+          |  THEN CAST(FLOOR(__m3 / (__m2 * SQRT(__m2)) * 1000000.0 + 0.5) AS BIGINT)
+          |END""".stripMargin))
+      .withColumn("kurtosis_micro", expr(
+        """CASE WHEN n >= 2 AND __m2 > 0.0
+          |  THEN CAST(FLOOR((__m4 / (__m2 * __m2) - 3.0) * 1000000.0 + 0.5) AS BIGINT)
+          |END""".stripMargin))
+      .drop("__mu", "__m2", "__m3", "__m4")
+
+  /** `max_n` / `min_n` / `max_n_by` analog (TimescaleDB toolkit): the N
+    * largest and N smallest values per type, each carrying its `by`
+    * payload (here user_id + lsn — what `max_n_by` attaches). Ranked by
+    * a `row_number` over (value, lsn) — deterministic ties — and
+    * filtered to `rnk ≤ n`, which Spark's WindowGroupLimit rewrites to a
+    * per-partition top-k BEFORE the shuffle: the exchange moves n rows
+    * per partition per type, never the corpus (the toolkit's bounded
+    * n-element state, expressed as a plan optimization). Both sides come
+    * from one scan; the union is plan-level only.
+    */
+  def maxN(wal: DataFrame, n: Int = 5): DataFrame = {
+    require(n > 0, s"maxN: n must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val base = wal.select(col("event_type"), col("user_id"), col("lsn"),
+      expr("cast(floor(value * 1000 + 0.5) as bigint)").as("v_milli"))
+    val wMax = Window.partitionBy(col("event_type"))
+      .orderBy(col("v_milli").desc, col("lsn"))
+    val wMin = Window.partitionBy(col("event_type"))
+      .orderBy(col("v_milli").asc, col("lsn"))
+    val maxSide = base.withColumn("rnk", row_number().over(wMax))
+      .filter(col("rnk") <= n).withColumn("side", lit("max_n"))
+    val minSide = base.withColumn("rnk", row_number().over(wMin))
+      .filter(col("rnk") <= n).withColumn("side", lit("min_n"))
+    maxSide.unionByName(minSide)
+      .select(col("side"), col("event_type"), col("rnk").cast("long").as("rnk"),
+        col("v_milli"), col("lsn"), col("user_id"))
+  }
+
+  /** `approx_percentile_rank` analog (TimescaleDB toolkit accessor, the
+    * inverse of [[hdrQuantiles]]): for each probe value, the fraction of
+    * the distribution at or below it, read off the SAME power-of-two
+    * HDR bucket table — cumulative count of whole buckets below the
+    * probe's bucket plus linear integer interpolation inside it,
+    * `(shifted − 2^b + 1)·cnt div 2^b`. Probes are config literals, so
+    * their bucket index and width are computed at PLAN TIME in Scala
+    * (no bit tricks in SQL); ranks come out in ppm by integer division.
+    * Same scale shape as hdrQuantiles: one partial agg to ≤64 rows per
+    * type, then probe-conditional sums over that bounded table.
+    */
+  def hdrPercentileRank(wal: DataFrame, probesCents: Seq[Long],
+                        groupCol: String = "event_type"): DataFrame = {
+    require(probesCents.nonEmpty && probesCents.forall(_ + 1 > 0),
+      s"hdrPercentileRank: probes must be > -1 cents, got $probesCents")
+    val buckets = wal
+      .select(col(groupCol),
+        expr("""CASE WHEN value IS NOT NULL AND floor(value * 100 + 0.5) + 1 > 0
+               |  THEN cast(floor(value * 100 + 0.5) as bigint) + 1
+               |  ELSE cast(assert_true(false,
+               |    'hdrPercentileRank: value must be non-null and > -0.005') as bigint)
+               |END""".stripMargin).as("shifted"))
+      .groupBy(col(groupCol),
+        (length(conv(col("shifted"), 10, 2)) - 1).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val probes = probesCents.map { p =>
+      val shifted = p + 1
+      val pb = 63 - java.lang.Long.numberOfLeadingZeros(shifted)
+      struct(lit(p).as("probe_cents"), lit(shifted).as("shifted"),
+        lit(pb).as("pb"), lit(1L << pb).as("pw"))
+    }
+    buckets
+      .withColumn("__p", explode(array(probes: _*)))
+      .groupBy(col(groupCol), col("__p.probe_cents").as("probe_cents"))
+      .agg(
+        sum(when(col("bucket") < col("__p.pb"), col("cnt"))
+          .when(col("bucket") === col("__p.pb"),
+            expr("((__p.shifted - __p.pw + 1) * cnt) div __p.pw"))
+          .otherwise(0L)).as("contrib"),
+        sum(col("cnt")).as("n"))
+      .select(col(groupCol), col("probe_cents"), col("n"),
+        expr("(contrib * 1000000) div n").as("rank_ppm"))
+  }
 }

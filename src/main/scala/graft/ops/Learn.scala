@@ -83,4 +83,37 @@ object Learn {
       .groupBy(col("y"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("y") * col("margin") > 0, 1L).otherwise(0L)).as("n_correct"))
+
+  /** Calibration (reliability) report for a trained hyperplane: margin
+    * scores bucketed into 2·nBins+1 bins RELATIVE to the corpus-wide
+    * max |margin| (a 1-row broadcast — raw perceptron margins grow
+    * with both corpus and weight scale, so any fixed width collapses
+    * at a different SF), with the empirical positive rate per bin —
+    * the standard check that a classifier's score ORDER carries
+    * probability information before it gates a corpus (a
+    * well-calibrated filter shows monotone pos_ppm across bins).
+    * Relative fixed-width binning (not ntile) on purpose: deciles
+    * would need a corpus-wide sort; this is one partial-agg shuffle
+    * plus the scalar broadcast. The bin index floors in DOUBLE
+    * (margins are signed — integer `div` truncates toward zero in
+    * Spark but floors in DuckDB, so a negative-margin `div` would
+    * diverge between engines; `FLOOR(x·n/max)` is the portable floor
+    * division, exact here because |margin| ≪ 2⁵³).
+    */
+  def calibrationReport(feats: DataFrame, w: DataFrame,
+                        nBins: Int = 4): DataFrame = {
+    require(nBins > 0, "calibrationReport: nBins must be positive")
+    val m = margins(feats, w)
+    val mx = m.agg(max(abs(col("margin"))).as("__maxabs"))
+    m.crossJoin(broadcast(mx))
+      .withColumn("bin", expr(
+        s"""CASE WHEN __maxabs = 0 THEN CAST(0 AS BIGINT)
+           |     ELSE greatest(CAST(-$nBins AS BIGINT), least(CAST($nBins AS BIGINT),
+           |       CAST(FLOOR(CAST(margin AS DOUBLE) * $nBins.0
+           |                  / CAST(__maxabs AS DOUBLE)) AS BIGINT))) END""".stripMargin))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("pos_ppm", expr("(n_pos * 1000000) div n_docs"))
+  }
 }

@@ -1324,4 +1324,72 @@ object TextAnalysis {
     val distinctHit = counts.map(c => when(c > 0, 1L).otherwise(0L)).reduce(_ + _)
     (total, distinctHit)
   }
+
+  /** BLEU-style n-gram precision between candidate/reference document
+    * pairs (Papineni et al. 2002 — the machine-generated-data QA
+    * metric: score synthetic rewrites against their sources before they
+    * enter a training mix). Pairing convention here: odd `doc_id` is
+    * the candidate, `doc_id − 1` its reference; only complete pairs
+    * report. Per pair and n ∈ 1..maxN: CLIPPED modified precision
+    * `Σ_g min(cnt_cand(g), cnt_ref(g)) / Σ_g cnt_cand(g)` in ppm by
+    * integer division, NULL where the candidate has no n-grams of that
+    * order. The brevity penalty is exposed as its exact integer parts
+    * (`len_c`, `len_r`, `bp_ok = len_c ≥ len_r`) — `exp(1 − r/c)` is a
+    * transcendental no two engines round identically, so the composed
+    * BLEU stays caller-side (the geometric mean needs `exp`/`ln` too).
+    *
+    * Scale shape: all four n-gram orders come from ONE pass per side
+    * (per-row HOF building tagged grams, then a single explode), and
+    * every join/agg is keyed by (pair_id, gram) or (pair_id, n) —
+    * pair-local, partial-agg-friendly, no corpus-wide stage. Clipping
+    * joins candidate counts to reference counts with an equi-join whose
+    * width is the pair's own vocabulary.
+    */
+  def bleuPairs(docs: DataFrame, maxN: Int = 4,
+                textCol: String = "text"): DataFrame = {
+    require(maxN >= 1 && maxN <= 5, s"bleuPairs: maxN=$maxN out of range")
+    val toks = docs.select(col("doc_id"), split(col(textCol), " ").as("t"))
+    val cand = toks.filter(col("doc_id") % 2 === 1)
+      .select((col("doc_id") - 1).as("pair_id"), col("t"))
+    val ref = toks.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("pair_id"), col("t"))
+
+    // one scan per side: every order's grams, tagged "n|gram" (tokens
+    // never contain spaces post-split, and the n prefix disambiguates
+    // orders even if a token contains '|' — split_part reads OUR field)
+    def gramCounts(side: DataFrame): DataFrame = {
+      val tagged = (1 to maxN).map {
+        case 1 => transform(col("t"), x => concat(lit("1|"), x))
+        case n => transform(ngrams(col("t"), n), g => concat(lit(s"$n|"), g))
+      }
+      side.select(col("pair_id"),
+          explode(flatten(array(tagged: _*))).as("g"))
+        .groupBy(col("pair_id"), col("g"))
+        .agg(count(lit(1)).as("c"))
+    }
+    val cc = gramCounts(cand)
+    val rc = gramCounts(ref).withColumnRenamed("c", "rc")
+
+    val nOf = expr("CAST(split_part(g, '|', 1) AS INT)")
+    val tot = cc.withColumn("n", nOf)
+      .groupBy(col("pair_id"), col("n")).agg(sum(col("c")).as("total"))
+    val clip = cc.join(rc, Seq("pair_id", "g"))
+      .withColumn("n", nOf)
+      .groupBy(col("pair_id"), col("n"))
+      .agg(sum(least(col("c"), col("rc"))).as("clipped"))
+    val prec = tot.join(clip, Seq("pair_id", "n"), "left")
+      .select(col("pair_id"), col("n"),
+        expr("(coalesce(clipped, 0L) * 1000000) div total").as("p_ppm"))
+
+    val lens = cand.select(col("pair_id"), size(col("t")).cast("long").as("len_c"))
+      .join(ref.select(col("pair_id"), size(col("t")).cast("long").as("len_r")),
+        Seq("pair_id"))
+    val pCols = (1 to maxN).map(n =>
+      max(when(col("n") === n, col("p_ppm"))).as(s"p${n}_ppm"))
+    val wide = prec.groupBy(col("pair_id")).agg(pCols.head, pCols.tail: _*)
+    lens.join(wide, Seq("pair_id"), "left")
+      .select(Seq(col("pair_id"), col("len_c"), col("len_r"),
+        (col("len_c") >= col("len_r")).as("bp_ok")) ++
+        (1 to maxN).map(n => col(s"p${n}_ppm")): _*)
+  }
 }

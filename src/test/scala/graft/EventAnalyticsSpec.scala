@@ -379,6 +379,100 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("stats2dAccessors: perfect line pins corr/r2/x-intercept, constant side nulls corr") {
+    import spark.implicits._
+    // perfect line y = 2x + 2000 milli over minutes 0,1,2: corr = 1,
+    // r² = 1, x_intercept = −b/m = −1 minute = −1000 milli-minutes
+    val wal = Seq(
+      (1L, "A", 2.0, 0L), (2L, "A", 4.0, 60000L), (3L, "A", 6.0, 120000L),
+      // constant-y series: zero variance on the y side → corr is NULL
+      (4L, "B", 5.0, 0L), (5L, "B", 5.0, 60000L)
+    ).toDF("lsn", "event_type", "value", "ts_ms")
+    val rows = EventAnalytics.stats2dAccessors(wal).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = rows("A")
+    assert(a.getAs[Long]("corr_micro") === 1000000L)
+    assert(a.getAs[Long]("determination_micro") === 1000000L)
+    assert(a.getAs[Long]("slope_micro") === 2000L * 1000000L)
+    assert(a.getAs[Long]("intercept_milli") === 2000L)
+    assert(a.getAs[Long]("x_intercept_milli") === -1000L)
+    // population covariance of x={0,1,2}, y={2000,4000,6000}:
+    // E[xy] − E[x]E[y] = (0+4000+12000)/3 − 1·4000 = 1333.33 → floor+0.5
+    assert(a.getAs[Long]("covar_xy") === 1333L)
+    val b = rows("B")
+    assert(b.isNullAt(b.fieldIndex("corr_micro")), "constant y must null corr")
+    assert(b.isNullAt(b.fieldIndex("determination_micro")))
+  }
+
+  test("statsMoments: symmetric two-point kurtosis is exactly -2, planted skew signs") {
+    import spark.implicits._
+    // two-point symmetric {0, 20.0} → deci y {0, 200}: m2 = 10⁴,
+    // m4 = 10⁸ → kurt = 1 → excess = −2 exactly (every double step is a
+    // power of ten times a small integer — no rounding anywhere)
+    val wal = Seq(
+      (1L, "S", 0.0, 0), (2L, "S", 20.0, 0),
+      // {0, 0, 30.0} → deci {0,0,300}: right tail, hand-derived
+      // skew = 2·10⁶/(2·10⁴·√(2·10⁴)) = 1/√2 → 707107 micro
+      (3L, "R", 0.0, 0), (4L, "R", 0.0, 0), (5L, "R", 30.0, 0),
+      // constant series: zero variance → both accessors NULL
+      (6L, "C", 7.0, 0), (7L, "C", 7.0, 0)
+    ).toDF("lsn", "event_type", "value", "chunk_day")
+    val rows = EventAnalytics.statsMoments(wal).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s = rows("S")
+    assert(s.getAs[Long]("skew_micro") === 0L)
+    assert(s.getAs[Long]("kurtosis_micro") === -2000000L)
+    assert(s.getAs[Long]("sum_y4") === 1600000000L)
+    val r = rows("R")
+    assert(r.getAs[Long]("skew_micro") === 707107L)
+    val c = rows("C")
+    assert(c.isNullAt(c.fieldIndex("skew_micro")))
+    assert(c.isNullAt(c.fieldIndex("kurtosis_micro")))
+  }
+
+  test("maxN: planted extremes with lsn ties, and the plan keeps a WindowGroupLimit") {
+    import spark.implicits._
+    val wal = Seq(
+      (1L, "A", 9.0, 10L), (2L, "A", 9.0, 11L), (3L, "A", 1.0, 12L),
+      (4L, "A", 5.0, 13L), (5L, "A", 7.0, 14L)
+    ).toDF("lsn", "event_type", "value", "user_id")
+    val got = EventAnalytics.maxN(wal, n = 2).collect()
+      .map(r => (r.getString(0), r.getLong(2)) ->
+        (r.getAs[Long]("v_milli"), r.getAs[Long]("lsn"), r.getAs[Long]("user_id")))
+      .toMap
+    // value tie at 9000 milli: lsn ascending breaks it deterministically
+    assert(got(("max_n", 1L)) === ((9000L, 1L, 10L)))
+    assert(got(("max_n", 2L)) === ((9000L, 2L, 11L)))
+    assert(got(("min_n", 1L)) === ((1000L, 3L, 12L)))
+    assert(got(("min_n", 2L)) === ((5000L, 4L, 13L)))
+    // the rnk ≤ n filter must compile to a per-partition group limit —
+    // the bounded-state contract that makes this the toolkit's max_n
+    // at scale (the exchange moves top-k rows, never the corpus)
+    val plan = EventAnalytics.maxN(wal, n = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+
+  test("hdrPercentileRank: whole buckets below, integer interpolation inside, saturates at 1e6") {
+    import spark.implicits._
+    // cents 3,7,15,31 land in buckets 2,3,4,5 (shifted 4,8,16,32)
+    val wal = Seq(
+      (1L, "A", 0.03), (2L, "A", 0.07), (3L, "A", 0.15), (4L, "A", 0.31)
+    ).toDF("lsn", "event_type", "value")
+    val got = EventAnalytics.hdrPercentileRank(wal, Seq(2L, 7L, 31L, 1000L))
+      .collect().map(r => r.getLong(1) -> r.getAs[Long]("rank_ppm")).toMap
+    // probe 2 (shifted 3, bucket 1): nothing below, bucket absent → 0
+    assert(got(2L) === 0L)
+    // probe 7 (shifted 8, pb 3, pw 8): 1 whole bucket below + (8−8+1)·1 div 8 = 1 → 1/4
+    assert(got(7L) === 250000L)
+    // probe 31 (shifted 32, pb 5, pw 32): 3 below + 1·1 div 32 = 3 → 3/4
+    assert(got(31L) === 750000L)
+    // probe beyond the max: every bucket below → saturates at 1e6
+    assert(got(1000L) === 1000000L)
+    intercept[IllegalArgumentException] {
+      EventAnalytics.hdrPercentileRank(wal, Seq(-5L))
+    }
+  }
+
   test("stateAgg: LOCF dwell per state, open intervals counted apart") {
     import spark.implicits._
     // user 9: A(t=0) → B(t=100) → A(t=300) → open; user 8: B(t=0) → open

@@ -57,4 +57,28 @@ class LearnSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(a.sameElements(b))
   }
+
+  test("calibrationReport: bins are relative to max |margin|, signed floor, rates exact") {
+    // identity weight on pos 0 makes margins = xv: plant ±10, ±5 with
+    // positives concentrated at the high end — bins must come out at
+    // floor(m·4/10) ∈ {−4, −2, 2, 4} with the planted positive rates
+    val feats = Seq(
+      (1L, -1L, 0, -10L), (2L, -1L, 0, -5L),
+      (3L, 1L, 0, 5L), (4L, -1L, 0, 5L), (5L, 1L, 0, 10L)
+    ).toDF("doc_id", "y", "pos", "xv")
+    val w = Seq((0, 1L)).toDF("pos", "w")
+    val got = Learn.calibrationReport(feats, w)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_pos"),
+          r.getAs[Long]("pos_ppm")))).toMap
+    assert(got === Map(
+      -4L -> ((1L, 0L, 0L)),
+      -2L -> ((1L, 0L, 0L)),
+      2L  -> ((2L, 1L, 500000L)),
+      4L  -> ((1L, 1L, 1000000L))))
+    // degenerate all-zero margins collapse to one bin, never divide by 0
+    val z = Learn.calibrationReport(
+      feats.withColumn("xv", lit(0L)), w).collect()
+    assert(z.length === 1 && z.head.getLong(0) === 0L)
+  }
 }

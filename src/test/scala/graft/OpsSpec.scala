@@ -641,6 +641,36 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("bleuPairs: clipping, per-order nulls below n tokens, brevity parts, lone docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d"), (1L, "a b c e"),   // one token swapped at the tail
+      (2L, "x y z"), (3L, "x y"),         // candidate shorter than 3 tokens
+      (4L, "a b"), (5L, "a a a"),         // the clipping signature: cand 'a'×3 vs ref 'a'×1
+      (6L, "lonely even doc")             // no odd partner → absent
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.bleuPairs(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet === Set(0L, 2L, 4L))
+    val p0 = got(0L)
+    assert(p0.getAs[Boolean]("bp_ok")) // 4 ≥ 4
+    assert(p0.getAs[Long]("p1_ppm") === 750000L)  // 3/4 unigrams survive
+    assert(p0.getAs[Long]("p2_ppm") === 666666L)  // {a b, b c} of 3
+    assert(p0.getAs[Long]("p3_ppm") === 500000L)  // {a b c} of 2
+    assert(p0.getAs[Long]("p4_ppm") === 0L)
+    val p2 = got(2L)
+    assert(!p2.getAs[Boolean]("bp_ok")) // candidate 2 < reference 3
+    assert(p2.getAs[Long]("p1_ppm") === 1000000L)
+    assert(p2.getAs[Long]("p2_ppm") === 1000000L)
+    assert(p2.isNullAt(p2.fieldIndex("p3_ppm")),
+      "a 2-token candidate has no trigrams — precision must be NULL, not 0")
+    assert(p2.isNullAt(p2.fieldIndex("p4_ppm")))
+    val p4 = got(4L)
+    // modified precision CLIPS: cand counts a×3 but the reference has
+    // only one 'a' → 1/3, the Papineni fix that kills degenerate repeats
+    assert(p4.getAs[Long]("p1_ppm") === 333333L)
+  }
+
   test("boilerplate score: template prefixes score, unique docs zero, short docs are 0/0") {
     import spark.implicits._
     val shared = "nav home about contact" // 2 shared 3-grams across 5 docs
