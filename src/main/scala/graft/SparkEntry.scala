@@ -107,6 +107,15 @@ object SparkEntry {
       s"list_transform(range(1, length($e) + 1), i -> ascii(substr($e, CAST(i AS INTEGER), 1)))), " +
       "(acc, c) -> (xor(acc, CAST(c AS HUGEINT)) * 1099511628211) % 18446744073709551616)"
 
+  /** Unsigned-FNV HUGEINT → signed i64 → `pmod 2³¹−1`, the same
+    * conversion the minhash twins apply — shared so the watermark
+    * oracle can't drift from it. `e` must be a plain column reference
+    * (it is spliced into scalar context). */
+  private def signedModP(e: String): String =
+    s"CAST((((CASE WHEN $e >= CAST(9223372036854775808 AS HUGEINT) " +
+      s"THEN $e - CAST(18446744073709551616 AS HUGEINT) ELSE $e END) " +
+      "% 2147483647 + 2147483647) % 2147483647) AS BIGINT)"
+
   /** Shared CTE chain for the hybrid-retrieval oracles: BM25 top-50
     * with ranks (`sp`) + hash-embedding integer dot-product top-50 with
     * ranks (`de`). The dot is computed in bucket-join form — identical
@@ -233,6 +242,15 @@ object SparkEntry {
       |          UNION ALL
       |          SELECT anchor AS doc_a, doc_id AS doc_b FROM bsz
       |          WHERE bc > ${Dedup.DefaultMaxBucket} AND doc_id <> anchor))""".stripMargin
+
+  /** DCG discount lookup as a SQL CASE chain — generated from the SAME
+    * Scala constant table the Spark op reads (Retrieval
+    * .ndcgDiscountsMicro), so `log` never executes inside either
+    * engine. */
+  private def ndcgDiscCase(rankExpr: String, k: Int): String =
+    "CASE " + ops.Retrieval.ndcgDiscountsMicro(k).zipWithIndex
+      .map { case (d, i) => s"WHEN $rankExpr = ${i + 1} THEN $d" }
+      .mkString(" ") + " ELSE 0 END"
 
   /** Shared CASE expression for op mapping in oracles. */
   private val opCaseSql =
@@ -2214,6 +2232,31 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       Graph.triangles(edges).orderBy(col("node"))
     }),
 
+    "web_hits" -> ((s, dir) => {
+      // hubs & authorities over the same deterministic 3-out-link graph
+      // as web_pagerank: 3 synchronous integer fixed-point HITS rounds,
+      // renormalized by the max per half-step (no float L2 — integer
+      // division keeps the scores engine- and partitioning-exact)
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val n = ids.agg((max(col("doc_id")) + 1).as("__n"))
+      val edges = ids.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"), explode(array(
+          pmod(col("doc_id") * 31 + 7, col("__n")),
+          pmod(col("doc_id") * 17 + 3, col("__n")),
+          pmod(col("doc_id") * 13 + 11, col("__n")))).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      Graph.hitsInt(edges, iters = 3)
+        .select(col("node").as("doc_id"), col("hub"), col("auth"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_watermark_detect" -> ((s, dir) =>
+      // green-list watermark detector (Kirchenbauer et al. 2023):
+      // prev-token-seeded green fraction + one-proportion z statistic,
+      // FNV-based so the whole statistic hash-verifies
+      TextAnalysis.watermarkDetect(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
     "web_pagerank" -> ((s, dir) => {
       // link-graph centrality for corpus weighting: 5 synchronous
       // integer-fixed-point PageRank iterations over a deterministic
@@ -3493,6 +3536,26 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
           budget = 100000L, epochCap = 2)
         .orderBy(col("source"))),
 
+    "mix_quality_budget" -> ((s, dir) =>
+      // quality-first waterfall (the third mixing recipe next to
+      // UniMax/temperature): spend the budget on the highest-TTR
+      // sources first, each capped at 2.0 epochs
+      Sampling.qualityBudgetMix(
+          TextAnalysis.sourceProfile(Tables.documents(s, dir))
+            .select(col("source"), col("total_tokens").as("n_tokens"),
+              col("ttr_ppm").as("priority")),
+          budget = 20000L)
+        .orderBy(col("source"))),
+
+    "ann_matryoshka_recall" -> ((s, dir) => {
+      // Matryoshka truncation eval: recall@10 of 16-dim-prefix cosine
+      // search vs the 64-dim truth — is the 4x cheaper index safe?
+      val emb = Tables.embeddings(s, dir)
+      Similarity.matryoshkaRecall(emb.filter(col("vec_id") < 10), emb,
+          k = 10, prefixDim = 16)
+        .orderBy(col("query_id"))
+    }),
+
     "pack_concat" -> ((s, dir) =>
       // shard materialization: the EOS-joined blob + char-offset index
       // a training loader consumes, per (source, 512-token shard)
@@ -3618,6 +3681,33 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       Retrieval.evalVsLexical(Tables.documents(s, dir),
           Seq("hash", "join", "vector"), "hash join vector")
         .orderBy(col("system"))),
+
+    "retrieval_ndcg" -> ((s, dir) =>
+      // NDCG@10: rank-aware where recall is rank-blind — DCG discounts
+      // are plan-time integer-micro constants (no in-engine log, no
+      // order-dependent double sums)
+      Retrieval.ndcgAtK(Tables.documents(s, dir),
+          Seq("hash", "join", "vector"), "hash join vector")
+        .orderBy(col("system"))),
+
+    "ann_sq_topk" -> ((s, dir) => {
+      // SQ8 search: exact i64 dot over int8 codes, scales multiply back
+      // in only at the final fixed-order score
+      val emb = Tables.embeddings(s, dir)
+      Similarity.sqTopK(emb.filter(col("vec_id") < 10), emb, 5)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    "profile_gini" -> ((s, dir) =>
+      // corpus-mix inequality: Gini of doc/token mass across sources,
+      // exact sorted-rank identity in ppm
+      graft.ops.Profile.giniReport(Tables.documents(s, dir))),
+
+    "dedup_minhash_est" -> ((s, dir) =>
+      // signature-agreement Jaccard estimates vs exact, per LSH
+      // candidate pair — the k-width calibration companion of lshEval
+      Dedup.minhashJaccardEst(Tables.documents(s, dir))
+        .orderBy(col("doc_a"), col("doc_b"))),
 
     "split_leakage" -> ((s, dir) => {
       // decontamination audit: near-dup pairs (MinHash-LSH) that CROSS
@@ -7464,6 +7554,38 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |x AS (SELECT unnest([a, b, c]) AS node FROM t)
         |SELECT node, COUNT(*) AS n_triangles FROM x GROUP BY node ORDER BY node""".stripMargin,
 
+    // HITS twin: same synthetic edges, unrolled auth-then-hub rounds,
+    // max-renormalization by integer division per half-step
+    "web_hits" -> {
+      val iterCtes = (1 to 3).map { i =>
+        val ph = if (i == 1) "h0" else s"h${i - 1}"
+        s"""ar$i AS (SELECT e.dst AS node, SUM(h.hub) AS raw
+           |  FROM e JOIN $ph h ON h.node = e.src GROUP BY 1),
+           |am$i AS (SELECT max(raw) AS m FROM ar$i),
+           |a$i AS (SELECT n.node,
+           |    CAST(COALESCE((r.raw * 1000000) // mm.m, 0) AS BIGINT) AS auth
+           |  FROM nodes n LEFT JOIN ar$i r ON n.node = r.node CROSS JOIN am$i mm),
+           |hr$i AS (SELECT e.src AS node, SUM(a.auth) AS raw
+           |  FROM e JOIN a$i a ON a.node = e.dst GROUP BY 1),
+           |hm$i AS (SELECT max(raw) AS m FROM hr$i),
+           |h$i AS (SELECT n.node,
+           |    CAST(COALESCE((r.raw * 1000000) // mm.m, 0) AS BIGINT) AS hub
+           |  FROM nodes n LEFT JOIN hr$i r ON n.node = r.node CROSS JOIN hm$i mm)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+         |e AS (SELECT DISTINCT src, dst FROM (
+         |    SELECT doc_id AS src, (doc_id*31+7) % n AS dst FROM documents CROSS JOIN nn
+         |    UNION ALL SELECT doc_id, (doc_id*17+3) % n FROM documents CROSS JOIN nn
+         |    UNION ALL SELECT doc_id, (doc_id*13+11) % n FROM documents CROSS JOIN nn)
+         |  WHERE src <> dst),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM nodes),
+         |$iterCtes
+         |SELECT h3.node AS doc_id, h3.hub, a3.auth
+         |FROM h3 JOIN a3 ON h3.node = a3.node ORDER BY doc_id""".stripMargin
+    },
+
     "web_pagerank" -> {
       val iterCtes = (1 to 5).map { i =>
         val prev = if (i == 1) "r0" else s"r${i - 1}"
@@ -7932,6 +8054,64 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     // MMR twin: generated greedy unroll — see mmrOracle
     "ann_mmr_diverse" -> mmrOracle(4, 30),
 
+    // Matryoshka twin: full-dim and 16-dim-prefix cosine rankings via
+    // the shared fold helpers, k-row semi-join overlap per query
+    "ann_matryoshka_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS norm FROM embeddings),
+         |p AS (SELECT vec_id, embedding[1:16] AS pe FROM embeddings),
+         |pn AS (SELECT vec_id, pe, ${duckNorm("pe")} AS pnorm FROM p),
+         |q AS (SELECT * FROM e WHERE vec_id < 10),
+         |qp AS (SELECT * FROM pn WHERE vec_id < 10),
+         |ft AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.norm * c.norm) DESC,
+         |                 c.vec_id) AS rnk
+         |    FROM q JOIN e c ON q.vec_id <> c.vec_id) z WHERE rnk <= 10),
+         |pt AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${duckDot("q.pe", "c.pe")} / (q.pnorm * c.pnorm) DESC,
+         |                 c.vec_id) AS rnk
+         |    FROM qp q JOIN pn c ON q.vec_id <> c.vec_id) z WHERE rnk <= 10),
+         |h AS (SELECT p.query_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM pt p JOIN ft f
+         |    ON f.query_id = p.query_id AND f.neighbor_id = p.neighbor_id
+         |  GROUP BY 1)
+         |SELECT q.vec_id AS query_id, COALESCE(h.n_hits, 0) AS n_hits,
+         |  (COALESCE(h.n_hits, 0) * 1000000) // 10 AS recall_ppm
+         |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
+         |LEFT JOIN h ON h.query_id = q.vec_id
+         |ORDER BY query_id""".stripMargin,
+
+    // SQ8 twin: identical absmax fold, identical int8 code transform,
+    // exact i64 code dot, one fixed-order double score per pair
+    "ann_sq_topk" ->
+      """WITH am AS (SELECT vec_id, embedding,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+        |      (m, v) -> greatest(m, v)) AS amax
+        |  FROM embeddings),
+        |qz AS (SELECT vec_id, amax / 127.0 AS scale,
+        |    CASE WHEN amax = 0 THEN list_transform(embedding, v -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(embedding,
+        |           v -> CAST(floor(CAST(v AS DOUBLE) * 127.0 / amax + 0.5) AS BIGINT))
+        |    END AS q
+        |  FROM am),
+        |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(list_zip(q.q, c.q), x -> x[1] * x[2])),
+        |      (acc, v) -> acc + v) AS idot,
+        |    (q.scale * c.scale) AS ss
+        |  FROM (SELECT * FROM qz WHERE vec_id < 10) q
+        |  JOIN qz c ON q.vec_id <> c.vec_id),
+        |r AS (SELECT query_id, neighbor_id, idot,
+        |    ss * CAST(idot AS DOUBLE) AS score FROM sc)
+        |SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk,
+        |  idot, score
+        |FROM r QUALIFY rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
     // IVF-PQ twin: the fitted ann_ivf_topk assign/probe CTEs route, the
     // fitted ann_pq_adc_topk codes/dtable/ordered-fold CTEs score,
     // joined on the probed lists only
@@ -8114,6 +8294,55 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |  b.total_tokens * 1000 // b.n_docs AS mean_doc_tokens_milli
         |FROM base b JOIN dist d ON b.source = d.source
         |ORDER BY b.source""".stripMargin,
+
+    // watermark twin: adjacent-token pairs by list index (tokens
+    // hoisted into plain columns FIRST — fnvSql's fold lambda binds
+    // `i`, which would shadow an index passed inside the expression),
+    // same FNV→pmod hash, same fixed-order z text
+    "text_watermark_detect" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |pr AS (SELECT doc_id, t[i] AS ta, t[i + 1] AS tb FROM (
+         |    SELECT doc_id, t, unnest(range(1, len(t))) AS i
+         |    FROM tok WHERE len(t) >= 2) z),
+         |hu AS (SELECT doc_id, ${fnvSql("ta")} AS ua, ${fnvSql("tb")} AS ub FROM pr),
+         |hx AS (SELECT doc_id, ${signedModP("ua")} AS ha, ${signedModP("ub")} AS hb FROM hu),
+         |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(SUM(CASE WHEN (ha + hb) % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_green
+         |  FROM hx GROUP BY 1),
+         |zz AS (SELECT d.doc_id,
+         |    COALESCE(g.n_pairs, 0) AS n_pairs, COALESCE(g.n_green, 0) AS n_green
+         |  FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id),
+         |zs AS (SELECT *,
+         |    CASE WHEN n_pairs > 0 THEN
+         |      CAST(FLOOR((CAST(n_green AS DOUBLE) - CAST(n_pairs AS DOUBLE) / 4.0)
+         |                  / SQRT(3.0 * CAST(n_pairs AS DOUBLE) / 16.0)
+         |                  * 1000.0 + 0.5) AS BIGINT)
+         |    END AS z_milli
+         |  FROM zz)
+         |SELECT doc_id, n_pairs, n_green, z_milli,
+         |  COALESCE(z_milli >= 4000, false) AS watermarked
+         |FROM zs ORDER BY doc_id""".stripMargin,
+
+    // gini twin: same sorted-rank identity over the |sources|-row
+    // aggregate, ties by source name (value-invariant), integer ppm
+    "profile_gini" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT *,
+        |    CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT) AS rt,
+        |    CAST(row_number() OVER (ORDER BY n_docs, source) AS BIGINT) AS rd
+        |  FROM per)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CASE WHEN count(*) * SUM(n_tokens) = 0 THEN 0
+        |    ELSE CAST(((2 * SUM(rt * n_tokens) - (count(*) + 1) * SUM(n_tokens)) * 1000000)
+        |         // (count(*) * SUM(n_tokens)) AS BIGINT) END AS gini_tokens_ppm,
+        |  CASE WHEN count(*) * SUM(n_docs) = 0 THEN 0
+        |    ELSE CAST(((2 * SUM(rd * n_docs) - (count(*) + 1) * SUM(n_docs)) * 1000000)
+        |         // (count(*) * SUM(n_docs)) AS BIGINT) END AS gini_docs_ppm
+        |FROM r""".stripMargin,
 
     // stupid-backoff twin: the same three count tables, existence-based
     // tier dispatch, identical integer arithmetic (// is DuckDB's div)
@@ -8313,6 +8542,32 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |       ELSE alloc_tokens * 1000 // n_tokens END AS BIGINT) AS epochs_milli
         |FROM a ORDER BY source""".stripMargin,
 
+    // quality-waterfall twin: the sourceProfile stats CTEs, TTR
+    // priority, cumulative-cap window, identical clamp arithmetic
+    "mix_quality_budget" ->
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+        |base AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(sum(len(t)) AS BIGINT) AS total_tokens
+        |  FROM toks GROUP BY source),
+        |dist AS (SELECT source, CAST(count(DISTINCT w) AS BIGINT) AS distinct_tokens
+        |  FROM (SELECT source, unnest(t) AS w FROM toks) z GROUP BY source),
+        |st AS (SELECT b.source, b.total_tokens AS n_tokens,
+        |    d.distinct_tokens * 1000000 // nullif(b.total_tokens, 0) AS priority
+        |  FROM base b JOIN dist d ON b.source = d.source),
+        |wf AS (SELECT *, CAST((n_tokens * 20) // 10 AS BIGINT) AS cap_tokens,
+        |    CAST(COALESCE(SUM((n_tokens * 20) // 10) OVER (
+        |      ORDER BY priority DESC, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_before
+        |  FROM st)
+        |SELECT source, n_tokens, priority, cap_tokens,
+        |  CAST(greatest(0, least(cap_tokens, 20000 - cum_before)) AS BIGINT)
+        |    AS take_tokens,
+        |  CAST(CASE WHEN n_tokens > 0
+        |    THEN (greatest(0, least(cap_tokens, 20000 - cum_before)) * 1000)
+        |         // n_tokens ELSE 0 END AS BIGINT) AS epochs_milli
+        |FROM wf ORDER BY source""".stripMargin,
+
     // splits twin: the classifier twin's FNV HUGEINT fold over the TEXT
     // (content-keyed), unsigned % 1e6, same ppm thresholds
     "sample_splits" ->
@@ -8466,12 +8721,61 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |  CAST(coalesce(1000000 // fr, 0) AS BIGINT) AS mrr_micro
         |FROM (SELECT * FROM dm UNION ALL SELECT * FROM rm) u ORDER BY system""".stripMargin),
 
+    // NDCG twin: same rel/pools, the generated integer-micro discount
+    // CASE (shared Scala constants), integer dcg sums, ppm division
+    "retrieval_ndcg" -> (retrievalCtes +
+      s"""
+        |f AS (SELECT coalesce(sp.doc_id, de.doc_id) AS doc_id, sp.sparse_rank, de.dense_rank,
+        |        coalesce(1000000 // (60 + sp.sparse_rank), 0) +
+        |        coalesce(1000000 // (60 + de.dense_rank), 0) AS rrf_micro
+        |      FROM sp FULL OUTER JOIN de ON sp.doc_id = de.doc_id),
+        |rr AS (SELECT doc_id, row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS rank
+        |       FROM (SELECT * FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 10) z),
+        |rel AS (SELECT doc_id FROM sp WHERE sparse_rank <= 10),
+        |dm AS (SELECT 'dense' AS system, count(*) AS n_hits,
+        |        CAST(coalesce(SUM(${ndcgDiscCase("dense_rank", 10)}), 0) AS BIGINT) AS dcg_micro
+        |       FROM de WHERE dense_rank <= 10 AND doc_id IN (SELECT doc_id FROM rel)),
+        |rm AS (SELECT 'rrf' AS system, count(*) AS n_hits,
+        |        CAST(coalesce(SUM(${ndcgDiscCase("rank", 10)}), 0) AS BIGINT) AS dcg_micro
+        |       FROM rr WHERE doc_id IN (SELECT doc_id FROM rel))
+        |SELECT system, CAST(n_hits AS BIGINT) AS n_hits, dcg_micro,
+        |  CAST(${ops.Retrieval.ndcgDiscountsMicro(10).sum} AS BIGINT) AS idcg_micro,
+        |  (dcg_micro * 1000000) // ${ops.Retrieval.ndcgDiscountsMicro(10).sum} AS ndcg_ppm
+        |FROM (SELECT * FROM dm UNION ALL SELECT * FROM rm) u ORDER BY system""".stripMargin),
+
     // hard-negative twin: dense pool minus the sparse top-50 doc set
     "retrieval_hard_negatives" -> (retrievalCtes +
       """
         |hn AS (SELECT doc_id, dot, dense_rank FROM de
         |  WHERE doc_id NOT IN (SELECT doc_id FROM sp))
         |SELECT doc_id, dot, dense_rank FROM hn ORDER BY dense_rank LIMIT 20""".stripMargin),
+
+    // signature-estimate twin: the shared minhash CTEs (mh exposes the
+    // per-i minima; sh the shingle sets), matches and shared counts per
+    // candidate pair, identical ppm arithmetic
+    "dedup_minhash_est" -> (minhashPairCtes +
+      """,
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+        |sg AS (SELECT p.doc_a, p.doc_b,
+        |    CAST(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS BIGINT) AS sig_matches
+        |  FROM pairs p
+        |  JOIN mh ma ON ma.doc_id = p.doc_a
+        |  JOIN mh mb ON mb.doc_id = p.doc_b AND mb.i = ma.i
+        |  GROUP BY 1, 2),
+        |shd AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS shared
+        |  FROM pairs p
+        |  JOIN sh a ON a.doc_id = p.doc_a
+        |  JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2)
+        |SELECT s.doc_a, s.doc_b, s.sig_matches,
+        |  COALESCE(d.shared, 0) AS shared, na.n_sh AS n_a, nb.n_sh AS n_b,
+        |  (s.sig_matches * 1000000) // 16 AS est_ppm,
+        |  (COALESCE(d.shared, 0) * 1000000)
+        |    // (na.n_sh + nb.n_sh - COALESCE(d.shared, 0)) AS jaccard_ppm
+        |FROM sg s LEFT JOIN shd d USING (doc_a, doc_b)
+        |JOIN sizes na ON na.doc_id = s.doc_a
+        |JOIN sizes nb ON nb.doc_id = s.doc_b
+        |ORDER BY s.doc_a, s.doc_b""".stripMargin),
 
     // leakage twin: the minhash-LSH pair CTEs + the content-keyed split
     // hash, keeping only pairs whose endpoints land in different splits

@@ -408,6 +408,52 @@ object Dedup {
           .otherwise(expr("n_hits * 1000000 div n_true")).as("recall_ppm"))
   }
 
+  /** MinHash signature-agreement Jaccard ESTIMATES vs exact Jaccard for
+    * the LSH candidate pairs — the signature-level companion of
+    * [[lshEval]]'s band-level calibration: `Ĵ = matches/k` is the
+    * unbiased MinHash estimator (Broder '97), and this report measures
+    * its realized error per candidate pair so the k (signature width)
+    * trade is data-driven before 100 TB commits to it. All integer ppm.
+    *
+    * Scale shape: the signature joins key on the candidate pairs
+    * (bounded by LSH), the exact-Jaccard shared counts come from
+    * pair-scoped shingle joins — the shingle fan-out is candidate-pair
+    * local, never the corpus-wide shingle self-join.
+    */
+  def minhashJaccardEst(df: DataFrame, n: Int = 3, k: Int = 16,
+                        rows: Int = 4): DataFrame = {
+    val pairs = minhashLshPairs(df, n, k, rows)
+    val sig = minhashSignatures(df, n, k)
+    val sa = sig.select(col("doc_id").as("doc_a") +:
+      (0 until k).map(i => col(s"mh_$i").as(s"__a_$i")): _*)
+    val sb = sig.select(col("doc_id").as("doc_b") +:
+      (0 until k).map(i => col(s"mh_$i").as(s"__b_$i")): _*)
+    val est = pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (0 until k).map(i =>
+          when(col(s"__a_$i") === col(s"__b_$i"), 1L).otherwise(0L))
+          .reduce(_ + _).as("sig_matches"))
+    val sh = shingles(df, n)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val shared = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+    est
+      .join(shared, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("sig_matches"),
+        coalesce(col("shared"), lit(0L)).as("shared"),
+        col("n_a"), col("n_b"),
+        expr(s"(sig_matches * 1000000) div $k").as("est_ppm"),
+        expr("""(coalesce(shared, 0L) * 1000000)
+               | div (n_a + n_b - coalesce(shared, 0L))""".stripMargin)
+          .as("jaccard_ppm"))
+  }
+
   /** Incremental near-dup prune: drop new-batch documents that are
     * n-gram-Jaccard near-dups of ANY document already in the historical
     * corpus — the operational form of dedup in a continuously-ingesting

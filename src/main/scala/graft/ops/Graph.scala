@@ -57,6 +57,53 @@ object Graph {
     ranks
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) in integer fixed point —
+    * the link-graph companion to [[pageRankInt]] for corpus weighting:
+    * authority mass says "many good hubs point here" (the page worth
+    * boosting in a training mix), hub mass says "this page points at
+    * good authorities" (the link-farm/directory signal worth DAMPING).
+    * Synchronous updates, standard order (auths from hubs, then hubs
+    * from the NEW auths); each half-step renormalizes by the max via
+    * integer division to `scale` — deterministic and
+    * partitioning-invariant where float L2 normalization would not be.
+    *
+    * Scale shape: the pageRankInt posture — static edges repartitioned
+    * once on src and cached (ReusedExchange across all iterations), per
+    * iteration two keyed partial aggs + two broadcast-max scalars, the
+    * score vectors are |nodes|-sized, lineage cut per half-step.
+    * Magnitude bound: raw mass ≤ max-degree·scale, renormalized before
+    * the next multiply — `scale²·degree` must stay inside i64 (at
+    * scale 10⁶ that allows degree ≈ 10⁶; shrink scale for denser hubs).
+    */
+  def hitsInt(edges: DataFrame, iters: Int, scale: Long = 1000000L,
+              checkpoint: Boolean = true): DataFrame = {
+    require(iters >= 1 && scale > 0, s"hitsInt: bad iters=$iters scale=$scale")
+    val e = edges.select(col("src"), col("dst")).repartition(col("src")).cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    var hubs = nodes.withColumn("hub", lit(scale))
+    var auths = nodes.withColumn("auth", lit(scale))
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(hubs.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("raw"))
+      val aMax = aRaw.agg(max(col("raw")).as("__m"))
+      val aNext = nodes.join(aRaw, Seq("node"), "left")
+        .crossJoin(broadcast(aMax))
+        .select(col("node"),
+          coalesce(expr(s"(raw * $scale) div __m"), lit(0L)).as("auth"))
+      auths = if (checkpoint) aNext.localCheckpoint(eager = false) else aNext
+      val hRaw = e.join(auths.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("auth")).as("raw"))
+      val hMax = hRaw.agg(max(col("raw")).as("__m"))
+      val hNext = nodes.join(hRaw, Seq("node"), "left")
+        .crossJoin(broadcast(hMax))
+        .select(col("node"),
+          coalesce(expr(s"(raw * $scale) div __m"), lit(0L)).as("hub"))
+      hubs = if (checkpoint) hNext.localCheckpoint(eager = false) else hNext
+    }
+    hubs.join(auths, Seq("node"))
+  }
+
   /** Exact triangle count + per-node triangle participation — the
     * standard QA metric for a near-dup pair graph (a clean dedup graph
     * is triangle-dense inside clusters and triangle-free across them;

@@ -217,4 +217,46 @@ object Profile {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
   }
+
+  /** Gini coefficient of the doc and token mass across sources — the
+    * one-number inequality read on a training mix (G = 0 every source
+    * contributes equally, G → 1 one source dominates; the number the
+    * UniMax/temperature mixers exist to push DOWN). Exact integers via
+    * the sorted-rank identity `G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx)`
+    * in ppm — rank ties are broken by source name, which the identity
+    * is invariant to (permuting equal values never changes Σ i·x₍ᵢ₎'s
+    * value... the swapped terms exchange equal x's).
+    *
+    * Scale shape: one partial agg to |sources| rows; the rank windows
+    * run over that group-count-sized frame (NOT the corpus — the
+    * global orderBy is bounded by the source vocabulary), then a
+    * single-row final agg.
+    */
+  def giniReport(docs: DataFrame, groupCol: String = "source",
+                 textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
+    val ranked = per
+      .withColumn("__rt", row_number().over(
+        Window.orderBy(col("n_tokens"), col(groupCol))).cast("long"))
+      .withColumn("__rd", row_number().over(
+        Window.orderBy(col("n_docs"), col(groupCol))).cast("long"))
+    ranked.agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("n_docs")).as("total_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("__rt") * col("n_tokens")).as("__st"),
+        sum(col("__rd") * col("n_docs")).as("__sd"))
+      .select(col("n_groups"), col("total_docs"), col("total_tokens"),
+        expr("""CASE WHEN n_groups * total_tokens = 0 THEN 0
+               |  ELSE ((2 * __st - (n_groups + 1) * total_tokens) * 1000000)
+               |       div (n_groups * total_tokens) END""".stripMargin)
+          .as("gini_tokens_ppm"),
+        expr("""CASE WHEN n_groups * total_docs = 0 THEN 0
+               |  ELSE ((2 * __sd - (n_groups + 1) * total_docs) * 1000000)
+               |       div (n_groups * total_docs) END""".stripMargin)
+          .as("gini_docs_ppm"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -116,6 +116,53 @@ object Retrieval {
           coalesce(expr("1000000 div __first"), lit(0L)).as("mrr_micro"))
     metrics("dense", dense, "dense_rank")
       .unionByName(metrics("rrf", rrf, "rank"))
+  }
+
+  /** DCG rank discounts `1/log₂(i+1)` scaled to integer micro — the
+    * plan-time constant table [[ndcgAtK]] and its oracle twin both read,
+    * so the transcendental `log` is evaluated ONCE in Scala and never
+    * inside either engine (double SUMs would also be
+    * partitioning-order-dependent; integer micro sums are exact and
+    * associative). */
+  def ndcgDiscountsMicro(k: Int): Seq[Long] =
+    (1 to k).map(i =>
+      math.floor(1000000.0 / (math.log(i + 1.0) / math.log(2.0)) + 0.5).toLong)
+
+  /** NDCG@k for the dense and RRF arms against the lexical top-kRel
+    * truth set (binary gains — the [[evalVsLexical]] relevance
+    * convention): `DCG = Σ_{hits} disc(rank)`, `IDCG = Σ_{i≤min(k,kRel)}
+    * disc(i)`, both in exact integer micro via [[ndcgDiscountsMicro]];
+    * the ratio reports in ppm by integer division. Rank-aware where
+    * recall@k is rank-blind — a system that buries its hits at rank k
+    * scores visibly worse than one that fronts them.
+    *
+    * Scale shape: identical to evalVsLexical — all inputs are top-pool
+    * slivers, the metrics are ≤ k-row joins; the discount lookup is a
+    * literal CASE chain over a config-sized k.
+    */
+  def ndcgAtK(df: DataFrame, terms: Seq[String], queryText: String,
+              kRel: Int = 10, k: Int = 10, dim: Int = 64): DataFrame = {
+    require(k >= 1 && kRel >= 1, "ndcgAtK: k and kRel must be positive")
+    val pool = math.max(50, math.max(k, kRel))
+    val sparse = sparseTopK(df, terms, pool)
+    val rel = sparse.filter(col("sparse_rank") <= kRel).select(col("doc_id"))
+    val dense = denseTopK(df, queryText, pool, dim)
+    val rrf = rrfFuse(sparse, dense, topK = k)
+    val disc = ndcgDiscountsMicro(k)
+    val idcg = disc.take(math.min(k, kRel)).sum
+    def discOf(rankCol: String): Column =
+      disc.zipWithIndex.foldLeft(lit(0L)) { case (acc, (d, i)) =>
+        when(col(rankCol) === (i + 1), lit(d)).otherwise(acc)
+      }
+    def m(sys: String, top: DataFrame, rankCol: String): DataFrame =
+      top.filter(col(rankCol) <= k)
+        .join(rel, Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"),
+          coalesce(sum(discOf(rankCol)), lit(0L)).as("dcg_micro"))
+        .select(lit(sys).as("system"), col("n_hits"), col("dcg_micro"),
+          lit(idcg).as("idcg_micro"),
+          expr(s"(dcg_micro * 1000000) div $idcg").as("ndcg_ppm"))
+    m("dense", dense, "dense_rank").unionByName(m("rrf", rrf, "rank"))
   }
 
   /** Late-interaction retrieval (the ColBERT MaxSim operator, Khattab &

@@ -118,6 +118,35 @@ object Sampling {
     * `alloc·1000` — is proven in-range or the call fails loudly.
     */
 
+  /** Quality-first token-budget waterfall — the third mixing recipe
+    * next to UniMax (uniformity) and temperature (tail smoothing): fill
+    * the budget from the highest-priority source downward, taking each
+    * source up to its epoch cap (`n·epochCapTenths/10` tokens) until
+    * the budget runs out — the "spend scarce budget on the best data
+    * first" selection used when a quality signal (here any per-source
+    * priority column) is trusted more than diversity. Pure integer
+    * arithmetic: the greedy is a cumulative-sum window over the
+    * |sources|-row stats table (group-count-sized, never the corpus),
+    * `take = clamp(budget − cum_before, 0, cap)`.
+    */
+  def qualityBudgetMix(stats: DataFrame, budget: Long,
+                       epochCapTenths: Int = 20): DataFrame = {
+    require(budget >= 0 && epochCapTenths > 0,
+      s"qualityBudgetMix: bad budget=$budget epochCapTenths=$epochCapTenths")
+    val w = Window.orderBy(col("priority").desc, col("source"))
+    stats.select(col("source"), col("n_tokens"), col("priority"))
+      .withColumn("cap_tokens", expr(s"(n_tokens * $epochCapTenths) div 10"))
+      .withColumn("__cum_before",
+        coalesce(sum(col("cap_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("take_tokens",
+        greatest(lit(0L), least(col("cap_tokens"),
+          lit(budget) - col("__cum_before"))))
+      .withColumn("epochs_milli", expr(
+        "CASE WHEN n_tokens > 0 THEN (take_tokens * 1000) div n_tokens ELSE 0 END"))
+      .drop("__cum_before")
+  }
+
   /** Greedy token-budget shard assignment — THE shard math (`pack_shards`
     * and [[packConcat]] must agree on which docs share a shard, so they
     * share this): per-group id-ordered token cumsum, shard = floor of

@@ -477,6 +477,76 @@ object Similarity {
             ",")).as("q_csv"))
   }
 
+  /** Matryoshka truncation eval (Kusupati et al. 2022): recall@k of
+    * PREFIX-dimension cosine search against the full-dimension truth —
+    * the number that says whether serving the cheap `prefixDim`-wide
+    * index (a `dim/prefixDim`× scan reduction at 100 TB) is safe for
+    * this embedding space, measured instead of assumed. Both arms are
+    * the [[cosineTopK]] plan (broadcast query side, WindowGroupLimit
+    * top-k); the overlap is a k-row-per-query semi-join.
+    */
+  def matryoshkaRecall(queries: DataFrame, corpus: DataFrame, k: Int,
+                       prefixDim: Int): DataFrame = {
+    require(k >= 1 && prefixDim >= 1,
+      s"matryoshkaRecall: bad k=$k prefixDim=$prefixDim")
+    def pre(df: DataFrame): DataFrame = df.select(col("vec_id"),
+      slice(col("embedding"), 1, prefixDim).as("embedding"))
+    val truth = cosineTopK(queries, corpus, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = cosineTopK(pre(queries), pre(corpus), k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr(s"(coalesce(n_hits, 0L) * 1000000) div $k").as("recall_ppm"))
+  }
+
+  /** Scalar-quantized (SQ8) brute-force top-k — the Faiss
+    * `SQ8`-flat serving shape: both sides quantize to int8 codes with a
+    * per-vector absmax scale (the [[quantizeInt8]] arithmetic, kept as
+    * integer arrays here), the inner product runs as an EXACT i64 dot
+    * over the codes (the 4×-narrower scan that makes SQ the default
+    * 100 TB compromise before PQ), and only the final score multiplies
+    * the two scales back in — one fixed-order double product per pair,
+    * so ranking hash-verifies cross-engine. Zero-vector edges quantize
+    * to zero codes with scale 0 (score 0, never a division). Query side
+    * broadcasts; the only shuffle is the per-query top-k, and the
+    * `row_number ≤ k` filter compiles to WindowGroupLimit (top-k before
+    * the exchange).
+    */
+  def sqTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"sqTopK: k must be positive, got $k")
+    def quant(side: DataFrame, id: String, sc: String, qc: String): DataFrame =
+      side
+        .select(col("vec_id").as(id),
+          expr("aggregate(embedding, CAST(0 AS DOUBLE), (m, v) -> greatest(m, abs(CAST(v AS DOUBLE))))")
+            .as("__am"),
+          col("embedding"))
+        .select(col(id), (col("__am") / 127.0d).as(sc),
+          when(col("__am") === 0d,
+            expr("transform(embedding, v -> CAST(0 AS BIGINT))"))
+            .otherwise(expr(
+              "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 127.0D / __am + 0.5D) AS BIGINT))"))
+            .as(qc))
+    val q = quant(queries, "query_id", "qscale", "qq")
+    val c = quant(corpus, "neighbor_id", "cscale", "cq")
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("aggregate(zip_with(qq, cq, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+          .as("idot"),
+        col("qscale"), col("cscale"))
+      .withColumn("score", expr("(qscale * cscale) * CAST(idot AS DOUBLE)"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        col("idot"), col("score"))
+  }
+
   /** Product-quantization encode: split each vector into `m` subvectors,
     * assign each to its nearest codebook entry (squared-L2 argmin via
     * `argmax(2·a·c − ‖c‖²)` — ‖a‖² is constant per subvector and drops

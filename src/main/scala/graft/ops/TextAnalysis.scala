@@ -1325,6 +1325,51 @@ object TextAnalysis {
     (total, distinctHit)
   }
 
+  /** Soft-watermark detection statistic (Kirchenbauer et al. 2023 — the
+    * public "green list" LLM watermark): a watermarked generator biases
+    * each token toward a pseudorandom γ-fraction of the vocabulary
+    * seeded by the PREVIOUS token; the detector recounts green tokens
+    * and z-tests the excess over the γ·T chance rate. The pipeline
+    * reading: flag machine-generated (watermarked) text before it
+    * contaminates a training corpus. Model-free replication: green(prev,
+    * tok) ⇔ `(h(prev) + h(tok)) mod 4 = 0` with h = FNV-64a mod 2³¹−1
+    * (γ = 1/4) — the same engine-neutral hash discipline as MinHash, so
+    * the whole statistic is oracle-verifiable. `z_milli` uses the
+    * paper's one-proportion z in fixed-order doubles (sqrt only);
+    * `watermarked` applies the paper's z ≥ 4 detection threshold. Docs
+    * with < 2 tokens report 0 pairs and never flag.
+    *
+    * Scale shape: one window shuffle on doc_id for the lag pairing,
+    * then a per-doc partial agg; everything else is codegen'd hashing.
+    */
+  def watermarkDetect(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val P = 2147483647L
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .withColumn("h", pmod(graft.functions.FnvHash64.fnv_hash64(col("tok")), lit(P)))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val paired = toks
+      .withColumn("prev_h", lag(col("h"), 1).over(w))
+      .filter(col("prev_h").isNotNull)
+    val agg = paired.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(pmod(col("prev_h") + col("h"), lit(4L)) === 0L, 1L)
+          .otherwise(0L)).as("n_green"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_green"), lit(0L)).as("n_green"))
+      .withColumn("z_milli", expr(
+        """CASE WHEN n_pairs > 0 THEN
+          |  CAST(FLOOR((CAST(n_green AS DOUBLE) - CAST(n_pairs AS DOUBLE) / 4.0)
+          |              / SQRT(3.0 * CAST(n_pairs AS DOUBLE) / 16.0)
+          |              * 1000.0 + 0.5) AS BIGINT)
+          |END""".stripMargin))
+      .withColumn("watermarked",
+        coalesce(col("z_milli") >= 4000L, lit(false)))
+  }
+
   /** BLEU-style n-gram precision between candidate/reference document
     * pairs (Papineni et al. 2002 — the machine-generated-data QA
     * metric: score synthetic rewrites against their sources before they

@@ -31,6 +31,26 @@ class DedupSpec extends SparkSpec {
     assert(planted.subsetOf(found), s"LSH must recover all identical pairs; missing ${planted -- found}")
   }
 
+  test("minhashJaccardEst: exact duplicates estimate 1.0 exactly, all estimates bounded") {
+    val doubled = docs.limit(10)
+      .unionByName(docs.limit(10).withColumn("doc_id", col("doc_id") + 10000))
+    val est = Dedup.minhashJaccardEst(doubled).collect()
+    val dup = est.filter(r => r.getLong(1) === r.getLong(0) + 10000)
+    assert(dup.length === 10, "every planted duplicate pair must be a candidate")
+    dup.foreach { r =>
+      assert(r.getAs[Long]("sig_matches") === 16L)
+      assert(r.getAs[Long]("est_ppm") === 1000000L)
+      assert(r.getAs[Long]("jaccard_ppm") === 1000000L,
+        "identical shingle sets must measure J = 1 exactly")
+    }
+    est.foreach { r =>
+      val e = r.getAs[Long]("est_ppm"); val j = r.getAs[Long]("jaccard_ppm")
+      assert(e >= 0L && e <= 1000000L)
+      assert(j >= 0L && j <= 1000000L)
+      assert(r.getAs[Long]("n_a") > 0L && r.getAs[Long]("n_b") > 0L)
+    }
+  }
+
   test("minhash-LSH candidates correlate with true Jaccard (recall on near-dups)") {
     val truth = Dedup.jaccardPairs(docs, n = 3, threshold10 = 8) // J >= 0.8
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -60,6 +60,32 @@ class GraphSpec extends SparkSpec {
       Graph.pageRankInt(Seq((1L, 2L)).toDF("src", "dst"), 1, dampNum = 101))
   }
 
+  test("hitsInt: hand-computed star — sinks take authority, pointers take hub mass") {
+    import spark.implicits._
+    // 1..4 → 0 and 0 → 5: node 0 is the sole authority, 1..4 the hubs;
+    // after one round (auths from hubs, hubs from NEW auths):
+    //   raw auth: 0 ← 4·scale, 5 ← scale  → norm: 0 = 1e6, 5 = 250000
+    //   raw hub:  1..4 ← auth(0) = 1e6, 0 ← auth(5) = 250000
+    //             → norm: 1..4 = 1e6, 0 = 250000, 5 = 0 (no out-edges)
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (0L, 5L))
+      .toDF("src", "dst")
+    val got = Graph.hitsInt(edges, iters = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("hub"), r.getAs[Long]("auth")))).toMap
+    assert(got(0L) === ((250000L, 1000000L)))
+    assert(got(5L) === ((0L, 250000L)))
+    (1L to 4L).foreach(i => assert(got(i) === ((1000000L, 0L)), s"node $i"))
+    // renormalization pins the max of each side to scale every round
+    val r3 = Graph.hitsInt(edges, iters = 3).collect()
+    assert(r3.map(_.getAs[Long]("hub")).max === 1000000L)
+    assert(r3.map(_.getAs[Long]("auth")).max === 1000000L)
+    // exact integers ⇒ partitioning-invariant
+    val a = Graph.hitsInt(edges.repartition(7), iters = 2)
+      .collect().map(_.toString).sorted
+    val b = Graph.hitsInt(edges.coalesce(1), iters = 2)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("triangles: K4 counts 3 per node; triangle-free star counts none") {
     // K4: every node sits in C(3,2)=3 triangles; 4 triangles total
     val k4 = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b))

@@ -641,6 +641,37 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("watermarkDetect: degenerate repeats are all-or-nothing green, short docs never flag") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x x x x x"),       // all pairs identical → green count ∈ {0, 4}
+      (2L, "solo"),            // < 2 tokens → 0 pairs, never watermarked
+      (3L, "a b c d e f g h")  // mixed pairs: bounds only
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.watermarkDetect(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val d1 = got(1L)
+    assert(d1.getAs[Long]("n_pairs") === 4L)
+    val g1 = d1.getAs[Long]("n_green")
+    assert(g1 === 0L || g1 === 4L,
+      "identical adjacent pairs must all share one green verdict")
+    val d2 = got(2L)
+    assert(d2.getAs[Long]("n_pairs") === 0L && d2.getAs[Long]("n_green") === 0L)
+    assert(d2.isNullAt(d2.fieldIndex("z_milli")))
+    assert(!d2.getAs[Boolean]("watermarked"))
+    got.values.foreach { r =>
+      assert(r.getAs[Long]("n_green") <= r.getAs[Long]("n_pairs"))
+      if (r.getAs[Boolean]("watermarked"))
+        assert(r.getAs[Long]("z_milli") >= 4000L)
+    }
+    // natural text is unwatermarked: the corpus must not mass-flag
+    val corpus = graft.ops.TextAnalysis.watermarkDetect(
+      Tables.documents(spark, sf001))
+    val flagged = corpus.filter(col("watermarked")).count()
+    assert(flagged * 10 <= corpus.count(),
+      "a z>=4 threshold must flag at most a sliver of natural text")
+  }
+
   test("bleuPairs: clipping, per-order nulls below n tokens, brevity parts, lone docs absent") {
     import spark.implicits._
     val docs = Seq(
@@ -894,6 +925,74 @@ class OpsSpec extends SparkSpec {
     val z = graft.ops.Similarity.quantizeInt8(
       Seq((99L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding")).head
     assert(z.getDouble(1) === 0d && z.getString(2) === "0,0,0")
+  }
+
+  test("sqTopK: direction survives quantization, magnitude scales the score, zero vectors are safe") {
+    import spark.implicits._
+    // q's duplicate direction at 2x magnitude must outrank everything
+    // (same int8 codes, double the scale); the negated copy must land
+    // last (most-negative score); orthogonal ~0 sits between
+    val q = Seq((0L, Array(1f, 2f, 3f, 4f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (0L, Array(1f, 2f, 3f, 4f)),      // self — excluded from results
+      (1L, Array(2f, 4f, 6f, 8f)),      // same direction, 2x magnitude
+      (2L, Array(4f, -3f, 2f, -1.5f)),  // ~orthogonal
+      (3L, Array(-1f, -2f, -3f, -4f)),  // negated
+      (4L, Array(0f, 0f, 0f, 0f))       // zero vector: score exactly 0
+    ).toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity.sqTopK(q, corpus, 4).collect()
+      .map(r => r.getAs[Long]("neighbor_id") ->
+        ((r.getAs[Int]("rnk"), r.getAs[Double]("score")))).toMap
+    assert(!got.contains(0L), "the query itself must be excluded")
+    assert(got(1L)._1 === 1, "2x same-direction copy must rank first")
+    assert(got(3L)._1 === 4, "negated copy must rank last")
+    assert(got(4L)._2 === 0.0, "zero vector scores exactly 0, no division error")
+    // same-direction codes are identical, so the score ratio is the
+    // scale ratio exactly: score(2v) = 2 * (v . v) in dequantized terms
+    assert(math.abs(got(1L)._2 - 2.0 * 30.0) / 60.0 < 0.02,
+      s"SQ8 score ${got(1L)._2} should approximate 2|v|^2 = 60 within code rounding")
+  }
+
+  test("matryoshkaRecall: full-width prefix is a perfect 1e6, truncation stays bounded") {
+    val emb = Tables.embeddings(spark, sf001)
+    val qs = emb.filter(col("vec_id") < 5)
+    // prefix = full dimension ⇒ both arms are the identical ranking
+    val full = graft.ops.Similarity.matryoshkaRecall(qs, emb, k = 5, prefixDim = 64)
+      .collect()
+    assert(full.length === 5)
+    full.foreach(r => assert(r.getAs[Long]("recall_ppm") === 1000000L,
+      s"full-dim prefix must reproduce the truth exactly: $r"))
+    // a real truncation loses at most everything, never goes negative,
+    // and reports one row per query even at zero overlap
+    val cut = graft.ops.Similarity.matryoshkaRecall(qs, emb, k = 5, prefixDim = 8)
+      .collect()
+    assert(cut.length === 5)
+    cut.foreach { r =>
+      val p = r.getAs[Long]("recall_ppm")
+      assert(p >= 0L && p <= 1000000L)
+      assert(r.getAs[Long]("n_hits") * 200000L === p)
+    }
+  }
+
+  test("giniReport: equal masses score 0, concentration raises it, hand-computed extreme") {
+    import spark.implicits._
+    // four sources, one token each → perfectly equal → G = 0 on both axes
+    val eq = Seq((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "x"), (4L, "d", "x"))
+      .toDF("doc_id", "source", "text")
+    val g0 = graft.ops.Profile.giniReport(eq).head()
+    assert(g0.getAs[Long]("gini_tokens_ppm") === 0L)
+    assert(g0.getAs[Long]("gini_docs_ppm") === 0L)
+    // tokens (1,1,1,97): sorted Σi·x = 1+2+3+4·97 = 394,
+    // G = (788 − 5·100)/(4·100) = 0.72 exactly
+    val skewed = Seq(
+      (1L, "a", "x"), (2L, "b", "x"), (3L, "c", "x"),
+      (4L, "d", Seq.fill(97)("x").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val g1 = graft.ops.Profile.giniReport(skewed).head()
+    assert(g1.getAs[Long]("gini_tokens_ppm") === 720000L)
+    assert(g1.getAs[Long]("gini_docs_ppm") === 0L, "doc counts stay equal")
+    assert(g1.getAs[Long]("n_groups") === 4L)
+    assert(g1.getAs[Long]("total_tokens") === 100L)
   }
 
   test("random projection preserves relative distances and is shuffle-free") {

@@ -85,6 +85,24 @@ class RetrievalSpec extends SparkSpec {
     assert(leaks.count() === 1, "the planted cross-split near-dup must surface")
   }
 
+  test("ndcgAtK: discount table is the DCG ladder, metrics respect the idcg bound") {
+    val d = Retrieval.ndcgDiscountsMicro(10)
+    assert(d.head === 1000000L, "rank 1 discount is 1/log2(2) = 1 exactly")
+    assert(d === d.sortBy(-_), "discounts must decrease with rank")
+    assert(d.last === 289065L, "1e6/log2(11) — pins the constant table")
+    val rows = Retrieval.ndcgAtK(Tables.documents(spark, sf001),
+        Seq("hash", "join", "vector"), "hash join vector")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("dense", "rrf"))
+    rows.values.foreach { r =>
+      val dcg = r.getAs[Long]("dcg_micro"); val idcg = r.getAs[Long]("idcg_micro")
+      assert(idcg === d.sum)
+      assert(dcg >= 0L && dcg <= idcg, "DCG can never exceed the ideal ordering's")
+      assert(r.getAs[Long]("ndcg_ppm") === dcg * 1000000L / idcg)
+      assert(r.getAs[Long]("n_hits") <= 10L)
+    }
+  }
+
   test("denseTopK plan: top-k compiles to TakeOrderedAndProject, no global sort") {
     val plan = Retrieval.denseTopK(corpus, "hash join vector", 5)
       .queryExecution.executedPlan.toString

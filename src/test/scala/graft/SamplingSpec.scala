@@ -256,6 +256,28 @@ class SamplingSpec extends SparkSpec {
     assert(totalPacked === totalEnc)
   }
 
+  test("qualityBudgetMix: waterfall fills by priority, caps at epochs, exhausts exactly") {
+    import spark.implicits._
+    // caps at 2.0 epochs: a→200, b→100, c→400; budget 250 fills a whole
+    // (200), b partially (50), c nothing — strict priority order
+    val stats = Seq(
+      ("a", 100L, 900L), ("b", 50L, 800L), ("c", 200L, 700L)
+    ).toDF("source", "n_tokens", "priority")
+    val got = graft.ops.Sampling.qualityBudgetMix(stats, budget = 250L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("cap_tokens"), r.getAs[Long]("take_tokens"),
+          r.getAs[Long]("epochs_milli")))).toMap
+    assert(got("a") === ((200L, 200L, 2000L)))
+    assert(got("b") === ((100L, 50L, 1000L)))
+    assert(got("c") === ((400L, 0L, 0L)))
+    // the takes sum to exactly the budget while any capacity remains
+    assert(got.values.map(_._2).sum === 250L)
+    // a budget beyond all caps saturates every source at its cap
+    val full = graft.ops.Sampling.qualityBudgetMix(stats, budget = 10000L)
+      .collect().map(r => r.getAs[Long]("take_tokens")).sum
+    assert(full === 700L)
+  }
+
   test("prioritySample: deterministic, weight-sensitive, exactly k rows") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf001)
