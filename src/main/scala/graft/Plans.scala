@@ -51,7 +51,12 @@ object Plans {
     "text_stupid_backoff" -> "three count tables partial-agg from ONE checkpointed reference tokenization; the doc trigram stream carries its own context (no window over token positions) into five equi-joins",
     "events_gauge_agg" -> "the lag window and the partial agg share one (type, day) Exchange; edge pairs ride sentinel-keyed min_by/max_by inside the same agg",
     "ann_mmr_diverse" -> "the relevance cut is the ONLY corpus-wide pass (broadcast queries, per-query window top-M); each greedy round is an anti-join + broadcast of the ≤ q·k picked rows over the checkpointed cut",
-    "cdc_lsn_gaps" -> "no whole-stream global sort: within-segment lead partitions on lsn div 2^20, boundary gaps come from a lead over the segment-count-sized min/max summary")
+    "cdc_lsn_gaps" -> "no whole-stream global sort: within-segment lead partitions on lsn div 2^20, boundary gaps come from a lead over the segment-count-sized min/max summary",
+    // round-13 continuation
+    "events_max_n" -> "the rnk <= n filter compiles to WindowGroupLimit: per-partition top-k BEFORE the exchange — the toolkit's bounded n-element state as a plan optimization",
+    "ann_sq_topk" -> "int8 codes + exact i64 dot: the corpus scan is the narrow quantized projection; query side broadcast; top-k windows behind WindowGroupLimit",
+    "web_hits" -> "static edges exchanged once and reused across all six half-steps; each renormalization is a 1-row broadcast max",
+    "text_watermark_detect" -> "codegen'd FNV hashing; one doc-keyed window for the lag pairing, then a per-doc partial agg — nothing else shuffles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"

@@ -243,6 +243,37 @@ object SparkEntry {
       |          SELECT anchor AS doc_a, doc_id AS doc_b FROM bsz
       |          WHERE bc > ${Dedup.DefaultMaxBucket} AND doc_id <> anchor))""".stripMargin
 
+  /** Shared CTE chain for the topic-clustering oracles: hash-embed per
+    * doc (FNV fold, 64 buckets, sign bit), unrolled-Lloyd k-means
+    * (`duckKmeans`), and the broadcast-argmax assignment — ends at
+    * `asg(doc_id, topic_id)`, no trailing comma; `tok` stays visible
+    * for term-level consumers. */
+  private lazy val topicAsgCtes: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |h AS (SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |      list_transform(range(1, length(t) + 1),
+       |        i -> ascii(substr(t, CAST(i AS INTEGER), 1)))),
+       |      (acc, c) -> (xor(acc, CAST(c AS HUGEINT)) * 1099511628211) % 18446744073709551616) AS hv
+       |  FROM tok),
+       |bh AS (SELECT doc_id, CAST(hv % 64 AS BIGINT) AS bkt,
+       |        CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END AS s FROM h),
+       |bagg AS (SELECT doc_id, bkt, sum(s) AS v FROM bh GROUP BY 1, 2),
+       |grid AS (SELECT d.doc_id, dims.b FROM (SELECT doc_id FROM documents) d
+       |         CROSS JOIN (SELECT unnest(range(0, 64)) AS b) dims),
+       |e0 AS (SELECT g.doc_id AS vec_id,
+       |    list(CAST(CAST(coalesce(a.v, 0) AS BIGINT) AS REAL) ORDER BY g.b) AS embedding
+       |  FROM grid g LEFT JOIN bagg a ON a.doc_id = g.doc_id AND a.bkt = g.b
+       |  GROUP BY g.doc_id),
+       |e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS norm FROM e0),
+       |${duckKmeans("e", 8, 64, 2, "tk")},
+       |asg AS (SELECT vec_id AS doc_id, centroid_id AS topic_id FROM (
+       |    SELECT s.vec_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY s.vec_id
+       |        ORDER BY ${duckDot("s.embedding", "c.centroid")} / (s.norm * c.cnorm) DESC,
+       |                 c.centroid_id) AS rn
+       |    FROM e s CROSS JOIN tk2 c) t WHERE rn = 1)""".stripMargin
+
   /** DCG discount lookup as a SQL CASE chain — generated from the SAME
     * Scala constant table the Spark op reads (Retrieval
     * .ndcgDiscountsMicro), so `log` never executes inside either
@@ -3681,6 +3712,38 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       Retrieval.evalVsLexical(Tables.documents(s, dir),
           Seq("hash", "join", "vector"), "hash join vector")
         .orderBy(col("system"))),
+
+    "topic_purity" -> ((s, dir) =>
+      // external-validity check of the topic clustering: per topic the
+      // dominant lang label and its share (ties to the largest label)
+      TextAnalysis.topicPurity(Tables.documents(s, dir))
+        .orderBy(col("topic_id"))),
+
+    "q_grouping_sets" -> ((s, dir) =>
+      // GROUPING SETS ((type), (day), ()): three aggregation grains in
+      // one pass, grouping_id disambiguates the null grain markers
+      Cdc.walEvents(s, dir)
+        .groupingSets(
+          Seq(Seq(col("event_type")), Seq(col("chunk_day")), Seq()),
+          col("event_type"), col("chunk_day"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum(expr("cast(floor(value * 1000 + 0.5) as bigint)")).as("sum_milli"))
+        .select(col("gid"), col("event_type"), col("chunk_day"),
+          col("n"), col("sum_milli"))
+        .orderBy(col("gid"), col("event_type"), col("chunk_day"))),
+
+    "q_unpivot_daily" -> ((s, dir) =>
+      // wide per-day metrics melted long (the Spark 3.4+ unpivot /
+      // ANSI UNPIVOT): name-value pairs a metrics store ingests
+      Cdc.walEvents(s, dir)
+        .groupBy(col("chunk_day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("cast(floor(value * 1000 + 0.5) as bigint)")).as("sum_milli"),
+          max(expr("cast(floor(value * 1000 + 0.5) as bigint)")).as("max_milli"))
+        .unpivot(Array(col("chunk_day")),
+          Array(col("n_events"), col("sum_milli"), col("max_milli")),
+          "metric", "value")
+        .orderBy(col("chunk_day"), col("metric"))),
 
     "retrieval_ndcg" -> ((s, dir) =>
       // NDCG@10: rank-aware where recall is rank-blind — DCG discounts
@@ -9114,30 +9177,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     // unrolled-Lloyd kmeans CTEs, then the same argmax-assign shape as
     // every IVF twin, then integer c-TF-IDF
     "topic_clusters" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-         |h AS (SELECT doc_id,
-         |  list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
-         |      list_transform(range(1, length(t) + 1),
-         |        i -> ascii(substr(t, CAST(i AS INTEGER), 1)))),
-         |      (acc, c) -> (xor(acc, CAST(c AS HUGEINT)) * 1099511628211) % 18446744073709551616) AS hv
-         |  FROM tok),
-         |bh AS (SELECT doc_id, CAST(hv % 64 AS BIGINT) AS bkt,
-         |        CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END AS s FROM h),
-         |bagg AS (SELECT doc_id, bkt, sum(s) AS v FROM bh GROUP BY 1, 2),
-         |grid AS (SELECT d.doc_id, dims.b FROM (SELECT doc_id FROM documents) d
-         |         CROSS JOIN (SELECT unnest(range(0, 64)) AS b) dims),
-         |e0 AS (SELECT g.doc_id AS vec_id,
-         |    list(CAST(CAST(coalesce(a.v, 0) AS BIGINT) AS REAL) ORDER BY g.b) AS embedding
-         |  FROM grid g LEFT JOIN bagg a ON a.doc_id = g.doc_id AND a.bkt = g.b
-         |  GROUP BY g.doc_id),
-         |e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS norm FROM e0),
-         |${duckKmeans("e", 8, 64, 2, "tk")},
-         |asg AS (SELECT vec_id AS doc_id, centroid_id AS topic_id FROM (
-         |    SELECT s.vec_id, c.centroid_id,
-         |      row_number() OVER (PARTITION BY s.vec_id
-         |        ORDER BY ${duckDot("s.embedding", "c.centroid")} / (s.norm * c.cnorm) DESC,
-         |                 c.centroid_id) AS rn
-         |    FROM e s CROSS JOIN tk2 c) t WHERE rn = 1),
+      s"""$topicAsgCtes,
          |sizes AS (SELECT topic_id, COUNT(*) AS n_docs FROM asg GROUP BY topic_id),
          |terms AS (SELECT a.topic_id, tok.t AS term FROM tok JOIN asg a USING (doc_id)),
          |ctf AS (SELECT topic_id, term, COUNT(*) AS ctf FROM terms GROUP BY 1, 2),
@@ -9152,6 +9192,48 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
          |  CAST(r.score_fp AS BIGINT) AS score_fp
          |FROM ranked r JOIN sizes s USING (topic_id)
          |WHERE r.rank <= 3 ORDER BY r.topic_id, r.rank""".stripMargin,
+
+    // purity twin: the shared assignment CTEs + a (topic, lang) count
+    // with the same (n DESC, lang DESC) dominant-label tie-break
+    "topic_purity" ->
+      s"""$topicAsgCtes,
+         |bl AS (SELECT a.topic_id, d.lang, COUNT(*) AS n
+         |  FROM asg a JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         |tp AS (SELECT topic_id, lang, CAST(n AS BIGINT) AS n,
+         |    row_number() OVER (PARTITION BY topic_id
+         |      ORDER BY n DESC, lang DESC) AS rn,
+         |    CAST(SUM(n) OVER (PARTITION BY topic_id) AS BIGINT) AS n_docs
+         |  FROM bl)
+         |SELECT topic_id, n_docs, lang AS top_lang, n AS n_top,
+         |  (n * 1000000) // n_docs AS purity_ppm
+         |FROM tp WHERE rn = 1 ORDER BY topic_id""".stripMargin,
+
+    // grouping-sets twin: same three grains, same composite GROUPING
+    // bitmask convention (leftmost argument = most significant bit)
+    "q_grouping_sets" ->
+      """WITH wal AS (SELECT event_type,
+        |    epoch_ns(ts) // 86400000000000 - 19723 AS chunk_day,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm
+        |  FROM events)
+        |SELECT CAST(GROUPING(event_type, chunk_day) AS BIGINT) AS gid,
+        |  event_type, chunk_day, COUNT(*) AS n,
+        |  CAST(SUM(vm) AS BIGINT) AS sum_milli
+        |FROM wal GROUP BY GROUPING SETS ((event_type), (chunk_day), ())
+        |ORDER BY gid, event_type, chunk_day""".stripMargin,
+
+    // unpivot twin: ANSI UNPIVOT in the FROM clause
+    "q_unpivot_daily" ->
+      """WITH wal AS (SELECT
+        |    epoch_ns(ts) // 86400000000000 - 19723 AS chunk_day,
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm
+        |  FROM events),
+        |wide AS (SELECT chunk_day, COUNT(*) AS n_events,
+        |    CAST(SUM(vm) AS BIGINT) AS sum_milli,
+        |    CAST(MAX(vm) AS BIGINT) AS max_milli
+        |  FROM wal GROUP BY 1)
+        |SELECT chunk_day, metric, value FROM wide
+        |UNPIVOT (value FOR metric IN (n_events, sum_milli, max_milli))
+        |ORDER BY chunk_day, metric""".stripMargin,
 
     // hash-embedding twin: the classifier twin's FNV HUGEINT fold per
     // token; bucket = % 64 (2^64 ≡ 0 mod 64 so unsigned ≡ signed pmod),

@@ -1302,6 +1302,34 @@ object TextAnalysis {
       .select(col("topic_id"), col("n_docs"), col("rank"), col("term"), col("score_fp"))
   }
 
+  /** Cluster-purity eval for [[topicClusters]]' assignment: per topic,
+    * the dominant external label (here `lang`) and its share — the
+    * standard external-validity check before a clustering drives
+    * mixing/splitting decisions (purity ≈ 1 means topics align with the
+    * label; ≈ 1/|labels| means the embedding carries none of it).
+    * Ties break to the lexicographically largest label (max_by on the
+    * (n, label) pair — deterministic, oracle-replicable). Same
+    * fit/assign path as topicClusters; the purity tail is two keyed
+    * partial aggs over (topic, label) counts — topics×labels rows.
+    */
+  def topicPurity(df: DataFrame, nTopics: Int = 8, iters: Int = 2,
+                  dim: Int = 64, labelCol: String = "lang"): DataFrame = {
+    val emb = hashEmbedding(df, dim = dim)
+    val centroids = graft.ops.Similarity.kmeansCentroids(emb, nTopics, iters)
+    val asg = graft.ops.Similarity.ivfAssignWith(emb, centroids)
+      .select(col("vec_id").as("doc_id"), col("centroid_id").as("topic_id"))
+    val byLabel = df.select(col("doc_id"), col(labelCol).as("lang"))
+      .join(asg, "doc_id")
+      .groupBy(col("topic_id"), col("lang")).agg(count(lit(1)).as("n"))
+    byLabel.groupBy(col("topic_id"))
+      .agg(sum(col("n")).as("n_docs"),
+        max_by(struct(col("n"), col("lang")),
+          struct(col("n"), col("lang"))).as("__top"))
+      .select(col("topic_id"), col("n_docs"),
+        col("__top.lang").as("top_lang"), col("__top.n").as("n_top"),
+        expr("(n_top * 1000000) div n_docs").as("purity_ppm"))
+  }
+
   /** Blocklist hit counting — the safety-filter primitive: per document,
     * total occurrence count of any blocklist term plus the count of
     * distinct terms present. SUBSTRING semantics (an occurrence is

@@ -953,6 +953,24 @@ class OpsSpec extends SparkSpec {
       s"SQ8 score ${got(1L)._2} should approximate 2|v|^2 = 60 within code rounding")
   }
 
+  test("topicPurity: exhaustive over the corpus, dominant share bounded and consistent") {
+    val docs = Tables.documents(spark, sf001)
+    val rows = graft.ops.TextAnalysis.topicPurity(docs).collect()
+    assert(rows.nonEmpty && rows.length <= 8)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count(),
+      "every document must land in exactly one topic")
+    val langs = docs.select("lang").distinct().count()
+    rows.foreach { r =>
+      val top = r.getAs[Long]("n_top"); val n = r.getAs[Long]("n_docs")
+      val p = r.getAs[Long]("purity_ppm")
+      assert(top >= 1L && top <= n)
+      assert(p === top * 1000000L / n)
+      // the dominant label can never fall below the uniform floor
+      assert(p * langs >= 1000000L - langs,
+        s"purity $p below the 1/$langs uniform floor")
+    }
+  }
+
   test("matryoshkaRecall: full-width prefix is a perfect 1e6, truncation stays bounded") {
     val emb = Tables.embeddings(spark, sf001)
     val qs = emb.filter(col("vec_id") < 5)
