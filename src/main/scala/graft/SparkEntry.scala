@@ -2263,6 +2263,27 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       Graph.triangles(edges).orderBy(col("node"))
     }),
 
+    "web_redirect_resolve" -> ((s, dir) => {
+      // synthetic acyclic redirect forest (doc_id % 7 != 0 points one
+      // id back; multiples of 7 terminate): the closed-form oracle
+      // final = doc_id − (doc_id % 7) proves the log-round pointer
+      // doubling resolves every chain exactly, hops included
+      val r = Tables.documents(s, dir).select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .select(col("doc_id").as("src"), (col("doc_id") - 1).as("dst"))
+      Web.resolveRedirects(r, rounds = 4)
+        .orderBy(col("src"))
+    }),
+
+    "profile_benford" -> ((s, dir) =>
+      // Benford first-digit audit of the value column (integer cents):
+      // expectations are plan-time log10 literals, shares integer ppm
+      graft.ops.Profile.benfordReport(
+          Cdc.walEvents(s, dir).select(
+            expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents")),
+          "cents")
+        .orderBy(col("digit"))),
+
     "web_hits" -> ((s, dir) => {
       // hubs & authorities over the same deterministic 3-out-link graph
       // as web_pagerank: 3 synchronous integer fixed-point HITS rounds,
@@ -7616,6 +7637,33 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |      WHERE EXISTS (SELECT 1 FROM ori o WHERE o.a = w.a AND o.b = w.c)),
         |x AS (SELECT unnest([a, b, c]) AS node FROM t)
         |SELECT node, COUNT(*) AS n_triangles FROM x GROUP BY node ORDER BY node""".stripMargin,
+
+    // redirect twin: the closed form of the synthetic forest — chain
+    // length and terminal are analytic, so the hash match proves the
+    // doubling, not a second implementation of it
+    "web_redirect_resolve" ->
+      """SELECT doc_id AS src, doc_id - (doc_id % 7) AS final_dst,
+        |  CAST(doc_id % 7 AS BIGINT) AS hops
+        |FROM documents WHERE doc_id % 7 <> 0 ORDER BY src""".stripMargin,
+
+    // Benford twin: identical first-digit-of-decimal-string derivation,
+    // the shared Scala expectation literals
+    "profile_benford" -> {
+      val expectedCase = "CASE g.digit " + ops.Profile.BenfordExpectedPpm.map {
+        case (d, e) => s"WHEN $d THEN $e"
+      }.mkString(" ") + " END"
+      s"""WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+         |p AS (SELECT cents FROM v WHERE cents > 0),
+         |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit FROM p),
+         |c AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS tt FROM c),
+         |g AS (SELECT CAST(unnest(range(1, 10)) AS INT) AS digit)
+         |SELECT g.digit, CAST(COALESCE(c.n_obs, 0) AS BIGINT) AS n_obs,
+         |  (CAST(COALESCE(c.n_obs, 0) AS BIGINT) * 1000000) // t.tt AS obs_ppm,
+         |  CAST($expectedCase AS BIGINT) AS expected_ppm
+         |FROM g LEFT JOIN c USING (digit) CROSS JOIN t
+         |ORDER BY g.digit""".stripMargin
+    },
 
     // HITS twin: same synthetic edges, unrolled auth-then-hub rounds,
     // max-renormalization by integer division per half-step

@@ -218,6 +218,43 @@ object Profile {
       .filter(col("cnt") >= minCount)
   }
 
+  /** Benford first-digit expectations `log₁₀(1 + 1/d)` in ppm — the
+    * plan-time constant table [[benfordReport]] and its oracle twin
+    * both read (the NDCG-discount discipline: the transcendental runs
+    * ONCE in Scala, never inside an engine). */
+  val BenfordExpectedPpm: Seq[(Int, Long)] = (1 to 9).map(d =>
+    d -> math.floor(math.log10(1.0 + 1.0 / d) * 1000000.0 + 0.5).toLong)
+
+  /** Benford's-law first-digit audit over a positive integer column —
+    * the classic fabricated/degenerate-numeric screen (naturally
+    * occurring multi-magnitude quantities front-load small leading
+    * digits; synthetic or truncated feeds don't): per digit 1–9 the
+    * observed count, observed share in ppm, and the Benford expectation
+    * as a plan-time literal. The first digit comes from the DECIMAL
+    * STRING of the integer (both engines render positive integers
+    * identically — no float formatting crossing). Zero/negative values
+    * are excluded by contract (they have no Benford digit). One partial
+    * agg to ≤9 rows; the digit grid joins as a 9-row broadcast.
+    */
+  def benfordReport(df: DataFrame, intCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val counts = df.filter(col(intCol) > 0)
+      .select(expr(s"CAST(substring(CAST($intCol AS STRING), 1, 1) AS INT)")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val total = counts.agg(sum(col("n_obs")).as("__t"))
+    val expectedCase = "CASE digit " + BenfordExpectedPpm.map {
+      case (d, e) => s"WHEN $d THEN ${e}L"
+    }.mkString(" ") + " END"
+    spark.range(1, 10).select(col("id").cast("int").as("digit"))
+      .join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        expr("(coalesce(n_obs, 0L) * 1000000) div __t").as("obs_ppm"),
+        expr(expectedCase).as("expected_ppm"))
+  }
+
   /** Gini coefficient of the doc and token mass across sources — the
     * one-number inequality read on a training mix (G = 0 every source
     * contributes equally, G → 1 one source dominates; the number the

@@ -113,4 +113,31 @@ object Web {
       .join(broadcast(blocklist.toDF("__bad")),
         col("__dom") === col("__bad"), "left_anti")
       .drop("__dom")
+
+  /** Redirect-chain resolution by POINTER DOUBLING — the URL
+    * canonicalization step a web corpus runs before dedup (wiki
+    * redirects, shorteners, http→https hops): each round every chain
+    * pointer jumps to its target's target, so a length-L chain resolves
+    * in ⌈log₂ L⌉ keyed equi-join rounds, not L — the classic
+    * list-ranking trick, and the difference between 8 shuffles and
+    * 10⁶ at web scale. Input: one `(src, dst)` edge per redirecting
+    * page (acyclic by contract — a cycle would pin srcs to a
+    * 2^rounds-step orbit; detect with [[Graph.triangles]]-style audits
+    * upstream). Carries the hop count through the doubling (hops add
+    * when the jump lands on a still-redirecting node). Lineage cut per
+    * round, the pageRankInt posture.
+    */
+  def resolveRedirects(redirects: DataFrame, rounds: Int = 8): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"resolveRedirects: bad rounds=$rounds")
+    var cur = redirects.select(col("src"), col("dst"), lit(1L).as("hops"))
+    for (_ <- 1 to rounds) {
+      cur = cur.as("a")
+        .join(cur.as("b"), col("a.dst") === col("b.src"), "left")
+        .select(col("a.src").as("src"),
+          coalesce(col("b.dst"), col("a.dst")).as("dst"),
+          (col("a.hops") + coalesce(col("b.hops"), lit(0L))).as("hops"))
+        .localCheckpoint(eager = false)
+    }
+    cur.select(col("src"), col("dst").as("final_dst"), col("hops"))
+  }
 }

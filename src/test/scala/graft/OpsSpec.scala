@@ -953,6 +953,42 @@ class OpsSpec extends SparkSpec {
       s"SQ8 score ${got(1L)._2} should approximate 2|v|^2 = 60 within code rounding")
   }
 
+  test("resolveRedirects: branched chains resolve to terminals with exact hop counts") {
+    import spark.implicits._
+    // 5→4→3→0 with a side entry 9→3: terminals carry no outgoing edge
+    val edges = Seq((5L, 4L), (4L, 3L), (3L, 0L), (9L, 3L))
+      .toDF("src", "dst")
+    val got = graft.ops.Web.resolveRedirects(edges, rounds = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      5L -> ((0L, 3L)), 4L -> ((0L, 2L)), 3L -> ((0L, 1L)), 9L -> ((0L, 2L))))
+    // doubling is partitioning-invariant (pure equi-joins, no state),
+    // and extra rounds past convergence change nothing (terminal fixed
+    // point: terminals have no outgoing edge to jump through)
+    val a = graft.ops.Web.resolveRedirects(edges.repartition(5), rounds = 4)
+      .collect().map(_.toString).sorted
+    val b = graft.ops.Web.resolveRedirects(edges.coalesce(1), rounds = 3)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("benfordReport: planted digits count exactly, absent digits zero, expectations pinned") {
+    import spark.implicits._
+    // first digits: 1×3 (1, 123, 19), 9×1 (9000), zero/negative dropped
+    val vals = Seq(1L, 123L, 19L, 9000L, 0L, -5L).toDF("cents")
+    val got = graft.ops.Profile.benfordReport(vals, "cents").collect()
+      .map(r => r.getInt(0) -> ((r.getAs[Long]("n_obs"), r.getAs[Long]("obs_ppm"),
+        r.getAs[Long]("expected_ppm")))).toMap
+    assert(got.keySet === (1 to 9).toSet, "all nine digits report")
+    assert(got(1) === ((3L, 750000L, 301030L)))
+    assert(got(9)._1 === 1L && got(9)._2 === 250000L)
+    (2 to 8).foreach(d => assert(got(d)._1 === 0L && got(d)._2 === 0L))
+    // the expectation table is log10(1+1/d) — pinned at both ends
+    assert(got(9)._3 === 45757L)
+    assert(got.values.map(_._3).sum === 1000000L,
+      "rounded expectations telescope to exactly 1e6")
+  }
+
   test("topicPurity: exhaustive over the corpus, dominant share bounded and consistent") {
     val docs = Tables.documents(spark, sf001)
     val rows = graft.ops.TextAnalysis.topicPurity(docs).collect()
