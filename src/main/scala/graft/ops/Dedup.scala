@@ -336,8 +336,15 @@ object Dedup {
     * the exchange is reused, not added.
     */
   def minhashLshPairs(df: DataFrame, n: Int = 3, k: Int = 16, rows: Int = 4,
-                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val sig = minhashSignatures(df, n, k)
+                      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    lshPairsFromSignatures(minhashSignatures(df, n, k), k, rows, maxBucket)
+
+  /** The banding/bucket-join tail of [[minhashLshPairs]] over an
+    * ALREADY-COMPUTED signature frame — consumers that need both the
+    * pairs and the signatures (e.g. [[minhashJaccardEst]]) call this to
+    * avoid re-running the tokenize+shingle+hash pipeline per use. */
+  def lshPairsFromSignatures(sig: DataFrame, k: Int = 16, rows: Int = 4,
+                             maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val nBands = k / rows
     // posexplode over an array of band keys: ONE pass over the
     // signatures instead of an nBands-way union re-scanning them. The
@@ -422,8 +429,12 @@ object Dedup {
     */
   def minhashJaccardEst(df: DataFrame, n: Int = 3, k: Int = 16,
                         rows: Int = 4): DataFrame = {
-    val pairs = minhashLshPairs(df, n, k, rows)
-    val sig = minhashSignatures(df, n, k)
+    // signatures and shingles are each computed ONCE and lineage-cut:
+    // pairs, the per-pair signature comparison, and the exact-Jaccard
+    // tail all reuse the materialized frames instead of re-running the
+    // tokenize+shingle+hash pipeline per consumer
+    val sig = minhashSignatures(df, n, k).localCheckpoint(eager = false)
+    val pairs = lshPairsFromSignatures(sig, k, rows)
     val sa = sig.select(col("doc_id").as("doc_a") +:
       (0 until k).map(i => col(s"mh_$i").as(s"__a_$i")): _*)
     val sb = sig.select(col("doc_id").as("doc_b") +:
@@ -433,7 +444,7 @@ object Dedup {
         (0 until k).map(i =>
           when(col(s"__a_$i") === col(s"__b_$i"), 1L).otherwise(0L))
           .reduce(_ + _).as("sig_matches"))
-    val sh = shingles(df, n)
+    val sh = shingles(df, n).localCheckpoint(eager = false)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val shared = pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))

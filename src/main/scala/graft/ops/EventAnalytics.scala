@@ -1083,7 +1083,20 @@ object EventAnalytics {
         sum(col("y")).as("sum_y"),
         sum(col("y") * col("y")).as("sum_y2"),
         sum(col("y") * col("y") * col("y")).as("sum_y3"),
-        sum(col("y") * col("y") * col("y") * col("y")).as("sum_y4"))
+        sum(col("y") * col("y") * col("y") * col("y")).as("sum_y4"),
+        max(abs(col("y"))).as("__absy"))
+      // fail-loudly guard on the i64 envelope: Spark's non-ANSI sums
+      // WRAP silently where the DuckDB twin's HUGEINT→BIGINT cast
+      // throws — without this, Spark alone would ship garbage moments.
+      // n·max|y|⁴ ≥ Σy⁴ is a conservative overestimate, so the guard
+      // can only fire early, never miss a real wrap.
+      .withColumn("sum_y4", expr(
+        """CASE WHEN CAST(n AS DOUBLE) * POWER(CAST(greatest(__absy, 1L) AS DOUBLE), 4.0) < 9.0e18
+          |  THEN sum_y4
+          |  ELSE CAST(assert_true(false,
+          |    'statsMoments: sum_y4 would overflow i64 — shrink the value scale or bucket finer') AS BIGINT)
+          |END""".stripMargin))
+      .drop("__absy")
       .withColumn("__mu", expr("CAST(sum_y AS DOUBLE) / CAST(n AS DOUBLE)"))
       .withColumn("__m2", expr(
         "CAST(sum_y2 AS DOUBLE) / CAST(n AS DOUBLE) - __mu * __mu"))

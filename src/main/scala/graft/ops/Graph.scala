@@ -81,25 +81,28 @@ object Graph {
     val e = edges.select(col("src"), col("dst")).repartition(col("src")).cache()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
-    var hubs = nodes.withColumn("hub", lit(scale))
-    var auths = nodes.withColumn("auth", lit(scale))
-    for (_ <- 1 to iters) {
-      val aRaw = e.join(hubs.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("raw"))
-      val aMax = aRaw.agg(max(col("raw")).as("__m"))
-      val aNext = nodes.join(aRaw, Seq("node"), "left")
-        .crossJoin(broadcast(aMax))
-        .select(col("node"),
-          coalesce(expr(s"(raw * $scale) div __m"), lit(0L)).as("auth"))
-      auths = if (checkpoint) aNext.localCheckpoint(eager = false) else aNext
-      val hRaw = e.join(auths.withColumnRenamed("node", "dst"), "dst")
-        .groupBy(col("src").as("node")).agg(sum(col("auth")).as("raw"))
-      val hMax = hRaw.agg(max(col("raw")).as("__m"))
-      val hNext = nodes.join(hRaw, Seq("node"), "left")
-        .crossJoin(broadcast(hMax))
-        .select(col("node"),
-          coalesce(expr(s"(raw * $scale) div __m"), lit(0L)).as("hub"))
-      hubs = if (checkpoint) hNext.localCheckpoint(eager = false) else hNext
+    // only hubs carries loop state: auths are DERIVED from hubs at the
+    // top of every round (the standard update order), so the fold's
+    // auth slot starts as a never-read placeholder, not a fake score
+    val init = nodes.withColumn("hub", lit(scale))
+    val (hubs, auths) = (1 to iters).foldLeft((init, init)) {
+      case ((prevHubs, _), _) =>
+        val aRaw = e.join(prevHubs.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("raw"))
+        val aMax = aRaw.agg(max(col("raw")).as("__m"))
+        val aNext = nodes.join(aRaw, Seq("node"), "left")
+          .crossJoin(broadcast(aMax))
+          .select(col("node"),
+            coalesce(expr(s"(raw * $scale) div __m"), lit(0L)).as("auth"))
+        val auths = if (checkpoint) aNext.localCheckpoint(eager = false) else aNext
+        val hRaw = e.join(auths.withColumnRenamed("node", "dst"), "dst")
+          .groupBy(col("src").as("node")).agg(sum(col("auth")).as("raw"))
+        val hMax = hRaw.agg(max(col("raw")).as("__m"))
+        val hNext = nodes.join(hRaw, Seq("node"), "left")
+          .crossJoin(broadcast(hMax))
+          .select(col("node"),
+            coalesce(expr(s"(raw * $scale) div __m"), lit(0L)).as("hub"))
+        (if (checkpoint) hNext.localCheckpoint(eager = false) else hNext, auths)
     }
     hubs.join(auths, Seq("node"))
   }

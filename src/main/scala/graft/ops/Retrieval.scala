@@ -98,15 +98,26 @@ object Retrieval {
     * 0, min NULL → coalesced). All inputs are top-k slivers; the
     * metrics are two ≤ k-row joins.
     */
-  def evalVsLexical(df: DataFrame, terms: Seq[String], queryText: String,
-                    kRel: Int = 10, k: Int = 20, dim: Int = 64): DataFrame = {
-    // pools must cover the deepest rank either metric reads — a fixed 50
-    // would silently truncate recall@k for k > 50
+  /** The shared arm scaffold of every lexical-truth eval
+    * ([[evalVsLexical]], [[ndcgAtK]]): the sparse/dense pools, the
+    * top-kRel relevance set, and the RRF fusion cut at k — ONE home so
+    * the pool-floor rule and relevance convention can't diverge between
+    * metrics. Pools must cover the deepest rank any metric reads — a
+    * fixed 50 would silently truncate for k > 50. */
+  private def lexicalArms(df: DataFrame, terms: Seq[String], queryText: String,
+                          kRel: Int, k: Int, dim: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val pool = math.max(50, math.max(k, kRel))
     val sparse = sparseTopK(df, terms, pool)
     val rel = sparse.filter(col("sparse_rank") <= kRel).select(col("doc_id"))
     val dense = denseTopK(df, queryText, pool, dim)
     val rrf = rrfFuse(sparse, dense, topK = k)
+    (rel, dense, rrf)
+  }
+
+  def evalVsLexical(df: DataFrame, terms: Seq[String], queryText: String,
+                    kRel: Int = 10, k: Int = 20, dim: Int = 64): DataFrame = {
+    val (rel, dense, rrf) = lexicalArms(df, terms, queryText, kRel, k, dim)
     def metrics(sys: String, top: DataFrame, rankCol: String): DataFrame =
       top.filter(col(rankCol) <= k)
         .join(rel, Seq("doc_id"), "left_semi")
@@ -143,11 +154,7 @@ object Retrieval {
   def ndcgAtK(df: DataFrame, terms: Seq[String], queryText: String,
               kRel: Int = 10, k: Int = 10, dim: Int = 64): DataFrame = {
     require(k >= 1 && kRel >= 1, "ndcgAtK: k and kRel must be positive")
-    val pool = math.max(50, math.max(k, kRel))
-    val sparse = sparseTopK(df, terms, pool)
-    val rel = sparse.filter(col("sparse_rank") <= kRel).select(col("doc_id"))
-    val dense = denseTopK(df, queryText, pool, dim)
-    val rrf = rrfFuse(sparse, dense, topK = k)
+    val (rel, dense, rrf) = lexicalArms(df, terms, queryText, kRel, k, dim)
     val disc = ndcgDiscountsMicro(k)
     val idcg = disc.take(math.min(k, kRel)).sum
     def discOf(rankCol: String): Column =

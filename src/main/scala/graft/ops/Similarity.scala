@@ -460,11 +460,18 @@ object Similarity {
     * `q_csv` (the int8 codes joined with ',' for a representation-stable
     * cross-engine hash).
     */
-  def quantizeInt8(emb: DataFrame): DataFrame = {
-    val absmax = expr(
-      "aggregate(embedding, CAST(0 AS DOUBLE), (m, v) -> greatest(m, abs(CAST(v AS DOUBLE))))")
+  /** The ONE definition of the SQ8 quantization arithmetic — shared by
+    * [[quantizeInt8]] (csv codes) and [[sqTopK]] (integer-array codes)
+    * so their codes can never drift apart (both oracle twins mirror
+    * this exact text). */
+  private val int8AbsMax: Column = expr(
+    "aggregate(embedding, CAST(0 AS DOUBLE), (m, v) -> greatest(m, abs(CAST(v AS DOUBLE))))")
+  private def int8Round(v: Column, absmax: Column): Column =
+    floor(v.cast("double") * 127.0d / absmax + 0.5d)
+
+  def quantizeInt8(emb: DataFrame): DataFrame =
     emb
-      .select(col("vec_id"), col("embedding"), absmax.as("absmax"))
+      .select(col("vec_id"), col("embedding"), int8AbsMax.as("absmax"))
       .select(
         col("vec_id"),
         (col("absmax") / 127.0d).as("scale"),
@@ -472,10 +479,8 @@ object Similarity {
           array_join(transform(col("embedding"), _ => lit("0")), ","))
           .otherwise(array_join(
             transform(col("embedding"), v =>
-              floor(v.cast("double") * 127.0d / col("absmax") + 0.5d)
-                .cast("int").cast("string")),
+              int8Round(v, col("absmax")).cast("int").cast("string")),
             ",")).as("q_csv"))
-  }
 
   /** Matryoshka truncation eval (Kusupati et al. 2022): recall@k of
     * PREFIX-dimension cosine search against the full-dimension truth —
@@ -521,15 +526,12 @@ object Similarity {
     require(k >= 1, s"sqTopK: k must be positive, got $k")
     def quant(side: DataFrame, id: String, sc: String, qc: String): DataFrame =
       side
-        .select(col("vec_id").as(id),
-          expr("aggregate(embedding, CAST(0 AS DOUBLE), (m, v) -> greatest(m, abs(CAST(v AS DOUBLE))))")
-            .as("__am"),
-          col("embedding"))
+        .select(col("vec_id").as(id), int8AbsMax.as("__am"), col("embedding"))
         .select(col(id), (col("__am") / 127.0d).as(sc),
           when(col("__am") === 0d,
-            expr("transform(embedding, v -> CAST(0 AS BIGINT))"))
-            .otherwise(expr(
-              "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 127.0D / __am + 0.5D) AS BIGINT))"))
+            transform(col("embedding"), _ => lit(0L)))
+            .otherwise(transform(col("embedding"), v =>
+              int8Round(v, col("__am")).cast("long")))
             .as(qc))
     val q = quant(queries, "query_id", "qscale", "qq")
     val c = quant(corpus, "neighbor_id", "cscale", "cq")
