@@ -972,6 +972,28 @@ class OpsSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("resolveRedirects: random acyclic forests resolve to the model transitive closure") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234) // fixed seed — deterministic run
+    for (trial <- 1 to 3) {
+      // each node > 0 redirects to a strictly smaller node with
+      // probability 2/3 — acyclic by construction, arbitrary branching
+      val edges = (1 to 59).flatMap { i =>
+        if (rnd.nextInt(3) < 2) Some((i.toLong, rnd.nextInt(i).toLong)) else None
+      }
+      val m = edges.toMap
+      def resolve(s: Long): (Long, Long) = {
+        var cur = s; var hops = 0L
+        while (m.contains(cur)) { cur = m(cur); hops += 1 }
+        (cur, hops)
+      }
+      val expect = edges.map { case (s, _) => s -> resolve(s) }.toMap
+      val got = graft.ops.Web.resolveRedirects(edges.toDF("src", "dst"), rounds = 6)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got === expect, s"trial $trial")
+    }
+  }
+
   test("benfordReport: planted digits count exactly, absent digits zero, expectations pinned") {
     import spark.implicits._
     // first digits: 1×3 (1, 123, 19), 9×1 (9000), zero/negative dropped

@@ -278,6 +278,35 @@ class SamplingSpec extends SparkSpec {
     assert(full === 700L)
   }
 
+  test("qualityBudgetMix: random stats respect the budget and the greedy-prefix law") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99) // fixed seed — deterministic run
+    for (trial <- 1 to 3) {
+      val stats = (0 until 12).map(i =>
+        (s"s$i", rnd.nextInt(1000).toLong + 1, rnd.nextInt(1000).toLong))
+      val budget = rnd.nextInt(3000).toLong
+      val got = graft.ops.Sampling
+        .qualityBudgetMix(stats.toDF("source", "n_tokens", "priority"), budget)
+        .collect()
+      val takes = got.map(r => r.getString(0) -> r.getAs[Long]("take_tokens")).toMap
+      val caps = got.map(r => r.getString(0) -> r.getAs[Long]("cap_tokens")).toMap
+      got.foreach { r =>
+        val t = takes(r.getString(0))
+        assert(t >= 0L && t <= caps(r.getString(0)), s"trial $trial: $r")
+      }
+      // exhausts exactly: total = min(budget, total capacity)
+      assert(takes.values.sum === math.min(budget, caps.values.sum), s"trial $trial")
+      // greedy-prefix law: after the first partially-filled source (in
+      // priority order) every later source takes nothing
+      val ordered = got.sortBy(r => (-r.getAs[Long]("priority"), r.getString(0)))
+      val idxPartial = ordered.indexWhere(r =>
+        takes(r.getString(0)) < caps(r.getString(0)))
+      if (idxPartial >= 0)
+        ordered.drop(idxPartial + 1).foreach(r =>
+          assert(takes(r.getString(0)) === 0L, s"trial $trial: non-zero after partial"))
+    }
+  }
+
   test("prioritySample: deterministic, weight-sensitive, exactly k rows") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf001)
