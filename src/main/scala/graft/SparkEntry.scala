@@ -3588,6 +3588,13 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
           budget = 100000L, epochCap = 2)
         .orderBy(col("source"))),
 
+    "sample_neyman" -> ((s, dir) =>
+      // Neyman vs proportional stratified allocation of a 1000-doc
+      // budget: high-variance sources earn more than their share,
+      // largest-remainder apportionment sums to the budget exactly
+      Sampling.neymanAllocation(Tables.documents(s, dir), k = 1000L)
+        .orderBy(col("source"))),
+
     "mix_quality_budget" -> ((s, dir) =>
       // quality-first waterfall (the third mixing recipe next to
       // UniMax/temperature): spend the budget on the highest-TTR
@@ -8652,6 +8659,52 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |  CAST(CASE WHEN n_tokens <= 0 THEN 0
         |       ELSE alloc_tokens * 1000 // n_tokens END AS BIGINT) AS epochs_milli
         |FROM a ORDER BY source""".stripMargin,
+
+    // Neyman twin: identical exact sums → fixed-order sd_milli floor,
+    // identical integer-weight largest-remainder apportionment twice
+    "sample_neyman" ->
+      """WITH per AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sx,
+        |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)
+        |             * CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS sx2
+        |  FROM documents GROUP BY 1),
+        |sd AS (SELECT source, n_docs,
+        |    CASE WHEN CAST(sx2 AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |           - (CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |             * (CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE)) <= 0.0
+        |      THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(FLOOR(SQRT(
+        |        CAST(sx2 AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |          - (CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |            * (CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+        |        * 1000.0 + 0.5) AS BIGINT) END AS sd_milli
+        |  FROM per),
+        |ny AS (SELECT *, n_docs * sd_milli AS w FROM sd),
+        |nt AS (SELECT CAST(COALESCE(SUM(w), 0) AS BIGINT) AS tw FROM ny),
+        |nb AS (SELECT ny.*, nt.tw,
+        |    CASE WHEN nt.tw > 0 THEN CAST((1000 * w) // nt.tw AS BIGINT) ELSE 0 END AS base,
+        |    CASE WHEN nt.tw > 0 THEN CAST((1000 * w) % nt.tw AS BIGINT) ELSE 0 END AS r
+        |  FROM ny CROSS JOIN nt),
+        |na AS (SELECT *,
+        |    CASE WHEN tw > 0 THEN 1000 - CAST(SUM(base) OVER () AS BIGINT) ELSE 0 END AS leftv,
+        |    row_number() OVER (ORDER BY r DESC, source) AS rn FROM nb),
+        |n1 AS (SELECT source, n_docs, sd_milli,
+        |    CAST(base + CASE WHEN rn <= leftv THEN 1 ELSE 0 END AS BIGINT) AS alloc_neyman
+        |  FROM na),
+        |py AS (SELECT source, n_docs, CAST(n_docs AS BIGINT) AS w FROM sd),
+        |pt AS (SELECT CAST(COALESCE(SUM(w), 0) AS BIGINT) AS tw FROM py),
+        |pb AS (SELECT py.*, pt.tw,
+        |    CASE WHEN pt.tw > 0 THEN CAST((1000 * w) // pt.tw AS BIGINT) ELSE 0 END AS base,
+        |    CASE WHEN pt.tw > 0 THEN CAST((1000 * w) % pt.tw AS BIGINT) ELSE 0 END AS r
+        |  FROM py CROSS JOIN pt),
+        |pa AS (SELECT *,
+        |    CASE WHEN tw > 0 THEN 1000 - CAST(SUM(base) OVER () AS BIGINT) ELSE 0 END AS leftv,
+        |    row_number() OVER (ORDER BY r DESC, source) AS rn FROM pb),
+        |p1 AS (SELECT source,
+        |    CAST(base + CASE WHEN rn <= leftv THEN 1 ELSE 0 END AS BIGINT) AS alloc_prop
+        |  FROM pa)
+        |SELECT n1.source, n1.n_docs, n1.sd_milli, n1.alloc_neyman, p1.alloc_prop
+        |FROM n1 JOIN p1 USING (source) ORDER BY n1.source""".stripMargin,
 
     // quality-waterfall twin: the sourceProfile stats CTEs, TTR
     // priority, cumulative-cap window, identical clamp arithmetic

@@ -147,6 +147,68 @@ object Sampling {
       .drop("__cum_before")
   }
 
+  /** Neyman (optimal) stratified-sample allocation vs proportional —
+    * classical sampling theory (Neyman 1934): with a fixed total budget
+    * `k`, sampling stratum h at `n_h·σ_h / Σ n·σ` minimizes the
+    * estimator variance — high-variance sources deserve MORE than their
+    * proportional share, uniform boilerplate sources less. σ here is
+    * the per-source doc-length sd, the cheap universal spread proxy
+    * (swap in any per-doc score's sums for a targeted allocation).
+    *
+    * Determinism discipline: σ floors to integer MILLI first, so the
+    * weights `n_h·σ_milli` are BIGINT and every share divides exactly —
+    * a double Σw would make allocations hostage to partial-agg addition
+    * order. Seats apportion by LARGEST REMAINDER (floor shares, then
+    * the `k − Σfloor` leftovers go to the biggest `(k·w) mod Σw`, ties
+    * to the smaller source name), so Σalloc = k exactly. All windows
+    * run over the |sources|-row aggregate.
+    */
+  def neymanAllocation(docs: DataFrame, k: Long,
+                       groupCol: String = "source",
+                       textCol: String = "text"): DataFrame = {
+    require(k >= 0 && k <= 1000000L,
+      s"neymanAllocation: k=$k outside the overflow-audited range (k·w ≤ 2⁶³)")
+    val per = docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), " ")).cast("long")).as("__sx"),
+        sum(size(split(col(textCol), " ")).cast("long")
+          * size(split(col(textCol), " ")).cast("long")).as("__sx2"))
+      .withColumn("sd_milli", expr(
+        // population sd from exact sums, sqrt-only fixed-order doubles;
+        // the ≤ 0 guard absorbs the constant-stratum rounding denormal
+        """CASE WHEN CAST(__sx2 AS DOUBLE) / CAST(n_docs AS DOUBLE)
+          |       - (CAST(__sx AS DOUBLE) / CAST(n_docs AS DOUBLE))
+          |         * (CAST(__sx AS DOUBLE) / CAST(n_docs AS DOUBLE)) <= 0.0
+          |  THEN CAST(0 AS BIGINT)
+          |  ELSE CAST(FLOOR(SQRT(
+          |    CAST(__sx2 AS DOUBLE) / CAST(n_docs AS DOUBLE)
+          |      - (CAST(__sx AS DOUBLE) / CAST(n_docs AS DOUBLE))
+          |        * (CAST(__sx AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+          |    * 1000.0 + 0.5) AS BIGINT) END""".stripMargin))
+      .drop("__sx", "__sx2")
+    def apportion(weightExpr: String, out: String): DataFrame => DataFrame = df => {
+      val w = Window.orderBy(col("__r").desc, col(groupCol))
+      df.withColumn("__w", expr(weightExpr))
+        .withColumn("__tw", sum(col("__w")).over(Window.partitionBy()))
+        .withColumn("__base",
+          expr(s"CASE WHEN __tw > 0 THEN ($k * __w) div __tw ELSE 0L END"))
+        .withColumn("__r",
+          expr(s"CASE WHEN __tw > 0 THEN ($k * __w) % __tw ELSE 0L END"))
+        .withColumn("__sumbase", sum(col("__base")).over(Window.partitionBy()))
+        .withColumn("__left",
+          expr(s"CASE WHEN __tw > 0 THEN $k - __sumbase ELSE 0L END"))
+        .withColumn(out,
+          col("__base") + when(row_number().over(w) <= col("__left"), 1L)
+            .otherwise(0L))
+        .drop("__w", "__tw", "__base", "__r", "__sumbase", "__left")
+    }
+    val neyman = apportion("n_docs * sd_milli", "alloc_neyman")
+    val prop = apportion("n_docs", "alloc_prop")
+    prop(neyman(per))
+      .select(col(groupCol), col("n_docs"), col("sd_milli"),
+        col("alloc_neyman"), col("alloc_prop"))
+  }
+
   /** Greedy token-budget shard assignment — THE shard math (`pack_shards`
     * and [[packConcat]] must agree on which docs share a shard, so they
     * share this): per-group id-ordered token cumsum, shard = floor of

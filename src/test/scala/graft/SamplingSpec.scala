@@ -278,6 +278,34 @@ class SamplingSpec extends SparkSpec {
     assert(full === 700L)
   }
 
+  test("neymanAllocation: variance pulls share, largest remainder sums to k exactly") {
+    import spark.implicits._
+    // 'a': all docs length 4 (sd 0); 'b': lengths 1 and 7 (sd exactly
+    // 3 → 3000 milli). Neyman weights n·sd = (0, 6000): b takes the
+    // whole budget; proportional splits it evenly
+    val docs = Seq(
+      (1L, "a", "w w w w"), (2L, "a", "w w w w"),
+      (3L, "b", "w"), (4L, "b", "w w w w w w w")
+    ).toDF("doc_id", "source", "text")
+    val got = graft.ops.Sampling.neymanAllocation(docs, k = 10L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("a").getAs[Long]("sd_milli") === 0L)
+    assert(got("b").getAs[Long]("sd_milli") === 3000L)
+    assert(got("a").getAs[Long]("alloc_neyman") === 0L)
+    assert(got("b").getAs[Long]("alloc_neyman") === 10L)
+    assert(got("a").getAs[Long]("alloc_prop") === 5L)
+    assert(got("b").getAs[Long]("alloc_prop") === 5L)
+    // largest-remainder apportionment: Σalloc = k exactly even when the
+    // floors undershoot (n = 2,2,1 at k = 7 → bases 2,2,1 + 2 leftovers)
+    val uneven = docs.unionByName(Seq((5L, "c", "w w w w"))
+      .toDF("doc_id", "source", "text"))
+    val props = graft.ops.Sampling.neymanAllocation(uneven, k = 7L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc_prop")).toMap
+    assert(props.values.sum === 7L)
+    assert(props === Map("a" -> 3L, "b" -> 3L, "c" -> 1L),
+      "remainder ties break to the smaller source name")
+  }
+
   test("qualityBudgetMix: random stats respect the budget and the greedy-prefix law") {
     import spark.implicits._
     val rnd = new scala.util.Random(99) // fixed seed — deterministic run
