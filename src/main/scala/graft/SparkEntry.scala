@@ -288,6 +288,43 @@ object SparkEntry {
     """CASE event_type WHEN 'signup' THEN 'c' WHEN 'purchase' THEN 'u'
       |    WHEN 'error' THEN 'd' WHEN 'view' THEN 'r' ELSE 'm' END""".stripMargin
 
+  /** Shared oracle CTE chain replaying the T3 chunk-status fixture
+    * (Cdc.chunkStatusUpdates) and the transactiontracker state machine
+    * (Cdc.compressionFromStatus): `su` = the status-UPDATE stream,
+    * `ce` = the emitted compression/decompression events. All-integer
+    * arithmetic on non-negative operands, so `//` ≡ Spark's `div`. */
+  private val chunkStatusCtes: String =
+    """mx AS (SELECT MAX(event_id) AS max_lsn,
+      |    MAX(epoch_ns(ts) // 1000000) AS max_ts FROM events),
+      |days AS (SELECT DISTINCT epoch_ns(ts) // 86400000000000 - 19723 AS d FROM events),
+      |b AS (SELECT d, ((max_lsn // 10) + 10) * 10 AS base, max_ts FROM days, mx),
+      |u AS (
+      |  SELECT base + d*40 AS lsn,
+      |    CASE WHEN d % 3 = 0 THEN 9 ELSE 1 END AS new_status, d, base, max_ts FROM b
+      |  UNION ALL
+      |  SELECT base + d*40 + CASE WHEN d % 4 = 0 THEN 1 ELSE 10 END, 0, d, base, max_ts
+      |  FROM b WHERE d % 2 = 0
+      |  UNION ALL
+      |  SELECT base + d*40 + 20, 1, d, base, max_ts FROM b WHERE d % 4 = 2),
+      |su AS (SELECT lsn, lsn // 10 AS xid, d AS chunk_id, new_status,
+      |    max_ts + (lsn - base) AS ts_ms FROM u),
+      |st AS (SELECT *, lag(new_status, 1, 0)
+      |    OVER (PARTITION BY chunk_id ORDER BY lsn) AS old_status FROM su),
+      |kk AS (SELECT *, CASE WHEN old_status = 0 AND new_status <> 0 THEN 'c'
+      |                      WHEN old_status <> 0 AND new_status = 0 THEN 'd' END AS kind
+      |  FROM st),
+      |wn AS (SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY xid, kind ORDER BY lsn DESC) AS rn
+      |    FROM kk WHERE kind IS NOT NULL) z WHERE rn = 1),
+      |cm AS (SELECT xid, MAX(lsn) AS commit_lsn, MAX(ts_ms) AS commit_ts_ms
+      |  FROM su GROUP BY xid),
+      |ce AS (SELECT cm.commit_lsn AS lsn, wn.xid, '$' AS op, wn.kind AS tsdb_op,
+      |    concat('_hyper_1_', CAST(wn.chunk_id AS VARCHAR), '_chunk') AS chunk_name,
+      |    (wn.new_status & 8) = 8 AS partial,
+      |    'public' AS key_schema, 'events' AS key_table,
+      |    cm.commit_ts_ms AS ts_ms
+      |  FROM wn JOIN cm ON wn.xid = cm.xid)""".stripMargin
+
   /** Shared IVF-PQ oracle chain through the `ranked` candidates CTE —
     * the topk entry appends its own cut, the rerank entry appends an
     * exact re-scoring stage over the same candidates. */
@@ -2404,12 +2441,57 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     }),
 
     "cdc_compression_events" -> ((s, dir) => {
-      Cdc.compressionEvents(Cdc.walEvents(s, dir)).orderBy(col("chunk_name"))
+      // status-transition-detected events (both kinds + partial bit),
+      // shaped to the reference's `$`-event surface
+      Cdc.compressionEvents(Cdc.walEvents(s, dir))
+        .orderBy(col("lsn"), col("tsdb_op"), col("chunk_name"))
+    }),
+
+    "cdc_compression_status" -> ((s, dir) => {
+      // the transactiontracker state machine itself: chunk-status
+      // catalog UPDATEs → lag-per-chunk old status → per-txn last-writer
+      // c/d fields → commit-time emission with the 0x08 partial bit
+      Cdc.compressionFromStatus(Cdc.chunkStatusUpdates(Cdc.walEvents(s, dir)))
+        .orderBy(col("lsn"), col("tsdb_op"), col("chunk_name"))
+    }),
+
+    "cdc_marker_decompression" -> ((s, dir) => {
+      // 2.12+ marker flow: marker-open → suppress re-INSERTs →
+      // marker-close → tsdb_op='d' event per affected chunk
+      Cdc.markerDecompression(Cdc.walEvents(s, dir))
+        .orderBy(col("lsn"), col("chunk_name"))
+    }),
+
+    "cdc_chunk_status_catalog" -> ((s, dir) => {
+      // compressed-chunk resolution through the status-bearing catalog:
+      // compress_hyper_2_* rows resolve via ResolveUncompressedHypertable
+      // (hypertable 2 → 1) back to 'events'; the origin chunk carries the
+      // status/partial bits and its event count from the live stream
+      val cat = Cdc.chunkCatalogStatus(s, dir)
+      val res = Cdc.resolveUncompressed(Cdc.hypertableCatalogCompression(s))
+      val origin = cat.filter(col("compressed_chunk_id").isNotNull)
+        .select(col("chunk_day"), col("chunk_name"), col("status"),
+          col("partial"), col("compressed_chunk_id"))
+      val cside = cat.filter(col("hypertable_id") === 2)
+        .select(col("chunk_id").as("compressed_chunk_id"),
+          col("chunk_name").as("compressed_chunk_name"), col("hypertable_id"))
+        .join(broadcast(res), Seq("hypertable_id"))
+      val counts = Cdc.walEvents(s, dir).groupBy(col("chunk_day"))
+        .agg(count(lit(1)).as("n_events"))
+      origin.join(broadcast(cside), Seq("compressed_chunk_id"))
+        .join(counts, Seq("chunk_day"))
+        .select(col("chunk_name"), col("status"), col("partial"),
+          col("compressed_chunk_name"),
+          col("uncompressed_table").as("ht_table"), col("n_events"))
+        .orderBy(col("chunk_name"))
     }),
 
     "cdc_compression_envelope" -> ((s, dir) => {
-      // op='$' full envelope with the com.timescale.Event key schema
-      Cdc.compressionEnvelopes(Cdc.walEvents(s, dir)).orderBy(col("lsn"))
+      // op='$' full envelope with the com.timescale.Event key schema;
+      // c and d can share a commit LSN, so the envelope text (which
+      // embeds tsdb_op) joins the sort key
+      Cdc.compressionEnvelopes(Cdc.walEvents(s, dir))
+        .orderBy(col("lsn"), col("chunk_name"), col("envelope"))
     }),
 
     "cdc_logical_messages" -> ((s, dir) => {
@@ -4703,25 +4785,54 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
          |FROM events ORDER BY chunk_day, op""".stripMargin,
 
     "cdc_compression_events" ->
-      """SELECT MAX(event_id) AS lsn, '$' AS op, 'c' AS tsdb_op,
-        |  concat('_hyper_1_', CAST(chunk_day AS VARCHAR), '_chunk') AS chunk_name,
-        |  'public' AS key_schema, 'events' AS key_table,
-        |  MAX(epoch_ns(ts) // 1000000) AS ts_ms
-        |FROM (SELECT event_id, ts, epoch_ns(ts) // 86400000000000 - 19723 AS chunk_day FROM events) t
-        |GROUP BY chunk_day ORDER BY chunk_name""".stripMargin,
+      s"""WITH $chunkStatusCtes
+         |SELECT lsn, op, tsdb_op, chunk_name, partial, key_schema, key_table, ts_ms
+         |FROM ce ORDER BY lsn, tsdb_op, chunk_name""".stripMargin,
+
+    "cdc_compression_status" ->
+      s"""WITH $chunkStatusCtes
+         |SELECT lsn, xid, op, tsdb_op, chunk_name, partial, key_schema, key_table, ts_ms
+         |FROM ce ORDER BY lsn, tsdb_op, chunk_name""".stripMargin,
+
+    "cdc_marker_decompression" ->
+      s"""WITH wal AS (SELECT event_id AS lsn, event_id // 10 AS xid,
+         |    $opCaseSql AS op,
+         |    epoch_ns(ts) // 86400000000000 - 19723 AS chunk_day,
+         |    epoch_ns(ts) // 1000000 AS ts_ms FROM events),
+         |br AS (SELECT xid, MIN(lsn) AS start_lsn, MAX(lsn) AS end_lsn
+         |  FROM wal WHERE op = 'm' GROUP BY xid HAVING COUNT(*) >= 2)
+         |SELECT br.end_lsn AS lsn, w.xid, '$$' AS op, 'd' AS tsdb_op,
+         |  concat('_hyper_1_', CAST(w.chunk_day AS VARCHAR), '_chunk') AS chunk_name,
+         |  COUNT(*) AS n_suppressed, MAX(w.ts_ms) AS ts_ms
+         |FROM wal w JOIN br ON w.xid = br.xid
+         |WHERE w.op = 'c' AND w.lsn > br.start_lsn AND w.lsn < br.end_lsn
+         |GROUP BY br.end_lsn, w.xid, w.chunk_day
+         |ORDER BY lsn, chunk_name""".stripMargin,
+
+    "cdc_chunk_status_catalog" ->
+      s"""WITH $chunkStatusCtes,
+         |fs AS (SELECT chunk_id, new_status AS status FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY chunk_id ORDER BY lsn DESC) AS rn
+         |    FROM su) z WHERE rn = 1),
+         |cnt AS (SELECT epoch_ns(ts) // 86400000000000 - 19723 AS d, COUNT(*) AS n_events
+         |  FROM events GROUP BY 1)
+         |SELECT concat('_hyper_1_', CAST(f.chunk_id AS VARCHAR), '_chunk') AS chunk_name,
+         |  f.status, (f.status & 8) = 8 AS partial,
+         |  concat('compress_hyper_2_', CAST(f.chunk_id AS VARCHAR), '_chunk') AS compressed_chunk_name,
+         |  'events' AS ht_table, cnt.n_events
+         |FROM fs f JOIN cnt ON cnt.d = f.chunk_id
+         |WHERE f.status <> 0
+         |ORDER BY chunk_name""".stripMargin,
 
     "cdc_compression_envelope" -> {
       val env = graft.cdc.Cdc.eventsEnvelopeSchemaJson
       val tsKey = graft.model.DebeziumSchema.timescaleKeySchemaJson
-      s"""SELECT lsn, chunk_name,
-         |  '{"payload":{"op":"$$","source":{"connector":"spark-graft","db":"graft","lsn":"' || hex(lsn >> 32) || '/' || hex(lsn & 4294967295) || '","name":"graft","schema":"public","snapshot":false,"table":"events","ts_ms":' || ts_ms || ',"txId":null,"version":"0.1.0"},"ts_ms":' || ts_ms || ',"tsdb_op":"c"},"schema":$env}' AS envelope,
+      s"""WITH $chunkStatusCtes
+         |SELECT lsn, chunk_name,
+         |  '{"payload":{"op":"$$","source":{"connector":"spark-graft","db":"graft","lsn":"' || hex(lsn >> 32) || '/' || hex(lsn & 4294967295) || '","name":"graft","schema":"public","snapshot":false,"table":"events","ts_ms":' || ts_ms || ',"txId":null,"version":"0.1.0"},"ts_ms":' || ts_ms || ',"tsdb_op":"' || tsdb_op || '"},"schema":$env}' AS envelope,
          |  '{"payload":{"schema":"public","table":"events"},"schema":$tsKey}' AS key_json
-         |FROM (SELECT MAX(event_id) AS lsn,
-         |        concat('_hyper_1_', CAST(chunk_day AS VARCHAR), '_chunk') AS chunk_name,
-         |        MAX(epoch_ns(ts) // 1000000) AS ts_ms
-         |      FROM (SELECT event_id, ts, epoch_ns(ts) // 86400000000000 - 19723 AS chunk_day FROM events) t
-         |      GROUP BY chunk_day)
-         |ORDER BY lsn""".stripMargin
+         |FROM ce
+         |ORDER BY lsn, chunk_name, envelope""".stripMargin
     },
 
     "cdc_logical_messages" ->
@@ -5713,7 +5824,8 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     // max_n twin: identical row_number windows and (value, lsn) ties
     "events_max_n" ->
       """WITH wal AS (SELECT event_id AS lsn, event_type, user_id,
-        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_milli FROM events),
+        |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_milli FROM events
+        |  WHERE value IS NOT NULL),
         |mx AS (SELECT 'max_n' AS side, event_type,
         |    CAST(row_number() OVER (PARTITION BY event_type
         |      ORDER BY v_milli DESC, lsn) AS BIGINT) AS rnk,
@@ -8183,13 +8295,15 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
          |ft AS (SELECT query_id, neighbor_id FROM (
          |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.norm * c.norm) DESC,
+         |        ORDER BY CASE WHEN q.norm * c.norm = 0 THEN -2.0
+         |          ELSE ${duckDot("q.embedding", "c.embedding")} / (q.norm * c.norm) END DESC,
          |                 c.vec_id) AS rnk
          |    FROM q JOIN e c ON q.vec_id <> c.vec_id) z WHERE rnk <= 10),
          |pt AS (SELECT query_id, neighbor_id FROM (
          |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${duckDot("q.pe", "c.pe")} / (q.pnorm * c.pnorm) DESC,
+         |        ORDER BY CASE WHEN q.pnorm * c.pnorm = 0 THEN -2.0
+         |          ELSE ${duckDot("q.pe", "c.pe")} / (q.pnorm * c.pnorm) END DESC,
          |                 c.vec_id) AS rnk
          |    FROM qp q JOIN pn c ON q.vec_id <> c.vec_id) z WHERE rnk <= 10),
          |h AS (SELECT p.query_id, CAST(count(*) AS BIGINT) AS n_hits

@@ -90,6 +90,92 @@ object Cdc {
       .toDF("hypertable_id", "ht_schema", "ht_table", "associated_schema", "associated_table_prefix")
   }
 
+  /** Hypertable catalog with the compression columns the reference reads
+    * (`queryReadHypertables`, `internal/sidechannel/queries.go:106-119`):
+    * `compression_state` (2 = IS a compressed hypertable,
+    * `hypertable.go:103-108`) and `compressed_hypertable_id` (the user
+    * hypertable → its compressed twin, `hypertable.go:86-93`). Row 2 is
+    * the `_compressed_hypertable_2` twin that backs hypertable 1.
+    */
+  def hypertableCatalogCompression(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1, "public", "events", "_timescaledb_internal", "_hyper_1_",
+        0, Some(2)),
+      (2, "_timescaledb_internal", "_compressed_hypertable_2",
+        "_timescaledb_internal", "compress_hyper_2_", 2, None: Option[Int]))
+      .toDF("hypertable_id", "ht_schema", "ht_table", "associated_schema",
+        "associated_table_prefix", "compression_state", "compressed_hypertable_id")
+  }
+
+  /** `ResolveUncompressedHypertable` as a dimension
+    * (`internal/systemcatalog/systemcatalog.go:239-254`): every
+    * hypertable id maps to the USER hypertable events should be
+    * attributed to — itself when it is not a compressed table
+    * (`compression_state ≠ 2`), else the hypertable whose
+    * `compressed_hypertable_id` points at it. A catalog-sized self-join,
+    * always broadcastable.
+    */
+  def resolveUncompressed(hypertables: DataFrame): DataFrame = {
+    val owners = hypertables
+      .select(col("compressed_hypertable_id").as("hypertable_id"),
+        col("ht_schema").as("__o_schema"), col("ht_table").as("__o_table"))
+      .filter(col("hypertable_id").isNotNull)
+    hypertables.join(owners, Seq("hypertable_id"), "left")
+      .select(col("hypertable_id"),
+        when(col("compression_state") === 2, col("__o_schema"))
+          .otherwise(col("ht_schema")).as("uncompressed_schema"),
+        when(col("compression_state") === 2, col("__o_table"))
+          .otherwise(col("ht_table")).as("uncompressed_table"))
+  }
+
+  /** Chunk catalog carrying the `status` bitfield + compressed-side rows
+    * (`queryReadChunks`, `internal/sidechannel/queries.go:122-128`;
+    * bitfield + `compress_` naming `spi/systemcatalog/chunk.go:25-79`):
+    * each data chunk's FINAL status is the last value of its
+    * [[chunkStatusUpdates]] history, chunks whose final status ≠ 0 get a
+    * `compressed_chunk_id` backlink to a `compress_hyper_2_<d>_chunk`
+    * row under hypertable 2 (ids offset by 1000 — the reference's ids
+    * are allocator-assigned, any injective map does), and `partial`
+    * reads the 0x08 bit. Catalog-sized end to end.
+    */
+  def chunkCatalogStatus(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wal = walEvents(spark, dir)
+    val wChunk = Window.partitionBy(col("chunk_id")).orderBy(col("lsn").desc)
+    val finalStatus = chunkStatusUpdates(wal)
+      .withColumn("__rn", row_number().over(wChunk))
+      .filter(col("__rn") === 1)
+      .select(col("chunk_id").as("chunk_day"), col("new_status").as("status"))
+    val dataChunks = wal.select(col("chunk_day")).distinct()
+      .join(finalStatus, Seq("chunk_day"), "left")
+      .na.fill(0, Seq("status"))
+      .select(
+        col("chunk_day").as("chunk_id"),
+        col("chunk_day"),
+        concat(lit("_hyper_1_"), col("chunk_day"), lit("_chunk")).as("chunk_name"),
+        lit(1).as("hypertable_id"),
+        lit("_timescaledb_internal").as("chunk_schema"),
+        col("status"),
+        (col("status").bitwiseAND(lit(8)) === 8).as("partial"),
+        when(col("status") =!= 0, col("chunk_day") + 1000).as("compressed_chunk_id"),
+        lit(false).as("dropped"))
+    val compressedSide = dataChunks.filter(col("status") =!= 0)
+      .select(
+        (col("chunk_day") + 1000).as("chunk_id"),
+        col("chunk_day"),
+        concat(lit("compress_hyper_2_"), col("chunk_day"), lit("_chunk")).as("chunk_name"),
+        lit(2).as("hypertable_id"),
+        lit("_timescaledb_internal").as("chunk_schema"),
+        // the compressed-side chunk row itself carries status 0; its
+        // compressed-ness comes from the compress_ name (chunk.go:49)
+        lit(0).as("status"),
+        lit(false).as("partial"),
+        lit(null).cast(IntegerType).as("compressed_chunk_id"),
+        lit(false).as("dropped"))
+    dataChunks.unionByName(compressedSide)
+  }
+
   /** J1 — chunk→hypertable resolution, the reference's raison d'être
     * (`replicationresolver.go:733-759`; caches `containers/relationcache.go`).
     *
@@ -260,22 +346,170 @@ object Cdc {
   def distinctTables(df: DataFrame, cols: Seq[String]): DataFrame =
     df.dropDuplicates(cols)
 
-  /** T3 — compression/decompression events: synthetic op="$" rows with
-    * `tsdb_op` (`transactiontracker.go:249-273` infers them from chunk
-    * status transitions; 2.12+ markers `:32-35`). Stand-in rule: each
-    * chunk emits one compression event at its last LSN — the shape
-    * (per-chunk `$` event, `{schema,table}` key, tsdb_op) is the
-    * reference's (`eventschema.go:46-51,180-197`).
+  /** T3 fixture — the chunk-status catalog-UPDATE stream. The reference
+    * learns about (de)compression from UPDATEs to
+    * `_timescaledb_catalog.chunk` rows carrying the new `status`
+    * bitfield (`transactiontracker.go:249-273`; bitfield semantics
+    * `spi/systemcatalog/chunk.go:62-79`). The WAL stand-in has no real
+    * catalog traffic, so this derives a deterministic status history —
+    * reproducible by the DuckDB oracle — appended AFTER the data LSNs:
+    *
+    *  - every chunk d compresses once (`status 0→1`, or `0→9` for
+    *    d%3==0 — the 0x08 partially-compressed bit set);
+    *  - even chunks then decompress (`→0`); for d%4==0 the decompress
+    *    UPDATE lands in the SAME transaction as the compress one
+    *    (exercising the intra-txn old-status chaining at
+    *    `transactiontracker.go:262-267`), otherwise in a later txn
+    *    (old status comes from the committed catalog);
+    *  - d%4==2 chunks re-compress afterwards (`0→1` again).
+    *
+    * Scale shape: one distinct over chunk_day (DDL-bounded) crossed with
+    * a 1-row max aggregate — catalog-sized, never data-sized.
+    */
+  def chunkStatusUpdates(wal: DataFrame): DataFrame = {
+    val chunks = wal.select(col("chunk_day")).distinct()
+    val maxes = wal.agg(max(col("lsn")).as("__max_lsn"),
+      max(col("ts_ms")).as("__max_ts"))
+    chunks.crossJoin(broadcast(maxes))
+      .withColumn("__base", expr("((__max_lsn div 10) + 10) * 10"))
+      .select(col("chunk_day"), col("__base"), col("__max_ts"),
+        expr(
+          """filter(array(
+            |  named_struct('lsn', __base + chunk_day * 40L,
+            |    'new_status', CASE WHEN chunk_day % 3 = 0 THEN 9 ELSE 1 END),
+            |  CASE WHEN chunk_day % 2 = 0 THEN
+            |    named_struct('lsn', __base + chunk_day * 40L +
+            |      CASE WHEN chunk_day % 4 = 0 THEN 1L ELSE 10L END,
+            |      'new_status', 0)
+            |  END,
+            |  CASE WHEN chunk_day % 4 = 2 THEN
+            |    named_struct('lsn', __base + chunk_day * 40L + 20L, 'new_status', 1)
+            |  END), x -> x IS NOT NULL)""".stripMargin).as("__updates"))
+      .select(col("chunk_day"), col("__base"), col("__max_ts"),
+        explode(col("__updates")).as("u"))
+      .select(
+        col("u.lsn").as("lsn"),
+        expr("u.lsn div 10").as("xid"),
+        col("chunk_day").as("chunk_id"),
+        col("u.new_status").as("new_status"),
+        (col("__max_ts") + (col("u.lsn") - col("__base"))).as("ts_ms"))
+  }
+
+  /** T3 — the reference's compression/decompression detection state
+    * machine (`transactiontracker.go:249-273`, commit-time emission
+    * `:148-186`), re-expressed relationally over a chunk-status UPDATE
+    * stream ([[chunkStatusUpdates]] in the fixture; real catalog WAL in
+    * production):
+    *
+    *  - `old_status` = the status the catalog held when the UPDATE
+    *    arrived — the previous UPDATE's value whether it committed
+    *    earlier or sits earlier in the same txn (the reference's
+    *    `chunk.Status()` + intra-txn `compressionUpdate` override is
+    *    exactly `lag(new_status) over (chunk, lsn)`);
+    *  - `0→≠0` ⇒ compression, `≠0→0` ⇒ decompression;
+    *  - per transaction the tracker keeps ONE `compressionUpdate` and
+    *    ONE `decompressionUpdate` field — later writes overwrite
+    *    (`transactiontracker.go:261,273`) — so the per-(xid,kind)
+    *    row_number picks the LAST update of each kind;
+    *  - both events emit at COMMIT with the commit's LSN/time
+    *    (`:148-186`), compression ordered before decompression —
+    *    `tsdb_op` ('c' < 'd') is the in-commit tiebreak;
+    *  - `partial` surfaces the 0x08 partially-compressed bit of the
+    *    status that triggered the event (`chunk.go:74-76`).
+    *
+    * Every frame here is catalog-sized (chunk/txn counts scale with DDL
+    * volume, not rows), so the windows are safe at any data scale.
+    */
+  def compressionFromStatus(updates: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wChunk = Window.partitionBy(col("chunk_id")).orderBy(col("lsn"))
+    val kinds = updates
+      .withColumn("old_status", lag(col("new_status"), 1, 0).over(wChunk))
+      .withColumn("kind",
+        when(col("old_status") === 0 && col("new_status") =!= 0,
+          lit(Envelope.TsdbOp.Compression))
+          .when(col("old_status") =!= 0 && col("new_status") === 0,
+            lit(Envelope.TsdbOp.Decompression)))
+      .filter(col("kind").isNotNull)
+    val wTxn = Window.partitionBy(col("xid"), col("kind"))
+      .orderBy(col("lsn").desc)
+    val winners = kinds.withColumn("__rn", row_number().over(wTxn))
+      .filter(col("__rn") === 1)
+    val commits = updates.groupBy(col("xid"))
+      .agg(max(col("lsn")).as("commit_lsn"), max(col("ts_ms")).as("commit_ts_ms"))
+    winners.join(commits, Seq("xid"))
+      .select(
+        col("commit_lsn").as("lsn"), col("xid"),
+        lit(Envelope.Op.Timescale).as("op"),
+        col("kind").as("tsdb_op"),
+        concat(lit("_hyper_1_"), col("chunk_id"), lit("_chunk")).as("chunk_name"),
+        (col("new_status").bitwiseAND(lit(8)) === 8).as("partial"),
+        lit("public").as("key_schema"), lit("events").as("key_table"),
+        col("commit_ts_ms").as("ts_ms"))
+  }
+
+  /** T3 — compression/decompression events over the fixture status
+    * stream: [[chunkStatusUpdates]] → [[compressionFromStatus]], shaped
+    * to the reference's event surface (`eventschema.go:46-51,180-197` —
+    * per-chunk `$` event, `{schema,table}` key, tsdb_op). Both event
+    * kinds flow from here into [[compressionEnvelopes]].
     */
   def compressionEvents(wal: DataFrame): DataFrame =
-    wal.groupBy(col("chunk_day"))
-      .agg(max(col("lsn")).as("lsn"), max(col("ts_ms")).as("ts_ms"))
-      .select(
-        col("lsn"), lit(Envelope.Op.Timescale).as("op"),
-        lit(Envelope.TsdbOp.Compression).as("tsdb_op"),
+    compressionFromStatus(chunkStatusUpdates(wal))
+      .select(col("lsn"), col("op"), col("tsdb_op"), col("chunk_name"),
+        col("partial"), col("key_schema"), col("key_table"), col("ts_ms"))
+
+  /** T3 (2.12+ marker path) — marker-bracketed decompression as ONE
+    * flow: `::timescaledb-decompression-start` flips
+    * `ongoingDecompression` on, re-INSERTed rows inside the bracket are
+    * discarded (`transactiontracker.go:208-218,383-392` — P7's
+    * suppression), and closing the bracket yields the decompression
+    * event for the chunk whose rows were being re-inserted (in the
+    * reference the compressed `compress_…` chunk's catalog DELETE inside
+    * the same txn triggers it, `replicationresolver.go:625-636`).
+    *
+    * Marker stand-in: a transaction carrying ≥2 message ops is
+    * marker-bracketed — its first message is the start marker, its last
+    * the end marker. Output: one `tsdb_op='d'` event per (txn, chunk)
+    * that had inserts suppressed, emitted at the end-marker LSN with the
+    * suppressed count attached. Joins are keyed on xid — both sides
+    * shrink to txn-granularity aggregates before joining, so nothing
+    * here is a broadcast of a data-sized frame.
+    */
+  def markerDecompression(wal: DataFrame): DataFrame = {
+    val brackets = wal.filter(col("op") === Envelope.Op.Message)
+      .groupBy(col("xid"))
+      .agg(min(col("lsn")).as("start_lsn"), max(col("lsn")).as("end_lsn"),
+        count(lit(1)).as("n_msgs"))
+      .filter(col("n_msgs") >= 2)
+    wal.filter(col("op") === Envelope.Op.Create)
+      .join(brackets, Seq("xid"))
+      .filter(col("lsn") > col("start_lsn") && col("lsn") < col("end_lsn"))
+      .groupBy(col("xid"), col("end_lsn"), col("chunk_day"))
+      .agg(count(lit(1)).as("n_suppressed"), max(col("ts_ms")).as("ts_ms"))
+      .select(col("end_lsn").as("lsn"), col("xid"),
+        lit(Envelope.Op.Timescale).as("op"),
+        lit(Envelope.TsdbOp.Decompression).as("tsdb_op"),
         concat(lit("_hyper_1_"), col("chunk_day"), lit("_chunk")).as("chunk_name"),
-        lit("public").as("key_schema"), lit("events").as("key_table"),
-        col("ts_ms"))
+        col("n_suppressed"), col("ts_ms"))
+  }
+
+  /** The marker-suppressed live stream — the P7 arm of the marker flow:
+    * drops exactly the re-INSERTs [[markerDecompression]] counted, keeps
+    * everything else (including the markers themselves, which the
+    * envelope stage renders as op='m' events or drops by config).
+    */
+  def markerSuppress(wal: DataFrame): DataFrame = {
+    val brackets = wal.filter(col("op") === Envelope.Op.Message)
+      .groupBy(col("xid"))
+      .agg(min(col("lsn")).as("__start"), max(col("lsn")).as("__end"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+    wal.join(brackets, Seq("xid"), "left")
+      .filter(!(col("__start").isNotNull && col("op") === Envelope.Op.Create &&
+        col("lsn") > col("__start") && col("lsn") < col("__end")))
+      .drop("__start", "__end", "__n")
+  }
 
   /** pglogrepl `LSN.String()` parity: `%X/%X` of the high and low 32
     * bits — at realistic WAL positions the high word is nonzero, so

@@ -1132,8 +1132,12 @@ object EventAnalytics {
   def maxN(wal: DataFrame, n: Int = 5): DataFrame = {
     require(n > 0, s"maxN: n must be positive, got $n")
     import org.apache.spark.sql.expressions.Window
-    val base = wal.select(col("event_type"), col("user_id"), col("lsn"),
-      expr("cast(floor(value * 1000 + 0.5) as bigint)").as("v_milli"))
+    // NULL values are excluded BEFORE ranking: Spark sorts NULLs first
+    // on ASC while DuckDB defaults to NULLS LAST, so an unfiltered NULL
+    // would both occupy min_n ranks and diverge across engines.
+    val base = wal.filter(col("value").isNotNull)
+      .select(col("event_type"), col("user_id"), col("lsn"),
+        expr("cast(floor(value * 1000 + 0.5) as bigint)").as("v_milli"))
     val wMax = Window.partitionBy(col("event_type"))
       .orderBy(col("v_milli").desc, col("lsn"))
     val wMin = Window.partitionBy(col("event_type"))

@@ -167,7 +167,8 @@ object Sampling {
                        groupCol: String = "source",
                        textCol: String = "text"): DataFrame = {
     require(k >= 0 && k <= 1000000L,
-      s"neymanAllocation: k=$k outside the overflow-audited range (k·w ≤ 2⁶³)")
+      s"neymanAllocation: k=$k outside the supported budget range; " +
+        "the k·w ≤ 2⁶³−1 contract itself is enforced data-side in apportion")
     val per = docs.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col(textCol), " ")).cast("long")).as("__sx"),
@@ -188,8 +189,27 @@ object Sampling {
       .drop("__sx", "__sx2")
     def apportion(weightExpr: String, out: String): DataFrame => DataFrame = df => {
       val w = Window.orderBy(col("__r").desc, col(groupCol))
-      df.withColumn("__w", expr(weightExpr))
-        .withColumn("__tw", sum(col("__w")).over(Window.partitionBy()))
+      // DATA-SIDE overflow audit (the `k ≤ 1e6` require only bounds one
+      // factor): w = n_docs·sd_milli is unbounded, and `k·w` below runs
+      // under non-ANSI arithmetic where a wrap is silent garbage, not an
+      // error. Fail loudly instead: every per-stratum weight and the
+      // grand total must satisfy k·w ≤ 2⁶³−1, and a wrapped Σw (which
+      // can only show up as negative or smaller than a member under
+      // same-sign addends) is rejected the same way. The guard lives
+      // INSIDE the __w/__tw expressions so Catalyst cannot prune it.
+      val kCap = Long.MaxValue / math.max(k, 1L)
+      df.withColumn("__w", expr(
+          s"""CASE WHEN ($weightExpr) BETWEEN 0 AND $kCap
+             |  THEN CAST(($weightExpr) AS BIGINT)
+             |  ELSE CAST(assert_true(false,
+             |    'neymanAllocation: stratum weight outside [0, (2^63-1)/k] — k*w would overflow') AS BIGINT)
+             |END""".stripMargin))
+        .withColumn("__stw", sum(col("__w")).over(Window.partitionBy()))
+        .withColumn("__tw", expr(
+          s"""CASE WHEN __stw BETWEEN __w AND $kCap THEN __stw
+             |  ELSE CAST(assert_true(false,
+             |    'neymanAllocation: total weight outside [w, (2^63-1)/k] — k*sum(w) would overflow') AS BIGINT)
+             |END""".stripMargin))
         .withColumn("__base",
           expr(s"CASE WHEN __tw > 0 THEN ($k * __w) div __tw ELSE 0L END"))
         .withColumn("__r",
@@ -200,7 +220,7 @@ object Sampling {
         .withColumn(out,
           col("__base") + when(row_number().over(w) <= col("__left"), 1L)
             .otherwise(0L))
-        .drop("__w", "__tw", "__base", "__r", "__sumbase", "__left")
+        .drop("__w", "__stw", "__tw", "__base", "__r", "__sumbase", "__left")
     }
     val neyman = apportion("n_docs * sd_milli", "alloc_neyman")
     val prop = apportion("n_docs", "alloc_prop")

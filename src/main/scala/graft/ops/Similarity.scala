@@ -33,15 +33,27 @@ object Similarity {
     * corpus vectors. Query side is small ⇒ broadcast it; the corpus scan
     * stays embarrassingly parallel and the only shuffle is the per-query
     * top-k (tiny after the window filter).
+    *
+    * `zeroNormSentinel`: a zero-norm vector's cosine is 0/0 = NaN, whose
+    * sort placement is engine-implementation-defined. Callers whose
+    * inputs can legitimately produce zero vectors (e.g. Matryoshka
+    * prefix truncation) pass `Some(s)` to pin that cosine to the
+    * sentinel on BOTH engines; `None` keeps the raw expression for the
+    * established oracle twins whose inputs are norm-checked upstream.
     */
-  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                 zeroNormSentinel: Option[Double] = None): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
       l2Norm("embedding").as("qnorm"))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
       l2Norm("embedding").as("cnorm"))
+    val rawCos = dot("qe", "ce") / (col("qnorm") * col("cnorm"))
+    val cosExpr = zeroNormSentinel match {
+      case Some(s) => when(col("qnorm") * col("cnorm") === 0d, lit(s)).otherwise(rawCos)
+      case None    => rawCos
+    }
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (dot("qe", "ce") / (col("qnorm") * col("cnorm"))).as("cosine"))
+      .select(col("query_id"), col("neighbor_id"), cosExpr.as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -496,9 +508,12 @@ object Similarity {
       s"matryoshkaRecall: bad k=$k prefixDim=$prefixDim")
     def pre(df: DataFrame): DataFrame = df.select(col("vec_id"),
       slice(col("embedding"), 1, prefixDim).as("embedding"))
-    val truth = cosineTopK(queries, corpus, k)
+    // Truncation can produce all-zero prefixes even when the full
+    // vectors are norm-checked — pin the undefined 0/0 cosine to −2.0
+    // (below any real cosine) on both arms so ranking is engine-stable.
+    val truth = cosineTopK(queries, corpus, k, zeroNormSentinel = Some(-2.0d))
       .select(col("query_id"), col("neighbor_id"))
-    val approx = cosineTopK(pre(queries), pre(corpus), k)
+    val approx = cosineTopK(pre(queries), pre(corpus), k, zeroNormSentinel = Some(-2.0d))
       .select(col("query_id"), col("neighbor_id"))
     val hits = approx.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))

@@ -998,13 +998,3 @@ final class FileQueueSink(dir: String, failFirst: Int = 0) extends Sink {
     batch.write.mode("overwrite").json(s"$dir/batch=$batchId")
   }
 }
-
-/** In-memory collector for tests — the EventCollectorSink analog
-  * (`testsupport/sinks.go`). */
-final class CollectorSink extends Sink {
-  def name = "collector"
-  private val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
-  def emit(batch: DataFrame, batchId: Long): Unit =
-    synchronized { buf ++= batch.collect() }
-  def rows: Seq[Row] = synchronized(buf.toSeq)
-}

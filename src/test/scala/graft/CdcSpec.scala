@@ -305,4 +305,94 @@ class CdcSpec extends SparkSpec {
       .select("user_id", "value").collect().map(_.toString).sorted
     assert(replayed.sameElements(expected))
   }
+
+  test("compression state machine: transitions, intra-txn chain, overwrite, partial (T3)") {
+    import spark.implicits._
+    // hand-built chunk-status UPDATE stream exercising every branch of
+    // transactiontracker.go:249-273 —
+    //   chunk 1: compress (xid 1) then decompress in a LATER txn (xid 2)
+    //   chunk 2: compress 0→9 then decompress IN THE SAME txn (xid 3) —
+    //            the intra-txn old-status chain; 9 sets the 0x08 bit
+    //   chunks 3+4: two compressions in one txn (xid 4) — the single
+    //            compressionUpdate field means the LAST one wins
+    //   chunk 5: 0→4 compress (xid 5), then 4→12 (xid 6) — a ≠0→≠0
+    //            status change is NOT an event
+    val updates = Seq(
+      (10L, 1L, 1, 1, 100L),
+      (20L, 2L, 1, 0, 200L),
+      (30L, 3L, 2, 9, 300L), (31L, 3L, 2, 0, 310L),
+      (40L, 4L, 3, 1, 400L), (41L, 4L, 4, 1, 410L),
+      (52L, 5L, 5, 4, 520L),
+      (61L, 6L, 5, 12, 610L)
+    ).toDF("lsn", "xid", "chunk_id", "new_status", "ts_ms")
+    val got = Cdc.compressionFromStatus(updates)
+      .select("lsn", "xid", "tsdb_op", "chunk_name", "partial")
+      .orderBy(col("lsn"), col("tsdb_op"), col("chunk_name"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getBoolean(4))).toSeq
+    assert(got === Seq(
+      (10L, 1L, "c", "_hyper_1_1_chunk", false),
+      (20L, 2L, "d", "_hyper_1_1_chunk", false),
+      (31L, 3L, "c", "_hyper_1_2_chunk", true),
+      (31L, 3L, "d", "_hyper_1_2_chunk", false),
+      (41L, 4L, "c", "_hyper_1_4_chunk", false),
+      (52L, 5L, "c", "_hyper_1_5_chunk", false)))
+  }
+
+  test("fixture status stream drives BOTH event kinds through the envelope surface (T3)") {
+    val ev = Cdc.compressionEvents(wal)
+    val kinds = ev.select("tsdb_op").distinct().collect().map(_.getString(0)).toSet
+    assert(kinds === Set("c", "d"), s"expected both kinds, got $kinds")
+    assert(ev.filter(col("partial")).count() > 0, "partial (0x08) chunks present")
+    // envelope stage renders every event, both kinds, as op='$'
+    val env = Cdc.compressionEnvelopes(wal)
+    assert(env.count() === ev.count())
+    assert(env.filter(col("envelope").contains("\"tsdb_op\":\"d\"")).count() ===
+      ev.filter(col("tsdb_op") === "d").count())
+  }
+
+  test("marker flow: open → suppress re-inserts → close → d event (T3/P7, 2.12+)") {
+    import spark.implicits._
+    val mwal = Seq(
+      // xid 1: bracketed txn — inserts at 11/12 are decompression re-inserts
+      (10L, 1L, "m", 0, 100L), (11L, 1L, "c", 0, 110L),
+      (12L, 1L, "c", 1, 120L), (13L, 1L, "m", 0, 130L),
+      // xid 2: single message — not a bracket, insert survives
+      (20L, 2L, "m", 0, 200L), (21L, 2L, "c", 0, 210L),
+      // xid 3: insert BEFORE the bracket opens survives
+      (30L, 3L, "c", 2, 300L), (31L, 3L, "m", 2, 310L), (32L, 3L, "m", 2, 320L)
+    ).toDF("lsn", "xid", "op", "chunk_day", "ts_ms")
+    val d = Cdc.markerDecompression(mwal)
+      .select("lsn", "xid", "tsdb_op", "chunk_name", "n_suppressed")
+      .orderBy("lsn", "chunk_name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(d === Seq(
+      (13L, 1L, "d", "_hyper_1_0_chunk", 1L),
+      (13L, 1L, "d", "_hyper_1_1_chunk", 1L)))
+    val kept = Cdc.markerSuppress(mwal).select("lsn").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(10L, 13L, 20L, 21L, 30L, 31L, 32L),
+      "exactly the bracketed re-inserts are dropped; markers and outside rows survive")
+    // one-flow invariant: suppressed count equals what the d events report
+    assert((mwal.count() - kept.size) ===
+      Cdc.markerDecompression(mwal).agg(sum("n_suppressed")).head.getLong(0))
+  }
+
+  test("status catalog: compressed chunks backlink and resolve to the user hypertable (J2)") {
+    val cat = Cdc.chunkCatalogStatus(spark, sf001)
+    val res = Cdc.resolveUncompressed(Cdc.hypertableCatalogCompression(spark))
+    val compressedData = cat.filter(col("hypertable_id") === 1 && col("status") =!= 0)
+    val cside = cat.filter(col("hypertable_id") === 2)
+    assert(compressedData.count() === cside.count(),
+      "every compressed data chunk has exactly one compress_ twin")
+    assert(cside.filter(!col("chunk_name").startsWith("compress_hyper_2_")).count() === 0)
+    // backlink ids line up pairwise
+    assert(compressedData.join(cside.select(col("chunk_id").as("compressed_chunk_id")),
+      Seq("compressed_chunk_id")).count() === compressedData.count())
+    // ResolveUncompressedHypertable: id 2 → (public, events); id 1 → itself
+    val m = res.collect().map(r => r.getInt(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(m(1) === ("public", "events") && m(2) === ("public", "events"))
+    // partial column reads the 0x08 bit of the final status
+    assert(cat.filter(col("partial") =!= (col("status").bitwiseAND(lit(8)) === 8)).count() === 0)
+  }
 }
