@@ -430,6 +430,49 @@ object ConfigPipeline {
     finally client.close()
   }
 
+  /** Config-driven wire attach — the missing half of the first-attach
+    * topology: dial the CONFIGURED walsender (`postgresql.connection` +
+    * `postgresql.password` + sslmode → TLS posture, SCRAM/-PLUS
+    * negotiated by the client exactly as [[wireProbe]] dials), start
+    * replication on the configured slot/publication, and spool frames
+    * into `postgresql.pgoutput.path` through the RESILIENT tailer
+    * (reconnect-from-committed-LSN on socket death). Blocks until the
+    * walsender finishes (CopyDone/close with no reconnect progress) and
+    * returns the final committed LSN. Run it on its own thread next to
+    * [[start]] pointed at the same path and the decode side consumes
+    * segments WHILE this spools them — the full reference topology
+    * (`replicationchannel.go:115-215` feeding the event pipeline) from
+    * ONE config map. `graft.wire.segment.frames` sizes segment rotation
+    * (default 1024 frames — at production WAL rates, seconds of data
+    * per parquet commit). */
+  def wireTail(spark: SparkSession, props: Map[String, String],
+               startLsn: Long = 0L): Long = {
+    val (host, port, db, user, passOpt) = connectionParts(props)
+    val password = props.get("postgresql.password").filter(_.nonEmpty)
+      .orElse(passOpt).getOrElse("")
+    val (sslCtx, verifyHost) = sslMode(props) match {
+      case "disable" | "allow" | "prefer" => (None, false)
+      case "require" => (Some(graft.sources.PgWire.permissiveTlsContext()), false)
+      case "verify-ca" => (Some(javax.net.ssl.SSLContext.getDefault), false)
+      case "verify-full" => (Some(javax.net.ssl.SSLContext.getDefault), true)
+    }
+    val dir = props.getOrElse("postgresql.pgoutput.path",
+      throw new IllegalArgumentException(
+        "wireTail requires postgresql.pgoutput.path — the segment spool directory"))
+    val slot = props.getOrElse("postgresql.replicationslot.name", "graft_slot")
+    val publication = props.getOrElse("postgresql.publication.name", "graft_pub")
+    val framesPerSegment = int(props, "graft.wire.segment.frames", 1024)
+    def connect(lsn: Long): graft.sources.PgReplicationClient = {
+      val c = new graft.sources.PgReplicationClient(host, port, user, db,
+        password = password, sslContext = sslCtx, sslVerifyHostname = verifyHost)
+      c.handshake()
+      c.startReplication(slot, publication, lsn)
+      c
+    }
+    graft.sources.PgWireTailer.tailResilient(spark, connect, startLsn, dir,
+      framesPerSegment = framesPerSegment)
+  }
+
   /** DOCUMENTED DEVIATION: the reference generates a RANDOM 20-char
     * prefix when `topic.prefix` is unset (`internal/streamer.go:81-82`);
     * a random default is untestable and breaks checkpoint resume across
@@ -577,7 +620,24 @@ object ConfigPipeline {
       pgoutputPath = props.get("postgresql.pgoutput.path"),
       typeResolver = typeResolver)
     val shaped = shape(if (statsOn) StreamPipeline.withStats(base) else base, props)
-    val query = (if (statsOn) StreamPipeline.withEmitted(shaped) else shaped)
+    // Wire sinks consume RENDERED rows (topic, key, envelope and, for
+    // SQS FIFO, the content dedup id) — render HERE, after filters and
+    // masking, so an excluded/masked column can never leak into an
+    // envelope byte. Collector/stdout/file paths keep the shaped columns
+    // (the reference's sinks all take the serialized envelope,
+    // `spi/sink/sink.go:30-36`; the column forms exist for testability).
+    val sinkType = props.getOrElse("sink.type", "stdout").toLowerCase
+    val rendered =
+      if (Set("kafka", "nats", "redis", "kinesis", "http", "sqs").contains(sinkType)) {
+        val base = shaped
+          .withColumn("envelope", Cdc.envelopeJsonCol("graft"))
+          .withColumn("key", Cdc.envelopeKeyJsonCol)
+        if (sinkType == "sqs")
+          base.withColumn("dedup_id",
+            sha2(concat_ws("|", col("lsn"), col("xid"), col("props")), 256))
+        else base
+      } else shaped
+    val query = (if (statsOn) StreamPipeline.withEmitted(rendered) else rendered)
       .writeStream
       .queryName(topicPrefix(props))
       .option("checkpointLocation", ckpt)

@@ -605,4 +605,102 @@ class ConfigPipelineSpec extends SparkSpec {
         base + ("transforms.unwrap.delete.handling.mode" -> "bogus")).count()
     }
   }
+
+  test("production topology, ONE config map: SCRAM-PLUS over TLS → resilient spool → " +
+    "typed decode via jdbc pg_type → full envelopes → kafka wire") {
+    // every hop of a first-attach deployment, driven from a single
+    // property map: the walsender requires channel-bound SCRAM over TLS,
+    // wireTail dials with the CONFIGURED credentials/sslmode and spools
+    // rotating segments, the decode rides the JDBC-bulk-loaded pg_type
+    // resolver (event_type is a resolver-only enum oid), and the
+    // envelopes land — rendered, CRC-verified — on a Produce-v3 broker
+    import graft.cdc.PgOutput
+    import graft.cdc.PgOutput.{RelCol, RelationMsg, InsertMsg, BeginMsg, CommitMsg, rowTuple, encode}
+    val dir = Files.createTempDirectory("graft-topology").toString
+    val src = Tables.events(spark, sf001)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .orderBy("event_id").limit(30).collect()
+    val labels = src.map(_.getString(3)).distinct.sorted
+    val cols = Seq(RelCol(1, "event_id", 20, -1), RelCol(0, "ts", 1114, -1),
+      RelCol(0, "user_id", 20, -1), RelCol(0, "event_type", 95104, -1),
+      RelCol(0, "value", 701, -1), RelCol(0, "props", 25, -1))
+    val frames: Seq[(Long, Array[Byte])] =
+      (0x10L -> encode(RelationMsg(779, "public", "events", 'd'.toByte, cols))) +:
+        src.zipWithIndex.flatMap { case (r, i) =>
+          val base = 0x100L * (i + 1)
+          Seq(
+            base -> encode(BeginMsg(base + 0x20, 77000000L, 900 + i)),
+            (base + 0x10) -> encode(InsertMsg(779, rowTuple(
+              r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+              r.getDouble(4), r.getString(5)))),
+            (base + 0x20) -> encode(CommitMsg(0, base + 0x20, base + 0x21, 77000000L)))
+        }.toSeq
+    val srv = new WalFakes.FakeWalsender(
+      serverCtx = Some(WalFakes.serverCtxWithSan("ip:127.0.0.1")),
+      auth = "scram", scramPassword = "s3cret-Pass", offerPlus = true,
+      script = start => frames.filter(_._1 >= start), sendKeepalive = false)
+    val broker = new FakeKafkaBroker
+    val url = "jdbc:derby:memory:graft_pgtypes_topo;create=true"
+    graft.sources.JdbcSideChannel.withConnection(url) { c =>
+      val st = c.createStatement()
+      try st.execute("DROP TABLE PG_TYPE_TOPO") catch { case _: java.sql.SQLException => }
+      st.execute("CREATE TABLE PG_TYPE_TOPO (oid INT NOT NULL PRIMARY KEY, " +
+        "typname VARCHAR(64), typtype CHAR(1), typelem INT, " +
+        "typbasetype INT, enum_values VARCHAR(256))")
+      st.execute("INSERT INTO PG_TYPE_TOPO VALUES (95104, 'evt_kind_topo', 'e', 0, 0, " +
+        s"'${labels.mkString(",")}')")
+    }
+    val props = Map(
+      "postgresql.connection" ->
+        s"host=127.0.0.1 port=${srv.port} user=rep dbname=events_db sslmode=require",
+      "postgresql.password" -> "s3cret-Pass",
+      "postgresql.pgoutput.path" -> s"$dir/segments",
+      "graft.wire.segment.frames" -> "10",
+      "graft.pgtypes.jdbc" -> url,
+      "graft.pgtypes.sql" ->
+        "SELECT oid, typname, typtype, typelem, typbasetype, enum_values FROM PG_TYPE_TOPO",
+      "sink.type" -> "kafka",
+      "sink.kafka.brokers" -> s"127.0.0.1:${broker.port}",
+      "statestorage.type" -> "file",
+      "statestorage.file.path" -> s"$dir/ckpt")
+    try {
+      // hop 1-2: configured dial (TLS posture from sslmode, password from
+      // config) + resilient spool to the configured segment path
+      val finalLsn = ConfigPipeline.wireTail(spark, props)
+      assert(finalLsn > 0L)
+      assert(srv.sawMechanism === graft.sources.Scram.MechanismPlus,
+        "the client must pick channel-bound SCRAM when the TLS server offers -PLUS")
+      assert(srv.sawGs2 === "p=tls-server-end-point,,")
+      val segs = spark.read.schema(PgOutput.frameSchema).parquet(s"$dir/segments")
+      assert(segs.select("segment").distinct().count() >= 2L,
+        "the 91-frame stream must rotate across segments")
+      // hop 3-5: the SAME config map drives decode → envelopes → kafka
+      val q = ConfigPipeline.start(spark, sf001, props, dir)
+      assert(q.awaitTermination(300000), "topology stream did not finish")
+      assert(broker.crcBad.get() === 0, "RecordBatch CRC32C must verify")
+      val keptOps = ConfigPipeline.effectiveOps(props)
+      val expected = Tables.events(spark, sf001)
+        .orderBy("event_id").limit(30)
+        .withColumn("op", graft.cdc.Cdc.opExpr(col("event_type")))
+        .filter(col("op").isin(keptOps: _*) && col("op") =!= "m")
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      val msgs = broker.messages.map(_.split("\\|", 3)).map(a => (a(0), a(1), a(2)))
+      assert(msgs.nonEmpty && msgs.forall(_._1 === "timescaledb.public.events"))
+      val keyIds = msgs.map(_._2).map { k =>
+        "\"event_id\":(\\d+)".r.findFirstMatchIn(k).get.group(1).toLong
+      }
+      assert(keyIds === expected, "every gate-surviving insert, keyed, exactly once")
+      // values are the FULL rendered envelopes: self-describing, op in
+      // the payload, the row riding in `after` (creates/updates/reads)
+      // or `before` (deletes)
+      msgs.foreach { case (_, _, v) =>
+        assert(v.startsWith("{\"payload\":{") && v.contains("\"schema\":"))
+        assert(v.contains("\"after\":{\"event_id\":") ||
+          v.contains("\"before\":{\"event_id\":"))
+      }
+    } finally {
+      broker.close()
+      spark.sql("SELECT 1").collect() // keep linters quiet about the session
+    }
+  }
 }

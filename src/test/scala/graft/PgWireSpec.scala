@@ -27,345 +27,8 @@ import graft.sources.{PgReplicationClient, PgWire, Scram}
   * full-duplex like a real walsender. */
 class PgWireSpec extends AnyFunSuite {
 
-  // ---- fake walsender ----
+  import WalFakes._
 
-  private object Fake {
-    /** Default stream script: one Begin/Relation/Insert/Commit txn at
-      * LSNs ABOVE the 0/1000 resume point the main test starts from —
-      * a server never streams below the requested LSN. */
-    val defaultFrames: Seq[(Long, PgOutput.PgMsg)] = Seq(
-      0x2000L -> PgOutput.BeginMsg(0x2601L, 77000000L, 901),
-      0x2100L -> PgOutput.RelationMsg(PgOutput.EventsRelId, "public", "events",
-        'd'.toByte, PgOutput.EventsRelCols),
-      0x2200L -> PgOutput.InsertMsg(PgOutput.EventsRelId,
-        PgOutput.rowTuple(4001L, 1700000000000000000L, 7L, "click", 1.5, """{"k":"9"}""")),
-      0x2600L -> PgOutput.CommitMsg(0, 0x2601L, 0x2602L, 77000000L))
-    val defaultScript: Long => Seq[(Long, Array[Byte])] =
-      start => defaultFrames.map { case (l, m) => (l, PgOutput.encode(m)) }
-        .filter(_._1 >= start)
-  }
-
-  /** One fake walsender server. `script(startLsn)` decides the frames a
-    * session serves given its START_REPLICATION position, so a
-    * reconnecting client resumes mid-script like against a real slot.
-    * `dieAfterFrames` hard-closes the FIRST session's socket after N
-    * data frames (no CopyDone) — the database-gone scenario. */
-  private class FakeWalsender(
-      failSlot: Boolean = false,
-      auth: String = "trust", // trust | md5 | scram
-      scramPassword: String = "",
-      tamperSignature: Boolean = false,
-      refuseTls: Boolean = false,
-      serverCtx: Option[javax.net.ssl.SSLContext] = None,
-      offerPlus: Boolean = false,    // advertise SCRAM-SHA-256-PLUS
-      offerBase: Boolean = true,     // advertise plain SCRAM-SHA-256
-      wrongCbCert: Boolean = false,  // MITM analog: expect a different cert's binding
-      script: Long => Seq[(Long, Array[Byte])] = Fake.defaultScript,
-      sendKeepalive: Boolean = true,
-      keepaliveLsn: Long = 0x100L,
-      dieAfterFrames: Int = Int.MaxValue,
-      frameDelayMs: Long = 0, // pace the stream (live-chain overlap tests)
-      // hold the stream before writing frame N until the latch opens —
-      // DETERMINISTIC overlap for the live-chain test (no wall-clock luck)
-      gateAtFrame: Option[(Int, CountDownLatch)] = None,
-      maxSessions: Int = 1) {
-    val server = new ServerSocket(0)
-    val port: Int = server.getLocalPort
-    @volatile var startupParams: Map[String, String] = Map.empty
-    @volatile var sawStartReplication: List[String] = Nil
-    @volatile var sawMechanism: String = ""
-    @volatile var sawGs2: String = ""
-    val acks = new java.util.concurrent.CopyOnWriteArrayList[PgOutput.StandbyStatusUpdate]()
-    val ackErrors = new java.util.concurrent.CopyOnWriteArrayList[String]()
-    val done = new CountDownLatch(1)
-
-    def awaitAcks(n: Int, timeoutMs: Long = 5000): Unit = {
-      val deadline = System.nanoTime + timeoutMs * 1000000L
-      while (acks.size < n && System.nanoTime < deadline) Thread.sleep(5)
-      assert(acks.size >= n, s"expected >=$n acks, got ${acks.size} after ${timeoutMs}ms")
-    }
-
-    private def writeBackend(o: DataOutputStream, tag: Char, payload: Array[Byte]): Unit = {
-      o.writeByte(tag); o.writeInt(4 + payload.length); o.write(payload); o.flush()
-    }
-    private def cstr(b: ByteArrayOutputStream, s: String): Unit = {
-      b.write(s.getBytes(UTF_8)); b.write(0)
-    }
-    private def xlogData(lsn: Long, msg: Array[Byte]): Array[Byte] = {
-      val bb = ByteBuffer.allocate(25 + msg.length)
-      bb.put('w'.toByte).putLong(lsn).putLong(lsn + msg.length).putLong(0L).put(msg)
-      bb.array()
-    }
-    private def errorResponse(o: DataOutputStream, sqlstate: String, msg: String): Unit = {
-      val e = new ByteArrayOutputStream()
-      e.write('S'); cstr(e, "FATAL"); e.write('C'); cstr(e, sqlstate)
-      e.write('M'); cstr(e, msg); e.write(0)
-      writeBackend(o, 'E', e.toByteArray)
-    }
-
-    /** Server half of the SCRAM-SHA-256(-PLUS) exchange, verifying the
-      * proof against the verifier PostgreSQL would store at CREATE ROLE
-      * time (SASLprep'd password → StoredKey) and, on -PLUS, the RFC
-      * 5929 channel binding against its OWN certificate — the same
-      * checks a real server's auth-scram.c performs. Returns false on
-      * a rejection. */
-    private def scramServe(in: DataInputStream, out: DataOutputStream,
-                           sock: java.net.Socket): Boolean = {
-      val mech = new ByteArrayOutputStream()
-      mech.write(ByteBuffer.allocate(4).putInt(10).array())
-      if (offerPlus) cstr(mech, Scram.MechanismPlus)
-      if (offerBase) cstr(mech, Scram.Mechanism)
-      mech.write(0)
-      writeBackend(out, 'R', mech.toByteArray)
-      val t1 = in.read(); assert(t1 == 'p', s"expected SASLInitialResponse, got $t1")
-      val l1 = in.readInt(); val b1 = new Array[Byte](l1 - 4); in.readFully(b1)
-      val bb = ByteBuffer.wrap(b1)
-      val mname = { val sb = new StringBuilder; var c = bb.get()
-        while (c != 0) { sb.append(c.toChar); c = bb.get() }; sb.toString }
-      assert(mname == Scram.Mechanism || mname == Scram.MechanismPlus, mname)
-      sawMechanism = mname
-      val rl = bb.getInt; val resp = new Array[Byte](rl); bb.get(resp)
-      val clientFirst = new String(resp, UTF_8)
-      val gs2End = clientFirst.indexOf(",,") + 2
-      assert(gs2End >= 2, s"bad gs2 header in '$clientFirst'")
-      val gs2 = clientFirst.substring(0, gs2End)
-      sawGs2 = gs2
-      // downgrade protection (auth-scram.c): a client announcing
-      // binding support with 'y' while the server ADVERTISED -PLUS
-      // means something stripped the offer — reject
-      if (offerPlus && gs2.startsWith("y")) {
-        errorResponse(out, "28000", "channel binding required but client chose 'y'")
-        return false
-      }
-      val clientFirstBare = clientFirst.substring(gs2End)
-      val clientNonce = Scram.attrs(clientFirstBare)('r')
-      val serverNonce = clientNonce + "FAKESRVNONCE"
-      val salt = "pepper-salt-16b!".getBytes(UTF_8)
-      val iters = 4096
-      val serverFirst = s"r=$serverNonce,s=${Scram.b64(salt)},i=$iters"
-      writeBackend(out, 'R', ByteBuffer.allocate(4 + serverFirst.length)
-        .putInt(11).put(serverFirst.getBytes(UTF_8)).array())
-      val t2 = in.read(); assert(t2 == 'p', s"expected SASLResponse, got $t2")
-      val l2 = in.readInt(); val b2 = new Array[Byte](l2 - 4); in.readFully(b2)
-      val clientFinal = new String(b2, UTF_8)
-      val a = Scram.attrs(clientFinal)
-      assert(a('r') == serverNonce, "client must echo the full combined nonce")
-      // channel-binding check: c= must carry gs2 ++ the hash of the
-      // certificate THIS server presented on THIS connection
-      val expectedCb: Array[Byte] =
-        if (mname == Scram.MechanismPlus) {
-          if (wrongCbCert) // MITM analog: the client bound a different channel
-            java.security.MessageDigest.getInstance("SHA-256")
-              .digest("not-the-cert-the-client-saw".getBytes(UTF_8))
-          else PgWire.tlsServerEndPoint(
-            sock.asInstanceOf[javax.net.ssl.SSLSocket].getSession
-              .getLocalCertificates.head
-              .asInstanceOf[java.security.cert.X509Certificate])
-        } else Array.emptyByteArray
-      if (a('c') != Scram.b64(gs2.getBytes(UTF_8) ++ expectedCb)) {
-        errorResponse(out, "28000", "channel binding check failed")
-        return false
-      }
-      val proof = Scram.unb64(a('p'))
-      val clientFinalNoProof = clientFinal.substring(0, clientFinal.lastIndexOf(",p="))
-      val authMessage = s"$clientFirstBare,$serverFirst,$clientFinalNoProof"
-      val salted = Scram.saltedPassword(scramPassword, salt, iters)
-      val stored = Scram.storedKey(Scram.clientKey(salted))
-      if (!Scram.verifyClientProof(proof, stored, authMessage)) {
-        errorResponse(out, "28P01", s"password authentication failed for user \"rep\"")
-        return false
-      }
-      val sig = Scram.serverSignature(salted, authMessage)
-      if (tamperSignature) sig(0) = (sig(0) ^ 0x55).toByte
-      val fin = s"v=${Scram.b64(sig)}"
-      writeBackend(out, 'R', ByteBuffer.allocate(4 + fin.length)
-        .putInt(12).put(fin.getBytes(UTF_8)).array())
-      writeBackend(out, 'R', ByteBuffer.allocate(4).putInt(0).array())
-      true
-    }
-
-    private def serveSession(raw: java.net.Socket, isFirst: Boolean): Unit = {
-      var sock = raw
-      var in = new DataInputStream(sock.getInputStream)
-      var out = new DataOutputStream(sock.getOutputStream)
-      // startup (or SSLRequest first): Int32 len (self-inclusive), Int32 code
-      var len = in.readInt()
-      var code = in.readInt()
-      if (code == PgWire.SslRequestCode) {
-        if (refuseTls) { out.write('N'); out.flush(); sock.close(); return }
-        out.write('S'); out.flush()
-        val ssl = serverCtx.get.getSocketFactory
-          .createSocket(sock, "127.0.0.1", port, true).asInstanceOf[javax.net.ssl.SSLSocket]
-        ssl.setUseClientMode(false)
-        ssl.startHandshake()
-        sock = ssl
-        in = new DataInputStream(sock.getInputStream)
-        out = new DataOutputStream(sock.getOutputStream)
-        len = in.readInt(); code = in.readInt()
-      }
-      assert(code == PgWire.ProtocolV3, s"expected v3 startup, got $code")
-      val body = new Array[Byte](len - 8); in.readFully(body)
-      val bb = ByteBuffer.wrap(body)
-      val params = scala.collection.mutable.Map[String, String]()
-      while (bb.remaining() > 1) {
-        def cstrAt(): String = {
-          val sb = new StringBuilder; var c = bb.get()
-          while (c != 0) { sb.append(c.toChar); c = bb.get() }
-          sb.toString()
-        }
-        val k = cstrAt(); if (k.nonEmpty) params(k) = cstrAt()
-      }
-      startupParams = params.toMap
-      auth match {
-        case "md5" => // demand md5: client must refuse loudly
-          writeBackend(out, 'R',
-            ByteBuffer.allocate(8).putInt(5).putInt(0x01020304).array())
-          sock.close(); return
-        case "scram" =>
-          if (!scramServe(in, out, sock)) { sock.close(); return }
-        case _ =>
-          writeBackend(out, 'R', ByteBuffer.allocate(4).putInt(0).array())
-      }
-      val ps = new ByteArrayOutputStream(); cstr(ps, "server_version"); cstr(ps, "16.3")
-      writeBackend(out, 'S', ps.toByteArray)
-      writeBackend(out, 'K', ByteBuffer.allocate(8).putInt(7).putInt(42).array())
-      writeBackend(out, 'Z', Array('I'.toByte))
-      // simple-query loop: IDENTIFY_SYSTEM then START_REPLICATION; a
-      // client that closes after identify (wireProbe) ends the session
-      def readQuery(): Option[String] = {
-        val tag = in.read()
-        if (tag < 0 || tag == 'X') return None
-        assert(tag == 'Q', s"expected Q got $tag")
-        val l = in.readInt(); val b = new Array[Byte](l - 4); in.readFully(b)
-        Some(new String(b, 0, b.length - 1, UTF_8))
-      }
-      // IDENTIFY_SYSTEM is optional — a resuming tailer may go straight
-      // to START_REPLICATION (it already knows the system identity)
-      var q = readQuery()
-      q match {
-        case Some("IDENTIFY_SYSTEM") =>
-          val rd = new ByteArrayOutputStream(); val ro = new DataOutputStream(rd)
-          ro.writeShort(4)
-          Seq("systemid", "timeline", "xlogpos", "dbname").foreach { n =>
-            cstr(rd, n); ro.writeInt(0); ro.writeShort(0); ro.writeInt(25)
-            ro.writeShort(-1); ro.writeInt(-1); ro.writeShort(0)
-          }
-          writeBackend(out, 'T', rd.toByteArray)
-          val dr = new ByteArrayOutputStream(); val dro = new DataOutputStream(dr)
-          dro.writeShort(4)
-          Seq("7272727272", "1", "0/1000", "events_db").foreach { v =>
-            val b = v.getBytes(UTF_8); dro.writeInt(b.length); dro.write(b)
-          }
-          writeBackend(out, 'D', dr.toByteArray)
-          val cc = new ByteArrayOutputStream(); cstr(cc, "IDENTIFY_SYSTEM")
-          writeBackend(out, 'C', cc.toByteArray)
-          writeBackend(out, 'Z', Array('I'.toByte))
-          q = readQuery()
-        case _ => () // fall through: q is already START_REPLICATION (or EOF)
-      }
-      val start = q match {
-        case Some(sql) =>
-          assert(sql.startsWith("START_REPLICATION"), s"expected START_REPLICATION, got $sql")
-          sawStartReplication = sawStartReplication :+ sql
-          val m = """LOGICAL ([0-9A-Fa-f]+/[0-9A-Fa-f]+)""".r.findFirstMatchIn(sql)
-          PgWire.parseLsn(m.get.group(1))
-        case None => sock.close(); return
-      }
-      if (failSlot) {
-        errorResponse(out, "42704", "replication slot \"ghost\" does not exist")
-        sock.close(); return
-      }
-      writeBackend(out, 'W', Array[Byte](0, 0, 0)) // CopyBoth, 0 cols
-      // full duplex from here: a reader thread drains inbound acks
-      // (the confirm-driven contract — the server NEVER waits for an
-      // ack to keep streaming), the session thread writes the script
-      val reader = new Thread(() => {
-        try {
-          var open = true // no `return` in a lambda: NonLocalReturnControl
-          while (open) {
-            val tag = in.read()
-            if (tag < 0 || tag == 'X') open = false
-            else {
-              val l = in.readInt(); val b = new Array[Byte](l - 4); in.readFully(b)
-              if (tag == 'd' && b.nonEmpty && b(0) == 'r')
-                try acks.add(PgOutput.decodeStatusUpdate(b))
-                catch { case e: Exception => ackErrors.add(e.getMessage) }
-            }
-          }
-        } catch { case _: java.io.IOException => () }
-        finally { try sock.close() catch { case _: Exception => () } }
-      })
-      reader.setDaemon(true); reader.start()
-      if (sendKeepalive && isFirst)
-        writeBackend(out, 'd', PgOutput.encodeKeepalive(
-          PgOutput.PrimaryKeepalive(keepaliveLsn, 0L, replyRequested = true)))
-      var sent = 0
-      var died = false
-      script(start).foreach { case (lsn, msg) =>
-        if (!died) {
-          if (frameDelayMs > 0) Thread.sleep(frameDelayMs)
-          gateAtFrame.foreach { case (n, latch) =>
-            if (sent == n) assert(latch.await(120, TimeUnit.SECONDS), "gate timed out")
-          }
-          writeBackend(out, 'd', xlogData(lsn, msg))
-          sent += 1
-          if (isFirst && sent >= dieAfterFrames) {
-            // database-gone: hard close, NO CopyDone — the client must
-            // treat this as a retryable stream death
-            sock.close(); died = true
-          }
-        }
-      }
-      // CopyDone ends the stream; the reader keeps draining late
-      // confirm-driven acks until the client terminates, and closes the
-      // socket on its way out — the session thread must NOT wait for it
-      if (!died) writeBackend(out, 'c', Array.emptyByteArray)
-    }
-
-    private def serve(): Unit = {
-      var session = 0
-      try {
-        while (session < maxSessions) {
-          val s = server.accept()
-          session += 1
-          try serveSession(s, session == 1)
-          catch { case _: java.io.IOException => () } // client aborted mid-handshake
-        }
-      } finally done.countDown()
-    }
-    val thread = new Thread(() => serve())
-    thread.setDaemon(true); thread.start()
-  }
-
-  /** The production sslmode=require context: trust-all by DESIGN
-    * (libpq's require performs no certificate verification) — the specs
-    * exercising endpoint identification use the same helper the config
-    * path ships, so a change there is a change here. */
-  private def trustAllCtx: javax.net.ssl.SSLContext =
-    PgWire.permissiveTlsContext()
-
-  /** Self-signed server context, SAN controlled by the caller — the
-    * same keytool recipe as the kafka/redis sink TLS specs. */
-  private def serverCtxWithSan(san: String): javax.net.ssl.SSLContext = {
-    val ksPath = java.nio.file.Files.createTempFile("graft-pgwire-tls", ".p12")
-    java.nio.file.Files.delete(ksPath)
-    val keytool = new ProcessBuilder(
-      s"${sys.props("java.home")}/bin/keytool", "-genkeypair", "-alias", "pg",
-      "-keyalg", "RSA", "-keysize", "2048", "-storetype", "PKCS12",
-      "-keystore", ksPath.toString, "-storepass", "changeit",
-      "-dname", "CN=fakewalsender", "-ext", s"san=$san",
-      "-validity", "1").redirectErrorStream(true).start()
-    assert(keytool.waitFor() == 0, "keytool keypair generation failed")
-    val ks = java.security.KeyStore.getInstance("PKCS12")
-    val fis = new java.io.FileInputStream(ksPath.toFile)
-    try ks.load(fis, "changeit".toCharArray) finally fis.close()
-    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
-      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
-    kmf.init(ks, "changeit".toCharArray)
-    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
-    ctx.init(kmf.getKeyManagers, null, null)
-    ctx
-  }
 
   // ---- specs ----
 
@@ -932,5 +595,352 @@ class PgWireSpec extends AnyFunSuite {
       assert(PgWire.parseLsn(PgWire.lsnText(l)) === l)
     }
     assert(PgWire.lsnText(0x100000002L) === "1/2")
+  }
+}
+
+
+/** The fake walsender + TLS fixtures, shared by [[PgWireSpec]] (the
+  * per-layer wire matrix) and the stitched production-topology case in
+  * [[ConfigPipelineSpec]]. Top-level on purpose: the fixture IS the
+  * contract surface, not an implementation detail of one suite. */
+private[graft] object WalFakes {
+  // ---- fake walsender ----
+
+  object Fake {
+    /** Default stream script: one Begin/Relation/Insert/Commit txn at
+      * LSNs ABOVE the 0/1000 resume point the main test starts from —
+      * a server never streams below the requested LSN. */
+    val defaultFrames: Seq[(Long, PgOutput.PgMsg)] = Seq(
+      0x2000L -> PgOutput.BeginMsg(0x2601L, 77000000L, 901),
+      0x2100L -> PgOutput.RelationMsg(PgOutput.EventsRelId, "public", "events",
+        'd'.toByte, PgOutput.EventsRelCols),
+      0x2200L -> PgOutput.InsertMsg(PgOutput.EventsRelId,
+        PgOutput.rowTuple(4001L, 1700000000000000000L, 7L, "click", 1.5, """{"k":"9"}""")),
+      0x2600L -> PgOutput.CommitMsg(0, 0x2601L, 0x2602L, 77000000L))
+    val defaultScript: Long => Seq[(Long, Array[Byte])] =
+      start => defaultFrames.map { case (l, m) => (l, PgOutput.encode(m)) }
+        .filter(_._1 >= start)
+  }
+
+  /** One fake walsender server. `script(startLsn)` decides the frames a
+    * session serves given its START_REPLICATION position, so a
+    * reconnecting client resumes mid-script like against a real slot.
+    * `dieAfterFrames` hard-closes the FIRST session's socket after N
+    * data frames (no CopyDone) — the database-gone scenario. */
+  class FakeWalsender(
+      failSlot: Boolean = false,
+      auth: String = "trust", // trust | md5 | scram
+      scramPassword: String = "",
+      tamperSignature: Boolean = false,
+      refuseTls: Boolean = false,
+      serverCtx: Option[javax.net.ssl.SSLContext] = None,
+      offerPlus: Boolean = false,    // advertise SCRAM-SHA-256-PLUS
+      offerBase: Boolean = true,     // advertise plain SCRAM-SHA-256
+      wrongCbCert: Boolean = false,  // MITM analog: expect a different cert's binding
+      script: Long => Seq[(Long, Array[Byte])] = Fake.defaultScript,
+      sendKeepalive: Boolean = true,
+      keepaliveLsn: Long = 0x100L,
+      dieAfterFrames: Int = Int.MaxValue,
+      frameDelayMs: Long = 0, // pace the stream (live-chain overlap tests)
+      // hold the stream before writing frame N until the latch opens —
+      // DETERMINISTIC overlap for the live-chain test (no wall-clock luck)
+      gateAtFrame: Option[(Int, CountDownLatch)] = None,
+      maxSessions: Int = 1) {
+    val server = new ServerSocket(0)
+    val port: Int = server.getLocalPort
+    @volatile var startupParams: Map[String, String] = Map.empty
+    @volatile var sawStartReplication: List[String] = Nil
+    @volatile var sawMechanism: String = ""
+    @volatile var sawGs2: String = ""
+    val acks = new java.util.concurrent.CopyOnWriteArrayList[PgOutput.StandbyStatusUpdate]()
+    val ackErrors = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val done = new CountDownLatch(1)
+
+    def awaitAcks(n: Int, timeoutMs: Long = 5000): Unit = {
+      val deadline = System.nanoTime + timeoutMs * 1000000L
+      while (acks.size < n && System.nanoTime < deadline) Thread.sleep(5)
+      assert(acks.size >= n, s"expected >=$n acks, got ${acks.size} after ${timeoutMs}ms")
+    }
+
+    private def writeBackend(o: DataOutputStream, tag: Char, payload: Array[Byte]): Unit = {
+      o.writeByte(tag); o.writeInt(4 + payload.length); o.write(payload); o.flush()
+    }
+    private def cstr(b: ByteArrayOutputStream, s: String): Unit = {
+      b.write(s.getBytes(UTF_8)); b.write(0)
+    }
+    private def xlogData(lsn: Long, msg: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(25 + msg.length)
+      bb.put('w'.toByte).putLong(lsn).putLong(lsn + msg.length).putLong(0L).put(msg)
+      bb.array()
+    }
+    private def errorResponse(o: DataOutputStream, sqlstate: String, msg: String): Unit = {
+      val e = new ByteArrayOutputStream()
+      e.write('S'); cstr(e, "FATAL"); e.write('C'); cstr(e, sqlstate)
+      e.write('M'); cstr(e, msg); e.write(0)
+      writeBackend(o, 'E', e.toByteArray)
+    }
+
+    /** Server half of the SCRAM-SHA-256(-PLUS) exchange, verifying the
+      * proof against the verifier PostgreSQL would store at CREATE ROLE
+      * time (SASLprep'd password → StoredKey) and, on -PLUS, the RFC
+      * 5929 channel binding against its OWN certificate — the same
+      * checks a real server's auth-scram.c performs. Returns false on
+      * a rejection. */
+    private def scramServe(in: DataInputStream, out: DataOutputStream,
+                           sock: java.net.Socket): Boolean = {
+      val mech = new ByteArrayOutputStream()
+      mech.write(ByteBuffer.allocate(4).putInt(10).array())
+      if (offerPlus) cstr(mech, Scram.MechanismPlus)
+      if (offerBase) cstr(mech, Scram.Mechanism)
+      mech.write(0)
+      writeBackend(out, 'R', mech.toByteArray)
+      val t1 = in.read(); assert(t1 == 'p', s"expected SASLInitialResponse, got $t1")
+      val l1 = in.readInt(); val b1 = new Array[Byte](l1 - 4); in.readFully(b1)
+      val bb = ByteBuffer.wrap(b1)
+      val mname = { val sb = new StringBuilder; var c = bb.get()
+        while (c != 0) { sb.append(c.toChar); c = bb.get() }; sb.toString }
+      assert(mname == Scram.Mechanism || mname == Scram.MechanismPlus, mname)
+      sawMechanism = mname
+      val rl = bb.getInt; val resp = new Array[Byte](rl); bb.get(resp)
+      val clientFirst = new String(resp, UTF_8)
+      val gs2End = clientFirst.indexOf(",,") + 2
+      assert(gs2End >= 2, s"bad gs2 header in '$clientFirst'")
+      val gs2 = clientFirst.substring(0, gs2End)
+      sawGs2 = gs2
+      // downgrade protection (auth-scram.c): a client announcing
+      // binding support with 'y' while the server ADVERTISED -PLUS
+      // means something stripped the offer — reject
+      if (offerPlus && gs2.startsWith("y")) {
+        errorResponse(out, "28000", "channel binding required but client chose 'y'")
+        return false
+      }
+      val clientFirstBare = clientFirst.substring(gs2End)
+      val clientNonce = Scram.attrs(clientFirstBare)('r')
+      val serverNonce = clientNonce + "FAKESRVNONCE"
+      val salt = "pepper-salt-16b!".getBytes(UTF_8)
+      val iters = 4096
+      val serverFirst = s"r=$serverNonce,s=${Scram.b64(salt)},i=$iters"
+      writeBackend(out, 'R', ByteBuffer.allocate(4 + serverFirst.length)
+        .putInt(11).put(serverFirst.getBytes(UTF_8)).array())
+      val t2 = in.read(); assert(t2 == 'p', s"expected SASLResponse, got $t2")
+      val l2 = in.readInt(); val b2 = new Array[Byte](l2 - 4); in.readFully(b2)
+      val clientFinal = new String(b2, UTF_8)
+      val a = Scram.attrs(clientFinal)
+      assert(a('r') == serverNonce, "client must echo the full combined nonce")
+      // channel-binding check: c= must carry gs2 ++ the hash of the
+      // certificate THIS server presented on THIS connection
+      val expectedCb: Array[Byte] =
+        if (mname == Scram.MechanismPlus) {
+          if (wrongCbCert) // MITM analog: the client bound a different channel
+            java.security.MessageDigest.getInstance("SHA-256")
+              .digest("not-the-cert-the-client-saw".getBytes(UTF_8))
+          else PgWire.tlsServerEndPoint(
+            sock.asInstanceOf[javax.net.ssl.SSLSocket].getSession
+              .getLocalCertificates.head
+              .asInstanceOf[java.security.cert.X509Certificate])
+        } else Array.emptyByteArray
+      if (a('c') != Scram.b64(gs2.getBytes(UTF_8) ++ expectedCb)) {
+        errorResponse(out, "28000", "channel binding check failed")
+        return false
+      }
+      val proof = Scram.unb64(a('p'))
+      val clientFinalNoProof = clientFinal.substring(0, clientFinal.lastIndexOf(",p="))
+      val authMessage = s"$clientFirstBare,$serverFirst,$clientFinalNoProof"
+      val salted = Scram.saltedPassword(scramPassword, salt, iters)
+      val stored = Scram.storedKey(Scram.clientKey(salted))
+      if (!Scram.verifyClientProof(proof, stored, authMessage)) {
+        errorResponse(out, "28P01", s"password authentication failed for user \"rep\"")
+        return false
+      }
+      val sig = Scram.serverSignature(salted, authMessage)
+      if (tamperSignature) sig(0) = (sig(0) ^ 0x55).toByte
+      val fin = s"v=${Scram.b64(sig)}"
+      writeBackend(out, 'R', ByteBuffer.allocate(4 + fin.length)
+        .putInt(12).put(fin.getBytes(UTF_8)).array())
+      writeBackend(out, 'R', ByteBuffer.allocate(4).putInt(0).array())
+      true
+    }
+
+    private def serveSession(raw: java.net.Socket, isFirst: Boolean): Unit = {
+      var sock = raw
+      var in = new DataInputStream(sock.getInputStream)
+      var out = new DataOutputStream(sock.getOutputStream)
+      // startup (or SSLRequest first): Int32 len (self-inclusive), Int32 code
+      var len = in.readInt()
+      var code = in.readInt()
+      if (code == PgWire.SslRequestCode) {
+        if (refuseTls) { out.write('N'); out.flush(); sock.close(); return }
+        out.write('S'); out.flush()
+        val ssl = serverCtx.get.getSocketFactory
+          .createSocket(sock, "127.0.0.1", port, true).asInstanceOf[javax.net.ssl.SSLSocket]
+        ssl.setUseClientMode(false)
+        ssl.startHandshake()
+        sock = ssl
+        in = new DataInputStream(sock.getInputStream)
+        out = new DataOutputStream(sock.getOutputStream)
+        len = in.readInt(); code = in.readInt()
+      }
+      assert(code == PgWire.ProtocolV3, s"expected v3 startup, got $code")
+      val body = new Array[Byte](len - 8); in.readFully(body)
+      val bb = ByteBuffer.wrap(body)
+      val params = scala.collection.mutable.Map[String, String]()
+      while (bb.remaining() > 1) {
+        def cstrAt(): String = {
+          val sb = new StringBuilder; var c = bb.get()
+          while (c != 0) { sb.append(c.toChar); c = bb.get() }
+          sb.toString()
+        }
+        val k = cstrAt(); if (k.nonEmpty) params(k) = cstrAt()
+      }
+      startupParams = params.toMap
+      auth match {
+        case "md5" => // demand md5: client must refuse loudly
+          writeBackend(out, 'R',
+            ByteBuffer.allocate(8).putInt(5).putInt(0x01020304).array())
+          sock.close(); return
+        case "scram" =>
+          if (!scramServe(in, out, sock)) { sock.close(); return }
+        case _ =>
+          writeBackend(out, 'R', ByteBuffer.allocate(4).putInt(0).array())
+      }
+      val ps = new ByteArrayOutputStream(); cstr(ps, "server_version"); cstr(ps, "16.3")
+      writeBackend(out, 'S', ps.toByteArray)
+      writeBackend(out, 'K', ByteBuffer.allocate(8).putInt(7).putInt(42).array())
+      writeBackend(out, 'Z', Array('I'.toByte))
+      // simple-query loop: IDENTIFY_SYSTEM then START_REPLICATION; a
+      // client that closes after identify (wireProbe) ends the session
+      def readQuery(): Option[String] = {
+        val tag = in.read()
+        if (tag < 0 || tag == 'X') return None
+        assert(tag == 'Q', s"expected Q got $tag")
+        val l = in.readInt(); val b = new Array[Byte](l - 4); in.readFully(b)
+        Some(new String(b, 0, b.length - 1, UTF_8))
+      }
+      // IDENTIFY_SYSTEM is optional — a resuming tailer may go straight
+      // to START_REPLICATION (it already knows the system identity)
+      var q = readQuery()
+      q match {
+        case Some("IDENTIFY_SYSTEM") =>
+          val rd = new ByteArrayOutputStream(); val ro = new DataOutputStream(rd)
+          ro.writeShort(4)
+          Seq("systemid", "timeline", "xlogpos", "dbname").foreach { n =>
+            cstr(rd, n); ro.writeInt(0); ro.writeShort(0); ro.writeInt(25)
+            ro.writeShort(-1); ro.writeInt(-1); ro.writeShort(0)
+          }
+          writeBackend(out, 'T', rd.toByteArray)
+          val dr = new ByteArrayOutputStream(); val dro = new DataOutputStream(dr)
+          dro.writeShort(4)
+          Seq("7272727272", "1", "0/1000", "events_db").foreach { v =>
+            val b = v.getBytes(UTF_8); dro.writeInt(b.length); dro.write(b)
+          }
+          writeBackend(out, 'D', dr.toByteArray)
+          val cc = new ByteArrayOutputStream(); cstr(cc, "IDENTIFY_SYSTEM")
+          writeBackend(out, 'C', cc.toByteArray)
+          writeBackend(out, 'Z', Array('I'.toByte))
+          q = readQuery()
+        case _ => () // fall through: q is already START_REPLICATION (or EOF)
+      }
+      val start = q match {
+        case Some(sql) =>
+          assert(sql.startsWith("START_REPLICATION"), s"expected START_REPLICATION, got $sql")
+          sawStartReplication = sawStartReplication :+ sql
+          val m = """LOGICAL ([0-9A-Fa-f]+/[0-9A-Fa-f]+)""".r.findFirstMatchIn(sql)
+          PgWire.parseLsn(m.get.group(1))
+        case None => sock.close(); return
+      }
+      if (failSlot) {
+        errorResponse(out, "42704", "replication slot \"ghost\" does not exist")
+        sock.close(); return
+      }
+      writeBackend(out, 'W', Array[Byte](0, 0, 0)) // CopyBoth, 0 cols
+      // full duplex from here: a reader thread drains inbound acks
+      // (the confirm-driven contract — the server NEVER waits for an
+      // ack to keep streaming), the session thread writes the script
+      val reader = new Thread(() => {
+        try {
+          var open = true // no `return` in a lambda: NonLocalReturnControl
+          while (open) {
+            val tag = in.read()
+            if (tag < 0 || tag == 'X') open = false
+            else {
+              val l = in.readInt(); val b = new Array[Byte](l - 4); in.readFully(b)
+              if (tag == 'd' && b.nonEmpty && b(0) == 'r')
+                try acks.add(PgOutput.decodeStatusUpdate(b))
+                catch { case e: Exception => ackErrors.add(e.getMessage) }
+            }
+          }
+        } catch { case _: java.io.IOException => () }
+        finally { try sock.close() catch { case _: Exception => () } }
+      })
+      reader.setDaemon(true); reader.start()
+      if (sendKeepalive && isFirst)
+        writeBackend(out, 'd', PgOutput.encodeKeepalive(
+          PgOutput.PrimaryKeepalive(keepaliveLsn, 0L, replyRequested = true)))
+      var sent = 0
+      var died = false
+      script(start).foreach { case (lsn, msg) =>
+        if (!died) {
+          if (frameDelayMs > 0) Thread.sleep(frameDelayMs)
+          gateAtFrame.foreach { case (n, latch) =>
+            if (sent == n) assert(latch.await(120, TimeUnit.SECONDS), "gate timed out")
+          }
+          writeBackend(out, 'd', xlogData(lsn, msg))
+          sent += 1
+          if (isFirst && sent >= dieAfterFrames) {
+            // database-gone: hard close, NO CopyDone — the client must
+            // treat this as a retryable stream death
+            sock.close(); died = true
+          }
+        }
+      }
+      // CopyDone ends the stream; the reader keeps draining late
+      // confirm-driven acks until the client terminates, and closes the
+      // socket on its way out — the session thread must NOT wait for it
+      if (!died) writeBackend(out, 'c', Array.emptyByteArray)
+    }
+
+    private def serve(): Unit = {
+      var session = 0
+      try {
+        while (session < maxSessions) {
+          val s = server.accept()
+          session += 1
+          try serveSession(s, session == 1)
+          catch { case _: java.io.IOException => () } // client aborted mid-handshake
+        }
+      } finally done.countDown()
+    }
+    val thread = new Thread(() => serve())
+    thread.setDaemon(true); thread.start()
+  }
+
+  /** The production sslmode=require context: trust-all by DESIGN
+    * (libpq's require performs no certificate verification) — the specs
+    * exercising endpoint identification use the same helper the config
+    * path ships, so a change there is a change here. */
+  def trustAllCtx: javax.net.ssl.SSLContext =
+    PgWire.permissiveTlsContext()
+
+  /** Self-signed server context, SAN controlled by the caller — the
+    * same keytool recipe as the kafka/redis sink TLS specs. */
+  def serverCtxWithSan(san: String): javax.net.ssl.SSLContext = {
+    val ksPath = java.nio.file.Files.createTempFile("graft-pgwire-tls", ".p12")
+    java.nio.file.Files.delete(ksPath)
+    val keytool = new ProcessBuilder(
+      s"${sys.props("java.home")}/bin/keytool", "-genkeypair", "-alias", "pg",
+      "-keyalg", "RSA", "-keysize", "2048", "-storetype", "PKCS12",
+      "-keystore", ksPath.toString, "-storepass", "changeit",
+      "-dname", "CN=fakewalsender", "-ext", s"san=$san",
+      "-validity", "1").redirectErrorStream(true).start()
+    assert(keytool.waitFor() == 0, "keytool keypair generation failed")
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val fis = new java.io.FileInputStream(ksPath.toFile)
+    try ks.load(fis, "changeit".toCharArray) finally fis.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, "changeit".toCharArray)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    ctx
   }
 }
