@@ -2268,17 +2268,17 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
 
     "web_joint_dedup" -> ((s, dir) => {
       // multi-signal dedup (RefinedWeb's URL-then-content passes as ONE
-      // component computation): URL-duplicate star edges ∪ MinHash-LSH
-      // near-dup pairs → connected components → keep = representative
+      // component computation): URL groups contract to their anchors,
+      // only the MinHash-LSH near-dup pairs drive the iterative CC —
+      // exact quotient-graph equivalence to clustering the edge union
+      // (the r13 form), at a fraction of the loop's node/edge count
       val docs = Tables.documents(s, dir)
       val withUrl = docs.select(col("doc_id"), Web.urlNormalize(synthUrl).as("u"))
       val ka = withUrl.groupBy(col("u")).agg(min(col("doc_id")).as("ka"))
-      val urlPairs = withUrl.join(ka, "u").filter(col("doc_id") > col("ka"))
-        .select(col("ka").as("doc_a"), col("doc_id").as("doc_b"))
-      val pairs = urlPairs
-        .unionByName(Dedup.minhashLshPairs(docs).select(col("doc_a"), col("doc_b")))
-        .distinct()
-      Dedup.clusters(pairs)
+      val anchors = withUrl.join(ka, "u")
+        .select(col("doc_id"), col("ka").as("anchor"))
+      Dedup.clustersContracted(
+          Dedup.minhashLshPairs(docs).select(col("doc_a"), col("doc_b")), anchors)
         .withColumn("keep", col("doc_id") === col("cluster_id"))
         .orderBy(col("doc_id"))
     }),

@@ -930,4 +930,36 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((1001L, 2001L)),
       "exactly the two shared-paragraph units (chunk 1 of each doc) collide")
   }
+
+  test("clustersContracted ≡ clusters over the edge union (quotient-graph exactness)") {
+    // the web_joint_dedup rewrite's correctness contract: contracting
+    // URL groups to their min-id anchors before CC yields EXACTLY the
+    // components of (URL star edges ∪ LSH pairs) — on real sf0.001
+    // documents AND on a hand-built adversarial case where an LSH edge
+    // bridges two URL groups through NON-anchor members
+    import spark.implicits._
+    val synthUrl = concat(lit("https://h"), pmod(col("doc_id"), lit(40)),
+      lit(".example/p/"), pmod(col("doc_id"), lit(173)))
+    val withUrl = docs.select(col("doc_id"), graft.ops.Web.urlNormalize(synthUrl).as("u"))
+    val ka = withUrl.groupBy(col("u")).agg(min(col("doc_id")).as("ka"))
+    val anchors = withUrl.join(ka, "u").select(col("doc_id"), col("ka").as("anchor"))
+    val lsh = Dedup.minhashLshPairs(docs).select(col("doc_a"), col("doc_b"))
+    val unionPairs = withUrl.join(ka, "u").filter(col("doc_id") > col("ka"))
+      .select(col("ka").as("doc_a"), col("doc_id").as("doc_b"))
+      .unionByName(lsh).distinct()
+    val plain = Dedup.clusters(unionPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val contracted = Dedup.clustersContracted(lsh, anchors)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(contracted === plain)
+    // adversarial: groups {0,10,20} (anchor 0) and {5,15} (anchor 5)
+    // bridged by an LSH edge between non-anchors 20 and 15; the
+    // untouched singleton 7 must NOT appear (edge-free vertex)
+    val handAnchors = Seq((0L, 0L), (10L, 0L), (20L, 0L), (5L, 5L), (15L, 5L), (7L, 7L))
+      .toDF("doc_id", "anchor")
+    val handLsh = Seq((15L, 20L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clustersContracted(handLsh, handAnchors)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(0L -> 0L, 10L -> 0L, 20L -> 0L, 5L -> 0L, 15L -> 0L))
+  }
 }
