@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Build the synthetic "sf0.8" probe input (verdict-13 directive #3):
+  * the sf0.1 documents table unioned with id-offset copies of itself —
+  * `factor`× the rows, doc_id ranges disjoint per copy (offset = copy ·
+  * (max_id + 1)) so every derived key (URL mods, edges, blocks) gets a
+  * fresh id space while text/lang/source replicate verbatim, exactly as
+  * the directive specifies. lineitem.parquet is copied through for the
+  * Bench warm-up read.
+  *
+  * `salt` mode prefixes each copy's text with a per-copy marker: the
+  * verbatim form manufactures `factor`-way EXACT-clone families whose
+  * pair output is quadratic in the factor (a data property — 196× pairs
+  * at 8×), so the salted arm is the input-linearity probe (each copy
+  * keeps its internal duplicate structure, no cross-copy clones).
+  * Usage:
+  *   runMain graft.ScaleReplicate <srcSfDir> <outDir> [factor] [salt]
+  */
+object ScaleReplicate {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleReplicate <srcSfDir> <outDir> [factor] [salt]")
+    val src = args(0); val out = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 8
+    val salt = args.length > 3 && args(3) == "salt"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val stride = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val replicated = (0 until factor).map { i =>
+      val c = docs.withColumn("doc_id", col("doc_id") + lit(i * stride))
+      if (salt && i > 0) c.withColumn("text", concat(lit(s"c$i "), col("text")))
+      else c
+    }.reduce(_ unionByName _)
+    replicated.write.mode("overwrite").parquet(s"$out/documents.parquet")
+    spark.read.parquet(s"$src/lineitem.parquet")
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    println(s"[scale] wrote ${factor}x documents (stride $stride) to $out")
+    spark.stop()
+  }
+}
