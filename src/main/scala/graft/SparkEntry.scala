@@ -288,6 +288,30 @@ object SparkEntry {
     """CASE event_type WHEN 'signup' THEN 'c' WHEN 'purchase' THEN 'u'
       |    WHEN 'error' THEN 'd' WHEN 'view' THEN 'r' ELSE 'm' END""".stripMargin
 
+  /** Pigeonhole edit-distance oracle, parameterized by the hot-segment
+    * df cap — shared by the default-recall and capped-posture gates. */
+  private def editDistanceOracle(dfCap: Int): String =
+    s"""WITH t AS (SELECT doc_id AS id, substring(text, 1, 24) AS s FROM documents
+       |           WHERE length(substring(text, 1, 24)) >= 1),
+       |segs AS (
+       |  SELECT id, s, length(s) AS L, iv.i AS seg_i,
+       |    substring(s, CAST(iv.i * (length(s) // 7) + least(iv.i, length(s) % 7) + 1 AS INTEGER),
+       |      CAST((length(s) // 7) + CASE WHEN iv.i < length(s) % 7 THEN 1 ELSE 0 END AS INTEGER)) AS seg
+       |  FROM t CROSS JOIN (SELECT unnest(range(0, 7)) AS i) iv
+       |  WHERE length(s) >= 7
+       |  UNION ALL
+       |  SELECT id, s, length(s) AS L, CAST(0 AS BIGINT) AS seg_i, '' AS seg
+       |  FROM t WHERE length(s) < 7),
+       |hot AS (SELECT seg_i, seg, L FROM segs
+       |        GROUP BY 1, 2, 3 HAVING count(*) > $dfCap),
+       |capped AS (SELECT s.* FROM segs s ANTI JOIN hot h USING (seg_i, seg, L)),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b
+       |  FROM capped a JOIN capped b ON a.seg_i = b.seg_i AND a.seg = b.seg
+       |    AND a.L = b.L AND a.id < b.id)
+       |SELECT id_a, id_b, CAST(levenshtein(s_a, s_b) AS BIGINT) AS dist
+       |FROM cand WHERE levenshtein(s_a, s_b) <= 6
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Shared oracle CTE chain replaying the T3 chunk-status fixture
     * (Cdc.chunkStatusUpdates) and the transactiontracker state machine
     * (Cdc.compressionFromStatus): `su` = the status-UPDATE stream,
@@ -3642,6 +3666,18 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       val titles = Tables.documents(s, dir)
         .select(col("doc_id"), substring(col("text"), 1, 24).as("text"))
       Dedup.editDistancePairs(titles, k = 6)
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "dedup_edit_capped" -> ((s, dir) => {
+      // the scale posture measured in SCALING.md's sf0.8 forensics:
+      // hot-segment df cap tight enough to engage, bounding per-block
+      // candidates at C(cap,2) regardless of corpus size (slope 0.15 vs
+      // 1.21 uncapped across the synthetic decade)
+      val titles = Tables.documents(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("text"))
+      Dedup.editDistancePairs(titles, k = 6, dfCap = 250)
         .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -8706,27 +8742,12 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
 
     // edit-distance twin: identical even-split segmentation (remainder
     // spread left), same df-capped blocking, same distinct-then-verify
-    "dedup_edit_distance" ->
-      """WITH t AS (SELECT doc_id AS id, substring(text, 1, 24) AS s FROM documents
-        |           WHERE length(substring(text, 1, 24)) >= 1),
-        |segs AS (
-        |  SELECT id, s, length(s) AS L, iv.i AS seg_i,
-        |    substring(s, CAST(iv.i * (length(s) // 7) + least(iv.i, length(s) % 7) + 1 AS INTEGER),
-        |      CAST((length(s) // 7) + CASE WHEN iv.i < length(s) % 7 THEN 1 ELSE 0 END AS INTEGER)) AS seg
-        |  FROM t CROSS JOIN (SELECT unnest(range(0, 7)) AS i) iv
-        |  WHERE length(s) >= 7
-        |  UNION ALL
-        |  SELECT id, s, length(s) AS L, CAST(0 AS BIGINT) AS seg_i, '' AS seg
-        |  FROM t WHERE length(s) < 7),
-        |hot AS (SELECT seg_i, seg, L FROM segs
-        |        GROUP BY 1, 2, 3 HAVING count(*) > 2000),
-        |capped AS (SELECT s.* FROM segs s ANTI JOIN hot h USING (seg_i, seg, L)),
-        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b
-        |  FROM capped a JOIN capped b ON a.seg_i = b.seg_i AND a.seg = b.seg
-        |    AND a.L = b.L AND a.id < b.id)
-        |SELECT id_a, id_b, CAST(levenshtein(s_a, s_b) AS BIGINT) AS dist
-        |FROM cand WHERE levenshtein(s_a, s_b) <= 6
-        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_edit_distance" -> editDistanceOracle(2000),
+
+    // capped twin: the 100 TB posture (SCALING.md sf0.8 forensics) as a
+    // first-class gate — identical machinery, df cap low enough to
+    // actually engage on hot segments
+    "dedup_edit_capped" -> editDistanceOracle(250),
 
     // z-order twin: the same statically-unrolled bit interleave
     "layout_zorder" -> {

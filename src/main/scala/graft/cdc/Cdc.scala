@@ -420,10 +420,19 @@ object Cdc {
     * Every frame here is catalog-sized (chunk/txn counts scale with DDL
     * volume, not rows), so the windows are safe at any data scale.
     */
-  def compressionFromStatus(updates: DataFrame): DataFrame = {
+  def compressionFromStatus(updates: DataFrame): DataFrame =
+    commitEmission(statusTransitions(updates), updates)
+
+  /** The DETECTION stage alone: per-chunk old status (lag over lsn) →
+    * transition kind, one row per detected transition. Factored out so
+    * the streaming tracker (graft.streaming.CompressionTracker — keyed
+    * state instead of a window, same contract) can be spec-proven
+    * equivalent against it.
+    */
+  def statusTransitions(updates: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wChunk = Window.partitionBy(col("chunk_id")).orderBy(col("lsn"))
-    val kinds = updates
+    updates
       .withColumn("old_status", lag(col("new_status"), 1, 0).over(wChunk))
       .withColumn("kind",
         when(col("old_status") === 0 && col("new_status") =!= 0,
@@ -431,9 +440,18 @@ object Cdc {
           .when(col("old_status") =!= 0 && col("new_status") === 0,
             lit(Envelope.TsdbOp.Decompression)))
       .filter(col("kind").isNotNull)
+  }
+
+  /** The COMMIT-TIME emission stage: per-txn last-writer c/d winners
+    * stamped with the commit's LSN/time (`transactiontracker.go:
+    * 148-186`), over an already-detected transition stream. `updates`
+    * supplies the commit fence (max lsn/ts per xid).
+    */
+  def commitEmission(transitions: DataFrame, updates: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wTxn = Window.partitionBy(col("xid"), col("kind"))
       .orderBy(col("lsn").desc)
-    val winners = kinds.withColumn("__rn", row_number().over(wTxn))
+    val winners = transitions.withColumn("__rn", row_number().over(wTxn))
       .filter(col("__rn") === 1)
     val commits = updates.groupBy(col("xid"))
       .agg(max(col("lsn")).as("commit_lsn"), max(col("ts_ms")).as("commit_ts_ms"))

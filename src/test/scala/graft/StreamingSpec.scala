@@ -26,6 +26,56 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming compression tracker ≡ batch detection across mid-history batch splits (T3)") {
+    // the transactiontracker's home is the LIVE stream: keyed chunk
+    // state must carry the last committed status across micro-batches,
+    // so the fixture status history is fed in three batches whose cuts
+    // land mid-chunk-history and mid-txn — any lost/duplicated state
+    // shows up as a missing or phantom transition
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.CompressionTracker
+    import graft.streaming.CompressionTracker.StatusUpd
+    import org.apache.spark.sql.functions.col
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val updatesDf = graft.cdc.Cdc.chunkStatusUpdates(
+      graft.cdc.Cdc.walEvents(spark, sf001))
+    val updates = updatesDf
+      .select("lsn", "xid", "chunk_id", "new_status", "ts_ms").as[StatusUpd]
+      .collect().sortBy(_.lsn)
+    val n = updates.length
+    assert(n > 10, s"fixture too small to split meaningfully: $n")
+    val cuts = Seq(n / 3 + 1, 2 * n / 3 + 1) // off the natural boundaries
+    val parts = Seq(updates.slice(0, cuts(0)),
+      updates.slice(cuts(0), cuts(1)), updates.slice(cuts(1), n))
+    val mem = MemoryStream[StatusUpd]
+    val q = CompressionTracker.transitions(mem.toDS())
+      .writeStream.format("memory").queryName("ct_trans")
+      .outputMode("append").start()
+    try {
+      parts.foreach { p => mem.addData(p.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getString(4), r.getBoolean(5))
+    val streamed = spark.sql(
+      "SELECT lsn, xid, chunk_id, new_status, kind, partial FROM ct_trans")
+      .collect().map(key).sortBy(_._1)
+    val batch = graft.cdc.Cdc.statusTransitions(updatesDf)
+      .select(col("lsn"), col("xid"), col("chunk_id"), col("new_status"), col("kind"),
+        (col("new_status").bitwiseAND(org.apache.spark.sql.functions.lit(8)) === 8).as("partial"))
+      .collect().map(key).sortBy(_._1)
+    assert(streamed.length === batch.length && streamed.sameElements(batch),
+      "streamed transitions must equal the batch lag-window detection")
+    // full-pipeline equivalence: commit-time emission over the STREAMED
+    // transitions reproduces compressionFromStatus exactly
+    val full = graft.cdc.Cdc.commitEmission(spark.table("ct_trans"), updatesDf)
+      .collect().map(_.toString).sorted
+    val ref = graft.cdc.Cdc.compressionFromStatus(updatesDf)
+      .collect().map(_.toString).sorted
+    assert(full.sameElements(ref))
+    spark.sql("DROP TABLE IF EXISTS ct_trans")
+  }
+
   test("windowed aggregation with watermark matches batch hourly counts (A2)") {
     val q = StreamPipeline.windowedStats(spark, sf001)
       .writeStream.format("memory").queryName("winstats")
