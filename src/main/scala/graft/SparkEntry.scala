@@ -2510,6 +2510,16 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("chunk_name"))
     }),
 
+    "cdc_chunk_delete_decompression" -> ((s, dir) => {
+      // marker-mode decompression signal: catalog DELETE of a compress_
+      // chunk row → resolve compressed hypertable → user hypertable →
+      // 'd' event; plain-chunk retention drops in the same fixture
+      // stream pass through silently
+      Cdc.chunkDeleteDecompression(Cdc.chunkDeleteEvents(Cdc.walEvents(s, dir)),
+          Cdc.hypertableCatalogCompression(s))
+        .orderBy(col("lsn"))
+    }),
+
     "cdc_compression_envelope" -> ((s, dir) => {
       // op='$' full envelope with the com.timescale.Event key schema;
       // c and d can share a commit LSN, so the envelope text (which
@@ -4859,6 +4869,20 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
          |FROM fs f JOIN cnt ON cnt.d = f.chunk_id
          |WHERE f.status <> 0
          |ORDER BY chunk_name""".stripMargin,
+
+    "cdc_chunk_delete_decompression" ->
+      """WITH mx AS (SELECT MAX(event_id) AS max_lsn,
+        |    MAX(epoch_ns(ts) // 1000000) AS max_ts,
+        |    MAX(epoch_ns(ts) // 86400000000000 - 19723) AS max_day FROM events),
+        |days AS (SELECT DISTINCT epoch_ns(ts) // 86400000000000 - 19723 AS d FROM events),
+        |b AS (SELECT d, ((max_lsn // 10) + 10) * 10 AS base, max_ts, max_day FROM days, mx),
+        |del AS (SELECT base + (max_day + 1) * 40 + d * 4 AS lsn, base, max_ts,
+        |    concat('compress_hyper_2_', CAST(d AS VARCHAR), '_chunk') AS chunk_name
+        |  FROM b WHERE d % 4 = 0)
+        |SELECT lsn, lsn // 10 AS xid, '$' AS op, 'd' AS tsdb_op, chunk_name,
+        |  'public' AS key_schema, 'events' AS key_table,
+        |  max_ts + (lsn - base) AS ts_ms
+        |FROM del ORDER BY lsn""".stripMargin,
 
     "cdc_compression_envelope" -> {
       val env = graft.cdc.Cdc.eventsEnvelopeSchemaJson

@@ -512,6 +512,67 @@ object Cdc {
         col("n_suppressed"), col("ts_ms"))
   }
 
+  /** T3 fixture — catalog chunk DELETE events. In marker mode the
+    * decompression signal is the DELETION of the compressed twin's
+    * catalog row (`replicationresolver.go:625-646`: `OnDeleteEvent` on
+    * a chunk relation → `FindChunkById` → `chunk.IsCompressed()` — the
+    * `compress_` name prefix, `chunk.go:49` — → decompression event).
+    * Deterministic model: every chunk that decompressed in the status
+    * fixture (d%4==0) has its `compress_hyper_2_<d>_chunk` twin deleted
+    * one LSN block after the status history; every 12th data chunk is
+    * ALSO deleted (retention drop of a plain chunk — the negative case
+    * that must NOT emit a decompression event).
+    */
+  def chunkDeleteEvents(wal: DataFrame): DataFrame = {
+    val chunks = wal.select(col("chunk_day")).distinct()
+    val maxes = wal.agg(max(col("lsn")).as("__max_lsn"), max(col("ts_ms")).as("__max_ts"),
+      max(col("chunk_day")).as("__max_day"))
+    chunks.crossJoin(broadcast(maxes))
+      // base2 sits above the status fixture's LSN range (base + d*40+20)
+      .withColumn("__base", expr("((__max_lsn div 10) + 10) * 10"))
+      .withColumn("__base2", col("__base") + (col("__max_day") + 1) * 40)
+      .select(col("chunk_day"), col("__base"), col("__base2"), col("__max_ts"),
+        explode(expr(
+          """filter(array(
+            |  CASE WHEN chunk_day % 4 = 0 THEN
+            |    named_struct('lsn', __base2 + chunk_day * 4L,
+            |      'chunk_id', chunk_day + 1000,
+            |      'chunk_name', concat('compress_hyper_2_', chunk_day, '_chunk'),
+            |      'hypertable_id', 2)
+            |  END,
+            |  CASE WHEN chunk_day % 12 = 1 THEN
+            |    named_struct('lsn', __base2 + chunk_day * 4L + 1L,
+            |      'chunk_id', chunk_day,
+            |      'chunk_name', concat('_hyper_1_', chunk_day, '_chunk'),
+            |      'hypertable_id', 1)
+            |  END), x -> x IS NOT NULL)""".stripMargin)).as("d"))
+      .select(col("d.lsn").as("lsn"), expr("d.lsn div 10").as("xid"),
+        col("d.chunk_id").as("chunk_id"), col("d.chunk_name").as("chunk_name"),
+        col("d.hypertable_id").as("hypertable_id"),
+        (col("__max_ts") + (col("d.lsn") - col("__base"))).as("ts_ms"))
+  }
+
+  /** T3 (marker mode, the reference's actual decompression signal) —
+    * chunk-DELETE-driven decompression events: catalog deletes of
+    * `compress_`-prefixed chunk rows resolve through
+    * [[resolveUncompressed]] (compressed hypertable → user hypertable)
+    * and emit `tsdb_op='d'`; deletes of plain chunks (retention drops)
+    * pass through silently. The name-prefix gate is `chunk.go:49`'s
+    * `IsCompressed`; the resolution is `ResolveUncompressedHypertable`.
+    * Both joins are catalog-sized broadcasts.
+    */
+  def chunkDeleteDecompression(deletes: DataFrame,
+                               hypertables: DataFrame): DataFrame =
+    deletes
+      .filter(col("chunk_name").startsWith("compress_"))
+      .join(broadcast(resolveUncompressed(hypertables)), Seq("hypertable_id"))
+      .select(col("lsn"), col("xid"), lit(Envelope.Op.Timescale).as("op"),
+        lit(Envelope.TsdbOp.Decompression).as("tsdb_op"),
+        col("chunk_name"),
+        col("uncompressed_schema").as("key_schema"),
+        col("uncompressed_table").as("key_table"),
+        col("ts_ms"))
+
   /** The marker-suppressed live stream — the P7 arm of the marker flow:
     * drops exactly the re-INSERTs [[markerDecompression]] counted, keeps
     * everything else (including the markers themselves, which the

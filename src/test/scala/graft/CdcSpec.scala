@@ -378,6 +378,20 @@ class CdcSpec extends SparkSpec {
       Cdc.markerDecompression(mwal).agg(sum("n_suppressed")).head.getLong(0))
   }
 
+  test("chunk DELETE of a compress_ row emits 'd'; retention drops stay silent (T3 marker mode)") {
+    val deletes = Cdc.chunkDeleteEvents(wal)
+    val d = Cdc.chunkDeleteDecompression(deletes, Cdc.hypertableCatalogCompression(spark))
+    assert(d.count() > 0, "decompressed chunks exist in the fixture")
+    // only compress_ twins emit; the plain-chunk retention drops don't
+    assert(d.filter(!col("chunk_name").startsWith("compress_hyper_2_")).count() === 0)
+    assert(deletes.filter(col("chunk_name").startsWith("_hyper_1_")).count() > 0,
+      "the fixture must contain the negative case (plain-chunk deletes)")
+    // every event resolves through hypertable 2 back to the user table
+    val keys = d.select("key_schema", "key_table").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(keys === Seq(("public", "events")))
+  }
+
   test("status catalog: compressed chunks backlink and resolve to the user hypertable (J2)") {
     val cat = Cdc.chunkCatalogStatus(spark, sf001)
     val res = Cdc.resolveUncompressed(Cdc.hypertableCatalogCompression(spark))
