@@ -3177,6 +3177,12 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       ops.EventAnalytics.gaugeAgg(Cdc.walEvents(s, dir))
         .orderBy(col("event_type"), col("chunk_day"))),
 
+    "events_time_weight" -> ((s, dir) =>
+      // time_weight('LOCF'|'Linear') + average accessor: integral over
+      // the bucket's duration, exact integer millicents both methods
+      ops.EventAnalytics.timeWeightedAvg(Cdc.walEvents(s, dir))
+        .orderBy(col("event_type"), col("chunk_day"))),
+
     "events_stats2d" -> ((s, dir) =>
       // stats_agg 2-D accessor family: covariance / corr /
       // determination_coefficient / x_intercept from the SAME exact
@@ -3921,6 +3927,13 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // corpus-mix inequality: Gini of doc/token mass across sources,
       // exact sorted-rank identity in ppm
       graft.ops.Profile.giniReport(Tables.documents(s, dir))),
+
+    "profile_heaps_curve" -> ((s, dir) =>
+      // vocabulary growth at corpus-prefix checkpoints (Heaps' law):
+      // first-occurrence trick — one linear token groupBy, no
+      // per-checkpoint distinct
+      graft.ops.Profile.heapsCurve(Tables.documents(s, dir))
+        .orderBy(col("frac_ppm"))),
 
     "dedup_minhash_est" -> ((s, dir) =>
       // signature-agreement Jaccard estimates vs exact, per LSH
@@ -6175,6 +6188,35 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     // gauge_agg twin: identical window pairs; the edge pairs select via
     // FILTERed arg_min/arg_max where Spark uses the sentinel ordering,
     // and the rates evaluate the byte-identical fixed-order double text
+    // time-weight twin: identical segment integrals, HUGEINT sums, one
+    // integral division to millicents (null on zero-duration buckets)
+    "events_time_weight" ->
+      """WITH wal AS (
+        |  SELECT event_id AS lsn, event_type, value,
+        |    epoch_ns(ts) // 1000000 AS ts_ms,
+        |    epoch_ns(ts) // 86400000000000 - 19723 AS chunk_day
+        |  FROM events WHERE value IS NOT NULL),
+        |p AS (SELECT event_type, chunk_day, ts_ms,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents,
+        |    lead(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS next_v,
+        |    lead(ts_ms) OVER w AS next_ts
+        |  FROM wal
+        |  WINDOW w AS (PARTITION BY event_type, chunk_day
+        |               ORDER BY ts_ms * 1000000 + lsn)),
+        |a AS (SELECT event_type, chunk_day, CAST(COUNT(*) AS BIGINT) AS n_points,
+        |    MAX(ts_ms) - MIN(ts_ms) AS den_ms,
+        |    SUM(CASE WHEN next_ts IS NOT NULL
+        |        THEN v_cents * (next_ts - ts_ms) ELSE 0 END) AS num_locf,
+        |    SUM(CASE WHEN next_ts IS NOT NULL
+        |        THEN (v_cents + next_v) * (next_ts - ts_ms) ELSE 0 END) AS num_lin2x
+        |  FROM p GROUP BY 1, 2)
+        |SELECT event_type, chunk_day, n_points, den_ms,
+        |  CASE WHEN den_ms > 0 THEN CAST((num_locf * 1000) // den_ms AS BIGINT) END
+        |    AS twa_locf_millicents,
+        |  CASE WHEN den_ms > 0 THEN CAST((num_lin2x * 500) // den_ms AS BIGINT) END
+        |    AS twa_linear_millicents
+        |FROM a ORDER BY event_type, chunk_day""".stripMargin,
+
     "events_gauge_agg" ->
       """WITH wal AS (
         |  SELECT event_id AS lsn, event_type, value,
@@ -8635,6 +8677,18 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |    ELSE CAST(((2 * SUM(rd * n_docs) - (count(*) + 1) * SUM(n_docs)) * 1000000)
         |         // (count(*) * SUM(n_docs)) AS BIGINT) END AS gini_docs_ppm
         |FROM r""".stripMargin,
+
+    // heaps twin: identical first-occurrence trick, integer ppm cutoffs
+    "profile_heaps_curve" ->
+      """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |fo AS (SELECT token, MIN(doc_id) AS first_doc FROM tok GROUP BY token),
+        |f AS (SELECT unnest([CAST(125000 AS BIGINT), 250000, 500000, 1000000]) AS frac_ppm),
+        |c AS (SELECT frac_ppm, (m * frac_ppm) // 1000000 AS cutoff_id FROM f, mx)
+        |SELECT c.frac_ppm, c.cutoff_id,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents d WHERE d.doc_id <= c.cutoff_id) AS n_docs,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM fo WHERE fo.first_doc <= c.cutoff_id) AS vocab
+        |FROM c ORDER BY frac_ppm""".stripMargin,
 
     // stupid-backoff twin: the same three count tables, existence-based
     // tier dispatch, identical integer arithmetic (// is DuckDB's div)

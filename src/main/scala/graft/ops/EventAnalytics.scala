@@ -578,6 +578,59 @@ object EventAnalytics {
           .as("irate_right_micro"))
   }
 
+  /** `time_weight` analog (TimescaleDB toolkit `time_weight('LOCF'|
+    * 'Linear', ts, value)` + `average` accessor): per (type, day) the
+    * time-weighted average under both weighting methods — the number
+    * that makes irregularly-sampled gauges comparable (an arithmetic
+    * mean over-weights burst periods).
+    *
+    * Integer-exact cross-engine: values floor to centi-units, each
+    * LOCF segment contributes `v·Δt`, each Linear (trapezoid) segment
+    * `(v+v')·Δt` (the ×2 numerator folds into the final ÷2), sums ride
+    * DECIMAL(38,0) (a day of millisecond-spaced points stays exact
+    * where an i64 sum could wrap at production densities), and the
+    * single integral division to milli-cents happens once at the end —
+    * no doubles anywhere, so the oracle replays bit-exactly via
+    * HUGEINT. Single-point buckets have zero duration → NULL average,
+    * the toolkit's contract. One window + one partial-agg shuffle on
+    * (type, day).
+    */
+  def timeWeightedAvg(wal: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"), col("chunk_day"))
+      .orderBy(expr("ts_ms * 1000000 + lsn"))
+    wal.filter(col("value").isNotNull)
+      // non-negative contract (same fail-loud posture as the HDR
+      // family): a negative integral would hit the floor-vs-truncate
+      // signed-division divergence between engines — refuse loudly
+      // rather than return engine-dependent averages
+      .withColumn("v_cents", expr(
+        """CASE WHEN floor(value * 100 + 0.5) >= 0
+          |  THEN cast(floor(value * 100 + 0.5) as bigint)
+          |  ELSE cast(assert_true(false,
+          |    'timeWeightedAvg: negative gauge value — signed integral division is engine-dependent') as bigint)
+          |END""".stripMargin))
+      .withColumn("next_v", lead(col("v_cents"), 1).over(w))
+      .withColumn("next_ts", lead(col("ts_ms"), 1).over(w))
+      .groupBy(col("event_type"), col("chunk_day"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        (max(col("ts_ms")) - min(col("ts_ms"))).as("den_ms"),
+        sum(when(col("next_ts").isNotNull,
+          col("v_cents").cast("decimal(38,0)") * (col("next_ts") - col("ts_ms")))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("__num_locf"),
+        sum(when(col("next_ts").isNotNull,
+          (col("v_cents") + col("next_v")).cast("decimal(38,0)") * (col("next_ts") - col("ts_ms")))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("__num_lin2x"))
+      .select(col("event_type"), col("chunk_day"), col("n_points"), col("den_ms"),
+        expr("""CASE WHEN den_ms > 0
+               |  THEN CAST((__num_locf * 1000) div den_ms AS BIGINT) END""".stripMargin)
+          .as("twa_locf_millicents"),
+        expr("""CASE WHEN den_ms > 0
+               |  THEN CAST((__num_lin2x * 500) div den_ms AS BIGINT) END""".stripMargin)
+          .as("twa_linear_millicents"))
+  }
+
   /** `stats_agg` 2-D analog (TimescaleDB hyperfunction): per type, the
     * exact integer REGRESSION ACCUMULATOR (n, Σx, Σy, Σxy, Σx², Σy²) —
     * which is all stats_agg stores — plus the slope/intercept accessors

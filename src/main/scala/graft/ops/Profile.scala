@@ -296,4 +296,46 @@ object Profile {
                |       div (n_groups * total_docs) END""".stripMargin)
           .as("gini_docs_ppm"))
   }
+
+  /** Heaps'-law vocabulary growth curve (Heaps 1978): distinct-token
+    * count as a function of corpus prefix size, the number that sizes a
+    * tokenizer vocabulary and predicts OOV rates before committing a
+    * 100 TB tokenization run. The curve V(n) ≈ K·nᵝ is read off
+    * empirically at id-prefix checkpoints (ppm fractions of max doc_id,
+    * integer-exact on both engines — no data-dependent logs, the
+    * fit exponent is the consumer's one division away).
+    *
+    * Relational trick that avoids cumulative-distinct blowup: a token
+    * first enters the vocabulary at its MINIMUM doc id, so V(cutoff) =
+    * #tokens with first_doc ≤ cutoff — ONE groupBy over tokens (linear,
+    * map-side combinable) + one conditional-sum pass, instead of a
+    * distinct per checkpoint. Tokenization = `split(text, " ")`, the
+    * same whitespace recipe the vocab/tokenize gates already
+    * hash-verify cross-engine.
+    */
+  def heapsCurve(docs: DataFrame,
+                 fractionsPpm: Seq[Long] = Seq(125000L, 250000L, 500000L, 1000000L),
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(fractionsPpm.nonEmpty && fractionsPpm.forall(f => f > 0 && f <= 1000000L),
+      s"heapsCurve: fractions must be ppm in (0, 1e6], got $fractionsPpm")
+    val mx = docs.agg(max(col(idCol)).as("__mx"))
+    def cutoff(f: Long) = expr(s"(__mx * ${f}L) div 1000000L")
+    val firstOccur = docs
+      .select(col(idCol).as("__id"), explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col("token")).agg(min(col("__id")).as("first_doc"))
+    val vAggs = fractionsPpm.map(f =>
+      sum(when(col("first_doc") <= cutoff(f), 1L).otherwise(0L)).as(s"__v_$f"))
+    val v = firstOccur.crossJoin(broadcast(mx)).agg(vAggs.head, vAggs.tail: _*)
+    val dAggs = fractionsPpm.map(f =>
+      sum(when(col("__id") <= cutoff(f), 1L).otherwise(0L)).as(s"__n_$f")) :+
+      first(col("__mx")).as("__mx")
+    val d = docs.select(col(idCol).as("__id")).crossJoin(broadcast(mx))
+      .agg(dAggs.head, dAggs.tail: _*)
+    v.crossJoin(d)
+      .select(explode(array(fractionsPpm.map { f =>
+        struct(lit(f).as("frac_ppm"), cutoff(f).as("cutoff_id"),
+          col(s"__n_$f").as("n_docs"), col(s"__v_$f").as("vocab"))
+      }: _*)).as("r"))
+      .select(col("r.frac_ppm"), col("r.cutoff_id"), col("r.n_docs"), col("r.vocab"))
+  }
 }
