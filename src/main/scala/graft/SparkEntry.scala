@@ -2427,6 +2427,13 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    "text_ngram_novelty" -> ((s, dir) =>
+      // per-doc novelty: share of the doc's 3-grams first seen HERE —
+      // the first-occurrence trick at gram granularity, one linear
+      // groupBy + join, no per-doc distinct scans
+      TextAnalysis.ngramNovelty(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
     "dedup_clusters" -> ((s, dir) => {
       Dedup.clusters(Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, threshold10 = 4))
         .orderBy(col("doc_id"))
@@ -8090,6 +8097,23 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |                         THEN v - CAST(18446744073709551616 AS HUGEINT)
         |                         ELSE v END AS BIGINT) AS simhash
         |FROM sig ORDER BY doc_id""".stripMargin,
+
+    // novelty twin: identical 3-gram derivation + first-occurrence min
+    "text_ngram_novelty" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)]),
+        |           x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS shingle
+        |       FROM tok WHERE len(t) >= 3),
+        |fd AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle),
+        |per AS (SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |    CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |  FROM sh s JOIN fd f USING (shingle) GROUP BY s.doc_id)
+        |SELECT d.doc_id, COALESCE(n_grams, 0) AS n_grams,
+        |  COALESCE(n_novel, 0) AS n_novel,
+        |  CASE WHEN COALESCE(n_grams, 0) > 0
+        |    THEN CAST((n_novel * 1000000) // n_grams AS BIGINT) END AS novelty_ppm
+        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

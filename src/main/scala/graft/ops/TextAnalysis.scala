@@ -1465,4 +1465,31 @@ object TextAnalysis {
         (col("len_c") >= col("len_r")).as("bp_ok")) ++
         (1 to maxN).map(n => col(s"p${n}_ppm")): _*)
   }
+
+  /** Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    * n-grams whose corpus-wide first occurrence is this doc — the
+    * cheap memorization/recency proxy curation pipelines use to rank
+    * "how much new text does this doc add" (low novelty ≈ boilerplate
+    * or near-copy of earlier corpus mass; the doc-id order stands in
+    * for ingestion order). Same first-occurrence trick as the Heaps
+    * curve, at n-gram granularity: one linear groupBy on the shingle
+    * (map-side combinable min), one equi-join back — no window over a
+    * data-sized partition, no per-doc distinct scans. Docs shorter than
+    * n tokens carry zero grams and a NULL ratio.
+    */
+  def ngramNovelty(df: DataFrame, n: Int = 3, idCol: String = "doc_id"): DataFrame = {
+    val sh = Dedup.shingles(df, n, idCol = idCol)
+    val firstDoc = sh.groupBy(col("shingle"))
+      .agg(min(col(idCol)).as("first_doc"))
+    val per = sh.join(firstDoc, "shingle")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
+    df.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_ppm",
+        expr("CASE WHEN n_grams > 0 THEN (n_novel * 1000000) div n_grams END"))
+  }
 }
