@@ -145,8 +145,11 @@ object KafkaWire {
       val k = key.getBytes("UTF-8")
       writeVarint(body, k.length); body.write(k)
     }
-    val v = value.getBytes("UTF-8")
-    writeVarint(body, v.length); body.write(v)
+    if (value == null) writeVarint(body, -1) // protocol null value (tombstone)
+    else {
+      val v = value.getBytes("UTF-8")
+      writeVarint(body, v.length); body.write(v)
+    }
     writeVarint(body, 0)                // headers
     val rec = new java.io.ByteArrayOutputStream()
     writeVarint(rec, body.size()); body.writeTo(rec)

@@ -567,6 +567,84 @@ object ConfigPipeline {
     * parity (`replicator.go` stop path): query termination auto-drops
     * the slot (only if created here + autodrop) and closes the
     * publication manager (auto-drop under publication.autodrop). */
+  private val wireSinkTypes = Set("kafka", "nats", "redis", "kinesis", "http", "sqs")
+
+  private[graft] def needsWireRender(props: Map[String, String]): Boolean =
+    wireSinkTypes.contains(props.getOrElse("sink.type", "stdout").toLowerCase) ||
+      wireSinkTypes.contains(props.getOrElse("sink.dlq.type", "").toLowerCase)
+
+  /** Wire-row rendering over the SHAPED stream — the step between the
+    * column pipeline and byte-consuming sinks. Shape-aware by design:
+    * `shape()` can drop payload columns (`column.exclude.list`), turn
+    * them into hash strings (`column.mask.hash.list`), fan deletes out
+    * into tombstone rows, or replace the envelope columns wholesale
+    * (`transforms.unwrap`), and the render must produce VALID wire rows
+    * under every combination rather than an unresolved-column crash:
+    *
+    *  - unwrap mode: the unwrapped record IS the value (Debezium
+    *    ExtractNewRecordState semantics) — a flat JSON object; no PK
+    *    image survives the SMT, so the key is the protocol null;
+    *  - full payload intact: the reference-exact [[Cdc.eventsEnvelopeCols]]
+    *    (per-op before/after images, op='m' message envelopes +
+    *    `{prefix}` keys, schema descriptors);
+    *  - excluded/masked payload: a defensive `to_json` render over the
+    *    SURVIVING payload columns (masked values render masked — the
+    *    capture-time privacy contract; a raw-embedded masked `props`
+    *    would otherwise corrupt the JSON);
+    *  - tombstone fan-out rows (`sink.tombstone=true`): Kafka gets the
+    *    log-compaction contract — the SAME key with a protocol NULL
+    *    value; sinks without null-value records (NATS/Redis/HTTP/SQS/
+    *    Kinesis) drop the fan-out row and keep the delete event;
+    *  - the SQS FIFO dedup id is CONTENT-based over (topic, envelope,
+    *    key) — robust to any of the above reshapes.
+    */
+  private[graft] def renderWireRows(shaped: DataFrame,
+                                    props: Map[String, String]): DataFrame = {
+    val cols = shaped.columns.toSet
+    def colNames(key: String): Set[String] =
+      list(props, key).map(_.split('.').last).toSet
+    val masked = colNames("column.mask.hash.list")
+    val payloadCols = Seq("event_id", "props", "user_id", "value")
+    val sinkType = props.getOrElse("sink.type", "stdout").toLowerCase
+    val withEnvelope =
+      if (bool(props, "transforms.unwrap", default = false)) {
+        val valueCols = shaped.columns.filterNot(_ == "topic").toSeq.sorted
+        shaped.withColumn("envelope", to_json(struct(valueCols.map(col): _*)))
+          .withColumn("key", lit(null).cast(org.apache.spark.sql.types.StringType))
+      } else if (payloadCols.forall(cols.contains) && !masked.contains("props")) {
+        val (env, key) = Cdc.eventsEnvelopeCols("graft")
+        shaped.withColumn("envelope", env).withColumn("key", key)
+      } else {
+        val surviving = payloadCols.filter(cols.contains)
+        val rowStruct = struct(surviving.map(col): _*)
+        val payload = struct(
+          when(col("op").isin(Envelope.Op.Update, Envelope.Op.Delete), rowStruct)
+            .as("before"),
+          when(col("op").isin(Envelope.Op.Read, Envelope.Op.Create, Envelope.Op.Update),
+            rowStruct).as("after"),
+          col("op"),
+          struct(col("schema_name"), col("table_name"), col("lsn"),
+            col("xid"), col("ts_ms")).as("source"),
+          col("ts_ms"))
+        shaped.withColumn("envelope", to_json(payload))
+          .withColumn("key",
+            if (cols.contains("event_id")) to_json(struct(col("event_id")))
+            else lit(null).cast(org.apache.spark.sql.types.StringType))
+      }
+    val tombAware =
+      if (!cols.contains("is_tombstone")) withEnvelope
+      else if (sinkType == "kafka")
+        withEnvelope.withColumn("envelope",
+          when(col("is_tombstone"), lit(null)
+            .cast(org.apache.spark.sql.types.StringType))
+            .otherwise(col("envelope")))
+      else withEnvelope.filter(!col("is_tombstone"))
+    tombAware.withColumn("dedup_id",
+      sha2(concat_ws("|", col("topic"),
+        coalesce(col("envelope"), lit("∅")),
+        coalesce(col("key"), lit(""))), 256))
+  }
+
   def startWithControlPlane(spark: SparkSession, dir: String,
                             props: Map[String, String],
                             defaultCheckpointDir: String)
@@ -620,23 +698,16 @@ object ConfigPipeline {
       pgoutputPath = props.get("postgresql.pgoutput.path"),
       typeResolver = typeResolver)
     val shaped = shape(if (statsOn) StreamPipeline.withStats(base) else base, props)
-    // Wire sinks consume RENDERED rows (topic, key, envelope and, for
-    // SQS FIFO, the content dedup id) — render HERE, after filters and
-    // masking, so an excluded/masked column can never leak into an
-    // envelope byte. Collector/stdout/file paths keep the shaped columns
-    // (the reference's sinks all take the serialized envelope,
+    // Wire sinks consume RENDERED rows (topic, key, envelope and a
+    // content dedup id) — render HERE, after filters and masking, so an
+    // excluded/masked column can never leak into an envelope byte.
+    // Collector/stdout/file paths keep the shaped columns (the
+    // reference's sinks all take the serialized envelope,
     // `spi/sink/sink.go:30-36`; the column forms exist for testability).
-    val sinkType = props.getOrElse("sink.type", "stdout").toLowerCase
+    // The gate considers the DLQ too: a wire DLQ behind a non-wire
+    // primary must receive renderable rows on the day it engages.
     val rendered =
-      if (Set("kafka", "nats", "redis", "kinesis", "http", "sqs").contains(sinkType)) {
-        val base = shaped
-          .withColumn("envelope", Cdc.envelopeJsonCol("graft"))
-          .withColumn("key", Cdc.envelopeKeyJsonCol)
-        if (sinkType == "sqs")
-          base.withColumn("dedup_id",
-            sha2(concat_ws("|", col("lsn"), col("xid"), col("props")), 256))
-        else base
-      } else shaped
+      if (needsWireRender(props)) renderWireRows(shaped, props) else shaped
     val query = (if (statsOn) StreamPipeline.withEmitted(rendered) else rendered)
       .writeStream
       .queryName(topicPrefix(props))

@@ -606,6 +606,49 @@ class ConfigPipelineSpec extends SparkSpec {
     }
   }
 
+  test("wire render survives exclude/mask/unwrap/tombstone configs; DLQ gates the render") {
+    import org.apache.spark.sql.functions.{get_json_object, lit}
+    def render(props: Map[String, String]) =
+      ConfigPipeline.renderWireRows(ConfigPipeline.fromProperties(spark, sf001, props), props)
+    // excluded payload column: envelope renders WITHOUT it, no crash
+    val exProps = Map("column.exclude.list" -> "props", "sink.type" -> "kafka")
+    val ex = render(exProps).filter(col("op") === "c").select("envelope").head.getString(0)
+    assert(!ex.contains("props") && ex.contains("\"event_id\""))
+    // masked props: envelope stays VALID JSON (the defensive to_json
+    // path quotes the hash; a raw embed would corrupt the document)
+    val mkProps = Map("column.mask.hash.list" -> "props", "sink.type" -> "kafka")
+    val mk = render(mkProps).filter(col("op") === "c").select("envelope").head.getString(0)
+    val parsedProps = spark.range(1)
+      .select(get_json_object(lit(mk), "$.after.props")).head.getString(0)
+    assert(parsedProps != null && parsedProps.length === 64, "masked hash rides as a JSON string")
+    // unwrap: the flat record IS the value; no PK survives → null key
+    val uwProps = Map("transforms.unwrap" -> "true", "sink.type" -> "kafka")
+    val uw = render(uwProps)
+    assert(uw.select("key").head.isNullAt(0))
+    val uwEnv = uw.select("envelope").head.getString(0)
+    assert(spark.range(1).select(get_json_object(lit(uwEnv), "$.__op")).head.getString(0) != null)
+    // logical messages render the MESSAGE envelope + {prefix} key
+    val msgProps = Map("postgresql.events.message" -> "true", "sink.type" -> "kafka")
+    val mRow = render(msgProps).filter(col("op") === "m").select("envelope", "key").head
+    assert(mRow.getString(0).contains("\"message\":{\"content\":"))
+    assert(mRow.getString(1).contains("{\"prefix\":\"graft-msg\"}"))
+    // tombstones: kafka gets the log-compaction contract (same key,
+    // NULL value); a sink without null-value records drops the fan-out
+    val tbProps = Map("sink.tombstone" -> "true", "sink.type" -> "kafka")
+    val tb = render(tbProps)
+    val tombs = tb.filter(col("is_tombstone"))
+    assert(tombs.count() > 0 && tombs.filter(col("envelope").isNotNull).count() === 0)
+    assert(tombs.filter(col("key").isNull).count() === 0, "tombstones keep the PK key")
+    val ntProps = Map("sink.tombstone" -> "true", "sink.type" -> "nats")
+    assert(render(ntProps).filter(col("is_tombstone")).count() === 0)
+    // dedup id: content-based, defined even for null-envelope tombstones
+    assert(tb.filter(col("dedup_id").isNull).count() === 0)
+    // the render gate considers the DLQ: a wire DLQ behind a non-wire
+    // primary must receive renderable rows the day it engages
+    assert(ConfigPipeline.needsWireRender(Map("sink.type" -> "stdout", "sink.dlq.type" -> "kafka")))
+    assert(!ConfigPipeline.needsWireRender(Map("sink.type" -> "stdout")))
+  }
+
   test("production topology, ONE config map: SCRAM-PLUS over TLS → resilient spool → " +
     "typed decode via jdbc pg_type → full envelopes → kafka wire") {
     // every hop of a first-attach deployment, driven from a single
@@ -689,7 +732,10 @@ class ConfigPipelineSpec extends SparkSpec {
       val keyIds = msgs.map(_._2).map { k =>
         "\"event_id\":(\\d+)".r.findFirstMatchIn(k).get.group(1).toLong
       }
-      assert(keyIds === expected, "every gate-surviving insert, keyed, exactly once")
+      // the broker records a MULTISET: duplicates would fail the length
+      // check, so this really is exactly-once, not at-least-once
+      assert(keyIds.distinct.length === keyIds.length, "no duplicate deliveries")
+      assert(keyIds.toSet === expected, "every gate-surviving insert, keyed, exactly once")
       // values are the FULL rendered envelopes: self-describing, op in
       // the payload, the row riding in `after` (creates/updates/reads)
       // or `before` (deletes)

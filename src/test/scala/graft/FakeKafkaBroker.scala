@@ -9,18 +9,26 @@ package graft
   */
 final class FakeKafkaBroker {
   import scala.jdk.CollectionConverters._
-  val received = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // a QUEUE, not a set: exactly-once assertions need duplicate
+  // deliveries to be VISIBLE — a set would silently absorb a re-send
+  // and let an at-least-twice sink pass an exactly-once test
+  val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   val crcBad = new java.util.concurrent.atomic.AtomicInteger(0)
   private val server =
     new java.net.ServerSocket(0, 50, java.net.InetAddress.getByName("127.0.0.1"))
   val port: Int = server.getLocalPort
   @volatile private var running = true
 
-  def messages: Set[String] = received.asScala.toSet
+  def messages: Seq[String] = received.asScala.toSeq
 
   private def readVarlong(in: java.io.DataInputStream): Long = {
     var z = 0L; var shift = 0; var b = 0
-    do { b = in.read(); z |= (b & 0x7fL) << shift; shift += 7 } while ((b & 0x80) != 0)
+    do {
+      b = in.read()
+      // EOF mid-varint must fail fast, not spin: -1 has the 0x80 bit set
+      if (b < 0) throw new java.io.EOFException("varint truncated")
+      z |= (b & 0x7fL) << shift; shift += 7
+    } while ((b & 0x80) != 0)
     (z >>> 1) ^ -(z & 1)
   }
 
@@ -68,9 +76,11 @@ final class FakeKafkaBroker {
               val k = new Array[Byte](kl); t.readFully(k); new String(k, "UTF-8")
             }
             val vl = readVarlong(t).toInt
-            val v = new Array[Byte](vl); t.readFully(v)
+            val value = if (vl < 0) "<null>" else { // protocol null value (tombstone)
+              val v = new Array[Byte](vl); t.readFully(v); new String(v, "UTF-8")
+            }
             readVarlong(t) // headers
-            received.add(s"$topic|$key|${new String(v, "UTF-8")}")
+            received.add(s"$topic|$key|$value")
           }
           topic
         }

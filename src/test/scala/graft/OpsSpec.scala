@@ -2298,9 +2298,11 @@ class OpsSpec extends SparkSpec {
                       val k = new Array[Byte](kl); t.readFully(k); new String(k, "UTF-8")
                     }
                     val vl = readVarlong(t).toInt
-                    val v = new Array[Byte](vl); t.readFully(v)
+                    val value = if (vl < 0) "<null>" else {        // protocol null value
+                      val v = new Array[Byte](vl); t.readFully(v); new String(v, "UTF-8")
+                    }
                     assert(readVarlong(t) == 0)                    // headers
-                    received.add(s"$topic|$key|${new String(v, "UTF-8")}")
+                    received.add(s"$topic|$key|$value")
                   }
                   topic
                 }
@@ -2326,7 +2328,8 @@ class OpsSpec extends SparkSpec {
     try {
       import spark.implicits._
       val df = ((1 to 30).map(i => (s"topic${i % 2}", s"key$i", s"""{"ev":$i}""")) :+
-        (("topic0", null.asInstanceOf[String], """{"ev":0}""")))
+        (("topic0", null.asInstanceOf[String], """{"ev":0}""")) :+
+        (("topic1", "tomb", null.asInstanceOf[String]))) // log-compaction tombstone
         .toDF("topic", "key", "envelope").repartition(3)
       // comma-separated bootstrap list: dial the first entry
       val sink = graft.sinks.Sinks.withRetry(graft.sinks.KafkaWireSink(
@@ -2335,7 +2338,7 @@ class OpsSpec extends SparkSpec {
       assert(crcBad.get() === 0)
       assert(received.asScala.toSet ===
         ((1 to 30).map(i => s"topic${i % 2}|key$i|{\"ev\":$i}").toSet
-          + "topic0|<null>|{\"ev\":0}"))
+          + "topic0|<null>|{\"ev\":0}" + "topic1|tomb|<null>"))
     } finally { running = false; server.close() }
   }
 
