@@ -3922,6 +3922,13 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
           Seq("hash", "join", "vector"), "hash join vector")
         .orderBy(col("system"))),
 
+    "retrieval_rank_eval" -> ((s, dir) =>
+      // the standard IR eval card: MRR / P@10 / recall@10 / AP@10 per
+      // system, integer-exact over k-bounded hit frames
+      Retrieval.rankEvalAtK(Tables.documents(s, dir),
+          Seq("hash", "join", "vector"), "hash join vector")
+        .orderBy(col("system"))),
+
     "ann_sq_topk" -> ((s, dir) => {
       // SQ8 search: exact i64 dot over int8 codes, scales multiply back
       // in only at the final fixed-order score
@@ -9142,6 +9149,37 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |SELECT system, CAST(n_hits AS BIGINT) AS n_hits, dcg_micro,
         |  CAST(${ops.Retrieval.ndcgDiscountsMicro(10).sum} AS BIGINT) AS idcg_micro,
         |  (dcg_micro * 1000000) // ${ops.Retrieval.ndcgDiscountsMicro(10).sum} AS ndcg_ppm
+        |FROM (SELECT * FROM dm UNION ALL SELECT * FROM rm) u ORDER BY system""".stripMargin),
+
+    // rank-eval twin: same arms/truth, identical integer rank math
+    "retrieval_rank_eval" -> (retrievalCtes +
+      """
+        |f AS (SELECT coalesce(sp.doc_id, de.doc_id) AS doc_id, sp.sparse_rank, de.dense_rank,
+        |        coalesce(1000000 // (60 + sp.sparse_rank), 0) +
+        |        coalesce(1000000 // (60 + de.dense_rank), 0) AS rrf_micro
+        |      FROM sp FULL OUTER JOIN de ON sp.doc_id = de.doc_id),
+        |rr AS (SELECT doc_id, row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS rank
+        |       FROM (SELECT * FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 10) z),
+        |rel AS (SELECT doc_id FROM sp WHERE sparse_rank <= 10),
+        |dh AS (SELECT CAST(dense_rank AS BIGINT) AS r,
+        |        row_number() OVER (ORDER BY dense_rank) AS hit_idx
+        |       FROM de WHERE dense_rank <= 10 AND doc_id IN (SELECT doc_id FROM rel)),
+        |rh AS (SELECT CAST(rank AS BIGINT) AS r,
+        |        row_number() OVER (ORDER BY rank) AS hit_idx
+        |       FROM rr WHERE doc_id IN (SELECT doc_id FROM rel)),
+        |dm AS (SELECT 'dense' AS system, CAST(count(*) AS BIGINT) AS n_hits,
+        |        CAST(coalesce(MIN(r), 0) AS BIGINT) AS firstr,
+        |        CAST(coalesce(SUM((hit_idx * 1000000) // r), 0) AS BIGINT) AS apsum
+        |       FROM dh),
+        |rm AS (SELECT 'rrf' AS system, CAST(count(*) AS BIGINT) AS n_hits,
+        |        CAST(coalesce(MIN(r), 0) AS BIGINT) AS firstr,
+        |        CAST(coalesce(SUM((hit_idx * 1000000) // r), 0) AS BIGINT) AS apsum
+        |       FROM rh)
+        |SELECT system, n_hits,
+        |  CAST(CASE WHEN firstr > 0 THEN 1000000 // firstr ELSE 0 END AS BIGINT) AS mrr_micro,
+        |  (n_hits * 1000000) // 10 AS p_at_k_ppm,
+        |  (n_hits * 1000000) // 10 AS recall_ppm,
+        |  apsum // 10 AS ap_micro
         |FROM (SELECT * FROM dm UNION ALL SELECT * FROM rm) u ORDER BY system""".stripMargin),
 
     // hard-negative twin: dense pool minus the sparse top-50 doc set

@@ -172,6 +172,42 @@ object Retrieval {
     m("dense", dense, "dense_rank").unionByName(m("rrf", rrf, "rank"))
   }
 
+  /** The classical rank-eval quartet at k — MRR, Precision@k, Recall@k,
+    * AP@k — for the dense and RRF arms against the lexical truth set
+    * (same harness and relevance convention as [[ndcgAtK]]; together
+    * they are the standard IR eval card). All integer-exact: reciprocal
+    * rank and per-hit precision terms are single integer divisions
+    * (`1e6 div r`, `hit_idx·1e6 div r` — hit_idx IS the hit count at
+    * rank r), AP divides the term sum once by min(k, kRel). The hit
+    * frames are ≤ k rows, so the ordering window is k-bounded — never
+    * data-sized.
+    */
+  def rankEvalAtK(df: DataFrame, terms: Seq[String], queryText: String,
+                  kRel: Int = 10, k: Int = 10, dim: Int = 64): DataFrame = {
+    require(k >= 1 && kRel >= 1, "rankEvalAtK: k and kRel must be positive")
+    val (rel, dense, rrf) = lexicalArms(df, terms, queryText, kRel, k, dim)
+    val denom = math.min(k, kRel)
+    def m(sys: String, top: DataFrame, rankCol: String): DataFrame = {
+      val hits = top.filter(col(rankCol) <= k)
+        .join(rel, Seq("doc_id"), "left_semi")
+        .select(col(rankCol).cast("long").as("r"))
+        .withColumn("hit_idx",
+          row_number().over(Window.orderBy(col("r"))).cast("long"))
+      hits.agg(
+          count(lit(1)).as("n_hits"),
+          coalesce(min(col("r")), lit(0L)).as("__first"),
+          coalesce(sum(expr("(hit_idx * 1000000) div r")), lit(0L)).as("__ap_sum"))
+        .select(lit(sys).as("system"),
+          col("n_hits"),
+          expr("CASE WHEN __first > 0 THEN 1000000 div __first ELSE 0L END")
+            .as("mrr_micro"),
+          expr(s"(n_hits * 1000000) div $k").as("p_at_k_ppm"),
+          expr(s"(n_hits * 1000000) div $kRel").as("recall_ppm"),
+          expr(s"__ap_sum div $denom").as("ap_micro"))
+    }
+    m("dense", dense, "dense_rank").unionByName(m("rrf", rrf, "rank"))
+  }
+
   /** Late-interaction retrieval (the ColBERT MaxSim operator, Khattab &
     * Zaharia 2020, on model-free parts): documents are split into fixed
     * `chunkTokens`-token windows, each window hash-embedded; each query
