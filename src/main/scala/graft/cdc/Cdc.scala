@@ -404,8 +404,16 @@ object Cdc {
     *  - `old_status` = the status the catalog held when the UPDATE
     *    arrived — the previous UPDATE's value whether it committed
     *    earlier or sits earlier in the same txn (the reference's
-    *    `chunk.Status()` + intra-txn `compressionUpdate` override is
-    *    exactly `lag(new_status) over (chunk, lsn)`);
+    *    `chunk.Status()` + intra-txn `compressionUpdate` override,
+    *    modeled as `lag(new_status) over (chunk, lsn)`; for every
+    *    history TimescaleDB actually writes — at most one status
+    *    change per direction per (txn, chunk) — the two are
+    *    model-check-proven identical, and the two corners OUTSIDE that
+    *    class where the reference's commit-time-stale catalog diverges
+    *    are pinned as documented decisions in CdcSpec's "documented
+    *    divergence" test: the lag form detects an intra-txn
+    *    recompression the stale catalog misses, and does not let a
+    *    mid-txn status wiggle re-steal the per-txn compression slot);
     *  - `0→≠0` ⇒ compression, `≠0→0` ⇒ decompression;
     *  - per transaction the tracker keeps ONE `compressionUpdate` and
     *    ONE `decompressionUpdate` field — later writes overwrite

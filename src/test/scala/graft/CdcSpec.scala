@@ -339,6 +339,135 @@ class CdcSpec extends SparkSpec {
       (52L, 5L, "c", "_hyper_1_5_chunk", false)))
   }
 
+  test("compression detection model-checked against a tracker simulation (T3, randomized)") {
+    // a faithful Scala port of transactiontracker.go:249-273 + commit
+    // emission :148-186 — catalog updated at commit, per-txn cU/dU
+    // fields with last-writer overwrite, the same-chunk intra-txn
+    // old-status override — replayed over random interleaved
+    // multi-chunk histories and compared set-wise with the relational
+    // form. Output tuple: (commit_lsn, xid, kind, chunk).
+    def simulate(updates: Seq[(Long, Long, Int, Int)]): Set[(Long, Long, String, Int)] = {
+      val catalog = scala.collection.mutable.Map[Int, Int]().withDefaultValue(0)
+      val out = scala.collection.mutable.Set[(Long, Long, String, Int)]()
+      updates.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (xid, txn0) =>
+        val txn = txn0.sortBy(_._1)
+        var cU: Option[(Long, Int, Int)] = None
+        var dU: Option[(Long, Int, Int)] = None
+        txn.foreach { case (lsn, _, chunk, status) =>
+          var old = catalog(chunk)
+          if (old == 0 && status != 0) cU = Some((lsn, chunk, status))
+          else if (cU.exists(_._2 == chunk)) old = cU.get._3
+          if (old != 0 && status == 0) dU = Some((lsn, chunk, status))
+        }
+        val commitLsn = txn.map(_._1).max
+        cU.foreach(u => out += ((commitLsn, xid, "c", u._2)))
+        dU.foreach(u => out += ((commitLsn, xid, "d", u._2)))
+        txn.foreach { case (_, _, chunk, status) => catalog(chunk) = status }
+      }
+      out.toSet
+    }
+    import spark.implicits._
+    (0 until 25).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val nChunks = 2 + rnd.nextInt(3)
+      // generate txns of 1-4 updates; statuses 0..9; skip the one
+      // REFERENCE BLIND SPOT (documented in the pinned test below):
+      // a decompress-then-recompress of the SAME chunk inside ONE txn,
+      // where the reference's catalog-at-commit staleness misses the
+      // second compression — unreachable under TimescaleDB's own
+      // one-compression-operation-per-txn discipline
+      // The generator emits TimescaleDB's actual write discipline: a
+      // transaction COMPRESSES at most one chunk (compress_chunk() is a
+      // single-chunk operation — one nonzero update, optionally chained
+      // with its own zero), while any number of chunks may DECOMPRESS
+      // (zero updates against committed statuses). Outside that class
+      // the reference's commit-time-stale catalog plus its single
+      // compressionUpdate slot produce artifacts (pinned in the
+      // divergence test below): it misses an intra-txn recompression,
+      // lets a status wiggle re-steal the per-txn c slot, and loses the
+      // intra-txn chain of any chunk evicted from the slot.
+      val raw = scala.collection.mutable.ArrayBuffer[(Long, Long, Int, Int)]()
+      var lsn = 10L
+      (0 until (3 + rnd.nextInt(5))).foreach { xid =>
+        val compressChunk = rnd.nextInt(nChunks)
+        var compressed = false
+        val closed = scala.collection.mutable.Set[Int]() // zero emitted
+        (0 until (1 + rnd.nextInt(4))).foreach { _ =>
+          val chunk = rnd.nextInt(nChunks)
+          if (!closed(chunk)) {
+            val status =
+              if (chunk == compressChunk && !compressed && rnd.nextBoolean())
+                1 + rnd.nextInt(9)
+              else 0
+            if (status == 0) closed += chunk else compressed = true
+            raw += ((lsn, xid.toLong, chunk, status))
+            lsn += 10
+          }
+        }
+      }
+      val expected = simulate(raw.toSeq)
+      val got = Cdc.compressionFromStatus(
+          raw.toSeq.map { case (l, x, c, s) => (l, x, c, s, l) }
+            .toDF("lsn", "xid", "chunk_id", "new_status", "ts_ms"))
+        .select("lsn", "xid", "tsdb_op", "chunk_name")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getString(3).stripPrefix("_hyper_1_").stripSuffix("_chunk").toInt))
+        .toSet
+      assert(got === expected, s"seed=$seed updates=${raw.toSeq}")
+    }
+  }
+
+  test("T3 documented divergence: intra-txn decompress-then-recompress of one chunk") {
+    // the reference checks the compression branch against the CATALOG
+    // status, which only updates at commit — so within [5→0, 0→3] in one
+    // txn it records the decompression but misses the re-compression
+    // (transactiontracker.go:313 oldChunkStatus still reads 5). The
+    // relational form reads the true previous update and emits BOTH,
+    // which is the strictly-more-faithful-to-the-data behavior; the
+    // sequence is unreachable under TimescaleDB's own compression-txn
+    // discipline (decompression runs in its own transaction). Pinned so
+    // the difference is a recorded decision, not an accident.
+    import spark.implicits._
+    val updates = Seq(
+      (10L, 1L, 7, 5, 10L),            // txn 1: compress 0→5
+      (20L, 2L, 7, 0, 20L), (30L, 2L, 7, 3, 30L) // txn 2: decompress, recompress
+    ).toDF("lsn", "xid", "chunk_id", "new_status", "ts_ms")
+    val got = Cdc.compressionFromStatus(updates)
+      .select("lsn", "xid", "tsdb_op").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got === Set((10L, 1L, "c"), (30L, 2L, "d"), (30L, 2L, "c")))
+    // corner 2: repeated nonzero statuses for an uncommitted chunk —
+    // the reference re-enters its compression branch on EVERY one
+    // (catalog old still 0 mid-txn), so a later status wiggle of chunk
+    // A would steal the per-txn c slot from chunk B; the relational
+    // form treats only the FIRST 0→≠0 as the compression and ≠0→≠0 as
+    // the status wiggle it is, so B keeps the slot
+    import spark.implicits._
+    val updates2 = Seq(
+      (10L, 1L, 1, 9, 10L),  // chunk 1 compresses (0→9)
+      (20L, 1L, 2, 3, 20L),  // chunk 2 compresses (0→3) — last real compression
+      (30L, 1L, 1, 6, 30L)   // chunk 1 status wiggle (9→6), not a compression
+    ).toDF("lsn", "xid", "chunk_id", "new_status", "ts_ms")
+    val got2 = Cdc.compressionFromStatus(updates2)
+      .select("tsdb_op", "chunk_name").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got2 === Set(("c", "_hyper_1_2_chunk")))
+    // corner 3: slot eviction — when chunk 2's compression overwrites
+    // chunk 1's in the single compressionUpdate field, the reference
+    // can no longer see chunk 1's intra-txn decompression (catalog
+    // still 0, override keyed to chunk 2); the relational form keeps
+    // per-chunk history and reports it
+    val updates3 = Seq(
+      (10L, 1L, 1, 9, 10L),  // chunk 1 compresses
+      (20L, 1L, 2, 3, 20L),  // chunk 2 compresses — evicts chunk 1's slot
+      (30L, 1L, 1, 0, 30L)   // chunk 1 decompresses in the same txn
+    ).toDF("lsn", "xid", "chunk_id", "new_status", "ts_ms")
+    val got3 = Cdc.compressionFromStatus(updates3)
+      .select("tsdb_op", "chunk_name").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got3 === Set(("c", "_hyper_1_2_chunk"), ("d", "_hyper_1_1_chunk")))
+  }
+
   test("fixture status stream drives BOTH event kinds through the envelope surface (T3)") {
     val ev = Cdc.compressionEvents(wal)
     val kinds = ev.select("tsdb_op").distinct().collect().map(_.getString(0)).toSet
