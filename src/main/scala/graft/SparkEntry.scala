@@ -312,6 +312,39 @@ object SparkEntry {
        |FROM cand WHERE levenshtein(s_a, s_b) <= 6
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Shared oracle CTE chain replaying the logical-message prefix
+    * fixture (Cdc.withMessagePrefix) and the 2.12+ marker brackets
+    * (Cdc.markerBrackets): `mwalp` = the prefixed WAL, `mbr` = per-txn
+    * decompression-bracket boundaries gated on the EXACT
+    * `::timescaledb-decompression-start/end` ids. Window frames: lsn is
+    * unique, so DuckDB's RANGE-to-current-row default matches Spark's.
+    */
+  private val msgPrefixCtes: String =
+    s"""mwal AS (SELECT event_id AS lsn, event_id // 10 AS xid,
+       |    $opCaseSql AS op,
+       |    epoch_ns(ts) // 86400000000000 - 19723 AS chunk_day,
+       |    epoch_ns(ts) // 1000000 AS ts_ms, props FROM events),
+       |mwalp AS (SELECT lsn, xid, op, chunk_day, ts_ms, props,
+       |    CASE WHEN op = 'm' THEN
+       |      CASE WHEN nm >= 2 AND xid % 3 <> 2 THEN
+       |        CASE WHEN mi = 1 THEN '::timescaledb-decompression-start'
+       |             WHEN mi = nm THEN '::timescaledb-decompression-end'
+       |             ELSE 'graft' END
+       |      WHEN nm >= 2 THEN 'app.outbox' ELSE 'graft' END END AS msg_prefix
+       |  FROM (SELECT *,
+       |      SUM(CASE WHEN op = 'm' THEN 1 ELSE 0 END)
+       |        OVER (PARTITION BY xid) AS nm,
+       |      SUM(CASE WHEN op = 'm' THEN 1 ELSE 0 END)
+       |        OVER (PARTITION BY xid ORDER BY lsn) AS mi
+       |    FROM mwal) t),
+       |mbr AS (SELECT s.xid, s.start_lsn, e.end_lsn FROM
+       |    (SELECT xid, MIN(lsn) AS start_lsn FROM mwalp
+       |     WHERE msg_prefix = '::timescaledb-decompression-start' GROUP BY xid) s
+       |  LEFT JOIN
+       |    (SELECT xid, MAX(lsn) AS end_lsn FROM mwalp
+       |     WHERE msg_prefix = '::timescaledb-decompression-end' GROUP BY xid) e
+       |  ON s.xid = e.xid)""".stripMargin
+
   /** Shared oracle CTE chain replaying the T3 chunk-status fixture
     * (Cdc.chunkStatusUpdates) and the transactiontracker state machine
     * (Cdc.compressionFromStatus): `su` = the status-UPDATE stream,
@@ -342,12 +375,19 @@ object SparkEntry {
       |    FROM kk WHERE kind IS NOT NULL) z WHERE rn = 1),
       |cm AS (SELECT xid, MAX(lsn) AS commit_lsn, MAX(ts_ms) AS commit_ts_ms
       |  FROM su GROUP BY xid),
+      |ccat AS (SELECT d AS chunk_id,
+      |    concat('_hyper_1_', CAST(d AS VARCHAR), '_chunk') AS chunk_name,
+      |    1 AS hypertable_id FROM days),
+      |cht AS (SELECT 1 AS hypertable_id, 'public' AS ht_schema,
+      |    'events' AS ht_table),
       |ce AS (SELECT cm.commit_lsn AS lsn, wn.xid, '$' AS op, wn.kind AS tsdb_op,
-      |    concat('_hyper_1_', CAST(wn.chunk_id AS VARCHAR), '_chunk') AS chunk_name,
+      |    ccat.chunk_name,
       |    (wn.new_status & 8) = 8 AS partial,
-      |    'public' AS key_schema, 'events' AS key_table,
+      |    cht.ht_schema AS key_schema, cht.ht_table AS key_table,
       |    cm.commit_ts_ms AS ts_ms
-      |  FROM wn JOIN cm ON wn.xid = cm.xid)""".stripMargin
+      |  FROM wn JOIN cm ON wn.xid = cm.xid
+      |  JOIN ccat ON ccat.chunk_id = wn.chunk_id
+      |  JOIN cht ON cht.hypertable_id = ccat.hypertable_id)""".stripMargin
 
   /** Shared IVF-PQ oracle chain through the `ranked` candidates CTE —
     * the topk entry appends its own cut, the rerank entry appends an
@@ -2481,16 +2521,47 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     "cdc_compression_status" -> ((s, dir) => {
       // the transactiontracker state machine itself: chunk-status
       // catalog UPDATEs → lag-per-chunk old status → per-txn last-writer
-      // c/d fields → commit-time emission with the 0x08 partial bit
-      Cdc.compressionFromStatus(Cdc.chunkStatusUpdates(Cdc.walEvents(s, dir)))
+      // c/d fields → commit-time emission with the 0x08 partial bit;
+      // chunk name + hypertable key resolve through the J1 catalog
+      // broadcast, never string-synthesis at emission
+      val wal = Cdc.walEvents(s, dir)
+      Cdc.compressionFromStatus(Cdc.chunkStatusUpdates(wal),
+          Cdc.chunkCatalogOf(wal), Cdc.hypertableCatalog(s))
         .orderBy(col("lsn"), col("tsdb_op"), col("chunk_name"))
     }),
 
     "cdc_marker_decompression" -> ((s, dir) => {
-      // 2.12+ marker flow: marker-open → suppress re-INSERTs →
-      // marker-close → tsdb_op='d' event per affected chunk
+      // 2.12+ marker flow gated on the EXACT
+      // ::timescaledb-decompression-start/end prefixes: marker-open →
+      // suppress re-INSERTs → marker-close → tsdb_op='d' event per
+      // affected chunk, chunk identity via the catalog broadcast
       Cdc.markerDecompression(Cdc.walEvents(s, dir))
         .orderBy(col("lsn"), col("chunk_name"))
+    }),
+
+    "cdc_marker_suppress" -> ((s, dir) => {
+      // the live-stream arm of the marker flow: exactly the bracketed
+      // re-INSERTs vanish; application txns (app.outbox prefix) and
+      // everything outside brackets survive untouched
+      Cdc.markerSuppress(Cdc.walEvents(s, dir))
+        .select(col("lsn"), col("xid"), col("op"))
+        .orderBy(col("lsn"))
+    }),
+
+    "cdc_marker_negative" -> ((s, dir) => {
+      // negative fidelity gate: a transaction emitting ≥2 APPLICATION
+      // messages (an outbox) is NOT a decompression bracket — every one
+      // of its inserts survives suppression. A count-based heuristic
+      // would zero this out.
+      val wal = Cdc.walEvents(s, dir)
+      val outbox = Cdc.withMessagePrefix(wal)
+        .filter(col("msg_prefix") === "app.outbox")
+        .select(col("xid")).distinct()
+      Cdc.markerSuppress(wal)
+        .join(outbox, Seq("xid"))
+        .filter(col("op") === "c")
+        .groupBy(col("xid")).agg(count(lit(1)).as("n_creates_kept"))
+        .orderBy(col("xid"))
     }),
 
     "cdc_chunk_status_catalog" -> ((s, dir) => {
@@ -3685,7 +3756,10 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // fuzzy short-string dedup: exact levenshtein <= 6 over
       // pigeonhole-blocked 24-char title prefixes (k+1 aligned
       // segments; substitution-complete recall, indel shifts are the
-      // documented blocking trade)
+      // documented blocking trade). DEFAULT posture = the scale-safe
+      // cap (EditDistanceDfCap=250, slope 0.15 across the sf0.8
+      // synthetic decade) — the configuration a 1000-executor run
+      // should get without reading the docs
       val titles = Tables.documents(s, dir)
         .select(col("doc_id"), substring(col("text"), 1, 24).as("text"))
       Dedup.editDistancePairs(titles, k = 6)
@@ -3693,14 +3767,14 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    "dedup_edit_capped" -> ((s, dir) => {
-      // the scale posture measured in SCALING.md's sf0.8 forensics:
-      // hot-segment df cap tight enough to engage, bounding per-block
-      // candidates at C(cap,2) regardless of corpus size (slope 0.15 vs
-      // 1.21 uncapped across the synthetic decade)
+    "dedup_edit_recall" -> ((s, dir) => {
+      // the recall-leaning OPT-IN: a wide df cap keeps boilerplate
+      // segment blocks in play (pre-cap quadratic candidate regime —
+      // SCALING.md's sf0.8 forensics measured slope 1.21); for small
+      // corpora where the extra candidates are affordable
       val titles = Tables.documents(s, dir)
         .select(col("doc_id"), substring(col("text"), 1, 24).as("text"))
-      Dedup.editDistancePairs(titles, k = 6, dfCap = 250)
+      Dedup.editDistancePairs(titles, k = 6, dfCap = 2000)
         .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -4868,19 +4942,35 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
          |FROM ce ORDER BY lsn, tsdb_op, chunk_name""".stripMargin,
 
     "cdc_marker_decompression" ->
-      s"""WITH wal AS (SELECT event_id AS lsn, event_id // 10 AS xid,
-         |    $opCaseSql AS op,
-         |    epoch_ns(ts) // 86400000000000 - 19723 AS chunk_day,
-         |    epoch_ns(ts) // 1000000 AS ts_ms FROM events),
-         |br AS (SELECT xid, MIN(lsn) AS start_lsn, MAX(lsn) AS end_lsn
-         |  FROM wal WHERE op = 'm' GROUP BY xid HAVING COUNT(*) >= 2)
-         |SELECT br.end_lsn AS lsn, w.xid, '$$' AS op, 'd' AS tsdb_op,
-         |  concat('_hyper_1_', CAST(w.chunk_day AS VARCHAR), '_chunk') AS chunk_name,
-         |  COUNT(*) AS n_suppressed, MAX(w.ts_ms) AS ts_ms
-         |FROM wal w JOIN br ON w.xid = br.xid
-         |WHERE w.op = 'c' AND w.lsn > br.start_lsn AND w.lsn < br.end_lsn
-         |GROUP BY br.end_lsn, w.xid, w.chunk_day
+      s"""WITH $msgPrefixCtes,
+         |mcat AS (SELECT DISTINCT chunk_day,
+         |    concat('_hyper_1_', CAST(chunk_day AS VARCHAR), '_chunk') AS chunk_name
+         |  FROM mwal)
+         |SELECT b.end_lsn AS lsn, w.xid, '$$' AS op, 'd' AS tsdb_op,
+         |  mcat.chunk_name, COUNT(*) AS n_suppressed, MAX(w.ts_ms) AS ts_ms
+         |FROM mwalp w JOIN mbr b ON w.xid = b.xid
+         |JOIN mcat ON mcat.chunk_day = w.chunk_day
+         |WHERE w.op = 'c' AND w.lsn > b.start_lsn
+         |  AND (b.end_lsn IS NULL OR w.lsn < b.end_lsn)
+         |GROUP BY b.end_lsn, w.xid, mcat.chunk_name
          |ORDER BY lsn, chunk_name""".stripMargin,
+
+    "cdc_marker_suppress" ->
+      s"""WITH $msgPrefixCtes
+         |SELECT w.lsn, w.xid, w.op
+         |FROM mwalp w LEFT JOIN mbr b ON w.xid = b.xid
+         |WHERE NOT (b.start_lsn IS NOT NULL AND w.op = 'c'
+         |  AND w.lsn > b.start_lsn
+         |  AND (b.end_lsn IS NULL OR w.lsn < b.end_lsn))
+         |ORDER BY lsn""".stripMargin,
+
+    "cdc_marker_negative" ->
+      s"""WITH $msgPrefixCtes,
+         |outbox AS (SELECT DISTINCT xid FROM mwalp WHERE msg_prefix = 'app.outbox')
+         |SELECT w.xid, COUNT(*) AS n_creates_kept
+         |FROM mwalp w JOIN outbox o ON w.xid = o.xid
+         |WHERE w.op = 'c'
+         |GROUP BY w.xid ORDER BY w.xid""".stripMargin,
 
     "cdc_chunk_status_catalog" ->
       s"""WITH $chunkStatusCtes,
@@ -4923,9 +5013,12 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     },
 
     "cdc_logical_messages" ->
-      """SELECT event_id AS lsn, 'm' AS op, 'graft' AS prefix,
-        |  base64(encode(props)) AS content
-        |FROM events WHERE event_type = 'click' ORDER BY lsn""".stripMargin,
+      s"""WITH $msgPrefixCtes
+         |SELECT lsn, 'm' AS op, msg_prefix AS prefix,
+         |  base64(encode(props)) AS content
+         |FROM mwalp WHERE op = 'm' AND msg_prefix NOT IN
+         |  ('::timescaledb-decompression-start', '::timescaledb-decompression-end')
+         |ORDER BY lsn""".stripMargin,
 
     "cdc_stats_counters" ->
       s"""SELECT op, n_events, largest_txn FROM
@@ -5217,13 +5310,14 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
          |ORDER BY xid""".stripMargin,
 
     "cdc_message_txn_flag" ->
-      s"""SELECT event_id AS lsn,
-         |  event_id % 2 = 0 AS transactional,
-         |  CASE WHEN event_id % 2 = 0 THEN event_id // 10 END AS tx_id,
-         |  CASE WHEN event_id % 2 = 0 THEN epoch_ns(ts) // 1000000 END AS msg_ts_ms,
-         |  'graft' AS prefix, to_base64(encode(props)) AS content
-         |FROM events
-         |WHERE $opCaseSql = 'm'
+      s"""WITH $msgPrefixCtes
+         |SELECT lsn,
+         |  lsn % 2 = 0 AS transactional,
+         |  CASE WHEN lsn % 2 = 0 THEN xid END AS tx_id,
+         |  CASE WHEN lsn % 2 = 0 THEN ts_ms END AS msg_ts_ms,
+         |  msg_prefix AS prefix, to_base64(encode(props)) AS content
+         |FROM mwalp WHERE op = 'm' AND msg_prefix NOT IN
+         |  ('::timescaledb-decompression-start', '::timescaledb-decompression-end')
          |ORDER BY lsn""".stripMargin,
 
     "cdc_envelope_schema" -> (SparkEntry.eventsEnvelopeOracle + "\nORDER BY lsn"),
@@ -8850,13 +8944,14 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |ORDER BY d.doc_id""".stripMargin,
 
     // edit-distance twin: identical even-split segmentation (remainder
-    // spread left), same df-capped blocking, same distinct-then-verify
-    "dedup_edit_distance" -> editDistanceOracle(2000),
+    // spread left), same df-capped blocking, same distinct-then-verify.
+    // Default = the scale-safe cap (EditDistanceDfCap)
+    "dedup_edit_distance" -> editDistanceOracle(250),
 
-    // capped twin: the 100 TB posture (SCALING.md sf0.8 forensics) as a
-    // first-class gate — identical machinery, df cap low enough to
-    // actually engage on hot segments
-    "dedup_edit_capped" -> editDistanceOracle(250),
+    // recall-leaning opt-in twin: the wide cap that keeps boilerplate
+    // blocks in play (the pre-r15 default; SCALING.md sf0.8 forensics
+    // measured its quadratic candidate regime)
+    "dedup_edit_recall" -> editDistanceOracle(2000),
 
     // z-order twin: the same statically-unrolled bit interleave
     "layout_zorder" -> {

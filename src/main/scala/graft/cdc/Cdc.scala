@@ -74,10 +74,22 @@ object Cdc {
     * DuckDB oracle can derive the identical catalog.
     */
   def chunkCatalog(spark: SparkSession, dir: String): DataFrame =
-    walEvents(spark, dir)
+    chunkCatalogOf(walEvents(spark, dir))
+
+  /** The same chunk-catalog dimension derived from an already-shaped WAL
+    * frame (shared by the batch reader above and flows that only hold a
+    * DataFrame). `chunk_id` is the catalog's allocator id — in the
+    * fixture the day ordinal IS the id (any injective map does); the
+    * name/ids here are CATALOG CONSTRUCTION, and every event flow is
+    * required to consume them through the J1 broadcast join rather than
+    * re-synthesizing names at emission time.
+    */
+  def chunkCatalogOf(wal: DataFrame): DataFrame =
+    wal
       .select(col("chunk_day"))
       .distinct()
       .select(
+        col("chunk_day").as("chunk_id"),
         col("chunk_day").as("chunk_day"),
         concat(lit("_hyper_1_"), col("chunk_day"), lit("_chunk")).as("chunk_name"),
         lit(1).as("hypertable_id"),
@@ -428,8 +440,24 @@ object Cdc {
     * Every frame here is catalog-sized (chunk/txn counts scale with DDL
     * volume, not rows), so the windows are safe at any data scale.
     */
-  def compressionFromStatus(updates: DataFrame): DataFrame =
-    commitEmission(statusTransitions(updates), updates)
+  def compressionFromStatus(updates: DataFrame, chunks: DataFrame,
+                            hypertables: DataFrame): DataFrame =
+    resolveChunkIdentity(commitEmission(statusTransitions(updates), updates),
+      chunks, hypertables)
+
+  /** Fixture/spec convenience: the chunk catalog a synthetic status
+    * stream implies (one row per chunk id it mentions, hypertable 1).
+    * Production flows pass the real catalog to the 3-arg form — the
+    * emission path itself never string-builds a chunk name.
+    */
+  def compressionFromStatus(updates: DataFrame): DataFrame = {
+    val chunks = updates.select(col("chunk_id")).distinct()
+      .select(col("chunk_id"),
+        concat(lit("_hyper_1_"), col("chunk_id"), lit("_chunk")).as("chunk_name"),
+        lit(1).as("hypertable_id"))
+    compressionFromStatus(updates, chunks,
+      hypertableCatalog(updates.sparkSession))
+  }
 
   /** The DETECTION stage alone: per-chunk old status (lag over lsn) →
     * transition kind, one row per detected transition. Factored out so
@@ -468,11 +496,30 @@ object Cdc {
         col("commit_lsn").as("lsn"), col("xid"),
         lit(Envelope.Op.Timescale).as("op"),
         col("kind").as("tsdb_op"),
-        concat(lit("_hyper_1_"), col("chunk_id"), lit("_chunk")).as("chunk_name"),
+        col("chunk_id"),
         (col("new_status").bitwiseAND(lit(8)) === 8).as("partial"),
-        lit("public").as("key_schema"), lit("events").as("key_table"),
         col("commit_ts_ms").as("ts_ms"))
   }
+
+  /** Event-side chunk-identity resolution — the J1 join applied to the
+    * status machine's output: events carry only the catalog `chunk_id`
+    * the UPDATE rows named (`transactiontracker.go:254-259` reads the
+    * chunk by id from the system catalog), and the chunk NAME plus the
+    * owning hypertable's `{schema, table}` key come from the catalog
+    * broadcast — never string-synthesized at emission time. Both sides
+    * of the join are catalog-sized.
+    */
+  def resolveChunkIdentity(events: DataFrame, chunks: DataFrame,
+                           hypertables: DataFrame): DataFrame =
+    events
+      .join(broadcast(chunks.select(col("chunk_id"), col("chunk_name"),
+        col("hypertable_id"))), Seq("chunk_id"))
+      .join(broadcast(hypertables.select(col("hypertable_id"),
+        col("ht_schema"), col("ht_table"))), Seq("hypertable_id"))
+      .select(col("lsn"), col("xid"), col("op"), col("tsdb_op"),
+        col("chunk_name"), col("partial"),
+        col("ht_schema").as("key_schema"), col("ht_table").as("key_table"),
+        col("ts_ms"))
 
   /** T3 — compression/decompression events over the fixture status
     * stream: [[chunkStatusUpdates]] → [[compressionFromStatus]], shaped
@@ -481,12 +528,76 @@ object Cdc {
     * kinds flow from here into [[compressionEnvelopes]].
     */
   def compressionEvents(wal: DataFrame): DataFrame =
-    compressionFromStatus(chunkStatusUpdates(wal))
+    compressionFromStatus(chunkStatusUpdates(wal), chunkCatalogOf(wal),
+        hypertableCatalog(wal.sparkSession))
       .select(col("lsn"), col("op"), col("tsdb_op"), col("chunk_name"),
         col("partial"), col("key_schema"), col("key_table"), col("ts_ms"))
 
+  /** The exact decompression-marker message prefixes the 2.12+ path
+    * keys on (`transactiontracker.go:33-34`). */
+  val DecompressionMarkerStartId = "::timescaledb-decompression-start"
+  val DecompressionMarkerEndId   = "::timescaledb-decompression-end"
+
+  /** Fixture stage — attach the logical-message `prefix` column the real
+    * pgoutput stream carries on every `pg_logical_emit_message` row
+    * (`spi/pgtypes/logicalreplicationmessage.go`). The raw events table
+    * has no message metadata, so the prefix is derived deterministically
+    * (reproducible by the DuckDB oracle):
+    *
+    *  - multi-message txns with `xid % 3 ≠ 2` are DECOMPRESSION
+    *    brackets: first message = `::timescaledb-decompression-start`,
+    *    last = `::timescaledb-decompression-end` (ids per
+    *    `transactiontracker.go:33-34`), middles = plain `graft`
+    *    application messages riding inside the bracket;
+    *  - multi-message txns with `xid % 3 = 2` are APPLICATION outbox
+    *    txns (`app.outbox`) — the negative class a prefix-blind
+    *    heuristic would wrongly treat as brackets;
+    *  - everything else emits the `graft` application prefix.
+    *
+    * One keyed window over xid (txns are 10 rows — bounded partitions),
+    * no join; non-message rows carry a NULL prefix.
+    */
+  def withMessagePrefix(wal: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isMsg = col("op") === Envelope.Op.Message
+    val one = when(isMsg, lit(1)).otherwise(lit(0))
+    val wTxn = Window.partitionBy(col("xid"))
+    val wOrd = wTxn.orderBy(col("lsn"))
+    wal
+      .withColumn("__nm", sum(one).over(wTxn))
+      .withColumn("__mi", sum(one).over(wOrd))
+      .withColumn("msg_prefix",
+        when(isMsg,
+          when(col("__nm") >= 2 && pmod(col("xid"), lit(3)) =!= 2,
+            when(col("__mi") === 1, lit(DecompressionMarkerStartId))
+              .when(col("__mi") === col("__nm"), lit(DecompressionMarkerEndId))
+              .otherwise(lit("graft")))
+            .when(col("__nm") >= 2, lit("app.outbox"))
+            .otherwise(lit("graft"))))
+      .drop("__nm", "__mi")
+  }
+
+  /** Per-txn decompression bracket boundaries, gated on the EXACT marker
+    * prefixes (`transactiontracker.go:383-392`: `msg.Prefix ==
+    * decompressionMarkerStartId` flips `ongoingDecompression` on, the
+    * end id flips it off) — NOT on message counts, so application txns
+    * emitting several messages are never mistaken for brackets. A
+    * start with no end leaves the bracket open to txn end (the
+    * reference's flag stays set until commit). Txn-granularity
+    * aggregates only.
+    */
+  private def markerBrackets(prefixed: DataFrame): DataFrame = {
+    val starts = prefixed
+      .filter(col("msg_prefix") === DecompressionMarkerStartId)
+      .groupBy(col("xid")).agg(min(col("lsn")).as("start_lsn"))
+    val ends = prefixed
+      .filter(col("msg_prefix") === DecompressionMarkerEndId)
+      .groupBy(col("xid")).agg(max(col("lsn")).as("end_lsn"))
+    starts.join(ends, Seq("xid"), "left")
+  }
+
   /** T3 (2.12+ marker path) — marker-bracketed decompression as ONE
-    * flow: `::timescaledb-decompression-start` flips
+    * flow: a `::timescaledb-decompression-start` message flips
     * `ongoingDecompression` on, re-INSERTed rows inside the bracket are
     * discarded (`transactiontracker.go:208-218,383-392` — P7's
     * suppression), and closing the bracket yields the decompression
@@ -494,31 +605,35 @@ object Cdc {
     * reference the compressed `compress_…` chunk's catalog DELETE inside
     * the same txn triggers it, `replicationresolver.go:625-636`).
     *
-    * Marker stand-in: a transaction carrying ≥2 message ops is
-    * marker-bracketed — its first message is the start marker, its last
-    * the end marker. Output: one `tsdb_op='d'` event per (txn, chunk)
-    * that had inserts suppressed, emitted at the end-marker LSN with the
-    * suppressed count attached. Joins are keyed on xid — both sides
-    * shrink to txn-granularity aggregates before joining, so nothing
-    * here is a broadcast of a data-sized frame.
+    * Output: one `tsdb_op='d'` event per (txn, chunk) that had inserts
+    * suppressed, emitted at the end-marker LSN with the suppressed count
+    * attached; chunk identity resolves through the J1 catalog broadcast
+    * (never re-synthesized at emission). Joins are keyed on xid — both
+    * sides shrink to txn-granularity aggregates before joining.
     */
   def markerDecompression(wal: DataFrame): DataFrame = {
-    val brackets = wal.filter(col("op") === Envelope.Op.Message)
-      .groupBy(col("xid"))
-      .agg(min(col("lsn")).as("start_lsn"), max(col("lsn")).as("end_lsn"),
-        count(lit(1)).as("n_msgs"))
-      .filter(col("n_msgs") >= 2)
-    wal.filter(col("op") === Envelope.Op.Create)
-      .join(brackets, Seq("xid"))
-      .filter(col("lsn") > col("start_lsn") && col("lsn") < col("end_lsn"))
+    val prefixed = withMessagePrefix(wal)
+    markerSuppressedRows(prefixed)
       .groupBy(col("xid"), col("end_lsn"), col("chunk_day"))
       .agg(count(lit(1)).as("n_suppressed"), max(col("ts_ms")).as("ts_ms"))
+      .join(broadcast(chunkCatalogOf(wal)
+        .select(col("chunk_day"), col("chunk_name"))), Seq("chunk_day"))
       .select(col("end_lsn").as("lsn"), col("xid"),
         lit(Envelope.Op.Timescale).as("op"),
         lit(Envelope.TsdbOp.Decompression).as("tsdb_op"),
-        concat(lit("_hyper_1_"), col("chunk_day"), lit("_chunk")).as("chunk_name"),
-        col("n_suppressed"), col("ts_ms"))
+        col("chunk_name"), col("n_suppressed"), col("ts_ms"))
   }
+
+  /** The bracketed re-INSERT rows themselves (prefixed WAL in, one row
+    * per suppressed insert) — shared by the event aggregation above and
+    * the live-stream suppression filter below so the two arms can never
+    * disagree on what was dropped.
+    */
+  private def markerSuppressedRows(prefixed: DataFrame): DataFrame =
+    prefixed.filter(col("op") === Envelope.Op.Create)
+      .join(markerBrackets(prefixed), Seq("xid"))
+      .filter(col("lsn") > col("start_lsn") &&
+        (col("end_lsn").isNull || col("lsn") < col("end_lsn")))
 
   /** T3 fixture — catalog chunk DELETE events. In marker mode the
     * decompression signal is the DELETION of the compressed twin's
@@ -587,15 +702,15 @@ object Cdc {
     * envelope stage renders as op='m' events or drops by config).
     */
   def markerSuppress(wal: DataFrame): DataFrame = {
-    val brackets = wal.filter(col("op") === Envelope.Op.Message)
-      .groupBy(col("xid"))
-      .agg(min(col("lsn")).as("__start"), max(col("lsn")).as("__end"),
-        count(lit(1)).as("__n"))
-      .filter(col("__n") >= 2)
-    wal.join(brackets, Seq("xid"), "left")
+    val prefixed = withMessagePrefix(wal)
+    val brackets = markerBrackets(prefixed)
+      .withColumnRenamed("start_lsn", "__start")
+      .withColumnRenamed("end_lsn", "__end")
+    prefixed.join(brackets, Seq("xid"), "left")
       .filter(!(col("__start").isNotNull && col("op") === Envelope.Op.Create &&
-        col("lsn") > col("__start") && col("lsn") < col("__end")))
-      .drop("__start", "__end", "__n")
+        col("lsn") > col("__start") &&
+        (col("__end").isNull || col("lsn") < col("__end"))))
+      .drop("__start", "__end", "msg_prefix")
   }
 
   /** pglogrepl `LSN.String()` parity: `%X/%X` of the high and low 32
@@ -644,11 +759,18 @@ object Cdc {
   /** T10 — logical messages (`pg_logical_emit_message`,
     * `spi/pgtypes/logicalreplicationmessage.go`, emit
     * `eventemitter.go:278-288`): op="m" rows with `{prefix, content:
-    * base64}` payload and `{prefix}` key.
+    * base64}` payload and `{prefix}` key. The prefix is the real per-row
+    * message prefix ([[withMessagePrefix]]); decompression-marker
+    * messages are CONSUMED by the tracker before message-event
+    * generation (`transactiontracker.go:383-392` returns without
+    * collecting them), so they never surface here.
     */
-  def logicalMessages(wal: DataFrame, prefix: String = "graft"): DataFrame =
-    wal.filter(col("op") === Envelope.Op.Message)
-      .select(col("lsn"), col("op"), lit(prefix).as("prefix"),
+  def logicalMessages(wal: DataFrame): DataFrame =
+    withMessagePrefix(wal)
+      .filter(col("op") === Envelope.Op.Message &&
+        !col("msg_prefix").isin(DecompressionMarkerStartId,
+          DecompressionMarkerEndId))
+      .select(col("lsn"), col("op"), col("msg_prefix").as("prefix"),
         PgConverters.base64Std(col("props").cast("binary")).as("content"))
 
   /** Truncate-event flow (op `t`) — `logicalreplicationresolver/
@@ -688,14 +810,17 @@ object Cdc {
     * the production sink substitutes its own receive time).
     * Transactionality modeled as even-LSN (deterministic for the oracle).
     */
-  def logicalMessagesTxn(wal: DataFrame, prefix: String = "graft"): DataFrame = {
+  def logicalMessagesTxn(wal: DataFrame): DataFrame = {
     val transactional = pmod(col("lsn"), lit(2)) === 0
-    wal.filter(col("op") === Envelope.Op.Message)
+    withMessagePrefix(wal)
+      .filter(col("op") === Envelope.Op.Message &&
+        !col("msg_prefix").isin(DecompressionMarkerStartId,
+          DecompressionMarkerEndId))
       .select(col("lsn"),
         transactional.as("transactional"),
         when(transactional, col("xid")).as("tx_id"),
         when(transactional, col("ts_ms")).as("msg_ts_ms"),
-        lit(prefix).as("prefix"),
+        col("msg_prefix").as("prefix"),
         PgConverters.base64Std(col("props").cast("binary")).as("content"))
   }
 

@@ -24,6 +24,20 @@ object Dedup {
     */
   val DefaultDfCap = 2000
 
+  /** The edit-distance blocker's OWN default cap — tighter than the
+    * shingle family's because its geometry is harsher: every string
+    * contributes k+1 short aligned segments, and short segments over a
+    * skewed title corpus go hot far sooner than 7-gram shingles. The
+    * sf0.8 synthetic-decade forensics (SCALING.md): candidate growth at
+    * cap 2000 rode the pre-cap quadratic regime (slope 1.21, 838 K →
+    * 54.6 M candidates) while cap 250 is flat (0.15) and — measured —
+    * OUTPUT-IDENTICAL at sf0.01/sf0.1: every segment block the tighter
+    * cap excises is boilerplate whose survivors the levenshtein verify
+    * rejects anyway. The scale-safe posture is therefore the default;
+    * pass a wider cap explicitly to lean recall on small corpora.
+    */
+  val EditDistanceDfCap = 250
+
   /** Explicit opt-out for the df-cap defaults. */
   val Unbounded: Int = Int.MaxValue
 
@@ -1222,7 +1236,7 @@ object Dedup {
     */
   def editDistancePairs(df: DataFrame, k: Int = 2, textCol: String = "text",
                         idCol: String = "doc_id",
-                        dfCap: Int = DefaultDfCap): DataFrame = {
+                        dfCap: Int = EditDistanceDfCap): DataFrame = {
     require(k >= 1, s"editDistancePairs: k=$k must be >= 1")
     val nSeg = k + 1
     val t = df.select(col(idCol).as("id"), col(textCol).as("s"))

@@ -1041,11 +1041,16 @@ object TextAnalysis {
     * in any streaming output mode. Out-of-vocabulary words map to a
     * single -1 (the `tokenizeToIds` UNK contract).
     *
-    * The map lives in the PLAN (driver-collected): real tokenizer
-    * vocabularies are 32k–500k entries, far under `maxVocabEntries`;
-    * past the cap this fails loudly rather than silently shipping a
-    * multi-GB plan — the broadcast-join batch path ([[bpeEncode]]) is
-    * the unbounded form.
+    * The map rides a BROADCAST VARIABLE (driver-collected, torrent-
+    * shipped ONCE per executor — a `typedLit` map would instead embed
+    * the vocabulary in the plan and reserialize it into every task
+    * closure, a real driver/network tax at 2 M entries × thousands of
+    * tasks): real tokenizer vocabularies are 32k–500k entries, far
+    * under `maxVocabEntries`; past the cap this fails loudly rather
+    * than silently shipping a multi-GB broadcast — the broadcast-join
+    * batch path ([[bpeEncode]]) is the unbounded form. The per-doc
+    * lookup is one UDF call over the words array (the hash probes
+    * dominate; there is no codegen win a literal map would add).
     */
   def bpeEncodeWith(stream: DataFrame, fittedWords: DataFrame,
                     symbolIds: DataFrame, textCol: String = "text",
@@ -1055,12 +1060,17 @@ object TextAnalysis {
     val entries = fittedWords.select(col("w"), col("sym")).collect()
     require(entries.length <= maxVocabEntries,
       s"bpeEncodeWith: fitted vocabulary ${entries.length} exceeds " +
-        s"$maxVocabEntries literal-map entries — use the bpeEncode batch path")
-    val wordToIds: Map[String, Seq[Int]] = entries.map { r =>
-      r.getString(0) -> r.getString(1).split(" ").toSeq.map(s =>
+        s"$maxVocabEntries broadcast-map entries — use the bpeEncode batch path")
+    val wordToIds: Map[String, Array[Int]] = entries.map { r =>
+      r.getString(0) -> r.getString(1).split(" ").map(s =>
         ids.getOrElse(s, -1))
     }.toMap
-    val m = typedLit(wordToIds)
+    val bc = stream.sparkSession.sparkContext.broadcast(wordToIds)
+    val encodeDoc = udf { ws: Seq[String] =>
+      val m = bc.value
+      ws.iterator.flatMap(w => m.getOrElse(w, Array(-1)).iterator)
+        .mkString(",")
+    }
     // same word stream as the batch path: split, drop empties — and
     // drop WORDLESS docs (null/empty text) entirely, matching the batch
     // encode, which emits no row for a doc with no words (a null/empty
@@ -1069,9 +1079,7 @@ object TextAnalysis {
       w => length(w) > 0)
     stream.select(col("doc_id"), words.as("words_"))
       .where(size(col("words_")) > 0)
-      .select(col("doc_id"),
-        array_join(flatten(transform(col("words_"),
-          w => coalesce(element_at(m, w), array(lit(-1))))), ",").as("ids_csv"))
+      .select(col("doc_id"), encodeDoc(col("words_")).as("ids_csv"))
   }
 
   /** The fitted artifacts [[bpeEncodeWith]] consumes, from one batch

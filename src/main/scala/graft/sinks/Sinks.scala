@@ -564,8 +564,13 @@ final case class RedisSink(config: RedisSinkConfig) extends Sink {
         if (password.nonEmpty) { writeCmd("AUTH", password); readReply() }
         if (database != 0)     { writeCmd("SELECT", database.toString); readReply() }
         rows.foreach { r =>
+          // key is protocol-null for unwrapped streams whose PK was
+          // shaped away and for tombstone-less renders — a Redis stream
+          // field can't carry null, so the empty string stands in (same
+          // posture as NatsSink's header fallback)
           writeCmd("XADD", r.getAs[String]("topic"), "*",
-            "key", r.getAs[String]("key"), "envelope", r.getAs[String]("envelope"))
+            "key", Option(r.getAs[String]("key")).getOrElse(""),
+            "envelope", r.getAs[String]("envelope"))
           readReply()
         }
       } finally sock.close()

@@ -521,11 +521,22 @@ object ConfigPipeline {
     // `transforms.unwrap.delete.handling.mode` (drop|rewrite) — drop
     // also drops tombstone fan-out rows, Debezium's drop.tombstones
     // default. The topic column rides through for the sink dispatch.
-    if (bool(props, "transforms.unwrap", default = false))
-      Cdc.unwrapNewRecordState(withTomb,
+    if (bool(props, "transforms.unwrap", default = false)) {
+      // the SMT rewrites only the record VALUE — the Kafka record key
+      // (PK image) is untouched, so it rides beside the unwrapped row
+      // as a render-internal column (renderWireRows keys on it and
+      // keeps it OUT of the value JSON); absent when column privacy
+      // already dropped the PK
+      val keyed =
+        if (withTomb.columns.contains("event_id"))
+          withTomb.withColumn("__key_event_id", col("event_id"))
+        else withTomb
+      Cdc.unwrapNewRecordState(keyed,
         props.getOrElse("transforms.unwrap.delete.handling.mode", "drop"),
-        passthrough = Seq("topic"))
-    else withTomb
+        passthrough = Seq("topic") ++
+          (if (keyed.columns.contains("__key_event_id")) Seq("__key_event_id")
+           else Nil))
+    } else withTomb
   }
 
   /** Gate set with the snapshot mode APPLIED: in this engine's model,
@@ -582,8 +593,10 @@ object ConfigPipeline {
     * under every combination rather than an unresolved-column crash:
     *
     *  - unwrap mode: the unwrapped record IS the value (Debezium
-    *    ExtractNewRecordState semantics) — a flat JSON object; no PK
-    *    image survives the SMT, so the key is the protocol null;
+    *    ExtractNewRecordState semantics) — a flat JSON object; the SMT
+    *    rewrites only the value, so the record KEY keeps the PK image
+    *    (per-key partitioning/compaction survive unwrapping) and falls
+    *    back to the protocol null only when shaping dropped the PK;
     *  - full payload intact: the reference-exact [[Cdc.eventsEnvelopeCols]]
     *    (per-op before/after images, op='m' message envelopes +
     *    `{prefix}` keys, schema descriptors);
@@ -606,30 +619,59 @@ object ConfigPipeline {
     val masked = colNames("column.mask.hash.list")
     val payloadCols = Seq("event_id", "props", "user_id", "value")
     val sinkType = props.getOrElse("sink.type", "stdout").toLowerCase
+    // PK key when the column survives shaping, protocol null otherwise —
+    // shared by unwrap and defensive renders (Debezium semantics: the
+    // ExtractNewRecordState SMT rewrites only the VALUE, the record key
+    // is preserved, so unwrapped streams keep per-key partitioning and
+    // log compaction)
+    val pkKey =
+      if (cols.contains("event_id")) to_json(struct(col("event_id")))
+      else lit(null).cast(org.apache.spark.sql.types.StringType)
     val withEnvelope =
       if (bool(props, "transforms.unwrap", default = false)) {
-        val valueCols = shaped.columns.filterNot(_ == "topic").toSeq.sorted
+        val valueCols = shaped.columns
+          .filterNot(c => c == "topic" || c == "__key_event_id").toSeq.sorted
+        val unwrapKey =
+          if (cols.contains("__key_event_id"))
+            to_json(struct(col("__key_event_id").as("event_id")))
+          else lit(null).cast(org.apache.spark.sql.types.StringType)
         shaped.withColumn("envelope", to_json(struct(valueCols.map(col): _*)))
-          .withColumn("key", lit(null).cast(org.apache.spark.sql.types.StringType))
-      } else if (payloadCols.forall(cols.contains) && !masked.contains("props")) {
+          .withColumn("key", unwrapKey)
+          .drop("__key_event_id")
+      } else if (payloadCols.forall(cols.contains) &&
+                 masked.intersect(payloadCols.toSet).isEmpty) {
+        // the reference-exact raw-concat envelope is only valid when NO
+        // payload column was rewritten by masking: a masked user_id /
+        // event_id would embed an unquoted sha2 hex (invalid JSON), a
+        // masked value turns floor(sha2*100) NULL and nulls the whole
+        // concat — every masked-payload config routes through the
+        // defensive to_json branch instead
         val (env, key) = Cdc.eventsEnvelopeCols("graft")
         shaped.withColumn("envelope", env).withColumn("key", key)
       } else {
         val surviving = payloadCols.filter(cols.contains)
         val rowStruct = struct(surviving.map(col): _*)
+        // column.exclude.list may drop ANY column, envelope metadata
+        // included — tolerate the gap (to_json omits null fields) so the
+        // "never an unresolved-column crash" contract holds under every
+        // exclude list
+        def meta(name: String, tpe: org.apache.spark.sql.types.DataType) =
+          (if (cols.contains(name)) col(name) else lit(null).cast(tpe)).as(name)
+        import org.apache.spark.sql.types.{LongType, StringType}
+        val opCol =
+          if (cols.contains("op")) col("op") else lit(null).cast(StringType)
         val payload = struct(
-          when(col("op").isin(Envelope.Op.Update, Envelope.Op.Delete), rowStruct)
+          when(opCol.isin(Envelope.Op.Update, Envelope.Op.Delete), rowStruct)
             .as("before"),
-          when(col("op").isin(Envelope.Op.Read, Envelope.Op.Create, Envelope.Op.Update),
+          when(opCol.isin(Envelope.Op.Read, Envelope.Op.Create, Envelope.Op.Update),
             rowStruct).as("after"),
-          col("op"),
-          struct(col("schema_name"), col("table_name"), col("lsn"),
-            col("xid"), col("ts_ms")).as("source"),
-          col("ts_ms"))
+          opCol.as("op"),
+          struct(meta("schema_name", StringType), meta("table_name", StringType),
+            meta("lsn", LongType), meta("xid", LongType),
+            meta("ts_ms", LongType)).as("source"),
+          meta("ts_ms", LongType))
         shaped.withColumn("envelope", to_json(payload))
-          .withColumn("key",
-            if (cols.contains("event_id")) to_json(struct(col("event_id")))
-            else lit(null).cast(org.apache.spark.sql.types.StringType))
+          .withColumn("key", pkKey)
       }
     val tombAware =
       if (!cols.contains("is_tombstone")) withEnvelope

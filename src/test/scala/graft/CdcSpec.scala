@@ -489,8 +489,23 @@ class CdcSpec extends SparkSpec {
       // xid 2: single message — not a bracket, insert survives
       (20L, 2L, "m", 0, 200L), (21L, 2L, "c", 0, 210L),
       // xid 3: insert BEFORE the bracket opens survives
-      (30L, 3L, "c", 2, 300L), (31L, 3L, "m", 2, 310L), (32L, 3L, "m", 2, 320L)
+      (30L, 3L, "c", 2, 300L), (31L, 3L, "m", 2, 310L), (32L, 3L, "m", 2, 320L),
+      // xid 5 (5%3=2): an APPLICATION outbox txn — two app messages with
+      // an insert between them; a count-based bracket heuristic would
+      // silently drop lsn 51, the prefix gate must keep it
+      (50L, 5L, "m", 3, 500L), (51L, 5L, "c", 3, 510L), (52L, 5L, "m", 3, 520L)
     ).toDF("lsn", "xid", "op", "chunk_day", "ts_ms")
+    // the fixture prefixes: xid 1/3 carry the exact marker ids, xid 5
+    // carries the application outbox prefix (transactiontracker.go:33-34)
+    val prefixes = Cdc.withMessagePrefix(mwal).filter(col("op") === "m")
+      .select("lsn", "msg_prefix").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(prefixes(10L) === Cdc.DecompressionMarkerStartId)
+    assert(prefixes(13L) === Cdc.DecompressionMarkerEndId)
+    assert(prefixes(31L) === Cdc.DecompressionMarkerStartId)
+    assert(prefixes(32L) === Cdc.DecompressionMarkerEndId)
+    assert(prefixes(50L) === "app.outbox" && prefixes(52L) === "app.outbox")
+    assert(prefixes(20L) === "graft")
     val d = Cdc.markerDecompression(mwal)
       .select("lsn", "xid", "tsdb_op", "chunk_name", "n_suppressed")
       .orderBy("lsn", "chunk_name")
@@ -500,11 +515,20 @@ class CdcSpec extends SparkSpec {
       (13L, 1L, "d", "_hyper_1_0_chunk", 1L),
       (13L, 1L, "d", "_hyper_1_1_chunk", 1L)))
     val kept = Cdc.markerSuppress(mwal).select("lsn").collect().map(_.getLong(0)).toSet
-    assert(kept === Set(10L, 13L, 20L, 21L, 30L, 31L, 32L),
-      "exactly the bracketed re-inserts are dropped; markers and outside rows survive")
+    assert(kept === Set(10L, 13L, 20L, 21L, 30L, 31L, 32L, 50L, 51L, 52L),
+      "exactly the bracketed re-inserts are dropped; markers, outside rows, " +
+        "and application-outbox inserts survive")
     // one-flow invariant: suppressed count equals what the d events report
     assert((mwal.count() - kept.size) ===
       Cdc.markerDecompression(mwal).agg(sum("n_suppressed")).head.getLong(0))
+    // marker messages are consumed by the tracker — they never become
+    // message events; application messages keep their real prefix
+    val msgs = Cdc.logicalMessages(mwal.withColumn("props", lit("{}")))
+      .select("lsn", "prefix").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(msgs.keySet === Set(20L, 50L, 52L),
+      "marker rows are swallowed before message-event generation")
+    assert(msgs(50L) === "app.outbox")
   }
 
   test("chunk DELETE of a compress_ row emits 'd'; retention drops stay silent (T3 marker mode)") {

@@ -621,12 +621,35 @@ class ConfigPipelineSpec extends SparkSpec {
     val parsedProps = spark.range(1)
       .select(get_json_object(lit(mk), "$.after.props")).head.getString(0)
     assert(parsedProps != null && parsedProps.length === 64, "masked hash rides as a JSON string")
-    // unwrap: the flat record IS the value; no PK survives → null key
+    // unwrap: the flat record IS the value; the SMT rewrites only the
+    // value, so the record KEY keeps the PK image (per-key partitioning
+    // and compaction survive unwrapping)
     val uwProps = Map("transforms.unwrap" -> "true", "sink.type" -> "kafka")
     val uw = render(uwProps)
-    assert(uw.select("key").head.isNullAt(0))
+    assert(uw.select("key").head.getString(0).contains("\"event_id\""))
     val uwEnv = uw.select("envelope").head.getString(0)
     assert(spark.range(1).select(get_json_object(lit(uwEnv), "$.__op")).head.getString(0) != null)
+    // unwrap + PK excluded: only then does the key fall back to null
+    val uwNoPk = render(uwProps + ("column.exclude.list" -> "event_id"))
+    assert(uwNoPk.select("key").head.isNullAt(0))
+    // masked PAYLOAD column (not props): the raw-concat envelope would
+    // embed an unquoted sha2 hex / NULL the concat — must route through
+    // the defensive branch and stay valid JSON
+    val mkUser = render(Map("column.mask.hash.list" -> "user_id", "sink.type" -> "kafka"))
+      .filter(col("op") === "c").select("envelope").head.getString(0)
+    val mkUserVal = spark.range(1)
+      .select(get_json_object(lit(mkUser), "$.after.user_id")).head.getString(0)
+    assert(mkUserVal != null && mkUserVal.length === 64,
+      "masked user_id rides as a quoted hash in valid JSON")
+    val mkValue = render(Map("column.mask.hash.list" -> "value", "sink.type" -> "kafka"))
+      .filter(col("op") === "c").select("envelope")
+    assert(mkValue.filter(col("envelope").isNull).count() === 0,
+      "masked value must not null out whole envelopes")
+    // excluded envelope-METADATA column: the defensive render tolerates
+    // the gap instead of an unresolved-column AnalysisException
+    val exMeta = render(Map("column.exclude.list" -> "props,lsn", "sink.type" -> "kafka"))
+      .filter(col("op") === "c").select("envelope").head.getString(0)
+    assert(!exMeta.contains("\"lsn\"") && exMeta.contains("\"event_id\""))
     // logical messages render the MESSAGE envelope + {prefix} key
     val msgProps = Map("postgresql.events.message" -> "true", "sink.type" -> "kafka")
     val mRow = render(msgProps).filter(col("op") === "m").select("envelope", "key").head

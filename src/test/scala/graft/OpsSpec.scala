@@ -1764,6 +1764,13 @@ class OpsSpec extends SparkSpec {
       assert(authSeen.get() === "hunter2")
       assert(received.asScala.toSet ===
         (1 to 10).map(i => s"t$i|k$i|e$i").toSet)
+      // null key (unwrap mode with the PK shaped away) must not NPE —
+      // it rides as the empty-string field, matching NatsSink's fallback
+      received.clear()
+      val nullKey = Seq(("tn", null: String, "en"))
+        .toDF("topic", "key", "envelope")
+      sink.emit(nullKey, 4L)
+      assert(received.asScala.toSet === Set("tn||en"))
     } finally { running = false; server.close() }
   }
 

@@ -68,9 +68,13 @@ class StreamingSpec extends SparkSpec {
       "streamed transitions must equal the batch lag-window detection")
     // full-pipeline equivalence: commit-time emission over the STREAMED
     // transitions reproduces compressionFromStatus exactly
-    val full = graft.cdc.Cdc.commitEmission(spark.table("ct_trans"), updatesDf)
+    val wal = graft.cdc.Cdc.walEvents(spark, sf001)
+    val full = graft.cdc.Cdc.resolveChunkIdentity(
+        graft.cdc.Cdc.commitEmission(spark.table("ct_trans"), updatesDf),
+        graft.cdc.Cdc.chunkCatalogOf(wal), graft.cdc.Cdc.hypertableCatalog(spark))
       .collect().map(_.toString).sorted
-    val ref = graft.cdc.Cdc.compressionFromStatus(updatesDf)
+    val ref = graft.cdc.Cdc.compressionFromStatus(updatesDf,
+        graft.cdc.Cdc.chunkCatalogOf(wal), graft.cdc.Cdc.hypertableCatalog(spark))
       .collect().map(_.toString).sorted
     assert(full.sameElements(ref))
     spark.sql("DROP TABLE IF EXISTS ct_trans")
