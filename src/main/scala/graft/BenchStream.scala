@@ -142,6 +142,53 @@ object BenchStream {
       (nFrames, (System.nanoTime() - t0) / 1e9)
     }
 
+    // COMPRESSION-TRACKER arm (T3 streaming): chunk-status updates
+    // through the keyed-state detector (flatMapGroupsWithState — the
+    // transactiontracker's live home) with commit-time emission run per
+    // micro-batch downstream. The fixture's real status stream is
+    // catalog-sized, so throughput is measured over a synthetic
+    // high-volume status history derived from the events table (one
+    // update per event, 512 chunks, per-chunk LSN order preserved by a
+    // driver-side sort — the WAL source's global contract).
+    def runTracker(tag: String): (Long, Long, Double) = {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.CompressionTracker
+      import graft.streaming.CompressionTracker.StatusUpd
+      import org.apache.spark.sql.functions.col
+      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val updates = graft.cdc.Cdc.shapeWal(Tables.events(spark, sfDir))
+        .select(col("lsn"), col("xid"),
+          org.apache.spark.sql.functions.pmod(col("user_id"), org.apache.spark.sql.functions.lit(512))
+            .cast("int").as("chunk_id"),
+          org.apache.spark.sql.functions.expr(
+            "cast(CASE WHEN lsn % 3 = 0 THEN 0 ELSE lsn % 9 + 1 END as int)")
+            .as("new_status"),
+          col("ts_ms"))
+        .as[StatusUpd].collect().sortBy(_.lsn)
+      val mem = MemoryStream[StatusUpd]
+      val emitted = new java.util.concurrent.atomic.AtomicLong(0)
+      val q = CompressionTracker.transitions(mem.toDS()).toDF()
+        .writeStream
+        .option("checkpointLocation", s"$ckpt/$tag")
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          // commit-time emission over the batch's transitions; the
+          // commit fence is the batch's own txn set (max lsn/ts per xid)
+          emitted.addAndGet(graft.cdc.Cdc.commitEmission(b,
+            b.select(col("xid"), col("lsn"), col("ts_ms"))).count())
+          ()
+        }
+        .start()
+      val t0 = System.nanoTime()
+      updates.grouped(updates.length / 20 + 1).foreach { g =>
+        mem.addData(g.toSeq); q.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      (updates.length.toLong, emitted.get(), secs)
+    }
+
     // cold pass pays session/codegen/JIT startup; the warm pass is the
     // steady-state number a long-lived CDC stream actually runs at —
     // report both, headline the warm rate (matching how the reference's
@@ -152,13 +199,17 @@ object BenchStream {
     val (nWire, wireSecs) = runWire("wire_warm")
     val (nSockCold, sockColdSecs) = runSocket("sock_cold")
     val (nSock, sockSecs) = runSocket("sock_warm")
+    val (nTrkCold, _, trkColdSecs) = runTracker("trk_cold")
+    val (nTrk, nTrkEmitted, trkSecs) = runTracker("trk_warm")
     val rate     = if (warmSecs > 0) nWarm / warmSecs else 0.0
     val coldRate = if (coldSecs > 0) nCold / coldSecs else 0.0
     val wireRate = if (wireSecs > 0) nWire / wireSecs else 0.0
     val wireColdRate = if (wireColdSecs > 0) nWireCold / wireColdSecs else 0.0
     val sockRate = if (sockSecs > 0) nSock / sockSecs else 0.0
     val sockColdRate = if (sockColdSecs > 0) nSockCold / sockColdSecs else 0.0
-    println(f"""{"metric":"stream_envelopes_per_sec","value":$rate%.1f,"unit":"events/sec","n_events":$nWarm,"wall_sec":$warmSecs%.2f,"cold_rate":$coldRate%.1f,"cold_wall_sec":$coldSecs%.2f,"wire_rate":$wireRate%.1f,"wire_n_events":$nWire,"wire_wall_sec":$wireSecs%.2f,"wire_cold_rate":$wireColdRate%.1f,"socket_rate":$sockRate%.1f,"socket_n_events":$nSock,"socket_wall_sec":$sockSecs%.2f,"socket_cold_rate":$sockColdRate%.1f,"sf":"$sfDir"}""")
+    val trkRate = if (trkSecs > 0) nTrk / trkSecs else 0.0
+    val trkColdRate = if (trkColdSecs > 0) nTrkCold / trkColdSecs else 0.0
+    println(f"""{"metric":"stream_envelopes_per_sec","value":$rate%.1f,"unit":"events/sec","n_events":$nWarm,"wall_sec":$warmSecs%.2f,"cold_rate":$coldRate%.1f,"cold_wall_sec":$coldSecs%.2f,"wire_rate":$wireRate%.1f,"wire_n_events":$nWire,"wire_wall_sec":$wireSecs%.2f,"wire_cold_rate":$wireColdRate%.1f,"socket_rate":$sockRate%.1f,"socket_n_events":$nSock,"socket_wall_sec":$sockSecs%.2f,"socket_cold_rate":$sockColdRate%.1f,"tracker_rate":$trkRate%.1f,"tracker_n_updates":$nTrk,"tracker_n_emitted":$nTrkEmitted,"tracker_wall_sec":$trkSecs%.2f,"tracker_cold_rate":$trkColdRate%.1f,"sf":"$sfDir"}""")
     spark.stop()
     if (nWarm == 0 || nWire == 0 || nSock == 0) sys.exit(1)
   }

@@ -1413,6 +1413,25 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // the identical envelope rows
       graft.cdc.PgOutput.decodeGate(s, dir, binary = true).orderBy(col("lsn"))),
 
+    "cdc_schema_evolution" -> ((s, dir) => {
+      // T9 in flight: a mid-WAL ALTER TABLE ADD COLUMN — the fixture
+      // re-announces the relation with a new `score int8` column halfway
+      // through the stream (the Relation message PG emits after DDL);
+      // the dynamic decode carries both shapes through ONE stream and
+      // resolveBatch widens them (pre-DDL rows NULL score) without a
+      // restart — the reference's ApplySchemaUpdate, per-batch
+      val ev = Tables.events(s, dir)
+      val boundary = ev.agg(max(col("event_id"))).head.getLong(0) / 2 + 1
+      val wide = graft.streaming.SchemaEvolution.resolveBatch(
+        graft.cdc.PgOutput.decodeRowsDynamic(
+          graft.cdc.PgOutput.encodeSegmentsEvolving(ev, boundary)).toDF())
+      wide.select(col("lsn"), col("op_wire").as("op"),
+          col("event_id"), col("user_id"), col("event_type"),
+          expr("cast(floor(value * 100 + 0.5) as bigint)").as("value_cents"),
+          col("props"), col("score"))
+        .orderBy(col("lsn"))
+    }),
+
     "cdc_pgoutput_txn" -> ((s, dir) => {
       // transaction boundaries RECOVERED FROM THE WIRE: xid attachment
       // happens inside the per-segment decode loop (Begin sets it,
@@ -4754,6 +4773,19 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     // pgoutput-decode twin: click rows travel as logical messages (only
     // props survives as message content); everything else is a DML tuple
     // in REPLICA IDENTITY FULL, so all six columns round-trip
+    // schema-evolution twin: both engines agree on every row on BOTH
+    // sides of the mid-stream ADD COLUMN — pre-DDL rows carry NULL score
+    "cdc_schema_evolution" ->
+      """SELECT event_id AS lsn,
+        |  CASE event_type WHEN 'signup' THEN 'I' WHEN 'purchase' THEN 'U'
+        |       WHEN 'error' THEN 'D' ELSE 'I' END AS op,
+        |  event_id, user_id, event_type,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents, props,
+        |  CASE WHEN event_id >= (SELECT max(event_id) // 2 + 1 FROM events)
+        |       THEN user_id % 100 END AS score
+        |FROM events WHERE event_type <> 'click'
+        |ORDER BY lsn""".stripMargin,
+
     "cdc_pgoutput_decode" ->
       s"""SELECT event_id AS lsn, event_id // 10 AS xid,
          |  CASE event_type WHEN 'signup' THEN 'I' WHEN 'purchase' THEN 'U'

@@ -435,6 +435,140 @@ object PgOutput {
       .toDF("segment", "start_lsn", "data")
   }
 
+  /** The events relation AFTER the fixture's mid-stream DDL (`ALTER
+    * TABLE events ADD COLUMN score int8`): the post-ALTER Relation
+    * message body PG emits before the first post-DDL tuple. */
+  val EventsRelColsEvolved: Seq[RelCol] =
+    EventsRelCols :+ RelCol(0, "score", 20, -1)
+
+  /** [[encodeSegments]] with a MID-STREAM DDL boundary: rows with
+    * `event_id >= addScoreFrom` carry an extra `score int8 = user_id %
+    * 100` column, and the stream re-announces the relation exactly the
+    * way PostgreSQL does after ALTER TABLE — a fresh Relation message
+    * with the new column list precedes the first post-DDL tuple
+    * (pgoutput re-emits Relation on any change; the reference consumes
+    * it at `replicationhandler.go` OnRelationEvent →
+    * `systemcatalog.go:347-373` ApplySchemaUpdate). Segments entirely
+    * past the boundary open with the evolved Relation. Text tuples
+    * only; the score rule is pure arithmetic so a DuckDB oracle can
+    * replay both sides of the boundary.
+    */
+  def encodeSegmentsEvolving(events: DataFrame, addScoreFrom: Long,
+                             txnSize: Int = 10,
+                             segmentTxns: Int = 100): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rowsPerSegment = txnSize.toLong * segmentTxns
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+      .withColumn("segment", expr(s"event_id div $rowsPerSegment"))
+      .as[(Long, Long, Long, String, Double, String, Long)]
+      .groupByKey(_._7)
+      .mapGroups { (segment, it) =>
+        val rows = it.toSeq.sortBy(_._1)
+        val bos = new ByteArrayOutputStream(rows.length * 96)
+        val o = new DataOutputStream(bos)
+        val startLsn = rows.head._1
+        var evolved = startLsn >= addScoreFrom
+        def relMsg = RelationMsg(EventsRelId, "public", "events", 'f',
+          if (evolved) EventsRelColsEvolved else EventsRelCols)
+        writeFrame(o, startLsn, encode(relMsg))
+        rows.groupBy(_._1 / txnSize).toSeq.sortBy(_._1).foreach { case (xid, txn) =>
+          val commitLsn = txn.last._1
+          val commitMicros = txn.last._2 / 1000L - PgEpochMicros
+          writeFrame(o, txn.head._1, encode(BeginMsg(commitLsn, commitMicros, xid.toInt)))
+          txn.foreach { case (eid, ts, uid, et, v, props, _) =>
+            if (!evolved && eid >= addScoreFrom) {
+              // the DDL boundary: re-announce the relation mid-stream
+              evolved = true
+              writeFrame(o, eid, encode(relMsg))
+            }
+            def tup = {
+              val base = rowTuple(eid, ts, uid, et, v, props)
+              if (evolved) base :+ textCol((uid % 100).toString) else base
+            }
+            val msg = et match {
+              case "signup"   => InsertMsg(EventsRelId, tup)
+              case "purchase" => UpdateMsg(EventsRelId, Some('O'), Some(tup), tup)
+              case "error"    => DeleteMsg(EventsRelId, 'O', tup)
+              case "click"    => LogicalMsg(transactional = true, eid, "graft.props",
+                (if (props == null) "" else props).getBytes(UTF_8))
+              case _          => InsertMsg(EventsRelId, tup)
+            }
+            writeFrame(o, eid, encode(msg))
+          }
+          writeFrame(o, commitLsn, encode(CommitMsg(0, commitLsn, commitLsn + 1, commitMicros)))
+        }
+        (segment, startLsn, bos.toByteArray)
+      }
+      .toDF("segment", "start_lsn", "data")
+  }
+
+  /** One SCHEMA-AGNOSTIC decoded WAL row: the tuple rides as parallel
+    * (name, oid, raw text value) arrays in relation-declared order
+    * instead of fixed case-class fields, so a mid-stream Relation
+    * change flows straight through decode — the row after the DDL
+    * simply carries one more array slot. NULL columns are null slots;
+    * this surface has no TOAST elision (the evolving fixture never
+    * sends `'u'`), and binary tuples are rejected (raw-text transport
+    * is the point of the dynamic row). [[graft.streaming.SchemaEvolution
+    * .resolveBatch]] turns a batch of these into a typed, widened frame.
+    */
+  final case class DynamicWal(
+      segment: Long, lsn: Long, xid: Long, op_wire: String,
+      schema_name: String, table_name: String,
+      col_names: Seq[String], col_oids: Seq[Int], col_vals: Seq[String])
+
+  /** Decode pgoutput segments into [[DynamicWal]] rows — the dynamic
+    * twin of [[decodeSegments]], same per-segment relation cache and
+    * xid state, but the relation's CURRENT column list is copied onto
+    * every row instead of being projected into fixed fields. This is
+    * the engine's in-flight half of the reference's `ApplySchemaUpdate`
+    * (`systemcatalog.go:347-373`): the decode keeps producing rows
+    * across the DDL boundary without a restart; typing happens per
+    * micro-batch downstream.
+    */
+  def decodeRowsDynamic(frames: DataFrame): Dataset[DynamicWal] = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.select(col("segment"), col("data")).as[(Long, Array[Byte])].flatMap {
+      case (segment, blob) =>
+        val relations = scala.collection.mutable.Map[Int, RelationMsg]()
+        var currentXid = -1L
+        def row(lsn: Long, op: String, relId: Int, t: Seq[TupleCol]): DynamicWal = {
+          val rel = relations.getOrElse(relId,
+            throw new IllegalStateException(s"pgoutput: unknown relation id $relId"))
+          require(rel.cols.length == t.length,
+            s"tuple arity ${t.length} != relation arity ${rel.cols.length} — " +
+              "stream desync or stale relation cache")
+          val vals = t.map {
+            case NullCol      => null
+            case TextCol(b)   => new String(b, UTF_8)
+            case UnchangedCol => throw new IllegalArgumentException(
+              "dynamic decode does not carry TOAST omission ('u') — use decodeSegments")
+            case BinaryCol(_) => throw new IllegalArgumentException(
+              "dynamic decode expects text tuples — use decodeSegments for binary")
+          }
+          // toList: the wire decoder hands back array-backed seqs whose
+          // runtime class the DynamicWal encoder (immutable.Seq) rejects
+          DynamicWal(segment, lsn, currentXid, op, rel.namespace, rel.relName,
+            rel.cols.map(_.name).toList, rel.cols.map(_.typeOid).toList,
+            vals.toList)
+        }
+        readFrames(blob).flatMap {
+          case (_, RelationMsg(id, ns, rel, ri, cols)) =>
+            relations(id) = RelationMsg(id, ns, rel, ri, cols); Nil
+          case (_, BeginMsg(_, _, xid)) => currentXid = xid.toLong & 0xffffffffL; Nil
+          case (_, _: CommitMsg)        => currentXid = -1L; Nil
+          case (lsn, InsertMsg(id, nt))       => Seq(row(lsn, "I", id, nt))
+          case (lsn, UpdateMsg(id, _, _, nt)) => Seq(row(lsn, "U", id, nt))
+          case (lsn, DeleteMsg(id, _, ot))    => Seq(row(lsn, "D", id, ot))
+          case _                              => Nil
+        }
+    }
+  }
+
   /** One decoded WAL change row (nullable fields are absent for
     * logical-message rows). `unchanged_cols` lists the columns the wire
     * carried as `'u'` (unchanged TOAST, `decoderplan.go:57-59`): their

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Mid-stream schema evolution — the Spark shape of the reference's
@@ -72,5 +73,64 @@ object SchemaEvolution {
     val changes = diff(expected, batch.schema)
     if (changes.nonEmpty) throw new SchemaChangedException(changes)
     batch
+  }
+
+  /** pgoutput type OID → the Spark type a dynamically-decoded text
+    * value resolves to. Narrower than PgConverters' full matrix on
+    * purpose: the dynamic surface types only what it can cast from the
+    * raw wire text without a converter closure — everything else stays
+    * a string column (lossless; a downstream converter can refine it).
+    */
+  def sparkTypeForOid(oid: Int): DataType = oid match {
+    case 16                => BooleanType
+    case 20 | 21 | 23 | 26 => LongType
+    case 700 | 701         => DoubleType
+    case 1700              => DecimalType(38, 18)
+    case _                 => StringType
+  }
+
+  /** Per-micro-batch DYNAMIC schema resolution — the in-flight half of
+    * the reference's `ApplySchemaUpdate` (`systemcatalog.go:347-373`):
+    * a batch of [[graft.cdc.PgOutput.DynamicWal]] rows (whose tuples
+    * ride as (name, oid, raw value) arrays because a mid-stream
+    * Relation change means rows of DIFFERENT shapes share one batch)
+    * resolves into a single WIDENED typed frame. Column order is
+    * first-seen: the earliest relation version's order, with columns a
+    * later version added appended — exactly the reference's diff
+    * semantics ([[diff]]); rows that predate an added column carry NULL
+    * for it, rows that postdate a drop likewise.
+    *
+    * Run this inside `foreachBatch`: each micro-batch re-plans against
+    * the schema IT observed, so the stream crosses a DDL boundary
+    * without restart — batch N renders the old shape, batch N+1 the
+    * widened one, and a parquet sink with schema merge (or any
+    * column-mapped store) unions them. Cost shape: the schema-version
+    * census is a groupBy over (col_names, col_oids) — DDL-bounded
+    * cardinality, a driver-sized collect — and the projection itself is
+    * one narrow, codegen'd select over the batch.
+    */
+  def resolveBatch(batch: DataFrame): DataFrame = {
+    // schema-version census in first-seen order (min lsn per version)
+    val versions = batch
+      .groupBy(col("col_names"), col("col_oids"))
+      .agg(min(col("lsn")).as("__first_lsn"))
+      .collect()
+      .sortBy(_.getAs[Long]("__first_lsn"))
+      // collection.Seq: collected rows hand back mutable array wrappers
+      // in 2.13 — an immutable-Seq getAs would ClassCastException
+      .map(r => r.getAs[scala.collection.Seq[String]]("col_names").toSeq
+        .zip(r.getAs[scala.collection.Seq[Int]]("col_oids").toSeq))
+    val union = scala.collection.mutable.LinkedHashMap[String, Int]()
+    versions.foreach(_.foreach { case (n, oid) =>
+      if (!union.contains(n)) union(n) = oid
+    })
+    val meta = Seq("segment", "lsn", "xid", "op_wire", "schema_name",
+      "table_name").map(col)
+    val typed = union.toSeq.map { case (name, oid) =>
+      val pos = array_position(col("col_names"), lit(name))
+      when(pos > 0, element_at(col("col_vals"), pos.cast("int")))
+        .cast(sparkTypeForOid(oid)).as(name)
+    }
+    batch.select(meta ++ typed: _*)
   }
 }

@@ -26,6 +26,75 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("mid-stream ADD COLUMN widens the envelope across micro-batches without restart (T9)") {
+    // the in-flight half of the reference's ApplySchemaUpdate
+    // (systemcatalog.go:347-373): a fresh Relation message with a new
+    // `score int8` column arrives MID-WAL; the dynamic decode carries
+    // both shapes through one continuously-running query, and each
+    // micro-batch resolves the schema IT observed — no restart, no
+    // SchemaChangedException
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.SchemaEvolution
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ev = Tables.events(spark, sf001)
+    val boundary = 450L
+    val frames = graft.cdc.PgOutput
+      .encodeSegmentsEvolving(ev, boundary, txnSize = 10, segmentTxns = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Array[Byte]](2)))
+      .sortBy(_._1)
+    assert(frames.length >= 8, s"need several segments, got ${frames.length}")
+    // batch 1 = segments strictly before the DDL; batch 2 crosses it
+    val (pre, rest) = frames.partition(_._1 < 3)
+    val mem = MemoryStream[(Long, Long, Array[Byte])]
+    val decoded = graft.cdc.PgOutput.decodeRowsDynamic(
+      mem.toDS().toDF("segment", "start_lsn", "data"))
+    val batches = scala.collection.mutable.ArrayBuffer[
+      (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]()
+    val q = decoded.toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val resolved = SchemaEvolution.resolveBatch(b)
+        batches += ((resolved.schema, resolved.collect()))
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      mem.addData(pre.toSeq); q.processAllAvailable()
+      mem.addData(rest.toSeq); q.processAllAvailable()
+      assert(q.isActive, "the query survived the DDL boundary — no restart")
+    } finally q.stop()
+    assert(batches.length === 2)
+    val (s1, rows1) = batches(0)
+    val (s2, rows2) = batches(1)
+    assert(!s1.fieldNames.contains("score"), "pre-DDL batch renders the old shape")
+    assert(s2.fieldNames.contains("score"), "the crossing batch widened")
+    // the observed change IS the reference's diff: one added column
+    val changes = SchemaEvolution.diff(
+      org.apache.spark.sql.types.StructType(s1.filterNot(f =>
+        Seq("segment", "lsn", "xid", "op_wire", "schema_name", "table_name")
+          .contains(f.name))),
+      org.apache.spark.sql.types.StructType(s2.filterNot(f =>
+        Seq("segment", "lsn", "xid", "op_wire", "schema_name", "table_name")
+          .contains(f.name))))
+    assert(changes === Seq(SchemaEvolution.Added("score",
+      org.apache.spark.sql.types.LongType)))
+    // value agreement on both sides of the boundary, within ONE batch
+    val idx2 = s2.fieldIndex("score")
+    val eidIdx = s2.fieldIndex("event_id")
+    val uidIdx = s2.fieldIndex("user_id")
+    rows2.foreach { r =>
+      val eid = r.getLong(eidIdx)
+      if (eid < boundary) assert(r.isNullAt(idx2), s"pre-DDL row $eid has NULL score")
+      else assert(r.getLong(idx2) === r.getLong(uidIdx) % 100,
+        s"post-DDL row $eid carries the new column")
+    }
+    assert(rows2.exists(r => r.getLong(eidIdx) < boundary) &&
+      rows2.exists(r => r.getLong(eidIdx) >= boundary),
+      "the crossing batch really holds both shapes")
+    assert(rows1.nonEmpty && rows2.nonEmpty)
+  }
+
   test("streaming compression tracker ≡ batch detection across mid-history batch splits (T3)") {
     // the transactiontracker's home is the LIVE stream: keyed chunk
     // state must carry the last committed status across micro-batches,
