@@ -577,25 +577,6 @@ object Cdc {
       .drop("__nm", "__mi")
   }
 
-  /** Per-txn decompression bracket boundaries, gated on the EXACT marker
-    * prefixes (`transactiontracker.go:383-392`: `msg.Prefix ==
-    * decompressionMarkerStartId` flips `ongoingDecompression` on, the
-    * end id flips it off) — NOT on message counts, so application txns
-    * emitting several messages are never mistaken for brackets. A
-    * start with no end leaves the bracket open to txn end (the
-    * reference's flag stays set until commit). Txn-granularity
-    * aggregates only.
-    */
-  private def markerBrackets(prefixed: DataFrame): DataFrame = {
-    val starts = prefixed
-      .filter(col("msg_prefix") === DecompressionMarkerStartId)
-      .groupBy(col("xid")).agg(min(col("lsn")).as("start_lsn"))
-    val ends = prefixed
-      .filter(col("msg_prefix") === DecompressionMarkerEndId)
-      .groupBy(col("xid")).agg(max(col("lsn")).as("end_lsn"))
-    starts.join(ends, Seq("xid"), "left")
-  }
-
   /** T3 (2.12+ marker path) — marker-bracketed decompression as ONE
     * flow: a `::timescaledb-decompression-start` message flips
     * `ongoingDecompression` on, re-INSERTed rows inside the bracket are
@@ -605,35 +586,39 @@ object Cdc {
     * reference the compressed `compress_…` chunk's catalog DELETE inside
     * the same txn triggers it, `replicationresolver.go:625-636`).
     *
-    * Output: one `tsdb_op='d'` event per (txn, chunk) that had inserts
-    * suppressed, emitted at the end-marker LSN with the suppressed count
-    * attached; chunk identity resolves through the J1 catalog broadcast
-    * (never re-synthesized at emission). Joins are keyed on xid — both
-    * sides shrink to txn-granularity aggregates before joining.
+    * Output: one `tsdb_op='d'` event per (txn, bracket, chunk) that had
+    * inserts suppressed, emitted at the bracket's closing-marker LSN
+    * with the suppressed count attached; chunk identity resolves through
+    * the J1 catalog broadcast (never re-synthesized at emission). The
+    * flag itself is the [[withMarkerFlag]] window — sequential
+    * semantics (several brackets per txn, inserts between brackets
+    * survive), the same contract the keyed-state streaming twin
+    * `graft.streaming.MarkerTracker` replays live.
     */
-  def markerDecompression(wal: DataFrame): DataFrame = {
-    val prefixed = withMessagePrefix(wal)
-    markerSuppressedRows(prefixed)
-      .groupBy(col("xid"), col("end_lsn"), col("chunk_day"))
+  def markerDecompression(wal: DataFrame): DataFrame =
+    markerDecompressionPrefixed(withMessagePrefix(wal), chunkCatalogOf(wal))
+
+  /** The marker-decompression flow over an ALREADY-prefixed WAL — the
+    * production entry (a live pgoutput stream carries `msg_prefix`
+    * natively; only the parquet fixture needs [[withMessagePrefix]]'s
+    * derivation) and the spec surface for marker shapes the fixture
+    * derivation cannot produce (several brackets in one txn). */
+  def markerDecompressionPrefixed(prefixed: DataFrame,
+                                  chunks: DataFrame): DataFrame =
+    withMarkerFlag(prefixed)
+      .filter(col("op") === Envelope.Op.Create && col("__ongoing") &&
+        // a trailing unclosed bracket suppresses its rows but emits no
+        // event (the streaming twin holds the tally in state; in the
+        // reference the 'd' event comes from the chunk DELETE anyway)
+        col("__next_end").isNotNull)
+      .groupBy(col("xid"), col("__next_end").as("end_lsn"), col("chunk_day"))
       .agg(count(lit(1)).as("n_suppressed"), max(col("ts_ms")).as("ts_ms"))
-      .join(broadcast(chunkCatalogOf(wal)
-        .select(col("chunk_day"), col("chunk_name"))), Seq("chunk_day"))
+      .join(broadcast(chunks.select(col("chunk_day"), col("chunk_name"))),
+        Seq("chunk_day"))
       .select(col("end_lsn").as("lsn"), col("xid"),
         lit(Envelope.Op.Timescale).as("op"),
         lit(Envelope.TsdbOp.Decompression).as("tsdb_op"),
         col("chunk_name"), col("n_suppressed"), col("ts_ms"))
-  }
-
-  /** The bracketed re-INSERT rows themselves (prefixed WAL in, one row
-    * per suppressed insert) — shared by the event aggregation above and
-    * the live-stream suppression filter below so the two arms can never
-    * disagree on what was dropped.
-    */
-  private def markerSuppressedRows(prefixed: DataFrame): DataFrame =
-    prefixed.filter(col("op") === Envelope.Op.Create)
-      .join(markerBrackets(prefixed), Seq("xid"))
-      .filter(col("lsn") > col("start_lsn") &&
-        (col("end_lsn").isNull || col("lsn") < col("end_lsn")))
 
   /** T3 fixture — catalog chunk DELETE events. In marker mode the
     * decompression signal is the DELETION of the compressed twin's
@@ -701,16 +686,42 @@ object Cdc {
     * everything else (including the markers themselves, which the
     * envelope stage renders as op='m' events or drops by config).
     */
-  def markerSuppress(wal: DataFrame): DataFrame = {
-    val prefixed = withMessagePrefix(wal)
-    val brackets = markerBrackets(prefixed)
-      .withColumnRenamed("start_lsn", "__start")
-      .withColumnRenamed("end_lsn", "__end")
-    prefixed.join(brackets, Seq("xid"), "left")
-      .filter(!(col("__start").isNotNull && col("op") === Envelope.Op.Create &&
-        col("lsn") > col("__start") &&
-        (col("__end").isNull || col("lsn") < col("__end"))))
-      .drop("__start", "__end", "msg_prefix")
+  def markerSuppress(wal: DataFrame): DataFrame =
+    markerSuppressPrefixed(withMessagePrefix(wal))
+
+  /** Suppression over an already-prefixed WAL (see
+    * [[markerDecompressionPrefixed]] for why this is the production
+    * entry). */
+  def markerSuppressPrefixed(prefixed: DataFrame): DataFrame =
+    withMarkerFlag(prefixed)
+      .filter(!(col("op") === Envelope.Op.Create && col("__ongoing")))
+      .drop("__ongoing", "__next_end", "msg_prefix")
+
+  /** The sequential `ongoingDecompression` flag as data: the reference
+    * keeps a BOOLEAN per active txn (`transactiontracker.go:383-392` —
+    * a start marker sets it, an end marker clears it; it is not a
+    * nesting counter), so `__ongoing` = "the most recent marker at or
+    * before this row is a start". Several brackets per txn work, inserts
+    * BETWEEN brackets survive, a repeated start is idempotent, and a
+    * trailing unclosed start suppresses to txn end (the flag's
+    * until-commit lifetime). `__next_end` = the lsn of the bracket's
+    * closing marker (the emission point), null while unclosed. One keyed
+    * window over 10-row txn partitions — no join, no driver state, and
+    * unlike a bracket-interval join it never materializes the (data-
+    * sized, at 100 TB) suppressed-row set on one side of anything.
+    */
+  private def withMarkerFlag(prefixed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("xid")).orderBy(col("lsn"))
+    val wRev = Window.partitionBy(col("xid")).orderBy(col("lsn").desc)
+    val marker = when(col("msg_prefix") === DecompressionMarkerStartId, true)
+      .when(col("msg_prefix") === DecompressionMarkerEndId, false)
+    prefixed
+      .withColumn("__ongoing",
+        coalesce(last(marker, ignoreNulls = true).over(wOrd), lit(false)))
+      .withColumn("__next_end",
+        min(when(col("msg_prefix") === DecompressionMarkerEndId, col("lsn")))
+          .over(wRev))
   }
 
   /** pglogrepl `LSN.String()` parity: `%X/%X` of the high and low 32

@@ -531,6 +531,51 @@ class CdcSpec extends SparkSpec {
     assert(msgs(50L) === "app.outbox")
   }
 
+  test("marker flag is the reference's boolean: multi-bracket txns, idempotent start, stray end (T3/P7)") {
+    import spark.implicits._
+    val S = Cdc.DecompressionMarkerStartId
+    val E = Cdc.DecompressionMarkerEndId
+    // hand-prefixed WAL (shapes the fixture derivation cannot produce):
+    // transactiontracker.go:383-392 keeps a BOOLEAN flag, not a nesting
+    // counter — start sets it (idempotently), end clears it
+    val prefixed = Seq(
+      (10L, 1L, "m", 0, 100L, Some(S)),
+      (11L, 1L, "c", 0, 110L, None), // suppressed — bracket 1
+      (12L, 1L, "m", 0, 120L, Some(E)),
+      (13L, 1L, "c", 0, 130L, None), // BETWEEN brackets — survives
+      (14L, 1L, "m", 0, 140L, Some(S)),
+      (15L, 1L, "m", 0, 150L, Some(S)), // repeated start: idempotent
+      (16L, 1L, "c", 1, 160L, None), // suppressed — bracket 2
+      (17L, 1L, "c", 1, 170L, None), // suppressed — bracket 2
+      (18L, 1L, "m", 0, 180L, Some(E)), // FIRST end closes (boolean, not depth 2)
+      (19L, 1L, "c", 2, 190L, None), // after close — survives
+      // xid 2: stray end with no open bracket = a plain message
+      (20L, 2L, "m", 0, 200L, Some(E)),
+      (21L, 2L, "c", 0, 210L, None),
+      // xid 3: trailing unclosed start — suppresses to txn end, NO event
+      (30L, 3L, "m", 0, 300L, Some(S)),
+      (31L, 3L, "c", 3, 310L, None)
+    ).toDF("lsn", "xid", "op", "chunk_day", "ts_ms", "msg_prefix")
+    val chunks = Seq(0, 1, 2, 3).toDF("chunk_day")
+      .withColumn("chunk_name",
+        concat(lit("_hyper_1_"), col("chunk_day"), lit("_chunk")))
+    val kept = Cdc.markerSuppressPrefixed(prefixed)
+      .select("lsn").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(10L, 12L, 13L, 14L, 15L, 18L, 19L, 20L, 21L, 30L),
+      "between-bracket and post-close inserts survive; bracketed and " +
+        "unclosed-trailing inserts are dropped; stray-end txn untouched")
+    val d = Cdc.markerDecompressionPrefixed(prefixed, chunks)
+      .select("lsn", "xid", "chunk_name", "n_suppressed", "ts_ms")
+      .orderBy("lsn", "chunk_name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(d === Seq(
+      (12L, 1L, "_hyper_1_0_chunk", 1L, 110L),
+      (18L, 1L, "_hyper_1_1_chunk", 2L, 170L)),
+      "one event per (bracket, chunk) at its closing marker; the " +
+        "unclosed bracket emits nothing")
+  }
+
   test("chunk DELETE of a compress_ row emits 'd'; retention drops stay silent (T3 marker mode)") {
     val deletes = Cdc.chunkDeleteEvents(wal)
     val d = Cdc.chunkDeleteDecompression(deletes, Cdc.hypertableCatalogCompression(spark))

@@ -149,6 +149,59 @@ class StreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ct_trans")
   }
 
+  test("streaming marker tracker ≡ batch suppression and events across mid-txn splits (T3/P7)") {
+    // the 2.12+ marker path's live home: per-txn keyed state carrying
+    // ongoingDecompression across micro-batches — fed in three batches
+    // whose cuts land mid-transaction, it must reproduce BOTH batch
+    // surfaces (markerSuppress's kept rows, markerDecompression's
+    // per-bracket 'd' events) exactly
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.MarkerTracker
+    import graft.streaming.MarkerTracker.WalRow
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val wal = graft.cdc.Cdc.walEvents(spark, sf001)
+    val rows = graft.cdc.Cdc.withMessagePrefix(wal)
+      .select(col("lsn"), col("xid"), col("op"), col("chunk_day"),
+        col("ts_ms"), col("msg_prefix"))
+      .as[WalRow].collect().sortBy(_.lsn)
+    val n = rows.length
+    val cuts = Seq(n / 3 + 4, 2 * n / 3 + 7) // off the txn boundaries
+    val parts = Seq(rows.slice(0, cuts(0)), rows.slice(cuts(0), cuts(1)),
+      rows.slice(cuts(1), n))
+    assert(parts.forall(_.nonEmpty))
+    val mem = MemoryStream[WalRow]
+    val q = MarkerTracker.tracked(mem.toDS())
+      .writeStream.format("memory").queryName("mt_out")
+      .outputMode("append").start()
+    try {
+      parts.foreach { p => mem.addData(p.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val streamedKept = spark.sql(
+      "SELECT lsn FROM mt_out WHERE tsdb_op IS NULL")
+      .collect().map(_.getLong(0)).sorted
+    val batchKept = graft.cdc.Cdc.markerSuppress(wal)
+      .select("lsn").collect().map(_.getLong(0)).sorted
+    assert(streamedKept.length === batchKept.length &&
+      streamedKept.sameElements(batchKept),
+      "streamed survivors equal the batch window's")
+    val streamedD = spark.sql(
+      "SELECT lsn, xid, chunk_day, n_suppressed, ts_ms FROM mt_out " +
+        "WHERE tsdb_op = 'd'")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).sortBy(t => (t._1, t._3))
+    val batchD = graft.cdc.Cdc.markerDecompression(wal)
+      .select("lsn", "xid", "chunk_name", "n_suppressed", "ts_ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2).stripPrefix("_hyper_1_").stripSuffix("_chunk").toInt,
+        r.getLong(3), r.getLong(4))).sortBy(t => (t._1, t._3))
+    assert(streamedD.length === batchD.length && streamedD.sameElements(batchD),
+      "streamed per-bracket 'd' events equal the batch flow's")
+    assert(streamedD.nonEmpty, "the fixture carries real brackets")
+    spark.sql("DROP TABLE IF EXISTS mt_out")
+  }
+
   test("windowed aggregation with watermark matches batch hourly counts (A2)") {
     val q = StreamPipeline.windowedStats(spark, sf001)
       .writeStream.format("memory").queryName("winstats")
