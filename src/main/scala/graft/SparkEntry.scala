@@ -314,7 +314,7 @@ object SparkEntry {
 
   /** Shared oracle CTE chain replaying the logical-message prefix
     * fixture (Cdc.withMessagePrefix) and the 2.12+ marker brackets
-    * (Cdc.markerBrackets): `mwalp` = the prefixed WAL, `mbr` = per-txn
+    * (Cdc.withMarkerFlag): `mwalp` = the prefixed WAL, `mbr` = per-txn
     * decompression-bracket boundaries gated on the EXACT
     * `::timescaledb-decompression-start/end` ids. Window frames: lsn is
     * unique, so DuckDB's RANGE-to-current-row default matches Spark's.

@@ -13,7 +13,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * State is keyed by xid: the value is the transaction's flag plus the
   * per-chunk suppressed-row tallies of the bracket in flight — the
   * streaming equivalent of the batch form's [[graft.cdc.Cdc]]
-  * `withBracketDepth` window (spec-proven equivalent in StreamingSpec,
+  * `withMarkerFlag` window (spec-proven equivalent in StreamingSpec,
   * including transactions split mid-bracket across micro-batches).
   * Sequential semantics by construction: several brackets per txn work,
   * inserts BETWEEN brackets survive, an end marker with no open bracket
