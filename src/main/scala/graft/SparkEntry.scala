@@ -1413,6 +1413,23 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // the identical envelope rows
       graft.cdc.PgOutput.decodeGate(s, dir, binary = true).orderBy(col("lsn"))),
 
+    "cdc_wire_marker_suppress" -> ((s, dir) => {
+      // the 2.12+ marker flow END-TO-END ON THE WIRE: real
+      // ::timescaledb-decompression-start/end logical-message FRAMES
+      // ride the pgoutput bytes (transactiontracker.go:33-34), the
+      // byte decode surfaces their prefix for free (msg_prefix), and
+      // the same prefix-gated suppression that runs on the parquet
+      // fixture drops exactly the bracketed physical re-INSERTs
+      val wal = graft.cdc.PgOutput.decodeSegments(
+          graft.cdc.PgOutput.encodeSegments(Tables.events(s, dir),
+            markerTxns = true)).toDF()
+        .withColumn("op",
+          when(col("op_wire") === "I", lit("c")).otherwise(col("op_wire")))
+      Cdc.markerSuppressPrefixed(wal)
+        .select(col("lsn"), col("xid"), col("op_wire"))
+        .orderBy(col("lsn"))
+    }),
+
     "cdc_schema_evolution" -> ((s, dir) => {
       // T9 in flight: a mid-WAL ALTER TABLE ADD COLUMN — the fixture
       // re-announces the relation with a new `score int8` column halfway
@@ -4773,6 +4790,25 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     // pgoutput-decode twin: click rows travel as logical messages (only
     // props survives as message content); everything else is a DML tuple
     // in REPLICA IDENTITY FULL, so all six columns round-trip
+    // wire-marker twin: replays the marker fixture arithmetic — frame
+    // lsns double, decompression txns (xid % 7 = 3) bracket their rows
+    // with marker messages at first*2-1 / last*2+1, and every physical
+    // INSERT inside a bracket vanishes from the surviving stream
+    "cdc_wire_marker_suppress" ->
+      """WITH w AS (SELECT event_id, event_id // 10 AS xid, event_type FROM events),
+        |r AS (SELECT event_id * 2 AS lsn, xid,
+        |        CASE event_type WHEN 'purchase' THEN 'U' WHEN 'error' THEN 'D'
+        |             WHEN 'click' THEN 'M' ELSE 'I' END AS op_wire
+        |      FROM w),
+        |mt AS (SELECT xid, MIN(event_id) * 2 - 1 AS s, MAX(event_id) * 2 + 1 AS e
+        |       FROM w WHERE xid % 7 = 3 GROUP BY xid)
+        |SELECT lsn, xid, op_wire FROM (
+        |  SELECT lsn, r.xid AS xid, op_wire FROM r LEFT JOIN mt ON r.xid = mt.xid
+        |  WHERE NOT (mt.xid IS NOT NULL AND op_wire = 'I')
+        |  UNION ALL SELECT s AS lsn, xid, 'M' AS op_wire FROM mt
+        |  UNION ALL SELECT e AS lsn, xid, 'M' AS op_wire FROM mt) t
+        |ORDER BY lsn""".stripMargin,
+
     // schema-evolution twin: both engines agree on every row on BOTH
     // sides of the mid-stream ADD COLUMN — pre-DDL rows carry NULL score
     "cdc_schema_evolution" ->

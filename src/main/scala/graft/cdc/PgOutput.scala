@@ -383,9 +383,19 @@ object PgOutput {
     * a TOASTed column an UPDATE didn't touch. The old tuple stays
     * complete (REPLICA IDENTITY FULL old rows are logged whole). The rule
     * is pure arithmetic on event_id so a DuckDB oracle can replay it.
+    *
+    * `markerTxns = true` turns on the 2.12+ DECOMPRESSION-MARKER
+    * fixture: txns with `xid % 7 == 3` are decompression transactions —
+    * their row frames are bracketed by real `pg_logical_emit_message`
+    * frames carrying the EXACT `::timescaledb-decompression-start/end`
+    * prefixes (`transactiontracker.go:33-34`), and every frame lsn maps
+    * to `event_id * 2` so the markers get the odd lsns just outside the
+    * bracketed rows (start = first·2−1, end = last·2+1) — deterministic
+    * for the DuckDB twin, collision-free with row lsns.
     */
   def encodeSegments(events: DataFrame, txnSize: Int = 10, segmentTxns: Int = 100,
-                     binary: Boolean = false, toastEvery: Int = 0): DataFrame = {
+                     binary: Boolean = false, toastEvery: Int = 0,
+                     markerTxns: Boolean = false): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     val rowsPerSegment = txnSize.toLong * segmentTxns
@@ -404,10 +414,19 @@ object PgOutput {
         val startLsn = rows.head._1
         writeFrame(o, startLsn,
           encode(RelationMsg(EventsRelId, "public", "events", 'f', EventsRelCols)))
+        // marker mode doubles the frame-lsn domain so the bracket
+        // markers land on odd lsns just outside their rows
+        def L(eid: Long): Long = if (markerTxns) eid * 2 else eid
         rows.groupBy(_._1 / txnSize).toSeq.sortBy(_._1).foreach { case (xid, txn) =>
-          val commitLsn = txn.last._1
+          val commitLsn = L(txn.last._1)
           val commitMicros = txn.last._2 / 1000L - PgEpochMicros
-          writeFrame(o, txn.head._1, encode(BeginMsg(commitLsn, commitMicros, xid.toInt)))
+          val isDecompTxn = markerTxns && xid % 7 == 3
+          writeFrame(o, L(txn.head._1), encode(BeginMsg(commitLsn, commitMicros, xid.toInt)))
+          if (isDecompTxn) {
+            val s = L(txn.head._1) - 1
+            writeFrame(o, s, encode(LogicalMsg(transactional = true, s,
+              graft.cdc.Cdc.DecompressionMarkerStartId, Array.emptyByteArray)))
+          }
           txn.foreach { case (eid, ts, uid, et, v, props, _) =>
             def tup = if (binary) rowTupleBinary(eid, ts, uid, et, v, props)
                       else rowTuple(eid, ts, uid, et, v, props)
@@ -422,11 +441,16 @@ object PgOutput {
               case "signup"   => InsertMsg(EventsRelId, tup)
               case "purchase" => UpdateMsg(EventsRelId, Some('O'), Some(tup), newTup)
               case "error"    => DeleteMsg(EventsRelId, 'O', tup)
-              case "click"    => LogicalMsg(transactional = true, eid, "graft.props",
+              case "click"    => LogicalMsg(transactional = true, L(eid), "graft.props",
                 (if (props == null) "" else props).getBytes(UTF_8))
               case _          => InsertMsg(EventsRelId, tup) // view
             }
-            writeFrame(o, eid, encode(msg))
+            writeFrame(o, L(eid), encode(msg))
+          }
+          if (isDecompTxn) {
+            val e = L(txn.last._1) + 1
+            writeFrame(o, e, encode(LogicalMsg(transactional = true, e,
+              graft.cdc.Cdc.DecompressionMarkerEndId, Array.emptyByteArray)))
           }
           writeFrame(o, commitLsn, encode(CommitMsg(0, commitLsn, commitLsn + 1, commitMicros)))
         }
@@ -588,7 +612,11 @@ object PgOutput {
       // column as 'u'. 'K' carries key columns only (identity index).
       old_kind: Option[String] = None,
       before_event_id: Option[Long] = None, before_user_id: Option[Long] = None,
-      before_value: Option[Double] = None, before_props: Option[String] = None)
+      before_value: Option[Double] = None, before_props: Option[String] = None,
+      // the logical-message prefix the wire frame carried
+      // (`pg_logical_emit_message`'s first argument — on a live stream
+      // the 2.12+ marker gate keys on it for free; op='M' rows only)
+      msg_prefix: Option[String] = None)
 
   /** Decode pgoutput segment blobs back into WAL change rows — a pure
     * per-segment flatMap (valid on batch AND streaming frames). The
@@ -685,10 +713,11 @@ object PgOutput {
                 rel.map(_.namespace), rel.map(_.relName),
                 None, None, None, None, None, None)
             }
-          case (lsn, LogicalMsg(txn, _, _, content)) =>
+          case (lsn, LogicalMsg(txn, _, pfx, content)) =>
             Seq(DecodedWal(segment, lsn, if (txn) currentXid else -1L, "M",
               None, None, None, None, None, None, None,
-              Some(new String(content, UTF_8))))
+              Some(new String(content, UTF_8)),
+              msg_prefix = Some(pfx)))
         }
     }
   }
