@@ -37,6 +37,21 @@ object ScaleReplicate {
       else c
     }.reduce(_ unionByName _)
     replicated.write.mode("overwrite").parquet(s"$out/documents.parquet")
+    // events twin (r15): the CDC-path probe input. event_id offsets by
+    // copy (fresh lsns/txns per copy: xid = event_id div 10 stays
+    // injective); ts/user_id replicate verbatim — 8× events per chunk
+    // and per user is exactly what data growth inside a fixed retention
+    // window looks like, so the chunk catalog stays DDL-sized while the
+    // data fans out (the property the J1 broadcast posture relies on).
+    if (new java.io.File(s"$src/events.parquet").exists) {
+      val ev = spark.read.parquet(s"$src/events.parquet")
+      val strideE = ev.agg(max(col("event_id"))).head.getLong(0) + 1L
+      (0 until factor).map { i =>
+        ev.withColumn("event_id", col("event_id") + lit(i * strideE))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      println(s"[scale] wrote ${factor}x events (stride $strideE) to $out")
+    }
     spark.read.parquet(s"$src/lineitem.parquet")
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     println(s"[scale] wrote ${factor}x documents (stride $stride) to $out")
