@@ -52,6 +52,19 @@ object ScaleReplicate {
         .write.mode("overwrite").parquet(s"$out/events.parquet")
       println(s"[scale] wrote ${factor}x events (stride $strideE) to $out")
     }
+    // embeddings twin (r15): the ANN-family probe input. vec_id offsets
+    // per copy; vectors replicate verbatim — 8× exact-duplicate vectors
+    // is the worst case for every bucketing scheme (maximal collision
+    // mass per centroid/band), so a flat wall here is a strong signal.
+    if (new java.io.File(s"$src/embeddings.parquet").exists) {
+      val em = spark.read.parquet(s"$src/embeddings.parquet")
+      val strideV = em.agg(max(col("vec_id"))).head.getLong(0) + 1L
+      (0 until factor).map { i =>
+        em.withColumn("vec_id", col("vec_id") + lit(i * strideV))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      println(s"[scale] wrote ${factor}x embeddings (stride $strideV) to $out")
+    }
     spark.read.parquet(s"$src/lineitem.parquet")
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     println(s"[scale] wrote ${factor}x documents (stride $stride) to $out")
