@@ -65,8 +65,47 @@ object ScaleReplicate {
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
       println(s"[scale] wrote ${factor}x embeddings (stride $strideV) to $out")
     }
-    spark.read.parquet(s"$src/lineitem.parquet")
+    // relational twin (r15): the TPC-H-ish join graph replicated
+    // COHERENTLY — each copy is a disjoint key universe (every FK and
+    // its PK offset by the same per-entity stride), so joins stay
+    // exactly as selective as at 1×: an 8× probe measures the engine,
+    // not join fan-in artifacts. nation/region are true dimensions and
+    // replicate verbatim (nationkeys repeat across universes — the
+    // broadcast-dim posture under test).
+    def strideOf(df: org.apache.spark.sql.DataFrame, key: String): Long =
+      df.agg(max(col(key))).head.getLong(0) + 1L
+    val orders   = spark.read.parquet(s"$src/orders.parquet")
+    val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
+    val customer = spark.read.parquet(s"$src/customer.parquet")
+    val supplier = spark.read.parquet(s"$src/supplier.parquet")
+    val part     = spark.read.parquet(s"$src/part.parquet")
+    val sO = strideOf(orders, "o_orderkey")
+    val sC = strideOf(customer, "c_custkey")
+    val sS = strideOf(supplier, "s_suppkey")
+    val sP = strideOf(part, "p_partkey")
+    def rep(df: org.apache.spark.sql.DataFrame,
+            offsets: Map[String, Long]): org.apache.spark.sql.DataFrame =
+      (0 until factor).map { i =>
+        offsets.foldLeft(df) { case (d, (k, st)) =>
+          d.withColumn(k, col(k) + lit(i * st))
+        }
+      }.reduce(_ unionByName _)
+    rep(orders, Map("o_orderkey" -> sO, "o_custkey" -> sC))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    rep(lineitem, Map("l_orderkey" -> sO, "l_partkey" -> sP, "l_suppkey" -> sS))
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    rep(customer, Map("c_custkey" -> sC))
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    rep(supplier, Map("s_suppkey" -> sS))
+      .write.mode("overwrite").parquet(s"$out/supplier.parquet")
+    rep(part, Map("p_partkey" -> sP))
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
+    Seq("nation", "region").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    println(s"[scale] wrote ${factor}x relational universe " +
+      s"(strides o=$sO c=$sC s=$sS p=$sP) to $out")
     println(s"[scale] wrote ${factor}x documents (stride $stride) to $out")
     spark.stop()
   }
