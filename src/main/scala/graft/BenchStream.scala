@@ -211,6 +211,9 @@ object BenchStream {
     val trkColdRate = if (trkColdSecs > 0) nTrkCold / trkColdSecs else 0.0
     println(f"""{"metric":"stream_envelopes_per_sec","value":$rate%.1f,"unit":"events/sec","n_events":$nWarm,"wall_sec":$warmSecs%.2f,"cold_rate":$coldRate%.1f,"cold_wall_sec":$coldSecs%.2f,"wire_rate":$wireRate%.1f,"wire_n_events":$nWire,"wire_wall_sec":$wireSecs%.2f,"wire_cold_rate":$wireColdRate%.1f,"socket_rate":$sockRate%.1f,"socket_n_events":$nSock,"socket_wall_sec":$sockSecs%.2f,"socket_cold_rate":$sockColdRate%.1f,"tracker_rate":$trkRate%.1f,"tracker_n_updates":$nTrk,"tracker_n_emitted":$nTrkEmitted,"tracker_wall_sec":$trkSecs%.2f,"tracker_cold_rate":$trkColdRate%.1f,"sf":"$sfDir"}""")
     spark.stop()
-    if (nWarm == 0 || nWire == 0 || nSock == 0) sys.exit(1)
+    // every arm hard-fails on an empty run — a broken arm must not
+    // report rate 0.0 under a green exit code
+    if (nWarm == 0 || nWire == 0 || nSock == 0 ||
+        nTrk == 0 || nTrkEmitted == 0) sys.exit(1)
   }
 }

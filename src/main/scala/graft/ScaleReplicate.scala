@@ -37,18 +37,31 @@ object ScaleReplicate {
       else c
     }.reduce(_ unionByName _)
     replicated.write.mode("overwrite").parquet(s"$out/documents.parquet")
+    // One replication rule for every keyed twin: each copy offsets the
+    // named keys by that key's stride (max + 1). A single definition so
+    // a rule fix lands everywhere at once.
+    def rep(df: org.apache.spark.sql.DataFrame,
+            offsets: Map[String, Long]): org.apache.spark.sql.DataFrame =
+      (0 until factor).map { i =>
+        offsets.foldLeft(df) { case (d, (k, st)) =>
+          d.withColumn(k, col(k) + lit(i * st))
+        }
+      }.reduce(_ unionByName _)
+    def strideOf(df: org.apache.spark.sql.DataFrame, key: String): Long =
+      df.agg(max(col(key))).head.getLong(0) + 1L
     // events twin (r15): the CDC-path probe input. event_id offsets by
-    // copy (fresh lsns/txns per copy: xid = event_id div 10 stays
-    // injective); ts/user_id replicate verbatim — 8× events per chunk
-    // and per user is exactly what data growth inside a fixed retention
-    // window looks like, so the chunk catalog stays DDL-sized while the
-    // data fans out (the property the J1 broadcast posture relies on).
+    // copy; ts/user_id replicate verbatim — 8× events per chunk and per
+    // user is exactly what data growth inside a fixed retention window
+    // looks like, so the chunk catalog stays DDL-sized while the data
+    // fans out (the property the J1 broadcast posture relies on). The
+    // stride rounds UP to a multiple of the txn size (xid = event_id
+    // div 10) so transactions never merge across copy boundaries — the
+    // injective-xid claim must hold for ANY source row count, not just
+    // round fixtures.
     if (new java.io.File(s"$src/events.parquet").exists) {
       val ev = spark.read.parquet(s"$src/events.parquet")
-      val strideE = ev.agg(max(col("event_id"))).head.getLong(0) + 1L
-      (0 until factor).map { i =>
-        ev.withColumn("event_id", col("event_id") + lit(i * strideE))
-      }.reduce(_ unionByName _)
+      val strideE = ((strideOf(ev, "event_id") + 9L) / 10L) * 10L
+      rep(ev, Map("event_id" -> strideE))
         .write.mode("overwrite").parquet(s"$out/events.parquet")
       println(s"[scale] wrote ${factor}x events (stride $strideE) to $out")
     }
@@ -58,10 +71,8 @@ object ScaleReplicate {
     // mass per centroid/band), so a flat wall here is a strong signal.
     if (new java.io.File(s"$src/embeddings.parquet").exists) {
       val em = spark.read.parquet(s"$src/embeddings.parquet")
-      val strideV = em.agg(max(col("vec_id"))).head.getLong(0) + 1L
-      (0 until factor).map { i =>
-        em.withColumn("vec_id", col("vec_id") + lit(i * strideV))
-      }.reduce(_ unionByName _)
+      val strideV = strideOf(em, "vec_id")
+      rep(em, Map("vec_id" -> strideV))
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
       println(s"[scale] wrote ${factor}x embeddings (stride $strideV) to $out")
     }
@@ -72,8 +83,6 @@ object ScaleReplicate {
     // not join fan-in artifacts. nation/region are true dimensions and
     // replicate verbatim (nationkeys repeat across universes — the
     // broadcast-dim posture under test).
-    def strideOf(df: org.apache.spark.sql.DataFrame, key: String): Long =
-      df.agg(max(col(key))).head.getLong(0) + 1L
     val orders   = spark.read.parquet(s"$src/orders.parquet")
     val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
     val customer = spark.read.parquet(s"$src/customer.parquet")
@@ -83,13 +92,6 @@ object ScaleReplicate {
     val sC = strideOf(customer, "c_custkey")
     val sS = strideOf(supplier, "s_suppkey")
     val sP = strideOf(part, "p_partkey")
-    def rep(df: org.apache.spark.sql.DataFrame,
-            offsets: Map[String, Long]): org.apache.spark.sql.DataFrame =
-      (0 until factor).map { i =>
-        offsets.foldLeft(df) { case (d, (k, st)) =>
-          d.withColumn(k, col(k) + lit(i * st))
-        }
-      }.reduce(_ unionByName _)
     rep(orders, Map("o_orderkey" -> sO, "o_custkey" -> sC))
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
     rep(lineitem, Map("l_orderkey" -> sO, "l_partkey" -> sP, "l_suppkey" -> sS))

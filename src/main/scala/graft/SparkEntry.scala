@@ -2590,7 +2590,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // of its inserts survives suppression. A count-based heuristic
       // would zero this out.
       val wal = Cdc.walEvents(s, dir)
-      val outbox = Cdc.withMessagePrefix(wal)
+      val outbox = Cdc.withMessagePrefix(wal.filter(col("op") === "m"))
         .filter(col("msg_prefix") === "app.outbox")
         .select(col("xid")).distinct()
       Cdc.markerSuppress(wal)

@@ -777,10 +777,13 @@ object Cdc {
     * collecting them), so they never surface here.
     */
   def logicalMessages(wal: DataFrame): DataFrame =
-    withMessagePrefix(wal)
-      .filter(col("op") === Envelope.Op.Message &&
-        !col("msg_prefix").isin(DecompressionMarkerStartId,
-          DecompressionMarkerEndId))
+    // prefix derivation only reads message rows (non-message rows
+    // contribute 0 to both window sums), so filter FIRST: the op
+    // predicate reaches the scan and the xid window shuffles only the
+    // message slice, never the data-sized WAL
+    withMessagePrefix(wal.filter(col("op") === Envelope.Op.Message))
+      .filter(!col("msg_prefix").isin(DecompressionMarkerStartId,
+        DecompressionMarkerEndId))
       .select(col("lsn"), col("op"), col("msg_prefix").as("prefix"),
         PgConverters.base64Std(col("props").cast("binary")).as("content"))
 
@@ -823,10 +826,10 @@ object Cdc {
     */
   def logicalMessagesTxn(wal: DataFrame): DataFrame = {
     val transactional = pmod(col("lsn"), lit(2)) === 0
-    withMessagePrefix(wal)
-      .filter(col("op") === Envelope.Op.Message &&
-        !col("msg_prefix").isin(DecompressionMarkerStartId,
-          DecompressionMarkerEndId))
+    // same message-slice-only shuffle posture as [[logicalMessages]]
+    withMessagePrefix(wal.filter(col("op") === Envelope.Op.Message))
+      .filter(!col("msg_prefix").isin(DecompressionMarkerStartId,
+        DecompressionMarkerEndId))
       .select(col("lsn"),
         transactional.as("transactional"),
         when(transactional, col("xid")).as("tx_id"),
@@ -1027,20 +1030,30 @@ object Cdc {
     */
   def unwrapNewRecordState(wal: DataFrame, deleteMode: String = "drop",
                            passthrough: Seq[String] = Nil): DataFrame = {
+    // column privacy (column.exclude.list) may have dropped ANY payload
+    // column before the SMT runs — tolerate the gap with typed nulls
+    // (the unwrapped record simply lacks that state), never an
+    // unresolved-column crash
+    val cols = wal.columns.toSet
+    def c(n: String, t: org.apache.spark.sql.types.DataType) =
+      if (cols.contains(n)) col(n) else lit(null).cast(t)
+    import org.apache.spark.sql.types.{DoubleType, LongType}
     val after = when(col("op") =!= Envelope.Op.Delete,
-      struct(col("value"), col("props"))) // null struct ⇒ null fields (after=null on d)
+      struct(c("value", DoubleType).as("value"),
+        c("props", StringType).as("props"))) // null struct ⇒ null fields (after=null on d)
     val unwrapped = wal
       .filter(col("op").isin(Envelope.Op.Read, Envelope.Op.Create,
         Envelope.Op.Update, Envelope.Op.Delete))
       .withColumn("__after", after)
       .select(Seq(
-        col("user_id"),
+        c("user_id", LongType).as("user_id"),
         col("__after.value").as("value"),
         col("__after.props").as("props"),
         col("op").as("__op"),
-        col("lsn").as("__lsn"),
-        col("ts_ms").as("__source_ts_ms"),
-        concat(col("schema_name"), lit("."), col("table_name")).as("__table"),
+        c("lsn", LongType).as("__lsn"),
+        c("ts_ms", LongType).as("__source_ts_ms"),
+        concat(c("schema_name", StringType), lit("."),
+          c("table_name", StringType)).as("__table"),
         (col("op") === Envelope.Op.Delete).as("__deleted")) ++
         passthrough.map(col): _*)
     deleteMode match {

@@ -30,10 +30,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Ordering contract: a txn's rows arrive in LSN order across batches
   * (the WAL source's global contract); within a batch the group sorts
-  * by lsn. State size is bounded by concurrently-open transactions —
-  * the reference's in-memory transaction window — so NoTimeout matches
-  * its lifetime (a production deployment would add the txn-window
-  * timeout T2 already enforces upstream).
+  * by lsn. State exists ONLY while a bracket is open or tallies are
+  * pending (idle txns remove their entry at the end of the group call),
+  * so the store is bounded by concurrently-open decompression
+  * transactions — the reference's in-memory transaction window — and
+  * NoTimeout matches that lifetime (a production deployment would add
+  * the txn-window timeout T2 already enforces upstream).
   */
 object MarkerTracker {
 
@@ -52,7 +54,7 @@ object MarkerTracker {
   private val Start = graft.cdc.Cdc.DecompressionMarkerStartId
   private val End   = graft.cdc.Cdc.DecompressionMarkerEndId
 
-  private[streaming] def track(
+  private[graft] def track(
       xid: Long, rows: Iterator[WalRow],
       state: GroupState[TxnState]): Iterator[MarkerOut] = {
     val sorted = rows.toArray.sortBy(_.lsn)
@@ -82,7 +84,13 @@ object MarkerTracker {
         case _ => keep(r)
       }
     }
-    state.update(st)
+    // xid cardinality is DATA-sized (unlike CompressionTracker's
+    // DDL-bounded chunk keys), so idle txns must not leave entries
+    // behind: state exists ONLY while a bracket is open or tallies are
+    // pending — the store's size is bounded by concurrently-open
+    // decompression transactions, not by WAL history
+    if (st.ongoing || st.counts.nonEmpty) state.update(st)
+    else if (state.exists) state.remove()
     out.iterator
   }
 

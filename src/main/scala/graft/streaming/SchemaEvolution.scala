@@ -110,6 +110,18 @@ object SchemaEvolution {
     * one narrow, codegen'd select over the batch.
     */
   def resolveBatch(batch: DataFrame): DataFrame = {
+    // ONE relation per resolve: schema versions are unioned by column
+    // identity alone, so a multi-table batch would silently flatten two
+    // tables into one cross-table frankenschema (a shared column name
+    // with different OIDs takes the first-seen type for BOTH). Fail
+    // loudly instead — a multi-table stream resolves per relation (the
+    // caller splits on (schema_name, table_name); relation counts are
+    // catalog-sized, so the census collect below stays trivial).
+    val rels = batch.select(col("schema_name"), col("table_name"))
+      .distinct().collect()
+    require(rels.length <= 1,
+      s"resolveBatch: one relation per resolve — batch carries ${rels.length}: " +
+        rels.map(r => s"${r.getString(0)}.${r.getString(1)}").sorted.mkString(", "))
     // schema-version census in first-seen order (min lsn per version)
     val versions = batch
       .groupBy(col("col_names"), col("col_oids"))

@@ -632,6 +632,14 @@ class ConfigPipelineSpec extends SparkSpec {
     // unwrap + PK excluded: only then does the key fall back to null
     val uwNoPk = render(uwProps + ("column.exclude.list" -> "event_id"))
     assert(uwNoPk.select("key").head.isNullAt(0))
+    // unwrap + a column the SMT projection itself references excluded:
+    // typed-null stand-in, never an unresolved-column AnalysisException
+    val uwExUser = render(uwProps + ("column.exclude.list" -> "user_id"))
+    val uwExEnv = uwExUser.select("envelope").head.getString(0)
+    assert(!uwExEnv.contains("\"user_id\":") || uwExEnv.contains("\"user_id\":null"),
+      "excluded user_id renders as absent/null in the unwrapped value")
+    assert(uwExUser.select("key").head.getString(0).contains("\"event_id\""),
+      "the PK key survives excluding a different column")
     // masked PAYLOAD column (not props): the raw-concat envelope would
     // embed an unquoted sha2 hex / NULL the concat — must route through
     // the defensive branch and stay valid JSON

@@ -202,6 +202,39 @@ class StreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS mt_out")
   }
 
+  test("marker tracker state lives only while a bracket is open (no per-txn residue)") {
+    // xid cardinality is data-sized, so idle transactions must leave NO
+    // state entry behind — unlike the chunk tracker whose keys are
+    // DDL-bounded. TestGroupState exposes the update/remove decisions.
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.streaming.MarkerTracker
+    import graft.streaming.MarkerTracker.{TxnState, WalRow}
+    val S = graft.cdc.Cdc.DecompressionMarkerStartId
+    val E = graft.cdc.Cdc.DecompressionMarkerEndId
+    import org.apache.spark.api.java.{Optional => JOpt}
+    def fresh(init: Option[TxnState]) = TestGroupState.create[TxnState](
+      init.map(JOpt.of[TxnState]).getOrElse(JOpt.empty[TxnState]()),
+      GroupStateTimeout.NoTimeout, 0L,
+      JOpt.empty[Long](), hasTimedOut = false)
+    // marker-free txn: rows pass through, NO state written
+    val idle = fresh(None)
+    val out1 = MarkerTracker.track(1L,
+      Iterator(WalRow(1L, 1L, "c", 0, 10L, None)), idle).toSeq
+    assert(out1.map(_.lsn) === Seq(1L) && !idle.isUpdated && !idle.isRemoved)
+    // open bracket: state persists across the batch boundary
+    val open = fresh(None)
+    MarkerTracker.track(2L, Iterator(
+      WalRow(10L, 2L, "m", 0, 100L, Some(S)),
+      WalRow(11L, 2L, "c", 0, 110L, None)), open).toSeq
+    assert(open.isUpdated && open.get.ongoing && open.get.counts.nonEmpty)
+    // the closing batch emits the event AND removes the entry
+    val closing = fresh(Some(TxnState(ongoing = true, Map(0 -> (1L, 110L)))))
+    val out3 = MarkerTracker.track(2L,
+      Iterator(WalRow(12L, 2L, "m", 0, 120L, Some(E))), closing).toSeq
+    assert(out3.exists(o => o.tsdb_op.contains("d") && o.n_suppressed === 1L))
+    assert(closing.isRemoved, "closed bracket leaves no state behind")
+  }
+
   test("windowed aggregation with watermark matches batch hourly counts (A2)") {
     val q = StreamPipeline.windowedStats(spark, sf001)
       .writeStream.format("memory").queryName("winstats")
