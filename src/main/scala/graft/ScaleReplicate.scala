@@ -29,6 +29,8 @@ object ScaleReplicate {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    require(new java.io.File(s"$src/documents.parquet").exists,
+      s"ScaleReplicate: $src/documents.parquet missing — documents is the primary probe input")
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val stride = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
     val replicated = (0 until factor).map { i =>
@@ -47,8 +49,16 @@ object ScaleReplicate {
           d.withColumn(k, col(k) + lit(i * st))
         }
       }.reduce(_ unionByName _)
-    def strideOf(df: org.apache.spark.sql.DataFrame, key: String): Long =
-      df.agg(max(col(key))).head.getLong(0) + 1L
+    def strideOf(df: org.apache.spark.sql.DataFrame, key: String): Long = {
+      // explicit cast + null guard: an empty table yields max=NULL
+      // (head.getLong would NPE) and a non-long key would CCE — fail
+      // with a message naming the table/key instead
+      val m = df.agg(max(col(key)).cast("long")).head
+      require(!m.isNullAt(0), s"ScaleReplicate: table has no rows for key '$key'")
+      m.getLong(0) + 1L
+    }
+    def existsTable(name: String): Boolean =
+      new java.io.File(s"$src/$name.parquet").exists
     // events twin (r15): the CDC-path probe input. event_id offsets by
     // copy; ts/user_id replicate verbatim — 8× events per chunk and per
     // user is exactly what data growth inside a fixed retention window
@@ -83,31 +93,41 @@ object ScaleReplicate {
     // not join fan-in artifacts. nation/region are true dimensions and
     // replicate verbatim (nationkeys repeat across universes — the
     // broadcast-dim posture under test).
-    val orders   = spark.read.parquet(s"$src/orders.parquet")
-    val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
-    val customer = spark.read.parquet(s"$src/customer.parquet")
-    val supplier = spark.read.parquet(s"$src/supplier.parquet")
-    val part     = spark.read.parquet(s"$src/part.parquet")
-    val sO = strideOf(orders, "o_orderkey")
-    val sC = strideOf(customer, "c_custkey")
-    val sS = strideOf(supplier, "s_suppkey")
-    val sP = strideOf(part, "p_partkey")
-    rep(orders, Map("o_orderkey" -> sO, "o_custkey" -> sC))
-      .write.mode("overwrite").parquet(s"$out/orders.parquet")
-    rep(lineitem, Map("l_orderkey" -> sO, "l_partkey" -> sP, "l_suppkey" -> sS))
-      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-    rep(customer, Map("c_custkey" -> sC))
-      .write.mode("overwrite").parquet(s"$out/customer.parquet")
-    rep(supplier, Map("s_suppkey" -> sS))
-      .write.mode("overwrite").parquet(s"$out/supplier.parquet")
-    rep(part, Map("p_partkey" -> sP))
-      .write.mode("overwrite").parquet(s"$out/part.parquet")
-    Seq("nation", "region").foreach { t =>
-      spark.read.parquet(s"$src/$t.parquet")
-        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    // the relational universe replicates only when the full coherent
+    // join graph is present (a partial set would break FK selectivity);
+    // same existence-guard posture as the events/embeddings twins
+    val relTables = Seq("orders", "lineitem", "customer", "supplier",
+      "part", "nation", "region")
+    if (relTables.forall(existsTable)) {
+      val orders   = spark.read.parquet(s"$src/orders.parquet")
+      val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
+      val customer = spark.read.parquet(s"$src/customer.parquet")
+      val supplier = spark.read.parquet(s"$src/supplier.parquet")
+      val part     = spark.read.parquet(s"$src/part.parquet")
+      val sO = strideOf(orders, "o_orderkey")
+      val sC = strideOf(customer, "c_custkey")
+      val sS = strideOf(supplier, "s_suppkey")
+      val sP = strideOf(part, "p_partkey")
+      rep(orders, Map("o_orderkey" -> sO, "o_custkey" -> sC))
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+      rep(lineitem, Map("l_orderkey" -> sO, "l_partkey" -> sP, "l_suppkey" -> sS))
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      rep(customer, Map("c_custkey" -> sC))
+        .write.mode("overwrite").parquet(s"$out/customer.parquet")
+      rep(supplier, Map("s_suppkey" -> sS))
+        .write.mode("overwrite").parquet(s"$out/supplier.parquet")
+      rep(part, Map("p_partkey" -> sP))
+        .write.mode("overwrite").parquet(s"$out/part.parquet")
+      Seq("nation", "region").foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
+      println(s"[scale] wrote ${factor}x relational universe " +
+        s"(strides o=$sO c=$sC s=$sS p=$sP) to $out")
+    } else {
+      val missing = relTables.filterNot(existsTable).mkString(", ")
+      println(s"[scale] skipping relational universe — missing: $missing")
     }
-    println(s"[scale] wrote ${factor}x relational universe " +
-      s"(strides o=$sO c=$sC s=$sS p=$sP) to $out")
     println(s"[scale] wrote ${factor}x documents (stride $stride) to $out")
     spark.stop()
   }

@@ -3815,6 +3815,20 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dedup_edit_excised" -> ((s, dir) => {
+      // the cap's recall-loss AUDIT (r15 advice: excised hot blocks
+      // must be observable, not silent): every pigeonhole block the df
+      // cap cuts, with its document frequency — the corpus owner's
+      // before-trusting-the-default inspection surface. Small cap here
+      // so the fixture exercises a non-trivial excision set
+      val titles = Tables.documents(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("text"))
+      Dedup.editDistanceExcisedBlocks(titles, k = 6, dfCap = 8)
+        .select(col("seg_i").cast("long").as("seg_i"), col("seg"),
+          col("L").cast("long").as("seg_len"), col("df"))
+        .orderBy(col("seg_i"), col("seg"), col("seg_len"))
+    }),
+
     "layout_zorder" -> ((s, dir) =>
       // the data-skipping clustering key: 10-bit Morton interleave of
       // (n_chars, doc_id) rank spaces — files sorted by it carry tight
@@ -5019,7 +5033,9 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
          |FROM mwalp w JOIN mbr b ON w.xid = b.xid
          |JOIN mcat ON mcat.chunk_day = w.chunk_day
          |WHERE w.op = 'c' AND w.lsn > b.start_lsn
-         |  AND (b.end_lsn IS NULL OR w.lsn < b.end_lsn)
+         |  -- unclosed brackets suppress but emit NO event (the Spark
+         |  -- side's __next_end.isNotNull gate) — pin the same semantics
+         |  AND b.end_lsn IS NOT NULL AND w.lsn < b.end_lsn
          |GROUP BY b.end_lsn, w.xid, mcat.chunk_name
          |ORDER BY lsn, chunk_name""".stripMargin,
 
@@ -9020,6 +9036,24 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     // blocks in play (the pre-r15 default; SCALING.md sf0.8 forensics
     // measured its quadratic candidate regime)
     "dedup_edit_recall" -> editDistanceOracle(2000),
+
+    // excised-block audit twin: the hot CTE of the edit-distance oracle
+    // surfaced as the output (same segmentation, same cap comparison)
+    "dedup_edit_excised" ->
+      """WITH t AS (SELECT doc_id AS id, substring(text, 1, 24) AS s FROM documents
+        |           WHERE length(substring(text, 1, 24)) >= 1),
+        |segs AS (
+        |  SELECT id, s, length(s) AS L, iv.i AS seg_i,
+        |    substring(s, CAST(iv.i * (length(s) // 7) + least(iv.i, length(s) % 7) + 1 AS INTEGER),
+        |      CAST((length(s) // 7) + CASE WHEN iv.i < length(s) % 7 THEN 1 ELSE 0 END AS INTEGER)) AS seg
+        |  FROM t CROSS JOIN (SELECT unnest(range(0, 7)) AS i) iv
+        |  WHERE length(s) >= 7
+        |  UNION ALL
+        |  SELECT id, s, length(s) AS L, CAST(0 AS BIGINT) AS seg_i, '' AS seg
+        |  FROM t WHERE length(s) < 7)
+        |SELECT seg_i, seg, L AS seg_len, count(*) AS df
+        |FROM segs GROUP BY 1, 2, 3 HAVING count(*) > 8
+        |ORDER BY seg_i, seg, seg_len""".stripMargin,
 
     // z-order twin: the same statically-unrolled bit interleave
     "layout_zorder" -> {

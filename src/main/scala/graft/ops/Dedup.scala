@@ -1238,22 +1238,22 @@ object Dedup {
                         idCol: String = "doc_id",
                         dfCap: Int = EditDistanceDfCap): DataFrame = {
     require(k >= 1, s"editDistancePairs: k=$k must be >= 1")
-    val nSeg = k + 1
-    val t = df.select(col(idCol).as("id"), col(textCol).as("s"))
-      .filter(col("s").isNotNull && length(col("s")) >= 1)
-    val segs = t.select(col("id"), col("s"), length(col("s")).as("L"),
-        posexplode(expr(
-          s"""IF(length(s) < $nSeg, array(''),
-             |  transform(sequence(0, ${nSeg - 1}), i ->
-             |    substring(s, i * (length(s) div $nSeg) + least(i, length(s) % $nSeg) + 1,
-             |              (length(s) div $nSeg) + IF(i < length(s) % $nSeg, 1, 0))))"""
-            .stripMargin)).as(Seq("seg_i", "seg")))
-      .select(col("id"), col("s"), col("L"), col("seg_i"), col("seg"))
+    val segs = editSegments(df, k, textCol, idCol)
     val capped =
       if (dfCap <= 0) segs
       else {
+        // the cap trades recall on boilerplate-heavy blocks for a
+        // bounded largest task — make the loss OBSERVABLE rather than
+        // silent: the excised-block census rides the plan as named
+        // observe() metrics (n_excised_blocks / n_excised_rows land in
+        // every QueryExecutionListener / StreamingQueryProgress with
+        // zero extra jobs), and [[editDistanceExcisedBlocks]] is the
+        // standalone audit of WHICH blocks were cut
         val hot = segs.groupBy(col("seg_i"), col("seg"), col("L"))
           .agg(count(lit(1)).as("__df")).filter(col("__df") > dfCap)
+          .observe("dedup_edit_excised",
+            count(lit(1)).as("n_excised_blocks"),
+            coalesce(sum(col("__df")), lit(0L)).as("n_excised_rows"))
           .select(col("seg_i"), col("seg"), col("L"))
         segs.join(hot, Seq("seg_i", "seg", "L"), "left_anti")
       }
@@ -1271,6 +1271,42 @@ object Dedup {
         expr(s"levenshtein(a.s, b.s, $k)").as("dist"))
       .filter(col("dist") >= 0)
       .distinct()
+  }
+
+  /** The pigeonhole segment rows [[editDistancePairs]] blocks on —
+    * shared with the excised-block audit so both see the same keys. */
+  private def editSegments(df: DataFrame, k: Int, textCol: String,
+                           idCol: String): DataFrame = {
+    val nSeg = k + 1
+    val t = df.select(col(idCol).as("id"), col(textCol).as("s"))
+      .filter(col("s").isNotNull && length(col("s")) >= 1)
+    t.select(col("id"), col("s"), length(col("s")).as("L"),
+        posexplode(expr(
+          s"""IF(length(s) < $nSeg, array(''),
+             |  transform(sequence(0, ${nSeg - 1}), i ->
+             |    substring(s, i * (length(s) div $nSeg) + least(i, length(s) % $nSeg) + 1,
+             |              (length(s) div $nSeg) + IF(i < length(s) % $nSeg, 1, 0))))"""
+            .stripMargin)).as(Seq("seg_i", "seg")))
+      .select(col("id"), col("s"), col("L"), col("seg_i"), col("seg"))
+  }
+
+  /** The recall-loss audit for [[editDistancePairs]]' df cap: every
+    * (segment index, segment, length) block the cap EXCISES, with its
+    * document frequency — what a corpus owner inspects before trusting
+    * the capped default on a new corpus (a hot block here means true
+    * duplicate pairs inside it were dropped without verification). One
+    * partial-agg groupBy over the segment rows; empty output means the
+    * cap never engaged and the capped run was recall-complete.
+    */
+  def editDistanceExcisedBlocks(df: DataFrame, k: Int = 2,
+                                textCol: String = "text",
+                                idCol: String = "doc_id",
+                                dfCap: Int = EditDistanceDfCap): DataFrame = {
+    require(k >= 1, s"editDistanceExcisedBlocks: k=$k must be >= 1")
+    editSegments(df, k, textCol, idCol)
+      .groupBy(col("seg_i"), col("seg"), col("L"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap)
   }
 
   /** Content-defined chunking (the rsync/FastCDC family) at token
