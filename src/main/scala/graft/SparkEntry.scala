@@ -1449,6 +1449,28 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("lsn"))
     }),
 
+    "cdc_schema_evolution_type" -> ((s, dir) => {
+      // T9's nastiest in-flight case: mid-WAL ALTER COLUMN TYPE —
+      // user_id re-announces as text (oid 25) with 'u'-prefixed values
+      // halfway through the stream. resolveBatch keys schema versions
+      // on (name, oid), casts each row by the version it ARRIVED under
+      // (the row's own col_oids), and widens to the common supertype
+      // last — so pre-DDL longs render as decimal text and post-DDL
+      // text rides verbatim. A name-keyed first-seen-type union (the
+      // r15 bug) would cast 'u123' with the stale int8 plan and
+      // silently NULL every post-DDL value — this gate hash-fails that.
+      val ev = Tables.events(s, dir)
+      val boundary = ev.agg(max(col("event_id"))).head.getLong(0) / 2 + 1
+      val wide = graft.streaming.SchemaEvolution.resolveBatch(
+        graft.cdc.PgOutput.decodeRowsDynamic(
+          graft.cdc.PgOutput.encodeSegmentsRetyping(ev, boundary)).toDF())
+      wide.select(col("lsn"), col("op_wire").as("op"),
+          col("event_id"), col("user_id"), col("event_type"),
+          expr("cast(floor(value * 100 + 0.5) as bigint)").as("value_cents"),
+          col("props"))
+        .orderBy(col("lsn"))
+    }),
+
     "cdc_pgoutput_txn" -> ((s, dir) => {
       // transaction boundaries RECOVERED FROM THE WIRE: xid attachment
       // happens inside the per-segment decode loop (Begin sets it,
@@ -4833,6 +4855,22 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents, props,
         |  CASE WHEN event_id >= (SELECT max(event_id) // 2 + 1 FROM events)
         |       THEN user_id % 100 END AS score
+        |FROM events WHERE event_type <> 'click'
+        |ORDER BY lsn""".stripMargin,
+
+    // ALTER-TYPE twin: the same arithmetic boundary, user_id rendered
+    // per the version each row arrived under — pre-DDL int8 as decimal
+    // text (the widened supertype), post-DDL 'u'-prefixed text verbatim
+    "cdc_schema_evolution_type" ->
+      """SELECT event_id AS lsn,
+        |  CASE event_type WHEN 'signup' THEN 'I' WHEN 'purchase' THEN 'U'
+        |       WHEN 'error' THEN 'D' ELSE 'I' END AS op,
+        |  event_id,
+        |  CASE WHEN event_id >= (SELECT max(event_id) // 2 + 1 FROM events)
+        |       THEN 'u' || CAST(user_id AS VARCHAR)
+        |       ELSE CAST(user_id AS VARCHAR) END AS user_id,
+        |  event_type,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents, props
         |FROM events WHERE event_type <> 'click'
         |ORDER BY lsn""".stripMargin,
 

@@ -529,6 +529,76 @@ object PgOutput {
       .toDF("segment", "start_lsn", "data")
   }
 
+  /** The events relation AFTER a mid-stream `ALTER COLUMN user_id TYPE
+    * text` — same column at the same ordinal, NEW type oid (25). The
+    * nastiest evolution case: a name-keyed schema union would keep the
+    * first-seen int8 and silently NULL every post-DDL value. */
+  val EventsRelColsRetyped: Seq[RelCol] =
+    EventsRelCols.map(c => if (c.name == "user_id") c.copy(typeOid = 25) else c)
+
+  /** [[encodeSegmentsEvolving]]'s ALTER-TYPE twin: rows with `event_id
+    * >= retypeFrom` re-announce the relation with `user_id` as text
+    * (oid 25) and render its value as `'u' || user_id` — the wire shape
+    * of `ALTER TABLE events ALTER COLUMN user_id TYPE text USING
+    * 'u'||user_id` (PG re-emits Relation after any DDL; the reference
+    * re-registers and decodes each row by ITS relation version,
+    * `systemcatalog.go:347-373` + `decoderplan.go:32-101`). Post-DDL
+    * values are deliberately NON-numeric so a first-seen-type decode
+    * cannot fake a pass: casting `'u123'` with the old int8 plan
+    * yields NULL, the exact silent corruption this fixture gates.
+    * Pure arithmetic rule → DuckDB-replayable.
+    */
+  def encodeSegmentsRetyping(events: DataFrame, retypeFrom: Long,
+                             txnSize: Int = 10,
+                             segmentTxns: Int = 100): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rowsPerSegment = txnSize.toLong * segmentTxns
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+      .withColumn("segment", expr(s"event_id div $rowsPerSegment"))
+      .as[(Long, Long, Long, String, Double, String, Long)]
+      .groupByKey(_._7)
+      .mapGroups { (segment, it) =>
+        val rows = it.toSeq.sortBy(_._1)
+        val bos = new ByteArrayOutputStream(rows.length * 96)
+        val o = new DataOutputStream(bos)
+        val startLsn = rows.head._1
+        var retyped = startLsn >= retypeFrom
+        def relMsg = RelationMsg(EventsRelId, "public", "events", 'f',
+          if (retyped) EventsRelColsRetyped else EventsRelCols)
+        writeFrame(o, startLsn, encode(relMsg))
+        rows.groupBy(_._1 / txnSize).toSeq.sortBy(_._1).foreach { case (xid, txn) =>
+          val commitLsn = txn.last._1
+          val commitMicros = txn.last._2 / 1000L - PgEpochMicros
+          writeFrame(o, txn.head._1, encode(BeginMsg(commitLsn, commitMicros, xid.toInt)))
+          txn.foreach { case (eid, ts, uid, et, v, props, _) =>
+            if (!retyped && eid >= retypeFrom) {
+              retyped = true
+              writeFrame(o, eid, encode(relMsg))
+            }
+            def tup = {
+              val base = rowTuple(eid, ts, uid, et, v, props)
+              if (retyped) base.updated(2, textCol(s"u$uid")) else base
+            }
+            val msg = et match {
+              case "signup"   => InsertMsg(EventsRelId, tup)
+              case "purchase" => UpdateMsg(EventsRelId, Some('O'), Some(tup), tup)
+              case "error"    => DeleteMsg(EventsRelId, 'O', tup)
+              case "click"    => LogicalMsg(transactional = true, eid, "graft.props",
+                (if (props == null) "" else props).getBytes(UTF_8))
+              case _          => InsertMsg(EventsRelId, tup)
+            }
+            writeFrame(o, eid, encode(msg))
+          }
+          writeFrame(o, commitLsn, encode(CommitMsg(0, commitLsn, commitLsn + 1, commitMicros)))
+        }
+        (segment, startLsn, bos.toByteArray)
+      }
+      .toDF("segment", "start_lsn", "data")
+  }
+
   /** One SCHEMA-AGNOSTIC decoded WAL row: the tuple rides as parallel
     * (name, oid, raw text value) arrays in relation-declared order
     * instead of fixed case-class fields, so a mid-stream Relation

@@ -89,6 +89,22 @@ object SchemaEvolution {
     case _                 => StringType
   }
 
+  /** Least common SUPERTYPE of two dynamically-resolved column types —
+    * the widening rule for a column whose oid changed mid-stream
+    * (ALTER COLUMN TYPE). Numeric pairs widen within the numeric
+    * tower; anything else widens to the raw-text supertype (lossless:
+    * the wire carries text, and a downstream converter can refine). */
+  private[streaming] def widen(a: DataType, b: DataType): DataType =
+    if (a == b) a
+    else (a, b) match {
+      case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
+      case (LongType, d: DecimalType)                       => d
+      case (d: DecimalType, LongType)                       => d
+      case (DoubleType, _: DecimalType)                     => DoubleType
+      case (_: DecimalType, DoubleType)                     => DoubleType
+      case _                                                => StringType
+    }
+
   /** Per-micro-batch DYNAMIC schema resolution — the in-flight half of
     * the reference's `ApplySchemaUpdate` (`systemcatalog.go:347-373`):
     * a batch of [[graft.cdc.PgOutput.DynamicWal]] rows (whose tuples
@@ -99,6 +115,16 @@ object SchemaEvolution {
     * later version added appended — exactly the reference's diff
     * semantics ([[diff]]); rows that predate an added column carry NULL
     * for it, rows that postdate a drop likewise.
+    *
+    * A column re-announced with a NEW oid (ALTER COLUMN TYPE — the
+    * [[TypeChanged]] case) is keyed on (name, oid): each row is cast by
+    * the relation version IT arrived under (the row carries its
+    * version's `col_oids`, so `element_at` reads the arriving oid — the
+    * reference's per-relation-version decode, `decoderplan.go:32-101`),
+    * then widened to the versions' common supertype LAST. Post-DDL
+    * values can never be miscast through a stale type: an int8→text
+    * flip yields a string column where pre-DDL longs render as their
+    * decimal text and post-DDL text rides through verbatim.
     *
     * Run this inside `foreachBatch`: each micro-batch re-plans against
     * the schema IT observed, so the stream crosses a DDL boundary
@@ -132,16 +158,33 @@ object SchemaEvolution {
       // in 2.13 — an immutable-Seq getAs would ClassCastException
       .map(r => r.getAs[scala.collection.Seq[String]]("col_names").toSeq
         .zip(r.getAs[scala.collection.Seq[Int]]("col_oids").toSeq))
-    val union = scala.collection.mutable.LinkedHashMap[String, Int]()
+    // union keyed on (name, oid): a name re-announced with a new oid
+    // appends the oid as a fresh VERSION of the column, first-seen order
+    val union = scala.collection.mutable.LinkedHashMap[String, Vector[Int]]()
     versions.foreach(_.foreach { case (n, oid) =>
-      if (!union.contains(n)) union(n) = oid
+      val seen = union.getOrElse(n, Vector.empty)
+      if (!seen.contains(oid)) union(n) = seen :+ oid
     })
     val meta = Seq("segment", "lsn", "xid", "op_wire", "schema_name",
       "table_name").map(col)
-    val typed = union.toSeq.map { case (name, oid) =>
+    val typed = union.toSeq.map { case (name, oids) =>
       val pos = array_position(col("col_names"), lit(name))
-      when(pos > 0, element_at(col("col_vals"), pos.cast("int")))
-        .cast(sparkTypeForOid(oid)).as(name)
+      // element_at stays INSIDE the when-branch: CaseWhen evaluates the
+      // value only when the guard holds, so a version without this
+      // column (pos = 0) never trips ANSI's 1-based index check
+      val raw = element_at(col("col_vals"), pos.cast("int"))
+      val value =
+        if (oids.size == 1) raw.cast(sparkTypeForOid(oids.head))
+        else {
+          // TypeChanged: cast by the ARRIVING version's oid, widen last
+          val wide = oids.map(sparkTypeForOid).reduce(widen)
+          val rowOid = element_at(col("col_oids"), pos.cast("int"))
+          oids.foldLeft(lit(null).cast(wide)) { (acc, oid) =>
+            when(rowOid === lit(oid),
+              raw.cast(sparkTypeForOid(oid)).cast(wide)).otherwise(acc)
+          }
+        }
+      when(pos > 0, value).as(name)
     }
     batch.select(meta ++ typed: _*)
   }

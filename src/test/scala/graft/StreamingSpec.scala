@@ -95,6 +95,73 @@ class StreamingSpec extends SparkSpec {
     assert(rows1.nonEmpty && rows2.nonEmpty)
   }
 
+  test("mid-stream ALTER COLUMN TYPE decodes each row by ITS relation version (T9)") {
+    // the TypeChanged half of ApplySchemaUpdate: user_id re-announces
+    // as text (oid 25) mid-WAL with 'u'-prefixed values; one
+    // continuously-running query crosses the DDL, and the crossing
+    // batch must cast pre-DDL rows with the int8 plan and post-DDL rows
+    // with the text plan, widened to string LAST — the r15 name-keyed
+    // union kept the first-seen int8 and silently NULLed every post-DDL
+    // value, which this test fails on
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.SchemaEvolution
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ev = Tables.events(spark, sf001)
+    val boundary = 450L
+    val frames = graft.cdc.PgOutput
+      .encodeSegmentsRetyping(ev, boundary, txnSize = 10, segmentTxns = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Array[Byte]](2)))
+      .sortBy(_._1)
+    val (pre, rest) = frames.partition(_._1 < 3)
+    val mem = MemoryStream[(Long, Long, Array[Byte])]
+    val decoded = graft.cdc.PgOutput.decodeRowsDynamic(
+      mem.toDS().toDF("segment", "start_lsn", "data"))
+    val batches = scala.collection.mutable.ArrayBuffer[
+      (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]()
+    val q = decoded.toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val resolved = SchemaEvolution.resolveBatch(b)
+        batches += ((resolved.schema, resolved.collect()))
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      mem.addData(pre.toSeq); q.processAllAvailable()
+      mem.addData(rest.toSeq); q.processAllAvailable()
+      assert(q.isActive, "the query survived the ALTER TYPE — no restart")
+    } finally q.stop()
+    assert(batches.length === 2)
+    val (s1, rows1) = batches(0)
+    val (s2, rows2) = batches(1)
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    assert(s1("user_id").dataType === LongType, "pre-DDL batch types the old shape")
+    assert(s2("user_id").dataType === StringType, "the crossing batch widened to text")
+    // the observed change IS the reference's diff: one TypeChanged
+    def rowShape(s: StructType) = StructType(s.filterNot(f =>
+      Seq("segment", "lsn", "xid", "op_wire", "schema_name", "table_name")
+        .contains(f.name)))
+    assert(SchemaEvolution.diff(rowShape(s1), rowShape(s2)) ===
+      Seq(SchemaEvolution.TypeChanged("user_id", LongType, StringType)))
+    // value agreement on both sides of the boundary, within ONE batch
+    val uid2 = s2.fieldIndex("user_id")
+    val eid2 = s2.fieldIndex("event_id")
+    rows2.foreach { r =>
+      val eid = r.getLong(eid2)
+      val v = r.getString(uid2)
+      if (eid < boundary)
+        assert(v != null && v.forall(_.isDigit),
+          s"pre-DDL row $eid renders the int8 value as decimal text, got '$v'")
+      else
+        assert(v != null && v.startsWith("u"),
+          s"post-DDL row $eid carries the text value verbatim, got '$v'")
+    }
+    assert(rows2.exists(r => r.getLong(eid2) < boundary) &&
+      rows2.exists(r => r.getLong(eid2) >= boundary),
+      "the crossing batch really holds both versions")
+    assert(rows1.nonEmpty && rows2.nonEmpty)
+  }
+
   test("streaming compression tracker ≡ batch detection across mid-history batch splits (T3)") {
     // the transactiontracker's home is the LIVE stream: keyed chunk
     // state must carry the last committed status across micro-batches,
