@@ -239,7 +239,10 @@ class StreamingSpec extends SparkSpec {
       rows.slice(cuts(1), n))
     assert(parts.forall(_.nonEmpty))
     val mem = MemoryStream[WalRow]
-    val q = MarkerTracker.tracked(mem.toDS())
+    // bounded replay: withTimeout=false keeps NoTimeout semantics so
+    // processAllAvailable terminates (a pending processing-time timer
+    // holds noNewData false forever — see TxnAssembler's trigger caveat)
+    val q = MarkerTracker.tracked(mem.toDS(), withTimeout = false)
       .writeStream.format("memory").queryName("mt_out")
       .outputMode("append").start()
     try {
@@ -300,6 +303,110 @@ class StreamingSpec extends SparkSpec {
       Iterator(WalRow(12L, 2L, "m", 0, 120L, Some(E))), closing).toSeq
     assert(out3.exists(o => o.tsdb_op.contains("d") && o.n_suppressed === 1L))
     assert(closing.isRemoved, "closed bracket leaves no state behind")
+  }
+
+  test("marker tracker evicts an expired bracket window, draining the tally (T2×T3)") {
+    // the reference's transaction-window bounds on the tracker's OWN
+    // store (transactiontracker.go:458-482): a bracket whose end marker
+    // never arrives is drained at the deadline, and an oversized
+    // bracket drains at the tally cap — TestGroupState pins both
+    // decisions directly
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.streaming.MarkerTracker
+    import graft.streaming.MarkerTracker.{TxnState, WalRow}
+    import org.apache.spark.api.java.{Optional => JOpt}
+    val S = graft.cdc.Cdc.DecompressionMarkerStartId
+    def timed(init: Option[TxnState], nowMs: Long, timedOut: Boolean) =
+      TestGroupState.create[TxnState](
+        init.map(JOpt.of[TxnState]).getOrElse(JOpt.empty[TxnState]()),
+        GroupStateTimeout.ProcessingTimeTimeout, nowMs,
+        JOpt.empty[Long](), hasTimedOut = timedOut)
+    val step = MarkerTracker.track(60000L, 10000L, withTimeout = true) _
+    // timeout callback: no data, deadline passed → drain at lastLsn, remove
+    val expired = timed(Some(TxnState(ongoing = true,
+      Map(3 -> (7L, 300L)), lastLsn = 42L, deadlineMs = 1000L)),
+      nowMs = 2000L, timedOut = true)
+    val evicted = step(9L, Iterator.empty, expired).toSeq
+    assert(evicted.map(o => (o.lsn, o.chunk_day, o.tsdb_op, o.n_suppressed)) ===
+      Seq((42L, 3, Some("d"), 7L)), "eviction drains the tallied state")
+    assert(expired.isRemoved, "the never-closed bracket's entry is evicted")
+    // expired window met by new data on the same trigger: drain first,
+    // then the fresh rows stream through untracked
+    val stale = timed(Some(TxnState(ongoing = true,
+      Map(1 -> (2L, 100L)), lastLsn = 10L, deadlineMs = 1000L)),
+      nowMs = 5000L, timedOut = false)
+    val out = step(7L, Iterator(WalRow(11L, 7L, "c", 1, 110L, None)), stale).toSeq
+    assert(out.map(o => (o.lsn, o.tsdb_op, o.n_suppressed)) ===
+      Seq((10L, Some("d"), 2L), (11L, None, 0L)),
+      "post-drain passthrough: the create survives instead of being suppressed")
+    assert(stale.isRemoved, "drained window leaves no entry")
+    // a fresh Start arms the callback for the FULL window from open
+    val opening = timed(None, nowMs = 50000L, timedOut = false)
+    step(8L, Iterator(WalRow(20L, 8L, "m", 0, 200L, Some(S))), opening).toSeq
+    assert(opening.isUpdated && opening.get.deadlineMs === 110000L,
+      "deadline is fixed from bracket open (now + 60s)")
+    // tally cap: the overflowing create drains the bracket in place
+    val cap = MarkerTracker.track(60000L, 3L, withTimeout = true) _
+    val big = timed(Some(TxnState(ongoing = true,
+      Map(2 -> (2L, 100L)), lastLsn = 30L, deadlineMs = 120000L)),
+      nowMs = 1000L, timedOut = false)
+    val out2 = cap(6L, Iterator(
+      WalRow(31L, 6L, "c", 2, 130L, None),
+      WalRow(32L, 6L, "c", 2, 140L, None)), big).toSeq
+    assert(out2.map(o => (o.lsn, o.tsdb_op, o.n_suppressed)) ===
+      Seq((31L, Some("d"), 3L), (32L, None, 0L)),
+      "overflow drains at the cap and streams the rest through")
+    assert(big.isRemoved)
+  }
+
+  test("live stream: a never-closed bracket is evicted and a late end marker is inert") {
+    // end-to-end form of the eviction: a short window, a bracket whose
+    // end marker never arrives, a later trigger fires the timer — the
+    // tallied 'd' event emits, and the end marker arriving AFTER the
+    // eviction is a plain message (no phantom second event)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.MarkerTracker
+    import graft.streaming.MarkerTracker.WalRow
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val S = graft.cdc.Cdc.DecompressionMarkerStartId
+    val E = graft.cdc.Cdc.DecompressionMarkerEndId
+    val mem = MemoryStream[WalRow]
+    val q = MarkerTracker.tracked(mem.toDS(), timeoutMs = 250L)
+      .writeStream.format("memory").queryName("mt_evict")
+      .outputMode("append").start()
+    // pending processing-time timers hold noNewData false, so
+    // processAllAvailable would spin forever (TxnAssembler caveat) —
+    // poll the sink for the expected row count instead
+    def rowCount(): Long =
+      spark.sql("SELECT count(*) FROM mt_evict").head.getLong(0)
+    def awaitCount(want: Long): Unit = {
+      val deadline = System.nanoTime + 120e9.toLong
+      while (rowCount() < want && System.nanoTime < deadline) Thread.sleep(100)
+      assert(rowCount() >= want, s"timed out waiting for $want rows")
+    }
+    try {
+      mem.addData(Seq(
+        WalRow(100L, 5L, "m", 0, 1000L, Some(S)),
+        WalRow(101L, 5L, "c", 0, 1010L, None),
+        WalRow(102L, 5L, "c", 0, 1020L, None)))
+      awaitCount(1) // the start marker rides through; creates suppressed
+      Thread.sleep(600) // let the 250 ms window expire
+      mem.addData(Seq(WalRow(200L, 9L, "u", 1, 2000L, None)))
+      awaitCount(3) // + the unrelated row + the drained 'd' event
+      mem.addData(Seq(WalRow(103L, 5L, "m", 0, 1030L, Some(E))))
+      awaitCount(4) // + the late end marker as a plain message
+    } finally q.stop()
+    val rows = spark.sql(
+      "SELECT lsn, xid, tsdb_op, n_suppressed FROM mt_evict ORDER BY lsn").collect()
+    val dEvents = rows.filter(r => !r.isNullAt(2))
+    assert(dEvents.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq ===
+      Seq((102L, 5L, 2L)),
+      "exactly one drained event at the last-seen lsn, tally intact")
+    // the start marker + the unrelated row + the late end marker survive
+    assert(rows.filter(_.isNullAt(2)).map(_.getLong(0)).toSeq === Seq(100L, 200L, 103L).sorted,
+      "the late end marker rides through as a plain message")
+    spark.sql("DROP TABLE IF EXISTS mt_evict")
   }
 
   test("windowed aggregation with watermark matches batch hourly counts (A2)") {
