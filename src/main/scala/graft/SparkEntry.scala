@@ -4428,8 +4428,22 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
        |    event_id // 10 AS xid, epoch_ns(ts) // 1000000 AS ts_ms,
        |    $opCaseSql AS op
        |  FROM events),
+       |wp AS (
+       |  SELECT * EXCLUDE (nm, mi),
+       |    CASE WHEN op = 'm' THEN
+       |      CASE WHEN nm >= 2 AND xid % 3 <> 2 THEN
+       |        CASE WHEN mi = 1 THEN '${graft.cdc.Cdc.DecompressionMarkerStartId}'
+       |             WHEN mi = nm THEN '${graft.cdc.Cdc.DecompressionMarkerEndId}'
+       |             ELSE 'graft' END
+       |      WHEN nm >= 2 THEN 'app.outbox' ELSE 'graft' END END AS msg_prefix
+       |  FROM (SELECT *,
+       |      SUM(CASE WHEN op = 'm' THEN 1 ELSE 0 END)
+       |        OVER (PARTITION BY xid) AS nm,
+       |      SUM(CASE WHEN op = 'm' THEN 1 ELSE 0 END)
+       |        OVER (PARTITION BY xid ORDER BY lsn) AS mi
+       |    FROM w) t),
        |j AS (
-       |  SELECT lsn, op, ts_ms, event_id,
+       |  SELECT lsn, op, ts_ms, event_id, msg_prefix,
        |    '{"event_id":' || CAST(event_id AS VARCHAR) || ',"props":' || props
        |      || ',"user_id":' || CAST(user_id AS VARCHAR)
        |      || ',"value_cents":' || ${centsSql("value")} || '}' AS rowj,
@@ -4437,8 +4451,8 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
        |      || '","name":"graft","schema":"public","snapshot":false,"table":"events","ts_ms":'
        |      || CAST(ts_ms AS VARCHAR) || ',"txId":' || CAST(event_id // 10 AS VARCHAR)
        |      || ',"version":"0.1.0"}' AS srcj,
-       |    '{"content":"' || to_base64(encode(props)) || '","prefix":"graft-msg"}' AS msgj
-       |  FROM w),
+       |    '{"content":"' || to_base64(encode(props)) || '","prefix":"' || msg_prefix || '"}' AS msgj
+       |  FROM wp),
        |t AS (
        |  SELECT *, ',"op":"' || op || '","source":' || srcj || ',"ts_ms":' || CAST(ts_ms AS VARCHAR) || '}' AS tailj
        |  FROM j)
@@ -4449,7 +4463,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
        |     WHEN op = 'd' THEN '{"before":' || rowj || tailj
        |     ELSE '{"message":' || msgj || tailj END
        |    || ',"schema":' || CASE WHEN op = 'm' THEN '$msgEnv' ELSE '$env' END || '}' AS envelope,
-       |  '{"payload":' || CASE WHEN op = 'm' THEN '{"prefix":"graft-msg"}'
+       |  '{"payload":' || CASE WHEN op = 'm' THEN '{"prefix":"' || msg_prefix || '"}'
        |     ELSE '{"event_id":' || CAST(event_id AS VARCHAR) || '}' END
        |    || ',"schema":' || CASE WHEN op = 'm' THEN '$msgKey' ELSE '$pkKey' END || '}' AS key_json
        |FROM t""".stripMargin

@@ -1389,15 +1389,21 @@ object Cdc {
 
   def envelopeWithSchema(spark: SparkSession, dir: String,
                          dbName: String = "graft"): DataFrame = {
-    val wal = walEvents(spark, dir)
+    val wal = withMessagePrefix(walEvents(spark, dir))
     val (env, key) = eventsEnvelopeCols(dbName)
     wal.select(col("lsn"), env.as("envelope"), key.as("key_json"))
   }
 
   /** The events-table envelope + key renders as COLUMNS over the shaped
-    * WAL schema (lsn, xid, op, ts_ms, event_id, user_id, value, props) —
-    * shared by [[envelopeWithSchema]] and the render-late sorted
-    * multi-table path ([[multiTableEnvelopesSorted]]). */
+    * WAL schema (lsn, xid, op, ts_ms, event_id, user_id, value, props,
+    * msg_prefix) — shared by [[envelopeWithSchema]], the render-late
+    * sorted multi-table path ([[multiTableEnvelopesSorted]]) and the
+    * config pipeline's wire render. op='m' rows render the REAL per-row
+    * `msg_prefix` (the reference renders `message.prefix` in both the
+    * envelope and the `{prefix}` key, `eventschema.go:132-150,325-341`)
+    * — a live stream decodes it off the wire for free; the parquet
+    * fixture derives it once via [[withMessagePrefix]]. No surface
+    * fabricates a prefix. */
   def eventsEnvelopeCols(dbName: String = "graft"): (Column, Column) = {
     val schemaJson = eventsEnvelopeSchemaJson
 
@@ -1413,7 +1419,7 @@ object Cdc {
       col("lsn"), col("ts_ms"), snapshot = false, txId = Some(col("xid")))
     val msgJson = concat(
       lit("{\"content\":\""), PgConverters.base64Std(col("props").cast(BinaryType)),
-      lit("\",\"prefix\":\"graft-msg\"}"))
+      lit("\",\"prefix\":\""), col("msg_prefix"), lit("\"}"))
     def tail = concat(lit(",\"op\":\""), col("op"), lit("\",\"source\":"),
       srcJson, lit(",\"ts_ms\":"), col("ts_ms"), lit("}"))
     val payload =
@@ -1426,7 +1432,8 @@ object Cdc {
       .otherwise( // op='m' — logical message block (eventschema.go:325-341)
         concat(lit("{\"message\":"), msgJson, tail))
     val keyPayload =
-      when(col("op") === Envelope.Op.Message, lit("{\"prefix\":\"graft-msg\"}"))
+      when(col("op") === Envelope.Op.Message,
+        concat(lit("{\"prefix\":\""), col("msg_prefix"), lit("\"}")))
         .otherwise(concat(lit("{\"event_id\":"), col("event_id"), lit("}")))
     val keySchema =
       when(col("op") === Envelope.Op.Message,
@@ -1534,15 +1541,16 @@ object Cdc {
     val nullS   = lit(null).cast(StringType)
     val nullD   = lit(null).cast(DoubleType)
 
-    val ev = walEvents(spark, dir).select(
+    val ev = withMessagePrefix(walEvents(spark, dir)).select(
       lit(evTopic).as("topic"), col("lsn"), col("ts_ms"), col("op"), col("xid"),
       col("event_id"), col("user_id"), col("value"), col("props"),
-      nullS.as("row_json"), nullS.as("key_payload"))
+      col("msg_prefix"), nullS.as("row_json"), nullS.as("key_payload"))
     def snapNarrow(df: DataFrame, topic: String, lsn: Column, tsMs: Column,
                    rowJson: Column, keyPayload: Column): DataFrame =
       df.select(lit(topic).as("topic"), lsn.as("lsn"), tsMs.as("ts_ms"),
         lit("r").as("op"), nullL.as("xid"), nullL.as("event_id"),
         nullL.as("user_id"), nullD.as("value"), nullS.as("props"),
+        nullS.as("msg_prefix"),
         rowJson.as("row_json"), keyPayload.as("key_payload"))
     val o = Tables.orders(spark, dir)
     val orders = snapNarrow(o, oTopic,
@@ -1603,7 +1611,12 @@ object Cdc {
   def envelopePipeline(spark: SparkSession, dir: String,
                        enabledOps: Seq[String] = Envelope.Op.all): DataFrame = {
     // gate at the source column so the predicate reaches the parquet scan
-    val wal = shapeWal(opGateAtSource(enabledOps)(Tables.events(spark, dir)))
+    // msg_prefix: fixture derivation (one keyed window over the gated
+    // WAL — safe under op gating: the derivation counts only op='m'
+    // rows, which gate all-or-nothing). A live wire stream carries the
+    // prefix natively instead.
+    val wal = withMessagePrefix(
+      shapeWal(opGateAtSource(enabledOps)(Tables.events(spark, dir))))
     val resolved = resolveHypertable(wal, chunkCatalog(spark, dir), hypertableCatalog(spark))
     opGate(enabledOps)(resolved)
       .select(
@@ -1611,6 +1624,7 @@ object Cdc {
         col("ht_schema").as("schema_name"), col("ht_table").as("table_name"),
         col("chunk_name"), col("chunk_day"),
         Envelope.topicName("graft", col("ht_schema"), col("ht_table")).as("topic"),
-        col("event_id"), col("user_id"), col("value"), col("props"))
+        col("event_id"), col("user_id"), col("value"), col("props"),
+        col("msg_prefix"))
   }
 }

@@ -629,8 +629,11 @@ object ConfigPipeline {
       else lit(null).cast(org.apache.spark.sql.types.StringType)
     val withEnvelope =
       if (bool(props, "transforms.unwrap", default = false)) {
+        // msg_prefix is envelope-render metadata, not record data — it
+        // must not leak into the unwrapped value JSON
         val valueCols = shaped.columns
-          .filterNot(c => c == "topic" || c == "__key_event_id").toSeq.sorted
+          .filterNot(c => c == "topic" || c == "__key_event_id" ||
+            c == "msg_prefix").toSeq.sorted
         val unwrapKey =
           if (cols.contains("__key_event_id"))
             to_json(struct(col("__key_event_id").as("event_id")))
@@ -638,14 +641,15 @@ object ConfigPipeline {
         shaped.withColumn("envelope", to_json(struct(valueCols.map(col): _*)))
           .withColumn("key", unwrapKey)
           .drop("__key_event_id")
-      } else if (payloadCols.forall(cols.contains) &&
+      } else if ((payloadCols :+ "msg_prefix").forall(cols.contains) &&
                  masked.intersect(payloadCols.toSet).isEmpty) {
         // the reference-exact raw-concat envelope is only valid when NO
         // payload column was rewritten by masking: a masked user_id /
         // event_id would embed an unquoted sha2 hex (invalid JSON), a
         // masked value turns floor(sha2*100) NULL and nulls the whole
         // concat — every masked-payload config routes through the
-        // defensive to_json branch instead
+        // defensive to_json branch instead. msg_prefix must also have
+        // survived shaping: the op='m' render embeds the REAL prefix
         val (env, key) = Cdc.eventsEnvelopeCols("graft")
         shaped.withColumn("envelope", env).withColumn("key", key)
       } else {

@@ -80,8 +80,26 @@ object StreamPipeline {
                      pgoutputPath: Option[String] = None,
                      typeResolver: graft.types.TypeRegistry.Resolver =
                        graft.types.TypeRegistry.Resolver.empty): DataFrame = {
-    val wal = pgoutputPath.fold(walStream(spark, dir))(
-      walStreamPgOutput(spark, _, typeResolver))
+    val wal = pgoutputPath.fold {
+      // parquet stand-in: the fixture carries no per-row message
+      // prefix (a live wire stream decodes it natively), and the
+      // per-txn window derivation can't run on a streaming frame — so
+      // derive it ONCE from the batch read and stream-static
+      // BROADCAST-join it onto the op='m' rows by lsn. The static side
+      // is message-rows-only (fixture-sized here; on a real deployment
+      // this arm doesn't exist — the wire arm is the production path).
+      val prefixes = Cdc.withMessagePrefix(Cdc.walEvents(spark, dir))
+        .filter(col("op") === Envelope.Op.Message)
+        .select(col("lsn"), col("msg_prefix"))
+      walStream(spark, dir).join(broadcast(prefixes), Seq("lsn"), "left")
+    } { path =>
+      // wire arm: logical-message frames are excluded upstream (they
+      // belong on the message topic), so no row here carries a prefix
+      walStreamPgOutput(spark, path, typeResolver)
+        .withColumn("msg_prefix",
+          org.apache.spark.sql.functions.lit(null)
+            .cast(org.apache.spark.sql.types.StringType))
+    }
     val resolved = wal
       .join(broadcast(Cdc.chunkCatalog(spark, dir)), Seq("chunk_day"))
       .join(broadcast(Cdc.hypertableCatalog(spark)), Seq("hypertable_id"))
@@ -92,7 +110,8 @@ object StreamPipeline {
         col("ht_schema").as("schema_name"), col("ht_table").as("table_name"),
         col("chunk_name"),
         Envelope.topicName("graft", col("ht_schema"), col("ht_table")).as("topic"),
-        col("event_id"), col("user_id"), col("value"), col("props"))
+        col("event_id"), col("user_id"), col("value"), col("props"),
+        col("msg_prefix"))
   }
 
   /** STREAM-STREAM interval join — the one Structured Streaming join

@@ -662,7 +662,14 @@ class ConfigPipelineSpec extends SparkSpec {
     val msgProps = Map("postgresql.events.message" -> "true", "sink.type" -> "kafka")
     val mRow = render(msgProps).filter(col("op") === "m").select("envelope", "key").head
     assert(mRow.getString(0).contains("\"message\":{\"content\":"))
-    assert(mRow.getString(1).contains("{\"prefix\":\"graft-msg\"}"))
+    // the REAL per-row prefix rides both the envelope's message block
+    // and the {prefix} key — no surface fabricates a constant
+    val keyPrefix = spark.range(1).select(
+      get_json_object(lit(mRow.getString(1)), "$.payload.prefix")).head.getString(0)
+    val envPrefix = spark.range(1).select(
+      get_json_object(lit(mRow.getString(0)), "$.payload.message.prefix")).head.getString(0)
+    assert(keyPrefix != null && keyPrefix.nonEmpty && keyPrefix === envPrefix,
+      s"key prefix '$keyPrefix' must equal the envelope's message.prefix '$envPrefix'")
     // tombstones: kafka gets the log-compaction contract (same key,
     // NULL value); a sink without null-value records drops the fan-out
     val tbProps = Map("sink.tombstone" -> "true", "sink.type" -> "kafka")
