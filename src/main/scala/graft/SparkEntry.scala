@@ -1449,6 +1449,29 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("lsn"))
     }),
 
+    "cdc_schema_evolution_schema" -> ((s, dir) => {
+      // the self-describing {schema} block across the DDL (verdict-15
+      // #6): each micro-batch's envelopes carry the schema JSON rebuilt
+      // from THAT batch's resolved field set — pre-DDL batches describe
+      // the old shape, post-DDL batches the widened one (the
+      // reference's ApplySchemaUpdate rebuilds per-table schemas and
+      // every later envelope embeds the new block). Two batches split
+      // at the boundary model the committed batch sequence.
+      val ev = Tables.events(s, dir)
+      val boundary = ev.agg(max(col("event_id"))).head.getLong(0) / 2 + 1
+      val dyn = graft.cdc.PgOutput.decodeRowsDynamic(
+        graft.cdc.PgOutput.encodeSegmentsEvolving(ev, boundary)).toDF()
+      def arm(batch: org.apache.spark.sql.DataFrame) = {
+        val wide = graft.streaming.SchemaEvolution.resolveBatch(batch)
+        wide.select(col("lsn"), col("event_id"),
+          lit(graft.streaming.SchemaEvolution.envelopeSchemaJsonFor(
+            wide, "graft.public.events")).as("schema_json"))
+      }
+      arm(dyn.filter(col("lsn") < boundary))
+        .unionByName(arm(dyn.filter(col("lsn") >= boundary)))
+        .orderBy(col("lsn"))
+    }),
+
     "cdc_schema_evolution_type" -> ((s, dir) => {
       // T9's nastiest in-flight case: mid-WAL ALTER COLUMN TYPE —
       // user_id re-announces as text (oid 25) with 'u'-prefixed values
@@ -4871,6 +4894,26 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         |       THEN user_id % 100 END AS score
         |FROM events WHERE event_type <> 'click'
         |ORDER BY lsn""".stripMargin,
+
+    // per-batch {schema} block twin: the two literals come from the
+    // SAME generator as the Spark side (DebeziumSchema.envelopeSchemaJson
+    // over the relation's pre/post-DDL column sets) — only double
+    // quotes, safe inside single-quoted SQL literals
+    "cdc_schema_evolution_schema" -> {
+      def shape(cols: Seq[graft.cdc.PgOutput.RelCol]) =
+        org.apache.spark.sql.types.StructType(cols.map(c =>
+          org.apache.spark.sql.types.StructField(c.name,
+            graft.streaming.SchemaEvolution.sparkTypeForOid(c.typeOid))))
+      val pre = graft.model.DebeziumSchema.envelopeSchemaJson(
+        shape(graft.cdc.PgOutput.EventsRelCols), "graft.public.events")
+      val post = graft.model.DebeziumSchema.envelopeSchemaJson(
+        shape(graft.cdc.PgOutput.EventsRelColsEvolved), "graft.public.events")
+      s"""SELECT event_id AS lsn, event_id,
+         |  CASE WHEN event_id >= (SELECT max(event_id) // 2 + 1 FROM events)
+         |       THEN '$post' ELSE '$pre' END AS schema_json
+         |FROM events WHERE event_type <> 'click'
+         |ORDER BY lsn""".stripMargin
+    },
 
     // ALTER-TYPE twin: the same arithmetic boundary, user_id rendered
     // per the version each row arrived under — pre-DDL int8 as decimal

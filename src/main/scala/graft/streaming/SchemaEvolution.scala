@@ -75,6 +75,27 @@ object SchemaEvolution {
     batch
   }
 
+  /** The envelope-row columns of a [[resolveBatch]] output — the
+    * dynamic-decode meta columns stripped. */
+  private val MetaCols =
+    Set("segment", "lsn", "xid", "op_wire", "schema_name", "table_name")
+
+  /** A resolved batch's ROW shape — what the Debezium `{schema}` block
+    * describes for that batch. */
+  def rowShape(wide: DataFrame): StructType =
+    StructType(wide.schema.fields.filterNot(f => MetaCols(f.name)))
+
+  /** Per-batch self-describing envelope schema — the reference rebuilds
+    * each table's schema on `ApplySchemaUpdate` and every subsequent
+    * envelope carries the NEW `{schema}` block (`eventschema.go:180-230`
+    * built over the refreshed column set). Call this inside
+    * `foreachBatch` on the [[resolveBatch]] output: the schema JSON is
+    * a per-batch CONSTANT (one driver-side render, shipped as a `lit`
+    * column), so a batch after the DDL describes the widened field set
+    * while committed pre-DDL batches keep the shape they rendered. */
+  def envelopeSchemaJsonFor(wide: DataFrame, topic: String): String =
+    graft.model.DebeziumSchema.envelopeSchemaJson(rowShape(wide), topic)
+
   /** pgoutput type OID → the Spark type a dynamically-decoded text
     * value resolves to. Narrower than PgConverters' full matrix on
     * purpose: the dynamic surface types only what it can cast from the

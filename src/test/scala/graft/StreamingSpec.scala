@@ -52,10 +52,15 @@ class StreamingSpec extends SparkSpec {
       mem.toDS().toDF("segment", "start_lsn", "data"))
     val batches = scala.collection.mutable.ArrayBuffer[
       (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]()
+    val schemaJsons = scala.collection.mutable.ArrayBuffer[String]()
     val q = decoded.toDF().writeStream
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
         val resolved = SchemaEvolution.resolveBatch(b)
         batches += ((resolved.schema, resolved.collect()))
+        // the self-describing {schema} block is rebuilt PER BATCH from
+        // the resolved field set (ApplySchemaUpdate semantics)
+        schemaJsons += SchemaEvolution.envelopeSchemaJsonFor(
+          resolved, "graft.public.events")
         ()
       }
       .outputMode("append").start()
@@ -69,6 +74,12 @@ class StreamingSpec extends SparkSpec {
     val (s2, rows2) = batches(1)
     assert(!s1.fieldNames.contains("score"), "pre-DDL batch renders the old shape")
     assert(s2.fieldNames.contains("score"), "the crossing batch widened")
+    // the envelope schema descriptor follows the batch's field set
+    assert(!schemaJsons(0).contains("\"score\""),
+      "pre-DDL envelopes describe the old field set")
+    assert(schemaJsons(1).contains("\"score\""),
+      "post-DDL envelopes describe the widened field set")
+    assert(schemaJsons(0) !== schemaJsons(1))
     // the observed change IS the reference's diff: one added column
     val changes = SchemaEvolution.diff(
       org.apache.spark.sql.types.StructType(s1.filterNot(f =>
