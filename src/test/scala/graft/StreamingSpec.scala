@@ -370,6 +370,124 @@ class StreamingSpec extends SparkSpec {
     assert(big.isRemoved)
   }
 
+  test("checkpoint restart mid-bracket: marker output equals the uninterrupted run (T1×T3)") {
+    // the reference's restart test composed with the marker tracker
+    // (streamer_restart_test.go:59): stop the query while a bracket is
+    // OPEN with tallies pending, restart from the checkpoint, and the
+    // resumed state must close the bracket exactly where the
+    // uninterrupted run does — identical rows out, nothing lost or
+    // duplicated across the restart
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.MarkerTracker
+    import graft.streaming.MarkerTracker.WalRow
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val S = graft.cdc.Cdc.DecompressionMarkerStartId
+    val E = graft.cdc.Cdc.DecompressionMarkerEndId
+    // the stop lands mid-bracket: txn 5's bracket opens and tallies two
+    // chunks in part 1, closes in part 2; txn 6 is entirely post-restart
+    val part1 = Seq(
+      WalRow(100L, 5L, "m", 0, 1000L, Some(S)),
+      WalRow(101L, 5L, "c", 0, 1010L, None),
+      WalRow(102L, 5L, "c", 1, 1020L, None))
+    val part2 = Seq(
+      WalRow(103L, 5L, "c", 0, 1030L, None),
+      WalRow(104L, 5L, "m", 0, 1040L, Some(E)),
+      WalRow(105L, 5L, "c", 0, 1050L, None),
+      WalRow(110L, 6L, "m", 0, 1100L, Some(S)),
+      WalRow(111L, 6L, "c", 2, 1110L, None),
+      WalRow(112L, 6L, "m", 0, 1120L, Some(E)))
+    type Out = (Long, Long, Int, Option[String], Long)
+    def run(restart: Boolean): Seq[Out] = {
+      val ckpt = Files.createTempDirectory("graft-mt-restart").toString
+      // keyed by batchId: foreachBatch is at-least-once across a
+      // restart, so a replayed batch overwrites rather than duplicates
+      val got = scala.collection.mutable.Map[Long, Seq[Out]]()
+      val mem = MemoryStream[WalRow]
+      def startQ() = MarkerTracker.tracked(mem.toDS(), withTimeout = false)
+        .toDF().writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          got(id) = b.collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getInt(3), Option(r.getString(5)), r.getLong(6))).toSeq
+          ()
+        }
+        .outputMode("append").start()
+      if (restart) {
+        val q1 = startQ()
+        try { mem.addData(part1); q1.processAllAvailable() } finally q1.stop()
+        val q2 = startQ() // resume from the checkpointed offsets + state
+        try { mem.addData(part2); q2.processAllAvailable() } finally q2.stop()
+      } else {
+        val q = startQ()
+        try {
+          mem.addData(part1); q.processAllAvailable()
+          mem.addData(part2); q.processAllAvailable()
+        } finally q.stop()
+      }
+      got.toSeq.sortBy(_._1).flatMap(_._2)
+    }
+    val straight  = run(restart = false)
+    val restarted = run(restart = true)
+    assert(restarted === straight,
+      "restart from checkpoint mid-bracket reproduces the uninterrupted output")
+    // and the resumed bracket really carried its pre-stop tallies: the
+    // close at lsn 104 drains chunk 0 (rows 101+103) and chunk 1 (102)
+    val d5 = restarted.filter(o => o._2 === 5L && o._4.contains("d"))
+      .map(o => (o._1, o._3, o._5)).sorted
+    assert(d5 === Seq((104L, 0, 2L), (104L, 1, 1L)),
+      "the bracket's pre-stop tallies survived the restart")
+  }
+
+  test("checkpoint restart mid-history: compression transitions equal the uninterrupted run (T1×T3)") {
+    // the status-machine twin of the restart case: per-chunk last-known
+    // status must resume from the state store, or post-restart updates
+    // re-detect transitions against a phantom status=0
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.CompressionTracker
+    import graft.streaming.CompressionTracker.StatusUpd
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val updates = graft.cdc.Cdc.chunkStatusUpdates(
+        graft.cdc.Cdc.walEvents(spark, sf001))
+      .select("lsn", "xid", "chunk_id", "new_status", "ts_ms").as[StatusUpd]
+      .collect().sortBy(_.lsn)
+    val n = updates.length
+    assert(n > 6)
+    val cut = n / 2 + 1 // off the chunk-history boundary
+    val parts = Seq(updates.slice(0, cut).toSeq, updates.slice(cut, n).toSeq)
+    type Out = (Long, Long, Int, Int, String, Boolean)
+    def run(restart: Boolean): Seq[Out] = {
+      val ckpt = Files.createTempDirectory("graft-ct-restart").toString
+      val got = scala.collection.mutable.Map[Long, Seq[Out]]()
+      val mem = MemoryStream[StatusUpd]
+      def startQ() = CompressionTracker.transitions(mem.toDS())
+        .toDF().writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          got(id) = b.select("lsn", "xid", "chunk_id", "new_status", "kind", "partial")
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+              r.getInt(3), r.getString(4), r.getBoolean(5))).toSeq
+          ()
+        }
+        .outputMode("append").start()
+      if (restart) {
+        val q1 = startQ()
+        try { mem.addData(parts(0)); q1.processAllAvailable() } finally q1.stop()
+        val q2 = startQ()
+        try { mem.addData(parts(1)); q2.processAllAvailable() } finally q2.stop()
+      } else {
+        val q = startQ()
+        try {
+          parts.foreach { p => mem.addData(p); q.processAllAvailable() }
+        } finally q.stop()
+      }
+      got.toSeq.sortBy(_._1).flatMap(_._2)
+    }
+    val straight  = run(restart = false).sortBy(t => (t._1, t._3))
+    val restarted = run(restart = true).sortBy(t => (t._1, t._3))
+    assert(restarted === straight,
+      "restart from checkpoint mid-history reproduces the uninterrupted transitions")
+  }
+
   test("live stream: a never-closed bracket is evicted and a late end marker is inert") {
     // end-to-end form of the eviction: a short window, a bracket whose
     // end marker never arrives, a later trigger fires the timer — the
