@@ -691,11 +691,12 @@ object Cdc {
 
   /** Suppression over an already-prefixed WAL (see
     * [[markerDecompressionPrefixed]] for why this is the production
-    * entry). */
+    * entry). `msg_prefix` survives: the envelope stage downstream
+    * renders the real prefix on op='m' rows. */
   def markerSuppressPrefixed(prefixed: DataFrame): DataFrame =
     withMarkerFlag(prefixed)
       .filter(!(col("op") === Envelope.Op.Create && col("__ongoing")))
-      .drop("__ongoing", "__next_end", "msg_prefix")
+      .drop("__ongoing", "__next_end")
 
   /** The sequential `ongoingDecompression` flag as data: the reference
     * keeps a BOOLEAN per active txn (`transactiontracker.go:383-392` —
@@ -1609,14 +1610,28 @@ object Cdc {
     * Mirrors hot-path stages 5-7 of SURVEY §3.1.
     */
   def envelopePipeline(spark: SparkSession, dir: String,
-                       enabledOps: Seq[String] = Envelope.Op.all): DataFrame = {
+                       enabledOps: Seq[String] = Envelope.Op.all,
+                       markerSuppress: Boolean = false): DataFrame = {
     // gate at the source column so the predicate reaches the parquet scan
     // msg_prefix: fixture derivation (one keyed window over the gated
     // WAL — safe under op gating: the derivation counts only op='m'
     // rows, which gate all-or-nothing). A live wire stream carries the
     // prefix natively instead.
-    val wal = withMessagePrefix(
-      shapeWal(opGateAtSource(enabledOps)(Tables.events(spark, dir))))
+    // marker mode must SEE the logical messages even when op='m' is
+    // gated off for emission (message events default false in the
+    // config surface; the reference's tracker consumes markers before
+    // the event gates) — so the scan keeps 'm' rows and the post-
+    // resolution opGate below applies the caller's emission gate
+    val scanOps =
+      if (markerSuppress) (enabledOps :+ Envelope.Op.Message).distinct
+      else enabledOps
+    val prefixed = withMessagePrefix(
+      shapeWal(opGateAtSource(scanOps)(Tables.events(spark, dir))))
+    // marker mode (2.12+ path, config-selected): P7 suppression runs
+    // between the WAL and the envelope, exactly where the reference's
+    // transaction tracker sits
+    val wal =
+      if (markerSuppress) markerSuppressPrefixed(prefixed) else prefixed
     val resolved = resolveHypertable(wal, chunkCatalog(spark, dir), hypertableCatalog(spark))
     opGate(enabledOps)(resolved)
       .select(

@@ -554,11 +554,23 @@ object ConfigPipeline {
     }
   }
 
+  /** `timescaledb.experimental.decompression.markers`: selects the
+    * 2.12+ MARKER decompression flow (exact
+    * `::timescaledb-decompression-start/end` prefix gating, P7
+    * suppression between WAL and envelope) over the default
+    * status-machine mode — the config analog of the reference's
+    * version gate (`transactiontracker.go:376-415` activates on
+    * TSDB ≥ 2.12). */
+  def markerMode(props: Map[String, String]): Boolean =
+    bool(props, "timescaledb.experimental.decompression.markers",
+      default = false)
+
   /** Batch assembly (snapshot-mode aware) — the testable form. */
   def fromProperties(spark: SparkSession, dir: String,
                      props: Map[String, String]): DataFrame = {
     txnWindow(props) // validate the full surface up front
-    shape(Cdc.envelopePipeline(spark, dir, effectiveOps(props)), props)
+    shape(Cdc.envelopePipeline(spark, dir, effectiveOps(props),
+      markerSuppress = markerMode(props)), props)
   }
 
   /** Streaming assembly into the config-dispatched sink. Checkpoint
@@ -742,7 +754,8 @@ object ConfigPipeline {
     }
     val base = StreamPipeline.envelopeStream(spark, dir, effectiveOps(props),
       pgoutputPath = props.get("postgresql.pgoutput.path"),
-      typeResolver = typeResolver)
+      typeResolver = typeResolver,
+      markerSuppress = markerMode(props))
     val shaped = shape(if (statsOn) StreamPipeline.withStats(base) else base, props)
     // Wire sinks consume RENDERED rows (topic, key, envelope and a
     // content dedup id) — render HERE, after filters and masking, so an

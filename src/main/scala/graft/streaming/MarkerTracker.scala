@@ -47,13 +47,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object MarkerTracker {
 
+  /** The payload columns default to None so the tracker doubles as a
+    * bare suppression kernel (specs, equivalence proofs) AND a
+    * full-row pipeline stage (the config topology's marker arm, where
+    * surviving rows continue into chunk resolution + envelope render
+    * and must keep their tuple). */
   case class WalRow(lsn: Long, xid: Long, op: String, chunk_day: Int,
-                    ts_ms: Long, msg_prefix: Option[String])
-  /** tsdb_op null ⇒ a surviving WAL row; tsdb_op='d' ⇒ a decompression
-    * event at the closing marker (n_suppressed counts its bracket's
-    * dropped re-inserts for that chunk). */
+                    ts_ms: Long, msg_prefix: Option[String],
+                    event_id: Option[Long] = None, user_id: Option[Long] = None,
+                    value: Option[Double] = None, props: Option[String] = None)
+  /** tsdb_op null ⇒ a surviving WAL row (payload + prefix intact);
+    * tsdb_op='d' ⇒ a decompression event at the closing marker
+    * (n_suppressed counts its bracket's dropped re-inserts for that
+    * chunk; payload fields None). */
   case class MarkerOut(lsn: Long, xid: Long, op: String, chunk_day: Int,
-                       ts_ms: Long, tsdb_op: Option[String], n_suppressed: Long)
+                       ts_ms: Long, tsdb_op: Option[String], n_suppressed: Long,
+                       msg_prefix: Option[String] = None,
+                       event_id: Option[Long] = None, user_id: Option[Long] = None,
+                       value: Option[Double] = None, props: Option[String] = None)
   /** ongoing = the reference's per-txn ongoingDecompression flag;
     * counts: chunk → (suppressed rows, max ts) of the bracket in
     * flight; lastLsn = where a drained bracket's events emit;
@@ -105,7 +116,8 @@ object MarkerTracker {
       st = TxnState(ongoing = false, Map.empty)
     }
     def keep(r: WalRow): Unit =
-      out += MarkerOut(r.lsn, r.xid, r.op, r.chunk_day, r.ts_ms, None, 0L)
+      out += MarkerOut(r.lsn, r.xid, r.op, r.chunk_day, r.ts_ms, None, 0L,
+        r.msg_prefix, r.event_id, r.user_id, r.value, r.props)
     sorted.foreach { r =>
       r.msg_prefix match {
         case Some(Start) =>

@@ -79,8 +79,10 @@ object StreamPipeline {
                      enabledOps: Seq[String] = Envelope.Op.all,
                      pgoutputPath: Option[String] = None,
                      typeResolver: graft.types.TypeRegistry.Resolver =
-                       graft.types.TypeRegistry.Resolver.empty): DataFrame = {
-    val wal = pgoutputPath.fold {
+                       graft.types.TypeRegistry.Resolver.empty,
+                     markerSuppress: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val raw = pgoutputPath.fold {
       // parquet stand-in: the fixture carries no per-row message
       // prefix (a live wire stream decodes it natively), and the
       // per-txn window derivation can't run on a streaming frame — so
@@ -93,13 +95,55 @@ object StreamPipeline {
         .select(col("lsn"), col("msg_prefix"))
       walStream(spark, dir).join(broadcast(prefixes), Seq("lsn"), "left")
     } { path =>
-      // wire arm: logical-message frames are excluded upstream (they
-      // belong on the message topic), so no row here carries a prefix
-      walStreamPgOutput(spark, path, typeResolver)
-        .withColumn("msg_prefix",
-          org.apache.spark.sql.functions.lit(null)
-            .cast(org.apache.spark.sql.types.StringType))
+      if (!markerSuppress)
+        // wire arm: logical-message frames are excluded upstream (they
+        // belong on the message topic), so no row here carries a prefix
+        walStreamPgOutput(spark, path, typeResolver)
+          .withColumn("msg_prefix",
+            org.apache.spark.sql.functions.lit(null)
+              .cast(org.apache.spark.sql.types.StringType))
+      else
+        // marker mode keeps the 'M' frames through the TRACKER — they
+        // carry the bracket prefixes (transactiontracker.go:383-392
+        // consumes them before any event gate); placeholder chunk_day/
+        // ts_ms for message rows, which drop again below (the wire
+        // arm's message topic is a separate surface)
+        graft.cdc.PgOutput.streamDecoded(spark, path, typeResolver).toDF()
+          .filter(col("op_wire") =!= "T")
+          .select(col("lsn"), col("xid"),
+            when(col("op_wire") === "M", lit("m"))
+              .otherwise(graft.cdc.Cdc.opExpr(col("event_type"))).as("op"),
+            coalesce(expr(s"ts div ${graft.cdc.Cdc.NanosPerDay}")
+              .minus(lit(graft.cdc.Cdc.EpochDay20240101)).cast("int"),
+              lit(-1)).as("chunk_day"),
+            coalesce(expr("ts div 1000000"), lit(0L)).as("ts_ms"),
+            col("event_id"), col("user_id"), col("value"), col("props"),
+            col("msg_prefix"))
     }
+    // config-selected 2.12+ marker arm: P7 suppression via the keyed-
+    // state tracker, between the WAL and chunk resolution — the
+    // reference's transaction-tracker position. withTimeout=false here:
+    // the config topology runs Trigger.AvailableNow, and a pending
+    // processing-time timer keeps it scheduling empty batches forever
+    // (TxnAssembler caveat); a continuous-trigger deployment calls
+    // MarkerTracker.tracked directly with the window bounds on.
+    val wal =
+      if (!markerSuppress) raw
+      else {
+        val typed = raw.select(col("lsn"), col("xid"), col("op"),
+            col("chunk_day").cast("int").as("chunk_day"), col("ts_ms"),
+            col("msg_prefix"), col("event_id"), col("user_id"),
+            col("value"), col("props"))
+          .as[graft.streaming.MarkerTracker.WalRow]
+        val kept = graft.streaming.MarkerTracker
+          .tracked(typed, withTimeout = false).toDF()
+          .filter(col("tsdb_op").isNull) // 'd' events ride the T3 arm
+          .drop("tsdb_op", "n_suppressed")
+        // wire-arm message rows leave the stream after the tracker
+        if (pgoutputPath.isDefined)
+          kept.filter(col("op") =!= Envelope.Op.Message)
+        else kept
+      }
     val resolved = wal
       .join(broadcast(Cdc.chunkCatalog(spark, dir)), Seq("chunk_day"))
       .join(broadcast(Cdc.hypertableCatalog(spark)), Seq("hypertable_id"))

@@ -548,6 +548,61 @@ class ConfigPipelineSpec extends SparkSpec {
       "checkpointed pgoutput stream must re-deliver nothing after restart (T1)")
   }
 
+  test("marker decompression mode is config-selected through the full hop chain (P7/T3 × config)") {
+    // the 2.12+ marker flow as a CONFIG ARM of the one-config-map
+    // topology (the reference version-gates it; a deployment picks
+    // status-machine vs marker mode here): real pg_logical_emit_message
+    // frames ride binary segments, the configured stream decodes them,
+    // the keyed-state tracker drops exactly the bracketed re-INSERTs,
+    // and the survivors deliver through the registered sink
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val dir = Files.createTempDirectory("graft-cfg-marker").toString
+    val frames = graft.cdc.PgOutput.encodeSegments(
+      Tables.events(spark, sf001), markerTxns = true)
+    frames.write.mode("overwrite").parquet(s"$dir/segments")
+    val sink = new graft.sinks.CollectorSink
+    graft.sinks.Sinks.register("collector-marker", () => sink)
+    val props = Map(
+      "sink.type" -> "collector-marker",
+      "timescaledb.experimental.decompression.markers" -> "true",
+      "postgresql.pgoutput.path" -> s"$dir/segments",
+      "statestorage.type" -> "file",
+      "statestorage.file.path" -> s"$dir/ckpt")
+    val q = ConfigPipeline.start(spark, sf001, props, dir)
+    assert(q.awaitTermination(300000), "marker-mode stream did not finish")
+    val streamed = sink.rows.map(_.getAs[Long]("lsn")).sorted
+    // expected: the batch marker-suppression window over the SAME
+    // decoded frames (spec-proven equal to the tracker), message rows
+    // excluded (the wire arm's message topic is a separate surface)
+    val decoded = graft.cdc.PgOutput.decodeSegments(frames).toDF()
+    val walPrefixed = decoded.withColumn("op",
+      when(col("op_wire") === "M", lit("m"))
+        .otherwise(graft.cdc.Cdc.opExpr(col("event_type"))))
+    val ops = ConfigPipeline.effectiveOps(props) // default: snapshot never -> no 'r'
+    val expected = graft.cdc.Cdc.markerSuppressPrefixed(walPrefixed)
+      .filter(col("op").isin(ops: _*))
+      .select("lsn").as[Long].collect().sorted
+    assert(expected.nonEmpty && streamed.length === expected.length &&
+      streamed.sameElements(expected),
+      "config-selected marker arm delivers exactly the unsuppressed DML set")
+    // and something was really suppressed relative to marker-mode-off
+    val plain = decoded.filter(col("op_wire").isin("I", "U", "D")).count()
+    assert(streamed.length < plain, "bracketed re-INSERTs were dropped")
+    // the BATCH form rides the same config key through fromProperties
+    val batchOn = ConfigPipeline.fromProperties(spark, sf001,
+        Map("timescaledb.experimental.decompression.markers" -> "true"))
+      .select("lsn").as[Long].collect().sorted
+    val batchExpected = graft.cdc.Cdc.markerSuppress(
+        graft.cdc.Cdc.walEvents(spark, sf001))
+      .filter(col("op").isin(ConfigPipeline.effectiveOps(Map.empty[String, String]): _*))
+      .select("lsn").as[Long].collect().sorted
+    assert(batchOn.sameElements(batchExpected),
+      "batch fromProperties honors the marker arm")
+    assert(batchOn.length <
+      ConfigPipeline.fromProperties(spark, sf001, Map.empty).count(),
+      "marker mode suppresses rows the default mode keeps")
+  }
+
   test("streaming start() from config delivers the batch result through the sink") {
     val dir = Files.createTempDirectory("graft-cfg-sink").toString
     val ckpt = Files.createTempDirectory("graft-cfg-ckpt").toString

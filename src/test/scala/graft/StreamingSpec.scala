@@ -242,7 +242,8 @@ class StreamingSpec extends SparkSpec {
     val wal = graft.cdc.Cdc.walEvents(spark, sf001)
     val rows = graft.cdc.Cdc.withMessagePrefix(wal)
       .select(col("lsn"), col("xid"), col("op"), col("chunk_day"),
-        col("ts_ms"), col("msg_prefix"))
+        col("ts_ms"), col("msg_prefix"),
+        col("event_id"), col("user_id"), col("value"), col("props"))
       .as[WalRow].collect().sortBy(_.lsn)
     val n = rows.length
     val cuts = Seq(n / 3 + 4, 2 * n / 3 + 7) // off the txn boundaries
