@@ -3577,6 +3577,13 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "ann_lsh_occupancy" -> ((s, dir) =>
+      // the pre-flight saturation audit for the LSH candidate join:
+      // candidate_pairs prices each table's within-bucket join without
+      // running it — the number that says "raise nPlanes" at scale
+      Similarity.lshBucketStats(Tables.embeddings(s, dir), dim = 64)
+        .orderBy(col("tbl"))),
+
     "ann_ivf_balance" -> ((s, dir) =>
       // the quantizer-skew report: per-list size/share + micro-cosine
       // cohesion for the default fitted quantizer — read BEFORE a run,
@@ -8486,6 +8493,20 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
          |  ${duckDot("ea.embedding", "eb.embedding")} / (ea.norm * eb.norm) AS cosine
          |FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
          |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+
+    // occupancy-census twin: same generated hyperplanes, per-(table,
+    // bucket) counts, then all-integer per-table aggregates; DuckDB's
+    // SUM(BIGINT) widens to HUGEINT so each sum casts back before the
+    // exact integer halving (c·(c−1) is even)
+    "ann_lsh_occupancy" ->
+      s"""WITH k AS (${(0 until 6).map(t =>
+              s"SELECT CAST($t AS INTEGER) AS tbl, ${duckLshBucket("embedding", 64, 8, 42L + t)} AS bucket FROM embeddings")
+              .mkString("\n|      UNION ALL ")}),
+         |occ AS (SELECT tbl, bucket, count(*) AS occupancy FROM k GROUP BY tbl, bucket)
+         |SELECT tbl, count(*) AS n_buckets, max(occupancy) AS max_occupancy,
+         |  CAST(sum(occupancy) AS BIGINT) AS n_vectors,
+         |  CAST(sum(occupancy * (occupancy - 1)) AS BIGINT) // 2 AS candidate_pairs
+         |FROM occ GROUP BY tbl ORDER BY tbl""".stripMargin,
 
     // IVF twin: deterministic coarse centroids (lowest-id 16 vectors),
     // argmax assignment with (sim desc, centroid_id) tie-break, top-4

@@ -438,25 +438,81 @@ object Similarity {
     * candidate is still found by an equi-join on (table, bucket), never
     * an all-pairs scan. Exact cosine on the deduped candidate set keeps
     * precision at 1.
+    *
+    * Scale rule — nPlanes must FOLLOW the corpus: each table has
+    * 2^nPlanes buckets, so expected occupancy is n/2^nPlanes and the
+    * bucket self-join emits Θ(n²/2^nPlanes) candidates. A fixed plane
+    * count is therefore quadratic once buckets saturate (measured: the
+    * sf6.4 probe, SCALING.md "5th-decade"). Hold occupancy constant by
+    * setting nPlanes = [[lshPlanesFor]](n) — candidates then grow
+    * Θ(n·occupancy), linear in data — and compensate the lower
+    * per-table recall with more tables (recall 1 − (1 − p)^L). The
+    * gates pin nPlanes=8 for cross-engine oracle parity at fixture
+    * sizes; a deployment derives it from the corpus count.
     */
+  /** The plane count that holds expected bucket occupancy at
+    * `targetBucket` for an `n`-vector corpus: ceil(log2(n /
+    * targetBucket)), floored at 8 (the fixture/gate setting). With
+    * occupancy pinned, the LSH candidate join is linear in n — the
+    * knob a 100 TB deployment turns as the corpus grows.
+    */
+  def lshPlanesFor(n: Long, targetBucket: Int = 64): Int = {
+    require(n > 0 && targetBucket > 0, "lshPlanesFor: n and targetBucket must be positive")
+    val needed = math.ceil(math.log(n.toDouble / targetBucket) / math.log(2)).toInt
+    math.max(8, needed)
+  }
+
   def lshCosinePairs(emb: DataFrame, dim: Int, threshold: Double,
                      nPlanes: Int = 8, nTables: Int = 6): DataFrame = {
     val keys = array((0 until nTables).map(t =>
       lshBucketKey("embedding", dim, nPlanes, seed = 42L + t)): _*)
-    val keyed = emb.select(col("vec_id"),
+    // The vectors ride IN the keyed frame, so the only data-sized
+    // shuffle is nTables·n skinny-plus-one-array rows on (tbl, bucket);
+    // the cosine is computed inside the bucket self-join while both
+    // vectors are co-located and below-threshold candidates die BEFORE
+    // the pair-dedup shuffle. The alternative (distinct the candidate
+    // ids, then re-join the vectors twice) shuffles Θ(candidates) rows
+    // carrying the arrays — measured 2.2× more wall per candidate at
+    // the 5th-decade probe (SCALING.md), and candidates dominate n
+    // past bucket saturation. A pair colliding in several tables costs
+    // one redundant map-side dot per extra table (bounded by nTables),
+    // traded for never shuffling a fat row; the post-filter distinct
+    // sees only survivors. Same fold, same output, same hash.
+    val keyed = emb.select(col("vec_id"), col("embedding"),
+      l2Norm("embedding").as("norm"),
       posexplode(keys).as(Seq("tbl", "bucket")))
-    val cand = keyed.as("a").join(keyed.as("b"),
+    keyed.as("a").join(keyed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
-    val e = emb.select(col("vec_id"), col("embedding"), l2Norm("embedding").as("norm"))
-    cand
-      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("norm").as("na")), "id_a")
-      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("norm").as("nb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (dot("ea", "eb") / (col("na") * col("nb"))).as("cosine"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        (graft.functions.VecFunctions.vec_dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.norm") * col("b.norm"))).as("cosine"))
       .filter(col("cosine") >= threshold)
+      .distinct()
+  }
+
+  /** Per-table LSH occupancy census — the pre-flight audit for
+    * [[lshCosinePairs]], read BEFORE a run the way [[ivfBalance]] is
+    * for IVF. `candidate_pairs` = Σ_buckets c·(c−1)/2 is EXACTLY the
+    * within-bucket join output that table will emit (pre-distinct), so
+    * it prices the candidate join without running it: when it grows
+    * faster than the corpus, buckets have saturated and nPlanes must
+    * rise ([[lshPlanesFor]] — see the scale rule on lshCosinePairs).
+    * All-integer aggregates (count/max/sum over longs) — engine-exact.
+    * One shuffle on (tbl, bucket), second agg is nTables-row tiny.
+    */
+  def lshBucketStats(emb: DataFrame, dim: Int,
+                     nPlanes: Int = 8, nTables: Int = 6): DataFrame = {
+    val keys = array((0 until nTables).map(t =>
+      lshBucketKey("embedding", dim, nPlanes, seed = 42L + t)): _*)
+    emb.select(posexplode(keys).as(Seq("tbl", "bucket")))
+      .groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("occupancy"))
+      .groupBy(col("tbl")).agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("occupancy")).as("max_occupancy"),
+        sum(col("occupancy")).as("n_vectors"),
+        // c·(c−1) is always even, so the integral `div` is exact
+        expr("sum(occupancy * (occupancy - 1)) div 2").as("candidate_pairs"))
   }
 
   /** Symmetric int8 quantization of an embedding column — the standard

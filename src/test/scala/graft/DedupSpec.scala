@@ -105,6 +105,44 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("LSH occupancy census prices the candidate join exactly") {
+    val emb = Tables.embeddings(spark, sf001)
+    val n = emb.count()
+    val stats = Similarity.lshBucketStats(emb, dim = 64).collect()
+    assert(stats.length === 6, "one census row per hash table")
+    // every vector hashes into exactly one bucket per table
+    assert(stats.forall(_.getAs[Long]("n_vectors") == n))
+    assert(stats.forall(r => r.getAs[Long]("n_buckets") >= 1 &&
+      r.getAs[Long]("n_buckets") <= 256))
+    // candidate_pairs must equal the independently recomputed
+    // Σ_buckets c·(c−1)/2 — the exact pre-distinct join output
+    val keys = org.apache.spark.sql.functions.array((0 until 6).map(t =>
+      Similarity.lshBucketKey("embedding", 64, 8, seed = 42L + t)): _*)
+    val recomputed = emb
+      .select(org.apache.spark.sql.functions.posexplode(keys).as(Seq("tbl", "bucket")))
+      .groupBy("tbl", "bucket").count()
+      .collect().groupBy(_.getInt(0))
+      .map { case (t, rs) => t -> rs.map(r => r.getLong(2) * (r.getLong(2) - 1) / 2).sum }
+    stats.foreach { r =>
+      assert(r.getAs[Long]("candidate_pairs") === recomputed(r.getInt(0)),
+        s"table ${r.getInt(0)} census drifted from the recomputed pair sum")
+    }
+  }
+
+  test("lshPlanesFor pins expected occupancy as the corpus grows") {
+    // fixture floor: small corpora stay at the gate's 8 planes
+    assert(Similarity.lshPlanesFor(1) === 8)
+    assert(Similarity.lshPlanesFor(16000) === 8)
+    // 128k vectors need 11 planes for occupancy ≤ 64
+    assert(Similarity.lshPlanesFor(128000) === 11)
+    // the invariant the scale rule promises: n / 2^planes ≤ target
+    for (n <- Seq(1L, 1000L, 16000L, 128000L, 10000000L, 10000000000L)) {
+      val p = Similarity.lshPlanesFor(n)
+      assert(n.toDouble / math.pow(2, p) <= 64.0,
+        s"occupancy not pinned at n=$n planes=$p")
+    }
+  }
+
   test("IVF top-k recall vs brute force is high at nProbe=4/16") {
     val emb = Tables.embeddings(spark, sf001)
     val queries = emb.filter(col("vec_id") < 5)
