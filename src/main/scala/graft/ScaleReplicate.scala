@@ -79,12 +79,26 @@ object ScaleReplicate {
     // per copy; vectors replicate verbatim — 8× exact-duplicate vectors
     // is the worst case for every bucketing scheme (maximal collision
     // mass per centroid/band), so a flat wall here is a strong signal.
+    // salt mode (r16) rotates each copy's components by the copy index:
+    // a cyclic rotation is an isometry (dot(rot_i(u), rot_i(v)) =
+    // dot(u, v)), so every copy keeps the ORIGINAL near-dup pair
+    // structure internally while cross-copy cosines decorrelate — the
+    // clone-free input-linearity arm, the embeddings analog of the
+    // per-copy text marker above.
     if (new java.io.File(s"$src/embeddings.parquet").exists) {
       val em = spark.read.parquet(s"$src/embeddings.parquet")
       val strideV = strideOf(em, "vec_id")
-      rep(em, Map("vec_id" -> strideV))
-        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-      println(s"[scale] wrote ${factor}x embeddings (stride $strideV) to $out")
+      val reps = (0 until factor).map { i =>
+        val keyed = em.withColumn("vec_id", col("vec_id") + lit(i * strideV))
+        if (salt && i > 0)
+          keyed.withColumn("embedding", expr(
+            s"concat(slice(embedding, ${i % 64} + 1, 64 - ${i % 64}), " +
+              s"slice(embedding, 1, ${i % 64}))"))
+        else keyed
+      }.reduce(_ unionByName _)
+      reps.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      println(s"[scale] wrote ${factor}x embeddings (stride $strideV" +
+        (if (salt) ", rotated" else "") + s") to $out")
     }
     // relational twin (r15): the TPC-H-ish join graph replicated
     // COHERENTLY — each copy is a disjoint key universe (every FK and
