@@ -25,4 +25,19 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.map { case (n, w) => s"$n: $w" }.mkString("\n"))
   }
+
+  test("lshCosinePairs keeps the shuffle-light shape: one self-join, no post-candidate joins") {
+    // The r16 rewrite's contract: the bucket self-join is the ONLY join
+    // in the plan (the old shape re-joined the embeddings twice onto
+    // the candidate set — Θ(candidates) fat-row shuffles, the sf6.4 JVM
+    // killer). Count join nodes in the physical plan, not exchanges:
+    // exchange count varies with AQE/broadcast thresholds, join count
+    // is the structural invariant.
+    val plan = ops.Similarity
+      .lshCosinePairs(Tables.embeddings(spark, sf001), dim = 64, threshold = 0.3)
+      .queryExecution.executedPlan.toString()
+    val joins = "(?i)(sortmergejoin|shuffledhashjoin|broadcasthashjoin)"
+      .r.findAllIn(plan).length
+    assert(joins === 1, s"expected exactly the bucket self-join, found $joins:\n$plan")
+  }
 }
