@@ -32,11 +32,13 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val n = emb.count()
+    val dim = emb.select(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.col("embedding"))).head.getInt(0)
     val scaledPlanes = ops.Similarity.lshPlanesFor(n)
     val probes: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
-      "lsh_fixed" -> (() => ops.Similarity.lshCosinePairs(emb, 64, 0.3)),
+      "lsh_fixed" -> (() => ops.Similarity.lshCosinePairs(emb, dim, 0.3)),
       "lsh_scaled" -> (() =>
-        ops.Similarity.lshCosinePairs(emb, 64, 0.3, nPlanes = scaledPlanes)),
+        ops.Similarity.lshCosinePairs(emb, dim, 0.3, nPlanes = scaledPlanes)),
     )
     val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)

@@ -88,12 +88,23 @@ object ScaleReplicate {
     if (new java.io.File(s"$src/embeddings.parquet").exists) {
       val em = spark.read.parquet(s"$src/embeddings.parquet")
       val strideV = strideOf(em, "vec_id")
+      // the rotation lag comes from the DATA's dim — a hardcoded width
+      // would silently truncate vectors on any other fixture — and only
+      // dim−1 distinct nontrivial rotations exist, so a factor beyond
+      // dim would wrap copy dim back to a verbatim clone of copy 0:
+      // fail loudly instead of silently reintroducing the clone mass
+      // the salt arm exists to remove
+      val dim = em.select(size(col("embedding"))).head.getInt(0)
+      require(!salt || factor <= dim,
+        s"ScaleReplicate: salt mode supports at most dim=$dim copies " +
+          s"(rotation lags repeat past that); got factor=$factor")
       val reps = (0 until factor).map { i =>
         val keyed = em.withColumn("vec_id", col("vec_id") + lit(i * strideV))
+        val r = i % dim
         if (salt && i > 0)
           keyed.withColumn("embedding", expr(
-            s"concat(slice(embedding, ${i % 64} + 1, 64 - ${i % 64}), " +
-              s"slice(embedding, 1, ${i % 64}))"))
+            s"concat(slice(embedding, $r + 1, $dim - $r), " +
+              s"slice(embedding, 1, $r))"))
         else keyed
       }.reduce(_ unionByName _)
       reps.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
