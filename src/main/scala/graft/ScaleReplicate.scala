@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   * pair output is quadratic in the factor (a data property — 196× pairs
   * at 8×), so the salted arm is the input-linearity probe (each copy
   * keeps its internal duplicate structure, no cross-copy clones).
+  * ALWAYS salt from the BASE fixture, never from an already-salted
+  * output: the embedding salt is a per-copy rotation lag, and lags
+  * compose additively across chained runs — copy (i, j-of-source)
+  * pairs with equal total lag are verbatim clones again, silently
+  * reintroducing the clone mass this arm exists to remove (the text
+  * marker chains safely; the rotation does not).
   * Usage:
   *   runMain graft.ScaleReplicate <srcSfDir> <outDir> [factor] [salt]
   */

@@ -559,22 +559,33 @@ object Cdc {
     */
   def withMessagePrefix(wal: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val isMsg = col("op") === Envelope.Op.Message
-    val one = when(isMsg, lit(1)).otherwise(lit(0))
+    // The per-txn counters (__nm = messages in txn, __mi = this
+    // message's ordinal) count ONLY op='m' rows, so deriving them on
+    // the filtered message subset is semantics-identical to windowing
+    // the full WAL — and the full WAL then never shuffles for an
+    // almost-always-null column (r16 review: the old whole-frame
+    // window put an exchange-by-xid on every batch envelope path even
+    // when the op gate had already removed all 'm' rows at the scan).
+    // The prefix map is logical-message-frequency sized (markers, DDL,
+    // outbox frames — never data-sized), so it broadcast-joins back by
+    // lsn, the WAL position that uniquely identifies a message frame.
     val wTxn = Window.partitionBy(col("xid"))
     val wOrd = wTxn.orderBy(col("lsn"))
-    wal
-      .withColumn("__nm", sum(one).over(wTxn))
-      .withColumn("__mi", sum(one).over(wOrd))
-      .withColumn("msg_prefix",
-        when(isMsg,
-          when(col("__nm") >= 2 && pmod(col("xid"), lit(3)) =!= 2,
-            when(col("__mi") === 1, lit(DecompressionMarkerStartId))
-              .when(col("__mi") === col("__nm"), lit(DecompressionMarkerEndId))
-              .otherwise(lit("graft")))
-            .when(col("__nm") >= 2, lit("app.outbox"))
-            .otherwise(lit("graft"))))
-      .drop("__nm", "__mi")
+    val prefixes = wal.filter(col("op") === Envelope.Op.Message)
+      .select(col("xid"), col("lsn"))
+      .withColumn("__nm", count(lit(1)).over(wTxn))
+      .withColumn("__mi", row_number().over(wOrd))
+      .select(col("lsn").as("__msg_lsn"),
+        when(col("__nm") >= 2 && pmod(col("xid"), lit(3)) =!= 2,
+          when(col("__mi") === 1, lit(DecompressionMarkerStartId))
+            .when(col("__mi") === col("__nm"), lit(DecompressionMarkerEndId))
+            .otherwise(lit("graft")))
+          .when(col("__nm") >= 2, lit("app.outbox"))
+          .otherwise(lit("graft")).as("msg_prefix"))
+    wal.join(broadcast(prefixes),
+        wal("lsn") === col("__msg_lsn") &&
+          col("op") === Envelope.Op.Message, "left")
+      .drop("__msg_lsn")
   }
 
   /** T3 (2.12+ marker path) — marker-bracketed decompression as ONE

@@ -70,9 +70,18 @@ object MarkerTracker {
     * flight; lastLsn = where a drained bracket's events emit;
     * deadlineMs = the FIXED transaction-window deadline, set once when
     * the entry is created (reference: `deadline: time.Now().Add(
-    * tt.timeout)` at txn start, not a sliding idle timeout). */
+    * tt.timeout)` at txn start, not a sliding idle timeout);
+    * nSuppressed = running whole-bracket tally, kept incrementally so
+    * the overflow-cap check is O(1) per row instead of re-summing the
+    * per-chunk map. NOTE: any field change here changes the
+    * flatMapGroupsWithState state-store schema — a checkpoint written
+    * by an older TxnState shape will not restart against this encoder
+    * (Spark state-schema validation fails loudly); drain the stream
+    * (close brackets / let the window expire) before upgrading, or
+    * restart from a fresh checkpoint. */
   case class TxnState(ongoing: Boolean, counts: Map[Int, (Long, Long)],
-                      lastLsn: Long = 0L, deadlineMs: Long = 0L)
+                      lastLsn: Long = 0L, deadlineMs: Long = 0L,
+                      nSuppressed: Long = 0L)
 
   private val Start = graft.cdc.Cdc.DecompressionMarkerStartId
   private val End   = graft.cdc.Cdc.DecompressionMarkerEndId
@@ -108,6 +117,12 @@ object MarkerTracker {
     val sorted = rows.toArray.sortBy(_.lsn)
     val nowMs = if (withTimeout) state.getCurrentProcessingTimeMs() else 0L
     var st = state.getOption.getOrElse(TxnState(ongoing = false, Map.empty))
+    // self-heal the running tally from the per-chunk map when a state
+    // arrives without it (hand-built in specs, or any constructor that
+    // skipped the field): one O(chunks) pass per batch per key keeps
+    // the per-row cap check O(1)
+    if (st.nSuppressed == 0L && st.counts.nonEmpty)
+      st = st.copy(nSuppressed = st.counts.valuesIterator.map(_._1).sum)
     val out = scala.collection.mutable.ArrayBuffer[MarkerOut]()
     // expired window met by NEW data on the same trigger: drain first,
     // then stream the fresh rows through (post-drain passthrough)
@@ -124,7 +139,8 @@ object MarkerTracker {
           val deadline =
             if (st.ongoing || st.counts.nonEmpty) st.deadlineMs
             else nowMs + timeoutMs // window opens HERE, fixed from open
-          st = TxnState(ongoing = true, st.counts, r.lsn, deadline)
+          st = TxnState(ongoing = true, st.counts, r.lsn, deadline,
+            st.nSuppressed)
           keep(r)
         case Some(End) if st.ongoing =>
           // bracket closes: one 'd' event per suppressed chunk at the
@@ -137,8 +153,8 @@ object MarkerTracker {
           val (n, ts) = st.counts.getOrElse(r.chunk_day, (0L, Long.MinValue))
           st = TxnState(ongoing = true,
             st.counts.updated(r.chunk_day, (n + 1, math.max(ts, r.ts_ms))),
-            r.lsn, st.deadlineMs)
-          if (st.counts.valuesIterator.map(_._1).sum >= maxSuppressed) {
+            r.lsn, st.deadlineMs, st.nSuppressed + 1)
+          if (st.nSuppressed >= maxSuppressed) {
             // overflow: drain and stream subsequent rows through
             // untracked (queueLength == maxSize → overflowed → drain)
             out ++= drain(xid, st, r.lsn)

@@ -47,24 +47,35 @@ object StreamPipeline {
   /** Alternate streaming WAL source — BINARY pgoutput segment blobs
     * decoded executor-side (`Cdc.PgOutput`), shaped onto the same
     * columns `walStream` yields so the whole downstream pipeline is
-    * source-agnostic. Logical-message rows (no table, no timestamp on
-    * the wire) are excluded here — they belong on the message topic,
-    * not in chunk resolution. `chunk_day`/`ts_ms` derive from the
-    * decoded tuple exactly as `Cdc.shapeWal` derives them from parquet.
+    * source-agnostic. By default logical-message rows (no table, no
+    * timestamp on the wire) are excluded here — they belong on the
+    * message topic, not in chunk resolution; `keepMessages=true` (the
+    * marker-mode arm) keeps them as op='m' rows with their decoded
+    * `msg_prefix` and placeholder chunk_day/ts_ms, because the marker
+    * tracker must consume the bracket prefixes before any event gate
+    * (`transactiontracker.go:383-392`). ONE select shapes both forms —
+    * the chunk-day epoch rule and the op mapping exist exactly once.
+    * `chunk_day`/`ts_ms` derive from the decoded tuple exactly as
+    * `Cdc.shapeWal` derives them from parquet.
     */
   def walStreamPgOutput(spark: SparkSession, segmentsPath: String,
                         typeResolver: graft.types.TypeRegistry.Resolver =
-                          graft.types.TypeRegistry.Resolver.empty): DataFrame =
+                          graft.types.TypeRegistry.Resolver.empty,
+                        keepMessages: Boolean = false): DataFrame =
     graft.cdc.PgOutput.streamDecoded(spark, segmentsPath, typeResolver)
       .toDF()
-      .filter(col("op_wire") =!= "M" && col("op_wire") =!= "T")
+      .filter(col("op_wire") =!= "T" &&
+        (lit(keepMessages) || col("op_wire") =!= "M"))
       .select(col("lsn"), col("xid"),
-        graft.cdc.Cdc.opExpr(col("event_type")).as("op"),
+        when(col("op_wire") === "M", lit("m"))
+          .otherwise(graft.cdc.Cdc.opExpr(col("event_type"))).as("op"),
         col("schema_name"), col("table_name"),
-        expr(s"ts div ${graft.cdc.Cdc.NanosPerDay}")
-          .minus(lit(graft.cdc.Cdc.EpochDay20240101)).cast("int").as("chunk_day"),
-        expr("ts div 1000000").as("ts_ms"),
-        col("event_id"), col("user_id"), col("value"), col("props"))
+        coalesce(expr(s"ts div ${graft.cdc.Cdc.NanosPerDay}")
+            .minus(lit(graft.cdc.Cdc.EpochDay20240101)).cast("int"),
+          lit(-1)).as("chunk_day"),
+        coalesce(expr("ts div 1000000"), lit(0L)).as("ts_ms"),
+        col("event_id"), col("user_id"), col("value"), col("props"),
+        col("msg_prefix"))
 
   /** Full streaming envelope pipeline: shape → gates → envelope columns.
     * The chunk catalog is resolved against a *static* DataFrame — a
@@ -95,30 +106,13 @@ object StreamPipeline {
         .select(col("lsn"), col("msg_prefix"))
       walStream(spark, dir).join(broadcast(prefixes), Seq("lsn"), "left")
     } { path =>
-      if (!markerSuppress)
-        // wire arm: logical-message frames are excluded upstream (they
-        // belong on the message topic), so no row here carries a prefix
-        walStreamPgOutput(spark, path, typeResolver)
-          .withColumn("msg_prefix",
-            org.apache.spark.sql.functions.lit(null)
-              .cast(org.apache.spark.sql.types.StringType))
-      else
-        // marker mode keeps the 'M' frames through the TRACKER — they
-        // carry the bracket prefixes (transactiontracker.go:383-392
-        // consumes them before any event gate); placeholder chunk_day/
-        // ts_ms for message rows, which drop again below (the wire
-        // arm's message topic is a separate surface)
-        graft.cdc.PgOutput.streamDecoded(spark, path, typeResolver).toDF()
-          .filter(col("op_wire") =!= "T")
-          .select(col("lsn"), col("xid"),
-            when(col("op_wire") === "M", lit("m"))
-              .otherwise(graft.cdc.Cdc.opExpr(col("event_type"))).as("op"),
-            coalesce(expr(s"ts div ${graft.cdc.Cdc.NanosPerDay}")
-              .minus(lit(graft.cdc.Cdc.EpochDay20240101)).cast("int"),
-              lit(-1)).as("chunk_day"),
-            coalesce(expr("ts div 1000000"), lit(0L)).as("ts_ms"),
-            col("event_id"), col("user_id"), col("value"), col("props"),
-            col("msg_prefix"))
+      // one shaping definition for both wire forms: marker mode keeps
+      // the 'M' frames through the TRACKER (they carry the bracket
+      // prefixes; message rows drop again after it — the wire arm's
+      // message topic is a separate surface), the default form
+      // excludes them upstream so no row carries a prefix
+      walStreamPgOutput(spark, path, typeResolver,
+        keepMessages = markerSuppress)
     }
     // config-selected 2.12+ marker arm: P7 suppression via the keyed-
     // state tracker, between the WAL and chunk resolution — the
