@@ -23,6 +23,19 @@ object Bench {
       // expression path on the wide conversion sweeps
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.sql.adaptive.enabled", "true")
+      // shuffle WRITE file layout (guide §2.2 "many small blocks"): the
+      // bypass-merge writer creates R partition files per map task —
+      // M·R file creates/deletes per exchange, and at local SF the
+      // file-create syscalls DOMINATE iterative queries (jstack-sampled:
+      // BypassMergeSortShuffleWriter.write / FileOutputStream.open0 were
+      // the hottest executor frames; web_pagerank warm 3.7 s → 2.0 s
+      // with the sort writer's one data+index file per task). At
+      // production scale R > 200, so Spark picks the sort writer anyway
+      // (default threshold 200) — this setting only makes small-R local
+      // runs use the same path; byte volumes and partition counts are
+      // untouched. Env-overridable to restore the stock default.
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BYPASS_THRESHOLD", "1"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1439,9 +1439,14 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // restart — the reference's ApplySchemaUpdate, per-batch
       val ev = Tables.events(s, dir)
       val boundary = ev.agg(max(col("event_id"))).head.getLong(0) / 2 + 1
+      // pin the wire decode: resolveBatch runs two driver-sized census
+      // collects before the typed projection, so an unpinned lineage
+      // would replay the encode+decode flatMap three times (guide §1.2 —
+      // don't recompute what you already computed)
       val wide = graft.streaming.SchemaEvolution.resolveBatch(
         graft.cdc.PgOutput.decodeRowsDynamic(
-          graft.cdc.PgOutput.encodeSegmentsEvolving(ev, boundary)).toDF())
+          graft.cdc.PgOutput.encodeSegmentsEvolving(ev, boundary)).toDF()
+          .localCheckpoint(true))
       wide.select(col("lsn"), col("op_wire").as("op"),
           col("event_id"), col("user_id"), col("event_type"),
           expr("cast(floor(value * 100 + 0.5) as bigint)").as("value_cents"),
@@ -1459,8 +1464,12 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // at the boundary model the committed batch sequence.
       val ev = Tables.events(s, dir)
       val boundary = ev.agg(max(col("event_id"))).head.getLong(0) / 2 + 1
+      // pinned: BOTH arms filter this frame, and each resolveBatch adds
+      // two census collects — unpinned, the encode+decode flatMap would
+      // replay six times (guide §1.2)
       val dyn = graft.cdc.PgOutput.decodeRowsDynamic(
         graft.cdc.PgOutput.encodeSegmentsEvolving(ev, boundary)).toDF()
+        .localCheckpoint(true)
       def arm(batch: org.apache.spark.sql.DataFrame) = {
         val wide = graft.streaming.SchemaEvolution.resolveBatch(batch)
         wide.select(col("lsn"), col("event_id"),
@@ -1484,9 +1493,12 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // silently NULL every post-DDL value — this gate hash-fails that.
       val ev = Tables.events(s, dir)
       val boundary = ev.agg(max(col("event_id"))).head.getLong(0) / 2 + 1
+      // pinned for the same reason as cdc_schema_evolution: three
+      // lineage replays of the wire encode+decode otherwise
       val wide = graft.streaming.SchemaEvolution.resolveBatch(
         graft.cdc.PgOutput.decodeRowsDynamic(
-          graft.cdc.PgOutput.encodeSegmentsRetyping(ev, boundary)).toDF())
+          graft.cdc.PgOutput.encodeSegmentsRetyping(ev, boundary)).toDF()
+          .localCheckpoint(true))
       wide.select(col("lsn"), col("op_wire").as("op"),
           col("event_id"), col("user_id"), col("event_type"),
           expr("cast(floor(value * 100 + 0.5) as bigint)").as("value_cents"),
@@ -3666,8 +3678,11 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     "dedup_image_ahash" -> ((s, dir) => {
       // image near-dup demo: every doc's image + a 1px-perturbed
       // re-encode; banded hamming join must recover the planted twins
+      // pinned: base feeds BOTH union branches (directly and through
+      // perturbImages) — unpinned, the PNG synthesis runs twice
       val base = ops.Multimodal.attachImages(
         Tables.documents(s, dir).filter(col("doc_id") < 2000))
+        .localCheckpoint(true)
       val twins = ops.Multimodal.perturbImages(base, idOffset = 1000000L)
       ops.Multimodal.imageNearDups(base.unionByName(twins), maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
@@ -3703,8 +3718,11 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // video near-dup demo: every doc's container + a last-frame-
       // trimmed repack; the keyframe-hash equi-join must recover each
       // planted trimmed copy (rows-only: real-codec outputs)
+      // pinned: base feeds BOTH union branches (directly and through
+      // perturbVideos) — unpinned, the per-frame PNG mux runs twice
       val base = ops.Multimodal.attachVideo(
         Tables.documents(s, dir).filter(col("doc_id") < 1000))
+        .localCheckpoint(true)
       val twins = ops.Multimodal.perturbVideos(base, idOffset = 1000000L)
       ops.Multimodal.videoNearDups(base.unionByName(twins), stride = 2,
           minShared = 2)
@@ -3748,7 +3766,6 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // get_json_object per FIELD: each get_json_object re-parses the
       // whole envelope (schema descriptor included) per row, so the old
       // form paid 7 full parses/row — the bench's top outlier at sf0.1
-      val e = Cdc.envelopeJson(s, dir)
       val envSchema = StructType(Seq(
         StructField("payload", StructType(Seq(
           StructField("op", StringType),
@@ -3759,9 +3776,16 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
           StructField("name", StringType), StructField("type", StringType))))))
       val keySchema = StructType(Seq(
         StructField("payload", StructType(Seq(StructField("event_id", LongType))))))
-      e.select(col("lsn"),
-          from_json(col("envelope"), envSchema).as("env"),
-          from_json(col("key"), keySchema).as("k"))
+      // sort FIRST, render+parse after (the conv_array_scalar_sweep
+      // posture): the range exchange ships the narrow WAL columns and
+      // the ~1 KB render + full parse-back run ABOVE it on all lanes —
+      // below it they ran inside the single-row-group scan task. Same
+      // rows, same builder (envelopeJsonCol), same parse.
+      Cdc.walEvents(s, dir)
+        .orderBy(col("lsn"))
+        .select(col("lsn"),
+          from_json(Cdc.envelopeJsonCol(), envSchema).as("env"),
+          from_json(Cdc.envelopeKeyJsonCol, keySchema).as("k"))
         .select(col("lsn"),
           col("env.payload.op").as("op"),
           col("env.payload.source.lsn").as("source_lsn"),
@@ -3770,7 +3794,6 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
           col("env.schema.name").as("schema_name"),
           col("env.schema.type").as("schema_type"),
           col("k.payload.event_id").as("key_event_id"))
-        .orderBy(col("lsn"))
     }),
 
     "cdc_snapshot_partitions" -> ((s, dir) => {

@@ -23,6 +23,9 @@ object Verify {
       // expression path on the wide conversion sweeps
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.sql.adaptive.enabled", "true")
+      // same shuffle-writer setting as Bench (see the comment there)
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BYPASS_THRESHOLD", "1"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

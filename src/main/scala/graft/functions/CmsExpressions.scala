@@ -40,14 +40,21 @@ case class CmsEstimate(left: Expression, right: Expression)
         s"cms_estimate requires (binary sketch, bigint key), got ($l, $r)")
     }
 
-  // identity-keyed single-slot cache: the same sketch byte array is
-  // handed to every row of a task when the sketch side is broadcast
+  // single-slot cache keyed on reference THEN content: the sketch side
+  // is a broadcast-joined row, and UnsafeRow.getBinary hands back a
+  // fresh copy on every access — so a reference-only check NEVER hits
+  // and the (wide) sketch would deserialize once per row per call site
+  // (measured: the dominant cost of events_cms_heavy before this). The
+  // content memcmp is O(sketch bytes) but allocation-free and ~10² ×
+  // cheaper than readFrom's parse+array build; identical sketches keep
+  // the cached decode, genuinely new bytes replace it.
   @transient private var lastBytes: Array[Byte] = _
   @transient private var lastSketch: CountMinSketch = _
 
   override protected def nullSafeEval(sketchBytes: Any, key: Any): Any = {
     val bytes = sketchBytes.asInstanceOf[Array[Byte]]
-    if (lastSketch == null || (lastBytes ne bytes)) {
+    if (lastSketch == null ||
+        ((lastBytes ne bytes) && !java.util.Arrays.equals(lastBytes, bytes))) {
       lastSketch = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
       lastBytes = bytes
     }

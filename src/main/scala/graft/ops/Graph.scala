@@ -40,21 +40,38 @@ object Graph {
     val e = edges.select(col("src"), col("dst")).repartition(col("src")).cache()
     val out = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().cache()
+      .union(e.select(col("dst").as("node"))).distinct()
     val teleport = scale * (dampDen - dampNum) / dampDen
-    var ranks = nodes.withColumn("rank", lit(scale))
+    // rank(u) is a pure function of the in-sum: rank = teleport +
+    // (dampNum·s) div dampDen, with s absent → 0 (and rank₀ = scale).
+    // Folding that into the contribution projection keeps the all-nodes
+    // rank vector OUT of the loop: per iteration only the src-keyed sum
+    // table joins the (cached, src-partitioned) edges — the per-round
+    // |nodes| join + exchange of the old form is gone (guide §2.4), and
+    // the full vector materializes exactly once, at the end.
+    val eo = e.join(out, "src")
+    val rankExpr =
+      s"(cast($teleport as bigint) + ($dampNum * coalesce(s, cast(0 as bigint))) div $dampDen)"
+    var sums: Option[DataFrame] = None
     for (_ <- 1 to iters) {
-      val contribs = e.join(out, "src")
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), expr("rank div outdeg").as("contrib"))
-      val sums = contribs.groupBy("node").agg(sum(col("contrib")).as("s"))
-      val next = nodes.join(sums, Seq("node"), "left")
-        .select(col("node"),
-          (lit(teleport) +
-            expr(s"($dampNum * coalesce(s, cast(0 as bigint))) div $dampDen")).as("rank"))
-      ranks = if (checkpoint) next.localCheckpoint(eager = false) else next
+      val contribs = sums match {
+        case None => // iteration 1: every node holds rank₀ = scale
+          eo.select(col("dst").as("node"),
+            expr(s"cast($scale as bigint) div outdeg").as("contrib"))
+        case Some(sm) =>
+          eo.join(sm.withColumnRenamed("node", "src"), Seq("src"), "left")
+            .select(col("dst").as("node"),
+              expr(s"$rankExpr div outdeg").as("contrib"))
+      }
+      val next = contribs.groupBy("node").agg(sum(col("contrib")).as("s"))
+      sums = Some(if (checkpoint) next.localCheckpoint(eager = false) else next)
     }
-    ranks
+    sums match {
+      case None => nodes.withColumn("rank", lit(scale))
+      case Some(sm) =>
+        nodes.join(sm, Seq("node"), "left")
+          .select(col("node"), expr(rankExpr).as("rank"))
+    }
   }
 
   /** HITS hubs & authorities (Kleinberg 1999) in integer fixed point —
@@ -80,31 +97,37 @@ object Graph {
     require(iters >= 1 && scale > 0, s"hitsInt: bad iters=$iters scale=$scale")
     val e = edges.select(col("src"), col("dst")).repartition(col("src")).cache()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().cache()
-    // only hubs carries loop state: auths are DERIVED from hubs at the
-    // top of every round (the standard update order), so the fold's
-    // auth slot starts as a never-read placeholder, not a fake score
-    val init = nodes.withColumn("hub", lit(scale))
-    val (hubs, auths) = (1 to iters).foldLeft((init, init)) {
-      case ((prevHubs, _), _) =>
-        val aRaw = e.join(prevHubs.withColumnRenamed("node", "src"), "src")
-          .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("raw"))
-        val aMax = aRaw.agg(max(col("raw")).as("__m"))
-        val aNext = nodes.join(aRaw, Seq("node"), "left")
-          .crossJoin(broadcast(aMax))
-          .select(col("node"),
-            coalesce(expr(s"(raw * $scale) div __m"), lit(0L)).as("auth"))
-        val auths = if (checkpoint) aNext.localCheckpoint(eager = false) else aNext
-        val hRaw = e.join(auths.withColumnRenamed("node", "dst"), "dst")
-          .groupBy(col("src").as("node")).agg(sum(col("auth")).as("raw"))
-        val hMax = hRaw.agg(max(col("raw")).as("__m"))
-        val hNext = nodes.join(hRaw, Seq("node"), "left")
-          .crossJoin(broadcast(hMax))
-          .select(col("node"),
-            coalesce(expr(s"(raw * $scale) div __m"), lit(0L)).as("hub"))
-        (if (checkpoint) hNext.localCheckpoint(eager = false) else hNext, auths)
+      .union(e.select(col("dst").as("node"))).distinct()
+    // Loop state carries ONLY nodes that hold mass: a node absent from a
+    // score table contributes exactly what an explicit 0 row would to
+    // every downstream sum and max (mass is non-negative), so the
+    // all-nodes left-join + exchange the old form paid TWICE per round
+    // (guide §2.4) is deferred to one final join. Initial hubs = scale
+    // on every node, but only out-edge sources are ever read by the
+    // auth update — so the init table is src-distinct, not all-nodes.
+    // Update order unchanged: auths from hubs, then hubs from NEW auths;
+    // renormalization stays the 1-row broadcast max.
+    var hubs = e.select(col("src").as("node")).distinct()
+      .withColumn("hub", lit(scale))
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(hubs.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("raw"))
+      val aMax = aRaw.agg(max(col("raw")).as("__m"))
+      val aNext = aRaw.crossJoin(broadcast(aMax))
+        .select(col("node"), expr(s"(raw * $scale) div __m").as("auth"))
+      auths = if (checkpoint) aNext.localCheckpoint(eager = false) else aNext
+      val hRaw = e.join(auths.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("auth")).as("raw"))
+      val hMax = hRaw.agg(max(col("raw")).as("__m"))
+      val hNext = hRaw.crossJoin(broadcast(hMax))
+        .select(col("node"), expr(s"(raw * $scale) div __m").as("hub"))
+      hubs = if (checkpoint) hNext.localCheckpoint(eager = false) else hNext
     }
-    hubs.join(auths, Seq("node"))
+    nodes.join(hubs, Seq("node"), "left").join(auths, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("hub"), lit(0L)).as("hub"),
+        coalesce(col("auth"), lit(0L)).as("auth"))
   }
 
   /** Exact triangle count + per-node triangle participation — the

@@ -24,6 +24,21 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** Fan the fixture-synthesis input out to the session's full
+    * parallelism BEFORE the per-row codec work (guide §2.5 "one huge
+    * unsplittable file … repartition immediately after the read"): the
+    * bench testdata is a single parquet row group, so without this every
+    * attach* synthesis — and every decode stage downstream of it, since
+    * decode inherits attach's partitioning — runs in ONE task while 31
+    * cores idle. Keyed (deterministic under retry, unlike round-robin)
+    * on the id column; the shuffled rows are the narrow pre-synthesis
+    * projection (ids, never media bytes). N derives from the runtime
+    * (`defaultParallelism` follows SPARK_GRAFT_CPUS / the cluster), not
+    * a constant; explicit N keeps AQE from coalescing the tiny fixture
+    * exchange back to one partition. */
+  private def spreadByKey(df: DataFrame, key: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
+
   /** Media column schema: opaque bytes + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("bytes", BinaryType, nullable = true),
@@ -42,7 +57,7 @@ object Multimodal {
     * standing in for an undecodable payload — exercises the non-image
     * fallback path). */
   def attachMedia(docs: DataFrame): DataFrame =
-    docs.select(
+    spreadByKey(docs.select(col("doc_id"), col("text")), "doc_id").select(
       struct(
         col("text").cast(BinaryType).as("bytes"),
         lit("application/octet-stream").as("mime"),
@@ -53,7 +68,7 @@ object Multimodal {
     * same `javax.imageio` machinery the decode path exercises). */
   def attachImages(docs: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(StructType(Seq(StructField("media", mediaSchema))))
-    docs.select(col("doc_id"))
+    spreadByKey(docs.select(col("doc_id")), "doc_id")
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -412,7 +427,11 @@ object Multimodal {
     * one groupBy-sized shuffle, keep-lowest pairing like the image
     * family. */
   def audioNearDups(media: DataFrame): DataFrame = {
-    val fps = audioFingerprints(media)
+    // pin: both self-join sides (and AQE's size probe) consume the
+    // fingerprints — unpinned, the WAV decode+fingerprint pass behind
+    // them ran three times (profiled: 3 × ~31 s of task time at sf0.1);
+    // the same stance as videoNearDups/imageNearDups
+    val fps = audioFingerprints(media).localCheckpoint(true)
     fps.as("a").join(fps.as("b"),
         col("a.n_windows") === col("b.n_windows") &&
           col("a.fingerprint") === col("b.fingerprint") &&
@@ -428,7 +447,7 @@ object Multimodal {
   def attachAudioGain(docs: DataFrame, gain: Int, idOffset: Long): DataFrame = {
     require(gain >= 1 && gain <= 8, s"gain $gain would clip 12-bit samples")
     val enc = RowEncoder.encoderFor(StructType(Seq(StructField("media", mediaSchema))))
-    docs.select(col("doc_id"))
+    spreadByKey(docs.select(col("doc_id")), "doc_id")
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -440,7 +459,7 @@ object Multimodal {
   /** Attach real WAV payloads (deterministic synthesis, executor-side). */
   def attachAudio(docs: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(StructType(Seq(StructField("media", mediaSchema))))
-    docs.select(col("doc_id"))
+    spreadByKey(docs.select(col("doc_id")), "doc_id")
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -553,7 +572,7 @@ object Multimodal {
 
   def attachVideo(docs: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(StructType(Seq(StructField("media", mediaSchema))))
-    docs.select(col("doc_id"))
+    spreadByKey(docs.select(col("doc_id")), "doc_id")
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)

@@ -981,6 +981,14 @@ object TextAnalysis {
         // double the separators (pad included) so each " l  r " match
         // owns its wrapping spaces — consecutive pairs all merge; then
         // collapse back (every space run is exactly 2 by construction)
+        //
+        // NOT checkpointed per round: each round is one narrow replace
+        // projection over the vocabulary-sized table, so round k's pair
+        // count replays k cheap replaces from the ONE corpus-pass
+        // checkpoint — Σk ≈ k²/2 vocab-table map passes, versus the k
+        // extra materialization JOBS the old per-round eager checkpoint
+        // paid (measured: the jobs dominated at every SF; the replaces
+        // are codegen string ops on a table ≤ distinct-word count).
         words = words.select(col("w"), col("freq"),
             trim(replace(
               replace(
@@ -988,11 +996,14 @@ object TextAnalysis {
                   lit("  ")),
                 lit(s" $l  $r "), lit(s" $mergedSym ")),
               lit("  "), lit(" "))).as("sym"))
-          .localCheckpoint(true)
         k += 1
       }
     }
-    (merges.result(), words)
+    // ONE final pin for the k-replace lineage: bpeArtifacts/encode/
+    // fertility consume `words` from several subtrees (broadcast joins,
+    // symbol-count aggs) — without this each consumer would replay the
+    // replace chain independently
+    (merges.result(), if (k > 1) words.localCheckpoint(true) else words)
   }
 
   /** The learned merge table as a DataFrame — `bpeFit`'s rule output in
