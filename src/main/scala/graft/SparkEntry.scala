@@ -43,6 +43,21 @@ object SparkEntry {
     * vs DuckDB binary value, e.g. 1.005 → 1.01 vs 1.00) that hash-broke
     * q1/rollup/window_running in round 1. Oracle twin: `centsSql`. */
   private def cents(c: Column): Column = floor(c * lit(100.0) + lit(0.5))
+
+  /** Globally-ordered fan-out for SORT-FIRST render queries (the wide
+    * per-row rendering runs ABOVE the one range exchange, on every
+    * lane): `repartitionByRange(defaultParallelism, keys) +
+    * sortWithinPartitions(keys)` produces exactly `orderBy(keys)`'s
+    * row order (range partitions are key-ordered and each is sorted),
+    * but the EXPLICIT partition count keeps AQE from coalescing the
+    * tiny local exchange back to one task — profiled: the final render
+    * of conv_array_scalar_sweep was a single 2.5 s task behind a plain
+    * orderBy. N derives from the runtime; at cluster scale the range
+    * exchange is the same one orderBy would plan. */
+  private def sortedSpread(df: DataFrame, keys: Column*): DataFrame =
+    df.repartitionByRange(df.sparkSession.sparkContext.defaultParallelism,
+        keys: _*)
+      .sortWithinPartitions(keys: _*)
   private def centsSql(e: String): String = s"CAST(FLOOR(($e) * 100.0 + 0.5) AS BIGINT)"
 
   /** Shared MinHash+LSH DuckDB twin: FNV-64a shingle hash fold, the
@@ -1104,7 +1119,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // coverage, the opposite pressure from near-dup removal. dist is
       // the squared-L2 coverage radius sequence; sequential-fold double
       // dots are engine-exact, so the oracle replays all 8 rounds
-      Sampling.kCenterSelect(Tables.embeddings(s, dir), k = 8)
+      Sampling.kCenterSelect(Tables.embeddingsSpread(s, dir), k = 8)
         .orderBy(col("rank"))),
 
     "profile_heavy_hitters" -> ((s, dir) => {
@@ -1120,7 +1135,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     "text_boilerplate_remove" -> ((s, dir) =>
       // CCNet dedup-paragraphs rewrite on 3-token chunks: chunks seen
       // ≥3 times corpus-wide are cut, survivors reassembled in order
-      TextAnalysis.boilerplateRemove(Tables.documents(s, dir), width = 3, maxDf = 3)
+      TextAnalysis.boilerplateRemove(Tables.documentsSpread(s, dir), width = 3, maxDf = 3)
         .orderBy(col("doc_id"))),
 
     "text_blocklist_hits" -> ((s, dir) => {
@@ -1128,7 +1143,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // broadcast-free compiled-in blocklist + a keep/flag verdict
       val terms = Seq("slow", "big table", "vector")
       val (total, distinctHit) = TextAnalysis.blocklistHits(col("text"), terms)
-      Tables.documents(s, dir)
+      Tables.documentsSpread(s, dir)
         .select(col("doc_id"), total.as("n_hits"), distinctHit.as("n_terms_hit"),
           (total * 1000000L / greatest(length(col("text")), lit(1))).cast("long")
             .as("hit_ppm_per_char"))
@@ -1666,23 +1681,20 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
 
     // ============ type conversion layer (SURVEY §1.2) ============
     "conv_timestamp_millis" -> ((s, dir) => {
-      Tables.lineitem(s, dir)
+      sortedSpread(Tables.lineitem(s, dir), col("l_orderkey"), col("l_linenumber"))
         .select(col("l_orderkey"), col("l_linenumber"),
           PgConverters.timestampToMillis(col("l_shipdate")).as("ship_ms"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
     "conv_timestamptz_text" -> ((s, dir) => {
-      Tables.events(s, dir)
+      sortedSpread(Tables.events(s, dir), col("event_id"))
         .select(col("event_id"), PgConverters.timestamptzNanosToText("ts").as("ts_text"))
-        .orderBy(col("event_id"))
     }),
 
     "conv_time_text" -> ((s, dir) => {
-      Tables.events(s, dir)
+      sortedSpread(Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           PgConverters.timeToText(timestamp_micros(expr("ts div 1000"))).as("time_text"))
-        .orderBy(col("event_id"))
     }),
 
     "conv_date_days" -> ((s, dir) => {
@@ -1692,18 +1704,16 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     }),
 
     "conv_interval_micros" -> ((s, dir) => {
-      Tables.events(s, dir)
+      sortedSpread(Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           PgConverters.intervalToMicros(col("user_id"), expr("event_id % 30"),
             expr("(ts % 1000000000) div 1000")).as("interval_us"))
-        .orderBy(col("event_id"))
     }),
 
     "conv_numeric_double" -> ((s, dir) => {
-      Tables.lineitem(s, dir)
+      sortedSpread(Tables.lineitem(s, dir), col("l_orderkey"), col("l_linenumber"))
         .select(col("l_orderkey"), col("l_linenumber"),
           PgConverters.numericToDouble(col("l_extendedprice")).as("num_val"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
     "conv_bytea_hex" -> ((s, dir) => {
@@ -1714,34 +1724,30 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     }),
 
     "conv_json_extract" -> ((s, dir) => {
-      Tables.events(s, dir)
+      sortedSpread(Tables.events(s, dir), col("event_id"))
         .select(col("event_id"), PgConverters.jsonGet(col("props"), "$.k").as("k_val"))
-        .orderBy(col("event_id"))
     }),
 
     "conv_bits_string" -> ((s, dir) => {
-      Tables.events(s, dir)
+      sortedSpread(Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           PgConverters.bitsToString(expr("user_id % 256"), 8).as("bits"))
-        .orderBy(col("event_id"))
     }),
 
     "conv_range_string" -> ((s, dir) => {
       // int8range [event_id, event_id+10)
-      Tables.events(s, dir)
+      sortedSpread(Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           PgConverters.rangeToString(col("event_id"), col("event_id") + 10).as("range_text"))
-        .orderBy(col("event_id"))
     }),
 
     "conv_point_string" -> ((s, dir) => {
       // point from (user_id, chunk-local second); integer-valued to keep
       // numeric text rendering engine-independent
-      Tables.events(s, dir)
+      sortedSpread(Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           PgConverters.pointToText(col("user_id"), expr("(ts % 1000000000) div 1000000"))
             .as("point_text"))
-        .orderBy(col("event_id"))
     }),
 
     "conv_numrange_path" -> ((s, dir) => {
@@ -1749,60 +1755,54 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // (engine-independent: no float-to-string), plus the open `path`
       // form [(x,y),...] completing the geometry family
       val loC = col("user_id") * 100 + 50
-      Tables.events(s, dir)
+      sortedSpread(Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           PgConverters.rangeToString(decimalCentsText(loC), decimalCentsText(loC + 125)).as("numrange_text"),
           PgConverters.pathToText(closed = false,
             (col("user_id"), pmod(col("event_id"), lit(100))),
             (col("user_id") + 2, pmod(col("event_id"), lit(100)) + 3)).as("path_text"))
-        .orderBy(col("event_id"))
     }),
 
     "conv_uuid_string" -> ((s, dir) => {
       // uuid canonical 8-4-4-4-12 text (builtin_converters.go:300-318);
       // hex source synthesized deterministically via md5
-      Tables.events(s, dir)
+      sortedSpread(Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           PgConverters.uuidFromHex32(md5(col("event_id").cast("string"))).as("uuid_text"))
-        .orderBy(col("event_id"))
     }),
 
     "conv_inet_string" -> ((s, dir) => {
       // inet/cidr v4 + v6 text passthrough (README type table)
-      Tables.events(s, dir)
+      sortedSpread(Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           PgConverters.textPassthrough(concat(lit("10."), pmod(col("user_id"), lit(256)),
             lit("."), pmod(col("event_id"), lit(256)), lit(".1/24"))).as("cidr4"),
           PgConverters.textPassthrough(concat(lit("fe80::"),
             lower(hex(pmod(col("user_id"), lit(65536)))))).as("inet6"))
-        .orderBy(col("event_id"))
     }),
 
     "conv_macaddr_string" -> ((s, dir) => {
-      Tables.events(s, dir)
+      sortedSpread(Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           PgConverters.macaddrToText(col("event_id") * 65536 + col("user_id")).as("mac"),
           PgConverters.macaddr8ToText(col("event_id") * 4294967296L + col("user_id")).as("mac8"))
-        .orderBy(col("event_id"))
     }),
 
     "conv_enum_string" -> ((s, dir) => {
       // enum2string with the allowed-values list as column metadata
-      Tables.events(s, dir)
+      sortedSpread(Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           PgConverters.enumToString(col("event_type"),
             Seq("signup", "purchase", "error", "view", "click")).as("enum_val"))
-        .orderBy(col("event_id"))
     }),
 
     "conv_composite_json" -> ((s, dir) => {
       // composite → STRUCT (typemanager.go:419-430); JSON-rendered so the
       // driver comparator can hash it
-      Tables.events(s, dir)
+      sortedSpread(Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           to_json(PgConverters.compositeToStruct(
             "user_id" -> col("user_id"), "kind" -> col("event_type"))).as("comp_json"))
-        .orderBy(col("event_id"))
     }),
 
     "conv_hstore_text" -> ((s, dir) => {
@@ -1810,40 +1810,36 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       val hsJson = concat(lit("{\"a\":\""), col("user_id"),
         lit("\",\"b\":\""), pmod(col("event_id"), lit(10)), lit("\"}"))
       val m = PgConverters.hstoreToMap(hsJson)
-      Tables.events(s, dir)
+      sortedSpread(Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           array_join(map_keys(m), ",").as("hs_keys"),
           array_join(map_values(m), ",").as("hs_vals"))
-        .orderBy(col("event_id"))
     }),
 
     "conv_uint32_long" -> ((s, dir) => {
       // oid/xid/cid: top-bit-set uint32s must not surface negative
-      Tables.events(s, dir)
+      sortedSpread(Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           PgConverters.uint32ToLong(
             expr("CAST((event_id * 2654435761) % 4294967296 - 2147483648 AS INT)")).as("uval"))
-        .orderBy(col("event_id"))
     }),
 
     "conv_scalar_widths" -> ((s, dir) => {
       // int2 / float4 / boolean width mappings
-      Tables.events(s, dir)
+      sortedSpread(Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           pmod(col("user_id"), lit(32768)).cast("smallint").as("i16"),
           col("value").cast("float").cast("double").as("f4d"),
           (pmod(col("event_id"), lit(2)) === 0).as("is_even"))
-        .orderBy(col("event_id"))
     }),
 
     "conv_tsrange_string" -> ((s, dir) => {
       // tsrange canonical [lo,hi) over RFC3339 text bounds
-      Tables.events(s, dir)
+      sortedSpread(Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           PgConverters.rangeToString(
             PgConverters.timestamptzNanosToText("ts"),
             PgConverters.timestamptzNanosToText("(ts + 3600000000000)")).as("tsrange_text"))
-        .orderBy(col("event_id"))
     }),
 
     "conv_daterange_string" -> ((s, dir) => {
@@ -1860,14 +1856,13 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // box, line, lseg, circle, polygon text forms (integer coords keep
       // numeric rendering engine-independent)
       val u = col("user_id"); val m = pmod(col("event_id"), lit(100))
-      Tables.events(s, dir)
+      sortedSpread(Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           PgConverters.boxToText(u, m, u + 10, m + 10).as("box_text"),
           PgConverters.lineToText(u, pmod(col("event_id"), lit(7)) + 1, lit(3)).as("line_text"),
           PgConverters.lsegToText(u, m, u + 5, m + 5).as("lseg_text"),
           PgConverters.circleToText(u, m, lit(7)).as("circle_text"),
           PgConverters.polygonToText((u, m), (u + 1, m), (u, m + 1)).as("poly_text"))
-        .orderBy(col("event_id"))
     }),
 
     "conv_postgis" -> ((s, dir) => {
@@ -1887,16 +1882,15 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       val lineWkb = unhex(concat((lit("000000000200000005") +: pts): _*))
       val geom = PgConverters.postgisToStruct(pointWkb, lit(4326))
       val geog = PgConverters.postgisToStruct(lineWkb, lit(3857))
-      Tables.events(s, dir)
+      sortedSpread(Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           to_json(geom).as("geom_point"),
           to_json(geog).as("geog_line"),
           to_json(array(geom, geog)).as("geom_arr"))
-        .orderBy(col("event_id"))
     }),
 
     "conv_ltree_xml_char" -> ((s, dir) => {
-      Tables.events(s, dir)
+      sortedSpread(Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           PgConverters.textPassthrough(concat(lit("root.u"), col("user_id"),
             lit(".e"), pmod(col("event_id"), lit(10)))).as("ltree_path"),
@@ -1904,36 +1898,32 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
             lit("\"/>"))).as("xml_text"),
           substring(col("event_type"), 1, 1).as("qchar"),
           PgConverters.bpcharPad(col("event_type"), 12).as("bp12"))
-        .orderBy(col("event_id"))
     }),
 
     "conv_timetz_text" -> ((s, dir) => {
-      Tables.events(s, dir)
+      sortedSpread(Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           PgConverters.timetzToText(timestamp_micros(expr("ts div 1000"))).as("timetz_text"))
-        .orderBy(col("event_id"))
     }),
 
     "conv_interval_negative" -> ((s, dir) => {
       // negative month/day components — Go int64 micros arithmetic is
       // sign-agnostic (builtin_converters.go:350-360)
-      Tables.events(s, dir)
+      sortedSpread(Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           PgConverters.intervalToMicros(col("user_id") - 100,
             expr("event_id % 30 - 15"),
             expr("(ts % 1000000000) div 1000")).as("interval_us"))
-        .orderBy(col("event_id"))
     }),
 
     "conv_numeric_edges" -> ((s, dir) => {
       // numeric magnitudes: tiny / huge / repeating-fraction doubles;
       // single IEEE ops (correctly rounded) keep engines bit-identical
-      Tables.events(s, dir)
+      sortedSpread(Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           (col("event_id") / 1000.0).as("small_val"),
           (col("event_id") * 1000000000000.0).as("big_val"),
           (-(col("event_id") / 7.0)).as("frac_val"))
-        .orderBy(col("event_id"))
     }),
 
     "conv_array_long" -> ((s, dir) => {
@@ -1941,11 +1931,10 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       val arr = array(
         pmod(col("user_id"), lit(100)).cast("int") - 50,
         pmod(col("event_id"), lit(97)).cast("int") - 48)
-      Tables.events(s, dir)
+      sortedSpread(Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           array_join(transform(PgConverters.arrayOf(PgConverters.uint32ToLong)(arr),
             _.cast("string")), ",").as("arr_vals"))
-        .orderBy(col("event_id"))
     }),
 
     "conv_array_date_days" -> ((s, dir) => {
@@ -1959,18 +1948,17 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
 
     "conv_array_ts_millis" -> ((s, dir) => {
       val arr = array(col("l_shipdate"), expr("l_shipdate + INTERVAL 1 DAY"))
-      Tables.lineitem(s, dir)
+      sortedSpread(Tables.lineitem(s, dir), col("l_orderkey"), col("l_linenumber"))
         .select(col("l_orderkey"), col("l_linenumber"),
           array_join(transform(PgConverters.arrayOf(PgConverters.timestampToMillis)(arr),
             _.cast("string")), ",").as("ms_arr"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
     "conv_array_mixed" -> ((s, dir) => {
       // boolean[], uuid[], text[], interval[], composite[] element lifts
       val u = col("user_id"); val e = col("event_id")
       val uuidOf = (c: Column) => PgConverters.uuidFromHex32(md5(c.cast("string")))
-      Tables.events(s, dir)
+      sortedSpread(Tables.events(s, dir), col("event_id"))
         .select(e.as("event_id"),
           array_join(transform(array(pmod(e, lit(2)) === 0, pmod(u, lit(3)) === 0),
             _.cast("string")), ",").as("bool_arr"),
@@ -1983,7 +1971,6 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
           to_json(array(
             PgConverters.compositeToStruct("a" -> u),
             PgConverters.compositeToStruct("a" -> pmod(e, lit(10))))).as("comp_arr"))
-        .orderBy(col("event_id"))
     }),
 
     "conv_array_more" -> ((s, dir) => {
@@ -1992,8 +1979,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       val u = col("user_id"); val e = col("event_id")
       val m = pmod(e, lit(100))
       // sort first, project after — see conv_array_scalar_sweep
-      Tables.events(s, dir)
-        .orderBy(col("event_id"))
+      sortedSpread(Tables.events(s, dir), col("event_id"))
         .select(e.as("event_id"),
           array_join(array(
             PgConverters.pointToText(u, m),
@@ -2012,11 +1998,10 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
 
     "conv_array_bits" -> ((s, dir) => {
       val arr = array(pmod(col("user_id"), lit(256)), pmod(col("event_id"), lit(256)))
-      Tables.events(s, dir)
+      sortedSpread(Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           array_join(PgConverters.arrayOf(c => PgConverters.bitsToString(c, 8))(arr), ",")
             .as("bits_arr"))
-        .orderBy(col("event_id"))
     }),
 
     "conv_array_scalar_sweep" -> ((s, dir) => {
@@ -2031,8 +2016,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // sort FIRST, project after: the range exchange ships the narrow
       // source rows, not the ~17 wide rendered strings (the projection
       // is order-preserving, so output order is unchanged)
-      Tables.events(s, dir)
-        .orderBy(col("event_id"))
+      sortedSpread(Tables.events(s, dir), col("event_id"))
         .select(e.as("event_id"),
           array_join(array(concat(lit("t_"), u), concat(lit("idx_"), pmod(e, lit(10)))), ",").as("name_arr"),
           array_join(array(lower(hex(col("event_type").cast("binary"))),
@@ -2083,8 +2067,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       def day(shift: Int) = date_format(
         timestamp_micros(expr(s"ts div 1000 + ${shift.toLong * 86400000000L}")), "yyyy-MM-dd")
       // sort first, project after — see conv_array_scalar_sweep
-      Tables.events(s, dir)
-        .orderBy(col("event_id"))
+      sortedSpread(Tables.events(s, dir), col("event_id"))
         .select(e.as("event_id"),
           array_join(array(PgConverters.timeToText(t0), PgConverters.timeToText(t1)), ",").as("time_arr"),
           array_join(array(PgConverters.timetzToText(t0), PgConverters.timetzToText(t1)), ",").as("timetz_arr"),
@@ -2137,12 +2120,12 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // banding calibration: raw LSH candidate precision/recall vs the
       // exact Jaccard truth set — the measured S-curve that picks
       // (bands × rows) before a 100 TB run commits to one
-      Dedup.lshEval(Tables.documents(s, dir))),
+      Dedup.lshEval(Tables.documentsSpread(s, dir))),
 
     "dedup_incremental" -> ((s, dir) => {
       // continuous-ingest dedup: short-named sources (src0..src9) play
       // the historical corpus, long-named (src10..src19) the new batch
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documentsSpread(s, dir)
       Dedup.incrementalPrune(
         batch   = docs.filter(length(col("source")) === 5),
         history = docs.filter(length(col("source")) === 4))
@@ -2172,22 +2155,22 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
 
     // ============ training-data pipeline: text analysis ============
     "text_quality" -> ((s, dir) =>
-      TextAnalysis.qualityFeatures(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+      TextAnalysis.qualityFeatures(Tables.documentsSpread(s, dir)).orderBy(col("doc_id"))),
 
     "text_fingerprint" -> ((s, dir) => {
-      Tables.documents(s, dir)
+      Tables.documentsSpread(s, dir)
         .select(col("doc_id"), TextAnalysis.fingerprint("text").as("fp"))
         .orderBy(col("doc_id"))
     }),
 
     "text_repetition" -> ((s, dir) =>
-      TextAnalysis.repetitionMetrics(Tables.documents(s, dir)).orderBy(col("doc_id"))),
+      TextAnalysis.repetitionMetrics(Tables.documentsSpread(s, dir)).orderBy(col("doc_id"))),
 
     "text_pii_redact" -> ((s, dir) => {
       // The synthetic corpus carries no PII, so seed deterministic
       // PII-shaped content from doc_id (both engines derive the same
       // input) — the redaction pass then has real work to do.
-      val seeded = Tables.documents(s, dir).select(col("doc_id"),
+      val seeded = Tables.documentsSpread(s, dir).select(col("doc_id"),
         concat_ws(" ",
           substring(col("text"), 1, 40),
           concat(lit("contact user"), col("doc_id").cast("string"), lit("@example.com")),
@@ -2205,24 +2188,24 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     "text_contamination" -> ((s, dir) => {
       // Benchmark stand-in: two sources play the eval suite; the rest is
       // the corpus. 5-gram collision counts per corpus doc.
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documentsSpread(s, dir)
       val bench  = docs.filter(col("source").isin("src0", "src1"))
       val corpus = docs.filter(!col("source").isin("src0", "src1"))
       TextAnalysis.contamination(corpus, bench, n = 5).orderBy(col("doc_id"))
     }),
 
     "emb_quantize" -> ((s, dir) =>
-      Similarity.quantizeInt8(Tables.embeddings(s, dir)).orderBy(col("vec_id"))),
+      Similarity.quantizeInt8(Tables.embeddingsSpread(s, dir)).orderBy(col("vec_id"))),
 
     "embed_project" -> ((s, dir) =>
       // JL random projection 64→8 dims; shuffle-free per-row map
-      Similarity.randomProject(Tables.embeddings(s, dir)).orderBy(col("vec_id"))),
+      Similarity.randomProject(Tables.embeddingsSpread(s, dir)).orderBy(col("vec_id"))),
 
     "embed_dim_drift" -> ((s, dir) => {
       // model-input drift monitor: per-dimension exact mean shift between
       // the even-id slice (the "fitted" corpus) and the odd-id slice
       // (the "arriving" one), scaled by the fitted slice's range
-      val emb = Tables.embeddings(s, dir)
+      val emb = Tables.embeddingsSpread(s, dir)
       Similarity.dimDrift(
           emb.filter(pmod(col("vec_id"), lit(2)) === 0),
           emb.filter(pmod(col("vec_id"), lit(2)) === 1))
@@ -2232,34 +2215,34 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     "embed_dim_stats" -> ((s, dir) =>
       // per-dimension micro-exact stats — the normalization/whitening
       // input table; one (pos)-keyed partial agg
-      Similarity.dimStats(Tables.embeddings(s, dir)).orderBy(col("pos"))),
+      Similarity.dimStats(Tables.embeddingsSpread(s, dir)).orderBy(col("pos"))),
 
     "embed_power_iteration" -> ((s, dir) =>
       // 1-component PCA direction via 3 integer power iterations (two
       // sparse matvecs + max-|w| renorm per round, broadcast direction)
-      Similarity.powerIterationTop(Tables.embeddings(s, dir), iters = 3)
+      Similarity.powerIterationTop(Tables.embeddingsSpread(s, dir), iters = 3)
         .orderBy(col("pos"))),
 
     "ann_pq_codes" -> ((s, dir) =>
       // product-quantization encode; zero corpus shuffle
-      Similarity.pqCodes(Tables.embeddings(s, dir))
+      Similarity.pqCodes(Tables.embeddingsSpread(s, dir))
         .orderBy(col("vec_id"), col("subspace"))),
 
     "ann_pq_adc_topk" -> ((s, dir) => {
       // ADC search over PQ codes: 8 bytes touched per corpus vector
-      val emb = Tables.embeddings(s, dir)
+      val emb = Tables.embeddingsSpread(s, dir)
       Similarity.pqAdcTopK(emb.filter(col("vec_id") < 10), emb, k = 10)
         .orderBy(col("query_id"), col("rank"))
     }),
 
     "embed_centroids" -> ((s, dir) =>
       // per-label centroids as exact integer micro-sums + count
-      Similarity.centroidSumsByLabel(Tables.embeddings(s, dir))
+      Similarity.centroidSumsByLabel(Tables.embeddingsSpread(s, dir))
         .orderBy(col("label"), col("pos"))),
 
     "text_classifier" -> ((s, dir) =>
       // hashed-feature linear scorer; keep-flag at score > 0
-      Tables.documents(s, dir)
+      Tables.documentsSpread(s, dir)
         .select(col("doc_id"),
           TextAnalysis.classifierScoreMilli("text").as("score_milli"))
         .withColumn("kept", col("score_milli") > 0)
@@ -2267,13 +2250,13 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
 
     "text_compressibility" -> ((s, dir) =>
       // gzip-ratio proxy: distinct/total 4-gram ppm, zero shuffle
-      TextAnalysis.compressibility(Tables.documents(s, dir))
+      TextAnalysis.compressibility(Tables.documentsSpread(s, dir))
         .orderBy(col("doc_id"))),
 
     "text_rake_keywords" -> ((s, dir) =>
       // phrase-level keywords (RAKE): stopword-split candidate runs,
       // deg/freq word scores in milli fixed point, per-doc top-3
-      TextAnalysis.rakeKeywords(Tables.documents(s, dir), k = 3)
+      TextAnalysis.rakeKeywords(Tables.documentsSpread(s, dir), k = 3)
         .orderBy(col("doc_id"), col("rank"))),
 
     "classifier_perceptron" -> ((s, dir) =>
@@ -2282,12 +2265,12 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // integer features — exact-integer updates, broadcast weight
       // vector, unrolled-SQL oracle parity
       Learn.perceptronTrain(
-          Learn.perceptronFeatures(Tables.documents(s, dir)), iters = 3)
+          Learn.perceptronFeatures(Tables.documentsSpread(s, dir)), iters = 3)
         .orderBy(col("pos"))),
 
     "classifier_perceptron_eval" -> ((s, dir) => {
       // training-set confusion of the trained hyperplane (ties = errors)
-      val feats = Learn.perceptronFeatures(Tables.documents(s, dir))
+      val feats = Learn.perceptronFeatures(Tables.documentsSpread(s, dir))
       Learn.perceptronEval(feats, Learn.perceptronTrain(feats, iters = 3))
         .orderBy(col("y"))
     }),
@@ -2307,24 +2290,24 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     "vocab_bpe_merges" -> ((s, dir) =>
       // tokenizer TRAINING (Sennrich BPE): corpus touched once for the
       // word-freq table, then 6 merge rounds over the vocab-sized table
-      TextAnalysis.bpeMerges(Tables.documents(s, dir), nMerges = 6)),
+      TextAnalysis.bpeMerges(Tables.documentsSpread(s, dir), nMerges = 6)),
 
     "vocab_bpe_fertility" -> ((s, dir) =>
       // symbols-per-word by source under the learned tokenizer — the
       // corpus-mass → token-budget conversion a mixing plan needs
-      TextAnalysis.bpeFertility(Tables.documents(s, dir), nMerges = 6)
+      TextAnalysis.bpeFertility(Tables.documentsSpread(s, dir), nMerges = 6)
         .orderBy(col("source"))),
 
     "vocab_bpe_encode" -> ((s, dir) =>
       // the tokenizer APPLIED: every doc as its loader-ready subword-id
       // sequence under the 6-merge fit; two broadcast vocab joins
-      TextAnalysis.bpeEncode(Tables.documents(s, dir), nMerges = 6)
+      TextAnalysis.bpeEncode(Tables.documentsSpread(s, dir), nMerges = 6)
         .orderBy(col("doc_id"))),
 
     "pack_token_ids" -> ((s, dir) =>
       // the full loader artifact: BPE-encoded corpus concat-and-chopped
       // into 256-id context windows per source, in one plan
-      TextAnalysis.bpeEncodePacked(Tables.documents(s, dir), nMerges = 6,
+      TextAnalysis.bpeEncodePacked(Tables.documentsSpread(s, dir), nMerges = 6,
           windowTokens = 256)
         .orderBy(col("source"), col("win"))),
 
@@ -2352,12 +2335,12 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
 
     "text_tfidf_topk" -> ((s, dir) =>
       // integer-exact per-doc keyword extraction
-      TextAnalysis.tfidfTopK(Tables.documents(s, dir))
+      TextAnalysis.tfidfTopK(Tables.documentsSpread(s, dir))
         .orderBy(col("doc_id"), col("rank"))),
 
     "dedup_substring_spans" -> ((s, dir) =>
       // Lee-et-al exact-substring dedup: first occurrence survives
-      Dedup.substringSpans(Tables.documents(s, dir))
+      Dedup.substringSpans(Tables.documentsSpread(s, dir))
         .orderBy(col("doc_id"))),
 
     "dedup_self_spans" -> ((s, dir) =>
@@ -2420,7 +2403,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // canonical-URL dedup over deterministically synthesized messy
       // URLs: case/port/tracking-param/fragment variants of the same
       // page collapse to one key (zero shuffle before the one groupBy)
-      Web.urlDedup(Tables.documents(s, dir), synthUrl)
+      Web.urlDedup(Tables.documentsSpread(s, dir), synthUrl)
         .orderBy(col("url_norm"))),
 
     "web_joint_dedup" -> ((s, dir) => {
@@ -2429,7 +2412,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // only the MinHash-LSH near-dup pairs drive the iterative CC —
       // exact quotient-graph equivalence to clustering the edge union
       // (the r13 form), at a fraction of the loop's node/edge count
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documentsSpread(s, dir)
       val withUrl = docs.select(col("doc_id"), Web.urlNormalize(synthUrl).as("u"))
       val ka = withUrl.groupBy(col("u")).agg(min(col("doc_id")).as("ka"))
       val anchors = withUrl.join(ka, "u")
@@ -2500,7 +2483,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // green-list watermark detector (Kirchenbauer et al. 2023):
       // prev-token-seeded green fraction + one-proportion z statistic,
       // FNV-based so the whole statistic hash-verifies
-      TextAnalysis.watermarkDetect(Tables.documents(s, dir))
+      TextAnalysis.watermarkDetect(Tables.documentsSpread(s, dir))
         .orderBy(col("doc_id"))),
 
     "web_pagerank" -> ((s, dir) => {
@@ -2526,14 +2509,14 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // corpus mass per registrable domain (PSL-approximate: co.uk-
       // style generic second levels take three labels) — the input
       // table for per-domain caps and blocklist review
-      Web.domainStats(Tables.documents(s, dir), synthUrl)
+      Web.domainStats(Tables.documentsSpread(s, dir), synthUrl)
         .orderBy(col("domain"))),
 
     "web_domain_filter" -> ((s, dir) => {
       import s.implicits._
       // blocklist gate: broadcast anti-join on registrable domain,
       // surviving corpus counted per source
-      Web.domainFilter(Tables.documents(s, dir), synthUrl,
+      Web.domainFilter(Tables.documentsSpread(s, dir), synthUrl,
           Seq("site7.com", "site13.com", "site0.co.uk").toDF("domain"))
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
         .orderBy(col("source"))
@@ -2544,7 +2527,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // composes with the sampling family — registrable domain becomes
       // the capPerGroup key (one window shuffle), longest docs survive
       Sampling.capPerGroup(
-          Tables.documents(s, dir)
+          Tables.documentsSpread(s, dir)
             .withColumn("domain", Web.registrableDomain(synthUrl)),
           "domain", n = 5, Seq(col("n_chars").desc, col("doc_id")))
         .select(col("domain"), col("doc_id"), col("n_chars"))
@@ -2556,7 +2539,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     }),
 
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, threshold10 = 4)
+      Dedup.jaccardPairs(Tables.documentsSpread(s, dir), n = 3, threshold10 = 4)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -2564,31 +2547,31 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // per-doc novelty: share of the doc's 3-grams first seen HERE —
       // the first-occurrence trick at gram granularity, one linear
       // groupBy + join, no per-doc distinct scans
-      TextAnalysis.ngramNovelty(Tables.documents(s, dir))
+      TextAnalysis.ngramNovelty(Tables.documentsSpread(s, dir))
         .orderBy(col("doc_id"))),
 
     "dedup_clusters" -> ((s, dir) => {
-      Dedup.clusters(Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, threshold10 = 4))
+      Dedup.clusters(Dedup.jaccardPairs(Tables.documentsSpread(s, dir), n = 3, threshold10 = 4))
         .orderBy(col("doc_id"))
     }),
 
     "dedup_canonical" -> ((s, dir) => {
       // the SHIP step after near-dup detection: one keeper per cluster
       // (longest doc, ties to lowest id); filter(keep) = pruned corpus
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documentsSpread(s, dir)
       Dedup.canonicalKeep(docs,
           Dedup.jaccardPairs(docs, n = 3, threshold10 = 4))
         .orderBy(col("doc_id"))
     }),
 
     "dedup_neardup_embedding" -> ((s, dir) => {
-      Dedup.embeddingNearDups(Tables.embeddings(s, dir), 0.45)
+      Dedup.embeddingNearDups(Tables.embeddingsSpread(s, dir), 0.45)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
     // ============ training-data pipeline: similarity search ============
     "ann_cosine_topk" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
+      val emb = Tables.embeddingsSpread(s, dir)
       Similarity.cosineTopK(emb.filter(col("vec_id") < 10), emb, 5)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))
@@ -2597,7 +2580,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     "ann_mmr_diverse" -> ((s, dir) => {
       // MMR diversified top-k: greedy λ·rel − (1−λ)·max-sim-to-picked
       // over a top-30 relevance cut (retrieve-then-rerank geometry)
-      val emb = Tables.embeddings(s, dir)
+      val emb = Tables.embeddingsSpread(s, dir)
       Similarity.mmrSelect(emb.filter(col("vec_id") < 6), emb,
           k = 4, lambdaMicro = 700000L, preselect = 30)
         .withColumnRenamed("rank", "rnk")
@@ -3004,7 +2987,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // PolyIn expressions (dispatch at analysis, codegen at run time)
       graft.filter.EventFilter(
         """event_type[0:3] in {sig: 1, pur: 2, vie: 3} && len(props[2:6]) == 4 && type(user_id) == "int"""")
-        .apply(Cdc.walEvents(s, dir))
+        .apply(Cdc.shapeWal(Tables.eventsSpread(s, dir)))
         .select(col("lsn"), col("event_type"), col("user_id"))
         .orderBy(col("lsn"))
     }),
@@ -3015,7 +2998,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // #acc accumulator, findIndex — one narrow codegen predicate
       graft.filter.EventFilter(
         """let v = int(props[6:-1]); v in 10..60 && reduce(take(1..v, 3), #acc + #, int(0)) == 6 && findIndex(split(props, ":"), {hasPrefix(#, " ")}) == 1""")
-        .apply(Cdc.walEvents(s, dir))
+        .apply(Cdc.shapeWal(Tables.eventsSpread(s, dir)))
         .select(col("lsn"), col("user_id"), col("props"))
         .orderBy(col("lsn"))
     }),
@@ -3026,7 +3009,10 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // a base64 round-trip — still one narrow codegen predicate
       graft.filter.EventFilter(
         """let toks = split(props, ":"); let lens = map(toks, {len(#)}); let v = int(props[6:-1]); findLastIndex(toks, {hasSuffix(#, "}")}) == 1 && findLast(toks, {hasPrefix(#, "{")}) == get(toks, 0) && takeLast(sortBy(concat(lens, [v]), #), 1) == [v] && mean(concat(lens, [v])) >= 20.0 && len(get(groupBy(toks, len(#)), 4)) >= 1 && fromBase64(toBase64(props)) == props""")
-        .apply(Cdc.walEvents(s, dir))
+        // spread input: this wave's predicate (sortBy/groupBy/base64
+        // kernels) is pure compute no scan could push — layout-aware
+        // fan-out off the single-row-group fixture (no-op at scale)
+        .apply(Cdc.shapeWal(Tables.eventsSpread(s, dir)))
         .select(col("lsn"), col("user_id"), col("props"))
         .orderBy(col("lsn"))
     }),
@@ -3036,7 +3022,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // Catalyst operators) and lastIndexOf (reverse-trick compile)
       graft.filter.EventFilter(
         """bitand(user_id, 7) in [1, 2, 3] && bitshl(1, 3) == 8 && bitushr(bitshl(user_id, 1), 1) == user_id && bitxor(bitor(user_id, 4), 4) <= user_id && lastIndexOf(props, "1") >= 2 && lastIndexOf(props, "zz") == -1""")
-        .apply(Cdc.walEvents(s, dir))
+        .apply(Cdc.shapeWal(Tables.eventsSpread(s, dir)))
         .select(col("lsn"), col("user_id"), col("props"))
         .orderBy(col("lsn"))),
 
@@ -3046,7 +3032,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // splitAfter — the whole predicate stays one codegen projection
       graft.filter.EventFilter(
         """int(get(fromJSON(value.props), "k")) >= 40 && len(toPairs(fromJSON(value.props))) == 1 && get(fromPairs(toPairs(fromJSON(value.props))), "k") == get(fromJSON(value.props), "k") && len(splitAfter(value.event_type, "e")) >= 2 && first(splitAfter(value.event_type, "e")) != "e" && len(toJSON(keys(fromJSON(value.props)))) == 5""")
-        .apply(Cdc.walEvents(s, dir))
+        .apply(Cdc.shapeWal(Tables.eventsSpread(s, dir)))
         .select(col("lsn"), col("user_id"), col("event_type"), col("props"))
         .orderBy(col("lsn"))),
 
@@ -3060,7 +3046,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
           |m?.k != nil && (m?.absent ?? "42") == "42" &&
           |int(fromJSON(value.props)?.k) >= 0 &&
           |(int(m?.absent) ?? -1) == -1""".stripMargin)
-        .apply(Cdc.walEvents(s, dir))
+        .apply(Cdc.shapeWal(Tables.eventsSpread(s, dir)))
         .select(col("lsn"), col("user_id"), col("props"))
         .orderBy(col("lsn"))),
 
@@ -3078,7 +3064,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
           |keySchema.name == "graft.public.events.Key" &&
           |keySchema.fields[0]["name"] == "event_id" &&
           |value.user_id % 2 == 0""".stripMargin)
-        .apply(Cdc.walEvents(s, dir))
+        .apply(Cdc.shapeWal(Tables.eventsSpread(s, dir)))
         .select(col("lsn"), col("user_id"))
         .orderBy(col("lsn"))),
 
@@ -3090,7 +3076,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // oracle test is a FIXED-OFFSET id so the DuckDB twin is plain
       // interval arithmetic (no ICU dependency); DST-zone parity is
       // spec-proven against java.time in EventFilterSpec instead.
-      val wal = Cdc.walEvents(s, dir)
+      val wal = Cdc.shapeWal(Tables.eventsSpread(s, dir))
         .withColumn("dt",
           date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd HH:mm:ss"))
       graft.filter.EventFilter(
@@ -3384,7 +3370,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     "text_bleu_pairs" -> ((s, dir) =>
       // BLEU-style clipped n-gram precisions (p1..p4 ppm) + brevity
       // parts per (even, odd) doc pair — the synthetic-rewrite QA gate
-      TextAnalysis.bleuPairs(Tables.documents(s, dir))
+      TextAnalysis.bleuPairs(Tables.documentsSpread(s, dir))
         .orderBy(col("pair_id"))),
 
     "classifier_calibration" -> ((s, dir) => {
@@ -3392,7 +3378,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // (scale-invariant; portable FLOOR(x·n/max) signed division) vs
       // empirical positive rate — score order must carry probability
       // before the hyperplane gates a corpus
-      val feats = Learn.perceptronFeatures(Tables.documents(s, dir))
+      val feats = Learn.perceptronFeatures(Tables.documentsSpread(s, dir))
       Learn.calibrationReport(feats, Learn.perceptronTrain(feats, iters = 3))
         .orderBy(col("bin"))
     }),
@@ -3497,8 +3483,8 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     "dedup_prune" -> ((s, dir) => {
       // end-to-end dedup: drop every doc that appears as the right side
       // of a near-dup pair (keep-lowest-id policy)
-      val pairs = Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, threshold10 = 4)
-      Tables.documents(s, dir)
+      val pairs = Dedup.jaccardPairs(Tables.documentsSpread(s, dir), n = 3, threshold10 = 4)
+      Tables.documentsSpread(s, dir)
         .join(pairs.select(col("doc_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
@@ -3509,7 +3495,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     //      only the kmeans IVF variant stays rows-only (float-mean
     //      association order is engine-defined) ----
     "dedup_minhash_lsh" -> ((s, dir) => {
-      Dedup.minhashLshPairs(Tables.documents(s, dir)).orderBy(col("doc_a"), col("doc_b"))
+      Dedup.minhashLshPairs(Tables.documentsSpread(s, dir)).orderBy(col("doc_a"), col("doc_b"))
     }),
 
     "dedup_paragraph_minhash" -> ((s, dir) => {
@@ -3518,20 +3504,20 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // collide): 16-token chunk units re-keyed doc_id·1000+chunk_no,
       // then the SAME MinHash+LSH stack — chunking is a narrow
       // projection, so the scale shape is unchanged from doc-level
-      val units = TextAnalysis.chunk(Tables.documents(s, dir), width = 16, overlap = 0)
+      val units = TextAnalysis.chunk(Tables.documentsSpread(s, dir), width = 16, overlap = 0)
         .select((col("doc_id") * 1000 + col("chunk_no")).as("doc_id"),
           col("chunk_text").as("text"))
       Dedup.minhashLshPairs(units).orderBy(col("doc_a"), col("doc_b"))
     }),
 
     "dedup_simhash" -> ((s, dir) => {
-      Dedup.simhash(Tables.documents(s, dir)).orderBy(col("doc_id"))
+      Dedup.simhash(Tables.documentsSpread(s, dir)).orderBy(col("doc_id"))
     }),
 
     "ann_ivf_topk" -> ((s, dir) => {
       // DEFAULT path: fitted exact-mean quantizer (2 Lloyd rounds) +
       // balance guard; hash-verified against the unrolled-kmeans twin
-      val emb = Tables.embeddings(s, dir)
+      val emb = Tables.embeddingsSpread(s, dir)
       Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, 5, nLists = 16, nProbe = 4)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))
@@ -3541,7 +3527,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // the 100 TB fit posture: Lloyd rounds over the pmod(vec_id,2)=0
       // HALF of the corpus, assignment over everything — sampled fits
       // stay hash-verified because the sample predicate is engine-neutral
-      val emb = Tables.embeddings(s, dir)
+      val emb = Tables.embeddingsSpread(s, dir)
       Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, 5, nLists = 16,
           nProbe = 4, fitSampleMod = 2)
         .withColumnRenamed("rank", "rnk")
@@ -3550,7 +3536,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
 
     "ann_ivf_seed_topk" -> ((s, dir) => {
       // seeded lowest-id quantizer baseline (kmeansIters = 0)
-      val emb = Tables.embeddings(s, dir)
+      val emb = Tables.embeddingsSpread(s, dir)
       Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, 5, nLists = 16,
           nProbe = 4, kmeansIters = 0)
         .withColumnRenamed("rank", "rnk")
@@ -3559,7 +3545,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
 
     "ann_ivf_pq_topk" -> ((s, dir) => {
       // true IVF-PQ: coarse quantizer routes, product quantizer scores
-      val emb = Tables.embeddings(s, dir)
+      val emb = Tables.embeddingsSpread(s, dir)
       Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, 10,
           nLists = 16, nProbe = 4)
         .orderBy(col("query_id"), col("rank"))
@@ -3568,7 +3554,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     "ann_ivf_pq_rerank" -> ((s, dir) => {
       // two-stage: PQ proposes 30 candidates, exact cosine re-scores
       // — full vectors touched only for candidates, never the corpus
-      val emb = Tables.embeddings(s, dir)
+      val emb = Tables.embeddingsSpread(s, dir)
       Similarity.ivfPqRerank(emb.filter(col("vec_id") < 10), emb, k = 10,
           kCand = 30, nLists = 16, nProbe = 4)
         .orderBy(col("query_id"), col("rank"))
@@ -3577,7 +3563,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     "ann_ivf_kmeans_topk" -> ((s, dir) => {
       // deeper fit: 3 distributed Lloyd rounds. Exact fixed-point means
       // made this hash-verifiable (was rows-only when means were float)
-      val emb = Tables.embeddings(s, dir)
+      val emb = Tables.embeddingsSpread(s, dir)
       Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, 5, nLists = 16,
           nProbe = 4, kmeansIters = 3)
         .withColumnRenamed("rank", "rnk")
@@ -3585,7 +3571,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     }),
 
     "ann_lsh_cosine" -> ((s, dir) => {
-      Similarity.lshCosinePairs(Tables.embeddings(s, dir), dim = 64, threshold = 0.3)
+      Similarity.lshCosinePairs(Tables.embeddingsSpread(s, dir), dim = 64, threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -3593,14 +3579,14 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // the pre-flight saturation audit for the LSH candidate join:
       // candidate_pairs prices each table's within-bucket join without
       // running it — the number that says "raise nPlanes" at scale
-      Similarity.lshBucketStats(Tables.embeddings(s, dir), dim = 64)
+      Similarity.lshBucketStats(Tables.embeddingsSpread(s, dir), dim = 64)
         .orderBy(col("tbl"))),
 
     "ann_ivf_balance" -> ((s, dir) =>
       // the quantizer-skew report: per-list size/share + micro-cosine
       // cohesion for the default fitted quantizer — read BEFORE a run,
       // fixed with more Lloyd rounds / higher k / the salt guard
-      Similarity.ivfBalance(Tables.embeddings(s, dir), nLists = 16,
+      Similarity.ivfBalance(Tables.embeddingsSpread(s, dir), nLists = 16,
           kmeansIters = 2)
         .orderBy(col("centroid_id"))),
 
@@ -3609,7 +3595,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // probe path (nProbe=2, deliberately lossy) against the exact
       // scan, per query — the number that decides nProbe before a
       // 100 TB index build. Integer pct keeps it engine-exact.
-      val emb = Tables.embeddings(s, dir)
+      val emb = Tables.embeddingsSpread(s, dir)
       val qs = emb.filter(col("vec_id") < 10)
       val exact = Similarity.cosineTopK(qs, emb, 5)
         .select(col("query_id"), col("neighbor_id"))
@@ -3624,7 +3610,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     }),
 
     "text_langid" -> ((s, dir) => {
-      Tables.documents(s, dir)
+      Tables.documentsSpread(s, dir)
         .select(col("doc_id"), TextAnalysis.langId("text").as("pred_lang"))
         .orderBy(col("doc_id"))
     }),
@@ -3640,7 +3626,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         replace(col("text"), lit(" the "), lit(" &amp; ")),
         lit(" &lt;tag&gt; &amp;lt;literal&#39;s&nbsp;end</p>" +
           "<!-- note --></body></html>"))
-      Tables.documents(s, dir)
+      Tables.documentsSpread(s, dir)
         .select(col("doc_id"), TextAnalysis.stripMarkup(html).as("clean"))
         .withColumn("n_tokens",
           TextAnalysis.tokenCount(col("clean")).cast("long"))
@@ -3651,7 +3637,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // the langid AUDIT: predicted × labeled confusion counts — the
       // first table anyone checks before trusting a language gate.
       // One corpus scan + one tiny (|langs|²-row) groupBy
-      Tables.documents(s, dir)
+      Tables.documentsSpread(s, dir)
         .select(col("lang"), TextAnalysis.langId("text").as("pred_lang"))
         .groupBy(col("lang"), col("pred_lang"))
         .agg(count(lit(1)).as("n_docs"))
@@ -3781,8 +3767,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // the ~1 KB render + full parse-back run ABOVE it on all lanes —
       // below it they ran inside the single-row-group scan task. Same
       // rows, same builder (envelopeJsonCol), same parse.
-      Cdc.walEvents(s, dir)
-        .orderBy(col("lsn"))
+      sortedSpread(Cdc.walEvents(s, dir), col("lsn"))
         .select(col("lsn"),
           from_json(Cdc.envelopeJsonCol(), envSchema).as("env"),
           from_json(Cdc.envelopeKeyJsonCol, keySchema).as("k"))
@@ -3808,14 +3793,14 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     "dedup_semantic" -> ((s, dir) => {
       // SemDeDup: cluster-scoped cosine pairs (within-cluster equi-join,
       // never all-pairs) with each side's centroid similarity
-      Dedup.semanticDupPairs(Tables.embeddings(s, dir), nClusters = 16, threshold = 0.4)
+      Dedup.semanticDupPairs(Tables.embeddingsSpread(s, dir), nClusters = 16, threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
     "dedup_semantic_prune" -> ((s, dir) => {
       // keep the LOWER-centroid-sim side of every dup relation (the
       // paper's diversity-keeping policy, parallel relaxation)
-      Dedup.semanticPrune(Tables.embeddings(s, dir), nClusters = 16, threshold = 0.4)
+      Dedup.semanticPrune(Tables.embeddingsSpread(s, dir), nClusters = 16, threshold = 0.4)
         .select(col("vec_id"), col("label"))
         .orderBy(col("vec_id"))
     }),
@@ -3823,7 +3808,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     "dedup_semantic_incremental" -> ((s, dir) => {
       // continuous-ingest SemDeDup: batch (high ids) pruned against the
       // frozen history (low ids), binned by the HISTORY's quantizer
-      val emb = Tables.embeddings(s, dir)
+      val emb = Tables.embeddingsSpread(s, dir)
       Dedup.semanticPruneIncremental(
           batch = emb.filter(col("vec_id") >= 350),
           history = emb.filter(col("vec_id") < 350),
@@ -3836,7 +3821,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // the τ-tuning chart: pairs + cumulative would-be-drops per cosine
       // threshold bucket, ONE pass over the pair set (re-running dedup
       // per candidate τ is the naive 100 TB mistake)
-      Dedup.semanticThresholdSweep(Tables.embeddings(s, dir), nClusters = 16,
+      Dedup.semanticThresholdSweep(Tables.embeddingsSpread(s, dir), nClusters = 16,
           tauFloor = 0.2, step = 0.05)
         .orderBy(col("threshold_milli"))),
 
@@ -3871,7 +3856,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // cap (EditDistanceDfCap=250, slope 0.15 across the sf0.8
       // synthetic decade) — the configuration a 1000-executor run
       // should get without reading the docs
-      val titles = Tables.documents(s, dir)
+      val titles = Tables.documentsSpread(s, dir)
         .select(col("doc_id"), substring(col("text"), 1, 24).as("text"))
       Dedup.editDistancePairs(titles, k = 6)
         .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
@@ -3883,7 +3868,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // segment blocks in play (pre-cap quadratic candidate regime —
       // SCALING.md's sf0.8 forensics measured slope 1.21); for small
       // corpora where the extra candidates are affordable
-      val titles = Tables.documents(s, dir)
+      val titles = Tables.documentsSpread(s, dir)
         .select(col("doc_id"), substring(col("text"), 1, 24).as("text"))
       Dedup.editDistancePairs(titles, k = 6, dfCap = 2000)
         .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
@@ -3896,7 +3881,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // cap cuts, with its document frequency — the corpus owner's
       // before-trusting-the-default inspection surface. Small cap here
       // so the fixture exercises a non-trivial excision set
-      val titles = Tables.documents(s, dir)
+      val titles = Tables.documentsSpread(s, dir)
         .select(col("doc_id"), substring(col("text"), 1, 24).as("text"))
       Dedup.editDistanceExcisedBlocks(titles, k = 6, dfCap = 8)
         .select(col("seg_i").cast("long").as("seg_i"), col("seg"),
@@ -3949,7 +3934,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     "ann_matryoshka_recall" -> ((s, dir) => {
       // Matryoshka truncation eval: recall@10 of 16-dim-prefix cosine
       // search vs the 64-dim truth — is the 4x cheaper index safe?
-      val emb = Tables.embeddings(s, dir)
+      val emb = Tables.embeddingsSpread(s, dir)
       Similarity.matryoshkaRecall(emb.filter(col("vec_id") < 10), emb,
           k = 10, prefixDim = 16)
         .orderBy(col("query_id"))
@@ -4013,7 +3998,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // Brants et al. 2007 stupid-backoff trigram scoring: highest
       // observed order wins, lower orders carry the fixed 0.4 factor —
       // integer-exact micro scores, model fit on the clean-slice
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documentsSpread(s, dir)
       TextAnalysis.stupidBackoffMilli(
           docs.filter(length(col("source")) === 5),
           reference = docs.filter(length(col("source")) === 4))
@@ -4028,7 +4013,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
 
     "text_bm25_topk" -> ((s, dir) => {
       // integer fixed-point BM25 retrieval for a fixed query term set
-      TextAnalysis.bm25TopK(Tables.documents(s, dir),
+      TextAnalysis.bm25TopK(Tables.documentsSpread(s, dir),
           Seq("hash", "join", "vector"), k = 15)
         .orderBy(col("score_milli").desc, col("doc_id"))
     }),
@@ -4131,7 +4116,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     "ann_sq_topk" -> ((s, dir) => {
       // SQ8 search: exact i64 dot over int8 codes, scales multiply back
       // in only at the final fixed-order score
-      val emb = Tables.embeddings(s, dir)
+      val emb = Tables.embeddingsSpread(s, dir)
       Similarity.sqTopK(emb.filter(col("vec_id") < 10), emb, 5)
         .orderBy(col("query_id"), col("rnk"))
     }),
@@ -4151,7 +4136,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     "dedup_minhash_est" -> ((s, dir) =>
       // signature-agreement Jaccard estimates vs exact, per LSH
       // candidate pair — the k-width calibration companion of lshEval
-      Dedup.minhashJaccardEst(Tables.documents(s, dir))
+      Dedup.minhashJaccardEst(Tables.documentsSpread(s, dir))
         .orderBy(col("doc_a"), col("doc_b"))),
 
     "split_leakage" -> ((s, dir) => {
@@ -4212,7 +4197,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // content-defined chunk dedup: boundaries where the 3-gram FNV
       // hits hash mod 16 = 0 (content-anchored — edits reshape chunks
       // locally, unlike fixed-width); first occurrence survives
-      Dedup.cdcChunkDedup(Tables.documents(s, dir), w = 3, maskBits = 4)
+      Dedup.cdcChunkDedup(Tables.documentsSpread(s, dir), w = 3, maskBits = 4)
         .orderBy(col("doc_id"))),
 
     "dedup_unicode_nfc" -> ((s, dir) => {
@@ -4240,7 +4225,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     }),
 
     "dedup_winnow_prune" -> ((s, dir) => {
-      Dedup.winnowingPrune(Tables.documents(s, dir), k = 5, w = 4, minShared = 2)
+      Dedup.winnowingPrune(Tables.documentsSpread(s, dir), k = 5, w = 4, minShared = 2)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     }),
@@ -4248,7 +4233,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     "dedup_cluster_report" -> ((s, dir) => {
       // the dedup run's headline output: cluster-size histogram (how
       // many dup groups of each size) over the near-dup graph
-      val pairs = Dedup.jaccardPairs(Tables.documents(s, dir), n = 3, threshold10 = 4)
+      val pairs = Dedup.jaccardPairs(Tables.documentsSpread(s, dir), n = 3, threshold10 = 4)
       Dedup.clusters(pairs)
         .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
         .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
@@ -4348,7 +4333,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // gram self-join. Gate: exact sizes hash (gate-only arithmetic,
       // same pairing as q_quantiles_approx) + deterministic bound
       // booleans — 5% of the UNION absorbs the three compounded RSEs
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documentsSpread(s, dir)
       val approx = TextAnalysis.sourceOverlapApprox(docs, n = 3)
       val exact = TextAnalysis.sourceOverlap(docs, n = 3)
         .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),

@@ -11,6 +11,52 @@ object Tables {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Parquet ROW-GROUP count of a table file (row groups, not byte
+    * splits, bound scan parallelism: Spark assigns a row group to the
+    * one task whose byte range holds its midpoint). Driver-side footer
+    * read, O(footer) per call — the same metadata any layout-aware
+    * reader consults. */
+  private def rowGroups(spark: SparkSession, dir: String, name: String): Int = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val conf = spark.sessionState.newHadoopConf()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRowGroups.size finally r.close()
+  }
+
+  /** Layout-aware fan-out for CPU-heavy per-row pipelines (guide §2.5
+    * "one huge unsplittable file … repartition immediately after the
+    * read"): when the parquet layout caps scan parallelism below the
+    * session's (the bench testdata is ONE row group per table, so every
+    * scan-rooted pipeline otherwise runs as a single task), hash-
+    * repartition on `key` to `defaultParallelism` right after the read —
+    * keyed, so retry-deterministic; N derives from the runtime. On a
+    * properly laid-out table (row groups ≥ parallelism — any real
+    * 100 TB input) this is a NO-OP: no exchange is added and parquet
+    * predicate pushdown/scan parallelism behave exactly as stock.
+    * Callers apply it only to pipelines whose per-row compute dwarfs
+    * one narrow shuffle of the input (tokenize/hash/render kernels) —
+    * never upstream of a scan-pushable predicate or a partial agg. */
+  def spread(spark: SparkSession, dir: String, name: String, df: DataFrame,
+             key: org.apache.spark.sql.Column): DataFrame = {
+    val n = spark.sparkContext.defaultParallelism
+    if (rowGroups(spark, dir, name) >= n) df else df.repartition(n, key)
+  }
+
+  /** [[documents]] fanned out for tokenize/hash-heavy consumers. */
+  def documentsSpread(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spread(spark, dir, "documents", documents(spark, dir), col("doc_id"))
+  }
+
+  /** [[events]] fanned out for render/filter-kernel-heavy consumers
+    * (the EventFilter waves and conversion sweeps evaluate complex
+    * string kernels no parquet scan could push anyway). */
+  def eventsSpread(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spread(spark, dir, "events", events(spark, dir), col("event_id"))
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "customer")
@@ -64,4 +110,11 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
+
+  /** [[embeddings]] fanned out for dot/argmax-kernel-heavy consumers
+    * (quantizer fits and assignments evaluate k×dim dots per row). */
+  def embeddingsSpread(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spread(spark, dir, "embeddings", embeddings(spark, dir), col("vec_id"))
+  }
 }

@@ -581,27 +581,31 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .distinct().localCheckpoint(true)
-    var labels = edges.select(col("a").as("doc")).distinct()
-      .withColumn("label", col("doc")).localCheckpoint(true)
-    // convergence = stable order-independent checksum of the assignment:
-    // one cheap scan over the just-materialized labels instead of the
-    // old join + count per round (which doubled per-round cost)
-    def checksum(df: DataFrame): Long =
-      // coalesce: bit_xor over ZERO rows is NULL — an empty pair graph
-      // (clean corpus) must yield zero clusters, not a crash
-      df.agg(coalesce(expr("bit_xor(xxhash64(doc, label))"), lit(0L)))
-        .head.getLong(0)
-    var prev = checksum(labels)
+    // convergence = stable order-independent checksum of the assignment,
+    // read as an observe() metric DURING the per-round checkpoint
+    // materialization — the eager checkpoint already runs a job over
+    // exactly these rows, so the old separate checksum scan (one extra
+    // driver round-trip per round; these loops are driver-latency-bound
+    // at small SF) is free. coalesce: bit_xor over ZERO rows is NULL —
+    // an empty pair graph (clean corpus) must yield zero clusters.
+    val cksumCol = coalesce(expr("bit_xor(xxhash64(doc, label))"), lit(0L))
+    def pinWithChecksum(df: DataFrame): (DataFrame, Long) = {
+      val obs = new org.apache.spark.sql.Observation()
+      val pinned = df.observe(obs, cksumCol.as("cksum")).localCheckpoint(true)
+      (pinned, obs.get("cksum").asInstanceOf[Long])
+    }
+    var (labels, prev) = pinWithChecksum(
+      edges.select(col("a").as("doc")).distinct().withColumn("label", col("doc")))
     var iter = 0
     var converged = false
     val probeBound = math.min(math.max(probeRounds, 1), maxIter)
     while (!converged && iter < probeBound) {
       val prop = edges.join(labels, edges("b") === labels("doc"))
         .select(edges("a").as("doc"), col("label"))
-      labels = labels.unionByName(prop)
-        .groupBy(col("doc")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
-      val sum = checksum(labels)
+      val (next, sum) = pinWithChecksum(
+        labels.unionByName(prop)
+          .groupBy(col("doc")).agg(min(col("label")).as("label")))
+      labels = next
       converged = sum == prev // min-propagation is monotone: stable ⇒ done
       prev = sum
       iter += 1
@@ -689,15 +693,20 @@ object Dedup {
 
   private[graft] def clustersStarWithRounds(pairs: DataFrame,
                                             maxIter: Int = 30): (DataFrame, Int) = {
-    var edges = pairs
-      .select(least(col("doc_a"), col("doc_b")).as("u"),
-        greatest(col("doc_a"), col("doc_b")).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
     def bidir(e: DataFrame) =
       e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
-    def checksum(e: DataFrame): Long =
-      e.agg(coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head.getLong(0)
-    var prev = checksum(edges)
+    // same fused checkpoint+checksum as the adaptive loop: the edge-set
+    // checksum rides the eager checkpoint's own job as an observe metric
+    val eksumCol = coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))
+    def pinEdges(df: DataFrame): (DataFrame, Long) = {
+      val obs = new org.apache.spark.sql.Observation()
+      val pinned = df.observe(obs, eksumCol.as("cksum")).localCheckpoint(true)
+      (pinned, obs.get("cksum").asInstanceOf[Long])
+    }
+    var (edges, prev) = pinEdges(pairs
+      .select(least(col("doc_a"), col("doc_b")).as("u"),
+        greatest(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct())
     var rounds = 0
     var converged = prev == 0L && edges.isEmpty
     while (!converged && rounds < maxIter) {
@@ -716,10 +725,10 @@ object Dedup {
         .select(col("m").as("u"), col("v"))
         .filter(col("u") =!= col("v"))
         .unionByName(smins.select(col("m").as("u"), col("u").as("v")))
-      edges = small
+      val (next, sum) = pinEdges(small
         .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-        .distinct().localCheckpoint(true)
-      val sum = checksum(edges)
+        .distinct())
+      edges = next
       converged = sum == prev // star fixpoint ⇒ edge set stable
       prev = sum
       rounds += 1

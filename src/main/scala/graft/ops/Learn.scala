@@ -29,13 +29,22 @@ object Learn {
   def perceptronFeatures(docs: DataFrame, dim: Int = 8,
                          positiveLang: String = "en"): DataFrame = {
     val y = when(col("lang") === positiveLang, 1L).otherwise(-1L).as("y")
+    // ONE corpus pass: each doc explodes to its token POSITIONS plus the
+    // appended bias position `dim` (disjoint from pmod's 0..dim-1 range,
+    // so the shared groupBy counts it as exactly the old union's
+    // (pos=dim, xv=1) row; a null text keeps its bias via the coalesce).
+    // The former two-branch union both re-scanned the corpus AND — with
+    // co-partitioned inputs — tripped UnionExec's partitioning-
+    // preserving zip on mismatched child partition counts.
     docs
-      .select(col("doc_id"), y, explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("doc_id"), col("y"),
-        pmod(length(col("tok")), lit(dim)).cast("int").as("pos"))
+      .select(col("doc_id"), y,
+        explode(array_append(
+          transform(coalesce(split(col("text"), " "),
+            array().cast("array<string>")),
+            t => pmod(length(t), lit(dim))),
+          lit(dim))).as("pos"))
+      .groupBy(col("doc_id"), col("y"), col("pos").cast("int").as("pos"))
       .agg(count(lit(1)).as("xv"))
-      .unionByName(docs.select(col("doc_id"), y,
-        lit(dim).cast("int").as("pos"), lit(1L).as("xv")))
   }
 
   /** Batch (synchronous) perceptron, `iters` full passes: per

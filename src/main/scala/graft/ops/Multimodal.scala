@@ -285,6 +285,58 @@ object Multimodal {
     def frames(id: Long): Int = 100 + (id % 400).toInt
     val SampleRate = 8000f
 
+    // The AudioSystem entry points walk the provider registry on EVERY
+    // call through a SYNCHRONIZED JDK13Services.getProviders — jstack-
+    // sampled as the hottest frame once the audio operators ran on all
+    // lanes (a 32-thread lock convoy: ~47 s of task time for work one
+    // thread did in ~1 s). Resolve the SPI providers ONCE per JVM via
+    // the public javax.sound.sampled.spi ServiceLoader surface and call
+    // them directly — same providers, same parsers, same bytes; only
+    // the per-call registry walk is gone (guide §4.5: initialise
+    // heavyweight state once, not per row).
+    import scala.jdk.CollectionConverters._
+    private[Multimodal] lazy val audioReaders = {
+      val rs = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .iterator().asScala.toList
+      // stable partition: the soft-synth MIDI reader probes by calling
+      // MidiSystem.getSequence — ANOTHER per-call synchronized registry
+      // walk plus an exception throw for every non-MIDI payload
+      // (jstack-sampled as the residual hot frame) — so the cheap
+      // header-sniffing container readers (wave/au/aiff) go first. The
+      // accepted-format sets are disjoint across JDK readers, so trying
+      // order changes which REJECTIONS happen, never the outcome.
+      val (midi, rest) = rs.partition(_.getClass.getName.contains("Midi"))
+      rest ++ midi
+    }
+    private lazy val audioWriters =
+      java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+        .iterator().asScala.toList
+
+    /** AudioSystem.getAudioInputStream semantics over the cached
+      * provider list: first reader that accepts the stream wins. */
+    private[Multimodal] def readAudio(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+      val it = audioReaders.iterator
+      while (it.hasNext) {
+        val r = it.next()
+        try return r.getAudioInputStream(new ByteArrayInputStream(bytes))
+        catch { case _: javax.sound.sampled.UnsupportedAudioFileException => }
+      }
+      throw new javax.sound.sampled.UnsupportedAudioFileException(
+        "Stream of unsupported format")
+    }
+
+    /** AudioSystem.write semantics for WAVE over the cached writers. */
+    private def writeWave(ais: javax.sound.sampled.AudioInputStream,
+                          out: java.io.OutputStream): Unit = {
+      val t = javax.sound.sampled.AudioFileFormat.Type.WAVE
+      audioWriters.find(_.isFileTypeSupported(t, ais)) match {
+        case Some(w) => w.write(ais, t, out)
+        case None => throw new IllegalArgumentException(
+          "could not write audio file: file type not supported: WAVE")
+      }
+    }
+
     /** A real RIFF/WAV byte payload: xorshifted deterministic samples. */
     def syntheticWav(id: Long): Array[Byte] = {
       val n = frames(id)
@@ -301,8 +353,7 @@ object Multimodal {
       val ais = new javax.sound.sampled.AudioInputStream(
         new ByteArrayInputStream(samples), fmt, n.toLong)
       val bos = new ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(ais,
-        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      writeWave(ais, bos)
       bos.toByteArray
     }
 
@@ -325,8 +376,7 @@ object Multimodal {
       val ais = new javax.sound.sampled.AudioInputStream(
         new ByteArrayInputStream(samples), fmt, n.toLong)
       val bos = new ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(ais,
-        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      writeWave(ais, bos)
       bos.toByteArray
     }
 
@@ -334,8 +384,7 @@ object Multimodal {
       * Echoes the INPUT mime — decode accepts WAV and AIFF, and
       * relabeling an AIFF row as wav would lie to mime-keyed consumers. */
     def decode(bytes: Array[Byte], mime: String, sourceId: Long): Row = {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new ByteArrayInputStream(bytes))
+      val ais = readAudio(bytes)
       val f = ais.getFormat
       Row(sourceId, mime, bytes.length,
         f.getSampleRate.toInt, f.getChannels, ais.getFrameLength)
@@ -370,8 +419,7 @@ object Multimodal {
     /** (fingerprint, n_windows) from 16-bit LE mono PCM inside a
       * WAV/AIFF container (real JDK decode). */
     def fingerprint(bytes: Array[Byte]): (Long, Int) = {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new ByteArrayInputStream(bytes))
+      val ais = AudioCodec.readAudio(bytes)
       val pcm = ais.readAllBytes()
       val bigEndian = ais.getFormat.isBigEndian
       val n = pcm.length / 2

@@ -664,9 +664,12 @@ object Similarity {
     val sub = corpus.select(col("vec_id"),
       posexplode(pqSlices(col("embedding"), m, dim)).as(Seq("sm", "subvec")))
     for (_ <- 1 to iters) {
+      // not checkpointed: cands is an m-row groupBy over the (pinned)
+      // 128-row codebook — recomputing it inside the broadcast subtree
+      // is trivial, where the old eager pin paid a full driver job per
+      // round (these fits are job-count-bound, not data-bound)
       val cands = cb.groupBy(col("sm"))
         .agg(array_sort(collect_list(struct(col("cid"), col("csub")))).as("cands"))
-        .localCheckpoint(true)
       val assigned = sub.join(broadcast(cands), "sm")
         .withColumn("best", array_max(transform(col("cands"), c =>
           struct(
