@@ -17,8 +17,8 @@ object Plans {
     "q21_waiting_supplier" -> "EXISTS/NOT-EXISTS as one left-semi + one left-anti",
     "cdc_chunk_resolution" -> "chunk→hypertable double broadcast join (zero shuffle)",
     "cdc_op_gates" -> "event-type gate pushed to the scan (PushedFilters: In)",
-    "dedup_minhash_lsh" -> "banding equi-join, no cartesian",
-    "ann_ivf_topk" -> "broadcast-argmax list assignment, zero Exchange before probe",
+    "dedup_minhash_lsh" -> "banding equi-join, no cartesian (r16: plus the layout-aware fixture fan-out exchange after the scan)",
+    "ann_ivf_topk" -> "broadcast-argmax list assignment — the only pre-probe Exchange is the r16 layout-aware fan-out of the single-row-group FIXTURE (Tables.spread; a no-op on real multi-row-group layouts)",
     "layout_zonemap_prune" -> "zone-map candidates broadcast into a left-semi join",
     "sample_priority" -> "top-k as TakeOrderedAndProject, never a global sort",
     "profile_heavy_hitters" -> "bounded bucket agg, broadcast semi-join, exact second pass",
@@ -56,7 +56,7 @@ object Plans {
     "events_max_n" -> "the rnk <= n filter compiles to WindowGroupLimit: per-partition top-k BEFORE the exchange — the toolkit's bounded n-element state as a plan optimization",
     "ann_sq_topk" -> "int8 codes + exact i64 dot: the corpus scan is the narrow quantized projection; query side broadcast; top-k windows behind WindowGroupLimit",
     "web_hits" -> "static edges exchanged once and reused across all six half-steps; each renormalization is a 1-row broadcast max",
-    "text_watermark_detect" -> "codegen'd FNV hashing; one doc-keyed window for the lag pairing, then a per-doc partial agg — nothing else shuffles")
+    "text_watermark_detect" -> "codegen'd FNV hashing; one doc-keyed window for the lag pairing, then a per-doc partial agg — the only other exchange is the r16 layout-aware fixture fan-out after the scan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
