@@ -159,7 +159,18 @@ object Bench {
       "events_hll_rollup", "events_cms_heavy", "dedup_paragraph_minhash",
       "source_overlap_approx")
     val head = results.filter(r => headline(r._1))
+    // full headline-subset line first (human/log surface, unchanged data)…
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"n_ok":$nOk,"queries":${qmap(head)},"errors":$allErrs,"detail":"$detailPath","sf":"$sfDir"}""")
+    // …then a COMPACT final line: the driver keeps only a ~2000-char
+    // stdout tail, and the headline line above (~3 KB) overflows it, so
+    // its head — `{"metric":…}` — was cut off and the driver's bench
+    // parse failed two rounds running (PERF_r15/r16 `parsed: null`).
+    // The LAST line now carries just the totals + error states and
+    // points at the detail file holding the full 354-query map; nothing
+    // was removed from the run's outputs (the full map is printed above
+    // AND written to `detail`). Harness-contract repair, not a timing
+    // change — the timed region and methodology are untouched.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"n_ok":$nOk,"queries":{},"errors":$allErrs,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3.isDefined) || isolated.exists(_._3.isDefined)) sys.exit(1)
   }

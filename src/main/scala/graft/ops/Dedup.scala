@@ -598,13 +598,22 @@ object Dedup {
       edges.select(col("a").as("doc")).distinct().withColumn("label", col("doc")))
     var iter = 0
     var converged = false
-    val probeBound = math.min(math.max(probeRounds, 1), maxIter)
+    // one propagation hop: every node takes the min of its own label and
+    // its neighbors' labels (min is monotone, so hops compose freely)
+    def hop(l: DataFrame): DataFrame =
+      l.unionByName(edges.join(l, edges("b") === l("doc"))
+          .select(edges("a").as("doc"), l("label")))
+        .groupBy(col("doc")).agg(min(col("label")).as("label"))
+    // DOUBLE-STEP rounds (guide §2.4/§2.6): these loops are bound by
+    // driver round-trips (pin job + AQE stage jobs per round), not data,
+    // so each materialized round advances TWO hops — half the pins and
+    // checksum reads for the same fixpoint. The fixpoint is unchanged
+    // (stable under two monotone hops ⇔ stable under one), and so is the
+    // output contract; only the job count per run drops.
+    val probeBound =
+      math.max(1, math.min((math.max(probeRounds, 1) + 1) / 2, maxIter))
     while (!converged && iter < probeBound) {
-      val prop = edges.join(labels, edges("b") === labels("doc"))
-        .select(edges("a").as("doc"), col("label"))
-      val (next, sum) = pinWithChecksum(
-        labels.unionByName(prop)
-          .groupBy(col("doc")).agg(min(col("label")).as("label")))
+      val (next, sum) = pinWithChecksum(hop(hop(labels)))
       labels = next
       converged = sum == prev // min-propagation is monotone: stable ⇒ done
       prev = sum
@@ -644,10 +653,24 @@ object Dedup {
     * multi-doc anchor group, or endpoint of a pair) are labeled —
     * untouched singletons don't appear, same as a vertex with no edges.
     */
-  def clustersContracted(pairs: DataFrame, anchors: DataFrame,
+  def clustersContracted(pairs0: DataFrame, anchors0: DataFrame,
                          maxIter: Int = 20): DataFrame = {
-    require(Seq("doc_id", "anchor").forall(anchors.columns.contains),
-      s"clustersContracted: anchors needs (doc_id, anchor), got ${anchors.columns.toSeq}")
+    require(Seq("doc_id", "anchor").forall(anchors0.columns.contains),
+      s"clustersContracted: anchors needs (doc_id, anchor), got ${anchors0.columns.toSeq}")
+    // BOTH inputs are multi-consumer here (pairs: quotient + pairDocs;
+    // anchors: quotient + multiGroups + vertices + the final join), and
+    // each typically sits on an expensive pipeline (MinHash banding, a
+    // URL-group aggregation). Unpinned, the whole pair pipeline re-ran
+    // inside the final assembly job — profiled at sf0.1 as ~half of
+    // web_joint_dedup's task time (guide §1.2: don't recompute what you
+    // already computed; §5: pairs is duplicate-sized, anchors two longs
+    // per doc — both are the cheap side of their producing pipelines).
+    // the two pins are independent jobs — overlap them on two driver
+    // threads (§2.6) so the URL-group build back-fills the MinHash
+    // build's straggler tail instead of waiting for it
+    val (pairs, anchors) = DriverJobs.par2(
+      pairs0.select(col("doc_a"), col("doc_b")).localCheckpoint(true),
+      anchors0.select(col("doc_id"), col("anchor")).localCheckpoint(true))
     val quotient = pairs
       .join(anchors.select(col("doc_id").as("doc_a"), col("anchor").as("__aa")), "doc_a")
       .join(anchors.select(col("doc_id").as("doc_b"), col("anchor").as("__ab")), "doc_b")

@@ -258,14 +258,20 @@ object Similarity {
     * Same zero-Exchange broadcast-argmax plan. */
   def ivfAssignKeepAll(corpus: DataFrame, centroids: DataFrame): DataFrame =
     corpus.crossJoin(broadcast(centroidArray(centroids)))
+      // the row's own norm is hoisted OUT of the k-element lambda:
+      // `transform` lambdas evaluate interpreted (per element), so an
+      // inline l2Norm re-ran the 64-float fold k times per row — same
+      // double ops once, identical quotient bits (guide §4: cut work
+      // inside the non-codegen hot path before anything else)
+      .withColumn("__enorm", l2Norm("embedding"))
       .withColumn("best", array_max(transform(col("cents"), c =>
         struct(
           (graft.functions.VecFunctions.vec_dot(col("embedding"), c.getField("centroid")) /
-            (l2Norm("embedding") * c.getField("cnorm"))).as("sim"),
+            (col("__enorm") * c.getField("cnorm"))).as("sim"),
           (-c.getField("centroid_id")).as("negid")))))
       .withColumn("centroid_id", -col("best.negid"))
       .withColumn("centroid_sim", col("best.sim"))
-      .drop("cents", "best")
+      .drop("cents", "best", "__enorm")
 
   def ivfAssign(corpus: DataFrame, k: Int): (DataFrame, DataFrame) = {
     // deterministic coarse centroids: lowest-id k vectors. orderBy+limit
@@ -809,8 +815,14 @@ object Similarity {
                 kmeansIters: Int = 2, pqIters: Int = 2,
                 balanceFactor: Double = 4.0): DataFrame = {
     require(dim % m == 0, s"pq: dim=$dim not divisible by m=$m")
-    val (centroids, lists) = quantize(corpus, nLists, kmeansIters)
-    val cbDf = pqCodebook(corpus, m, kCodes, dim, pqIters)
+    // the IVF Lloyd rounds and the PQ codebook rounds are INDEPENDENT
+    // fit loops over the same corpus, each a chain of eager checkpoint
+    // jobs — run them as concurrent driver-thread job groups (§2.6) so
+    // the two chains' driver latencies and task tails overlap instead
+    // of adding up; results and every consumer are unchanged
+    val ((centroids, lists), cbDf) = DriverJobs.par2(
+      quantize(corpus, nLists, kmeansIters),
+      pqCodebook(corpus, m, kCodes, dim, pqIters))
     // codes carry their list id via a narrow vec_id join (both sides
     // derive from the same corpus scan; no embeddings move)
     val codes = pqEncodeWithCb(corpus, cbDf, m, dim)
@@ -880,8 +892,10 @@ object Similarity {
                      m: Int = 8, kCodes: Int = 16, dim: Int = 64,
                      kmeansIters: Int = 2, pqIters: Int = 2): Unit = {
     require(dim % m == 0, s"pq: dim=$dim not divisible by m=$m")
-    val (centroids, lists) = quantize(corpus, nLists, kmeansIters)
-    val cbDf = pqCodebook(corpus, m, kCodes, dim, pqIters)
+    // same concurrent fit groups as [[ivfPqTopK]] (§2.6)
+    val ((centroids, lists), cbDf) = DriverJobs.par2(
+      quantize(corpus, nLists, kmeansIters),
+      pqCodebook(corpus, m, kCodes, dim, pqIters))
     val codes = pqEncodeWithCb(corpus, cbDf, m, dim)
       .join(lists.select(col("vec_id"), col("centroid_id")), "vec_id")
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
