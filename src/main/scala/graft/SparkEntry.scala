@@ -44,20 +44,11 @@ object SparkEntry {
     * q1/rollup/window_running in round 1. Oracle twin: `centsSql`. */
   private def cents(c: Column): Column = floor(c * lit(100.0) + lit(0.5))
 
-  /** Globally-ordered fan-out for SORT-FIRST render queries (the wide
-    * per-row rendering runs ABOVE the one range exchange, on every
-    * lane): `repartitionByRange(defaultParallelism, keys) +
-    * sortWithinPartitions(keys)` produces exactly `orderBy(keys)`'s
-    * row order (range partitions are key-ordered and each is sorted),
-    * but the EXPLICIT partition count keeps AQE from coalescing the
-    * tiny local exchange back to one task — profiled: the final render
-    * of conv_array_scalar_sweep was a single 2.5 s task behind a plain
-    * orderBy. N derives from the runtime; at cluster scale the range
-    * exchange is the same one orderBy would plan. */
-  private def sortedSpread(df: DataFrame, keys: Column*): DataFrame =
-    df.repartitionByRange(df.sparkSession.sparkContext.defaultParallelism,
-        keys: _*)
-      .sortWithinPartitions(keys: _*)
+  // Sort-first render fan-out lives in Tables.sortedSpread now: same
+  // orderBy row order, but ROW-GROUP-CONDITIONAL — explicit
+  // repartitionByRange(N) only when the source layout caps scan
+  // parallelism (the bench fixtures), stock orderBy (AQE skew/advisory
+  // handling intact) on any real layout.
   private def centsSql(e: String): String = s"CAST(FLOOR(($e) * 100.0 + 0.5) AS BIGINT)"
 
   /** Shared MinHash+LSH DuckDB twin: FNV-64a shingle hash fold, the
@@ -1436,8 +1427,9 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // the same prefix-gated suppression that runs on the parquet
       // fixture drops exactly the bracketed physical re-INSERTs
       val wal = graft.cdc.PgOutput.decodeSegments(
-          graft.cdc.PgOutput.encodeSegments(Tables.events(s, dir),
-            markerTxns = true)).toDF()
+          graft.cdc.PgOutput.segmentsSpread(s, dir,
+            graft.cdc.PgOutput.encodeSegments(Tables.events(s, dir),
+              markerTxns = true))).toDF()
         .withColumn("op",
           when(col("op_wire") === "I", lit("c")).otherwise(col("op_wire")))
       Cdc.markerSuppressPrefixed(wal)
@@ -1460,7 +1452,8 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // don't recompute what you already computed)
       val wide = graft.streaming.SchemaEvolution.resolveBatch(
         graft.cdc.PgOutput.decodeRowsDynamic(
-          graft.cdc.PgOutput.encodeSegmentsEvolving(ev, boundary)).toDF()
+          graft.cdc.PgOutput.segmentsSpread(s, dir,
+            graft.cdc.PgOutput.encodeSegmentsEvolving(ev, boundary))).toDF()
           .localCheckpoint(true))
       wide.select(col("lsn"), col("op_wire").as("op"),
           col("event_id"), col("user_id"), col("event_type"),
@@ -1483,7 +1476,8 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // two census collects — unpinned, the encode+decode flatMap would
       // replay six times (guide §1.2)
       val dyn = graft.cdc.PgOutput.decodeRowsDynamic(
-        graft.cdc.PgOutput.encodeSegmentsEvolving(ev, boundary)).toDF()
+        graft.cdc.PgOutput.segmentsSpread(s, dir,
+          graft.cdc.PgOutput.encodeSegmentsEvolving(ev, boundary))).toDF()
         .localCheckpoint(true)
       def arm(batch: org.apache.spark.sql.DataFrame) = {
         val wide = graft.streaming.SchemaEvolution.resolveBatch(batch)
@@ -1512,7 +1506,8 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // lineage replays of the wire encode+decode otherwise
       val wide = graft.streaming.SchemaEvolution.resolveBatch(
         graft.cdc.PgOutput.decodeRowsDynamic(
-          graft.cdc.PgOutput.encodeSegmentsRetyping(ev, boundary)).toDF()
+          graft.cdc.PgOutput.segmentsSpread(s, dir,
+            graft.cdc.PgOutput.encodeSegmentsRetyping(ev, boundary))).toDF()
           .localCheckpoint(true))
       wide.select(col("lsn"), col("op_wire").as("op"),
           col("event_id"), col("user_id"), col("event_type"),
@@ -1528,7 +1523,8 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // decoded rows by xid must reproduce the exact txn windows the
       // parquet path derives arithmetically
       val wal = graft.cdc.PgOutput.decodeSegments(
-        graft.cdc.PgOutput.encodeSegments(Tables.events(s, dir)))
+        graft.cdc.PgOutput.segmentsSpread(s, dir,
+          graft.cdc.PgOutput.encodeSegments(Tables.events(s, dir))))
       wal.groupBy(col("xid"))
         .agg(count(lit(1)).as("n_events"),
           min(col("lsn")).as("first_lsn"), max(col("lsn")).as("last_lsn"))
@@ -1681,18 +1677,18 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
 
     // ============ type conversion layer (SURVEY §1.2) ============
     "conv_timestamp_millis" -> ((s, dir) => {
-      sortedSpread(Tables.lineitem(s, dir), col("l_orderkey"), col("l_linenumber"))
+      Tables.sortedSpread(s, dir, "lineitem", Tables.lineitem(s, dir), col("l_orderkey"), col("l_linenumber"))
         .select(col("l_orderkey"), col("l_linenumber"),
           PgConverters.timestampToMillis(col("l_shipdate")).as("ship_ms"))
     }),
 
     "conv_timestamptz_text" -> ((s, dir) => {
-      sortedSpread(Tables.events(s, dir), col("event_id"))
+      Tables.sortedSpread(s, dir, "events", Tables.events(s, dir), col("event_id"))
         .select(col("event_id"), PgConverters.timestamptzNanosToText("ts").as("ts_text"))
     }),
 
     "conv_time_text" -> ((s, dir) => {
-      sortedSpread(Tables.events(s, dir), col("event_id"))
+      Tables.sortedSpread(s, dir, "events", Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           PgConverters.timeToText(timestamp_micros(expr("ts div 1000"))).as("time_text"))
     }),
@@ -1704,14 +1700,14 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     }),
 
     "conv_interval_micros" -> ((s, dir) => {
-      sortedSpread(Tables.events(s, dir), col("event_id"))
+      Tables.sortedSpread(s, dir, "events", Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           PgConverters.intervalToMicros(col("user_id"), expr("event_id % 30"),
             expr("(ts % 1000000000) div 1000")).as("interval_us"))
     }),
 
     "conv_numeric_double" -> ((s, dir) => {
-      sortedSpread(Tables.lineitem(s, dir), col("l_orderkey"), col("l_linenumber"))
+      Tables.sortedSpread(s, dir, "lineitem", Tables.lineitem(s, dir), col("l_orderkey"), col("l_linenumber"))
         .select(col("l_orderkey"), col("l_linenumber"),
           PgConverters.numericToDouble(col("l_extendedprice")).as("num_val"))
     }),
@@ -1724,19 +1720,19 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     }),
 
     "conv_json_extract" -> ((s, dir) => {
-      sortedSpread(Tables.events(s, dir), col("event_id"))
+      Tables.sortedSpread(s, dir, "events", Tables.events(s, dir), col("event_id"))
         .select(col("event_id"), PgConverters.jsonGet(col("props"), "$.k").as("k_val"))
     }),
 
     "conv_bits_string" -> ((s, dir) => {
-      sortedSpread(Tables.events(s, dir), col("event_id"))
+      Tables.sortedSpread(s, dir, "events", Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           PgConverters.bitsToString(expr("user_id % 256"), 8).as("bits"))
     }),
 
     "conv_range_string" -> ((s, dir) => {
       // int8range [event_id, event_id+10)
-      sortedSpread(Tables.events(s, dir), col("event_id"))
+      Tables.sortedSpread(s, dir, "events", Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           PgConverters.rangeToString(col("event_id"), col("event_id") + 10).as("range_text"))
     }),
@@ -1744,7 +1740,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     "conv_point_string" -> ((s, dir) => {
       // point from (user_id, chunk-local second); integer-valued to keep
       // numeric text rendering engine-independent
-      sortedSpread(Tables.events(s, dir), col("event_id"))
+      Tables.sortedSpread(s, dir, "events", Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           PgConverters.pointToText(col("user_id"), expr("(ts % 1000000000) div 1000000"))
             .as("point_text"))
@@ -1755,7 +1751,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // (engine-independent: no float-to-string), plus the open `path`
       // form [(x,y),...] completing the geometry family
       val loC = col("user_id") * 100 + 50
-      sortedSpread(Tables.events(s, dir), col("event_id"))
+      Tables.sortedSpread(s, dir, "events", Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           PgConverters.rangeToString(decimalCentsText(loC), decimalCentsText(loC + 125)).as("numrange_text"),
           PgConverters.pathToText(closed = false,
@@ -1766,14 +1762,14 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     "conv_uuid_string" -> ((s, dir) => {
       // uuid canonical 8-4-4-4-12 text (builtin_converters.go:300-318);
       // hex source synthesized deterministically via md5
-      sortedSpread(Tables.events(s, dir), col("event_id"))
+      Tables.sortedSpread(s, dir, "events", Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           PgConverters.uuidFromHex32(md5(col("event_id").cast("string"))).as("uuid_text"))
     }),
 
     "conv_inet_string" -> ((s, dir) => {
       // inet/cidr v4 + v6 text passthrough (README type table)
-      sortedSpread(Tables.events(s, dir), col("event_id"))
+      Tables.sortedSpread(s, dir, "events", Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           PgConverters.textPassthrough(concat(lit("10."), pmod(col("user_id"), lit(256)),
             lit("."), pmod(col("event_id"), lit(256)), lit(".1/24"))).as("cidr4"),
@@ -1782,7 +1778,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     }),
 
     "conv_macaddr_string" -> ((s, dir) => {
-      sortedSpread(Tables.events(s, dir), col("event_id"))
+      Tables.sortedSpread(s, dir, "events", Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           PgConverters.macaddrToText(col("event_id") * 65536 + col("user_id")).as("mac"),
           PgConverters.macaddr8ToText(col("event_id") * 4294967296L + col("user_id")).as("mac8"))
@@ -1790,7 +1786,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
 
     "conv_enum_string" -> ((s, dir) => {
       // enum2string with the allowed-values list as column metadata
-      sortedSpread(Tables.events(s, dir), col("event_id"))
+      Tables.sortedSpread(s, dir, "events", Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           PgConverters.enumToString(col("event_type"),
             Seq("signup", "purchase", "error", "view", "click")).as("enum_val"))
@@ -1799,7 +1795,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     "conv_composite_json" -> ((s, dir) => {
       // composite → STRUCT (typemanager.go:419-430); JSON-rendered so the
       // driver comparator can hash it
-      sortedSpread(Tables.events(s, dir), col("event_id"))
+      Tables.sortedSpread(s, dir, "events", Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           to_json(PgConverters.compositeToStruct(
             "user_id" -> col("user_id"), "kind" -> col("event_type"))).as("comp_json"))
@@ -1810,7 +1806,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       val hsJson = concat(lit("{\"a\":\""), col("user_id"),
         lit("\",\"b\":\""), pmod(col("event_id"), lit(10)), lit("\"}"))
       val m = PgConverters.hstoreToMap(hsJson)
-      sortedSpread(Tables.events(s, dir), col("event_id"))
+      Tables.sortedSpread(s, dir, "events", Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           array_join(map_keys(m), ",").as("hs_keys"),
           array_join(map_values(m), ",").as("hs_vals"))
@@ -1818,7 +1814,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
 
     "conv_uint32_long" -> ((s, dir) => {
       // oid/xid/cid: top-bit-set uint32s must not surface negative
-      sortedSpread(Tables.events(s, dir), col("event_id"))
+      Tables.sortedSpread(s, dir, "events", Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           PgConverters.uint32ToLong(
             expr("CAST((event_id * 2654435761) % 4294967296 - 2147483648 AS INT)")).as("uval"))
@@ -1826,7 +1822,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
 
     "conv_scalar_widths" -> ((s, dir) => {
       // int2 / float4 / boolean width mappings
-      sortedSpread(Tables.events(s, dir), col("event_id"))
+      Tables.sortedSpread(s, dir, "events", Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           pmod(col("user_id"), lit(32768)).cast("smallint").as("i16"),
           col("value").cast("float").cast("double").as("f4d"),
@@ -1835,7 +1831,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
 
     "conv_tsrange_string" -> ((s, dir) => {
       // tsrange canonical [lo,hi) over RFC3339 text bounds
-      sortedSpread(Tables.events(s, dir), col("event_id"))
+      Tables.sortedSpread(s, dir, "events", Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           PgConverters.rangeToString(
             PgConverters.timestamptzNanosToText("ts"),
@@ -1856,7 +1852,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // box, line, lseg, circle, polygon text forms (integer coords keep
       // numeric rendering engine-independent)
       val u = col("user_id"); val m = pmod(col("event_id"), lit(100))
-      sortedSpread(Tables.events(s, dir), col("event_id"))
+      Tables.sortedSpread(s, dir, "events", Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           PgConverters.boxToText(u, m, u + 10, m + 10).as("box_text"),
           PgConverters.lineToText(u, pmod(col("event_id"), lit(7)) + 1, lit(3)).as("line_text"),
@@ -1882,7 +1878,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       val lineWkb = unhex(concat((lit("000000000200000005") +: pts): _*))
       val geom = PgConverters.postgisToStruct(pointWkb, lit(4326))
       val geog = PgConverters.postgisToStruct(lineWkb, lit(3857))
-      sortedSpread(Tables.events(s, dir), col("event_id"))
+      Tables.sortedSpread(s, dir, "events", Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           to_json(geom).as("geom_point"),
           to_json(geog).as("geog_line"),
@@ -1890,7 +1886,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     }),
 
     "conv_ltree_xml_char" -> ((s, dir) => {
-      sortedSpread(Tables.events(s, dir), col("event_id"))
+      Tables.sortedSpread(s, dir, "events", Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           PgConverters.textPassthrough(concat(lit("root.u"), col("user_id"),
             lit(".e"), pmod(col("event_id"), lit(10)))).as("ltree_path"),
@@ -1901,7 +1897,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     }),
 
     "conv_timetz_text" -> ((s, dir) => {
-      sortedSpread(Tables.events(s, dir), col("event_id"))
+      Tables.sortedSpread(s, dir, "events", Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           PgConverters.timetzToText(timestamp_micros(expr("ts div 1000"))).as("timetz_text"))
     }),
@@ -1909,7 +1905,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     "conv_interval_negative" -> ((s, dir) => {
       // negative month/day components — Go int64 micros arithmetic is
       // sign-agnostic (builtin_converters.go:350-360)
-      sortedSpread(Tables.events(s, dir), col("event_id"))
+      Tables.sortedSpread(s, dir, "events", Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           PgConverters.intervalToMicros(col("user_id") - 100,
             expr("event_id % 30 - 15"),
@@ -1919,7 +1915,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
     "conv_numeric_edges" -> ((s, dir) => {
       // numeric magnitudes: tiny / huge / repeating-fraction doubles;
       // single IEEE ops (correctly rounded) keep engines bit-identical
-      sortedSpread(Tables.events(s, dir), col("event_id"))
+      Tables.sortedSpread(s, dir, "events", Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           (col("event_id") / 1000.0).as("small_val"),
           (col("event_id") * 1000000000000.0).as("big_val"),
@@ -1931,7 +1927,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       val arr = array(
         pmod(col("user_id"), lit(100)).cast("int") - 50,
         pmod(col("event_id"), lit(97)).cast("int") - 48)
-      sortedSpread(Tables.events(s, dir), col("event_id"))
+      Tables.sortedSpread(s, dir, "events", Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           array_join(transform(PgConverters.arrayOf(PgConverters.uint32ToLong)(arr),
             _.cast("string")), ",").as("arr_vals"))
@@ -1948,7 +1944,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
 
     "conv_array_ts_millis" -> ((s, dir) => {
       val arr = array(col("l_shipdate"), expr("l_shipdate + INTERVAL 1 DAY"))
-      sortedSpread(Tables.lineitem(s, dir), col("l_orderkey"), col("l_linenumber"))
+      Tables.sortedSpread(s, dir, "lineitem", Tables.lineitem(s, dir), col("l_orderkey"), col("l_linenumber"))
         .select(col("l_orderkey"), col("l_linenumber"),
           array_join(transform(PgConverters.arrayOf(PgConverters.timestampToMillis)(arr),
             _.cast("string")), ",").as("ms_arr"))
@@ -1958,7 +1954,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // boolean[], uuid[], text[], interval[], composite[] element lifts
       val u = col("user_id"); val e = col("event_id")
       val uuidOf = (c: Column) => PgConverters.uuidFromHex32(md5(c.cast("string")))
-      sortedSpread(Tables.events(s, dir), col("event_id"))
+      Tables.sortedSpread(s, dir, "events", Tables.events(s, dir), col("event_id"))
         .select(e.as("event_id"),
           array_join(transform(array(pmod(e, lit(2)) === 0, pmod(u, lit(3)) === 0),
             _.cast("string")), ",").as("bool_arr"),
@@ -1979,7 +1975,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       val u = col("user_id"); val e = col("event_id")
       val m = pmod(e, lit(100))
       // sort first, project after — see conv_array_scalar_sweep
-      sortedSpread(Tables.events(s, dir), col("event_id"))
+      Tables.sortedSpread(s, dir, "events", Tables.events(s, dir), col("event_id"))
         .select(e.as("event_id"),
           array_join(array(
             PgConverters.pointToText(u, m),
@@ -1998,7 +1994,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
 
     "conv_array_bits" -> ((s, dir) => {
       val arr = array(pmod(col("user_id"), lit(256)), pmod(col("event_id"), lit(256)))
-      sortedSpread(Tables.events(s, dir), col("event_id"))
+      Tables.sortedSpread(s, dir, "events", Tables.events(s, dir), col("event_id"))
         .select(col("event_id"),
           array_join(PgConverters.arrayOf(c => PgConverters.bitsToString(c, 8))(arr), ",")
             .as("bits_arr"))
@@ -2016,7 +2012,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // sort FIRST, project after: the range exchange ships the narrow
       // source rows, not the ~17 wide rendered strings (the projection
       // is order-preserving, so output order is unchanged)
-      sortedSpread(Tables.events(s, dir), col("event_id"))
+      Tables.sortedSpread(s, dir, "events", Tables.events(s, dir), col("event_id"))
         .select(e.as("event_id"),
           array_join(array(concat(lit("t_"), u), concat(lit("idx_"), pmod(e, lit(10)))), ",").as("name_arr"),
           array_join(array(lower(hex(col("event_type").cast("binary"))),
@@ -2067,7 +2063,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       def day(shift: Int) = date_format(
         timestamp_micros(expr(s"ts div 1000 + ${shift.toLong * 86400000000L}")), "yyyy-MM-dd")
       // sort first, project after — see conv_array_scalar_sweep
-      sortedSpread(Tables.events(s, dir), col("event_id"))
+      Tables.sortedSpread(s, dir, "events", Tables.events(s, dir), col("event_id"))
         .select(e.as("event_id"),
           array_join(array(PgConverters.timeToText(t0), PgConverters.timeToText(t1)), ",").as("time_arr"),
           array_join(array(PgConverters.timetzToText(t0), PgConverters.timetzToText(t1)), ",").as("timetz_arr"),
@@ -3767,7 +3763,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // the ~1 KB render + full parse-back run ABOVE it on all lanes —
       // below it they ran inside the single-row-group scan task. Same
       // rows, same builder (envelopeJsonCol), same parse.
-      sortedSpread(Cdc.walEvents(s, dir), col("lsn"))
+      Tables.sortedSpread(s, dir, "events", Cdc.walEvents(s, dir), col("lsn"))
         .select(col("lsn"),
           from_json(Cdc.envelopeJsonCol(), envSchema).as("env"),
           from_json(Cdc.envelopeKeyJsonCol, keySchema).as("k"))

@@ -1553,10 +1553,19 @@ object Cdc {
     val nullS   = lit(null).cast(StringType)
     val nullD   = lit(null).cast(DoubleType)
 
-    val ev = withMessagePrefix(walEvents(spark, dir)).select(
-      lit(evTopic).as("topic"), col("lsn"), col("ts_ms"), col("op"), col("xid"),
-      col("event_id"), col("user_id"), col("value"), col("props"),
-      col("msg_prefix"), nullS.as("row_json"), nullS.as("key_payload"))
+    // layout-aware branch fan-out (guide §2.5): each single-row-group
+    // fixture scan otherwise feeds the final range exchange as ONE task
+    // (profiled: the events and lineitem branches were single 0.4-1.0 s
+    // tasks under the sort's exchange write). `Tables.spread` keys the
+    // repartition on the branch's unique id and NO-OPS on any real
+    // layout (row groups ≥ cores), so the "zero shuffle before the
+    // final sort" scale posture is intact where it matters.
+    val ev = withMessagePrefix(
+      graft.Tables.spread(spark, dir, "events", walEvents(spark, dir), col("lsn")))
+      .select(
+        lit(evTopic).as("topic"), col("lsn"), col("ts_ms"), col("op"), col("xid"),
+        col("event_id"), col("user_id"), col("value"), col("props"),
+        col("msg_prefix"), nullS.as("row_json"), nullS.as("key_payload"))
     def snapNarrow(df: DataFrame, topic: String, lsn: Column, tsMs: Column,
                    rowJson: Column, keyPayload: Column): DataFrame =
       df.select(lit(topic).as("topic"), lsn.as("lsn"), tsMs.as("ts_ms"),
@@ -1564,7 +1573,8 @@ object Cdc {
         nullL.as("user_id"), nullD.as("value"), nullS.as("props"),
         nullS.as("msg_prefix"),
         rowJson.as("row_json"), keyPayload.as("key_payload"))
-    val o = Tables.orders(spark, dir)
+    val o = Tables.spread(spark, dir, "orders",
+      Tables.orders(spark, dir), col("o_orderkey"))
     val orders = snapNarrow(o, oTopic,
       lsn = col("o_orderkey"),
       tsMs = PgConverters.timestampToMillis(col("o_orderdate")),
@@ -1573,7 +1583,9 @@ object Cdc {
         lit(",\"total_cents\":"), floor(col("o_totalprice") * 100.0 + 0.5).cast(LongType),
         lit("}")),
       keyPayload = concat(lit("{\"o_orderkey\":"), col("o_orderkey"), lit("}")))
-    val li = Tables.lineitem(spark, dir)
+    val li = Tables.spread(spark, dir, "lineitem",
+      Tables.lineitem(spark, dir),
+      col("l_orderkey") * 10 + col("l_linenumber"))
     val lineitem = snapNarrow(li, s"$dbName.public.lineitem",
       lsn = col("l_orderkey") * 10 + col("l_linenumber"),
       tsMs = PgConverters.timestampToMillis(col("l_shipdate")),

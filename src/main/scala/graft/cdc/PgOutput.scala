@@ -792,11 +792,27 @@ object PgOutput {
     }
   }
 
+  /** Layout-aware fan-out for the fixture-encoded segment frame (guide
+    * §2.5): the per-segment decode flatMap (and everything above it) is
+    * CPU-bound per row, but the groupByKey exchange that produced the
+    * segments is BYTE-tiny at fixture scale, so AQE coalesces it to 2-3
+    * tasks and the whole decode+render pipeline runs nearly serial
+    * (profiled: cdc_pgoutput_envelope spent 2×2.3 s of task time on 3
+    * tasks). Keyed repartition on `segment` to the session parallelism,
+    * gated on the SOURCE events table's row-group census exactly like
+    * `Tables.spread` — on a real layout (row groups ≥ cores, segment
+    * bytes ≫ AQE's advisory size) this is a NO-OP by construction, and
+    * the production wire path ([[streamDecoded]]) takes its parallelism
+    * from the segment store's own splits, never from this helper. */
+  def segmentsSpread(spark: SparkSession, dir: String, segs: DataFrame): DataFrame =
+    Tables.spread(spark, dir, "events", segs, col("segment"))
+
   /** The full gate path: events → pgoutput bytes → decoded WAL, shaped
     * like the envelope the parquet-path `Cdc.shapeWal` produces on the
     * same logical events (the `cdc_pgoutput_decode` correctness entry). */
   def decodeGate(spark: SparkSession, dir: String, binary: Boolean = false): DataFrame = {
-    val wal = decodeSegments(encodeSegments(Tables.events(spark, dir), binary = binary))
+    val wal = decodeSegments(segmentsSpread(spark, dir,
+      encodeSegments(Tables.events(spark, dir), binary = binary)))
     wal.select(
       col("lsn"), col("xid"), col("op_wire"),
       Cdc.opExpr(col("event_type")).as("op"),
@@ -818,8 +834,9 @@ object PgOutput {
     */
   def toastGate(spark: SparkSession, dir: String, toastEvery: Int = 3,
                 binary: Boolean = false): DataFrame = {
-    val wal = decodeSegments(encodeSegments(Tables.events(spark, dir),
-      binary = binary, toastEvery = toastEvery))
+    val wal = decodeSegments(segmentsSpread(spark, dir,
+      encodeSegments(Tables.events(spark, dir),
+        binary = binary, toastEvery = toastEvery)))
     val omitted = array_contains(col("unchanged_cols"), "props")
     val renderOpts = Map("ignoreNullFields" -> "false")
     val payload = when(omitted,
@@ -845,8 +862,9 @@ object PgOutput {
     * downstream replica needs to reconstruct state. */
   def beforeGate(spark: SparkSession, dir: String, toastEvery: Int = 3,
                  binary: Boolean = false): DataFrame = {
-    val wal = decodeSegments(encodeSegments(Tables.events(spark, dir),
-      binary = binary, toastEvery = toastEvery))
+    val wal = decodeSegments(segmentsSpread(spark, dir,
+      encodeSegments(Tables.events(spark, dir),
+        binary = binary, toastEvery = toastEvery)))
     wal.filter(col("op_wire") === "U")
       .select(
         col("lsn"), col("old_kind"),
@@ -895,8 +913,9 @@ object PgOutput {
     * The only shuffle is the final gate sort. */
   def envelopeGate(spark: SparkSession, dir: String, toastEvery: Int = 3,
                    binary: Boolean = false): DataFrame = {
-    val wal = decodeSegments(encodeSegments(Tables.events(spark, dir),
-      binary = binary, toastEvery = toastEvery))
+    val wal = decodeSegments(segmentsSpread(spark, dir,
+      encodeSegments(Tables.events(spark, dir),
+        binary = binary, toastEvery = toastEvery)))
       .filter(col("op_wire").isin("I", "U", "D"))
     // ONE from_json for the typed fields (a sparse schema parses the
     // envelope once; per-field get_json_object re-parsed it 4×) plus the
