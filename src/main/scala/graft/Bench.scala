@@ -54,10 +54,26 @@ object Bench {
     // single-query timing loops (the driver passes no args → full run)
     val only: Option[Set[String]] =
       args.headOption.filter(_.nonEmpty).map(_.split(",").toSet)
+    // §1.4 suite-order adjudication knobs (default OFF — the committed
+    // numbers never use them): UNPIN drops every still-persisted RDD
+    // between queries (the localCheckpoint pins queries create are dead
+    // once their query's action completes, but the ContextCleaner only
+    // releases them after a driver GC notices), QUERY_GC forces a GC
+    // between queries. Both run OUTSIDE the timed region; they exist to
+    // measure whether the in-suite-vs-isolated band on late-suite
+    // queries is accumulated pin/GC pressure.
+    val unpinBetween = sys.env.get("SPARK_GRAFT_BENCH_UNPIN").contains("1")
+    val gcBetween = sys.env.get("SPARK_GRAFT_BENCH_QUERY_GC").contains("1")
+    def interQueryCleanup(): Unit = {
+      if (unpinBetween)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      if (gcBetween) System.gc()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(t => only.forall(_.contains(t._1))).map { case (name, fn) =>
       var err: Option[String] = None
       val times = (1 to iters).map { _ =>
+        interQueryCleanup()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch {

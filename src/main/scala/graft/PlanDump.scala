@@ -3,8 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Optimization-round artifact tool: dumps `.explain("formatted")` for a
-  * comma-separated list of queries to `<outDir>/<name>_<tag>.txt`
-  * (plan-only — nothing runs). Usage:
+  * comma-separated list of queries to `<outDir>/<name>_<tag>.txt`.
+  * NOTE: queries with driver-side control flow execute real jobs during
+  * CONSTRUCTION (cdc boundary `.head` aggregations, eager
+  * localCheckpoint pins, bpeFit's per-merge collects, the ANN fit
+  * loops), so `PlanDump all` runs substantial work — only the final
+  * plan's own action is skipped. Usage:
   * `runMain graft.PlanDump <names|all> <sfDir> <outDir> <tag>`
   */
 object PlanDump {

@@ -56,7 +56,11 @@ case class CmsEstimate(left: Expression, right: Expression)
     if (lastSketch == null ||
         ((lastBytes ne bytes) && !java.util.Arrays.equals(lastBytes, bytes))) {
       lastSketch = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
-      lastBytes = bytes
+      // defensive copy: a source that reuses/mutates its buffer would
+      // otherwise mutate the cache key under us and a later
+      // Arrays.equals could serve a stale sketch for different bytes;
+      // the clone is paid only on cache REPLACEMENT, never per row
+      lastBytes = bytes.clone()
     }
     lastSketch.estimateCount(java.lang.Long.valueOf(key.asInstanceOf[Long]))
   }

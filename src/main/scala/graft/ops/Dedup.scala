@@ -592,7 +592,21 @@ object Dedup {
     def pinWithChecksum(df: DataFrame): (DataFrame, Long) = {
       val obs = new org.apache.spark.sql.Observation()
       val pinned = df.observe(obs, cksumCol.as("cksum")).localCheckpoint(true)
-      (pinned, obs.get("cksum").asInstanceOf[Long])
+      // the eager checkpoint has completed here, so the observed metric
+      // should already be posted — the BOUNDED wait on the public
+      // `future` guards the (undocumented) withAction routing the
+      // fusion relies on: if a runtime ever stops posting metrics for
+      // checkpoint actions this degrades to one explicit checksum scan
+      // of the pinned rows instead of a silent driver hang (r16 advice)
+      val sum = try
+        scala.concurrent.Await
+          .result(obs.future, scala.concurrent.duration.Duration(30, "s"))
+          .getAs[Long]("cksum")
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          pinned.agg(cksumCol.as("cksum")).head.getLong(0)
+      }
+      (pinned, sum)
     }
     var (labels, prev) = pinWithChecksum(
       edges.select(col("a").as("doc")).distinct().withColumn("label", col("doc")))
@@ -724,7 +738,17 @@ object Dedup {
     def pinEdges(df: DataFrame): (DataFrame, Long) = {
       val obs = new org.apache.spark.sql.Observation()
       val pinned = df.observe(obs, eksumCol.as("cksum")).localCheckpoint(true)
-      (pinned, obs.get("cksum").asInstanceOf[Long])
+      // bounded metric read + explicit-scan fallback — same guard as
+      // the adaptive loop's pinWithChecksum (r16 advice)
+      val sum = try
+        scala.concurrent.Await
+          .result(obs.future, scala.concurrent.duration.Duration(30, "s"))
+          .getAs[Long]("cksum")
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          pinned.agg(eksumCol.as("cksum")).head.getLong(0)
+      }
+      (pinned, sum)
     }
     var (edges, prev) = pinEdges(pairs
       .select(least(col("doc_a"), col("doc_b")).as("u"),
