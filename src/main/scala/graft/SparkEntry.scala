@@ -2983,7 +2983,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // PolyIn expressions (dispatch at analysis, codegen at run time)
       graft.filter.EventFilter(
         """event_type[0:3] in {sig: 1, pur: 2, vie: 3} && len(props[2:6]) == 4 && type(user_id) == "int"""")
-        .apply(Cdc.shapeWal(Tables.eventsSpread(s, dir)))
+        .apply(Cdc.shapeWal(Tables.eventsSpreadBarrier(s, dir)))
         .select(col("lsn"), col("event_type"), col("user_id"))
         .orderBy(col("lsn"))
     }),
@@ -2994,7 +2994,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // #acc accumulator, findIndex — one narrow codegen predicate
       graft.filter.EventFilter(
         """let v = int(props[6:-1]); v in 10..60 && reduce(take(1..v, 3), #acc + #, int(0)) == 6 && findIndex(split(props, ":"), {hasPrefix(#, " ")}) == 1""")
-        .apply(Cdc.shapeWal(Tables.eventsSpread(s, dir)))
+        .apply(Cdc.shapeWal(Tables.eventsSpreadBarrier(s, dir)))
         .select(col("lsn"), col("user_id"), col("props"))
         .orderBy(col("lsn"))
     }),
@@ -3008,7 +3008,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
         // spread input: this wave's predicate (sortBy/groupBy/base64
         // kernels) is pure compute no scan could push — layout-aware
         // fan-out off the single-row-group fixture (no-op at scale)
-        .apply(Cdc.shapeWal(Tables.eventsSpread(s, dir)))
+        .apply(Cdc.shapeWal(Tables.eventsSpreadBarrier(s, dir)))
         .select(col("lsn"), col("user_id"), col("props"))
         .orderBy(col("lsn"))
     }),
@@ -3018,7 +3018,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // Catalyst operators) and lastIndexOf (reverse-trick compile)
       graft.filter.EventFilter(
         """bitand(user_id, 7) in [1, 2, 3] && bitshl(1, 3) == 8 && bitushr(bitshl(user_id, 1), 1) == user_id && bitxor(bitor(user_id, 4), 4) <= user_id && lastIndexOf(props, "1") >= 2 && lastIndexOf(props, "zz") == -1""")
-        .apply(Cdc.shapeWal(Tables.eventsSpread(s, dir)))
+        .apply(Cdc.shapeWal(Tables.eventsSpreadBarrier(s, dir)))
         .select(col("lsn"), col("user_id"), col("props"))
         .orderBy(col("lsn"))),
 
@@ -3028,7 +3028,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // splitAfter — the whole predicate stays one codegen projection
       graft.filter.EventFilter(
         """int(get(fromJSON(value.props), "k")) >= 40 && len(toPairs(fromJSON(value.props))) == 1 && get(fromPairs(toPairs(fromJSON(value.props))), "k") == get(fromJSON(value.props), "k") && len(splitAfter(value.event_type, "e")) >= 2 && first(splitAfter(value.event_type, "e")) != "e" && len(toJSON(keys(fromJSON(value.props)))) == 5""")
-        .apply(Cdc.shapeWal(Tables.eventsSpread(s, dir)))
+        .apply(Cdc.shapeWal(Tables.eventsSpreadBarrier(s, dir)))
         .select(col("lsn"), col("user_id"), col("event_type"), col("props"))
         .orderBy(col("lsn"))),
 
@@ -3042,7 +3042,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
           |m?.k != nil && (m?.absent ?? "42") == "42" &&
           |int(fromJSON(value.props)?.k) >= 0 &&
           |(int(m?.absent) ?? -1) == -1""".stripMargin)
-        .apply(Cdc.shapeWal(Tables.eventsSpread(s, dir)))
+        .apply(Cdc.shapeWal(Tables.eventsSpreadBarrier(s, dir)))
         .select(col("lsn"), col("user_id"), col("props"))
         .orderBy(col("lsn"))),
 
@@ -3060,7 +3060,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
           |keySchema.name == "graft.public.events.Key" &&
           |keySchema.fields[0]["name"] == "event_id" &&
           |value.user_id % 2 == 0""".stripMargin)
-        .apply(Cdc.shapeWal(Tables.eventsSpread(s, dir)))
+        .apply(Cdc.shapeWal(Tables.eventsSpreadBarrier(s, dir)))
         .select(col("lsn"), col("user_id"))
         .orderBy(col("lsn"))),
 
@@ -3072,7 +3072,7 @@ FROM $prev p0 LEFT JOIN (SELECT sm, cid, list(mn ORDER BY pos) AS marr
       // oracle test is a FIXED-OFFSET id so the DuckDB twin is plain
       // interval arithmetic (no ICU dependency); DST-zone parity is
       // spec-proven against java.time in EventFilterSpec instead.
-      val wal = Cdc.shapeWal(Tables.eventsSpread(s, dir))
+      val wal = Cdc.shapeWal(Tables.eventsSpreadBarrier(s, dir))
         .withColumn("dt",
           date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd HH:mm:ss"))
       graft.filter.EventFilter(

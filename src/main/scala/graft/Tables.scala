@@ -90,6 +90,26 @@ object Tables {
     spread(spark, dir, "events", events(spark, dir), col("event_id"))
   }
 
+  /** [[eventsSpread]] with a PUSHDOWN BARRIER for filter-heavy
+    * consumers (the EventFilter waves): Catalyst pushes deterministic
+    * filters below a repartition, so a compute-heavy predicate
+    * (sortBy/groupBy/base64 kernels) lands back in the single-row-group
+    * scan task and the fan-out is defeated — profiled: wave4's whole
+    * predicate ran as ONE 1.1 s map-side task below the spread
+    * exchange. The eager localCheckpoint pins the narrow spread frame,
+    * so the predicate must evaluate ABOVE it, on every lane. Same
+    * census gate as [[spread]]: a real layout (row groups ≥ cores)
+    * returns the stock reader — no exchange, no pin, and full
+    * scan-side pushdown for whatever parts of a predicate ARE
+    * scan-pushable there. */
+  def eventsSpreadBarrier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val ev = events(spark, dir)
+    val n = spark.sparkContext.defaultParallelism
+    if (rowGroups(spark, dir, "events") >= n) ev
+    else ev.repartition(n, col("event_id")).localCheckpoint(true)
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "customer")
